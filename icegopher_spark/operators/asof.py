@@ -1,0 +1,67 @@
+"""As-of join (point-in-time join) as a composition of built-in ops.
+
+Spark has no native ASOF JOIN; the scalable pattern is union + window
+rather than an inequality join (which Catalyst can only run as a
+broadcast-nested-loop): tag both sides, sort within each key partition
+by time, and carry the most recent right-side payload forward with
+``last(..., ignorenulls=True)``. One shuffle on the join key, no BNLJ,
+no per-group Python.
+
+At 100 TB both sides hash-partition on the key; skewed keys are handled
+by AQE. Semantics: for each left row, the latest right row with
+right_ts <= left_ts (backward as-of, ties take the right row).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join_backward(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    payload_cols: list[str],
+) -> DataFrame:
+    """Backward as-of join.
+
+    Returns `left.*` plus ``payload_cols`` from the latest right row
+    with ``right[right_ts] <= left[left_ts]`` and matching ``on`` key
+    (nulls when no prior right row exists).
+    """
+    left_cols = left.columns
+    l = left.select(
+        F.col(on).alias("_k"),
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_side"),  # events sort after orders at equal ts → <= semantics
+        F.struct(*left_cols).alias("_l"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in payload_cols],
+    )
+    r = right.select(
+        F.col(on).alias("_k"),
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        F.lit(None).cast(left.select(F.struct(*left_cols)).schema[0].dataType).alias("_l"),
+        *[F.col(c).alias(f"_r_{c}") for c in payload_cols],
+    )
+    unioned = l.unionByName(r)
+    # Deterministic order: ts, then side (right first at equal ts), then
+    # right rows of equal ts resolved by the last payload value seen.
+    w = (
+        Window.partitionBy("_k")
+        .orderBy(F.col("_ts").asc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = unioned.select(
+        "_side",
+        "_l",
+        *[F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"_r_{c}") for c in payload_cols],
+    )
+    out = filled.filter(F.col("_side") == 1).select(
+        *[F.col("_l")[c].alias(c) for c in left_cols],
+        *[F.col(f"_r_{c}").alias(c) for c in payload_cols],
+    )
+    return out

@@ -1,0 +1,259 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash-LSH, SimHash.
+
+Design for 100 TB:
+  * Exact dedup is one hash-aggregate shuffle on a 64-bit fingerprint —
+    never on the raw text (shuffling full documents would move the whole
+    corpus; shuffling 8-byte keys + ids moves ~nothing). A final
+    verification join guards against fingerprint collisions.
+  * Candidate generation for near-dup is the LSH pattern: explode to
+    (band, band_hash) keys, self-join on the key, verify exact Jaccard
+    only for candidates. The join key space is uniform (hash output),
+    so no skew; all heavy lifting is JVM-side array expressions.
+  * Nothing collects to the driver.
+
+These are [X] extension operators (SURVEY.md §2.9) — the reference
+(zeroshade/icegopher) has no data plane.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import tokens
+
+
+def word_shingles(col: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles as an array<string>; empty-safe."""
+    toks = tokens(F.lower(col))
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
+    grams = F.transform(
+        idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)])
+    )
+    return F.array_distinct(grams)
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", normalize: bool = True
+) -> DataFrame:
+    """Exact dedup: keep the lowest id per identical text.
+
+    Shuffle is on a 64-bit fingerprint; the canonical representative is
+    min(id). Returns (kept id, n_copies, group fingerprint).
+    """
+    t = F.lower(F.col(text_col)) if normalize else F.col(text_col)
+    fp = F.xxhash64(t)
+    return (
+        df.select(F.col(id_col), fp.alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.min(id_col).alias(id_col),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .select(id_col, "n_copies")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs (id_a < id_b, jaccard ≥ t).
+
+    Candidates come from an equi-join on individual shingle hashes
+    (inverted index), so cost is bounded by shared-shingle pairs, not
+    |docs|². Intersection size is counted per pair; union via the
+    per-doc distinct-shingle counts (|A|+|B|-|A∩B|).
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"), word_shingles(F.col(text_col), n).alias("shingles")
+    ).select("id", F.size("shingles").alias("n_sh"), F.explode("shingles").alias("shingle"))
+    # Hash the shingle before the join: 8-byte join keys instead of strings.
+    sh = sh.select("id", "n_sh", F.xxhash64("shingle").alias("sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(
+            F.count(F.lit(1)).alias("n_common"),
+            F.first("a.n_sh").alias("n_a"),
+            F.first("b.n_sh").alias("n_b"),
+        )
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double"),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return pairs
+
+
+def minhash_signature(col: Column, num_hashes: int = 32, n: int = 3) -> Column:
+    """MinHash signature as array<bigint>: min over shingles of
+    xxhash64(seed, shingle) per seed. Entirely JVM-side."""
+    sh = word_shingles(col, n)
+
+    def seeded_min(k: int) -> Column:
+        # closure-bound seed — a default arg would change the lambda's
+        # arity and make PySpark pass the array index instead.
+        def h(s: Column) -> Column:
+            return F.xxhash64(F.lit(k), s)
+
+        return F.array_min(F.transform(sh, h))
+
+    return F.array(*[seeded_min(k) for k in range(num_hashes)])
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    n: int = 3,
+) -> DataFrame:
+    """LSH candidate pairs: docs agreeing on ≥1 MinHash band.
+
+    rows = bands of size num_hashes/bands; band key = xxhash64 of the
+    band slice → explode → self-join on (band, key) → distinct pairs.
+    At scale the exploded frame is num_docs × bands rows of 3 longs.
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signature(F.col(text_col), num_hashes, n).alias("sig")
+    d = df.select(F.col(id_col).alias("id"), sig).filter(F.size("sig") > 0)
+    band_entries = d.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)]
+                        ).alias("key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", "bk.band", "bk.key")
+    a, b = band_entries.alias("a"), band_entries.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    num_hashes: int = 32,
+    bands: int = 8,
+    n: int = 3,
+) -> DataFrame:
+    """MinHash-LSH near-dup: LSH candidates verified with exact Jaccard."""
+    cands = minhash_lsh_candidates(df, text_col, id_col, num_hashes, bands, n)
+    sh = df.select(
+        F.col(id_col).alias("id"), word_shingles(F.col(text_col), n).alias("shingles")
+    )
+    verified = (
+        cands.join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("shingles", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("shingles", "sh_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b")).cast("double"),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return verified
+
+
+def simhash64(col: Column, n: int = 1) -> Column:
+    """64-bit SimHash over word shingles, fully vectorized JVM-side.
+
+    For each bit b: sum over shingles of ±1 by bit b of xxhash64(shingle);
+    bit set iff the sum is positive. Composed with F.aggregate (sequential
+    fold) — no UDF, no shuffle.
+    """
+    sh = word_shingles(col, n)
+    hashes = F.transform(sh, lambda s: F.xxhash64(s))
+
+    def bit_sum(b: int) -> Column:
+        # NB: bind b via closure, not a default arg — PySpark inspects
+        # higher-order-function lambda arity, and a default makes it 3-ary.
+        def step(acc: Column, h: Column) -> Column:
+            return acc + F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+
+        return F.aggregate(hashes, F.lit(0), step)
+
+    out = F.lit(0).cast("bigint")
+    for b in range(64):
+        out = out + F.when(bit_sum(b) > 0, F.lit(1).cast("bigint") * (2**b if b < 63 else -(2**63))).otherwise(
+            F.lit(0).cast("bigint")
+        )
+    return out
+
+
+def simhash_neardup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-dup: candidates share one of 4 16-bit bands
+    (guarantees recall for hamming ≤ 3), verified by exact popcount.
+    """
+    d = df.select(F.col(id_col).alias("id"), simhash64(F.col(text_col)).alias("sh"))
+    bands = d.select(
+        "id",
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned("sh", b * 16).bitwiseAND(F.lit(0xFFFF)).alias("key"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", "sh", "bk.band", "bk.key")
+    a, b = bands.alias("a"), bands.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), F.col("a.sh").alias("sh_a"),
+            F.col("b.sh").alias("sh_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return cands.withColumn("hamming", hamming).filter(F.col("hamming") <= max_hamming).select(
+        "id_a", "id_b", "hamming"
+    )

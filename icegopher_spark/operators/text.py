@@ -1,0 +1,121 @@
+"""Text-analysis operators for LLM-data pipelines.
+
+All hot-path logic is built from JVM-side ``pyspark.sql.functions``
+(regexp/array expressions inside whole-stage codegen) — no Python UDFs —
+so the same code scales from the sf0.01 test tables to a 100 TB corpus:
+each operator is a narrow map over the ``documents`` table with no
+shuffle at all.
+
+Capabilities beyond the reference surface (zeroshade/icegopher has no
+data plane); mandated by the project north star (BASELINE.json).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Deterministic stopword lists used by the language-ID heuristic.
+# Ordered: first match wins in the tie-break (score desc, lang asc).
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is"],
+    "de": ["der", "die", "und", "ist", "das"],
+    "es": ["el", "la", "que", "de", "es"],
+    "fr": ["le", "la", "et", "est", "les"],
+}
+
+# Punctuation class written to mean the same thing in Java regex (Spark)
+# and RE2 (DuckDB oracle) — avoid POSIX classes which differ.
+_PUNCT_CLASS = r"""[.,;:!?'"()\[\]{}-]"""
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokens with empties removed (split-on-\\s+ leaves a
+    leading '' when the string starts with whitespace)."""
+    return F.filter(F.split(col, r"\s+"), lambda t: t != F.lit(""))
+
+
+def token_count(col: Column) -> Column:
+    return F.regexp_count(col, F.lit(r"\S+")).cast("bigint")
+
+
+def bpe_ish_token_count(col: Column) -> Column:
+    """Count of BPE-ish pre-tokenizer pieces: alpha runs, digit runs,
+    or single non-alphanumeric non-space chars."""
+    return F.regexp_count(col, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]")).cast("bigint")
+
+
+def punct_count(col: Column) -> Column:
+    return F.regexp_count(col, F.lit(_PUNCT_CLASS)).cast("bigint")
+
+
+def stopword_hits(col: Column, words: list[str]) -> Column:
+    """Total occurrences of any of ``words`` as whole words."""
+    pattern = r"\b(" + "|".join(words) + r")\b"
+    return F.regexp_count(F.lower(col), F.lit(pattern)).cast("bigint")
+
+
+def lang_id(col: Column) -> Column:
+    """n-gram/stopword heuristic language ID.
+
+    Scores each candidate language by whole-word stopword hits
+    normalized nothing fancy — ties broken by language code ascending,
+    zero hits → 'und' (undetermined), mirroring CLD-style outputs.
+    """
+    scores = [(lang, stopword_hits(col, words)) for lang, words in sorted(LANG_STOPWORDS.items())]
+    best_score = F.greatest(*[s for _, s in scores])
+    result = F.lit("und")
+    # Build reverse so earlier (asc) languages win ties via later whens.
+    for lang, score in reversed(scores):
+        result = F.when((score == best_score) & (best_score > 0), F.lit(lang)).otherwise(result)
+    return result
+
+
+def quality_score(text_col: Column) -> Column:
+    """Deterministic document-quality score in [0, 100].
+
+    Components (equal-weight, each clamped to [0,1]):
+      * length score: min(n_chars / 1000, 1)
+      * token-length score: mean token length in [3, 8] → 1, else decays
+      * punctuation sanity: 1 - min(punct_ratio * 10, 1)
+      * stopword presence: min(stopword_density * 20, 1)
+    """
+    n_chars = F.length(text_col).cast("double")
+    n_tok = token_count(text_col).cast("double")
+    n_tok_safe = F.greatest(n_tok, F.lit(1.0))
+    mean_tok_len = (n_chars - (n_tok_safe - 1)) / n_tok_safe
+    len_score = F.least(n_chars / F.lit(1000.0), F.lit(1.0))
+    tok_score = F.when((mean_tok_len >= 3) & (mean_tok_len <= 8), F.lit(1.0)).otherwise(
+        F.greatest(F.lit(0.0), F.lit(1.0) - F.abs(mean_tok_len - F.lit(5.5)) / F.lit(10.0))
+    )
+    punct_ratio = punct_count(text_col).cast("double") / F.greatest(n_chars, F.lit(1.0))
+    punct_score = F.lit(1.0) - F.least(punct_ratio * 10, F.lit(1.0))
+    all_stop = sorted({w for ws in LANG_STOPWORDS.values() for w in ws})
+    stop_density = stopword_hits(text_col, all_stop).cast("double") / n_tok_safe
+    stop_score = F.least(stop_density * 20, F.lit(1.0))
+    return F.round((len_score + tok_score + punct_score + stop_score) * 25.0, 4)
+
+
+def fingerprint64(col: Column) -> Column:
+    """64-bit document fingerprint: xxhash64 over the normalized token
+    stream (lowercase, punctuation stripped). JVM-side, no shuffle.
+
+    Reference parity note: icegopher has no text plane; this supports
+    the dedup extension (SURVEY.md §2.9 [X])."""
+    normalized = F.concat_ws(" ", tokens(F.lower(F.regexp_replace(col, _PUNCT_CLASS, " "))))
+    return F.xxhash64(normalized)
+
+
+def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document statistics frame — narrow map, zero shuffles."""
+    t = F.col(text_col)
+    return df.select(
+        F.col(id_col),
+        F.length(t).cast("bigint").alias("n_chars"),
+        token_count(t).alias("n_tokens"),
+        bpe_ish_token_count(t).alias("n_bpe_tokens"),
+        punct_count(t).alias("n_punct"),
+        F.round(F.length(t) / F.greatest(token_count(t), F.lit(1)).cast("double"), 4).alias(
+            "chars_per_token"
+        ),
+    )

@@ -1,0 +1,840 @@
+"""Query registry: every implemented operator surfaced as a
+(spark_fn, oracle_sql) pair for the driver's DuckDB correctness gate.
+
+Conventions (driver contract, __spark_entry__.py):
+  * spark_fn(spark, sf_dir) -> DataFrame
+  * oracle_sql is ANSI SQL DuckDB can run on the same parquet views
+  * column names (and value rounding) match exactly on both sides —
+    the compare sorts columns by name then hashes values.
+
+Determinism rules used throughout:
+  * double aggregates are ROUND()ed on both sides (floating-point sums
+    are order-dependent; rounding to 2-4 decimals makes the hash stable)
+  * every top-k has a total tie-break order
+  * DuckDB integer SUM() returns HUGEINT → always CAST to BIGINT in
+    oracles where Spark returns bigint.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .operators import asof, dedup, similarity, text
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings".split()
+)
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # events.parquet stores ts as TIMESTAMP(NANOS), which Spark's
+        # vectorized reader rejects. Read nanos as long and truncate to
+        # microseconds with integer division (ns values ~1.7e18 overflow
+        # double precision, so no float math), matching DuckDB's ns→µs
+        # truncation.
+        try:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        except Exception:  # noqa: BLE001 — static conf in some deployments
+            pass
+        df = spark.read.parquet(f"{sf_dir}/events.parquet")
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+@dataclass
+class Query:
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # None → driver does rows-only check
+    doc: str = ""
+
+
+QUERIES: dict[str, Query] = {}
+
+
+def register(name: str, oracle: str | None, doc: str = ""):
+    def deco(fn):
+        QUERIES[name] = Query(fn=fn, oracle=oracle, doc=doc)
+        return fn
+
+    return deco
+
+
+# Money columns in the synthetic tables are exact 2-decimal doubles, so
+# casting to DECIMAL is lossless and makes SUMs exact integers —
+# order-independent and engine-independent (float sums are neither).
+# Spark-side helpers + the equivalent SQL fragments for the oracles:
+
+
+# Narrow precisions keep multi-factor decimal products inside DuckDB's
+# 38-digit multiply limit: prices fit DECIMAL(12,2), rates DECIMAL(4,2).
+
+
+def dec(c: str | Column, s: int = 2, p: int = 12) -> Column:
+    col = F.col(c) if isinstance(c, str) else c
+    return col.cast(f"decimal({p},{s})")
+
+
+def rate(c: str) -> Column:
+    return F.col(c).cast("decimal(4,2)")
+
+
+def disc_price() -> Column:
+    """l_extendedprice * (1 - l_discount), exact decimal."""
+    return dec("l_extendedprice") * (F.lit(1) - rate("l_discount"))
+
+
+def money(col: Column, ndigits: int = 2) -> Column:
+    """Exact decimal aggregate → rounded → double output.
+
+    Round the DECIMAL (exact, HALF_UP in both engines), not the double:
+    rounding a double differs between engines when the binary value sits
+    just below a .xx5 boundary (Spark rounds the shortest decimal
+    repr, DuckDB the binary value)."""
+    return F.round(col, ndigits).cast("double")
+
+
+# SQL fragments (DuckDB) mirroring the above
+SQL_DISC_PRICE = (
+    "(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))))"
+)
+
+
+# ---------------------------------------------------------------------------
+# Relational core (TPC-H-adapted to the driver's synthetic star schema)
+# ---------------------------------------------------------------------------
+
+register_q1_oracle = f"""
+SELECT l_returnflag, l_linestatus,
+       CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_qty,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_base_price,
+       CAST(ROUND(SUM({SQL_DISC_PRICE}), 2) AS DOUBLE) AS sum_disc_price,
+       CAST(ROUND(SUM({SQL_DISC_PRICE} * (1 + CAST(l_tax AS DECIMAL(4,2)))), 2) AS DOUBLE)
+         AS sum_charge,
+       ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*), 4) AS avg_qty,
+       ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*), 4) AS avg_price,
+       ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / COUNT(*), 4) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@register("q1_pricing_summary", register_q1_oracle, "TPC-H Q1: scan + 8-way agg")
+def q1(spark: SparkSession, sf: str) -> DataFrame:
+    li = load(spark, sf, "lineitem")
+    n = F.count(F.lit(1))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            money(F.sum(dec("l_quantity"))).alias("sum_qty"),
+            money(F.sum(dec("l_extendedprice"))).alias("sum_base_price"),
+            money(F.sum(disc_price())).alias("sum_disc_price"),
+            money(F.sum(disc_price() * (F.lit(1) + rate("l_tax")))).alias("sum_charge"),
+            F.round(F.sum(dec("l_quantity")).cast("double") / n, 4).alias("avg_qty"),
+            F.round(F.sum(dec("l_extendedprice")).cast("double") / n, 4).alias("avg_price"),
+            F.round(F.sum(rate("l_discount")).cast("double") / n, 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+q3_oracle = """
+WITH revenue AS (
+  SELECT l.l_orderkey AS o_orderkey,
+         SUM(CAST(l.l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS rev
+  FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  WHERE c.c_mktsegment = 'BUILDING'
+    AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+    AND l.l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+  GROUP BY 1
+)
+SELECT o_orderkey, CAST(ROUND(rev, 2) AS DOUBLE) AS revenue
+FROM revenue
+ORDER BY rev DESC, o_orderkey ASC
+LIMIT 10
+"""
+
+
+@register("q3_shipping_priority", q3_oracle, "TPC-H Q3: 3-way join + top-10")
+def q3(spark: SparkSession, sf: str) -> DataFrame:
+    c = load(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load(spark, sf, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    li = load(spark, sf, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("o_orderkey")
+        .agg(F.sum(disc_price()).alias("rev"))
+        .orderBy(F.col("rev").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+        .select("o_orderkey", money(F.col("rev")).alias("revenue"))
+    )
+
+
+q4_oracle = """
+SELECT o.o_orderpriority, COUNT(*) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '1996-10-01 00:00:00'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
+  )
+GROUP BY o.o_orderpriority
+"""
+
+
+@register("q4_order_priority", q4_oracle, "TPC-H Q4: EXISTS → left-semi join")
+def q4(spark: SparkSession, sf: str) -> DataFrame:
+    o = load(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    li = load(spark, sf, "lineitem")
+    semi = o.join(
+        li,
+        (o.o_orderkey == li.l_orderkey) & (li.l_shipdate > o.o_orderdate),
+        "left_semi",
+    )
+    return semi.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("order_count"))
+
+
+q5_oracle = """
+SELECT n.n_name, CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l.l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue
+FROM customer c
+JOIN orders o   ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+JOIN nation n   ON s.s_nationkey = n.n_nationkey
+JOIN region r   ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY n.n_name
+"""
+
+
+@register("q5_local_supplier_volume", q5_oracle, "TPC-H Q5: 6-way join")
+def q5(spark: SparkSession, sf: str) -> DataFrame:
+    c = load(spark, sf, "customer")
+    o = load(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = load(spark, sf, "lineitem")
+    s = load(spark, sf, "supplier")
+    n = load(spark, sf, "nation")
+    r = load(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(money(F.sum(disc_price())).alias("revenue"))
+    )
+
+
+q6_oracle = """
+SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(4,2))), 2) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+@register("q6_forecast_revenue", q6_oracle, "TPC-H Q6: selective scan + agg")
+def q6(spark: SparkSession, sf: str) -> DataFrame:
+    li = load(spark, sf, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_discount").between(0.05, 0.07))
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        money(F.sum(dec("l_extendedprice") * rate("l_discount"))).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+q7_oracle = """
+SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+       EXTRACT(year FROM l.l_shipdate) AS l_year,
+       CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l.l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue
+FROM lineitem l
+JOIN orders o   ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation cn  ON c.c_nationkey = cn.n_nationkey
+JOIN nation sn  ON s.s_nationkey = sn.n_nationkey
+WHERE cn.n_name <> sn.n_name
+  AND l.l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00' AND TIMESTAMP '1997-12-31 00:00:00'
+GROUP BY 1, 2, 3
+"""
+
+
+@register("q7_volume_shipping", q7_oracle, "TPC-H Q7: nation-pair trade volume")
+def q7(spark: SparkSession, sf: str) -> DataFrame:
+    li = load(spark, sf, "lineitem").filter(
+        F.col("l_shipdate").between(
+            F.lit("1996-01-01").cast("timestamp"), F.lit("1997-12-31").cast("timestamp")
+        )
+    )
+    o = load(spark, sf, "orders")
+    c = load(spark, sf, "customer")
+    s = load(spark, sf, "supplier")
+    n = load(spark, sf, "nation")
+    cn = n.select(F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation"))
+    sn = n.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(cn), c.c_nationkey == F.col("cn_key"))
+        .join(F.broadcast(sn), s.s_nationkey == F.col("sn_key"))
+        .filter(F.col("cust_nation") != F.col("supp_nation"))
+        .groupBy("cust_nation", "supp_nation", F.year("l_shipdate").cast("bigint").alias("l_year"))
+        .agg(money(F.sum(disc_price())).alias("revenue"))
+    )
+
+
+q9_oracle = """
+SELECT n.n_name AS nation, EXTRACT(year FROM o.o_orderdate) AS o_year,
+       CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l.l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS profit
+FROM lineitem l
+JOIN orders o   ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n   ON s.s_nationkey = n.n_nationkey
+JOIN part p     ON l.l_partkey = p.p_partkey
+WHERE p.p_name LIKE '%green%'
+GROUP BY 1, 2
+"""
+
+
+@register("q9_profit_by_nation_year", q9_oracle, "TPC-H Q9-ish: profit rollup")
+def q9(spark: SparkSession, sf: str) -> DataFrame:
+    li = load(spark, sf, "lineitem")
+    o = load(spark, sf, "orders")
+    s = load(spark, sf, "supplier")
+    n = load(spark, sf, "nation")
+    p = load(spark, sf, "part").filter(F.col("p_name").like("%green%"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+        )
+        .agg(money(F.sum(disc_price())).alias("profit"))
+    )
+
+
+q10_oracle = """
+SELECT c.c_custkey, c.c_name, n.n_name,
+       CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l.l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue
+FROM customer c
+JOIN orders o   ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n   ON c.c_nationkey = n.n_nationkey
+WHERE l.l_returnflag = 'R'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+GROUP BY 1, 2, 3
+ORDER BY SUM(CAST(l.l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) DESC, c.c_custkey ASC
+LIMIT 20
+"""
+
+
+@register("q10_returned_items", q10_oracle, "TPC-H Q10: returned-item revenue top-20")
+def q10(spark: SparkSession, sf: str) -> DataFrame:
+    c = load(spark, sf, "customer")
+    o = load(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    li = load(spark, sf, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = load(spark, sf, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(disc_price()).alias("rev"))
+        .orderBy(F.col("rev").desc(), F.col("c_custkey").asc())
+        .limit(20)
+        .select("c_custkey", "c_name", "n_name", money(F.col("rev")).alias("revenue"))
+    )
+
+
+q14_oracle = """
+SELECT ROUND(100.0 * CAST(SUM(CASE WHEN p.p_type LIKE 'PROMO%'
+                         THEN CAST(l.l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l.l_discount AS DECIMAL(4,2)))
+                         ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+             / CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE), 4) AS promo_revenue_pct
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+  AND l.l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+"""
+
+
+@register("q14_promo_revenue", q14_oracle, "TPC-H Q14: conditional agg ratio")
+def q14(spark: SparkSession, sf: str) -> DataFrame:
+    li = load(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    p = load(spark, sf, "part")
+    rev = disc_price()
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type").like("PROMO%"), rev).otherwise(F.lit(0).cast("decimal(12,2)"))).cast("double")
+                / F.sum(rev).cast("double"),
+                4,
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+q18_oracle = """
+SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+       ROUND(o.o_totalprice, 2) AS o_totalprice,
+       CAST(ROUND(SUM(CAST(l.l_quantity AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_qty
+FROM customer c
+JOIN orders o   ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+GROUP BY 1, 2, 3, 4, 5
+HAVING SUM(l.l_quantity) > 150
+"""
+
+
+@register("q18_large_volume_customer", q18_oracle, "TPC-H Q18: HAVING filter")
+def q18(spark: SparkSession, sf: str) -> DataFrame:
+    c = load(spark, sf, "customer")
+    o = load(spark, sf, "orders")
+    li = load(spark, sf, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.sum(dec("l_quantity")).alias("_sq"))
+        .filter(F.col("_sq") > 150)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            money(F.col("_sq")).alias("sum_qty"),
+        )
+    )
+
+
+topk_oracle = """
+WITH srev AS (
+  SELECT s.s_suppkey, s.s_name, n.n_name,
+         SUM(CAST(l.l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS rev
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n   ON s.s_nationkey = n.n_nationkey
+  GROUP BY 1, 2, 3
+), ranked AS (
+  SELECT n_name, s_suppkey, s_name, rev,
+         ROW_NUMBER() OVER (PARTITION BY n_name ORDER BY rev DESC, s_suppkey ASC) AS rnk
+  FROM srev
+)
+SELECT n_name, s_suppkey, s_name, CAST(ROUND(rev, 2) AS DOUBLE) AS revenue, rnk
+FROM ranked WHERE rnk <= 3
+"""
+
+
+@register("topk_suppliers_per_nation", topk_oracle, "window top-k per group")
+def topk_suppliers(spark: SparkSession, sf: str) -> DataFrame:
+    li = load(spark, sf, "lineitem")
+    s = load(spark, sf, "supplier")
+    n = load(spark, sf, "nation")
+    srev = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("s_suppkey", "s_name", "n_name")
+        .agg(F.sum(disc_price()).alias("rev"))
+    )
+    w = Window.partitionBy("n_name").orderBy(F.col("rev").desc(), F.col("s_suppkey").asc())
+    return (
+        srev.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("n_name", "s_suppkey", "s_name", money(F.col("rev")).alias("revenue"), "rnk")
+    )
+
+
+rollup_oracle = """
+SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+       COALESCE(l_linestatus, 'ALL') AS linestatus,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_rows
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+@register("rollup_revenue", rollup_oracle, "ROLLUP grouping sets")
+def rollup_rev(spark: SparkSession, sf: str) -> DataFrame:
+    li = load(spark, sf, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            money(F.sum(disc_price())).alias("revenue"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "revenue",
+            "n_rows",
+        )
+    )
+
+
+setops_oracle = """
+SELECT c_custkey FROM (
+  SELECT o_custkey AS c_custkey FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+  INTERSECT
+  SELECT o_custkey FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+  EXCEPT
+  SELECT o_custkey FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+) t
+"""
+
+
+@register("setops_customer_cohorts", setops_oracle, "INTERSECT/EXCEPT cohorts")
+def setops(spark: SparkSession, sf: str) -> DataFrame:
+    o = load(spark, sf, "orders")
+
+    def cohort(y: int) -> DataFrame:
+        return o.filter(
+            (F.col("o_orderdate") >= F.lit(f"{y}-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit(f"{y + 1}-01-01").cast("timestamp"))
+        ).select(F.col("o_custkey").alias("c_custkey"))
+
+    return cohort(1996).intersect(cohort(1997)).subtract(cohort(1998))
+
+
+distinct_oracle = """
+SELECT l_returnflag,
+       COUNT(DISTINCT l_orderkey) AS n_orders,
+       COUNT(DISTINCT l_partkey) AS n_parts,
+       COUNT(DISTINCT l_suppkey) AS n_suppliers,
+       CAST(SUM(l_linenumber) AS BIGINT) AS sum_linenumber
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@register("distinct_stats", distinct_oracle, "multi countDistinct")
+def distinct_stats(spark: SparkSession, sf: str) -> DataFrame:
+    li = load(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+        F.sum("l_linenumber").alias("sum_linenumber"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Events: time windows, JSON, sessionization, as-of join
+# ---------------------------------------------------------------------------
+
+hourly_oracle = """
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(14,4))), 2) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@register("events_hourly_rollup", hourly_oracle, "tumbling-window agg (batch form)")
+def events_hourly(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load(spark, sf, "events")
+    return (
+        ev.groupBy(F.date_trunc("hour", "ts").alias("window_start"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            money(F.sum(F.col("value").cast("decimal(14,4)"))).alias("total_value"),
+        )
+    )
+
+
+json_oracle = """
+SELECT event_type,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       COUNT(*) AS n
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("events_json_extract", json_oracle, "JSON field extraction + agg")
+def events_json(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load(spark, sf, "events")
+    return ev.groupBy("event_type").agg(
+        F.sum(F.get_json_object("props", "$.k").cast("bigint")).alias("sum_k"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+session_oracle = """
+WITH gaps AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL '30 minutes' OR
+                   LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+), sess AS (
+  SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
+  FROM gaps GROUP BY user_id
+)
+SELECT user_id, n_sessions, n_events FROM sess
+"""
+
+
+@register("events_sessionization", session_oracle, "lag-gap sessionization")
+def sessionize(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    gap = F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w)
+    new_sess = F.when(gap.isNull() | (gap > 1800.0), 1).otherwise(0)
+    return (
+        ev.withColumn("new_session", new_sess)
+        .groupBy("user_id")
+        .agg(
+            F.sum("new_session").alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+asof_oracle = """
+WITH ord AS (  -- dedup: one order per (custkey, date) via max orderkey
+  SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS o_orderkey
+  FROM orders GROUP BY 1, 2
+)
+SELECT e.event_id, e.user_id, e.ts, o.o_orderkey AS last_orderkey
+FROM events e
+ASOF LEFT JOIN ord o
+  ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
+"""
+
+
+@register("asof_event_order", asof_oracle, "as-of join via union+window (no BNLJ)")
+def asof_event_order(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load(spark, sf, "events").select("event_id", "user_id", "ts")
+    o = (
+        load(spark, sf, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(F.max("o_orderkey").alias("o_orderkey"))
+        .withColumnRenamed("o_custkey", "user_id")
+    )
+    joined = asof.asof_join_backward(
+        ev, o, on="user_id", left_ts="ts", right_ts="o_orderdate", payload_cols=["o_orderkey"]
+    )
+    return joined.select("event_id", "user_id", "ts", F.col("o_orderkey").alias("last_orderkey"))
+
+
+# ---------------------------------------------------------------------------
+# [X] extension operators: dedup / text analysis / similarity
+# ---------------------------------------------------------------------------
+
+dedup_exact_oracle = """
+WITH fp AS (
+  SELECT doc_id, lower(text) AS t FROM documents
+)
+SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+FROM fp GROUP BY t
+"""
+
+
+@register("dedup_exact", dedup_exact_oracle, "exact dedup via fingerprint groupBy")
+def dedup_exact_q(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents")
+    return dedup.exact_dedup(docs)
+
+
+jaccard_oracle = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS w
+  FROM documents
+), grams AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(w) - 2, 0) + 1),
+                        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingles
+  FROM toks
+), ex AS (
+  SELECT doc_id, len(shingles) AS n_sh, UNNEST(shingles) AS sh FROM grams
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common,
+         MIN(a.n_sh) AS n_a, MIN(b.n_sh) AS n_b
+  FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       ROUND(n_common / CAST(n_a + n_b - n_common AS DOUBLE), 6) AS jaccard
+FROM pairs
+WHERE n_common / CAST(n_a + n_b - n_common AS DOUBLE) >= 0.5
+"""
+
+
+@register("dedup_ngram_jaccard", jaccard_oracle, "exact n-gram Jaccard pairs")
+def dedup_jaccard_q(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents")
+    return dedup.ngram_jaccard_pairs(docs, threshold=0.5)
+
+
+@register("dedup_minhash_lsh", None, "MinHash-LSH near-dup (rows-only check)")
+def dedup_minhash_q(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents")
+    return dedup.minhash_dedup_pairs(docs, threshold=0.5)
+
+
+@register("dedup_simhash", None, "SimHash near-dup (rows-only check)")
+def dedup_simhash_q(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents")
+    return dedup.simhash_neardup_pairs(docs, max_hamming=3)
+
+
+text_stats_oracle = """
+SELECT doc_id,
+       length(text) AS n_chars,
+       CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_bpe_tokens,
+       CAST(len(regexp_extract_all(text, '[.,;:!?''"()\\[\\]{}-]')) AS BIGINT) AS n_punct,
+       ROUND(length(text) / CAST(greatest(len(regexp_extract_all(text, '\\S+')), 1) AS DOUBLE), 4)
+         AS chars_per_token
+FROM documents
+"""
+
+
+@register("text_stats", text_stats_oracle, "per-doc token/char/punct stats")
+def text_stats_q(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents")
+    return text.text_stats(docs)
+
+
+def _langid_score_sql(words: list[str]) -> str:
+    pattern = r"\b(" + "|".join(words) + r")\b"
+    return f"len(regexp_extract_all(lower(text), '{pattern}'))"
+
+
+_langid_scores = {lang: _langid_score_sql(ws) for lang, ws in sorted(text.LANG_STOPWORDS.items())}
+_langid_best = "greatest(" + ", ".join(_langid_scores.values()) + ")"
+_langid_case = "CASE WHEN " + _langid_best + " = 0 THEN 'und' " + " ".join(
+    f"WHEN {score} = {_langid_best} THEN '{lang}'" for lang, score in _langid_scores.items()
+) + " ELSE 'und' END"
+
+langid_oracle = f"""
+SELECT doc_id, lang, {_langid_case} AS pred_lang
+FROM documents
+"""
+
+
+@register("text_lang_id", langid_oracle, "stopword-heuristic language ID")
+def lang_id_q(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents")
+    return docs.select("doc_id", "lang", text.lang_id(F.col("text")).alias("pred_lang"))
+
+
+@register("text_quality_score", None, "doc quality scoring (rows-only)")
+def quality_q(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents")
+    return docs.select("doc_id", text.quality_score(F.col("text")).alias("quality"))
+
+
+@register("text_fingerprint", None, "64-bit doc fingerprints (rows-only)")
+def fingerprint_q(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents")
+    return docs.select("doc_id", text.fingerprint64(F.col("text")).alias("fingerprint"))
+
+
+sim_topk_oracle = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 10
+), scored AS (
+  SELECT q.query_id, e.vec_id,
+         ROUND(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(q.qvec AS DOUBLE[]))
+               / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+                  * sqrt(list_dot_product(CAST(q.qvec AS DOUBLE[]), CAST(q.qvec AS DOUBLE[])))), 6)
+           AS cosine_sim
+  FROM embeddings e, q
+  WHERE e.vec_id <> q.query_id
+), ranked AS (
+  SELECT query_id, vec_id, cosine_sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine_sim DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, cosine_sim, rank FROM ranked WHERE rank <= 5
+"""
+
+
+@register("sim_topk_bruteforce", sim_topk_oracle, "exact cosine top-k ANN baseline")
+def sim_topk_q(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load(spark, sf, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    return similarity.brute_force_topk(emb, q, k=5)
+
+
+sim_neardup_oracle = """
+WITH scored AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         ROUND(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+               / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+                  * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 6)
+           AS cosine_sim
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, cosine_sim FROM scored WHERE cosine_sim >= 0.9
+"""
+
+
+@register("sim_neardup_embeddings", sim_neardup_oracle, "embedding near-dup pairs")
+def sim_neardup_q(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load(spark, sf, "embeddings")
+    return similarity.neardup_pairs_exact(emb, threshold=0.9)
+
+
+@register("sim_lsh_topk", None, "sign-LSH bucketed ANN (rows-only)")
+def sim_lsh_q(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load(spark, sf, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    return similarity.lsh_topk(emb, q, k=5)
