@@ -1,0 +1,321 @@
+"""Typed literals: construction, the cast/promotion matrix with overflow
+sentinels, and the Iceberg single-value binary (de)serialization used to
+decode manifest lower/upper bounds.
+
+Reference semantics: expressions/literals.go (constructors 40-84, cast
+matrix 234-773, sentinels 155-217, binary round-trip 90-149 and
+per-type marshal blocks). Binary spec: little-endian ints/floats, UTF-8
+strings, big-endian 16-byte UUID, minimal two's-complement big-endian
+unscaled decimal.
+"""
+
+from __future__ import annotations
+
+import struct
+import uuid as _uuid
+from dataclasses import dataclass
+from datetime import date, datetime, time, timezone
+from decimal import Decimal
+from typing import Any
+
+from .types import (
+    BinaryType,
+    BooleanType,
+    DateType,
+    DecimalType,
+    DoubleType,
+    FixedType,
+    FloatType,
+    IcebergType,
+    IntegerType,
+    LongType,
+    StringType,
+    TimestampType,
+    TimestampTzType,
+    TimeType,
+    UUIDType,
+)
+
+INT_MIN, INT_MAX = -(2**31), 2**31 - 1
+LONG_MIN, LONG_MAX = -(2**63), 2**63 - 1
+FLOAT_MAX = 3.4028234663852886e38
+
+
+class _Sentinel:
+    """Overflow sentinel returned by casts that exceed the target range
+    (reference literals.go:155-217); lets the binder fold predicates
+    like `int_col == 2^40` to constant false."""
+
+    def __init__(self, name: str) -> None:
+        self.name = name
+
+    def __repr__(self) -> str:
+        return self.name
+
+
+IntAboveMax = _Sentinel("IntAboveMax")
+IntBelowMin = _Sentinel("IntBelowMin")
+LongAboveMax = _Sentinel("LongAboveMax")
+LongBelowMin = _Sentinel("LongBelowMin")
+FloatAboveMax = _Sentinel("FloatAboveMax")
+FloatBelowMin = _Sentinel("FloatBelowMin")
+
+SENTINELS = {IntAboveMax, IntBelowMin, LongAboveMax, LongBelowMin, FloatAboveMax, FloatBelowMin}
+
+ABOVE = {IntAboveMax, LongAboveMax, FloatAboveMax}
+BELOW = {IntBelowMin, LongBelowMin, FloatBelowMin}
+
+_EPOCH_DATE = date(1970, 1, 1)
+
+
+@dataclass(frozen=True)
+class Literal:
+    """A typed literal value. ``value`` uses natural Python types:
+    int for int/long/date(days)/time(µs)/timestamp(µs), float for
+    float/double, str, bytes, bool, Decimal, uuid.UUID."""
+
+    value: Any
+    literal_type: IcebergType
+
+    def __repr__(self) -> str:
+        return f"Literal({self.value!r}: {self.literal_type})"
+
+    # -- casts ----------------------------------------------------------
+
+    def to(self, target: IcebergType):
+        """Cast to ``target``; returns a Literal, a sentinel, or raises
+        ValueError on an invalid cast (matching the reference matrix)."""
+        src, v = self.literal_type, self.value
+        if src == target:
+            return self
+        out = _cast(src, v, target)
+        if out in SENTINELS:
+            return out
+        if out is None:
+            raise ValueError(f"cannot cast {self!r} to {target}")
+        return Literal(out, target)
+
+    # -- binary (Iceberg single-value spec) -----------------------------
+
+    def to_bytes(self) -> bytes:
+        return literal_to_bytes(self)
+
+
+def L(value: Any, t: IcebergType | None = None) -> Literal:
+    """Literal constructor with natural-type inference."""
+    if t is not None:
+        return Literal(value, t)
+    if isinstance(value, bool):
+        return Literal(value, BooleanType())
+    if isinstance(value, int):
+        return Literal(value, IntegerType() if INT_MIN <= value <= INT_MAX else LongType())
+    if isinstance(value, float):
+        return Literal(value, DoubleType())
+    if isinstance(value, str):
+        return Literal(value, StringType())
+    if isinstance(value, bytes):
+        return Literal(value, BinaryType())
+    if isinstance(value, Decimal):
+        sign, digits, exp = value.as_tuple()
+        return Literal(value, DecimalType(max(len(digits), -exp), max(-exp, 0)))
+    if isinstance(value, _uuid.UUID):
+        return Literal(value, UUIDType())
+    if isinstance(value, datetime):
+        micros = int(value.replace(tzinfo=value.tzinfo or timezone.utc).timestamp() * 1_000_000)
+        return Literal(micros, TimestampTzType() if value.tzinfo else TimestampType())
+    if isinstance(value, date):
+        return Literal((value - _EPOCH_DATE).days, DateType())
+    if isinstance(value, time):
+        micros = ((value.hour * 60 + value.minute) * 60 + value.second) * 1_000_000 + value.microsecond
+        return Literal(micros, TimeType())
+    raise TypeError(f"no literal type for {type(value)}")
+
+
+def _parse_date(s: str) -> int:
+    return (date.fromisoformat(s) - _EPOCH_DATE).days
+
+
+def _parse_time(s: str) -> int:
+    t = time.fromisoformat(s)
+    return ((t.hour * 60 + t.minute) * 60 + t.second) * 1_000_000 + t.microsecond
+
+
+def _parse_ts(s: str) -> int:
+    dt = datetime.fromisoformat(s.replace("Z", "+00:00"))
+    if dt.tzinfo is None:
+        dt = dt.replace(tzinfo=timezone.utc)
+    return int(dt.timestamp() * 1_000_000)
+
+
+def _cast(src: IcebergType, v: Any, target: IcebergType) -> Any:
+    """Returns the cast value, a sentinel, or None for invalid."""
+    # int →
+    if isinstance(src, IntegerType):
+        if isinstance(target, LongType):
+            return v
+        if isinstance(target, FloatType) or isinstance(target, DoubleType):
+            return float(v)
+        if isinstance(target, DateType) or isinstance(target, TimeType):
+            return v
+        if isinstance(target, DecimalType):
+            return Decimal(v).scaleb(-target.scale).scaleb(target.scale) if target.scale == 0 else Decimal(v)
+    # long →
+    if isinstance(src, LongType):
+        if isinstance(target, IntegerType):
+            if v > INT_MAX:
+                return IntAboveMax
+            if v < INT_MIN:
+                return IntBelowMin
+            return v
+        if isinstance(target, (FloatType, DoubleType)):
+            return float(v)
+        if isinstance(target, (TimeType, TimestampType, TimestampTzType)):
+            return v
+        if isinstance(target, DecimalType):
+            return Decimal(v)
+    # float →
+    if isinstance(src, FloatType):
+        if isinstance(target, DoubleType):
+            return v
+        if isinstance(target, DecimalType):
+            return Decimal(str(v)).quantize(Decimal(1).scaleb(-target.scale))
+    # double →
+    if isinstance(src, DoubleType):
+        if isinstance(target, FloatType):
+            if v > FLOAT_MAX:
+                return FloatAboveMax
+            if v < -FLOAT_MAX:
+                return FloatBelowMin
+            return v
+        if isinstance(target, DecimalType):
+            return Decimal(str(v)).quantize(Decimal(1).scaleb(-target.scale))
+    # string →
+    if isinstance(src, StringType):
+        try:
+            if isinstance(target, IntegerType):
+                n = int(v)
+                if n > INT_MAX:
+                    return IntAboveMax
+                if n < INT_MIN:
+                    return IntBelowMin
+                return n
+            if isinstance(target, LongType):
+                n = int(v)
+                if n > LONG_MAX:
+                    return LongAboveMax
+                if n < LONG_MIN:
+                    return LongBelowMin
+                return n
+            if isinstance(target, (FloatType, DoubleType)):
+                return float(v)
+            if isinstance(target, DateType):
+                return _parse_date(v)
+            if isinstance(target, TimeType):
+                return _parse_time(v)
+            if isinstance(target, (TimestampType, TimestampTzType)):
+                return _parse_ts(v)
+            if isinstance(target, UUIDType):
+                return _uuid.UUID(v)
+            if isinstance(target, DecimalType):
+                return Decimal(v).quantize(Decimal(1).scaleb(-target.scale))
+            if isinstance(target, BooleanType):
+                lv = v.lower()
+                if lv in ("true", "t", "1"):
+                    return True
+                if lv in ("false", "f", "0"):
+                    return False
+                return None
+        except (ValueError, ArithmeticError):
+            return None
+    # date/time/timestamp conversions
+    if isinstance(src, (TimestampType, TimestampTzType)) and isinstance(target, DateType):
+        return v // 86_400_000_000 if v >= 0 else -((-v + 86_400_000_000 - 1) // 86_400_000_000)
+    if isinstance(src, DateType) and isinstance(target, (TimestampType, TimestampTzType)):
+        return v * 86_400_000_000
+    # bytes ↔ fixed
+    if isinstance(src, BinaryType) and isinstance(target, FixedType):
+        return v if len(v) == target.length else None
+    if isinstance(src, FixedType) and isinstance(target, BinaryType):
+        return v
+    # decimal → decimal (same scale only)
+    if isinstance(src, DecimalType) and isinstance(target, DecimalType):
+        return v if src.scale == target.scale else None
+    return None
+
+
+# --------------------------------------------------------------------------
+# Binary (de)serialization — Iceberg single-value spec
+# --------------------------------------------------------------------------
+
+
+def literal_to_bytes(lit: Literal) -> bytes:
+    t, v = lit.literal_type, lit.value
+    if isinstance(t, BooleanType):
+        return b"\x01" if v else b"\x00"
+    if isinstance(t, IntegerType):
+        return struct.pack("<i", v)
+    if isinstance(t, (LongType, TimeType, TimestampType, TimestampTzType)):
+        return struct.pack("<q", v)
+    if isinstance(t, DateType):
+        return struct.pack("<i", v)
+    if isinstance(t, FloatType):
+        return struct.pack("<f", v)
+    if isinstance(t, DoubleType):
+        return struct.pack("<d", v)
+    if isinstance(t, StringType):
+        return v.encode("utf-8")
+    if isinstance(t, UUIDType):
+        return v.bytes  # big-endian 16 bytes
+    if isinstance(t, (BinaryType, FixedType)):
+        return bytes(v)
+    if isinstance(t, DecimalType):
+        unscaled = int(v.scaleb(t.scale).to_integral_value())
+        length = max((unscaled.bit_length() + 8) // 8, 1)
+        return unscaled.to_bytes(length, "big", signed=True)
+    raise TypeError(f"cannot serialize {lit!r}")
+
+
+def literal_from_bytes(data: bytes, t: IcebergType) -> Literal:
+    """Type-dispatched decode of stats bytes (reference
+    literals.go:90-149)."""
+    if isinstance(t, BooleanType):
+        return Literal(data[0] != 0, t)
+    if isinstance(t, IntegerType):
+        return Literal(struct.unpack("<i", data)[0], t)
+    if isinstance(t, (LongType, TimeType, TimestampType, TimestampTzType)):
+        return Literal(struct.unpack("<q", data)[0], t)
+    if isinstance(t, DateType):
+        return Literal(struct.unpack("<i", data)[0], t)
+    if isinstance(t, FloatType):
+        return Literal(struct.unpack("<f", data)[0], t)
+    if isinstance(t, DoubleType):
+        return Literal(struct.unpack("<d", data)[0], t)
+    if isinstance(t, StringType):
+        return Literal(data.decode("utf-8"), t)
+    if isinstance(t, UUIDType):
+        return Literal(_uuid.UUID(bytes=bytes(data)), t)
+    if isinstance(t, FixedType):
+        if len(data) != t.length:
+            raise ValueError(f"fixed[{t.length}] from {len(data)} bytes")
+        return Literal(bytes(data), t)
+    if isinstance(t, BinaryType):
+        return Literal(bytes(data), t)
+    if isinstance(t, DecimalType):
+        unscaled = int.from_bytes(data, "big", signed=True)
+        return Literal(Decimal(unscaled).scaleb(-t.scale), t)
+    raise TypeError(f"cannot deserialize {t}")
+
+
+# --------------------------------------------------------------------------
+# Ordering helpers for bounds comparison (metrics evaluator)
+# --------------------------------------------------------------------------
+
+
+def compare_values(a: Any, b: Any, t: IcebergType) -> int:
+    """Total order per type; UUIDs compare as 16-byte big-endian
+    (reference literals.go:707-715), bytes lexicographically."""
+    if isinstance(t, UUIDType):
+        a, b = a.bytes if isinstance(a, _uuid.UUID) else a, b.bytes if isinstance(b, _uuid.UUID) else b
+    if isinstance(t, BooleanType):
+        a, b = int(a), int(b)
+    return (a > b) - (a < b)

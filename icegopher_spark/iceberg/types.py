@@ -1,0 +1,393 @@
+"""Iceberg type system: 15 primitives + struct/list/map, JSON round-trip,
+and conversion to/from Spark SQL types.
+
+Semantics follow the Iceberg spec as realized by the reference
+(zeroshade/icegopher types.go:61-570): field-ID-based nested types,
+`fixed[N]`/`decimal(P,S)` parsed via regex, and a singleton registry of
+primitive types. Spark mapping per SURVEY.md §1.2 (time has no Spark
+equivalent → long + annotation).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import types as T
+
+_FIXED_RE = re.compile(r"^fixed\[(\d+)\]$")
+_DECIMAL_RE = re.compile(r"^decimal\((\d+),\s*(\d+)\)$")
+
+
+class IcebergType:
+    """Base for all Iceberg types."""
+
+    def __str__(self) -> str:  # pragma: no cover - overridden
+        raise NotImplementedError
+
+    def __repr__(self) -> str:
+        return str(self)
+
+    def __eq__(self, other: object) -> bool:
+        return type(self) is type(other) and str(self) == str(other)
+
+    def __hash__(self) -> int:
+        return hash(str(self))
+
+    @property
+    def is_primitive(self) -> bool:
+        return isinstance(self, PrimitiveType)
+
+
+class PrimitiveType(IcebergType):
+    name: str = ""
+
+    def __str__(self) -> str:
+        return self.name
+
+
+class BooleanType(PrimitiveType):
+    name = "boolean"
+
+
+class IntegerType(PrimitiveType):
+    name = "int"
+
+
+class LongType(PrimitiveType):
+    name = "long"
+
+
+class FloatType(PrimitiveType):
+    name = "float"
+
+
+class DoubleType(PrimitiveType):
+    name = "double"
+
+
+class DateType(PrimitiveType):
+    """Days since 1970-01-01 (int32)."""
+
+    name = "date"
+
+
+class TimeType(PrimitiveType):
+    """Microseconds since midnight (int64)."""
+
+    name = "time"
+
+
+class TimestampType(PrimitiveType):
+    """Microseconds since epoch, no timezone."""
+
+    name = "timestamp"
+
+
+class TimestampTzType(PrimitiveType):
+    """Microseconds since epoch, stored UTC."""
+
+    name = "timestamptz"
+
+
+class StringType(PrimitiveType):
+    name = "string"
+
+
+class UUIDType(PrimitiveType):
+    name = "uuid"
+
+
+class BinaryType(PrimitiveType):
+    name = "binary"
+
+
+@dataclass(frozen=True)
+class FixedType(PrimitiveType):
+    length: int = 0
+
+    def __str__(self) -> str:
+        return f"fixed[{self.length}]"
+
+    __hash__ = IcebergType.__hash__
+    __eq__ = IcebergType.__eq__
+
+
+@dataclass(frozen=True)
+class DecimalType(PrimitiveType):
+    precision: int = 0
+    scale: int = 0
+
+    def __str__(self) -> str:
+        return f"decimal({self.precision}, {self.scale})"
+
+    __hash__ = IcebergType.__hash__
+    __eq__ = IcebergType.__eq__
+
+
+# Singleton registry (reference: PrimitiveTypes, types.go:544-570).
+PRIMITIVE_TYPES: dict[str, PrimitiveType] = {
+    t.name: t()
+    for t in (
+        BooleanType,
+        IntegerType,
+        LongType,
+        FloatType,
+        DoubleType,
+        DateType,
+        TimeType,
+        TimestampType,
+        TimestampTzType,
+        StringType,
+        UUIDType,
+        BinaryType,
+    )
+}
+
+
+@dataclass(frozen=True)
+class NestedField:
+    """A named, ID'd field (reference: types.go:137-146)."""
+
+    field_id: int
+    name: str
+    field_type: IcebergType
+    required: bool = False
+    doc: str | None = None
+    initial_default: Any = None
+    write_default: Any = None
+
+    def __str__(self) -> str:
+        req = "required" if self.required else "optional"
+        doc = f" ({self.doc})" if self.doc else ""
+        return f"{self.field_id}: {self.name}: {req} {self.field_type}{doc}"
+
+
+@dataclass(frozen=True)
+class StructType(IcebergType):
+    fields: tuple[NestedField, ...] = ()
+
+    def __str__(self) -> str:
+        inner = ", ".join(str(f) for f in self.fields)
+        return f"struct<{inner}>"
+
+    def field_by_id(self, field_id: int) -> NestedField | None:
+        for f in self.fields:
+            if f.field_id == field_id:
+                return f
+        return None
+
+
+@dataclass(frozen=True)
+class ListType(IcebergType):
+    element_id: int = 0
+    element_type: IcebergType = field(default_factory=StringType)
+    element_required: bool = False
+
+    def __str__(self) -> str:
+        return f"list<{self.element_type}>"
+
+    @property
+    def element_field(self) -> NestedField:
+        return NestedField(self.element_id, "element", self.element_type, self.element_required)
+
+
+@dataclass(frozen=True)
+class MapType(IcebergType):
+    key_id: int = 0
+    key_type: IcebergType = field(default_factory=StringType)
+    value_id: int = 0
+    value_type: IcebergType = field(default_factory=StringType)
+    value_required: bool = False
+
+    def __str__(self) -> str:
+        return f"map<{self.key_type}, {self.value_type}>"
+
+    @property
+    def key_field(self) -> NestedField:
+        return NestedField(self.key_id, "key", self.key_type, True)
+
+    @property
+    def value_field(self) -> NestedField:
+        return NestedField(self.value_id, "value", self.value_type, self.value_required)
+
+
+# --------------------------------------------------------------------------
+# JSON (de)serialization — the Iceberg schema-JSON dialect
+# --------------------------------------------------------------------------
+
+
+def type_from_json(obj: Any) -> IcebergType:
+    """Parse a type from its JSON form (string for primitives, object
+    for nested); reference typeIFace.UnmarshalJSON (types.go:61-135)."""
+    if isinstance(obj, str):
+        if obj in PRIMITIVE_TYPES:
+            return PRIMITIVE_TYPES[obj]
+        m = _FIXED_RE.match(obj)
+        if m:
+            return FixedType(int(m.group(1)))
+        m = _DECIMAL_RE.match(obj)
+        if m:
+            return DecimalType(int(m.group(1)), int(m.group(2)))
+        raise ValueError(f"unknown primitive type: {obj!r}")
+    t = obj.get("type")
+    if t == "struct":
+        return StructType(tuple(field_from_json(f) for f in obj["fields"]))
+    if t == "list":
+        return ListType(
+            element_id=obj["element-id"],
+            element_type=type_from_json(obj["element"]),
+            element_required=obj.get("element-required", True),
+        )
+    if t == "map":
+        return MapType(
+            key_id=obj["key-id"],
+            key_type=type_from_json(obj["key"]),
+            value_id=obj["value-id"],
+            value_type=type_from_json(obj["value"]),
+            value_required=obj.get("value-required", True),
+        )
+    raise ValueError(f"unknown nested type: {t!r}")
+
+
+def field_from_json(obj: dict) -> NestedField:
+    return NestedField(
+        field_id=obj["id"],
+        name=obj["name"],
+        field_type=type_from_json(obj["type"]),
+        required=obj.get("required", False),
+        doc=obj.get("doc"),
+        initial_default=obj.get("initial-default"),
+        write_default=obj.get("write-default"),
+    )
+
+
+def type_to_json(t: IcebergType) -> Any:
+    if isinstance(t, StructType):
+        return {"type": "struct", "fields": [field_to_json(f) for f in t.fields]}
+    if isinstance(t, ListType):
+        return {
+            "type": "list",
+            "element-id": t.element_id,
+            "element": type_to_json(t.element_type),
+            "element-required": t.element_required,
+        }
+    if isinstance(t, MapType):
+        return {
+            "type": "map",
+            "key-id": t.key_id,
+            "key": type_to_json(t.key_type),
+            "value-id": t.value_id,
+            "value": type_to_json(t.value_type),
+            "value-required": t.value_required,
+        }
+    return str(t)
+
+
+def field_to_json(f: NestedField) -> dict:
+    out: dict[str, Any] = {
+        "id": f.field_id,
+        "name": f.name,
+        "type": type_to_json(f.field_type),
+        "required": f.required,
+    }
+    if f.doc is not None:
+        out["doc"] = f.doc
+    if f.initial_default is not None:
+        out["initial-default"] = f.initial_default
+    if f.write_default is not None:
+        out["write-default"] = f.write_default
+    return out
+
+
+# --------------------------------------------------------------------------
+# Spark conversion (SURVEY.md §1.2 mapping table)
+# --------------------------------------------------------------------------
+
+_PRIM_TO_SPARK: dict[str, T.DataType] = {
+    "boolean": T.BooleanType(),
+    "int": T.IntegerType(),
+    "long": T.LongType(),
+    "float": T.FloatType(),
+    "double": T.DoubleType(),
+    "date": T.DateType(),
+    "time": T.LongType(),  # µs since midnight; Spark has no TimeType
+    "timestamp": T.TimestampNTZType(),
+    "timestamptz": T.TimestampType(),
+    "string": T.StringType(),
+    "uuid": T.StringType(),  # canonical text form
+    "binary": T.BinaryType(),
+}
+
+
+def to_spark_type(t: IcebergType) -> T.DataType:
+    if isinstance(t, StructType):
+        return T.StructType(
+            [
+                T.StructField(
+                    f.name,
+                    to_spark_type(f.field_type),
+                    nullable=not f.required,
+                    metadata={"iceberg.field-id": f.field_id},
+                )
+                for f in t.fields
+            ]
+        )
+    if isinstance(t, ListType):
+        return T.ArrayType(to_spark_type(t.element_type), containsNull=not t.element_required)
+    if isinstance(t, MapType):
+        return T.MapType(
+            to_spark_type(t.key_type),
+            to_spark_type(t.value_type),
+            valueContainsNull=not t.value_required,
+        )
+    if isinstance(t, FixedType):
+        return T.BinaryType()
+    if isinstance(t, DecimalType):
+        return T.DecimalType(t.precision, t.scale)
+    return _PRIM_TO_SPARK[t.name]
+
+
+def from_spark_type(dt: T.DataType, next_id) -> IcebergType:
+    """Convert a Spark type to Iceberg, assigning fresh field IDs via
+    the ``next_id`` callable (used when importing existing DataFrames)."""
+    if isinstance(dt, T.StructType):
+        fields = []
+        for f in dt.fields:
+            fid = next_id()
+            fields.append(
+                NestedField(fid, f.name, from_spark_type(f.dataType, next_id), not f.nullable)
+            )
+        return StructType(tuple(fields))
+    if isinstance(dt, T.ArrayType):
+        eid = next_id()
+        return ListType(eid, from_spark_type(dt.elementType, next_id), not dt.containsNull)
+    if isinstance(dt, T.MapType):
+        kid, vid = next_id(), next_id()
+        return MapType(
+            kid,
+            from_spark_type(dt.keyType, next_id),
+            vid,
+            from_spark_type(dt.valueType, next_id),
+            not dt.valueContainsNull,
+        )
+    if isinstance(dt, T.DecimalType):
+        return DecimalType(dt.precision, dt.scale)
+    rev = {
+        T.BooleanType(): BooleanType(),
+        T.ByteType(): IntegerType(),
+        T.ShortType(): IntegerType(),
+        T.IntegerType(): IntegerType(),
+        T.LongType(): LongType(),
+        T.FloatType(): FloatType(),
+        T.DoubleType(): DoubleType(),
+        T.DateType(): DateType(),
+        T.TimestampNTZType(): TimestampType(),
+        T.TimestampType(): TimestampTzType(),
+        T.StringType(): StringType(),
+        T.BinaryType(): BinaryType(),
+    }
+    if dt in rev:
+        return rev[dt]
+    raise ValueError(f"cannot convert Spark type {dt} to Iceberg")

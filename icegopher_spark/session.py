@@ -27,7 +27,12 @@ def get_spark(app_name: str = "icegopher_spark", cpus: str | None = None) -> Spa
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "90g"))
+        # NOT the full 128 GiB: Tungsten sizes execution-memory pages off
+        # the heap, and with a ~90g heap 32 concurrent tiny hash-agg
+        # tasks each pre-allocate/zero huge pages — measured 7× slower
+        # than a right-sized heap on the bench suite. 16g is ample for
+        # sf0.1 (~25 MB of parquet).
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.optimizer.nestedSchemaPruning.enabled", "true")
     )
