@@ -1,0 +1,376 @@
+"""Catalogs: dispatch factory, static (filesystem) catalog, and the
+REST catalog with OAuth2 client-credentials.
+
+Reference semantics: table/catalog/catalog.go (types 40-47, URI
+inference 49-62, LoadCatalog 99-125), table/catalog/rest.go (OAuth
+201-242, config 272-309, table/namespace CRUD 388-557; namespace
+separator \\x1f rest.go:40). HTTP via ``requests``; all driver-side.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any
+from urllib.parse import quote, urlparse
+
+from .io import load_io
+from .metadata import parse_metadata
+from .table import Table
+
+NAMESPACE_SEPARATOR = "\x1f"
+
+CATALOG_REST = "rest"
+CATALOG_HIVE = "hive"
+CATALOG_GLUE = "glue"
+CATALOG_DYNAMODB = "dynamodb"
+CATALOG_STATIC = "static"
+
+
+class CatalogError(Exception):
+    pass
+
+
+class NoSuchTableError(CatalogError):
+    pass
+
+
+class NoSuchNamespaceError(CatalogError):
+    pass
+
+
+class NamespaceAlreadyExistsError(CatalogError):
+    pass
+
+
+def to_identifier(ident: str | tuple[str, ...] | list[str]) -> tuple[str, ...]:
+    """Dotted string → tuple (reference catalog.go:71-80)."""
+    if isinstance(ident, str):
+        return tuple(ident.split("."))
+    return tuple(ident)
+
+
+def infer_catalog_type(uri: str) -> str:
+    """(reference catalog.go:49-62)"""
+    scheme = urlparse(uri).scheme
+    if scheme in ("http", "https"):
+        return CATALOG_REST
+    if scheme == "thrift":
+        return CATALOG_HIVE
+    if scheme in ("", "file"):
+        return CATALOG_STATIC
+    raise CatalogError(f"could not infer catalog type from uri {uri!r}")
+
+
+def load_catalog(name: str, uri: str = "", properties: dict[str, str] | None = None):
+    """Factory (reference LoadCatalog, catalog.go:99-125): explicit
+    `type` property wins, else inferred from the URI scheme."""
+    props = dict(properties or {})
+    ctype = props.get("type") or infer_catalog_type(uri or props.get("uri", ""))
+    if ctype == CATALOG_REST:
+        return RestCatalog(name, uri or props.get("uri", ""), props)
+    if ctype == CATALOG_STATIC:
+        return StaticCatalog(name, uri or props.get("warehouse", ""), props)
+    raise CatalogError(f"{ctype} catalog is not implemented")
+
+
+class StaticCatalog:
+    """Filesystem warehouse: namespaces are directories, tables are
+    directories with metadata/version-hint.text. Pairs with the local
+    write path (write.py) for a fully self-contained lakehouse."""
+
+    def __init__(self, name: str, warehouse: str, properties: dict[str, str] | None = None):
+        import os
+
+        self.name = name
+        self.warehouse = warehouse.rstrip("/")
+        self.properties = properties or {}
+        self._os = os
+
+    def _table_path(self, identifier) -> str:
+        parts = to_identifier(identifier)
+        return "/".join([self.warehouse, *parts])
+
+    def load_table(self, identifier) -> Table:
+        path = self._table_path(identifier)
+        try:
+            t = Table.from_location(path)
+        except (FileNotFoundError, ValueError) as e:
+            raise NoSuchTableError(f"table {identifier!r} not found at {path}") from e
+        t.identifier = to_identifier(identifier)
+        t.catalog = self
+        return t
+
+    def table_exists(self, identifier) -> bool:
+        path = self._table_path(identifier)
+        return self._os.path.exists(f"{path}/metadata/version-hint.text")
+
+    def create_table(self, identifier, schema, spec=None, properties=None) -> Table:
+        from .write import create_table as _create
+
+        path = self._table_path(identifier)
+        if self.table_exists(identifier):
+            raise CatalogError(f"table {identifier!r} already exists")
+        t = _create(path, schema, spec, properties)
+        t.identifier = to_identifier(identifier)
+        t.catalog = self
+        return t
+
+    def drop_table(self, identifier) -> None:
+        import shutil
+
+        if not self.table_exists(identifier):
+            raise NoSuchTableError(str(identifier))
+        shutil.rmtree(self._table_path(identifier))
+
+    def rename_table(self, src, dst) -> None:
+        if not self.table_exists(src):
+            raise NoSuchTableError(str(src))
+        self._os.rename(self._table_path(src), self._table_path(dst))
+
+    def list_tables(self, namespace) -> list[tuple[str, ...]]:
+        ns = to_identifier(namespace)
+        base = "/".join([self.warehouse, *ns])
+        if not self._os.path.isdir(base):
+            raise NoSuchNamespaceError(str(namespace))
+        out = []
+        for d in sorted(self._os.listdir(base)):
+            if self._os.path.exists(f"{base}/{d}/metadata/version-hint.text"):
+                out.append((*ns, d))
+        return out
+
+    def list_namespaces(self) -> list[tuple[str, ...]]:
+        if not self._os.path.isdir(self.warehouse):
+            return []
+        return [
+            (d,)
+            for d in sorted(self._os.listdir(self.warehouse))
+            if self._os.path.isdir(f"{self.warehouse}/{d}")
+            and not self._os.path.exists(f"{self.warehouse}/{d}/metadata/version-hint.text")
+        ]
+
+    def create_namespace(self, namespace, properties=None) -> None:
+        base = "/".join([self.warehouse, *to_identifier(namespace)])
+        if self._os.path.isdir(base):
+            raise NamespaceAlreadyExistsError(str(namespace))
+        self._os.makedirs(base)
+        if properties:
+            with open(f"{base}/.properties.json", "w") as f:
+                json.dump(properties, f)
+
+    def drop_namespace(self, namespace) -> None:
+        base = "/".join([self.warehouse, *to_identifier(namespace)])
+        if not self._os.path.isdir(base):
+            raise NoSuchNamespaceError(str(namespace))
+        self._os.rmdir(base)  # fails if non-empty, as it should
+
+    def load_namespace_properties(self, namespace) -> dict[str, str]:
+        base = "/".join([self.warehouse, *to_identifier(namespace)])
+        if not self._os.path.isdir(base):
+            raise NoSuchNamespaceError(str(namespace))
+        try:
+            with open(f"{base}/.properties.json") as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return {}
+
+    def update_namespace_properties(
+        self, namespace, removals: list[str] | None = None, updates: dict[str, str] | None = None
+    ) -> dict[str, list[str]]:
+        props = self.load_namespace_properties(namespace)
+        removed, missing = [], []
+        for k in removals or ():
+            if k in props:
+                props.pop(k)
+                removed.append(k)
+            else:
+                missing.append(k)
+        for k, v in (updates or {}).items():
+            props[k] = v
+        base = "/".join([self.warehouse, *to_identifier(namespace)])
+        with open(f"{base}/.properties.json", "w") as f:
+            json.dump(props, f)
+        return {"removed": removed, "updated": list((updates or {}).keys()), "missing": missing}
+
+
+class RestCatalog:
+    """Iceberg REST catalog client (reference rest.go).
+
+    Auth: optional OAuth2 client-credentials flow (`credential`
+    property as "client_id:client_secret") exchanged at
+    /v1/oauth/tokens for a bearer token injected on every call
+    (reference rest.go:201-242); or a pre-issued `token` property.
+    """
+
+    def __init__(self, name: str, uri: str, properties: dict[str, str] | None = None):
+        import requests
+
+        self.name = name
+        self.uri = uri.rstrip("/")
+        self.properties = dict(properties or {})
+        self.session = requests.Session()
+        self.session.headers["Content-Type"] = "application/json"
+        self.session.headers["X-Client-Version"] = "0.14.1"
+        if self.properties.get("token"):
+            self.session.headers["Authorization"] = f"Bearer {self.properties['token']}"
+        elif self.properties.get("credential"):
+            self._fetch_token(self.properties["credential"])
+        self._fetch_config()
+        self.prefix = self.properties.get("prefix", "")
+
+    # -- plumbing --------------------------------------------------------
+
+    def _fetch_token(self, credential: str) -> None:
+        """(reference rest.go:201-242)"""
+        if ":" in credential:
+            client_id, client_secret = credential.split(":", 1)
+        else:
+            client_id, client_secret = "", credential
+        resp = self.session.post(
+            f"{self.uri}/v1/oauth/tokens",
+            data={
+                "grant_type": "client_credentials",
+                "client_id": client_id,
+                "client_secret": client_secret,
+                "scope": self.properties.get("scope", "catalog"),
+            },
+            headers={"Content-Type": "application/x-www-form-urlencoded"},
+        )
+        self._check(resp)
+        token = resp.json()["access_token"]
+        self.session.headers["Authorization"] = f"Bearer {token}"
+
+    def _fetch_config(self) -> None:
+        """(reference rest.go:272-309): defaults ← our props ← overrides."""
+        params = {}
+        if self.properties.get("warehouse"):
+            params["warehouse"] = self.properties["warehouse"]
+        try:
+            resp = self.session.get(f"{self.uri}/v1/config", params=params, timeout=30)
+            self._check(resp)
+            cfg = resp.json()
+        except Exception:
+            return  # config endpoint optional for some servers
+        merged = dict(cfg.get("defaults", {}))
+        merged.update(self.properties)
+        merged.update(cfg.get("overrides", {}))
+        self.properties = merged
+
+    @staticmethod
+    def _check(resp) -> None:
+        if resp.status_code == 404:
+            raise NoSuchTableError(resp.text)
+        if resp.status_code == 409:
+            raise NamespaceAlreadyExistsError(resp.text)
+        if resp.status_code >= 400:
+            raise CatalogError(f"HTTP {resp.status_code}: {resp.text}")
+
+    def _url(self, *parts: str) -> str:
+        base = f"{self.uri}/v1"
+        if self.prefix:
+            base = f"{base}/{quote(self.prefix, safe='')}"
+        return "/".join([base, *parts])
+
+    @staticmethod
+    def _ns(namespace) -> str:
+        return quote(NAMESPACE_SEPARATOR.join(to_identifier(namespace)), safe="")
+
+    # -- tables ----------------------------------------------------------
+
+    def load_table(self, identifier) -> Table:
+        """(reference rest.go:388-416)"""
+        ident = to_identifier(identifier)
+        ns, tbl = ident[:-1], ident[-1]
+        resp = self.session.get(self._url("namespaces", self._ns(ns), "tables", quote(tbl, safe="")))
+        self._check(resp)
+        payload = resp.json()
+        md = parse_metadata(payload["metadata"])
+        loc = payload.get("metadata-location", "")
+        io = load_io(md.location or loc, self.properties)
+        t = Table(ident, md, loc, io=io, catalog=self)
+        return t
+
+    def drop_table(self, identifier) -> None:
+        ident = to_identifier(identifier)
+        resp = self.session.delete(
+            self._url("namespaces", self._ns(ident[:-1]), "tables", quote(ident[-1], safe=""))
+        )
+        self._check(resp)
+
+    def rename_table(self, src, dst) -> None:
+        s, d = to_identifier(src), to_identifier(dst)
+        resp = self.session.post(
+            self._url("tables", "rename"),
+            json={
+                "source": {"namespace": list(s[:-1]), "name": s[-1]},
+                "destination": {"namespace": list(d[:-1]), "name": d[-1]},
+            },
+        )
+        self._check(resp)
+
+    def list_tables(self, namespace) -> list[tuple[str, ...]]:
+        """(reference rest.go:463-493)"""
+        resp = self.session.get(self._url("namespaces", self._ns(namespace), "tables"))
+        self._check(resp)
+        return [
+            (*t["namespace"], t["name"]) for t in resp.json().get("identifiers", [])
+        ]
+
+    def commit_table(self, table: Table, requirements: list[dict], updates: list[dict]) -> Table:
+        """POST updates (write-path commit; reference enumerates
+        ErrCommitFailed rest.go:51-52)."""
+        ident = table.identifier
+        resp = self.session.post(
+            self._url("namespaces", self._ns(ident[:-1]), "tables", quote(ident[-1], safe="")),
+            json={"requirements": requirements, "updates": updates},
+        )
+        if resp.status_code == 409:
+            from .write import CommitFailedError
+
+            raise CommitFailedError(resp.text)
+        self._check(resp)
+        payload = resp.json()
+        table.metadata = parse_metadata(payload["metadata"])
+        table.metadata_location = payload.get("metadata-location", table.metadata_location)
+        return table
+
+    # -- namespaces ------------------------------------------------------
+
+    def list_namespaces(self, parent=None) -> list[tuple[str, ...]]:
+        params = {}
+        if parent:
+            params["parent"] = NAMESPACE_SEPARATOR.join(to_identifier(parent))
+        resp = self.session.get(self._url("namespaces"), params=params)
+        self._check(resp)
+        return [tuple(ns) for ns in resp.json().get("namespaces", [])]
+
+    def create_namespace(self, namespace, properties=None) -> None:
+        resp = self.session.post(
+            self._url("namespaces"),
+            json={"namespace": list(to_identifier(namespace)), "properties": properties or {}},
+        )
+        self._check(resp)
+
+    def drop_namespace(self, namespace) -> None:
+        resp = self.session.delete(self._url("namespaces", self._ns(namespace)))
+        self._check(resp)
+
+    def load_namespace_properties(self, namespace) -> dict[str, str]:
+        resp = self.session.get(self._url("namespaces", self._ns(namespace)))
+        self._check(resp)
+        return resp.json().get("properties", {})
+
+    def update_namespace_properties(
+        self, namespace, removals: list[str] | None = None, updates: dict[str, str] | None = None
+    ) -> dict[str, list[str]]:
+        """(reference rest.go:543-557)"""
+        resp = self.session.post(
+            self._url("namespaces", self._ns(namespace), "properties"),
+            json={"removals": removals or [], "updates": updates or {}},
+        )
+        self._check(resp)
+        body = resp.json()
+        return {
+            "removed": body.get("removed", []),
+            "updated": body.get("updated", []),
+            "missing": body.get("missing", []),
+        }

@@ -1,0 +1,203 @@
+"""CLI with the reference's verb surface (cmd/icegopher/main.go:34-64):
+
+    python -m icegopher_spark.iceberg.cli [--catalog URI] VERB ...
+
+Verbs: list, describe, schema, spec, location, uuid, files [--history],
+snapshots, refs, properties get/set/remove, rename, drop. Text output
+mirrors output.go:35-216; --json emits machine-readable JSON (declared
+but unimplemented in the reference, main.go:113-118).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from .catalog import CatalogError, load_catalog, to_identifier
+
+
+def _print_table(headers: list[str], rows: list[tuple]) -> None:
+    widths = [len(h) for h in headers]
+    srows = [[str(c) for c in r] for r in rows]
+    for r in srows:
+        for i, c in enumerate(r):
+            widths[i] = max(widths[i], len(c))
+    line = "+" + "+".join("-" * (w + 2) for w in widths) + "+"
+    print(line)
+    print("|" + "|".join(f" {h:<{w}} " for h, w in zip(headers, widths)) + "|")
+    print(line)
+    for r in srows:
+        print("|" + "|".join(f" {c:<{w}} " for c, w in zip(r, widths)) + "|")
+    print(line)
+
+
+def _files_tree(table, history: bool) -> None:
+    """Snapshot → manifest → datafile tree (reference output.go:108-158)."""
+    from .manifests import fetch_entries, read_manifest_list
+
+    md = table.metadata
+    snapshots = md.snapshots if history else ([md.current_snapshot] if md.current_snapshot else [])
+    print(f"{'.'.join(table.identifier)}: files")
+    for snap in snapshots:
+        if snap is None:
+            continue
+        print(f"└─ Snapshot {snap.snapshot_id}, schema {snap.schema_id}: {snap.manifest_list}")
+        for m in read_manifest_list(table.io.read(snap.manifest_list)):
+            print(f"   └─ Manifest: {m.manifest_path}")
+            for e in fetch_entries(m, table.io.read(m.manifest_path), True):
+                print(f"      └─ Datafile: {e.data_file.file_path}")
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="icegopher")
+    p.add_argument("--catalog", default="", help="catalog URI (http(s)://… REST, path → static)")
+    p.add_argument("--warehouse", default="", help="warehouse path/name")
+    p.add_argument("--json", action="store_true", dest="as_json")
+    sub = p.add_subparsers(dest="verb", required=True)
+
+    sp = sub.add_parser("list")
+    sp.add_argument("parent", nargs="?", default="")
+    for verb in ("describe", "schema", "spec", "location", "uuid", "snapshots", "refs"):
+        sp = sub.add_parser(verb)
+        sp.add_argument("identifier")
+    sp = sub.add_parser("files")
+    sp.add_argument("identifier")
+    sp.add_argument("--history", action="store_true")
+    sp = sub.add_parser("properties")
+    sp.add_argument("action", choices=["get", "set", "remove"])
+    sp.add_argument("entity", choices=["table", "namespace"])
+    sp.add_argument("identifier")
+    sp.add_argument("key", nargs="?")
+    sp.add_argument("value", nargs="?")
+    sp = sub.add_parser("rename")
+    sp.add_argument("src")
+    sp.add_argument("dst")
+    sp = sub.add_parser("drop")
+    sp.add_argument("entity", choices=["table", "namespace"])
+    sp.add_argument("identifier")
+
+    args = p.parse_args(argv)
+    props = {}
+    if args.warehouse:
+        props["warehouse"] = args.warehouse
+    try:
+        cat = load_catalog("cli", args.catalog or args.warehouse, props)
+    except CatalogError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 1
+
+    try:
+        return _dispatch(args, cat)
+    except CatalogError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 1
+
+
+def _dispatch(args, cat) -> int:
+    if args.verb == "list":
+        if args.parent:
+            items = cat.list_tables(args.parent)
+        else:
+            items = cat.list_namespaces()
+            if not items:
+                items = []
+        if args.as_json:
+            print(json.dumps([".".join(i) for i in items]))
+        else:
+            _print_table(["IDs"], [(".".join(i),) for i in items])
+        return 0
+
+    if args.verb in ("describe", "schema", "spec", "location", "uuid", "files", "snapshots", "refs"):
+        t = cat.load_table(to_identifier(args.identifier))
+        md = t.metadata
+        if args.verb == "describe":
+            rows = [
+                ("format-version", md.format_version),
+                ("table-uuid", md.table_uuid),
+                ("location", md.location),
+                ("current-snapshot-id", md.current_snapshot_id),
+                ("current-schema-id", md.current_schema_id),
+                ("default-spec-id", md.default_spec_id),
+            ]
+            if args.as_json:
+                print(json.dumps(dict(rows)))
+            else:
+                _print_table(["key", "value"], rows)
+        elif args.verb == "schema":
+            if args.as_json:
+                print(json.dumps(md.current_schema.to_json_dict()))
+            else:
+                print(md.current_schema)
+        elif args.verb == "spec":
+            if args.as_json:
+                print(json.dumps(md.default_spec.to_json_dict()))
+            else:
+                print(md.default_spec)
+        elif args.verb == "location":
+            print(md.location)
+        elif args.verb == "uuid":
+            print(md.table_uuid)
+        elif args.verb == "files":
+            _files_tree(t, args.history)
+        elif args.verb == "snapshots":
+            rows = [
+                (s.snapshot_id, s.sequence_number, s.timestamp_ms, s.operation or "")
+                for s in md.snapshots
+            ]
+            if args.as_json:
+                print(json.dumps([s.to_json_dict() for s in md.snapshots]))
+            else:
+                _print_table(["snapshot-id", "seq", "timestamp-ms", "operation"], rows)
+        elif args.verb == "refs":
+            rows = [(n, r.snapshot_ref_type, r.snapshot_id) for n, r in md.refs.items()]
+            if args.as_json:
+                print(json.dumps({n: r.to_json_dict() for n, r in md.refs.items()}))
+            else:
+                _print_table(["name", "type", "snapshot-id"], rows)
+        return 0
+
+    if args.verb == "properties":
+        ident = to_identifier(args.identifier)
+        if args.entity == "namespace":
+            if args.action == "get":
+                props = cat.load_namespace_properties(ident)
+                if args.key:
+                    print(props.get(args.key, ""))
+                else:
+                    _print_table(["key", "value"], sorted(props.items()))
+            elif args.action == "set":
+                cat.update_namespace_properties(ident, updates={args.key: args.value})
+                print(f"set {args.key}")
+            else:
+                out = cat.update_namespace_properties(ident, removals=[args.key])
+                print("removed" if args.key in out["removed"] else "missing")
+        else:
+            t = cat.load_table(ident)
+            props = t.properties
+            if args.action == "get":
+                if args.key:
+                    print(props.get(args.key, ""))
+                else:
+                    _print_table(["key", "value"], sorted(props.items()))
+            else:
+                print("error: table property mutation requires a catalog commit", file=sys.stderr)
+                return 1
+        return 0
+
+    if args.verb == "rename":
+        cat.rename_table(to_identifier(args.src), to_identifier(args.dst))
+        print(f"renamed {args.src} -> {args.dst}")
+        return 0
+    if args.verb == "drop":
+        if args.entity == "table":
+            cat.drop_table(to_identifier(args.identifier))
+        else:
+            cat.drop_namespace(to_identifier(args.identifier))
+        print(f"dropped {args.identifier}")
+        return 0
+    return 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

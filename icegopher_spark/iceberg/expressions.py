@@ -366,6 +366,30 @@ def bind_expr(
     raise TypeError(f"unknown expression: {expr!r}")
 
 
+def ensure_bound(
+    schema: Schema, expr: BooleanExpression, case_sensitive: bool = True
+) -> BooleanExpression:
+    """Like bind_expr but passes already-bound predicates through —
+    for pipelines where the filter may arrive bound or unbound."""
+    if isinstance(expr, (AlwaysTrue, AlwaysFalse, BoundPredicate)):
+        return expr
+    if isinstance(expr, Not):
+        return Not(ensure_bound(schema, expr.child, case_sensitive))
+    if isinstance(expr, And):
+        return And(
+            ensure_bound(schema, expr.left, case_sensitive),
+            ensure_bound(schema, expr.right, case_sensitive),
+        )
+    if isinstance(expr, Or):
+        return Or(
+            ensure_bound(schema, expr.left, case_sensitive),
+            ensure_bound(schema, expr.right, case_sensitive),
+        )
+    if isinstance(expr, UnboundPredicate):
+        return expr.bind(schema, case_sensitive)
+    raise TypeError(f"unknown expression: {expr!r}")
+
+
 def rewrite_not(expr: BooleanExpression) -> BooleanExpression:
     """Eliminate Not by pushing inversion down (reference
     visitors.go:148-174); required before metadata evaluation."""

@@ -1,0 +1,412 @@
+"""Table + scan planning: snapshot resolution (time travel), projection,
+manifest pruning, positional-delete matching, and the handoff to Spark.
+
+Reference semantics: table/table.go:39-116 (Table, NewFromLocation),
+table/scanner/scanner.go (scan builder 32-91, FileScanTask 93-122,
+openManifest 124-142, delete matching 144-193). The scan planner here
+COMPLETES what the reference declared but left unimplemented
+(PlanFiles, scanner.go:32-34): after driver-side planning, execution
+crosses into Spark — `spark.read.parquet(files)` with the pruned
+schema, the row filter re-applied exactly (file pruning is inclusive),
+and positional deletes applied as a left-anti join.
+"""
+
+from __future__ import annotations
+
+import bisect
+from dataclasses import dataclass, field as dfield
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .evaluators import (
+    InclusiveMetricsEvaluator,
+    ManifestEvaluator,
+    PartitionEvaluator,
+    inclusive_projection,
+)
+from .expressions import (
+    AlwaysTrue,
+    BooleanExpression,
+    ensure_bound,
+    rewrite_not,
+    to_spark_column,
+)
+from .io import FileIO, load_io
+from .manifests import (
+    DataFileContent,
+    ManifestContent,
+    ManifestEntry,
+    ManifestEntryStatus,
+    ManifestFile,
+    fetch_entries,
+    read_manifest_list,
+)
+from .metadata import Snapshot, TableMetadata, parse_metadata
+from .schema import Schema
+from .types import LongType, NestedField, StringType
+
+# Reserved field ids for position delete files (Iceberg spec;
+# reference manifest.go:548-551).
+POSITIONAL_DELETE_SCHEMA = Schema(
+    (
+        NestedField(2147483546, "file_path", StringType(), True),
+        NestedField(2147483545, "pos", LongType(), True),
+    )
+)
+
+
+@dataclass
+class FileScanTask:
+    """(reference scanner.go:93-122)"""
+
+    file: Any  # DataFile
+    delete_files: list[Any] = dfield(default_factory=list)
+    start: int = 0
+    length: int = 0
+
+    @property
+    def size_bytes(self) -> int:
+        return self.length + sum(d.file_size_in_bytes for d in self.delete_files)
+
+    def estimated_row_count(self) -> int:
+        if self.file.file_size_in_bytes == 0:
+            return 0
+        return int(self.length / self.file.file_size_in_bytes * self.file.record_count)
+
+
+class Table:
+    """An Iceberg table bound to a FileIO and (optionally) a catalog."""
+
+    def __init__(
+        self,
+        identifier: tuple[str, ...],
+        metadata: TableMetadata,
+        metadata_location: str,
+        io: FileIO | None = None,
+        catalog: Any = None,
+    ) -> None:
+        self.identifier = tuple(identifier)
+        self.metadata = metadata
+        self.metadata_location = metadata_location
+        self.io = io or load_io(metadata.location or metadata_location)
+        self.catalog = catalog
+
+    # -- constructors ----------------------------------------------------
+
+    @classmethod
+    def from_location(cls, metadata_location: str, properties: dict | None = None) -> "Table":
+        """Load straight from a metadata JSON path (reference
+        NewFromLocation, table/table.go:39-63) or from a table directory
+        containing metadata/version-hint.text."""
+        io = load_io(metadata_location, properties)
+        loc = metadata_location
+        if not loc.endswith(".json"):
+            hint_path = loc.rstrip("/") + "/metadata/version-hint.text"
+            version = int(io.read(hint_path).decode().strip())
+            loc = loc.rstrip("/") + f"/metadata/v{version}.metadata.json"
+        md = parse_metadata(io.read(loc))
+        return cls(("static",), md, loc, io=io)
+
+    def refresh(self) -> "Table":
+        """Re-load from catalog or location (reference table.go:101-109)."""
+        if self.catalog is not None:
+            fresh = self.catalog.load_table(self.identifier)
+            self.metadata = fresh.metadata
+            self.metadata_location = fresh.metadata_location
+            return self
+        fresh = Table.from_location(self.metadata_location)
+        self.metadata = fresh.metadata
+        return self
+
+    # -- surface ---------------------------------------------------------
+
+    @property
+    def schema(self) -> Schema:
+        return self.metadata.current_schema
+
+    @property
+    def spec(self):
+        return self.metadata.default_spec
+
+    @property
+    def properties(self) -> dict[str, str]:
+        return self.metadata.properties
+
+    @property
+    def location(self) -> str:
+        return self.metadata.location
+
+    def current_snapshot(self) -> Snapshot | None:
+        return self.metadata.current_snapshot
+
+    def snapshot_by_id(self, snapshot_id: int) -> Snapshot | None:
+        return self.metadata.snapshot_by_id(snapshot_id)
+
+    def history(self) -> list[dict]:
+        return self.metadata.snapshot_log
+
+    def scan(self, **kwargs) -> "TableScan":
+        return TableScan(self, **kwargs)
+
+    @property
+    def inspect(self) -> "InspectTables":
+        from .inspect import InspectTables
+
+        return InspectTables(self)
+
+    def __repr__(self) -> str:
+        return f"Table({'.'.join(self.identifier)}) at {self.metadata_location}"
+
+
+class TableScan:
+    """Scan builder (reference tableScan, scanner.go:36-91)."""
+
+    def __init__(
+        self,
+        table: Table,
+        row_filter: BooleanExpression | None = None,
+        selected_fields: tuple[str, ...] = ("*",),
+        snapshot_id: int | None = None,
+        ref: str | None = None,
+        case_sensitive: bool = True,
+        limit: int | None = None,
+        options: dict | None = None,
+    ) -> None:
+        self.table = table
+        self.row_filter = row_filter or AlwaysTrue()
+        self.selected_fields = tuple(selected_fields)
+        self.snapshot_id = snapshot_id
+        self.ref = ref
+        self.case_sensitive = case_sensitive
+        self.limit = limit
+        self.options = options or {}
+
+    def use_ref(self, name: str) -> "TableScan":
+        """(reference scanner.go:69-80)"""
+        if self.snapshot_id is not None:
+            raise ValueError("cannot override snapshot id with a ref")
+        if name not in self.table.metadata.refs:
+            raise ValueError(f"ref {name!r} not found")
+        return TableScan(
+            self.table,
+            self.row_filter,
+            self.selected_fields,
+            snapshot_id=None,
+            ref=name,
+            case_sensitive=self.case_sensitive,
+            limit=self.limit,
+            options=self.options,
+        )
+
+    def snapshot(self) -> Snapshot | None:
+        """(reference scanner.go:47-52)"""
+        md = self.table.metadata
+        if self.snapshot_id is not None:
+            snap = md.snapshot_by_id(self.snapshot_id)
+            if snap is None:
+                raise ValueError(f"snapshot {self.snapshot_id} not found")
+            return snap
+        if self.ref is not None:
+            snap = md.snapshot_by_name(self.ref)
+            if snap is None:
+                raise ValueError(f"ref {self.ref!r} has no snapshot")
+            return snap
+        return md.current_snapshot
+
+    def projection(self) -> Schema:
+        """Snapshot schema then select (reference scanner.go:54-67)."""
+        md = self.table.metadata
+        schema = md.current_schema
+        snap = self.snapshot()
+        if snap is not None and snap.schema_id is not None:
+            s = md.schema_by_id(snap.schema_id)
+            if s is not None:
+                schema = s
+        if "*" in self.selected_fields:
+            return schema
+        return schema.select(*self.selected_fields, case_sensitive=self.case_sensitive)
+
+    # -- planning --------------------------------------------------------
+
+    def plan_files(self) -> list[FileScanTask]:
+        """The scan planner the reference declared but never implemented
+        (scanner.go:32-34); helper semantics from scanner.go:124-193."""
+        snap = self.snapshot()
+        if snap is None:
+            return []
+        md = self.table.metadata
+        io = self.table.io
+        manifest_list = read_manifest_list(io.read(snap.manifest_list))
+
+        # per-spec evaluator caches
+        proj_cache: dict[int, BooleanExpression] = {}
+        manifest_eval_cache: dict[int, ManifestEvaluator] = {}
+        part_eval_cache: dict[int, PartitionEvaluator] = {}
+
+        schema = self.projection_base_schema()
+        bound_filter = (
+            ensure_bound(schema, rewrite_not(self.row_filter), self.case_sensitive)
+            if not isinstance(self.row_filter, AlwaysTrue)
+            else self.row_filter
+        )
+        metrics_eval = InclusiveMetricsEvaluator(schema, bound_filter, self.case_sensitive)
+
+        def partition_filter_for(spec_id: int) -> BooleanExpression:
+            if spec_id not in proj_cache:
+                spec = md.spec_by_id(spec_id)
+                proj_cache[spec_id] = (
+                    inclusive_projection(schema, spec, bound_filter, self.case_sensitive)
+                    if spec is not None and not isinstance(bound_filter, AlwaysTrue)
+                    else AlwaysTrue()
+                )
+            return proj_cache[spec_id]
+
+        def manifest_may_match(m: ManifestFile) -> bool:
+            spec = md.spec_by_id(m.partition_spec_id)
+            if spec is None or spec.is_unpartitioned:
+                return True
+            if m.partition_spec_id not in manifest_eval_cache:
+                manifest_eval_cache[m.partition_spec_id] = ManifestEvaluator(
+                    spec, schema, partition_filter_for(m.partition_spec_id)
+                )
+            return manifest_eval_cache[m.partition_spec_id].eval(m.partitions)
+
+        def file_partition_match(spec_id: int, partition: dict) -> bool:
+            spec = md.spec_by_id(spec_id)
+            if spec is None or spec.is_unpartitioned:
+                return True
+            if spec_id not in part_eval_cache:
+                part_eval_cache[spec_id] = PartitionEvaluator(
+                    spec, schema, partition_filter_for(spec_id)
+                )
+            return part_eval_cache[spec_id].eval(partition)
+
+        # 1) collect positional-delete entries across delete manifests
+        #    (reference scanner.go:144-160)
+        delete_entries: list[ManifestEntry] = []
+        data_manifests: list[ManifestFile] = []
+        for m in manifest_list:
+            if m.content == ManifestContent.DELETES:
+                if not manifest_may_match(m):
+                    continue
+                for e in fetch_entries(m, io.read(m.manifest_path), discard_deleted=True):
+                    if e.data_file.content == DataFileContent.POSITION_DELETES:
+                        delete_entries.append(e)
+            else:
+                data_manifests.append(m)
+        delete_entries.sort(key=lambda e: e.sequence_number or 0)
+        delete_seqs = [e.sequence_number or 0 for e in delete_entries]
+
+        # 2) walk data manifests with partition + metrics pruning
+        #    (reference openManifest, scanner.go:124-142)
+        tasks: list[FileScanTask] = []
+        for m in data_manifests:
+            if not manifest_may_match(m):
+                continue
+            for e in fetch_entries(m, io.read(m.manifest_path), discard_deleted=True):
+                df = e.data_file
+                if not file_partition_match(m.partition_spec_id, df.partition):
+                    continue
+                if not metrics_eval.eval(df):
+                    continue
+                deletes = _match_deletes(e, delete_entries, delete_seqs)
+                tasks.append(
+                    FileScanTask(df, deletes, 0, df.file_size_in_bytes)
+                )
+        return tasks
+
+    def projection_base_schema(self) -> Schema:
+        """Schema used for binding the row filter: the full snapshot
+        schema (projection may drop filtered columns)."""
+        md = self.table.metadata
+        snap = self.snapshot()
+        if snap is not None and snap.schema_id is not None:
+            s = md.schema_by_id(snap.schema_id)
+            if s is not None:
+                return s
+        return md.current_schema
+
+    # -- execution handoff to Spark --------------------------------------
+
+    def to_df(self, spark: SparkSession) -> DataFrame:
+        """Execute the planned scan as a Spark DataFrame.
+
+        The explicit file list means Spark's own partition discovery is
+        bypassed — pruning already happened here. The row filter is
+        re-applied exactly (file pruning is inclusive/approximate), and
+        Catalyst still pushes it into the parquet scan for row-group
+        pruning. Positional deletes become a left-anti join on
+        (file, position), with _pos synthesized per input file.
+        """
+        tasks = self.plan_files()
+        projection = self.projection()
+        spark_schema = projection.to_spark()
+        if not tasks:
+            return spark.createDataFrame([], spark_schema)
+
+        paths = [strip_file_scheme(t.file.file_path) for t in tasks]
+        has_deletes = any(t.delete_files for t in tasks)
+        df = spark.read.schema(self.projection_base_schema().to_spark()).parquet(*paths)
+
+        if has_deletes:
+            delete_paths = sorted(
+                {strip_file_scheme(d.file_path) for t in tasks for d in t.delete_files}
+            )
+            deletes = spark.read.parquet(*delete_paths).select(
+                F.col("file_path").alias("_del_path"), F.col("pos").alias("_del_pos")
+            )
+            w = Window.partitionBy(F.input_file_name()).orderBy(F.monotonically_increasing_id())
+            df = (
+                df.withColumn("_file", F.input_file_name())
+                .withColumn("_pos", F.row_number().over(w) - F.lit(1))
+            )
+            # normalize URI for comparison: deletes store the writer's path
+            norm = F.regexp_replace(F.col("_file"), "^file:/*", "/")
+            norm_del = F.regexp_replace(F.col("_del_path"), "^file:/*", "/")
+            df = df.join(
+                F.broadcast(deletes.select(norm_del.alias("_del_path"), "_del_pos")),
+                (norm == F.col("_del_path")) & (df["_pos"] == F.col("_del_pos")),
+                "left_anti",
+            ).drop("_file", "_pos")
+
+        if not isinstance(self.row_filter, AlwaysTrue):
+            df = df.filter(to_spark_column(
+                ensure_bound(self.projection_base_schema(), rewrite_not(self.row_filter), self.case_sensitive)
+            ))
+        df = df.select(*[F.col(name) for name in projection.column_names])
+        if self.limit is not None:
+            df = df.limit(self.limit)
+        return df
+
+
+def _match_deletes(
+    entry: ManifestEntry, sorted_deletes: list[ManifestEntry], seqs: list[int]
+) -> list[Any]:
+    """Positional deletes apply when their sequence number is ≥ the data
+    file's (reference matchDeletesToDataFile, scanner.go:162-193: binary
+    search for seq >= n, then path-bounds check)."""
+    if not sorted_deletes:
+        return []
+    n = entry.sequence_number or 0
+    idx = bisect.bisect_left(seqs, n)
+    out = []
+    path_fid = 2147483546
+    for e in sorted_deletes[idx:]:
+        df = e.data_file
+        lo = (df.lower_bounds or {}).get(path_fid)
+        hi = (df.upper_bounds or {}).get(path_fid)
+        target = entry.data_file.file_path.encode()
+        if lo is not None and target < lo:
+            continue
+        if hi is not None and target > hi:
+            continue
+        out.append(df)
+    return out
+
+
+def strip_file_scheme(path: str) -> str:
+    if path.startswith("file://"):
+        return path[len("file://") :]
+    return path

@@ -186,25 +186,26 @@ class BucketTransform(Transform):
         pruning and write clustering we compute the spec hash in a
         pandas UDF (numpy-vectorized for 8-byte integer encodings, the
         overwhelmingly common bucket sources)."""
-        import pandas as pd
-        from pyspark.sql.functions import pandas_udf
-
-        n = self.num_buckets
-        st = source_type
-
-        @pandas_udf("int")
-        def _bucket(s: pd.Series) -> pd.Series:
-            def one(v):
-                if v is None or (isinstance(v, float) and v != v):
-                    return None
-                return (bucket_hash(_coerce(v, st), st) & 0x7FFFFFFF) % n
-
-            return s.map(one)
-
-        return _bucket(col)
+        return _bucket_udf(self.num_buckets, source_type)(col)
 
     def result_type(self, source_type):
         return IntegerType()
+
+
+def _bucket_udf(n: int, st: IcebergType):
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _bucket(s: pd.Series) -> pd.Series:
+        def one(v):
+            if v is None or (isinstance(v, float) and v != v):
+                return None
+            return (bucket_hash(_coerce(v, st), st) & 0x7FFFFFFF) % n
+
+        return s.map(one)
+
+    _bucket.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    return pandas_udf(_bucket, "int")
 
 
 def _coerce(v: Any, t: IcebergType) -> Any:

@@ -1,0 +1,517 @@
+"""Write path: create table, append, overwrite, and copy-on-write
+delete — producing real Iceberg metadata (manifests, manifest list,
+metadata JSON, version hint) committed with optimistic concurrency.
+
+This is [S/X] surface: the reference's write path is WIP
+(cmd/icegopher/main.go:314 "not implemented: Writing is WIP"; operation
+enum exists at table/snapshots.go:32-39). The layout follows the public
+Iceberg spec. Data files are written by Spark executors (parallel,
+clustered by the partition transform Columns); everything else is small
+driver-side metadata.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+import uuid as _uuid
+from datetime import date, datetime, timezone
+from decimal import Decimal
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .io import LocalFileIO, strip_scheme
+from .literals import Literal, literal_to_bytes
+from .manifests import (
+    DataFile,
+    FieldSummary,
+    ManifestContent,
+    ManifestEntry,
+    ManifestEntryStatus,
+    ManifestFile,
+    partition_avro_fields_for,
+    write_manifest,
+    write_manifest_list,
+)
+from .metadata import (
+    OP_APPEND,
+    OP_DELETE,
+    OP_OVERWRITE,
+    Snapshot,
+    SnapshotRef,
+    TableMetadata,
+    parse_metadata,
+)
+from .schema import Schema
+from .table import Table
+from .transforms import PartitionSpec
+from .types import (
+    BinaryType,
+    BooleanType,
+    DateType,
+    DecimalType,
+    DoubleType,
+    FloatType,
+    IcebergType,
+    IntegerType,
+    LongType,
+    StringType,
+    TimestampType,
+    TimestampTzType,
+)
+
+
+class CommitFailedError(Exception):
+    """Optimistic-concurrency conflict (reference rest.go:51-52)."""
+
+
+def create_table(
+    location: str,
+    schema: Schema,
+    spec: PartitionSpec | None = None,
+    properties: dict[str, str] | None = None,
+) -> Table:
+    """Create a new (empty) table at ``location`` with metadata/v1."""
+    location = strip_scheme(location).rstrip("/")
+    spec = spec or PartitionSpec()
+    md = {
+        "format-version": 2,
+        "table-uuid": str(_uuid.uuid4()),
+        "location": location,
+        "last-updated-ms": int(time.time() * 1000),
+        "last-column-id": schema.highest_field_id,
+        "schemas": [schema.to_json_dict()],
+        "current-schema-id": schema.schema_id,
+        "partition-specs": [spec.to_json_dict()],
+        "default-spec-id": spec.spec_id,
+        "last-partition-id": max((f.field_id for f in spec.fields), default=999),
+        "properties": properties or {},
+        "current-snapshot-id": -1,
+        "snapshots": [],
+        "snapshot-log": [],
+        "metadata-log": [],
+        "sort-orders": [{"order-id": 0, "fields": []}],
+        "default-sort-order-id": 0,
+        "refs": {},
+        "last-sequence-number": 0,
+    }
+    meta = parse_metadata(md)
+    io = LocalFileIO()
+    _commit_metadata(io, location, meta, expected_version=0)
+    return Table(("local", os.path.basename(location)), meta, _version_path(location, 1), io=io)
+
+
+def _version_path(location: str, version: int) -> str:
+    return f"{location}/metadata/v{version}.metadata.json"
+
+
+def _current_version(io, location: str) -> int:
+    hint = f"{location}/metadata/version-hint.text"
+    if not io.exists(hint):
+        return 0
+    return int(io.read(hint).decode().strip())
+
+
+def _commit_metadata(io, location: str, md: TableMetadata, expected_version: int) -> int:
+    """Atomic metadata swap: version files are create-once (O_EXCL), so
+    a concurrent committer loses and must retry after refresh —
+    optimistic concurrency without a lock service."""
+    new_version = expected_version + 1
+    path = strip_scheme(_version_path(location, new_version))
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    try:
+        with open(path, "xb") as f:  # fails if someone committed first
+            f.write(md.to_json().encode())
+    except FileExistsError as e:
+        raise CommitFailedError(
+            f"version {new_version} already exists; refresh and retry"
+        ) from e
+    io.write(f"{location}/metadata/version-hint.text", str(new_version).encode())
+    return new_version
+
+
+# --------------------------------------------------------------------------
+# Stats collection from parquet footers
+# --------------------------------------------------------------------------
+
+_TRUNC_LEN = 16  # bound truncation for strings/binary, like Iceberg writers
+
+
+def _bound_value(v: Any, t: IcebergType, upper: bool) -> bytes | None:
+    """Convert a pyarrow footer min/max to Iceberg bound bytes."""
+    if v is None:
+        return None
+    if isinstance(t, (TimestampType, TimestampTzType)):
+        if isinstance(v, datetime):
+            ts = v if v.tzinfo else v.replace(tzinfo=timezone.utc)
+            v = int(ts.timestamp() * 1_000_000)
+        lit = Literal(int(v), t)
+    elif isinstance(t, DateType):
+        if isinstance(v, date):
+            v = (v - date(1970, 1, 1)).days
+        lit = Literal(int(v), t)
+    elif isinstance(t, StringType):
+        s = str(v)[:_TRUNC_LEN]
+        if upper and len(str(v)) > _TRUNC_LEN:
+            # increment last char so the truncated upper bound stays an upper bound
+            s = s[:-1] + chr(ord(s[-1]) + 1)
+        lit = Literal(s, t)
+    elif isinstance(t, BinaryType):
+        b = bytes(v)[:_TRUNC_LEN]
+        lit = Literal(b, t)
+    elif isinstance(t, DecimalType):
+        lit = Literal(Decimal(str(v)), t)
+    elif isinstance(t, (FloatType, DoubleType)):
+        lit = Literal(float(v), t)
+    elif isinstance(t, BooleanType):
+        lit = Literal(bool(v), t)
+    elif isinstance(t, (IntegerType, LongType)):
+        lit = Literal(int(v), t)
+    else:
+        return None
+    return literal_to_bytes(lit)
+
+
+def collect_data_file(path: str, schema: Schema, partition: dict[str, Any]) -> DataFile:
+    """Build a DataFile (with per-column stats) from a parquet footer —
+    the write-side producer of the stats the metrics evaluator consumes
+    (SURVEY.md §2.5)."""
+    import pyarrow.parquet as pq
+
+    f = pq.ParquetFile(strip_scheme(path))
+    meta = f.metadata
+    name_to_field = {field.name: field for field in schema.fields}
+
+    column_sizes: dict[int, int] = {}
+    value_counts: dict[int, int] = {}
+    null_counts: dict[int, int] = {}
+    lower: dict[int, tuple] = {}
+    upper: dict[int, tuple] = {}
+    split_offsets: list[int] = []
+
+    for rg in range(meta.num_row_groups):
+        g = meta.row_group(rg)
+        split_offsets.append(g.column(0).file_offset if g.num_columns else 0)
+        for ci in range(g.num_columns):
+            col = g.column(ci)
+            name = col.path_in_schema.split(".")[0]
+            field = name_to_field.get(name)
+            if field is None or not field.field_type.is_primitive:
+                continue
+            fid = field.field_id
+            column_sizes[fid] = column_sizes.get(fid, 0) + col.total_compressed_size
+            value_counts[fid] = value_counts.get(fid, 0) + col.num_values
+            st = col.statistics
+            if st is None:
+                continue
+            if st.null_count is not None:
+                null_counts[fid] = null_counts.get(fid, 0) + st.null_count
+            if st.has_min_max:
+                mn, mx = st.min, st.max
+                if fid not in lower or (mn is not None and mn < lower[fid][0]):
+                    lower[fid] = (mn,)
+                if fid not in upper or (mx is not None and mx > upper[fid][0]):
+                    upper[fid] = (mx,)
+
+    lower_b = {
+        fid: b
+        for fid, (v,) in lower.items()
+        if (b := _bound_value(v, name_to_field_by_id(schema, fid).field_type, False)) is not None
+    }
+    upper_b = {
+        fid: b
+        for fid, (v,) in upper.items()
+        if (b := _bound_value(v, name_to_field_by_id(schema, fid).field_type, True)) is not None
+    }
+    return DataFile(
+        file_path=path,
+        record_count=meta.num_rows,
+        file_size_in_bytes=os.path.getsize(strip_scheme(path)),
+        partition=partition,
+        column_sizes=column_sizes or None,
+        value_counts=value_counts or None,
+        null_value_counts=null_counts or None,
+        lower_bounds=lower_b or None,
+        upper_bounds=upper_b or None,
+        split_offsets=split_offsets or None,
+    )
+
+
+def name_to_field_by_id(schema: Schema, fid: int):
+    f = schema.find_field(fid)
+    assert f is not None
+    return f
+
+
+# --------------------------------------------------------------------------
+# Append / overwrite / delete
+# --------------------------------------------------------------------------
+
+
+def _write_data_files(
+    table: Table, df: DataFrame, data_dir: str
+) -> list[tuple[str, dict[str, Any]]]:
+    """Write parquet clustered by the partition transforms; returns
+    (path, partition tuple) pairs. Partition evaluation uses the
+    transform Column expressions — executor-side, fully parallel."""
+    spec = table.spec
+    schema = table.schema
+    os.makedirs(data_dir, exist_ok=True)
+    if spec.is_unpartitioned:
+        out = f"{data_dir}/{_uuid.uuid4().hex[:16]}"
+        df.write.mode("overwrite").parquet(out)
+        return [
+            (f"{out}/{f}", {})
+            for f in sorted(os.listdir(out))
+            if f.endswith(".parquet")
+        ]
+    # partitioned: materialize transform columns, write with partitionBy
+    pcols = []
+    for pf in spec.fields:
+        src = schema.find_field(pf.source_id)
+        assert src is not None
+        pcols.append(pf.transform.to_column(F.col(src.name), src.field_type).alias(pf.name))
+    out = f"{data_dir}/{_uuid.uuid4().hex[:16]}"
+    names = [pf.name for pf in spec.fields]
+    (
+        df.select("*", *pcols)
+        .repartition(*[F.col(n) for n in names])
+        .write.mode("overwrite")
+        .partitionBy(*names)
+        .parquet(out)
+    )
+    pairs: list[tuple[str, dict[str, Any]]] = []
+    for root, _dirs, files in os.walk(out):
+        for fn in sorted(files):
+            if not fn.endswith(".parquet"):
+                continue
+            rel = os.path.relpath(root, out)
+            partition: dict[str, Any] = {}
+            for comp in rel.split(os.sep):
+                if "=" in comp:
+                    k, v = comp.split("=", 1)
+                    partition[k] = _parse_partition_value(k, v, spec, schema)
+            pairs.append((os.path.join(root, fn), partition))
+    return pairs
+
+
+def _parse_partition_value(name: str, raw: str, spec: PartitionSpec, schema: Schema) -> Any:
+    from .types import DateType as DT, IntegerType as IT, LongType as LT, StringType as ST
+
+    if raw == "__HIVE_DEFAULT_PARTITION__":
+        return None
+    for pf in spec.fields:
+        if pf.name == name:
+            src = schema.find_field(pf.source_id)
+            rt = pf.transform.result_type(src.field_type if src else ST())
+            if isinstance(rt, (IT, LT)):
+                return int(raw)
+            if isinstance(rt, DT):
+                return (date.fromisoformat(raw) - date(1970, 1, 1)).days
+            return raw
+    return raw
+
+
+def _next_ids(md: TableMetadata) -> tuple[int, int]:
+    snap_id = max((s.snapshot_id for s in md.snapshots), default=0) + 1
+    seq = md.last_sequence_number + 1
+    return snap_id, seq
+
+
+def _partition_summaries(
+    spec: PartitionSpec, schema: Schema, files: list[DataFile]
+) -> list[FieldSummary]:
+    ptype = spec.partition_type(schema)
+    out = []
+    for f in ptype.fields:
+        vals = [df.partition.get(f.name) for df in files]
+        nonnull = [v for v in vals if v is not None]
+        lo = hi = None
+        if nonnull:
+            lo = literal_to_bytes(Literal(min(nonnull), f.field_type))
+            hi = literal_to_bytes(Literal(max(nonnull), f.field_type))
+        out.append(
+            FieldSummary(
+                contains_null=any(v is None for v in vals),
+                contains_nan=False,
+                lower_bound=lo,
+                upper_bound=hi,
+            )
+        )
+    return out
+
+
+def _commit_snapshot(
+    table: Table,
+    new_files: list[DataFile],
+    operation: str,
+    keep_manifests: list[ManifestFile] | None = None,
+    retained_entries: list[ManifestEntry] | None = None,
+) -> Table:
+    """Write manifest + manifest list + metadata; bump version."""
+    md = table.metadata
+    location = md.location
+    io = table.io
+    snap_id, seq = _next_ids(md)
+    ts_ms = int(time.time() * 1000)
+    spec, schema = table.spec, table.schema
+    pfields = partition_avro_fields_for(spec, schema)
+
+    manifests: list[ManifestFile] = list(keep_manifests or [])
+
+    all_new_entries: list[ManifestEntry] = [
+        ManifestEntry(
+            status=ManifestEntryStatus.ADDED,
+            snapshot_id=snap_id,
+            sequence_number=seq,
+            file_sequence_number=seq,
+            data_file=f,
+        )
+        for f in new_files
+    ]
+    if retained_entries:
+        all_new_entries += [
+            ManifestEntry(
+                status=ManifestEntryStatus.EXISTING,
+                snapshot_id=e.snapshot_id,
+                sequence_number=e.sequence_number,
+                file_sequence_number=e.file_sequence_number,
+                data_file=e.data_file,
+            )
+            for e in retained_entries
+        ]
+
+    if all_new_entries:
+        manifest_path = f"{location}/metadata/{_uuid.uuid4().hex}-m0.avro"
+        data = write_manifest(
+            all_new_entries, pfields, schema.to_json(), "[]", ManifestContent.DATA
+        )
+        io.write(manifest_path, data)
+        manifests.insert(
+            0,
+            ManifestFile(
+                manifest_path=manifest_path,
+                manifest_length=len(data),
+                partition_spec_id=spec.spec_id,
+                content=ManifestContent.DATA,
+                sequence_number=seq,
+                min_sequence_number=min(
+                    (e.sequence_number or seq for e in all_new_entries), default=seq
+                ),
+                added_snapshot_id=snap_id,
+                added_files_count=len(new_files),
+                existing_files_count=len(retained_entries or ()),
+                deleted_files_count=0,
+                added_rows_count=sum(f.record_count for f in new_files),
+                existing_rows_count=sum(
+                    e.data_file.record_count for e in (retained_entries or ())
+                ),
+                deleted_rows_count=0,
+                partitions=_partition_summaries(
+                    spec, schema, [e.data_file for e in all_new_entries]
+                )
+                if not spec.is_unpartitioned
+                else [],
+            ),
+        )
+
+    list_path = f"{location}/metadata/snap-{snap_id}-{_uuid.uuid4().hex}.avro"
+    io.write(list_path, write_manifest_list(manifests, snap_id))
+
+    total_files = sum(m.added_files_count + m.existing_files_count for m in manifests)
+    total_rows = sum(m.added_rows_count + m.existing_rows_count for m in manifests)
+    snapshot = Snapshot(
+        snapshot_id=snap_id,
+        parent_snapshot_id=md.current_snapshot_id,
+        sequence_number=seq,
+        timestamp_ms=ts_ms,
+        manifest_list=list_path,
+        summary={
+            "operation": operation,
+            "added-data-files": str(len(new_files)),
+            "added-records": str(sum(f.record_count for f in new_files)),
+            "total-data-files": str(total_files),
+            "total-records": str(total_rows),
+        },
+        schema_id=schema.schema_id,
+    )
+
+    raw = md.to_json_dict()
+    raw["snapshots"] = raw.get("snapshots", []) + [snapshot.to_json_dict()]
+    raw["current-snapshot-id"] = snap_id
+    raw["last-sequence-number"] = seq
+    raw["last-updated-ms"] = ts_ms
+    raw.setdefault("snapshot-log", []).append(
+        {"snapshot-id": snap_id, "timestamp-ms": ts_ms}
+    )
+    raw["refs"] = {
+        **{k: v.to_json_dict() for k, v in md.refs.items()},
+        "main": SnapshotRef(snap_id, "branch").to_json_dict(),
+    }
+    new_md = parse_metadata(raw)
+
+    version = _current_version(io, location)
+    _commit_metadata(io, location, new_md, expected_version=version)
+    table.metadata = new_md
+    table.metadata_location = _version_path(location, version + 1)
+    return table
+
+
+def append(table: Table, df: DataFrame) -> Table:
+    """Append rows; one new manifest, prior manifests carried forward."""
+    snap = table.current_snapshot()
+    keep: list[ManifestFile] = []
+    if snap is not None:
+        from .manifests import read_manifest_list
+
+        keep = read_manifest_list(table.io.read(snap.manifest_list))
+    pairs = _write_data_files(table, df, f"{table.location}/data")
+    files = [collect_data_file(p, table.schema, part) for p, part in pairs]
+    return _commit_snapshot(table, files, OP_APPEND, keep_manifests=keep)
+
+
+def overwrite(table: Table, df: DataFrame) -> Table:
+    """Replace the whole table contents in one atomic snapshot."""
+    pairs = _write_data_files(table, df, f"{table.location}/data")
+    files = [collect_data_file(p, table.schema, part) for p, part in pairs]
+    return _commit_snapshot(table, files, OP_OVERWRITE, keep_manifests=[])
+
+
+def delete_where(table: Table, spark: SparkSession, row_filter) -> Table:
+    """Copy-on-write delete: files that may contain matches are
+    rewritten without matching rows; untouched files are retained.
+    The scan pruning makes this proportional to affected files, not
+    table size."""
+    from .expressions import to_spark_column
+    from .manifests import read_manifest_list, fetch_entries
+
+    snap = table.current_snapshot()
+    if snap is None:
+        return table
+
+    scan = table.scan(row_filter=row_filter)
+    affected = {t.file.file_path for t in scan.plan_files()}
+
+    # collect all current entries, split into untouched / affected
+    untouched: list[ManifestEntry] = []
+    for m in read_manifest_list(table.io.read(snap.manifest_list)):
+        for e in fetch_entries(m, table.io.read(m.manifest_path), discard_deleted=True):
+            if e.data_file.file_path not in affected:
+                untouched.append(e)
+
+    new_files: list[DataFile] = []
+    if affected:
+        from .table import strip_file_scheme
+
+        keep_rows = spark.read.schema(table.schema.to_spark()).parquet(
+            *[strip_file_scheme(p) for p in sorted(affected)]
+        ).filter(~to_spark_column(row_filter))
+        if keep_rows.limit(1).count() > 0:
+            pairs = _write_data_files(table, keep_rows, f"{table.location}/data")
+            new_files = [collect_data_file(p, table.schema, part) for p, part in pairs]
+
+    return _commit_snapshot(
+        table, new_files, OP_DELETE, keep_manifests=[], retained_entries=untouched
+    )

@@ -865,3 +865,9 @@ def sim_lsh_q(spark: SparkSession, sf: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("embedding")
     )
     return similarity.lsh_topk(emb, q, k=5)
+
+
+# Iceberg-plane queries register themselves on import (module kept
+# separate to keep this file query-only; import must come after
+# `register` is defined).
+from . import iceberg_queries  # noqa: E402,F401  (registration side effect)

@@ -1,0 +1,212 @@
+"""End-to-end table tests over Spark: create/append/scan with partition,
+bucket, and metrics pruning; time travel; refs; copy-on-write delete;
+static catalog; CLI; inspect tables. This is the v1 milestone slice of
+SURVEY.md §7 step 5 plus the write path (step 9)."""
+
+import subprocess
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+from icegopher_spark.iceberg import expressions as E
+from icegopher_spark.iceberg import write as W
+from icegopher_spark.iceberg.catalog import StaticCatalog, load_catalog
+from icegopher_spark.iceberg.schema import Schema
+from icegopher_spark.iceberg.table import Table
+from icegopher_spark.iceberg.transforms import PartitionField, PartitionSpec, parse_transform
+from icegopher_spark.iceberg.types import (
+    DoubleType,
+    LongType,
+    NestedField,
+    StringType,
+    TimestampType,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def warehouse(tmp_path_factory):
+    return str(tmp_path_factory.mktemp("warehouse"))
+
+
+@pytest.fixture(scope="module")
+def lineitem(spark):
+    return spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select(
+        "l_orderkey",
+        "l_quantity",
+        "l_returnflag",
+        F.col("l_shipdate").cast("timestamp_ntz").alias("l_shipdate"),
+    )
+
+
+SCHEMA = Schema(
+    (
+        NestedField(1, "l_orderkey", LongType(), True),
+        NestedField(2, "l_quantity", DoubleType(), False),
+        NestedField(3, "l_returnflag", StringType(), False),
+        NestedField(4, "l_shipdate", TimestampType(), False),
+    ),
+    schema_id=0,
+)
+
+SPEC = PartitionSpec(
+    [
+        PartitionField(3, 1000, "flag", parse_transform("identity")),
+        PartitionField(1, 1001, "okb", parse_transform("bucket[4]")),
+    ]
+)
+
+
+@pytest.fixture(scope="module")
+def table(spark, warehouse, lineitem):
+    cat = StaticCatalog("test", warehouse)
+    cat.create_namespace("db")
+    t = cat.create_table(("db", "lineitem"), SCHEMA, SPEC)
+    t = W.append(t, lineitem.filter(F.col("l_orderkey") % 2 == 0))
+    t = W.append(t, lineitem.filter(F.col("l_orderkey") % 2 == 1))
+    return t
+
+
+def test_full_scan_matches_source(spark, table, lineitem):
+    assert table.scan().to_df(spark).count() == lineitem.count()
+
+
+def test_partition_pruning(spark, table):
+    all_files = table.scan().plan_files()
+    pruned = table.scan(row_filter=E.equal_to("l_returnflag", "R")).plan_files()
+    assert 0 < len(pruned) < len(all_files)
+    for t in pruned:
+        assert t.file.partition.get("flag") == "R"
+
+
+def test_filtered_scan_values(spark, table, lineitem):
+    got = table.scan(row_filter=E.equal_to("l_returnflag", "R")).to_df(spark)
+    exp = lineitem.filter(F.col("l_returnflag") == "R")
+    assert got.count() == exp.count()
+
+
+def test_bucket_pruning(spark, table):
+    all_files = table.scan().plan_files()
+    pruned = table.scan(row_filter=E.equal_to("l_orderkey", 1234)).plan_files()
+    assert len(pruned) < len(all_files)
+
+
+def test_metrics_pruning_impossible_range(spark, table):
+    assert table.scan(row_filter=E.greater_than("l_quantity", 1e9)).plan_files() == []
+
+
+def test_projection_and_limit(spark, table):
+    df = table.scan(selected_fields=("l_orderkey", "l_quantity"), limit=7).to_df(spark)
+    assert df.columns == ["l_orderkey", "l_quantity"]
+    assert df.count() == 7
+
+
+def test_time_travel(spark, table, lineitem):
+    first = table.metadata.snapshots[0]
+    df = table.scan(snapshot_id=first.snapshot_id).to_df(spark)
+    assert df.count() == lineitem.filter(F.col("l_orderkey") % 2 == 0).count()
+
+
+def test_ref_scan(spark, table):
+    assert table.scan(ref="main").to_df(spark).count() == table.scan().to_df(spark).count()
+    with pytest.raises(ValueError):
+        table.scan().use_ref("nope")
+
+
+def test_snapshot_as_of(table):
+    ts = table.metadata.snapshots[0].timestamp_ms
+    snap = table.metadata.snapshot_as_of(ts)
+    assert snap.snapshot_id == table.metadata.snapshots[0].snapshot_id
+
+
+def test_inspect_tables(spark, table):
+    files = table.inspect.files(spark)
+    assert files.count() == len(table.scan().plan_files())
+    snaps = table.inspect.snapshots(spark)
+    assert snaps.count() == len(table.metadata.snapshots)
+    refs = table.inspect.refs(spark)
+    assert refs.filter(F.col("name") == "main").count() == 1
+    manifests = table.inspect.manifests(spark)
+    assert manifests.count() >= 1
+    parts = table.inspect.partitions(spark)
+    assert parts.count() == len(
+        {tuple(sorted(t.file.partition.items())) for t in table.scan().plan_files()}
+    )
+
+
+def test_static_catalog_listing(warehouse, table):
+    cat = StaticCatalog("test", warehouse)
+    assert ("db",) in cat.list_namespaces()
+    assert ("db", "lineitem") in cat.list_tables("db")
+    t = cat.load_table("db.lineitem")
+    assert t.schema == SCHEMA
+
+
+def test_catalog_factory(warehouse):
+    cat = load_catalog("c", warehouse)
+    assert isinstance(cat, StaticCatalog)
+
+
+def test_namespace_properties(warehouse):
+    cat = StaticCatalog("test", warehouse)
+    cat.create_namespace("db2", {"owner": "alice"})
+    assert cat.load_namespace_properties("db2") == {"owner": "alice"}
+    out = cat.update_namespace_properties("db2", removals=["nope"], updates={"x": "1"})
+    assert out["missing"] == ["nope"]
+    assert cat.load_namespace_properties("db2")["x"] == "1"
+
+
+def test_delete_where(spark, warehouse, lineitem):
+    cat = StaticCatalog("test", warehouse)
+    t = cat.create_table(("db", "li_del"), SCHEMA, SPEC)
+    t = W.append(t, lineitem)
+    t = W.delete_where(t, spark, E.equal_to("l_returnflag", "R"))
+    got = t.scan().to_df(spark)
+    exp = lineitem.filter(F.col("l_returnflag") != "R")
+    assert got.count() == exp.count()
+    assert [s.operation for s in t.metadata.snapshots] == ["append", "delete"]
+
+
+def test_overwrite(spark, warehouse, lineitem):
+    cat = StaticCatalog("test", warehouse)
+    t = cat.create_table(("db", "li_ow"), SCHEMA, PartitionSpec())
+    t = W.append(t, lineitem)
+    small = lineitem.limit(10)
+    t = W.overwrite(t, small)
+    assert t.scan().to_df(spark).count() == 10
+
+
+def test_reload_from_disk(spark, warehouse, table):
+    t2 = Table.from_location(f"{warehouse}/db/lineitem")
+    assert t2.scan().to_df(spark).count() == table.scan().to_df(spark).count()
+
+
+def test_cli_verbs(warehouse, table):
+    def run(*args):
+        return subprocess.run(
+            [sys.executable, "-m", "icegopher_spark.iceberg.cli", "--catalog", warehouse, *args],
+            capture_output=True,
+            text=True,
+            cwd="/root/repo",
+        )
+
+    out = run("list")
+    assert out.returncode == 0 and "db" in out.stdout
+    out = run("list", "db")
+    assert "db.lineitem" in out.stdout
+    out = run("describe", "db.lineitem")
+    assert "format-version" in out.stdout
+    out = run("schema", "db.lineitem")
+    assert "l_orderkey" in out.stdout
+    out = run("spec", "db.lineitem")
+    assert "bucket[4]" in out.stdout
+    out = run("snapshots", "db.lineitem")
+    assert "append" in out.stdout
+    out = run("refs", "db.lineitem")
+    assert "main" in out.stdout
+    out = run("files", "db.lineitem")
+    assert "Datafile" in out.stdout
+    out = run("location", "db.lineitem")
+    assert "lineitem" in out.stdout
