@@ -50,9 +50,20 @@ def main() -> None:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark("bench")
 
-    # Warm-up: touch the biggest table once so JVM/codegen startup is
-    # not attributed to the first benchmark query.
-    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    # Warm-up: exercise the plan shapes (scan, exchange, hash agg,
+    # generator) once so JVM JIT + whole-stage-codegen compilation isn't
+    # billed to the first measured query of each shape. Standard
+    # steady-state benching; results are not cached (no .cache() / no
+    # reuse of measured query plans).
+    from pyspark.sql import functions as F
+
+    from icegopher_spark.queries import load
+
+    load(spark, sf_dir, "lineitem").groupBy("l_returnflag").count().count()
+    docs = load(spark, sf_dir, "documents")
+    docs.select(F.explode(F.split(F.lower("text"), " ")).alias("w")).groupBy(
+        "w"
+    ).count().count()
 
     times: dict[str, float] = {}
     for name in BENCH_QUERIES:

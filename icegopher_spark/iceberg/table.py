@@ -317,6 +317,66 @@ class TableScan:
                 )
         return tasks
 
+    def plan_incremental_files(
+        self, from_snapshot_id: int, to_snapshot_id: int | None = None
+    ) -> list[FileScanTask]:
+        """Files ADDED strictly after ``from_snapshot_id`` up to
+        ``to_snapshot_id`` (default: current) — the append-diff that
+        powers incremental/CDC-style reads (reference: ADDED status,
+        manifest.go:298-304; snapshot lineage via parent ids)."""
+        md = self.table.metadata
+        to_snap = (
+            md.snapshot_by_id(to_snapshot_id) if to_snapshot_id else md.current_snapshot
+        )
+        if to_snap is None:
+            return []
+        # walk lineage from to_snap back to from_snapshot (exclusive)
+        new_snapshot_ids = set()
+        cur = to_snap
+        while cur is not None and cur.snapshot_id != from_snapshot_id:
+            new_snapshot_ids.add(cur.snapshot_id)
+            cur = (
+                md.snapshot_by_id(cur.parent_snapshot_id)
+                if cur.parent_snapshot_id is not None
+                else None
+            )
+        if cur is None and from_snapshot_id != 0:
+            raise ValueError(
+                f"snapshot {from_snapshot_id} is not an ancestor of {to_snap.snapshot_id}"
+            )
+        io = self.table.io
+        tasks = []
+        for m in read_manifest_list(io.read(to_snap.manifest_list)):
+            if m.content != ManifestContent.DATA:
+                continue
+            if m.added_snapshot_id not in new_snapshot_ids:
+                continue
+            for e in fetch_entries(m, io.read(m.manifest_path), discard_deleted=True):
+                if e.status == ManifestEntryStatus.ADDED and e.snapshot_id in new_snapshot_ids:
+                    df = e.data_file
+                    tasks.append(FileScanTask(df, [], 0, df.file_size_in_bytes))
+        return tasks
+
+    def incremental_to_df(
+        self, spark: SparkSession, from_snapshot_id: int, to_snapshot_id: int | None = None
+    ) -> DataFrame:
+        tasks = self.plan_incremental_files(from_snapshot_id, to_snapshot_id)
+        schema = self.projection_base_schema().to_spark()
+        if not tasks:
+            return spark.createDataFrame([], schema)
+        df = spark.read.schema(schema).parquet(
+            *[strip_file_scheme(t.file.file_path) for t in tasks]
+        )
+        if not isinstance(self.row_filter, AlwaysTrue):
+            df = df.filter(
+                to_spark_column(
+                    ensure_bound(
+                        self.projection_base_schema(), rewrite_not(self.row_filter), self.case_sensitive
+                    )
+                )
+            )
+        return df
+
     def projection_base_schema(self) -> Schema:
         """Schema used for binding the row filter: the full snapshot
         schema (projection may drop filtered columns)."""
@@ -357,12 +417,14 @@ class TableScan:
             deletes = spark.read.parquet(*delete_paths).select(
                 F.col("file_path").alias("_del_path"), F.col("pos").alias("_del_pos")
             )
-            w = Window.partitionBy(F.input_file_name()).orderBy(F.monotonically_increasing_id())
+            # Exact row positions from the parquet reader's hidden
+            # _metadata column (split-safe, unlike row_number over
+            # input_file_name). Merge-on-read = left-anti equi-join on
+            # (file, position) — SURVEY.md §2.1 #19.
             df = (
-                df.withColumn("_file", F.input_file_name())
-                .withColumn("_pos", F.row_number().over(w) - F.lit(1))
+                df.withColumn("_file", F.col("_metadata.file_path"))
+                .withColumn("_pos", F.col("_metadata.row_index"))
             )
-            # normalize URI for comparison: deletes store the writer's path
             norm = F.regexp_replace(F.col("_file"), "^file:/*", "/")
             norm_del = F.regexp_replace(F.col("_del_path"), "^file:/*", "/")
             df = df.join(

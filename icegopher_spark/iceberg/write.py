@@ -26,6 +26,7 @@ from .io import LocalFileIO, strip_scheme
 from .literals import Literal, literal_to_bytes
 from .manifests import (
     DataFile,
+    DataFileContent,
     FieldSummary,
     ManifestContent,
     ManifestEntry,
@@ -349,6 +350,7 @@ def _commit_snapshot(
     operation: str,
     keep_manifests: list[ManifestFile] | None = None,
     retained_entries: list[ManifestEntry] | None = None,
+    delete_files: list[DataFile] | None = None,
 ) -> Table:
     """Write manifest + manifest list + metadata; bump version."""
     md = table.metadata
@@ -417,6 +419,35 @@ def _commit_snapshot(
             ),
         )
 
+    if delete_files:
+        dm_path = f"{location}/metadata/{_uuid.uuid4().hex}-d0.avro"
+        dentries = [
+            ManifestEntry(
+                status=ManifestEntryStatus.ADDED,
+                snapshot_id=snap_id,
+                sequence_number=seq,
+                file_sequence_number=seq,
+                data_file=f,
+            )
+            for f in delete_files
+        ]
+        ddata = write_manifest(dentries, pfields, schema.to_json(), "[]", ManifestContent.DELETES)
+        io.write(dm_path, ddata)
+        manifests.insert(
+            0,
+            ManifestFile(
+                manifest_path=dm_path,
+                manifest_length=len(ddata),
+                partition_spec_id=spec.spec_id,
+                content=ManifestContent.DELETES,
+                sequence_number=seq,
+                min_sequence_number=seq,
+                added_snapshot_id=snap_id,
+                added_files_count=len(delete_files),
+                added_rows_count=sum(f.record_count for f in delete_files),
+            ),
+        )
+
     list_path = f"{location}/metadata/snap-{snap_id}-{_uuid.uuid4().hex}.avro"
     io.write(list_path, write_manifest_list(manifests, snap_id))
 
@@ -477,6 +508,78 @@ def overwrite(table: Table, df: DataFrame) -> Table:
     pairs = _write_data_files(table, df, f"{table.location}/data")
     files = [collect_data_file(p, table.schema, part) for p, part in pairs]
     return _commit_snapshot(table, files, OP_OVERWRITE, keep_manifests=[])
+
+
+def delete_where_mor(table: Table, spark: SparkSession, row_filter) -> Table:
+    """Merge-on-read delete: instead of rewriting data files, write
+    positional delete files (file_path, pos) for matching rows and
+    commit them in a DELETES manifest. Reads apply them as a left-anti
+    join (table.py). At scale this turns deletes from O(affected bytes)
+    rewrites into O(matching rows) appends — the trade the Iceberg V2
+    spec exists for."""
+    from .expressions import to_spark_column
+    from .manifests import read_manifest_list
+    from .table import strip_file_scheme
+
+    snap = table.current_snapshot()
+    if snap is None:
+        return table
+
+    scan = table.scan(row_filter=row_filter)
+    affected = sorted({t.file.file_path for t in scan.plan_files()})
+    if not affected:
+        return table
+
+    src = spark.read.schema(table.schema.to_spark()).parquet(
+        *[strip_file_scheme(p) for p in affected]
+    )
+    matches = (
+        src.filter(to_spark_column(row_filter))
+        .select(
+            F.regexp_replace(F.col("_metadata.file_path"), "^file:/*", "/").alias("file_path"),
+            F.col("_metadata.row_index").alias("pos"),
+        )
+        .orderBy("file_path", "pos")
+    )
+    out_dir = f"{table.location}/data/deletes-{_uuid.uuid4().hex[:12]}"
+    matches.coalesce(1).write.mode("overwrite").parquet(out_dir)
+
+    delete_files = []
+    for fn in sorted(os.listdir(out_dir)):
+        if not fn.endswith(".parquet"):
+            continue
+        path = f"{out_dir}/{fn}"
+        import pyarrow.parquet as pq
+
+        meta = pq.ParquetFile(path).metadata
+        if meta.num_rows == 0:
+            continue
+        tbl = pq.read_table(path, columns=["file_path"])
+        paths = tbl.column("file_path").to_pylist()
+        delete_files.append(
+            DataFile(
+                file_path=path,
+                content=DataFileContent.POSITION_DELETES,
+                record_count=meta.num_rows,
+                file_size_in_bytes=os.path.getsize(path),
+                partition={},
+                # path bounds let the planner skip non-overlapping data
+                # files (reference scanner.go:162-193 bounds check)
+                lower_bounds={2147483546: min(paths).encode()},
+                upper_bounds={2147483546: max(paths).encode()},
+            )
+        )
+    if not delete_files:
+        return table
+
+    keep = read_manifest_list(table.io.read(snap.manifest_list))
+    return _commit_snapshot(
+        table,
+        [],
+        OP_DELETE,
+        keep_manifests=keep,
+        delete_files=delete_files,
+    )
 
 
 def delete_where(table: Table, spark: SparkSession, row_filter) -> Table:

@@ -143,3 +143,76 @@ def iceberg_bucket_lookup(spark: SparkSession, sf: str) -> DataFrame:
             .alias("qty")
         )
     )
+
+
+ice_inc_oracle = """
+SELECT COUNT(*) AS n_rows, CAST(SUM(l_orderkey) AS BIGINT) AS sum_okey
+FROM lineitem WHERE l_orderkey % 2 = 1
+"""
+
+
+@register(
+    "iceberg_incremental_scan",
+    ice_inc_oracle,
+    "snapshot-diff incremental read: files ADDED between snapshots 1->2",
+)
+def iceberg_incremental(spark: SparkSession, sf: str) -> DataFrame:
+    t = _table_for(spark, sf)
+    s1, s2 = (s.snapshot_id for s in t.metadata.snapshots[:2])
+    df = t.scan().incremental_to_df(spark, s1, s2)
+    return df.agg(
+        F.count(F.lit(1)).alias("n_rows"), F.sum("l_orderkey").alias("sum_okey")
+    )
+
+
+ice_mor_oracle = """
+SELECT l_returnflag, COUNT(*) AS n_rows,
+       CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_qty
+FROM lineitem WHERE l_returnflag <> 'R'
+GROUP BY l_returnflag
+"""
+
+
+@register(
+    "iceberg_mor_delete",
+    ice_mor_oracle,
+    "merge-on-read positional deletes applied as left-anti join on (file,pos)",
+)
+def iceberg_mor(spark: SparkSession, sf: str) -> DataFrame:
+    t = _mor_table_for(spark, sf)
+    return (
+        t.scan()
+        .to_df(spark)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum(F.col("l_quantity").cast("decimal(12,2)")), 2)
+            .cast("double")
+            .alias("sum_qty"),
+        )
+    )
+
+
+def _mor_table_for(spark: SparkSession, sf_dir: str) -> Table:
+    """lineitem table with a merge-on-read delete of flag='R' applied."""
+    key = sf_dir.strip("/").replace("/", "_")
+    loc = f"{_CACHE_ROOT}/{key}/lineitem_mor"
+    hint = f"{loc}/metadata/version-hint.text"
+    if os.path.exists(hint):
+        try:
+            t = Table.from_location(loc)
+            if len(t.metadata.snapshots) == 2:
+                return t
+        except Exception:  # noqa: BLE001
+            pass
+        shutil.rmtree(loc, ignore_errors=True)
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey",
+        "l_quantity",
+        "l_returnflag",
+        F.col("l_shipdate").cast("timestamp_ntz").alias("l_shipdate"),
+    )
+    t = W.create_table(loc, _SCHEMA, _SPEC)
+    t = W.append(t, li)
+    t = W.delete_where_mor(t, spark, E.equal_to("l_returnflag", "R"))
+    return t

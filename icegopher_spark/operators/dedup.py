@@ -109,13 +109,11 @@ def ngram_jaccard_pairs(
 
 def minhash_signature(col: Column, num_hashes: int = 32, n: int = 3) -> Column:
     """MinHash signature as array<bigint>: min over shingles of
-    xxhash64(seed, shingle) per seed.
-
-    Single ``F.aggregate`` pass over the shingle array with an
-    array<bigint> accumulator (one zip_with min per shingle) — one
-    traversal total instead of num_hashes traversals, which keeps the
-    per-row cost O(shingles × hashes) with no re-materialization.
-    Entirely JVM-side."""
+    xxhash64(seed, shingle) per seed — single F.aggregate pass with an
+    array accumulator. NOTE: higher-order functions are CodegenFallback
+    (interpreted) in Spark, so for bulk corpora prefer
+    ``minhash_signatures_df`` (explode + groupBy, whole-stage codegen);
+    this Column form remains for ad-hoc per-row use."""
     sh = word_shingles(col, n)
     init = F.array(*[F.lit(2**63 - 1).cast("bigint") for _ in range(num_hashes)])
 
@@ -124,6 +122,31 @@ def minhash_signature(col: Column, num_hashes: int = 32, n: int = 3) -> Column:
         return F.zip_with(acc, hs, lambda a, h: F.least(a, h))
 
     return F.aggregate(sh, init, step)
+
+
+def minhash_signatures_df(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    n: int = 3,
+) -> DataFrame:
+    """(id, sig array<bigint>) via the scalable pattern: explode distinct
+    shingles to rows, hash each with ``num_hashes`` seeds as flat codegen
+    columns, and take per-doc mins in one hash aggregate.
+
+    Everything stays inside whole-stage codegen (xxhash64 + min are
+    primitive exprs; no higher-order functions in the hot path). The
+    only shuffle moves (id, 8-byte shingle hash) pairs — at 100 TB that
+    is a few percent of corpus size, and partial aggregation collapses
+    most of it map-side."""
+    sh = df.select(
+        F.col(id_col).alias("id"), F.explode(word_shingles(F.col(text_col), n)).alias("sh")
+    )
+    mins = sh.groupBy("id").agg(
+        *[F.min(F.xxhash64(F.lit(k), F.col("sh"))).alias(f"h{k}") for k in range(num_hashes)]
+    )
+    return mins.select("id", F.array(*[f"h{k}" for k in range(num_hashes)]).alias("sig"))
 
 
 def minhash_lsh_candidates(
@@ -141,25 +164,22 @@ def minhash_lsh_candidates(
     At scale the exploded frame is num_docs × bands rows of 3 longs.
     """
     rows_per_band = num_hashes // bands
-    sig = minhash_signature(F.col(text_col), num_hashes, n)
-
-    def band_structs(s: Column) -> Column:
-        return F.array(
-            *[
-                F.struct(
-                    F.lit(b).alias("band"),
-                    F.xxhash64(
-                        *[s[b * rows_per_band + r] for r in range(rows_per_band)]
-                    ).alias("key"),
-                )
-                for b in range(bands)
-            ]
-        )
-
-    d = df.filter(F.size(word_shingles(F.col(text_col), n)) > 0)
-    band_entries = d.select(
-        F.col(id_col).alias("id"),
-        F.explode(bind1(sig, band_structs)).alias("bk"),
+    sigs = minhash_signatures_df(df, text_col, id_col, num_hashes, n)
+    band_entries = sigs.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)]
+                        ).alias("key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
     ).select("id", "bk.band", "bk.key")
     a, b = band_entries.alias("a"), band_entries.alias("b")
     return (
@@ -236,6 +256,32 @@ def simhash64(col: Column, n: int = 1) -> Column:
     return F.aggregate(signed, F.lit(0).cast("bigint"), lambda acc, v: acc + v)
 
 
+def simhash_df(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 1
+) -> DataFrame:
+    """(id, sh bigint) SimHash via the scalable explode + groupBy
+    pattern (whole-stage codegen end to end): one row per shingle, 64
+    per-bit ±1 contributions as flat SUM aggregates, sign-assembled
+    into the 64-bit fingerprint."""
+    masks = [1 << b if b < 63 else -(1 << 63) for b in range(64)]
+    rows = df.select(
+        F.col(id_col).alias("id"), F.explode(word_shingles(F.col(text_col), n)).alias("s")
+    ).select("id", F.xxhash64("s").alias("h"))
+    sums = rows.groupBy("id").agg(
+        *[
+            F.sum(
+                F.when(F.col("h").bitwiseAND(F.lit(m).cast("bigint")) != 0, 1).otherwise(-1)
+            ).alias(f"b{b}")
+            for b, m in enumerate(masks)
+        ]
+    )
+    sh = None
+    for b, m in enumerate(masks):
+        term = F.when(F.col(f"b{b}") > 0, F.lit(m).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
+        sh = term if sh is None else sh + term
+    return sums.select("id", sh.alias("sh"))
+
+
 def simhash_neardup_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -245,21 +291,21 @@ def simhash_neardup_pairs(
     """SimHash near-dup: candidates share one of 4 16-bit bands
     (guarantees recall for hamming ≤ 3), verified by exact popcount.
     """
-    def band_structs(s: Column) -> Column:
-        return F.array(
-            *[
-                F.struct(
-                    s.alias("sh"),
-                    F.lit(b).alias("band"),
-                    F.shiftrightunsigned(s, b * 16).bitwiseAND(F.lit(0xFFFF)).alias("key"),
-                )
-                for b in range(4)
-            ]
-        )
-
-    bands = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(bind1(simhash64(F.col(text_col)), band_structs)).alias("bk"),
+    d = simhash_df(df, text_col, id_col)
+    bands = d.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.col("sh").alias("sh"),
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned("sh", b * 16).bitwiseAND(F.lit(0xFFFF)).alias("key"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bk"),
     ).select("id", "bk.sh", "bk.band", "bk.key")
     a, b = bands.alias("a"), bands.alias("b")
     cands = (

@@ -49,9 +49,21 @@ def _scale_out(spark: SparkSession, df: DataFrame) -> DataFrame:
     Filters still push down: Catalyst moves deterministic predicates
     through Repartition to the scan."""
     target = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    if df.rdd.getNumPartitions() < target:
+    if _input_partitions(df) < target:
         return df.repartition(target)
     return df
+
+
+_NPART_CACHE: dict[str, int] = {}
+
+
+def _input_partitions(df: DataFrame) -> int:
+    """Scan partition count, cached per file list (the .rdd conversion
+    costs ~0.5-1s on first use per plan)."""
+    key = ";".join(sorted(df.inputFiles()))
+    if key not in _NPART_CACHE:
+        _NPART_CACHE[key] = df.rdd.getNumPartitions()
+    return _NPART_CACHE[key]
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -871,3 +883,4 @@ def sim_lsh_q(spark: SparkSession, sf: str) -> DataFrame:
 # separate to keep this file query-only; import must come after
 # `register` is defined).
 from . import iceberg_queries  # noqa: E402,F401  (registration side effect)
+from . import streaming_queries  # noqa: E402,F401  (registration side effect)

@@ -1,0 +1,189 @@
+"""Structured Streaming pipelines over the events table: watermarked
+tumbling/sliding/session windows, stream dedup, and a custom stateful
+operator via applyInPandasWithState.
+
+[S/X] surface (SURVEY.md §2.9): the reference is a batch metadata
+library; streaming capability comes from Spark. Each pipeline is a
+function from a (streaming) DataFrame to a (streaming) DataFrame, so
+the same code runs on any source — Kafka, files landing on S3, or an
+Iceberg append stream (incremental snapshot diffs, table.py). Tests and
+the correctness gate drive them with the file source + availableNow
+trigger, which replays the events table as a bounded stream.
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("ts", T.LongType()),  # nanos (file source reads raw)
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_events_stream(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """Streaming read of the events table via the parquet file source.
+
+    At production scale the same pipeline reads Kafka or a cloud-files
+    source; the file source is the bounded-replay stand-in. The ts
+    column arrives as TIMESTAMP(NANOS) → read as long, truncated to µs.
+    """
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:  # noqa: BLE001
+        pass
+    path = sf_dir if not sf_dir.endswith(".parquet") else _stage_dir(sf_dir)
+    reader = spark.readStream.schema(EVENTS_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    df = reader.parquet(path)
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def _stage_dir(file_path: str, variant: str = "") -> str:
+    """The file streaming source wants a directory; stage a single file
+    behind a symlink dir (cached per source path + variant; variants
+    keep e.g. a deliberately-duplicated replay isolated from the
+    plain one)."""
+    import hashlib
+    import os
+
+    key = hashlib.md5(f"{file_path}|{variant}".encode()).hexdigest()[:12]
+    d = f"/tmp/icegopher_stream/{key}"
+    os.makedirs(d, exist_ok=True)
+    link = f"{d}/{os.path.basename(file_path)}"
+    if not os.path.exists(link):
+        os.symlink(file_path, link)
+    return d
+
+
+# -- windowed pipelines -----------------------------------------------------
+
+
+def hourly_rollup(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Tumbling 1-hour windows with late-data watermark: the streaming
+    twin of the batch events_hourly_rollup query."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            # decimal sum: exact, order-independent (float sums are not)
+            F.sum(F.col("value").cast("decimal(14,4)")).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            F.round("total_value", 2).cast("double").alias("total_value"),
+        )
+    )
+
+
+def sliding_counts(
+    events: DataFrame, window: str = "1 hour", slide: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+    )
+
+
+def session_rollup(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Session windows per user: gap-based sessionization as a native
+    streaming state operator (batch twin: events_sessionization)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def stream_dedup(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Exactly-once by event_id within the watermark horizon."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
+
+
+# -- custom stateful operator ----------------------------------------------
+
+
+def running_user_totals(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Per-user running totals via applyInPandasWithState — the custom
+    stateful-operator escape hatch for semantics the built-in windows
+    can't express (here: monotone cumulative state per key, emitted
+    once per trigger)."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "user_id long, n_events long, total_value double"
+    state_schema = "n long, total double"
+
+    def update(key, pdfs, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        import pandas as pd
+
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+        )
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+# -- execution helper -------------------------------------------------------
+
+
+def run_stream_to_table(
+    sdf: DataFrame, spark: SparkSession, output_mode: str = "append"
+) -> DataFrame:
+    """Run a (bounded) stream to completion with the availableNow
+    trigger into an in-memory sink; returns the materialized result.
+    This is how the correctness gate replays streaming pipelines
+    deterministically."""
+    name = f"s{uuid.uuid4().hex[:12]}"
+    with tempfile.TemporaryDirectory(prefix="ckpt_") as ckpt:
+        q = (
+            sdf.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(name)

@@ -1,0 +1,115 @@
+"""Streaming queries for the correctness gate: each runs a REAL
+Structured Streaming query (file source, availableNow trigger, memory
+sink, checkpointed) over the events table and returns the materialized
+result; the oracle computes the batch-equivalent answer in SQL. This
+checks watermark/window/state semantics, not just DataFrame algebra."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .queries import register
+from .streaming import pipelines as P
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return P.read_events_stream(spark, f"{sf_dir}/events.parquet")
+
+
+stream_hourly_oracle = """
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       COUNT(*) AS n_events,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(14,4))), 2) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@register(
+    "stream_hourly_rollup",
+    stream_hourly_oracle,
+    "streaming tumbling-window agg == batch rollup (availableNow replay)",
+)
+def stream_hourly(spark: SparkSession, sf: str) -> DataFrame:
+    out = P.run_stream_to_table(P.hourly_rollup(_events_stream(spark, sf)), spark, "update")
+    return out
+
+
+stream_sliding_oracle = """
+SELECT ws AS window_start, event_type, COUNT(*) AS n_events
+FROM (
+  SELECT time_bucket(INTERVAL '30 minutes', ts) AS ws, event_type FROM events
+  UNION ALL
+  SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes' AS ws, event_type
+  FROM events
+) t
+GROUP BY 1, 2
+"""
+
+
+@register(
+    "stream_sliding_window",
+    stream_sliding_oracle,
+    "sliding 1h/30m window counts (each event in 2 windows)",
+)
+def stream_sliding(spark: SparkSession, sf: str) -> DataFrame:
+    return P.run_stream_to_table(P.sliding_counts(_events_stream(spark, sf)), spark, "update")
+
+
+stream_dedup_oracle = """
+SELECT COUNT(*) AS n_unique, CAST(SUM(event_id) AS BIGINT) AS sum_ids
+FROM (SELECT DISTINCT event_id FROM events) t
+"""
+
+
+@register(
+    "stream_dedup",
+    stream_dedup_oracle,
+    "dropDuplicatesWithinWatermark over a doubled replay -> distinct set",
+)
+def stream_dedup_q(spark: SparkSession, sf: str) -> DataFrame:
+    # stage the file TWICE (own variant dir) so the stream actually
+    # contains duplicates; other streaming queries keep the clean replay
+    src = f"{sf}/events.parquet"
+    d = P._stage_dir(src, variant="doubled")
+    dup = f"{d}/events_dup.parquet"
+    if not os.path.exists(dup):
+        os.symlink(src, dup)
+    ev = P.read_events_stream(spark, d)
+    out = P.run_stream_to_table(P.stream_dedup(ev), spark, "append")
+    return out.agg(
+        F.count(F.lit(1)).alias("n_unique"), F.sum("event_id").alias("sum_ids")
+    )
+
+
+stream_totals_oracle = """
+SELECT user_id, COUNT(*) AS n_events,
+       ROUND(SUM(value), 2) AS total_value
+FROM events GROUP BY user_id
+"""
+
+
+@register(
+    "stream_running_totals",
+    stream_totals_oracle,
+    "applyInPandasWithState per-user running totals == batch groupBy",
+)
+def stream_totals(spark: SparkSession, sf: str) -> DataFrame:
+    out = P.run_stream_to_table(
+        P.running_user_totals(_events_stream(spark, sf)), spark, "update"
+    )
+    return out.select("user_id", "n_events", F.round("total_value", 2).alias("total_value"))
+
+
+@register(
+    "stream_session_windows",
+    None,
+    "session_window sessionization (append mode; rows-only check)",
+)
+def stream_sessions(spark: SparkSession, sf: str) -> DataFrame:
+    return P.run_stream_to_table(
+        P.session_rollup(_events_stream(spark, sf), watermark="0 seconds"), spark, "append"
+    )

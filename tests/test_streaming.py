@@ -1,0 +1,70 @@
+"""Structured Streaming pipelines replayed with availableNow and
+compared against their batch twins."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from icegopher_spark.queries import load
+from icegopher_spark.streaming import pipelines as P
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def events_stream(spark):
+    return P.read_events_stream(spark, f"{SF}/events.parquet")
+
+
+@pytest.fixture(scope="module")
+def events_batch(spark):
+    return load(spark, SF, "events")
+
+
+def test_stream_is_streaming(events_stream):
+    assert events_stream.isStreaming
+
+
+def test_hourly_rollup_matches_batch(spark, events_stream, events_batch):
+    out = P.run_stream_to_table(P.hourly_rollup(events_stream), spark, "update")
+    batch = (
+        events_batch.groupBy(F.date_trunc("hour", "ts").alias("window_start"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(14,4)")), 2)
+            .cast("double")
+            .alias("total_value"),
+        )
+    )
+    assert out.count() == batch.count()
+    assert out.exceptAll(batch).count() == 0
+
+
+def test_sliding_each_event_in_two_windows(spark, events_stream, events_batch):
+    out = P.run_stream_to_table(P.sliding_counts(events_stream), spark, "update")
+    total = out.agg(F.sum("n_events")).first()[0]
+    assert total == 2 * events_batch.count()
+
+
+def test_session_rollup_counts(spark, events_stream, events_batch):
+    out = P.run_stream_to_table(
+        P.session_rollup(events_stream, watermark="0 seconds"), spark, "append"
+    )
+    # every emitted session has ≥1 event; total ≤ event count
+    assert 0 < out.count() <= events_batch.count()
+    assert out.filter(F.col("n_events") < 1).count() == 0
+
+
+def test_stream_dedup_noop_on_unique_ids(spark, events_stream, events_batch):
+    out = P.run_stream_to_table(P.stream_dedup(events_stream), spark, "append")
+    assert out.count() == events_batch.select("event_id").distinct().count()
+
+
+def test_running_user_totals_matches_batch(spark, events_stream, events_batch):
+    out = P.run_stream_to_table(P.running_user_totals(events_stream), spark, "update")
+    batch = events_batch.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+    got = out.select("user_id", "n_events", F.round("total_value", 2).alias("total_value"))
+    assert got.count() == batch.count()
+    assert got.exceptAll(batch).count() == 0

@@ -210,3 +210,37 @@ def test_cli_verbs(warehouse, table):
     assert "Datafile" in out.stdout
     out = run("location", "db.lineitem")
     assert "lineitem" in out.stdout
+
+
+def test_incremental_scan(spark, table, lineitem):
+    s1, s2 = (s.snapshot_id for s in table.metadata.snapshots[:2])
+    inc = table.scan().incremental_to_df(spark, s1, s2)
+    assert inc.count() == lineitem.filter(F.col("l_orderkey") % 2 == 1).count()
+    # from current -> current: empty diff
+    cur = table.current_snapshot().snapshot_id
+    assert table.scan().plan_incremental_files(cur) == []
+
+
+def test_incremental_non_ancestor_raises(table):
+    with pytest.raises(ValueError):
+        table.scan().plan_incremental_files(123456789)
+
+
+def test_mor_delete(spark, warehouse, lineitem):
+    cat = StaticCatalog("test", warehouse)
+    t = cat.create_table(("db", "li_mor"), SCHEMA, SPEC)
+    t = W.append(t, lineitem)
+    n_files = len(t.scan().plan_files())
+    t = W.delete_where_mor(t, spark, E.equal_to("l_returnflag", "R"))
+    tasks = t.scan().plan_files()
+    assert len(tasks) == n_files  # no rewrite
+    assert any(x.delete_files for x in tasks)
+    got = t.scan().to_df(spark)
+    exp = lineitem.filter(F.col("l_returnflag") != "R")
+    assert got.count() == exp.count()
+    # filter still correct on top of MOR
+    a = t.scan(row_filter=E.equal_to("l_returnflag", "A")).to_df(spark)
+    assert a.count() == lineitem.filter(F.col("l_returnflag") == "A").count()
+    # time travel to pre-delete snapshot sees all rows
+    pre = t.metadata.snapshots[0].snapshot_id
+    assert t.scan(snapshot_id=pre).to_df(spark).count() == lineitem.count()
