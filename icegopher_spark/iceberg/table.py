@@ -65,6 +65,9 @@ class FileScanTask:
     delete_files: list[Any] = dfield(default_factory=list)
     start: int = 0
     length: int = 0
+    # schema the file was WRITTEN under (its snapshot's schema-id);
+    # reads project it into the scan schema by field ID (rename-safe)
+    schema_id: int | None = None
 
     @property
     def size_bytes(self) -> int:
@@ -216,11 +219,18 @@ class TableScan:
         return md.current_snapshot
 
     def projection(self) -> Schema:
-        """Snapshot schema then select (reference scanner.go:54-67)."""
+        """Snapshot schema then select (reference scanner.go:54-67).
+        The snapshot's schema governs only for EXPLICIT time travel;
+        a current-snapshot scan always uses the current schema (so
+        metadata-only evolution is visible without a new snapshot)."""
         md = self.table.metadata
         schema = md.current_schema
         snap = self.snapshot()
-        if snap is not None and snap.schema_id is not None:
+        if (
+            (self.snapshot_id is not None or self.ref not in (None, "main"))
+            and snap is not None
+            and snap.schema_id is not None
+        ):
             s = md.schema_by_id(snap.schema_id)
             if s is not None:
                 schema = s
@@ -312,8 +322,15 @@ class TableScan:
                 if not metrics_eval.eval(df):
                     continue
                 deletes = _match_deletes(e, delete_entries, delete_seqs)
+                esnap = md.snapshot_by_id(e.snapshot_id) if e.snapshot_id else None
                 tasks.append(
-                    FileScanTask(df, deletes, 0, df.file_size_in_bytes)
+                    FileScanTask(
+                        df,
+                        deletes,
+                        0,
+                        df.file_size_in_bytes,
+                        schema_id=esnap.schema_id if esnap else None,
+                    )
                 )
         return tasks
 
@@ -378,14 +395,16 @@ class TableScan:
         return df
 
     def projection_base_schema(self) -> Schema:
-        """Schema used for binding the row filter: the full snapshot
-        schema (projection may drop filtered columns)."""
+        """Schema used for binding the row filter: the full scan schema
+        (projection may drop filtered columns); snapshot schema only
+        under explicit time travel, mirroring projection()."""
         md = self.table.metadata
-        snap = self.snapshot()
-        if snap is not None and snap.schema_id is not None:
-            s = md.schema_by_id(snap.schema_id)
-            if s is not None:
-                return s
+        if self.snapshot_id is not None or self.ref not in (None, "main"):
+            snap = self.snapshot()
+            if snap is not None and snap.schema_id is not None:
+                s = md.schema_by_id(snap.schema_id)
+                if s is not None:
+                    return s
         return md.current_schema
 
     # -- execution handoff to Spark --------------------------------------
@@ -406,9 +425,45 @@ class TableScan:
         if not tasks:
             return spark.createDataFrame([], spark_schema)
 
-        paths = [strip_file_scheme(t.file.file_path) for t in tasks]
+        base = self.projection_base_schema()
         has_deletes = any(t.delete_files for t in tasks)
-        df = spark.read.schema(self.projection_base_schema().to_spark()).parquet(*paths)
+
+        # Group files by the schema they were written under and project
+        # each group into the scan schema BY FIELD ID — renames and
+        # added/promoted columns resolve correctly for old files
+        # (reference scanner.go:54-67: the snapshot's schema governs).
+        md = self.table.metadata
+        groups: dict[int | None, list[str]] = {}
+        for t in tasks:
+            groups.setdefault(t.schema_id, []).append(strip_file_scheme(t.file.file_path))
+
+        from .types import to_spark_type
+
+        parts: list[DataFrame] = []
+        for sid, paths in groups.items():
+            file_schema = md.schema_by_id(sid) if sid is not None else None
+            file_schema = file_schema or base
+            raw = spark.read.schema(file_schema.to_spark()).parquet(*paths)
+            cols = []
+            for f in base.fields:
+                old = file_schema.find_field(f.field_id)
+                if old is not None:
+                    c = F.col(old.name)
+                    if old.field_type != f.field_type:
+                        c = c.cast(to_spark_type(f.field_type))
+                    cols.append(c.alias(f.name))
+                else:  # column added after this file was written
+                    cols.append(F.lit(None).cast(to_spark_type(f.field_type)).alias(f.name))
+            if has_deletes:
+                cols = [
+                    F.col("_metadata.file_path").alias("_file"),
+                    F.col("_metadata.row_index").alias("_pos"),
+                    *cols,
+                ]
+            parts.append(raw.select(*cols))
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
 
         if has_deletes:
             delete_paths = sorted(
@@ -417,14 +472,11 @@ class TableScan:
             deletes = spark.read.parquet(*delete_paths).select(
                 F.col("file_path").alias("_del_path"), F.col("pos").alias("_del_pos")
             )
-            # Exact row positions from the parquet reader's hidden
+            # Exact row positions came from the parquet reader's hidden
             # _metadata column (split-safe, unlike row_number over
-            # input_file_name). Merge-on-read = left-anti equi-join on
-            # (file, position) — SURVEY.md §2.1 #19.
-            df = (
-                df.withColumn("_file", F.col("_metadata.file_path"))
-                .withColumn("_pos", F.col("_metadata.row_index"))
-            )
+            # input_file_name), selected as _file/_pos per group above.
+            # Merge-on-read = left-anti equi-join on (file, position) —
+            # SURVEY.md §2.1 #19.
             norm = F.regexp_replace(F.col("_file"), "^file:/*", "/")
             norm_del = F.regexp_replace(F.col("_del_path"), "^file:/*", "/")
             df = df.join(

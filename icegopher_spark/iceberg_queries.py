@@ -216,3 +216,65 @@ def _mor_table_for(spark: SparkSession, sf_dir: str) -> Table:
     t = W.append(t, li)
     t = W.delete_where_mor(t, spark, E.equal_to("l_returnflag", "R"))
     return t
+
+
+ice_evo_oracle = """
+SELECT l_returnflag,
+       CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CASE WHEN l_orderkey % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_notes
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@register(
+    "iceberg_schema_evolution",
+    ice_evo_oracle,
+    "rename+add column mid-table; ID-based reads unify old and new files",
+)
+def iceberg_schema_evolution(spark: SparkSession, sf: str) -> DataFrame:
+    t = _evolved_table_for(spark, sf)
+    df = t.scan().to_df(spark)
+    return df.groupBy("l_returnflag").agg(
+        F.round(F.sum(F.col("qty").cast("decimal(12,2)")), 2).cast("double").alias("sum_qty"),
+        F.count("note").alias("n_notes"),
+    )
+
+
+def _evolved_table_for(spark: SparkSession, sf_dir: str) -> Table:
+    """Table that was renamed (l_quantity -> qty) and widened (note)
+    between two appends: the first file set predates the evolution."""
+    from .iceberg.evolve import update_schema
+
+    key = sf_dir.strip("/").replace("/", "_")
+    loc = f"{_CACHE_ROOT}/{key}/lineitem_evo"
+    hint = f"{loc}/metadata/version-hint.text"
+    if os.path.exists(hint):
+        try:
+            t = Table.from_location(loc)
+            if len(t.metadata.snapshots) == 2 and t.schema.find_field("note") is not None:
+                return t
+        except Exception:  # noqa: BLE001
+            pass
+        shutil.rmtree(loc, ignore_errors=True)
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey",
+        "l_quantity",
+        "l_returnflag",
+        F.col("l_shipdate").cast("timestamp_ntz").alias("l_shipdate"),
+    )
+    t = W.create_table(loc, _SCHEMA, _SPEC)
+    t = W.append(t, li.filter(F.col("l_orderkey") % 2 == 0))
+    t = (
+        update_schema(t)
+        .rename_column("l_quantity", "qty")
+        .add_column("note", StringType())
+        .commit()
+    )
+    t = W.append(
+        t,
+        li.filter(F.col("l_orderkey") % 2 == 1)
+        .withColumnRenamed("l_quantity", "qty")
+        .withColumn("note", F.lit("x")),
+    )
+    return t

@@ -1,0 +1,198 @@
+"""Multimodal columns: images/audio/video as opaque ``binary`` columns
+with a typed metadata struct, processed by Arrow-batched pandas
+functions over ``mapInPandas``.
+
+Spark-side design (all real and tested):
+  * The column convention: ``content binary`` + ``media struct<kind,
+    mime, width, height, duration_ms, sample_rate, n_frames>`` — the
+    pattern that lets a 100 TB corpus keep payloads inline in parquet
+    (vectorized IO, column pruning skips payloads when untouched) while
+    metadata-only queries never deserialize a byte of media.
+  * All transforms are ``mapInPandas`` with an explicit output schema:
+    Arrow moves whole batches, pandas does per-batch vector work, and
+    the operator composes with partitioning like any narrow map.
+  * Batch sizing: payload rows are heavy, so callers should set
+    ``spark.sql.execution.arrow.maxRecordsPerBatch`` down (e.g. 64) for
+    real media; the functions are agnostic to it.
+
+The actual codec calls (JPEG decode, resampling, frame extraction) are
+STUBBED: this container has no imaging/audio libraries, so ``decode_*``
+raise NotImplementedError unless ``fake=True``, in which case a
+deterministic synthetic decoder (seeded from the payload hash) stands
+in. The Spark plumbing — schemas, UDF signatures, batch shapes,
+partition behavior — is the deliverable and is fully exercised.
+
+[X] extension surface (SURVEY.md §2.9); no counterpart in the
+reference.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_STRUCT = T.StructType(
+    [
+        T.StructField("kind", T.StringType()),  # image | audio | video
+        T.StructField("mime", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+    ]
+)
+
+
+def media_schema(id_type: T.DataType = T.LongType()) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("media_id", id_type, False),
+            T.StructField("content", T.BinaryType()),
+            T.StructField("media", MEDIA_STRUCT),
+        ]
+    )
+
+
+def synthesize_media_df(spark, n: int = 256, kind: str = "image") -> DataFrame:
+    """Deterministic synthetic media corpus (payload = seeded bytes) —
+    the stand-in for a real ingest, used by tests and the gate."""
+    rows = []
+    for i in range(n):
+        payload = hashlib.sha256(f"{kind}-{i}".encode()).digest() * 8  # 256 B
+        if kind == "image":
+            meta = (kind, "image/jpeg", 64 + (i % 16) * 32, 64 + (i % 9) * 32, None, None, None)
+        elif kind == "audio":
+            meta = (kind, "audio/wav", None, None, 1000 + i * 37, 16000, None)
+        else:
+            meta = (kind, "video/mp4", 640, 360, 2000 + i * 53, None, 24 + i % 8)
+        rows.append((i, payload, meta))
+    return spark.createDataFrame(rows, media_schema())
+
+
+# -- codec stubs ------------------------------------------------------------
+
+
+def _fake_pixels(payload: bytes, w: int, h: int) -> bytes:
+    """Deterministic fake decode: stretch a seeded digest to w*h bytes
+    (grayscale). Stands in for a JPEG decoder."""
+    seed = hashlib.sha256(payload).digest()
+    need = w * h
+    reps = need // len(seed) + 1
+    return (seed * reps)[:need]
+
+
+def decode_image(payload: bytes, w: int, h: int, fake: bool = False) -> bytes:
+    """STUB: real implementation needs an imaging library (PIL/opencv),
+    not present in this container."""
+    if not fake:
+        raise NotImplementedError(
+            "image decode requires an imaging library; pass fake=True for "
+            "the deterministic synthetic decoder"
+        )
+    return _fake_pixels(payload, w, h)
+
+
+# -- operators (mapInPandas; plumbing is real) ------------------------------
+
+
+def media_stats(df: DataFrame) -> DataFrame:
+    """Metadata-only stats: never touches the payload column, so the
+    parquet reader prunes it (check .explain ReadSchema)."""
+    return (
+        df.groupBy(F.col("media.kind").alias("kind"))
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(F.length("content")).alias("total_bytes"),
+            F.avg(F.col("media.width")).alias("avg_width"),
+        )
+    )
+
+
+def thumbnails(df: DataFrame, thumb_w: int = 8, thumb_h: int = 8, fake: bool = True) -> DataFrame:
+    """Decode → resize to (thumb_w, thumb_h) grayscale via mapInPandas.
+
+    Output: (media_id, thumb binary, thumb_w, thumb_h). Arrow-batched;
+    per-batch python cost is one pass over the payload column."""
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("thumb", T.BinaryType()),
+            T.StructField("thumb_w", T.IntegerType()),
+            T.StructField("thumb_h", T.IntegerType()),
+        ]
+    )
+
+    def gen(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            thumbs = []
+            for payload, media in zip(pdf["content"], pdf["media"]):
+                w = media["width"] or 64
+                h = media["height"] or 64
+                px = decode_image(bytes(payload), int(w), int(h), fake=fake)
+                # nearest-neighbor downsample to thumb_w × thumb_h
+                tw, th = thumb_w, thumb_h
+                t = bytes(
+                    px[(y * h // th) * w + (x * w // tw)] for y in range(th) for x in range(tw)
+                )
+                thumbs.append(t)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "thumb": thumbs,
+                    "thumb_w": thumb_w,
+                    "thumb_h": thumb_h,
+                }
+            )
+
+    return df.mapInPandas(gen, out_schema)
+
+
+def image_features(df: DataFrame, fake: bool = True) -> DataFrame:
+    """Per-image feature vector (mean/std/histogram-ish) as
+    array<float> — the decode+featurize stage of a multimodal training
+    pipeline. Deterministic under the fake decoder."""
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("features", T.ArrayType(T.FloatType())),
+        ]
+    )
+
+    def gen(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            feats = []
+            for payload, media in zip(pdf["content"], pdf["media"]):
+                w = int(media["width"] or 64)
+                h = int(media["height"] or 64)
+                px = np.frombuffer(decode_image(bytes(payload), w, h, fake=fake), dtype=np.uint8)
+                hist = np.bincount(px >> 5, minlength=8).astype("float64") / len(px)
+                feats.append(
+                    [float(px.mean()), float(px.std()), *[float(x) for x in hist]]
+                )
+            yield pd.DataFrame({"media_id": pdf["media_id"], "features": feats})
+
+    return df.mapInPandas(gen, out_schema)
+
+
+def frame_sample(df: DataFrame, every_n: int = 8) -> DataFrame:
+    """Video frame sampling plan: emits one row per sampled frame index
+    (payload decode stubbed — indices and shapes are the real part)."""
+    frames = F.filter(
+        F.sequence(F.lit(0), F.coalesce(F.col("media.n_frames"), F.lit(1)) - 1),
+        lambda i: i % every_n == 0,
+    )
+    return (
+        df.filter(F.col("media.kind") == "video")
+        .select("media_id", F.explode(frames).alias("frame_idx"))
+    )

@@ -884,3 +884,4 @@ def sim_lsh_q(spark: SparkSession, sf: str) -> DataFrame:
 # `register` is defined).
 from . import iceberg_queries  # noqa: E402,F401  (registration side effect)
 from . import streaming_queries  # noqa: E402,F401  (registration side effect)
+from . import multimodal_queries  # noqa: E402,F401  (registration side effect)

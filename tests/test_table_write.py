@@ -244,3 +244,76 @@ def test_mor_delete(spark, warehouse, lineitem):
     # time travel to pre-delete snapshot sees all rows
     pre = t.metadata.snapshots[0].snapshot_id
     assert t.scan(snapshot_id=pre).to_df(spark).count() == lineitem.count()
+
+
+def test_schema_evolution_rename_add(spark, warehouse, lineitem):
+    from icegopher_spark.iceberg.evolve import update_schema
+
+    cat = StaticCatalog("test", warehouse)
+    t = cat.create_table(("db", "li_evo"), SCHEMA, PartitionSpec())
+    t = W.append(t, lineitem.filter(F.col("l_orderkey") % 2 == 0))
+
+    t = (
+        update_schema(t)
+        .rename_column("l_quantity", "qty")
+        .add_column("note", StringType(), doc="added later")
+        .commit()
+    )
+    assert t.schema.find_field("qty").field_id == 2  # same id, new name
+    assert t.metadata.current_schema_id == 1
+
+    # second append writes under the NEW schema
+    new_rows = (
+        lineitem.filter(F.col("l_orderkey") % 2 == 1)
+        .withColumnRenamed("l_quantity", "qty")
+        .withColumn("note", F.lit("hello"))
+    )
+    t = W.append(t, new_rows)
+
+    df = t.scan().to_df(spark)
+    assert set(df.columns) == {"l_orderkey", "qty", "l_returnflag", "l_shipdate", "note"}
+    assert df.count() == lineitem.count()
+    # old files surface NULL note; new files carry the value
+    assert df.filter(F.col("note").isNull()).count() == lineitem.filter(
+        F.col("l_orderkey") % 2 == 0
+    ).count()
+    # filter on the RENAMED column reaches rows in OLD files (id-based)
+    got = df.agg(F.sum("qty")).first()[0]
+    exp = lineitem.agg(F.sum("l_quantity")).first()[0]
+    assert abs(got - exp) < 1e-6
+
+
+def test_schema_evolution_drop_and_promote(spark, warehouse):
+    from icegopher_spark.iceberg.evolve import update_schema
+    from icegopher_spark.iceberg.types import IntegerType
+
+    cat = StaticCatalog("test", warehouse)
+    sch = Schema(
+        (
+            NestedField(1, "id", IntegerType(), True),
+            NestedField(2, "v", DoubleType(), False),
+        )
+    )
+    t = cat.create_table(("db", "evo2"), sch, PartitionSpec())
+    t = W.append(t, spark.range(5).select(F.col("id").cast("int"), F.lit(1.5).alias("v")))
+    t = update_schema(t).update_column_type("id", LongType()).drop_column("v").commit()
+    df = t.scan().to_df(spark)
+    assert df.columns == ["id"]
+    assert dict(df.dtypes)["id"] == "bigint"
+    assert df.count() == 5
+
+    with pytest.raises(ValueError):
+        update_schema(t).update_column_type("id", StringType()).commit()
+    with pytest.raises(ValueError):
+        update_schema(t).drop_column("nope")
+    with pytest.raises(ValueError):
+        update_schema(t).add_column("id", LongType())
+
+
+def test_time_travel_after_evolution_uses_old_schema(spark, warehouse):
+    cat = StaticCatalog("test", warehouse)
+    t = cat.load_table("db.li_evo")
+    first = t.metadata.snapshots[0]
+    old = t.scan(snapshot_id=first.snapshot_id).to_df(spark)
+    # snapshot 1 predates the rename: old names, no 'note'
+    assert "l_quantity" in old.columns and "note" not in old.columns
