@@ -68,6 +68,8 @@ class FileScanTask:
     # schema the file was WRITTEN under (its snapshot's schema-id);
     # reads project it into the scan schema by field ID (rename-safe)
     schema_id: int | None = None
+    # equality delete files applying to this data file
+    eq_delete_files: list[Any] = dfield(default_factory=list)
 
     @property
     def size_bytes(self) -> int:
@@ -293,9 +295,11 @@ class TableScan:
                 )
             return part_eval_cache[spec_id].eval(partition)
 
-        # 1) collect positional-delete entries across delete manifests
-        #    (reference scanner.go:144-160)
+        # 1) collect positional- and equality-delete entries across
+        #    delete manifests (reference scanner.go:144-160; equality
+        #    content enum manifest.go:306-312)
         delete_entries: list[ManifestEntry] = []
+        eq_delete_entries: list[ManifestEntry] = []
         data_manifests: list[ManifestFile] = []
         for m in manifest_list:
             if m.content == ManifestContent.DELETES:
@@ -304,6 +308,8 @@ class TableScan:
                 for e in fetch_entries(m, io.read(m.manifest_path), discard_deleted=True):
                     if e.data_file.content == DataFileContent.POSITION_DELETES:
                         delete_entries.append(e)
+                    elif e.data_file.content == DataFileContent.EQUALITY_DELETES:
+                        eq_delete_entries.append(e)
             else:
                 data_manifests.append(m)
         delete_entries.sort(key=lambda e: e.sequence_number or 0)
@@ -322,6 +328,13 @@ class TableScan:
                 if not metrics_eval.eval(df):
                     continue
                 deletes = _match_deletes(e, delete_entries, delete_seqs)
+                # equality deletes apply to files with STRICTLY smaller
+                # data sequence numbers (Iceberg spec)
+                eq_deletes = [
+                    d.data_file
+                    for d in eq_delete_entries
+                    if (d.sequence_number or 0) > (e.sequence_number or 0)
+                ]
                 esnap = md.snapshot_by_id(e.snapshot_id) if e.snapshot_id else None
                 tasks.append(
                     FileScanTask(
@@ -330,6 +343,7 @@ class TableScan:
                         0,
                         df.file_size_in_bytes,
                         schema_id=esnap.schema_id if esnap else None,
+                        eq_delete_files=eq_deletes,
                     )
                 )
         return tasks
@@ -433,17 +447,21 @@ class TableScan:
         # added/promoted columns resolve correctly for old files
         # (reference scanner.go:54-67: the snapshot's schema governs).
         md = self.table.metadata
-        groups: dict[int | None, list[str]] = {}
+        # group key: (written-schema, exact equality-delete set) — a file
+        # written after an equality delete must not be affected by it
+        groups: dict[tuple, dict] = {}
         for t in tasks:
-            groups.setdefault(t.schema_id, []).append(strip_file_scheme(t.file.file_path))
+            key = (t.schema_id, frozenset(d.file_path for d in t.eq_delete_files))
+            g = groups.setdefault(key, {"paths": [], "eq": t.eq_delete_files})
+            g["paths"].append(strip_file_scheme(t.file.file_path))
 
         from .types import to_spark_type
 
         parts: list[DataFrame] = []
-        for sid, paths in groups.items():
+        for (sid, _eqkey), g in groups.items():
             file_schema = md.schema_by_id(sid) if sid is not None else None
             file_schema = file_schema or base
-            raw = spark.read.schema(file_schema.to_spark()).parquet(*paths)
+            raw = spark.read.schema(file_schema.to_spark()).parquet(*g["paths"])
             cols = []
             for f in base.fields:
                 old = file_schema.find_field(f.field_id)
@@ -460,7 +478,21 @@ class TableScan:
                     F.col("_metadata.row_index").alias("_pos"),
                     *cols,
                 ]
-            parts.append(raw.select(*cols))
+            part = raw.select(*cols)
+            # equality deletes: anti-join on the delete's equality fields
+            # (resolved by field ID against the scan schema)
+            for dfile in g["eq"]:
+                names = [
+                    base.find_field(fid).name
+                    for fid in (dfile.equality_ids or [])
+                    if base.find_field(fid) is not None
+                ]
+                if not names:
+                    continue
+                keys = spark.read.parquet(strip_file_scheme(dfile.file_path))
+                keys = keys.toDF(*names) if len(keys.columns) == len(names) else keys
+                part = part.join(F.broadcast(keys.select(*names).distinct()), names, "left_anti")
+            parts.append(part)
         df = parts[0]
         for p in parts[1:]:
             df = df.unionByName(p)

@@ -582,6 +582,60 @@ def delete_where_mor(table: Table, spark: SparkSession, row_filter) -> Table:
     )
 
 
+def delete_keys(
+    table: Table, spark: SparkSession, keys_df: DataFrame, key_columns: list[str]
+) -> Table:
+    """Equality delete: drop every row whose key tuple appears in
+    ``keys_df`` — written as an equality-delete file (distinct keys +
+    equality field ids) in a DELETES manifest. Applies to all data
+    files with a smaller sequence number; later appends are untouched.
+    The streaming-upsert primitive: O(|keys|) to commit, applied at
+    read time as a broadcast anti-join (reference enum
+    manifest.go:306-312; field-ids surface manifest.go:438-444)."""
+    snap = table.current_snapshot()
+    if snap is None:
+        return table
+    schema = table.schema
+    fids = []
+    for c in key_columns:
+        f = schema.find_field(c)
+        if f is None:
+            raise ValueError(f"key column {c!r} not in schema")
+        fids.append(f.field_id)
+
+    out_dir = f"{table.location}/data/eqdel-{_uuid.uuid4().hex[:12]}"
+    keys_df.select(*key_columns).distinct().coalesce(1).write.mode("overwrite").parquet(out_dir)
+
+    import pyarrow.parquet as pq
+
+    from .manifests import read_manifest_list
+
+    delete_files = []
+    for fn in sorted(os.listdir(out_dir)):
+        if not fn.endswith(".parquet"):
+            continue
+        path = f"{out_dir}/{fn}"
+        meta = pq.ParquetFile(path).metadata
+        if meta.num_rows == 0:
+            continue
+        delete_files.append(
+            DataFile(
+                file_path=path,
+                content=DataFileContent.EQUALITY_DELETES,
+                record_count=meta.num_rows,
+                file_size_in_bytes=os.path.getsize(path),
+                partition={},
+                equality_ids=fids,
+            )
+        )
+    if not delete_files:
+        return table
+    keep = read_manifest_list(table.io.read(snap.manifest_list))
+    return _commit_snapshot(
+        table, [], OP_DELETE, keep_manifests=keep, delete_files=delete_files
+    )
+
+
 def delete_where(table: Table, spark: SparkSession, row_filter) -> Table:
     """Copy-on-write delete: files that may contain matches are
     rewritten without matching rows; untouched files are retained.

@@ -278,3 +278,48 @@ def _evolved_table_for(spark: SparkSession, sf_dir: str) -> Table:
         .withColumn("note", F.lit("x")),
     )
     return t
+
+
+ice_eq_oracle = """
+SELECT COUNT(*) AS n_rows, CAST(SUM(l_orderkey) AS BIGINT) AS sum_okey
+FROM lineitem WHERE l_orderkey % 100 <> 7
+"""
+
+
+@register(
+    "iceberg_equality_delete",
+    ice_eq_oracle,
+    "equality-delete file applied as broadcast anti-join on key field ids",
+)
+def iceberg_eq_delete(spark: SparkSession, sf: str) -> DataFrame:
+    t = _eqdel_table_for(spark, sf)
+    df = t.scan().to_df(spark)
+    return df.agg(
+        F.count(F.lit(1)).alias("n_rows"), F.sum("l_orderkey").alias("sum_okey")
+    )
+
+
+def _eqdel_table_for(spark: SparkSession, sf_dir: str) -> Table:
+    """Table with an equality delete of every orderkey ≡ 7 (mod 100)."""
+    key = sf_dir.strip("/").replace("/", "_")
+    loc = f"{_CACHE_ROOT}/{key}/lineitem_eqdel"
+    hint = f"{loc}/metadata/version-hint.text"
+    if os.path.exists(hint):
+        try:
+            t = Table.from_location(loc)
+            if len(t.metadata.snapshots) == 2:
+                return t
+        except Exception:  # noqa: BLE001
+            pass
+        shutil.rmtree(loc, ignore_errors=True)
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey",
+        "l_quantity",
+        "l_returnflag",
+        F.col("l_shipdate").cast("timestamp_ntz").alias("l_shipdate"),
+    )
+    t = W.create_table(loc, _SCHEMA, _SPEC)
+    t = W.append(t, li)
+    keys = li.filter(F.col("l_orderkey") % 100 == 7).select("l_orderkey").distinct()
+    t = W.delete_keys(t, spark, keys, ["l_orderkey"])
+    return t

@@ -317,3 +317,27 @@ def test_time_travel_after_evolution_uses_old_schema(spark, warehouse):
     old = t.scan(snapshot_id=first.snapshot_id).to_df(spark)
     # snapshot 1 predates the rename: old names, no 'note'
     assert "l_quantity" in old.columns and "note" not in old.columns
+
+
+def test_equality_deletes(spark, warehouse, lineitem):
+    cat = StaticCatalog("test", warehouse)
+    t = cat.create_table(("db", "li_eq"), SCHEMA, SPEC)
+    half1 = lineitem.filter(F.col("l_orderkey") % 2 == 0)
+    t = W.append(t, half1)
+    # delete 50 orderkeys by equality
+    keys = half1.select("l_orderkey").distinct().limit(50)
+    key_list = [r[0] for r in keys.collect()]
+    t = W.delete_keys(t, spark, keys, ["l_orderkey"])
+    got = t.scan().to_df(spark)
+    exp = half1.filter(~F.col("l_orderkey").isin(key_list))
+    assert got.count() == exp.count()
+    assert got.filter(F.col("l_orderkey").isin(key_list)).count() == 0
+    # a LATER append with one of the deleted keys is NOT affected
+    resurrected = half1.filter(F.col("l_orderkey") == key_list[0])
+    n_res = resurrected.count()
+    t = W.append(t, resurrected)
+    got2 = t.scan().to_df(spark)
+    assert got2.filter(F.col("l_orderkey") == key_list[0]).count() == n_res
+    # pre-delete time travel sees everything
+    pre = t.metadata.snapshots[0].snapshot_id
+    assert t.scan(snapshot_id=pre).to_df(spark).count() == half1.count()
