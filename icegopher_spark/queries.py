@@ -885,3 +885,4 @@ def sim_lsh_q(spark: SparkSession, sf: str) -> DataFrame:
 from . import iceberg_queries  # noqa: E402,F401  (registration side effect)
 from . import streaming_queries  # noqa: E402,F401  (registration side effect)
 from . import multimodal_queries  # noqa: E402,F401  (registration side effect)
+from . import analytics_queries  # noqa: E402,F401  (registration side effect)
