@@ -36,13 +36,19 @@ def bind1(value: Column, fn) -> Column:
 
 
 def word_shingles(col: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles as an array<string>; empty-safe."""
+    """Distinct word n-gram shingles as an array<string>; empty-safe.
+
+    Guarded for short docs: F.sequence(1, 0) yields a DESCENDING [1, 0]
+    (not an empty array), which would index past the token array for
+    docs with < n tokens."""
     toks = tokens(F.lower(col))
-    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
+    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
     grams = F.transform(
         idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)])
     )
-    return F.array_distinct(grams)
+    return F.when(F.size(toks) >= n, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
 
 
 def exact_dedup(

@@ -1,0 +1,143 @@
+"""Unit tests for the [X] extension operators on small controlled
+inputs (gate queries check them at sf; these pin the semantics)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from icegopher_spark.operators import asof, dedup, similarity, text
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+        (3, "the quick brown fox jumps over the lazy cat"),  # near dup
+        (4, "completely different text about databases and spark engines"),
+        (5, ""),  # empty
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_dedup(spark, docs):
+    out = {r["doc_id"]: r["n_copies"] for r in dedup.exact_dedup(docs).collect()}
+    assert out[1] == 2  # doc 2 collapsed into doc 1
+    assert 2 not in out
+    assert out[3] == 1 and out[4] == 1
+
+
+def test_ngram_jaccard_pairs(spark, docs):
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
+             dedup.ngram_jaccard_pairs(docs, threshold=0.3).collect()}
+    assert pairs[(1, 2)] == 1.0
+    assert 0.3 <= pairs[(1, 3)] < 1.0
+    assert (1, 4) not in pairs
+
+
+def test_minhash_agrees_with_exact_on_dups(spark, docs):
+    mh = {(r["id_a"], r["id_b"]) for r in
+          dedup.minhash_dedup_pairs(docs, threshold=0.5).collect()}
+    assert (1, 2) in mh  # identical docs always collide in every band
+    assert (1, 4) not in mh
+
+
+def test_minhash_signature_df_shape(spark, docs):
+    sigs = dedup.minhash_signatures_df(docs, num_hashes=16).collect()
+    by_id = {r["id"]: r["sig"] for r in sigs}
+    assert len(by_id[1]) == 16
+    assert by_id[1] == by_id[2]  # identical text -> identical signature
+    assert by_id[1] != by_id[4]
+    assert 5 not in by_id  # empty doc has no shingles
+
+
+def test_simhash_hamming(spark, docs):
+    d = {r["id"]: r["sh"] for r in dedup.simhash_df(docs).collect()}
+    assert d[1] == d[2]
+    ham_near = bin((d[1] ^ d[3]) & (2**64 - 1)).count("1")
+    ham_far = bin((d[1] ^ d[4]) & (2**64 - 1)).count("1")
+    assert ham_near < ham_far
+
+
+def test_cosine_similarity(spark):
+    rows = [(1, [1.0, 0.0]), (2, [1.0, 0.0]), (3, [0.0, 1.0]), (4, [1.0, 1.0])]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    q = emb.filter(F.col("vec_id") == 1).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = {r["vec_id"]: r["cosine_sim"] for r in
+           similarity.brute_force_topk(emb, q, k=3).collect()}
+    assert out[2] == 1.0
+    assert out[4] == pytest.approx(0.707107, abs=1e-5)
+    assert out[3] == 0.0  # orthogonal
+    assert 1 not in out  # self excluded
+
+
+def test_neardup_pairs_exact(spark):
+    rows = [(1, [1.0, 0.0]), (2, [0.999, 0.01]), (3, [0.0, 1.0])]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             similarity.neardup_pairs_exact(emb, threshold=0.99).collect()}
+    assert pairs == {(1, 2)}
+
+
+def test_lsh_recall_on_identical(spark):
+    rows = [(i, [float(i % 7), float(i % 3), 1.0] * 4) for i in range(50)]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("vec_id").alias("query_id"), "embedding")
+    out = similarity.lsh_topk(emb, q, k=5, dim=12).collect()
+    # vectors identical to query (i % 7 == 0 and i % 3 == 0, i.e. 21, 42)
+    ids = [r["vec_id"] for r in out]
+    assert 21 in ids and 42 in ids
+
+
+def test_text_stats_values(spark):
+    df = spark.createDataFrame([(1, "Hello, world! 123")], ["doc_id", "text"])
+    r = text.text_stats(df).collect()[0]
+    assert r["n_chars"] == 17
+    assert r["n_tokens"] == 3
+    assert r["n_bpe_tokens"] == 5  # Hello , world ! 123
+    assert r["n_punct"] == 2  # comma + exclamation
+    # chars_per_token = 17/3
+    assert r["chars_per_token"] == pytest.approx(17 / 3, abs=1e-3)
+
+
+def test_lang_id(spark):
+    rows = [
+        (1, "the cat and the dog of the house is big"),
+        (2, "der Hund und die Katze ist das Tier"),
+        (3, "el perro y la casa que es grande de verdad"),
+        (4, "xyzzy plugh"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r["lang"] for r in
+           df.select("doc_id", text.lang_id(F.col("text")).alias("lang")).collect()}
+    assert out[1] == "en"
+    assert out[2] == "de"
+    assert out[3] == "es"
+    assert out[4] == "und"
+
+
+def test_fingerprint_normalization(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello, World!"), (2, "hello world"), (3, "other")], ["doc_id", "text"]
+    )
+    out = {r["doc_id"]: r["fp"] for r in
+           df.select("doc_id", text.fingerprint64(F.col("text")).alias("fp")).collect()}
+    assert out[1] == out[2]  # case/punct-insensitive
+    assert out[1] != out[3]
+
+
+def test_asof_backward(spark):
+    left = spark.createDataFrame(
+        [(1, 10, "e1"), (1, 20, "e2"), (2, 5, "e3")], ["k", "ts", "name"]
+    )
+    right = spark.createDataFrame(
+        [(1, 10, 100), (1, 15, 150), (2, 99, 990)], ["k", "rts", "payload"]
+    )
+    out = asof.asof_join_backward(
+        left, right, on="k", left_ts="ts", right_ts="rts", payload_cols=["payload"]
+    )
+    got = {r["name"]: r["payload"] for r in out.collect()}
+    assert got["e1"] == 100  # ties take the right row (<= semantics)
+    assert got["e2"] == 150
+    assert got["e3"] is None  # no prior right row
