@@ -886,3 +886,12 @@ from . import iceberg_queries  # noqa: E402,F401  (registration side effect)
 from . import streaming_queries  # noqa: E402,F401  (registration side effect)
 from . import multimodal_queries  # noqa: E402,F401  (registration side effect)
 from . import analytics_queries  # noqa: E402,F401  (registration side effect)
+
+
+@register("sim_ivf_topk", None, "IVF ANN: kmeans cells + n_probe rerank (rows-only)")
+def sim_ivf_q(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load(spark, sf, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    return similarity.ivf_topk(emb, q, k=5)

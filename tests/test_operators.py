@@ -141,3 +141,29 @@ def test_asof_backward(spark):
     assert got["e1"] == 100  # ties take the right row (<= semantics)
     assert got["e2"] == 150
     assert got["e3"] is None  # no prior right row
+
+
+def test_ivf_topk_recall(spark):
+    import random
+
+    random.seed(7)
+    # 10 clusters of 20 near-identical vectors: IVF's best case
+    rows = []
+    vid = 0
+    for c in range(10):
+        center = [random.uniform(-1, 1) for _ in range(8)]
+        for _ in range(20):
+            rows.append((vid, [x + random.uniform(-0.01, 0.01) for x in center]))
+            vid += 1
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    from pyspark.sql import functions as F
+
+    q = emb.filter(F.col("vec_id") % 20 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {(r["query_id"], r["vec_id"]) for r in
+             similarity.brute_force_topk(emb, q, k=3).collect()}
+    ivf = {(r["query_id"], r["vec_id"]) for r in
+           similarity.ivf_topk(emb, q, k=3, n_lists=10, n_probe=2).collect()}
+    recall = len(exact & ivf) / len(exact)
+    assert recall >= 0.9  # clustered data: probing 2/10 cells suffices

@@ -1,0 +1,94 @@
+"""Physical-plan regression tests: the properties that make the engine
+scale (pushdown, column pruning, broadcast joins, no payload reads)
+asserted against .explain output so a refactor can't silently lose
+them."""
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df, mode: str = "formatted") -> str:
+    spark = df.sparkSession
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+    )
+
+
+@pytest.fixture(scope="module")
+def queries():
+    from icegopher_spark.queries import QUERIES
+
+    return QUERIES
+
+
+def test_q6_filters_pushed_to_parquet(spark, queries):
+    plan = plan_of(queries["q6_forecast_revenue"].fn(spark, SF))
+    assert "PushedFilters" in plan
+    assert "LessThan(l_quantity,24.0)" in plan
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+
+
+def test_q6_column_pruning(spark, queries):
+    plan = plan_of(queries["q6_forecast_revenue"].fn(spark, SF))
+    read = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_extendedprice" in read and "l_discount" in read
+    assert "l_comment" not in read and "l_orderkey" not in read
+
+
+def test_q5_broadcasts_small_dims(spark, queries):
+    plan = plan_of(queries["q5_local_supplier_volume"].fn(spark, SF), "simple")
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q4_semi_join(spark, queries):
+    plan = plan_of(queries["q4_order_priority"].fn(spark, SF), "simple")
+    assert "LeftSemi" in plan
+
+
+def test_asof_no_bnlj(spark, queries):
+    plan = plan_of(queries["asof_event_order"].fn(spark, SF), "simple")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window" in plan
+
+
+def test_media_stats_never_reads_payload(spark):
+    """The multimodal claim: metadata-only queries must not scan the
+    binary payload column."""
+    from icegopher_spark.operators import multimodal as M
+
+    media = M.synthesize_media_df(spark, n=8)
+    # write to parquet so there is a real scan with a ReadSchema
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        media.write.parquet(f"{d}/m")
+        stored = spark.read.parquet(f"{d}/m")
+        stats = stored.groupBy("media.kind").count()
+        plan = plan_of(stats)
+        read = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+        assert "content" not in read  # payload never deserialized
+
+
+def test_iceberg_filter_pushed_after_planning(spark):
+    """File pruning happens in OUR planner; the residual filter must
+    still reach the parquet row-group reader."""
+    from icegopher_spark.iceberg_queries import _table_for
+    from icegopher_spark.iceberg import expressions as E
+
+    t = _table_for(spark, SF)
+    df = t.scan(row_filter=E.less_than("l_quantity", 10)).to_df(spark)
+    plan = plan_of(df)
+    assert "PushedFilters" in plan
+    assert "LessThan(l_quantity,10" in plan
+
+
+def test_dedup_exact_single_shuffle(spark, queries):
+    """Exact dedup shuffles the 8-byte fingerprint, not the text."""
+    plan = plan_of(queries["dedup_exact"].fn(spark, SF), "simple")
+    import re
+
+    exchanges = [l for l in plan.splitlines() if "Exchange" in l and "Reused" not in l]
+    # scale-out repartition + the agg exchange; neither carries `text`
+    assert all("text" not in e for e in exchanges)
