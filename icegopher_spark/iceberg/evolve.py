@@ -24,7 +24,7 @@ from .types import (
     LongType,
     NestedField,
 )
-from .write import _commit_metadata, _current_version, _version_path
+from .write import _commit_metadata, _loaded_version, _version_path
 
 # legal primitive promotions (Iceberg spec)
 _PROMOTIONS = {
@@ -110,7 +110,7 @@ class UpdateSchema:
         raw["last-column-id"] = max(self._next_id, md.last_column_id)
         raw["last-updated-ms"] = int(time.time() * 1000)
         new_md = parse_metadata(raw)
-        version = _current_version(self.table.io, md.location)
+        version = _loaded_version(self.table)
         _commit_metadata(self.table.io, md.location, new_md, expected_version=version)
         self.table.metadata = new_md
         self.table.metadata_location = _version_path(md.location, version + 1)

@@ -118,11 +118,12 @@ class Table:
         """Re-load from catalog or location (reference table.go:101-109)."""
         if self.catalog is not None:
             fresh = self.catalog.load_table(self.identifier)
-            self.metadata = fresh.metadata
-            self.metadata_location = fresh.metadata_location
-            return self
-        fresh = Table.from_location(self.metadata_location)
+        else:
+            # resolve the LATEST version via the table dir's hint, not
+            # the (possibly stale) metadata file this handle loaded
+            fresh = Table.from_location(self.metadata.location or self.metadata_location)
         self.metadata = fresh.metadata
+        self.metadata_location = fresh.metadata_location
         return self
 
     # -- surface ---------------------------------------------------------
@@ -451,17 +452,26 @@ class TableScan:
         # written after an equality delete must not be affected by it
         groups: dict[tuple, dict] = {}
         for t in tasks:
-            key = (t.schema_id, frozenset(d.file_path for d in t.eq_delete_files))
+            key = (
+                t.schema_id,
+                frozenset(d.file_path for d in t.eq_delete_files),
+                t.file.file_format,
+            )
             g = groups.setdefault(key, {"paths": [], "eq": t.eq_delete_files})
             g["paths"].append(strip_file_scheme(t.file.file_path))
 
         from .types import to_spark_type
 
         parts: list[DataFrame] = []
-        for (sid, _eqkey), g in groups.items():
+        for (sid, _eqkey, fmt), g in groups.items():
             file_schema = md.schema_by_id(sid) if sid is not None else None
             file_schema = file_schema or base
-            raw = spark.read.schema(file_schema.to_spark()).parquet(*g["paths"])
+            reader = spark.read.schema(file_schema.to_spark())
+            raw = (
+                reader.format("orc").load(g["paths"])
+                if fmt == "ORC"
+                else reader.parquet(*g["paths"])
+            )
             cols = []
             for f in base.fields:
                 old = file_schema.find_field(f.field_id)

@@ -120,6 +120,19 @@ def _current_version(io, location: str) -> int:
     return int(io.read(hint).decode().strip())
 
 
+_VERSION_RE = __import__("re").compile(r"/v(\d+)\.metadata\.json$")
+
+
+def _loaded_version(table: Table) -> int:
+    """The version this writer's metadata was LOADED at — conflicts are
+    detected against this, not whatever is newest on disk (otherwise a
+    stale writer silently clobbers a concurrent commit)."""
+    m = _VERSION_RE.search(table.metadata_location or "")
+    if m:
+        return int(m.group(1))
+    return _current_version(table.io, table.metadata.location)
+
+
 def _commit_metadata(io, location: str, md: TableMetadata, expected_version: int) -> int:
     """Atomic metadata swap: version files are create-once (O_EXCL), so
     a concurrent committer loses and must retry after refresh —
@@ -183,7 +196,19 @@ def _bound_value(v: Any, t: IcebergType, upper: bool) -> bytes | None:
 def collect_data_file(path: str, schema: Schema, partition: dict[str, Any]) -> DataFile:
     """Build a DataFile (with per-column stats) from a parquet footer —
     the write-side producer of the stats the metrics evaluator consumes
-    (SURVEY.md §2.5)."""
+    (SURVEY.md §2.5). ORC files get row counts only (stats are optional
+    in the spec; missing bounds just mean less pruning)."""
+    if path.endswith(".orc"):
+        import pyarrow.orc as po
+
+        of = po.ORCFile(strip_scheme(path))
+        return DataFile(
+            file_path=path,
+            file_format="ORC",
+            record_count=of.nrows,
+            file_size_in_bytes=os.path.getsize(strip_scheme(path)),
+            partition=partition,
+        )
     import pyarrow.parquet as pq
 
     f = pq.ParquetFile(strip_scheme(path))
@@ -292,13 +317,15 @@ def _write_data_files(
     schema = table.schema
     os.makedirs(data_dir, exist_ok=True)
     df = _apply_sort_order(table, df)
+    fmt = table.properties.get("write.format.default", "parquet").lower()
+    ext = f".{fmt}" if fmt != "parquet" else ".parquet"
     if spec.is_unpartitioned:
         out = f"{data_dir}/{_uuid.uuid4().hex[:16]}"
-        df.write.mode("overwrite").parquet(out)
+        df.write.mode("overwrite").format(fmt).save(out)
         return [
             (f"{out}/{f}", {})
             for f in sorted(os.listdir(out))
-            if f.endswith(".parquet")
+            if f.endswith(ext)
         ]
     # partitioned: materialize transform columns, write with partitionBy
     pcols = []
@@ -313,12 +340,13 @@ def _write_data_files(
         .repartition(*[F.col(n) for n in names])
         .write.mode("overwrite")
         .partitionBy(*names)
-        .parquet(out)
+        .format(fmt)
+        .save(out)
     )
     pairs: list[tuple[str, dict[str, Any]]] = []
     for root, _dirs, files in os.walk(out):
         for fn in sorted(files):
-            if not fn.endswith(".parquet"):
+            if not fn.endswith(ext):
                 continue
             rel = os.path.relpath(root, out)
             partition: dict[str, Any] = {}
@@ -515,7 +543,7 @@ def _commit_snapshot(
     }
     new_md = parse_metadata(raw)
 
-    version = _current_version(io, location)
+    version = _loaded_version(table)
     _commit_metadata(io, location, new_md, expected_version=version)
     table.metadata = new_md
     table.metadata_location = _version_path(location, version + 1)

@@ -341,3 +341,37 @@ def test_equality_deletes(spark, warehouse, lineitem):
     # pre-delete time travel sees everything
     pre = t.metadata.snapshots[0].snapshot_id
     assert t.scan(snapshot_id=pre).to_df(spark).count() == half1.count()
+
+
+def test_orc_data_files(spark, warehouse, lineitem):
+    cat = StaticCatalog("test", warehouse)
+    t = cat.create_table(
+        ("db", "li_orc"), SCHEMA, SPEC, properties={"write.format.default": "orc"}
+    )
+    t = W.append(t, lineitem)
+    tasks = t.scan().plan_files()
+    assert all(x.file.file_format == "ORC" for x in tasks)
+    assert t.scan().to_df(spark).count() == lineitem.count()
+    # partition pruning still applies (identity transform on flag)
+    pruned = t.scan(row_filter=E.equal_to("l_returnflag", "R")).plan_files()
+    assert 0 < len(pruned) < len(tasks)
+    got = t.scan(row_filter=E.equal_to("l_returnflag", "R")).to_df(spark)
+    assert got.count() == lineitem.filter(F.col("l_returnflag") == "R").count()
+
+
+def test_commit_conflict_detection(spark, warehouse, lineitem):
+    """Optimistic concurrency: a stale writer must get CommitFailedError
+    (reference enumerates ErrCommitFailed, rest.go:51-52)."""
+    from icegopher_spark.iceberg.write import CommitFailedError
+
+    cat = StaticCatalog("test", warehouse)
+    t1 = cat.create_table(("db", "li_cc"), SCHEMA, PartitionSpec())
+    t2 = cat.load_table("db.li_cc")  # second handle, same version
+    small = lineitem.limit(100)
+    W.append(t1, small)  # t1 commits v2
+    with pytest.raises(CommitFailedError):
+        W.append(t2, small)  # stale t2 must not clobber
+    # refresh + retry succeeds
+    t2.refresh()
+    W.append(t2, small)
+    assert cat.load_table("db.li_cc").scan().to_df(spark).count() == 200
