@@ -317,3 +317,31 @@ def array_funcs(spark: SparkSession, sf: str) -> DataFrame:
         F.element_at("keys", 1).alias("first_key"),
         n_even.alias("n_even"),
     )
+
+
+# -- sketches ---------------------------------------------------------------
+
+sketch_oracle = """
+SELECT l_returnflag,
+       COUNT(DISTINCT l_orderkey) AS exact_orders,
+       CAST(TRUE AS BOOLEAN) AS hll_within_5pct
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+@register(
+    "approx_distinct_sketch",
+    sketch_oracle,
+    "HLL approx_count_distinct checked within 5% of exact (both computed)",
+)
+def approx_sketch(spark: SparkSession, sf: str) -> DataFrame:
+    li = load(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+        (
+            F.abs(
+                F.approx_count_distinct("l_orderkey", rsd=0.02) - F.countDistinct("l_orderkey")
+            )
+            <= F.countDistinct("l_orderkey") * 0.05
+        ).alias("hll_within_5pct"),
+    )

@@ -113,3 +113,43 @@ def stream_sessions(spark: SparkSession, sf: str) -> DataFrame:
     return P.run_stream_to_table(
         P.session_rollup(_events_stream(spark, sf), watermark="0 seconds"), spark, "append"
     )
+
+
+ss_join_oracle = """
+SELECT a.event_id AS view_id, b.event_id AS purchase_id, a.user_id
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND a.event_type = 'view' AND b.event_type = 'purchase'
+ AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 10 MINUTE
+"""
+
+
+@register(
+    "stream_stream_join",
+    ss_join_oracle,
+    "watermarked stream-stream interval join (view -> purchase within 10min)",
+)
+def stream_stream_join(spark: SparkSession, sf: str) -> DataFrame:
+    ev = _events_stream(spark, sf)
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .select(F.col("event_id").alias("view_id"), "user_id", F.col("ts").alias("view_ts"))
+        .withWatermark("view_ts", "1 hour")
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = views.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("p_ts") > F.col("view_ts"))
+        & (F.col("p_ts") <= F.col("view_ts") + F.expr("INTERVAL 10 MINUTES")),
+    )
+    out = P.run_stream_to_table(joined, spark, "append")
+    return out.select("view_id", "purchase_id", "user_id")
