@@ -345,3 +345,180 @@ def approx_sketch(spark: SparkSession, sf: str) -> DataFrame:
             <= F.countDistinct("l_orderkey") * 0.05
         ).alias("hll_within_5pct"),
     )
+
+
+# -- TPC-H Q8: national market share ----------------------------------------
+
+q8_oracle = f"""
+WITH all_nations AS (
+  SELECT EXTRACT(YEAR FROM o.o_orderdate) AS o_year,
+         {SQL_DISC_PRICE} AS volume,
+         n2.n_name AS supp_nation
+  FROM part p
+  JOIN lineitem l ON p.p_partkey = l.l_partkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN orders o   ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n1  ON c.c_nationkey = n1.n_nationkey
+  JOIN nation n2  ON s.s_nationkey = n2.n_nationkey
+  JOIN region r   ON n1.n_regionkey = r.r_regionkey
+  WHERE r.r_name = 'ASIA' AND p.p_type = 'ECONOMY'
+    AND o.o_orderdate BETWEEN TIMESTAMP '1995-01-01 00:00:00'
+                          AND TIMESTAMP '1996-12-31 00:00:00'
+)
+SELECT o_year,
+       ROUND(CAST(SUM(CASE WHEN supp_nation = 'CHINA' THEN volume
+                           ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+             / CAST(SUM(volume) AS DOUBLE), 6) AS mkt_share
+FROM all_nations GROUP BY o_year
+"""
+
+
+@register("q8_national_market_share", q8_oracle, "TPC-H Q8: 8-way join + share ratio")
+def q8(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q8 adapted to the synthetic schema (region=ASIA,
+    p_type=ECONOMY, supplier nation CHINA). Plan shape: big fact joins
+    shuffle on orderkey; all dims (part/supplier/customer/nation/region)
+    broadcast — at 100 TB only lineitem⋈orders shuffles."""
+    p = load(spark, sf, "part").filter(F.col("p_type") == "ECONOMY")
+    li = load(spark, sf, "lineitem")
+    s = load(spark, sf, "supplier")
+    o = load(spark, sf, "orders").filter(
+        F.col("o_orderdate").between(
+            F.lit("1995-01-01").cast("timestamp"), F.lit("1996-12-31").cast("timestamp")
+        )
+    )
+    c = load(spark, sf, "customer")
+    n = load(spark, sf, "nation")
+    r = load(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+    n1 = n.alias("n1")
+    n2 = n.alias("n2")
+    vol = disc_price()
+    all_nations = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1.n_nationkey"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2.n_nationkey"))
+        .join(F.broadcast(r), F.col("n1.n_regionkey") == r.r_regionkey)
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            vol.alias("volume"),
+            F.col("n2.n_name").alias("supp_nation"),
+        )
+    )
+    zero = F.lit(0).cast("decimal(12,2)")
+    return all_nations.groupBy("o_year").agg(
+        F.round(
+            F.sum(F.when(F.col("supp_nation") == "CHINA", F.col("volume")).otherwise(zero)).cast(
+                "double"
+            )
+            / F.sum("volume").cast("double"),
+            6,
+        ).alias("mkt_share")
+    )
+
+
+# -- TPC-H Q13: customer order-count distribution ---------------------------
+
+q13_oracle = """
+WITH c_orders AS (
+  SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+  FROM customer c LEFT OUTER JOIN orders o
+    ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY c.c_custkey
+)
+SELECT c_count, COUNT(*) AS custdist
+FROM c_orders GROUP BY c_count
+"""
+
+
+@register("q13_customer_distribution", q13_oracle, "TPC-H Q13: outer join + double agg")
+def q13(spark: SparkSession, sf: str) -> DataFrame:
+    """Left-outer join keeps zero-order customers (COUNT over a null key
+    = 0), then a second aggregation over the counts. The orders side is
+    pre-filtered (non-URGENT), matching Q13's comment-filter shape."""
+    c = load(spark, sf, "customer")
+    o = load(spark, sf, "orders").filter(F.col("o_orderpriority") != "1-URGENT")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_outer")
+        .groupBy(c.c_custkey)
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+    )
+
+
+# -- TPC-H Q15: top supplier by quarterly revenue ---------------------------
+
+q15_oracle = f"""
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         SUM({SQL_DISC_PRICE}) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY 1
+)
+SELECT s.s_suppkey, s.s_name,
+       CAST(ROUND(r.total_revenue, 2) AS DOUBLE) AS total_revenue
+FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+"""
+
+
+@register("q15_top_supplier", q15_oracle, "TPC-H Q15: view + MAX subquery")
+def q15(spark: SparkSession, sf: str) -> DataFrame:
+    """The scalar MAX subquery becomes a rank-1 window over the
+    aggregated (small) revenue view — one extra exchange over ~#suppliers
+    rows, never over lineitem."""
+    li = load(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    s = load(spark, sf, "supplier")
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(disc_price()).alias("total_revenue")
+    )
+    w = Window.orderBy(F.col("total_revenue").desc())
+    top = revenue.withColumn("_r", F.rank().over(w)).filter(F.col("_r") == 1).drop("_r")
+    return (
+        top.join(F.broadcast(s), top.supplier_no == s.s_suppkey)
+        .select("s_suppkey", "s_name", money(F.col("total_revenue")).alias("total_revenue"))
+    )
+
+
+# -- TPC-H Q19: disjunctive brand/size/quantity predicate -------------------
+
+q19_oracle = f"""
+SELECT CAST(ROUND(SUM({SQL_DISC_PRICE}), 2) AS DOUBLE) AS revenue
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#11' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity >= 1 AND l.l_quantity <= 20)
+   OR (p.p_brand = 'Brand#22' AND p.p_size BETWEEN 1 AND 25
+       AND l.l_quantity >= 10 AND l.l_quantity <= 30)
+   OR (p.p_brand = 'Brand#15' AND p.p_size BETWEEN 1 AND 35
+       AND l.l_quantity >= 20 AND l.l_quantity <= 40)
+"""
+
+
+@register("q19_discounted_revenue", q19_oracle, "TPC-H Q19: OR-of-ANDs join predicate")
+def q19(spark: SparkSession, sf: str) -> DataFrame:
+    """Q19 adapted (p_size ranges stand in for p_container). The
+    disjunction stays a single broadcast-hash-join on p_partkey with the
+    OR evaluated post-join — Catalyst also derives the implied
+    p_brand IN (...) filter pushed to the part scan."""
+    p = load(spark, sf, "part")
+    li = load(spark, sf, "lineitem")
+    q = F.col("l_quantity")
+    cond = (
+        ((F.col("p_brand") == "Brand#11") & F.col("p_size").between(1, 15) & q.between(1, 20))
+        | ((F.col("p_brand") == "Brand#22") & F.col("p_size").between(1, 25) & q.between(10, 30))
+        | ((F.col("p_brand") == "Brand#15") & F.col("p_size").between(1, 35) & q.between(20, 40))
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(cond)
+        .agg(money(F.sum(disc_price())).alias("revenue"))
+    )
