@@ -1,0 +1,368 @@
+"""Table maintenance: small-file compaction, manifest consolidation,
+snapshot expiration, orphan-file detection.
+
+The reference has none of this (its write path is WIP,
+cmd/icegopher/main.go:314); the semantics follow the Iceberg spec's
+maintenance actions (rewrite_data_files / rewrite_manifests /
+expire_snapshots / remove_orphan_files). At 100 TB these are not
+optional: streaming appends produce thousands of sub-target files whose
+per-file overhead (task scheduling, footer reads, manifest entries)
+dominates scan cost, and every retained snapshot pins dead data files
+on storage.
+
+Scale posture:
+  * compaction reads + rewrites ONLY the affected partition groups via
+    Spark (executor-side, parallel); planning stays driver-side over
+    manifest entries, never touching data.
+  * expiration computes reachability over metadata only (manifest
+    lists + manifests), then deletes unreachable files; no data reads.
+  * all operations commit through the same optimistic-versioned
+    metadata commit as writes (write.py::_commit_metadata), so a
+    concurrent append raises CommitFailedError and can be retried
+    after refresh().
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import uuid as _uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .io import strip_scheme
+from .manifests import (
+    DataFileContent,
+    ManifestContent,
+    ManifestEntry,
+    ManifestFile,
+    fetch_entries,
+    read_manifest_list,
+)
+from .metadata import OP_REPLACE, parse_metadata
+from .table import Table, _match_deletes, strip_file_scheme
+from .types import to_spark_type
+from .write import (
+    _commit_metadata,
+    _commit_snapshot,
+    _loaded_version,
+    _version_path,
+    collect_data_file,
+)
+
+DEFAULT_TARGET_FILE_SIZE = 128 * 1024 * 1024  # Iceberg's write.target-file-size-bytes default
+
+
+def _data_and_delete_manifests(
+    table: Table,
+) -> tuple[list[ManifestFile], list[ManifestFile]]:
+    snap = table.current_snapshot()
+    if snap is None:
+        return [], []
+    manifests = read_manifest_list(table.io.read(snap.manifest_list))
+    data = [m for m in manifests if m.content != ManifestContent.DELETES]
+    deletes = [m for m in manifests if m.content == ManifestContent.DELETES]
+    return data, deletes
+
+
+def compact_data_files(
+    table: Table,
+    spark: SparkSession,
+    target_file_size: int | None = None,
+    small_file_threshold: int | None = None,
+) -> Table:
+    """Bin-pack small data files into ~target-size files (Iceberg's
+    rewrite_data_files binpack strategy).
+
+    Groups candidate files by (partition tuple, written-schema,
+    format); each group with >=2 sub-threshold files is read through
+    Spark — with its positional and equality deletes APPLIED — and
+    rewritten as ceil(bytes/target) files under the current schema.
+    Untouched files carry forward as EXISTING entries keeping their
+    original sequence numbers, so older equality deletes still apply
+    to them; rewritten files get the new snapshot's sequence number,
+    so no prior delete can re-apply. Delete manifests are carried
+    forward untouched (entries pointing at rewritten paths simply no
+    longer match anything).
+    """
+    target = int(
+        target_file_size
+        or int(table.properties.get("write.target-file-size-bytes", DEFAULT_TARGET_FILE_SIZE))
+    )
+    threshold = int(small_file_threshold or (target * 3 // 4))
+    md = table.metadata
+    io = table.io
+    data_manifests, delete_manifests = _data_and_delete_manifests(table)
+    if not data_manifests:
+        return table
+
+    pos_deletes: list[ManifestEntry] = []
+    eq_deletes: list[ManifestEntry] = []
+    for m in delete_manifests:
+        for e in fetch_entries(m, io.read(m.manifest_path), discard_deleted=True):
+            if e.data_file.content == DataFileContent.POSITION_DELETES:
+                pos_deletes.append(e)
+            elif e.data_file.content == DataFileContent.EQUALITY_DELETES:
+                eq_deletes.append(e)
+    pos_deletes.sort(key=lambda e: e.sequence_number or 0)
+    pos_seqs = [e.sequence_number or 0 for e in pos_deletes]
+
+    entries: list[ManifestEntry] = []
+    for m in data_manifests:
+        entries.extend(fetch_entries(m, io.read(m.manifest_path), discard_deleted=True))
+
+    # group small files by (partition, written schema, format, applicable
+    # equality-delete set) — each group rewrites as one Spark job
+    groups: dict[tuple, list[ManifestEntry]] = {}
+    for e in entries:
+        df = e.data_file
+        if df.file_size_in_bytes >= threshold:
+            continue
+        esnap = md.snapshot_by_id(e.snapshot_id) if e.snapshot_id else None
+        eq_key = frozenset(
+            d.data_file.file_path
+            for d in eq_deletes
+            if (d.sequence_number or 0) > (e.sequence_number or 0)
+        )
+        key = (
+            tuple(sorted(df.partition.items())),
+            esnap.schema_id if esnap else None,
+            df.file_format,
+            eq_key,
+        )
+        groups.setdefault(key, []).append(e)
+
+    rewritten: set[str] = set()
+    new_files = []
+    schema = table.schema
+    fmt_out = table.properties.get("write.format.default", "parquet").lower()
+    ext = f".{fmt_out}" if fmt_out != "parquet" else ".parquet"
+    for (pkey, schema_id, _fmt, eq_key), group in groups.items():
+        if len(group) < 2:
+            continue
+        paths = [strip_file_scheme(e.data_file.file_path) for e in group]
+        file_schema = (md.schema_by_id(schema_id) if schema_id is not None else None) or schema
+        reader = spark.read.schema(file_schema.to_spark())
+        raw = (
+            reader.format("orc").load(paths)
+            if group[0].data_file.file_format == "ORC"
+            else reader.parquet(*paths)
+        )
+        # project to the CURRENT schema by field ID (rename-safe)
+        cols = []
+        for f in schema.fields:
+            old = file_schema.find_field(f.field_id)
+            if old is not None:
+                c = F.col(old.name)
+                if old.field_type != f.field_type:
+                    c = c.cast(to_spark_type(f.field_type))
+                cols.append(c.alias(f.name))
+            else:
+                cols.append(F.lit(None).cast(to_spark_type(f.field_type)).alias(f.name))
+        group_dfiles = {
+            d.file_path for e in group for d in _match_deletes(e, pos_deletes, pos_seqs)
+        }
+        if group_dfiles:
+            part = raw.select(
+                F.col("_metadata.file_path").alias("_file"),
+                F.col("_metadata.row_index").alias("_pos"),
+                *cols,
+            )
+            dels = spark.read.parquet(*sorted(strip_file_scheme(p) for p in group_dfiles))
+            norm = F.regexp_replace(F.col("_file"), "^file:/*", "/")
+            norm_del = F.regexp_replace(F.col("file_path"), "^file:/*", "/")
+            part = part.join(
+                F.broadcast(
+                    dels.select(norm_del.alias("_del_path"), F.col("pos").alias("_del_pos"))
+                ),
+                (norm == F.col("_del_path")) & (F.col("_pos") == F.col("_del_pos")),
+                "left_anti",
+            ).drop("_file", "_pos")
+        else:
+            part = raw.select(*cols)
+        for dpath in sorted(eq_key):
+            dentry = next(d.data_file for d in eq_deletes if d.data_file.file_path == dpath)
+            names = [
+                schema.find_field(fid).name
+                for fid in (dentry.equality_ids or [])
+                if schema.find_field(fid) is not None
+            ]
+            if not names:
+                continue
+            keys = spark.read.parquet(strip_file_scheme(dpath))
+            keys = keys.toDF(*names) if len(keys.columns) == len(names) else keys
+            part = part.join(F.broadcast(keys.select(*names).distinct()), names, "left_anti")
+
+        total = sum(e.data_file.file_size_in_bytes for e in group)
+        n_out = max(1, math.ceil(total / target))
+        out = f"{table.location}/data/compact-{_uuid.uuid4().hex[:16]}"
+        part.coalesce(n_out).write.mode("overwrite").format(fmt_out).save(out)
+        partition = dict(pkey)
+        for fn in sorted(os.listdir(out)):
+            if fn.endswith(ext):
+                new_files.append(collect_data_file(f"{out}/{fn}", schema, partition))
+        rewritten.update(e.data_file.file_path for e in group)
+
+    if not new_files:
+        return table
+    retained = [e for e in entries if e.data_file.file_path not in rewritten]
+    return _commit_snapshot(
+        table,
+        new_files,
+        OP_REPLACE,
+        keep_manifests=delete_manifests,
+        retained_entries=retained,
+    )
+
+
+def rewrite_manifests(table: Table) -> Table:
+    """Consolidate all data manifests into one (Iceberg's
+    rewrite_manifests). After N streaming appends a snapshot carries N
+    manifests; planning cost and manifest-list size grow linearly.
+    Entries keep their sequence numbers (EXISTING status)."""
+    data_manifests, delete_manifests = _data_and_delete_manifests(table)
+    if len(data_manifests) <= 1:
+        return table
+    entries: list[ManifestEntry] = []
+    for m in data_manifests:
+        entries.extend(fetch_entries(m, table.io.read(m.manifest_path), discard_deleted=True))
+    return _commit_snapshot(
+        table, [], OP_REPLACE, keep_manifests=delete_manifests, retained_entries=entries
+    )
+
+
+def _snapshot_file_refs(table: Table, snap) -> tuple[set[str], set[str]]:
+    """(manifest paths, data/delete file paths) referenced by a snapshot."""
+    io = table.io
+    manifests = read_manifest_list(io.read(snap.manifest_list))
+    mpaths: set[str] = set()
+    fpaths: set[str] = set()
+    for m in manifests:
+        mpaths.add(m.manifest_path)
+        for e in fetch_entries(m, io.read(m.manifest_path), discard_deleted=False):
+            fpaths.add(e.data_file.file_path)
+    return mpaths, fpaths
+
+
+def expire_snapshots(
+    table: Table,
+    older_than_ms: int | None = None,
+    retain_last: int = 1,
+    delete_files: bool = True,
+) -> Table:
+    """Drop expired snapshots from metadata and delete files reachable
+    ONLY from them (manifest lists, manifests, data/delete files).
+
+    Kept: the current snapshot, every snapshot referenced by a
+    branch/tag, the ``retain_last`` most recent, and any newer than
+    ``older_than_ms``. Reachability is computed from metadata alone —
+    no data reads — then unreachable files are removed storage-side.
+    """
+    md = table.metadata
+    snaps = sorted(md.snapshots, key=lambda s: s.timestamp_ms)
+    if not snaps:
+        return table
+    keep_ids = {s.snapshot_id for s in snaps[-max(1, retain_last):]}
+    if md.current_snapshot_id is not None and md.current_snapshot_id != -1:
+        keep_ids.add(md.current_snapshot_id)
+    for ref in md.refs.values():
+        keep_ids.add(ref.snapshot_id)
+    if older_than_ms is not None:
+        keep_ids.update(s.snapshot_id for s in snaps if s.timestamp_ms >= older_than_ms)
+    expired = [s for s in snaps if s.snapshot_id not in keep_ids]
+    if not expired:
+        return table
+
+    if delete_files:
+        kept_manifests: set[str] = set()
+        kept_files: set[str] = set()
+        for s in snaps:
+            if s.snapshot_id in keep_ids:
+                mp, fp = _snapshot_file_refs(table, s)
+                kept_manifests |= mp
+                kept_files |= fp
+        exp_manifests: set[str] = set()
+        exp_files: set[str] = set()
+        for s in expired:
+            mp, fp = _snapshot_file_refs(table, s)
+            exp_manifests |= mp
+            exp_files |= fp
+        for path in exp_manifests - kept_manifests:
+            _safe_remove(table, path)
+        for path in exp_files - kept_files:
+            _safe_remove(table, path)
+        for s in expired:
+            _safe_remove(table, s.manifest_list)
+
+    expired_ids = {s.snapshot_id for s in expired}
+    raw = md.to_json_dict()
+    raw["snapshots"] = [
+        s for s in raw.get("snapshots", []) if s.get("snapshot-id") not in expired_ids
+    ]
+    raw["snapshot-log"] = [
+        e for e in raw.get("snapshot-log", []) if e.get("snapshot-id") not in expired_ids
+    ]
+    # a kept snapshot whose parent was expired keeps the dangling
+    # parent-snapshot-id, matching Iceberg (history() just stops there)
+    new_md = parse_metadata(raw)
+    version = _loaded_version(table)
+    _commit_metadata(table.io, md.location, new_md, expected_version=version)
+    table.metadata = new_md
+    table.metadata_location = _version_path(md.location, version + 1)
+    return table
+
+
+def _safe_remove(table: Table, path: str) -> None:
+    try:
+        table.io.remove(path)
+    except FileNotFoundError:
+        pass
+
+
+def _list_recursive(location: str) -> list[str]:
+    """List every file under a table location. Local-FS implementation
+    (os.walk); an object store would swap in a prefix listing — the
+    orphan algorithm is identical."""
+    root = strip_scheme(location)
+    out: list[str] = []
+    for dirpath, _dirs, files in os.walk(root):
+        for fn in files:
+            out.append(os.path.join(dirpath, fn))
+    return out
+
+
+def orphan_files(table: Table) -> list[str]:
+    """Files under the table location referenced by NO snapshot and not
+    part of the metadata plane — write leftovers from failed commits.
+    Returns candidates; ``remove_orphan_files`` deletes them."""
+    md = table.metadata
+    referenced: set[str] = set()
+    location = strip_scheme(md.location)
+    # metadata plane: every versioned metadata json + version hint
+    for fn in os.listdir(os.path.join(location, "metadata")):
+        if fn.endswith(".metadata.json") or fn == "version-hint.text":
+            referenced.add(os.path.join(location, "metadata", fn))
+    for s in md.snapshots:
+        referenced.add(strip_file_scheme(s.manifest_list))
+        mp, fp = _snapshot_file_refs(table, s)
+        referenced.update(strip_file_scheme(p) for p in mp)
+        referenced.update(strip_file_scheme(p) for p in fp)
+    # Spark write artifacts that are never referenced but expected
+    noise = ("_SUCCESS", ".crc", "_started", "_committed")
+    orphans = []
+    for path in _list_recursive(md.location):
+        if path in referenced:
+            continue
+        base = os.path.basename(path)
+        if base == "_SUCCESS" or base.endswith(".crc") or any(base.startswith(n) for n in noise):
+            continue
+        orphans.append(path)
+    return sorted(orphans)
+
+
+def remove_orphan_files(table: Table) -> list[str]:
+    removed = orphan_files(table)
+    for path in removed:
+        _safe_remove(table, path)
+    return removed

@@ -323,3 +323,123 @@ def _eqdel_table_for(spark: SparkSession, sf_dir: str) -> Table:
     keys = li.filter(F.col("l_orderkey") % 100 == 7).select("l_orderkey").distinct()
     t = W.delete_keys(t, spark, keys, ["l_orderkey"])
     return t
+
+
+ice_compact_oracle = """
+SELECT l_returnflag, COUNT(*) AS n_rows,
+       CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_qty,
+       CAST(TRUE AS BOOLEAN) AS compacted
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@register(
+    "iceberg_compaction",
+    ice_compact_oracle,
+    "bin-pack small-file compaction: 4 appends -> replace snapshot; values preserved",
+)
+def iceberg_compaction(spark: SparkSession, sf: str) -> DataFrame:
+    t = _compacted_table_for(spark, sf)
+    # the `compacted` flag asserts the REPLACE snapshot actually shrank
+    # the file count (metadata-level proof the rewrite happened)
+    snaps = t.metadata.snapshots
+    pre = next(s for s in reversed(snaps) if s.summary.get("operation") != "replace")
+    post = snaps[-1]
+    shrank = int(post.summary["total-data-files"]) < int(pre.summary["total-data-files"])
+    same_rows = int(post.summary["total-records"]) == int(pre.summary["total-records"])
+    return (
+        t.scan()
+        .to_df(spark)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum(F.col("l_quantity").cast("decimal(12,2)")), 2)
+            .cast("double")
+            .alias("sum_qty"),
+            F.lit(bool(shrank and same_rows)).alias("compacted"),
+        )
+    )
+
+
+def _compacted_table_for(spark: SparkSession, sf_dir: str) -> Table:
+    """Unpartitioned lineitem table built from 4 quarter-appends then
+    bin-pack compacted (maintenance.compact_data_files)."""
+    from .iceberg.maintenance import compact_data_files
+
+    key = sf_dir.strip("/").replace("/", "_")
+    loc = f"{_CACHE_ROOT}/{key}/lineitem_compact"
+    hint = f"{loc}/metadata/version-hint.text"
+    if os.path.exists(hint):
+        try:
+            t = Table.from_location(loc)
+            if len(t.metadata.snapshots) == 5:
+                return t
+        except Exception:  # noqa: BLE001
+            pass
+        shutil.rmtree(loc, ignore_errors=True)
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey",
+        "l_quantity",
+        "l_returnflag",
+        F.col("l_shipdate").cast("timestamp_ntz").alias("l_shipdate"),
+    )
+    t = W.create_table(loc, _SCHEMA)  # unpartitioned: pure bin-pack
+    for q in range(4):
+        t = W.append(t, li.filter(F.col("l_orderkey") % 4 == q))
+    return compact_data_files(t, spark)
+
+
+ice_expire_oracle = """
+SELECT COUNT(*) AS n_rows, CAST(SUM(l_orderkey) AS BIGINT) AS sum_okey,
+       CAST(TRUE AS BOOLEAN) AS history_pruned
+FROM lineitem WHERE l_orderkey % 2 = 1
+"""
+
+
+@register(
+    "iceberg_expire_snapshots",
+    ice_expire_oracle,
+    "snapshot expiration: unreachable files deleted, head scan unchanged",
+)
+def iceberg_expire(spark: SparkSession, sf: str) -> DataFrame:
+    t = _expired_table_for(spark, sf)
+    pruned = len(t.metadata.snapshots) == 1
+    return (
+        t.scan()
+        .to_df(spark)
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("l_orderkey").alias("sum_okey"),
+            F.lit(bool(pruned)).alias("history_pruned"),
+        )
+    )
+
+
+def _expired_table_for(spark: SparkSession, sf_dir: str) -> Table:
+    """Even-keys append, then overwrite with odd keys, then expire all
+    but the head — the even-key files become unreachable and are
+    physically removed."""
+    from .iceberg.maintenance import expire_snapshots
+
+    key = sf_dir.strip("/").replace("/", "_")
+    loc = f"{_CACHE_ROOT}/{key}/lineitem_expire"
+    hint = f"{loc}/metadata/version-hint.text"
+    if os.path.exists(hint):
+        try:
+            t = Table.from_location(loc)
+            if len(t.metadata.snapshots) == 1:
+                return t
+        except Exception:  # noqa: BLE001
+            pass
+        shutil.rmtree(loc, ignore_errors=True)
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey",
+        "l_quantity",
+        "l_returnflag",
+        F.col("l_shipdate").cast("timestamp_ntz").alias("l_shipdate"),
+    )
+    t = W.create_table(loc, _SCHEMA)
+    t = W.append(t, li.filter(F.col("l_orderkey") % 2 == 0))
+    t = W.overwrite(t, li.filter(F.col("l_orderkey") % 2 == 1))
+    return expire_snapshots(t, retain_last=1)

@@ -1,0 +1,173 @@
+"""Maintenance actions: compaction, manifest rewrite, snapshot
+expiration, orphan files. Beyond-reference capabilities (reference write
+path is WIP, cmd/icegopher/main.go:314) following Iceberg's maintenance
+spec; required at 100 TB scale."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from icegopher_spark.iceberg import expressions as E
+from icegopher_spark.iceberg import maintenance as M
+from icegopher_spark.iceberg import write as W
+from icegopher_spark.iceberg.manifests import ManifestContent, read_manifest_list
+from icegopher_spark.iceberg.schema import Schema
+from icegopher_spark.iceberg.transforms import PartitionField, PartitionSpec, parse_transform
+from icegopher_spark.iceberg.types import DoubleType, LongType, NestedField, StringType
+
+SF_DIR = "/root/testdata/sf0.001"
+
+SCHEMA = Schema(
+    (
+        NestedField(1, "l_orderkey", LongType(), True),
+        NestedField(2, "l_quantity", DoubleType(), False),
+        NestedField(3, "l_returnflag", StringType(), False),
+    ),
+    schema_id=0,
+)
+
+
+@pytest.fixture()
+def lineitem(spark):
+    return spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity", "l_returnflag"
+    )
+
+
+def _mk_table(tmp_path, n_appends, lineitem, spec=None, rows_per=200):
+    t = W.create_table(str(tmp_path / "tbl"), SCHEMA, spec=spec)
+    for i in range(n_appends):
+        t = W.append(t, lineitem.limit(rows_per * (i + 1)).offset(rows_per * i))
+    return t
+
+
+def _data_file_paths(t):
+    snap = t.current_snapshot()
+    out = []
+    for m in read_manifest_list(t.io.read(snap.manifest_list)):
+        if m.content == ManifestContent.DELETES:
+            continue
+        from icegopher_spark.iceberg.manifests import fetch_entries
+
+        for e in fetch_entries(m, t.io.read(m.manifest_path), discard_deleted=True):
+            out.append(e.data_file.file_path)
+    return out
+
+
+def test_compact_small_files(spark, tmp_path, lineitem):
+    t = _mk_table(tmp_path, 5, lineitem)
+    before = t.scan().to_df(spark)
+    n_before = before.count()
+    files_before = _data_file_paths(t)
+    assert len(files_before) == 5
+    pre_snap = t.current_snapshot().snapshot_id
+
+    t = M.compact_data_files(t, spark, target_file_size=64 * 1024 * 1024)
+    files_after = _data_file_paths(t)
+    assert len(files_after) == 1
+    after = t.scan().to_df(spark)
+    assert after.count() == n_before
+    # value-level equality
+    assert sorted(map(tuple, after.collect())) == sorted(map(tuple, before.collect()))
+    assert t.current_snapshot().summary["operation"] == "replace"
+    # time travel to pre-compaction still sees the old layout
+    old = t.scan(snapshot_id=pre_snap).to_df(spark)
+    assert old.count() == n_before
+
+
+def test_compact_respects_partitions(spark, tmp_path, lineitem):
+    spec = PartitionSpec([PartitionField(3, 1000, "flag", parse_transform("identity"))])
+    t = _mk_table(tmp_path, 4, lineitem, spec=spec)
+    n = t.scan().to_df(spark).count()
+    t = M.compact_data_files(t, spark, target_file_size=64 * 1024 * 1024)
+    files = _data_file_paths(t)
+    # one output file per partition value (3 return flags)
+    assert len(files) == 3
+    assert t.scan().to_df(spark).count() == n
+    # partition pruning still works post-compaction
+    pruned = t.scan(row_filter=E.equal_to("l_returnflag", "R"))
+    tasks = pruned.plan_files()
+    assert len(tasks) == 1
+
+
+def test_compact_applies_positional_deletes(spark, tmp_path, lineitem):
+    t = _mk_table(tmp_path, 3, lineitem)
+    t = W.delete_where_mor(t, spark, E.less_than("l_quantity", 10.0))
+    expect = t.scan().to_df(spark)
+    n_expect = expect.count()
+    assert n_expect < 600
+    t = M.compact_data_files(t, spark, target_file_size=64 * 1024 * 1024)
+    after = t.scan().to_df(spark)
+    assert after.count() == n_expect
+    assert after.filter(F.col("l_quantity") < 10.0).count() == 0
+    # deletes were folded into the rewrite: compacted data has no
+    # matching positional deletes anymore, but the table still scans
+    # through the delete-aware path without double-applying
+    assert sorted(map(tuple, after.collect())) == sorted(map(tuple, expect.collect()))
+
+
+def test_rewrite_manifests(spark, tmp_path, lineitem):
+    t = _mk_table(tmp_path, 6, lineitem)
+    snap = t.current_snapshot()
+    assert len(read_manifest_list(t.io.read(snap.manifest_list))) == 6
+    n = t.scan().to_df(spark).count()
+    t = M.rewrite_manifests(t)
+    snap = t.current_snapshot()
+    assert len(read_manifest_list(t.io.read(snap.manifest_list))) == 1
+    assert t.scan().to_df(spark).count() == n
+    # data files untouched — only metadata reorganized
+    assert len(_data_file_paths(t)) == 6
+
+
+def test_expire_snapshots(spark, tmp_path, lineitem):
+    t = _mk_table(tmp_path, 3, lineitem)
+    # overwrite makes the 3 appended files unreachable from the head
+    t = W.overwrite(t, lineitem.limit(50))
+    all_snaps = [s.snapshot_id for s in t.metadata.snapshots]
+    assert len(all_snaps) == 4
+    orphan_candidates = set(_data_file_paths(t))  # files of the head snapshot
+
+    t = M.expire_snapshots(t, retain_last=1)
+    assert [s.snapshot_id for s in t.metadata.snapshots] == all_snaps[-1:]
+    # head still scans fine
+    assert t.scan().to_df(spark).count() == 50
+    # files referenced only by expired snapshots are gone from disk
+    import glob
+
+    on_disk = set(glob.glob(str(tmp_path / "tbl" / "data" / "**" / "*.parquet"), recursive=True))
+    assert on_disk == {p.replace("file://", "") for p in orphan_candidates}
+    # history pruned
+    assert len(t.history()) == 1
+
+
+def test_expire_keeps_refs(spark, tmp_path, lineitem):
+    t = _mk_table(tmp_path, 3, lineitem)
+    # tag the first snapshot as a ref
+    first = t.metadata.snapshots[0].snapshot_id
+    raw = t.metadata.to_json_dict()
+    raw["refs"]["archive"] = {"snapshot-id": first, "type": "tag"}
+    from icegopher_spark.iceberg.metadata import parse_metadata
+
+    t.metadata = parse_metadata(raw)
+    t = M.expire_snapshots(t, retain_last=1)
+    kept = {s.snapshot_id for s in t.metadata.snapshots}
+    assert first in kept  # pinned by the tag
+    assert t.scan(snapshot_id=first).to_df(spark).count() == 200
+
+
+def test_orphan_files(spark, tmp_path, lineitem):
+    t = _mk_table(tmp_path, 2, lineitem)
+    junk = str(tmp_path / "tbl" / "data" / "leftover-uncommitted.parquet")
+    lineitem.limit(5).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "junkdir"))
+    os.makedirs(os.path.dirname(junk), exist_ok=True)
+    with open(junk, "wb") as f:
+        f.write(b"not really parquet")
+    orphans = M.orphan_files(t)
+    assert junk in orphans
+    # nothing referenced is listed
+    referenced = {p.replace("file://", "") for p in _data_file_paths(t)}
+    assert not (set(orphans) & referenced)
+    removed = M.remove_orphan_files(t)
+    assert junk in removed and not os.path.exists(junk)
+    assert t.scan().to_df(spark).count() == 400
