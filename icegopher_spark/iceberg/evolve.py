@@ -119,3 +119,93 @@ class UpdateSchema:
 
 def update_schema(table: Table) -> UpdateSchema:
     return UpdateSchema(table)
+
+
+class UpdateSpec:
+    """Partition spec evolution: ``update_spec(t).add_field("l_shipdate",
+    "day").remove_field("flag").commit()``.
+
+    Iceberg semantics: a NEW spec (fresh spec-id) becomes the default
+    for future writes; existing data keeps its original spec and is
+    planned/pruned under it (plan_files dispatches evaluators per
+    manifest spec-id already). A partition field that reappears with the
+    same (source column, transform) in any historical spec reuses its
+    field-id, so its partition-tuple key stays stable across eras.
+
+    The reference parses specs but cannot evolve them (partitions.go:
+    179-183 returns an empty struct; no write path)."""
+
+    def __init__(self, table: Table) -> None:
+        self.table = table
+        self._fields = list(table.spec.fields)
+        md = table.metadata
+        self._last_pid = max(
+            [md.last_partition_id]
+            + [f.field_id for s in md.partition_specs for f in s.fields]
+        )
+
+    def _reuse_or_alloc(self, source_id: int, transform) -> int:
+        for s in self.table.metadata.partition_specs:
+            for f in s.fields:
+                if f.source_id == source_id and str(f.transform) == str(transform):
+                    return f.field_id
+        self._last_pid += 1
+        return self._last_pid
+
+    def add_field(self, source_name: str, transform: str, name: str | None = None) -> "UpdateSpec":
+        from .transforms import PartitionField, parse_transform
+
+        src = self.table.schema.find_field(source_name)
+        if src is None:
+            raise ValueError(f"source column {source_name!r} not found")
+        tr = parse_transform(transform)
+        pname = name or f"{source_name}_{transform.split('[')[0]}"
+        if transform == "identity":
+            pname = name or source_name
+        if any(f.name == pname for f in self._fields):
+            raise ValueError(f"partition field {pname!r} already exists")
+        if any(f.source_id == src.field_id and str(f.transform) == str(tr) for f in self._fields):
+            raise ValueError(f"duplicate partition on {source_name!r} via {transform}")
+        self._fields.append(
+            PartitionField(src.field_id, self._reuse_or_alloc(src.field_id, tr), pname, tr)
+        )
+        return self
+
+    def remove_field(self, name: str) -> "UpdateSpec":
+        if not any(f.name == name for f in self._fields):
+            raise ValueError(f"partition field {name!r} not found")
+        self._fields = [f for f in self._fields if f.name != name]
+        return self
+
+    def rename_field(self, old: str, new: str) -> "UpdateSpec":
+        from .transforms import PartitionField
+
+        if not any(f.name == old for f in self._fields):
+            raise ValueError(f"partition field {old!r} not found")
+        self._fields = [
+            PartitionField(f.source_id, f.field_id, new, f.transform) if f.name == old else f
+            for f in self._fields
+        ]
+        return self
+
+    def commit(self) -> Table:
+        from .transforms import PartitionSpec
+
+        md = self.table.metadata
+        new_spec_id = max(s.spec_id for s in md.partition_specs) + 1
+        new_spec = PartitionSpec(self._fields, spec_id=new_spec_id)
+        raw = md.to_json_dict()
+        raw["partition-specs"] = raw["partition-specs"] + [new_spec.to_json_dict()]
+        raw["default-spec-id"] = new_spec_id
+        raw["last-partition-id"] = max(self._last_pid, md.last_partition_id)
+        raw["last-updated-ms"] = int(time.time() * 1000)
+        new_md = parse_metadata(raw)
+        version = _loaded_version(self.table)
+        _commit_metadata(self.table.io, md.location, new_md, expected_version=version)
+        self.table.metadata = new_md
+        self.table.metadata_location = _version_path(md.location, version + 1)
+        return self.table
+
+
+def update_spec(table: Table) -> UpdateSpec:
+    return UpdateSpec(table)

@@ -94,6 +94,11 @@ def compact_data_files(
     md = table.metadata
     io = table.io
     data_manifests, delete_manifests = _data_and_delete_manifests(table)
+    # under partition-spec evolution, only current-spec manifests can be
+    # rewritten (the new manifest is written under the default spec);
+    # older-spec manifests carry forward untouched
+    foreign_spec = [m for m in data_manifests if m.partition_spec_id != md.default_spec_id]
+    data_manifests = [m for m in data_manifests if m.partition_spec_id == md.default_spec_id]
     if not data_manifests:
         return table
 
@@ -211,24 +216,33 @@ def compact_data_files(
         table,
         new_files,
         OP_REPLACE,
-        keep_manifests=delete_manifests,
+        keep_manifests=foreign_spec + delete_manifests,
         retained_entries=retained,
     )
 
 
 def rewrite_manifests(table: Table) -> Table:
-    """Consolidate all data manifests into one (Iceberg's
+    """Consolidate data manifests into one (Iceberg's
     rewrite_manifests). After N streaming appends a snapshot carries N
     manifests; planning cost and manifest-list size grow linearly.
-    Entries keep their sequence numbers (EXISTING status)."""
+    Entries keep their sequence numbers (EXISTING status). Only
+    current-spec manifests consolidate; older-spec ones carry forward
+    (the consolidated manifest is written under the default spec)."""
+    md = table.metadata
     data_manifests, delete_manifests = _data_and_delete_manifests(table)
+    foreign_spec = [m for m in data_manifests if m.partition_spec_id != md.default_spec_id]
+    data_manifests = [m for m in data_manifests if m.partition_spec_id == md.default_spec_id]
     if len(data_manifests) <= 1:
         return table
     entries: list[ManifestEntry] = []
     for m in data_manifests:
         entries.extend(fetch_entries(m, table.io.read(m.manifest_path), discard_deleted=True))
     return _commit_snapshot(
-        table, [], OP_REPLACE, keep_manifests=delete_manifests, retained_entries=entries
+        table,
+        [],
+        OP_REPLACE,
+        keep_manifests=foreign_spec + delete_manifests,
+        retained_entries=entries,
     )
 
 

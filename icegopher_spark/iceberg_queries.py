@@ -443,3 +443,56 @@ def _expired_table_for(spark: SparkSession, sf_dir: str) -> Table:
     t = W.append(t, li.filter(F.col("l_orderkey") % 2 == 0))
     t = W.overwrite(t, li.filter(F.col("l_orderkey") % 2 == 1))
     return expire_snapshots(t, retain_last=1)
+
+
+ice_specevo_oracle = """
+SELECT l_returnflag, COUNT(*) AS n_rows,
+       CAST(SUM(l_orderkey) AS BIGINT) AS sum_okey
+FROM lineitem WHERE l_returnflag = 'R'
+GROUP BY l_returnflag
+"""
+
+
+@register(
+    "iceberg_partition_evolution",
+    ice_specevo_oracle,
+    "spec evolution mid-table: old files planned under old spec, new under new",
+)
+def iceberg_partition_evolution(spark: SparkSession, sf: str) -> DataFrame:
+    t = _specevo_table_for(spark, sf)
+    scan = t.scan(row_filter=E.equal_to("l_returnflag", "R"))
+    return (
+        scan.to_df(spark)
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n_rows"), F.sum("l_orderkey").alias("sum_okey"))
+    )
+
+
+def _specevo_table_for(spark: SparkSession, sf_dir: str) -> Table:
+    """Era 1 unpartitioned, then evolve to partition by return flag,
+    era 2 partitioned — the filtered scan prunes era-2 files by
+    partition while keeping era-1 files (stats-pruned only)."""
+    from .iceberg.evolve import update_spec
+
+    key = sf_dir.strip("/").replace("/", "_")
+    loc = f"{_CACHE_ROOT}/{key}/lineitem_specevo"
+    hint = f"{loc}/metadata/version-hint.text"
+    if os.path.exists(hint):
+        try:
+            t = Table.from_location(loc)
+            if len(t.metadata.partition_specs) == 2:
+                return t
+        except Exception:  # noqa: BLE001
+            pass
+        shutil.rmtree(loc, ignore_errors=True)
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey",
+        "l_quantity",
+        "l_returnflag",
+        F.col("l_shipdate").cast("timestamp_ntz").alias("l_shipdate"),
+    )
+    t = W.create_table(loc, _SCHEMA.__class__(_SCHEMA.fields, schema_id=0))
+    t = W.append(t, li.filter(F.col("l_orderkey") % 2 == 0))
+    t = update_spec(t).add_field("l_returnflag", "identity", name="flag").commit()
+    t = W.append(t, li.filter(F.col("l_orderkey") % 2 == 1))
+    return t

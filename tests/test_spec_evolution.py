@@ -1,0 +1,101 @@
+"""Partition spec evolution: new default spec for future writes, old
+files planned under their original spec, pruning correct across eras,
+maintenance actions spec-aware."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from icegopher_spark.iceberg import expressions as E
+from icegopher_spark.iceberg import maintenance as M
+from icegopher_spark.iceberg import write as W
+from icegopher_spark.iceberg.evolve import update_spec
+from icegopher_spark.iceberg.schema import Schema
+from icegopher_spark.iceberg.transforms import PartitionField, PartitionSpec, parse_transform
+from icegopher_spark.iceberg.types import DoubleType, LongType, NestedField, StringType
+
+SF_DIR = "/root/testdata/sf0.001"
+
+SCHEMA = Schema(
+    (
+        NestedField(1, "l_orderkey", LongType(), True),
+        NestedField(2, "l_quantity", DoubleType(), False),
+        NestedField(3, "l_returnflag", StringType(), False),
+    ),
+    schema_id=0,
+)
+
+
+@pytest.fixture()
+def lineitem(spark):
+    return spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity", "l_returnflag"
+    )
+
+
+def test_spec_evolution_end_to_end(spark, tmp_path, lineitem):
+    # era 1: unpartitioned
+    t = W.create_table(str(tmp_path / "tbl"), SCHEMA)
+    t = W.append(t, lineitem.filter(F.col("l_orderkey") % 2 == 0))
+    # evolve: partition by return flag
+    t = update_spec(t).add_field("l_returnflag", "identity", name="flag").commit()
+    assert t.spec.spec_id == 1
+    assert t.metadata.default_spec_id == 1
+    t = W.append(t, lineitem.filter(F.col("l_orderkey") % 2 == 1))
+
+    # full scan unions both eras
+    n_total = lineitem.count()
+    assert t.scan().to_df(spark).count() == n_total
+
+    # a flag filter prunes era-2 files by partition but must NOT drop
+    # era-1 files (unpartitioned, only stats-prunable)
+    scan = t.scan(row_filter=E.equal_to("l_returnflag", "R"))
+    expect = lineitem.filter(F.col("l_returnflag") == "R").count()
+    assert scan.to_df(spark).count() == expect
+    tasks = scan.plan_files()
+    # era-2 contributed exactly 1 file (flag=R partition); era-1 file kept
+    era2 = [t_ for t_ in tasks if "flag=" in t_.file.file_path]
+    assert len(era2) == 1 and "flag=R" in era2[0].file.file_path
+
+
+def test_spec_field_id_reuse(tmp_path, spark, lineitem):
+    spec = PartitionSpec([PartitionField(3, 1000, "flag", parse_transform("identity"))])
+    t = W.create_table(str(tmp_path / "tbl"), SCHEMA, spec=spec)
+    t = update_spec(t).remove_field("flag").commit()
+    t = update_spec(t).add_field("l_returnflag", "identity", name="flag").commit()
+    # same (source, transform) -> same partition field id as spec 0
+    assert t.spec.fields[0].field_id == 1000
+    assert t.spec.spec_id == 2
+
+
+def test_spec_evolution_validation(tmp_path, spark):
+    t = W.create_table(str(tmp_path / "tbl"), SCHEMA)
+    with pytest.raises(ValueError, match="not found"):
+        update_spec(t).add_field("nope", "identity")
+    u = update_spec(t).add_field("l_orderkey", "bucket[4]")
+    with pytest.raises(ValueError, match="duplicate"):
+        u.add_field("l_orderkey", "bucket[4]", name="other")
+    with pytest.raises(ValueError, match="not found"):
+        update_spec(t).remove_field("ghost")
+
+
+def test_maintenance_skips_foreign_spec_manifests(spark, tmp_path, lineitem):
+    t = W.create_table(str(tmp_path / "tbl"), SCHEMA)
+    t = W.append(t, lineitem.filter(F.col("l_orderkey") % 4 == 0))
+    t = W.append(t, lineitem.filter(F.col("l_orderkey") % 4 == 1))
+    t = update_spec(t).add_field("l_returnflag", "identity", name="flag").commit()
+    t = W.append(t, lineitem.filter(F.col("l_orderkey") % 4 == 2))
+    t = W.append(t, lineitem.filter(F.col("l_orderkey") % 4 == 3))
+    n = t.scan().to_df(spark).count()
+
+    # compaction rewrites only the era-2 (current spec) small files; the
+    # two era-1 manifests survive untouched
+    t2 = M.compact_data_files(t, spark, target_file_size=64 * 1024 * 1024)
+    assert t2.scan().to_df(spark).count() == n
+    from icegopher_spark.iceberg.manifests import ManifestContent, read_manifest_list
+
+    manifests = read_manifest_list(t2.io.read(t2.current_snapshot().manifest_list))
+    spec_ids = sorted(m.partition_spec_id for m in manifests if m.content != ManifestContent.DELETES)
+    assert 0 in spec_ids and 1 in spec_ids  # both eras still present
+
+    t3 = M.rewrite_manifests(t2)
+    assert t3.scan().to_df(spark).count() == n
