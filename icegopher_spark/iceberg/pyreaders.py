@@ -1,0 +1,162 @@
+"""Executor-side Arrow readers for formats where Spark's built-in
+source can't give us what the Iceberg spec needs:
+
+* ORC with exact row ordinals — Spark exposes `_metadata.row_index`
+  for parquet only, but positional deletes (reference
+  manifest.go:548-551) are defined on the file's absolute row ordinal.
+  `pyarrow.orc` reads each file whole per task, so the ordinal is
+  exact regardless of Spark's split planning.
+* Avro data files — the `spark-avro` package isn't bundled; the same
+  pure-Python OCF codec that handles manifest Avro (avro_io.py, ported
+  from the reference's internal/avro_schemas.go) decodes data blocks
+  executor-side.
+
+Both run as `mapInPandas` over a one-row-per-file DataFrame: planning
+stays explicit (our file list), reading is distributed and
+Arrow-batched. This is the documented escape hatch of the build plan —
+Pandas-UDF-backed reading only where the built-in source genuinely
+can't express the semantics.
+"""
+
+from __future__ import annotations
+
+import json
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from .io import strip_scheme
+from .schema import Schema
+
+_POS_FIELDS = [T.StructField("_file", T.StringType()), T.StructField("_pos", T.LongType())]
+
+
+def _with_pos_schema(spark_schema: T.StructType) -> T.StructType:
+    return T.StructType(_POS_FIELDS + list(spark_schema.fields))
+
+
+def _coerce_batch(pdf: pd.DataFrame, spark_schema: T.StructType) -> pd.DataFrame:
+    """Align pandas dtypes with the target Spark schema (timestamps from
+    µs ints, nullable ints)."""
+    for f in spark_schema.fields:
+        if f.name not in pdf.columns:
+            pdf[f.name] = None
+        if isinstance(f.dataType, (T.TimestampType, T.TimestampNTZType)):
+            col = pdf[f.name]
+            if col.dtype != "datetime64[us]" and not str(col.dtype).startswith("datetime"):
+                pdf[f.name] = pd.to_datetime(col, unit="us")
+    return pdf[[f.name for f in spark_schema.fields]]
+
+
+def read_orc_with_pos(
+    spark: SparkSession, paths: list[str], spark_schema: T.StructType
+) -> DataFrame:
+    """Distributed ORC read returning (_file, _pos, *columns) with
+    spec-exact per-file row ordinals."""
+    out_schema = _with_pos_schema(spark_schema)
+    names = [f.name for f in spark_schema.fields]
+
+    def gen(iterator: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pyarrow.orc as orc
+
+        for pdf in iterator:
+            for path in pdf["path"]:
+                f = orc.ORCFile(strip_scheme(path))
+                pos = 0
+                for i in range(f.nstripes):
+                    batch = f.read_stripe(i, columns=[n for n in names])
+                    b = batch.to_pandas()
+                    b = _coerce_batch(b, spark_schema)
+                    b.insert(0, "_pos", range(pos, pos + len(b)))
+                    b.insert(0, "_file", path)
+                    pos += len(b)
+                    yield b
+
+    files = spark.createDataFrame([(p,) for p in paths], ["path"]).repartition(len(paths))
+    return files.mapInPandas(gen, out_schema)
+
+
+def read_avro_files(
+    spark: SparkSession,
+    paths: list[str],
+    spark_schema: T.StructType,
+    with_pos: bool = False,
+) -> DataFrame:
+    """Distributed Avro OCF data-file read via the pure-Python codec.
+
+    Slower per-byte than a JVM source (pure-Python decode), but Avro
+    DATA files are rare in practice (parquet dominates); this makes
+    them readable at all, distributed, without extra packages.
+    """
+    out_schema = _with_pos_schema(spark_schema) if with_pos else spark_schema
+
+    def gen(iterator: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .avro_io import read_ocf
+
+        for pdf in iterator:
+            for path in pdf["path"]:
+                with open(strip_scheme(path), "rb") as fh:
+                    _schema, _meta, rows = read_ocf(fh.read())
+                b = pd.DataFrame(rows)
+                b = _coerce_batch(b, spark_schema)
+                if with_pos:
+                    b.insert(0, "_pos", range(len(b)))
+                    b.insert(0, "_file", path)
+                yield b
+
+    files = spark.createDataFrame([(p,) for p in paths], ["path"]).repartition(len(paths))
+    return files.mapInPandas(gen, out_schema)
+
+
+def iceberg_schema_to_avro(schema: Schema, name: str = "record") -> dict:
+    """Avro record schema for an Iceberg schema (primitives; field-id
+    props like the reference's manifest schemas,
+    internal/avro_schemas.go:34-190)."""
+    from . import types as IT
+
+    def prim(t) -> object:
+        if isinstance(t, IT.BooleanType):
+            return "boolean"
+        if isinstance(t, IT.IntegerType):
+            return "int"
+        if isinstance(t, IT.LongType):
+            return "long"
+        if isinstance(t, IT.FloatType):
+            return "float"
+        if isinstance(t, IT.DoubleType):
+            return "double"
+        if isinstance(t, IT.StringType):
+            return "string"
+        if isinstance(t, IT.BinaryType):
+            return "bytes"
+        if isinstance(t, IT.DateType):
+            return {"type": "int", "logicalType": "date"}
+        if isinstance(t, (IT.TimestampType, IT.TimestamptzType)):
+            return {"type": "long", "logicalType": "timestamp-micros"}
+        raise NotImplementedError(f"avro data files: unsupported type {t}")
+
+    fields = []
+    for f in schema.fields:
+        ft = prim(f.field_type)
+        fields.append(
+            {
+                "name": f.name,
+                "field-id": f.field_id,
+                "type": ft if f.required else ["null", ft],
+                **({} if f.required else {"default": None}),
+            }
+        )
+    return {"type": "record", "name": name, "fields": fields}
+
+
+def write_avro_data_file(path: str, schema: Schema, rows: list[dict]) -> None:
+    """Write an Avro OCF data file (driver-side; used by tests and the
+    Avro write path). Timestamps must already be µs ints."""
+    from .avro_io import write_ocf
+
+    avro_schema = iceberg_schema_to_avro(schema)
+    data = write_ocf(avro_schema, rows, {"iceberg.schema": json.dumps(schema.to_json_dict())})
+    with open(strip_scheme(path), "wb") as fh:
+        fh.write(data)

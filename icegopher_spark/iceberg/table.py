@@ -597,12 +597,27 @@ class TableScan:
         for (sid, _eqkey, fmt), g in groups.items():
             file_schema = md.schema_by_id(sid) if sid is not None else None
             file_schema = file_schema or base
-            reader = spark.read.schema(file_schema.to_spark())
-            raw = (
-                reader.format("orc").load(g["paths"])
-                if fmt == "ORC"
-                else reader.parquet(*g["paths"])
-            )
+            # ORC lacks Spark's `_metadata.row_index`, and Avro has no
+            # bundled JVM source at all — both go through the Arrow
+            # mapInPandas readers (exact per-file ordinals; pyreaders.py)
+            py_pos = has_deletes and fmt in ("ORC", "AVRO")
+            if fmt == "AVRO":
+                from .pyreaders import read_avro_files
+
+                raw = read_avro_files(
+                    spark, g["paths"], file_schema.to_spark(), with_pos=py_pos
+                )
+            elif py_pos:
+                from .pyreaders import read_orc_with_pos
+
+                raw = read_orc_with_pos(spark, g["paths"], file_schema.to_spark())
+            else:
+                reader = spark.read.schema(file_schema.to_spark())
+                raw = (
+                    reader.format("orc").load(g["paths"])
+                    if fmt == "ORC"
+                    else reader.parquet(*g["paths"])
+                )
             cols = []
             for f in base.fields:
                 old = file_schema.find_field(f.field_id)
@@ -614,11 +629,15 @@ class TableScan:
                 else:  # column added after this file was written
                     cols.append(F.lit(None).cast(to_spark_type(f.field_type)).alias(f.name))
             if has_deletes:
-                cols = [
-                    F.col("_metadata.file_path").alias("_file"),
-                    F.col("_metadata.row_index").alias("_pos"),
-                    *cols,
-                ]
+                pos_cols = (
+                    [F.col("_file"), F.col("_pos")]
+                    if py_pos
+                    else [
+                        F.col("_metadata.file_path").alias("_file"),
+                        F.col("_metadata.row_index").alias("_pos"),
+                    ]
+                )
+                cols = [*pos_cols, *cols]
             part = raw.select(*cols)
             # equality deletes: anti-join on the delete's equality fields
             # (resolved by field ID against the scan schema)

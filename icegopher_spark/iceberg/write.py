@@ -586,21 +586,41 @@ def delete_where_mor(table: Table, spark: SparkSession, row_filter) -> Table:
         return table
 
     scan = table.scan(row_filter=row_filter)
-    affected = sorted({t.file.file_path for t in scan.plan_files()})
-    if not affected:
+    by_fmt: dict[str, list[str]] = {}
+    for t in scan.plan_files():
+        by_fmt.setdefault(t.file.file_format, []).append(strip_file_scheme(t.file.file_path))
+    if not by_fmt:
         return table
 
-    src = spark.read.schema(table.schema.to_spark()).parquet(
-        *[strip_file_scheme(p) for p in affected]
-    )
-    matches = (
-        src.filter(to_spark_column(row_filter))
-        .select(
-            F.regexp_replace(F.col("_metadata.file_path"), "^file:/*", "/").alias("file_path"),
-            F.col("_metadata.row_index").alias("pos"),
-        )
-        .orderBy("file_path", "pos")
-    )
+    parts = []
+    for fmt, paths in by_fmt.items():
+        paths = sorted(set(paths))
+        if fmt == "PARQUET":
+            src = spark.read.schema(table.schema.to_spark()).parquet(*paths)
+            part = src.filter(to_spark_column(row_filter)).select(
+                F.regexp_replace(F.col("_metadata.file_path"), "^file:/*", "/").alias(
+                    "file_path"
+                ),
+                F.col("_metadata.row_index").alias("pos"),
+            )
+        else:
+            # ORC/Avro: Arrow readers supply spec-exact ordinals
+            from .pyreaders import read_avro_files, read_orc_with_pos
+
+            src = (
+                read_orc_with_pos(spark, paths, table.schema.to_spark())
+                if fmt == "ORC"
+                else read_avro_files(spark, paths, table.schema.to_spark(), with_pos=True)
+            )
+            part = src.filter(to_spark_column(row_filter)).select(
+                F.regexp_replace(F.col("_file"), "^file:/*", "/").alias("file_path"),
+                F.col("_pos").alias("pos"),
+            )
+        parts.append(part)
+    matches = parts[0]
+    for p in parts[1:]:
+        matches = matches.unionByName(p)
+    matches = matches.orderBy("file_path", "pos")
     out_dir = f"{table.location}/data/deletes-{_uuid.uuid4().hex[:12]}"
     matches.coalesce(1).write.mode("overwrite").parquet(out_dir)
 

@@ -1,0 +1,115 @@
+"""Arrow-reader paths: MOR positional deletes over ORC data files, and
+Avro DATA file reads (pure-Python OCF, distributed via mapInPandas) —
+closing the two format gaps Spark's bundled sources leave open."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from icegopher_spark.iceberg import expressions as E
+from icegopher_spark.iceberg import write as W
+from icegopher_spark.iceberg.manifests import DataFile
+from icegopher_spark.iceberg.pyreaders import (
+    read_avro_files,
+    read_orc_with_pos,
+    write_avro_data_file,
+)
+from icegopher_spark.iceberg.schema import Schema
+from icegopher_spark.iceberg.types import DoubleType, LongType, NestedField, StringType
+
+SF_DIR = "/root/testdata/sf0.001"
+
+SCHEMA = Schema(
+    (
+        NestedField(1, "l_orderkey", LongType(), True),
+        NestedField(2, "l_quantity", DoubleType(), False),
+        NestedField(3, "l_returnflag", StringType(), False),
+    ),
+    schema_id=0,
+)
+
+
+@pytest.fixture()
+def lineitem(spark):
+    return spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity", "l_returnflag"
+    )
+
+
+def test_orc_reader_positions_match_spark_order(spark, tmp_path, lineitem):
+    out = str(tmp_path / "orc")
+    lineitem.limit(500).coalesce(1).write.mode("overwrite").orc(out)
+    import glob
+
+    path = glob.glob(f"{out}/*.orc")[0]
+    df = read_orc_with_pos(spark, [path], lineitem.schema)
+    rows = df.orderBy("_pos").collect()
+    expect = spark.read.orc(path).collect()  # single split => file order
+    assert [r["_pos"] for r in rows] == list(range(len(expect)))
+    assert [r["l_orderkey"] for r in rows] == [r["l_orderkey"] for r in expect]
+
+
+def test_mor_delete_over_orc_table(spark, tmp_path, lineitem):
+    t = W.create_table(
+        str(tmp_path / "tbl"), SCHEMA, properties={"write.format.default": "orc"}
+    )
+    t = W.append(t, lineitem)
+    n_all = lineitem.count()
+    assert all(f.endswith(".orc") for f in _paths(t))
+
+    t = W.delete_where_mor(t, spark, E.equal_to("l_returnflag", "R"))
+    expect = lineitem.filter(F.col("l_returnflag") != "R")
+    got = t.scan().to_df(spark)
+    assert got.count() == expect.count() < n_all
+    assert got.filter(F.col("l_returnflag") == "R").count() == 0
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, expect.collect()))
+
+
+def _paths(t):
+    from icegopher_spark.iceberg.manifests import ManifestContent, fetch_entries, read_manifest_list
+
+    out = []
+    for m in read_manifest_list(t.io.read(t.current_snapshot().manifest_list)):
+        if m.content == ManifestContent.DELETES:
+            continue
+        for e in fetch_entries(m, t.io.read(m.manifest_path), discard_deleted=True):
+            out.append(e.data_file.file_path)
+    return out
+
+
+def test_avro_data_file_scan(spark, tmp_path, lineitem):
+    """An Iceberg table whose data files are Avro OCF: written with the
+    pure-Python codec, scanned distributed through mapInPandas."""
+    rows = [r.asDict() for r in lineitem.limit(300).collect()]
+    t = W.create_table(str(tmp_path / "tbl"), SCHEMA)
+    path = f"{t.location}/data/part-0.avro"
+    import os
+
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    write_avro_data_file(path, SCHEMA, rows)
+    dfile = DataFile(
+        file_path=path,
+        file_format="AVRO",
+        record_count=len(rows),
+        file_size_in_bytes=os.path.getsize(path),
+        partition={},
+    )
+    t = W._commit_snapshot(t, [dfile], "append")
+
+    got = t.scan().to_df(spark)
+    assert got.count() == 300
+    assert sorted(map(tuple, got.collect())) == sorted(
+        (r["l_orderkey"], r["l_quantity"], r["l_returnflag"]) for r in rows
+    )
+    # filters still apply (re-applied exactly after planning)
+    f = t.scan(row_filter=E.less_than("l_quantity", 10.0)).to_df(spark)
+    assert f.count() == sum(1 for r in rows if r["l_quantity"] < 10.0)
+
+
+def test_avro_reader_with_pos(spark, tmp_path, lineitem):
+    rows = [r.asDict() for r in lineitem.limit(50).collect()]
+    path = str(tmp_path / "f.avro")
+    write_avro_data_file(path, SCHEMA, rows)
+    df = read_avro_files(spark, [path], SCHEMA.to_spark(), with_pos=True)
+    got = df.orderBy("_pos").collect()
+    assert [r["_pos"] for r in got] == list(range(50))
+    assert [r["l_orderkey"] for r in got] == [r["l_orderkey"] for r in rows]
