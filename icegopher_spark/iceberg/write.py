@@ -543,6 +543,31 @@ def _commit_snapshot(
     }
     new_md = parse_metadata(raw)
 
+    cat = getattr(table, "catalog", None)
+    if cat is not None and hasattr(cat, "commit_table"):
+        # REST commit (Iceberg REST spec UpdateTableRequest): the server
+        # enforces the requirement atomically and returns authoritative
+        # metadata; a concurrent writer gets 409 → CommitFailedError
+        # (reference enumerates ErrCommitFailed, rest.go:51-52).
+        requirements = [
+            {"type": "assert-table-uuid", "uuid": md.table_uuid},
+            {
+                "type": "assert-ref-snapshot-id",
+                "ref": "main",
+                "snapshot-id": md.current_snapshot_id,
+            },
+        ]
+        updates = [
+            {"action": "add-snapshot", "snapshot": snapshot.to_json_dict()},
+            {
+                "action": "set-snapshot-ref",
+                "ref-name": "main",
+                "type": "branch",
+                "snapshot-id": snap_id,
+            },
+        ]
+        return cat.commit_table(table, requirements, updates)
+
     version = _loaded_version(table)
     _commit_metadata(io, location, new_md, expected_version=version)
     table.metadata = new_md

@@ -200,3 +200,112 @@ def test_error_maps_to_catalog_error(cat, server):
     bad = RestCatalog("bad", server, {"token": "wrong"})
     with pytest.raises(CatalogError):
         bad.list_namespaces()
+
+
+# -- REST commit (UpdateTableRequest) ---------------------------------------
+#
+# A stateful handler slice: applies add-snapshot / set-snapshot-ref
+# updates to an in-memory table, enforces assert-ref-snapshot-id
+# atomically, and answers 409 on mismatch — the contract
+# write.py::_commit_snapshot relies on when a table came from a
+# RestCatalog (reference enumerates ErrCommitFailed, rest.go:51-52).
+
+COMMIT_STATE = {"metadata": None}
+
+
+def _commit_handler(handler, body):
+    payload = json.loads(body)
+    md = COMMIT_STATE["metadata"]
+    current = md.get("current-snapshot-id", -1)
+    for req in payload["requirements"]:
+        if req["type"] == "assert-table-uuid" and req["uuid"] != md["table-uuid"]:
+            return handler._json(409, {"error": "uuid mismatch"})
+        if req["type"] == "assert-ref-snapshot-id":
+            expect = req.get("snapshot-id")
+            have = None if current in (None, -1) else current
+            if expect != have:
+                return handler._json(409, {"error": "ref moved"})
+    for upd in payload["updates"]:
+        if upd["action"] == "add-snapshot":
+            md.setdefault("snapshots", []).append(upd["snapshot"])
+            md["last-sequence-number"] = max(
+                md.get("last-sequence-number", 0), upd["snapshot"]["sequence-number"]
+            )
+        elif upd["action"] == "set-snapshot-ref":
+            md["current-snapshot-id"] = upd["snapshot-id"]
+            md.setdefault("refs", {})[upd["ref-name"]] = {
+                "snapshot-id": upd["snapshot-id"],
+                "type": upd["type"],
+            }
+    return handler._json(
+        200, {"metadata-location": "s3://b/meta-2.json", "metadata": md}
+    )
+
+
+_orig_post = Handler.do_POST
+
+
+def _patched_post(self):
+    length = int(self.headers.get("Content-Length", 0))
+    body = self.rfile.read(length).decode()
+    Handler.requests.append(("POST", self.path, dict(self.headers)))
+    if self.path == "/v1/pre/namespaces/db/tables/committable" and COMMIT_STATE["metadata"]:
+        return _commit_handler(self, body)
+    # re-dispatch to the original handlers (they re-read the body, so
+    # fake the stream)
+    import io as _io
+
+    self.rfile = _io.BytesIO(body.encode())
+    self.headers.replace_header("Content-Length", str(len(body.encode())))
+    return _orig_post(self)
+
+
+Handler.do_POST = _patched_post
+
+
+@pytest.fixture()
+def committable(cat, tmp_path):
+    import copy
+
+    from icegopher_spark.iceberg.metadata import parse_metadata
+    from icegopher_spark.iceberg.table import Table
+
+    md = copy.deepcopy(METADATA)
+    md["location"] = str(tmp_path / "tbl")
+    COMMIT_STATE["metadata"] = copy.deepcopy(md)
+    t = Table(("db", "committable"), parse_metadata(md), "s3://b/meta.json", catalog=cat)
+    yield t
+    COMMIT_STATE["metadata"] = None
+
+
+def test_rest_commit_append(spark, committable):
+    from icegopher_spark.iceberg import write as W
+
+    df = spark.range(5).selectExpr("id AS x")
+    t = W.append(committable, df)
+    # server-applied metadata came back: snapshot added, main ref set
+    assert t.metadata.current_snapshot_id is not None
+    assert len(t.metadata.snapshots) == 1
+    assert t.metadata_location == "s3://b/meta-2.json"
+    ops = [(m, p) for (m, p, _) in Handler.requests]
+    assert ("POST", "/v1/pre/namespaces/db/tables/committable") in ops
+
+
+def test_rest_commit_conflict(spark, committable):
+    from icegopher_spark.iceberg import write as W
+    from icegopher_spark.iceberg.write import CommitFailedError
+
+    df = spark.range(3).selectExpr("id AS x")
+    # another writer moved the ref after we loaded
+    COMMIT_STATE["metadata"]["current-snapshot-id"] = 999
+    COMMIT_STATE["metadata"]["snapshots"] = [
+        {
+            "snapshot-id": 999,
+            "sequence-number": 1,
+            "timestamp-ms": 2,
+            "manifest-list": "file:///nope.avro",
+            "summary": {"operation": "append"},
+        }
+    ]
+    with pytest.raises(CommitFailedError):
+        W.append(committable, df)
