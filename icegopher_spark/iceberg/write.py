@@ -316,6 +316,14 @@ def _write_data_files(
     spec = table.spec
     schema = table.schema
     os.makedirs(data_dir, exist_ok=True)
+    # align the incoming frame to the table schema (column order + types)
+    # so e.g. a decimal literal lands as the declared double — writers
+    # must never produce files whose physical types drift from the schema
+    from .types import to_spark_type
+
+    df = df.select(
+        *[F.col(f.name).cast(to_spark_type(f.field_type)) for f in schema.fields]
+    )
     df = _apply_sort_order(table, df)
     fmt = table.properties.get("write.format.default", "parquet").lower()
     ext = f".{fmt}" if fmt != "parquet" else ".parquet"
@@ -411,6 +419,7 @@ def _commit_snapshot(
     keep_manifests: list[ManifestFile] | None = None,
     retained_entries: list[ManifestEntry] | None = None,
     delete_files: list[DataFile] | None = None,
+    extra_summary: dict[str, str] | None = None,
 ) -> Table:
     """Write manifest + manifest list + metadata; bump version."""
     md = table.metadata
@@ -520,6 +529,7 @@ def _commit_snapshot(
         timestamp_ms=ts_ms,
         manifest_list=list_path,
         summary={
+            **(extra_summary or {}),
             "operation": operation,
             "added-data-files": str(len(new_files)),
             "added-records": str(sum(f.record_count for f in new_files)),

@@ -153,3 +153,72 @@ def stream_stream_join(spark: SparkSession, sf: str) -> DataFrame:
     )
     out = P.run_stream_to_table(joined, spark, "append")
     return out.select("view_id", "purchase_id", "user_id")
+
+
+sink_oracle = """
+SELECT event_type, COUNT(*) AS n_events,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(14,4))), 2) AS DOUBLE) AS total_value
+FROM events
+GROUP BY event_type
+"""
+
+
+@register(
+    "stream_iceberg_sink",
+    sink_oracle,
+    "streaming foreachBatch -> Iceberg snapshot-per-batch sink, scanned back",
+)
+def stream_iceberg_sink(spark: SparkSession, sf: str) -> DataFrame:
+    """Events replayed as a stream, appended into an Iceberg table
+    (exactly-once batch protocol), then answered from a full metadata
+    scan of the sink table."""
+    t = _sink_table_for(spark, sf)
+    return (
+        t.scan()
+        .to_df(spark)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(14,4)")), 2)
+            .cast("double")
+            .alias("total_value"),
+        )
+    )
+
+
+def _sink_table_for(spark: SparkSession, sf_dir: str):
+    import shutil
+
+    from .iceberg import write as W
+    from .iceberg.schema import Schema
+    from .iceberg.table import Table
+    from .iceberg.types import DoubleType, LongType, NestedField, StringType
+    from .streaming.iceberg_sink import write_stream_to_iceberg
+
+    key = sf_dir.strip("/").replace("/", "_")
+    loc = f"/tmp/icegopher_tables/{key}/events_sink"
+    hint = f"{loc}/metadata/version-hint.text"
+    if os.path.exists(hint):
+        try:
+            t = Table.from_location(loc)
+            if t.current_snapshot() is not None:
+                return t
+        except Exception:  # noqa: BLE001
+            pass
+        shutil.rmtree(loc, ignore_errors=True)
+    schema = Schema(
+        (
+            NestedField(1, "event_id", LongType(), True),
+            NestedField(2, "user_id", LongType(), False),
+            NestedField(3, "event_type", StringType(), False),
+            NestedField(4, "value", DoubleType(), False),
+        ),
+        schema_id=0,
+    )
+    t = W.create_table(loc, schema)
+    stream = _events_stream(spark, sf_dir).select("event_id", "user_id", "event_type", "value")
+    import tempfile
+
+    with tempfile.TemporaryDirectory(prefix="sinkckpt_") as ckpt:
+        write_stream_to_iceberg(stream, t, ckpt, query_id="gate")
+    return t
