@@ -76,6 +76,23 @@ def main(argv: list[str] | None = None) -> int:
     sp = sub.add_parser("drop")
     sp.add_argument("entity", choices=["table", "namespace"])
     sp.add_argument("identifier")
+    for verb in ("tag", "branch"):
+        sp = sub.add_parser(verb)
+        sp.add_argument("identifier")
+        sp.add_argument("name")
+        sp.add_argument("--snapshot", type=int, default=None)
+    sp = sub.add_parser("drop-ref")
+    sp.add_argument("identifier")
+    sp.add_argument("name")
+    sp = sub.add_parser("expire")
+    sp.add_argument("identifier")
+    sp.add_argument("--retain-last", type=int, default=1)
+    sp.add_argument("--older-than-ms", type=int, default=None)
+    sp = sub.add_parser("rewrite-manifests")
+    sp.add_argument("identifier")
+    sp = sub.add_parser("orphans")
+    sp.add_argument("identifier")
+    sp.add_argument("--remove", action="store_true")
 
     args = p.parse_args(argv)
     props = {}
@@ -183,6 +200,38 @@ def _dispatch(args, cat) -> int:
             else:
                 print("error: table property mutation requires a catalog commit", file=sys.stderr)
                 return 1
+        return 0
+
+    if args.verb in ("tag", "branch", "drop-ref", "expire", "rewrite-manifests", "orphans"):
+        from . import maintenance as M
+        from . import refs as R
+
+        t = cat.load_table(to_identifier(args.identifier))
+        if args.verb == "tag":
+            t = R.create_tag(t, args.name, args.snapshot)
+            print(f"tag {args.name} -> {t.metadata.refs[args.name].snapshot_id}")
+        elif args.verb == "branch":
+            t = R.create_branch(t, args.name, args.snapshot)
+            print(f"branch {args.name} -> {t.metadata.refs[args.name].snapshot_id}")
+        elif args.verb == "drop-ref":
+            R.drop_ref(t, args.name)
+            print(f"dropped ref {args.name}")
+        elif args.verb == "expire":
+            before = len(t.metadata.snapshots)
+            t = M.expire_snapshots(
+                t, older_than_ms=args.older_than_ms, retain_last=args.retain_last
+            )
+            print(f"expired {before - len(t.metadata.snapshots)} snapshots")
+        elif args.verb == "rewrite-manifests":
+            t = M.rewrite_manifests(t)
+            print("manifests rewritten")
+        else:
+            found = M.remove_orphan_files(t) if args.remove else M.orphan_files(t)
+            if args.as_json:
+                print(json.dumps(found))
+            else:
+                for pth in found:
+                    print(pth)
         return 0
 
     if args.verb == "rename":

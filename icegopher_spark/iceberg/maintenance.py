@@ -273,19 +273,27 @@ def expire_snapshots(
     ``older_than_ms``. Reachability is computed from metadata alone —
     no data reads — then unreachable files are removed storage-side.
     """
+    import time as _time
+
+    from .refs import live_refs, retained_snapshot_ids
+
     md = table.metadata
+    now_ms = int(_time.time() * 1000)
     snaps = sorted(md.snapshots, key=lambda s: s.timestamp_ms)
     if not snaps:
         return table
     keep_ids = {s.snapshot_id for s in snaps[-max(1, retain_last):]}
     if md.current_snapshot_id is not None and md.current_snapshot_id != -1:
         keep_ids.add(md.current_snapshot_id)
-    for ref in md.refs.values():
-        keep_ids.add(ref.snapshot_id)
+    # ref retention (Iceberg spec knobs, reference table/refs.go:38-44):
+    # expired refs (max-ref-age) release their snapshots; live branches
+    # pin their retained ancestry per min-keep / max-snapshot-age
+    keep_ids |= retained_snapshot_ids(md, now_ms)
+    surviving_refs = live_refs(md, now_ms)
     if older_than_ms is not None:
         keep_ids.update(s.snapshot_id for s in snaps if s.timestamp_ms >= older_than_ms)
     expired = [s for s in snaps if s.snapshot_id not in keep_ids]
-    if not expired:
+    if not expired and len(surviving_refs) == len(md.refs):
         return table
 
     if delete_files:
@@ -317,6 +325,7 @@ def expire_snapshots(
     raw["snapshot-log"] = [
         e for e in raw.get("snapshot-log", []) if e.get("snapshot-id") not in expired_ids
     ]
+    raw["refs"] = {name: r.to_json_dict() for name, r in surviving_refs.items()}
     # a kept snapshot whose parent was expired keeps the dangling
     # parent-snapshot-id, matching Iceberg (history() just stops there)
     new_md = parse_metadata(raw)

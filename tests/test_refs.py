@@ -1,0 +1,94 @@
+"""Branch/tag write API + retention-aware expiration (reference models
+refs read-side only, table/refs.go:25-44)."""
+
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from icegopher_spark.iceberg import maintenance as M
+from icegopher_spark.iceberg import refs as R
+from icegopher_spark.iceberg import write as W
+from icegopher_spark.iceberg.schema import Schema
+from icegopher_spark.iceberg.types import DoubleType, LongType, NestedField, StringType
+
+SF_DIR = "/root/testdata/sf0.001"
+
+SCHEMA = Schema(
+    (
+        NestedField(1, "l_orderkey", LongType(), True),
+        NestedField(2, "l_quantity", DoubleType(), False),
+        NestedField(3, "l_returnflag", StringType(), False),
+    ),
+    schema_id=0,
+)
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity", "l_returnflag"
+    )
+    t = W.create_table(str(tmp_path / "tbl"), SCHEMA)
+    t = W.append(t, li.limit(100))
+    t = W.append(t, li.offset(100).limit(200))
+    t = W.append(t, li.offset(300).limit(100))
+    return t
+
+
+def test_create_and_scan_tag_and_branch(spark, table):
+    first = table.metadata.snapshots[0].snapshot_id
+    t = R.create_tag(table, "v1.0", first)
+    t = R.create_branch(t, "audit", t.metadata.snapshots[1].snapshot_id)
+    assert t.metadata.refs["v1.0"].snapshot_ref_type == "tag"
+    assert t.metadata.refs["audit"].snapshot_ref_type == "branch"
+    # scans through the ref resolve the pinned snapshot
+    assert t.scan().use_ref("v1.0").to_df(spark).count() == 100
+    assert t.scan().use_ref("audit").to_df(spark).count() == 300
+    assert t.scan().to_df(spark).count() == 400
+
+
+def test_ref_validation(table):
+    with pytest.raises(ValueError, match="already exists"):
+        t = R.create_tag(table, "x")
+        R.create_tag(t, "x")
+    with pytest.raises(ValueError, match="unknown snapshot"):
+        R.create_tag(table, "y", 123456789)
+    with pytest.raises(ValueError, match="main"):
+        R.drop_ref(table, "main")
+    with pytest.raises(ValueError, match="not found"):
+        R.drop_ref(table, "ghost")
+
+
+def test_replace_and_drop_ref(spark, table):
+    s1, s2 = (s.snapshot_id for s in table.metadata.snapshots[:2])
+    t = R.create_branch(table, "dev", s1)
+    t = R.replace_ref(t, "dev", s2)  # fast-forward
+    assert t.metadata.refs["dev"].snapshot_id == s2
+    assert t.scan().use_ref("dev").to_df(spark).count() == 300
+    t = R.drop_ref(t, "dev")
+    assert "dev" not in t.metadata.refs
+
+
+def test_expire_honors_tag_and_drops_aged_refs(spark, table):
+    s1 = table.metadata.snapshots[0].snapshot_id
+    s2 = table.metadata.snapshots[1].snapshot_id
+    t = R.create_tag(table, "keepme", s1)
+    # a tag already older than its max-ref-age: snapshot is releasable
+    t = R.create_tag(t, "stale", s2, max_ref_age_ms=0)
+    time.sleep(0.01)
+    t = M.expire_snapshots(t, retain_last=1)
+    kept = {s.snapshot_id for s in t.metadata.snapshots}
+    assert s1 in kept  # pinned by live tag
+    assert s2 not in kept  # its only ref aged out
+    assert "stale" not in t.metadata.refs
+    assert t.scan().use_ref("keepme").to_df(spark).count() == 100
+
+
+def test_branch_min_snapshots_to_keep(spark, table):
+    head = table.metadata.snapshots[-1].snapshot_id
+    t = R.create_branch(table, "hist", head, min_snapshots_to_keep=3)
+    t = M.expire_snapshots(t, retain_last=1)
+    # branch ancestry (3 snapshots) fully retained despite retain_last=1
+    assert len(t.metadata.snapshots) == 3
+    assert t.scan().use_ref("hist").to_df(spark).count() == 400

@@ -210,6 +210,19 @@ def test_cli_verbs(warehouse, table):
     assert "Datafile" in out.stdout
     out = run("location", "db.lineitem")
     assert "lineitem" in out.stdout
+    # maintenance + ref verbs
+    out = run("tag", "db.lineitem", "cli-tag")
+    assert out.returncode == 0 and "cli-tag ->" in out.stdout
+    out = run("refs", "db.lineitem")
+    assert "cli-tag" in out.stdout
+    out = run("drop-ref", "db.lineitem", "cli-tag")
+    assert "dropped ref" in out.stdout
+    out = run("rewrite-manifests", "db.lineitem")
+    assert out.returncode == 0
+    out = run("orphans", "db.lineitem")
+    assert out.returncode == 0
+    out = run("expire", "db.lineitem", "--retain-last", "5")
+    assert "expired 0 snapshots" in out.stdout or "expired" in out.stdout
 
 
 def test_incremental_scan(spark, table, lineitem):
