@@ -92,3 +92,24 @@ def test_dedup_exact_single_shuffle(spark, queries):
     exchanges = [l for l in plan.splitlines() if "Exchange" in l and "Reused" not in l]
     # scale-out repartition + the agg exchange; neither carries `text`
     assert all("text" not in e for e in exchanges)
+
+
+def test_q8_all_dims_broadcast(spark, queries):
+    """Q8's eight-way join: only lineitem⋈orders may shuffle; part,
+    supplier, customer, both nation aliases, and region broadcast."""
+    plan = plan_of(queries["q8_national_market_share"].fn(spark, SF), "simple")
+    assert plan.count("BroadcastHashJoin") >= 6
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q13_outer_join_keeps_zero_customers(spark, queries):
+    plan = plan_of(queries["q13_customer_distribution"].fn(spark, SF), "simple")
+    assert "LeftOuter" in plan
+
+
+def test_q19_derives_pushed_brand_filter(spark, queries):
+    """The OR-of-ANDs predicate must not block pushdown entirely:
+    Catalyst derives p_brand IN(...) / quantity bounds to the scans."""
+    plan = plan_of(queries["q19_discounted_revenue"].fn(spark, SF))
+    assert "PushedFilters" in plan
+    assert "Or(" in plan or "In(p_brand" in plan

@@ -113,3 +113,24 @@ def test_avro_reader_with_pos(spark, tmp_path, lineitem):
     got = df.orderBy("_pos").collect()
     assert [r["_pos"] for r in got] == list(range(50))
     assert [r["l_orderkey"] for r in got] == [r["l_orderkey"] for r in rows]
+
+
+def test_mixed_format_table_scan(spark, tmp_path, lineitem):
+    """One table, two eras: parquet files then (after a property flip)
+    ORC files — to_df groups by file format and unions, so a format
+    migration never requires a rewrite."""
+    t = W.create_table(str(tmp_path / "tbl"), SCHEMA)
+    t = W.append(t, lineitem.filter(F.col("l_orderkey") % 2 == 0))
+    t.metadata.properties["write.format.default"] = "orc"
+    t = W.append(t, lineitem.filter(F.col("l_orderkey") % 2 == 1))
+    exts = {p.rsplit(".", 1)[-1] for p in _paths(t)}
+    assert exts == {"parquet", "orc"}
+    got = t.scan().to_df(spark)
+    assert got.count() == lineitem.count()
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, lineitem.collect()))
+    # MOR delete across both formats at once
+    t = W.delete_where_mor(t, spark, E.less_than("l_quantity", 5.0))
+    expect = lineitem.filter(F.col("l_quantity") >= 5.0)
+    got = t.scan().to_df(spark)
+    assert got.count() == expect.count()
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, expect.collect()))
