@@ -335,14 +335,21 @@ def _write_data_files(
             for f in sorted(os.listdir(out))
             if f.endswith(ext)
         ]
-    # partitioned: materialize transform columns, write with partitionBy
+    # partitioned: materialize transform columns, write with partitionBy.
+    # A partition field named like its source column (typical for
+    # identity transforms) collides with the data column — and Spark's
+    # partitionBy would drop the data column from the files. Alias such
+    # fields to a temp name for the write and map dir names back.
     pcols = []
+    write_names: dict[str, str] = {}  # dir name -> spec field name
     for pf in spec.fields:
         src = schema.find_field(pf.source_id)
         assert src is not None
-        pcols.append(pf.transform.to_column(F.col(src.name), src.field_type).alias(pf.name))
+        wname = pf.name if pf.name not in df.columns else f"__p_{pf.name}"
+        write_names[wname] = pf.name
+        pcols.append(pf.transform.to_column(F.col(src.name), src.field_type).alias(wname))
     out = f"{data_dir}/{_uuid.uuid4().hex[:16]}"
-    names = [pf.name for pf in spec.fields]
+    names = list(write_names)
     (
         df.select("*", *pcols)
         .repartition(*[F.col(n) for n in names])
@@ -361,6 +368,7 @@ def _write_data_files(
             for comp in rel.split(os.sep):
                 if "=" in comp:
                     k, v = comp.split("=", 1)
+                    k = write_names.get(k, k)
                     partition[k] = _parse_partition_value(k, v, spec, schema)
             pairs.append((os.path.join(root, fn), partition))
     return pairs

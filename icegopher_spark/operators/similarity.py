@@ -240,3 +240,134 @@ def lsh_topk(
         .filter(F.col("rank") <= k)
         .select(query_id_col, id_col, "cosine_sim", "rank")
     )
+
+
+# -- persisted IVF index over an Iceberg table -------------------------------
+
+
+def ivf_index_write(
+    spark,
+    corpus: DataFrame,
+    location: str,
+    n_lists: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+):
+    """Materialize the IVF layout as an Iceberg table partitioned by
+    cell: k-means centroids go into table properties, vectors land in
+    per-cell data files via the normal partitioned write path.
+
+    This is the 100 TB ANN posture from SCALE.md made concrete: a query
+    probing n_probe of n_lists cells touches n_probe/n_lists of the
+    DATA FILES (partition pruning in the metadata plane), not just
+    n_probe/n_lists of the rows after a full scan.
+    """
+    import json as _json
+
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    from ..iceberg import write as W
+    from ..iceberg.schema import Schema
+    from ..iceberg.transforms import PartitionField, PartitionSpec, parse_transform
+    from ..iceberg.types import FloatType, IntegerType, ListType, LongType, NestedField
+
+    train = corpus.select(
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
+    )
+    model = KMeans(k=n_lists, seed=seed, maxIter=10).fit(train)
+    centroids = [[float(x) for x in c] for c in model.clusterCenters()]
+
+    schema = Schema(
+        (
+            NestedField(1, id_col, LongType(), True),
+            NestedField(2, vec_col, ListType(3, FloatType(), False), False),
+            NestedField(4, "cell", IntegerType(), True),
+        ),
+        schema_id=0,
+    )
+    spec = PartitionSpec([PartitionField(4, 1000, "cell", parse_transform("identity"))])
+    t = W.create_table(
+        location,
+        schema,
+        spec=spec,
+        properties={"ivf.centroids": _json.dumps(centroids), "ivf.n-lists": str(n_lists)},
+    )
+
+    def nearest_cell(vec: Column) -> Column:
+        dists = F.array(
+            *[
+                F.struct(
+                    (-cosine(vec, F.array(*[F.lit(float(x)) for x in c]))).alias("d"),
+                    F.lit(i).alias("cell"),
+                )
+                for i, c in enumerate(centroids)
+            ]
+        )
+        return F.element_at(F.slice(F.array_sort(dists), 1, 1).getField("cell"), 1)
+
+    assigned = corpus.select(
+        F.col(id_col), F.col(vec_col), nearest_cell(F.col(vec_col)).alias("cell")
+    )
+    return W.append(t, assigned)
+
+
+def ivf_index_search(
+    spark,
+    table,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """ANN search against an ivf_index_write table: probe cells are
+    computed from the stored centroids, the scan carries an
+    `IN (cells)` row filter that the metadata plane turns into
+    partition pruning (only probed cells' files are read), and exact
+    cosine reranks the survivors."""
+    import json as _json
+
+    from pyspark.sql import Window
+
+    from ..iceberg import expressions as E
+
+    centroids = _json.loads(table.properties["ivf.centroids"])
+
+    def nearest_cells(vec: Column, n: int) -> Column:
+        dists = F.array(
+            *[
+                F.struct(
+                    (-cosine(vec, F.array(*[F.lit(float(x)) for x in c]))).alias("d"),
+                    F.lit(i).alias("cell"),
+                )
+                for i, c in enumerate(centroids)
+            ]
+        )
+        return F.slice(F.array_sort(dists), 1, n).getField("cell")
+
+    q = queries.select(
+        F.col(query_id_col),
+        F.col(vec_col).alias("_qvec"),
+        F.explode(nearest_cells(F.col(vec_col), n_probe)).alias("cell"),
+    )
+    probe_cells = sorted({r["cell"] for r in q.select("cell").distinct().collect()})
+    scan = table.scan(row_filter=E.is_in("cell", *probe_cells))
+    corpus = scan.to_df(spark)
+    scored = (
+        corpus.join(F.broadcast(q), "cell")
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .select(
+            query_id_col,
+            id_col,
+            F.round(cosine(F.col(vec_col), F.col("_qvec")), 6).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("cosine_sim").desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cosine_sim", "rank")
+    )

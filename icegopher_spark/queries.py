@@ -895,3 +895,36 @@ def sim_ivf_q(spark: SparkSession, sf: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("embedding")
     )
     return similarity.ivf_topk(emb, q, k=5)
+
+
+@register(
+    "sim_ivf_index_topk",
+    None,
+    "persisted IVF index: cell-partitioned Iceberg table, partition-pruned probe (rows-only)",
+)
+def sim_ivf_index_q(spark: SparkSession, sf: str) -> DataFrame:
+    import os as _os
+    import shutil as _shutil
+
+    from .iceberg.table import Table
+
+    emb = load(spark, sf, "embeddings").select("vec_id", "embedding")
+    key = sf.strip("/").replace("/", "_")
+    loc = f"/tmp/icegopher_tables/{key}/emb_ivf_index"
+    hint = f"{loc}/metadata/version-hint.text"
+    t = None
+    if _os.path.exists(hint):
+        try:
+            t = Table.from_location(loc)
+            if "ivf.centroids" not in t.properties or t.current_snapshot() is None:
+                t = None
+        except Exception:  # noqa: BLE001
+            t = None
+        if t is None:
+            _shutil.rmtree(loc, ignore_errors=True)
+    if t is None:
+        t = similarity.ivf_index_write(spark, emb, loc, n_lists=16)
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    return similarity.ivf_index_search(spark, t, q, k=5, n_probe=6)
