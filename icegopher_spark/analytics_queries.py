@@ -522,3 +522,91 @@ def q19(spark: SparkSession, sf: str) -> DataFrame:
         .filter(cond)
         .agg(money(F.sum(disc_price())).alias("revenue"))
     )
+
+
+# -- GROUPING SETS (beyond rollup/cube) -------------------------------------
+
+gsets_oracle = """
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+       CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(12,2))), 2) AS DOUBLE) AS qty
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
+"""
+
+
+@register(
+    "grouping_sets_qty",
+    gsets_oracle,
+    "explicit GROUPING SETS (flag), (status), (flag,status)",
+)
+def grouping_sets_qty(spark: SparkSession, sf: str) -> DataFrame:
+    li = load(spark, sf, "lineitem")
+    li.createOrReplaceTempView("_gs_lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+               CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(12,2))), 2) AS DOUBLE) AS qty
+        FROM _gs_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
+        """
+    )
+
+
+# -- scalar math functions ---------------------------------------------------
+
+math_oracle = """
+SELECT l_orderkey,
+       ROUND(ABS(l_extendedprice - l_quantity * 1000), 2) AS abs_diff,
+       ROUND(LN(l_extendedprice + 1), 6) AS log_price,
+       ROUND(SQRT(l_quantity), 6) AS sqrt_qty,
+       ROUND(POWER(l_discount, 2), 6) AS disc_sq,
+       CAST(FLOOR(l_extendedprice / 100) AS BIGINT) AS price_bucket,
+       MOD(l_orderkey, 7) AS okey_mod
+FROM lineitem
+WHERE l_orderkey <= 200
+"""
+
+
+@register("scalar_math_funcs", math_oracle, "abs/ln/sqrt/power/floor/mod scalar coverage")
+def scalar_math_funcs(spark: SparkSession, sf: str) -> DataFrame:
+    li = load(spark, sf, "lineitem").filter(F.col("l_orderkey") <= 200)
+    return li.select(
+        "l_orderkey",
+        F.round(F.abs(F.col("l_extendedprice") - F.col("l_quantity") * 1000), 2).alias(
+            "abs_diff"
+        ),
+        F.round(F.log(F.col("l_extendedprice") + 1), 6).alias("log_price"),
+        F.round(F.sqrt("l_quantity"), 6).alias("sqrt_qty"),
+        F.round(F.pow("l_discount", F.lit(2)), 6).alias("disc_sq"),
+        F.floor(F.col("l_extendedprice") / 100).alias("price_bucket"),
+        (F.col("l_orderkey") % 7).alias("okey_mod"),
+    )
+
+
+# -- SQL-API surface ---------------------------------------------------------
+
+sql_api_oracle = """
+SELECT o_orderpriority, COUNT(*) AS n_orders,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(14,2))), 2) AS DOUBLE) AS total
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY o_orderpriority
+"""
+
+
+@register(
+    "sql_api_orders",
+    sql_api_oracle,
+    "same engine through spark.sql() text instead of the DataFrame API",
+)
+def sql_api_orders(spark: SparkSession, sf: str) -> DataFrame:
+    load(spark, sf, "orders").createOrReplaceTempView("_sql_orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, COUNT(*) AS n_orders,
+               CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(14,2))), 2) AS DOUBLE) AS total
+        FROM _sql_orders
+        WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY o_orderpriority
+        """
+    )

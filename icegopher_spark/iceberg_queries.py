@@ -496,3 +496,22 @@ def _specevo_table_for(spark: SparkSession, sf_dir: str) -> Table:
     t = update_spec(t).add_field("l_returnflag", "identity", name="flag").commit()
     t = W.append(t, li.filter(F.col("l_orderkey") % 2 == 1))
     return t
+
+
+ice_asof_oracle = """
+SELECT COUNT(*) AS n_rows, CAST(SUM(l_orderkey) AS BIGINT) AS sum_okey
+FROM lineitem WHERE l_orderkey % 2 = 0
+"""
+
+
+@register(
+    "iceberg_timestamp_as_of",
+    ice_asof_oracle,
+    "timestamp-based time travel: scan the snapshot current AS OF a past time",
+)
+def iceberg_timestamp_as_of(spark: SparkSession, sf: str) -> DataFrame:
+    t = _table_for(spark, sf)
+    first = t.metadata.snapshots[0]
+    snap = t.metadata.snapshot_as_of(first.timestamp_ms)
+    df = t.scan(snapshot_id=snap.snapshot_id).to_df(spark)
+    return df.agg(F.count(F.lit(1)).alias("n_rows"), F.sum("l_orderkey").alias("sum_okey"))

