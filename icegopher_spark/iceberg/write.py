@@ -795,3 +795,71 @@ def delete_where(table: Table, spark: SparkSession, row_filter) -> Table:
     return _commit_snapshot(
         table, new_files, OP_DELETE, keep_manifests=[], retained_entries=untouched
     )
+
+
+def merge_upsert(
+    table: Table, spark: SparkSession, source: DataFrame, key_columns: list[str]
+) -> Table:
+    """MERGE-style upsert in ONE atomic snapshot: every target row whose
+    key tuple appears in ``source`` is replaced by the source rows;
+    source rows with new keys are inserts.
+
+    Mechanics: an equality-delete file over the source keys plus the
+    source's new data files commit together with the SAME sequence
+    number. Equality deletes apply only to files with strictly smaller
+    sequence numbers (Iceberg spec; plan_files enforces it), so the
+    delete erases old versions of the keys while leaving the new files
+    untouched — no read-modify-write of existing data, O(|source|)
+    work regardless of table size. Readers see either the pre-merge or
+    post-merge table, never an intermediate.
+
+    The reference enumerates the operation (table/snapshots.go:32-39
+    'overwrite') but has no write path (main.go:314).
+    """
+    snap = table.current_snapshot()
+    if snap is None:
+        return append(table, source)
+    schema = table.schema
+    fids = []
+    for c in key_columns:
+        f = schema.find_field(c)
+        if f is None:
+            raise ValueError(f"key column {c!r} not in schema")
+        fids.append(f.field_id)
+
+    out_dir = f"{table.location}/data/eqdel-{_uuid.uuid4().hex[:12]}"
+    source.select(*key_columns).distinct().coalesce(1).write.mode("overwrite").parquet(out_dir)
+
+    import pyarrow.parquet as pq
+
+    from .manifests import read_manifest_list
+
+    delete_files = []
+    for fn in sorted(os.listdir(out_dir)):
+        if not fn.endswith(".parquet"):
+            continue
+        path = f"{out_dir}/{fn}"
+        meta = pq.ParquetFile(path).metadata
+        if meta.num_rows == 0:
+            continue
+        delete_files.append(
+            DataFile(
+                file_path=path,
+                content=DataFileContent.EQUALITY_DELETES,
+                record_count=meta.num_rows,
+                file_size_in_bytes=os.path.getsize(path),
+                partition={},
+                equality_ids=fids,
+            )
+        )
+
+    pairs = _write_data_files(table, source, f"{table.location}/data")
+    files = [collect_data_file(p, schema, part) for p, part in pairs]
+    keep = read_manifest_list(table.io.read(snap.manifest_list))
+    return _commit_snapshot(
+        table,
+        files,
+        OP_OVERWRITE,
+        keep_manifests=keep,
+        delete_files=delete_files,
+    )

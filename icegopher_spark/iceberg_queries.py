@@ -515,3 +515,76 @@ def iceberg_timestamp_as_of(spark: SparkSession, sf: str) -> DataFrame:
     snap = t.metadata.snapshot_as_of(first.timestamp_ms)
     df = t.scan(snapshot_id=snap.snapshot_id).to_df(spark)
     return df.agg(F.count(F.lit(1)).alias("n_rows"), F.sum("l_orderkey").alias("sum_okey"))
+
+
+ice_merge_oracle = """
+WITH src_keys AS (
+  SELECT DISTINCT l_orderkey FROM lineitem WHERE l_orderkey % 50 = 3
+),
+merged AS (
+  SELECT l_orderkey, l_quantity FROM lineitem
+  WHERE l_orderkey NOT IN (SELECT l_orderkey FROM src_keys)
+  UNION ALL
+  SELECT l_orderkey, CAST(777 AS DOUBLE) AS l_quantity FROM src_keys
+)
+SELECT COUNT(*) AS n_rows,
+       CAST(SUM(l_orderkey) AS BIGINT) AS sum_okey,
+       CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(14,2))), 2) AS DOUBLE) AS sum_qty
+FROM merged
+"""
+
+
+@register(
+    "iceberg_merge_upsert",
+    ice_merge_oracle,
+    "MERGE upsert: eq-delete + append in ONE snapshot (update keys, keep rest)",
+)
+def iceberg_merge(spark: SparkSession, sf: str) -> DataFrame:
+    t = _merge_table_for(spark, sf)
+    return (
+        t.scan()
+        .to_df(spark)
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("l_orderkey").alias("sum_okey"),
+            F.round(F.sum(F.col("l_quantity").cast("decimal(14,2)")), 2)
+            .cast("double")
+            .alias("sum_qty"),
+        )
+    )
+
+
+def _merge_table_for(spark: SparkSession, sf_dir: str) -> Table:
+    """lineitem upserted: every orderkey ≡ 3 (mod 50) collapses to one
+    row with quantity 777; everything else untouched."""
+    key = sf_dir.strip("/").replace("/", "_")
+    loc = f"{_CACHE_ROOT}/{key}/lineitem_merge"
+    hint = f"{loc}/metadata/version-hint.text"
+    if os.path.exists(hint):
+        try:
+            t = Table.from_location(loc)
+            if len(t.metadata.snapshots) == 2:
+                return t
+        except Exception:  # noqa: BLE001
+            pass
+        shutil.rmtree(loc, ignore_errors=True)
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey",
+        "l_quantity",
+        "l_returnflag",
+        F.col("l_shipdate").cast("timestamp_ntz").alias("l_shipdate"),
+    )
+    t = W.create_table(loc, _SCHEMA)
+    t = W.append(t, li)
+    src = (
+        li.filter(F.col("l_orderkey") % 50 == 3)
+        .select("l_orderkey")
+        .distinct()
+        .select(
+            "l_orderkey",
+            F.lit(777.0).alias("l_quantity"),
+            F.lit("U").alias("l_returnflag"),
+            F.lit(None).cast("timestamp_ntz").alias("l_shipdate"),
+        )
+    )
+    return W.merge_upsert(t, spark, src, ["l_orderkey"])

@@ -388,3 +388,31 @@ def test_commit_conflict_detection(spark, warehouse, lineitem):
     t2.refresh()
     W.append(t2, small)
     assert cat.load_table("db.li_cc").scan().to_df(spark).count() == 200
+
+
+def test_merge_upsert(spark, tmp_path, lineitem):
+    t = W.create_table(str(tmp_path / "merge_tbl"), SCHEMA)
+    t = W.append(t, lineitem.limit(500))
+    n0 = 500
+    # source: replace all lines of 5 existing orders + insert 3 new keys
+    keys = [r["l_orderkey"] for r in lineitem.limit(500).select("l_orderkey").distinct().limit(5).collect()]
+    replaced = lineitem.limit(500).filter(F.col("l_orderkey").isin(keys)).count()
+    src = spark.createDataFrame(
+        [(int(k), 999.0, "U", None) for k in keys]
+        + [(10**9 + i, 1.0, "N", None) for i in range(3)],
+        "l_orderkey long, l_quantity double, l_returnflag string, l_shipdate timestamp",
+    )
+    pre_snaps = len(t.metadata.snapshots)
+    t = W.merge_upsert(t, spark, src, ["l_orderkey"])
+    assert len(t.metadata.snapshots) == pre_snaps + 1  # ONE atomic snapshot
+    got = t.scan().to_df(spark)
+    assert got.count() == n0 - replaced + len(keys) + 3
+    # updated keys now carry exactly their source rows
+    upd = got.filter(F.col("l_orderkey").isin(keys))
+    assert upd.count() == len(keys)
+    assert {r["l_quantity"] for r in upd.collect()} == {999.0}
+    # inserts present
+    assert got.filter(F.col("l_orderkey") >= 10**9).count() == 3
+    # time travel to pre-merge unchanged
+    pre = t.scan(snapshot_id=t.metadata.snapshots[-2].snapshot_id).to_df(spark)
+    assert pre.count() == n0
