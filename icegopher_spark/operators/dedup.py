@@ -40,15 +40,24 @@ def word_shingles(col: Column, n: int = 3) -> Column:
 
     Guarded for short docs: F.sequence(1, 0) yields a DESCENDING [1, 0]
     (not an empty array), which would index past the token array for
-    docs with < n tokens."""
-    toks = tokens(F.lower(col))
-    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
-    grams = F.transform(
-        idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)])
-    )
-    return F.when(F.size(toks) >= n, F.array_distinct(grams)).otherwise(
-        F.array().cast("array<string>")
-    )
+    docs with < n tokens.
+
+    The token array is bound through ``bind1`` so it is materialized
+    ONCE per row: higher-order functions run interpreted
+    (CodegenFallback), and an unbound ``toks`` subtree would re-run the
+    regexp tokenizer for every element_at reference inside the lambda —
+    measured ~10× the entire MinHash pipeline cost."""
+
+    def build(toks: Column) -> Column:
+        idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+        grams = F.transform(
+            idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)])
+        )
+        return F.when(F.size(toks) >= n, F.array_distinct(grams)).otherwise(
+            F.array().cast("array<string>")
+        )
+
+    return bind1(tokens(F.lower(col)), build)
 
 
 def exact_dedup(
@@ -130,6 +139,19 @@ def minhash_signature(col: Column, num_hashes: int = 32, n: int = 3) -> Column:
     return F.aggregate(sh, init, step)
 
 
+def shingle_hash_rows(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """(id, h bigint): one row per distinct word n-gram shingle, with the
+    shingle pre-collapsed to its 64-bit xxhash64. Every downstream
+    MinHash/Jaccard stage works on this fixed-width column — the variable
+    -length shingle string is hashed exactly ONCE, so seed-hash fan-out
+    and set-intersection joins touch only 8-byte longs."""
+    return df.select(
+        F.col(id_col).alias("id"), F.explode(word_shingles(F.col(text_col), n)).alias("sh")
+    ).select("id", F.xxhash64("sh").alias("h"))
+
+
 def minhash_signatures_df(
     df: DataFrame,
     text_col: str = "text",
@@ -141,16 +163,18 @@ def minhash_signatures_df(
     shingles to rows, hash each with ``num_hashes`` seeds as flat codegen
     columns, and take per-doc mins in one hash aggregate.
 
+    The shingle string is hashed once (``shingle_hash_rows``); the
+    ``num_hashes`` seed functions are xxhash64(seed, h) over the 64-bit
+    base hash — double hashing, so each seed hash costs a fixed-width
+    mix instead of a full string hash (32× less string hashing).
     Everything stays inside whole-stage codegen (xxhash64 + min are
     primitive exprs; no higher-order functions in the hot path). The
     only shuffle moves (id, 8-byte shingle hash) pairs — at 100 TB that
     is a few percent of corpus size, and partial aggregation collapses
     most of it map-side."""
-    sh = df.select(
-        F.col(id_col).alias("id"), F.explode(word_shingles(F.col(text_col), n)).alias("sh")
-    )
+    sh = shingle_hash_rows(df, text_col, id_col, n)
     mins = sh.groupBy("id").agg(
-        *[F.min(F.xxhash64(F.lit(k), F.col("sh"))).alias(f"h{k}") for k in range(num_hashes)]
+        *[F.min(F.xxhash64(F.lit(k), F.col("h"))).alias(f"h{k}") for k in range(num_hashes)]
     )
     return mins.select("id", F.array(*[f"h{k}" for k in range(num_hashes)]).alias("sig"))
 
@@ -209,19 +233,43 @@ def minhash_dedup_pairs(
     bands: int = 8,
     n: int = 3,
 ) -> DataFrame:
-    """MinHash-LSH near-dup: LSH candidates verified with exact Jaccard."""
+    """MinHash-LSH near-dup: LSH candidates verified with exact Jaccard.
+
+    Verification runs on hashed shingle ROWS, not string arrays: the
+    candidate pairs (tiny — LSH already filtered) broadcast-join against
+    the (id, h) shingle table twice, and |A ∩ B| is a count of matching
+    hashes per pair. No string comparison, no array materialization;
+    at 100 TB the verify stage shuffles only candidate-pair ids."""
     cands = minhash_lsh_candidates(df, text_col, id_col, num_hashes, bands, n)
-    sh = df.select(
-        F.col(id_col).alias("id"), word_shingles(F.col(text_col), n).alias("shingles")
+    sh = shingle_hash_rows(df, text_col, id_col, n)
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    pair_sh = sh.join(F.broadcast(cands), sh["id"] == cands["id_a"]).select(
+        "id_a", "id_b", "h"
+    )
+    # pair_sh is |candidates| × avg-shingles rows (LSH already filtered the
+    # pair space) — broadcast it and stream the corpus-wide shingle table
+    # through a map-side join; no shuffle of the big side.
+    common = (
+        F.broadcast(pair_sh)
+        .join(
+            sh.select(F.col("id").alias("id_b2"), F.col("h").alias("h2")),
+            (F.col("id_b") == F.col("id_b2")) & (F.col("h") == F.col("h2")),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    # common (pair-sized, LSH-filtered) is the SMALL side — broadcast it
+    # against the corpus-wide per-doc size table, never the reverse.
+    with_a = F.broadcast(common).join(
+        sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a")), "id_a"
     )
     verified = (
-        cands.join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("shingles", "sh_a"), "id_a")
-        .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("shingles", "sh_b"), "id_b")
+        F.broadcast(with_a)
+        .join(sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b")), "id_b")
         .withColumn(
             "jaccard",
             F.round(
-                F.size(F.array_intersect("sh_a", "sh_b"))
-                / F.size(F.array_union("sh_a", "sh_b")).cast("double"),
+                F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double"),
                 6,
             ),
         )
