@@ -23,6 +23,7 @@ CATALOG_REST = "rest"
 CATALOG_HIVE = "hive"
 CATALOG_GLUE = "glue"
 CATALOG_DYNAMODB = "dynamodb"
+CATALOG_SQL = "sql"
 CATALOG_STATIC = "static"
 
 
@@ -56,6 +57,8 @@ def infer_catalog_type(uri: str) -> str:
         return CATALOG_REST
     if scheme == "thrift":
         return CATALOG_HIVE
+    if scheme in ("sqlite", "jdbc"):
+        return CATALOG_SQL
     if scheme in ("", "file"):
         return CATALOG_STATIC
     raise CatalogError(f"could not infer catalog type from uri {uri!r}")
@@ -68,6 +71,10 @@ def load_catalog(name: str, uri: str = "", properties: dict[str, str] | None = N
     ctype = props.get("type") or infer_catalog_type(uri or props.get("uri", ""))
     if ctype == CATALOG_REST:
         return RestCatalog(name, uri or props.get("uri", ""), props)
+    if ctype == CATALOG_SQL:
+        from .sqlcatalog import SqlCatalog
+
+        return SqlCatalog(name, uri or props.get("uri", ""), props)
     if ctype == CATALOG_STATIC:
         return StaticCatalog(name, uri or props.get("warehouse", ""), props)
     raise CatalogError(f"{ctype} catalog is not implemented")
