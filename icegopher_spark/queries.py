@@ -810,7 +810,33 @@ def lang_id_q(spark: SparkSession, sf: str) -> DataFrame:
     return docs.select("doc_id", "lang", text.lang_id(F.col("text")).alias("pred_lang"))
 
 
-@register("text_quality_score", None, "doc quality scoring (rows-only)")
+_all_stopwords = sorted({w for ws in text.LANG_STOPWORDS.values() for w in ws})
+
+quality_oracle = f"""
+WITH m AS (
+  SELECT doc_id,
+         CAST(length(text) AS DOUBLE) AS n_chars,
+         greatest(CAST(len(regexp_extract_all(text, '\\S+')) AS DOUBLE), 1.0) AS n_tok,
+         CAST(len(regexp_extract_all(text, '[.,;:!?''"()\\[\\]{{}}-]')) AS DOUBLE) AS n_punct,
+         CAST({_langid_score_sql(_all_stopwords)} AS DOUBLE) AS n_stop
+  FROM documents
+), s AS (
+  SELECT doc_id,
+         least(n_chars / 1000.0, 1.0) AS len_score,
+         CASE WHEN (n_chars - (n_tok - 1)) / n_tok BETWEEN 3 AND 8 THEN 1.0
+              ELSE greatest(0.0, 1.0 - abs((n_chars - (n_tok - 1)) / n_tok - 5.5) / 10.0)
+         END AS tok_score,
+         1.0 - least(n_punct / greatest(n_chars, 1.0) * 10, 1.0) AS punct_score,
+         least(n_stop / n_tok * 20, 1.0) AS stop_score
+  FROM m
+)
+SELECT doc_id,
+       ROUND((len_score + tok_score + punct_score + stop_score) * 25.0, 4) AS quality
+FROM s
+"""
+
+
+@register("text_quality_score", quality_oracle, "doc quality scoring")
 def quality_q(spark: SparkSession, sf: str) -> DataFrame:
     docs = load(spark, sf, "documents")
     return docs.select("doc_id", text.quality_score(F.col("text")).alias("quality"))

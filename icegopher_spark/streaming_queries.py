@@ -104,12 +104,42 @@ def stream_totals(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("user_id", "n_events", F.round("total_value", 2).alias("total_value"))
 
 
+session_windows_oracle = """
+WITH gaps AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   >= INTERVAL '30 minutes'
+                   OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+), sess AS (
+  SELECT user_id, ts,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS sid
+  FROM gaps
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL '30 minutes' AS session_end,
+       COUNT(*) AS n_events
+FROM sess
+GROUP BY user_id, sid
+-- append-mode emission: only sessions CLOSED by the final watermark
+-- (watermark delay 0s ⇒ watermark = max event time) are in the sink
+HAVING MAX(ts) + INTERVAL '30 minutes' <= (SELECT MAX(ts) FROM events)
+"""
+
+
 @register(
     "stream_session_windows",
-    None,
-    "session_window sessionization (append mode; rows-only check)",
+    session_windows_oracle,
+    "session_window sessionization (append mode, watermark-closed sessions)",
 )
 def stream_sessions(spark: SparkSession, sf: str) -> DataFrame:
+    """Oracle note: Spark session windows are [first_ts, last_ts + gap)
+    half-open — an event exactly gap after the previous one starts a NEW
+    session (hence >= in the oracle's gap test) — and append mode emits
+    exactly the windows whose end <= final watermark."""
     return P.run_stream_to_table(
         P.session_rollup(_events_stream(spark, sf), watermark="0 seconds"), spark, "append"
     )
