@@ -46,6 +46,7 @@ BENCH_QUERIES = [
     "iceberg_compaction",
     "stream_hourly_rollup",
     "dedup_exact",
+    "corpus_curation",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "text_stats",

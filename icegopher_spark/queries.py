@@ -842,6 +842,80 @@ def quality_q(spark: SparkSession, sf: str) -> DataFrame:
     return docs.select("doc_id", text.quality_score(F.col("text")).alias("quality"))
 
 
+curation_oracle = f"""
+WITH m AS (
+  SELECT doc_id, text,
+         CAST(length(text) AS DOUBLE) AS n_chars,
+         CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens,
+         greatest(CAST(len(regexp_extract_all(text, '\\S+')) AS DOUBLE), 1.0) AS n_tok,
+         CAST(len(regexp_extract_all(text, '[.,;:!?''"()\\[\\]{{}}-]')) AS DOUBLE) AS n_punct,
+         CAST({_langid_score_sql(_all_stopwords)} AS DOUBLE) AS n_stop,
+         {_langid_case} AS pred_lang
+  FROM documents
+), scored AS (
+  SELECT doc_id, text, n_tokens, pred_lang,
+         ROUND((least(n_chars / 1000.0, 1.0)
+              + CASE WHEN (n_chars - (n_tok - 1)) / n_tok BETWEEN 3 AND 8 THEN 1.0
+                     ELSE greatest(0.0, 1.0 - abs((n_chars - (n_tok - 1)) / n_tok - 5.5) / 10.0)
+                END
+              + 1.0 - least(n_punct / greatest(n_chars, 1.0) * 10, 1.0)
+              + least(n_stop / n_tok * 20, 1.0)) * 25.0, 4) AS quality
+  FROM m
+), kept AS (
+  SELECT * FROM scored WHERE quality >= 40 AND pred_lang <> 'und'
+), canon AS (
+  -- exact dedup: canonical = min doc_id per normalized text; the
+  -- metrics are case-insensitive functions of the text, so MIN is exact
+  SELECT MIN(doc_id) AS doc_id, MIN(pred_lang) AS pred_lang,
+         MIN(quality) AS quality, MIN(n_tokens) AS n_tokens
+  FROM kept GROUP BY lower(text)
+)
+SELECT pred_lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(ROUND(SUM(CAST(quality AS DECIMAL(14,4))) / COUNT(*), 4) AS DOUBLE) AS avg_quality
+FROM canon
+GROUP BY pred_lang
+"""
+
+
+@register(
+    "corpus_curation",
+    curation_oracle,
+    "training-data pipeline: quality+lang filter -> exact dedup -> per-lang stats",
+)
+def corpus_curation_q(spark: SparkSession, sf: str) -> DataFrame:
+    """End-to-end curation pipeline, the composition a 100 TB training-
+    data run makes: score -> filter -> dedup -> corpus stats. One scan,
+    one dedup shuffle on lower(text) hash, one stats shuffle on lang;
+    every expression whole-stage codegen (no UDFs, no HOFs)."""
+    docs = load(spark, sf, "documents")
+    scored = docs.select(
+        "doc_id",
+        "text",
+        text.token_count(F.col("text")).alias("n_tokens"),
+        text.lang_id(F.col("text")).alias("pred_lang"),
+        text.quality_score(F.col("text")).alias("quality"),
+    )
+    kept = scored.filter((F.col("quality") >= 40) & (F.col("pred_lang") != "und"))
+    # dedup shuffle moves (8-byte fp, metrics) — never the document text
+    canon = kept.groupBy(F.xxhash64(F.lower("text")).alias("fp")).agg(
+        F.min("doc_id").alias("doc_id"),
+        F.min("pred_lang").alias("pred_lang"),
+        F.min("quality").alias("quality"),
+        F.min("n_tokens").alias("n_tokens"),
+    )
+    return canon.groupBy("pred_lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.round(
+            F.sum(F.col("quality").cast("decimal(14,4)")) / F.count(F.lit(1)), 4
+        )
+        .cast("double")
+        .alias("avg_quality"),
+    )
+
+
 @register("text_fingerprint", None, "64-bit doc fingerprints (rows-only)")
 def fingerprint_q(spark: SparkSession, sf: str) -> DataFrame:
     docs = load(spark, sf, "documents")
