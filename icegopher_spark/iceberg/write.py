@@ -797,6 +797,44 @@ def delete_where(table: Table, spark: SparkSession, row_filter) -> Table:
     )
 
 
+def add_files(
+    table: Table,
+    paths: list[str],
+    partition: dict | None = None,
+) -> Table:
+    """Adopt existing parquet/ORC files as table data files WITHOUT
+    rewriting them (Iceberg's add_files import procedure): read each
+    footer for stats, emit DataFile entries, commit one append
+    snapshot. O(#files) metadata work regardless of data volume — the
+    way 100 TB gets onboarded in place.
+
+    Files must contain every required field of the table schema
+    (missing optional columns read back as nulls). ``partition``
+    applies to all given paths; call per-partition for partitioned
+    imports. The reference models the operation's output state
+    (manifest.go DataFile entries) but has no import path (main.go:314).
+    """
+    import pyarrow.parquet as pq
+
+    required = [f.name for f in table.schema.fields if f.required]
+    for p in paths:
+        if p.endswith(".orc"):
+            continue  # ORC footer check skipped; stats optional
+        have = {c.split(".")[0] for c in pq.ParquetFile(strip_scheme(p)).schema_arrow.names}
+        missing = [n for n in required if n not in have]
+        if missing:
+            raise ValueError(f"file {p} lacks required fields {missing}")
+
+    snap = table.current_snapshot()
+    keep: list[ManifestFile] = []
+    if snap is not None:
+        from .manifests import read_manifest_list
+
+        keep = read_manifest_list(table.io.read(snap.manifest_list))
+    files = [collect_data_file(p, table.schema, dict(partition or {})) for p in paths]
+    return _commit_snapshot(table, files, OP_APPEND, keep_manifests=keep)
+
+
 def merge_upsert(
     table: Table, spark: SparkSession, source: DataFrame, key_columns: list[str]
 ) -> Table:

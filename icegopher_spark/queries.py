@@ -842,6 +842,34 @@ def quality_q(spark: SparkSession, sf: str) -> DataFrame:
     return docs.select("doc_id", text.quality_score(F.col("text")).alias("quality"))
 
 
+vocab_oracle = """
+WITH toks AS (
+  SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS token
+  FROM documents
+)
+SELECT token, COUNT(*) AS n
+FROM toks GROUP BY token
+ORDER BY n DESC, token ASC
+LIMIT 100
+"""
+
+
+@register("vocab_top_tokens", vocab_oracle, "corpus vocabulary: top-100 tokens by frequency")
+def vocab_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Vocabulary building: explode tokens, count, top-k with total
+    tie-break. At 100 TB the shuffle carries (token, partial count)
+    pairs — map-side partial aggregation collapses the token stream to
+    ~|vocab| rows per partition before the exchange."""
+    docs = load(spark, sf, "documents")
+    return (
+        docs.select(F.explode(text.tokens(F.lower("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("token").asc())
+        .limit(100)
+    )
+
+
 curation_oracle = f"""
 WITH m AS (
   SELECT doc_id, text,

@@ -416,3 +416,26 @@ def test_merge_upsert(spark, tmp_path, lineitem):
     # time travel to pre-merge unchanged
     pre = t.scan(snapshot_id=t.metadata.snapshots[-2].snapshot_id).to_df(spark)
     assert pre.count() == n0
+
+
+def test_add_files_in_place(spark, tmp_path, lineitem):
+    # loose parquet written OUTSIDE the table (the 100 TB onboard case)
+    loose_dir = tmp_path / "loose"
+    lineitem.limit(300).coalesce(2).write.parquet(str(loose_dir))
+    paths = sorted(str(p) for p in loose_dir.glob("*.parquet"))
+    assert len(paths) >= 1
+
+    t = W.create_table(str(tmp_path / "adopt_tbl"), SCHEMA)
+    t = W.add_files(t, paths)
+    got = t.scan().to_df(spark)
+    assert got.count() == 300
+    # footer stats made it into the manifest -> metrics pruning works
+    full = [task.file.file_path for task in t.scan().plan_files()]
+    assert sorted(full) == paths
+    pruned = t.scan(row_filter=E.less_than("l_orderkey", -1)).plan_files()
+    assert pruned == []
+    # required-field enforcement
+    bad = tmp_path / "bad"
+    lineitem.select("l_quantity").limit(5).write.parquet(str(bad))
+    with pytest.raises(ValueError, match="required"):
+        W.add_files(t, sorted(str(p) for p in bad.glob("*.parquet")))
