@@ -362,7 +362,11 @@ def simhash_neardup_pairs(
         ).alias("bk"),
     ).select("id", "bk.sh", "bk.band", "bk.key")
     a, b = bands.alias("a"), bands.alias("b")
-    cands = (
+    hamming = F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh")))
+    # verify hamming BEFORE the distinct: the popcount filter runs
+    # map-side inside the join stage, so the dedup exchange carries only
+    # the (usually tiny) verified pair set, not every band collision
+    return (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -370,12 +374,10 @@ def simhash_neardup_pairs(
             & (F.col("a.id") < F.col("b.id")),
         )
         .select(
-            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), F.col("a.sh").alias("sh_a"),
-            F.col("b.sh").alias("sh_b"),
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            hamming.alias("hamming"),
         )
+        .filter(F.col("hamming") <= max_hamming)
         .distinct()
-    )
-    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    return cands.withColumn("hamming", hamming).filter(F.col("hamming") <= max_hamming).select(
-        "id_a", "id_b", "hamming"
     )
