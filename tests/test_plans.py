@@ -113,3 +113,37 @@ def test_q19_derives_pushed_brand_filter(spark, queries):
     plan = plan_of(queries["q19_discounted_revenue"].fn(spark, SF))
     assert "PushedFilters" in plan
     assert "Or(" in plan or "In(p_brand" in plan
+
+
+def test_curation_text_never_shuffles(spark, queries):
+    """corpus_curation: after the scan, no exchange carries document
+    text — dedup shuffles (fingerprint, metrics), stats shuffle carries
+    per-language partial aggregates."""
+    plan = plan_of(queries["corpus_curation"].fn(spark, SF), "simple")
+    exchanges = [l for l in plan.splitlines() if "Exchange" in l and "Reused" not in l]
+    assert exchanges, "expected dedup + stats exchanges"
+    assert all("text" not in e for e in exchanges)
+
+
+def test_vocab_partial_aggregation(spark, queries):
+    """vocab_top_tokens: map-side partial agg collapses the token
+    stream before the exchange, and the top-k is a TakeOrdered (no
+    global sort materialization)."""
+    plan = plan_of(queries["vocab_top_tokens"].fn(spark, SF), "formatted")
+    assert "HashAggregate" in plan and "partial_count" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_minhash_no_string_rehash(spark, queries):
+    """MinHash signatures: the 32 seed hashes mix the 64-bit base hash,
+    not the shingle string — exactly ONE xxhash64 over a string-typed
+    input in the aggregate stage."""
+    from icegopher_spark.operators import dedup as D
+    from icegopher_spark.queries import load
+
+    docs = load(spark, SF, "documents")
+    plan = plan_of(D.minhash_signatures_df(docs), "formatted")
+    # the seed hashes appear as xxhash64(k, h) over bigint h; the only
+    # string xxhash64 is the base shingle hash projection
+    agg_lines = [l for l in plan.splitlines() if "xxhash64" in l and "min(" in l.lower()]
+    assert all(", sh" not in l for l in agg_lines)
