@@ -242,6 +242,40 @@ def lsh_topk(
     )
 
 
+def group_centroids(
+    df: DataFrame,
+    group_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-group mean vector via ``applyInPandas`` (grouped-map pandas
+    UDF, Arrow-batched): each group's vectors stack into one numpy
+    matrix, the centroid is a single vectorized mean.
+
+    Scale: the shuffle is the groupBy hash partitioning of (group,
+    vector) rows — one exchange, then embarrassingly parallel per-group
+    math. Groups must fit per-task memory (a centroid input group of
+    10M × 256 floats ≈ 10 GB would need a tree-agg rewrite; typical
+    label/cell cardinalities are thousands of rows)."""
+    import numpy as np
+    import pandas as pd
+
+    out_schema = (
+        f"{group_col} int, n_vecs long, centroid array<double>"
+    )
+
+    def centroid(pdf: pd.DataFrame) -> pd.DataFrame:
+        mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+        return pd.DataFrame(
+            {
+                group_col: [pdf[group_col].iloc[0]],
+                "n_vecs": [len(pdf)],
+                "centroid": [mat.mean(axis=0)],
+            }
+        )
+
+    return df.select(group_col, vec_col).groupBy(group_col).applyInPandas(centroid, out_schema)
+
+
 # -- persisted IVF index over an Iceberg table -------------------------------
 
 

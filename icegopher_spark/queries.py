@@ -950,6 +950,46 @@ def fingerprint_q(spark: SparkSession, sf: str) -> DataFrame:
     return docs.select("doc_id", text.fingerprint64(F.col("text")).alias("fingerprint"))
 
 
+centroid_oracle = """
+WITH flat AS (
+  SELECT label,
+         UNNEST(embedding) AS v,
+         UNNEST(range(len(embedding))) AS i
+  FROM embeddings
+), cent AS (
+  SELECT label, i, AVG(CAST(v AS DOUBLE)) AS c
+  FROM flat GROUP BY label, i
+), norms AS (
+  SELECT label, CAST(COUNT(*) AS INT) AS dim,
+         ROUND(sqrt(SUM(c * c)), 4) AS centroid_norm
+  FROM cent GROUP BY label
+)
+SELECT n.label, e.n_vecs, n.dim, n.centroid_norm
+FROM norms n
+JOIN (SELECT label, COUNT(*) AS n_vecs FROM embeddings GROUP BY label) e
+  ON n.label = e.label
+"""
+
+
+@register(
+    "sim_label_centroids",
+    centroid_oracle,
+    "per-label embedding centroids via grouped-map pandas UDF",
+)
+def centroids_q(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load(spark, sf, "embeddings")
+    cents = similarity.group_centroids(emb, "label", "embedding")
+    sq = F.aggregate(
+        F.transform("centroid", lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+    )
+    return cents.select(
+        "label",
+        "n_vecs",
+        F.size("centroid").alias("dim"),
+        F.round(F.sqrt(sq), 4).alias("centroid_norm"),
+    )
+
+
 sim_topk_oracle = """
 WITH q AS (
   SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 10

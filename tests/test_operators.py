@@ -167,3 +167,20 @@ def test_ivf_topk_recall(spark):
            similarity.ivf_topk(emb, q, k=3, n_lists=10, n_probe=2).collect()}
     recall = len(exact & ivf) / len(exact)
     assert recall >= 0.9  # clustered data: probing 2/10 cells suffices
+
+
+def test_group_centroids(spark):
+    import numpy as np
+
+    from icegopher_spark.operators import similarity as S
+
+    rows = [
+        (1, [1.0, 0.0, 0.0], 0),
+        (2, [0.0, 1.0, 0.0], 0),
+        (3, [2.0, 2.0, 2.0], 1),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    got = {r["label"]: r for r in S.group_centroids(df).collect()}
+    assert got[0]["n_vecs"] == 2
+    assert np.allclose(got[0]["centroid"], [0.5, 0.5, 0.0])
+    assert np.allclose(got[1]["centroid"], [2.0, 2.0, 2.0])
