@@ -1,0 +1,60 @@
+"""Skew-handling join utilities.
+
+AQE's skew-join splitting (enabled in the session factory) handles
+most runtime skew; this module is the EXPLICIT tool for the cases AQE
+can't fix: a priori known hot keys (power-law user_ids, null-heavy
+foreign keys) where even one map task's input for a single key exceeds
+a partition, or where the skewed side feeds a mandatory shuffle that
+AQE only splits after materializing.
+
+``salted_join`` rewrites `left ⋈ right ON key` as
+
+    left:  key → (key, salt = hash(row) % S)
+    right: key → explode to all S salts
+    join on (key, salt)
+
+so one hot key's rows spread over S reducers. Cost: the right side
+replicates ×S — use with a small-to-medium right side and S sized to
+the worst key (rows_of_hottest_key / target_rows_per_task). The salt
+is derived from left-row content (deterministic, no Math.random), so
+replays and retries partition identically.
+
+The reference has no execution engine; this is [X] scale
+infrastructure (SURVEY.md §4: skew → salting or AQE).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+SALT_COL = "__salt"
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str] | str,
+    num_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi-join; result is column-identical to
+    ``left.join(right, on, how)``.
+
+    Supported ``how``: inner / left — the salted right side replicates
+    rows, which is transparent for these join types because every
+    (key, salt) bucket sees the full right payload for the key.
+    """
+    if how not in ("inner", "left", "left_outer"):
+        raise ValueError(f"salted_join supports inner/left joins, got {how!r}")
+    keys = [on] if isinstance(on, str) else list(on)
+
+    # deterministic per-row salt on the LEFT (the big/skewed side)
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(num_salts))
+    lhs = left.withColumn(SALT_COL, salt)
+
+    rhs = right.withColumn(
+        SALT_COL, F.explode(F.array(*[F.lit(s) for s in range(num_salts)]))
+    )
+    out = lhs.join(rhs, keys + [SALT_COL], how)
+    return out.drop(SALT_COL)

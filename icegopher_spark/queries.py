@@ -950,6 +950,44 @@ def fingerprint_q(spark: SparkSession, sf: str) -> DataFrame:
     return docs.select("doc_id", text.fingerprint64(F.col("text")).alias("fingerprint"))
 
 
+salted_oracle = """
+SELECT o.o_orderpriority,
+       COUNT(*) AS n_lines,
+       CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(14,2))
+                      * (1 - CAST(l.l_discount AS DECIMAL(5,4)))), 2) AS DOUBLE) AS revenue
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderpriority
+"""
+
+
+@register(
+    "salted_join_revenue",
+    salted_oracle,
+    "skew-salted fact join == plain join (revenue by priority)",
+)
+def salted_join_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Correctness gate for the explicit skew tool: the salted rewrite
+    must be value-identical to the plain equi-join."""
+    from .operators.skew import salted_join
+
+    li = load(spark, sf, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    o = load(spark, sf, "orders").select("o_orderkey", "o_orderpriority")
+    joined = salted_join(
+        li.withColumnRenamed("l_orderkey", "o_orderkey"), o, "o_orderkey", num_salts=8
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        money(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(14,2)")
+                * (1 - F.col("l_discount").cast("decimal(5,4)"))
+            )
+        ).alias("revenue"),
+    )
+
+
 centroid_oracle = """
 WITH flat AS (
   SELECT label,

@@ -184,3 +184,20 @@ def test_group_centroids(spark):
     assert got[0]["n_vecs"] == 2
     assert np.allclose(got[0]["centroid"], [0.5, 0.5, 0.0])
     assert np.allclose(got[1]["centroid"], [2.0, 2.0, 2.0])
+
+
+def test_salted_join_matches_plain(spark):
+    from icegopher_spark.operators.skew import salted_join
+
+    left = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "c"), (3, "d")], "k long, lv string"
+    )
+    right = spark.createDataFrame([(1, "X"), (1, "Y"), (2, "Z")], "k long, rv string")
+    for how in ("inner", "left"):
+        got = sorted(map(tuple, salted_join(left, right, "k", 4, how).collect()))
+        want = sorted(map(tuple, left.join(right, "k", how).collect()))
+        assert got == want, how
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        salted_join(left, right, "k", 4, "right")
