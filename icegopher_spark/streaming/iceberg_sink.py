@@ -44,9 +44,22 @@ def committed_batches(table: Table, query_id: str) -> set[int]:
     return out
 
 
-def foreach_batch_appender(table: Table, query_id: str):
+def foreach_batch_appender(
+    table: Table,
+    query_id: str,
+    compact_every: int | None = None,
+    rewrite_manifests_every: int | None = None,
+):
     """Build the foreachBatch callback: idempotent snapshot-per-batch
-    appends with optimistic-conflict retry."""
+    appends with optimistic-conflict retry.
+
+    Inline maintenance: every ``compact_every`` committed batches the
+    sink bin-packs small files, and every ``rewrite_manifests_every``
+    batches it collapses the one-manifest-per-batch accumulation —
+    bounding file count and planning cost for always-on pipelines
+    without an external scheduler. Maintenance runs AFTER the batch's
+    append commit (separate snapshots), so replay idempotency is
+    untouched: a maintenance failure never loses batch data."""
 
     def _append(batch_df: DataFrame, batch_id: int) -> None:
         table.refresh()
@@ -55,13 +68,22 @@ def foreach_batch_appender(table: Table, query_id: str):
         for attempt in range(3):
             try:
                 _append_with_summary(table, batch_df, query_id, batch_id)
-                return
+                break
             except W.CommitFailedError:
                 table.refresh()
                 if batch_id in committed_batches(table, query_id):
-                    return
+                    break
                 if attempt == 2:
                     raise
+        n_done = len(committed_batches(table, query_id))
+        if compact_every and n_done and n_done % compact_every == 0:
+            from ..iceberg.maintenance import compact_data_files
+
+            compact_data_files(table, batch_df.sparkSession)
+        if rewrite_manifests_every and n_done and n_done % rewrite_manifests_every == 0:
+            from ..iceberg.maintenance import rewrite_manifests
+
+            rewrite_manifests(table)
 
     return _append
 
@@ -88,12 +110,16 @@ def write_stream_to_iceberg(
     checkpoint: str,
     query_id: str | None = None,
     trigger_available_now: bool = True,
+    compact_every: int | None = None,
+    rewrite_manifests_every: int | None = None,
 ):
     """Start (and for availableNow, run to completion) a streaming query
     appending into an Iceberg table. Returns the StreamingQuery."""
     qid = query_id or f"iceberg-sink-{table.metadata.table_uuid[:8]}"
     writer = (
-        sdf.writeStream.foreachBatch(foreach_batch_appender(table, qid))
+        sdf.writeStream.foreachBatch(
+            foreach_batch_appender(table, qid, compact_every, rewrite_manifests_every)
+        )
         .outputMode("append")
         .option("checkpointLocation", checkpoint)
     )

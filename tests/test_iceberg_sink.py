@@ -81,3 +81,33 @@ def test_incremental_source_to_sink_loop(spark, tmp_path):
     assert dst.scan().to_df(spark).count() == 30
     got = sorted(r["event_id"] for r in dst.scan().to_df(spark).collect())
     assert got == list(range(50, 80))
+
+
+def test_inline_maintenance_compacts_small_batches(spark, tmp_path):
+    t = W.create_table(str(tmp_path / "sink_m"), EVENTS_SCHEMA)
+    appender = foreach_batch_appender(t, "q3", compact_every=3, rewrite_manifests_every=3)
+    for b in range(6):
+        df = spark.range(b * 10, b * 10 + 10).selectExpr(
+            "id AS event_id", "id % 7 AS user_id", "'view' AS event_type", "1.5 AS value"
+        ).coalesce(1)
+        appender(df, b)
+    assert t.scan().to_df(spark).count() == 60  # maintenance lost nothing
+    # compaction bin-packed the per-batch small files
+    tasks = t.scan().plan_files()
+    assert len(tasks) < 6
+    # rewritten manifests: planning reads O(1) manifests, not one/batch
+    from icegopher_spark.iceberg.manifests import read_manifest_list
+
+    snap = t.current_snapshot()
+    manifests = read_manifest_list(t.io.read(snap.manifest_list))
+    assert len(manifests) <= 2
+    # replay idempotency survives maintenance snapshots in history
+    v = len(t.metadata.snapshots)
+    appender(
+        spark.range(10).selectExpr(
+            "id AS event_id", "id % 7 AS user_id", "'view' AS event_type", "1.5 AS value"
+        ),
+        2,
+    )
+    assert len(t.metadata.snapshots) == v
+    assert t.scan().to_df(spark).count() == 60
