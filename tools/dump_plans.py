@@ -1,0 +1,116 @@
+"""Generate PLANS.md: annotated physical plans for flagship queries.
+
+Run: python tools/dump_plans.py  (writes PLANS.md at repo root)
+
+Each entry prints the `.explain("formatted")` (or simple) plan at
+sf0.001 with a short note on the scale-relevant property the plan
+exhibits. Regenerate after any planner-visible change; the plan-shape
+tests in tests/test_plans.py assert the same properties mechanically.
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+_REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(_REPO))
+
+from icegopher_spark.queries import QUERIES  # noqa: E402
+from icegopher_spark.session import get_spark  # noqa: E402
+
+SF = "/root/testdata/sf0.001"
+
+# (query, explain mode, what to look for)
+ENTRIES = [
+    (
+        "q6_forecast_revenue",
+        "formatted",
+        "Filter pushdown + column pruning: `PushedFilters` carries the "
+        "quantity/discount/shipdate predicates into the parquet reader; "
+        "`ReadSchema` lists only the 4 needed columns. At 100 TB this is "
+        "the difference between scanning 3% and 100% of the table.",
+    ),
+    (
+        "q8_national_market_share",
+        "simple",
+        "Eight-way star join: every dimension (part, supplier, customer, "
+        "nation ×2, region) broadcasts; the only shuffle joins the two "
+        "facts (lineitem ⋈ orders). One exchange instead of seven.",
+    ),
+    (
+        "asof_event_order",
+        "simple",
+        "As-of join WITHOUT a BroadcastNestedLoopJoin: union the two "
+        "streams, one window pass with `last(..., ignoreNulls)` over "
+        "(user, time) ordering. Cost is one sort-shuffle on the union, "
+        "linear in rows — a BNLJ here would be |events|×|orders|.",
+    ),
+    (
+        "dedup_exact",
+        "simple",
+        "Exact dedup: the exchange carries (64-bit xxhash fingerprint, "
+        "id) — ~16 bytes/row regardless of document size. The text "
+        "column never enters a shuffle.",
+    ),
+    (
+        "corpus_curation",
+        "simple",
+        "Curation pipeline (score → filter → dedup → stats) as ONE "
+        "linear plan: scoring is all whole-stage-codegen regexp/case "
+        "expressions; the dedup exchange carries (fingerprint, metrics); "
+        "the final stats exchange carries per-language partial "
+        "aggregates. Document text stays inside the scan stage.",
+    ),
+    (
+        "vocab_top_tokens",
+        "formatted",
+        "Vocabulary: `partial_count` before the exchange (map-side "
+        "combine collapses the token stream to ~|vocab| rows per task) "
+        "and `TakeOrderedAndProject` for top-k — no global sort.",
+    ),
+    (
+        "iceberg_scan_pruned",
+        "formatted",
+        "Iceberg metadata pruning happened BEFORE this plan exists (the "
+        "planner handed Spark an explicit pruned file list), and the "
+        "residual predicate is STILL pushed to the parquet row-group "
+        "reader — two pruning layers deep before any data decodes.",
+    ),
+    (
+        "salted_join_revenue",
+        "simple",
+        "Skew-salted join: both sides exchange on (key, salt) — the "
+        "hottest key fans out over `num_salts` reducers. Value-identical "
+        "to the plain join (oracle-checked).",
+    ),
+]
+
+
+def plan_of(df, mode: str) -> str:
+    spark = df.sparkSession
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+    )
+
+
+def main() -> None:
+    spark = get_spark("plan-dump")
+    out = [
+        "# PLANS — annotated physical plans (sf0.001, regenerate via "
+        "`python tools/dump_plans.py`)",
+        "",
+        "Plan-shape regression tests (`tests/test_plans.py`) assert these "
+        "properties mechanically; this file is the human-readable tour.",
+        "",
+    ]
+    for name, mode, note in ENTRIES:
+        df = QUERIES[name].fn(spark, SF)
+        plan = plan_of(df, mode).rstrip()
+        out += [f"## {name}", "", note, "", "```", plan, "```", ""]
+    (Path(_REPO) / "PLANS.md").write_text("\n".join(out))
+    print(f"wrote PLANS.md ({len(ENTRIES)} plans)")
+
+
+if __name__ == "__main__":
+    main()
