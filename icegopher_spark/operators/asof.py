@@ -25,12 +25,17 @@ def asof_join_backward(
     left_ts: str,
     right_ts: str,
     payload_cols: list[str],
+    tolerance_seconds: float | None = None,
 ) -> DataFrame:
     """Backward as-of join.
 
     Returns `left.*` plus ``payload_cols`` from the latest right row
     with ``right[right_ts] <= left[left_ts]`` and matching ``on`` key
-    (nulls when no prior right row exists).
+    (nulls when no prior right row exists). With ``tolerance_seconds``,
+    a match older than the tolerance yields nulls too — the point-in-
+    time lookup expires. Tolerance costs nothing extra at scale: the
+    carried right timestamp rides the same window pass and the expiry
+    check is a map-side CASE after it.
     """
     left_cols = left.columns
     l = left.select(
@@ -47,6 +52,10 @@ def asof_join_backward(
         F.lit(None).cast(left.select(F.struct(*left_cols)).schema[0].dataType).alias("_l"),
         *[F.col(c).alias(f"_r_{c}") for c in payload_cols],
     )
+    # carry the matched right timestamp through the same window fill so
+    # a tolerance check needs no extra join or window pass
+    l = l.withColumn("_rts", F.lit(None).cast("double"))
+    r = r.withColumn("_rts", F.col("_ts").cast("timestamp").cast("double"))
     unioned = l.unionByName(r)
     # Deterministic order: ts, then side (right first at equal ts), then
     # right rows of equal ts resolved by the last payload value seen.
@@ -57,11 +66,19 @@ def asof_join_backward(
     )
     filled = unioned.select(
         "_side",
+        "_ts",
         "_l",
+        F.last("_rts", ignorenulls=True).over(w).alias("_rts"),
         *[F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"_r_{c}") for c in payload_cols],
+    )
+    fresh = (
+        F.lit(True)
+        if tolerance_seconds is None
+        else (F.col("_ts").cast("timestamp").cast("double") - F.col("_rts"))
+        <= F.lit(float(tolerance_seconds))
     )
     out = filled.filter(F.col("_side") == 1).select(
         *[F.col("_l")[c].alias(c) for c in left_cols],
-        *[F.col(f"_r_{c}").alias(c) for c in payload_cols],
+        *[F.when(fresh, F.col(f"_r_{c}")).alias(c) for c in payload_cols],
     )
     return out

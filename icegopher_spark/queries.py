@@ -950,6 +950,43 @@ def fingerprint_q(spark: SparkSession, sf: str) -> DataFrame:
     return docs.select("doc_id", text.fingerprint64(F.col("text")).alias("fingerprint"))
 
 
+asof_tol_oracle = """
+WITH ord AS (
+  SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS o_orderkey
+  FROM orders GROUP BY 1, 2
+)
+SELECT e.event_id, e.user_id, e.ts,
+       CASE WHEN o.o_orderdate >= e.ts - INTERVAL 30 DAY
+            THEN o.o_orderkey END AS last_orderkey
+FROM events e
+ASOF LEFT JOIN ord o
+  ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
+"""
+
+
+@register(
+    "asof_event_order_tolerant",
+    asof_tol_oracle,
+    "as-of join with 30-day tolerance (expired matches -> null)",
+)
+def asof_tolerant_q(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load(spark, sf, "events").select("event_id", "user_id", "ts")
+    o = (
+        load(spark, sf, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(F.max("o_orderkey").alias("o_orderkey"))
+    )
+    return asof.asof_join_backward(
+        ev,
+        o.select(F.col("o_custkey").alias("user_id"), "o_orderdate", "o_orderkey"),
+        on="user_id",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        payload_cols=["o_orderkey"],
+        tolerance_seconds=30 * 86400,
+    ).select("event_id", "user_id", "ts", F.col("o_orderkey").alias("last_orderkey"))
+
+
 salted_oracle = """
 SELECT o.o_orderpriority,
        COUNT(*) AS n_lines,

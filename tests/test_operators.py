@@ -201,3 +201,27 @@ def test_salted_join_matches_plain(spark):
 
     with _pt.raises(ValueError):
         salted_join(left, right, "k", 4, "right")
+
+
+def test_asof_tolerance_expires_stale_matches(spark):
+    from datetime import datetime
+
+    from icegopher_spark.operators import asof as A
+
+    left = spark.createDataFrame(
+        [(1, datetime(2024, 1, 10)), (1, datetime(2024, 3, 1)), (2, datetime(2024, 1, 5))],
+        "k long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1), "jan"), (2, datetime(2023, 1, 1), "old")],
+        "k long, rts timestamp, tag string",
+    )
+    got = {
+        (r["k"], r["ts"]): r["tag"]
+        for r in A.asof_join_backward(
+            left, right, "k", "ts", "rts", ["tag"], tolerance_seconds=30 * 86400
+        ).collect()
+    }
+    assert got[(1, datetime(2024, 1, 10))] == "jan"  # 9 days old: fresh
+    assert got[(1, datetime(2024, 3, 1))] is None  # 60 days old: expired
+    assert got[(2, datetime(2024, 1, 5))] is None  # a year old: expired
