@@ -281,15 +281,9 @@ def name_to_field_by_id(schema: Schema, fid: int):
 # --------------------------------------------------------------------------
 
 
-def _apply_sort_order(table: Table, df: DataFrame) -> DataFrame:
-    """Cluster rows inside each write task by the table's sort order
-    (reference surface: table/sorting.go:29-122; write-path application
-    per SURVEY §1.1 — sortWithinPartitions, NOT a global sort: no extra
-    shuffle, better column compression + tighter min/max bounds for the
-    metrics evaluator)."""
+def _sort_order_columns(table: Table) -> list:
+    """The table's default sort order as Spark sort Columns."""
     order = table.metadata.default_sort_order
-    if not order.fields:
-        return df
     schema = table.schema
     cols = []
     for sf in order.fields:
@@ -304,6 +298,17 @@ def _apply_sort_order(table: Table, df: DataFrame) -> DataFrame:
         else:
             c = c.asc_nulls_last() if sf.null_order == "nulls-last" else c.asc_nulls_first()
         cols.append(c)
+    return cols
+
+
+def _apply_sort_order(table: Table, df: DataFrame) -> DataFrame:
+    """Cluster rows inside each write task by the table's sort order
+    (reference surface: table/sorting.go:29-122; write-path application
+    per SURVEY §1.1 — sortWithinPartitions, NOT a global sort: no extra
+    shuffle, better column compression + tighter min/max bounds for the
+    metrics evaluator). Must run AFTER any distribution repartition —
+    a later shuffle would destroy the clustering."""
+    cols = _sort_order_columns(table)
     return df.sortWithinPartitions(*cols) if cols else df
 
 
@@ -324,10 +329,23 @@ def _write_data_files(
     df = df.select(
         *[F.col(f.name).cast(to_spark_type(f.field_type)) for f in schema.fields]
     )
-    df = _apply_sort_order(table, df)
     fmt = table.properties.get("write.format.default", "parquet").lower()
+    # write.distribution-mode (Iceberg table property): how rows reach
+    # write tasks. none = no shuffle (one file per task×partition — most
+    # files, zero exchange); hash = cluster on partition keys (default
+    # for partitioned tables: one task per partition); range = global
+    # range-partition on partition keys + sort order (fewest overlapping
+    # min/max bounds → best scan pruning on sorted tables).
+    mode = table.properties.get(
+        "write.distribution-mode", "none" if spec.is_unpartitioned else "hash"
+    ).lower()
     ext = f".{fmt}" if fmt != "parquet" else ".parquet"
     if spec.is_unpartitioned:
+        if mode == "range":
+            sort_cols = _sort_order_columns(table)
+            if sort_cols:
+                df = df.repartitionByRange(*sort_cols)
+        df = _apply_sort_order(table, df)
         out = f"{data_dir}/{_uuid.uuid4().hex[:16]}"
         df.write.mode("overwrite").format(fmt).save(out)
         return [
@@ -350,10 +368,24 @@ def _write_data_files(
         pcols.append(pf.transform.to_column(F.col(src.name), src.field_type).alias(wname))
     out = f"{data_dir}/{_uuid.uuid4().hex[:16]}"
     names = list(write_names)
+    staged = df.select("*", *pcols)
+    if mode == "hash":
+        staged = staged.repartition(*[F.col(n) for n in names])
+    elif mode == "range":
+        staged = staged.repartitionByRange(
+            *[F.col(n) for n in names], *_sort_order_columns(table)
+        )
+    # sort INSIDE write tasks after the distribution shuffle (a shuffle
+    # after sortWithinPartitions would destroy the clustering). The sort
+    # leads with the partition columns: FileFormatWriter requires rows
+    # ordered by partition cols and re-sorts (unstably) if they aren't —
+    # satisfying its required ordering up front both skips that sort and
+    # preserves the table sort order inside every file.
+    sort_cols = _sort_order_columns(table)
+    if sort_cols:
+        staged = staged.sortWithinPartitions(*[F.col(n) for n in names], *sort_cols)
     (
-        df.select("*", *pcols)
-        .repartition(*[F.col(n) for n in names])
-        .write.mode("overwrite")
+        staged.write.mode("overwrite")
         .partitionBy(*names)
         .format(fmt)
         .save(out)

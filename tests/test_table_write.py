@@ -439,3 +439,42 @@ def test_add_files_in_place(spark, tmp_path, lineitem):
     lineitem.select("l_quantity").limit(5).write.parquet(str(bad))
     with pytest.raises(ValueError, match="required"):
         W.add_files(t, sorted(str(p) for p in bad.glob("*.parquet")))
+
+
+def test_write_distribution_modes(spark, tmp_path, lineitem):
+    """none / hash / range distribution modes; sorted+partitioned writes
+    must be physically sorted INSIDE each file (the sort runs after the
+    distribution shuffle)."""
+    import pyarrow.parquet as pq
+
+    from icegopher_spark.iceberg.metadata import SortField, SortOrder
+    from icegopher_spark.iceberg.transforms import PartitionField, PartitionSpec, parse_transform
+
+    spec = PartitionSpec(
+        fields=(PartitionField(3, 1000, "l_returnflag", parse_transform("identity")),)
+    )
+    order = SortOrder(order_id=1, fields=(SortField(source_id=1),))  # by l_orderkey
+
+    def mk(mode):
+        t = W.create_table(
+            str(tmp_path / f"dist_{mode}"),
+            SCHEMA,
+            spec=spec,
+            properties={"write.distribution-mode": mode},
+            sort_order=order,
+        )
+        return W.append(t, lineitem.limit(400).repartition(4))
+
+    for mode in ("none", "hash", "range"):
+        t = mk(mode)
+        tasks = t.scan().plan_files()
+        assert sum(task.file.record_count for task in tasks) == 400
+        # each file's l_orderkey column is non-decreasing
+        for task in tasks:
+            vals = pq.read_table(task.file.file_path, columns=["l_orderkey"])[
+                "l_orderkey"
+            ].to_pylist()
+            assert vals == sorted(vals), (mode, task.file.file_path)
+        if mode == "hash":
+            # one file per partition value: 3 returnflags -> 3 files
+            assert len(tasks) == 3
