@@ -93,6 +93,12 @@ def main(argv: list[str] | None = None) -> int:
     sp = sub.add_parser("orphans")
     sp.add_argument("identifier")
     sp.add_argument("--remove", action="store_true")
+    sp = sub.add_parser("add-files")
+    sp.add_argument("identifier")
+    sp.add_argument("paths", nargs="+", help="existing parquet/ORC files to adopt in place")
+    sp = sub.add_parser("register")
+    sp.add_argument("identifier")
+    sp.add_argument("metadata_location", help="existing table metadata JSON to adopt")
 
     args = p.parse_args(argv)
     props = {}
@@ -232,6 +238,21 @@ def _dispatch(args, cat) -> int:
             else:
                 for pth in found:
                     print(pth)
+        return 0
+
+    if args.verb == "add-files":
+        from .write import add_files as _add
+
+        t = cat.load_table(to_identifier(args.identifier))
+        t = _add(t, list(args.paths))
+        print(f"added {len(args.paths)} files; snapshot {t.current_snapshot().snapshot_id}")
+        return 0
+    if args.verb == "register":
+        if not hasattr(cat, "register_table"):
+            print("error: this catalog cannot register external tables", file=sys.stderr)
+            return 1
+        t = cat.register_table(to_identifier(args.identifier), args.metadata_location)
+        print(f"registered {args.identifier} at {t.metadata_location}")
         return 0
 
     if args.verb == "rename":

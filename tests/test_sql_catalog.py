@@ -131,3 +131,24 @@ def test_register_existing_table(cat, tmp_path, spark, lineitem):
     # registered table commits through the catalog from now on
     t = W.append(t, lineitem.limit(5))
     assert cat.load_table("db.adopted").scan().to_df(spark).count() == 35
+
+
+def test_cli_add_files_and_register(cat, tmp_path, spark, lineitem, capsys):
+    from icegopher_spark.iceberg import write as W
+    from icegopher_spark.iceberg.cli import main as cli_main
+
+    loose = W.create_table(str(tmp_path / "cli_loose"), SCHEMA)
+    loose = W.append(loose, lineitem.limit(20))
+    db = str(tmp_path / "catalog.db")
+    wh = str(tmp_path / "wh")
+    base = ["--catalog", f"sqlite:{db}", "--warehouse", wh]
+    assert cli_main([*base, "register", "db.cli_t", loose.metadata_location]) == 0
+    extra = tmp_path / "extra"
+    lineitem.limit(7).coalesce(1).write.parquet(str(extra))
+    pq_files = sorted(str(p) for p in extra.glob("*.parquet"))
+    assert cli_main([*base, "add-files", "db.cli_t", *pq_files]) == 0
+    out = capsys.readouterr().out
+    assert "registered db.cli_t" in out and "added 1 files" in out
+    # rows are scoped by catalog NAME; read back under the CLI's name
+    cli_cat = load_catalog("cli", f"sqlite:{db}", {"warehouse": wh})
+    assert cli_cat.load_table("db.cli_t").scan().to_df(spark).count() == 27
