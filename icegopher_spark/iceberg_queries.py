@@ -517,6 +517,46 @@ def iceberg_timestamp_as_of(spark: SparkSession, sf: str) -> DataFrame:
     return df.agg(F.count(F.lit(1)).alias("n_rows"), F.sum("l_orderkey").alias("sum_okey"))
 
 
+changelog_oracle = """
+WITH src_keys AS (
+  SELECT DISTINCT l_orderkey FROM lineitem WHERE l_orderkey % 50 = 3
+),
+changes AS (
+  SELECT 'delete' AS change_type, l_orderkey, l_quantity
+  FROM lineitem WHERE l_orderkey % 50 = 3
+  UNION ALL
+  SELECT 'insert' AS change_type, l_orderkey, CAST(777 AS DOUBLE) AS l_quantity
+  FROM src_keys
+)
+SELECT change_type,
+       COUNT(*) AS n_rows,
+       CAST(SUM(l_orderkey) AS BIGINT) AS sum_okey,
+       CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(14,2))), 2) AS DOUBLE) AS sum_qty
+FROM changes
+GROUP BY change_type
+"""
+
+
+@register(
+    "iceberg_changelog",
+    changelog_oracle,
+    "CDC changelog: per-row inserts+deletes emitted by the MERGE snapshot",
+)
+def iceberg_changelog_q(spark: SparkSession, sf: str) -> DataFrame:
+    from .iceberg.changelog import changelog_df
+
+    t = _merge_table_for(spark, sf)
+    first = t.metadata.snapshots[0]
+    ch = changelog_df(t, spark, from_snapshot_id=first.snapshot_id)
+    return ch.groupBy(F.col("_change_type").alias("change_type")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("l_orderkey").alias("sum_okey"),
+        F.round(F.sum(F.col("l_quantity").cast("decimal(14,2)")), 2)
+        .cast("double")
+        .alias("sum_qty"),
+    )
+
+
 ice_merge_oracle = """
 WITH src_keys AS (
   SELECT DISTINCT l_orderkey FROM lineitem WHERE l_orderkey % 50 = 3

@@ -1,0 +1,73 @@
+"""CDC changelog reads: inserts, MOR positional/equality deletes,
+copy-on-write carryover netting, replace-snapshot skipping."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from icegopher_spark.iceberg import expressions as E
+from icegopher_spark.iceberg import write as W
+from icegopher_spark.iceberg.changelog import changelog_df
+from icegopher_spark.iceberg.schema import Schema
+from icegopher_spark.iceberg.types import DoubleType, LongType, NestedField, StringType
+
+SCHEMA = Schema(
+    (
+        NestedField(1, "k", LongType(), True),
+        NestedField(2, "v", DoubleType(), False),
+        NestedField(3, "tag", StringType(), False),
+    ),
+    schema_id=0,
+)
+
+
+def _mk(spark, path, rows):
+    t = W.create_table(str(path), SCHEMA)
+    df = spark.createDataFrame(rows, "k long, v double, tag string").coalesce(1)
+    return W.append(t, df)
+
+
+def test_append_only_changelog(spark, tmp_path):
+    t = _mk(spark, tmp_path / "a", [(1, 1.0, "x")])
+    s1 = t.metadata.snapshots[0].snapshot_id
+    t = W.append(t, spark.createDataFrame([(2, 2.0, "y")], "k long, v double, tag string"))
+    ch = changelog_df(t, spark, from_snapshot_id=s1).collect()
+    assert len(ch) == 1
+    assert ch[0]["k"] == 2 and ch[0]["_change_type"] == "insert"
+    assert ch[0]["_commit_snapshot_id"] == t.metadata.snapshots[1].snapshot_id
+
+
+def test_mor_positional_delete_changelog(spark, tmp_path):
+    t = _mk(spark, tmp_path / "b", [(1, 1.0, "x"), (2, 2.0, "x"), (3, 3.0, "y")])
+    s1 = t.metadata.snapshots[0].snapshot_id
+    t = W.delete_where_mor(t, spark, E.equal_to("tag", "x"))
+    ch = changelog_df(t, spark, from_snapshot_id=s1)
+    rows = {(r["k"], r["_change_type"]) for r in ch.collect()}
+    assert rows == {(1, "delete"), (2, "delete")}
+
+
+def test_cow_delete_nets_carryovers(spark, tmp_path):
+    t = _mk(spark, tmp_path / "c", [(1, 1.0, "x"), (2, 2.0, "x"), (3, 3.0, "y")])
+    s1 = t.metadata.snapshots[0].snapshot_id
+    t = W.delete_where(t, spark, E.equal_to("tag", "y"))  # CoW rewrite
+    ch = changelog_df(t, spark, from_snapshot_id=s1)
+    rows = {(r["k"], r["_change_type"]) for r in ch.collect()}
+    # survivors (1, 2) are carryovers and must NOT appear
+    assert rows == {(3, "delete")}
+
+
+def test_replace_snapshot_skipped(spark, tmp_path):
+    from icegopher_spark.iceberg.maintenance import compact_data_files
+
+    t = _mk(spark, tmp_path / "d", [(1, 1.0, "x")])
+    t = W.append(t, spark.createDataFrame([(2, 2.0, "y")], "k long, v double, tag string"))
+    s2 = t.metadata.snapshots[-1].snapshot_id
+    t = compact_data_files(t, spark, target_file_size=1 << 20, small_file_threshold=1 << 20)
+    assert t.metadata.snapshots[-1].summary["operation"] == "replace"
+    ch = changelog_df(t, spark, from_snapshot_id=s2)
+    assert ch.count() == 0  # compaction emitted no logical changes
+
+
+def test_bad_from_snapshot_raises(spark, tmp_path):
+    t = _mk(spark, tmp_path / "e", [(1, 1.0, "x")])
+    with pytest.raises(ValueError, match="ancestor"):
+        changelog_df(t, spark, from_snapshot_id=12345)
