@@ -183,3 +183,34 @@ class InspectTables:
                 F.sum("file_size_in_bytes").alias("total_size_bytes"),
             )
         )
+
+    def metadata_log(self, spark: SparkSession) -> DataFrame:
+        """metadata_log_entries metadata table: the table's metadata-file
+        lineage (one row per superseded metadata JSON + the current)."""
+        from pyspark.sql import types as T
+
+        schema = T.StructType(
+            [
+                T.StructField("timestamp_ms", T.LongType()),
+                T.StructField("metadata_file", T.StringType()),
+            ]
+        )
+        md = self.table.metadata
+        rows = [
+            (int(e.get("timestamp-ms", 0)), e.get("metadata-file", ""))
+            for e in md.metadata_log
+        ] + [(md.last_updated_ms, self.table.metadata_location)]
+        return spark.createDataFrame(rows, schema)
+
+    def changes(
+        self,
+        spark: SparkSession,
+        from_snapshot_id: int,
+        to_snapshot_id: int | None = None,
+        net: bool = True,
+    ) -> DataFrame:
+        """CDC changes metadata table: row-level inserts/deletes between
+        snapshots (see changelog.changelog_df)."""
+        from .changelog import changelog_df
+
+        return changelog_df(self.table, spark, from_snapshot_id, to_snapshot_id, net)

@@ -134,6 +134,18 @@ def test_inspect_tables(spark, table):
     assert parts.count() == len(
         {tuple(sorted(t.file.partition.items())) for t in table.scan().plan_files()}
     )
+    mlog = table.inspect.metadata_log(spark)
+    # one row per superseded metadata version + the current pointer
+    assert mlog.count() >= 1
+    assert mlog.orderBy(F.col("timestamp_ms").desc()).first()[
+        "metadata_file"
+    ] == table.metadata_location
+    first = table.metadata.snapshots[0].snapshot_id
+    ch = table.inspect.changes(spark, from_snapshot_id=first)
+    assert set(ch.select("_change_type").distinct().toPandas()["_change_type"]) <= {
+        "insert",
+        "delete",
+    }
 
 
 def test_static_catalog_listing(warehouse, table):
