@@ -555,7 +555,7 @@ class TableScan:
 
     # -- execution handoff to Spark --------------------------------------
 
-    def to_df(self, spark: SparkSession) -> DataFrame:
+    def to_df(self, spark: SparkSession, tasks: list[FileScanTask] | None = None) -> DataFrame:
         """Execute the planned scan as a Spark DataFrame.
 
         The explicit file list means Spark's own partition discovery is
@@ -564,8 +564,13 @@ class TableScan:
         Catalyst still pushes it into the parquet scan for row-group
         pruning. Positional deletes become a left-anti join on
         (file, position), with _pos synthesized per input file.
+
+        ``tasks`` restricts execution to an explicit task list (the
+        write path uses this to read ONLY affected files, with their
+        deletes still applied).
         """
-        tasks = self.plan_files()
+        if tasks is None:
+            tasks = self.plan_files()
         projection = self.projection()
         spark_schema = projection.to_spark()
         if not tasks:

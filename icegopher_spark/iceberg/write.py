@@ -797,35 +797,45 @@ def delete_where(table: Table, spark: SparkSession, row_filter) -> Table:
     The scan pruning makes this proportional to affected files, not
     table size."""
     from .expressions import to_spark_column
-    from .manifests import read_manifest_list, fetch_entries
+    from .manifests import ManifestContent, fetch_entries, read_manifest_list
 
     snap = table.current_snapshot()
     if snap is None:
         return table
 
-    scan = table.scan(row_filter=row_filter)
-    affected = {t.file.file_path for t in scan.plan_files()}
+    tasks = table.scan(row_filter=row_filter).plan_files()
+    affected = {t.file.file_path for t in tasks}
 
-    # collect all current entries, split into untouched / affected
+    # untouched DATA entries carry forward; DELETE manifests carry
+    # forward WHOLE so merge-on-read deletes keep applying to untouched
+    # files (entries pointing at rewritten paths no longer match
+    # anything — rewritten files take the new, higher sequence number)
     untouched: list[ManifestEntry] = []
+    keep_delete_manifests = []
     for m in read_manifest_list(table.io.read(snap.manifest_list)):
+        if m.content != ManifestContent.DATA:
+            keep_delete_manifests.append(m)
+            continue
         for e in fetch_entries(m, table.io.read(m.manifest_path), discard_deleted=True):
             if e.data_file.file_path not in affected:
                 untouched.append(e)
 
     new_files: list[DataFile] = []
     if affected:
-        from .table import strip_file_scheme
-
-        keep_rows = spark.read.schema(table.schema.to_spark()).parquet(
-            *[strip_file_scheme(p) for p in sorted(affected)]
-        ).filter(~to_spark_column(row_filter))
+        # read ONLY the affected tasks through the scan path so existing
+        # positional/equality deletes are APPLIED before the rewrite —
+        # a raw file read would resurrect merge-on-read-deleted rows
+        keep_rows = table.scan().to_df(spark, tasks=tasks).filter(~to_spark_column(row_filter))
         if keep_rows.limit(1).count() > 0:
             pairs = _write_data_files(table, keep_rows, f"{table.location}/data")
             new_files = [collect_data_file(p, table.schema, part) for p, part in pairs]
 
     return _commit_snapshot(
-        table, new_files, OP_DELETE, keep_manifests=[], retained_entries=untouched
+        table,
+        new_files,
+        OP_DELETE,
+        keep_manifests=keep_delete_manifests,
+        retained_entries=untouched,
     )
 
 

@@ -71,3 +71,30 @@ def test_bad_from_snapshot_raises(spark, tmp_path):
     t = _mk(spark, tmp_path / "e", [(1, 1.0, "x")])
     with pytest.raises(ValueError, match="ancestor"):
         changelog_df(t, spark, from_snapshot_id=12345)
+
+
+def test_changelog_replay_reconstructs_table(spark, tmp_path):
+    """Invariant: for ANY operation sequence, (all inserts) exceptAll
+    (all deletes) from the full changelog == the current table."""
+    from icegopher_spark.iceberg.maintenance import compact_data_files
+
+    rows = [(i, float(i), "x" if i % 3 else "y") for i in range(40)]
+    t = _mk(spark, tmp_path / "replay", rows)
+    t = W.append(
+        t,
+        spark.createDataFrame(
+            [(100 + i, 1.0, "z") for i in range(10)], "k long, v double, tag string"
+        ).coalesce(1),
+    )
+    t = W.delete_where_mor(t, spark, E.equal_to("tag", "y"))
+    t = W.delete_where(t, spark, E.less_than("k", 5))
+    src = spark.createDataFrame([(7, 777.0, "u"), (999, 9.0, "u")], "k long, v double, tag string")
+    t = W.merge_upsert(t, spark, src, ["k"])
+    t = compact_data_files(t, spark, target_file_size=1 << 20, small_file_threshold=1 << 20)
+
+    ch = changelog_df(t, spark, from_snapshot_id=0)
+    ins = ch.filter(F.col("_change_type") == "insert").drop("_change_type", "_commit_snapshot_id")
+    dels = ch.filter(F.col("_change_type") == "delete").drop("_change_type", "_commit_snapshot_id")
+    rebuilt = sorted(map(tuple, ins.exceptAll(dels).collect()))
+    current = sorted(map(tuple, t.scan().to_df(spark).collect()))
+    assert rebuilt == current
