@@ -41,9 +41,12 @@ BENCH_QUERIES = [
     "events_hourly_rollup",
     "events_sessionization",
     "asof_event_order",
+    "asof_event_order_tolerant",
+    "salted_join_revenue",
     "iceberg_scan_pruned",
     "iceberg_mor_delete",
     "iceberg_compaction",
+    "iceberg_changelog",
     "stream_hourly_rollup",
     "dedup_exact",
     "corpus_curation",
@@ -51,6 +54,8 @@ BENCH_QUERIES = [
     "dedup_simhash",
     "text_stats",
     "text_lang_id",
+    "vocab_top_tokens",
+    "sim_label_centroids",
     "sim_topk_bruteforce",
     "sim_lsh_topk",
     "mm_media_stats",
@@ -88,6 +93,7 @@ def main() -> None:
     # construction isn't billed to the first iceberg_* query.
     from icegopher_spark.iceberg_queries import (
         _compacted_table_for,
+        _merge_table_for,
         _mor_table_for,
         _table_for,
     )
@@ -95,6 +101,7 @@ def main() -> None:
     _table_for(spark, sf_dir)
     _mor_table_for(spark, sf_dir)
     _compacted_table_for(spark, sf_dir)
+    _merge_table_for(spark, sf_dir)
 
     times: dict[str, float] = {}
     for name in BENCH_QUERIES:
