@@ -84,6 +84,9 @@ def main(argv: list[str] | None = None) -> int:
     sp = sub.add_parser("drop-ref")
     sp.add_argument("identifier")
     sp.add_argument("name")
+    sp = sub.add_parser("rollback")
+    sp.add_argument("identifier")
+    sp.add_argument("snapshot", type=int)
     sp = sub.add_parser("expire")
     sp.add_argument("identifier")
     sp.add_argument("--retain-last", type=int, default=1)
@@ -208,7 +211,7 @@ def _dispatch(args, cat) -> int:
                 return 1
         return 0
 
-    if args.verb in ("tag", "branch", "drop-ref", "expire", "rewrite-manifests", "orphans"):
+    if args.verb in ("tag", "branch", "drop-ref", "rollback", "expire", "rewrite-manifests", "orphans"):
         from . import maintenance as M
         from . import refs as R
 
@@ -222,6 +225,9 @@ def _dispatch(args, cat) -> int:
         elif args.verb == "drop-ref":
             R.drop_ref(t, args.name)
             print(f"dropped ref {args.name}")
+        elif args.verb == "rollback":
+            t = R.rollback_to(t, args.snapshot)
+            print(f"rolled back to snapshot {args.snapshot}")
         elif args.verb == "expire":
             before = len(t.metadata.snapshots)
             t = M.expire_snapshots(

@@ -158,3 +158,36 @@ def retained_snapshot_ids(md: TableMetadata, now_ms: int, default_min_keep: int 
             if i < min_keep or young:
                 keep.add(s.snapshot_id)
     return keep
+
+
+def rollback_to(table: Table, snapshot_id: int) -> Table:
+    """Roll the table back to an earlier snapshot (Iceberg's
+    manageSnapshots().rollbackTo): 'main' and current-snapshot-id both
+    retarget; no snapshot is written, so the abandoned commits stay
+    reachable through the snapshot list until expiration — rollback is
+    itself reversible. Metadata-only: one version-file CAS."""
+    target = _resolve_snapshot(table, snapshot_id)
+    if table.metadata.snapshot_by_id(target) is None:
+        raise ValueError(f"unknown snapshot {target}")
+    md = table.metadata
+    raw = md.to_json_dict()
+    refs = dict(md.refs)
+    old = refs.get("main")
+    refs["main"] = SnapshotRef(
+        target,
+        "branch",
+        min_snapshots_to_keep=old.min_snapshots_to_keep if old else None,
+        max_snapshot_age_ms=old.max_snapshot_age_ms if old else None,
+    )
+    raw["refs"] = {name: r.to_json_dict() for name, r in refs.items()}
+    raw["current-snapshot-id"] = target
+    raw["last-updated-ms"] = int(time.time() * 1000)
+    raw.setdefault("snapshot-log", []).append(
+        {"snapshot-id": target, "timestamp-ms": raw["last-updated-ms"]}
+    )
+    new_md = parse_metadata(raw)
+    version = _loaded_version(table)
+    _commit_metadata(table.io, md.location, new_md, expected_version=version)
+    table.metadata = new_md
+    table.metadata_location = _version_path(md.location, version + 1)
+    return table

@@ -92,3 +92,32 @@ def test_branch_min_snapshots_to_keep(spark, table):
     # branch ancestry (3 snapshots) fully retained despite retain_last=1
     assert len(t.metadata.snapshots) == 3
     assert t.scan().use_ref("hist").to_df(spark).count() == 400
+
+
+def test_rollback_to_snapshot(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from icegopher_spark.iceberg import write as W
+    from icegopher_spark.iceberg.refs import rollback_to
+    from icegopher_spark.iceberg.schema import Schema
+    from icegopher_spark.iceberg.types import LongType, NestedField
+
+    schema = Schema((NestedField(1, "x", LongType(), True),), schema_id=0)
+    t = W.create_table(str(tmp_path / "rb"), schema)
+    t = W.append(t, spark.range(10).select(F.col("id").alias("x")))
+    s1 = t.current_snapshot().snapshot_id
+    t = W.append(t, spark.range(10, 30).select(F.col("id").alias("x")))
+    assert t.scan().to_df(spark).count() == 30
+    t = rollback_to(t, s1)
+    assert t.current_snapshot().snapshot_id == s1
+    assert t.scan().to_df(spark).count() == 10
+    # abandoned snapshot still reachable by explicit id (reversible)
+    both = {s.snapshot_id for s in t.metadata.snapshots}
+    assert len(both) == 2
+    # writing after rollback forks from the rolled-back state
+    t = W.append(t, spark.range(100, 105).select(F.col("id").alias("x")))
+    assert t.scan().to_df(spark).count() == 15
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        rollback_to(t, 424242)
