@@ -460,8 +460,15 @@ def _commit_snapshot(
     retained_entries: list[ManifestEntry] | None = None,
     delete_files: list[DataFile] | None = None,
     extra_summary: dict[str, str] | None = None,
+    branch: str = "main",
 ) -> Table:
-    """Write manifest + manifest list + metadata; bump version."""
+    """Write manifest + manifest list + metadata; bump version.
+
+    ``branch`` targets the commit at a named branch head (the
+    write-audit-publish pattern): the new snapshot's parent is the
+    BRANCH head, only that ref retargets, and main /
+    current-snapshot-id stay untouched until a publish fast-forwards
+    them."""
     md = table.metadata
     location = md.location
     io = table.io
@@ -562,9 +569,15 @@ def _commit_snapshot(
 
     total_files = sum(m.added_files_count + m.existing_files_count for m in manifests)
     total_rows = sum(m.added_rows_count + m.existing_rows_count for m in manifests)
+    branch_ref = md.refs.get(branch)
+    parent_id = (
+        branch_ref.snapshot_id
+        if branch != "main" and branch_ref is not None
+        else md.current_snapshot_id
+    )
     snapshot = Snapshot(
         snapshot_id=snap_id,
-        parent_snapshot_id=md.current_snapshot_id,
+        parent_snapshot_id=parent_id,
         sequence_number=seq,
         timestamp_ms=ts_ms,
         manifest_list=list_path,
@@ -581,16 +594,18 @@ def _commit_snapshot(
 
     raw = md.to_json_dict()
     raw["snapshots"] = raw.get("snapshots", []) + [snapshot.to_json_dict()]
-    raw["current-snapshot-id"] = snap_id
     raw["last-sequence-number"] = seq
     raw["last-updated-ms"] = ts_ms
-    raw.setdefault("snapshot-log", []).append(
-        {"snapshot-id": snap_id, "timestamp-ms": ts_ms}
-    )
     raw["refs"] = {
         **{k: v.to_json_dict() for k, v in md.refs.items()},
-        "main": SnapshotRef(snap_id, "branch").to_json_dict(),
+        branch: SnapshotRef(snap_id, "branch").to_json_dict(),
     }
+    if branch == "main":
+        raw["current-snapshot-id"] = snap_id
+        # snapshot-log tracks the CURRENT (main) lineage only
+        raw.setdefault("snapshot-log", []).append(
+            {"snapshot-id": snap_id, "timestamp-ms": ts_ms}
+        )
     new_md = parse_metadata(raw)
 
     cat = getattr(table, "catalog", None)
@@ -603,15 +618,15 @@ def _commit_snapshot(
             {"type": "assert-table-uuid", "uuid": md.table_uuid},
             {
                 "type": "assert-ref-snapshot-id",
-                "ref": "main",
-                "snapshot-id": md.current_snapshot_id,
+                "ref": branch,
+                "snapshot-id": parent_id,
             },
         ]
         updates = [
             {"action": "add-snapshot", "snapshot": snapshot.to_json_dict()},
             {
                 "action": "set-snapshot-ref",
-                "ref-name": "main",
+                "ref-name": branch,
                 "type": "branch",
                 "snapshot-id": snap_id,
             },
@@ -625,9 +640,15 @@ def _commit_snapshot(
     return table
 
 
-def append(table: Table, df: DataFrame) -> Table:
-    """Append rows; one new manifest, prior manifests carried forward."""
-    snap = table.current_snapshot()
+def append(table: Table, df: DataFrame, branch: str = "main") -> Table:
+    """Append rows; one new manifest, prior manifests carried forward.
+    ``branch`` stages the append on a branch head (write-audit-publish);
+    publish by fast-forwarding main (refs.rollback_to)."""
+    md = table.metadata
+    if branch != "main" and branch in md.refs:
+        snap = md.snapshot_by_id(md.refs[branch].snapshot_id)
+    else:
+        snap = table.current_snapshot()
     keep: list[ManifestFile] = []
     if snap is not None:
         from .manifests import read_manifest_list
@@ -635,7 +656,7 @@ def append(table: Table, df: DataFrame) -> Table:
         keep = read_manifest_list(table.io.read(snap.manifest_list))
     pairs = _write_data_files(table, df, f"{table.location}/data")
     files = [collect_data_file(p, table.schema, part) for p, part in pairs]
-    return _commit_snapshot(table, files, OP_APPEND, keep_manifests=keep)
+    return _commit_snapshot(table, files, OP_APPEND, keep_manifests=keep, branch=branch)
 
 
 def overwrite(table: Table, df: DataFrame) -> Table:

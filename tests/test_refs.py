@@ -121,3 +121,36 @@ def test_rollback_to_snapshot(spark, tmp_path):
 
     with _pt.raises(ValueError):
         rollback_to(t, 424242)
+
+
+def test_write_audit_publish(spark, tmp_path):
+    """WAP: stage appends on a branch, audit them, publish by
+    fast-forwarding main; main is invisible to the change until then."""
+    from pyspark.sql import functions as F
+
+    from icegopher_spark.iceberg import write as W
+    from icegopher_spark.iceberg.refs import create_branch, rollback_to
+    from icegopher_spark.iceberg.schema import Schema
+    from icegopher_spark.iceberg.types import LongType, NestedField
+
+    schema = Schema((NestedField(1, "x", LongType(), True),), schema_id=0)
+    t = W.create_table(str(tmp_path / "wap"), schema)
+    t = W.append(t, spark.range(10).select(F.col("id").alias("x")))
+    base = t.current_snapshot().snapshot_id
+    t = create_branch(t, "audit")
+
+    # stage TWO batches on the branch
+    t = W.append(t, spark.range(10, 25).select(F.col("id").alias("x")), branch="audit")
+    t = W.append(t, spark.range(25, 30).select(F.col("id").alias("x")), branch="audit")
+
+    # main unchanged; branch sees staged data; lineage chains on the branch
+    assert t.current_snapshot().snapshot_id == base
+    assert t.scan().to_df(spark).count() == 10
+    assert t.scan().use_ref("audit").to_df(spark).count() == 30
+    head = t.metadata.snapshot_by_id(t.metadata.refs["audit"].snapshot_id)
+    assert t.metadata.snapshot_by_id(head.parent_snapshot_id).parent_snapshot_id == base
+
+    # audit passes -> publish = fast-forward main to the branch head
+    t = rollback_to(t, t.metadata.refs["audit"].snapshot_id)
+    assert t.scan().to_df(spark).count() == 30
+    assert t.current_snapshot().snapshot_id == t.metadata.refs["audit"].snapshot_id
