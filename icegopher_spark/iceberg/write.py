@@ -899,7 +899,11 @@ def add_files(
 
 
 def merge_upsert(
-    table: Table, spark: SparkSession, source: DataFrame, key_columns: list[str]
+    table: Table,
+    spark: SparkSession,
+    source: DataFrame,
+    key_columns: list[str],
+    extra_summary: dict[str, str] | None = None,
 ) -> Table:
     """MERGE-style upsert in ONE atomic snapshot: every target row whose
     key tuple appears in ``source`` is replaced by the source rows;
@@ -919,7 +923,22 @@ def merge_upsert(
     """
     snap = table.current_snapshot()
     if snap is None:
-        return append(table, source)
+        t = append(table, source)
+        if extra_summary:
+            # stamp even the degenerate first-commit path (idempotency
+            # markers from the streaming sink must never be dropped)
+            snap0 = t.current_snapshot()
+            snap0.summary.update(extra_summary)
+            raw = t.metadata.to_json_dict()
+            raw["snapshots"][-1]["summary"].update(extra_summary)
+            from .metadata import parse_metadata as _pm
+
+            version = _loaded_version(t)
+            new_md = _pm(raw)
+            _commit_metadata(t.io, t.metadata.location, new_md, expected_version=version)
+            t.metadata = new_md
+            t.metadata_location = _version_path(t.metadata.location, version + 1)
+        return t
     schema = table.schema
     fids = []
     for c in key_columns:
@@ -963,4 +982,5 @@ def merge_upsert(
         OP_OVERWRITE,
         keep_manifests=keep,
         delete_files=delete_files,
+        extra_summary=extra_summary,
     )

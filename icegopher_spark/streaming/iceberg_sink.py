@@ -88,6 +88,41 @@ def foreach_batch_appender(
     return _append
 
 
+def foreach_batch_upserter(table: Table, query_id: str, key_columns: list[str]):
+    """CDC-ingest sink: each micro-batch MERGE-upserts into the table
+    (equality-delete over the batch's keys + the batch's data files in
+    ONE snapshot; write.merge_upsert). Same idempotent-replay protocol
+    as the appender — a replayed batch's (query-id, batch-id) is
+    already on the branch history and becomes a no-op. Late duplicates
+    WITHIN a batch collapse to the batch's own rows; across batches the
+    later batch wins, which is exactly upsert semantics."""
+
+    def _upsert(batch_df: DataFrame, batch_id: int) -> None:
+        from ..iceberg import write as W
+
+        table.refresh()
+        if batch_id in committed_batches(table, query_id):
+            return
+        for attempt in range(3):
+            try:
+                W.merge_upsert(
+                    table,
+                    batch_df.sparkSession,
+                    batch_df,
+                    key_columns,
+                    extra_summary={QUERY_PROP: query_id, BATCH_PROP: str(batch_id)},
+                )
+                return
+            except W.CommitFailedError:
+                table.refresh()
+                if batch_id in committed_batches(table, query_id):
+                    return
+                if attempt == 2:
+                    raise
+
+    return _upsert
+
+
 def _append_with_summary(table: Table, df: DataFrame, query_id: str, batch_id: int) -> None:
     from ..iceberg.manifests import read_manifest_list
 

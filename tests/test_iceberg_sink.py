@@ -111,3 +111,30 @@ def test_inline_maintenance_compacts_small_batches(spark, tmp_path):
     )
     assert len(t.metadata.snapshots) == v
     assert t.scan().to_df(spark).count() == 60
+
+
+def test_upsert_sink_latest_key_wins(spark, tmp_path):
+    from icegopher_spark.streaming.iceberg_sink import foreach_batch_upserter
+
+    t = W.create_table(str(tmp_path / "upsink"), EVENTS_SCHEMA)
+    up = foreach_batch_upserter(t, "q4", ["event_id"])
+
+    def batch(rows):
+        return spark.createDataFrame(
+            rows, "event_id long, user_id long, event_type string, value double"
+        ).coalesce(1)
+
+    up(batch([(1, 10, "view", 1.0), (2, 20, "view", 2.0)]), 0)
+    up(batch([(2, 20, "buy", 9.0), (3, 30, "view", 3.0)]), 1)  # updates key 2
+    got = {r["event_id"]: r for r in t.scan().to_df(spark).collect()}
+    assert set(got) == {1, 2, 3}
+    assert got[2]["event_type"] == "buy" and got[2]["value"] == 9.0
+    # replay of batch 1 is a no-op (no new snapshot, same contents)
+    n_snaps = len(t.metadata.snapshots)
+    up(batch([(2, 20, "buy", 9.0), (3, 30, "view", 3.0)]), 1)
+    assert len(t.metadata.snapshots) == n_snaps
+    assert t.scan().to_df(spark).count() == 3
+    # first-commit path stamped too: batch 0 recorded on an empty table
+    from icegopher_spark.streaming.iceberg_sink import committed_batches
+
+    assert committed_batches(t, "q4") == {0, 1}
