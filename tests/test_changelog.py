@@ -98,3 +98,38 @@ def test_changelog_replay_reconstructs_table(spark, tmp_path):
     rebuilt = sorted(map(tuple, ins.exceptAll(dels).collect()))
     current = sorted(map(tuple, t.scan().to_df(spark).collect()))
     assert rebuilt == current
+
+
+def test_changelog_replication_between_tables(spark, tmp_path):
+    """CDC replication loop: apply table A's changelog to table B
+    snapshot by snapshot (delete keys, then append inserts) — B must
+    converge to A exactly."""
+    src = _mk(spark, tmp_path / "repl_a", [(i, float(i), "x") for i in range(20)])
+    ops_snapshots = [src.metadata.snapshots[0].snapshot_id]
+    src = W.merge_upsert(
+        src,
+        spark,
+        spark.createDataFrame([(5, 55.0, "m"), (99, 9.0, "m")], "k long, v double, tag string"),
+        ["k"],
+    )
+    src = W.delete_keys(
+        src, spark, spark.createDataFrame([(3,), (7,)], "k long"), ["k"]
+    )
+    src = W.append(
+        src, spark.createDataFrame([(200, 2.0, "z")], "k long, v double, tag string").coalesce(1)
+    )
+
+    dst = W.create_table(str(tmp_path / "repl_b"), SCHEMA)
+    ch = changelog_df(src, spark, from_snapshot_id=0).cache()
+    order = [r["_commit_snapshot_id"] for r in ch.select("_commit_snapshot_id").distinct().orderBy("_commit_snapshot_id").collect()]
+    for sid in order:
+        batch = ch.filter(F.col("_commit_snapshot_id") == sid)
+        dels = batch.filter(F.col("_change_type") == "delete").select("k").distinct()
+        if dels.count() and dst.current_snapshot() is not None:
+            dst = W.delete_keys(dst, spark, dels, ["k"])
+        ins = batch.filter(F.col("_change_type") == "insert").select("k", "v", "tag")
+        if ins.count():
+            dst = W.append(dst, ins.coalesce(1))
+    got = sorted(map(tuple, dst.scan().to_df(spark).collect()))
+    want = sorted(map(tuple, src.scan().to_df(spark).collect()))
+    assert got == want
