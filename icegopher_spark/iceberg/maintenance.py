@@ -296,6 +296,11 @@ def expire_snapshots(
     if not expired and len(surviving_refs) == len(md.refs):
         return table
 
+    # Plan the file deletions BEFORE the commit, but execute them only
+    # AFTER it succeeds: if the commit loses a CAS race, the still-current
+    # metadata must never reference deleted files (upstream Iceberg's
+    # ExpireSnapshots does the same commit-then-clean ordering).
+    doomed: list[str] = []
     if delete_files:
         kept_manifests: set[str] = set()
         kept_files: set[str] = set()
@@ -310,12 +315,9 @@ def expire_snapshots(
             mp, fp = _snapshot_file_refs(table, s)
             exp_manifests |= mp
             exp_files |= fp
-        for path in exp_manifests - kept_manifests:
-            _safe_remove(table, path)
-        for path in exp_files - kept_files:
-            _safe_remove(table, path)
-        for s in expired:
-            _safe_remove(table, s.manifest_list)
+        doomed.extend(exp_manifests - kept_manifests)
+        doomed.extend(exp_files - kept_files)
+        doomed.extend(s.manifest_list for s in expired)
 
     expired_ids = {s.snapshot_id for s in expired}
     raw = md.to_json_dict()
@@ -333,6 +335,8 @@ def expire_snapshots(
     _commit_metadata(table.io, md.location, new_md, expected_version=version)
     table.metadata = new_md
     table.metadata_location = _version_path(md.location, version + 1)
+    for path in doomed:
+        _safe_remove(table, path)
     return table
 
 
@@ -355,10 +359,29 @@ def _list_recursive(location: str) -> list[str]:
     return out
 
 
-def orphan_files(table: Table) -> list[str]:
+DEFAULT_ORPHAN_AGE_MS = 3 * 24 * 3600 * 1000  # Iceberg's 3-day default
+
+
+def orphan_files(
+    table: Table, older_than_ms: int | None = None, refresh: bool = True
+) -> list[str]:
     """Files under the table location referenced by NO snapshot and not
     part of the metadata plane — write leftovers from failed commits.
-    Returns candidates; ``remove_orphan_files`` deletes them."""
+    Returns candidates; ``remove_orphan_files`` deletes them.
+
+    Concurrency safety (Iceberg's RemoveOrphanFiles contract): the
+    table is refreshed first so files referenced by commits newer than
+    this handle aren't misclassified, and only files whose mtime is
+    older than ``older_than_ms`` (default 3 days) qualify — an in-flight
+    writer's just-written-but-uncommitted data files are never touched.
+    """
+    import time as _time
+
+    if refresh:
+        table = table.refresh()
+    if older_than_ms is None:
+        older_than_ms = DEFAULT_ORPHAN_AGE_MS
+    cutoff_s = _time.time() - older_than_ms / 1000.0
     md = table.metadata
     referenced: set[str] = set()
     location = strip_scheme(md.location)
@@ -380,12 +403,17 @@ def orphan_files(table: Table) -> list[str]:
         base = os.path.basename(path)
         if base == "_SUCCESS" or base.endswith(".crc") or any(base.startswith(n) for n in noise):
             continue
+        try:
+            if os.path.getmtime(path) > cutoff_s:
+                continue  # too young: may belong to an in-flight commit
+        except OSError:
+            continue  # vanished mid-listing → someone owns it; skip
         orphans.append(path)
     return sorted(orphans)
 
 
-def remove_orphan_files(table: Table) -> list[str]:
-    removed = orphan_files(table)
+def remove_orphan_files(table: Table, older_than_ms: int | None = None) -> list[str]:
+    removed = orphan_files(table, older_than_ms=older_than_ms)
     for path in removed:
         _safe_remove(table, path)
     return removed

@@ -294,6 +294,32 @@ def _days_to_ymd(days: int) -> tuple[int, int, int]:
     return d.year, d.month, d.day
 
 
+def _floordiv_col(num: Column, div: int) -> Column:
+    """Exact floor division of a long column (pmod-based, no float
+    truncation-toward-zero bug for negative pre-1970 values)."""
+    d = F.lit(div)
+    return ((num - F.pmod(num, d)) / d).cast("long")
+
+
+def _utc_days_col(col: Column, source_type: IcebergType) -> Column:
+    """Epoch-day ordinal of a date/timestamp column, computed from UTC
+    epoch micros so it always agrees with the Python ``apply()`` path
+    regardless of ``spark.sql.session.timeZone`` (dates are
+    timezone-free; timestamps go through ``unix_micros``)."""
+    if isinstance(source_type, DateType):
+        return F.datediff(col, F.lit("1970-01-01").cast("date")).cast("long")
+    return _floordiv_col(F.unix_micros(col.cast("timestamp")), MICROS_PER_DAY)
+
+
+def _utc_date_col(col: Column, source_type: IcebergType) -> Column:
+    """The column as a UTC calendar DATE (identity for date sources)."""
+    if isinstance(source_type, DateType):
+        return col
+    return F.date_add(
+        F.lit("1970-01-01").cast("date"), _utc_days_col(col, source_type).cast("int")
+    )
+
+
 class YearTransform(_TemporalTransform):
     def __init__(self) -> None:
         super().__init__("year")
@@ -306,7 +332,7 @@ class YearTransform(_TemporalTransform):
         return _days_to_ymd(days)[0] - 1970
 
     def to_column(self, col, source_type):
-        return (F.year(col) - F.lit(1970)).cast("int")
+        return (F.year(_utc_date_col(col, source_type)) - F.lit(1970)).cast("int")
 
 
 class MonthTransform(_TemporalTransform):
@@ -321,7 +347,8 @@ class MonthTransform(_TemporalTransform):
         return self._from_days(micros // MICROS_PER_DAY)
 
     def to_column(self, col, source_type):
-        return ((F.year(col) - F.lit(1970)) * 12 + F.month(col) - F.lit(1)).cast("int")
+        d = _utc_date_col(col, source_type)
+        return ((F.year(d) - F.lit(1970)) * 12 + F.month(d) - F.lit(1)).cast("int")
 
 
 class DayTransform(_TemporalTransform):
@@ -335,7 +362,10 @@ class DayTransform(_TemporalTransform):
         return micros // MICROS_PER_DAY
 
     def to_column(self, col, source_type):
-        return F.datediff(col.cast("date"), F.lit("1970-01-01").cast("date"))
+        # Emit a DATE column (not an int ordinal): Spark then writes
+        # ISO partition dirs (ts_day=2020-01-01) exactly like Iceberg's
+        # human-readable convention, and the dir parser round-trips it.
+        return _utc_date_col(col, source_type)
 
     def result_type(self, source_type):
         return DateType()
@@ -352,7 +382,11 @@ class HourTransform(_TemporalTransform):
         return micros // MICROS_PER_HOUR
 
     def to_column(self, col, source_type):
-        return (col.cast("long") / F.lit(3600)).cast("int")  # epoch seconds → hour ordinal
+        # floor (not truncate-toward-zero) over exact epoch micros so
+        # pre-1970 timestamps agree with the Python apply() path
+        return _floordiv_col(
+            F.unix_micros(col.cast("timestamp")), MICROS_PER_HOUR
+        ).cast("int")
 
 
 def parse_transform(s: str) -> Transform:

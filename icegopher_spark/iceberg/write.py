@@ -158,6 +158,22 @@ def _commit_metadata(io, location: str, md: TableMetadata, expected_version: int
 _TRUNC_LEN = 16  # bound truncation for strings/binary, like Iceberg writers
 
 
+def _truncate_string_max(s: str, length: int) -> str | None:
+    """Truncate ``s`` to ``length`` chars and increment so the result
+    still upper-bounds ``s`` — walking backward past code points that
+    cannot be incremented (U+10FFFF) and skipping the surrogate range,
+    like Iceberg's ``UnicodeUtil.truncateStringMax``. Returns ``None``
+    when every truncated char is already U+10FFFF (no bound exists)."""
+    chars = list(s[:length])
+    for i in range(len(chars) - 1, -1, -1):
+        cp = ord(chars[i]) + 1
+        if 0xD800 <= cp <= 0xDFFF:
+            cp = 0xE000  # skip surrogates: not encodable code points
+        if cp <= 0x10FFFF:
+            return "".join(chars[:i]) + chr(cp)
+    return None
+
+
 def _bound_value(v: Any, t: IcebergType, upper: bool) -> bytes | None:
     """Convert a pyarrow footer min/max to Iceberg bound bytes."""
     if v is None:
@@ -172,10 +188,12 @@ def _bound_value(v: Any, t: IcebergType, upper: bool) -> bytes | None:
             v = (v - date(1970, 1, 1)).days
         lit = Literal(int(v), t)
     elif isinstance(t, StringType):
-        s = str(v)[:_TRUNC_LEN]
         if upper and len(str(v)) > _TRUNC_LEN:
-            # increment last char so the truncated upper bound stays an upper bound
-            s = s[:-1] + chr(ord(s[-1]) + 1)
+            s = _truncate_string_max(str(v), _TRUNC_LEN)
+            if s is None:
+                return None  # no representable upper bound → drop it
+        else:
+            s = str(v)[:_TRUNC_LEN]
         lit = Literal(s, t)
     elif isinstance(t, BinaryType):
         b = bytes(v)[:_TRUNC_LEN]
@@ -418,7 +436,11 @@ def _parse_partition_value(name: str, raw: str, spec: PartitionSpec, schema: Sch
             if isinstance(rt, (IT, LT)):
                 return int(raw)
             if isinstance(rt, DT):
-                return (date.fromisoformat(raw) - date(1970, 1, 1)).days
+                try:
+                    return (date.fromisoformat(raw) - date(1970, 1, 1)).days
+                except ValueError:
+                    # int epoch-day ordinal dir (legacy layout) → as-is
+                    return int(raw)
             return raw
     return raw
 
