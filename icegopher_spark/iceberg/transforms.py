@@ -301,22 +301,36 @@ def _floordiv_col(num: Column, div: int) -> Column:
     return ((num - F.pmod(num, d)) / d).cast("long")
 
 
+_EPOCH_DATE = "1970-01-01"
+
+
 def _utc_days_col(col: Column, source_type: IcebergType) -> Column:
-    """Epoch-day ordinal of a date/timestamp column, computed from UTC
-    epoch micros so it always agrees with the Python ``apply()`` path
-    regardless of ``spark.sql.session.timeZone`` (dates are
-    timezone-free; timestamps go through ``unix_micros``)."""
+    """Epoch-day ordinal of a date/timestamp column, always agreeing
+    with the Python ``apply()`` path regardless of
+    ``spark.sql.session.timeZone``.
+
+    Iceberg ``timestamp`` maps to Spark TIMESTAMP_NTZ (wall clock): the
+    ordinal comes from ``to_date``, a timezone-free field extraction —
+    casting ntz to TIMESTAMP first would reinterpret the wall clock in
+    the session zone and shift the partition value. Iceberg
+    ``timestamptz`` maps to Spark TIMESTAMP (an instant):
+    ``unix_micros`` is exact and zone-independent there."""
     if isinstance(source_type, DateType):
-        return F.datediff(col, F.lit("1970-01-01").cast("date")).cast("long")
-    return _floordiv_col(F.unix_micros(col.cast("timestamp")), MICROS_PER_DAY)
+        return F.datediff(col, F.lit(_EPOCH_DATE).cast("date")).cast("long")
+    if isinstance(source_type, TimestampType):  # ntz wall clock
+        return F.datediff(F.to_date(col), F.lit(_EPOCH_DATE).cast("date")).cast("long")
+    return _floordiv_col(F.unix_micros(col), MICROS_PER_DAY)
 
 
 def _utc_date_col(col: Column, source_type: IcebergType) -> Column:
-    """The column as a UTC calendar DATE (identity for date sources)."""
+    """The column as its Iceberg calendar DATE (identity for date
+    sources, wall-clock date for ntz, UTC date for timestamptz)."""
     if isinstance(source_type, DateType):
         return col
+    if isinstance(source_type, TimestampType):  # ntz wall clock
+        return F.to_date(col)
     return F.date_add(
-        F.lit("1970-01-01").cast("date"), _utc_days_col(col, source_type).cast("int")
+        F.lit(_EPOCH_DATE).cast("date"), _utc_days_col(col, source_type).cast("int")
     )
 
 
@@ -382,11 +396,13 @@ class HourTransform(_TemporalTransform):
         return micros // MICROS_PER_HOUR
 
     def to_column(self, col, source_type):
-        # floor (not truncate-toward-zero) over exact epoch micros so
-        # pre-1970 timestamps agree with the Python apply() path
-        return _floordiv_col(
-            F.unix_micros(col.cast("timestamp")), MICROS_PER_HOUR
-        ).cast("int")
+        # floor (not truncate-toward-zero) so pre-1970 timestamps agree
+        # with the Python apply() path; ntz uses field extraction
+        # (hour ordinal = day ordinal × 24 + wall-clock hour) to stay
+        # independent of the session timezone
+        if isinstance(source_type, TimestampType):  # ntz wall clock
+            return (_utc_days_col(col, source_type) * F.lit(24) + F.hour(col)).cast("int")
+        return _floordiv_col(F.unix_micros(col), MICROS_PER_HOUR).cast("int")
 
 
 def parse_transform(s: str) -> Transform:

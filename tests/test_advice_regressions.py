@@ -1,0 +1,186 @@
+"""Regression tests for the round-1 ADVICE findings.
+
+Each test pins one of the five fixes:
+  1. day/hour-partitioned writes round-trip (DayTransform emits DATE
+     dirs; the partition-dir parser accepts both ISO and legacy int).
+  2. expire_snapshots deletes files only AFTER the metadata commit
+     succeeds — a failed CAS leaves every referenced file intact.
+  3. orphan_files age threshold (covered in test_maintenance.py).
+  4. temporal transform Spark columns agree with the Python apply()
+     path for pre-1970 values and under a non-UTC session timezone.
+  5. string upper-bound truncation carries past U+10FFFF correctly.
+"""
+
+from datetime import date, datetime, timezone
+
+import pytest
+from pyspark.sql import functions as F
+
+from icegopher_spark.iceberg import maintenance as M
+from icegopher_spark.iceberg import write as W
+from icegopher_spark.iceberg.schema import Schema
+from icegopher_spark.iceberg.transforms import (
+    PartitionField,
+    PartitionSpec,
+    parse_transform,
+)
+from icegopher_spark.iceberg.types import (
+    DateType,
+    DoubleType,
+    LongType,
+    NestedField,
+    StringType,
+    TimestampType,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+SCHEMA = Schema(
+    (
+        NestedField(1, "l_orderkey", LongType(), True),
+        NestedField(2, "l_quantity", DoubleType(), False),
+        NestedField(4, "l_shipdate", TimestampType(), False),
+    ),
+    schema_id=0,
+)
+
+
+@pytest.fixture(scope="module")
+def lineitem(spark):
+    return spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select(
+        "l_orderkey",
+        "l_quantity",
+        F.col("l_shipdate").cast("timestamp_ntz").alias("l_shipdate"),
+    )
+
+
+def _mk(tmp_path, transform_name, lineitem):
+    spec = PartitionSpec(
+        [PartitionField(4, 1000, f"ts_{transform_name}", parse_transform(transform_name))]
+    )
+    t = W.create_table(str(tmp_path / f"t_{transform_name}"), SCHEMA, spec=spec)
+    return W.append(t, lineitem.limit(300))
+
+
+@pytest.mark.parametrize("transform_name", ["day", "month", "year", "hour"])
+def test_temporal_partitioned_write_roundtrip(spark, tmp_path, lineitem, transform_name):
+    # ADVICE#1 (high): day-partitioned append crashed in
+    # _parse_partition_value before the fix. Round-trip all four.
+    t = _mk(tmp_path, transform_name, lineitem)
+    got = t.scan().to_df(spark)
+    assert got.count() == 300
+    # second append exercises the manifest merge over parsed partitions
+    t = W.append(t, lineitem.limit(50))
+    assert t.scan().to_df(spark).count() == 350
+
+
+def test_day_partition_dirs_are_iso_dates(tmp_path, lineitem):
+    t = _mk(tmp_path, "day", lineitem)
+    files = [e.file.file_path for e in t.scan().plan_files()]
+    assert files
+    for p in files:
+        seg = [s for s in p.split("/") if s.startswith("ts_day=")]
+        assert seg, p
+        # ISO dir, not an int ordinal like ts_day=18262
+        date.fromisoformat(seg[0].split("=", 1)[1])
+
+
+def test_legacy_int_day_dirs_still_parse():
+    # _parse_partition_value falls back to epoch-day ints for tables
+    # written by the pre-fix layout.
+    spec = PartitionSpec([PartitionField(4, 1000, "ts_day", parse_transform("day"))])
+    v_iso = W._parse_partition_value("ts_day", "2020-01-01", spec, SCHEMA)
+    v_int = W._parse_partition_value("ts_day", "18262", spec, SCHEMA)
+    assert v_iso == v_int == 18262
+
+
+def test_expire_snapshots_failed_commit_deletes_nothing(spark, tmp_path, lineitem, monkeypatch):
+    # ADVICE#2: files must survive a lost CAS race.
+    t = _mk(tmp_path, "day", lineitem)
+    t = W.append(t, lineitem.limit(50))
+    before = M._list_recursive(t.metadata.location)
+
+    def boom(*a, **k):
+        raise W.CommitFailedError("concurrent commit")
+
+    monkeypatch.setattr(M, "_commit_metadata", boom)
+    with pytest.raises(W.CommitFailedError):
+        M.expire_snapshots(t, retain_last=1, delete_files=True)
+    after = M._list_recursive(t.metadata.location)
+    missing = set(before) - set(after)
+    assert not missing, f"files deleted despite failed commit: {missing}"
+
+
+@pytest.mark.parametrize(
+    "transform_name,source_type",
+    [
+        ("year", TimestampType()),
+        ("month", TimestampType()),
+        ("day", TimestampType()),
+        ("hour", TimestampType()),
+        ("year", DateType()),
+        ("month", DateType()),
+        ("day", DateType()),
+    ],
+)
+def test_temporal_to_column_matches_apply(spark, transform_name, source_type):
+    # ADVICE#4: Spark-side to_column and Python apply() must agree,
+    # including pre-1970 (negative ordinal floor, not truncation) and
+    # under a non-UTC session timezone.
+    tf = parse_transform(transform_name)
+    stamps = [
+        datetime(1969, 12, 31, 23, 30, tzinfo=timezone.utc),
+        datetime(1969, 6, 15, 1, 2, 3, tzinfo=timezone.utc),
+        datetime(1970, 1, 1, 0, 0, tzinfo=timezone.utc),
+        datetime(2024, 2, 29, 23, 59, 59, tzinfo=timezone.utc),
+        datetime(1999, 12, 31, 23, 0, tzinfo=timezone.utc),
+    ]
+    if isinstance(source_type, DateType):
+        rows = [(d.date(),) for d in stamps]
+        # apply() takes epoch-day ordinals for date sources
+        values = [(d.date() - date(1970, 1, 1)).days for d in stamps]
+        spark_type = "date"
+    else:
+        rows = [(d.replace(tzinfo=None),) for d in stamps]
+        values = [int(d.timestamp() * 1_000_000) for d in stamps]
+        spark_type = "timestamp_ntz"
+
+    expected = [tf.apply(v, source_type) for v in values]
+
+    old_tz = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        df = spark.createDataFrame(rows, f"v {spark_type}")
+        got = [r[0] for r in df.select(tf.to_column(F.col("v"), source_type)).collect()]
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old_tz)
+
+    if transform_name == "day":
+        # result surfaces as a DATE column; compare as epoch days
+        got = [(g - date(1970, 1, 1)).days for g in got]
+    assert got == expected
+
+
+def test_truncate_string_max_carry():
+    # ADVICE#5: increment walks backward past U+10FFFF and skips
+    # surrogate code points instead of raising.
+    f = W._truncate_string_max
+    assert f("abcdef", 3) == "abd"
+    # last char not incrementable → carry into the previous one
+    s = "ab" + chr(0x10FFFF)
+    assert f(s + "tail", 3) == "ac"
+    # every char maxed → no representable upper bound
+    allmax = chr(0x10FFFF) * 4
+    assert f(allmax + "x", 4) is None
+    # increment would land in the surrogate range → skip to U+E000
+    s2 = "a" + chr(0xD7FF)
+    assert f(s2 + "zz", 2) == "a" + chr(0xE000)
+    bounded = f("zebra-zulu-zanzibar", 5)
+    assert bounded is not None and bounded > "zebra-zulu-zanzibar"[:5]
+
+
+def test_bound_value_maxed_string_returns_none():
+    v = chr(0x10FFFF) * (W._TRUNC_LEN + 4)
+    assert W._bound_value(v, StringType(), upper=True) is None
+    # lower bound still plain truncation
+    assert W._bound_value(v, StringType(), upper=False) is not None

@@ -163,11 +163,15 @@ def test_orphan_files(spark, tmp_path, lineitem):
     os.makedirs(os.path.dirname(junk), exist_ok=True)
     with open(junk, "wb") as f:
         f.write(b"not really parquet")
-    orphans = M.orphan_files(t)
+    # default 3-day age threshold: the just-written junk file is too
+    # young — an in-flight writer's files must never be classified
+    assert junk not in M.orphan_files(t)
+    orphans = M.orphan_files(t, older_than_ms=0)
     assert junk in orphans
     # nothing referenced is listed
     referenced = {p.replace("file://", "") for p in _data_file_paths(t)}
     assert not (set(orphans) & referenced)
-    removed = M.remove_orphan_files(t)
+    assert junk not in M.remove_orphan_files(t)  # age-guarded by default
+    removed = M.remove_orphan_files(t, older_than_ms=0)
     assert junk in removed and not os.path.exists(junk)
     assert t.scan().to_df(spark).count() == 400
