@@ -68,17 +68,12 @@ def _input_partitions(df: DataFrame) -> int:
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
-        # events.parquet stores ts as TIMESTAMP(NANOS), which Spark's
-        # vectorized reader rejects. Read nanos as long and truncate to
-        # microseconds with integer division (ns values ~1.7e18 overflow
-        # double precision, so no float math), matching DuckDB's ns→µs
-        # truncation.
-        try:
-            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        except Exception:  # noqa: BLE001 — static conf in some deployments
-            pass
-        df = spark.read.parquet(f"{sf_dir}/events.parquet")
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        # Schema-adaptive: the driver has shipped events.ts both as
+        # TIMESTAMP(NANOS) and as timestamp[us]; events_io branches on
+        # the file footer and normalizes ts to TimestampType.
+        from .events_io import load_events
+
+        return load_events(spark, f"{sf_dir}/events.parquet")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name in _CPU_HEAVY_TABLES:
         df = _scale_out(spark, df)

@@ -20,37 +20,40 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-EVENTS_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("ts", T.LongType()),  # nanos (file source reads raw)
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
-
-
 def read_events_stream(
     spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
 ) -> DataFrame:
     """Streaming read of the events table via the parquet file source.
 
     At production scale the same pipeline reads Kafka or a cloud-files
-    source; the file source is the bounded-replay stand-in. The ts
-    column arrives as TIMESTAMP(NANOS) → read as long, truncated to µs.
+    source; the file source is the bounded-replay stand-in. The file
+    source needs an explicit schema, and the driver's events.parquet has
+    shipped ts both as TIMESTAMP(NANOS) and as timestamp[us] across
+    builds — so the schema is derived from the file footer
+    (events_io.events_stream_schema) instead of pinned, and ts is
+    normalized to TimestampType either way. Round 2 pinned LongType
+    while the file held µs timestamps: the source silently read µs
+    physical values as nanos, compressing every timestamp 1000× and
+    corrupting two gate queries — never force a layout the file doesn't
+    declare.
     """
-    try:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    except Exception:  # noqa: BLE001
-        pass
+    from ..events_io import events_stream_schema
+
+    probe = sf_dir if sf_dir.endswith(".parquet") else sf_dir
+    schema, needs_div = events_stream_schema(probe)
+    if needs_div:
+        try:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        except Exception:  # noqa: BLE001
+            pass
     path = sf_dir if not sf_dir.endswith(".parquet") else _stage_dir(sf_dir)
-    reader = spark.readStream.schema(EVENTS_SCHEMA)
+    reader = spark.readStream.schema(schema)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     df = reader.parquet(path)
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if needs_div:
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def _stage_dir(file_path: str, variant: str = "") -> str:
