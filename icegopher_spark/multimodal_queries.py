@@ -72,11 +72,50 @@ def mm_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# The fake decoder stretches sha256(payload) to w*h bytes; w and h are
+# both multiples of 16, so w*h is a multiple of 32 and the stretched
+# array is EXACT repeats of the 32-byte digest — mean/std/histogram over
+# the image equal those over the digest bytes, which DuckDB can compute
+# from sha256(text) (VARCHAR sha256 hashes the UTF-8 bytes = payload).
+mm_feats_oracle = """
+WITH d AS (
+  SELECT doc_id AS media_id, lower(sha256(text)) AS hx FROM documents
+), b AS (
+  SELECT media_id,
+         (strpos('0123456789abcdef', substr(hx, 2*i.i+1, 1)) - 1) * 16
+         + (strpos('0123456789abcdef', substr(hx, 2*i.i+2, 1)) - 1) AS v
+  FROM d CROSS JOIN range(0, 32) i(i)
+)
+SELECT media_id,
+       ROUND(AVG(v), 4) AS mean_px,
+       ROUND(sqrt(AVG(v*v) - AVG(v)*AVG(v)), 4) AS std_px,
+       ROUND(SUM(CASE WHEN v // 32 = 0 THEN 1 ELSE 0 END) / 32.0, 4) AS h0,
+       ROUND(SUM(CASE WHEN v // 32 = 1 THEN 1 ELSE 0 END) / 32.0, 4) AS h1,
+       ROUND(SUM(CASE WHEN v // 32 = 2 THEN 1 ELSE 0 END) / 32.0, 4) AS h2,
+       ROUND(SUM(CASE WHEN v // 32 = 3 THEN 1 ELSE 0 END) / 32.0, 4) AS h3,
+       ROUND(SUM(CASE WHEN v // 32 = 4 THEN 1 ELSE 0 END) / 32.0, 4) AS h4,
+       ROUND(SUM(CASE WHEN v // 32 = 5 THEN 1 ELSE 0 END) / 32.0, 4) AS h5,
+       ROUND(SUM(CASE WHEN v // 32 = 6 THEN 1 ELSE 0 END) / 32.0, 4) AS h6,
+       ROUND(SUM(CASE WHEN v // 32 = 7 THEN 1 ELSE 0 END) / 32.0, 4) AS h7
+FROM b GROUP BY media_id
+"""
+
+
 @register(
     "mm_image_features",
-    None,
-    "decode+featurize via Arrow-batched mapInPandas (fake codec; rows-only)",
+    mm_feats_oracle,
+    "decode+featurize via Arrow-batched mapInPandas, scalar digest columns",
 )
 def mm_image_features(spark: SparkSession, sf: str) -> DataFrame:
+    """Scalar projection of the feature vector (mean, std, 8 histogram
+    bins) — list-typed cells break the driver's canonicalizer (round-2
+    err) and are not SQL-expressible; scalars are both."""
     imgs = docs_as_media(spark, sf)
-    return M.image_features(imgs, fake=True)
+    feats = M.image_features(imgs, fake=True)
+    f = F.col("features")
+    return feats.select(
+        "media_id",
+        F.round(f[0], 4).alias("mean_px"),
+        F.round(f[1], 4).alias("std_px"),
+        *[F.round(f[i + 2], 4).alias(f"h{i}") for i in range(8)],
+    )

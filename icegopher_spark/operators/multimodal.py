@@ -157,12 +157,15 @@ def thumbnails(df: DataFrame, thumb_w: int = 8, thumb_h: int = 8, fake: bool = T
 
 def image_features(df: DataFrame, fake: bool = True) -> DataFrame:
     """Per-image feature vector (mean/std/histogram-ish) as
-    array<float> — the decode+featurize stage of a multimodal training
-    pipeline. Deterministic under the fake decoder."""
+    array<double> — the decode+featurize stage of a multimodal training
+    pipeline. Deterministic under the fake decoder. Double precision so
+    4-decimal rounding in the gate matches a float64 SQL oracle exactly
+    (float32 is only ~7 significant digits — too coarse to round a
+    2-digit std to 4 decimals reliably)."""
     out_schema = T.StructType(
         [
             T.StructField("media_id", T.LongType()),
-            T.StructField("features", T.ArrayType(T.FloatType())),
+            T.StructField("features", T.ArrayType(T.DoubleType())),
         ]
     )
 
