@@ -310,17 +310,35 @@ def simhash64(col: Column, n: int = 1) -> Column:
     return F.aggregate(signed, F.lit(0).cast("bigint"), lambda acc, v: acc + v)
 
 
+def md5_hash32(c: Column) -> Column:
+    """Portable 32-bit hash: the first 8 hex chars of md5, as bigint.
+    Slower than xxhash64 (use only where cross-engine reproducibility
+    matters — DuckDB computes the identical value from md5())."""
+    return F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("bigint")
+
+
 def simhash_df(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 1
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 1,
+    nbits: int = 64,
+    hash_col=None,
 ) -> DataFrame:
     """(id, sh bigint) SimHash via the scalable explode + groupBy
-    pattern (whole-stage codegen end to end): one row per shingle, 64
-    per-bit ±1 contributions as flat SUM aggregates, sign-assembled
-    into the 64-bit fingerprint."""
-    masks = [1 << b if b < 63 else -(1 << 63) for b in range(64)]
+    pattern (whole-stage codegen end to end): one row per shingle,
+    ``nbits`` per-bit ±1 contributions as flat SUM aggregates,
+    sign-assembled into the fingerprint.
+
+    ``hash_col`` maps a shingle Column to its bigint hash (default
+    xxhash64 — fastest JVM path); the correctness gate passes
+    ``md5_hash32`` with ``nbits=32`` so DuckDB can recompute the whole
+    pipeline independently."""
+    hash_col = hash_col or F.xxhash64
+    masks = [1 << b if b < 63 else -(1 << 63) for b in range(nbits)]
     rows = df.select(
         F.col(id_col).alias("id"), F.explode(word_shingles(F.col(text_col), n)).alias("s")
-    ).select("id", F.xxhash64("s").alias("h"))
+    ).select("id", hash_col(F.col("s")).alias("h"))
     sums = rows.groupBy("id").agg(
         *[
             F.sum(
@@ -341,11 +359,16 @@ def simhash_neardup_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
+    nbits: int = 64,
+    hash_col=None,
 ) -> DataFrame:
-    """SimHash near-dup: candidates share one of 4 16-bit bands
-    (guarantees recall for hamming ≤ 3), verified by exact popcount.
+    """SimHash near-dup: candidates share one of 4 (nbits/4)-bit bands
+    (pigeonhole guarantees full recall for hamming ≤ 3), verified by
+    exact popcount.
     """
-    d = simhash_df(df, text_col, id_col)
+    d = simhash_df(df, text_col, id_col, nbits=nbits, hash_col=hash_col)
+    width = nbits // 4
+    key_mask = (1 << width) - 1
     bands = d.select(
         "id",
         F.explode(
@@ -354,7 +377,9 @@ def simhash_neardup_pairs(
                     F.struct(
                         F.col("sh").alias("sh"),
                         F.lit(b).alias("band"),
-                        F.shiftrightunsigned("sh", b * 16).bitwiseAND(F.lit(0xFFFF)).alias("key"),
+                        F.shiftrightunsigned("sh", b * width)
+                        .bitwiseAND(F.lit(key_mask))
+                        .alias("key"),
                     )
                     for b in range(4)
                 ]

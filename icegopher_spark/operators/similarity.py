@@ -100,6 +100,72 @@ def neardup_pairs_exact(
     )
 
 
+def lsh_neardup_pairs(
+    df: DataFrame,
+    threshold: float = 0.9,
+    dim: int = 64,
+    n_planes: int = 48,
+    band_size: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-dup pairs via banded sign-LSH candidates + exact
+    cosine verification — the scale path that replaces
+    ``neardup_pairs_exact``'s O(n²) BNLJ on the gate.
+
+    12 bands of 4 sign bits: a pair at cosine ≥ 0.9 (angle ≤ 25.8°,
+    per-plane disagree prob ≤ 0.144) misses all bands with prob
+    (1-(1-0.144)⁴)¹² ≈ 1%, and far less above the threshold. Candidate
+    pairs band-join on 8-byte (band, key) ints, then verify with exact
+    cosine through plain shuffle joins on id — no broadcast hints, no
+    cross join; AQE picks broadcast when a side is genuinely small."""
+    planes = _hyperplanes(dim, n_planes)
+    n_bands = n_planes // band_size
+    sign_bits = [
+        F.when(dot(F.col(vec_col), F.array(*[F.lit(float(x)) for x in p])) > 0, 1).otherwise(0)
+        for p in planes
+    ]
+    keys = [
+        sum(
+            (sign_bits[b * band_size + j] * F.lit(1 << j))
+            for j in range(band_size)
+        )
+        for b in range(n_bands)
+    ]
+    entries = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band"), keys[b].cast("int").alias("key"))
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", "bk.band", "bk.key")
+    a, b = entries.alias("a"), entries.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        cands.join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
+            "id_a", "id_b", F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cosine_sim")
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+    )
+
+
 def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     """Deterministic pseudo-random unit hyperplanes (pure Python so the
     plan is reproducible without numpy RNG state)."""
@@ -128,6 +194,78 @@ def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
     return bucket
 
 
+def _kmeans_centroids(
+    corpus: DataFrame,
+    vec_col: str,
+    n_lists: int,
+    seed: int,
+    sample_cap: int = 100_000,
+    iters: int = 10,
+) -> list[list[float]]:
+    """Coarse-quantizer centroids from a seeded SAMPLE of the corpus,
+    fit driver-side with a deterministic numpy Lloyd's loop.
+
+    Two scale/stability decisions:
+      * A k-means fit over the full corpus is a multi-pass scan of
+        every vector — at 100 TB that dwarfs the search itself.
+        ``sample_cap`` vectors are ample to place n_lists ≪ cap
+        centroids, so we sample to the cap and fit on that (the
+        classic IVF recipe: quantizer on a sample, centroids
+        broadcast). The capped sample (~50 MB at 100k × 64 doubles) is
+        the ONLY thing collected.
+      * MLlib's kmeans|| init samples per-partition, so its centroids
+        change with the session's partitioning — a golden-value recall
+        gate would flap across harness configs. The sample is sorted
+        canonically and initialized with a seeded xorshift pick, so
+        the centroids depend only on (data, seed), never on
+        partitioning or parallelism."""
+    import numpy as np
+
+    n = corpus.count()
+    train_df = corpus.select(F.col(vec_col).cast("array<double>").alias("v"))
+    if n > sample_cap:
+        train_df = train_df.sample(False, sample_cap / n, seed)
+    sample = sorted(tuple(r["v"]) for r in train_df.collect())
+    x = np.asarray(sample, dtype=np.float64)
+    k = min(n_lists, len(x))
+
+    # deterministic kmeans++: seeded xorshift64* uniforms drive the
+    # D²-weighted picks (platform-independent, no numpy RNG state)
+    state = seed or 1
+
+    def _next_u() -> float:
+        nonlocal state
+        state ^= (state << 13) & 0xFFFFFFFFFFFFFFFF
+        state ^= state >> 7
+        state ^= (state << 17) & 0xFFFFFFFFFFFFFFFF
+        return ((state * 0x2545F4914F6CDD1D) & 0xFFFFFFFFFFFFFFFF) / 2**64
+
+    first = int(_next_u() * len(x))
+    centers = [first]
+    d2min = ((x - x[first]) ** 2).sum(axis=1)
+    while len(centers) < k:
+        total = float(d2min.sum())
+        if total <= 0.0:
+            break
+        target = _next_u() * total
+        i = int(np.searchsorted(np.cumsum(d2min), target))
+        i = min(i, len(x) - 1)
+        centers.append(i)
+        d2min = np.minimum(d2min, ((x - x[i]) ** 2).sum(axis=1))
+    c = x[centers].copy()
+    k = len(centers)
+
+    for _ in range(iters):
+        # argmin ||x - c||² = argmin (|c|² - 2 x·c); n×k matmul, no n×k×d blow-up
+        d2 = (c * c).sum(axis=1)[None, :] - 2.0 * (x @ c.T)
+        assign = d2.argmin(axis=1)
+        for j in range(k):
+            members = x[assign == j]
+            if len(members):
+                c[j] = members.mean(axis=0)
+    return [[float(v) for v in row] for row in c]
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -145,18 +283,15 @@ def ivf_topk(
     corpus into ``n_lists`` cells; each query probes its ``n_probe``
     nearest centroids and exact-reranks only those cells.
 
-    Scale path: centroids train on a sample (MLlib kmeans, seeded),
-    assignment is a narrow map against broadcast centroids, and the
-    corpus can be written bucketed by ``cell`` so a query touches
-    n_probe/n_lists of the data. Recall is tunable via n_probe.
+    Scale path: centroids train on a seeded sample capped at 100k
+    vectors (``_kmeans_centroids``), assignment is a narrow map against
+    broadcast centroids, and the corpus can be written bucketed by
+    ``cell`` so a query touches n_probe/n_lists of the data. Recall is
+    tunable via n_probe.
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
     from pyspark.sql import Window
 
-    train = corpus.select(array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"))
-    model = KMeans(k=n_lists, seed=seed, maxIter=10).fit(train)
-    centroids = [list(c) for c in model.clusterCenters()]
+    centroids = _kmeans_centroids(corpus, vec_col, n_lists, seed)
 
     def nearest_cells(vec: Column, n: int) -> Column:
         """Indices of the n nearest centroids by dot-distance (vectors
@@ -299,19 +434,12 @@ def ivf_index_write(
     """
     import json as _json
 
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
     from ..iceberg import write as W
     from ..iceberg.schema import Schema
     from ..iceberg.transforms import PartitionField, PartitionSpec, parse_transform
     from ..iceberg.types import FloatType, IntegerType, ListType, LongType, NestedField
 
-    train = corpus.select(
-        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
-    )
-    model = KMeans(k=n_lists, seed=seed, maxIter=10).fit(train)
-    centroids = [[float(x) for x in c] for c in model.clusterCenters()]
+    centroids = _kmeans_centroids(corpus, vec_col, n_lists, seed)
 
     schema = Schema(
         (

@@ -752,16 +752,62 @@ def dedup_jaccard_q(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.ngram_jaccard_pairs(docs, threshold=0.5)
 
 
-@register("dedup_minhash_lsh", None, "MinHash-LSH near-dup (rows-only check)")
+@register(
+    "dedup_minhash_lsh",
+    jaccard_oracle,
+    "MinHash-LSH near-dup, differentially gated against exact Jaccard",
+)
 def dedup_minhash_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Differential gate: the verify stage computes EXACT Jaccard on LSH
+    candidates, so the output equals the exact pair set iff LSH recall
+    is 1.0 — the oracle is the same SQL as dedup_ngram_jaccard, and a
+    dropped true pair (recall regression) fails the hash match. Recall
+    1.0 confirmed empirically on the gate corpora (sf0.001/0.01: 28/28,
+    25/25 pairs)."""
     docs = load(spark, sf, "documents")
     return dedup.minhash_dedup_pairs(docs, threshold=0.5)
 
 
-@register("dedup_simhash", None, "SimHash near-dup (rows-only check)")
+# Full DuckDB replica of the simhash pipeline. The production leaf hash
+# (xxhash64) has no SQL twin, so the GATE runs the same pipeline with a
+# portable md5-derived 32-bit hash (dedup.md5_hash32) — signature
+# computation, banding, and popcount verification are all exercised and
+# independently recomputed by the oracle (brute-force pairs, which the
+# banding must equal by pigeonhole).
+simhash_oracle = r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> ''))) AS s
+  FROM documents
+), h AS (
+  SELECT doc_id, ('0x' || substr(md5(s), 1, 8))::BIGINT AS h FROM toks
+), bits AS (
+  SELECT doc_id, i.i AS i,
+         SUM(CASE WHEN (h // (1::BIGINT << i.i)) % 2 = 1 THEN 1 ELSE -1 END) AS c
+  FROM h CROSS JOIN range(0, 32) i(i)
+  GROUP BY doc_id, i.i
+), sig AS (
+  SELECT doc_id, CAST(SUM(CASE WHEN c > 0 THEN (1::BIGINT << i) ELSE 0 END) AS BIGINT) AS sh
+  FROM bits GROUP BY doc_id
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sh, b.sh)) <= 3
+"""
+
+
+@register(
+    "dedup_simhash",
+    simhash_oracle,
+    "SimHash near-dup, full-pipeline differential vs SQL brute force",
+)
 def dedup_simhash_q(spark: SparkSession, sf: str) -> DataFrame:
     docs = load(spark, sf, "documents")
-    return dedup.simhash_neardup_pairs(docs, max_hamming=3)
+    pairs = dedup.simhash_neardup_pairs(
+        docs, max_hamming=3, nbits=32, hash_col=dedup.md5_hash32
+    )
+    return pairs.select("id_a", "id_b", F.col("hamming").cast("bigint").alias("hamming"))
 
 
 text_stats_oracle = """
@@ -939,10 +985,43 @@ def corpus_curation_q(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@register("text_fingerprint", None, "64-bit doc fingerprints (rows-only)")
+# The fingerprint itself is xxhash64 (not SQL-reproducible), but its
+# SEMANTICS are: equal normalized token streams ⇔ equal fingerprints
+# (collisions aside). The gate therefore emits the group structure the
+# fingerprint induces — canonical id + group size per doc — which DuckDB
+# derives independently from the normalized text.
+fingerprint_oracle = r"""
+WITH fp AS (
+  SELECT doc_id,
+         array_to_string(
+           list_filter(
+             string_split_regex(lower(regexp_replace(text, '[.,;:!?''"()\[\]{}-]', ' ', 'g')), '\s+'),
+             x -> x <> ''), ' ') AS norm
+  FROM documents
+)
+SELECT doc_id,
+       MIN(doc_id) OVER (PARTITION BY norm) AS canon_id,
+       COUNT(*) OVER (PARTITION BY norm) AS n_same
+FROM fp
+"""
+
+
+@register(
+    "text_fingerprint",
+    fingerprint_oracle,
+    "64-bit doc fingerprints, gated on the group partition they induce",
+)
 def fingerprint_q(spark: SparkSession, sf: str) -> DataFrame:
     docs = load(spark, sf, "documents")
-    return docs.select("doc_id", text.fingerprint64(F.col("text")).alias("fingerprint"))
+    w = Window.partitionBy("fingerprint")
+    return (
+        docs.select("doc_id", text.fingerprint64(F.col("text")).alias("fingerprint"))
+        .select(
+            "doc_id",
+            F.min("doc_id").over(w).alias("canon_id"),
+            F.count(F.lit(1)).over(w).alias("n_same"),
+        )
+    )
 
 
 asof_tol_oracle = """
@@ -1102,13 +1181,60 @@ SELECT id_a, id_b, cosine_sim FROM scored WHERE cosine_sim >= 0.9
 """
 
 
-@register("sim_neardup_embeddings", sim_neardup_oracle, "embedding near-dup pairs")
+@register(
+    "sim_neardup_embeddings",
+    sim_neardup_oracle,
+    "embedding near-dup pairs via banded sign-LSH + exact verify",
+)
 def sim_neardup_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Differential gate: the oracle brute-forces all pairs in SQL
+    (fine for DuckDB at gate scale); the Spark side runs the BANDED
+    LSH + verify pipeline — the O(n²) BNLJ baseline
+    (neardup_pairs_exact) is no longer reachable from queries()."""
     emb = load(spark, sf, "embeddings")
-    return similarity.neardup_pairs_exact(emb, threshold=0.9)
+    return similarity.lsh_neardup_pairs(emb, threshold=0.9)
 
 
-@register("sim_lsh_topk", None, "sign-LSH bucketed ANN (rows-only)")
+def _lsh_topk_oracle() -> str:
+    """Full SQL replica of the sign-LSH pipeline: the hyperplanes are
+    deterministic (seeded xorshift, similarity._hyperplanes), so they
+    embed as constant DOUBLE arrays and DuckDB independently recomputes
+    bucket assignment, candidate join, and exact rerank. repr() of a
+    Python float round-trips, so both engines see bit-identical plane
+    coordinates."""
+    planes = similarity._hyperplanes(64, 6)
+    bucket = " + ".join(
+        f"(CASE WHEN list_dot_product(v, [{', '.join(repr(float(x)) for x in p)}]) > 0"
+        f" THEN {1 << b} ELSE 0 END)"
+        for b, p in enumerate(planes)
+    )
+    return f"""
+WITH c AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), bk AS (
+  SELECT vec_id, v, {bucket} AS bucket FROM c
+), q AS (
+  SELECT vec_id AS query_id, v AS qvec, bucket FROM bk WHERE vec_id < 10
+), scored AS (
+  SELECT q.query_id, bk.vec_id,
+         ROUND(list_dot_product(bk.v, q.qvec)
+               / (sqrt(list_dot_product(bk.v, bk.v)) * sqrt(list_dot_product(q.qvec, q.qvec))), 6)
+           AS cosine_sim
+  FROM bk JOIN q ON bk.bucket = q.bucket AND bk.vec_id <> q.query_id
+), ranked AS (
+  SELECT query_id, vec_id, cosine_sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine_sim DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, cosine_sim, rank FROM ranked WHERE rank <= 5
+"""
+
+
+@register(
+    "sim_lsh_topk",
+    _lsh_topk_oracle(),
+    "sign-LSH bucketed ANN, full SQL oracle (constant hyperplanes)",
+)
 def sim_lsh_q(spark: SparkSession, sf: str) -> DataFrame:
     emb = load(spark, sf, "embeddings")
     q = emb.filter(F.col("vec_id") < 10).select(
@@ -1126,19 +1252,68 @@ from . import multimodal_queries  # noqa: E402,F401  (registration side effect)
 from . import analytics_queries  # noqa: E402,F401  (registration side effect)
 
 
-@register("sim_ivf_topk", None, "IVF ANN: kmeans cells + n_probe rerank (rows-only)")
+def _topk_recall(exact: DataFrame, approx: DataFrame, k: int) -> DataFrame:
+    """Per-query recall@k of an ANN result against the exact top-k
+    (both computed in Spark; the exact side is itself oracle-checked
+    via sim_topk_bruteforce)."""
+    hit = (
+        exact.select("query_id", "vec_id")
+        .intersect(approx.select("query_id", "vec_id"))
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    return (
+        exact.select("query_id")
+        .distinct()
+        .join(hit, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("hits", F.lit(0)).cast("bigint").alias("n_caught"),
+            F.round(F.coalesce("hits", F.lit(0)) / F.lit(k), 4).alias("recall"),
+        )
+    )
+
+
+def _pinned_recall_oracle(values: dict[int, int], k: int) -> str:
+    """Golden-value oracle for ANN recall: k-means has no SQL twin, so
+    the expected per-query hit counts (deterministic: seeded quantizer,
+    fixed gate corpus) are pinned from a verified sf0.01 run. A recall
+    regression — or a driver-side testdata regeneration — fails the
+    hash match visibly instead of hiding behind a rows-only check."""
+    rows = ", ".join(f"({q}, {n}, {round(n / k, 4)})" for q, n in sorted(values.items()))
+    return (
+        "SELECT CAST(query_id AS BIGINT) AS query_id, CAST(n_caught AS BIGINT) AS n_caught,"
+        " CAST(recall AS DOUBLE) AS recall"
+        f" FROM (VALUES {rows}) AS t(query_id, n_caught, recall)"
+    )
+
+
+# Pinned from a verified sf0.01 run (see _pinned_recall_oracle);
+# confirmed identical across session parallelism (cpus=7 and 32) —
+# the quantizer fit is partition-independent by construction.
+_IVF_RECALL_SF001 = {0: 5, 1: 4, 2: 3, 3: 2, 4: 5, 5: 4, 6: 5, 7: 4, 8: 5, 9: 2}
+_IVF_INDEX_RECALL_SF001 = dict(_IVF_RECALL_SF001)
+
+
+@register(
+    "sim_ivf_topk",
+    _pinned_recall_oracle(_IVF_RECALL_SF001, k=5),
+    "IVF ANN recall@5 vs exact top-k (pinned golden values)",
+)
 def sim_ivf_q(spark: SparkSession, sf: str) -> DataFrame:
     emb = load(spark, sf, "embeddings")
     q = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), F.col("embedding")
     )
-    return similarity.ivf_topk(emb, q, k=5)
+    exact = similarity.brute_force_topk(emb, q, k=5)
+    approx = similarity.ivf_topk(emb, q, k=5)
+    return _topk_recall(exact, approx, k=5)
 
 
 @register(
     "sim_ivf_index_topk",
-    None,
-    "persisted IVF index: cell-partitioned Iceberg table, partition-pruned probe (rows-only)",
+    _pinned_recall_oracle(_IVF_INDEX_RECALL_SF001, k=5),
+    "persisted IVF index recall@5: partition-pruned probe vs exact top-k",
 )
 def sim_ivf_index_q(spark: SparkSession, sf: str) -> DataFrame:
     import os as _os
@@ -1165,4 +1340,6 @@ def sim_ivf_index_q(spark: SparkSession, sf: str) -> DataFrame:
     q = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), F.col("embedding")
     )
-    return similarity.ivf_index_search(spark, t, q, k=5, n_probe=6)
+    exact = similarity.brute_force_topk(emb, q, k=5)
+    approx = similarity.ivf_index_search(spark, t, q, k=5, n_probe=6)
+    return _topk_recall(exact, approx, k=5)
