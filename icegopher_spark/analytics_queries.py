@@ -95,8 +95,8 @@ def q2(spark: SparkSession, sf: str) -> DataFrame:
     )
     w = Window.partitionBy("p_partkey")
     return (
-        ps.join(F.broadcast(p), ps.l_partkey == p.p_partkey)
-        .join(F.broadcast(s), ps.l_suppkey == s.s_suppkey)
+        ps.join(p, ps.l_partkey == p.p_partkey)
+        .join(s, ps.l_suppkey == s.s_suppkey)
         .withColumn("min_cost", F.min("ps_cost").over(w))
         .filter(F.col("ps_cost") == F.col("min_cost"))
         .select(
@@ -395,10 +395,10 @@ def q8(spark: SparkSession, sf: str) -> DataFrame:
     n2 = n.alias("n2")
     vol = disc_price()
     all_nations = (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1.n_nationkey"))
         .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2.n_nationkey"))
         .join(F.broadcast(r), F.col("n1.n_regionkey") == r.r_regionkey)
@@ -484,7 +484,7 @@ def q15(spark: SparkSession, sf: str) -> DataFrame:
     w = Window.orderBy(F.col("total_revenue").desc())
     top = revenue.withColumn("_r", F.rank().over(w)).filter(F.col("_r") == 1).drop("_r")
     return (
-        top.join(F.broadcast(s), top.supplier_no == s.s_suppkey)
+        top.join(s, top.supplier_no == s.s_suppkey)
         .select("s_suppkey", "s_name", money(F.col("total_revenue")).alias("total_revenue"))
     )
 
@@ -518,7 +518,7 @@ def q19(spark: SparkSession, sf: str) -> DataFrame:
         | ((F.col("p_brand") == "Brand#15") & F.col("p_size").between(1, 35) & q.between(20, 40))
     )
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .filter(cond)
         .agg(money(F.sum(disc_price())).alias("revenue"))
     )

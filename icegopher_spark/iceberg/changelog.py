@@ -42,7 +42,7 @@ from .manifests import (
     fetch_entries,
     read_manifest_list,
 )
-from .table import Table, strip_file_scheme
+from .table import Table, _maybe_broadcast_deletes, strip_file_scheme
 
 CHANGE_TYPE = "_change_type"
 COMMIT_SNAPSHOT = "_commit_snapshot_id"
@@ -199,8 +199,12 @@ def changelog_df(
             rows = _read_data_files(table, spark, parent_entries, with_pos=True)
             if rows is not None:
                 norm = F.regexp_replace(F.col("_file"), "^file:/*", "/")
+                pairs = _maybe_broadcast_deletes(
+                    pairs,
+                    sum(e.data_file.file_size_in_bytes for e in added_pos_deletes),
+                )
                 hit = rows.join(
-                    F.broadcast(pairs),
+                    pairs,
                     (norm == F.col("_del_path")) & (rows["_pos"] == F.col("_del_pos")),
                     "left_semi",
                 ).drop("_file", "_pos")
@@ -221,7 +225,8 @@ def changelog_df(
                     .select(*names)
                     .distinct()
                 )
-                hit = pre.join(F.broadcast(keys), names, "left_semi")
+                keys = _maybe_broadcast_deletes(keys, e.data_file.file_size_in_bytes)
+                hit = pre.join(keys, names, "left_semi")
                 deletes = hit if deletes is None else deletes.unionByName(hit)
 
         if net and inserts is not None and deletes is not None:

@@ -41,7 +41,7 @@ from .manifests import (
     read_manifest_list,
 )
 from .metadata import OP_REPLACE, parse_metadata
-from .table import Table, _match_deletes, strip_file_scheme
+from .table import Table, _match_deletes, _maybe_broadcast_deletes, strip_file_scheme
 from .types import to_spark_type
 from .write import (
     _commit_metadata,
@@ -177,9 +177,15 @@ def compact_data_files(
             dels = spark.read.parquet(*sorted(strip_file_scheme(p) for p in group_dfiles))
             norm = F.regexp_replace(F.col("_file"), "^file:/*", "/")
             norm_del = F.regexp_replace(F.col("file_path"), "^file:/*", "/")
+            del_bytes = sum(
+                d.file_size_in_bytes
+                for e in group
+                for d in _match_deletes(e, pos_deletes, pos_seqs)
+            )
             part = part.join(
-                F.broadcast(
-                    dels.select(norm_del.alias("_del_path"), F.col("pos").alias("_del_pos"))
+                _maybe_broadcast_deletes(
+                    dels.select(norm_del.alias("_del_path"), F.col("pos").alias("_del_pos")),
+                    del_bytes,
                 ),
                 (norm == F.col("_del_path")) & (F.col("_pos") == F.col("_del_pos")),
                 "left_anti",
@@ -197,7 +203,13 @@ def compact_data_files(
                 continue
             keys = spark.read.parquet(strip_file_scheme(dpath))
             keys = keys.toDF(*names) if len(keys.columns) == len(names) else keys
-            part = part.join(F.broadcast(keys.select(*names).distinct()), names, "left_anti")
+            part = part.join(
+                _maybe_broadcast_deletes(
+                    keys.select(*names).distinct(), dentry.file_size_in_bytes
+                ),
+                names,
+                "left_anti",
+            )
 
         total = sum(e.data_file.file_size_in_bytes for e in group)
         n_out = max(1, math.ceil(total / target))

@@ -656,16 +656,22 @@ class TableScan:
                     continue
                 keys = spark.read.parquet(strip_file_scheme(dfile.file_path))
                 keys = keys.toDF(*names) if len(keys.columns) == len(names) else keys
-                part = part.join(F.broadcast(keys.select(*names).distinct()), names, "left_anti")
+                keys = _maybe_broadcast_deletes(
+                    keys.select(*names).distinct(), dfile.file_size_in_bytes
+                )
+                part = part.join(keys, names, "left_anti")
             parts.append(part)
         df = parts[0]
         for p in parts[1:]:
             df = df.unionByName(p)
 
         if has_deletes:
-            delete_paths = sorted(
-                {strip_file_scheme(d.file_path) for t in tasks for d in t.delete_files}
-            )
+            by_path = {
+                strip_file_scheme(d.file_path): d.file_size_in_bytes
+                for t in tasks
+                for d in t.delete_files
+            }
+            delete_paths = sorted(by_path)
             deletes = spark.read.parquet(*delete_paths).select(
                 F.col("file_path").alias("_del_path"), F.col("pos").alias("_del_pos")
             )
@@ -676,8 +682,12 @@ class TableScan:
             # SURVEY.md §2.1 #19.
             norm = F.regexp_replace(F.col("_file"), "^file:/*", "/")
             norm_del = F.regexp_replace(F.col("_del_path"), "^file:/*", "/")
+            delete_side = _maybe_broadcast_deletes(
+                deletes.select(norm_del.alias("_del_path"), "_del_pos"),
+                sum(by_path.values()),
+            )
             df = df.join(
-                F.broadcast(deletes.select(norm_del.alias("_del_path"), "_del_pos")),
+                delete_side,
                 (norm == F.col("_del_path")) & (df["_pos"] == F.col("_del_pos")),
                 "left_anti",
             ).drop("_file", "_pos")
@@ -690,6 +700,21 @@ class TableScan:
         if self.limit is not None:
             df = df.limit(self.limit)
         return df
+
+
+# Broadcast the delete side of a MOR join only when the manifests bound
+# it small. file_size_in_bytes is the COMPRESSED parquet size; ~8×
+# in-memory expansion of a 32 MB cap stays well inside executor memory.
+# Above the cap the join is left unhinted: a table carrying GBs of
+# deletes would OOM every executor under a forced broadcast, while AQE
+# still picks broadcast at runtime when the distinct key set collapses.
+_BROADCAST_DELETE_BYTES = 32 * 1024 * 1024
+
+
+def _maybe_broadcast_deletes(df: DataFrame, manifest_bytes: int) -> DataFrame:
+    if (manifest_bytes or 0) <= _BROADCAST_DELETE_BYTES:
+        return F.broadcast(df)
+    return df
 
 
 def _match_deletes(

@@ -235,36 +235,32 @@ def minhash_dedup_pairs(
 ) -> DataFrame:
     """MinHash-LSH near-dup: LSH candidates verified with exact Jaccard.
 
-    Verification runs on hashed shingle ROWS, not string arrays: the
-    candidate pairs (tiny — LSH already filtered) broadcast-join against
-    the (id, h) shingle table twice, and |A ∩ B| is a count of matching
-    hashes per pair. No string comparison, no array materialization;
-    at 100 TB the verify stage shuffles only candidate-pair ids."""
+    Verification runs on hashed shingle ROWS, not string arrays:
+    candidate pairs join against the (id, h) shingle table twice, and
+    |A ∩ B| is a count of matching hashes per pair. No string
+    comparison, no array materialization. All verify-stage joins are
+    UNHINTED equi-joins: candidate-pair cardinality is data-dependent
+    (a dup-heavy corpus can make it huge), so forcing broadcast risks
+    OOM at scale — AQE broadcasts at runtime when a side measures
+    small, and falls back to shuffle joins on narrow (long, long)
+    keys otherwise."""
     cands = minhash_lsh_candidates(df, text_col, id_col, num_hashes, bands, n)
     sh = shingle_hash_rows(df, text_col, id_col, n)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
-    pair_sh = sh.join(F.broadcast(cands), sh["id"] == cands["id_a"]).select(
-        "id_a", "id_b", "h"
-    )
-    # pair_sh is |candidates| × avg-shingles rows (LSH already filtered the
-    # pair space) — broadcast it and stream the corpus-wide shingle table
-    # through a map-side join; no shuffle of the big side.
+    pair_sh = sh.join(cands, sh["id"] == cands["id_a"]).select("id_a", "id_b", "h")
     common = (
-        F.broadcast(pair_sh)
-        .join(
+        pair_sh.join(
             sh.select(F.col("id").alias("id_b2"), F.col("h").alias("h2")),
             (F.col("id_b") == F.col("id_b2")) & (F.col("h") == F.col("h2")),
         )
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
-    # common (pair-sized, LSH-filtered) is the SMALL side — broadcast it
-    # against the corpus-wide per-doc size table, never the reverse.
-    with_a = F.broadcast(common).join(
+    with_a = common.join(
         sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a")), "id_a"
     )
     verified = (
-        F.broadcast(with_a)
+        with_a
         .join(sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b")), "id_b")
         .withColumn(
             "jaccard",

@@ -208,7 +208,7 @@ def q3(spark: SparkSession, sf: str) -> DataFrame:
     )
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("o_orderkey")
         .agg(F.sum(disc_price()).alias("rev"))
         .orderBy(F.col("rev").desc(), F.col("o_orderkey").asc())
@@ -274,7 +274,7 @@ def q5(spark: SparkSession, sf: str) -> DataFrame:
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
-        .join(F.broadcast(s), (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
+        .join(s, (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
@@ -339,7 +339,7 @@ def q7(spark: SparkSession, sf: str) -> DataFrame:
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(cn), c.c_nationkey == F.col("cn_key"))
         .join(F.broadcast(sn), s.s_nationkey == F.col("sn_key"))
         .filter(F.col("cust_nation") != F.col("supp_nation"))
@@ -369,9 +369,9 @@ def q9(spark: SparkSession, sf: str) -> DataFrame:
     n = load(spark, sf, "nation")
     p = load(spark, sf, "part").filter(F.col("p_name").like("%red%"))
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .groupBy(
             F.col("n_name").alias("nation"),
@@ -438,7 +438,7 @@ def q14(spark: SparkSession, sf: str) -> DataFrame:
     p = load(spark, sf, "part")
     rev = disc_price()
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .agg(
             F.round(
                 100.0
@@ -469,7 +469,7 @@ def q18(spark: SparkSession, sf: str) -> DataFrame:
     li = load(spark, sf, "lineitem")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
         .agg(F.sum(dec("l_quantity")).alias("_sq"))
         .filter(F.col("_sq") > 150)
@@ -508,7 +508,7 @@ def topk_suppliers(spark: SparkSession, sf: str) -> DataFrame:
     s = load(spark, sf, "supplier")
     n = load(spark, sf, "nation")
     srev = (
-        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        li.join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .groupBy("s_suppkey", "s_name", "n_name")
         .agg(F.sum(disc_price()).alias("rev"))

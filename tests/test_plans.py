@@ -134,6 +134,51 @@ def test_vocab_partial_aggregation(spark, queries):
     assert "TakeOrderedAndProject" in plan
 
 
+@pytest.mark.parametrize(
+    "q,max_hints",
+    [
+        ("q10_returned_items", 1),  # nation only; customer un-hinted
+        ("q9_profit_by_nation_year", 1),  # nation only; part/supplier un-hinted
+        ("q15_top_supplier", 0),  # supplier un-hinted
+        ("q7_volume_shipping", 3),  # n1/n2/region only; part/supplier/customer un-hinted
+    ],
+)
+def test_no_forced_broadcast_on_scale_variant_dims(spark, queries, q, max_hints):
+    """Broadcast hints are reserved for scale-INVARIANT dims (nation=25,
+    region=5 rows forever). customer/supplier/part grow with SF: their
+    joins stay unhinted so the 64 MB threshold/AQE still broadcasts them
+    at test scale but degrades to shuffle joins at 100×, instead of
+    OOMing on a forced build side."""
+    plan = queries[q].fn(spark, SF)._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("strategy=broadcast") <= max_hints
+
+
+def test_minhash_verify_no_forced_broadcast(spark):
+    """The MinHash verify stage must not force-broadcast candidate
+    pairs: their cardinality is data-dependent (dup-heavy corpora)."""
+    from icegopher_spark.operators import dedup as D
+    from icegopher_spark.queries import load
+
+    docs = load(spark, SF, "documents")
+    plan = plan_of(D.minhash_dedup_pairs(docs), "extended")
+    assert "ResolvedHint" not in plan
+
+
+def test_mor_delete_broadcast_guarded(spark):
+    """Delete-side MOR joins broadcast only when manifest stats bound
+    them under the cap."""
+    from icegopher_spark.iceberg.table import (
+        _BROADCAST_DELETE_BYTES,
+        _maybe_broadcast_deletes,
+    )
+
+    df = spark.range(5)
+    assert "ResolvedHint" in plan_of(_maybe_broadcast_deletes(df, 1024), "extended")
+    assert "ResolvedHint" not in plan_of(
+        _maybe_broadcast_deletes(df, _BROADCAST_DELETE_BYTES + 1), "extended"
+    )
+
+
 def test_minhash_no_string_rehash(spark, queries):
     """MinHash signatures: the 32 seed hashes mix the 64-bit base hash,
     not the shingle string — exactly ONE xxhash64 over a string-typed
