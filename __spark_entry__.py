@@ -32,36 +32,52 @@ if str(_REPO) not in sys.path:
 from icegopher_spark.queries import QUERIES  # noqa: E402
 
 
-def _adjudication_weight() -> dict[str, float]:
-    """How much driver scrutiny each query has already received.
+def _adjudication_weight() -> dict[str, tuple[int, float]]:
+    """How much driver scrutiny each query has already received, keyed
+    for the rotation sort as (red_last_round, total_weight).
 
-    Full oracle match counts 1.0 per round, a rows-only (``no_oracle``)
-    row counts 0.5 — so queries that previously ran rows-only but now
-    carry an oracle get re-adjudicated before long-green ones.
+    Per round: a full oracle match counts 1.0, a rows-only
+    (``no_oracle``) row 0.5, and a FAILED or ERRORED adjudication 0.25
+    — so known-red queries out-sort rows-only passes. On top of that,
+    any query red in the LATEST round gets red_last_round=0 (everything
+    else 1), so last round's failures always lead the capped window
+    regardless of accumulated weight.
     """
     weight: dict[str, float] = {}
-    for path in sorted(_REPO.glob("CORRECTNESS_r*.json")):
+    red_latest: set[str] = set()
+    rounds = sorted(_REPO.glob("CORRECTNESS_r*.json"))
+    for path in rounds:
         try:
             rows = json.loads(path.read_text())
         except (OSError, ValueError):
             continue
         if not isinstance(rows, dict):
             continue
+        latest = path == rounds[-1]
+        if latest:
+            red_latest.clear()
         for name, row in rows.items():
             if not isinstance(row, dict):
                 continue
             if row.get("hash_match"):
-                weight[name] = weight.get(name, 0.0) + 1.0
-            else:
-                weight[name] = weight.get(name, 0.0) + 0.5
-    return weight
+                w = 1.0
+            elif row.get("err") == "no_oracle":
+                w = 0.5
+            else:  # hash mismatch, or a real error
+                w = 0.25
+                if latest:
+                    red_latest.add(name)
+            weight[name] = weight.get(name, 0.0) + w
+    return {
+        name: (0 if name in red_latest else 1, w) for name, w in weight.items()
+    }
 
 
 def _ordered_names() -> list[str]:
     names = list(QUERIES)
     weight = _adjudication_weight()
     index = {n: i for i, n in enumerate(names)}
-    return sorted(names, key=lambda n: (weight.get(n, 0.0), index[n]))
+    return sorted(names, key=lambda n: (*weight.get(n, (0, 0.0)), index[n]))
 
 
 def entry(spark: SparkSession) -> DataFrame:

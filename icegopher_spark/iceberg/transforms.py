@@ -400,6 +400,10 @@ class HourTransform(_TemporalTransform):
         # with the Python apply() path; ntz uses field extraction
         # (hour ordinal = day ordinal × 24 + wall-clock hour) to stay
         # independent of the session timezone
+        if isinstance(source_type, DateType):
+            # mirror _from_days: fail with the same clear error instead
+            # of an opaque AnalysisException from unix_micros on a DATE
+            raise TypeError("hour transform not valid for date columns")
         if isinstance(source_type, TimestampType):  # ntz wall clock
             return (_utc_days_col(col, source_type) * F.lit(24) + F.hour(col)).cast("int")
         return _floordiv_col(F.unix_micros(col), MICROS_PER_HOUR).cast("int")

@@ -184,3 +184,17 @@ def test_bound_value_maxed_string_returns_none():
     assert W._bound_value(v, StringType(), upper=True) is None
     # lower bound still plain truncation
     assert W._bound_value(v, StringType(), upper=False) is not None
+
+
+def test_hour_transform_rejects_date_column():
+    """ADVICE r2: HourTransform.to_column on a DATE source must raise
+    the same clear TypeError as apply()'s _from_days, not an opaque
+    AnalysisException from unix_micros on a DATE column."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from icegopher_spark.iceberg.transforms import HourTransform
+    from icegopher_spark.iceberg.types import DateType
+
+    with pytest.raises(TypeError, match="hour transform not valid"):
+        HourTransform().to_column(F.col("d"), DateType())
