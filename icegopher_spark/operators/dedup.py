@@ -81,34 +81,61 @@ def exact_dedup(
     )
 
 
+# Shingles appearing in more docs than this are "stop shingles"
+# (boilerplate: headers, licence blocks, templated text). A shingle in
+# D docs contributes D² rows to an inverted-index self-join — one
+# 100k-doc boilerplate line is a 10-billion-row join explosion. The
+# default never triggers on the gate corpora (≤5k docs), so gate pairs
+# are unchanged; at 100 TB it bounds the join's per-key fan-out.
+STOP_SHINGLE_MAX_DF = 10_000
+
+
+def drop_stop_shingles(
+    sh: DataFrame, hash_col: str, max_doc_freq: int | None
+) -> DataFrame:
+    """Remove shingle hashes whose doc-frequency exceeds the cap via a
+    left-anti join against the (small) over-cap hash set. Rows must be
+    distinct per (doc, hash), which shingle exploders guarantee."""
+    if max_doc_freq is None:
+        return sh
+    stop = (
+        sh.groupBy(hash_col)
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > max_doc_freq)
+        .select(hash_col)
+    )
+    return sh.join(stop, hash_col, "left_anti")
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.5,
+    max_doc_freq: int | None = STOP_SHINGLE_MAX_DF,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs (id_a < id_b, jaccard ≥ t).
 
     Candidates come from an equi-join on individual shingle hashes
     (inverted index), so cost is bounded by shared-shingle pairs, not
-    |docs|². Intersection size is counted per pair; union via the
-    per-doc distinct-shingle counts (|A|+|B|-|A∩B|).
+    |docs|². Stop shingles above ``max_doc_freq`` are dropped from the
+    shingle sets BEFORE sizing and joining (jaccard is then over the
+    retained sets — consistent numerator and denominator), so
+    boilerplate can't quadratically explode the join. Intersection size
+    is counted per pair; union via the per-doc retained-shingle counts
+    (|A|+|B|-|A∩B|).
     """
-    sh = df.select(
-        F.col(id_col).alias("id"), word_shingles(F.col(text_col), n).alias("shingles")
-    ).select("id", F.size("shingles").alias("n_sh"), F.explode("shingles").alias("shingle"))
-    # Hash the shingle before the join: 8-byte join keys instead of strings.
-    sh = sh.select("id", "n_sh", F.xxhash64("shingle").alias("sh"))
+    sh = shingle_hash_rows(df, text_col, id_col, n)
+    sh = drop_stop_shingles(sh, "h", max_doc_freq)
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     pairs = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
+        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.id") < F.col("b.id")))
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(
-            F.count(F.lit(1)).alias("n_common"),
-            F.first("a.n_sh").alias("n_a"),
-            F.first("b.n_sh").alias("n_b"),
-        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .join(sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a")), "id_a")
+        .join(sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b")), "id_b")
         .withColumn(
             "jaccard",
             F.round(
@@ -158,6 +185,7 @@ def minhash_signatures_df(
     id_col: str = "doc_id",
     num_hashes: int = 32,
     n: int = 3,
+    max_doc_freq: int | None = STOP_SHINGLE_MAX_DF,
 ) -> DataFrame:
     """(id, sig array<bigint>) via the scalable pattern: explode distinct
     shingles to rows, hash each with ``num_hashes`` seeds as flat codegen
@@ -172,7 +200,7 @@ def minhash_signatures_df(
     only shuffle moves (id, 8-byte shingle hash) pairs — at 100 TB that
     is a few percent of corpus size, and partial aggregation collapses
     most of it map-side."""
-    sh = shingle_hash_rows(df, text_col, id_col, n)
+    sh = drop_stop_shingles(shingle_hash_rows(df, text_col, id_col, n), "h", max_doc_freq)
     mins = sh.groupBy("id").agg(
         *[F.min(F.xxhash64(F.lit(k), F.col("h"))).alias(f"h{k}") for k in range(num_hashes)]
     )
@@ -186,6 +214,7 @@ def minhash_lsh_candidates(
     num_hashes: int = 32,
     bands: int = 8,
     n: int = 3,
+    max_doc_freq: int | None = STOP_SHINGLE_MAX_DF,
 ) -> DataFrame:
     """LSH candidate pairs: docs agreeing on ≥1 MinHash band.
 
@@ -194,7 +223,7 @@ def minhash_lsh_candidates(
     At scale the exploded frame is num_docs × bands rows of 3 longs.
     """
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures_df(df, text_col, id_col, num_hashes, n)
+    sigs = minhash_signatures_df(df, text_col, id_col, num_hashes, n, max_doc_freq)
     band_entries = sigs.select(
         "id",
         F.explode(
@@ -232,6 +261,7 @@ def minhash_dedup_pairs(
     num_hashes: int = 32,
     bands: int = 8,
     n: int = 3,
+    max_doc_freq: int | None = STOP_SHINGLE_MAX_DF,
 ) -> DataFrame:
     """MinHash-LSH near-dup: LSH candidates verified with exact Jaccard.
 
@@ -244,8 +274,10 @@ def minhash_dedup_pairs(
     OOM at scale — AQE broadcasts at runtime when a side measures
     small, and falls back to shuffle joins on narrow (long, long)
     keys otherwise."""
-    cands = minhash_lsh_candidates(df, text_col, id_col, num_hashes, bands, n)
-    sh = shingle_hash_rows(df, text_col, id_col, n)
+    cands = minhash_lsh_candidates(df, text_col, id_col, num_hashes, bands, n, max_doc_freq)
+    # the SAME retained shingle set feeds signatures and verification,
+    # so the verified jaccard is consistent with candidate generation
+    sh = drop_stop_shingles(shingle_hash_rows(df, text_col, id_col, n), "h", max_doc_freq)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     pair_sh = sh.join(cands, sh["id"] == cands["id_a"]).select("id_a", "id_b", "h")
     common = (

@@ -153,6 +153,13 @@ def test_no_forced_broadcast_on_scale_variant_dims(spark, queries, q, max_hints)
     assert plan.count("strategy=broadcast") <= max_hints
 
 
+def test_jaccard_stop_shingle_guard(spark, queries):
+    """The inverted-index join must be preceded by the stop-shingle
+    anti-join so a boilerplate shingle can't explode the pair space."""
+    plan = plan_of(queries["dedup_ngram_jaccard"].fn(spark, SF), "simple")
+    assert "LeftAnti" in plan
+
+
 def test_minhash_verify_no_forced_broadcast(spark):
     """The MinHash verify stage must not force-broadcast candidate
     pairs: their cardinality is data-dependent (dup-heavy corpora)."""
