@@ -250,6 +250,37 @@ def read_ocf(data: bytes) -> tuple[dict, dict[str, bytes], list[dict]]:
     return schema, meta, records
 
 
+def count_ocf_rows(path: str) -> int:
+    """Row count from OCF block headers alone — payload blocks are
+    seeked over, never decompressed or decoded, so commit-time stats for
+    executor-written Avro data files stay metadata-only on the driver."""
+    total = 0
+    with open(path, "rb") as fh:
+        if fh.read(4) != MAGIC:
+            raise ValueError("not an Avro object container file")
+        while True:
+            count = read_long(fh)
+            if count == 0:
+                break
+            if count < 0:
+                count = -count
+                read_long(fh)
+            for _ in range(count):
+                read_bytes(fh)  # key
+                read_bytes(fh)  # value
+        fh.read(16)  # sync
+        while True:
+            head = fh.read(1)
+            if not head:
+                break
+            fh.seek(-1, os.SEEK_CUR)
+            n_records = read_long(fh)
+            block_len = read_long(fh)
+            fh.seek(block_len + 16, os.SEEK_CUR)  # payload + sync marker
+            total += n_records
+    return total
+
+
 def write_ocf(
     schema: dict | str,
     records: list[dict],

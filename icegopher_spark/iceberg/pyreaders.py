@@ -133,7 +133,7 @@ def iceberg_schema_to_avro(schema: Schema, name: str = "record") -> dict:
             return "bytes"
         if isinstance(t, IT.DateType):
             return {"type": "int", "logicalType": "date"}
-        if isinstance(t, (IT.TimestampType, IT.TimestamptzType)):
+        if isinstance(t, (IT.TimestampType, IT.TimestampTzType)):
             return {"type": "long", "logicalType": "timestamp-micros"}
         raise NotImplementedError(f"avro data files: unsupported type {t}")
 
@@ -152,11 +152,114 @@ def iceberg_schema_to_avro(schema: Schema, name: str = "record") -> dict:
 
 
 def write_avro_data_file(path: str, schema: Schema, rows: list[dict]) -> None:
-    """Write an Avro OCF data file (driver-side; used by tests and the
-    Avro write path). Timestamps must already be µs ints."""
+    """Write an Avro OCF data file (driver-side; small fixtures/tests
+    only — bulk table writes go through ``write_avro_files``).
+    Timestamps must already be µs ints."""
     from .avro_io import write_ocf
 
     avro_schema = iceberg_schema_to_avro(schema)
     data = write_ocf(avro_schema, rows, {"iceberg.schema": json.dumps(schema.to_json_dict())})
     with open(strip_scheme(path), "wb") as fh:
         fh.write(data)
+
+
+def _pdf_to_records(pdf: pd.DataFrame, schema: Schema) -> list[dict]:
+    """Pandas batch → Avro-ready python records, typed per the Iceberg
+    schema (timestamps to µs ints, dates to epoch days, numpy scalars
+    to python)."""
+    from datetime import date as _date
+
+    from . import types as IT
+
+    cols: dict[str, list] = {}
+    for f in schema.fields:
+        series = pdf[f.name]
+        t = f.field_type
+        if isinstance(t, (IT.TimestampType, IT.TimestampTzType)):
+            vals = [
+                None if pd.isna(v) else int(pd.Timestamp(v).value // 1000) for v in series
+            ]
+        elif isinstance(t, IT.DateType):
+            vals = [
+                None if pd.isna(v) else (pd.Timestamp(v).date() - _date(1970, 1, 1)).days
+                for v in series
+            ]
+        elif isinstance(t, (IT.IntegerType, IT.LongType)):
+            vals = [None if pd.isna(v) else int(v) for v in series]
+        elif isinstance(t, (IT.FloatType, IT.DoubleType)):
+            vals = [None if pd.isna(v) else float(v) for v in series]
+        elif isinstance(t, IT.BooleanType):
+            vals = [None if pd.isna(v) else bool(v) for v in series]
+        elif isinstance(t, IT.BinaryType):
+            vals = [None if v is None else bytes(v) for v in series]
+        else:
+            vals = [None if v is None else str(v) for v in series]
+        cols[f.name] = vals
+    names = list(cols)
+    return [{k: cols[k][i] for k in names} for i in range(len(pdf))]
+
+
+def write_avro_files(
+    df: DataFrame,
+    schema: Schema,
+    out_dir: str,
+    partition_cols: list[str] | None = None,
+) -> list[str]:
+    """Distributed Avro OCF DATA-file write via ``mapInPandas`` — the
+    bulk-write twin of ``read_avro_files``. Each task encodes its own
+    batches with the pure-Python codec and writes straight to storage;
+    nothing materializes on the driver (only the written paths come
+    back). With ``partition_cols``, rows land in hive-style dirs
+    (``name=value/``) the normal partitioned-commit harvester parses;
+    callers should repartition by those columns first so a task writes
+    few distinct partitions."""
+    import os
+    import uuid as _uuid
+    from datetime import date as _date
+
+    from pyspark.sql import types as ST
+
+    avro_schema = iceberg_schema_to_avro(schema)
+    meta = {"iceberg.schema": json.dumps(schema.to_json_dict())}
+    pcols = list(partition_cols or [])
+
+    def _dir_value(v) -> str:
+        if v is None or (isinstance(v, float) and pd.isna(v)):
+            return "__HIVE_DEFAULT_PARTITION__"
+        if isinstance(v, _date):
+            return v.isoformat()
+        if isinstance(v, float) and v.is_integer():
+            return str(int(v))
+        return str(v)
+
+    def gen(iterator: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .avro_io import write_ocf
+
+        for pdf in iterator:
+            if not len(pdf):
+                continue
+            groups = (
+                [(None, pdf)]
+                if not pcols
+                else list(pdf.groupby(pcols, dropna=False, sort=True))
+            )
+            for key, g in groups:
+                sub = ""
+                if pcols:
+                    key_t = key if isinstance(key, tuple) else (key,)
+                    sub = "/".join(
+                        f"{n}={_dir_value(v)}" for n, v in zip(pcols, key_t)
+                    )
+                d = os.path.join(strip_scheme(out_dir), sub) if sub else strip_scheme(out_dir)
+                os.makedirs(d, exist_ok=True)
+                path = os.path.join(d, f"{_uuid.uuid4().hex[:16]}.avro")
+                data = write_ocf(avro_schema, _pdf_to_records(g, schema), meta)
+                with open(path, "wb") as fh:
+                    fh.write(data)
+                yield pd.DataFrame({"path": [path], "n_rows": [len(g)]})
+
+    out_schema = ST.StructType(
+        [ST.StructField("path", ST.StringType()), ST.StructField("n_rows", ST.LongType())]
+    )
+    written = df.mapInPandas(gen, out_schema).collect()
+    return [r["path"] for r in written]

@@ -227,6 +227,18 @@ def collect_data_file(path: str, schema: Schema, partition: dict[str, Any]) -> D
             file_size_in_bytes=os.path.getsize(strip_scheme(path)),
             partition=partition,
         )
+    if path.endswith(".avro"):
+        from .avro_io import count_ocf_rows
+
+        # row count from block headers only — no payload decode on the
+        # driver (stats/bounds are optional in the spec, like ORC here)
+        return DataFile(
+            file_path=path,
+            file_format="AVRO",
+            record_count=count_ocf_rows(strip_scheme(path)),
+            file_size_in_bytes=os.path.getsize(strip_scheme(path)),
+            partition=partition,
+        )
     import pyarrow.parquet as pq
 
     f = pq.ParquetFile(strip_scheme(path))
@@ -365,6 +377,14 @@ def _write_data_files(
                 df = df.repartitionByRange(*sort_cols)
         df = _apply_sort_order(table, df)
         out = f"{data_dir}/{_uuid.uuid4().hex[:16]}"
+        if fmt == "avro":
+            # no bundled spark-avro source: distributed pure-Python OCF
+            # encode via mapInPandas (pyreaders.write_avro_files) —
+            # executor-side, nothing materializes on the driver
+            from .pyreaders import write_avro_files
+
+            paths = write_avro_files(df, schema, out)
+            return [(p, {}) for p in sorted(paths)]
         df.write.mode("overwrite").format(fmt).save(out)
         return [
             (f"{out}/{f}", {})
@@ -402,12 +422,19 @@ def _write_data_files(
     sort_cols = _sort_order_columns(table)
     if sort_cols:
         staged = staged.sortWithinPartitions(*[F.col(n) for n in names], *sort_cols)
-    (
-        staged.write.mode("overwrite")
-        .partitionBy(*names)
-        .format(fmt)
-        .save(out)
-    )
+    if fmt == "avro":
+        from .pyreaders import write_avro_files
+
+        # hive-style dirs written executor-side; harvested by the same
+        # os.walk below as the built-in sources' partitionBy layout
+        write_avro_files(staged, schema, out, partition_cols=names)
+    else:
+        (
+            staged.write.mode("overwrite")
+            .partitionBy(*names)
+            .format(fmt)
+            .save(out)
+        )
     pairs: list[tuple[str, dict[str, Any]]] = []
     for root, _dirs, files in os.walk(out):
         for fn in sorted(files):

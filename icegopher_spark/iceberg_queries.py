@@ -628,3 +628,62 @@ def _merge_table_for(spark: SparkSession, sf_dir: str) -> Table:
         )
     )
     return W.merge_upsert(t, spark, src, ["l_orderkey"])
+
+
+avro_rt_oracle = """
+SELECT l_returnflag, COUNT(*) AS n_rows,
+       CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_qty,
+       CAST(SUM(l_orderkey) AS BIGINT) AS sum_okey
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@register(
+    "iceberg_avro_roundtrip",
+    avro_rt_oracle,
+    "executor-side Avro OCF bulk write -> partitioned table -> distributed scan",
+)
+def iceberg_avro_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """Round trip through the pure-Python Avro data plane, fully
+    distributed on both sides: W.append encodes OCF files executor-side
+    via mapInPandas (pyreaders.write_avro_files — nothing materializes
+    on the driver; commit stats come from block headers only), the scan
+    reads them back through pyreaders.read_avro_files."""
+    key = sf.strip("/").replace("/", "_")
+    loc = f"{_CACHE_ROOT}/{key}/lineitem_avro"
+    hint = f"{loc}/metadata/version-hint.text"
+    t = None
+    if os.path.exists(hint):
+        try:
+            t = Table.from_location(loc)
+            if t.current_snapshot() is None:
+                t = None
+        except Exception:  # noqa: BLE001
+            t = None
+        if t is None:
+            shutil.rmtree(loc, ignore_errors=True)
+    if t is None:
+        li = spark.read.parquet(f"{sf}/lineitem.parquet").select(
+            "l_orderkey",
+            "l_quantity",
+            "l_returnflag",
+            F.col("l_shipdate").cast("timestamp_ntz").alias("l_shipdate"),
+        )
+        spec = PartitionSpec([PartitionField(3, 1000, "flag", parse_transform("identity"))])
+        t = W.create_table(
+            loc, _SCHEMA, spec=spec, properties={"write.format.default": "avro"}
+        )
+        t = W.append(t, li)
+    return (
+        t.scan()
+        .to_df(spark)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum(F.col("l_quantity").cast("decimal(12,2)")), 2)
+            .cast("double")
+            .alias("sum_qty"),
+            F.sum("l_orderkey").alias("sum_okey"),
+        )
+    )
