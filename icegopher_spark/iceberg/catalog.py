@@ -296,6 +296,41 @@ class RestCatalog:
         t = Table(ident, md, loc, io=io, catalog=self)
         return t
 
+    def create_table(
+        self, identifier, schema, spec=None, properties=None, location=None
+    ) -> Table:
+        """CreateTable over REST (POST .../tables): the service owns
+        metadata construction and returns the initial document."""
+        ident = to_identifier(identifier)
+        ns, tbl = ident[:-1], ident[-1]
+        body: dict = {
+            "name": tbl,
+            "schema": schema.to_json_dict(),
+            "properties": properties or {},
+        }
+        if location:
+            body["location"] = location
+        if spec is not None and getattr(spec, "fields", None):
+            body["partition-spec"] = {
+                "spec-id": 0,
+                "fields": [
+                    {
+                        "source-id": f.source_id,
+                        "field-id": f.field_id,
+                        "name": f.name,
+                        "transform": str(f.transform),
+                    }
+                    for f in spec.fields
+                ],
+            }
+        resp = self.session.post(self._url("namespaces", self._ns(ns), "tables"), json=body)
+        self._check(resp)
+        payload = resp.json()
+        md = parse_metadata(payload["metadata"])
+        loc = payload.get("metadata-location", "")
+        io = load_io(md.location or loc, self.properties)
+        return Table(ident, md, loc, io=io, catalog=self)
+
     def drop_table(self, identifier) -> None:
         ident = to_identifier(identifier)
         resp = self.session.delete(

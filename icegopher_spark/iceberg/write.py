@@ -350,6 +350,8 @@ def _write_data_files(
     transform Column expressions — executor-side, fully parallel."""
     spec = table.spec
     schema = table.schema
+    # catalog tables carry file:// locations; local fs ops need plain paths
+    data_dir = strip_scheme(data_dir)
     os.makedirs(data_dir, exist_ok=True)
     # align the incoming frame to the table schema (column order + types)
     # so e.g. a decimal literal lands as the declared double — writers
