@@ -35,8 +35,10 @@ ENTRIES = [
         "q8_national_market_share",
         "simple",
         "Eight-way star join: every dimension (part, supplier, customer, "
-        "nation ×2, region) broadcasts; the only shuffle joins the two "
-        "facts (lineitem ⋈ orders). One exchange instead of seven.",
+        "nation ×2, region) broadcasts — nation/region by explicit hint "
+        "(scale-invariant), the rest picked by the 64 MB threshold/AQE so "
+        "they degrade to shuffle joins at 100× instead of OOMing. The "
+        "only shuffle joins the two facts (lineitem ⋈ orders).",
     ),
     (
         "asof_event_order",
@@ -68,6 +70,24 @@ ENTRIES = [
         "Vocabulary: `partial_count` before the exchange (map-side "
         "combine collapses the token stream to ~|vocab| rows per task) "
         "and `TakeOrderedAndProject` for top-k — no global sort.",
+    ),
+    (
+        "dedup_ngram_jaccard",
+        "simple",
+        "Inverted-index Jaccard with the stop-shingle guard: a LeftAnti "
+        "join drops shingle hashes whose doc-frequency exceeds the cap "
+        "before the self-join, so one boilerplate line shared by 100k "
+        "docs can't contribute 10^10 candidate rows. Join keys are "
+        "8-byte hashes; text never shuffles.",
+    ),
+    (
+        "sim_neardup_embeddings",
+        "simple",
+        "Embedding near-dup WITHOUT the O(n²) BNLJ: banded sign-LSH "
+        "candidates equi-join on (band, key) ints, then exact cosine "
+        "verifies survivors through unhinted shuffle joins on id. "
+        "12 bands × 4 bits keeps the miss probability ≈1% at the 0.9 "
+        "threshold while candidates shrink with data clustering.",
     ),
     (
         "iceberg_scan_pruned",
