@@ -225,3 +225,63 @@ def test_asof_tolerance_expires_stale_matches(spark):
     assert got[(1, datetime(2024, 1, 10))] == "jan"  # 9 days old: fresh
     assert got[(1, datetime(2024, 3, 1))] is None  # 60 days old: expired
     assert got[(2, datetime(2024, 1, 5))] is None  # a year old: expired
+
+
+def test_lsh_neardup_finds_known_pairs(spark):
+    """Non-vacuous near-dup check (the gate corpus has zero pairs at
+    cosine >= 0.9): planted near-identical vectors must surface, random
+    ones must not, and results must equal the exact O(n^2) baseline."""
+    import math
+    import random
+
+    from icegopher_spark.operators import similarity as S
+
+    rng = random.Random(7)
+    base = [[rng.gauss(0, 1) for _ in range(64)] for _ in range(40)]
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i, v))
+        if i < 10:  # ids 100+i are tiny perturbations of ids 0..9
+            rows.append((100 + i, [x + rng.gauss(0, 0.02) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in S.lsh_neardup_pairs(df, threshold=0.9).collect()
+    }
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in S.neardup_pairs_exact(df, threshold=0.9).collect()
+    }
+    assert {(i, 100 + i) for i in range(10)} <= exact
+    assert got == exact
+
+
+def test_simhash_production_banding_equals_bruteforce(spark):
+    """The 64-bit xxhash production path (the gate runs the portable
+    md5-32 variant): banded candidates + popcount verify must equal the
+    all-pairs hamming computation by pigeonhole."""
+    from pyspark.sql import functions as F
+
+    from icegopher_spark.operators import dedup as D
+    from icegopher_spark.queries import load
+
+    docs = load(spark, "/root/testdata/sf0.001", "documents")
+    banded = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in D.simhash_neardup_pairs(docs, max_hamming=3).collect()
+    }
+    sigs = D.simhash_df(docs)
+    a = sigs.select(F.col("id").alias("id_a"), F.col("sh").alias("sha"))
+    b = sigs.select(F.col("id").alias("id_b"), F.col("sh").alias("shb"))
+    brute = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("sha").bitwiseXOR(F.col("shb"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 3)
+        .collect()
+    }
+    assert banded == brute and brute  # equal and non-empty
