@@ -1,0 +1,87 @@
+"""Training-data curation operators beyond scoring/dedup: sequence
+packing and deterministic weighted sampling.
+
+[X] extension surface (SURVEY.md §2.9) — no counterpart in the
+reference, which has no data plane. Both operators are pure codegen
+expressions (window cumsum / integer hashing): no UDFs, no driver
+loops, and both have exact SQL oracles in the gate registry.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .text import token_count
+
+# Knuth multiplicative hash constant (2^32 / golden ratio), applied in
+# exact 64-bit integer arithmetic so DuckDB reproduces it bit-for-bit.
+_HASH_MULT = 2654435761
+_HASH_MOD = 2**32
+
+
+def pack_sequences(
+    df: DataFrame,
+    max_tokens: int = 2048,
+    n_shards: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Assign documents to fixed-token-budget training bins.
+
+    Contiguous-fill packing: docs are sharded by hash (``doc_id %
+    n_shards``) and packed in id order within each shard; a doc's bin
+    is ``floor(cum_tokens_before / max_tokens)``. This is the
+    streaming-packing strategy real pipelines use — each of the
+    ``n_shards`` workers packs its shard independently, so the only
+    shuffle is the shard partitioning and the window sort is per-shard,
+    never global (a global orderBy would serialize the corpus through
+    one task at 100 TB; at scale set n_shards ≈ executor count).
+
+    Returns (doc_id, shard, bin_id, n_tokens).
+    """
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    toks = df.select(
+        F.col(id_col),
+        (F.col(id_col) % n_shards).cast("int").alias("shard"),
+        token_count(F.col(text_col)).alias("n_tokens"),
+    )
+    return toks.select(
+        id_col,
+        "shard",
+        F.floor(
+            F.coalesce(F.sum("n_tokens").over(w), F.lit(0)) / F.lit(max_tokens)
+        )
+        .cast("bigint")
+        .alias("bin_id"),
+        "n_tokens",
+    )
+
+
+def weighted_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    key_col: str = "lang",
+    id_col: str = "doc_id",
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Deterministic per-group subsampling (training-mix reweighting):
+    keep a row iff ``hash(id) < rate[group] * 2^32``, with a Knuth
+    multiplicative hash in exact integer arithmetic.
+
+    No RNG state, no sampling operator: the decision is a pure function
+    of (id, group rate), so it is reproducible across engines, runs,
+    and partitionings — and the filter is a codegen expression the
+    scanner can evaluate, touching nothing but the id and group
+    columns.
+    """
+    bucket = (F.col(id_col).cast("bigint") * F.lit(_HASH_MULT)) % F.lit(_HASH_MOD)
+    rate = F.lit(float(default_rate))
+    for k, r in sorted(rates.items()):
+        rate = F.when(F.col(key_col) == k, F.lit(float(r))).otherwise(rate)
+    threshold = F.floor(rate * F.lit(float(_HASH_MOD))).cast("bigint")
+    return df.filter(bucket < threshold)

@@ -1024,6 +1024,70 @@ def fingerprint_q(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+pack_oracle = r"""
+WITH toks AS (
+  SELECT doc_id, doc_id % 64 AS shard,
+         CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
+  FROM documents
+)
+SELECT doc_id, CAST(shard AS INT) AS shard,
+       CAST(FLOOR(COALESCE(SUM(n_tokens) OVER (
+             PARTITION BY shard ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 512.0) AS BIGINT)
+         AS bin_id,
+       n_tokens
+FROM toks
+"""
+
+
+@register(
+    "corpus_pack_sequences",
+    pack_oracle,
+    "sequence packing: sharded contiguous-fill into fixed-token bins",
+)
+def pack_sequences_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Training-example packing as a per-shard window cumsum — the only
+    shuffle is the shard hash partitioning; no global sort (see
+    operators/curation.py for the 100 TB rationale)."""
+    from .operators import curation
+
+    docs = load(spark, sf, "documents")
+    return curation.pack_sequences(docs, max_tokens=512, n_shards=64)
+
+
+_SAMPLE_RATES = {"en": 0.5, "de": 0.25, "fr": 0.1, "es": 0.0, "zh": 1.0}
+
+_sample_case = "CASE lang " + " ".join(
+    f"WHEN '{k}' THEN {r}" for k, r in sorted(_SAMPLE_RATES.items())
+) + " ELSE 0.0 END"
+
+weighted_sample_oracle = f"""
+SELECT lang, COUNT(*) AS n_docs, CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+FROM documents
+WHERE (doc_id * 2654435761) % 4294967296 <
+      CAST(FLOOR(({_sample_case}) * 4294967296) AS BIGINT)
+GROUP BY lang
+"""
+
+
+@register(
+    "corpus_weighted_sample",
+    weighted_sample_oracle,
+    "training-mix reweighting: deterministic per-language subsampling",
+)
+def weighted_sample_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-language keep rates via exact-integer multiplicative
+    hashing — reproducible across engines/partitionings, evaluated as a
+    scan-level codegen filter (operators/curation.py)."""
+    from .operators import curation
+
+    docs = load(spark, sf, "documents")
+    kept = curation.weighted_sample(docs, _SAMPLE_RATES, key_col="lang")
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("doc_id").alias("sum_ids")
+    )
+
+
 asof_tol_oracle = """
 WITH ord AS (
   SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS o_orderkey

@@ -199,3 +199,19 @@ def test_minhash_no_string_rehash(spark, queries):
     # string xxhash64 is the base shingle hash projection
     agg_lines = [l for l in plan.splitlines() if "xxhash64" in l and "min(" in l.lower()]
     assert all(", sh" not in l for l in agg_lines)
+
+
+def test_pack_sequences_no_global_sort(spark, queries):
+    """Packing windows sort per-shard (hash exchange), never via a
+    global range partition — a global orderBy would serialize 100 TB
+    through one task."""
+    plan = plan_of(queries["corpus_pack_sequences"].fn(spark, SF), "simple")
+    assert "rangepartitioning" not in plan
+    assert "hashpartitioning(shard" in plan
+
+
+def test_weighted_sample_stays_codegen(spark, queries):
+    """The sampling decision is integer arithmetic in the scan stage —
+    no Python UDF evaluation anywhere in the plan."""
+    plan = plan_of(queries["corpus_weighted_sample"].fn(spark, SF), "simple")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
