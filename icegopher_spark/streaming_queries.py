@@ -252,3 +252,68 @@ def _sink_table_for(spark: SparkSession, sf_dir: str):
     with tempfile.TemporaryDirectory(prefix="sinkckpt_") as ckpt:
         write_stream_to_iceberg(stream, t, ckpt, query_id="gate")
     return t
+
+
+ss_left_join_oracle = """
+WITH v AS (
+  SELECT event_id AS view_id, user_id, ts FROM events WHERE event_type = 'view'
+), p AS (
+  SELECT event_id AS purchase_id, user_id, ts FROM events WHERE event_type = 'purchase'
+), m AS (
+  SELECT v.view_id, p.purchase_id, v.user_id
+  FROM v JOIN p ON v.user_id = p.user_id
+   AND p.ts > v.ts AND p.ts <= v.ts + INTERVAL 10 MINUTE
+)
+SELECT view_id, purchase_id, user_id FROM m
+UNION ALL
+SELECT v.view_id, CAST(NULL AS BIGINT) AS purchase_id, v.user_id
+FROM v
+WHERE v.view_id NOT IN (SELECT view_id FROM m)
+  -- null emission: the join window [ts, ts+10min] must be fully
+  -- closed by the FINAL query watermark. Spark takes the MIN of the
+  -- per-input watermarks (each side's max event time - 1h delay), so
+  -- the rarer purchase stream, whose max ts lags the view stream's,
+  -- sets the cutoff.
+  AND v.ts + INTERVAL 10 MINUTE < (
+    SELECT LEAST(
+      (SELECT MAX(ts) FROM events WHERE event_type = 'view'),
+      (SELECT MAX(ts) FROM events WHERE event_type = 'purchase')
+    ) - INTERVAL 1 HOUR)
+"""
+
+
+@register(
+    "stream_stream_left_join",
+    ss_left_join_oracle,
+    "watermarked stream-stream LEFT OUTER join: matches + watermark-expired nulls",
+)
+def stream_stream_left_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Outer-join state semantics under bounded replay: matched pairs
+    emit like the inner join; an unmatched view emits (view_id, NULL)
+    only once the watermark passes its join-window upper bound — views
+    whose window is still open at end-of-stream stay unemitted, which
+    the oracle models with the final-watermark cutoff."""
+    ev = _events_stream(spark, sf)
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .select(F.col("event_id").alias("view_id"), "user_id", F.col("ts").alias("view_ts"))
+        .withWatermark("view_ts", "1 hour")
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = views.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("p_ts") > F.col("view_ts"))
+        & (F.col("p_ts") <= F.col("view_ts") + F.expr("INTERVAL 10 MINUTES")),
+        "leftOuter",
+    )
+    out = P.run_stream_to_table(joined, spark, "append")
+    return out.select("view_id", "purchase_id", "user_id")
