@@ -72,6 +72,63 @@ def mm_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# Thumbnail oracle: the fake decoder's pixel array is the 32-byte
+# digest repeated (w*h is a multiple of 32), so the nearest-neighbor
+# thumbnail pixel at (x, y) is digest[((y*h//8)*w + x*(w//8)) % 32] —
+# every index is computable from doc_id alone, and the digest bytes
+# come from sha256(text) hex, so DuckDB rebuilds each 8×8 thumbnail
+# byte-for-byte.
+mm_thumb_oracle = """
+WITH d AS (
+  SELECT doc_id AS media_id, lower(sha256(text)) AS hx,
+         32 + (doc_id % 16) * 16 AS w, 32 + (doc_id % 9) * 16 AS h
+  FROM documents
+), px AS (
+  SELECT media_id, i.i AS i,
+         (strpos('0123456789abcdef',
+                 substr(hx, 2*((((i.i // 8) * h // 8) * w + (i.i % 8) * (w // 8)) % 32) + 1, 1)) - 1) * 16
+       + (strpos('0123456789abcdef',
+                 substr(hx, 2*((((i.i // 8) * h // 8) * w + (i.i % 8) * (w // 8)) % 32) + 2, 1)) - 1)
+           AS b
+  FROM d CROSS JOIN range(0, 64) i(i)
+)
+SELECT media_id,
+       CAST(SUM(b) AS BIGINT) AS thumb_sum,
+       CAST(MIN(CASE WHEN i = 0 THEN b END) AS BIGINT) AS first_px,
+       CAST(MIN(CASE WHEN i = 63 THEN b END) AS BIGINT) AS last_px
+FROM px GROUP BY media_id
+"""
+
+
+@register(
+    "mm_thumbnails",
+    mm_thumb_oracle,
+    "decode+resize thumbnails via mapInPandas, byte-digest columns",
+)
+def mm_thumbnails(spark: SparkSession, sf: str) -> DataFrame:
+    """8×8 thumbnail digest (sum + corner pixels) computed JVM-side
+    from the binary thumb column via hex-nibble arithmetic — scalar,
+    sortable, and independently recomputed by the oracle."""
+    imgs = docs_as_media(spark, sf)
+    th = M.thumbnails(imgs, thumb_w=8, thumb_h=8, fake=True)
+    hexc = F.hex("thumb")
+    bs = [
+        (
+            F.conv(F.substring(hexc, 2 * i + 1, 2), 16, 10).cast("bigint")
+        )
+        for i in range(64)
+    ]
+    total = bs[0]
+    for b in bs[1:]:
+        total = total + b
+    return th.select(
+        "media_id",
+        total.alias("thumb_sum"),
+        bs[0].alias("first_px"),
+        bs[63].alias("last_px"),
+    )
+
+
 # The fake decoder stretches sha256(payload) to w*h bytes; w and h are
 # both multiples of 16, so w*h is a multiple of 32 and the stretched
 # array is EXACT repeats of the 32-byte digest — mean/std/histogram over
