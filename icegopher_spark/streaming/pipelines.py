@@ -168,6 +168,86 @@ def running_user_totals(events: DataFrame, watermark: str = "2 hours") -> DataFr
     )
 
 
+def custom_sessionizer(
+    events: DataFrame, gap_minutes: int = 30, watermark: str = "0 seconds"
+) -> DataFrame:
+    """Gap-based sessionization as a CUSTOM stateful operator with an
+    EVENT-TIME TIMEOUT — the escape hatch for session semantics the
+    built-in ``session_window`` can't express (e.g. emitting per-session
+    aggregates only when the session CLOSES, with arbitrary per-session
+    state).
+
+    Per user: state accumulates (start, last, count); each batch sets
+    the timeout to last_ts + gap. When the watermark passes that point
+    with no new events, Spark calls the function once more with
+    ``state.hasTimedOut`` and the closed session is emitted. Mirrors
+    ``session_rollup`` (native session_window) so the two can be
+    differentially compared."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (
+        "user_id long, session_start timestamp, session_end timestamp, n_events long"
+    )
+    state_schema = "start long, last long, n long"
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        if state.hasTimedOut:
+            start, last, n = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "session_start": [pd.Timestamp(start, unit="us")],
+                    "session_end": [pd.Timestamp(last + gap_us, unit="us")],
+                    "n_events": [n],
+                }
+            )
+            return
+        ts_us: list[int] = []
+        for pdf in pdfs:
+            ts_us.extend(int(t.value // 1000) for t in pd.to_datetime(pdf["ts"]))
+        ts_us.sort()
+        sessions = []
+        if state.exists:
+            start, last, n = state.get
+        else:
+            start, last, n = ts_us[0], ts_us[0], 0
+        for t in ts_us:
+            if t - last >= gap_us:  # half-open [first, last+gap): gap closes
+                sessions.append((start, last, n))
+                start, n = t, 0
+            last = max(last, t)
+            n += 1
+        state.update((start, last, n))
+        state.setTimeoutTimestamp(last // 1000 + gap_minutes * 60 * 1000)
+        import pandas as pd  # noqa: F811
+
+        if sessions:
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]] * len(sessions),
+                    "session_start": [pd.Timestamp(s, unit="us") for s, _l, _n in sessions],
+                    "session_end": [pd.Timestamp(l + gap_us, unit="us") for _s, l, _n in sessions],
+                    "n_events": [n for _s, _l, n in sessions],
+                }
+            )
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
 # -- execution helper -------------------------------------------------------
 
 

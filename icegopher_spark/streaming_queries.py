@@ -317,3 +317,21 @@ def stream_stream_left_join(spark: SparkSession, sf: str) -> DataFrame:
     )
     out = P.run_stream_to_table(joined, spark, "append")
     return out.select("view_id", "purchase_id", "user_id")
+
+
+@register(
+    "stream_custom_sessionizer",
+    session_windows_oracle,
+    "applyInPandasWithState + EventTimeTimeout sessionizer == native session windows",
+)
+def stream_custom_sessionizer(spark: SparkSession, sf: str) -> DataFrame:
+    """The custom-stateful-operator escape hatch carrying real session
+    semantics: per-user state with an event-time timeout that closes a
+    session when the watermark passes last_ts + gap. Same oracle as
+    stream_session_windows — the two paths must agree exactly."""
+    out = P.run_stream_to_table(
+        P.custom_sessionizer(_events_stream(spark, sf), gap_minutes=30, watermark="0 seconds"),
+        spark,
+        "append",
+    )
+    return out.select("user_id", "session_start", "session_end", "n_events")

@@ -68,3 +68,19 @@ def test_running_user_totals_matches_batch(spark, events_stream, events_batch):
     got = out.select("user_id", "n_events", F.round("total_value", 2).alias("total_value"))
     assert got.count() == batch.count()
     assert got.exceptAll(batch).count() == 0
+
+
+def test_custom_sessionizer_matches_native_session_window(spark):
+    """applyInPandasWithState + EventTimeTimeout sessionizer must close
+    exactly the sessions the native session_window closes (append mode,
+    watermark-complete sessions), with identical bounds and counts."""
+    ev = P.read_events_stream(spark, f"{SF}/events.parquet")
+    native = P.run_stream_to_table(
+        P.session_rollup(ev, watermark="0 seconds"), spark, "append"
+    )
+    ev2 = P.read_events_stream(spark, f"{SF}/events.parquet")
+    custom = P.run_stream_to_table(
+        P.custom_sessionizer(ev2, gap_minutes=30, watermark="0 seconds"), spark, "append"
+    )
+    key = lambda r: (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+    assert sorted(map(key, custom.collect())) == sorted(map(key, native.collect()))
