@@ -1024,6 +1024,34 @@ def fingerprint_q(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+approx_quantiles_oracle = """
+SELECT l_returnflag,
+       quantile_disc(l_extendedprice, 0.5) AS p50,
+       quantile_disc(l_extendedprice, 0.9) AS p90,
+       quantile_disc(l_extendedprice, 0.99) AS p99
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+@register(
+    "approx_quantiles_sketch",
+    approx_quantiles_oracle,
+    "percentile_approx quantile sketch, exact at gate accuracy",
+)
+def approx_quantiles_q(spark: SparkSession, sf: str) -> DataFrame:
+    """The streaming-mergeable quantile sketch (Greenwald-Khanna via
+    percentile_approx): with accuracy >= group row count the sketch
+    degenerates to the exact discrete quantile, so DuckDB's
+    quantile_disc is a hash-exact oracle (verified at sf0.01 and 0.1).
+    At lower accuracy the same plan is the 100 TB path — partial
+    sketches merge map-side, only sketch state shuffles."""
+    li = load(spark, sf, "lineitem")
+    q = F.percentile_approx("l_extendedprice", [0.5, 0.9, 0.99], 1_000_000)
+    return li.groupBy("l_returnflag").agg(
+        q[0].alias("p50"), q[1].alias("p90"), q[2].alias("p99")
+    )
+
+
 pack_oracle = r"""
 WITH toks AS (
   SELECT doc_id, doc_id % 64 AS shard,
