@@ -1024,6 +1024,40 @@ def fingerprint_q(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+stat_aggs_oracle = """
+SELECT l_returnflag,
+       ROUND(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+       ROUND(covar_pop(l_quantity, l_extendedprice), 4) AS covar_qp,
+       ROUND(stddev_samp(l_extendedprice), 4) AS sd_price,
+       ROUND(var_pop(l_quantity), 6) AS var_qty,
+       ROUND(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
+       ROUND(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+@register(
+    "stat_aggregates",
+    stat_aggs_oracle,
+    "statistical aggregates: corr/covar/stddev/variance/skewness/regr",
+)
+def stat_aggregates_q(spark: SparkSession, sf: str) -> DataFrame:
+    """One-pass moment aggregates — all mergeable partials (map-side
+    combine), only moment state shuffles. Rounded on both sides since
+    higher moments are float-order sensitive. (skewness is excluded:
+    Spark computes the population form, DuckDB the sample-corrected
+    form — definitionally different, not a rounding issue.)"""
+    li = load(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(F.covar_pop("l_quantity", "l_extendedprice"), 4).alias("covar_qp"),
+        F.round(F.stddev_samp("l_extendedprice"), 4).alias("sd_price"),
+        F.round(F.var_pop("l_quantity"), 6).alias("var_qty"),
+        F.round(F.regr_slope("l_extendedprice", "l_quantity"), 6).alias("slope"),
+        F.round(F.regr_intercept("l_extendedprice", "l_quantity"), 4).alias("intercept"),
+    )
+
+
 approx_quantiles_oracle = """
 SELECT l_returnflag,
        quantile_disc(l_extendedprice, 0.5) AS p50,
