@@ -1024,6 +1024,44 @@ def fingerprint_q(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# Higher-order array functions: Spark transform/filter/aggregate/
+# zip_with vs DuckDB list_transform/list_filter/list_reduce. Scalar
+# outputs (sums/counts), since the gate canonicalizer can't hash list
+# cells; rounded because fold order is engine-defined.
+hof_oracle = """
+SELECT vec_id,
+       ROUND(list_reduce(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x),
+                         (a, b) -> a + b), 6) AS sum_sq,
+       CAST(len(list_filter(CAST(embedding AS DOUBLE[]), x -> x > 0)) AS BIGINT) AS n_pos,
+       ROUND(list_reduce(list_transform(CAST(embedding AS DOUBLE[]),
+                                        x -> CASE WHEN x < 0 THEN -x ELSE x END),
+                         (a, b) -> a + b), 6) AS l1_norm
+FROM embeddings
+"""
+
+
+@register(
+    "hof_array_funcs",
+    hof_oracle,
+    "higher-order functions: transform/filter/aggregate lambdas over arrays",
+)
+def hof_array_funcs_q(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load(spark, sf, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    sum_sq = F.aggregate(
+        F.transform(v, lambda x: x * x), F.lit(0.0), lambda a, b: a + b
+    )
+    l1 = F.aggregate(
+        F.transform(v, lambda x: F.abs(x)), F.lit(0.0), lambda a, b: a + b
+    )
+    return emb.select(
+        "vec_id",
+        F.round(sum_sq, 6).alias("sum_sq"),
+        F.size(F.filter(v, lambda x: x > 0)).cast("bigint").alias("n_pos"),
+        F.round(l1, 6).alias("l1_norm"),
+    )
+
+
 stat_aggs_oracle = """
 SELECT l_returnflag,
        ROUND(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
