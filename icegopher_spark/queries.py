@@ -1024,6 +1024,45 @@ def fingerprint_q(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+map_funcs_oracle = """
+WITH m AS (
+  SELECT p_partkey, p_brand,
+         map(['brand', 'type'], [p_brand, p_type]) AS mp,
+         map([p_brand], [CAST(p_size AS BIGINT)]) AS sz
+  FROM part
+)
+SELECT p_partkey,
+       mp['brand'][1] AS brand_val,
+       CAST(cardinality(mp) AS INT) AS n_keys,
+       array_to_string(map_keys(mp), ',') AS keys_csv,
+       sz[p_brand][1] + 1 AS size_plus
+FROM m
+"""
+
+
+@register(
+    "map_funcs",
+    map_funcs_oracle,
+    "map functions: construct/extract/keys/cardinality",
+)
+def map_funcs_q(spark: SparkSession, sf: str) -> DataFrame:
+    p = load(spark, sf, "part")
+    mp = F.map_from_arrays(
+        F.array(F.lit("brand"), F.lit("type")),
+        F.array(F.col("p_brand"), F.col("p_type")),
+    )
+    sz = F.map_from_arrays(
+        F.array(F.col("p_brand")), F.array(F.col("p_size").cast("bigint"))
+    )
+    return p.select(
+        "p_partkey",
+        F.element_at(mp, "brand").alias("brand_val"),
+        F.size(mp).alias("n_keys"),
+        F.concat_ws(",", F.map_keys(mp)).alias("keys_csv"),
+        (F.element_at(sz, F.col("p_brand")) + 1).alias("size_plus"),
+    )
+
+
 # Higher-order array functions: Spark transform/filter/aggregate/
 # zip_with vs DuckDB list_transform/list_filter/list_reduce. Scalar
 # outputs (sums/counts), since the gate canonicalizer can't hash list
