@@ -1024,6 +1024,56 @@ def fingerprint_q(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+pivot_oracle = """
+SELECT l_linestatus,
+       CAST(ROUND(SUM(CASE WHEN l_returnflag = 'A' THEN CAST(l_quantity AS DECIMAL(12,2)) END), 2) AS DOUBLE) AS qty_A,
+       CAST(ROUND(SUM(CASE WHEN l_returnflag = 'N' THEN CAST(l_quantity AS DECIMAL(12,2)) END), 2) AS DOUBLE) AS qty_N,
+       CAST(ROUND(SUM(CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS DECIMAL(12,2)) END), 2) AS DOUBLE) AS qty_R
+FROM lineitem GROUP BY l_linestatus
+"""
+
+
+@register(
+    "pivot_qty_by_flag",
+    pivot_oracle,
+    "pivot: return flags to columns (explicit value list, no extra scan)",
+)
+def pivot_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Pivot with an EXPLICIT value list — without one Spark runs a
+    distinct-values scan first (two scans at 100 TB) and the output
+    schema becomes data-dependent."""
+    li = load(spark, sf, "lineitem")
+    out = (
+        li.groupBy("l_linestatus")
+        .pivot("l_returnflag", ["A", "N", "R"])
+        .agg(money(F.sum(dec("l_quantity"))))
+    )
+    return out.select(
+        "l_linestatus",
+        F.col("A").alias("qty_A"),
+        F.col("N").alias("qty_N"),
+        F.col("R").alias("qty_R"),
+    )
+
+
+posexplode_oracle = """
+SELECT vec_id, CAST(i.i AS INT) AS pos, ROUND(CAST(embedding[i.i + 1] AS DOUBLE), 6) AS v
+FROM embeddings CROSS JOIN range(0, 8) i(i)
+"""
+
+
+@register(
+    "posexplode_embeddings",
+    posexplode_oracle,
+    "posexplode: array to (position, value) rows",
+)
+def posexplode_q(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load(spark, sf, "embeddings")
+    return emb.select(
+        "vec_id", F.posexplode(F.slice("embedding", 1, 8))
+    ).select("vec_id", "pos", F.round(F.col("col").cast("double"), 6).alias("v"))
+
+
 map_funcs_oracle = """
 WITH m AS (
   SELECT p_partkey, p_brand,
