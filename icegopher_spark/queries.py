@@ -1024,6 +1024,46 @@ def fingerprint_q(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+window_frames_oracle = """
+SELECT o_orderkey,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(14,2))) OVER (
+             PARTITION BY o_orderpriority
+             ORDER BY CAST(epoch(o_orderdate) AS BIGINT)
+             RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW), 2) AS DOUBLE)
+         AS rolling_7d,
+       CAST(NTILE(4) OVER w AS INT) AS quartile,
+       ROUND(PERCENT_RANK() OVER w, 6) AS pr,
+       ROUND(CUME_DIST() OVER w, 6) AS cd
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+"""
+
+
+@register(
+    "window_frames",
+    window_frames_oracle,
+    "window frames: RANGE-interval rolling sum, ntile, percent_rank, cume_dist",
+)
+def window_frames_q(spark: SparkSession, sf: str) -> DataFrame:
+    """RANGE frames need a numeric ORDER BY in Spark — epoch seconds on
+    both sides keeps the 7-day rolling frame engine-identical. The rank
+    window totals its order (price, key) so ntile/cume_dist are
+    deterministic under ties."""
+    o = load(spark, sf, "orders")
+    epoch = F.col("o_orderdate").cast("timestamp").cast("long")
+    w_range = (
+        Window.partitionBy("o_orderpriority").orderBy(epoch).rangeBetween(-7 * 86400, 0)
+    )
+    w_rank = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        money(F.sum(dec("o_totalprice", p=14)).over(w_range)).alias("rolling_7d"),
+        F.ntile(4).over(w_rank).alias("quartile"),
+        F.round(F.percent_rank().over(w_rank), 6).alias("pr"),
+        F.round(F.cume_dist().over(w_rank), 6).alias("cd"),
+    )
+
+
 pivot_oracle = """
 SELECT l_linestatus,
        CAST(ROUND(SUM(CASE WHEN l_returnflag = 'A' THEN CAST(l_quantity AS DECIMAL(12,2)) END), 2) AS DOUBLE) AS qty_A,
