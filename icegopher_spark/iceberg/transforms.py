@@ -115,6 +115,37 @@ def bucket_hash(value: Any, t: IcebergType) -> int:
     return murmur3_32(_bucket_encode(value, t))
 
 
+def murmur3_32_vec8(vals):
+    """Vectorized murmur3_32 over little-endian 8-byte encodings.
+
+    ``vals`` is an int64 numpy array holding the spec's ``<q`` encoding
+    (ints/longs directly; dates as epoch days; timestamps as epoch µs).
+    An 8-byte input is exactly two 4-byte blocks with no tail, so the
+    whole hash is branch-free and vectorizes: bit-identical to
+    ``murmur3_32(struct.pack("<q", v))`` for every int64 ``v``.
+    Returns a uint64 array whose low 32 bits are the (unsigned) hash.
+    """
+    import numpy as np
+
+    m = np.uint64(_M32)
+    u = vals.astype(np.int64).view(np.uint64)
+    h = np.zeros(len(u), dtype=np.uint64)
+    for k in (u & m, (u >> np.uint64(32)) & m):
+        k = (k * np.uint64(_C1)) & m
+        k = ((k << np.uint64(15)) | (k >> np.uint64(17))) & m
+        k = (k * np.uint64(_C2)) & m
+        h ^= k
+        h = ((h << np.uint64(13)) | (h >> np.uint64(19))) & m
+        h = (h * np.uint64(5) + np.uint64(0xE6546B64)) & m
+    h ^= np.uint64(8)  # length
+    h ^= h >> np.uint64(16)
+    h = (h * np.uint64(0x85EBCA6B)) & m
+    h ^= h >> np.uint64(13)
+    h = (h * np.uint64(0xC2B2AE35)) & m
+    h ^= h >> np.uint64(16)
+    return h
+
+
 # --------------------------------------------------------------------------
 # Transforms
 # --------------------------------------------------------------------------
@@ -192,17 +223,61 @@ class BucketTransform(Transform):
         return IntegerType()
 
 
+def _series_to_int64_encoding(s, st: IcebergType):
+    """(int64 values, null mask) for the 8-byte-encoded bucket sources.
+
+    Masked positions hold 0 (hashed then discarded) so the hash kernel
+    never sees NaT/NaN sentinels."""
+    import numpy as np
+    import pandas as pd
+
+    if isinstance(st, (TimestampType, TimestampTzType)):
+        if isinstance(s.dtype, pd.DatetimeTZDtype):
+            s = s.dt.tz_convert("UTC").dt.tz_localize(None)
+        if pd.api.types.is_datetime64_any_dtype(s.dtype):
+            mask = s.isna().to_numpy()
+            micros = s.to_numpy(dtype="datetime64[ns]").view("int64") // 1000
+            return np.where(mask, 0, micros), mask
+    elif isinstance(st, DateType):
+        mask = s.isna().to_numpy()
+        if not pd.api.types.is_datetime64_any_dtype(s.dtype):
+            # Arrow hands DateType over as object datetime.date
+            s = pd.to_datetime(s.where(~mask, pd.Timestamp(0)))
+        days = s.to_numpy(dtype="datetime64[ns]").view("int64") // 86_400_000_000_000
+        return np.where(mask, 0, days), mask
+    elif pd.api.types.is_integer_dtype(s.dtype):
+        return s.to_numpy(dtype="int64"), np.zeros(len(s), dtype=bool)
+    # int column with nulls arrives as float64/object
+    mask = s.isna().to_numpy()
+    return s.fillna(0).to_numpy(dtype="int64"), mask
+
+
 def _bucket_udf(n: int, st: IcebergType):
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
-    def _bucket(s: pd.Series) -> pd.Series:
-        def one(v):
-            if v is None or (isinstance(v, float) and v != v):
-                return None
-            return (bucket_hash(_coerce(v, st), st) & 0x7FFFFFFF) % n
+    if isinstance(st, (IntegerType, LongType, DateType, TimestampType, TimestampTzType)):
 
-        return s.map(one)
+        def _bucket(s: pd.Series) -> pd.Series:
+            import numpy as np
+
+            vals, mask = _series_to_int64_encoding(s, st)
+            h = murmur3_32_vec8(vals)
+            res = ((h & np.uint64(0x7FFFFFFF)) % np.uint64(n)).astype("int32")
+            out = pd.array(res, dtype="Int32")
+            out[mask] = pd.NA
+            return pd.Series(out)
+
+    else:
+        # variable-length encodings (string/decimal/uuid/binary/float):
+        # per-value spec hash — rare bucket sources, cold path
+        def _bucket(s: pd.Series) -> pd.Series:
+            def one(v):
+                if v is None or (isinstance(v, float) and v != v):
+                    return None
+                return (bucket_hash(_coerce(v, st), st) & 0x7FFFFFFF) % n
+
+            return s.map(one)
 
     _bucket.__annotations__ = {"s": pd.Series, "return": pd.Series}
     return pandas_udf(_bucket, "int")
