@@ -215,16 +215,24 @@ def _kmeans_centroids(
         the ONLY thing collected.
       * MLlib's kmeans|| init samples per-partition, so its centroids
         change with the session's partitioning — a golden-value recall
-        gate would flap across harness configs. The sample is sorted
-        canonically and initialized with a seeded xorshift pick, so
-        the centroids depend only on (data, seed), never on
-        partitioning or parallelism."""
+        gate would flap across harness configs. The same trap hides in
+        ``DataFrame.sample``: its seed is combined with the partition
+        index, so the selected rows shift with parallelism. We instead
+        keep rows whose content hash falls under a threshold
+        (``xxhash64(vector, seed) % M < M·cap/n``) — a pure function of
+        the data, invariant to partitioning — then sort canonically and
+        init with a seeded xorshift pick, so the centroids depend only
+        on (data, seed), never on partitioning or parallelism."""
     import numpy as np
 
     n = corpus.count()
     train_df = corpus.select(F.col(vec_col).cast("array<double>").alias("v"))
     if n > sample_cap:
-        train_df = train_df.sample(False, sample_cap / n, seed)
+        mod = 1_000_000
+        keep = max(1, int(mod * sample_cap / n))
+        train_df = train_df.where(
+            F.pmod(F.xxhash64(F.col("v"), F.lit(seed)), F.lit(mod)) < F.lit(keep)
+        )
     sample = sorted(tuple(r["v"]) for r in train_df.collect())
     x = np.asarray(sample, dtype=np.float64)
     k = min(n_lists, len(x))
@@ -335,39 +343,74 @@ def ivf_topk(
     )
 
 
+def _band_keys(vec: Column, planes: list[list[float]], band_size: int) -> Column:
+    """array<struct<band:int,key:int>> — one sign-bit key per band."""
+    bits = [
+        F.when(dot(vec, F.array(*[F.lit(float(x)) for x in p])) > 0, 1).otherwise(0)
+        for p in planes
+    ]
+    n_bands = len(planes) // band_size
+    return F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                sum(bits[b * band_size + j] * F.lit(1 << j) for j in range(band_size))
+                .cast("int")
+                .alias("key"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
     k: int = 5,
     dim: int = 64,
-    n_planes: int = 6,
+    n_tables: int = 12,
+    bits_per_table: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
 ) -> DataFrame:
-    """Approximate top-k: candidates share the query's sign-LSH bucket,
-    then exact cosine re-rank. At scale the corpus is hash-partitioned
-    by bucket; each query probes one partition instead of the corpus.
-    """
+    """Approximate top-k via multi-table sign-LSH: a candidate is any
+    corpus vector sharing at least one of ``n_tables`` band keys with
+    the query, exact-cosine re-ranked.
+
+    One table of b bits has per-neighbor hit probability p^b (p = sign
+    agreement, 1-θ/π); a single table starves recall for moderate-sim
+    neighbors, so the standard recipe is L independent tables and a
+    union of candidates — miss probability (1-p^b)^L. Defaults (12
+    tables × 4 bits) put a cosine-0.5 neighbor (p≈0.67) at ~93% hit.
+
+    Scale: candidates come from an equi-join on 8-byte (band, key)
+    against the (tiny, broadcast) exploded query keys — the corpus is
+    touched once to emit L keys per row and once to re-rank the
+    matched ids; no bucket is ever collected. At 100 TB the corpus
+    side can be pre-materialized bucketed by (band, key)."""
     from pyspark.sql import Window
 
-    planes = _hyperplanes(dim, n_planes)
+    planes = _hyperplanes(dim, n_tables * bits_per_table)
     c = corpus.select(
-        F.col(id_col), F.col(vec_col), lsh_bucket(F.col(vec_col), planes).alias("bucket")
-    )
+        F.col(id_col),
+        F.col(vec_col),
+        F.explode(_band_keys(F.col(vec_col), planes, bits_per_table)).alias("bk"),
+    ).select(id_col, vec_col, "bk.band", "bk.key")
     q = queries.select(
         F.col(query_id_col),
         F.col(vec_col).alias("_qvec"),
-        lsh_bucket(F.col(vec_col), planes).alias("bucket"),
-    )
+        F.explode(_band_keys(F.col(vec_col), planes, bits_per_table)).alias("bk"),
+    ).select(query_id_col, "_qvec", "bk.band", "bk.key")
     scored = (
-        c.join(F.broadcast(q), "bucket")
+        c.join(F.broadcast(q), ["band", "key"])
         .filter(F.col(id_col) != F.col(query_id_col))
         .select(
             query_id_col,
             id_col,
             F.round(cosine(F.col(vec_col), F.col("_qvec")), 6).alias("cosine_sim"),
         )
+        .distinct()  # a pair may collide in several tables
     )
     w = Window.partitionBy(query_id_col).orderBy(F.col("cosine_sim").desc(), F.col(id_col).asc())
     return (

@@ -1488,52 +1488,10 @@ def sim_neardup_q(spark: SparkSession, sf: str) -> DataFrame:
     return similarity.lsh_neardup_pairs(emb, threshold=0.9)
 
 
-def _lsh_topk_oracle() -> str:
-    """Full SQL replica of the sign-LSH pipeline: the hyperplanes are
-    deterministic (seeded xorshift, similarity._hyperplanes), so they
-    embed as constant DOUBLE arrays and DuckDB independently recomputes
-    bucket assignment, candidate join, and exact rerank. repr() of a
-    Python float round-trips, so both engines see bit-identical plane
-    coordinates."""
-    planes = similarity._hyperplanes(64, 6)
-    bucket = " + ".join(
-        f"(CASE WHEN list_dot_product(v, [{', '.join(repr(float(x)) for x in p)}]) > 0"
-        f" THEN {1 << b} ELSE 0 END)"
-        for b, p in enumerate(planes)
-    )
-    return f"""
-WITH c AS (
-  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-), bk AS (
-  SELECT vec_id, v, {bucket} AS bucket FROM c
-), q AS (
-  SELECT vec_id AS query_id, v AS qvec, bucket FROM bk WHERE vec_id < 10
-), scored AS (
-  SELECT q.query_id, bk.vec_id,
-         ROUND(list_dot_product(bk.v, q.qvec)
-               / (sqrt(list_dot_product(bk.v, bk.v)) * sqrt(list_dot_product(q.qvec, q.qvec))), 6)
-           AS cosine_sim
-  FROM bk JOIN q ON bk.bucket = q.bucket AND bk.vec_id <> q.query_id
-), ranked AS (
-  SELECT query_id, vec_id, cosine_sim,
-         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine_sim DESC, vec_id ASC) AS rank
-  FROM scored
-)
-SELECT query_id, vec_id, cosine_sim, rank FROM ranked WHERE rank <= 5
-"""
-
-
-@register(
-    "sim_lsh_topk",
-    _lsh_topk_oracle(),
-    "sign-LSH bucketed ANN, full SQL oracle (constant hyperplanes)",
-)
-def sim_lsh_q(spark: SparkSession, sf: str) -> DataFrame:
-    emb = load(spark, sf, "embeddings")
-    q = emb.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding")
-    )
-    return similarity.lsh_topk(emb, q, k=5)
+# sim_lsh_topk is registered below, next to the other recall gates —
+# its oracle judges retrieval quality against the exact top-k instead
+# of replaying the pipeline's own hyperplanes in SQL (r3 verdict #2:
+# a replica oracle verifies reproducibility, not retrieval).
 
 
 # Iceberg-plane queries register themselves on import (module kept
@@ -1586,6 +1544,26 @@ def _pinned_recall_oracle(values: dict[int, int], k: int) -> str:
 # the quantizer fit is partition-independent by construction.
 _IVF_RECALL_SF001 = {0: 5, 1: 4, 2: 3, 3: 2, 4: 5, 5: 4, 6: 5, 7: 4, 8: 5, 9: 2}
 _IVF_INDEX_RECALL_SF001 = dict(_IVF_RECALL_SF001)
+# Sign-LSH (12 tables × 4 bits): hyperplanes are seeded constants, so
+# recall on the fixed gate corpus is exactly reproducible. Mean
+# recall@5 = 0.80 on the near-uniform synthetic embeddings — ANN's
+# worst case; clustered real embeddings do better at the same L·b.
+_LSH_RECALL_SF001 = {0: 3, 1: 3, 2: 5, 3: 3, 4: 4, 5: 5, 6: 3, 7: 5, 8: 5, 9: 4}
+
+
+@register(
+    "sim_lsh_topk",
+    _pinned_recall_oracle(_LSH_RECALL_SF001, k=5),
+    "sign-LSH bucketed ANN recall@5 vs exact top-k (pinned golden values)",
+)
+def sim_lsh_q(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load(spark, sf, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    exact = similarity.brute_force_topk(emb, q, k=5)
+    approx = similarity.lsh_topk(emb, q, k=5)
+    return _topk_recall(exact, approx, k=5)
 
 
 @register(

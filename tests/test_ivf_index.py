@@ -55,3 +55,12 @@ def test_search_recall_vs_bruteforce(spark, index, corpus):
     assert recall >= 0.5  # near-uniform synthetic vectors, 4/8 cells probed
     # sanity: the index never returns the query itself
     assert all(q != v for q, v in ap)
+
+
+def test_centroids_invariant_to_partitioning(spark, corpus):
+    """The quantizer sample is a content-hash filter, not df.sample —
+    centroids must not move when the corpus is repartitioned (ADVICE
+    r3: sample(fraction, seed) folds in the partition index)."""
+    a = S._kmeans_centroids(corpus.repartition(1), "embedding", 4, seed=42, sample_cap=100)
+    b = S._kmeans_centroids(corpus.repartition(13), "embedding", 4, seed=42, sample_cap=100)
+    assert a == b
