@@ -268,7 +268,7 @@ def count_ocf_rows(path: str) -> int:
             for _ in range(count):
                 read_bytes(fh)  # key
                 read_bytes(fh)  # value
-        fh.read(16)  # sync
+        sync = fh.read(16)
         while True:
             head = fh.read(1)
             if not head:
@@ -276,7 +276,12 @@ def count_ocf_rows(path: str) -> int:
             fh.seek(-1, os.SEEK_CUR)
             n_records = read_long(fh)
             block_len = read_long(fh)
-            fh.seek(block_len + 16, os.SEEK_CUR)  # payload + sync marker
+            fh.seek(block_len, os.SEEK_CUR)  # skip payload, never decode
+            # seeking past EOF is legal, so a blind seek would turn a
+            # truncated file into a silent undercount — instead read the
+            # 16-byte trailer and demand the header's sync marker
+            if fh.read(16) != sync:
+                raise ValueError(f"truncated or corrupt Avro OCF: {path}")
             total += n_records
     return total
 

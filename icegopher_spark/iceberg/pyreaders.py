@@ -207,13 +207,21 @@ def write_avro_files(
 ) -> list[str]:
     """Distributed Avro OCF DATA-file write via ``mapInPandas`` — the
     bulk-write twin of ``read_avro_files``. Each task encodes its own
-    batches with the pure-Python codec and writes straight to storage;
-    nothing materializes on the driver (only the written paths come
-    back). With ``partition_cols``, rows land in hive-style dirs
-    (``name=value/``) the normal partitioned-commit harvester parses;
-    callers should repartition by those columns first so a task writes
-    few distinct partitions."""
+    batches with the pure-Python codec; nothing materializes on the
+    driver (only written paths come back). With ``partition_cols``,
+    rows land in hive-style dirs (``name=value/``); callers should
+    repartition by those columns first so a task writes few distinct
+    partitions.
+
+    Task-commit protocol (what FileOutputCommitter does for the
+    built-in sources): each task writes under an attempt-scoped
+    staging dir, ``collect()`` returns rows only from SUCCESSFUL
+    attempts, and the driver promotes exactly those files into
+    ``out_dir`` before deleting the whole staging tree — so a failed,
+    retried, or speculative attempt can never leak a file into the
+    commit harvest."""
     import os
+    import shutil as _shutil
     import uuid as _uuid
     from datetime import date as _date
 
@@ -222,6 +230,8 @@ def write_avro_files(
     avro_schema = iceberg_schema_to_avro(schema)
     meta = {"iceberg.schema": json.dumps(schema.to_json_dict())}
     pcols = list(partition_cols or [])
+    base = strip_scheme(out_dir)
+    staging_root = os.path.join(base, f"_staging-{_uuid.uuid4().hex[:8]}")
 
     def _dir_value(v) -> str:
         if v is None or (isinstance(v, float) and pd.isna(v)):
@@ -233,8 +243,12 @@ def write_avro_files(
         return str(v)
 
     def gen(iterator: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
         from .avro_io import write_ocf
 
+        ctx = TaskContext.get()
+        attempt = f"attempt-{ctx.taskAttemptId()}" if ctx else "attempt-driver"
         for pdf in iterator:
             if not len(pdf):
                 continue
@@ -250,16 +264,36 @@ def write_avro_files(
                     sub = "/".join(
                         f"{n}={_dir_value(v)}" for n, v in zip(pcols, key_t)
                     )
-                d = os.path.join(strip_scheme(out_dir), sub) if sub else strip_scheme(out_dir)
+                fname = f"{_uuid.uuid4().hex[:16]}.avro"
+                d = os.path.join(staging_root, attempt, sub)
                 os.makedirs(d, exist_ok=True)
-                path = os.path.join(d, f"{_uuid.uuid4().hex[:16]}.avro")
+                path = os.path.join(d, fname)
                 data = write_ocf(avro_schema, _pdf_to_records(g, schema), meta)
                 with open(path, "wb") as fh:
                     fh.write(data)
-                yield pd.DataFrame({"path": [path], "n_rows": [len(g)]})
+                yield pd.DataFrame(
+                    {
+                        "path": [path],
+                        "rel": [os.path.join(sub, fname) if sub else fname],
+                        "n_rows": [len(g)],
+                    }
+                )
 
     out_schema = ST.StructType(
-        [ST.StructField("path", ST.StringType()), ST.StructField("n_rows", ST.LongType())]
+        [
+            ST.StructField("path", ST.StringType()),
+            ST.StructField("rel", ST.StringType()),
+            ST.StructField("n_rows", ST.LongType()),
+        ]
     )
-    written = df.mapInPandas(gen, out_schema).collect()
-    return [r["path"] for r in written]
+    try:
+        written = df.mapInPandas(gen, out_schema).collect()
+        final_paths = []
+        for r in written:
+            dst = os.path.join(base, r["rel"])
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            os.replace(r["path"], dst)
+            final_paths.append(dst)
+    finally:
+        _shutil.rmtree(staging_root, ignore_errors=True)
+    return final_paths

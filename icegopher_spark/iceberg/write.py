@@ -427,9 +427,11 @@ def _write_data_files(
     if fmt == "avro":
         from .pyreaders import write_avro_files
 
-        # hive-style dirs written executor-side; harvested by the same
-        # os.walk below as the built-in sources' partitionBy layout
-        write_avro_files(staged, schema, out, partition_cols=names)
+        # hive-style dirs written executor-side under a task-attempt
+        # staging protocol; harvest ONLY the promoted paths it returns
+        # (an os.walk would also pick up files a failed/speculative
+        # attempt left behind)
+        files = sorted(write_avro_files(staged, schema, out, partition_cols=names))
     else:
         (
             staged.write.mode("overwrite")
@@ -437,19 +439,24 @@ def _write_data_files(
             .format(fmt)
             .save(out)
         )
+        # Spark's committer has already cleaned up failed attempts; the
+        # final tree contains only committed files
+        files = sorted(
+            os.path.join(root, fn)
+            for root, _dirs, fns in os.walk(out)
+            for fn in fns
+            if fn.endswith(ext)
+        )
     pairs: list[tuple[str, dict[str, Any]]] = []
-    for root, _dirs, files in os.walk(out):
-        for fn in sorted(files):
-            if not fn.endswith(ext):
-                continue
-            rel = os.path.relpath(root, out)
-            partition: dict[str, Any] = {}
-            for comp in rel.split(os.sep):
-                if "=" in comp:
-                    k, v = comp.split("=", 1)
-                    k = write_names.get(k, k)
-                    partition[k] = _parse_partition_value(k, v, spec, schema)
-            pairs.append((os.path.join(root, fn), partition))
+    for path in files:
+        rel = os.path.relpath(os.path.dirname(path), out)
+        partition: dict[str, Any] = {}
+        for comp in rel.split(os.sep):
+            if "=" in comp:
+                k, v = comp.split("=", 1)
+                k = write_names.get(k, k)
+                partition[k] = _parse_partition_value(k, v, spec, schema)
+        pairs.append((path, partition))
     return pairs
 
 

@@ -181,3 +181,59 @@ def test_avro_table_write_is_executor_side(spark, tmp_path, lineitem):
     assert sum(f.record_count for f in files) == 250
     back = t.scan().to_df(spark)
     assert back.count() == 250
+
+
+def test_avro_write_commit_protocol_ignores_orphans(spark, tmp_path, lineitem):
+    """A file left behind by a failed/speculative attempt must never be
+    harvested: write_avro_files promotes only successful-attempt paths,
+    cleans its staging tree, and the partitioned commit path builds the
+    manifest from the returned list, not a directory walk."""
+    import os
+
+    from icegopher_spark.iceberg.pyreaders import write_avro_files
+
+    out = str(tmp_path / "avro_orphan")
+    # plant an orphan where a naive os.walk harvest would find it
+    os.makedirs(f"{out}/flag=A", exist_ok=True)
+    with open(f"{out}/flag=A/deadbeef-orphan.avro", "wb") as fh:
+        fh.write(b"Obj\x01garbage-from-failed-attempt")
+
+    src = lineitem.limit(200).withColumn("flag", F.col("l_returnflag"))
+    paths = write_avro_files(src.repartition("flag"), SCHEMA, out, partition_cols=["flag"])
+    assert all("orphan" not in os.path.basename(p) for p in paths)
+    assert all("_staging" not in p for p in paths)
+    # staging tree is gone
+    assert not [d for d in os.listdir(out) if d.startswith("_staging")]
+    # full table write path: manifest entries == returned files only
+    from icegopher_spark.iceberg.table import Table
+
+    loc = str(tmp_path / "avro_orphan_table")
+    t = W.create_table(loc, SCHEMA, properties={"write.format.default": "avro"})
+    t = W.append(t, lineitem.limit(100))
+    data_dir = f"{loc}/data"
+    # plant an orphan between commits
+    sub = next(os.walk(data_dir))[1][0] if next(os.walk(data_dir))[1] else ""
+    victim_dir = os.path.join(data_dir, sub) if sub else data_dir
+    with open(os.path.join(victim_dir, "zzzz-orphan.avro"), "wb") as fh:
+        fh.write(b"Objx")
+    t = W.append(t, lineitem.limit(50))
+    files = [e.file.file_path for e in t.scan().plan_files()]
+    assert all("orphan" not in os.path.basename(f) for f in files)
+    assert sum(e.file.record_count for e in t.scan().plan_files()) == 150
+
+
+def test_count_ocf_rows_rejects_truncation(tmp_path):
+    """A truncated OCF must raise, not undercount (ADVICE r3)."""
+    import pytest as _pytest
+
+    from icegopher_spark.iceberg.avro_io import count_ocf_rows, write_ocf
+
+    schema = {"type": "record", "name": "r", "fields": [{"name": "x", "type": "long"}]}
+    data = write_ocf(schema, [{"x": i} for i in range(1000)])
+    good = tmp_path / "good.avro"
+    good.write_bytes(data)
+    assert count_ocf_rows(str(good)) == 1000
+    bad = tmp_path / "bad.avro"
+    bad.write_bytes(data[:-25])  # chop into the last block+sync
+    with _pytest.raises(ValueError, match="truncated or corrupt"):
+        count_ocf_rows(str(bad))
