@@ -39,8 +39,7 @@ def read_events_stream(
     """
     from ..events_io import events_stream_schema
 
-    probe = sf_dir if sf_dir.endswith(".parquet") else sf_dir
-    schema, needs_div = events_stream_schema(probe)
+    schema, needs_div = events_stream_schema(sf_dir)
     if needs_div:
         try:
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -285,3 +285,27 @@ def test_simhash_production_banding_equals_bruteforce(spark):
         .collect()
     }
     assert banded == brute and brute  # equal and non-empty
+
+
+def test_dedup_pipelines_are_case_insensitive(spark):
+    """The DuckDB oracles tokenize lower(text); the Spark pipelines must
+    apply the identical normalization so the gates stay engine-equivalent
+    on ANY corpus casing, not just the all-lowercase synthetic one
+    (ADVICE r3). word_shingles lowercases before tokenizing — pin it."""
+    from pyspark.sql import functions as F
+
+    from icegopher_spark.operators import dedup
+
+    mixed = spark.createDataFrame(
+        [(1, "The Quick Brown Fox Jumps"), (2, "the quick brown fox jumps")],
+        "doc_id int, text string",
+    )
+    # exact dedup folds case
+    kept = dedup.exact_dedup(mixed).collect()
+    assert len(kept) == 1 and kept[0]["n_copies"] == 2
+    # shingles identical across casings
+    sh = mixed.select(dedup.word_shingles(F.col("text")).alias("s")).collect()
+    assert sh[0]["s"] == sh[1]["s"]
+    # simhash signatures identical across casings
+    sig = dedup.simhash_df(mixed).collect()
+    assert sig[0]["sh"] == sig[1]["sh"]
