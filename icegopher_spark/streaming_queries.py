@@ -319,6 +319,78 @@ def stream_stream_left_join(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("view_id", "purchase_id", "user_id")
 
 
+ss_full_join_oracle = """
+WITH v AS (
+  SELECT event_id AS view_id, user_id, ts FROM events WHERE event_type = 'view'
+), p AS (
+  SELECT event_id AS purchase_id, user_id, ts FROM events WHERE event_type = 'purchase'
+), m AS (
+  SELECT v.view_id, p.purchase_id, v.user_id
+  FROM v JOIN p ON v.user_id = p.user_id
+   AND p.ts > v.ts AND p.ts <= v.ts + INTERVAL 10 MINUTE
+), wm AS (
+  -- final query watermark: MIN of the per-input watermarks
+  SELECT LEAST(
+    (SELECT MAX(ts) FROM events WHERE event_type = 'view'),
+    (SELECT MAX(ts) FROM events WHERE event_type = 'purchase')
+  ) - INTERVAL 1 HOUR AS w
+)
+SELECT view_id, purchase_id, user_id FROM m
+UNION ALL
+-- unmatched view: emitted once the watermark closes [ts, ts+10min]
+SELECT v.view_id, CAST(NULL AS BIGINT) AS purchase_id, v.user_id
+FROM v
+WHERE v.view_id NOT IN (SELECT view_id FROM m)
+  AND v.ts + INTERVAL 10 MINUTE < (SELECT w FROM wm)
+UNION ALL
+-- unmatched purchase: its candidate views lie in [ts-10min, ts), so
+-- state expires once the watermark passes ts itself
+SELECT CAST(NULL AS BIGINT) AS view_id, p.purchase_id, p.user_id
+FROM p
+WHERE p.purchase_id NOT IN (SELECT purchase_id FROM m)
+  AND p.ts < (SELECT w FROM wm)
+"""
+
+
+@register(
+    "stream_stream_full_join",
+    ss_full_join_oracle,
+    "watermarked stream-stream FULL OUTER join: matches + both-side expired nulls",
+)
+def stream_stream_full_join(spark: SparkSession, sf: str) -> DataFrame:
+    """The remaining stream-join mode (CDC/enrichment): both sides emit
+    watermark-expired null rows. A view's join window is (ts, ts+10min]
+    forward; a purchase's is [ts-10min, ts) backward — so their state
+    expires at watermark > ts+10min and watermark > ts respectively,
+    which the oracle models against the final replay watermark."""
+    ev = _events_stream(spark, sf)
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .select(F.col("event_id").alias("view_id"), "user_id", F.col("ts").alias("view_ts"))
+        .withWatermark("view_ts", "1 hour")
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = views.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("p_ts") > F.col("view_ts"))
+        & (F.col("p_ts") <= F.col("view_ts") + F.expr("INTERVAL 10 MINUTES")),
+        "fullOuter",
+    )
+    out = P.run_stream_to_table(joined, spark, "append")
+    return out.select(
+        "view_id", "purchase_id", F.coalesce("user_id", "p_user").alias("user_id")
+    )
+
+
 @register(
     "stream_custom_sessionizer",
     session_windows_oracle,

@@ -84,3 +84,18 @@ def test_custom_sessionizer_matches_native_session_window(spark):
     )
     key = lambda r: (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
     assert sorted(map(key, custom.collect())) == sorted(map(key, native.collect()))
+
+
+def test_stream_stream_full_outer_emits_both_null_sides(spark):
+    """FULL outer = inner matches + watermark-expired nulls from BOTH
+    sides (left join only emits view-side nulls)."""
+    from icegopher_spark import streaming_queries as SQ
+
+    out = SQ.stream_stream_full_join(spark, SF).cache()
+    n_view_null = out.filter("view_id IS NULL").count()
+    n_purch_null = out.filter("purchase_id IS NULL").count()
+    n_matched = out.filter("view_id IS NOT NULL AND purchase_id IS NOT NULL").count()
+    assert n_view_null > 0 and n_purch_null > 0 and n_matched > 0
+    # every row carries the surviving side's user_id
+    assert out.filter("user_id IS NULL").count() == 0
+    out.unpersist()
