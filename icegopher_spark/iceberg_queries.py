@@ -498,6 +498,63 @@ def _specevo_table_for(spark: SparkSession, sf_dir: str) -> Table:
     return t
 
 
+ice_eqdel_specevo_oracle = """
+SELECT l_returnflag, COUNT(*) AS n_rows,
+       CAST(SUM(l_orderkey) AS BIGINT) AS sum_okey
+FROM lineitem
+WHERE l_returnflag = 'R' AND l_orderkey % 100 <> 7
+GROUP BY l_returnflag
+"""
+
+
+@register(
+    "iceberg_eqdelete_spec_evolution",
+    ice_eqdel_specevo_oracle,
+    "equality deletes crossing a partition-spec change: per-era pruning + delete apply",
+)
+def iceberg_eqdelete_spec_evolution(spark: SparkSession, sf: str) -> DataFrame:
+    """Eq-deletes land AFTER the spec evolved, keyed on rows from both
+    eras: era-1 files (unpartitioned spec) are stats-pruned only, era-2
+    files prune by the flag partition, and the delete anti-join must
+    apply to survivors of both plans."""
+    t = _eqdel_specevo_table_for(spark, sf)
+    scan = t.scan(row_filter=E.equal_to("l_returnflag", "R"))
+    return (
+        scan.to_df(spark)
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n_rows"), F.sum("l_orderkey").alias("sum_okey"))
+    )
+
+
+def _eqdel_specevo_table_for(spark: SparkSession, sf_dir: str) -> Table:
+    from .iceberg.evolve import update_spec
+
+    key = sf_dir.strip("/").replace("/", "_")
+    loc = f"{_CACHE_ROOT}/{key}/lineitem_eqdel_specevo"
+    hint = f"{loc}/metadata/version-hint.text"
+    if os.path.exists(hint):
+        try:
+            t = Table.from_location(loc)
+            if len(t.metadata.partition_specs) == 2 and len(t.metadata.snapshots) == 3:
+                return t
+        except Exception:  # noqa: BLE001
+            pass
+        shutil.rmtree(loc, ignore_errors=True)
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey",
+        "l_quantity",
+        "l_returnflag",
+        F.col("l_shipdate").cast("timestamp_ntz").alias("l_shipdate"),
+    )
+    t = W.create_table(loc, _SCHEMA.__class__(_SCHEMA.fields, schema_id=0))
+    t = W.append(t, li.filter(F.col("l_orderkey") % 2 == 0))
+    t = update_spec(t).add_field("l_returnflag", "identity", name="flag").commit()
+    t = W.append(t, li.filter(F.col("l_orderkey") % 2 == 1))
+    keys = li.filter(F.col("l_orderkey") % 100 == 7).select("l_orderkey").distinct()
+    t = W.delete_keys(t, spark, keys, ["l_orderkey"])
+    return t
+
+
 ice_asof_oracle = """
 SELECT COUNT(*) AS n_rows, CAST(SUM(l_orderkey) AS BIGINT) AS sum_okey
 FROM lineitem WHERE l_orderkey % 2 = 0

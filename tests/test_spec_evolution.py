@@ -99,3 +99,27 @@ def test_maintenance_skips_foreign_spec_manifests(spark, tmp_path, lineitem):
 
     t3 = M.rewrite_manifests(t2)
     assert t3.scan().to_df(spark).count() == n
+
+
+def test_equality_deletes_cross_spec_eras(spark, tmp_path, lineitem):
+    """Eq-deletes committed after a spec change must apply to files of
+    BOTH partition eras, and era-2 partition pruning must still apply
+    the deletes to its surviving files."""
+    t = W.create_table(str(tmp_path / "tbl"), SCHEMA)
+    t = W.append(t, lineitem.filter(F.col("l_orderkey") % 2 == 0))  # era 1: unpartitioned
+    t = update_spec(t).add_field("l_returnflag", "identity", name="flag").commit()
+    t = W.append(t, lineitem.filter(F.col("l_orderkey") % 2 == 1))  # era 2: by flag
+    keys = lineitem.filter(F.col("l_orderkey") % 100 == 7).select("l_orderkey").distinct()
+    t = W.delete_keys(t, spark, keys, ["l_orderkey"])
+
+    expect_all = lineitem.filter("l_orderkey % 100 <> 7").count()
+    assert t.scan().to_df(spark).count() == expect_all
+    # deleted keys are gone from both eras (7 mod 100 hits even AND odd keys)
+    got = t.scan().to_df(spark)
+    assert got.filter("l_orderkey % 100 = 7").count() == 0
+    assert got.filter("l_orderkey % 2 = 0").count() > 0
+    assert got.filter("l_orderkey % 2 = 1").count() > 0
+    # pruned era-2 scan still applies the deletes
+    pruned = t.scan(row_filter=E.equal_to("l_returnflag", "R")).to_df(spark)
+    expect_r = lineitem.filter("l_returnflag = 'R' AND l_orderkey % 100 <> 7").count()
+    assert pruned.count() == expect_r
