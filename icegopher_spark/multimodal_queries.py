@@ -110,7 +110,7 @@ def mm_thumbnails(spark: SparkSession, sf: str) -> DataFrame:
     from the binary thumb column via hex-nibble arithmetic — scalar,
     sortable, and independently recomputed by the oracle."""
     imgs = docs_as_media(spark, sf)
-    th = M.thumbnails(imgs, thumb_w=8, thumb_h=8, fake=True)
+    th = M.thumbnails(imgs, thumb_w=8, thumb_h=8, codec="synthetic")
     hexc = F.hex("thumb")
     bs = [
         (
@@ -168,7 +168,7 @@ def mm_image_features(spark: SparkSession, sf: str) -> DataFrame:
     bins) — list-typed cells break the driver's canonicalizer (round-2
     err) and are not SQL-expressible; scalars are both."""
     imgs = docs_as_media(spark, sf)
-    feats = M.image_features(imgs, fake=True)
+    feats = M.image_features(imgs, codec="synthetic")
     f = F.col("features")
     return feats.select(
         "media_id",

@@ -15,12 +15,16 @@ Spark-side design (all real and tested):
     ``spark.sql.execution.arrow.maxRecordsPerBatch`` down (e.g. 64) for
     real media; the functions are agnostic to it.
 
-The actual codec calls (JPEG decode, resampling, frame extraction) are
-STUBBED: this container has no imaging/audio libraries, so ``decode_*``
-raise NotImplementedError unless ``fake=True``, in which case a
-deterministic synthetic decoder (seeded from the payload hash) stands
-in. The Spark plumbing — schemas, UDF signatures, batch shapes,
-partition behavior — is the deliverable and is fully exercised.
+Codec selection is by FEATURE DETECTION (``codec="auto"``, the
+default): a real imaging library (PIL, else imageio) is used when
+importable; otherwise the deterministic synthetic decoder (seeded from
+the payload hash) stands in — callers never thread a flag. This
+container ships no imaging libs, so auto resolves to synthetic here;
+``codec="synthetic"`` pins the deterministic decoder explicitly (the
+correctness gates do, so their byte-exact oracles hold even where PIL
+exists) and ``codec="real"`` demands a real library. The Spark
+plumbing — schemas, UDF signatures, batch shapes, partition behavior —
+is real and fully exercised either way.
 
 [X] extension surface (SURVEY.md §2.9); no counterpart in the
 reference.
@@ -87,15 +91,61 @@ def _fake_pixels(payload: bytes, w: int, h: int) -> bytes:
     return (seed * reps)[:need]
 
 
-def decode_image(payload: bytes, w: int, h: int, fake: bool = False) -> bytes:
-    """STUB: real implementation needs an imaging library (PIL/opencv),
-    not present in this container."""
-    if not fake:
-        raise NotImplementedError(
-            "image decode requires an imaging library; pass fake=True for "
-            "the deterministic synthetic decoder"
-        )
-    return _fake_pixels(payload, w, h)
+def _detect_real_decoder():
+    """(name, fn) for the first importable imaging library, or None.
+    fn(payload, w, h) -> w*h grayscale bytes."""
+    try:
+        import io as _io
+
+        from PIL import Image  # type: ignore[import-not-found]
+
+        def _pil(payload: bytes, w: int, h: int) -> bytes:
+            img = Image.open(_io.BytesIO(payload)).convert("L").resize((w, h))
+            return img.tobytes()
+
+        return "pil", _pil
+    except ImportError:
+        pass
+    try:
+        import imageio.v3 as _iio  # type: ignore[import-not-found]
+        import numpy as _np
+
+        def _imageio(payload: bytes, w: int, h: int) -> bytes:
+            arr = _np.asarray(_iio.imread(payload))
+            if arr.ndim == 3:
+                arr = arr.mean(axis=2)
+            ys = _np.arange(h) * arr.shape[0] // h
+            xs = _np.arange(w) * arr.shape[1] // w
+            return arr[_np.ix_(ys, xs)].astype("uint8").tobytes()
+
+        return "imageio", _imageio
+    except ImportError:
+        pass
+    return None
+
+
+def get_image_decoder(codec: str = "auto"):
+    """Resolve the decode callable. ``auto``: real library if
+    importable, else the deterministic synthetic decoder. ``real``:
+    require a library (NotImplementedError when absent — this container
+    ships none). ``synthetic``: always the deterministic fake."""
+    if codec == "synthetic":
+        return _fake_pixels
+    real = _detect_real_decoder()
+    if codec == "real":
+        if real is None:
+            raise NotImplementedError(
+                "image decode requires an imaging library (PIL or imageio); "
+                "none is importable in this environment"
+            )
+        return real[1]
+    if codec != "auto":
+        raise ValueError(f"unknown codec {codec!r}")
+    return real[1] if real is not None else _fake_pixels
+
+
+def decode_image(payload: bytes, w: int, h: int, codec: str = "auto") -> bytes:
+    return get_image_decoder(codec)(payload, w, h)
 
 
 # -- operators (mapInPandas; plumbing is real) ------------------------------
@@ -114,11 +164,15 @@ def media_stats(df: DataFrame) -> DataFrame:
     )
 
 
-def thumbnails(df: DataFrame, thumb_w: int = 8, thumb_h: int = 8, fake: bool = True) -> DataFrame:
+def thumbnails(
+    df: DataFrame, thumb_w: int = 8, thumb_h: int = 8, codec: str = "auto"
+) -> DataFrame:
     """Decode → resize to (thumb_w, thumb_h) grayscale via mapInPandas.
 
     Output: (media_id, thumb binary, thumb_w, thumb_h). Arrow-batched;
-    per-batch python cost is one pass over the payload column."""
+    per-batch python cost is one pass over the payload column. The
+    decoder resolves EXECUTOR-side per task (codec='auto' feature-
+    detects the imaging lib on the worker, where it actually runs)."""
     out_schema = T.StructType(
         [
             T.StructField("media_id", T.LongType()),
@@ -131,12 +185,13 @@ def thumbnails(df: DataFrame, thumb_w: int = 8, thumb_h: int = 8, fake: bool = T
     def gen(batches: Iterator) -> Iterator:
         import pandas as pd
 
+        decode = get_image_decoder(codec)
         for pdf in batches:
             thumbs = []
             for payload, media in zip(pdf["content"], pdf["media"]):
                 w = media["width"] or 64
                 h = media["height"] or 64
-                px = decode_image(bytes(payload), int(w), int(h), fake=fake)
+                px = decode(bytes(payload), int(w), int(h))
                 # nearest-neighbor downsample to thumb_w × thumb_h
                 tw, th = thumb_w, thumb_h
                 t = bytes(
@@ -155,7 +210,7 @@ def thumbnails(df: DataFrame, thumb_w: int = 8, thumb_h: int = 8, fake: bool = T
     return df.mapInPandas(gen, out_schema)
 
 
-def image_features(df: DataFrame, fake: bool = True) -> DataFrame:
+def image_features(df: DataFrame, codec: str = "auto") -> DataFrame:
     """Per-image feature vector (mean/std/histogram-ish) as
     array<double> — the decode+featurize stage of a multimodal training
     pipeline. Deterministic under the fake decoder. Double precision so
@@ -173,12 +228,13 @@ def image_features(df: DataFrame, fake: bool = True) -> DataFrame:
         import numpy as np
         import pandas as pd
 
+        decode = get_image_decoder(codec)
         for pdf in batches:
             feats = []
             for payload, media in zip(pdf["content"], pdf["media"]):
                 w = int(media["width"] or 64)
                 h = int(media["height"] or 64)
-                px = np.frombuffer(decode_image(bytes(payload), w, h, fake=fake), dtype=np.uint8)
+                px = np.frombuffer(decode(bytes(payload), w, h), dtype=np.uint8)
                 hist = np.bincount(px >> 5, minlength=8).astype("float64") / len(px)
                 feats.append(
                     [float(px.mean()), float(px.std()), *[float(x) for x in hist]]

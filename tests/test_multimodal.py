@@ -40,9 +40,54 @@ def test_image_features_shape(spark, images):
         assert 0.99 < sum(r["features"][2:]) < 1.01  # histogram sums to 1
 
 
-def test_decode_stub_raises_without_fake():
+def test_codec_real_raises_without_library():
+    """codec='real' demands an imaging lib; this container has none."""
     with pytest.raises(NotImplementedError):
-        M.decode_image(b"payload", 4, 4, fake=False)
+        M.decode_image(b"payload", 4, 4, codec="real")
+
+
+def test_codec_auto_falls_back_to_synthetic():
+    """No imaging lib importable here -> auto == deterministic fake."""
+    assert M.decode_image(b"payload", 4, 4) == M._fake_pixels(b"payload", 4, 4)
+
+
+def test_codec_auto_selects_real_library_when_present(monkeypatch):
+    """Feature detection: plant a stub PIL in sys.modules and verify
+    the auto path routes decode through it, not the synthetic fake."""
+    import sys
+    import types
+
+    calls = []
+
+    class _Img:
+        def convert(self, mode):
+            return self
+
+        def resize(self, wh):
+            self._wh = wh
+            return self
+
+        def tobytes(self):
+            w, h = self._wh
+            return b"\xab" * (w * h)
+
+    pil = types.ModuleType("PIL")
+    pil_image = types.ModuleType("PIL.Image")
+
+    def _open(buf):
+        calls.append(buf.read())
+        return _Img()
+
+    pil_image.open = _open
+    pil.Image = pil_image
+    monkeypatch.setitem(sys.modules, "PIL", pil)
+    monkeypatch.setitem(sys.modules, "PIL.Image", pil_image)
+
+    out = M.decode_image(b"payload", 4, 4, codec="auto")
+    assert out == b"\xab" * 16
+    assert calls == [b"payload"]
+    # and synthetic stays pinned regardless of the library
+    assert M.decode_image(b"payload", 4, 4, codec="synthetic") == M._fake_pixels(b"payload", 4, 4)
 
 
 def test_frame_sample(spark):
