@@ -155,6 +155,15 @@ def _dispatch(args, cat) -> int:
                 print(json.dumps(md.current_schema.to_json_dict()))
             else:
                 print(md.current_schema)
+                times = [
+                    f.name for f in md.current_schema.fields if getattr(f.field_type, "name", "") == "time"
+                ]
+                if times:
+                    print(
+                        f"-- note: time column(s) {', '.join(times)} surface in "
+                        "Spark as bigint microseconds-since-midnight "
+                        "(Spark has no TIME type)"
+                    )
         elif args.verb == "spec":
             if args.as_json:
                 print(json.dumps(md.default_spec.to_json_dict()))

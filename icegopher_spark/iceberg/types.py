@@ -329,7 +329,15 @@ def to_spark_type(t: IcebergType) -> T.DataType:
                     f.name,
                     to_spark_type(f.field_type),
                     nullable=not f.required,
-                    metadata={"iceberg.field-id": f.field_id},
+                    # Spark has no TimeType: `time` columns surface as
+                    # bigint µs-since-midnight, annotated so the logical
+                    # type survives visibly in df.schema metadata
+                    metadata=(
+                        {"iceberg.field-id": f.field_id, "iceberg.type": "time",
+                         "iceberg.unit": "micros-since-midnight"}
+                        if isinstance(f.field_type, TimeType)
+                        else {"iceberg.field-id": f.field_id}
+                    ),
                 )
                 for f in t.fields
             ]
