@@ -73,11 +73,38 @@ def _adjudication_weight() -> dict[str, tuple[int, float]]:
     }
 
 
+# Queries whose implementation changed AFTER their last green
+# adjudication — their accumulated weight is discounted so the rotation
+# re-verifies them against current code ahead of multiply-green queries.
+# r4: the TPC-H join block had broadcast hints edited in round 3
+# (queries.py, commit 482260b) after its r1/r2 greens.
+_STALE_GREEN: dict[str, float] = {
+    name: 2.0
+    for name in (
+        "q2_min_cost_supplier",
+        "q5_local_supplier_volume",
+        "q7_volume_shipping",
+        "q8_national_market_share",
+        "q9_profit_by_nation_year",
+        "q10_returned_items",
+        "q13_customer_distribution",
+        "q15_top_supplier",
+        "q18_large_volume_customer",
+        "topk_suppliers_per_nation",
+    )
+}
+
+
 def _ordered_names() -> list[str]:
     names = list(QUERIES)
     weight = _adjudication_weight()
     index = {n: i for i, n in enumerate(names)}
-    return sorted(names, key=lambda n: (*weight.get(n, (0, 0.0)), index[n]))
+
+    def key(n: str):
+        red, w = weight.get(n, (0, 0.0))
+        return (red, max(w - _STALE_GREEN.get(n, 0.0), 0.0), index[n])
+
+    return sorted(names, key=key)
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -1,0 +1,192 @@
+"""Scale self-check: does every headline query scale ~linearly?
+
+The per-round bench only sees sf0.1, where an accidentally O(n²) plan
+or a skew hotspot can hide inside fixed overheads. This tool builds a
+K×-scaled copy of the sf0.1 tables (default K=10 → sf1-equivalent) and
+times the headline suite at both scales, flagging any query whose
+runtime grows worse than ~linear×log.
+
+The scale-up is key-space aware so query COST stays linear by
+construction (anything super-linear is therefore the plan's fault):
+  * every key column is shifted by replica×stride, consistently across
+    fact/dim tables, so joins match only within a replica;
+  * document text gets a per-replica prefix token, so dedup groups
+    never span replicas (naive replication would grow pair counts
+    quadratically in K);
+  * embeddings are rotated by the replica index — random vectors under
+    distinct rotations are uncorrelated, so near-dup/ANN candidate
+    structure stays per-replica.
+nation/region are dimensions and stay fixed.
+
+Usage:  python tools/scale_bench.py [--k 10] [--out BENCH_SCALE.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+_REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(_REPO))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from bench import BENCH_QUERIES  # noqa: E402
+from icegopher_spark.queries import QUERIES, load  # noqa: E402
+from icegopher_spark.session import get_spark  # noqa: E402
+
+BASE = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# key column -> (stride source table, stride source column)
+_KEYS = {
+    "c_custkey": ("customer", "c_custkey"),
+    "s_suppkey": ("supplier", "s_suppkey"),
+    "p_partkey": ("part", "p_partkey"),
+    "o_orderkey": ("orders", "o_orderkey"),
+    "o_custkey": ("customer", "c_custkey"),
+    "l_orderkey": ("orders", "o_orderkey"),
+    "l_partkey": ("part", "p_partkey"),
+    "l_suppkey": ("supplier", "s_suppkey"),
+    "event_id": ("events", "event_id"),
+    "user_id": ("events", "user_id"),
+    "doc_id": ("documents", "doc_id"),
+    "vec_id": ("embeddings", "vec_id"),
+}
+
+_COPY = ("region", "nation")
+_SCALED = (
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def _strides(spark) -> dict[str, int]:
+    out: dict[str, int] = {}
+    for key, (tbl, col) in _KEYS.items():
+        cache_key = (tbl, col)
+        if cache_key not in out:
+            out[cache_key] = int(
+                load(spark, BASE, tbl).agg(F.max(col)).collect()[0][0]
+            ) + 1
+        out[key] = out[cache_key]
+    return out
+
+
+def build_scaled(spark, k: int) -> str:
+    out_dir = f"/tmp/icegopher_scale/x{k}"
+    marker = f"{out_dir}/_BUILT"
+    if os.path.exists(marker):
+        return out_dir
+    os.makedirs(out_dir, exist_ok=True)
+    strides = _strides(spark)
+    for tbl in _COPY:
+        load(spark, BASE, tbl).write.mode("overwrite").parquet(
+            f"{out_dir}/{tbl}.parquet"
+        )
+    for tbl in _SCALED:
+        base = load(spark, BASE, tbl)
+        reps = []
+        for r in range(k):
+            cols = []
+            for c in base.columns:
+                col = F.col(c)
+                if c in _KEYS:
+                    col = (col + F.lit(r * strides[c])).alias(c)
+                elif tbl == "documents" and c == "text":
+                    # unique per-replica token: dedup groups stay
+                    # within-replica (cost linear in k)
+                    col = F.concat(F.lit(f"repl{r}tok "), col).alias(c)
+                elif tbl == "embeddings" and c == "embedding" and r > 0:
+                    # rotate dims by r: uncorrelated across replicas
+                    n = 64
+                    col = F.concat(
+                        F.slice(col, r + 1, n - r), F.slice(col, 1, r)
+                    ).alias(c)
+                else:
+                    col = col.alias(c)
+                cols.append(col)
+            reps.append(base.select(*cols))
+        scaled = reps[0]
+        for rep in reps[1:]:
+            scaled = scaled.unionByName(rep)
+        scaled.write.mode("overwrite").parquet(f"{out_dir}/{tbl}.parquet")
+    Path(marker).touch()
+    return out_dir
+
+
+def _warm(spark, sf_dir: str) -> None:
+    """Unbilled one-time costs: iceberg table construction + JIT."""
+    from icegopher_spark.iceberg_queries import (
+        _compacted_table_for,
+        _merge_table_for,
+        _mor_table_for,
+        _table_for,
+    )
+
+    load(spark, sf_dir, "lineitem").groupBy("l_returnflag").count().count()
+    _table_for(spark, sf_dir)
+    _mor_table_for(spark, sf_dir)
+    _compacted_table_for(spark, sf_dir)
+    _merge_table_for(spark, sf_dir)
+
+
+def run_suite(spark, sf_dir: str) -> dict[str, float]:
+    _warm(spark, sf_dir)
+    times: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        t0 = time.time()
+        QUERIES[name].fn(spark, sf_dir).count()
+        times[name] = round(time.time() - t0, 3)
+    return times
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--k", type=int, default=10)
+    ap.add_argument("--out", default=str(_REPO / "BENCH_SCALE.json"))
+    args = ap.parse_args()
+    spark = get_spark("scale-bench")
+
+    scaled_dir = build_scaled(spark, args.k)
+    base_times = run_suite(spark, BASE)
+    scaled_times = run_suite(spark, scaled_dir)
+
+    # linear×log budget: K × (1 + log10 K) plus a floor for fixed
+    # overhead — a query under 0.5 s at base is overhead-dominated and
+    # judged against an absolute bound instead of the ratio.
+    budget = args.k * (1 + __import__("math").log10(args.k))
+    rows = {}
+    flags = []
+    for name in BENCH_QUERIES:
+        b, s = base_times[name], scaled_times[name]
+        ratio = round(s / max(b, 1e-3), 2)
+        ok = (s <= max(b, 0.5) * budget)
+        rows[name] = {"base_sec": b, "scaled_sec": s, "ratio": ratio, "ok": ok}
+        if not ok:
+            flags.append(name)
+    artifact = {
+        "metric": "scale_check",
+        "base_sf_dir": BASE,
+        "scale_k": args.k,
+        "budget_ratio": round(budget, 2),
+        "base_total_sec": round(sum(base_times.values()), 3),
+        "scaled_total_sec": round(sum(scaled_times.values()), 3),
+        "flagged_superlinear": flags,
+        "queries": rows,
+    }
+    Path(args.out).write_text(json.dumps(artifact, indent=1))
+    print(json.dumps({k: v for k, v in artifact.items() if k != "queries"}))
+
+
+if __name__ == "__main__":
+    main()
