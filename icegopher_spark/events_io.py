@@ -40,13 +40,30 @@ def _first_parquet_file(path: str) -> str:
 
 
 def events_ts_unit(path: str) -> str:
-    """Classify the stored ts type: 'ns' (timestamp[ns]), 'us'
-    (timestamp[us/ms/s] — Spark-readable), or 'long' (raw int64 epoch
-    nanos)."""
+    """Classify the stored ts type: 'ns' (TIMESTAMP(NANOS)), 'us'
+    (Spark-readable timestamp), or 'long' (raw int64 epoch nanos).
+
+    Probes the parquet PHYSICAL type, not the arrow-level type: Spark's
+    default parquet writer stores timestamps as INT96, which pyarrow
+    surfaces as timestamp[ns] — indistinguishable at the arrow level
+    from the TIMESTAMP(NANOS) layout that needs the nanos-as-long
+    workaround, yet Spark reads INT96 natively as TimestampType."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    t = pq.read_schema(_first_parquet_file(path)).field("ts").type
+    f = _first_parquet_file(path)
+    ps = pq.ParquetFile(f).schema
+    for i in range(len(ps)):
+        col = ps.column(i)
+        if col.name != "ts":
+            continue
+        if col.physical_type == "INT96":
+            return "us"  # legacy Spark layout, read natively
+        lt = str(col.logical_type or "")
+        if lt.startswith("Timestamp"):
+            return "ns" if "nano" in lt.lower() else "us"
+        break
+    t = pq.read_schema(f).field("ts").type
     if pa.types.is_timestamp(t):
         return "ns" if t.unit == "ns" else "us"
     return "long"

@@ -35,8 +35,9 @@ def bind1(value: Column, fn) -> Column:
     return F.element_at(F.transform(F.array(value), fn), 1)
 
 
-def word_shingles(col: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles as an array<string>; empty-safe.
+def word_ngrams(col: Column, n: int = 3) -> Column:
+    """Word n-grams (NOT deduplicated, in document order) as an
+    array<string>; empty-safe; case-folded to match the SQL oracles.
 
     Guarded for short docs: F.sequence(1, 0) yields a DESCENDING [1, 0]
     (not an empty array), which would index past the token array for
@@ -53,11 +54,16 @@ def word_shingles(col: Column, n: int = 3) -> Column:
         grams = F.transform(
             idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)])
         )
-        return F.when(F.size(toks) >= n, F.array_distinct(grams)).otherwise(
+        return F.when(F.size(toks) >= n, grams).otherwise(
             F.array().cast("array<string>")
         )
 
     return bind1(tokens(F.lower(col)), build)
+
+
+def word_shingles(col: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles (see ``word_ngrams``)."""
+    return F.array_distinct(word_ngrams(col, n))
 
 
 def exact_dedup(

@@ -81,3 +81,22 @@ def test_stream_matches_batch_instants(spark, tmp_path, ts_type):
     got = {r["event_id"]: r["ts"] for r in out.collect()}
     want = {i: t for i, _u, _k, t in ROWS}
     assert got == want
+
+
+def test_int96_spark_written_events_roundtrip(spark, tmp_path):
+    """Spark's default parquet writer stores timestamps as INT96, which
+    pyarrow surfaces as timestamp[ns] — the probe must classify it by
+    PHYSICAL type ('us': Spark reads INT96 natively) or the loader
+    would divide a timestamp column by 1000 (r4 scale-bench failure)."""
+    from icegopher_spark.events_io import events_ts_unit, load_events
+    from icegopher_spark.queries import load
+
+    src = load(spark, "/root/testdata/sf0.001", "events").limit(100)
+    out = str(tmp_path / "events.parquet")
+    src.write.parquet(out)
+    assert events_ts_unit(out) == "us"
+    back = load_events(spark, out)
+    assert dict(back.dtypes)["ts"].startswith("timestamp")
+    a = sorted(r["ts"] for r in src.select("ts").collect())
+    b = sorted(r["ts"] for r in back.select("ts").collect())
+    assert a == b
