@@ -85,3 +85,34 @@ def weighted_sample(
         rate = F.when(F.col(key_col) == k, F.lit(float(r))).otherwise(rate)
     threshold = F.floor(rate * F.lit(float(_HASH_MOD))).cast("bigint")
     return df.filter(bucket < threshold)
+
+
+def assign_splits(
+    df: DataFrame,
+    fractions: dict[str, float] | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: the id's Knuth-hash
+    bucket falls into cumulative fraction ranges.
+
+    The split is a pure function of the id — stable across runs,
+    engines, partitionings, and corpus growth (a doc never changes
+    split when new docs arrive, the property that keeps eval sets
+    uncontaminated as a 100 TB corpus is re-snapshotted). Pure codegen:
+    one integer multiply + compares, evaluable at the scan.
+
+    Returns df plus a ``split`` column."""
+    fractions = fractions or {"train": 0.9, "val": 0.05, "test": 0.05}
+    bucket = (F.col(id_col).cast("bigint") * F.lit(_HASH_MULT)) % F.lit(_HASH_MOD)
+    expr = None
+    cum = 0.0
+    items = list(fractions.items())
+    for name, frac in items[:-1]:
+        cum += frac
+        bound = F.lit(int(cum * _HASH_MOD))
+        expr = F.when(bucket < bound, F.lit(name)) if expr is None else expr.when(
+            bucket < bound, F.lit(name)
+        )
+    last = items[-1][0]
+    expr = F.lit(last) if expr is None else expr.otherwise(F.lit(last))
+    return df.withColumn("split", expr)

@@ -440,3 +440,35 @@ def simhash_neardup_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def contaminated_ids(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark-contamination check: corpus docs sharing at least one
+    word n-gram with a benchmark/eval set — the screen every training
+    corpus runs before a model ships.
+
+    Scale path: both sides explode to distinct (id, 8-byte shingle
+    hash) rows; the LEFT SEMI join keys on the hash, so the shuffle
+    carries 16 B/shingle and the (small) benchmark side is broadcast
+    by AQE when it measures small. No text crosses an exchange."""
+
+    def grams(d: DataFrame):
+        return d.select(
+            F.col(id_col).alias("id"),
+            F.explode(word_shingles(F.col(text_col), n)).alias("g"),
+        ).select("id", F.xxhash64("g").alias("h"))
+
+    bench_h = grams(benchmark).select("h").distinct()
+    return (
+        grams(corpus)
+        .join(bench_h, "h", "left_semi")
+        .select("id")
+        .distinct()
+        .select(F.col("id").alias(id_col))
+    )

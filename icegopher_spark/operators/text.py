@@ -119,3 +119,26 @@ def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") ->
             "chars_per_token"
         ),
     )
+
+
+def repetition_stats(df: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document n-gram repetition: total vs distinct word n-grams
+    and the repeated fraction — the standard boilerplate/spam signal a
+    curation pipeline thresholds on (heavily repeated text is low-value
+    training data).
+
+    Pure codegen narrow map (array expressions, no UDF, no shuffle);
+    ratio is 0 for docs shorter than n tokens."""
+    from .dedup import word_ngrams
+
+    grams = word_ngrams(F.col(text_col), n)
+    n_total = F.size(grams).cast("bigint")
+    n_distinct = F.size(F.array_distinct(grams)).cast("bigint")
+    return df.select(
+        F.col(id_col),
+        n_total.alias("n_grams"),
+        n_distinct.alias("n_distinct_grams"),
+        F.when(n_total > 0, F.round((n_total - n_distinct) / n_total.cast("double"), 4))
+        .otherwise(F.lit(0.0))
+        .alias("repetition_ratio"),
+    )

@@ -1317,6 +1317,113 @@ def weighted_sample_q(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _split_oracle() -> str:
+    """Bounds computed with the SAME float accumulation as
+    curation.assign_splits, inlined as integer literals so both engines
+    compare against identical thresholds."""
+    from .operators import curation as C
+
+    fracs = [("train", 0.9), ("val", 0.05), ("test", 0.05)]
+    bounds, cum = [], 0.0
+    for name, f in fracs[:-1]:
+        cum += f
+        bounds.append((name, int(cum * C._HASH_MOD)))
+    case = "CASE " + " ".join(
+        f"WHEN bucket < {b} THEN '{name}'" for name, b in bounds
+    ) + f" ELSE '{fracs[-1][0]}' END"
+    return f"""
+WITH b AS (
+  SELECT doc_id, (doc_id * {C._HASH_MULT}) % {C._HASH_MOD} AS bucket FROM documents
+), s AS (
+  SELECT doc_id, {case} AS split FROM b
+)
+SELECT split, COUNT(*) AS n_docs, CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+FROM s GROUP BY split
+"""
+
+
+@register(
+    "corpus_split_assign",
+    _split_oracle(),
+    "deterministic train/val/test split by id hash bucket",
+)
+def corpus_split_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Split assignment is a pure function of doc_id (stable under
+    corpus growth and re-partitioning); the gate aggregates per split."""
+    from .operators import curation
+
+    docs = load(spark, sf, "documents")
+    return (
+        curation.assign_splits(docs)
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("doc_id").alias("sum_ids"))
+    )
+
+
+repetition_oracle = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS w
+  FROM documents
+), g AS (
+  SELECT doc_id,
+         list_transform(range(1, greatest(len(w) - 2, 0) + 1),
+                        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS grams
+  FROM toks
+)
+SELECT doc_id,
+       CAST(len(grams) AS BIGINT) AS n_grams,
+       CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct_grams,
+       CASE WHEN len(grams) > 0
+            THEN ROUND((len(grams) - len(list_distinct(grams)))
+                       / CAST(len(grams) AS DOUBLE), 4)
+            ELSE 0.0 END AS repetition_ratio
+FROM g
+"""
+
+
+@register(
+    "text_repetition",
+    repetition_oracle,
+    "per-doc n-gram repetition ratio (boilerplate/spam signal)",
+)
+def text_repetition_q(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents")
+    return text.repetition_stats(docs, n=3)
+
+
+contamination_oracle = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS w
+  FROM documents
+), g AS (
+  SELECT doc_id, unnest(list_distinct(
+           list_transform(range(1, greatest(len(w) - 4, 0) + 1),
+             i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4])
+         )) AS g
+  FROM toks
+)
+SELECT DISTINCT c.doc_id AS doc_id
+FROM g c JOIN g b ON c.g = b.g
+WHERE c.doc_id >= 20 AND b.doc_id < 20
+"""
+
+
+@register(
+    "corpus_contamination",
+    contamination_oracle,
+    "benchmark-contamination screen: corpus docs sharing a 5-gram with the eval set",
+)
+def corpus_contamination_q(spark: SparkSession, sf: str) -> DataFrame:
+    """docs 0-19 stand in for a benchmark/eval set; the operator flags
+    corpus docs sharing any word 5-gram via an 8-byte hash semi-join."""
+    docs = load(spark, sf, "documents")
+    bench = docs.filter(F.col("doc_id") < 20)
+    corpus = docs.filter(F.col("doc_id") >= 20)
+    return dedup.contaminated_ids(corpus, bench, n=5)
+
+
 asof_tol_oracle = """
 WITH ord AS (
   SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS o_orderkey

@@ -309,3 +309,50 @@ def test_dedup_pipelines_are_case_insensitive(spark):
     # simhash signatures identical across casings
     sig = dedup.simhash_df(mixed).collect()
     assert sig[0]["sh"] == sig[1]["sh"]
+
+
+def test_assign_splits_deterministic_and_exhaustive(spark):
+    from icegopher_spark.operators import curation
+
+    docs = spark.range(0, 5000).withColumnRenamed("id", "doc_id")
+    a = curation.assign_splits(docs)
+    counts = {r["split"]: r["n"] for r in a.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert sum(counts.values()) == 5000
+    assert set(counts) == {"train", "val", "test"}
+    assert counts["train"] > counts["val"] and counts["train"] > counts["test"]
+    # pure function of id: same assignment under different partitioning
+    b = curation.assign_splits(docs.repartition(13))
+    assert a.select("doc_id", "split").exceptAll(b.select("doc_id", "split")).count() == 0
+
+
+def test_repetition_stats_counts_repeats(spark):
+    from icegopher_spark.operators import text as T
+
+    df = spark.createDataFrame(
+        [(1, "a b c a b c a b c"), (2, "all distinct words here now"), (3, "x y")],
+        "doc_id int, text string",
+    )
+    rows = {r["doc_id"]: r for r in T.repetition_stats(df, n=3).collect()}
+    # doc 1: 7 grams, 3 distinct ('a b c','b c a','c a b') -> ratio 4/7
+    assert rows[1]["n_grams"] == 7 and rows[1]["n_distinct_grams"] == 3
+    assert abs(rows[1]["repetition_ratio"] - round(4 / 7, 4)) < 1e-9
+    assert rows[2]["repetition_ratio"] == 0.0
+    assert rows[3]["n_grams"] == 0 and rows[3]["repetition_ratio"] == 0.0
+
+
+def test_contaminated_ids_flags_shared_ngrams(spark):
+    from icegopher_spark.operators import dedup
+
+    bench = spark.createDataFrame(
+        [(0, "the quick brown fox jumps over the lazy dog")],
+        "doc_id int, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (10, "preamble text the quick brown fox jumps straight home"),
+            (11, "completely unrelated content with no overlap at all"),
+        ],
+        "doc_id int, text string",
+    )
+    hits = [r["doc_id"] for r in dedup.contaminated_ids(corpus, bench, n=5).collect()]
+    assert hits == [10]
