@@ -396,39 +396,68 @@ def simhash_neardup_pairs(
     nbits: int = 64,
     hash_col=None,
 ) -> DataFrame:
-    """SimHash near-dup: candidates share one of 4 (nbits/4)-bit bands
-    (pigeonhole guarantees full recall for hamming ≤ 3), verified by
-    exact popcount.
+    """SimHash near-dup via Manku-style block-permutation candidates
+    (WWW'07 "Detecting Near-Duplicates for Web Crawling"): split the
+    signature into ``max_hamming + 3`` blocks; a pair within hamming h
+    differs in at most h blocks, so it AGREES on at least 3 — and every
+    3-block combination is a candidate table, so recall is pigeonhole-
+    exact. Verified by exact popcount.
+
+    Why not plain 4-band LSH: 4 bands of 16 bits key a FIXED 2^16
+    space, so candidate collisions grow O(n²/2^16) — the r4 scale
+    self-check measured 45× cost at 10× corpus. Block keys concatenate
+    3 blocks (~32 bits of agreement for 64-bit signatures), cutting
+    collisions to O(C(6,3)·n²/2^32) — ~3×10^4 fewer — at the cost of
+    C(6,3)=20 exploded rows per doc instead of 4. Same exact-recall
+    guarantee, and the gate's brute-force oracle is unchanged.
     """
+    from itertools import combinations
+
     d = simhash_df(df, text_col, id_col, nbits=nbits, hash_col=hash_col)
-    width = nbits // 4
-    key_mask = (1 << width) - 1
-    bands = d.select(
+    n_blocks = max_hamming + 3
+    agree = n_blocks - max_hamming
+    base, extra = divmod(nbits, n_blocks)
+    widths = [base + (1 if i < extra else 0) for i in range(n_blocks)]
+    offsets = [sum(widths[:i]) for i in range(n_blocks)]
+
+    def block(i: int) -> Column:
+        return F.shiftrightunsigned("sh", offsets[i]).bitwiseAND(
+            F.lit((1 << widths[i]) - 1)
+        )
+
+    def table_key(combo: tuple[int, ...]) -> Column:
+        key = F.lit(0).cast("bigint")
+        shift = 0
+        for i in combo:
+            key = key + (block(i).cast("bigint") * F.lit(1 << shift))
+            shift += widths[i]
+        return key
+
+    combos = list(combinations(range(n_blocks), agree))
+    tables = d.select(
         "id",
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.col("sh").alias("sh"),
-                        F.lit(b).alias("band"),
-                        F.shiftrightunsigned("sh", b * width)
-                        .bitwiseAND(F.lit(key_mask))
-                        .alias("key"),
+                        F.lit(t).alias("tbl"),
+                        table_key(combo).alias("key"),
                     )
-                    for b in range(4)
+                    for t, combo in enumerate(combos)
                 ]
             )
         ).alias("bk"),
-    ).select("id", "bk.sh", "bk.band", "bk.key")
-    a, b = bands.alias("a"), bands.alias("b")
+    ).select("id", "bk.sh", "bk.tbl", "bk.key")
+    a, b = tables.alias("a"), tables.alias("b")
     hamming = F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh")))
     # verify hamming BEFORE the distinct: the popcount filter runs
     # map-side inside the join stage, so the dedup exchange carries only
-    # the (usually tiny) verified pair set, not every band collision
+    # the (usually tiny) verified pair set, not every table collision
     return (
         a.join(
             b,
-            (F.col("a.band") == F.col("b.band"))
+            (F.col("a.tbl") == F.col("b.tbl"))
             & (F.col("a.key") == F.col("b.key"))
             & (F.col("a.id") < F.col("b.id")),
         )

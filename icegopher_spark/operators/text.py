@@ -127,18 +127,35 @@ def repetition_stats(df: DataFrame, n: int = 3, text_col: str = "text", id_col: 
     curation pipeline thresholds on (heavily repeated text is low-value
     training data).
 
-    Pure codegen narrow map (array expressions, no UDF, no shuffle);
-    ratio is 0 for docs shorter than n tokens."""
+    Pure narrow map (array expressions, no UDF, no shuffle); ratio is
+    0 for docs shorter than n tokens. The gram array and the two sizes
+    materialize in their own projections: higher-order functions are
+    interpreted (CodegenFallback) with no common-subexpression
+    elimination, so inlining the gram build into every output column
+    would tokenize each document ~6× (Catalyst keeps the staged
+    projects because the expressions are non-cheap and multiply
+    referenced)."""
     from .dedup import word_ngrams
 
-    grams = word_ngrams(F.col(text_col), n)
-    n_total = F.size(grams).cast("bigint")
-    n_distinct = F.size(F.array_distinct(grams)).cast("bigint")
-    return df.select(
+    staged = df.select(
+        F.col(id_col), word_ngrams(F.col(text_col), n).alias("_grams")
+    ).select(
         F.col(id_col),
-        n_total.alias("n_grams"),
-        n_distinct.alias("n_distinct_grams"),
-        F.when(n_total > 0, F.round((n_total - n_distinct) / n_total.cast("double"), 4))
+        F.size("_grams").cast("bigint").alias("n_grams"),
+        F.size(F.array_distinct("_grams")).cast("bigint").alias("n_distinct_grams"),
+    )
+    return staged.select(
+        id_col,
+        "n_grams",
+        "n_distinct_grams",
+        F.when(
+            F.col("n_grams") > 0,
+            F.round(
+                (F.col("n_grams") - F.col("n_distinct_grams"))
+                / F.col("n_grams").cast("double"),
+                4,
+            ),
+        )
         .otherwise(F.lit(0.0))
         .alias("repetition_ratio"),
     )

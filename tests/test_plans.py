@@ -215,3 +215,40 @@ def test_weighted_sample_stays_codegen(spark, queries):
     no Python UDF evaluation anywhere in the plan."""
     plan = plan_of(queries["corpus_weighted_sample"].fn(spark, SF), "simple")
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def _data_exchanges(plan: str) -> list[str]:
+    """Exchange lines excluding the local-mode _scale_out round-robin
+    (a test-data artifact: single-row-group parquet inputs)."""
+    return [
+        l
+        for l in plan.splitlines()
+        if "Exchange" in l and "Reused" not in l and "RoundRobin" not in l
+    ]
+
+
+def test_repetition_stats_is_narrow_map(spark, queries):
+    """text_repetition: pure per-row array expressions — no data
+    exchange between scan and result, and the gram build materializes
+    ONCE (interpreted HOFs have no CSE; an inlined build would
+    tokenize each doc ~6x)."""
+    plan = plan_of(queries["text_repetition"].fn(spark, SF), "simple")
+    assert not _data_exchanges(plan)
+    assert plan.count("transform(array(filter") == 1
+
+
+def test_split_assignment_is_scan_level(spark, queries):
+    """corpus_split_assign: the split expression is codegen over the id
+    (no UDF, no extra exchange beyond the final group-by)."""
+    plan = plan_of(queries["corpus_split_assign"].fn(spark, SF), "simple")
+    assert "pythonUDF" not in plan and "BatchEvalPython" not in plan
+    assert len(_data_exchanges(plan)) <= 1  # only the split-key agg shuffle
+
+
+def test_contamination_never_shuffles_text(spark, queries):
+    """corpus_contamination: the semi-join keys on 8-byte shingle
+    hashes; document text never crosses an exchange."""
+    plan = plan_of(queries["corpus_contamination"].fn(spark, SF), "simple")
+    exchanges = [l for l in plan.splitlines() if "Exchange" in l and "Reused" not in l]
+    assert exchanges, "expected the hash semi-join exchanges"
+    assert all("text" not in e for e in exchanges)

@@ -103,9 +103,17 @@ def build_scaled(spark, k: int) -> str:
                 if c in _KEYS:
                     col = (col + F.lit(r * strides[c])).alias(c)
                 elif tbl == "documents" and c == "text":
-                    # unique per-replica token: dedup groups stay
-                    # within-replica (cost linear in k)
-                    col = F.concat(F.lit(f"repl{r}tok "), col).alias(c)
+                    # interleave a per-replica token between every word:
+                    # a single prefix token is NOT enough — SimHash
+                    # signatures of one-token-different docs stay within
+                    # hamming 3, so cross-replica copies remained near-
+                    # dups and the OUTPUT grew quadratically in k.
+                    # Interleaving changes every shingle, so near-dup
+                    # structure (exact/jaccard/minhash/simhash) is
+                    # strictly per-replica and cost stays linear.
+                    col = F.concat(
+                        F.lit(f"r{r}d "), F.regexp_replace(col, " ", f" w{r} ")
+                    ).alias(c)
                 elif tbl == "embeddings" and c == "embedding" and r > 0:
                     # rotate dims by r: uncorrelated across replicas
                     n = 64
