@@ -470,9 +470,11 @@ WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
 
 @register("q15_top_supplier", q15_oracle, "TPC-H Q15: view + MAX subquery")
 def q15(spark: SparkSession, sf: str) -> DataFrame:
-    """The scalar MAX subquery becomes a rank-1 window over the
-    aggregated (small) revenue view — one extra exchange over ~#suppliers
-    rows, never over lineitem."""
+    """The scalar MAX subquery is a tree-aggregated 1-row MAX broadcast
+    back onto the revenue view — NOT a global rank window, which would
+    funnel every supplier row through a single task (suppliers grow
+    with SF; at 100 TB that's a serialized multi-GB window). Ties keep
+    rank-1 semantics via the equality filter, matching the oracle."""
     li = load(spark, sf, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
@@ -481,8 +483,10 @@ def q15(spark: SparkSession, sf: str) -> DataFrame:
     revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
         F.sum(disc_price()).alias("total_revenue")
     )
-    w = Window.orderBy(F.col("total_revenue").desc())
-    top = revenue.withColumn("_r", F.rank().over(w)).filter(F.col("_r") == 1).drop("_r")
+    mx = revenue.agg(F.max("total_revenue").alias("_max_rev"))
+    top = revenue.join(
+        F.broadcast(mx), F.col("total_revenue") == F.col("_max_rev")
+    ).drop("_max_rev")
     return (
         top.join(s, top.supplier_no == s.s_suppkey)
         .select("s_suppkey", "s_name", money(F.col("total_revenue")).alias("total_revenue"))

@@ -252,3 +252,12 @@ def test_contamination_never_shuffles_text(spark, queries):
     exchanges = [l for l in plan.splitlines() if "Exchange" in l and "Reused" not in l]
     assert exchanges, "expected the hash semi-join exchanges"
     assert all("text" not in e for e in exchanges)
+
+
+def test_q15_no_global_window(spark, queries):
+    """Q15's scalar MAX must be a broadcast 1-row aggregate, not a
+    rank window with no partition key (single-task serialization over
+    a column that grows with SF)."""
+    plan = plan_of(queries["q15_top_supplier"].fn(spark, SF), "simple")
+    assert "Window" not in plan
+    assert "BroadcastHashJoin" in plan
