@@ -139,7 +139,7 @@ def test_vocab_partial_aggregation(spark, queries):
     [
         ("q10_returned_items", 1),  # nation only; customer un-hinted
         ("q9_profit_by_nation_year", 1),  # nation only; part/supplier un-hinted
-        ("q15_top_supplier", 0),  # supplier un-hinted
+        ("q15_top_supplier", 1),  # 1-row MAX aggregate only; supplier un-hinted
         ("q7_volume_shipping", 3),  # n1/n2/region only; part/supplier/customer un-hinted
     ],
 )
