@@ -1568,14 +1568,23 @@ def sim_topk_q(spark: SparkSession, sf: str) -> DataFrame:
     return similarity.brute_force_topk(emb, q, k=5)
 
 
+# The synthetic embeddings are near-uniform: no natural pair reaches
+# cosine 0.9, so a bare gate would vacuously match 0 == 0 rows. Both
+# sides therefore PLANT five near-dups — copies of vec_id < 5 scaled
+# by 2.0 (an exact float op, so cosine is exactly 1 in both engines)
+# under shifted ids — which the LSH pipeline must recover.
 sim_neardup_oracle = """
-WITH scored AS (
+WITH aug AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000, list_transform(CAST(embedding AS DOUBLE[]), x -> x * 2.0)
+  FROM embeddings WHERE vec_id < 5
+), scored AS (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-         ROUND(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
-               / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
-                  * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 6)
+         ROUND(list_dot_product(a.v, b.v)
+               / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)
            AS cosine_sim
-  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  FROM aug a JOIN aug b ON a.vec_id < b.vec_id
 )
 SELECT id_a, id_b, cosine_sim FROM scored WHERE cosine_sim >= 0.9
 """
@@ -1584,15 +1593,25 @@ SELECT id_a, id_b, cosine_sim FROM scored WHERE cosine_sim >= 0.9
 @register(
     "sim_neardup_embeddings",
     sim_neardup_oracle,
-    "embedding near-dup pairs via banded sign-LSH + exact verify",
+    "embedding near-dup pairs via banded sign-LSH + exact verify (planted dups)",
 )
 def sim_neardup_q(spark: SparkSession, sf: str) -> DataFrame:
     """Differential gate: the oracle brute-forces all pairs in SQL
     (fine for DuckDB at gate scale); the Spark side runs the BANDED
-    LSH + verify pipeline — the O(n²) BNLJ baseline
-    (neardup_pairs_exact) is no longer reachable from queries()."""
-    emb = load(spark, sf, "embeddings")
-    return similarity.lsh_neardup_pairs(emb, threshold=0.9)
+    LSH + verify pipeline over the same planted-dup corpus — the
+    O(n²) BNLJ baseline (neardup_pairs_exact) is not reachable from
+    queries()."""
+    emb = load(spark, sf, "embeddings").select("vec_id", "embedding")
+    planted = emb.filter(F.col("vec_id") < 5).select(
+        (F.col("vec_id") + F.lit(1000000)).alias("vec_id"),
+        F.transform(F.col("embedding").cast("array<double>"), lambda x: x * F.lit(2.0)).alias(
+            "embedding"
+        ),
+    )
+    aug = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("embedding")).unionByName(
+        planted
+    )
+    return similarity.lsh_neardup_pairs(aug, threshold=0.9)
 
 
 # sim_lsh_topk is registered below, next to the other recall gates —
