@@ -74,35 +74,66 @@ def _adjudication_weight() -> dict[str, tuple[int, float]]:
 
 
 # Queries whose implementation changed AFTER their last green
-# adjudication — their accumulated weight is discounted so the rotation
-# re-verifies them against current code ahead of multiply-green queries.
-# r4: the TPC-H join block had broadcast hints edited in round 3
-# (queries.py, commit 482260b) after its r1/r2 greens.
-_STALE_GREEN: dict[str, float] = {
-    name: 2.0
-    for name in (
-        "q2_min_cost_supplier",
-        "q5_local_supplier_volume",
-        "q7_volume_shipping",
-        "q8_national_market_share",
-        "q9_profit_by_nation_year",
-        "q10_returned_items",
-        "q13_customer_distribution",
-        "q15_top_supplier",
-        "q18_large_volume_customer",
-        "topk_suppliers_per_nation",
-    )
-}
+# adjudication: (names, edit round). Their accumulated weight is
+# discounted so the rotation re-verifies them against current code
+# ahead of multiply-green queries — but only until a LATER round
+# adjudicates them again, at which point the discount expires.
+# r3 edit: the TPC-H join block's broadcast hints (queries.py, commit
+# 482260b) changed after the block's r1/r2 greens.
+_STALE_GREEN: list[tuple[tuple[str, ...], int]] = [
+    (
+        (
+            "q2_min_cost_supplier",
+            "q5_local_supplier_volume",
+            "q7_volume_shipping",
+            "q8_national_market_share",
+            "q9_profit_by_nation_year",
+            "q10_returned_items",
+            "q13_customer_distribution",
+            "q15_top_supplier",
+            "q18_large_volume_customer",
+            "topk_suppliers_per_nation",
+        ),
+        3,
+    ),
+]
+
+
+def _latest_adjudicated_round() -> dict[str, int]:
+    """query name -> highest round number whose CORRECTNESS file holds
+    a row for it."""
+    latest: dict[str, int] = {}
+    for path in sorted(_REPO.glob("CORRECTNESS_r*.json")):
+        try:
+            rows = json.loads(path.read_text())
+            rnd = int(path.stem.rsplit("r", 1)[-1])
+        except (OSError, ValueError):
+            continue
+        if isinstance(rows, dict):
+            for name in rows:
+                latest[name] = max(latest.get(name, 0), rnd)
+    return latest
+
+
+def _stale_discount() -> dict[str, float]:
+    latest = _latest_adjudicated_round()
+    out: dict[str, float] = {}
+    for names, edit_round in _STALE_GREEN:
+        for n in names:
+            if latest.get(n, 0) <= edit_round:
+                out[n] = 2.0
+    return out
 
 
 def _ordered_names() -> list[str]:
     names = list(QUERIES)
     weight = _adjudication_weight()
+    discount = _stale_discount()
     index = {n: i for i, n in enumerate(names)}
 
     def key(n: str):
         red, w = weight.get(n, (0, 0.0))
-        return (red, max(w - _STALE_GREEN.get(n, 0.0), 0.0), index[n])
+        return (red, max(w - discount.get(n, 0.0), 0.0), index[n])
 
     return sorted(names, key=key)
 
