@@ -120,29 +120,10 @@ def lsh_neardup_pairs(
     cosine through plain shuffle joins on id — no broadcast hints, no
     cross join; AQE picks broadcast when a side is genuinely small."""
     planes = _hyperplanes(dim, n_planes)
-    n_bands = n_planes // band_size
-    sign_bits = [
-        F.when(dot(F.col(vec_col), F.array(*[F.lit(float(x)) for x in p])) > 0, 1).otherwise(0)
-        for p in planes
-    ]
-    keys = [
-        sum(
-            (sign_bits[b * band_size + j] * F.lit(1 << j))
-            for j in range(band_size)
-        )
-        for b in range(n_bands)
-    ]
     entries = df.select(
         F.col(id_col).alias("id"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(b).alias("band"), keys[b].cast("int").alias("key"))
-                    for b in range(n_bands)
-                ]
-            )
-        ).alias("bk"),
-    ).select("id", "bk.band", "bk.key")
+        F.posexplode(band_key_arrays(vec_col, planes, band_size)).alias("band", "key"),
+    )
     a, b = entries.alias("a"), entries.alias("b")
     cands = (
         a.join(
@@ -343,24 +324,40 @@ def ivf_topk(
     )
 
 
-def _band_keys(vec: Column, planes: list[list[float]], band_size: int) -> Column:
-    """array<struct<band:int,key:int>> — one sign-bit key per band."""
-    bits = [
-        F.when(dot(vec, F.array(*[F.lit(float(x)) for x in p])) > 0, 1).otherwise(0)
-        for p in planes
-    ]
-    n_bands = len(planes) // band_size
-    return F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                sum(bits[b * band_size + j] * F.lit(1 << j) for j in range(band_size))
-                .cast("int")
-                .alias("key"),
-            )
-            for b in range(n_bands)
-        ]
-    )
+def band_key_arrays(vec_col: str, planes: list[list[float]], band_size: int) -> Column:
+    """array<int> of per-band sign-LSH keys, one Arrow-batched numpy
+    matmul for ALL planes.
+
+    Why a pandas UDF when the rest of this module is codegen: the sign
+    bits need |planes| dot products per row, and Spark's higher-order
+    functions run interpreted (CodegenFallback) — 48 separate
+    F.aggregate folds over a 64-dim vector measured ~5× the cost of
+    the whole query. One (batch × dim) @ (dim × planes) matmul per
+    Arrow batch replaces all of them; key packing is a vectorized
+    reshape+dot. Bit/band layout matches the scalar definition
+    (plane b*band_size+j contributes 2^j to band b's key)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    P = np.asarray(planes, dtype=np.float64).T  # dim × n_planes
+    n_bands = P.shape[1] // band_size
+    weights = (1 << np.arange(band_size)).astype(np.int64)
+
+    def _keys(v: pd.Series) -> pd.Series:
+        if not len(v):
+            return pd.Series([], dtype=object)
+        m = np.asarray([np.asarray(x, dtype=np.float64) for x in v.tolist()])
+        signs = (m @ P) > 0.0
+        keys = (
+            (signs.reshape(len(m), n_bands, band_size) * weights)
+            .sum(axis=2)
+            .astype("int32")
+        )
+        return pd.Series([row.tolist() for row in keys])
+
+    _keys.__annotations__ = {"v": pd.Series, "return": pd.Series}
+    return pandas_udf(_keys, "array<int>")(F.col(vec_col))
 
 
 def lsh_topk(
@@ -395,13 +392,17 @@ def lsh_topk(
     c = corpus.select(
         F.col(id_col),
         F.col(vec_col),
-        F.explode(_band_keys(F.col(vec_col), planes, bits_per_table)).alias("bk"),
-    ).select(id_col, vec_col, "bk.band", "bk.key")
+        F.posexplode(band_key_arrays(vec_col, planes, bits_per_table)).alias(
+            "band", "key"
+        ),
+    )
     q = queries.select(
         F.col(query_id_col),
         F.col(vec_col).alias("_qvec"),
-        F.explode(_band_keys(F.col(vec_col), planes, bits_per_table)).alias("bk"),
-    ).select(query_id_col, "_qvec", "bk.band", "bk.key")
+        F.posexplode(band_key_arrays(vec_col, planes, bits_per_table)).alias(
+            "band", "key"
+        ),
+    )
     scored = (
         c.join(F.broadcast(q), ["band", "key"])
         .filter(F.col(id_col) != F.col(query_id_col))
