@@ -410,10 +410,29 @@ def simhash_neardup_pairs(
     collisions to O(C(6,3)·n²/2^32) — ~3×10^4 fewer — at the cost of
     C(6,3)=20 exploded rows per doc instead of 4. Same exact-recall
     guarantee, and the gate's brute-force oracle is unchanged.
+
+    Dup-heavy guard: web-scale corpora carry huge identical-signature
+    groups, and those pairs would collide in EVERY table (20× join
+    fan-out on exactly the pairs that need no LSH at all). So
+    hamming-0 pairs come from ONE equality join on the 8-byte
+    signature, and the block tables run over DISTINCT signatures only;
+    verified signature pairs expand back to id pairs via two joins.
     """
     from itertools import combinations
 
     d = simhash_df(df, text_col, id_col, nbits=nbits, hash_col=hash_col)
+    # 1. identical signatures: single equi-join, hamming 0 by definition
+    sa, sb = d.alias("a"), d.alias("b")
+    within = sa.join(
+        sb, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id"))
+    ).select(
+        F.col("a.id").alias("id_a"),
+        F.col("b.id").alias("id_b"),
+        F.lit(0).alias("hamming"),
+    )
+
+    # 2. distinct signatures through the block tables
+    uniq = d.select("sh").distinct()
     n_blocks = max_hamming + 3
     agree = n_blocks - max_hamming
     base, extra = divmod(nbits, n_blocks)
@@ -434,8 +453,7 @@ def simhash_neardup_pairs(
         return key
 
     combos = list(combinations(range(n_blocks), agree))
-    tables = d.select(
-        "id",
+    tables = uniq.select(
         F.explode(
             F.array(
                 *[
@@ -448,27 +466,40 @@ def simhash_neardup_pairs(
                 ]
             )
         ).alias("bk"),
-    ).select("id", "bk.sh", "bk.tbl", "bk.key")
-    a, b = tables.alias("a"), tables.alias("b")
+    ).select("bk.sh", "bk.tbl", "bk.key")
+    ta, tb = tables.alias("a"), tables.alias("b")
     hamming = F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh")))
     # verify hamming BEFORE the distinct: the popcount filter runs
     # map-side inside the join stage, so the dedup exchange carries only
-    # the (usually tiny) verified pair set, not every table collision
-    return (
-        a.join(
-            b,
+    # the (usually tiny) verified signature-pair set
+    sig_pairs = (
+        ta.join(
+            tb,
             (F.col("a.tbl") == F.col("b.tbl"))
             & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.id") < F.col("b.id")),
+            & (F.col("a.sh") < F.col("b.sh")),
         )
         .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
+            F.col("a.sh").alias("sh_a"),
+            F.col("b.sh").alias("sh_b"),
             hamming.alias("hamming"),
         )
-        .filter(F.col("hamming") <= max_hamming)
+        .filter((F.col("hamming") > 0) & (F.col("hamming") <= max_hamming))
         .distinct()
     )
+    # expand verified signature pairs to id pairs (ordered)
+    ma = d.select(F.col("sh").alias("sh_a"), F.col("id").alias("_ida"))
+    mb = d.select(F.col("sh").alias("sh_b"), F.col("id").alias("_idb"))
+    cross = (
+        sig_pairs.join(ma, "sh_a")
+        .join(mb, "sh_b")
+        .select(
+            F.least("_ida", "_idb").alias("id_a"),
+            F.greatest("_ida", "_idb").alias("id_b"),
+            "hamming",
+        )
+    )
+    return within.unionByName(cross)
 
 
 def contaminated_ids(
