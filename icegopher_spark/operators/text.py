@@ -159,3 +159,29 @@ def repetition_stats(df: DataFrame, n: int = 3, text_col: str = "text", id_col: 
         .otherwise(F.lit(0.0))
         .alias("repetition_ratio"),
     )
+
+
+# PII patterns written to mean the same thing in Java regex (Spark) and
+# RE2 (DuckDB oracle): no lookarounds, no POSIX classes.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\b\d{3}[-.]\d{3}[-.]\d{4}\b"
+
+
+def redact_pii(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Scrub emails and phone numbers — the redaction pass a training
+    corpus runs before anything ships. Counts per category plus an md5
+    of the redacted text (the digest lets a gate verify the REPLACED
+    string byte-for-byte without shipping the text anywhere).
+
+    Pure codegen narrow map: regexp_count + two chained regexp_replace,
+    zero shuffles, nothing text-sized leaves the scan stage."""
+    t = F.col(text_col)
+    red = F.regexp_replace(
+        F.regexp_replace(t, PII_EMAIL_RE, "<EMAIL>"), PII_PHONE_RE, "<PHONE>"
+    )
+    return df.select(
+        F.col(id_col),
+        F.regexp_count(t, F.lit(PII_EMAIL_RE)).cast("bigint").alias("n_emails"),
+        F.regexp_count(t, F.lit(PII_PHONE_RE)).cast("bigint").alias("n_phones"),
+        F.md5(red).alias("redacted_md5"),
+    )

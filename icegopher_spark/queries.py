@@ -1392,6 +1392,50 @@ def text_repetition_q(spark: SparkSession, sf: str) -> DataFrame:
     return text.repetition_stats(docs, n=3)
 
 
+# The synthetic corpus carries no natural PII, so both sides INJECT a
+# deterministic email (doc_id % 7 == 0) and phone (doc_id % 11 == 0)
+# before redacting — the gate then verifies counts AND the md5 of the
+# redacted text byte-for-byte.
+pii_oracle = r"""
+WITH injected AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 7 = 0
+                 THEN ' contact' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END
+         || CASE WHEN doc_id % 11 = 0 THEN ' call 555-867-5309' ELSE '' END AS text
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(text, '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS BIGINT) AS n_phones,
+       md5(regexp_replace(
+             regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g')) AS redacted_md5
+FROM injected
+"""
+
+
+@register(
+    "text_pii_redact",
+    pii_oracle,
+    "PII redaction: email/phone scrub with byte-exact redacted digest",
+)
+def text_pii_q(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents")
+    injected = docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(F.lit(" contact"), F.col("doc_id").cast("string"), F.lit("@example.com")),
+            ).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 11 == 0, F.lit(" call 555-867-5309")).otherwise(F.lit("")),
+        ),
+    )
+    return text.redact_pii(injected)
+
+
 contamination_oracle = r"""
 WITH toks AS (
   SELECT doc_id,

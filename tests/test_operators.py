@@ -356,3 +356,24 @@ def test_contaminated_ids_flags_shared_ngrams(spark):
     )
     hits = [r["doc_id"] for r in dedup.contaminated_ids(corpus, bench, n=5).collect()]
     assert hits == [10]
+
+
+def test_redact_pii_counts_and_digest(spark):
+    from icegopher_spark.operators import text as T
+
+    df = spark.createDataFrame(
+        [
+            (1, "reach me at jo.doe+x@mail.co or 555-123-4567 thanks"),
+            (2, "no pii here"),
+            (3, "two mails a@b.io c@d.org and 111-222-3333 999-888-7777"),
+        ],
+        "doc_id int, text string",
+    )
+    rows = {r["doc_id"]: r for r in T.redact_pii(df).collect()}
+    assert rows[1]["n_emails"] == 1 and rows[1]["n_phones"] == 1
+    assert rows[2]["n_emails"] == 0 and rows[2]["n_phones"] == 0
+    assert rows[3]["n_emails"] == 2 and rows[3]["n_phones"] == 2
+    import hashlib
+
+    expect = hashlib.md5(b"reach me at <EMAIL> or <PHONE> thanks").hexdigest()
+    assert rows[1]["redacted_md5"] == expect
