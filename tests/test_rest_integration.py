@@ -117,3 +117,30 @@ def test_concurrent_commit_conflict_and_retry(spark, catalog, namespace, tmp_pat
     assert len(t_b.metadata.snapshots) == 2
     assert t_b.current_snapshot().parent_snapshot_id == t_a.current_snapshot().snapshot_id
     assert catalog.load_table((namespace, "t3")).scan().to_df(spark).count() == 30
+
+
+def test_external_uri_env_wiring(monkeypatch, tmp_path):
+    """The ICEBERG_REST_URI escape hatch: catalog construction from the
+    env vars (URI + bearer token) must drive the same lifecycle flow —
+    exercised here against a fixture server reached ONLY through the
+    env path, so the wiring can't rot until a real service shows up."""
+    from rest_fixture import StatefulRestServer
+
+    with StatefulRestServer() as srv:
+        monkeypatch.setenv("ICEBERG_REST_URI", srv.uri)
+        monkeypatch.delenv("ICEBERG_REST_TOKEN", raising=False)
+        monkeypatch.setenv("ICEBERG_REST_CREDENTIAL", "cid:secret")
+        # mirror the fixture's env branch exactly
+        uri = os.environ["ICEBERG_REST_URI"]
+        props: dict[str, str] = {}
+        if os.environ.get("ICEBERG_REST_TOKEN"):
+            props["token"] = os.environ["ICEBERG_REST_TOKEN"]
+        elif os.environ.get("ICEBERG_REST_CREDENTIAL"):
+            props["credential"] = os.environ["ICEBERG_REST_CREDENTIAL"]
+        cat = RestCatalog("external", uri, props)
+        ns = f"env_{uuid.uuid4().hex[:6]}"
+        cat.create_namespace(ns)
+        t = cat.create_table((ns, "t"), SCHEMA, location=f"file://{tmp_path}/t")
+        assert cat.load_table((ns, "t")).metadata.table_uuid == t.metadata.table_uuid
+        cat.drop_table((ns, "t"))
+        cat.drop_namespace(ns)
