@@ -1695,35 +1695,70 @@ def _topk_recall(exact: DataFrame, approx: DataFrame, k: int) -> DataFrame:
     )
 
 
-def _pinned_recall_oracle(values: dict[int, int], k: int) -> str:
-    """Golden-value oracle for ANN recall: k-means has no SQL twin, so
-    the expected per-query hit counts (deterministic: seeded quantizer,
-    fixed gate corpus) are pinned from a verified sf0.01 run. A recall
-    regression — or a driver-side testdata regeneration — fails the
-    hash match visibly instead of hiding behind a rows-only check."""
-    rows = ", ".join(f"({q}, {n}, {round(n / k, 4)})" for q, n in sorted(values.items()))
+# Corpus content fingerprint: ROUND(SUM(first component) * 1000). The
+# sf0.001 and sf0.01 embeddings tables are both 500 rows with different
+# CONTENT, so recall pins must key on what's in the table, not its size.
+_CORPUS_FP_SQL = (
+    "SELECT CAST(ROUND(SUM(CAST(embedding AS DOUBLE[])[1]) * 1000, 0) AS BIGINT) AS f"
+    " FROM embeddings"
+)
+
+
+def _pinned_recall_oracle(values_by_fp: dict[int, dict[int, int]], k: int) -> str:
+    """Golden-value oracle for ANN recall: the quantizer/hyperplanes
+    have no SQL twin, so the expected per-query hit counts
+    (deterministic: seeded fits, fixed gate corpora) are pinned from
+    verified runs — keyed by a corpus CONTENT fingerprint so the same
+    oracle holds at every gate scale (recall differs per corpus; a
+    single pin would false-fail local runs at the other scale). A
+    recall regression — or a driver-side testdata regeneration
+    changing the corpus — fails the hash match visibly instead of
+    hiding behind a rows-only check."""
+    fps = sorted(values_by_fp)
+    qids = sorted(values_by_fp[fps[0]])
+
+    def cell(q: int) -> str:
+        expr = f"{values_by_fp[fps[-1]][q]}"
+        for fp in fps[:-1]:
+            expr = (
+                f"CASE WHEN (SELECT f FROM fp) = {fp}"
+                f" THEN {values_by_fp[fp][q]} ELSE {expr} END"
+            )
+        return expr
+
+    rows = ", ".join(f"({q}, {cell(q)})" for q in qids)
     return (
-        "SELECT CAST(query_id AS BIGINT) AS query_id, CAST(n_caught AS BIGINT) AS n_caught,"
-        " CAST(recall AS DOUBLE) AS recall"
-        f" FROM (VALUES {rows}) AS t(query_id, n_caught, recall)"
+        f"WITH fp AS ({_CORPUS_FP_SQL}) "
+        "SELECT CAST(query_id AS BIGINT) AS query_id,"
+        " CAST(n_caught AS BIGINT) AS n_caught,"
+        f" CAST(ROUND(n_caught / {float(k)}, 4) AS DOUBLE) AS recall"
+        f" FROM (VALUES {rows}) AS t(query_id, n_caught)"
     )
 
 
-# Pinned from a verified sf0.01 run (see _pinned_recall_oracle);
-# confirmed identical across session parallelism (cpus=7 and 32) —
+# Pinned from verified runs at BOTH gate corpora, keyed by content
+# fingerprint (see _pinned_recall_oracle): -1464 = sf0.001's table,
+# 1082 = sf0.01's (both 500 rows — size cannot discriminate them).
+# Confirmed identical across session parallelism (cpus=7 and 32) —
 # the quantizer fit is partition-independent by construction.
-_IVF_RECALL_SF001 = {0: 5, 1: 4, 2: 3, 3: 2, 4: 5, 5: 4, 6: 5, 7: 4, 8: 5, 9: 2}
-_IVF_INDEX_RECALL_SF001 = dict(_IVF_RECALL_SF001)
+_IVF_RECALL = {
+    -1464: {0: 5, 1: 4, 2: 5, 3: 5, 4: 5, 5: 4, 6: 4, 7: 5, 8: 4, 9: 4},
+    1082: {0: 5, 1: 4, 2: 3, 3: 2, 4: 5, 5: 4, 6: 5, 7: 4, 8: 5, 9: 2},
+}
+_IVF_INDEX_RECALL = {n: dict(v) for n, v in _IVF_RECALL.items()}
 # Sign-LSH (12 tables × 4 bits): hyperplanes are seeded constants, so
-# recall on the fixed gate corpus is exactly reproducible. Mean
-# recall@5 = 0.80 on the near-uniform synthetic embeddings — ANN's
-# worst case; clustered real embeddings do better at the same L·b.
-_LSH_RECALL_SF001 = {0: 3, 1: 3, 2: 5, 3: 3, 4: 4, 5: 5, 6: 3, 7: 5, 8: 5, 9: 4}
+# recall on the fixed gate corpora is exactly reproducible. Mean
+# recall@5 = 0.80 (sf0.01) on the near-uniform synthetic embeddings —
+# ANN's worst case; clustered real embeddings do better at the same L·b.
+_LSH_RECALL = {
+    -1464: {0: 4, 1: 4, 2: 5, 3: 4, 4: 5, 5: 5, 6: 4, 7: 5, 8: 4, 9: 5},
+    1082: {0: 3, 1: 3, 2: 5, 3: 3, 4: 4, 5: 5, 6: 3, 7: 5, 8: 5, 9: 4},
+}
 
 
 @register(
     "sim_lsh_topk",
-    _pinned_recall_oracle(_LSH_RECALL_SF001, k=5),
+    _pinned_recall_oracle(_LSH_RECALL, k=5),
     "sign-LSH bucketed ANN recall@5 vs exact top-k (pinned golden values)",
 )
 def sim_lsh_q(spark: SparkSession, sf: str) -> DataFrame:
@@ -1738,7 +1773,7 @@ def sim_lsh_q(spark: SparkSession, sf: str) -> DataFrame:
 
 @register(
     "sim_ivf_topk",
-    _pinned_recall_oracle(_IVF_RECALL_SF001, k=5),
+    _pinned_recall_oracle(_IVF_RECALL, k=5),
     "IVF ANN recall@5 vs exact top-k (pinned golden values)",
 )
 def sim_ivf_q(spark: SparkSession, sf: str) -> DataFrame:
@@ -1753,7 +1788,7 @@ def sim_ivf_q(spark: SparkSession, sf: str) -> DataFrame:
 
 @register(
     "sim_ivf_index_topk",
-    _pinned_recall_oracle(_IVF_INDEX_RECALL_SF001, k=5),
+    _pinned_recall_oracle(_IVF_INDEX_RECALL, k=5),
     "persisted IVF index recall@5: partition-pruned probe vs exact top-k",
 )
 def sim_ivf_index_q(spark: SparkSession, sf: str) -> DataFrame:
