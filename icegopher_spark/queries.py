@@ -643,6 +643,53 @@ def events_json(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# Both sides fold through exact int64 arithmetic (value has ≤4
+# decimals, so round(value*10000) is integer-exact) with an identical
+# division sequence — double summation order never enters, so the
+# grouped-agg UDF and the SQL agree bit-for-bit after rounding.
+wudaf_oracle = """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       ROUND(CAST(SUM(CAST(ROUND(value * 10000) AS BIGINT) * (user_id % 10 + 1)) AS DOUBLE)
+             / 10000.0 / SUM(user_id % 10 + 1), 4) AS wmean_value
+FROM events
+GROUP BY event_type
+"""
+
+
+@register(
+    "events_weighted_udaf",
+    wudaf_oracle,
+    "custom UDAF: pandas grouped-agg weighted mean (Arrow-batched)",
+)
+def events_weighted_udaf(spark: SparkSession, sf: str) -> DataFrame:
+    """The pandas grouped-AGGREGATE UDF surface (SURVEY §2.9): a custom
+    weighted mean that Spark's built-ins don't provide as one
+    aggregate. Arrow moves each group's columns as batches; the fold is
+    vectorized numpy inside. Note grouped-agg UDFs skip partial
+    aggregation (full shuffle of the input columns) — reserve them for
+    aggregates that genuinely can't decompose, as here demo'd."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _wmean(v: pd.Series, w: pd.Series) -> float:
+        num = int(((v * 10000).round().astype("int64") * w.astype("int64")).sum())
+        return float(num) / 10000.0 / int(w.sum())
+
+    _wmean.__annotations__ = {"v": pd.Series, "w": pd.Series, "return": float}
+    wmean = pandas_udf(_wmean, "double")
+
+    ev = load(spark, sf, "events").select(
+        "event_type", "value", (F.col("user_id") % 10 + 1).alias("w")
+    )
+    # Spark disallows mixing a grouped-agg pandas UDF with built-in
+    # aggregates in one agg(); the count comes from a separate (cheap,
+    # 3-group) aggregation joined back.
+    counts = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_events"))
+    wm = ev.groupBy("event_type").agg(F.round(wmean("value", "w"), 4).alias("wmean_value"))
+    return counts.join(wm, "event_type")
+
+
 session_oracle = """
 WITH gaps AS (
   SELECT user_id, ts,
