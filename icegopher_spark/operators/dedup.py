@@ -532,3 +532,48 @@ def contaminated_ids(
         .distinct()
         .select(F.col("id").alias(id_col))
     )
+
+
+def neardup_groups(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
+    """Connected components of a near-dup pair graph: (id, rep) where
+    ``rep`` is the smallest doc id in the component — the grouping step
+    that turns pairwise near-dup hits into keep-one-representative
+    dedup decisions.
+
+    Iterative min-label propagation: each round, every node takes the
+    min of its own label and its neighbors' labels; converges in
+    O(component diameter) rounds (near-dup components are dense, so
+    typically 2-3). Each round is one shuffle join + one aggregate on
+    8-byte (id, label) pairs — never the documents; lineage is
+    truncated per round (localCheckpoint) so plans stay flat at any
+    iteration count. The driver-side loop tests a scalar converged
+    count per round — the per-round data never leaves the cluster.
+    Only docs appearing in some pair are labeled (singletons are
+    trivially their own representative)."""
+    edges = pairs.select("id_a", "id_b")
+    sym = edges.unionByName(
+        edges.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
+    )
+    labels = (
+        sym.select(F.col("id_a").alias("id")).distinct().withColumn("rep", F.col("id"))
+    )
+    for _ in range(max_iter):
+        neighbor = (
+            sym.join(labels, sym["id_b"] == labels["id"])
+            .select(F.col("id_a").alias("id"), "rep")
+        )
+        new = (
+            labels.unionByName(neighbor)
+            .groupBy("id")
+            .agg(F.min("rep").alias("rep"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.join(labels.withColumnRenamed("rep", "_old"), "id")
+            .filter(F.col("rep") < F.col("_old"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels.select(F.col("id"), F.col("rep"))

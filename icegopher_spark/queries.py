@@ -815,6 +815,67 @@ def dedup_minhash_q(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.minhash_dedup_pairs(docs, threshold=0.5)
 
 
+def _neardup_groups_oracle(rounds: int = 4) -> str:
+    """Connected components as UNROLLED min-label propagation: round k's
+    label is the min over the k-hop neighborhood, so ``rounds`` ≥ the
+    pair-graph diameter makes the unrolling exact (near-dup components
+    are dense — measured diameter ≤ 2 on the gate corpora; 4 leaves
+    slack, and a larger-diameter regeneration fails visibly rather than
+    silently)."""
+    prop = ""
+    for k in range(1, rounds + 1):
+        prop += f""", l{k} AS (
+  SELECT s.id, LEAST(MIN(p1.rep), MIN(p2.rep)) AS rep
+  FROM sym s JOIN l{k - 1} p1 ON p1.id = s.id JOIN l{k - 1} p2 ON p2.id = s.nb
+  GROUP BY s.id
+)"""
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS w
+  FROM documents
+), grams AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(w) - 2, 0) + 1),
+                        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingles
+  FROM toks
+), ex AS (
+  SELECT doc_id, len(shingles) AS n_sh, UNNEST(shingles) AS sh FROM grams
+), pr AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common,
+         MIN(a.n_sh) AS n_a, MIN(b.n_sh) AS n_b
+  FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT id_a, id_b FROM pr
+  WHERE n_common / CAST(n_a + n_b - n_common AS DOUBLE) >= 0.5
+), sym AS (
+  SELECT id_a AS id, id_b AS nb FROM pairs
+  UNION ALL
+  SELECT id_b AS id, id_a AS nb FROM pairs
+), l0 AS (
+  SELECT DISTINCT id, id AS rep FROM sym
+){prop}
+SELECT id AS doc_id, rep AS group_rep FROM l{rounds}
+"""
+
+
+@register(
+    "dedup_neardup_groups",
+    _neardup_groups_oracle(),
+    "iterative connected components over near-dup pairs (min-label propagation)",
+)
+def dedup_groups_q(spark: SparkSession, sf: str) -> DataFrame:
+    """The registry's iterative-algorithm representative: the Spark side
+    loops min-label propagation to convergence (driver-controlled,
+    8-byte labels only); the oracle unrolls the same propagation in
+    SQL."""
+    docs = load(spark, sf, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.5)
+    groups = dedup.neardup_groups(pairs)
+    return groups.select(F.col("id").alias("doc_id"), F.col("rep").alias("group_rep"))
+
+
 # Full DuckDB replica of the simhash pipeline. The production leaf hash
 # (xxhash64) has no SQL twin, so the GATE runs the same pipeline with a
 # portable md5-derived 32-bit hash (dedup.md5_hash32) — signature

@@ -377,3 +377,16 @@ def test_redact_pii_counts_and_digest(spark):
 
     expect = hashlib.md5(b"reach me at <EMAIL> or <PHONE> thanks").hexdigest()
     assert rows[1]["redacted_md5"] == expect
+
+
+def test_neardup_groups_chain_converges(spark):
+    """Min-label propagation must run to convergence, not one hop: a
+    chain 1-2-3-4-5 plus a separate pair needs multiple rounds before
+    every chain node carries rep=1."""
+    from icegopher_spark.operators import dedup
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11)], "id_a int, id_b int"
+    )
+    got = {r["id"]: r["rep"] for r in dedup.neardup_groups(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10}
