@@ -96,6 +96,30 @@ _STALE_GREEN: list[tuple[tuple[str, ...], int]] = [
         ),
         3,
     ),
+    # r4 edits: simhash block tables + sig split, LSH vectorized keys +
+    # recall oracles, dedup case-pin refactor (word_ngrams), q15 window
+    # removal, multimodal codec autodetect, avro task-commit protocol,
+    # events footer probe. All re-verified locally vs oracles this
+    # round; listed so the DRIVER's adjudication also lands on current
+    # code.
+    (
+        (
+            "dedup_simhash",
+            "dedup_minhash_lsh",
+            "dedup_ngram_jaccard",
+            "dedup_exact",
+            "sim_lsh_topk",
+            "sim_neardup_embeddings",
+            "sim_ivf_topk",
+            "sim_ivf_index_topk",
+            "mm_thumbnails",
+            "mm_image_features",
+            "iceberg_avro_roundtrip",
+            "events_hourly_rollup",
+            "events_sessionization",
+        ),
+        4,
+    ),
 ]
 
 
