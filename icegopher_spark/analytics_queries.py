@@ -614,3 +614,252 @@ def sql_api_orders(spark: SparkSession, sf: str) -> DataFrame:
         GROUP BY o_orderpriority
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 4: the remaining TPC-H patterns (q11/q12/q16/q20/q21), adapted to
+# the synthetic star schema (no partsupp table — supplier/part inventory
+# is derived from lineitem exactly as q2 already does; no
+# l_commitdate/l_receiptdate — "late" is shipped >60 days after the
+# order date). Completes the 22-query battery: every TPC-H access
+# pattern the reference's SQL surface could be pointed at now has a
+# Spark-first plan and an independent DuckDB oracle.
+# ---------------------------------------------------------------------------
+
+q11_oracle = """
+WITH ps AS (
+  SELECT l.l_partkey, SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))) AS value
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n   ON s.s_nationkey = n.n_nationkey
+  WHERE n.n_name = 'NATION_3'
+  GROUP BY 1
+)
+SELECT l_partkey AS partkey, CAST(ROUND(value, 2) AS DOUBLE) AS value
+FROM ps
+WHERE value * 1000 > (SELECT SUM(value) FROM ps)
+"""
+
+
+@register(
+    "q11_important_stock",
+    q11_oracle,
+    "TPC-H Q11: scalar-subquery HAVING threshold over a derived partsupp",
+)
+def q11(spark: SparkSession, sf: str) -> DataFrame:
+    """Group-value vs global-total threshold (the HAVING > scalar
+    subquery pattern). The global total is a 1-row aggregate of the
+    *already reduced* per-part values — broadcast is scale-invariant
+    (one row regardless of SF), so the explicit cross-join broadcast is
+    safe at 100 TB. The ``*1000 >`` integer-decimal compare keeps the
+    boundary exact in both engines (no double rounding at the cut)."""
+    li = load(spark, sf, "lineitem")
+    s = load(spark, sf, "supplier")
+    n = load(spark, sf, "nation").filter(F.col("n_name") == "NATION_3")
+    ps = (
+        li.join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("l_partkey")
+        .agg(F.sum(dec("l_extendedprice")).alias("value"))
+    )
+    total = ps.agg(F.sum("value").alias("total"))
+    return (
+        ps.join(F.broadcast(total))
+        .filter(F.col("value") * 1000 > F.col("total"))
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            money(F.col("value")).alias("value"),
+        )
+    )
+
+
+q12_oracle = """
+SELECT CAST(EXTRACT(year FROM l.l_shipdate) AS INTEGER) AS ship_year,
+       CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT','2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT','2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+GROUP BY 1
+"""
+
+
+@register(
+    "q12_late_shipment_priority",
+    q12_oracle,
+    "TPC-H Q12: join + conditional CASE-WHEN pivot aggregation",
+)
+def q12(spark: SparkSession, sf: str) -> DataFrame:
+    """The Q12 shape (shipmode → priority split) without l_shipmode:
+    lines shipped >60 days after the order date, split by order
+    priority class per ship year. Join carries only 3 narrow columns
+    past the filter; the CASE-WHEN pair folds into one aggregation —
+    conditional aggregation, not two passes."""
+    li = load(spark, sf, "lineitem")
+    o = load(spark, sf, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .groupBy(F.year("l_shipdate").alias("ship_year"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+q16_oracle = """
+WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+SELECT p.p_brand, p.p_type, p.p_size,
+       CAST(COUNT(DISTINCT ps.l_suppkey) AS BIGINT) AS supplier_cnt
+FROM ps
+JOIN part p ON p.p_partkey = ps.l_partkey
+WHERE p.p_brand <> 'Brand#4'
+  AND p.p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+  AND ps.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY 1, 2, 3
+"""
+
+
+@register(
+    "q16_supplier_part_types",
+    q16_oracle,
+    "TPC-H Q16: NOT IN anti-join + COUNT(DISTINCT) over derived partsupp",
+)
+def q16(spark: SparkSession, sf: str) -> DataFrame:
+    """NOT IN subquery → left-anti join (the excluded-supplier set is a
+    filtered dim — broadcast anti-join, no shuffle of the fact side for
+    the exclusion). The distinct (part,supp) reduction happens BEFORE
+    the part join so the join input is already deduplicated."""
+    li = load(spark, sf, "lineitem")
+    p = load(spark, sf, "part").filter(
+        (F.col("p_brand") != "Brand#4") & F.col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22)
+    )
+    bad_supp = load(spark, sf, "supplier").filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    ps = li.select("l_partkey", "l_suppkey").distinct()
+    return (
+        ps.join(F.broadcast(bad_supp), ps.l_suppkey == bad_supp.s_suppkey, "left_anti")
+        .join(p, F.col("l_partkey") == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct(F.col("l_suppkey")).alias("supplier_cnt"))
+    )
+
+
+q20_oracle = """
+WITH ps AS (
+  SELECT l_partkey, l_suppkey,
+         SUM(CAST(l_quantity AS DECIMAL(12,2))) AS total_qty,
+         SUM(CASE WHEN l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+                   AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+                  THEN CAST(l_quantity AS DECIMAL(12,2)) ELSE 0 END) AS qty_1997
+  FROM lineitem
+  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+  GROUP BY 1, 2
+)
+SELECT DISTINCT s.s_name
+FROM supplier s
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+WHERE n.n_name = 'NATION_5'
+  AND s.s_suppkey IN (SELECT l_suppkey FROM ps WHERE qty_1997 * 2 > total_qty)
+"""
+
+
+@register(
+    "q20_promotable_suppliers",
+    q20_oracle,
+    "TPC-H Q20: nested IN subqueries -> chained semi-joins",
+)
+def q20(spark: SparkSession, sf: str) -> DataFrame:
+    """Both IN subqueries become left-semi joins: part-name filter
+    semi-joins lineitem (fact side never widens), then the qualifying
+    supplier set semi-joins the supplier dim. The 1997-vs-total split
+    is one conditional aggregation over a single lineitem scan."""
+    li = load(spark, sf, "lineitem")
+    p = load(spark, sf, "part").filter(F.col("p_name").startswith("small")).select("p_partkey")
+    s = load(spark, sf, "supplier")
+    n = load(spark, sf, "nation").filter(F.col("n_name") == "NATION_5")
+    in_1997 = (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp")) & (
+        F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    ps = (
+        li.join(p, li.l_partkey == p.p_partkey, "left_semi")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.sum(dec("l_quantity")).alias("total_qty"),
+            F.sum(F.when(in_1997, dec("l_quantity")).otherwise(F.lit(0).cast("decimal(12,2)"))).alias(
+                "qty_1997"
+            ),
+        )
+    )
+    promotable = ps.filter(F.col("qty_1997") * 2 > F.col("total_qty")).select("l_suppkey")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey, "left_semi")
+        .join(promotable, s.s_suppkey == promotable.l_suppkey, "left_semi")
+        .select("s_name")
+        .distinct()
+    )
+
+
+q21_oracle = """
+SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM (
+  SELECT DISTINCT l1.l_orderkey, l1.l_suppkey
+  FROM lineitem l1
+  JOIN orders o ON o.o_orderkey = l1.l_orderkey
+  WHERE o.o_orderstatus = 'F'
+    AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+    AND EXISTS (SELECT 1 FROM lineitem l2
+                WHERE l2.l_orderkey = l1.l_orderkey
+                  AND l2.l_suppkey <> l1.l_suppkey)
+    AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                    WHERE l3.l_orderkey = l1.l_orderkey
+                      AND l3.l_suppkey <> l1.l_suppkey
+                      AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+) w
+JOIN supplier s ON w.l_suppkey = s.s_suppkey
+GROUP BY 1
+"""
+
+
+@register(
+    "q21_waiting_supplier",
+    q21_oracle,
+    "TPC-H Q21: EXISTS + NOT EXISTS re-expressed as one per-order aggregation",
+)
+def q21(spark: SparkSession, sf: str) -> DataFrame:
+    """Sole-late-supplier detection. The classic formulation is two
+    correlated self-joins of lineitem (EXISTS another supplier / NOT
+    EXISTS another LATE supplier) — at 100 TB that's two extra
+    shuffles of the biggest fact table. Here the predicate pair
+    collapses into ONE pass: reduce to distinct (order, supplier,
+    late) pairs, then a window over l_orderkey counts suppliers and
+    late suppliers per order in place — a pair "waits" iff it is late,
+    n_supp > 1 and n_late == 1. Lineitem is scanned exactly once and
+    only the reduced pair set (narrow: two longs + a bit) re-shuffles
+    for the window; the oracle keeps the independent EXISTS
+    formulation."""
+    li = load(spark, sf, "lineitem")
+    o = load(spark, sf, "orders").filter(F.col("o_orderstatus") == "F")
+    s = load(spark, sf, "supplier")
+    lines = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "l_orderkey",
+        "l_suppkey",
+        (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .cast("int")
+        .alias("late"),
+    )
+    pairs = lines.groupBy("l_orderkey", "l_suppkey").agg(F.max("late").alias("late"))
+    w = Window.partitionBy("l_orderkey")
+    waiting = (
+        pairs.withColumn("n_supp", F.count(F.lit(1)).over(w))
+        .withColumn("n_late", F.sum("late").over(w))
+        .filter((F.col("late") == 1) & (F.col("n_supp") > 1) & (F.col("n_late") == 1))
+    )
+    return (
+        waiting.join(s, waiting.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )

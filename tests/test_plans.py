@@ -261,3 +261,36 @@ def test_q15_no_global_window(spark, queries):
     plan = plan_of(queries["q15_top_supplier"].fn(spark, SF), "simple")
     assert "Window" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+# -- round-4 TPC-H completion block (q11/q12/q16/q20/q21) -------------------
+
+
+def test_q21_scans_lineitem_once(spark, queries):
+    """The EXISTS/NOT-EXISTS pair must collapse into one pass: a second
+    lineitem scan means the plan regressed to the self-join shape."""
+    plan = plan_of(queries["q21_waiting_supplier"].fn(spark, SF))
+    assert plan.count("lineitem.parquet") == 1
+    assert "Window" in plan
+
+
+def test_q16_anti_join_is_broadcast(spark, queries):
+    """NOT IN over the (tiny, filtered) bad-supplier set must be a
+    broadcast anti-join — never a shuffle of the fact side for it."""
+    plan = plan_of(queries["q16_supplier_part_types"].fn(spark, SF), "simple")
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_q20_semi_joins_keep_fact_narrow(spark, queries):
+    plan = plan_of(queries["q20_promotable_suppliers"].fn(spark, SF), "simple")
+    assert "LeftSemi" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q11_threshold_broadcast_is_one_row(spark, queries):
+    """The scalar-subquery threshold joins as a broadcast of a 1-row
+    aggregate (scale-invariant), not a cross of the fact table."""
+    plan = plan_of(queries["q11_important_stock"].fn(spark, SF), "simple")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    # the only nested-loop allowed is the single-row threshold attach
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
