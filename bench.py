@@ -89,6 +89,14 @@ def main() -> None:
 
     for _warm in ("dedup_minhash_lsh", "dedup_simhash"):
         _Q[_warm].fn(spark, sf_dir).count()
+    # Spin up the Python/Arrow worker pool on a 3-row frame so daemon
+    # fork + Arrow import isn't billed to the first pandas-UDF query
+    # (the relational warm-ups above never leave the JVM).
+    import pandas as _pd
+
+    spark.createDataFrame(_pd.DataFrame({"k": [1, 1, 2], "v": [1.0, 2.0, 3.0]})).groupBy(
+        "k"
+    ).applyInPandas(lambda p: p.head(1), "k long, v double").count()
     # Build (or reuse) the cached Iceberg tables so one-time table
     # construction isn't billed to the first iceberg_* query.
     from icegopher_spark.iceberg_queries import (

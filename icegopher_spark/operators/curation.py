@@ -116,3 +116,40 @@ def assign_splits(
     last = items[-1][0]
     expr = F.lit(last) if expr is None else expr.otherwise(F.lit(last))
     return df.withColumn("split", expr)
+
+
+def stratified_sample(
+    df: DataFrame,
+    quota: int,
+    key_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact per-stratum quota sampling: keep the ``quota`` rows with
+    the smallest Knuth-hash buckets in each stratum (eval-set
+    construction, per-language balancing).
+
+    Unlike ``weighted_sample`` (rate-based, approximate counts) the
+    quota is exact, and unlike ``df.sampleBy`` it is a pure function of
+    the id — the same rows are chosen regardless of partitioning,
+    engine, or corpus order, and re-running on a grown corpus only
+    swaps rows whose hash displaces a previous member (bounded eval-set
+    churn).
+
+    Scale posture: the window sorts only (bucket, id) pairs — the
+    projection drops every payload column before the shuffle, so a
+    skewed stratum (``en`` at 60% of a 100 TB corpus) sorts 16-byte
+    rows, not documents. Join the result back on ``id_col`` to recover
+    payloads for the sampled slice only.
+
+    Returns (id_col, key_col, sample_rank) with sample_rank in
+    [1, quota] by hash order.
+    """
+    bucket = (F.col(id_col).cast("bigint") * F.lit(_HASH_MULT)) % F.lit(_HASH_MOD)
+    w = Window.partitionBy(key_col).orderBy("bucket", id_col)
+    return (
+        df.select(id_col, key_col)
+        .withColumn("bucket", bucket)
+        .withColumn("sample_rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("sample_rank") <= quota)
+        .drop("bucket")
+    )

@@ -1927,3 +1927,34 @@ def sim_ivf_index_q(spark: SparkSession, sf: str) -> DataFrame:
     exact = similarity.brute_force_topk(emb, q, k=5)
     approx = similarity.ivf_index_search(spark, t, q, k=5, n_probe=6)
     return _topk_recall(exact, approx, k=5)
+
+
+stratified_oracle = """
+WITH r AS (
+  SELECT doc_id, lang,
+         ROW_NUMBER() OVER (
+           PARTITION BY lang
+           ORDER BY (doc_id * 2654435761) % 4294967296, doc_id
+         ) AS sample_rank
+  FROM documents
+)
+SELECT doc_id, lang, CAST(sample_rank AS BIGINT) AS sample_rank
+FROM r WHERE sample_rank <= 20
+"""
+
+
+@register(
+    "corpus_stratified_sample",
+    stratified_oracle,
+    "exact per-language quota sampling by deterministic hash order",
+)
+def stratified_sample_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Eval-set construction: exactly 20 docs per language, chosen by
+    Knuth-hash order so the pick is a pure function of doc_id (stable
+    across engines, partitionings, and corpus growth). The window sorts
+    only (bucket, id) pairs — payloads never shuffle
+    (operators/curation.py:stratified_sample)."""
+    from .operators import curation
+
+    docs = load(spark, sf, "documents")
+    return curation.stratified_sample(docs, quota=20, key_col="lang")

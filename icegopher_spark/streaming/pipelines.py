@@ -284,3 +284,30 @@ def run_stream_to_table(
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
+
+
+def static_enriched_rollup(
+    events: DataFrame,
+    dim: DataFrame,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-static dimension enrichment: join the event stream to a
+    batch dimension table, then aggregate per dimension attribute.
+
+    The classic CDC/enrichment shape Spark executes without stream
+    state on the join itself: the static side is (re)planned per
+    micro-batch, so a dimension refresh lands on the next batch. The
+    broadcast hint keeps the stream side shuffle-free — correct as long
+    as the dimension is executor-memory-sized; for a 100 TB fact stream
+    the dimension (customers) is still the small side by orders of
+    magnitude. Aggregation state is per nation (bounded, tiny).
+    """
+    joined = events.withWatermark("ts", watermark).join(
+        F.broadcast(dim), events.user_id == dim.c_custkey
+    )
+    return joined.groupBy(F.col("c_nationkey").alias("nationkey")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum(F.col("value").cast("decimal(14,4)")), 2)
+        .cast("double")
+        .alias("total_value"),
+    )

@@ -407,3 +407,31 @@ def stream_custom_sessionizer(spark: SparkSession, sf: str) -> DataFrame:
         "append",
     )
     return out.select("user_id", "session_start", "session_end", "n_events")
+
+
+stream_static_oracle = """
+SELECT c.c_nationkey AS nationkey, COUNT(*) AS n_events,
+       CAST(ROUND(SUM(CAST(e.value AS DECIMAL(14,4))), 2) AS DOUBLE) AS total_value
+FROM events e
+JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1
+"""
+
+
+@register(
+    "stream_static_join",
+    stream_static_oracle,
+    "stream-static dimension enrichment join + per-nation rollup",
+)
+def stream_static_join_q(spark: SparkSession, sf: str) -> DataFrame:
+    """The remaining streaming join mode: a streaming fact joined to a
+    batch dimension (re-planned per micro-batch, broadcast, no join
+    state), then a stateful per-nation aggregation. Oracle is the plain
+    batch join."""
+    from .queries import load
+
+    dim = load(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    out = P.run_stream_to_table(
+        P.static_enriched_rollup(_events_stream(spark, sf), dim), spark, "update"
+    )
+    return out

@@ -390,3 +390,21 @@ def test_neardup_groups_chain_converges(spark):
     )
     got = {r["id"]: r["rep"] for r in dedup.neardup_groups(pairs).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10}
+
+
+def test_stratified_sample_quota_and_stability(spark):
+    from icegopher_spark.operators import curation
+    from icegopher_spark.queries import load
+
+    docs = load(spark, "/root/testdata/sf0.001", "documents")
+    s1 = curation.stratified_sample(docs, quota=7, key_col="lang")
+    per = {r["lang"]: r["n"] for r in s1.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    sizes = {r["lang"]: r["n"] for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    for lang, n in per.items():
+        assert n == min(7, sizes[lang])
+    # pure function of doc_id: identical pick under a different partitioning
+    s2 = curation.stratified_sample(docs.repartition(13), quota=7, key_col="lang")
+    assert sorted(map(tuple, s1.collect())) == sorted(map(tuple, s2.collect()))
+    # ranks are 1..quota with no gaps
+    ranks = [r["sample_rank"] for r in s1.filter(F.col("lang") == "en").collect()]
+    assert sorted(ranks) == list(range(1, len(ranks) + 1))

@@ -99,3 +99,19 @@ def test_stream_stream_full_outer_emits_both_null_sides(spark):
     # every row carries the surviving side's user_id
     assert out.filter("user_id IS NULL").count() == 0
     out.unpersist()
+
+
+def test_static_enriched_rollup_matches_batch(spark, events_stream, events_batch):
+    dim = load(spark, SF, "customer").select("c_custkey", "c_nationkey")
+    out = P.run_stream_to_table(P.static_enriched_rollup(events_stream, dim), spark, "update")
+    batch = (
+        events_batch.join(dim, events_batch.user_id == dim.c_custkey)
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(14,4)")), 2)
+            .cast("double")
+            .alias("total_value"),
+        )
+    )
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, batch.collect()))
