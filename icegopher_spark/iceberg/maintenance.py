@@ -429,3 +429,76 @@ def remove_orphan_files(table: Table, older_than_ms: int | None = None) -> list[
     for path in removed:
         _safe_remove(table, path)
     return removed
+
+
+def rewrite_clustered(
+    table: Table,
+    spark: SparkSession,
+    col_a: str,
+    col_b: str,
+    n_files: int = 8,
+) -> Table:
+    """Z-order clustering rewrite: Iceberg's ``rewrite_data_files``
+    sort strategy with ``zorder(col_a, col_b)``.
+
+    Reads the current snapshot through the scan path (positional and
+    equality deletes APPLIED), computes the Morton z-value of the two
+    cluster columns (operators/zorder.py — pure codegen, no UDF), range
+    partitions on z so each output file owns a contiguous z-range, and
+    commits the rewrite as a REPLACE snapshot. Because deletes were
+    applied during the read, delete manifests are NOT carried forward.
+
+    After the rewrite every file's (min, max) is tight on BOTH columns,
+    so the manifest metrics evaluator prunes files for predicates on
+    either — the data-skipping property that makes multi-dimensional
+    point/range lookups cheap at 100 TB. The rewrite itself is one
+    range-shuffle of the data (executor-side); only per-file stats
+    collection touches the driver.
+
+    Only unpartitioned tables are supported (a partitioned table would
+    cluster within each partition; not needed by any current caller).
+    """
+    from ..operators.zorder import zvalue
+
+    md = table.metadata
+    if md.default_spec and getattr(md.default_spec, "fields", None):
+        raise NotImplementedError("z-order rewrite of partitioned tables")
+    snap = table.current_snapshot()
+    if snap is None:
+        return table
+
+    df = table.scan().to_df(spark)
+    lo = df.agg(
+        F.min(F.col(col_a).cast("bigint")).alias("a"),
+        F.min(F.col(col_b).cast("bigint")).alias("b"),
+    ).first()
+    z = zvalue(F.col(col_a), F.col(col_b), int(lo["a"] or 0), int(lo["b"] or 0))
+
+    fmt_out = table.properties.get("write.format.default", "parquet").lower()
+    ext = f".{fmt_out}" if fmt_out != "parquet" else ".parquet"
+    out = f"{table.location}/data/zorder-{_uuid.uuid4().hex[:16]}"
+    (
+        df.withColumn("_z", z)
+        .repartitionByRange(n_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("overwrite")
+        .format(fmt_out)
+        .save(out)
+    )
+    schema = table.schema
+    new_files = [
+        collect_data_file(f"{out}/{fn}", schema, {})
+        for fn in sorted(os.listdir(out))
+        if fn.endswith(ext)
+    ]
+    if not new_files:
+        return table
+    return _commit_snapshot(
+        table,
+        new_files,
+        OP_REPLACE,
+        keep_manifests=[],
+        retained_entries=[],
+        extra_summary={"rewrite": f"zorder({col_a},{col_b})"},
+    )

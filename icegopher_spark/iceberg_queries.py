@@ -744,3 +744,81 @@ def iceberg_avro_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
             F.sum("l_orderkey").alias("sum_okey"),
         )
     )
+
+
+# -- z-order clustering rewrite + two-column stats pruning ------------------
+
+_Z_SCHEMA = Schema(
+    (
+        NestedField(1, "l_partkey", LongType(), True),
+        NestedField(2, "l_suppkey", LongType(), True),
+        NestedField(3, "l_quantity", DoubleType(), False),
+    ),
+    schema_id=0,
+)
+
+
+def _zorder_table_for(spark: SparkSession, sf_dir: str) -> Table:
+    """Unpartitioned (partkey, suppkey, qty) table: one append, then a
+    z-order clustering rewrite (maintenance.rewrite_clustered) so file
+    min/max bounds are tight on BOTH key columns."""
+    from .iceberg.maintenance import rewrite_clustered
+
+    key = sf_dir.strip("/").replace("/", "_")
+    loc = f"{_CACHE_ROOT}/{key}/lineitem_zorder"
+    hint = f"{loc}/metadata/version-hint.text"
+    if os.path.exists(hint):
+        try:
+            t = Table.from_location(loc)
+            if len(t.metadata.snapshots) == 2:
+                return t
+        except Exception:  # noqa: BLE001
+            pass
+        shutil.rmtree(loc, ignore_errors=True)
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_partkey", "l_suppkey", "l_quantity"
+    )
+    t = W.create_table(loc, _Z_SCHEMA)
+    t = W.append(t, li)
+    return rewrite_clustered(t, spark, "l_partkey", "l_suppkey", n_files=8)
+
+
+ice_zorder_oracle = """
+SELECT COUNT(*) AS n_rows,
+       CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_qty,
+       CAST(TRUE AS BOOLEAN) AS pruned
+FROM lineitem
+WHERE l_partkey BETWEEN 100 AND 299 AND l_suppkey BETWEEN 10 AND 39
+"""
+
+
+@register(
+    "iceberg_zorder_pruned",
+    ice_zorder_oracle,
+    "z-order rewrite -> two-column box query prunes files by stats",
+)
+def iceberg_zorder_pruned(spark: SparkSession, sf: str) -> DataFrame:
+    """A two-column box predicate on the z-ordered table: the `pruned`
+    flag asserts the metrics evaluator actually skipped files (file
+    bounds are tight on both columns only because of the Morton
+    clustering — the whole point of the rewrite)."""
+    t = _zorder_table_for(spark, sf)
+    flt = (
+        E.greater_than_or_equal("l_partkey", 100)
+        & E.less_than_or_equal("l_partkey", 299)
+        & E.greater_than_or_equal("l_suppkey", 10)
+        & E.less_than_or_equal("l_suppkey", 39)
+    )
+    scan = t.scan(row_filter=flt)
+    planned = len(scan.plan_files())
+    total = int(t.current_snapshot().summary.get("total-data-files", "0"))
+    return (
+        scan.to_df(spark)
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum(F.col("l_quantity").cast("decimal(12,2)")), 2)
+            .cast("double")
+            .alias("sum_qty"),
+            F.lit(bool(planned < total)).alias("pruned"),
+        )
+    )

@@ -1,0 +1,64 @@
+"""Morton (Z-order) encoding as pure Spark codegen expressions.
+
+Multi-dimensional clustering for data skipping: rows sorted by the
+interleaved bits of two columns land in files whose min/max ranges are
+tight on BOTH columns, so the manifest metrics evaluator
+(iceberg/evaluators.py) can prune files for predicates on either or
+both — the property a single-column sort only gives you for its lead
+column. This is Iceberg's ``rewrite_data_files(strategy => 'sort',
+sort_order => 'zorder(a, b)')`` re-expressed for this engine
+(the reference has no write path at all — main.go:314).
+
+The bit interleave uses the classic magic-number parallel bit spread
+(five shift/or/mask steps per column), so the z-value is a single
+whole-stage-codegen expression — no UDF, no Python, evaluable at the
+scan. At 100 TB the rewrite cost is one range-shuffle of the data;
+every subsequent multi-column point/range query pays fewer file reads.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# masks for spreading a 32-bit value into the even bit positions of 64
+_SPREAD_STEPS = (
+    (16, 0x0000FFFF0000FFFF),
+    (8, 0x00FF00FF00FF00FF),
+    (4, 0x0F0F0F0F0F0F0F0F),
+    (2, 0x3333333333333333),
+    (1, 0x5555555555555555),
+)
+
+# saturate inputs to 31 bits: the odd-interleaved column's top bit
+# would otherwise land on int64's sign bit and invert the sort order
+_UMAX = (1 << 31) - 1
+
+
+def _spread_bits(c: Column) -> Column:
+    """Spread the low 31 bits of ``c`` into the even bit positions of a
+    64-bit value (b30..b0 -> positions 60, 58, ..., 0)."""
+    for shift, mask in _SPREAD_STEPS:
+        c = c.bitwiseOR(F.shiftleft(c, shift)).bitwiseAND(F.lit(mask))
+    return c
+
+
+def _norm32(c: Column, lo: Column | int) -> Column:
+    """Shift ``c`` to be non-negative (subtract the column minimum) and
+    saturate at 2^32-1 so wider values still order correctly up to the
+    clamp (saturation preserves monotonicity; bit truncation would
+    not)."""
+    lo_col = F.lit(lo) if isinstance(lo, int) else lo
+    shifted = c.cast("bigint") - lo_col.cast("bigint")
+    return F.least(F.greatest(shifted, F.lit(0)), F.lit(_UMAX))
+
+
+def zvalue(a: Column, b: Column, a_min: Column | int = 0, b_min: Column | int = 0) -> Column:
+    """64-bit Morton code of two columns: bits of ``a`` at even
+    positions, ``b`` at odd. Inputs are min-normalized then saturated
+    to 31 bits. Null in either column sorts first (z = -1), keeping
+    nulls co-located."""
+    z = _spread_bits(_norm32(a, a_min)).bitwiseOR(
+        F.shiftleft(_spread_bits(_norm32(b, b_min)), 1)
+    )
+    return F.when(a.isNull() | b.isNull(), F.lit(-1)).otherwise(z)

@@ -175,3 +175,65 @@ def test_orphan_files(spark, tmp_path, lineitem):
     removed = M.remove_orphan_files(t, older_than_ms=0)
     assert junk in removed and not os.path.exists(junk)
     assert t.scan().to_df(spark).count() == 400
+
+
+# -- z-order clustering rewrite ---------------------------------------------
+
+
+def _py_morton(a: int, b: int) -> int:
+    z = 0
+    for i in range(31):
+        z |= ((a >> i) & 1) << (2 * i) | ((b >> i) & 1) << (2 * i + 1)
+    return z
+
+
+def test_zvalue_matches_reference_morton(spark):
+    from icegopher_spark.operators.zorder import zvalue
+
+    pairs = [(0, 0), (1, 0), (0, 1), (3, 5), (12345, 67890), (2**31 - 1, 2**31 - 1)]
+    df = spark.createDataFrame(pairs, "a long, b long")
+    got = {(r["a"], r["b"]): r["z"] for r in df.withColumn("z", zvalue(F.col("a"), F.col("b"))).collect()}
+    for a, b in pairs:
+        assert got[(a, b)] == _py_morton(a, b), (a, b)
+
+
+def test_zvalue_nulls_sort_first(spark):
+    from icegopher_spark.operators.zorder import zvalue
+
+    df = spark.createDataFrame([(None, 5), (5, None), (0, 0)], "a long, b long")
+    zs = [r["z"] for r in df.withColumn("z", zvalue(F.col("a"), F.col("b"))).collect()]
+    assert zs[0] == -1 and zs[1] == -1 and zs[2] == 0
+
+
+def test_rewrite_clustered_prunes_and_preserves(spark, tmp_path):
+    schema = Schema(
+        (
+            NestedField(1, "x", LongType(), True),
+            NestedField(2, "y", LongType(), True),
+        ),
+        schema_id=0,
+    )
+    # a grid: x-sorted appends give tight x bounds but full-range y bounds
+    rows = spark.range(0, 4096).select(
+        (F.col("id") % 64).alias("x"), (F.col("id") / 64).cast("long").alias("y")
+    )
+    t = W.create_table(str(tmp_path / "zt"), schema)
+    t = W.append(t, rows)
+    before = sorted(map(tuple, t.scan().to_df(spark).collect()))
+    t = M.rewrite_clustered(t, spark, "x", "y", n_files=8)
+
+    assert t.current_snapshot().summary["operation"] == "replace"
+    after = sorted(map(tuple, t.scan().to_df(spark).collect()))
+    assert after == before  # lossless rewrite
+
+    flt = (
+        E.greater_than_or_equal("x", 10)
+        & E.less_than_or_equal("x", 20)
+        & E.greater_than_or_equal("y", 10)
+        & E.less_than_or_equal("y", 20)
+    )
+    planned = len(t.scan(row_filter=flt).plan_files())
+    total = int(t.current_snapshot().summary["total-data-files"])
+    assert total == 8
+    # an 11x64 box of a 64x64 grid must not need every z-range file
+    assert planned < total
