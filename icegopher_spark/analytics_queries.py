@@ -863,3 +863,111 @@ def q21(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 4: event-analytics battery — gap-filled series (LOCF), ordered
+# funnels, cohort retention (operators/timeseries.py).
+# ---------------------------------------------------------------------------
+
+gapfill_oracle = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket,
+         SUM(CAST(value AS DECIMAL(14,4))) AS total
+  FROM events GROUP BY 1, 2
+), bounds AS (
+  SELECT min(date_trunc('hour', ts)) AS lo, max(date_trunc('hour', ts)) AS hi FROM events
+), hours AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket FROM bounds
+), grid AS (
+  SELECT t.event_type, h.bucket
+  FROM (SELECT DISTINCT event_type FROM events) t CROSS JOIN hours h
+), j AS (
+  SELECT g.event_type, g.bucket, hr.total
+  FROM grid g LEFT JOIN hourly hr ON g.event_type = hr.event_type AND g.bucket = hr.bucket
+)
+SELECT event_type, bucket,
+       CAST(ROUND(COALESCE(last_value(total IGNORE NULLS) OVER (
+         PARTITION BY event_type ORDER BY bucket ROWS UNBOUNDED PRECEDING), 0), 2)
+            AS DOUBLE) AS value_filled,
+       total IS NULL AS was_gap
+FROM j
+"""
+
+
+@register(
+    "events_gapfill_locf",
+    gapfill_oracle,
+    "time_bucket_gapfill + locf: dense hourly series, gaps carried forward",
+)
+def events_gapfill_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Hypertable-style gap-filled rollup: the grid is |keys| x |hours|
+    (independent of event count) and the LOCF window sorts only the
+    bucketed rollup — see operators/timeseries.py."""
+    from .operators import timeseries
+
+    ev = load(spark, sf, "events")
+    return timeseries.gapfill_locf(ev)
+
+
+funnel_oracle = """
+WITH s0 AS (
+  SELECT user_id AS u, MIN(ts) AS t0 FROM events WHERE event_type = 'view' GROUP BY 1
+), s1 AS (
+  SELECT e.user_id AS u, MIN(e.ts) AS t1 FROM events e JOIN s0 ON e.user_id = s0.u
+  WHERE e.event_type = 'click' AND e.ts > s0.t0 GROUP BY 1
+), s2 AS (
+  SELECT e.user_id AS u, MIN(e.ts) AS t2 FROM events e JOIN s1 ON e.user_id = s1.u
+  WHERE e.event_type = 'purchase' AND e.ts > s1.t1 GROUP BY 1
+)
+SELECT (SELECT COUNT(*) FROM s0) AS n_view,
+       (SELECT COUNT(*) FROM s1) AS n_click,
+       (SELECT COUNT(*) FROM s2) AS n_purchase
+"""
+
+
+@register(
+    "events_funnel",
+    funnel_oracle,
+    "strictly-ordered view->click->purchase funnel, greedy stage times",
+)
+def events_funnel_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Each stage reduces to one (user, min_ts) row before the next
+    join, so stage joins move a row per user, never per event."""
+    from .operators import timeseries
+
+    ev = load(spark, sf, "events")
+    return timeseries.funnel_counts(ev)
+
+
+retention_oracle = """
+WITH active AS (
+  SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS d FROM events
+), first AS (
+  SELECT u, MIN(d) AS d0 FROM active GROUP BY 1
+), base AS (
+  SELECT d0, COUNT(*) AS n_users FROM first GROUP BY 1
+), r7 AS (
+  SELECT f.d0, COUNT(*) AS n FROM first f JOIN active a ON a.u = f.u AND a.d = f.d0 + 7
+  GROUP BY 1
+), r14 AS (
+  SELECT f.d0, COUNT(*) AS n FROM first f JOIN active a ON a.u = f.u AND a.d = f.d0 + 14
+  GROUP BY 1
+)
+SELECT CAST(base.d0 AS TIMESTAMP) AS cohort_day, base.n_users,
+       CAST(COALESCE(r7.n, 0) AS BIGINT) AS n_day7,
+       CAST(COALESCE(r14.n, 0) AS BIGINT) AS n_day14
+FROM base LEFT JOIN r7 ON base.d0 = r7.d0 LEFT JOIN r14 ON base.d0 = r14.d0
+"""
+
+
+@register(
+    "events_retention",
+    retention_oracle,
+    "cohort retention at day 7/14 via exact-day equi-joins",
+)
+def events_retention_q(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators import timeseries
+
+    ev = load(spark, sf, "events")
+    return timeseries.retention_cohorts(ev)

@@ -1,0 +1,141 @@
+"""Time-series / event-analytics operators: gap-filled rollups (LOCF),
+ordered funnel stages, and cohort retention.
+
+[X] extension surface (SURVEY.md §2.9) — the reference has no data
+plane; these are the hypertable-style operators (timescale's
+``time_bucket_gapfill``/``locf``, product-analytics funnels and
+retention) a user of an events table runs daily. All three are pure
+DataFrame compositions (joins + windows + conditional aggregation):
+no UDFs, nothing driver-side, each with an exact SQL oracle.
+
+Scale posture:
+  * gapfill materializes the (series-key x bucket) grid — size is
+    |keys| x |time range / bucket|, independent of event count, so at
+    100 TB the grid is tiny next to the fact table; the LOCF window
+    partitions per series key and sorts only the bucketed rollup.
+  * funnel reduces each stage to (user, min_ts) BEFORE joining, so
+    stage joins move one narrow row per user, not per event.
+  * retention reduces to distinct (user, day) then equi-joins on exact
+    day offsets — no inequality/range join anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def gapfill_locf(
+    events: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    bucket: str = "hour",
+) -> DataFrame:
+    """Dense per-key bucketed series over the table's global time
+    range, missing buckets filled by last-observation-carried-forward.
+
+    Returns (key, bucket, value_filled, was_gap). Buckets before a
+    key's first observation fill with 0.
+    """
+    b = F.date_trunc(bucket, F.col(ts_col))
+    hourly = events.groupBy(F.col(key_col), b.alias("bucket")).agg(
+        F.sum(F.col(value_col).cast("decimal(14,4)")).alias("total")
+    )
+    bounds = events.agg(
+        F.min(b).alias("lo"), F.max(b).alias("hi")
+    )
+    hours = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr(f"INTERVAL 1 {bucket}"))).alias("bucket")
+    )
+    keys = events.select(key_col).distinct()
+    grid = keys.crossJoin(hours)
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    joined = grid.join(hourly, [key_col, "bucket"], "left")
+    return joined.select(
+        key_col,
+        "bucket",
+        F.round(F.coalesce(F.last("total", ignorenulls=True).over(w), F.lit(0)), 2)
+        .cast("double")
+        .alias("value_filled"),
+        F.col("total").isNull().alias("was_gap"),
+    )
+
+
+def funnel_counts(
+    events: DataFrame,
+    stages: tuple[str, ...] = ("view", "click", "purchase"),
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Strictly-ordered funnel: a user reaches stage k iff they have a
+    stage-k event strictly after their (greedy, earliest-completion)
+    stage-(k-1) time. Returns one row: n_<stage> per stage.
+
+    Greedy semantics (first qualifying event per stage) make the result
+    a pure function of the event set. Each stage reduces to one narrow
+    (user, ts) row per user before the next join.
+    """
+    cur: DataFrame | None = None
+    per_user: DataFrame | None = None
+    for i, stage in enumerate(stages):
+        ev = events.filter(F.col(type_col) == stage).select(
+            F.col(user_col).alias("u"), F.col(ts_col).alias("t")
+        )
+        if cur is None:
+            cur = ev.groupBy("u").agg(F.min("t").alias(f"t{i}"))
+        else:
+            cur = (
+                ev.join(cur.select("u", f"t{i - 1}"), "u")
+                .filter(F.col("t") > F.col(f"t{i - 1}"))
+                .groupBy("u")
+                .agg(F.min("t").alias(f"t{i}"))
+            )
+        per_user = cur if per_user is None else per_user.join(
+            cur.select("u", f"t{i}"), "u", "left"
+        )
+    # one aggregate over the per-user outcome frame: n_<stage> = users
+    # whose stage-k time exists (single lazy plan, no driver loop)
+    return per_user.agg(
+        *[F.count(F.col(f"t{i}")).alias(f"n_{s}") for i, s in enumerate(stages)]
+    )
+
+
+def retention_cohorts(
+    events: DataFrame,
+    offsets: tuple[int, ...] = (7, 14),
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Classic cohort retention: users grouped by first-activity day;
+    for each offset d, how many were active exactly d days later.
+
+    Returns (cohort_day, n_users, n_day<d>...). Exact-day equality
+    joins only (no ranges): distinct (user, day) equi-joined against
+    (user, cohort_day + d).
+    """
+    day = F.to_date(F.col(ts_col))
+    active = events.select(F.col(user_col).alias("u"), day.alias("d")).distinct()
+    first = active.groupBy("u").agg(F.min("d").alias("d0"))
+    out = first.groupBy("d0").agg(F.count(F.lit(1)).alias("n_users"))
+    for off in offsets:
+        ret = (
+            first.join(
+                active,
+                (first.u == active.u) & (active.d == F.date_add(first.d0, off)),
+                "left_semi",
+            )
+            .groupBy("d0")
+            .agg(F.count(F.lit(1)).alias(f"n_day{off}"))
+        )
+        out = out.join(ret, "d0", "left")
+    cols = [F.col("d0").cast("timestamp").alias("cohort_day"), F.col("n_users")] + [
+        F.coalesce(F.col(f"n_day{o}"), F.lit(0)).cast("bigint").alias(f"n_day{o}")
+        for o in offsets
+    ]
+    return out.select(*cols)

@@ -1958,3 +1958,47 @@ def stratified_sample_q(spark: SparkSession, sf: str) -> DataFrame:
 
     docs = load(spark, sf, "documents")
     return curation.stratified_sample(docs, quota=20, key_col="lang")
+
+
+quantize_oracle = """
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings
+), s AS (
+  SELECT vec_id, e, list_max(list_transform(e, x -> abs(x))) / 127.0 AS scale FROM v
+), c AS (
+  SELECT vec_id, scale,
+         CASE WHEN scale = 0 THEN 0
+              ELSE CAST(list_sum(list_transform(e, x -> round(x / scale))) AS BIGINT)
+         END AS code_sum,
+         CASE WHEN scale = 0 THEN 0.0
+              ELSE list_max(list_transform(e, x -> abs(x - round(x / scale) * scale)))
+         END AS max_err
+  FROM s
+)
+SELECT vec_id, scale, code_sum, max_err,
+       (max_err <= scale / 2 + 1e-12) AS within_bound
+FROM c
+"""
+
+
+@register(
+    "sim_quantize_int8",
+    quantize_oracle,
+    "symmetric int8 embedding quantization with pinned error bound",
+)
+def sim_quantize_int8_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-vector int8 codes via codegen HOF folds (no UDF, no
+    shuffle); the gate compares scale, the exact integer code checksum,
+    the max reconstruction error, and the error-bound guarantee —
+    bit-identical doubles in both engines (operators/similarity.py)."""
+    from .operators.similarity import quantize_int8
+
+    emb = load(spark, sf, "embeddings")
+    q = quantize_int8(emb)
+    return q.select(
+        "vec_id",
+        "scale",
+        F.aggregate("codes", F.lit(0).cast("bigint"), lambda a, x: a + x).alias("code_sum"),
+        "max_err",
+        "within_bound",
+    )

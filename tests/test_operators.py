@@ -408,3 +408,83 @@ def test_stratified_sample_quota_and_stability(spark):
     # ranks are 1..quota with no gaps
     ranks = [r["sample_rank"] for r in s1.filter(F.col("lang") == "en").collect()]
     assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+def test_gapfill_locf_fills_and_carries(spark):
+    from icegopher_spark.operators.timeseries import gapfill_locf
+
+    rows = [
+        ("a", "2024-01-01 00:10:00", 1.0),
+        ("a", "2024-01-01 03:20:00", 5.0),  # hours 1 and 2 are gaps
+        ("b", "2024-01-01 02:00:00", 7.0),  # b missing before hour 2
+    ]
+    ev = spark.createDataFrame(rows, "event_type string, ts string, value double").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    out = {(r["event_type"], str(r["bucket"])): (r["value_filled"], r["was_gap"])
+           for r in gapfill_locf(ev).collect()}
+    assert len(out) == 8  # 2 keys x 4 hours
+    assert out[("a", "2024-01-01 01:00:00")] == (1.0, True)   # carried forward
+    assert out[("a", "2024-01-01 02:00:00")] == (1.0, True)
+    assert out[("a", "2024-01-01 03:00:00")] == (5.0, False)
+    assert out[("b", "2024-01-01 00:00:00")] == (0.0, True)   # before first obs -> 0
+    assert out[("b", "2024-01-01 02:00:00")] == (7.0, False)
+
+
+def test_funnel_strict_order(spark):
+    from icegopher_spark.operators.timeseries import funnel_counts
+
+    rows = [
+        # u1 completes in order
+        (1, "view", "2024-01-01 00:00:00"),
+        (1, "click", "2024-01-01 01:00:00"),
+        (1, "purchase", "2024-01-01 02:00:00"),
+        # u2 clicks BEFORE viewing -> stalls at view
+        (2, "click", "2024-01-01 00:00:00"),
+        (2, "view", "2024-01-01 01:00:00"),
+        # u3 views+clicks, never purchases
+        (3, "view", "2024-01-01 00:00:00"),
+        (3, "click", "2024-01-01 00:30:00"),
+        # u4 purchases without ever viewing -> not in funnel at all
+        (4, "purchase", "2024-01-01 00:00:00"),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, event_type string, ts string").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    r = funnel_counts(ev).collect()[0]
+    assert (r["n_view"], r["n_click"], r["n_purchase"]) == (3, 2, 1)
+
+
+def test_retention_exact_day_offsets(spark):
+    from icegopher_spark.operators.timeseries import retention_cohorts
+
+    rows = [
+        (1, "2024-01-01 10:00:00"), (1, "2024-01-08 09:00:00"),   # day-7 retained
+        (2, "2024-01-01 11:00:00"), (2, "2024-01-15 11:00:00"),   # day-14 retained
+        (3, "2024-01-01 12:00:00"),                                # churned
+        (4, "2024-01-02 12:00:00"), (4, "2024-01-09 01:00:00"),   # second cohort, day-7
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts string").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    out = {str(r["cohort_day"])[:10]: (r["n_users"], r["n_day7"], r["n_day14"])
+           for r in retention_cohorts(ev).collect()}
+    assert out["2024-01-01"] == (3, 1, 1)
+    assert out["2024-01-02"] == (1, 1, 0)
+
+
+def test_quantize_int8_roundtrip_error_bound(spark):
+    import math
+
+    from icegopher_spark.operators.similarity import quantize_int8
+
+    rows = [(0, [0.5, -0.25, 0.125]), (1, [0.0, 0.0]), (2, [1.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {r["vec_id"]: r for r in quantize_int8(df).collect()}
+    assert all(r["within_bound"] for r in got.values())
+    r0 = got[0]
+    assert math.isclose(r0["scale"], 0.5 / 127)
+    assert r0["codes"][0] == 127 and r0["codes"][1] == -64
+    assert all(-127 <= c <= 127 for c in r0["codes"])
+    assert got[1]["codes"] == [] and got[1]["max_err"] == 0.0
+    assert got[2]["codes"] == [127]
