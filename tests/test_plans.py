@@ -294,3 +294,33 @@ def test_q11_threshold_broadcast_is_one_row(spark, queries):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     # the only nested-loop allowed is the single-row threshold attach
     assert plan.count("BroadcastNestedLoopJoin") <= 1
+
+
+# -- round-4 event-analytics + quantization ---------------------------------
+
+
+def test_quantize_int8_is_single_stage(spark, queries):
+    """Quantization is a narrow map: the only exchange allowed is
+    load()'s scan-parallelism round-robin (a no-op at scale) — never a
+    hash/range shuffle."""
+    plan = plan_of(queries["sim_quantize_int8"].fn(spark, SF), "simple")
+    assert "hashpartitioning" not in plan and "rangepartitioning" not in plan
+
+
+def test_gapfill_grid_is_bounded(spark, queries):
+    """The dense grid comes from a 1-row bounds aggregate crossed with
+    the distinct key set — the only nested-loop join allowed is that
+    scale-invariant attach; the events fact table itself must reach the
+    grid through a hash join."""
+    plan = plan_of(queries["events_gapfill_locf"].fn(spark, SF), "simple")
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+    assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_funnel_stage_joins_are_narrow(spark, queries):
+    """Every funnel stage reduces to (user, min_ts) before joining: the
+    plan must aggregate before each join, and read only the three
+    needed columns."""
+    plan = plan_of(queries["events_funnel"].fn(spark, SF))
+    read = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "value" not in read and "props" not in read
