@@ -971,3 +971,55 @@ def events_retention_q(spark: SparkSession, sf: str) -> DataFrame:
 
     ev = load(spark, sf, "events")
     return timeseries.retention_cohorts(ev)
+
+
+# -- Python UDTF surface (Spark's remaining Python-extension API) -----------
+
+chunk_oracle = r"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS ws
+  FROM documents
+), c AS (
+  SELECT doc_id, ws,
+         unnest(range(CAST(ceil(len(ws) / 32.0) AS BIGINT))) AS chunk_idx
+  FROM w
+)
+SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+       CAST(least(32, len(ws) - chunk_idx * 32) AS BIGINT) AS n_words,
+       ws[chunk_idx * 32 + 1] AS first_word
+FROM c
+"""
+
+
+@register(
+    "text_chunk_udtf",
+    chunk_oracle,
+    "Python UDTF + LATERAL join: fixed 32-word context-window chunking",
+)
+def text_chunk_udtf_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Covers the one Python extension API the registry didn't yet
+    exercise: a UDTF expanded through a SQL LATERAL join (udf /
+    pandas_udf / applyInPandas / mapInPandas / grouped-agg UDAF are
+    all gated elsewhere). Row-at-a-time Python by design of the API —
+    the hot-path equivalents (vocab_top_tokens, corpus_pack_sequences)
+    stay codegen; this gate pins the API's correctness, not its speed.
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_idx int, n_words bigint, first_word string")
+    class ChunkText:
+        def eval(self, text: str):
+            words = (text or "").split()
+            for i in range(0, len(words), 32):
+                chunk = words[i : i + 32]
+                yield i // 32, len(chunk), chunk[0]
+
+    spark.udtf.register("ig_chunk_text", ChunkText)
+    load(spark, sf, "documents").createOrReplaceTempView("_udtf_docs")
+    return spark.sql(
+        """
+        SELECT d.doc_id, c.chunk_idx, c.n_words, c.first_word
+        FROM _udtf_docs d, LATERAL ig_chunk_text(d.text) c
+        """
+    )
