@@ -36,6 +36,20 @@ sys.path.insert(0, str(_REPO))
 from pyspark.sql import functions as F  # noqa: E402
 
 from bench import BENCH_QUERIES  # noqa: E402
+
+# round-4 operators whose cost scales with events/documents/embeddings:
+# covered by the superlinearity guard even though the per-round bench
+# keeps its query list stable for baseline comparability
+EXTRA_SCALE_QUERIES = [
+    "q21_waiting_supplier",
+    "q12_late_shipment_priority",
+    "events_gapfill_locf",
+    "events_funnel",
+    "events_retention",
+    "corpus_stratified_sample",
+    "sim_quantize_int8",
+]
+SCALE_QUERIES = BENCH_QUERIES + EXTRA_SCALE_QUERIES
 from icegopher_spark.queries import QUERIES, load  # noqa: E402
 from icegopher_spark.session import get_spark  # noqa: E402
 
@@ -151,7 +165,7 @@ def _warm(spark, sf_dir: str) -> None:
 def run_suite(spark, sf_dir: str) -> dict[str, float]:
     _warm(spark, sf_dir)
     times: dict[str, float] = {}
-    for name in BENCH_QUERIES:
+    for name in SCALE_QUERIES:
         t0 = time.time()
         QUERIES[name].fn(spark, sf_dir).count()
         times[name] = round(time.time() - t0, 3)
@@ -175,7 +189,7 @@ def main() -> None:
     budget = args.k * (1 + __import__("math").log10(args.k))
     rows = {}
     flags = []
-    for name in BENCH_QUERIES:
+    for name in SCALE_QUERIES:
         b, s = base_times[name], scaled_times[name]
         ratio = round(s / max(b, 1e-3), 2)
         ok = (s <= max(b, 0.5) * budget)
