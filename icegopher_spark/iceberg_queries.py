@@ -822,3 +822,44 @@ def iceberg_zorder_pruned(spark: SparkSession, sf: str) -> DataFrame:
             F.lit(bool(planned < total)).alias("pruned"),
         )
     )
+
+
+@register(
+    "iceberg_incremental_mv",
+    ice_mor_oracle,
+    "incremental materialized-view refresh from the CDC changelog",
+)
+def iceberg_incremental_mv(spark: SparkSession, sf: str) -> DataFrame:
+    """Maintain a per-flag COUNT/SUM aggregate incrementally: seed the
+    MV at the first snapshot, then fold ONLY the changelog deltas (the
+    MOR delete's pre-images) into it — never rescanning the table. The
+    oracle is the full recompute of the final state, so the hash match
+    proves incremental == full. Cost is O(changed rows): the CDC
+    surface (changelog.py) reads exactly the files the delete snapshot
+    touched."""
+    from .iceberg.changelog import apply_changes_to_aggregate, changelog_df
+
+    t = _mor_table_for(spark, sf)
+    s0 = t.metadata.snapshots[0]
+    mv0 = (
+        t.scan(snapshot_id=s0.snapshot_id)
+        .to_df(spark)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("l_quantity").cast("decimal(20,4)")).alias("qty_sum"),
+        )
+    )
+    changes = changelog_df(t, spark, from_snapshot_id=s0.snapshot_id)
+    mv = apply_changes_to_aggregate(
+        mv0,
+        changes,
+        keys=["l_returnflag"],
+        count_col="n_rows",
+        sum_specs={"qty_sum": "l_quantity"},
+    )
+    return mv.select(
+        "l_returnflag",
+        "n_rows",
+        F.round(F.col("qty_sum"), 2).cast("double").alias("sum_qty"),
+    )

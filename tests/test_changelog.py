@@ -133,3 +133,32 @@ def test_changelog_replication_between_tables(spark, tmp_path):
     got = sorted(map(tuple, dst.scan().to_df(spark).collect()))
     want = sorted(map(tuple, src.scan().to_df(spark).collect()))
     assert got == want
+
+
+def test_apply_changes_to_aggregate_folds_and_drops(spark):
+    from pyspark.sql import functions as F
+
+    from icegopher_spark.iceberg.changelog import (
+        CHANGE_TYPE,
+        COMMIT_SNAPSHOT,
+        apply_changes_to_aggregate,
+    )
+
+    mv = spark.createDataFrame(
+        [("A", 2, 10.0), ("B", 1, 5.0)], "k string, n_rows long, qty_sum double"
+    ).withColumn("qty_sum", F.col("qty_sum").cast("decimal(20,4)"))
+    changes = spark.createDataFrame(
+        [
+            ("A", 3.0, "insert", 2),   # A grows
+            ("B", 5.0, "delete", 2),   # B's only row deleted -> drops out
+            ("C", 7.0, "insert", 2),   # brand-new group
+        ],
+        f"k string, q double, {CHANGE_TYPE} string, {COMMIT_SNAPSHOT} long",
+    )
+    out = {
+        r["k"]: (r["n_rows"], float(r["qty_sum"]))
+        for r in apply_changes_to_aggregate(
+            mv, changes, keys=["k"], sum_specs={"qty_sum": "q"}
+        ).collect()
+    }
+    assert out == {"A": (3, 13.0), "C": (1, 7.0)}  # B gone
