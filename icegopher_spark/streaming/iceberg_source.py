@@ -1,0 +1,113 @@
+"""Iceberg table as a Structured Streaming SOURCE via Spark 4's Python
+DataSource API: `spark.readStream.format("icegopher_appends")` tails a
+table's snapshot log, emitting the rows each new snapshot appends.
+
+Completes the streaming story (write side: streaming/iceberg_sink.py;
+batch incremental: TableScan.plan_incremental_files): a downstream
+pipeline can now subscribe to a table the way it would to Kafka.
+Reference parity: the reference models the snapshot lineage this
+source walks (table/snapshots.go) but has no read path at all.
+
+Semantics
+  * Offsets are indices into the table's append-ordered snapshot list,
+    so replay between two offsets is deterministic (same property the
+    file source gets from its log).
+  * Each micro-batch plans the ADDED data files of the new snapshots —
+    append/overwrite commits stream their inserts; `replace` snapshots
+    (compaction) are skipped, matching the CDC surface (changelog.py).
+  * Append-only contract: delete rows are NOT retracted (streaming
+    retraction is not expressible through a row-emitting source);
+    tables with MOR deletes should use the batch changelog instead.
+
+Scale posture
+  * Planning (offsets -> file list) is driver-side and O(new
+    manifests), the same cost profile as batch scan planning.
+  * Row reads run on EXECUTORS: `read(partition)` yields Arrow record
+    batches straight from the parquet file — one InputPartition per
+    data file, so a 1000-executor cluster fans out exactly like the
+    batch scan path, and nothing row-shaped ever crosses the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql.datasource import DataSource, DataSourceStreamReader, InputPartition
+
+
+class _FilePartition(InputPartition):
+    def __init__(self, path: str):
+        self.path = path
+
+
+class _AppendStreamReader(DataSourceStreamReader):
+    def __init__(self, options):
+        self.location = options["location"]
+
+    def _table(self):
+        from ..iceberg.table import Table
+
+        return Table.from_location(self.location)
+
+    def initialOffset(self) -> dict:
+        return {"idx": 0}
+
+    def latestOffset(self) -> dict:
+        return {"idx": len(self._table().metadata.snapshots)}
+
+    def partitions(self, start: dict, end: dict):
+        from ..iceberg.manifests import (
+            DataFileContent,
+            ManifestEntryStatus,
+            fetch_entries,
+            read_manifest_list,
+        )
+
+        t = self._table()
+        io = t.io
+        parts: list[_FilePartition] = []
+        for snap in t.metadata.snapshots[start["idx"] : end["idx"]]:
+            if (snap.summary or {}).get("operation") == "replace":
+                continue  # byte movement, not new rows
+            for m in read_manifest_list(io.read(snap.manifest_list)):
+                for e in fetch_entries(m, io.read(m.manifest_path), discard_deleted=True):
+                    if (
+                        e.status == ManifestEntryStatus.ADDED
+                        and e.snapshot_id == snap.snapshot_id
+                        and e.data_file.content == DataFileContent.DATA
+                    ):
+                        parts.append(_FilePartition(e.data_file.file_path))
+        # Spark requires >= 1 partition per batch; an empty batch reads
+        # a sentinel partition that yields nothing
+        return parts or [_FilePartition("")]
+
+    def read(self, partition: _FilePartition):
+        if not partition.path:
+            return iter([])
+        import pyarrow.parquet as pq
+
+        from ..iceberg.table import strip_file_scheme
+
+        return pq.ParquetFile(strip_file_scheme(partition.path)).iter_batches()
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets derive from the table's own snapshot log
+
+
+class IcebergAppendStreamSource(DataSource):
+    """Usage:
+
+        spark.dataSource.register(IcebergAppendStreamSource)
+        df = (spark.readStream.format("icegopher_appends")
+              .option("location", table_location).load())
+    """
+
+    @classmethod
+    def name(cls) -> str:
+        return "icegopher_appends"
+
+    def schema(self):
+        from ..iceberg.table import Table
+
+        return Table.from_location(self.options["location"]).schema.to_spark()
+
+    def streamReader(self, schema):
+        return _AppendStreamReader(self.options)

@@ -435,3 +435,71 @@ def stream_static_join_q(spark: SparkSession, sf: str) -> DataFrame:
         P.static_enriched_rollup(_events_stream(spark, sf), dim), spark, "update"
     )
     return out
+
+
+ice_stream_src_oracle = """
+SELECT l_returnflag, COUNT(*) AS n_rows,
+       CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(14,2))), 2) AS DOUBLE) AS sum_qty,
+       CAST(SUM(l_orderkey) AS BIGINT) AS sum_okey
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@register(
+    "iceberg_stream_source",
+    ice_stream_src_oracle,
+    "Iceberg table as a streaming SOURCE (Python DataSource API, snapshot tailing)",
+)
+def iceberg_stream_source_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Tails a 3-append Iceberg table through
+    spark.readStream.format('icegopher_appends') (executor-side Arrow
+    file reads, offsets = snapshot indices) and aggregates; the oracle
+    is the batch aggregate of everything appended — equality proves the
+    source replays the full snapshot log exactly once."""
+    import shutil as _sh
+
+    from pyspark.sql import functions as FF
+
+    from .iceberg import write as W
+    from .iceberg.schema import Schema
+    from .iceberg.table import Table
+    from .iceberg.types import DoubleType, LongType, NestedField, StringType
+    from .streaming.iceberg_source import IcebergAppendStreamSource
+
+    key = sf.strip("/").replace("/", "_")
+    loc = f"/tmp/icegopher_tables/{key}/lineitem_stream_src"
+    ok = False
+    if os.path.exists(f"{loc}/metadata/version-hint.text"):
+        try:
+            t = Table.from_location(loc)
+            ok = len(t.metadata.snapshots) == 3
+        except Exception:  # noqa: BLE001
+            ok = False
+    if not ok:
+        _sh.rmtree(loc, ignore_errors=True)
+        li = spark.read.parquet(f"{sf}/lineitem.parquet").select(
+            "l_orderkey", "l_quantity", "l_returnflag"
+        )
+        sch = Schema(
+            (
+                NestedField(1, "l_orderkey", LongType(), True),
+                NestedField(2, "l_quantity", DoubleType(), False),
+                NestedField(3, "l_returnflag", StringType(), False),
+            ),
+            schema_id=0,
+        )
+        t = W.create_table(loc, sch)
+        for i in range(3):
+            t = W.append(t, li.filter(FF.col("l_orderkey") % 3 == i))
+
+    spark.dataSource.register(IcebergAppendStreamSource)
+    sdf = spark.readStream.format("icegopher_appends").option("location", loc).load()
+    agg = sdf.groupBy("l_returnflag").agg(
+        FF.count(FF.lit(1)).alias("n_rows"),
+        FF.round(FF.sum(FF.col("l_quantity").cast("decimal(14,2)")), 2)
+        .cast("double")
+        .alias("sum_qty"),
+        FF.sum("l_orderkey").alias("sum_okey"),
+    )
+    return P.run_stream_to_table(agg, spark, "update")
