@@ -1,0 +1,217 @@
+"""Batch read/write of Iceberg tables through Spark 4's Python
+DataSource API: `spark.read.format("icegopher")` and
+`df.write.format("icegopher").mode("append"|"overwrite")`.
+
+This is the *standard-Spark-API* face of the engine: jobs that speak
+`DataFrameReader`/`DataFrameWriter` get our tables without importing
+the library. Internals are the same metadata plane the native path
+uses — `TableScan.plan_files` for planning, `collect_data_file` +
+`_commit_snapshot`/`add_files` for the commit protocol.
+
+Scale posture
+  * Read: planning is driver-side O(manifests) with file pruning —
+    Spark's pushed filters translate into the expression IR and prune
+    through manifest summaries + min/max stats; every filter is
+    reported back as unconsumed so Spark re-applies it exactly
+    (pruning stays inclusive, residuals stay precise). Row IO is
+    executor-side Arrow, one InputPartition per data file.
+  * Write: executors write attempt-scoped parquet files and return
+    their paths as commit messages; the driver commits ONLY the paths
+    of successful attempts (task-commit protocol — a failed/speculated
+    attempt's files are never harvested; they are swept later by
+    remove_orphan_files). Append commits via footer-stats adoption
+    (`add_files`), overwrite as one atomic OVERWRITE snapshot.
+
+Known limits (documented, enforced):
+  * Reads of tables carrying merge-on-read deletes raise — the Arrow
+    per-file path cannot apply delete joins; use `Table.scan().to_df`
+    (the fast path) for those.
+  * Writes to partitioned tables raise — partition-clustered writes
+    need the transform write path in write.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceArrowWriter,
+    DataSourceReader,
+    InputPartition,
+    WriterCommitMessage,
+)
+
+
+class _FilePartition(InputPartition):
+    def __init__(self, path: str):
+        self.path = path
+
+
+def _translate_filters(filters):
+    """Spark pushed Filters -> our expression IR (AND of the ones we
+    understand). Unknown filters are simply not used for pruning —
+    they are all re-applied by Spark anyway."""
+    from . import expressions as E
+
+    out = None
+    for f in filters:
+        kind = type(f).__name__
+        try:
+            col = ".".join(f.attribute)
+        except AttributeError:
+            continue
+        pred = None
+        if kind == "EqualTo":
+            pred = E.equal_to(col, f.value)
+        elif kind == "GreaterThan":
+            pred = E.greater_than(col, f.value)
+        elif kind == "GreaterThanOrEqual":
+            pred = E.greater_than_or_equal(col, f.value)
+        elif kind == "LessThan":
+            pred = E.less_than(col, f.value)
+        elif kind == "LessThanOrEqual":
+            pred = E.less_than_or_equal(col, f.value)
+        elif kind == "In":
+            pred = E.is_in(col, *f.values)
+        elif kind == "IsNull":
+            pred = E.is_null(col)
+        elif kind == "IsNotNull":
+            pred = E.not_null(col)
+        elif kind == "StringStartsWith":
+            pred = E.starts_with(col, f.value)
+        if pred is not None:
+            out = pred if out is None else out & pred
+    return out
+
+
+class _BatchReader(DataSourceReader):
+    def __init__(self, options):
+        self.location = options["location"]
+        self.snapshot_id = options.get("snapshot-id")
+        self._row_filter = None
+
+    def pushFilters(self, filters):
+        self._row_filter = _translate_filters(filters)
+        # report EVERY filter unconsumed: we prune files with them but
+        # rely on Spark for exact row-level application
+        return filters
+
+    def partitions(self):
+        from .table import Table
+
+        t = Table.from_location(self.location)
+        kwargs = {}
+        if self.snapshot_id:
+            kwargs["snapshot_id"] = int(self.snapshot_id)
+        if self._row_filter is not None:
+            kwargs["row_filter"] = self._row_filter
+        tasks = t.scan(**kwargs).plan_files()
+        if any(task.delete_files or task.eq_delete_files for task in tasks):
+            # NOT NotImplementedError: the DataSource API treats that as
+            # "partitions() unsupported" and silently falls back to a
+            # single default partition — which would drop the deletes
+            raise ValueError(
+                "table has merge-on-read deletes; read it via Table.scan().to_df"
+            )
+        return [_FilePartition(task.file.file_path) for task in tasks] or [
+            _FilePartition("")
+        ]
+
+    def read(self, partition: _FilePartition):
+        if not partition.path:
+            return iter([])
+        import pyarrow.parquet as pq
+
+        from .table import strip_file_scheme
+
+        return pq.ParquetFile(strip_file_scheme(partition.path)).iter_batches()
+
+
+class _TaskCommit(WriterCommitMessage):
+    def __init__(self, paths):
+        self.paths = paths
+
+
+class _BatchWriter(DataSourceArrowWriter):
+    def __init__(self, options, overwrite: bool):
+        self.location = options["location"]
+        self.overwrite = overwrite
+
+    def write(self, iterator):
+        """Executor side: one attempt-scoped parquet file per task."""
+        import os
+        import uuid
+
+        import pyarrow.parquet as pq
+
+        from pyspark import TaskContext
+
+        tc = TaskContext.get()
+        attempt = tc.taskAttemptId() if tc else 0
+        loc = self.location.removeprefix("file://")
+        d = f"{loc}/data/dsw-{uuid.uuid4().hex[:16]}-a{attempt}"
+        writer = None
+        path = f"{d}/part-0.parquet"
+        n = 0
+        for batch in iterator:
+            if writer is None:
+                os.makedirs(d, exist_ok=True)
+                writer = pq.ParquetWriter(path, batch.schema)
+            writer.write_batch(batch)
+            n += batch.num_rows
+        if writer is not None:
+            writer.close()
+        return _TaskCommit([path] if n else [])
+
+    def commit(self, messages):
+        """Driver side: harvest ONLY successful attempts' paths."""
+        from . import write as W
+        from .metadata import OP_OVERWRITE
+        from .table import Table
+
+        paths = [p for m in messages if m is not None for p in m.paths]
+        t = Table.from_location(self.location)
+        if not self.overwrite:
+            if paths:
+                W.add_files(t, paths)
+            return
+        files = [W.collect_data_file(p, t.schema, {}) for p in paths]
+        W._commit_snapshot(t, files, OP_OVERWRITE, keep_manifests=[])
+
+    def abort(self, messages):
+        import os
+        import shutil
+
+        for m in messages or []:
+            if m is None:
+                continue
+            for p in m.paths:
+                shutil.rmtree(os.path.dirname(p), ignore_errors=True)
+
+
+class IcebergDataSource(DataSource):
+    """`spark.dataSource.register(IcebergDataSource)` then read/write
+    with `.format("icegopher").option("location", table_path)`."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "icegopher"
+
+    def schema(self):
+        from .table import Table
+
+        return Table.from_location(self.options["location"]).schema.to_spark()
+
+    def reader(self, schema):
+        return _BatchReader(self.options)
+
+    def writer(self, schema, overwrite: bool):
+        from .table import Table
+
+        # fail at plan time, before any executor writes a byte
+        t = Table.from_location(self.options["location"])
+        if t.metadata.default_spec.fields:
+            raise ValueError(
+                "datasource writes to partitioned tables are not supported; "
+                "use icegopher_spark.iceberg.write.append (transform write path)"
+            )
+        return _BatchWriter(self.options, overwrite)

@@ -863,3 +863,67 @@ def iceberg_incremental_mv(spark: SparkSession, sf: str) -> DataFrame:
         "n_rows",
         F.round(F.col("qty_sum"), 2).cast("double").alias("sum_qty"),
     )
+
+
+ice_dsv2_oracle = """
+SELECT l_returnflag, COUNT(*) AS n_rows,
+       CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(14,2))), 2) AS DOUBLE) AS sum_qty
+FROM lineitem
+WHERE l_quantity < 10
+GROUP BY l_returnflag
+"""
+
+
+@register(
+    "iceberg_datasource_roundtrip",
+    ice_dsv2_oracle,
+    "standard df.write/spark.read .format('icegopher') round-trip with pushed filter",
+)
+def iceberg_datasource_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """The Python-DataSource face of the engine: two appends through
+    df.write.format('icegopher') (executor parquet writes + task-commit
+    harvest + add_files adoption), read back through
+    spark.read.format('icegopher') with the quantity filter pushed into
+    scan planning (iceberg/dsv2.py). Oracle is the raw-parquet SQL."""
+    from .iceberg.dsv2 import IcebergDataSource
+
+    spark.dataSource.register(IcebergDataSource)
+    key = sf.strip("/").replace("/", "_")
+    loc = f"{_CACHE_ROOT}/{key}/lineitem_dsv2"
+    ok = False
+    if os.path.exists(f"{loc}/metadata/version-hint.text"):
+        try:
+            ok = len(Table.from_location(loc).metadata.snapshots) == 2
+        except Exception:  # noqa: BLE001
+            ok = False
+    if not ok:
+        shutil.rmtree(loc, ignore_errors=True)
+        li = spark.read.parquet(f"{sf}/lineitem.parquet").select(
+            "l_orderkey", "l_quantity", "l_returnflag"
+        )
+        sch = Schema(
+            (
+                NestedField(1, "l_orderkey", LongType(), True),
+                NestedField(2, "l_quantity", DoubleType(), False),
+                NestedField(3, "l_returnflag", StringType(), False),
+            ),
+            schema_id=0,
+        )
+        W.create_table(loc, sch)
+        for i in range(2):
+            li.filter(F.col("l_orderkey") % 2 == i).write.format("icegopher").option(
+                "location", loc
+            ).mode("append").save()
+    return (
+        spark.read.format("icegopher")
+        .option("location", loc)
+        .load()
+        .filter(F.col("l_quantity") < 10)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum(F.col("l_quantity").cast("decimal(14,2)")), 2)
+            .cast("double")
+            .alias("sum_qty"),
+        )
+    )

@@ -35,6 +35,9 @@ def get_spark(app_name: str = "icegopher_spark", cpus: str | None = None) -> Spa
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.optimizer.nestedSchemaPruning.enabled", "true")
+        # Python DataSource filter pushdown (iceberg/dsv2.py prunes
+        # files with pushed filters; rows still filtered by Spark)
+        .config("spark.sql.python.filterPushdown.enabled", "true")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -1,0 +1,97 @@
+"""The Python DataSource face (iceberg/dsv2.py): standard
+DataFrameReader/Writer API over our tables — write/read round-trip,
+overwrite atomicity, the documented refusals, and empty-task handling."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from icegopher_spark.iceberg import expressions as E
+from icegopher_spark.iceberg import write as W
+from icegopher_spark.iceberg.dsv2 import IcebergDataSource
+from icegopher_spark.iceberg.schema import Schema
+from icegopher_spark.iceberg.table import Table
+from icegopher_spark.iceberg.transforms import PartitionField, PartitionSpec, parse_transform
+from icegopher_spark.iceberg.types import DoubleType, LongType, NestedField, StringType
+
+SCHEMA = Schema(
+    (
+        NestedField(1, "k", LongType(), True),
+        NestedField(2, "q", DoubleType(), False),
+        NestedField(3, "flag", StringType(), False),
+    ),
+    schema_id=0,
+)
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _register(spark):
+    spark.dataSource.register(IcebergDataSource)
+
+
+def _df(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 0.5).alias("q"),
+        F.concat(F.lit("f"), (F.col("id") % 4).cast("string")).alias("flag"),
+    )
+
+
+def test_write_read_roundtrip_with_pushed_filter(spark, tmp_path):
+    loc = str(tmp_path / "t")
+    W.create_table(loc, SCHEMA)
+    _df(spark, 0, 500).write.format("icegopher").option("location", loc).mode("append").save()
+    _df(spark, 500, 600).write.format("icegopher").option("location", loc).mode("append").save()
+
+    t = Table.from_location(loc)
+    assert len(t.metadata.snapshots) == 2
+    assert t.scan().to_df(spark).count() == 600
+
+    got = (
+        spark.read.format("icegopher")
+        .option("location", loc)
+        .load()
+        .filter("k >= 590 AND flag = 'f3'")
+    )
+    exp = _df(spark, 0, 600).filter("k >= 590 AND flag = 'f3'")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, exp.collect()))
+
+
+def test_overwrite_replaces_all(spark, tmp_path):
+    loc = str(tmp_path / "t")
+    W.create_table(loc, SCHEMA)
+    _df(spark, 0, 100).write.format("icegopher").option("location", loc).mode("append").save()
+    _df(spark, 0, 7).write.format("icegopher").option("location", loc).mode("overwrite").save()
+    t = Table.from_location(loc)
+    assert t.current_snapshot().summary["operation"] == "overwrite"
+    assert t.scan().to_df(spark).count() == 7
+
+
+def test_empty_tasks_produce_no_files(spark, tmp_path):
+    loc = str(tmp_path / "t")
+    W.create_table(loc, SCHEMA)
+    _df(spark, 0, 3).repartition(8).write.format("icegopher").option(
+        "location", loc
+    ).mode("append").save()
+    t = Table.from_location(loc)
+    assert t.scan().to_df(spark).count() == 3
+    assert int(t.current_snapshot().summary["total-data-files"]) <= 3
+
+
+def test_mor_table_read_refused(spark, tmp_path):
+    loc = str(tmp_path / "t")
+    W.create_table(loc, SCHEMA)
+    _df(spark, 0, 50).write.format("icegopher").option("location", loc).mode("append").save()
+    t = Table.from_location(loc)
+    W.delete_where_mor(t, spark, E.equal_to("flag", "f1"))
+    with pytest.raises(Exception, match="merge-on-read"):
+        spark.read.format("icegopher").option("location", loc).load().count()
+
+
+def test_partitioned_write_refused(spark, tmp_path):
+    loc = str(tmp_path / "t")
+    spec = PartitionSpec([PartitionField(3, 1000, "flag", parse_transform("identity"))])
+    W.create_table(loc, SCHEMA, spec)
+    with pytest.raises(Exception, match="partitioned"):
+        _df(spark, 0, 10).write.format("icegopher").option("location", loc).mode(
+            "append"
+        ).save()
