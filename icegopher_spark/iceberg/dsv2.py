@@ -23,9 +23,10 @@ Scale posture
     (`add_files`), overwrite as one atomic OVERWRITE snapshot.
 
 Known limits (documented, enforced):
-  * Reads of tables carrying merge-on-read deletes raise — the Arrow
-    per-file path cannot apply delete joins; use `Table.scan().to_df`
-    (the fast path) for those.
+  * Positional deletes ARE applied (per-file row-index mask while the
+    Arrow batches stream — the per-file mirror of the native path's
+    `_metadata.row_index` anti-join). Equality deletes raise — their
+    key anti-join belongs on the JVM side; use `Table.scan().to_df`.
   * Writes to partitioned tables raise — partition-clustered writes
     need the transform write path in write.py.
 """
@@ -42,8 +43,9 @@ from pyspark.sql.datasource import (
 
 
 class _FilePartition(InputPartition):
-    def __init__(self, path: str):
+    def __init__(self, path: str, delete_paths: tuple[str, ...] = ()):
         self.path = path
+        self.delete_paths = delete_paths
 
 
 def _translate_filters(filters):
@@ -105,25 +107,58 @@ class _BatchReader(DataSourceReader):
         if self._row_filter is not None:
             kwargs["row_filter"] = self._row_filter
         tasks = t.scan(**kwargs).plan_files()
-        if any(task.delete_files or task.eq_delete_files for task in tasks):
+        if any(task.eq_delete_files for task in tasks):
             # NOT NotImplementedError: the DataSource API treats that as
             # "partitions() unsupported" and silently falls back to a
             # single default partition — which would drop the deletes
             raise ValueError(
-                "table has merge-on-read deletes; read it via Table.scan().to_df"
+                "table has equality deletes; read it via Table.scan().to_df"
             )
-        return [_FilePartition(task.file.file_path) for task in tasks] or [
-            _FilePartition("")
-        ]
+        return [
+            _FilePartition(
+                task.file.file_path,
+                tuple(d.file_path for d in task.delete_files),
+            )
+            for task in tasks
+        ] or [_FilePartition("")]
 
     def read(self, partition: _FilePartition):
+        """Executor-side Arrow read; positional deletes for this file
+        are applied in place by masking global row indices while the
+        batches stream — the Arrow mirror of the anti-join the native
+        path (`Table.to_df`) runs on `_metadata.row_index`."""
         if not partition.path:
             return iter([])
         import pyarrow.parquet as pq
 
         from .table import strip_file_scheme
 
-        return pq.ParquetFile(strip_file_scheme(partition.path)).iter_batches()
+        batches = pq.ParquetFile(strip_file_scheme(partition.path)).iter_batches()
+        if not partition.delete_paths:
+            return batches
+
+        import numpy as np
+        import pyarrow as pa
+
+        my_path = strip_file_scheme(partition.path)
+        dead: set[int] = set()
+        for dpath in partition.delete_paths:
+            dt = pq.read_table(strip_file_scheme(dpath), columns=["file_path", "pos"])
+            for fp, pos in zip(dt["file_path"].to_pylist(), dt["pos"].to_pylist()):
+                if strip_file_scheme(fp) == my_path:
+                    dead.add(pos)
+        if not dead:
+            return batches
+        dead_arr = np.fromiter(dead, dtype=np.int64)
+
+        def _apply():
+            offset = 0
+            for b in batches:
+                keep = ~np.isin(np.arange(offset, offset + b.num_rows), dead_arr)
+                offset += b.num_rows
+                yield b if keep.all() else b.filter(pa.array(keep))
+
+        return _apply()
 
 
 class _TaskCommit(WriterCommitMessage):

@@ -77,13 +77,29 @@ def test_empty_tasks_produce_no_files(spark, tmp_path):
     assert int(t.current_snapshot().summary["total-data-files"]) <= 3
 
 
-def test_mor_table_read_refused(spark, tmp_path):
+def test_mor_positional_deletes_applied_in_reader(spark, tmp_path):
+    """Positional deletes are masked out inside the Arrow read — the
+    datasource result equals the native delete-applied scan."""
     loc = str(tmp_path / "t")
     W.create_table(loc, SCHEMA)
     _df(spark, 0, 50).write.format("icegopher").option("location", loc).mode("append").save()
     t = Table.from_location(loc)
-    W.delete_where_mor(t, spark, E.equal_to("flag", "f1"))
-    with pytest.raises(Exception, match="merge-on-read"):
+    t = W.delete_where_mor(t, spark, E.equal_to("flag", "f1"))
+
+    got = spark.read.format("icegopher").option("location", loc).load()
+    native = t.scan().to_df(spark)
+    assert got.count() == native.count() > 0
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, native.collect()))
+    assert got.filter("flag = 'f1'").count() == 0
+
+
+def test_equality_delete_read_refused(spark, tmp_path):
+    loc = str(tmp_path / "t")
+    W.create_table(loc, SCHEMA)
+    _df(spark, 0, 50).write.format("icegopher").option("location", loc).mode("append").save()
+    t = Table.from_location(loc)
+    W.delete_keys(t, spark, spark.createDataFrame([("f2",)], "flag string"), ["flag"])
+    with pytest.raises(Exception, match="equality deletes"):
         spark.read.format("icegopher").option("location", loc).load().count()
 
 
