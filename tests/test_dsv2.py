@@ -111,3 +111,18 @@ def test_partitioned_write_refused(spark, tmp_path):
         _df(spark, 0, 10).write.format("icegopher").option("location", loc).mode(
             "append"
         ).save()
+
+
+def test_snapshot_id_time_travel_read(spark, tmp_path):
+    loc = str(tmp_path / "t")
+    W.create_table(loc, SCHEMA)
+    _df(spark, 0, 30).write.format("icegopher").option("location", loc).mode("append").save()
+    _df(spark, 30, 60).write.format("icegopher").option("location", loc).mode("append").save()
+    first = Table.from_location(loc).metadata.snapshots[0]
+    got = (
+        spark.read.format("icegopher")
+        .option("location", loc)
+        .option("snapshot-id", str(first.snapshot_id))
+        .load()
+    )
+    assert got.count() == 30 and got.agg(F.max("k")).first()[0] == 29
