@@ -27,8 +27,11 @@ Known limits (documented, enforced):
     Arrow batches stream — the per-file mirror of the native path's
     `_metadata.row_index` anti-join). Equality deletes raise — their
     key anti-join belongs on the JVM side; use `Table.scan().to_df`.
-  * Writes to partitioned tables raise — partition-clustered writes
-    need the transform write path in write.py.
+  * Partitioned writes split each Arrow batch by the partition tuple
+    (transforms applied per distinct source value, then a vectorized
+    map), one file per (task, partition). Specs whose manifest value
+    encoding would diverge from the native path (identity on
+    timestamp/double) raise at plan time.
 """
 
 from __future__ import annotations
@@ -162,20 +165,43 @@ class _BatchReader(DataSourceReader):
 
 
 class _TaskCommit(WriterCommitMessage):
-    def __init__(self, paths):
-        self.paths = paths
+    def __init__(self, entries):
+        # list of (path, partition_dict) pairs
+        self.entries = entries
 
 
 class _BatchWriter(DataSourceArrowWriter):
-    def __init__(self, options, overwrite: bool):
+    def __init__(self, options, overwrite: bool, part_fields):
         self.location = options["location"]
         self.overwrite = overwrite
+        # picklable: [(spec field name, source column, Transform, IcebergType)]
+        self.part_fields = part_fields
+
+    def _partition_keys(self, batch):
+        """Partition tuple per row: transforms applied per DISTINCT
+        source value (vectorized map afterwards), canonical encodings
+        matching the manifest representation."""
+        import pandas as pd
+
+        from .transforms import _coerce
+
+        cols = {}
+        for name, src, tr, st in self.part_fields:
+            s = batch.column(src).to_pandas()
+            mapping = {
+                v: tr.apply(_coerce(v, st), st) for v in pd.unique(s.dropna())
+            }
+            cols[name] = s.map(mapping)
+        return pd.DataFrame(cols)
 
     def write(self, iterator):
-        """Executor side: one attempt-scoped parquet file per task."""
+        """Executor side: attempt-scoped parquet files, one per
+        (task, partition tuple)."""
         import os
         import uuid
 
+        import numpy as np
+        import pyarrow as pa
         import pyarrow.parquet as pq
 
         from pyspark import TaskContext
@@ -184,33 +210,62 @@ class _BatchWriter(DataSourceArrowWriter):
         attempt = tc.taskAttemptId() if tc else 0
         loc = self.location.removeprefix("file://")
         d = f"{loc}/data/dsw-{uuid.uuid4().hex[:16]}-a{attempt}"
-        writer = None
-        path = f"{d}/part-0.parquet"
-        n = 0
-        for batch in iterator:
-            if writer is None:
+        writers: dict[tuple, tuple] = {}  # key -> (ParquetWriter, path, partition)
+
+        def _sink(key, partition, batch):
+            if key not in writers:
                 os.makedirs(d, exist_ok=True)
-                writer = pq.ParquetWriter(path, batch.schema)
-            writer.write_batch(batch)
-            n += batch.num_rows
-        if writer is not None:
-            writer.close()
-        return _TaskCommit([path] if n else [])
+                path = f"{d}/part-{len(writers)}.parquet"
+                writers[key] = (pq.ParquetWriter(path, batch.schema), path, partition)
+            writers[key][0].write_batch(batch)
+
+        for batch in iterator:
+            if batch.num_rows == 0:
+                continue
+            if not self.part_fields:
+                _sink((), {}, batch)
+                continue
+            kdf = self._partition_keys(batch)
+            names = list(kdf.columns)
+            groups = kdf.groupby(names, dropna=False, sort=False).indices
+            for gkey, idx in groups.items():
+                if not isinstance(gkey, tuple):
+                    gkey = (gkey,)
+                partition = {}
+                for n, v in zip(names, gkey):
+                    if v is None or (isinstance(v, float) and v != v):
+                        partition[n] = None
+                    elif isinstance(v, (np.integer,)):
+                        partition[n] = int(v)
+                    else:
+                        partition[n] = v
+                _sink(tuple(sorted(partition.items())), partition,
+                      batch.take(pa.array(np.asarray(idx, dtype=np.int64))))
+
+        entries = []
+        for w, path, partition in writers.values():
+            w.close()
+            entries.append((path, partition))
+        return _TaskCommit(entries)
 
     def commit(self, messages):
-        """Driver side: harvest ONLY successful attempts' paths."""
-        from . import write as W
-        from .metadata import OP_OVERWRITE
+        """Driver side: harvest ONLY successful attempts' entries."""
+        from .manifests import read_manifest_list
+        from .metadata import OP_APPEND, OP_OVERWRITE
         from .table import Table
+        from .write import _commit_snapshot, collect_data_file
 
-        paths = [p for m in messages if m is not None for p in m.paths]
+        entries = [e for m in messages if m is not None for e in m.entries]
         t = Table.from_location(self.location)
-        if not self.overwrite:
-            if paths:
-                W.add_files(t, paths)
+        files = [collect_data_file(p, t.schema, part) for p, part in entries]
+        if self.overwrite:
+            _commit_snapshot(t, files, OP_OVERWRITE, keep_manifests=[])
             return
-        files = [W.collect_data_file(p, t.schema, {}) for p in paths]
-        W._commit_snapshot(t, files, OP_OVERWRITE, keep_manifests=[])
+        if not files:
+            return
+        snap = t.current_snapshot()
+        keep = list(read_manifest_list(t.io.read(snap.manifest_list))) if snap else []
+        _commit_snapshot(t, files, OP_APPEND, keep_manifests=keep)
 
     def abort(self, messages):
         import os
@@ -219,7 +274,7 @@ class _BatchWriter(DataSourceArrowWriter):
         for m in messages or []:
             if m is None:
                 continue
-            for p in m.paths:
+            for p, _part in m.entries:
                 shutil.rmtree(os.path.dirname(p), ignore_errors=True)
 
 
@@ -241,12 +296,22 @@ class IcebergDataSource(DataSource):
 
     def writer(self, schema, overwrite: bool):
         from .table import Table
+        from .types import DateType, IntegerType, LongType, StringType
 
-        # fail at plan time, before any executor writes a byte
+        # resolve the partition spec DRIVER-side into a picklable plan;
+        # refuse (at plan time, before any executor writes a byte) the
+        # representations whose manifest encoding would diverge from
+        # the native write path (identity on timestamp/double)
         t = Table.from_location(self.options["location"])
-        if t.metadata.default_spec.fields:
-            raise ValueError(
-                "datasource writes to partitioned tables are not supported; "
-                "use icegopher_spark.iceberg.write.append (transform write path)"
-            )
-        return _BatchWriter(self.options, overwrite)
+        ice_schema = t.schema
+        part_fields = []
+        for pf in t.metadata.default_spec.fields:
+            src = ice_schema.find_field(pf.source_id)
+            rt = pf.transform.result_type(src.field_type)
+            if not isinstance(rt, (IntegerType, LongType, DateType, StringType)):
+                raise ValueError(
+                    f"datasource write: unsupported partition value type {rt} "
+                    f"for field {pf.name!r}; use write.append"
+                )
+            part_fields.append((pf.name, src.name, pf.transform, src.field_type))
+        return _BatchWriter(self.options, overwrite, part_fields)

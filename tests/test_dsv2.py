@@ -103,14 +103,57 @@ def test_equality_delete_read_refused(spark, tmp_path):
         spark.read.format("icegopher").option("location", loc).load().count()
 
 
-def test_partitioned_write_refused(spark, tmp_path):
+def test_partitioned_write_clusters_and_prunes(spark, tmp_path):
+    """Partitioned datasource writes: each task splits its batches by
+    the partition tuple; the committed manifest prunes on both the
+    identity and the bucket field."""
     loc = str(tmp_path / "t")
-    spec = PartitionSpec([PartitionField(3, 1000, "flag", parse_transform("identity"))])
+    spec = PartitionSpec(
+        [
+            PartitionField(3, 1000, "flag", parse_transform("identity")),
+            PartitionField(1, 1001, "kb", parse_transform("bucket[4]")),
+        ]
+    )
     W.create_table(loc, SCHEMA, spec)
-    with pytest.raises(Exception, match="partitioned"):
-        _df(spark, 0, 10).write.format("icegopher").option("location", loc).mode(
-            "append"
-        ).save()
+    _df(spark, 0, 400).write.format("icegopher").option("location", loc).mode(
+        "append"
+    ).save()
+    t = Table.from_location(loc)
+    native = t.scan().to_df(spark)
+    assert native.count() == 400
+    # identical content to a native append of the same rows
+    exp = _df(spark, 0, 400)
+    assert sorted(map(tuple, native.collect())) == sorted(map(tuple, exp.collect()))
+    # partition pruning works on the committed partition tuples
+    total = len(t.scan().plan_files())
+    flag_only = len(t.scan(row_filter=E.equal_to("flag", "f2")).plan_files())
+    point = len(
+        t.scan(
+            row_filter=E.equal_to("flag", "f2") & E.equal_to("k", 42)
+        ).plan_files()
+    )
+    assert flag_only < total
+    assert point <= flag_only
+    got = t.scan(row_filter=E.equal_to("flag", "f2") & E.equal_to("k", 42)).to_df(spark)
+    assert [r["k"] for r in got.collect()] == [42]
+
+
+def test_partitioned_write_refuses_divergent_encoding(spark, tmp_path):
+    from icegopher_spark.iceberg.types import TimestampType
+
+    loc = str(tmp_path / "t")
+    sch = Schema(
+        (
+            NestedField(1, "k", LongType(), True),
+            NestedField(2, "ts", TimestampType(), False),
+        ),
+        schema_id=0,
+    )
+    spec = PartitionSpec([PartitionField(2, 1000, "ts", parse_transform("identity"))])
+    W.create_table(loc, sch, spec)
+    df = spark.range(3).selectExpr("id AS k", "timestamp'2024-01-01' AS ts")
+    with pytest.raises(Exception, match="unsupported partition value type"):
+        df.write.format("icegopher").option("location", loc).mode("append").save()
 
 
 def test_snapshot_id_time_travel_read(spark, tmp_path):
