@@ -577,3 +577,38 @@ def neardup_groups(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
         if changed == 0:
             break
     return labels.select(F.col("id"), F.col("rep"))
+
+
+def repeated_ngram_spans(
+    df: DataFrame,
+    n: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_docs: int = 2,
+) -> DataFrame:
+    """Exact-substring contamination at n-gram granularity (the
+    Spark-first shape of Lee et al.'s suffix-array substring dedup):
+    flag every token position whose n-gram also occurs in at least
+    ``min_docs - 1`` OTHER documents.
+
+    Plan: posexplode the positional n-gram array, collapse each gram
+    to its 64-bit xxhash64 immediately, count DISTINCT docs per hash,
+    and semi-join the flagged hashes back to positions. Only
+    (hash, doc, pos) longs ever shuffle — the text stays in its scan —
+    and the distinct-doc count is a partial-aggregated groupBy, so the
+    plan is two narrow shuffles regardless of corpus size.
+
+    Returns (id, pos, gram_hash) for every flagged position; callers
+    aggregate (span-merging is a per-doc window over pos).
+    """
+    grams = df.select(
+        F.col(id_col),
+        F.posexplode(word_ngrams(F.col(text_col), n)).alias("pos", "gram"),
+    ).select(id_col, "pos", F.xxhash64("gram").alias("gram_hash"))
+    hot = (
+        grams.groupBy("gram_hash")
+        .agg(F.count_distinct(F.col(id_col)).alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("gram_hash")
+    )
+    return grams.join(hot, "gram_hash", "left_semi").select(id_col, "pos", "gram_hash")

@@ -2002,3 +2002,52 @@ def sim_quantize_int8_q(spark: SparkSession, sf: str) -> DataFrame:
         "max_err",
         "within_bound",
     )
+
+
+substring_spans_oracle = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS w
+  FROM documents
+), g0 AS (
+  SELECT doc_id, w, unnest(range(greatest(len(w) - 4, 0))) AS pos FROM toks
+), g AS (
+  SELECT doc_id, pos, array_to_string(w[pos + 1 : pos + 5], ' ') AS gram FROM g0
+), hot AS (
+  SELECT gram FROM g GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2
+), flagged AS (
+  SELECT doc_id, pos FROM g SEMI JOIN hot USING (gram)
+), per_doc AS (
+  SELECT f.doc_id, COUNT(*) AS n_flagged, MIN(f.pos) AS first_pos
+  FROM flagged f GROUP BY 1
+)
+SELECT p.doc_id, CAST(p.n_flagged AS BIGINT) AS n_flagged,
+       CAST(p.first_pos AS BIGINT) AS first_pos,
+       CAST(greatest(len(t.w) - 4, 0) AS BIGINT) AS n_grams
+FROM per_doc p JOIN toks t ON p.doc_id = t.doc_id
+"""
+
+
+@register(
+    "dedup_substring_spans",
+    substring_spans_oracle,
+    "cross-document repeated 5-gram spans (exact-substring dedup shape)",
+)
+def dedup_substring_spans_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Positions whose 5-gram recurs in another document, per doc:
+    only (hash, doc, pos) longs shuffle; text never leaves its scan
+    (operators/dedup.py:repeated_ngram_spans)."""
+    docs = load(spark, sf, "documents")
+    spans = dedup.repeated_ngram_spans(docs, n=5)
+    per_doc = spans.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_flagged"),
+        F.min("pos").cast("bigint").alias("first_pos"),
+    )
+    totals = docs.select(
+        "doc_id",
+        F.greatest(
+            F.size(dedup.word_ngrams(F.col("text"), 5)), F.lit(0)
+        ).cast("bigint").alias("n_grams"),
+    )
+    return per_doc.join(totals, "doc_id").select(
+        "doc_id", "n_flagged", "first_pos", "n_grams"
+    )

@@ -488,3 +488,17 @@ def test_quantize_int8_roundtrip_error_bound(spark):
     assert all(-127 <= c <= 127 for c in r0["codes"])
     assert got[1]["codes"] == [] and got[1]["max_err"] == 0.0
     assert got[2]["codes"] == [127]
+
+
+def test_repeated_ngram_spans_flags_cross_doc_only(spark):
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta"),       # shares 5-gram prefix with doc 2
+        (2, "alpha beta gamma delta epsilon eta"),
+        (3, "one two three four five six seven"),          # unique text: no flags
+        (4, "repeat repeat repeat repeat repeat repeat"),  # within-doc repeats only
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    spans = dedup.repeated_ngram_spans(df, n=5)
+    got = {(r["doc_id"], r["pos"]) for r in spans.collect()}
+    # docs 1 and 2 share exactly the gram at pos 0 ("alpha beta gamma delta epsilon")
+    assert got == {(1, 0), (2, 0)}
