@@ -927,3 +927,80 @@ def iceberg_datasource_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
             .alias("sum_qty"),
         )
     )
+
+
+ice_wap_oracle = """
+SELECT l_returnflag, COUNT(*) AS n_rows,
+       CAST(SUM(l_orderkey) AS BIGINT) AS sum_okey,
+       CAST(TRUE AS BOOLEAN) AS staged_invisible
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@register(
+    "iceberg_wap_publish",
+    ice_wap_oracle,
+    "write-audit-publish: branch-staged appends invisible until fast-forward",
+)
+def iceberg_wap_publish(spark: SparkSession, sf: str) -> DataFrame:
+    """The WAP flow end to end: first half appends to main, second half
+    stages on an 'audit' branch (two commits chaining on the branch
+    head), the gate CHECKS main still sees only the first half
+    (staged_invisible pins it), then publishes by fast-forwarding main
+    and aggregates the published state — which the oracle recomputes as
+    the full table."""
+    from .iceberg.refs import create_branch, rollback_to
+
+    key = sf.strip("/").replace("/", "_")
+    loc = f"{_CACHE_ROOT}/{key}/lineitem_wap"
+    li = spark.read.parquet(f"{sf}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity", "l_returnflag"
+    )
+    sch = Schema(
+        (
+            NestedField(1, "l_orderkey", LongType(), True),
+            NestedField(2, "l_quantity", DoubleType(), False),
+            NestedField(3, "l_returnflag", StringType(), False),
+        ),
+        schema_id=0,
+    )
+    ok = False
+    if os.path.exists(f"{loc}/metadata/version-hint.text"):
+        try:
+            t = Table.from_location(loc)
+            # the publish below PERSISTS (fast-forward is a metadata
+            # commit) — a previous run leaves main == audit head, so
+            # the staged-invisible phase needs a fresh build
+            ok = (
+                len(t.metadata.snapshots) == 3
+                and "audit" in t.metadata.refs
+                and t.current_snapshot().snapshot_id
+                != t.metadata.refs["audit"].snapshot_id
+            )
+        except Exception:  # noqa: BLE001
+            ok = False
+    if not ok:
+        shutil.rmtree(loc, ignore_errors=True)
+        t = W.create_table(loc, sch)
+        t = W.append(t, li.filter(F.col("l_orderkey") % 2 == 0))
+        t = create_branch(t, "audit")
+        t = W.append(t, li.filter((F.col("l_orderkey") % 2 == 1) & (F.col("l_orderkey") % 4 == 1)), branch="audit")
+        t = W.append(t, li.filter((F.col("l_orderkey") % 2 == 1) & (F.col("l_orderkey") % 4 == 3)), branch="audit")
+    else:
+        t = Table.from_location(loc)
+
+    n_main_before = t.scan().to_df(spark).count()
+    n_even = li.filter(F.col("l_orderkey") % 2 == 0).count()
+    staged_invisible = bool(n_main_before == n_even)
+    published = rollback_to(t, t.metadata.refs["audit"].snapshot_id)
+    return (
+        published.scan()
+        .to_df(spark)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("l_orderkey").alias("sum_okey"),
+            F.lit(staged_invisible).alias("staged_invisible"),
+        )
+    )
