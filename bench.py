@@ -118,6 +118,26 @@ def main() -> None:
         q.fn(spark, sf_dir).count()
         times[name] = round(time.time() - t0, 3)
 
+    # round-4 additions timed OUTSIDE the headline metric so the
+    # baseline curve (r1..r3 totals over the same 33 queries) stays
+    # comparable; the scale guard (tools/scale_bench.py) also covers
+    # these at 10x.
+    EXTENDED = [
+        "q21_waiting_supplier",
+        "q12_late_shipment_priority",
+        "events_gapfill_locf",
+        "events_funnel",
+        "events_retention",
+        "corpus_stratified_sample",
+        "sim_quantize_int8",
+        "dedup_substring_spans",
+    ]
+    extended: dict[str, float] = {}
+    for name in EXTENDED:
+        t0 = time.time()
+        QUERIES[name].fn(spark, sf_dir).count()
+        extended[name] = round(time.time() - t0, 3)
+
     total = round(sum(times.values()), 3)
     print(
         json.dumps(
@@ -126,6 +146,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": times,
+                "extended_queries": extended,
+                "extended_total": round(sum(extended.values()), 3),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
