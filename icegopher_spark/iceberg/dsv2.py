@@ -46,9 +46,19 @@ from pyspark.sql.datasource import (
 
 
 class _FilePartition(InputPartition):
-    def __init__(self, path: str, delete_paths: tuple[str, ...] = ()):
+    def __init__(
+        self,
+        path: str,
+        delete_paths: tuple[str, ...] = (),
+        column_map: tuple[tuple[str, str | None], ...] | None = None,
+        arrow_schema=None,
+    ):
         self.path = path
         self.delete_paths = delete_paths
+        # field-ID projection: (target name, name in THIS file | None if
+        # the column didn't exist when the file was written)
+        self.column_map = column_map
+        self.arrow_schema = arrow_schema
 
 
 def _translate_filters(filters):
@@ -117,13 +127,38 @@ class _BatchReader(DataSourceReader):
             raise ValueError(
                 "table has equality deletes; read it via Table.scan().to_df"
             )
-        return [
-            _FilePartition(
-                task.file.file_path,
-                tuple(d.file_path for d in task.delete_files),
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        current = t.schema
+        arrow_schema = to_arrow_schema(current.to_spark())
+        md = t.metadata
+        parts = []
+        for task in tasks:
+            file_schema = (
+                md.schema_by_id(task.schema_id) if task.schema_id is not None else None
+            ) or current
+            cmap = None
+            if file_schema is not current:
+                # rename-safe projection by field ID (the same contract
+                # TableScan.to_df honors): current name <- file name,
+                # None when the field didn't exist yet
+                cmap = tuple(
+                    (
+                        f.name,
+                        (file_schema.find_field(f.field_id) or None)
+                        and file_schema.find_field(f.field_id).name,
+                    )
+                    for f in current.fields
+                )
+            parts.append(
+                _FilePartition(
+                    task.file.file_path,
+                    tuple(d.file_path for d in task.delete_files),
+                    cmap,
+                    arrow_schema if cmap is not None else None,
+                )
             )
-            for task in tasks
-        ] or [_FilePartition("")]
+        return parts or [_FilePartition("")]
 
     def read(self, partition: _FilePartition):
         """Executor-side Arrow read; positional deletes for this file
@@ -136,32 +171,59 @@ class _BatchReader(DataSourceReader):
 
         from .table import strip_file_scheme
 
-        batches = pq.ParquetFile(strip_file_scheme(partition.path)).iter_batches()
-        if not partition.delete_paths:
-            return batches
-
         import numpy as np
         import pyarrow as pa
 
-        my_path = strip_file_scheme(partition.path)
-        dead: set[int] = set()
-        for dpath in partition.delete_paths:
-            dt = pq.read_table(strip_file_scheme(dpath), columns=["file_path", "pos"])
-            for fp, pos in zip(dt["file_path"].to_pylist(), dt["pos"].to_pylist()):
-                if strip_file_scheme(fp) == my_path:
-                    dead.add(pos)
-        if not dead:
+        batches = pq.ParquetFile(strip_file_scheme(partition.path)).iter_batches()
+
+        if partition.delete_paths:
+            my_path = strip_file_scheme(partition.path)
+            dead: set[int] = set()
+            for dpath in partition.delete_paths:
+                dt = pq.read_table(
+                    strip_file_scheme(dpath), columns=["file_path", "pos"]
+                )
+                for fp, pos in zip(dt["file_path"].to_pylist(), dt["pos"].to_pylist()):
+                    if strip_file_scheme(fp) == my_path:
+                        dead.add(pos)
+            if dead:
+                dead_arr = np.fromiter(dead, dtype=np.int64)
+                raw = batches
+
+                def _mask(src=raw):
+                    offset = 0
+                    for b in src:
+                        keep = ~np.isin(
+                            np.arange(offset, offset + b.num_rows), dead_arr
+                        )
+                        offset += b.num_rows
+                        yield b if keep.all() else b.filter(pa.array(keep))
+
+                batches = _mask()
+
+        if partition.column_map is None:
             return batches
-        dead_arr = np.fromiter(dead, dtype=np.int64)
 
-        def _apply():
-            offset = 0
-            for b in batches:
-                keep = ~np.isin(np.arange(offset, offset + b.num_rows), dead_arr)
-                offset += b.num_rows
-                yield b if keep.all() else b.filter(pa.array(keep))
+        # schema-evolution projection: rename by field ID, null-fill
+        # added columns, cast promoted types — per batch, zero-copy
+        # where the arrow type already matches
+        tgt = partition.arrow_schema
+        cmap = partition.column_map
 
-        return _apply()
+        def _project(src=batches):
+            for b in src:
+                cols = []
+                for field, (_tname, old) in zip(tgt, cmap):
+                    if old is None or b.schema.get_field_index(old) < 0:
+                        cols.append(pa.nulls(b.num_rows, type=field.type))
+                    else:
+                        c = b.column(b.schema.get_field_index(old))
+                        if c.type != field.type:
+                            c = c.cast(field.type)
+                        cols.append(c)
+                yield pa.RecordBatch.from_arrays(cols, schema=tgt)
+
+        return _project()
 
 
 class _TaskCommit(WriterCommitMessage):

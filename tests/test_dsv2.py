@@ -169,3 +169,33 @@ def test_snapshot_id_time_travel_read(spark, tmp_path):
         .load()
     )
     assert got.count() == 30 and got.agg(F.max("k")).first()[0] == 29
+
+
+def test_schema_evolution_projection_in_reader(spark, tmp_path):
+    """Old files project by field ID: renamed columns come back under
+    the new name, added columns null-fill — identical to the native
+    scan."""
+    from icegopher_spark.iceberg.evolve import update_schema
+    from icegopher_spark.iceberg.types import DoubleType as DT
+    from icegopher_spark.iceberg.types import StringType as ST
+
+    sch = Schema(
+        (NestedField(1, "k", LongType(), True), NestedField(2, "name", ST(), False)),
+        schema_id=0,
+    )
+    loc = str(tmp_path / "t")
+    t = W.create_table(loc, sch)
+    t = W.append(t, spark.range(5).select(F.col("id").alias("k"), F.lit("old").alias("name")))
+    t = update_schema(t).rename_column("name", "label").add_column("score", DT()).commit()
+    t = W.append(
+        t,
+        spark.range(5, 8).select(
+            F.col("id").alias("k"), F.lit("new").alias("label"), F.lit(1.5).alias("score")
+        ),
+    )
+    native = sorted(map(tuple, t.scan().to_df(spark).collect()))
+    got = sorted(
+        map(tuple, spark.read.format("icegopher").option("location", loc).load().collect())
+    )
+    assert got == native
+    assert got[0] == (0, "old", None) and got[-1] == (7, "new", 1.5)
