@@ -61,6 +61,38 @@ class _FilePartition(InputPartition):
         self.arrow_schema = arrow_schema
 
 
+def column_map_for(file_schema, current):
+    """Field-ID projection plan: (current name, name in the file |
+    None if the field didn't exist when the file was written). None
+    when the file schema IS the current schema (no projection)."""
+    if file_schema is current:
+        return None
+    out = []
+    for f in current.fields:
+        old = file_schema.find_field(f.field_id)
+        out.append((f.name, old.name if old is not None else None))
+    return tuple(out)
+
+
+def project_batches(batches, column_map, arrow_schema):
+    """Schema-evolution projection over an Arrow batch stream: rename
+    by field ID, null-fill added columns, cast promoted types —
+    zero-copy when the arrow type already matches."""
+    import pyarrow as pa
+
+    for b in batches:
+        cols = []
+        for field, (_tname, old) in zip(arrow_schema, column_map):
+            if old is None or b.schema.get_field_index(old) < 0:
+                cols.append(pa.nulls(b.num_rows, type=field.type))
+            else:
+                c = b.column(b.schema.get_field_index(old))
+                if c.type != field.type:
+                    c = c.cast(field.type)
+                cols.append(c)
+        yield pa.RecordBatch.from_arrays(cols, schema=arrow_schema)
+
+
 def _translate_filters(filters):
     """Spark pushed Filters -> our expression IR (AND of the ones we
     understand). Unknown filters are simply not used for pruning —
@@ -137,19 +169,9 @@ class _BatchReader(DataSourceReader):
             file_schema = (
                 md.schema_by_id(task.schema_id) if task.schema_id is not None else None
             ) or current
-            cmap = None
-            if file_schema is not current:
-                # rename-safe projection by field ID (the same contract
-                # TableScan.to_df honors): current name <- file name,
-                # None when the field didn't exist yet
-                cmap = tuple(
-                    (
-                        f.name,
-                        (file_schema.find_field(f.field_id) or None)
-                        and file_schema.find_field(f.field_id).name,
-                    )
-                    for f in current.fields
-                )
+            # rename-safe projection by field ID (the same contract
+            # TableScan.to_df honors)
+            cmap = column_map_for(file_schema, current)
             parts.append(
                 _FilePartition(
                     task.file.file_path,
@@ -203,27 +225,7 @@ class _BatchReader(DataSourceReader):
 
         if partition.column_map is None:
             return batches
-
-        # schema-evolution projection: rename by field ID, null-fill
-        # added columns, cast promoted types — per batch, zero-copy
-        # where the arrow type already matches
-        tgt = partition.arrow_schema
-        cmap = partition.column_map
-
-        def _project(src=batches):
-            for b in src:
-                cols = []
-                for field, (_tname, old) in zip(tgt, cmap):
-                    if old is None or b.schema.get_field_index(old) < 0:
-                        cols.append(pa.nulls(b.num_rows, type=field.type))
-                    else:
-                        c = b.column(b.schema.get_field_index(old))
-                        if c.type != field.type:
-                            c = c.cast(field.type)
-                        cols.append(c)
-                yield pa.RecordBatch.from_arrays(cols, schema=tgt)
-
-        return _project()
+        return project_batches(batches, partition.column_map, partition.arrow_schema)
 
 
 class _TaskCommit(WriterCommitMessage):

@@ -34,8 +34,10 @@ from pyspark.sql.datasource import DataSource, DataSourceStreamReader, InputPart
 
 
 class _FilePartition(InputPartition):
-    def __init__(self, path: str):
+    def __init__(self, path: str, column_map=None, arrow_schema=None):
         self.path = path
+        self.column_map = column_map
+        self.arrow_schema = arrow_schema
 
 
 class _AppendStreamReader(DataSourceStreamReader):
@@ -61,12 +63,26 @@ class _AppendStreamReader(DataSourceStreamReader):
             read_manifest_list,
         )
 
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        from ..iceberg.dsv2 import column_map_for
+
         t = self._table()
         io = t.io
+        md = t.metadata
+        current = t.schema
+        arrow_schema = to_arrow_schema(current.to_spark())
         parts: list[_FilePartition] = []
-        for snap in t.metadata.snapshots[start["idx"] : end["idx"]]:
+        for snap in md.snapshots[start["idx"] : end["idx"]]:
             if (snap.summary or {}).get("operation") == "replace":
                 continue  # byte movement, not new rows
+            # files written before a schema change project by field ID
+            # (rename-safe, added columns null-filled) — same contract
+            # as the batch faces
+            file_schema = (
+                md.schema_by_id(snap.schema_id) if snap.schema_id is not None else None
+            ) or current
+            cmap = column_map_for(file_schema, current)
             for m in read_manifest_list(io.read(snap.manifest_list)):
                 for e in fetch_entries(m, io.read(m.manifest_path), discard_deleted=True):
                     if (
@@ -74,7 +90,13 @@ class _AppendStreamReader(DataSourceStreamReader):
                         and e.snapshot_id == snap.snapshot_id
                         and e.data_file.content == DataFileContent.DATA
                     ):
-                        parts.append(_FilePartition(e.data_file.file_path))
+                        parts.append(
+                            _FilePartition(
+                                e.data_file.file_path,
+                                cmap,
+                                arrow_schema if cmap is not None else None,
+                            )
+                        )
         # Spark requires >= 1 partition per batch; an empty batch reads
         # a sentinel partition that yields nothing
         return parts or [_FilePartition("")]
@@ -84,9 +106,13 @@ class _AppendStreamReader(DataSourceStreamReader):
             return iter([])
         import pyarrow.parquet as pq
 
+        from ..iceberg.dsv2 import project_batches
         from ..iceberg.table import strip_file_scheme
 
-        return pq.ParquetFile(strip_file_scheme(partition.path)).iter_batches()
+        batches = pq.ParquetFile(strip_file_scheme(partition.path)).iter_batches()
+        if partition.column_map is None:
+            return batches
+        return project_batches(batches, partition.column_map, partition.arrow_schema)
 
     def commit(self, end: dict) -> None:
         pass  # offsets derive from the table's own snapshot log

@@ -154,3 +154,40 @@ def test_iceberg_stream_source_tails_incrementally(spark, tmp_path):
     # any reprocessing would show up as duplicates in the append sink
     W.append(t, spark.range(20, 25).selectExpr("id AS k"))
     assert drain() == list(range(25))
+
+
+def test_iceberg_stream_source_projects_evolved_schema(spark, tmp_path):
+    import uuid
+
+    from icegopher_spark.iceberg import write as W
+    from icegopher_spark.iceberg.evolve import update_schema
+    from icegopher_spark.iceberg.schema import Schema
+    from icegopher_spark.iceberg.types import LongType, NestedField, StringType
+    from icegopher_spark.streaming.iceberg_source import IcebergAppendStreamSource
+
+    sch = Schema(
+        (NestedField(1, "k", LongType(), True), NestedField(2, "name", StringType(), False)),
+        schema_id=0,
+    )
+    loc = str(tmp_path / "evo")
+    t = W.create_table(loc, sch)
+    t = W.append(t, spark.range(3).select(F.col("id").alias("k"), F.lit("old").alias("name")))
+    t = update_schema(t).rename_column("name", "label").commit()
+    t = W.append(t, spark.range(3, 5).select(F.col("id").alias("k"), F.lit("new").alias("label")))
+
+    spark.dataSource.register(IcebergAppendStreamSource)
+    name = "evo" + uuid.uuid4().hex[:8]
+    q = (
+        spark.readStream.format("icegopher_appends")
+        .option("location", loc)
+        .load()
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(map(tuple, spark.table(name).collect()))
+    assert got == [(0, "old"), (1, "old"), (2, "old"), (3, "new"), (4, "new")]
