@@ -61,6 +61,26 @@ class _FilePartition(InputPartition):
         self.arrow_schema = arrow_schema
 
 
+def resolve_location(options) -> str:
+    """Table location from datasource options: either a direct
+    ``location``, or ``catalog`` (URI / warehouse path; type inferred
+    the same way ``load_catalog`` infers it) + ``table`` (dotted
+    identifier) resolved through the catalog layer."""
+    if "location" in options:
+        return options["location"]
+    cat_uri = options.get("catalog")
+    ident = options.get("table")
+    if not (cat_uri and ident):
+        raise ValueError(
+            "datasource needs .option('location', path) or "
+            ".option('catalog', uri) + .option('table', 'ns.tbl')"
+        )
+    from .catalog import load_catalog
+
+    t = load_catalog("dsv2", cat_uri).load_table(tuple(ident.split(".")))
+    return t.location
+
+
 def column_map_for(file_schema, current):
     """Field-ID projection plan: (current name, name in the file |
     None if the field didn't exist when the file was written). None
@@ -132,7 +152,7 @@ def _translate_filters(filters):
 
 class _BatchReader(DataSourceReader):
     def __init__(self, options):
-        self.location = options["location"]
+        self.location = resolve_location(options)
         self.snapshot_id = options.get("snapshot-id")
         self._row_filter = None
 
@@ -236,7 +256,7 @@ class _TaskCommit(WriterCommitMessage):
 
 class _BatchWriter(DataSourceArrowWriter):
     def __init__(self, options, overwrite: bool, part_fields):
-        self.location = options["location"]
+        self.location = resolve_location(options)
         self.overwrite = overwrite
         # picklable: [(spec field name, source column, Transform, IcebergType)]
         self.part_fields = part_fields
@@ -353,7 +373,7 @@ class IcebergDataSource(DataSource):
     def schema(self):
         from .table import Table
 
-        return Table.from_location(self.options["location"]).schema.to_spark()
+        return Table.from_location(resolve_location(self.options)).schema.to_spark()
 
     def reader(self, schema):
         return _BatchReader(self.options)
@@ -366,7 +386,7 @@ class IcebergDataSource(DataSource):
         # refuse (at plan time, before any executor writes a byte) the
         # representations whose manifest encoding would diverge from
         # the native write path (identity on timestamp/double)
-        t = Table.from_location(self.options["location"])
+        t = Table.from_location(resolve_location(self.options))
         ice_schema = t.schema
         part_fields = []
         for pf in t.metadata.default_spec.fields:

@@ -199,3 +199,24 @@ def test_schema_evolution_projection_in_reader(spark, tmp_path):
     )
     assert got == native
     assert got[0] == (0, "old", None) and got[-1] == (7, "new", 1.5)
+
+
+def test_catalog_table_resolution(spark, tmp_path):
+    """.option('catalog', warehouse).option('table', 'ns.tbl') resolves
+    through the catalog layer instead of a raw location."""
+    from icegopher_spark.iceberg.catalog import load_catalog
+
+    wh = str(tmp_path / "wh")
+    cat = load_catalog("wh", wh)
+    cat.create_table(("db", "vals"), SCHEMA)
+    _df(spark, 0, 25).write.format("icegopher").option("catalog", wh).option(
+        "table", "db.vals"
+    ).mode("append").save()
+    got = (
+        spark.read.format("icegopher")
+        .option("catalog", wh)
+        .option("table", "db.vals")
+        .load()
+    )
+    assert got.count() == 25
+    assert cat.load_table(("db", "vals")).scan().to_df(spark).count() == 25
