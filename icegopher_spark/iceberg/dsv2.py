@@ -122,11 +122,29 @@ def _translate_filters(filters):
     out = None
     for f in filters:
         kind = type(f).__name__
+        negated = False
+        if kind == "Not":
+            f = f.child
+            kind = type(f).__name__
+            negated = True
         try:
             col = ".".join(f.attribute)
         except AttributeError:
             continue
         pred = None
+        if negated:
+            # only the negations with an exact IR counterpart
+            if kind == "EqualTo":
+                pred = E.not_equal_to(col, f.value)
+            elif kind == "In":
+                pred = E.not_in(col, *f.value)
+            elif kind == "IsNull":
+                pred = E.not_null(col)
+            elif kind == "IsNotNull":
+                pred = E.is_null(col)
+            if pred is not None:
+                out = pred if out is None else out & pred
+            continue
         if kind == "EqualTo":
             pred = E.equal_to(col, f.value)
         elif kind == "GreaterThan":
@@ -138,7 +156,7 @@ def _translate_filters(filters):
         elif kind == "LessThanOrEqual":
             pred = E.less_than_or_equal(col, f.value)
         elif kind == "In":
-            pred = E.is_in(col, *f.values)
+            pred = E.is_in(col, *f.value)
         elif kind == "IsNull":
             pred = E.is_null(col)
         elif kind == "IsNotNull":

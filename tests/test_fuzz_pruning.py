@@ -126,3 +126,37 @@ def test_pruned_scan_matches_duckdb(spark, ice_table, oracle_con, tree):
         f"SELECT COUNT(*), COALESCE(SUM(l_orderkey), 0) FROM lineitem WHERE {sql}"
     ).fetchone()
     assert (n, s or 0) == (want_n, int(want_s)), sql
+
+
+@pytest.fixture(scope="module")
+def ds_reader(spark, ice_table):
+    """The same table through the datasource face (filter translation
+    + pruning + Spark-side residuals)."""
+    from icegopher_spark.iceberg.dsv2 import IcebergDataSource
+
+    spark.dataSource.register(IcebergDataSource)
+    return (
+        spark.read.format("icegopher")
+        .option("location", ice_table.location)
+    )
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(tree=predicate_trees())
+def test_datasource_read_matches_duckdb(spark, ds_reader, oracle_con, tree):
+    """End-to-end through spark.read.format('icegopher'): pushed-filter
+    translation prunes files, Spark re-applies residuals — result must
+    equal DuckDB on the raw parquet."""
+    _expr, sql = tree
+    rows = ds_reader.load().filter(sql.replace("TIMESTAMP ", "TIMESTAMP")).select(
+        "l_orderkey"
+    ).collect()
+    n, s = len(rows), sum(r[0] for r in rows)
+    want_n, want_s = oracle_con.execute(
+        f"SELECT COUNT(*), COALESCE(SUM(l_orderkey), 0) FROM lineitem WHERE {sql}"
+    ).fetchone()
+    assert (n, s or 0) == (want_n, int(want_s)), sql
