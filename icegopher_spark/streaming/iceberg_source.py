@@ -50,10 +50,32 @@ class _AppendStreamReader(DataSourceStreamReader):
         return Table.from_location(self.location)
 
     def initialOffset(self) -> dict:
-        return {"idx": 0}
+        return {"idx": 0, "last_id": 0}
 
     def latestOffset(self) -> dict:
-        return {"idx": len(self._table().metadata.snapshots)}
+        snaps = self._table().metadata.snapshots
+        return {
+            "idx": len(snaps),
+            "last_id": snaps[-1].snapshot_id if snaps else 0,
+        }
+
+    @staticmethod
+    def _anchor(md, off: dict) -> int:
+        """Resolve an offset to a position in the CURRENT snapshot
+        list. Offsets carry the last consumed snapshot ID because
+        expire_snapshots shifts list indices — anchoring by ID keeps a
+        checkpointed stream correct across table maintenance. An
+        expired anchor raises (the snapshots between the checkpoint and
+        now are gone: continuing would silently skip their rows)."""
+        if not off.get("last_id"):
+            return 0
+        for i, s in enumerate(md.snapshots):
+            if s.snapshot_id == off["last_id"]:
+                return i + 1
+        raise ValueError(
+            f"stream offset anchor snapshot {off['last_id']} has been "
+            "expired from the table; restart the stream from scratch"
+        )
 
     def partitions(self, start: dict, end: dict):
         from ..iceberg.manifests import (
@@ -72,8 +94,10 @@ class _AppendStreamReader(DataSourceStreamReader):
         md = t.metadata
         current = t.schema
         arrow_schema = to_arrow_schema(current.to_spark())
+        lo = self._anchor(md, start)
+        hi = self._anchor(md, end)
         parts: list[_FilePartition] = []
-        for snap in md.snapshots[start["idx"] : end["idx"]]:
+        for snap in md.snapshots[lo:hi]:
             if (snap.summary or {}).get("operation") == "replace":
                 continue  # byte movement, not new rows
             # files written before a schema change project by field ID

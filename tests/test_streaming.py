@@ -191,3 +191,46 @@ def test_iceberg_stream_source_projects_evolved_schema(spark, tmp_path):
     q.awaitTermination()
     got = sorted(map(tuple, spark.table(name).collect()))
     assert got == [(0, "old"), (1, "old"), (2, "old"), (3, "new"), (4, "new")]
+
+
+def test_iceberg_stream_source_survives_snapshot_expiration(spark, tmp_path):
+    """Offsets anchor on snapshot IDs, not list indices: expiring old
+    snapshots between drains must not shift the stream's position."""
+    from icegopher_spark.iceberg import write as W
+    from icegopher_spark.iceberg.maintenance import expire_snapshots
+    from icegopher_spark.iceberg.schema import Schema
+    from icegopher_spark.iceberg.types import LongType, NestedField
+    from icegopher_spark.streaming.iceberg_source import IcebergAppendStreamSource
+
+    sch = Schema((NestedField(1, "k", LongType(), True),), schema_id=0)
+    loc = str(tmp_path / "exp")
+    t = W.create_table(loc, sch)
+    t = W.append(t, spark.range(0, 10).selectExpr("id AS k"))
+    t = W.append(t, spark.range(10, 20).selectExpr("id AS k"))
+
+    spark.dataSource.register(IcebergAppendStreamSource)
+    ckpt, out = str(tmp_path / "ckpt"), str(tmp_path / "out")
+
+    def drain():
+        q = (
+            spark.readStream.format("icegopher_appends")
+            .option("location", loc)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return sorted(r["k"] for r in spark.read.parquet(out).collect())
+
+    assert drain() == list(range(20))
+    # maintenance drops the first snapshot (indices shift by 1), then a
+    # new append lands; the checkpointed stream must emit ONLY the new
+    # rows — an index-based offset would replay snapshot 2's rows
+    t = expire_snapshots(t, retain_last=1, delete_files=False)
+    assert len(t.metadata.snapshots) == 1
+    W.append(t, spark.range(20, 25).selectExpr("id AS k"))
+    assert drain() == list(range(25))
