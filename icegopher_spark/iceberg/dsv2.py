@@ -40,6 +40,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamArrowWriter,
     InputPartition,
     WriterCommitMessage,
 )
@@ -396,14 +397,14 @@ class IcebergDataSource(DataSource):
     def reader(self, schema):
         return _BatchReader(self.options)
 
-    def writer(self, schema, overwrite: bool):
+    def _part_fields(self):
+        """Resolve the partition spec DRIVER-side into a picklable
+        plan; refuse (at plan time, before any executor writes a byte)
+        the representations whose manifest encoding would diverge from
+        the native write path (identity on timestamp/double)."""
         from .table import Table
         from .types import DateType, IntegerType, LongType, StringType
 
-        # resolve the partition spec DRIVER-side into a picklable plan;
-        # refuse (at plan time, before any executor writes a byte) the
-        # representations whose manifest encoding would diverge from
-        # the native write path (identity on timestamp/double)
         t = Table.from_location(resolve_location(self.options))
         ice_schema = t.schema
         part_fields = []
@@ -416,4 +417,83 @@ class IcebergDataSource(DataSource):
                     f"for field {pf.name!r}; use write.append"
                 )
             part_fields.append((pf.name, src.name, pf.transform, src.field_type))
-        return _BatchWriter(self.options, overwrite, part_fields)
+        return part_fields
+
+    def streamWriter(self, schema, overwrite: bool):
+        return _IcebergStreamWriter(self.options, self._part_fields())
+
+    def writer(self, schema, overwrite: bool):
+        return _BatchWriter(self.options, overwrite, self._part_fields())
+
+
+class _IcebergStreamWriter(DataSourceStreamArrowWriter):
+    """Streaming sink face: one Iceberg snapshot per micro-batch, with
+    exactly-once replay protection.
+
+    The batch id rides the snapshot summary (atomic with the data
+    commit); on commit, the current lineage is scanned for this
+    stream's latest committed batch and replays are skipped. A restart
+    therefore never double-appends a micro-batch — the idempotence
+    Iceberg sinks get from commit-metadata epoch tracking. Caveat
+    (standard for epoch markers): expiring EVERY snapshot of a stream
+    discards its markers; keep `retain_last` above the replay horizon.
+    """
+
+    def __init__(self, options, part_fields):
+        self.location = resolve_location(options)
+        self.stream_id = options.get("stream-id", "default")
+        self._delegate = _BatchWriter(options, overwrite=False, part_fields=part_fields)
+
+    def write(self, iterator):
+        return self._delegate.write(iterator)
+
+    def _last_committed(self, t) -> int:
+        md = t.metadata
+        snap = t.current_snapshot()
+        best = -1
+        while snap is not None:
+            s = snap.summary or {}
+            if s.get("stream-id") == self.stream_id:
+                best = max(best, int(s.get("stream-batch-id", -1)))
+            snap = (
+                md.snapshot_by_id(snap.parent_snapshot_id)
+                if snap.parent_snapshot_id
+                else None
+            )
+        return best
+
+    def commit(self, messages, batchId: int) -> None:
+        from .manifests import read_manifest_list
+        from .metadata import OP_APPEND
+        from .table import Table
+        from .write import _commit_snapshot, collect_data_file
+
+        entries = [e for m in messages if m is not None for e in m.entries]
+        t = Table.from_location(self.location)
+        if batchId <= self._last_committed(t):
+            # replayed micro-batch after restart: drop its staged files
+            self.abort(messages, batchId)
+            return
+        files = [collect_data_file(p, t.schema, part) for p, part in entries]
+        snap = t.current_snapshot()
+        keep = list(read_manifest_list(t.io.read(snap.manifest_list))) if snap else []
+        _commit_snapshot(
+            t,
+            files,
+            OP_APPEND,
+            keep_manifests=keep,
+            extra_summary={
+                "stream-id": self.stream_id,
+                "stream-batch-id": str(batchId),
+            },
+        )
+
+    def abort(self, messages, batchId: int) -> None:
+        import os
+        import shutil
+
+        for m in messages or []:
+            if m is None:
+                continue
+            for p, _part in m.entries:
+                shutil.rmtree(os.path.dirname(p), ignore_errors=True)

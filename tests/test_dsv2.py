@@ -220,3 +220,44 @@ def test_catalog_table_resolution(spark, tmp_path):
     )
     assert got.count() == 25
     assert cat.load_table(("db", "vals")).scan().to_df(spark).count() == 25
+
+
+def test_stream_writer_one_snapshot_per_batch_exactly_once(spark, tmp_path):
+    """writeStream.format('icegopher'): each micro-batch commits one
+    snapshot carrying its batch id; a replayed batch id is skipped
+    (exactly-once across restarts)."""
+    from icegopher_spark.iceberg.dsv2 import _IcebergStreamWriter
+
+    loc = str(tmp_path / "t")
+    W.create_table(loc, SCHEMA)
+    src_dir = str(tmp_path / "src")
+    _df(spark, 0, 40).write.parquet(src_dir)
+
+    stream = spark.readStream.schema(_df(spark, 0, 1).schema).parquet(src_dir)
+    q = (
+        stream.writeStream.format("icegopher")
+        .option("location", loc)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    t = Table.from_location(loc)
+    assert t.scan().to_df(spark).count() == 40
+    assert t.current_snapshot().summary["stream-id"] == "default"
+    committed_batch = int(t.current_snapshot().summary["stream-batch-id"])
+
+    # simulate a replay of the SAME batch id: commit must be skipped
+    w = _IcebergStreamWriter({"location": loc}, [])
+    class _Msg:  # a fake successful task message with no files
+        entries = []
+    before = len(t.metadata.snapshots)
+    w.commit([_Msg()], committed_batch)
+    assert len(Table.from_location(loc).metadata.snapshots) == before
+
+    # and a NEW batch id commits
+    w.commit([_Msg()], committed_batch + 1)
+    t2 = Table.from_location(loc)
+    assert len(t2.metadata.snapshots) == before + 1
+    assert t2.scan().to_df(spark).count() == 40  # no data rows added

@@ -48,6 +48,7 @@ EXTRA_SCALE_QUERIES = [
     "events_retention",
     "corpus_stratified_sample",
     "sim_quantize_int8",
+    "dedup_substring_spans",
 ]
 SCALE_QUERIES = BENCH_QUERIES + EXTRA_SCALE_QUERIES
 from icegopher_spark.queries import QUERIES, load  # noqa: E402
