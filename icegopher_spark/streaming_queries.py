@@ -503,3 +503,85 @@ def iceberg_stream_source_q(spark: SparkSession, sf: str) -> DataFrame:
         FF.sum("l_orderkey").alias("sum_okey"),
     )
     return P.run_stream_to_table(agg, spark, "update")
+
+
+ice_stream_writer_oracle = """
+SELECT event_type, COUNT(*) AS n_events,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(14,4))), 2) AS DOUBLE) AS total_value
+FROM events
+GROUP BY event_type
+"""
+
+
+@register(
+    "iceberg_stream_writer",
+    ice_stream_writer_oracle,
+    "writeStream.format('icegopher'): snapshot-per-microbatch exactly-once sink",
+)
+def iceberg_stream_writer_q(spark: SparkSession, sf: str) -> DataFrame:
+    """The fourth DataSource quadrant: the events stream lands in an
+    Iceberg table via writeStream (one snapshot per micro-batch,
+    batch-id replay protection in the snapshot summary), and the gate
+    aggregates the TABLE — equality with the batch oracle proves the
+    sink committed every micro-batch exactly once."""
+    import shutil as _sh
+    import tempfile as _tf
+
+    from pyspark.sql import functions as FF
+
+    from .iceberg import write as W
+    from .iceberg.dsv2 import IcebergDataSource
+    from .iceberg.schema import Schema
+    from .iceberg.types import (
+        DoubleType,
+        LongType,
+        NestedField,
+        StringType,
+        TimestampType,
+    )
+
+    spark.dataSource.register(IcebergDataSource)
+    loc = _tf.mkdtemp(prefix="ice_stream_sink_") + "/t"
+    sch = Schema(
+        (
+            NestedField(1, "event_id", LongType(), True),
+            NestedField(2, "ts", TimestampType(), False),
+            NestedField(3, "user_id", LongType(), False),
+            NestedField(4, "event_type", StringType(), False),
+            NestedField(5, "value", DoubleType(), False),
+        ),
+        schema_id=0,
+    )
+    W.create_table(loc, sch)
+    ev = _events_stream(spark, sf).select(
+        "event_id",
+        FF.col("ts").cast("timestamp_ntz").alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+    )
+    ckpt = _tf.mkdtemp(prefix="ckpt_sink_")
+    q = (
+        ev.writeStream.format("icegopher")
+        .option("location", loc)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    _sh.rmtree(ckpt, ignore_errors=True)
+    from .iceberg.table import Table
+
+    out = (
+        Table.from_location(loc)
+        .scan()
+        .to_df(spark)
+        .groupBy("event_type")
+        .agg(
+            FF.count(FF.lit(1)).alias("n_events"),
+            FF.round(FF.sum(FF.col("value").cast("decimal(14,4)")), 2)
+            .cast("double")
+            .alias("total_value"),
+        )
+    )
+    return out
