@@ -170,16 +170,15 @@ def _translate_filters(filters):
 
 
 class _BatchReader(DataSourceReader):
+    """Base reader WITHOUT pushFilters: merely implementing that method
+    makes Spark raise DATA_SOURCE_PUSHDOWN_DISABLED when
+    spark.sql.python.filterPushdown.enabled is false (the default), so
+    the pushdown variant is a subclass selected per-session."""
+
     def __init__(self, options):
         self.location = resolve_location(options)
         self.snapshot_id = options.get("snapshot-id")
         self._row_filter = None
-
-    def pushFilters(self, filters):
-        self._row_filter = _translate_filters(filters)
-        # report EVERY filter unconsumed: we prune files with them but
-        # rely on Spark for exact row-level application
-        return filters
 
     def partitions(self):
         from .table import Table
@@ -265,6 +264,17 @@ class _BatchReader(DataSourceReader):
         if partition.column_map is None:
             return batches
         return project_batches(batches, partition.column_map, partition.arrow_schema)
+
+
+class _PushdownBatchReader(_BatchReader):
+    """Adds pushed-filter file pruning — only safe to instantiate when
+    spark.sql.python.filterPushdown.enabled is true in the session."""
+
+    def pushFilters(self, filters):
+        self._row_filter = _translate_filters(filters)
+        # report EVERY filter unconsumed: we prune files with them but
+        # rely on Spark for exact row-level application
+        return filters
 
 
 class _TaskCommit(WriterCommitMessage):
@@ -395,6 +405,22 @@ class IcebergDataSource(DataSource):
         return Table.from_location(resolve_location(self.options)).schema.to_spark()
 
     def reader(self, schema):
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.getActiveSession()
+        enabled = "false"
+        if spark is not None:
+            try:
+                enabled = spark.conf.get(
+                    "spark.sql.python.filterPushdown.enabled", "false"
+                )
+            except Exception:  # noqa: BLE001
+                enabled = "false"
+        if str(enabled).lower() == "true":
+            return _PushdownBatchReader(self.options)
+        # no pushed filters -> scan planning sees AlwaysTrue; Spark
+        # still applies every filter row-level, so results are
+        # identical — only file pruning is lost
         return _BatchReader(self.options)
 
     def _part_fields(self):
