@@ -43,6 +43,11 @@ class _FilePartition(InputPartition):
 class _AppendStreamReader(DataSourceStreamReader):
     def __init__(self, options):
         self.location = options["location"]
+        # admission control: cap snapshots per micro-batch so a stream
+        # catching up on a long-lived table takes bounded batches
+        # instead of one giant one (0 = unbounded)
+        self.max_per_trigger = int(options.get("max-snapshots-per-trigger", "0"))
+        self._last_served: dict | None = None
 
     def _table(self):
         from ..iceberg.table import Table
@@ -53,11 +58,24 @@ class _AppendStreamReader(DataSourceStreamReader):
         return {"idx": 0, "last_id": 0}
 
     def latestOffset(self) -> dict:
-        snaps = self._table().metadata.snapshots
-        return {
-            "idx": len(snaps),
-            "last_id": snaps[-1].snapshot_id if snaps else 0,
+        md = self._table().metadata
+        snaps = md.snapshots
+        hi = len(snaps)
+        if self.max_per_trigger > 0 and self._last_served is not None:
+            # advance at most N snapshots past the last offset served.
+            # Only after the first batch of this run: a fresh reader
+            # doesn't know the checkpointed position, and a capped
+            # latest that fell BEHIND the checkpoint would stall the
+            # stream — so restart catch-up is one uncapped batch, then
+            # steady-state batches are bounded.
+            base = self._anchor(md, self._last_served)
+            hi = min(hi, base + self.max_per_trigger)
+        off = {
+            "idx": hi,
+            "last_id": snaps[hi - 1].snapshot_id if hi > 0 else 0,
         }
+        self._last_served = off
+        return off
 
     @staticmethod
     def _anchor(md, off: dict) -> int:

@@ -234,3 +234,36 @@ def test_iceberg_stream_source_survives_snapshot_expiration(spark, tmp_path):
     assert len(t.metadata.snapshots) == 1
     W.append(t, spark.range(20, 25).selectExpr("id AS k"))
     assert drain() == list(range(25))
+
+
+def test_iceberg_stream_source_admission_control(spark, tmp_path):
+    """max-snapshots-per-trigger bounds steady-state batch size: with 4
+    appends and a cap of 1, processAllAvailable takes one snapshot per
+    micro-batch after the first."""
+    from icegopher_spark.iceberg import write as W
+    from icegopher_spark.iceberg.schema import Schema
+    from icegopher_spark.iceberg.types import LongType, NestedField
+    from icegopher_spark.streaming.iceberg_source import IcebergAppendStreamSource
+
+    sch = Schema((NestedField(1, "k", LongType(), True),), schema_id=0)
+    loc = str(tmp_path / "adm")
+    t = W.create_table(loc, sch)
+    for i in range(4):
+        t = W.append(t, spark.range(i * 5, i * 5 + 5).selectExpr("id AS k"))
+
+    spark.dataSource.register(IcebergAppendStreamSource)
+    out = str(tmp_path / "out")
+    q = (
+        spark.readStream.format("icegopher_appends")
+        .option("location", loc)
+        .option("max-snapshots-per-trigger", "1")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    assert sorted(r["k"] for r in spark.read.parquet(out).collect()) == list(range(20))
