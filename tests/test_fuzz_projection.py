@@ -25,6 +25,7 @@ from icegopher_spark.iceberg.schema import Schema
 from icegopher_spark.iceberg.transforms import PartitionField, PartitionSpec, parse_transform
 from icegopher_spark.iceberg.types import (
     DateType,
+    DecimalType,
     LongType,
     NestedField,
     StringType,
@@ -53,8 +54,13 @@ _BUILD = {
     "ne": E.not_equal_to,
 }
 
+_DEC_VALS = st.decimals(
+    min_value="-99999.99", max_value="99999.99", places=2, allow_nan=False, allow_infinity=False
+)
+
 CASES = [
     (LongType(), ("bucket[8]", "truncate[10]", "identity"), _LONG_VALS, _LONG_VALS, _OPS_ORD),
+    (DecimalType(9, 2), ("truncate[10]", "bucket[8]", "identity"), _DEC_VALS, _DEC_VALS, _OPS_ORD),
     (StringType(), ("bucket[4]", "truncate[3]"), _STR_VALS, _STR_VALS, _OPS_ORD + ("starts_with",)),
     (DateType(), ("year", "month", "day", "bucket[16]"), _DAY_VALS, _DAY_VALS, _OPS_ORD),
     (TimestampType(), ("year", "month", "day", "hour"), _MICRO_VALS, _TS_LITS, _OPS_ORD),
