@@ -474,19 +474,21 @@ class _IcebergStreamWriter(DataSourceStreamArrowWriter):
         return self._delegate.write(iterator)
 
     def _last_committed(self, t) -> int:
+        """Newest-first lineage walk; batch ids are monotone per
+        stream, so the FIRST marker found is the latest — O(snapshots
+        since the stream's last commit), not O(lineage)."""
         md = t.metadata
         snap = t.current_snapshot()
-        best = -1
         while snap is not None:
             s = snap.summary or {}
             if s.get("stream-id") == self.stream_id:
-                best = max(best, int(s.get("stream-batch-id", -1)))
+                return int(s.get("stream-batch-id", -1))
             snap = (
                 md.snapshot_by_id(snap.parent_snapshot_id)
                 if snap.parent_snapshot_id
                 else None
             )
-        return best
+        return -1
 
     def commit(self, messages, batchId: int) -> None:
         from .manifests import read_manifest_list
