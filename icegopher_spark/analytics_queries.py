@@ -1023,3 +1023,44 @@ def text_chunk_udtf_q(spark: SparkSession, sf: str) -> DataFrame:
         FROM _udtf_docs d, LATERAL ig_chunk_text(d.text) c
         """
     )
+
+
+anomaly_oracle = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket,
+         SUM(CAST(value AS DECIMAL(14,4))) AS total_dec
+  FROM events GROUP BY 1, 2
+), stats AS (
+  -- mu/sigma from EXACT decimal sums (order-independent), then the
+  -- same IEEE double formula as the Spark side: bit-identical
+  SELECT event_type, bucket, CAST(total_dec AS DOUBLE) AS total,
+         CAST(SUM(total_dec) OVER w AS DOUBLE) AS s,
+         CAST(SUM(CAST(total_dec * total_dec AS DECIMAL(30,8))) OVER w AS DOUBLE) AS ss,
+         CAST(COUNT(*) OVER w AS DOUBLE) AS n
+  FROM hourly
+  WINDOW w AS (PARTITION BY event_type)
+), z AS (
+  SELECT event_type, bucket, total,
+         s / n AS mu, sqrt((ss - s * s / n) / n) AS sigma
+  FROM stats
+)
+SELECT event_type, bucket, ROUND(total, 2) AS total,
+       ROUND((total - mu) / sigma, 4) AS z
+FROM z
+WHERE sigma > 0 AND abs(total - mu) > 3.0 * sigma
+"""
+
+
+@register(
+    "events_anomalies",
+    anomaly_oracle,
+    "z-score hourly anomaly flags per event type",
+)
+def events_anomalies_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-key hourly totals more than 3 population-sigma from the
+    key's mean; the window runs over the bucketed rollup, never the
+    raw events (operators/timeseries.py:hourly_anomalies)."""
+    from .operators import timeseries
+
+    ev = load(spark, sf, "events")
+    return timeseries.hourly_anomalies(ev)

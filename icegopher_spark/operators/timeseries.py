@@ -139,3 +139,52 @@ def retention_cohorts(
         for o in offsets
     ]
     return out.select(*cols)
+
+
+def hourly_anomalies(
+    events: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    threshold: float = 3.0,
+) -> DataFrame:
+    """Z-score anomaly flags over the bucketed series: an hour is
+    anomalous for a key when its total deviates more than ``threshold``
+    population standard deviations from that key's mean hourly total.
+
+    One aggregation to build the series, one window per key to attach
+    the mean/stddev — the window input is the rollup (|keys| x |hours|
+    rows), never the events. Returns only the anomalous
+    (key, bucket, total, z) rows, z rounded for engine-stable output.
+
+    Engine-determinism note (this powers a cross-engine gate): mean
+    and stddev are derived from EXACT decimal sums (S, SS) — never
+    from avg()/stddev_pop() over doubles, whose result depends on
+    summation order — then the same IEEE formula produces
+    bit-identical mu/sigma/z in any engine fed the same series.
+    """
+    tot_dec = F.sum(F.col(value_col).cast("decimal(14,4)")).alias("total_dec")
+    hourly = events.groupBy(
+        F.col(key_col), F.date_trunc("hour", F.col(ts_col)).alias("bucket")
+    ).agg(tot_dec)
+    w = Window.partitionBy(key_col)
+    s = F.sum("total_dec").over(w).cast("double")
+    ss = F.sum(
+        (F.col("total_dec") * F.col("total_dec")).cast("decimal(30,8)")
+    ).over(w).cast("double")
+    n = F.count(F.lit(1)).over(w).cast("double")
+    stats = hourly.select(
+        key_col,
+        "bucket",
+        F.col("total_dec").cast("double").alias("total"),
+        (s / n).alias("mu"),
+        F.sqrt((ss - s * s / n) / n).alias("sigma"),
+    )
+    return stats.filter(
+        (F.col("sigma") > 0) & (F.abs(F.col("total") - F.col("mu")) > threshold * F.col("sigma"))
+    ).select(
+        key_col,
+        "bucket",
+        F.round("total", 2).alias("total"),
+        F.round((F.col("total") - F.col("mu")) / F.col("sigma"), 4).alias("z"),
+    )

@@ -502,3 +502,16 @@ def test_repeated_ngram_spans_flags_cross_doc_only(spark):
     got = {(r["doc_id"], r["pos"]) for r in spans.collect()}
     # docs 1 and 2 share exactly the gram at pos 0 ("alpha beta gamma delta epsilon")
     assert got == {(1, 0), (2, 0)}
+
+
+def test_hourly_anomalies_flags_planted_outlier(spark):
+    from icegopher_spark.operators.timeseries import hourly_anomalies
+
+    rows = [("a", f"2024-01-01 {h:02d}:15:00", 10.0) for h in range(20)]
+    rows.append(("a", "2024-01-01 20:15:00", 500.0))  # planted spike
+    ev = spark.createDataFrame(rows, "event_type string, ts string, value double").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    out = hourly_anomalies(ev).collect()
+    assert len(out) == 1
+    assert str(out[0]["bucket"]) == "2024-01-01 20:00:00" and out[0]["z"] > 3
