@@ -2051,3 +2051,49 @@ def dedup_substring_spans_q(spark: SparkSession, sf: str) -> DataFrame:
     return per_doc.join(totals, "doc_id").select(
         "doc_id", "n_flagged", "first_pos", "n_grams"
     )
+
+
+substring_intervals_oracle = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS w
+  FROM documents
+), g0 AS (
+  SELECT doc_id, w, unnest(range(greatest(len(w) - 4, 0))) AS pos FROM toks
+), g AS (
+  SELECT doc_id, pos, array_to_string(w[pos + 1 : pos + 5], ' ') AS gram FROM g0
+), hot AS (
+  SELECT gram FROM g GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2
+), flagged AS (
+  SELECT doc_id, pos FROM g SEMI JOIN hot USING (gram)
+), isl AS (
+  SELECT doc_id, pos,
+         pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM flagged
+)
+SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
+       CAST(MAX(pos) + 4 AS BIGINT) AS span_end,
+       CAST(COUNT(*) AS BIGINT) AS n_grams
+FROM isl GROUP BY doc_id, island
+"""
+
+
+@register(
+    "dedup_substring_intervals",
+    substring_intervals_oracle,
+    "gaps-and-islands: flagged positions merged into contiguous spans",
+)
+def dedup_substring_intervals_q(spark: SparkSession, sf: str) -> DataFrame:
+    """The classic gaps-and-islands merge (pos - row_number constant
+    within each contiguous run) applied to the cross-document repeated
+    5-gram positions: per doc, each island becomes one redacted-span
+    candidate [span_start, span_end] in token coordinates. The window
+    input is the flagged position set, never the text."""
+    docs = load(spark, sf, "documents")
+    spans = dedup.repeated_ngram_spans(docs, n=5)
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    isl = spans.withColumn("island", F.col("pos") - F.row_number().over(w))
+    return isl.groupBy("doc_id", "island").agg(
+        F.min("pos").cast("bigint").alias("span_start"),
+        (F.max("pos") + 4).cast("bigint").alias("span_end"),
+        F.count(F.lit(1)).alias("n_grams"),
+    ).drop("island")
