@@ -49,6 +49,8 @@ EXTRA_SCALE_QUERIES = [
     "corpus_stratified_sample",
     "sim_quantize_int8",
     "dedup_substring_spans",
+    "dedup_substring_intervals",
+    "events_anomalies",
 ]
 SCALE_QUERIES = BENCH_QUERIES + EXTRA_SCALE_QUERIES
 from icegopher_spark.queries import QUERIES, load  # noqa: E402
