@@ -324,3 +324,16 @@ def test_funnel_stage_joins_are_narrow(spark, queries):
     plan = plan_of(queries["events_funnel"].fn(spark, SF))
     read = [l for l in plan.splitlines() if "ReadSchema" in l][0]
     assert "value" not in read and "props" not in read
+
+
+def test_stratified_sample_window_carries_no_payload(spark, queries):
+    """The per-stratum sort must move only (bucket, id, key) — text in
+    the exchange means the projection regressed."""
+    plan = plan_of(queries["corpus_stratified_sample"].fn(spark, SF))
+    read = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "text" not in read and "source" not in read
+
+
+def test_retention_uses_equi_joins_only(spark, queries):
+    plan = plan_of(queries["events_retention"].fn(spark, SF), "simple")
+    assert "BroadcastNestedLoopJoin" not in plan
