@@ -131,6 +131,8 @@ def main() -> None:
         "corpus_stratified_sample",
         "sim_quantize_int8",
         "dedup_substring_spans",
+        "dedup_substring_intervals",
+        "events_anomalies",
     ]
     extended: dict[str, float] = {}
     for name in EXTENDED:
