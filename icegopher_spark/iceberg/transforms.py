@@ -146,6 +146,68 @@ def murmur3_32_vec8(vals):
     return h
 
 
+def murmur3_32_vec_bytes(buf, offsets, lengths):
+    """Vectorized murmur3_32 over variable-length byte strings.
+
+    ``buf`` is a flat uint8 array holding every row's encoding
+    back-to-back; ``offsets``/``lengths`` (int64) locate each slice.
+    Blocks are gathered four bytes at a time with per-row active masks,
+    so the kernel runs ``max(len)//4 + 1`` numpy passes instead of a
+    Python loop per value — bit-identical to ``murmur3_32(bytes)`` for
+    every input (verified against random byte strings in
+    test_transforms). Returns a uint64 array whose low 32 bits are the
+    (unsigned) hash.
+    """
+    import numpy as np
+
+    m = np.uint64(_M32)
+    c1, c2 = np.uint64(_C1), np.uint64(_C2)
+    n = len(offsets)
+    # pad so 4-byte gathers at a row boundary stay in range
+    data = np.concatenate([np.asarray(buf, dtype=np.uint8), np.zeros(4, dtype=np.uint8)]).astype(
+        np.uint64
+    )
+    off = np.asarray(offsets, dtype=np.int64)
+    ln = np.asarray(lengths, dtype=np.int64)
+    nblocks = ln // 4
+    h = np.zeros(n, dtype=np.uint64)
+    for j in range(int(nblocks.max()) if n else 0):
+        active = nblocks > j
+        # inactive rows gather from offset 0 (discarded) to stay in bounds
+        base = np.where(active, off + 4 * j, 0)
+        k = (
+            data[base]
+            | (data[base + 1] << np.uint64(8))
+            | (data[base + 2] << np.uint64(16))
+            | (data[base + 3] << np.uint64(24))
+        )
+        k = (k * c1) & m
+        k = ((k << np.uint64(15)) | (k >> np.uint64(17))) & m
+        k = (k * c2) & m
+        h2 = h ^ k
+        h2 = ((h2 << np.uint64(13)) | (h2 >> np.uint64(19))) & m
+        h2 = (h2 * np.uint64(5) + np.uint64(0xE6546B64)) & m
+        h = np.where(active, h2, h)
+    # tail (1-3 bytes): same mixing as a block but no h-rotate step
+    tail_len = ln - 4 * nblocks
+    base = off + 4 * nblocks  # == next row's offset at most; padded
+    k = np.zeros(n, dtype=np.uint64)
+    k = np.where(tail_len >= 3, k ^ (data[base + 2] << np.uint64(16)), k)
+    k = np.where(tail_len >= 2, k ^ (data[base + 1] << np.uint64(8)), k)
+    k = np.where(tail_len >= 1, k ^ data[base], k)
+    k = (k * c1) & m
+    k = ((k << np.uint64(15)) | (k >> np.uint64(17))) & m
+    k = (k * c2) & m
+    h = np.where(tail_len >= 1, h ^ k, h)
+    h ^= ln.astype(np.uint64) & m
+    h ^= h >> np.uint64(16)
+    h = (h * np.uint64(0x85EBCA6B)) & m
+    h ^= h >> np.uint64(13)
+    h = (h * np.uint64(0xC2B2AE35)) & m
+    h ^= h >> np.uint64(16)
+    return h
+
+
 # --------------------------------------------------------------------------
 # Transforms
 # --------------------------------------------------------------------------
@@ -268,16 +330,47 @@ def _bucket_udf(n: int, st: IcebergType):
             out[mask] = pd.NA
             return pd.Series(out)
 
-    else:
-        # variable-length encodings (string/decimal/uuid/binary/float):
-        # per-value spec hash — rare bucket sources, cold path
+    elif isinstance(st, (FloatType, DoubleType)):
+        # spec: hash the double's IEEE bits as an 8-byte <q encoding —
+        # routes through the fixed-width numpy kernel. NaN is treated as
+        # null (matches the pre-vectorized behavior; pandas cannot
+        # distinguish NaN-value from null in a float column anyway).
         def _bucket(s: pd.Series) -> pd.Series:
-            def one(v):
-                if v is None or (isinstance(v, float) and v != v):
-                    return None
-                return (bucket_hash(_coerce(v, st), st) & 0x7FFFFFFF) % n
+            import numpy as np
 
-            return s.map(one)
+            mask = s.isna().to_numpy()
+            bits = s.fillna(0.0).to_numpy(dtype=np.float64).view(np.int64)
+            h = murmur3_32_vec8(bits)
+            res = ((h & np.uint64(0x7FFFFFFF)) % np.uint64(n)).astype("int32")
+            out = pd.array(res, dtype="Int32")
+            out[mask] = pd.NA
+            return pd.Series(out)
+
+    else:
+        # variable-length encodings (string/decimal/uuid/binary): encode
+        # once per value (thin C-level call), then hash all rows in one
+        # vectorized flat-buffer pass (round-5: was per-row Python)
+        def _bucket(s: pd.Series) -> pd.Series:
+            import numpy as np
+
+            mask = s.isna().to_numpy()
+            vals = s.to_numpy(dtype=object)
+            if isinstance(st, StringType):
+                enc = [b"" if m else v.encode("utf-8") for v, m in zip(vals, mask.tolist())]
+            else:
+                enc = [
+                    b"" if m else _bucket_encode(_coerce(v, st), st)
+                    for v, m in zip(vals, mask.tolist())
+                ]
+            lengths = np.fromiter(map(len, enc), dtype=np.int64, count=len(enc))
+            offsets = np.zeros(len(enc), dtype=np.int64)
+            np.cumsum(lengths[:-1], out=offsets[1:])
+            buf = np.frombuffer(b"".join(enc), dtype=np.uint8)
+            h = murmur3_32_vec_bytes(buf, offsets, lengths)
+            res = ((h & np.uint64(0x7FFFFFFF)) % np.uint64(n)).astype("int32")
+            out = pd.array(res, dtype="Int32")
+            out[mask] = pd.NA
+            return pd.Series(out)
 
     _bucket.__annotations__ = {"s": pd.Series, "return": pd.Series}
     return pandas_udf(_bucket, "int")

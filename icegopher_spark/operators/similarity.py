@@ -282,30 +282,15 @@ def ivf_topk(
 
     centroids = _kmeans_centroids(corpus, vec_col, n_lists, seed)
 
-    def nearest_cells(vec: Column, n: int) -> Column:
-        """Indices of the n nearest centroids by dot-distance (vectors
-        are compared by cosine; for probing, negative dot with the
-        normalized centroid ranks equivalently)."""
-        dists = F.array(
-            *[
-                F.struct(
-                    (-cosine(vec, F.array(*[F.lit(float(x)) for x in c]))).alias("d"),
-                    F.lit(i).alias("cell"),
-                )
-                for i, c in enumerate(centroids)
-            ]
-        )
-        return F.slice(F.array_sort(dists), 1, n).getField("cell")
-
     c = corpus.select(
         F.col(id_col),
         F.col(vec_col),
-        F.element_at(nearest_cells(F.col(vec_col), 1), 1).alias("cell"),
+        F.element_at(nearest_cells_arrow(F.col(vec_col), centroids, 1), 1).alias("cell"),
     )
     q = queries.select(
         F.col(query_id_col),
         F.col(vec_col).alias("_qvec"),
-        F.explode(nearest_cells(F.col(vec_col), n_probe)).alias("cell"),
+        F.explode(nearest_cells_arrow(F.col(vec_col), centroids, n_probe)).alias("cell"),
     )
     scored = (
         c.join(F.broadcast(q), "cell")
@@ -322,6 +307,62 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select(query_id_col, id_col, "cosine_sim", "rank")
     )
+
+
+def nearest_cells_arrow(vec: Column, centroids: list[list[float]], n: int) -> Column:
+    """array<int> of the ``n`` nearest centroid ids by cosine distance —
+    one Arrow-batched numpy pass for ALL centroids.
+
+    Replaces the round-4 ``F.array(F.struct(F.lit(...)×dim))``
+    construction whose plan carried O(n_lists × dim) literal expression
+    nodes (analyzer/codegen blowup at production n_lists=4096, dim=768;
+    VERDICT r4 item 3). Plan size is now one UDF node regardless of
+    n_lists — the centroid matrix ships once per executor inside the
+    serialized UDF.
+
+    Bit-compatibility: the dot/norm accumulations run in the SAME
+    sequential index order as the codegen ``cosine()`` fold
+    (acc = (acc + x_j·y_j), all in double), so scores — and therefore
+    probe-cell choices and the pinned recall gates — are bit-identical
+    to the literal-plan version (pinned by
+    test_similarity_plan::test_nearest_cells_arrow_bitmatch). Ties break
+    by centroid id via stable argsort, matching
+    ``array_sort(struct(d, cell))``.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.asarray(centroids, dtype=np.float64)  # k × d
+    k, d = C.shape
+    cn = np.zeros(k)
+    for j in range(d):  # sequential fold order == l2_norm()'s aggregate
+        cn = cn + C[:, j] * C[:, j]
+    cn = np.sqrt(cn)
+    n_out = min(n, k)
+
+    def _cells(v: pd.Series) -> pd.Series:
+        if not len(v):
+            return pd.Series([], dtype=object)
+        null = v.isna().to_numpy()
+        rows = [
+            np.zeros(d) if m else np.asarray(x, dtype=np.float64)
+            for x, m in zip(v.tolist(), null.tolist())
+        ]
+        m = np.stack(rows)
+        D = np.zeros((len(m), k))
+        vn = np.zeros(len(m))
+        for j in range(d):  # d passes of (n×k) elementwise — same fold order
+            D = D + m[:, j : j + 1] * C[None, :, j]
+            vn = vn + m[:, j] * m[:, j]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            score = -(D / (np.sqrt(vn)[:, None] * cn[None, :]))
+        order = np.argsort(score, axis=1, kind="stable")[:, :n_out].astype("int32")
+        out = [None if mm else row.tolist() for row, mm in zip(order, null.tolist())]
+        return pd.Series(out, dtype=object)
+
+    _cells.__annotations__ = {"v": pd.Series, "return": pd.Series}
+    return pandas_udf(_cells, "array<int>")(vec)
 
 
 def band_key_arrays(vec_col: str, planes: list[list[float]], band_size: int) -> Column:
@@ -501,20 +542,10 @@ def ivf_index_write(
         properties={"ivf.centroids": _json.dumps(centroids), "ivf.n-lists": str(n_lists)},
     )
 
-    def nearest_cell(vec: Column) -> Column:
-        dists = F.array(
-            *[
-                F.struct(
-                    (-cosine(vec, F.array(*[F.lit(float(x)) for x in c]))).alias("d"),
-                    F.lit(i).alias("cell"),
-                )
-                for i, c in enumerate(centroids)
-            ]
-        )
-        return F.element_at(F.slice(F.array_sort(dists), 1, 1).getField("cell"), 1)
-
     assigned = corpus.select(
-        F.col(id_col), F.col(vec_col), nearest_cell(F.col(vec_col)).alias("cell")
+        F.col(id_col),
+        F.col(vec_col),
+        F.element_at(nearest_cells_arrow(F.col(vec_col), centroids, 1), 1).alias("cell"),
     )
     return W.append(t, assigned)
 
@@ -542,22 +573,10 @@ def ivf_index_search(
 
     centroids = _json.loads(table.properties["ivf.centroids"])
 
-    def nearest_cells(vec: Column, n: int) -> Column:
-        dists = F.array(
-            *[
-                F.struct(
-                    (-cosine(vec, F.array(*[F.lit(float(x)) for x in c]))).alias("d"),
-                    F.lit(i).alias("cell"),
-                )
-                for i, c in enumerate(centroids)
-            ]
-        )
-        return F.slice(F.array_sort(dists), 1, n).getField("cell")
-
     q = queries.select(
         F.col(query_id_col),
         F.col(vec_col).alias("_qvec"),
-        F.explode(nearest_cells(F.col(vec_col), n_probe)).alias("cell"),
+        F.explode(nearest_cells_arrow(F.col(vec_col), centroids, n_probe)).alias("cell"),
     )
     probe_cells = sorted({r["cell"] for r in q.select("cell").distinct().collect()})
     scan = table.scan(row_filter=E.is_in("cell", *probe_cells))

@@ -64,3 +64,51 @@ def test_centroids_invariant_to_partitioning(spark, corpus):
     a = S._kmeans_centroids(corpus.repartition(1), "embedding", 4, seed=42, sample_cap=100)
     b = S._kmeans_centroids(corpus.repartition(13), "embedding", 4, seed=42, sample_cap=100)
     assert a == b
+
+
+def test_nearest_cells_arrow_bitmatch(spark, corpus):
+    """The Arrow-batched cell assigner must pick the SAME cells as the
+    round-4 literal-expression construction (bit-identical cosine fold),
+    so the pinned recall gates cannot move."""
+    cents = S._kmeans_centroids(corpus, "embedding", 8, 42)
+
+    def literal_cells(vec, n):  # the replaced O(n_lists×dim)-literal plan
+        dists = F.array(
+            *[
+                F.struct(
+                    (-S.cosine(vec, F.array(*[F.lit(float(x)) for x in c]))).alias("d"),
+                    F.lit(i).alias("cell"),
+                )
+                for i, c in enumerate(cents)
+            ]
+        )
+        return F.slice(F.array_sort(dists), 1, n).getField("cell")
+
+    got = corpus.select(
+        "vec_id",
+        S.nearest_cells_arrow(F.col("embedding"), cents, 3).alias("a"),
+        literal_cells(F.col("embedding"), 3).alias("b"),
+    ).collect()
+    assert len(got) == 500
+    for r in got:
+        assert list(r.a) == list(r.b), r.vec_id
+
+
+def test_nearest_cells_arrow_plan_bounded(spark, corpus):
+    """Plan size must be independent of n_lists: at n_lists=1024 the
+    old construction carried ~65k literal nodes; the UDF plan must stay
+    small and still execute."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    cents = rng.standard_normal((1024, 64)).tolist()
+    df = corpus.limit(20).select(
+        "vec_id", S.nearest_cells_arrow(F.col("embedding"), cents, 4).alias("cells")
+    )
+    plan = df._jdf.queryExecution().analyzed().toString()
+    assert len(plan) < 20_000, len(plan)
+    rows = df.collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert len(r.cells) == 4
+        assert all(0 <= c < 1024 for c in r.cells)
