@@ -188,7 +188,12 @@ def changelog_df(
                 F.col("pos").alias("_del_pos"),
             )
             target_paths = {r["_del_path"] for r in pairs.select("_del_path").distinct().collect()}
-            # entries for the targeted data files, from the PARENT state
+            # entries for the targeted data files, read from the CHILD
+            # snapshot's state (intended): MOR positional deletes target
+            # files that remain live in this snapshot — a data file
+            # rewritten/removed in the same commit is no longer a valid
+            # delete target, and its rows already surface as deletes via
+            # the parent-vs-child removal diff above
             parent_entries = [
                 e
                 for m in read_manifest_list(io.read(snap.manifest_list))

@@ -18,6 +18,12 @@ from .text import token_count
 # exact 64-bit integer arithmetic so DuckDB reproduces it bit-for-bit.
 _HASH_MULT = 2654435761
 _HASH_MOD = 2**32
+# Bucketing uses F.pmod so a negative id still lands in [0, 2^32) —
+# Spark's sign-preserving % would make every negative bucket pass any
+# `< threshold` filter. Cross-engine oracle equality (DuckDB's
+# sign-preserving %) additionally requires ids nonnegative and small
+# enough that id*MULT fits int64 (id < ~3.5e9): DuckDB promotes to
+# HUGEINT where Spark wraps silently. All gate corpora satisfy both.
 
 
 def pack_sequences(
@@ -79,7 +85,7 @@ def weighted_sample(
     scanner can evaluate, touching nothing but the id and group
     columns.
     """
-    bucket = (F.col(id_col).cast("bigint") * F.lit(_HASH_MULT)) % F.lit(_HASH_MOD)
+    bucket = F.pmod(F.col(id_col).cast("bigint") * F.lit(_HASH_MULT), F.lit(_HASH_MOD))
     rate = F.lit(float(default_rate))
     for k, r in sorted(rates.items()):
         rate = F.when(F.col(key_col) == k, F.lit(float(r))).otherwise(rate)
@@ -103,7 +109,7 @@ def assign_splits(
 
     Returns df plus a ``split`` column."""
     fractions = fractions or {"train": 0.9, "val": 0.05, "test": 0.05}
-    bucket = (F.col(id_col).cast("bigint") * F.lit(_HASH_MULT)) % F.lit(_HASH_MOD)
+    bucket = F.pmod(F.col(id_col).cast("bigint") * F.lit(_HASH_MULT), F.lit(_HASH_MOD))
     expr = None
     cum = 0.0
     items = list(fractions.items())
@@ -144,7 +150,7 @@ def stratified_sample(
     Returns (id_col, key_col, sample_rank) with sample_rank in
     [1, quota] by hash order.
     """
-    bucket = (F.col(id_col).cast("bigint") * F.lit(_HASH_MULT)) % F.lit(_HASH_MOD)
+    bucket = F.pmod(F.col(id_col).cast("bigint") * F.lit(_HASH_MULT), F.lit(_HASH_MOD))
     w = Window.partitionBy(key_col).orderBy("bucket", id_col)
     return (
         df.select(id_col, key_col)

@@ -122,12 +122,16 @@ def retention_cohorts(
     day = F.to_date(F.col(ts_col))
     active = events.select(F.col(user_col).alias("u"), day.alias("d")).distinct()
     first = active.groupBy("u").agg(F.min("d").alias("d0"))
+    # `first` derives from `active`, so join on RENAMED columns — a
+    # first.u == active.u predicate is a self-join Spark only rescues
+    # via plan-id disambiguation (fragile under failAmbiguousSelfJoin)
+    act = active.select(F.col("u").alias("au"), F.col("d").alias("ad"))
     out = first.groupBy("d0").agg(F.count(F.lit(1)).alias("n_users"))
     for off in offsets:
         ret = (
             first.join(
-                active,
-                (first.u == active.u) & (active.d == F.date_add(first.d0, off)),
+                act,
+                (F.col("u") == F.col("au")) & (F.col("ad") == F.date_add(F.col("d0"), off)),
                 "left_semi",
             )
             .groupBy("d0")

@@ -45,9 +45,9 @@ def _spread_bits(c: Column) -> Column:
 
 def _norm32(c: Column, lo: Column | int) -> Column:
     """Shift ``c`` to be non-negative (subtract the column minimum) and
-    saturate at 2^32-1 so wider values still order correctly up to the
-    clamp (saturation preserves monotonicity; bit truncation would
-    not)."""
+    saturate at 2^31-1 (the 31-bit spread budget; bit 63 is the sign
+    guard) so wider values still order correctly up to the clamp
+    (saturation preserves monotonicity; bit truncation would not)."""
     lo_col = F.lit(lo) if isinstance(lo, int) else lo
     shifted = c.cast("bigint") - lo_col.cast("bigint")
     return F.least(F.greatest(shifted, F.lit(0)), F.lit(_UMAX))

@@ -12,12 +12,16 @@ Semantics
   * Offsets are indices into the table's append-ordered snapshot list,
     so replay between two offsets is deterministic (same property the
     file source gets from its log).
-  * Each micro-batch plans the ADDED data files of the new snapshots —
-    append/overwrite commits stream their inserts; `replace` snapshots
-    (compaction) are skipped, matching the CDC surface (changelog.py).
-  * Append-only contract: delete rows are NOT retracted (streaming
-    retraction is not expressible through a row-emitting source);
-    tables with MOR deletes should use the batch changelog instead.
+  * Each micro-batch plans the ADDED data files of the new snapshots;
+    `replace` snapshots (compaction) are skipped, matching the CDC
+    surface (changelog.py).
+  * Append-only contract, ENFORCED: overwrite/delete snapshots (and
+    any added delete file) raise in planning — their removed rows
+    cannot be retracted through a row-emitting source. Options
+    `skip-overwrite-snapshots` / `skip-delete-snapshots` opt into
+    skipping such snapshots wholesale (mirrors upstream Iceberg's
+    streaming-skip-*-snapshots); tables needing real retraction use
+    the batch changelog instead.
 
 Scale posture
   * Planning (offsets -> file list) is driver-side and O(new
@@ -47,6 +51,14 @@ class _AppendStreamReader(DataSourceStreamReader):
         # catching up on a long-lived table takes bounded batches
         # instead of one giant one (0 = unbounded)
         self.max_per_trigger = int(options.get("max-snapshots-per-trigger", "0"))
+        # append-only contract ENFORCEMENT (round-5, ADVICE): a snapshot
+        # that removes rows (overwrite/delete) or adds MOR delete files
+        # cannot be represented by a row-emitting source — refuse by
+        # default (upstream Iceberg's SparkMicroBatchStream behavior),
+        # or skip the whole snapshot when the matching option is set
+        # (mirrors streaming-skip-overwrite/delete-snapshots).
+        self.skip_overwrite = options.get("skip-overwrite-snapshots", "false").lower() == "true"
+        self.skip_delete = options.get("skip-delete-snapshots", "false").lower() == "true"
         self._last_served: dict | None = None
 
     def _table(self):
@@ -116,8 +128,20 @@ class _AppendStreamReader(DataSourceStreamReader):
         hi = self._anchor(md, end)
         parts: list[_FilePartition] = []
         for snap in md.snapshots[lo:hi]:
-            if (snap.summary or {}).get("operation") == "replace":
+            op = (snap.summary or {}).get("operation")
+            if op == "replace":
                 continue  # byte movement, not new rows
+            if op in ("overwrite", "delete"):
+                if (op == "overwrite" and self.skip_overwrite) or (
+                    op == "delete" and self.skip_delete
+                ):
+                    continue  # user opted out of this snapshot entirely
+                raise ValueError(
+                    f"snapshot {snap.snapshot_id} is a {op!r} commit: its removed "
+                    "rows cannot be retracted through an append stream. Use the "
+                    "batch changelog for CDC, or set option "
+                    f"'skip-{op}-snapshots'='true' to skip such snapshots"
+                )
             # files written before a schema change project by field ID
             # (rename-safe, added columns null-filled) — same contract
             # as the batch faces
@@ -127,18 +151,24 @@ class _AppendStreamReader(DataSourceStreamReader):
             cmap = column_map_for(file_schema, current)
             for m in read_manifest_list(io.read(snap.manifest_list)):
                 for e in fetch_entries(m, io.read(m.manifest_path), discard_deleted=True):
-                    if (
-                        e.status == ManifestEntryStatus.ADDED
-                        and e.snapshot_id == snap.snapshot_id
-                        and e.data_file.content == DataFileContent.DATA
-                    ):
-                        parts.append(
-                            _FilePartition(
-                                e.data_file.file_path,
-                                cmap,
-                                arrow_schema if cmap is not None else None,
-                            )
+                    if e.status != ManifestEntryStatus.ADDED or e.snapshot_id != snap.snapshot_id:
+                        continue
+                    if e.data_file.content != DataFileContent.DATA:
+                        # spec-violating writer: delete files under a
+                        # non-overwrite/delete operation — never emit
+                        # rows that are logically deleted
+                        raise ValueError(
+                            f"snapshot {snap.snapshot_id} adds delete file "
+                            f"{e.data_file.file_path}; append stream cannot "
+                            "apply deletes — use the batch changelog"
                         )
+                    parts.append(
+                        _FilePartition(
+                            e.data_file.file_path,
+                            cmap,
+                            arrow_schema if cmap is not None else None,
+                        )
+                    )
         # Spark requires >= 1 partition per batch; an empty batch reads
         # a sentinel partition that yields nothing
         return parts or [_FilePartition("")]

@@ -267,3 +267,54 @@ def test_iceberg_stream_source_admission_control(spark, tmp_path):
     q.processAllAvailable()
     q.stop()
     assert sorted(r["k"] for r in spark.read.parquet(out).collect()) == list(range(20))
+
+
+def test_iceberg_stream_source_refuses_delete_snapshots(spark, tmp_path):
+    """Append-only contract is ENFORCED (round-5 ADVICE): a streamed
+    overwrite/delete snapshot raises in planning instead of silently
+    emitting rows that are logically deleted; skip-*-snapshots options
+    opt into skipping the snapshot wholesale."""
+    from pyspark.sql.utils import StreamingQueryException
+
+    from icegopher_spark.iceberg import expressions as E
+    from icegopher_spark.iceberg import write as W
+    from icegopher_spark.iceberg.schema import Schema
+    from icegopher_spark.iceberg.types import LongType, NestedField
+    from icegopher_spark.streaming.iceberg_source import IcebergAppendStreamSource
+
+    sch = Schema((NestedField(1, "k", LongType(), True),), schema_id=0)
+    loc = str(tmp_path / "del")
+    t = W.create_table(loc, sch)
+    t = W.append(t, spark.range(0, 10).selectExpr("id AS k"))
+    t = W.delete_where(t, spark, E.less_than("k", 3))  # CoW delete snapshot
+    t = W.append(t, spark.range(10, 15).selectExpr("id AS k"))
+
+    spark.dataSource.register(IcebergAppendStreamSource)
+
+    def drain(opts):
+        rdr = spark.readStream.format("icegopher_appends").option("location", loc)
+        for k, v in opts.items():
+            rdr = rdr.option(k, v)
+        q = (
+            rdr.load()
+            .writeStream.format("parquet")
+            .option("path", str(tmp_path / "out"))
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return sorted(r["k"] for r in spark.read.parquet(str(tmp_path / "out")).collect())
+
+    op = t.metadata.snapshots[1].summary.get("operation")
+    assert op in ("overwrite", "delete")
+    with pytest.raises(StreamingQueryException, match="cannot be retracted"):
+        drain({})
+    import shutil
+
+    shutil.rmtree(str(tmp_path / "ckpt"), ignore_errors=True)
+    shutil.rmtree(str(tmp_path / "out"), ignore_errors=True)
+    # skipping the delete snapshot streams only the two appends' rows
+    got = drain({f"skip-{op}-snapshots": "true"})
+    assert got == list(range(10)) + list(range(10, 15))
