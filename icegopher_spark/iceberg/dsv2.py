@@ -23,10 +23,11 @@ Scale posture
     (`add_files`), overwrite as one atomic OVERWRITE snapshot.
 
 Known limits (documented, enforced):
-  * Positional deletes ARE applied (per-file row-index mask while the
-    Arrow batches stream — the per-file mirror of the native path's
-    `_metadata.row_index` anti-join). Equality deletes raise — their
-    key anti-join belongs on the JVM side; use `Table.scan().to_df`.
+  * Positional AND equality deletes are applied while the Arrow batches
+    stream (per-file row-index mask; key-membership mask with
+    sequence-number scoping resolved at plan time) — the per-file
+    mirrors of the native path's `_metadata.row_index` /
+    equality-field anti-joins.
   * Partitioned writes split each Arrow batch by the partition tuple
     (transforms applied per distinct source value, then a vectorized
     map), one file per (task, partition). Specs whose manifest value
@@ -53,6 +54,7 @@ class _FilePartition(InputPartition):
         delete_paths: tuple[str, ...] = (),
         column_map: tuple[tuple[str, str | None], ...] | None = None,
         arrow_schema=None,
+        eq_deletes: tuple[tuple[str, tuple[str, ...]], ...] = (),
     ):
         self.path = path
         self.delete_paths = delete_paths
@@ -60,6 +62,10 @@ class _FilePartition(InputPartition):
         # the column didn't exist when the file was written)
         self.column_map = column_map
         self.arrow_schema = arrow_schema
+        # equality deletes applying to THIS file (sequence-number
+        # ordering already resolved at plan time): (delete file path,
+        # key column names in the CURRENT schema)
+        self.eq_deletes = eq_deletes
 
 
 def resolve_location(options) -> str:
@@ -190,13 +196,6 @@ class _BatchReader(DataSourceReader):
         if self._row_filter is not None:
             kwargs["row_filter"] = self._row_filter
         tasks = t.scan(**kwargs).plan_files()
-        if any(task.eq_delete_files for task in tasks):
-            # NOT NotImplementedError: the DataSource API treats that as
-            # "partitions() unsupported" and silently falls back to a
-            # single default partition — which would drop the deletes
-            raise ValueError(
-                "table has equality deletes; read it via Table.scan().to_df"
-            )
         from pyspark.sql.pandas.types import to_arrow_schema
 
         current = t.schema
@@ -210,12 +209,29 @@ class _BatchReader(DataSourceReader):
             # rename-safe projection by field ID (the same contract
             # TableScan.to_df honors)
             cmap = column_map_for(file_schema, current)
+            # equality deletes: plan_files already restricted each
+            # task's eq_delete_files to strictly-larger sequence numbers
+            # (ref semantics manifest.go:438-444); here we only resolve
+            # the key field IDs to current-schema names, driver-side
+            eq = tuple(
+                (
+                    d.file_path,
+                    tuple(
+                        current.find_field(fid).name
+                        for fid in (d.equality_ids or [])
+                        if current.find_field(fid) is not None
+                    ),
+                )
+                for d in task.eq_delete_files
+            )
+            eq = tuple((p, names) for p, names in eq if names)
             parts.append(
                 _FilePartition(
                     task.file.file_path,
                     tuple(d.file_path for d in task.delete_files),
                     cmap,
                     arrow_schema if cmap is not None else None,
+                    eq,
                 )
             )
         return parts or [_FilePartition("")]
@@ -261,9 +277,59 @@ class _BatchReader(DataSourceReader):
 
                 batches = _mask()
 
-        if partition.column_map is None:
-            return batches
-        return project_batches(batches, partition.column_map, partition.arrow_schema)
+        if partition.column_map is not None:
+            batches = project_batches(
+                batches, partition.column_map, partition.arrow_schema
+            )
+        if partition.eq_deletes:
+            batches = _apply_eq_deletes(batches, partition.eq_deletes)
+        return batches
+
+
+def _apply_eq_deletes(batches, eq_deletes):
+    """Equality-delete masking over an Arrow batch stream — the per-file
+    mirror of the native path's `left_anti` join on the key field IDs
+    (table.py:647-662), with the same null semantics: a null in any key
+    column never matches (Spark's null-unsafe join equality), so
+    null-keyed delete rows are dropped and null-keyed data rows are
+    kept. Runs AFTER field-ID projection, so key names are the current
+    schema's. Vectorized: pandas MultiIndex membership per batch."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from .table import strip_file_scheme
+
+    # (names, key frame) per delete file, keys deduped and null-purged
+    keysets = []
+    for dpath, names in eq_deletes:
+        kt = pq.read_table(strip_file_scheme(dpath))
+        if kt.num_columns == len(names):
+            kt = kt.rename_columns(list(names))  # positional, like toDF
+        kdf = kt.select(list(names)).to_pandas().dropna().drop_duplicates()
+        if not len(kdf):
+            continue
+        if len(names) == 1:
+            keysets.append((names, set(kdf[names[0]].tolist())))
+        else:
+            keysets.append((names, pd.MultiIndex.from_frame(kdf)))
+
+    for b in batches:
+        keep = None
+        for names, keys in keysets:
+            cols = {n: b.column(b.schema.get_field_index(n)).to_pandas() for n in names}
+            bdf = pd.DataFrame(cols)
+            if len(names) == 1:
+                match = bdf[names[0]].isin(keys) & bdf[names[0]].notna()
+            else:
+                match = pd.Series(pd.MultiIndex.from_frame(bdf).isin(keys)) & bdf.notna().all(
+                    axis=1
+                )
+            keep = ~match if keep is None else keep & ~match
+        if keep is None or keep.all():
+            yield b
+        else:
+            yield b.filter(pa.array(keep.to_numpy()))
 
 
 class _PushdownBatchReader(_BatchReader):

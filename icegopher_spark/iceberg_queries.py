@@ -1004,3 +1004,32 @@ def iceberg_wap_publish(spark: SparkSession, sf: str) -> DataFrame:
             F.lit(staged_invisible).alias("staged_invisible"),
         )
     )
+
+
+ice_eqdel_ds_oracle = """
+SELECT COUNT(*) AS n_rows, CAST(SUM(l_orderkey) AS BIGINT) AS sum_okey
+FROM lineitem WHERE l_orderkey % 100 <> 7
+"""
+
+
+@register(
+    "iceberg_eqdelete_datasource",
+    ice_eqdel_ds_oracle,
+    "equality deletes applied inside the DataSource Arrow reader (round-5)",
+)
+def iceberg_eqdelete_datasource(spark: SparkSession, sf: str) -> DataFrame:
+    """spark.read.format('icegopher') over a table carrying an
+    equality-delete file: the key-membership mask runs executor-side in
+    the Arrow reader (dsv2._apply_eq_deletes) with sequence-number
+    scoping resolved at plan time — previously a documented refusal.
+    Same table + oracle as iceberg_equality_delete, so any divergence
+    between the native anti-join and the Arrow mask reddens exactly one
+    of the two gates."""
+    from .iceberg.dsv2 import IcebergDataSource
+
+    spark.dataSource.register(IcebergDataSource)
+    t = _eqdel_table_for(spark, sf)
+    df = spark.read.format("icegopher").option("location", t.location).load()
+    return df.agg(
+        F.count(F.lit(1)).alias("n_rows"), F.sum("l_orderkey").alias("sum_okey")
+    )

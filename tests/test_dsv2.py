@@ -93,14 +93,47 @@ def test_mor_positional_deletes_applied_in_reader(spark, tmp_path):
     assert got.filter("flag = 'f1'").count() == 0
 
 
-def test_equality_delete_read_refused(spark, tmp_path):
+def test_equality_deletes_applied_in_reader(spark, tmp_path):
+    """Equality deletes are masked inside the Arrow read (round-5;
+    previously a documented refusal) — result equals the native
+    delete-applied scan, and sequence-number scoping holds: rows
+    appended AFTER the delete keep their deleted key values."""
     loc = str(tmp_path / "t")
     W.create_table(loc, SCHEMA)
     _df(spark, 0, 50).write.format("icegopher").option("location", loc).mode("append").save()
     t = Table.from_location(loc)
-    W.delete_keys(t, spark, spark.createDataFrame([("f2",)], "flag string"), ["flag"])
-    with pytest.raises(Exception, match="equality deletes"):
-        spark.read.format("icegopher").option("location", loc).load().count()
+    t = W.delete_keys(t, spark, spark.createDataFrame([("f2",)], "flag string"), ["flag"])
+    # post-delete append re-introduces flag=f2 rows (higher seq number:
+    # the delete must NOT apply to them)
+    _df(spark, 100, 120).write.format("icegopher").option("location", loc).mode("append").save()
+    t = Table.from_location(loc)
+
+    got = spark.read.format("icegopher").option("location", loc).load()
+    native = t.scan().to_df(spark)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, native.collect()))
+    # pre-delete f2 rows gone, post-delete f2 rows (k in 100..119) kept
+    f2 = got.filter("flag = 'f2'").select("k").collect()
+    assert sorted(r.k for r in f2) == [102, 106, 110, 114, 118]
+
+
+def test_equality_delete_multi_column_and_null_keys(spark, tmp_path):
+    """Multi-column equality keys match per-row tuples; null keys never
+    match (Spark's null-unsafe join equality on the native path)."""
+    loc = str(tmp_path / "t")
+    W.create_table(loc, SCHEMA)
+    rows = [(1, 1.0, "a"), (2, 2.0, "b"), (3, 3.0, None), (4, 4.0, "a")]
+    df = spark.createDataFrame(rows, "k long, q double, flag string")
+    df.write.format("icegopher").option("location", loc).mode("append").save()
+    t = Table.from_location(loc)
+    # delete (k=1, flag='a') and a null-keyed row that must match nothing
+    keys = spark.createDataFrame([(1, "a"), (9, None)], "k long, flag string")
+    t = W.delete_keys(t, spark, keys, ["k", "flag"])
+
+    got = sorted(
+        (r.k, r.flag) for r in spark.read.format("icegopher").option("location", loc).load().collect()
+    )
+    native = sorted((r.k, r.flag) for r in t.scan().to_df(spark).collect())
+    assert got == native == [(2, "b"), (3, None), (4, "a")]
 
 
 def test_partitioned_write_clusters_and_prunes(spark, tmp_path):

@@ -160,3 +160,35 @@ def test_datasource_read_matches_duckdb(spark, ds_reader, oracle_con, tree):
         f"SELECT COUNT(*), COALESCE(SUM(l_orderkey), 0) FROM lineitem WHERE {sql}"
     ).fetchone()
     assert (n, s or 0) == (want_n, int(want_s)), sql
+
+
+@pytest.fixture(scope="module")
+def eqdel_reader(spark):
+    """Datasource reader over a table carrying an equality-delete file
+    (every l_orderkey ≡ 7 mod 100 deleted) — round-5: the reader masks
+    eq-deletes executor-side instead of refusing."""
+    from icegopher_spark.iceberg.dsv2 import IcebergDataSource
+    from icegopher_spark.iceberg_queries import _eqdel_table_for
+
+    spark.dataSource.register(IcebergDataSource)
+    t = _eqdel_table_for(spark, SF_DIR)
+    return spark.read.format("icegopher").option("location", t.location)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(tree=predicate_trees())
+def test_datasource_eqdelete_read_matches_duckdb(spark, eqdel_reader, oracle_con, tree):
+    """Pushed-filter pruning composed with the Arrow eq-delete mask must
+    equal DuckDB applying the same predicate over the undeleted rows."""
+    _expr, sql = tree
+    rows = eqdel_reader.load().filter(sql).select("l_orderkey").collect()
+    n, s = len(rows), sum(r[0] for r in rows)
+    want_n, want_s = oracle_con.execute(
+        "SELECT COUNT(*), COALESCE(SUM(l_orderkey), 0) FROM lineitem "
+        f"WHERE l_orderkey % 100 <> 7 AND ({sql})"
+    ).fetchone()
+    assert (n, s or 0) == (want_n, int(want_s)), sql
