@@ -455,14 +455,16 @@ def rewrite_clustered(
     range-shuffle of the data (executor-side); only per-file stats
     collection touches the driver.
 
-    Only unpartitioned tables are supported (a partitioned table would
-    cluster within each partition; not needed by any current caller).
+    Partitioned tables (round-5) cluster WITHIN each partition of the
+    live default spec: rows are jointly range-partitioned on
+    (partition fields…, z) and written through the normal partitioned
+    write path, so every file owns a contiguous z-range inside its
+    partition dir and all rewritten files land under the current spec
+    (older-spec eras are absorbed — the rewrite covers every live row).
     """
     from ..operators.zorder import zvalue
+    from .write import _write_data_files
 
-    md = table.metadata
-    if md.default_spec and getattr(md.default_spec, "fields", None):
-        raise NotImplementedError("z-order rewrite of partitioned tables")
     snap = table.current_snapshot()
     if snap is None:
         return table
@@ -474,24 +476,11 @@ def rewrite_clustered(
     ).first()
     z = zvalue(F.col(col_a), F.col(col_b), int(lo["a"] or 0), int(lo["b"] or 0))
 
-    fmt_out = table.properties.get("write.format.default", "parquet").lower()
-    ext = f".{fmt_out}" if fmt_out != "parquet" else ".parquet"
-    out = f"{table.location}/data/zorder-{_uuid.uuid4().hex[:16]}"
-    (
-        df.withColumn("_z", z)
-        .repartitionByRange(n_files, "_z")
-        .sortWithinPartitions("_z")
-        .drop("_z")
-        .write.mode("overwrite")
-        .format(fmt_out)
-        .save(out)
-    )
     schema = table.schema
-    new_files = [
-        collect_data_file(f"{out}/{fn}", schema, {})
-        for fn in sorted(os.listdir(out))
-        if fn.endswith(ext)
-    ]
+    pairs = _write_data_files(
+        table, df, f"{table.location}/data", cluster_by=z, n_ranges=n_files
+    )
+    new_files = [collect_data_file(p, schema, part) for p, part in pairs]
     if not new_files:
         return table
     return _commit_snapshot(

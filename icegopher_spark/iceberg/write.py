@@ -19,7 +19,7 @@ from datetime import date, datetime, timezone
 from decimal import Decimal
 from typing import Any
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .io import LocalFileIO, strip_scheme
@@ -343,11 +343,22 @@ def _apply_sort_order(table: Table, df: DataFrame) -> DataFrame:
 
 
 def _write_data_files(
-    table: Table, df: DataFrame, data_dir: str
+    table: Table,
+    df: DataFrame,
+    data_dir: str,
+    cluster_by: Column | None = None,
+    n_ranges: int | None = None,
 ) -> list[tuple[str, dict[str, Any]]]:
     """Write parquet clustered by the partition transforms; returns
     (path, partition tuple) pairs. Partition evaluation uses the
-    transform Column expressions — executor-side, fully parallel."""
+    transform Column expressions — executor-side, fully parallel.
+
+    ``cluster_by`` (an expression over the data columns, e.g. a Morton
+    z-value) overrides the distribution-mode logic: rows are range
+    partitioned on (partition fields…, cluster expression) into
+    ``n_ranges`` tasks and sorted the same way inside each, so every
+    output file owns a contiguous cluster-value range WITHIN its
+    partition — the rewrite_data_files sort-strategy layout."""
     spec = table.spec
     schema = table.schema
     # catalog tables carry file:// locations; local fs ops need plain paths
@@ -373,11 +384,20 @@ def _write_data_files(
     ).lower()
     ext = f".{fmt}" if fmt != "parquet" else ".parquet"
     if spec.is_unpartitioned:
-        if mode == "range":
+        if cluster_by is not None:
+            df = df.withColumn("_zcluster", cluster_by)
+            df = (
+                df.repartitionByRange(n_ranges, "_zcluster")
+                if n_ranges
+                else df.repartitionByRange("_zcluster")
+            )
+            df = df.sortWithinPartitions("_zcluster").drop("_zcluster")
+        elif mode == "range":
             sort_cols = _sort_order_columns(table)
             if sort_cols:
                 df = df.repartitionByRange(*sort_cols)
-        df = _apply_sort_order(table, df)
+        if cluster_by is None:
+            df = _apply_sort_order(table, df)
         out = f"{data_dir}/{_uuid.uuid4().hex[:16]}"
         if fmt == "avro":
             # no bundled spark-avro source: distributed pure-Python OCF
@@ -409,7 +429,20 @@ def _write_data_files(
     out = f"{data_dir}/{_uuid.uuid4().hex[:16]}"
     names = list(write_names)
     staged = df.select("*", *pcols)
-    if mode == "hash":
+    if cluster_by is not None:
+        # per-partition clustering rewrite: joint range distribution on
+        # (partition fields…, cluster value), then the same in-task sort
+        # — each file covers a contiguous cluster range within its
+        # partition dir, across however many tasks the partition spans
+        staged = staged.withColumn("_zcluster", cluster_by)
+        rb = [*[F.col(n) for n in names], F.col("_zcluster")]
+        staged = (
+            staged.repartitionByRange(n_ranges, *rb)
+            if n_ranges
+            else staged.repartitionByRange(*rb)
+        )
+        staged = staged.sortWithinPartitions(*rb).drop("_zcluster")
+    elif mode == "hash":
         staged = staged.repartition(*[F.col(n) for n in names])
     elif mode == "range":
         staged = staged.repartitionByRange(
@@ -422,7 +455,7 @@ def _write_data_files(
     # satisfying its required ordering up front both skips that sort and
     # preserves the table sort order inside every file.
     sort_cols = _sort_order_columns(table)
-    if sort_cols:
+    if cluster_by is None and sort_cols:
         staged = staged.sortWithinPartitions(*[F.col(n) for n in names], *sort_cols)
     if fmt == "avro":
         from .pyreaders import write_avro_files

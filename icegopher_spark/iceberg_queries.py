@@ -1033,3 +1033,85 @@ def iceberg_eqdelete_datasource(spark: SparkSession, sf: str) -> DataFrame:
     return df.agg(
         F.count(F.lit(1)).alias("n_rows"), F.sum("l_orderkey").alias("sum_okey")
     )
+
+
+_ZP_SCHEMA = Schema(
+    (
+        NestedField(1, "l_partkey", LongType(), True),
+        NestedField(2, "l_suppkey", LongType(), True),
+        NestedField(3, "l_quantity", DoubleType(), False),
+        NestedField(4, "l_returnflag", StringType(), False),
+    ),
+    schema_id=0,
+)
+
+
+def _zorder_part_table_for(spark: SparkSession, sf_dir: str) -> Table:
+    """Identity-partitioned (by l_returnflag) table, z-order rewritten
+    on (l_partkey, l_suppkey) WITHIN each partition — round-5: the
+    partitioned rewrite path (maintenance.rewrite_clustered routes
+    through the normal partitioned write with joint (partition, z)
+    range distribution)."""
+    from .iceberg.maintenance import rewrite_clustered
+
+    key = sf_dir.strip("/").replace("/", "_")
+    loc = f"{_CACHE_ROOT}/{key}/lineitem_zorder_part"
+    hint = f"{loc}/metadata/version-hint.text"
+    if os.path.exists(hint):
+        try:
+            t = Table.from_location(loc)
+            if len(t.metadata.snapshots) == 2:
+                return t
+        except Exception:  # noqa: BLE001
+            pass
+        shutil.rmtree(loc, ignore_errors=True)
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_partkey", "l_suppkey", "l_quantity", "l_returnflag"
+    )
+    spec = PartitionSpec(
+        [PartitionField(4, 1000, "l_returnflag_p", parse_transform("identity"))]
+    )
+    t = W.create_table(loc, _ZP_SCHEMA, spec)
+    t = W.append(t, li)
+    return rewrite_clustered(t, spark, "l_partkey", "l_suppkey", n_files=8)
+
+
+ice_zorder_part_oracle = """
+SELECT COUNT(*) AS n_rows,
+       CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_qty,
+       CAST(TRUE AS BOOLEAN) AS pruned
+FROM lineitem
+WHERE l_returnflag = 'R'
+  AND l_partkey BETWEEN 100 AND 299 AND l_suppkey BETWEEN 10 AND 39
+"""
+
+
+@register(
+    "iceberg_zorder_partitioned",
+    ice_zorder_part_oracle,
+    "z-order rewrite WITHIN partitions -> partition + two-column stats pruning",
+)
+def iceberg_zorder_partitioned(spark: SparkSession, sf: str) -> DataFrame:
+    """Box query inside one partition of the partitioned z-ordered
+    table: the scan must prune BOTH by partition value (flag) and by
+    per-file min/max on the clustered columns; `pruned` pins that the
+    planner skipped files beyond the partition filter alone."""
+    t = _zorder_part_table_for(spark, sf)
+    part_flt = E.equal_to("l_returnflag", "R")
+    box_flt = (
+        part_flt
+        & E.greater_than_or_equal("l_partkey", 100)
+        & E.less_than_or_equal("l_partkey", 299)
+        & E.greater_than_or_equal("l_suppkey", 10)
+        & E.less_than_or_equal("l_suppkey", 39)
+    )
+    scan = t.scan(row_filter=box_flt)
+    planned = len(scan.plan_files())
+    part_only = len(t.scan(row_filter=part_flt).plan_files())
+    return scan.to_df(spark).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum(F.col("l_quantity").cast("decimal(12,2)")), 2)
+        .cast("double")
+        .alias("sum_qty"),
+        F.lit(bool(planned < part_only)).alias("pruned"),
+    )

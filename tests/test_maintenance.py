@@ -237,3 +237,54 @@ def test_rewrite_clustered_prunes_and_preserves(spark, tmp_path):
     assert total == 8
     # an 11x64 box of a 64x64 grid must not need every z-range file
     assert planned < total
+
+
+def test_rewrite_clustered_partitioned_table(spark, tmp_path):
+    """Round-5: z-order rewrite of a PARTITIONED table clusters within
+    each partition of the live spec — lossless, files stay under their
+    partition dirs, and a box query prunes beyond the partition filter."""
+    from icegopher_spark.iceberg.transforms import (
+        PartitionField,
+        PartitionSpec,
+        parse_transform,
+    )
+    from icegopher_spark.iceberg.types import StringType
+
+    schema = Schema(
+        (
+            NestedField(1, "x", LongType(), True),
+            NestedField(2, "y", LongType(), True),
+            NestedField(3, "g", StringType(), False),
+        ),
+        schema_id=0,
+    )
+    spec = PartitionSpec([PartitionField(3, 1000, "g_p", parse_transform("identity"))])
+    rows = spark.range(0, 8192).select(
+        (F.col("id") % 64).alias("x"),
+        ((F.col("id") / 64) % 64).cast("long").alias("y"),
+        F.when(F.col("id") % 2 == 0, "even").otherwise("odd").alias("g"),
+    )
+    t = W.create_table(str(tmp_path / "zp"), schema, spec)
+    t = W.append(t, rows)
+    before = sorted(map(tuple, t.scan().to_df(spark).collect()))
+    t = M.rewrite_clustered(t, spark, "x", "y", n_files=8)
+
+    assert t.current_snapshot().summary["operation"] == "replace"
+    after = sorted(map(tuple, t.scan().to_df(spark).collect()))
+    assert after == before  # lossless rewrite
+
+    tasks = t.scan().plan_files()
+    assert all("g_p=" in task.file.file_path for task in tasks)
+    assert all(task.file.partition.get("g_p") in ("even", "odd") for task in tasks)
+
+    part = E.equal_to("g", "even")
+    box = (
+        part
+        & E.greater_than_or_equal("x", 10)
+        & E.less_than_or_equal("x", 20)
+        & E.greater_than_or_equal("y", 10)
+        & E.less_than_or_equal("y", 20)
+    )
+    part_only = len(t.scan(row_filter=part).plan_files())
+    planned = len(t.scan(row_filter=box).plan_files())
+    assert planned < part_only  # z-stats prune beyond partition pruning
