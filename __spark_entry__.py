@@ -150,14 +150,21 @@ def _stale_discount() -> dict[str, float]:
 
 
 def _ordered_names() -> list[str]:
+    """Rotation order: last-round reds first, then by how LONG AGO the
+    query was last adjudicated (never-seen = round 0, so new queries
+    lead), then by accumulated scrutiny weight. Recency outranks weight
+    (round-5 change): a query green twice in r1+r2 needs re-checking
+    more than one green once in r4 — the old weight-first sort left 19
+    r1/r2-latest queries behind the 50-query window indefinitely."""
     names = list(QUERIES)
     weight = _adjudication_weight()
     discount = _stale_discount()
+    latest = _latest_adjudicated_round()
     index = {n: i for i, n in enumerate(names)}
 
     def key(n: str):
         red, w = weight.get(n, (0, 0.0))
-        return (red, max(w - discount.get(n, 0.0), 0.0), index[n])
+        return (red, latest.get(n, 0), max(w - discount.get(n, 0.0), 0.0), index[n])
 
     return sorted(names, key=key)
 

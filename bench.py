@@ -111,12 +111,15 @@ def main() -> None:
     _compacted_table_for(spark, sf_dir)
     _merge_table_for(spark, sf_dir)
 
-    times: dict[str, float] = {}
-    for name in BENCH_QUERIES:
-        q = QUERIES[name]
-        t0 = time.time()
-        q.fn(spark, sf_dir).count()
-        times[name] = round(time.time() - t0, 3)
+    # Repeated measurement (round-5): this VM shows up to ~3x run-to-run
+    # timing variance, so a single pass produces false regressions. Each
+    # query runs `repeat` times and the reported number is the per-query
+    # MINIMUM (the standard steady-state estimator under one-sided
+    # noise); per-run totals ride along for transparency.
+    repeat = int(os.environ.get("SPARK_GRAFT_REPEAT", "2"))
+    if "--repeat" in sys.argv:
+        repeat = int(sys.argv[sys.argv.index("--repeat") + 1])
+    repeat = max(repeat, 1)
 
     # round-4 additions timed OUTSIDE the headline metric so the
     # baseline curve (r1..r3 totals over the same 33 queries) stays
@@ -134,11 +137,24 @@ def main() -> None:
         "dedup_substring_intervals",
         "events_anomalies",
     ]
+
+    times: dict[str, float] = {}
     extended: dict[str, float] = {}
-    for name in EXTENDED:
-        t0 = time.time()
-        QUERIES[name].fn(spark, sf_dir).count()
-        extended[name] = round(time.time() - t0, 3)
+    run_totals: list[float] = []
+    for _run in range(repeat):
+        run_total = 0.0
+        for name in BENCH_QUERIES:
+            t0 = time.time()
+            QUERIES[name].fn(spark, sf_dir).count()
+            dt = round(time.time() - t0, 3)
+            run_total += dt
+            times[name] = min(times.get(name, dt), dt)
+        run_totals.append(round(run_total, 3))
+        for name in EXTENDED:
+            t0 = time.time()
+            QUERIES[name].fn(spark, sf_dir).count()
+            dt = round(time.time() - t0, 3)
+            extended[name] = min(extended.get(name, dt), dt)
 
     total = round(sum(times.values()), 3)
     print(
@@ -150,6 +166,8 @@ def main() -> None:
                 "queries": times,
                 "extended_queries": extended,
                 "extended_total": round(sum(extended.values()), 3),
+                "repeat": repeat,
+                "run_totals": run_totals,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
