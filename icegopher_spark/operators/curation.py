@@ -159,3 +159,60 @@ def stratified_sample(
         .filter(F.col("sample_rank") <= quota)
         .drop("bucket")
     )
+
+
+def temperature_mix(
+    df: DataFrame,
+    target_num: int = 1,
+    target_den: int = 2,
+    key_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Square-root temperature mixture resampling (multilingual-LM
+    training-mix reweighting): group g's share of the kept corpus is
+    proportional to sqrt(n_g) instead of n_g, flattening head languages
+    and boosting the tail; total kept ≈ ``target_num/target_den`` of
+    the corpus.
+
+    Exact-arithmetic construction (every step reproduces bit-for-bit in
+    any engine): w_g = floor(sqrt(n_g)) (integer temperature weight;
+    sqrt is correctly-rounded IEEE so the floor is exact), quota_g =
+    (floor(N·num/den) · w_g) div Σw — all int64 — then each group keeps
+    its quota_g members with the smallest Knuth-hash buckets (a group
+    smaller than its boosted quota keeps all its rows — no replication).
+    Selection is a pure function of the ids: stable across engines,
+    runs, partitionings.
+
+    Scale posture: one narrow count per group, the quota map is
+    |groups|-sized (broadcast), and the per-group ranking window sorts
+    payload-free (bucket, id) pairs — the stratified_sample shuffle
+    shape. int64 exactness holds while target_total·w_g < 2^63 (a 1e12-
+    row corpus with 1e6-row groups is ~1e18 — inside the bound).
+
+    Returns (id_col, key_col) — the kept rows' identities.
+    """
+    counts = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("n"))
+    weights = counts.withColumn("w", F.floor(F.sqrt(F.col("n"))).cast("bigint"))
+    tot = weights.agg(
+        F.sum("n").alias("nn"), F.sum("w").alias("ws")
+    )  # 1 row; cross join below broadcasts it
+    quotas = (
+        weights.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "quota",
+            F.expr(f"((nn * {int(target_num)} div {int(target_den)}) * w) div ws"),
+        )
+        .select(key_col, "quota")
+    )
+    bucket = F.pmod(F.col(id_col).cast("bigint") * F.lit(_HASH_MULT), F.lit(_HASH_MOD))
+    w = Window.partitionBy(key_col).orderBy("bucket", id_col)
+    ranked = (
+        df.select(id_col, key_col)
+        .withColumn("bucket", bucket)
+        .withColumn("r", F.row_number().over(w).cast("bigint"))
+    )
+    return (
+        ranked.join(F.broadcast(quotas), key_col)
+        .filter(F.col("r") <= F.col("quota"))
+        .select(id_col, key_col)
+    )

@@ -213,7 +213,7 @@ def minhash_signatures_df(
     return mins.select("id", F.array(*[f"h{k}" for k in range(num_hashes)]).alias("sig"))
 
 
-def minhash_lsh_candidates(
+def minhash_band_entries(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
@@ -222,15 +222,13 @@ def minhash_lsh_candidates(
     n: int = 3,
     max_doc_freq: int | None = STOP_SHINGLE_MAX_DF,
 ) -> DataFrame:
-    """LSH candidate pairs: docs agreeing on ≥1 MinHash band.
-
-    rows = bands of size num_hashes/bands; band key = xxhash64 of the
-    band slice → explode → self-join on (band, key) → distinct pairs.
-    At scale the exploded frame is num_docs × bands rows of 3 longs.
-    """
+    """(id, band, key): one row per (doc, LSH band) with the band key =
+    xxhash64 of the band's signature slice. This is the persistable
+    unit of a MinHash index — 20 bytes per (doc, band), and candidate
+    generation anywhere is an equi-join on (band, key)."""
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures_df(df, text_col, id_col, num_hashes, n, max_doc_freq)
-    band_entries = sigs.select(
+    return sigs.select(
         "id",
         F.explode(
             F.array(
@@ -246,6 +244,24 @@ def minhash_lsh_candidates(
             )
         ).alias("bk"),
     ).select("id", "bk.band", "bk.key")
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    n: int = 3,
+    max_doc_freq: int | None = STOP_SHINGLE_MAX_DF,
+) -> DataFrame:
+    """LSH candidate pairs: docs agreeing on ≥1 MinHash band.
+
+    rows = bands of size num_hashes/bands; band key = xxhash64 of the
+    band slice → explode → self-join on (band, key) → distinct pairs.
+    At scale the exploded frame is num_docs × bands rows of 3 longs.
+    """
+    band_entries = minhash_band_entries(df, text_col, id_col, num_hashes, bands, n, max_doc_freq)
     a, b = band_entries.alias("a"), band_entries.alias("b")
     return (
         a.join(
@@ -284,6 +300,15 @@ def minhash_dedup_pairs(
     # the SAME retained shingle set feeds signatures and verification,
     # so the verified jaccard is consistent with candidate generation
     sh = drop_stop_shingles(shingle_hash_rows(df, text_col, id_col, n), "h", max_doc_freq)
+    return exact_jaccard_verify(sh, cands, threshold)
+
+
+def exact_jaccard_verify(sh: DataFrame, cands: DataFrame, threshold: float) -> DataFrame:
+    """Exact-Jaccard verification of candidate pairs over hashed shingle
+    ROWS: |A ∩ B| is a count of matching 8-byte hashes per pair — no
+    string comparison, no array materialization. All joins are UNHINTED
+    equi-joins (candidate cardinality is data-dependent; AQE decides
+    broadcast at runtime)."""
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     pair_sh = sh.join(cands, sh["id"] == cands["id_a"]).select("id_a", "id_b", "h")
     common = (
@@ -297,7 +322,7 @@ def minhash_dedup_pairs(
     with_a = common.join(
         sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a")), "id_a"
     )
-    verified = (
+    return (
         with_a
         .join(sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b")), "id_b")
         .withColumn(
@@ -310,7 +335,117 @@ def minhash_dedup_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
-    return verified
+
+
+# -- persisted MinHash-LSH index: incremental dedup without recompute ------
+
+
+def minhash_index_write(
+    spark,
+    docs: DataFrame,
+    location: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    n: int = 3,
+    max_doc_freq: int | None = STOP_SHINGLE_MAX_DF,
+):
+    """Materialize a corpus's banded MinHash index as an Iceberg table
+    partitioned by band: rows (band int, key bigint, id bigint), LSH
+    parameters pinned in table properties.
+
+    The 100 TB posture for CONTINUOUS ingestion: signatures are computed
+    once per document ever — a new corpus slice appends its 20-byte
+    (band, key, id) entries and is deduped by probing the index
+    (minhash_dedup_incremental), instead of re-sharding the full corpus
+    per batch. Band partitioning means a probe's (band, key) equi-join
+    prunes to matching band partitions in the metadata plane."""
+    from ..iceberg import write as W
+    from ..iceberg.schema import Schema
+    from ..iceberg.transforms import PartitionField, PartitionSpec, parse_transform
+    from ..iceberg.types import IntegerType, LongType, NestedField
+
+    entries = minhash_band_entries(
+        docs, text_col, id_col, num_hashes, bands, n, max_doc_freq
+    ).select(F.col("band").cast("int").alias("band"), "key", "id")
+    schema = Schema(
+        (
+            NestedField(1, "band", IntegerType(), True),
+            NestedField(2, "key", LongType(), True),
+            NestedField(3, "id", LongType(), True),
+        ),
+        schema_id=0,
+    )
+    spec = PartitionSpec([PartitionField(1, 1000, "band", parse_transform("identity"))])
+    t = W.create_table(
+        location,
+        schema,
+        spec=spec,
+        properties={
+            "lsh.num-hashes": str(num_hashes),
+            "lsh.bands": str(bands),
+            "lsh.ngram": str(n),
+        },
+    )
+    return W.append(t, entries)
+
+
+def minhash_dedup_incremental(
+    spark,
+    table,
+    new_docs: DataFrame,
+    corpus: DataFrame,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_doc_freq: int | None = STOP_SHINGLE_MAX_DF,
+) -> DataFrame:
+    """Near-dup pairs involving at least one NEW document, probing the
+    persisted index instead of re-hashing the old corpus.
+
+    Candidates = new band entries ⋈ (stored ∪ new) entries on
+    (band, key); verification computes EXACT Jaccard over raw shingle
+    hashes of only the docs that appear in some candidate pair
+    (semi-join against ``corpus`` recovers just those texts — at scale
+    this touches O(candidates) documents, not the corpus). Stored
+    entries stream through the Iceberg scan path; LSH parameters come
+    from the index's table properties, so probe hashing always matches
+    what was indexed. Returns (id_a, id_b, jaccard) with id_a < id_b.
+    """
+    num_hashes = int(table.properties.get("lsh.num-hashes", "32"))
+    bands = int(table.properties.get("lsh.bands", "8"))
+    n = int(table.properties.get("lsh.ngram", "3"))
+
+    new_e = minhash_band_entries(
+        new_docs, text_col, id_col, num_hashes, bands, n, max_doc_freq
+    ).select(F.col("band").cast("int").alias("band"), "key", "id")
+    stored = table.scan().to_df(spark).select("band", "key", "id")
+    all_e = stored.unionByName(new_e)
+    cands = (
+        new_e.alias("a")
+        .join(
+            all_e.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.id") != F.col("b.id")),
+        )
+        .select(
+            F.least(F.col("a.id"), F.col("b.id")).alias("id_a"),
+            F.greatest(F.col("a.id"), F.col("b.id")).alias("id_b"),
+        )
+        .distinct()
+    )
+    ids = cands.select(F.col("id_a").alias("id")).unionByName(
+        cands.select(F.col("id_b").alias("id"))
+    ).distinct()
+    needed = corpus.join(
+        ids.withColumnRenamed("id", id_col), id_col, "left_semi"
+    )
+    # verification is exact Jaccard over ALL shingles (no stop-shingle
+    # drop): the candidate layer is the only approximation
+    sh = shingle_hash_rows(needed, text_col, id_col, n)
+    return exact_jaccard_verify(sh, cands, threshold)
 
 
 def simhash64(col: Column, n: int = 1) -> Column:

@@ -2097,3 +2097,104 @@ def dedup_substring_intervals_q(spark: SparkSession, sf: str) -> DataFrame:
         (F.max("pos") + 4).cast("bigint").alias("span_end"),
         F.count(F.lit(1)).alias("n_grams"),
     ).drop("island")
+
+
+temperature_mix_oracle = """
+WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+s AS (SELECT lang, n, CAST(FLOOR(SQRT(n)) AS BIGINT) AS w FROM c),
+t AS (SELECT CAST(SUM(n) AS BIGINT) AS nn, CAST(SUM(w) AS BIGINT) AS ws FROM s),
+q AS (SELECT lang, ((nn * 1 // 2) * w) // ws AS quota FROM s, t),
+r AS (SELECT doc_id, lang,
+        ROW_NUMBER() OVER (
+          PARTITION BY lang
+          ORDER BY (doc_id * 2654435761) % 4294967296, doc_id
+        ) AS rnk
+      FROM documents)
+SELECT r.doc_id, r.lang FROM r JOIN q USING (lang) WHERE rnk <= quota
+"""
+
+
+@register(
+    "corpus_temperature_mix",
+    temperature_mix_oracle,
+    "sqrt-temperature language-mix resampling, exact integer quotas",
+)
+def temperature_mix_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Training-mix reweighting: each language's share of the kept
+    corpus is proportional to sqrt(n_lang) (flattens head languages,
+    boosts the tail), total kept ~ half the corpus. Quotas are exact
+    int64 arithmetic (floor(sqrt()) weights, div) and member selection
+    is Knuth-hash order — a pure function of the ids, so the picked set
+    is identical across engines and partitionings
+    (operators/curation.py:temperature_mix)."""
+    from .operators import curation
+
+    docs = load(spark, sf, "documents")
+    return curation.temperature_mix(docs, 1, 2)
+
+
+minhash_incremental_oracle = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS w
+  FROM documents
+), grams AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(w) - 2, 0) + 1),
+                        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingles
+  FROM toks
+), ex AS (
+  SELECT doc_id, len(shingles) AS n_sh, UNNEST(shingles) AS sh FROM grams
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common,
+         MIN(a.n_sh) AS n_a, MIN(b.n_sh) AS n_b
+  FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       ROUND(n_common / CAST(n_a + n_b - n_common AS DOUBLE), 6) AS jaccard
+FROM pairs
+WHERE n_common / CAST(n_a + n_b - n_common AS DOUBLE) >= 0.5
+  AND (id_a % 3 = 0 OR id_b % 3 = 0)
+"""
+
+
+@register(
+    "dedup_minhash_incremental",
+    minhash_incremental_oracle,
+    "incremental MinHash dedup: new batch probed against a persisted Iceberg LSH index",
+)
+def dedup_minhash_incremental_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Continuous-ingestion dedup (round-5): the old corpus's banded
+    signatures persist in an Iceberg table (signatures computed once per
+    doc EVER); a new batch is deduped by probing that index + itself,
+    then exact-Jaccard verifying only candidate docs. Differential gate:
+    the output must equal the batch exact-Jaccard pairs restricted to
+    pairs with a new side — a recall loss from the split-index path
+    (e.g. old sigs drifting from batch sigs) fails the hash match."""
+    import os as _os
+    import shutil as _shutil
+
+    from .iceberg.table import Table
+    from .operators import dedup as _dedup
+
+    docs = load(spark, sf, "documents")
+    old = docs.filter(F.col("doc_id") % 3 != 0)
+    new = docs.filter(F.col("doc_id") % 3 == 0)
+
+    key = sf.strip("/").replace("/", "_")
+    loc = f"/tmp/icegopher_tables/{key}/minhash_index"
+    hint = f"{loc}/metadata/version-hint.text"
+    t = None
+    if _os.path.exists(hint):
+        try:
+            t = Table.from_location(loc)
+            if "lsh.bands" not in t.properties or t.current_snapshot() is None:
+                t = None
+        except Exception:  # noqa: BLE001
+            t = None
+        if t is None:
+            _shutil.rmtree(loc, ignore_errors=True)
+    if t is None:
+        t = _dedup.minhash_index_write(spark, old, loc)
+    return _dedup.minhash_dedup_incremental(spark, t, new, docs, threshold=0.5)

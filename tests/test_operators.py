@@ -515,3 +515,42 @@ def test_hourly_anomalies_flags_planted_outlier(spark):
     out = hourly_anomalies(ev).collect()
     assert len(out) == 1
     assert str(out[0]["bucket"]) == "2024-01-01 20:00:00" and out[0]["z"] > 3
+
+
+def test_temperature_mix_quota_math(spark):
+    """sqrt-temperature quotas: group shares ∝ floor(sqrt(n)), total =
+    (N div 2) scaled — exact int arithmetic, selection deterministic."""
+    import math
+
+    from icegopher_spark.operators import curation
+
+    rows = [(i, "big" if i < 900 else "small") for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    kept = curation.temperature_mix(df, 1, 2)
+    got = {r["lang"]: r["cnt"] for r in kept.groupBy("lang").agg(F.count("*").alias("cnt")).collect()}
+    w_big, w_small = math.isqrt(900), math.isqrt(100)  # 30, 10
+    target = 1000 // 2
+    assert got["big"] == target * w_big // (w_big + w_small)  # 375
+    # tail boost capped at group size: quota 125 > n_small=100 keeps all
+    assert got["small"] == min(target * w_small // (w_big + w_small), 100)
+    # deterministic: same rows on rerun regardless of partitioning
+    again = curation.temperature_mix(df.repartition(13), 1, 2)
+    assert sorted(map(tuple, kept.collect())) == sorted(map(tuple, again.collect()))
+
+
+def test_minhash_incremental_matches_batch(spark, tmp_path):
+    """Probing the persisted index over the old slice + new batch must
+    find exactly the batch pipeline's pairs that involve a new doc."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    old = docs.filter(F.col("doc_id") % 3 != 0)
+    new = docs.filter(F.col("doc_id") % 3 == 0)
+    t = dedup.minhash_index_write(spark, old, str(tmp_path / "idx"))
+    # index layout: band-partitioned files, params pinned in properties
+    assert t.properties["lsh.bands"] == "8"
+    assert all("band=" in task.file.file_path for task in t.scan().plan_files())
+
+    incr = dedup.minhash_dedup_incremental(spark, t, new, docs, threshold=0.5)
+    batch = dedup.minhash_dedup_pairs(docs, threshold=0.5).filter(
+        (F.col("id_a") % 3 == 0) | (F.col("id_b") % 3 == 0)
+    )
+    assert sorted(map(tuple, incr.collect())) == sorted(map(tuple, batch.collect()))
