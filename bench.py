@@ -136,6 +136,12 @@ def main() -> None:
         "dedup_substring_spans",
         "dedup_substring_intervals",
         "events_anomalies",
+        # round-5 additions
+        "corpus_temperature_mix",
+        "corpus_length_trim",
+        "dedup_minhash_incremental",
+        "iceberg_eqdelete_datasource",
+        "iceberg_zorder_partitioned",
     ]
 
     times: dict[str, float] = {}

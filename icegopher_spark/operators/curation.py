@@ -216,3 +216,39 @@ def temperature_mix(
         .filter(F.col("r") <= F.col("quota"))
         .select(id_col, key_col)
     )
+
+
+def length_trim(
+    df: DataFrame,
+    lo_pct: int = 5,
+    hi_pct: int = 95,
+    key_col: str = "lang",
+    id_col: str = "doc_id",
+    len_col: str = "n_chars",
+) -> DataFrame:
+    """Per-group outlier trimming by length percentile: drop each
+    group's shortest ``lo_pct``% and longest ``100-hi_pct``% documents
+    (the truncated-distribution cleaning step before training-mix
+    assembly — clipped boilerplate stubs and runaway concatenations).
+
+    Percentiles are defined by RANK, not interpolation: with r =
+    row_number ordered by (length, id) and n = group size, a row is
+    kept iff n·lo div 100 < r ≤ n·hi div 100 — pure integer
+    arithmetic, so the kept set is identical in any engine (no
+    percentile_cont interpolation or approx-quantile divergence).
+
+    Scale posture: the ranking window sorts (length, id) pairs with the
+    group key — payloads are projected away before the shuffle; join
+    back on the id for surviving payloads.
+    """
+    w = Window.partitionBy(key_col).orderBy(len_col, id_col)
+    return (
+        df.select(id_col, key_col, len_col)
+        .withColumn("r", F.row_number().over(w).cast("bigint"))
+        .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy(key_col)))
+        .filter(
+            (F.col("r") > F.expr(f"(n * {int(lo_pct)}) div 100"))
+            & (F.col("r") <= F.expr(f"(n * {int(hi_pct)}) div 100"))
+        )
+        .select(id_col, key_col, len_col)
+    )

@@ -2198,3 +2198,31 @@ def dedup_minhash_incremental_q(spark: SparkSession, sf: str) -> DataFrame:
     if t is None:
         t = _dedup.minhash_index_write(spark, old, loc)
     return _dedup.minhash_dedup_incremental(spark, t, new, docs, threshold=0.5)
+
+
+length_trim_oracle = """
+WITH r AS (
+  SELECT doc_id, lang, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rnk,
+         COUNT(*) OVER (PARTITION BY lang) AS n
+  FROM documents
+)
+SELECT doc_id, lang, n_chars FROM r
+WHERE rnk > n * 5 // 100 AND rnk <= n * 95 // 100
+"""
+
+
+@register(
+    "corpus_length_trim",
+    length_trim_oracle,
+    "per-language rank-percentile length trimming (integer-exact)",
+)
+def length_trim_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Outlier cleaning: drop each language's shortest 5% and longest 5%
+    docs. Percentiles are rank-defined (no interpolation), so the kept
+    set is engine-exact; the window sorts payload-free (length, id)
+    pairs (operators/curation.py:length_trim)."""
+    from .operators import curation
+
+    docs = load(spark, sf, "documents")
+    return curation.length_trim(docs)

@@ -337,3 +337,32 @@ def test_stratified_sample_window_carries_no_payload(spark, queries):
 def test_retention_uses_equi_joins_only(spark, queries):
     plan = plan_of(queries["events_retention"].fn(spark, SF), "simple")
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_temperature_mix_window_carries_no_payload(spark, queries):
+    """The quota-ranking window must move only (bucket, id, key) — the
+    same payload-free contract as stratified_sample."""
+    plan = plan_of(queries["corpus_temperature_mix"].fn(spark, SF))
+    for line in plan.splitlines():
+        if "ReadSchema" in line:
+            assert "text" not in line and "source" not in line
+
+
+def test_length_trim_window_carries_no_payload(spark, queries):
+    plan = plan_of(queries["corpus_length_trim"].fn(spark, SF))
+    for line in plan.splitlines():
+        if "ReadSchema" in line:
+            assert "text" not in line and "source" not in line
+
+
+def test_minhash_incremental_no_bnlj_no_text_shuffle(spark, queries):
+    """Index-probe dedup: candidates and verification are equi-joins on
+    8-byte keys; document text never enters an exchange (only hashed
+    shingle rows shuffle), and no join degrades to nested-loop."""
+    plan = plan_of(queries["dedup_minhash_incremental"].fn(spark, SF), "simple")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    formatted = plan_of(queries["dedup_minhash_incremental"].fn(spark, SF))
+    for line in formatted.splitlines():
+        if "Exchange" in line and "text" in line:
+            raise AssertionError(f"text column shuffles: {line}")

@@ -51,6 +51,12 @@ EXTRA_SCALE_QUERIES = [
     "dedup_substring_spans",
     "dedup_substring_intervals",
     "events_anomalies",
+    # round-5 operators
+    "corpus_temperature_mix",
+    "corpus_length_trim",
+    "dedup_minhash_incremental",
+    "iceberg_eqdelete_datasource",
+    "iceberg_zorder_partitioned",
 ]
 SCALE_QUERIES = BENCH_QUERIES + EXTRA_SCALE_QUERIES
 from icegopher_spark.queries import QUERIES, load  # noqa: E402
