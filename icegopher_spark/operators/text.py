@@ -185,3 +185,79 @@ def redact_pii(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") ->
         F.regexp_count(t, F.lit(PII_PHONE_RE)).cast("bigint").alias("n_phones"),
         F.md5(red).alias("redacted_md5"),
     )
+
+
+def bpe_merges(
+    docs: DataFrame,
+    n_merges: int = 6,
+    text_col: str = "text",
+) -> DataFrame:
+    """First ``n_merges`` byte-pair-encoding merge rules over the
+    whitespace-tokenized, lowercased corpus (the vocabulary-induction
+    step of tokenizer training). Classic BPE: count adjacent symbol
+    pairs weighted by word frequency, merge the most frequent pair
+    everywhere (ties broken lexicographically by (left, right)),
+    repeat.
+
+    Representation: a word's symbol sequence is a single string with a
+    space BEFORE each symbol (`' h e l l o'`); a merge is then one
+    `replace(s, ' l r', ' lr')` — left-to-right non-overlapping in
+    Spark and DuckDB alike, which is exactly BPE's greedy-from-left
+    application (the leading-space-only encoding is what makes
+    consecutive overlaps like 'aaaa' -> ['aa','aa'] come out right).
+    Pure codegen: split/slice/replace, no UDFs.
+
+    Scale posture: the ONLY corpus-scale operation is the initial word
+    count (one partial-aggregated shuffle of (word, 1)); every
+    iteration runs on the vocabulary (bounded by distinct words — a few
+    million rows no matter how big the corpus), and each round's driver
+    roundtrip moves exactly one (l, r, freq) row. The vocab frame is
+    cached between rounds.
+
+    Returns (rank, left_sym, right_sym, freq), rank in [1, n_merges].
+    """
+    spark = docs.sparkSession
+    words = (
+        docs.select(F.explode(tokens(F.lower(F.col(text_col)))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    state = words.select(
+        "cnt", F.regexp_replace("w", "(.)", " $1").alias("s")
+    ).persist()
+    rules: list[tuple[int, str, str, int]] = []
+    try:
+        for k in range(n_merges):
+            syms = F.split(F.expr("substring(s, 2)"), " ")
+            pairs = (
+                state.select(
+                    "cnt",
+                    F.explode(
+                        F.arrays_zip(
+                            F.slice(syms, 1, F.size(syms) - 1).alias("l"),
+                            F.slice(syms, 2, F.size(syms) - 1).alias("r"),
+                        )
+                    ).alias("pr"),
+                )
+                .select("cnt", F.col("pr.l").alias("l"), F.col("pr.r").alias("r"))
+                .groupBy("l", "r")
+                .agg(F.sum("cnt").alias("freq"))
+            )
+            best = pairs.orderBy(F.col("freq").desc(), "l", "r").first()
+            if best is None:
+                break
+            l, r = best["l"], best["r"]
+            rules.append((k + 1, l, r, int(best["freq"])))
+            nxt = state.select(
+                "cnt",
+                F.replace(
+                    F.col("s"), F.lit(f" {l} {r}"), F.lit(f" {l}{r}")
+                ).alias("s"),
+            ).persist()
+            state.unpersist()
+            state = nxt
+    finally:
+        state.unpersist()
+    return spark.createDataFrame(
+        rules, "rank bigint, left_sym string, right_sym string, freq bigint"
+    )

@@ -2226,3 +2226,60 @@ def length_trim_q(spark: SparkSession, sf: str) -> DataFrame:
 
     docs = load(spark, sf, "documents")
     return curation.length_trim(docs)
+
+
+def _bpe_oracle(n_merges: int) -> str:
+    """Unrolled BPE in SQL: stage k counts adjacent symbol pairs of the
+    space-prefixed symbol strings, picks the (freq DESC, l, r) best,
+    and stage k+1 applies it with replace(' l r' -> ' lr') — the same
+    left-to-right greedy application the Spark operator uses, so the
+    merge tables are engine-exact."""
+    stages = ""
+    for k in range(n_merges):
+        stages += f""",
+p{k} AS (
+  SELECT cnt, UNNEST(range(1, len(syms))) AS i, syms
+  FROM (SELECT cnt, string_split(s[2:], ' ') AS syms FROM s{k})
+),
+b{k} AS (
+  SELECT l, r, CAST(SUM(cnt) AS BIGINT) AS freq
+  FROM (SELECT cnt, syms[i] AS l, syms[i+1] AS r FROM p{k})
+  GROUP BY l, r ORDER BY freq DESC, l, r LIMIT 1
+),
+s{k + 1} AS (
+  SELECT cnt, replace(s, ' ' || l || ' ' || r, ' ' || l || r) AS s FROM s{k}, b{k}
+)"""
+    finals = "\nUNION ALL ".join(
+        f"SELECT CAST({k + 1} AS BIGINT) AS rank, l AS left_sym, r AS right_sym, freq FROM b{k}"
+        for k in range(n_merges)
+    )
+    return (
+        """
+WITH w AS (
+  SELECT w, COUNT(*) AS cnt FROM (
+    SELECT UNNEST(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS w
+    FROM documents) GROUP BY w
+),
+s0 AS (SELECT cnt, regexp_replace(w, '(.)', ' \\1', 'g') AS s FROM w)"""
+        + stages
+        + "\n"
+        + finals
+    )
+
+
+@register(
+    "vocab_bpe_merges",
+    _bpe_oracle(6),
+    "BPE vocabulary induction: first 6 merge rules, engine-exact",
+)
+def bpe_merges_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Tokenizer training's core loop as a distributed operator: the
+    corpus is touched once (word count); six merge rounds then run on
+    the cached vocabulary with pure codegen split/replace expressions,
+    one (l, r, freq) driver row per round
+    (operators/text.py:bpe_merges). Oracle is the same computation
+    unrolled in SQL."""
+    from .operators import text as T
+
+    docs = load(spark, sf, "documents")
+    return T.bpe_merges(docs, n_merges=6)

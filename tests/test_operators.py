@@ -554,3 +554,42 @@ def test_minhash_incremental_matches_batch(spark, tmp_path):
         (F.col("id_a") % 3 == 0) | (F.col("id_b") % 3 == 0)
     )
     assert sorted(map(tuple, incr.collect())) == sorted(map(tuple, batch.collect()))
+
+
+def test_bpe_merges_matches_reference(spark):
+    """Differential vs a pure-Python BPE reference (overlapping pair
+    counts weighted by word freq; greedy left-to-right merge; ties by
+    (l, r) lexicographic) on the sf0.001 corpus."""
+    from collections import Counter
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    got = [tuple(r) for r in text.bpe_merges(docs, n_merges=5).collect()]
+
+    words = Counter()
+    for (t,) in docs.select("text").collect():
+        for w in t.lower().split():
+            if w:
+                words[w] += 1
+    state = {w: list(w) for w in words}
+    expect = []
+    for k in range(5):
+        pairs = Counter()
+        for w, syms in state.items():
+            c = words[w]
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += c
+        if not pairs:
+            break
+        (l, r), freq = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        expect.append((k + 1, l, r, freq))
+        for w, syms in state.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            state[w] = out
+    assert got == expect
