@@ -198,3 +198,42 @@ def test_hour_transform_rejects_date_column():
 
     with pytest.raises(TypeError, match="hour transform not valid"):
         HourTransform().to_column(F.col("d"), DateType())
+
+
+# ---- round-4 ADVICE fixes (applied round-5) ----
+
+
+def test_curation_negative_ids_get_real_buckets(spark):
+    """pmod bucketing: a negative doc_id must land in [0, 2^32) and be
+    subject to the rate filter — Spark's sign-preserving % made every
+    negative bucket pass any `< threshold` test (always kept)."""
+    from icegopher_spark.operators import curation
+
+    df = spark.createDataFrame(
+        [(-5, "en"), (-900000006, "en"), (7, "en")], "doc_id long, lang string"
+    )
+    # rate 0: NOTHING may survive, negative ids included
+    assert curation.weighted_sample(df, {"en": 0.0}).count() == 0
+    # split assignment is still total (every id gets a split)
+    out = curation.assign_splits(df)
+    assert out.count() == 3
+    assert all(r["split"] in ("train", "val", "test") for r in out.collect())
+
+
+def test_retention_cohorts_no_ambiguous_self_join(spark):
+    """retention_cohorts joins derived-from-same-source frames on
+    RENAMED columns; the result must be correct under
+    failAmbiguousSelfJoin (no plan-id rescue)."""
+    import datetime as dt
+
+    from icegopher_spark.operators import timeseries as TS
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 9)),
+        (1, dt.datetime(2024, 1, 8, 9)),   # day 7
+        (2, dt.datetime(2024, 1, 1, 12)),  # no return
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {r["cohort_day"].date(): r for r in TS.retention_cohorts(ev, (7,)).collect()}
+    r = got[dt.date(2024, 1, 1)]
+    assert r["n_users"] == 2 and r["n_day7"] == 1
