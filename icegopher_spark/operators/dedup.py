@@ -340,6 +340,41 @@ def exact_jaccard_verify(sh: DataFrame, cands: DataFrame, threshold: float) -> D
 # -- persisted MinHash-LSH index: incremental dedup without recompute ------
 
 
+def minhash_index_create(
+    location: str,
+    num_hashes: int = 32,
+    bands: int = 8,
+    n: int = 3,
+):
+    """Create an EMPTY banded MinHash index table: band-partitioned
+    (band int, key bigint, id bigint) rows, LSH parameters pinned in
+    table properties so every later writer/prober hashes identically."""
+    from ..iceberg import write as W
+    from ..iceberg.schema import Schema
+    from ..iceberg.transforms import PartitionField, PartitionSpec, parse_transform
+    from ..iceberg.types import IntegerType, LongType, NestedField
+
+    schema = Schema(
+        (
+            NestedField(1, "band", IntegerType(), True),
+            NestedField(2, "key", LongType(), True),
+            NestedField(3, "id", LongType(), True),
+        ),
+        schema_id=0,
+    )
+    spec = PartitionSpec([PartitionField(1, 1000, "band", parse_transform("identity"))])
+    return W.create_table(
+        location,
+        schema,
+        spec=spec,
+        properties={
+            "lsh.num-hashes": str(num_hashes),
+            "lsh.bands": str(bands),
+            "lsh.ngram": str(n),
+        },
+    )
+
+
 def minhash_index_write(
     spark,
     docs: DataFrame,
@@ -362,33 +397,46 @@ def minhash_index_write(
     per batch. Band partitioning means a probe's (band, key) equi-join
     prunes to matching band partitions in the metadata plane."""
     from ..iceberg import write as W
-    from ..iceberg.schema import Schema
-    from ..iceberg.transforms import PartitionField, PartitionSpec, parse_transform
-    from ..iceberg.types import IntegerType, LongType, NestedField
 
     entries = minhash_band_entries(
         docs, text_col, id_col, num_hashes, bands, n, max_doc_freq
     ).select(F.col("band").cast("int").alias("band"), "key", "id")
-    schema = Schema(
-        (
-            NestedField(1, "band", IntegerType(), True),
-            NestedField(2, "key", LongType(), True),
-            NestedField(3, "id", LongType(), True),
-        ),
-        schema_id=0,
-    )
-    spec = PartitionSpec([PartitionField(1, 1000, "band", parse_transform("identity"))])
-    t = W.create_table(
-        location,
-        schema,
-        spec=spec,
-        properties={
-            "lsh.num-hashes": str(num_hashes),
-            "lsh.bands": str(bands),
-            "lsh.ngram": str(n),
-        },
-    )
+    t = minhash_index_create(location, num_hashes, bands, n)
     return W.append(t, entries)
+
+
+def minhash_dedup_from_index(
+    spark,
+    table,
+    corpus: DataFrame,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup pairs of the WHOLE corpus from the persisted index
+    alone: self-join the stored (band, key) entries for candidates,
+    then exact-Jaccard verify via texts semi-joined to candidate ids.
+    Signatures are never recomputed — the dedup a warehouse runs
+    nightly over an index its ingestion streams maintain."""
+    n = int(table.properties.get("lsh.ngram", "3"))
+    e = table.scan().to_df(spark).select("band", "key", "id")
+    cands = (
+        e.alias("a")
+        .join(
+            e.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    ids = cands.select(F.col("id_a").alias("id")).unionByName(
+        cands.select(F.col("id_b").alias("id"))
+    ).distinct()
+    needed = corpus.join(ids.withColumnRenamed("id", id_col), id_col, "left_semi")
+    sh = shingle_hash_rows(needed, text_col, id_col, n)
+    return exact_jaccard_verify(sh, cands, threshold)
 
 
 def minhash_dedup_incremental(

@@ -585,3 +585,62 @@ def iceberg_stream_writer_q(spark: SparkSession, sf: str) -> DataFrame:
         )
     )
     return out
+
+
+# oracle shared with the batch LSH gate: index-only dedup must find the
+# SAME exact-Jaccard pair set (recall 1.0 differential gate)
+from .queries import jaccard_oracle as _jaccard_oracle  # noqa: E402
+
+
+@register(
+    "stream_minhash_index",
+    _jaccard_oracle,
+    "streamed MinHash index maintenance -> index-only dedup equals exact Jaccard",
+)
+def stream_minhash_index_q(spark: SparkSession, sf: str) -> DataFrame:
+    """The continuous-ingestion dedup loop end-to-end: documents arrive
+    as a STREAM, each micro-batch's banded signatures append to the
+    Iceberg index table (idempotent snapshot-per-batch, the
+    foreach_batch_appender replay protocol), and near-dup pairs are
+    then computed from the INDEX ALONE (no signature recompute;
+    operators/dedup.py:minhash_dedup_from_index). Streaming indexing
+    skips the corpus-dependent stop-shingle cap (a per-batch doc-freq
+    is meaningless; extra candidates only add verify work). Oracle =
+    the batch exact-Jaccard pair SQL — equality proves exactly-once
+    index maintenance AND candidate recall through the streamed index.
+    """
+    import tempfile as _tf
+
+    from .operators import dedup as _dedup
+    from .streaming.iceberg_sink import foreach_batch_appender
+
+    import os as _os
+
+    docs_path = f"{sf}/documents.parquet"
+    schema = spark.read.parquet(docs_path).schema
+    # the parquet STREAM source wants a directory; stage a symlink dir
+    stream_dir = _tf.mkdtemp(prefix="docs_stream_src_")
+    _os.symlink(_os.path.abspath(docs_path), f"{stream_dir}/documents.parquet")
+    sdocs = spark.readStream.schema(schema).parquet(stream_dir)
+
+    loc = _tf.mkdtemp(prefix="minhash_stream_idx_") + "/t"
+    t = _dedup.minhash_index_create(loc)
+    app = foreach_batch_appender(t, "minhash-index")
+
+    def _ingest(batch_df: DataFrame, batch_id: int) -> None:
+        entries = _dedup.minhash_band_entries(batch_df, max_doc_freq=None).select(
+            F.col("band").cast("int").alias("band"), "key", "id"
+        )
+        app(entries, batch_id)
+
+    ckpt = _tf.mkdtemp(prefix="ckpt_minhash_idx_")
+    q = (
+        sdocs.writeStream.foreachBatch(_ingest)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    t.refresh()
+    docs = spark.read.parquet(docs_path)
+    return _dedup.minhash_dedup_from_index(spark, t, docs, threshold=0.5)

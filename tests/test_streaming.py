@@ -318,3 +318,48 @@ def test_iceberg_stream_source_refuses_delete_snapshots(spark, tmp_path):
     # skipping the delete snapshot streams only the two appends' rows
     got = drain({f"skip-{op}-snapshots": "true"})
     assert got == list(range(10)) + list(range(10, 15))
+
+
+def test_stream_minhash_index_contents_equal_batch(spark, tmp_path):
+    """The streamed index must hold exactly the batch-computed band
+    entries (micro-batching cannot change per-doc signatures)."""
+    import os
+
+    from icegopher_spark.operators import dedup as D
+    from icegopher_spark.streaming.iceberg_sink import foreach_batch_appender
+
+    src = "/root/testdata/sf0.001/documents.parquet"
+    schema = spark.read.parquet(src).schema
+    sdir = str(tmp_path / "src")
+    os.makedirs(sdir)
+    os.symlink(os.path.abspath(src), f"{sdir}/documents.parquet")
+
+    t = D.minhash_index_create(str(tmp_path / "idx"))
+    app = foreach_batch_appender(t, "qid")
+
+    def ingest(bdf, bid):
+        e = D.minhash_band_entries(bdf, max_doc_freq=None).select(
+            F.col("band").cast("int").alias("band"), "key", "id"
+        )
+        app(e, bid)
+
+    q = (
+        spark.readStream.schema(schema)
+        .parquet(sdir)
+        .writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    t.refresh()
+    got = sorted(map(tuple, t.scan().to_df(spark).collect()))
+    want = sorted(
+        map(
+            tuple,
+            D.minhash_band_entries(spark.read.parquet(src), max_doc_freq=None)
+            .select(F.col("band").cast("int"), "key", "id")
+            .collect(),
+        )
+    )
+    assert got == want and len(got) > 0
