@@ -18,13 +18,23 @@ def docs_as_media(spark: SparkSession, sf_dir: str, kind: str = "image") -> Data
     width = (F.lit(32) + (F.col("doc_id") % 16) * 16).cast("int")
     height = (F.lit(32) + (F.col("doc_id") % 9) * 16).cast("int")
     n_frames = (F.lit(24) + F.col("doc_id") % 8).cast("int")
+    is_av = kind == "audio"
+    mime = {"image": "image/jpeg", "video": "video/mp4", "audio": "audio/wav"}[kind]
     media = F.struct(
         F.lit(kind).alias("kind"),
-        F.lit("image/jpeg" if kind == "image" else "video/mp4").alias("mime"),
-        width.alias("width"),
-        height.alias("height"),
-        F.lit(None).cast("long").alias("duration_ms"),
-        F.lit(None).cast("int").alias("sample_rate"),
+        F.lit(mime).alias("mime"),
+        (F.lit(None).cast("int") if is_av else width).alias("width"),
+        (F.lit(None).cast("int") if is_av else height).alias("height"),
+        (
+            (F.lit(500) + (F.col("doc_id") % 100) * 10).cast("long")
+            if is_av
+            else F.lit(None).cast("long")
+        ).alias("duration_ms"),
+        (
+            (F.lit(8000) + (F.col("doc_id") % 4) * 4000).cast("int")
+            if is_av
+            else F.lit(None).cast("int")
+        ).alias("sample_rate"),
         (n_frames if kind == "video" else F.lit(None).cast("int")).alias("n_frames"),
     )
     return docs.select(
@@ -176,3 +186,43 @@ def mm_image_features(spark: SparkSession, sf: str) -> DataFrame:
         F.round(f[1], 4).alias("std_px"),
         *[F.round(f[i + 2], 4).alias(f"h{i}") for i in range(8)],
     )
+
+
+# Audio oracle: the PCM stub tiles sha256(payload) bytes (centered at
+# -128..127), so every feature is a closed form over the 32 digest
+# bytes with per-byte repeat counts n//32 (+1 for the first n%32):
+# integer-exact sums, then ONE division + sqrt for RMS.
+mm_audio_oracle = """
+WITH d AS (
+  SELECT doc_id AS media_id, lower(sha256(text)) AS hx,
+         ((8000 + (doc_id % 4) * 4000) * (500 + (doc_id % 100) * 10)) // 1000 AS n
+  FROM documents
+), b AS (
+  SELECT media_id, n, i.i AS i,
+         (strpos('0123456789abcdef', substr(hx, 2*i.i + 1, 1)) - 1) * 16
+       + (strpos('0123456789abcdef', substr(hx, 2*i.i + 2, 1)) - 1) - 128 AS amp,
+         n // 32 + CASE WHEN i.i < n % 32 THEN 1 ELSE 0 END AS cnt
+  FROM d CROSS JOIN range(0, 32) i(i)
+)
+SELECT media_id,
+       CAST(MIN(n) AS BIGINT) AS n_samples,
+       CAST(SUM(amp * cnt) AS BIGINT) AS amp_sum,
+       ROUND(SQRT(CAST(SUM(amp * amp * cnt) AS DOUBLE) / MIN(n)), 6) AS rms,
+       CAST(MAX(ABS(amp)) AS BIGINT) AS peak
+FROM b GROUP BY media_id
+"""
+
+
+@register(
+    "mm_audio_features",
+    mm_audio_oracle,
+    "audio decode (stub) + feature extraction: n_samples/amp_sum/rms/peak",
+)
+def mm_audio_features(spark: SparkSession, sf: str) -> DataFrame:
+    """Audio branch of the multimodal pipeline: deterministic PCM stub
+    (real decoder slots into operators/multimodal.py:_fake_pcm), feature
+    math over the tiled samples in one mapInPandas pass. The oracle
+    rebuilds every feature from the digest bytes in closed form —
+    byte-exact integers, bit-exact RMS."""
+    audio = docs_as_media(spark, sf, kind="audio")
+    return M.audio_features(audio)

@@ -255,3 +255,70 @@ def frame_sample(df: DataFrame, every_n: int = 8) -> DataFrame:
         df.filter(F.col("media.kind") == "video")
         .select("media_id", F.explode(frames).alias("frame_idx"))
     )
+
+
+def _fake_pcm(payload: bytes, n: int):
+    """Deterministic synthetic PCM decode stub: centered int8 samples
+    from the payload's sha256 digest, tiled to n samples. A real audio
+    decoder (soundfile/librosa) would slot in exactly here — the
+    Spark-side plumbing (schema, batching, feature math) is identical."""
+    import hashlib
+
+    import numpy as np
+
+    dig = np.frombuffer(hashlib.sha256(payload).digest(), dtype=np.uint8).astype(
+        np.int64
+    ) - 128
+    reps = n // 32 + 1
+    return np.tile(dig, reps)[:n]
+
+
+def audio_features(df: DataFrame) -> DataFrame:
+    """Per-clip audio feature extraction via mapInPandas: sample count,
+    amplitude sum, RMS, peak — the decode+featurize stage of an audio
+    training pipeline. n_samples = sample_rate · duration_ms / 1000
+    (integer arithmetic). RMS is computed as sqrt(integer-exact sum of
+    squares / n): one IEEE division + sqrt, so the value reproduces
+    bit-for-bit in any engine.
+
+    Scale posture: one Python pass per Arrow batch; the payload column
+    streams through executors and nothing but the 4-value feature rows
+    shuffles."""
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("n_samples", T.LongType()),
+            T.StructField("amp_sum", T.LongType()),
+            T.StructField("rms", T.DoubleType()),
+            T.StructField("peak", T.LongType()),
+        ]
+    )
+
+    def gen(batches: Iterator) -> Iterator:
+        import math
+
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for mid, payload, media in zip(pdf["media_id"], pdf["content"], pdf["media"]):
+                sr = int(media["sample_rate"] or 8000)
+                dur = int(media["duration_ms"] or 1000)
+                n = sr * dur // 1000
+                s = _fake_pcm(bytes(payload), n)
+                sumsq = int((s * s).sum())
+                rows.append(
+                    (
+                        int(mid),
+                        n,
+                        int(s.sum()),
+                        round(math.sqrt(sumsq / n), 6),
+                        int(np.abs(s).max()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "n_samples", "amp_sum", "rms", "peak"]
+            )
+
+    return df.filter(F.col("media.kind") == "audio").mapInPandas(gen, out_schema)

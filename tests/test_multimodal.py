@@ -100,3 +100,34 @@ def test_frame_sample(spark):
 
     expected = sum(math.ceil(n / 8) for n in n_frames.values())
     assert len(rows) == expected
+
+
+def test_audio_features_closed_form(spark):
+    """Feature math must match a direct computation over the tiled
+    digest samples (and filter to audio rows only)."""
+    import hashlib
+    import math
+
+    import numpy as np
+
+    from icegopher_spark.operators import multimodal as M
+
+    rows = [
+        (1, b"hello", ("audio", "audio/wav", None, None, 1000, 8000, None)),
+        (2, b"x", ("image", "image/jpeg", 32, 32, None, None, None)),
+    ]
+    schema = (
+        "media_id long, content binary, media struct<kind string, mime string,"
+        " width int, height int, duration_ms long, sample_rate int, n_frames int>"
+    )
+    df = spark.createDataFrame(rows, schema)
+    out = M.audio_features(df).collect()
+    assert len(out) == 1  # image row filtered out
+    r = out[0]
+    n = 8000 * 1000 // 1000
+    dig = np.frombuffer(hashlib.sha256(b"hello").digest(), dtype=np.uint8).astype(np.int64) - 128
+    s = np.tile(dig, n // 32 + 1)[:n]
+    assert r.n_samples == n
+    assert r.amp_sum == int(s.sum())
+    assert r.peak == int(np.abs(s).max())
+    assert r.rms == round(math.sqrt(int((s * s).sum()) / n), 6)
