@@ -104,6 +104,20 @@ ENTRIES = [
         "hottest key fans out over `num_salts` reducers. Value-identical "
         "to the plain join (oracle-checked).",
     ),
+    (
+        "corpus_temperature_mix",
+        "formatted",
+        "sqrt-temperature resampling (round-5): the quota map is a "
+        "broadcast of |langs| rows; the ranking window sorts payload-"
+        "free (bucket, id) pairs — ReadSchema never includes text.",
+    ),
+    (
+        "dedup_minhash_incremental",
+        "simple",
+        "Incremental dedup (round-5): candidates are an equi-join of the "
+        "new batch's band keys against the persisted index scan; verify "
+        "joins shuffle only hashed shingle longs. No nested-loop joins.",
+    ),
 ]
 
 
@@ -127,6 +141,10 @@ def main() -> None:
     for name, mode, note in ENTRIES:
         df = QUERIES[name].fn(spark, SF)
         plan = plan_of(df, mode).rstrip()
+        lines = plan.splitlines()
+        if len(lines) > 140:  # keep the tour human-readable
+            lines = lines[:140] + [f"... ({len(lines) - 140} more lines truncated)"]
+            plan = "\n".join(lines)
         out += [f"## {name}", "", note, "", "```", plan, "```", ""]
     (Path(_REPO) / "PLANS.md").write_text("\n".join(out))
     print(f"wrote PLANS.md ({len(ENTRIES)} plans)")
