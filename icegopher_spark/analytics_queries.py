@@ -1064,3 +1064,47 @@ def events_anomalies_q(spark: SparkSession, sf: str) -> DataFrame:
 
     ev = load(spark, sf, "events")
     return timeseries.hourly_anomalies(ev)
+
+
+events_topk_oracle = """
+WITH c AS (
+  SELECT date_trunc('hour', ts) AS bucket, event_type, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+), r AS (
+  SELECT bucket, event_type, n,
+         ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY n DESC, event_type) AS rnk
+  FROM c
+)
+SELECT bucket, event_type, CAST(n AS BIGINT) AS n, CAST(rnk AS BIGINT) AS rnk
+FROM r WHERE rnk <= 3
+"""
+
+
+@register(
+    "events_windowed_topk",
+    events_topk_oracle,
+    "exact per-hour heavy hitters: top-3 event types by count",
+)
+def events_windowed_topk_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Windowed heavy hitters, exactly: one partial-aggregated rollup to
+    (hour, type, n) — the window ranks the ROLLUP (|hours|x|types|
+    rows), never the events — then rank <= 3 with deterministic
+    tie-break. The approximate-sketch version (count-min) is pointless
+    below billions of distinct keys; the exact plan's shuffle is the
+    rollup's, which partial aggregation collapses map-side."""
+    ev = load(spark, sf, "events")
+    c = (
+        ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("bucket"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    from pyspark.sql import Window as W_
+
+    w = W_.partitionBy("bucket").orderBy(F.col("n").desc(), "event_type")
+    return (
+        c.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= 3)
+        .select("bucket", "event_type", "n", "rnk")
+    )
