@@ -434,12 +434,12 @@ def remove_orphan_files(table: Table, older_than_ms: int | None = None) -> list[
 def rewrite_clustered(
     table: Table,
     spark: SparkSession,
-    col_a: str,
-    col_b: str,
+    *cols: str,
     n_files: int = 8,
 ) -> Table:
     """Z-order clustering rewrite: Iceberg's ``rewrite_data_files``
-    sort strategy with ``zorder(col_a, col_b)``.
+    sort strategy with ``zorder(col_a, col_b, …)`` — 2 to 6 cluster
+    columns (round-5: N-column Morton via operators/zorder.zvalue_n).
 
     Reads the current snapshot through the scan path (positional and
     equality deletes APPLIED), computes the Morton z-value of the two
@@ -462,7 +462,7 @@ def rewrite_clustered(
     partition dir and all rewritten files land under the current spec
     (older-spec eras are absorbed — the rewrite covers every live row).
     """
-    from ..operators.zorder import zvalue
+    from ..operators.zorder import zvalue_n
     from .write import _write_data_files
 
     snap = table.current_snapshot()
@@ -471,10 +471,11 @@ def rewrite_clustered(
 
     df = table.scan().to_df(spark)
     lo = df.agg(
-        F.min(F.col(col_a).cast("bigint")).alias("a"),
-        F.min(F.col(col_b).cast("bigint")).alias("b"),
+        *[F.min(F.col(c).cast("bigint")).alias(f"m{i}") for i, c in enumerate(cols)]
     ).first()
-    z = zvalue(F.col(col_a), F.col(col_b), int(lo["a"] or 0), int(lo["b"] or 0))
+    z = zvalue_n(
+        [F.col(c) for c in cols], [int(lo[f"m{i}"] or 0) for i in range(len(cols))]
+    )
 
     schema = table.schema
     pairs = _write_data_files(
@@ -489,5 +490,5 @@ def rewrite_clustered(
         OP_REPLACE,
         keep_manifests=[],
         retained_entries=[],
-        extra_summary={"rewrite": f"zorder({col_a},{col_b})"},
+        extra_summary={"rewrite": f"zorder({','.join(cols)})"},
     )

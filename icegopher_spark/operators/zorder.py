@@ -62,3 +62,37 @@ def zvalue(a: Column, b: Column, a_min: Column | int = 0, b_min: Column | int = 
         F.shiftleft(_spread_bits(_norm32(b, b_min)), 1)
     )
     return F.when(a.isNull() | b.isNull(), F.lit(-1)).otherwise(z)
+
+
+def zvalue_n(cols: list[Column], mins: list[Column | int] | None = None) -> Column:
+    """64-bit Morton code of N columns (2 ≤ N ≤ 6): column j's bits land
+    at positions i·N + j. Bit budget is 63 // N per column (N=2: 31,
+    N=3: 21, N=4: 15), saturating like ``_norm32`` so wider values still
+    order correctly up to the clamp. Null in any column sorts first.
+
+    N=2 delegates to the magic-mask ``zvalue`` (5 ops/column); the
+    general path builds the interleave bit-by-bit — 63 primitive
+    shift/and/or expressions, still one whole-stage-codegen expression,
+    no UDF."""
+    n = len(cols)
+    if not 2 <= n <= 6:
+        raise ValueError(f"zvalue_n supports 2..6 columns, got {n}")
+    mins = mins or [0] * n
+    if n == 2:
+        return zvalue(cols[0], cols[1], mins[0], mins[1])
+    bits = 63 // n
+    umax = (1 << bits) - 1
+    z = F.lit(0).cast("bigint")
+    null = F.lit(False)
+    for j, (c, lo) in enumerate(zip(cols, mins)):
+        lo_col = F.lit(lo) if isinstance(lo, int) else lo
+        v = F.least(
+            F.greatest(c.cast("bigint") - lo_col.cast("bigint"), F.lit(0)),
+            F.lit(umax),
+        )
+        for i in range(bits):
+            z = z.bitwiseOR(
+                F.shiftleft(F.shiftright(v, i).bitwiseAND(F.lit(1)), i * n + j)
+            )
+        null = null | c.isNull()
+    return F.when(null, F.lit(-1)).otherwise(z)

@@ -288,3 +288,61 @@ def test_rewrite_clustered_partitioned_table(spark, tmp_path):
     part_only = len(t.scan(row_filter=part).plan_files())
     planned = len(t.scan(row_filter=box).plan_files())
     assert planned < part_only  # z-stats prune beyond partition pruning
+
+
+def test_zvalue_n_matches_reference(spark):
+    """3-column Morton must interleave bit i of column j at position
+    i*3 + j (python reference), nulls -> -1."""
+    from icegopher_spark.operators.zorder import zvalue_n
+
+    def ref(vals, n=3, bits=21):
+        z = 0
+        for j, v in enumerate(vals):
+            v = max(0, min(v, (1 << bits) - 1))
+            for i in range(bits):
+                z |= ((v >> i) & 1) << (i * n + j)
+        return z
+
+    rows = [(0, 0, 0), (1, 2, 4), (7, 7, 7), (2**21 - 1, 5, 2**40), (None, 1, 2)]
+    df = spark.createDataFrame(rows, "a long, b long, c long")
+    got = df.select(
+        "a", "b", "c", zvalue_n([F.col("a"), F.col("b"), F.col("c")]).alias("z")
+    ).collect()
+    for r in got:
+        if r.a is None:
+            assert r.z == -1
+        else:
+            assert r.z == ref([r.a, r.b, r.c]), (r.a, r.b, r.c)
+
+
+def test_rewrite_clustered_three_columns(spark, tmp_path):
+    """3-column z-order rewrite: lossless, and a 3-D box query prunes."""
+    schema = Schema(
+        (
+            NestedField(1, "x", LongType(), True),
+            NestedField(2, "y", LongType(), True),
+            NestedField(3, "w", LongType(), True),
+        ),
+        schema_id=0,
+    )
+    rows = spark.range(0, 4096).select(
+        (F.col("id") % 16).alias("x"),
+        ((F.col("id") / 16) % 16).cast("long").alias("y"),
+        (F.col("id") / 256).cast("long").alias("w"),
+    )
+    t = W.create_table(str(tmp_path / "z3"), schema)
+    t = W.append(t, rows)
+    before = sorted(map(tuple, t.scan().to_df(spark).collect()))
+    t = M.rewrite_clustered(t, spark, "x", "y", "w", n_files=8)
+    after = sorted(map(tuple, t.scan().to_df(spark).collect()))
+    assert after == before
+
+    flt = (
+        E.greater_than_or_equal("x", 2) & E.less_than_or_equal("x", 5)
+        & E.greater_than_or_equal("y", 2) & E.less_than_or_equal("y", 5)
+        & E.greater_than_or_equal("w", 2) & E.less_than_or_equal("w", 5)
+    )
+    planned = len(t.scan(row_filter=flt).plan_files())
+    total = int(t.current_snapshot().summary["total-data-files"])
+    assert total == 8
+    assert planned < total
