@@ -357,20 +357,25 @@ class _BatchWriter(DataSourceArrowWriter):
         self.part_fields = part_fields
 
     def _partition_keys(self, batch):
-        """Partition tuple per row: transforms applied per DISTINCT
-        source value (vectorized map afterwards), canonical encodings
-        matching the manifest representation."""
+        """Partition tuple per row: bucket transforms run through the
+        vectorized murmur3 kernel (round-5; was per-distinct-value
+        Python — quadratic pain on unique-key bucket sources); other
+        transforms apply per DISTINCT source value (vectorized map
+        afterwards). Encodings match the manifest representation."""
         import pandas as pd
 
-        from .transforms import _coerce
+        from .transforms import BucketTransform, _coerce, bucket_series
 
         cols = {}
         for name, src, tr, st in self.part_fields:
             s = batch.column(src).to_pandas()
-            mapping = {
-                v: tr.apply(_coerce(v, st), st) for v in pd.unique(s.dropna())
-            }
-            cols[name] = s.map(mapping)
+            if isinstance(tr, BucketTransform):
+                cols[name] = bucket_series(s, tr.num_buckets, st)
+            else:
+                mapping = {
+                    v: tr.apply(_coerce(v, st), st) for v in pd.unique(s.dropna())
+                }
+                cols[name] = s.map(mapping)
         return pd.DataFrame(cols)
 
     def write(self, iterator):

@@ -314,63 +314,54 @@ def _series_to_int64_encoding(s, st: IcebergType):
     return s.fillna(0).to_numpy(dtype="int64"), mask
 
 
-def _bucket_udf(n: int, st: IcebergType):
+def bucket_series(s, n: int, st: IcebergType):
+    """Vectorized spec-bucket of a pandas Series -> nullable Int32
+    Series. The single kernel entry point shared by the Spark pandas
+    UDF (``_bucket_udf``) and the datasource write path's partition
+    evaluation (dsv2._partition_keys) — no per-row Python anywhere."""
+    import numpy as np
     import pandas as pd
-    from pyspark.sql.functions import pandas_udf
 
     if isinstance(st, (IntegerType, LongType, DateType, TimestampType, TimestampTzType)):
-
-        def _bucket(s: pd.Series) -> pd.Series:
-            import numpy as np
-
-            vals, mask = _series_to_int64_encoding(s, st)
-            h = murmur3_32_vec8(vals)
-            res = ((h & np.uint64(0x7FFFFFFF)) % np.uint64(n)).astype("int32")
-            out = pd.array(res, dtype="Int32")
-            out[mask] = pd.NA
-            return pd.Series(out)
-
+        vals, mask = _series_to_int64_encoding(s, st)
+        h = murmur3_32_vec8(vals)
     elif isinstance(st, (FloatType, DoubleType)):
         # spec: hash the double's IEEE bits as an 8-byte <q encoding —
         # routes through the fixed-width numpy kernel. NaN is treated as
         # null (matches the pre-vectorized behavior; pandas cannot
         # distinguish NaN-value from null in a float column anyway).
-        def _bucket(s: pd.Series) -> pd.Series:
-            import numpy as np
-
-            mask = s.isna().to_numpy()
-            bits = s.fillna(0.0).to_numpy(dtype=np.float64).view(np.int64)
-            h = murmur3_32_vec8(bits)
-            res = ((h & np.uint64(0x7FFFFFFF)) % np.uint64(n)).astype("int32")
-            out = pd.array(res, dtype="Int32")
-            out[mask] = pd.NA
-            return pd.Series(out)
-
+        mask = s.isna().to_numpy()
+        h = murmur3_32_vec8(s.fillna(0.0).to_numpy(dtype=np.float64).view(np.int64))
     else:
         # variable-length encodings (string/decimal/uuid/binary): encode
         # once per value (thin C-level call), then hash all rows in one
         # vectorized flat-buffer pass (round-5: was per-row Python)
-        def _bucket(s: pd.Series) -> pd.Series:
-            import numpy as np
+        mask = s.isna().to_numpy()
+        vals = s.to_numpy(dtype=object)
+        if isinstance(st, StringType):
+            enc = [b"" if m else v.encode("utf-8") for v, m in zip(vals, mask.tolist())]
+        else:
+            enc = [
+                b"" if m else _bucket_encode(_coerce(v, st), st)
+                for v, m in zip(vals, mask.tolist())
+            ]
+        lengths = np.fromiter(map(len, enc), dtype=np.int64, count=len(enc))
+        offsets = np.zeros(len(enc), dtype=np.int64)
+        np.cumsum(lengths[:-1], out=offsets[1:])
+        buf = np.frombuffer(b"".join(enc), dtype=np.uint8)
+        h = murmur3_32_vec_bytes(buf, offsets, lengths)
+    res = ((h & np.uint64(0x7FFFFFFF)) % np.uint64(n)).astype("int32")
+    out = pd.array(res, dtype="Int32")
+    out[mask] = pd.NA
+    return pd.Series(out)
 
-            mask = s.isna().to_numpy()
-            vals = s.to_numpy(dtype=object)
-            if isinstance(st, StringType):
-                enc = [b"" if m else v.encode("utf-8") for v, m in zip(vals, mask.tolist())]
-            else:
-                enc = [
-                    b"" if m else _bucket_encode(_coerce(v, st), st)
-                    for v, m in zip(vals, mask.tolist())
-                ]
-            lengths = np.fromiter(map(len, enc), dtype=np.int64, count=len(enc))
-            offsets = np.zeros(len(enc), dtype=np.int64)
-            np.cumsum(lengths[:-1], out=offsets[1:])
-            buf = np.frombuffer(b"".join(enc), dtype=np.uint8)
-            h = murmur3_32_vec_bytes(buf, offsets, lengths)
-            res = ((h & np.uint64(0x7FFFFFFF)) % np.uint64(n)).astype("int32")
-            out = pd.array(res, dtype="Int32")
-            out[mask] = pd.NA
-            return pd.Series(out)
+
+def _bucket_udf(n: int, st: IcebergType):
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _bucket(s: pd.Series) -> pd.Series:
+        return bucket_series(s, n, st)
 
     _bucket.__annotations__ = {"s": pd.Series, "return": pd.Series}
     return pandas_udf(_bucket, "int")
