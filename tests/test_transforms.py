@@ -256,3 +256,43 @@ def test_bucket_udf_vectorized_varlen_types(spark):
         assert row.bd == (None if d is None else t.apply(d, it.DecimalType(10, 2)))
         assert row.bb == (None if b is None else t.apply(bytes(b), it.BinaryType()))
         assert row.bf == (None if f is None else t.apply(f, it.DoubleType()))
+
+
+def test_bucket_series_hypothesis_unicode():
+    """Property check (no Spark needed): bucket_series must equal the
+    scalar spec path for arbitrary unicode strings and decimals."""
+    from decimal import Decimal
+
+    import pandas as pd
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from icegopher_spark.iceberg.transforms import BucketTransform, bucket_series
+
+    t = BucketTransform(64)
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.lists(st.one_of(st.text(max_size=40), st.none()), max_size=25))
+    def check_strings(vals):
+        s = pd.Series(vals, dtype=object)
+        got = bucket_series(s, 64, it.StringType()).tolist()
+        want = [None if v is None else t.apply(v, it.StringType()) for v in vals]
+        assert [None if g is pd.NA else g for g in got] == want
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        st.lists(
+            st.decimals(
+                min_value=-10**9, max_value=10**9, places=2, allow_nan=False
+            ),
+            max_size=20,
+        )
+    )
+    def check_decimals(vals):
+        s = pd.Series([Decimal(v) for v in vals], dtype=object)
+        got = bucket_series(s, 64, it.DecimalType(12, 2)).tolist()
+        want = [t.apply(v, it.DecimalType(12, 2)) for v in vals]
+        assert list(got) == want
+
+    check_strings()
+    check_decimals()
