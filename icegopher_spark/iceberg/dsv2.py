@@ -300,12 +300,17 @@ def _apply_eq_deletes(batches, eq_deletes):
 
     from .table import strip_file_scheme
 
-    # (names, key frame) per delete file, keys deduped and null-purged
+    # (names, key frame) per delete file, keys deduped and null-purged;
+    # only the key columns are read from the delete parquet
     keysets = []
     for dpath, names in eq_deletes:
-        kt = pq.read_table(strip_file_scheme(dpath))
-        if kt.num_columns == len(names):
-            kt = kt.rename_columns(list(names))  # positional, like toDF
+        pf = pq.ParquetFile(strip_file_scheme(dpath))
+        fcols = pf.schema_arrow.names
+        # positional mapping (like toDF) when widths agree, else by name
+        read_cols = fcols[: len(names)] if len(fcols) == len(names) else list(names)
+        kt = pf.read(columns=read_cols)
+        if len(fcols) == len(names):
+            kt = kt.rename_columns(list(names))
         kdf = kt.select(list(names)).to_pandas().dropna().drop_duplicates()
         if not len(kdf):
             continue
