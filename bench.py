@@ -63,6 +63,16 @@ BENCH_QUERIES = [
 
 
 def main() -> None:
+    # parse flags BEFORE the Spark session / warm-ups so a bad
+    # invocation fails in milliseconds, not minutes
+    repeat = int(os.environ.get("SPARK_GRAFT_REPEAT", "2"))
+    if "--repeat" in sys.argv:
+        i = sys.argv.index("--repeat")
+        if i + 1 >= len(sys.argv) or not sys.argv[i + 1].isdigit():
+            sys.exit("usage: bench.py [--repeat N]")
+        repeat = int(sys.argv[i + 1])
+    repeat = max(repeat, 1)
+
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark("bench")
@@ -116,10 +126,6 @@ def main() -> None:
     # query runs `repeat` times and the reported number is the per-query
     # MINIMUM (the standard steady-state estimator under one-sided
     # noise); per-run totals ride along for transparency.
-    repeat = int(os.environ.get("SPARK_GRAFT_REPEAT", "2"))
-    if "--repeat" in sys.argv:
-        repeat = int(sys.argv[sys.argv.index("--repeat") + 1])
-    repeat = max(repeat, 1)
 
     # round-4 additions timed OUTSIDE the headline metric so the
     # baseline curve (r1..r3 totals over the same 33 queries) stays

@@ -213,18 +213,23 @@ class _BatchReader(DataSourceReader):
             # task's eq_delete_files to strictly-larger sequence numbers
             # (ref semantics manifest.go:438-444); here we only resolve
             # the key field IDs to current-schema names, driver-side
-            eq = tuple(
-                (
-                    d.file_path,
-                    tuple(
-                        current.find_field(fid).name
-                        for fid in (d.equality_ids or [])
-                        if current.find_field(fid) is not None
-                    ),
-                )
-                for d in task.eq_delete_files
-            )
-            eq = tuple((p, names) for p, names in eq if names)
+            eq = []
+            for d in task.eq_delete_files:
+                names = []
+                for fid in d.equality_ids or []:
+                    f = current.find_field(fid)
+                    if f is None:
+                        # masking on a PARTIAL key would over-delete —
+                        # refuse loudly instead (a dropped key column)
+                        raise ValueError(
+                            f"equality-delete file {d.file_path} keys on "
+                            f"field id {fid}, which is not in the current "
+                            "schema; cannot apply a partial key"
+                        )
+                    names.append(f.name)
+                if names:
+                    eq.append((d.file_path, tuple(names)))
+            eq = tuple(eq)
             parts.append(
                 _FilePartition(
                     task.file.file_path,
@@ -306,12 +311,27 @@ def _apply_eq_deletes(batches, eq_deletes):
     for dpath, names in eq_deletes:
         pf = pq.ParquetFile(strip_file_scheme(dpath))
         fcols = pf.schema_arrow.names
-        # positional mapping (like toDF) when widths agree, else by name
-        read_cols = fcols[: len(names)] if len(fcols) == len(names) else list(names)
-        kt = pf.read(columns=read_cols)
-        if len(fcols) == len(names):
-            kt = kt.rename_columns(list(names))
-        kdf = kt.select(list(names)).to_pandas().dropna().drop_duplicates()
+        # by-name when the file carries the key names (robust to column
+        # reordering); positional (like toDF) only when names don't
+        # match but widths agree
+        if set(names) <= set(fcols):
+            kt = pf.read(columns=list(names))
+        elif len(fcols) == len(names):
+            kt = pf.read(columns=fcols).rename_columns(list(names))
+        else:
+            raise ValueError(
+                f"equality-delete file {dpath} columns {fcols} do not "
+                f"match key columns {list(names)}"
+            )
+        # integer_object_nulls: int64 keys with nulls must NOT coerce to
+        # float64 (ids above 2^53 would collapse; the native path
+        # compares exact int64)
+        kdf = (
+            kt.select(list(names))
+            .to_pandas(integer_object_nulls=True)
+            .dropna()
+            .drop_duplicates()
+        )
         if not len(kdf):
             continue
         if len(names) == 1:
@@ -322,7 +342,12 @@ def _apply_eq_deletes(batches, eq_deletes):
     for b in batches:
         keep = None
         for names, keys in keysets:
-            cols = {n: b.column(b.schema.get_field_index(n)).to_pandas() for n in names}
+            cols = {
+                n: b.column(b.schema.get_field_index(n)).to_pandas(
+                    integer_object_nulls=True
+                )
+                for n in names
+            }
             bdf = pd.DataFrame(cols)
             if len(names) == 1:
                 match = bdf[names[0]].isin(keys) & bdf[names[0]].notna()
@@ -390,6 +415,7 @@ class _BatchWriter(DataSourceArrowWriter):
         import uuid
 
         import numpy as np
+        import pandas as pd
         import pyarrow as pa
         import pyarrow.parquet as pq
 
@@ -422,7 +448,10 @@ class _BatchWriter(DataSourceArrowWriter):
                     gkey = (gkey,)
                 partition = {}
                 for n, v in zip(names, gkey):
-                    if v is None or (isinstance(v, float) and v != v):
+                    # v may be None, float NaN, pandas NaT, or pd.NA
+                    # (nullable Int32 from the vectorized bucket path) —
+                    # all must normalize to a null partition value
+                    if v is None or (not isinstance(v, (str, bytes)) and pd.isna(v)):
                         partition[n] = None
                     elif isinstance(v, (np.integer,)):
                         partition[n] = int(v)

@@ -647,15 +647,30 @@ class TableScan:
             # equality deletes: anti-join on the delete's equality fields
             # (resolved by field ID against the scan schema)
             for dfile in g["eq"]:
-                names = [
-                    base.find_field(fid).name
-                    for fid in (dfile.equality_ids or [])
-                    if base.find_field(fid) is not None
-                ]
+                names = []
+                for fid in dfile.equality_ids or []:
+                    f = base.find_field(fid)
+                    if f is None:
+                        # anti-joining on a PARTIAL key would over-delete
+                        raise ValueError(
+                            f"equality-delete file {dfile.file_path} keys on "
+                            f"field id {fid}, which is not in the scan "
+                            "schema; cannot apply a partial key"
+                        )
+                    names.append(f.name)
                 if not names:
                     continue
                 keys = spark.read.parquet(strip_file_scheme(dfile.file_path))
-                keys = keys.toDF(*names) if len(keys.columns) == len(names) else keys
+                # by-name when the file carries the key names (robust to
+                # column reordering); positional only as width fallback
+                if not set(names) <= set(keys.columns):
+                    if len(keys.columns) == len(names):
+                        keys = keys.toDF(*names)
+                    else:
+                        raise ValueError(
+                            f"equality-delete file {dfile.file_path} columns "
+                            f"{keys.columns} do not match keys {names}"
+                        )
                 keys = _maybe_broadcast_deletes(
                     keys.select(*names).distinct(), dfile.file_size_in_bytes
                 )

@@ -199,13 +199,15 @@ def bpe_merges(
     everywhere (ties broken lexicographically by (left, right)),
     repeat.
 
-    Representation: a word's symbol sequence is a single string with a
-    space BEFORE each symbol (`' h e l l o'`); a merge is then one
-    `replace(s, ' l r', ' lr')` — left-to-right non-overlapping in
+    Representation: a word's symbol sequence is a single string of
+    fully-delimited units `' X '` per symbol (`' h  e  l  l  o '`,
+    adjacent units separated by the double space); a merge is then one
+    `replace(s, ' l  r ', ' lr ')` — left-to-right non-overlapping in
     Spark and DuckDB alike, which is exactly BPE's greedy-from-left
-    application (the leading-space-only encoding is what makes
-    consecutive overlaps like 'aaaa' -> ['aa','aa'] come out right).
-    Pure codegen: split/slice/replace, no UDFs.
+    application. Each symbol owning BOTH its delimiters is what makes
+    consecutive overlaps ('aaaa' -> ['aa','aa']) AND boundary prefixes
+    (rule (a,b) must NOT fire on ['a','bc']) come out right. Pure
+    codegen: split/slice/replace, no UDFs.
 
     Scale posture: the ONLY corpus-scale operation is the initial word
     count (one partial-aggregated shuffle of (word, 1)); every
@@ -223,12 +225,12 @@ def bpe_merges(
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
     state = words.select(
-        "cnt", F.regexp_replace("w", "(.)", " $1").alias("s")
+        "cnt", F.regexp_replace("w", "(.)", " $1 ").alias("s")
     ).persist()
     rules: list[tuple[int, str, str, int]] = []
     try:
         for k in range(n_merges):
-            syms = F.split(F.expr("substring(s, 2)"), " ")
+            syms = F.split(F.expr("substring(s, 2, length(s) - 2)"), "  ")
             pairs = (
                 state.select(
                     "cnt",
@@ -251,7 +253,7 @@ def bpe_merges(
             nxt = state.select(
                 "cnt",
                 F.replace(
-                    F.col("s"), F.lit(f" {l} {r}"), F.lit(f" {l}{r}")
+                    F.col("s"), F.lit(f" {l}  {r} "), F.lit(f" {l}{r} ")
                 ).alias("s"),
             ).persist()
             state.unpersist()

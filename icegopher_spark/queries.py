@@ -2235,11 +2235,13 @@ def _bpe_oracle(n_merges: int) -> str:
     left-to-right greedy application the Spark operator uses, so the
     merge tables are engine-exact."""
     stages = ""
+    # (symbols are fully-delimited ' X ' units, double-space separated —
+    # see operators/text.py:bpe_merges for why boundary-safe matters)
     for k in range(n_merges):
         stages += f""",
 p{k} AS (
   SELECT cnt, UNNEST(range(1, len(syms))) AS i, syms
-  FROM (SELECT cnt, string_split(s[2:], ' ') AS syms FROM s{k})
+  FROM (SELECT cnt, string_split(s[2:len(s)-1], '  ') AS syms FROM s{k})
 ),
 b{k} AS (
   SELECT l, r, CAST(SUM(cnt) AS BIGINT) AS freq
@@ -2247,7 +2249,8 @@ b{k} AS (
   GROUP BY l, r ORDER BY freq DESC, l, r LIMIT 1
 ),
 s{k + 1} AS (
-  SELECT cnt, replace(s, ' ' || l || ' ' || r, ' ' || l || r) AS s FROM s{k}, b{k}
+  SELECT cnt, replace(s, ' ' || l || '  ' || r || ' ', ' ' || l || r || ' ') AS s
+  FROM s{k}, b{k}
 )"""
     finals = "\nUNION ALL ".join(
         f"SELECT CAST({k + 1} AS BIGINT) AS rank, l AS left_sym, r AS right_sym, freq FROM b{k}"
@@ -2260,7 +2263,7 @@ WITH w AS (
     SELECT UNNEST(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS w
     FROM documents) GROUP BY w
 ),
-s0 AS (SELECT cnt, regexp_replace(w, '(.)', ' \\1', 'g') AS s FROM w)"""
+s0 AS (SELECT cnt, regexp_replace(w, '(.)', ' \\1 ', 'g') AS s FROM w)"""
         + stages
         + "\n"
         + finals

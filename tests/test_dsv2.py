@@ -337,3 +337,86 @@ def test_bucket_partitioned_datasource_write_prunes(spark, tmp_path):
     bt4 = BucketTransform(4)
     want = {bt4.apply(f"f{i}", IceStr()) for i in range(4)}
     assert got == want
+
+
+def test_bucket_write_with_null_keys(spark, tmp_path):
+    """Null bucket-source values must land in the null partition, not
+    crash the manifest commit (round-5 review: pd.NA from the
+    vectorized kernel slipped past the writer's null check)."""
+    loc = str(tmp_path / "t")
+    spec = PartitionSpec([PartitionField(1, 1000, "kb", parse_transform("bucket[4]"))])
+    sch = Schema(
+        (
+            NestedField(1, "k", LongType(), False),
+            NestedField(2, "q", DoubleType(), False),
+        ),
+        schema_id=0,
+    )
+    W.create_table(loc, sch)
+    # recreate with the bucket spec (create_table signature)
+    import shutil
+
+    shutil.rmtree(loc)
+    W.create_table(loc, sch, spec)
+    df = spark.createDataFrame([(1, 1.0), (None, 2.0), (17, 3.0)], "k long, q double")
+    df.write.format("icegopher").option("location", loc).mode("append").save()
+    t = Table.from_location(loc)
+    rows = sorted(((r.k, r.q) for r in t.scan().to_df(spark).collect()), key=lambda x: x[1])
+    assert rows == [(1, 1.0), (None, 2.0), (17, 3.0)]
+    parts = {task.file.partition.get("kb") for task in t.scan().plan_files()}
+    assert None in parts  # null row in the null partition
+
+
+def test_eq_delete_reordered_key_columns(spark, tmp_path):
+    """A delete parquet whose columns are the key names in a DIFFERENT
+    order must match by name, not position (round-5 review)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from icegopher_spark.iceberg.dsv2 import _apply_eq_deletes
+
+    dpath = str(tmp_path / "del.parquet")
+    # file columns [flag, k] while key order is (k, flag)
+    pq.write_table(
+        pa.table({"flag": ["a"], "k": pa.array([1], type=pa.int64())}), dpath
+    )
+    batch = pa.record_batch(
+        {"k": pa.array([1, 1, 2], type=pa.int64()), "flag": ["a", "b", "a"]}
+    )
+    out = list(_apply_eq_deletes(iter([batch]), ((dpath, ("k", "flag")),)))
+    kept = [(k, f) for k, f in zip(out[0]["k"].to_pylist(), out[0]["flag"].to_pylist())]
+    assert kept == [(1, "b"), (2, "a")]  # only (k=1, flag='a') deleted
+
+
+def test_eq_delete_bigint_keys_with_nulls_stay_exact(spark, tmp_path):
+    """int64 keys above 2^53 in a batch CONTAINING NULLS must not
+    collapse through float64 (round-5 review)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from icegopher_spark.iceberg.dsv2 import _apply_eq_deletes
+
+    big = 9_007_199_254_740_993  # 2^53 + 1: == 2^53 after float64
+    dpath = str(tmp_path / "del.parquet")
+    pq.write_table(pa.table({"k": pa.array([big], type=pa.int64())}), dpath)
+    batch = pa.record_batch({"k": pa.array([big, big - 1, None], type=pa.int64())})
+    out = list(_apply_eq_deletes(iter([batch]), ((dpath, ("k",)),)))
+    assert out[0]["k"].to_pylist() == [big - 1, None]  # big deleted, neighbors kept
+
+
+def test_eq_delete_dropped_key_field_refused(spark, tmp_path):
+    """An equality delete keyed on a field later dropped from the schema
+    must refuse loudly (partial-key masking would over-delete)."""
+    from icegopher_spark.iceberg.evolve import update_schema
+
+    loc = str(tmp_path / "t")
+    W.create_table(loc, SCHEMA)
+    _df(spark, 0, 20).write.format("icegopher").option("location", loc).mode("append").save()
+    t = Table.from_location(loc)
+    keys = spark.createDataFrame([(1, "f1")], "k long, flag string")
+    t = W.delete_keys(t, spark, keys, ["k", "flag"])
+    t = update_schema(t).drop_column("flag").commit()
+    with pytest.raises(Exception, match="not in the .* schema|partial key"):
+        spark.read.format("icegopher").option("location", loc).load().collect()
+    with pytest.raises(ValueError, match="not in the scan schema"):
+        Table.from_location(loc).scan().to_df(spark).collect()

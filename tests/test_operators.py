@@ -593,3 +593,19 @@ def test_bpe_merges_matches_reference(spark):
                     i += 1
             state[w] = out
     assert got == expect
+
+
+def test_bpe_merges_boundary_prefix_safe(spark):
+    """Adversarial corpus for the replace-representation: after (b,c)
+    merges, rule (a,b) must NOT fire across the ['a','bc'] boundary
+    (the round-5 single-space encoding corrupted it to ['abc'])."""
+    docs = spark.createDataFrame(
+        [("bc bc bc bc ab ab ab abc",)], "text string"
+    )
+    got = [tuple(r) for r in text.bpe_merges(docs, n_merges=3).collect()]
+    # r0: (b,c) freq 5 (4x bc + abc); merge -> abc becomes [a, bc]
+    # r1: (a,b) freq 3 (ab only — NOT abc's [a, bc]!)
+    # r2: best remaining pair is (a, bc) freq 1
+    assert got[0] == (1, "b", "c", 5)
+    assert got[1] == (2, "a", "b", 3)
+    assert got[2] == (3, "a", "bc", 1)
