@@ -148,6 +148,9 @@ def main() -> None:
         "dedup_minhash_incremental",
         "iceberg_eqdelete_datasource",
         "iceberg_zorder_partitioned",
+        "vocab_bpe_merges",
+        "mm_audio_features",
+        "events_windowed_topk",
     ]
 
     times: dict[str, float] = {}

@@ -57,6 +57,10 @@ EXTRA_SCALE_QUERIES = [
     "dedup_minhash_incremental",
     "iceberg_eqdelete_datasource",
     "iceberg_zorder_partitioned",
+    "vocab_bpe_merges",
+    "stream_minhash_index",
+    "mm_audio_features",
+    "events_windowed_topk",
 ]
 SCALE_QUERIES = BENCH_QUERIES + EXTRA_SCALE_QUERIES
 from icegopher_spark.queries import QUERIES, load  # noqa: E402
