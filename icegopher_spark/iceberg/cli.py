@@ -102,6 +102,12 @@ def main(argv: list[str] | None = None) -> int:
     sp = sub.add_parser("register")
     sp.add_argument("identifier")
     sp.add_argument("metadata_location", help="existing table metadata JSON to adopt")
+    sp = sub.add_parser("compact")
+    sp.add_argument("identifier")
+    sp = sub.add_parser("zorder")
+    sp.add_argument("identifier")
+    sp.add_argument("cols", nargs="+", help="2-6 cluster columns")
+    sp.add_argument("--n-files", type=int, default=8)
 
     args = p.parse_args(argv)
     props = {}
@@ -268,6 +274,25 @@ def _dispatch(args, cat) -> int:
             return 1
         t = cat.register_table(to_identifier(args.identifier), args.metadata_location)
         print(f"registered {args.identifier} at {t.metadata_location}")
+        return 0
+
+    if args.verb in ("compact", "zorder"):
+        # the only verbs that move DATA (everything else is metadata-
+        # plane): spin up a local session on demand
+        from ..session import get_spark
+        from . import maintenance as M
+
+        t = cat.load_table(to_identifier(args.identifier))
+        spark = get_spark("icegopher-cli")
+        before = int((t.current_snapshot().summary or {}).get("total-data-files", "0"))
+        if args.verb == "compact":
+            t = M.compact_data_files(t, spark)
+            after = int((t.current_snapshot().summary or {}).get("total-data-files", "0"))
+            print(f"compacted: {before} -> {after} data files")
+        else:
+            t = M.rewrite_clustered(t, spark, *args.cols, n_files=args.n_files)
+            after = int((t.current_snapshot().summary or {}).get("total-data-files", "0"))
+            print(f"z-ordered on ({', '.join(args.cols)}): {before} -> {after} data files")
         return 0
 
     if args.verb == "rename":

@@ -152,3 +152,31 @@ def test_cli_add_files_and_register(cat, tmp_path, spark, lineitem, capsys):
     # rows are scoped by catalog NAME; read back under the CLI's name
     cli_cat = load_catalog("cli", f"sqlite:{db}", {"warehouse": wh})
     assert cli_cat.load_table("db.cli_t").scan().to_df(spark).count() == 27
+
+
+def test_cli_compact_and_zorder(cat, tmp_path, spark, lineitem, capsys):
+    """The two data-moving CLI verbs (round-5): bin-pack compaction and
+    z-order clustering through the same maintenance path the library
+    exposes."""
+    from icegopher_spark.iceberg import write as W
+    from icegopher_spark.iceberg.cli import main as cli_main
+
+    loose = W.create_table(str(tmp_path / "cli_z"), SCHEMA)
+    for i in range(4):  # four small files
+        loose = W.append(loose, lineitem.limit(10))
+    db = str(tmp_path / "catalog.db")
+    wh = str(tmp_path / "wh")
+    base = ["--catalog", f"sqlite:{db}", "--warehouse", wh]
+    assert cli_main([*base, "register", "db.cli_z", loose.metadata_location]) == 0
+    assert cli_main([*base, "compact", "db.cli_z"]) == 0
+    out = capsys.readouterr().out
+    assert "compacted:" in out
+    cli_cat = load_catalog("cli", f"sqlite:{db}", {"warehouse": wh})
+    t = cli_cat.load_table("db.cli_z")
+    assert t.scan().to_df(spark).count() == 40
+    assert cli_main([*base, "zorder", "db.cli_z", "l_orderkey", "l_quantity"]) == 0
+    out = capsys.readouterr().out
+    assert "z-ordered on (l_orderkey, l_quantity)" in out
+    t = cli_cat.load_table("db.cli_z")
+    assert t.current_snapshot().summary["operation"] == "replace"
+    assert t.scan().to_df(spark).count() == 40
