@@ -46,6 +46,10 @@ from .types import DoubleType, FloatType, NestedField, StringType, StructType
 ROWS_MIGHT_MATCH = True
 ROWS_CANNOT_MATCH = False
 
+
+def _is_nan(v: Any) -> bool:
+    return isinstance(v, float) and math.isnan(v)
+
 _MONOTONIC = (TruncateTransform, YearTransform, MonthTransform, DayTransform, HourTransform)
 
 
@@ -55,16 +59,10 @@ class InclusiveMetricsEvaluator:
 
     def __init__(self, schema: Schema, expr: BooleanExpression, case_sensitive: bool = True):
         self.schema = schema
-        bound = expr
-        if isinstance(expr, (UnboundPredicate, And, Or, Not)) or not isinstance(
-            expr, (AlwaysTrue, AlwaysFalse, BoundPredicate)
-        ):
-            bound = ensure_bound(schema, rewrite_not(expr), case_sensitive)
-        else:
-            bound = rewrite_not(expr)
-            if isinstance(bound, UnboundPredicate):
-                bound = ensure_bound(schema, bound, case_sensitive)
-        self.expr = bound
+        # ensure_bound passes Always*/already-bound through, so one call
+        # covers every input shape (r5 review: the old two-way branch
+        # reduced to exactly this)
+        self.expr = ensure_bound(schema, rewrite_not(expr), case_sensitive)
 
     def eval(self, file: DataFile) -> bool:
         if file.record_count == 0:
@@ -145,8 +143,22 @@ class InclusiveMetricsEvaluator:
                 return ROWS_CANNOT_MATCH
             return ROWS_MIGHT_MATCH
 
-        # value predicates: a column of only nulls matches nothing
-        if self._nulls_only(f, fid) or self._nans_only(f, fid):
+        # value predicates: a column of only nulls matches nothing —
+        # SQL three-valued logic fails EVERY comparison on null, ne and
+        # not_in included
+        if self._nulls_only(f, fid):
+            return ROWS_CANNOT_MATCH
+        # a NaN comparison literal defeats bound reasoning entirely:
+        # Spark/DuckDB order NaN above everything (and NaN = NaN is
+        # true), which min/max bounds cannot express (r5 review)
+        if op in ("lt", "le", "gt", "ge", "eq", "ne") and _is_nan(p.literal.value):
+            return ROWS_MIGHT_MATCH
+        if op in ("in", "not_in") and any(_is_nan(l.value) for l in p.literals):
+            return ROWS_MIGHT_MATCH
+        # all-NaN column: NaN compares LARGER than every literal in
+        # Spark/DuckDB, so only the ops NaN can never satisfy may prune
+        # — ne / not_in / gt / ge DO match NaN rows (r5 review fix)
+        if self._nans_only(f, fid) and op in ("lt", "le", "eq", "in", "starts_with"):
             return ROWS_CANNOT_MATCH
 
         if op == "lt":
@@ -253,12 +265,21 @@ class ManifestEvaluator:
         if op == "is_null":
             return ROWS_MIGHT_MATCH if s.contains_null else ROWS_CANNOT_MATCH
         if op == "not_null":
-            if s.contains_null and s.lower_bound is None:
+            # all-null only when NaN partitions are ruled out too — NaN
+            # values are non-null (upstream's !containsNaN guard; r5)
+            if s.contains_null and s.contains_nan is not True and s.lower_bound is None:
                 return ROWS_CANNOT_MATCH  # all-null partition values
             return ROWS_MIGHT_MATCH
         if op in ("is_nan", "not_nan"):
             if op == "is_nan" and s.contains_nan is False:
                 return ROWS_CANNOT_MATCH
+            return ROWS_MIGHT_MATCH
+
+        # NaN comparison literals defeat bound reasoning (see the
+        # metrics evaluator's identical guard; r5 review)
+        if op in ("lt", "le", "gt", "ge", "eq", "ne") and _is_nan(p.literal.value):
+            return ROWS_MIGHT_MATCH
+        if op in ("in", "not_in") and any(_is_nan(l.value) for l in p.literals):
             return ROWS_MIGHT_MATCH
 
         lo = literal_from_bytes(s.lower_bound, t) if s.lower_bound is not None else None
@@ -269,8 +290,13 @@ class ManifestEvaluator:
             if hi is not None and math.isnan(hi.value):
                 hi = None
         if lo is None and hi is None:
-            # no usable bounds: only null matches possible
-            if op in ("lt", "le", "gt", "ge", "eq", "in", "starts_with"):
+            # no usable bounds: values are nulls and/or NaNs. NaN fails
+            # lt/le/eq/in/starts_with (non-NaN literals guaranteed by
+            # the guard above) but SATISFIES gt/ge — those may prune
+            # only when NaN partitions are ruled out (r5 review)
+            if op in ("lt", "le", "eq", "in", "starts_with"):
+                return ROWS_CANNOT_MATCH if not s.contains_null else ROWS_MIGHT_MATCH
+            if op in ("gt", "ge") and s.contains_nan is not True:
                 return ROWS_CANNOT_MATCH if not s.contains_null else ROWS_MIGHT_MATCH
             return ROWS_MIGHT_MATCH
 
@@ -339,29 +365,54 @@ class PartitionEvaluator:
             return v is None
         if op == "not_null":
             return v is not None
+        if op == "is_nan":
+            return _is_nan(v)
+        if op == "not_nan":
+            return v is not None and not _is_nan(v)
         if v is None:
             return False
         t = e.term.field.field_type
+
+        def cmp(a: Any, b: Any) -> int:
+            # Spark/DuckDB NaN total order: NaN equals itself and sorts
+            # ABOVE everything — compare_values alone returns 0 for any
+            # NaN operand, which made ne/lt/gt prune wrongly (r5 review)
+            a_nan, b_nan = _is_nan(a), _is_nan(b)
+            if a_nan and b_nan:
+                return 0
+            if a_nan:
+                return 1
+            if b_nan:
+                return -1
+            return compare_values(a, b, t)
+
         if op == "eq":
-            return compare_values(v, e.literal.value, t) == 0
+            return cmp(v, e.literal.value) == 0
         if op == "ne":
-            return compare_values(v, e.literal.value, t) != 0
+            return cmp(v, e.literal.value) != 0
         if op == "lt":
-            return compare_values(v, e.literal.value, t) < 0
+            return cmp(v, e.literal.value) < 0
         if op == "le":
-            return compare_values(v, e.literal.value, t) <= 0
+            return cmp(v, e.literal.value) <= 0
         if op == "gt":
-            return compare_values(v, e.literal.value, t) > 0
+            return cmp(v, e.literal.value) > 0
         if op == "ge":
-            return compare_values(v, e.literal.value, t) >= 0
+            return cmp(v, e.literal.value) >= 0
         if op == "in":
-            return any(compare_values(v, l.value, t) == 0 for l in e.literals)
+            return any(cmp(v, l.value) == 0 for l in e.literals)
         if op == "not_in":
-            return all(compare_values(v, l.value, t) != 0 for l in e.literals)
+            return all(cmp(v, l.value) != 0 for l in e.literals)
         if op == "starts_with":
-            return str(v).startswith(e.literal.value)
+            # str-vs-str or bytes-vs-bytes evaluate exactly; any other
+            # combination (r5 review: str(v).startswith(bytes) raised)
+            # conservatively keeps the file
+            if isinstance(v, (str, bytes)) and type(e.literal.value) is type(v):
+                return v.startswith(e.literal.value)
+            return True
         if op == "not_starts_with":
-            return not str(v).startswith(e.literal.value)
+            if isinstance(v, (str, bytes)) and type(e.literal.value) is type(v):
+                return not v.startswith(e.literal.value)
+            return True
         return True
 
 

@@ -523,19 +523,27 @@ def _next_ids(md: TableMetadata) -> tuple[int, int]:
 def _partition_summaries(
     spec: PartitionSpec, schema: Schema, files: list[DataFile]
 ) -> list[FieldSummary]:
+    import math as _math
+
     ptype = spec.partition_type(schema)
     out = []
     for f in ptype.fields:
         vals = [df.partition.get(f.name) for df in files]
         nonnull = [v for v in vals if v is not None]
+        # NaN partition values must not poison min()/max() (a NaN bound
+        # nulls out in the evaluators and the whole manifest would be
+        # pruned for matching filters) and must be DECLARED so
+        # NaN-sensitive prunes stay sound (r5 review)
+        has_nan = any(isinstance(v, float) and _math.isnan(v) for v in nonnull)
+        comparable = [v for v in nonnull if not (isinstance(v, float) and _math.isnan(v))]
         lo = hi = None
-        if nonnull:
-            lo = literal_to_bytes(Literal(min(nonnull), f.field_type))
-            hi = literal_to_bytes(Literal(max(nonnull), f.field_type))
+        if comparable:
+            lo = literal_to_bytes(Literal(min(comparable), f.field_type))
+            hi = literal_to_bytes(Literal(max(comparable), f.field_type))
         out.append(
             FieldSummary(
                 contains_null=any(v is None for v in vals),
-                contains_nan=False,
+                contains_nan=has_nan,
                 lower_bound=lo,
                 upper_bound=hi,
             )

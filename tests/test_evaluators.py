@@ -197,3 +197,128 @@ def test_manifest_evaluator_bounds():
     assert me.eval(inside) is True
     assert me.eval(outside) is False
     assert me.eval([]) is True  # no summaries → can't prune
+
+
+# ---- round-5 review: NaN soundness across all three pruning planes ----
+
+
+def _nan_file():
+    """All-NaN double column `score` (field 3): 10 values, all NaN."""
+    return DataFile(
+        file_path="/nan",
+        record_count=10,
+        file_size_in_bytes=100,
+        value_counts={3: 10},
+        null_value_counts={3: 0},
+        nan_value_counts={3: 10},
+    )
+
+
+def test_metrics_all_nan_ne_not_in_might_match():
+    """NaN != x and NaN NOT IN (...) are TRUE in Spark/DuckDB — an
+    all-NaN file must not be pruned for ne/not_in (or gt/ge)."""
+    from icegopher_spark.iceberg.expressions import not_in
+
+    f = _nan_file()
+    for expr in (
+        not_equal_to("score", 5.0),
+        not_in("score", 5.0, 6.0),
+        greater_than("score", 5.0),
+        greater_than_or_equal("score", 5.0),
+    ):
+        assert InclusiveMetricsEvaluator(SCHEMA, expr).eval(f) is True, expr
+    # ...while the ops NaN can never satisfy still prune
+    for expr in (less_than("score", 5.0), equal_to("score", 5.0), is_in("score", 5.0)):
+        assert InclusiveMetricsEvaluator(SCHEMA, expr).eval(f) is False, expr
+
+
+def test_metrics_nan_literal_never_prunes():
+    """col < NaN is TRUE for every non-NaN value in Spark — bounds
+    cannot reason about a NaN literal."""
+    f = make_file(lo_id=0, hi_id=10)
+    nan = float("nan")
+    for expr in (
+        less_than("score", nan),
+        greater_than("score", nan),
+        equal_to("score", nan),
+        not_equal_to("score", nan),
+    ):
+        assert InclusiveMetricsEvaluator(SCHEMA, expr).eval(make_file(lo_id=0, hi_id=10)) is True, expr
+    assert InclusiveMetricsEvaluator(SCHEMA, is_in("score", nan, 5.0)).eval(f) is True
+
+
+_NAN_SPEC = PartitionSpec([PartitionField(3, 1000, "score_p", parse_transform("identity"))])
+
+
+def test_manifest_null_and_nan_partitions_not_null_might_match():
+    """contains_null + contains_nan + no bounds: NaN partitions are
+    non-null, so not_null must NOT prune the manifest."""
+    ev = ManifestEvaluator(_NAN_SPEC, SCHEMA, not_null("score_p"))
+    s = FieldSummary(contains_null=True, contains_nan=True, lower_bound=None, upper_bound=None)
+    assert ev.eval([s]) is True
+    # with NaN ruled out it IS all-null and prunes
+    s2 = FieldSummary(contains_null=True, contains_nan=False, lower_bound=None, upper_bound=None)
+    assert ManifestEvaluator(_NAN_SPEC, SCHEMA, not_null("score_p")).eval([s2]) is False
+
+
+def test_manifest_all_nan_partitions_gt_might_match():
+    """No usable bounds + contains_nan: gt/ge may match (NaN sorts above
+    everything); lt/eq still prune when there are no nulls."""
+    s = FieldSummary(contains_null=False, contains_nan=True, lower_bound=None, upper_bound=None)
+    assert ManifestEvaluator(_NAN_SPEC, SCHEMA, greater_than("score_p", 5.0)).eval([s]) is True
+    assert ManifestEvaluator(_NAN_SPEC, SCHEMA, less_than("score_p", 5.0)).eval([s]) is False
+    assert ManifestEvaluator(_NAN_SPEC, SCHEMA, equal_to("score_p", 5.0)).eval([s]) is False
+
+
+def test_writer_partition_summaries_nan_safe():
+    """Writer summaries: NaN partition values must not poison min/max
+    (which would null the bounds and prune matching files) and must set
+    contains_nan."""
+    from icegopher_spark.iceberg.write import _partition_summaries
+
+    files = [
+        DataFile(file_path="/a", record_count=1, file_size_in_bytes=1, partition={"score_p": float("nan")}),
+        DataFile(file_path="/b", record_count=1, file_size_in_bytes=1, partition={"score_p": 1.0}),
+    ]
+    (s,) = _partition_summaries(_NAN_SPEC, SCHEMA, files)
+    assert s.contains_nan is True
+    assert s.lower_bound is not None and s.upper_bound is not None
+    # and the manifest evaluator now keeps eq(1.0)
+    assert ManifestEvaluator(_NAN_SPEC, SCHEMA, equal_to("score_p", 1.0)).eval([s]) is True
+
+
+def test_partition_evaluator_nan_semantics():
+    """NaN partition tuple values follow Spark/DuckDB total order: equal
+    to itself, above everything."""
+    from icegopher_spark.iceberg.expressions import is_nan, not_in, not_nan
+
+    nanrow = {"score_p": float("nan")}
+    cases = [
+        (not_equal_to("score_p", 5.0), True),
+        (greater_than("score_p", 5.0), True),
+        (greater_than_or_equal("score_p", 5.0), True),
+        (less_than("score_p", 5.0), False),
+        (equal_to("score_p", 5.0), False),
+        (not_in("score_p", 5.0, 6.0), True),
+        (is_nan("score_p"), True),
+        (not_nan("score_p"), False),
+    ]
+    for expr, want in cases:
+        ev = PartitionEvaluator(_NAN_SPEC, SCHEMA, expr)
+        assert ev.eval(nanrow) is want, expr
+
+
+def test_partition_evaluator_starts_with_binary():
+    """starts_with over a BINARY identity partition must evaluate (the
+    round-5 review found str(v).startswith(bytes) raising TypeError in
+    executor-side planning)."""
+    from icegopher_spark.iceberg.types import BinaryType
+
+    bsch = Schema((NestedField(4, "b", BinaryType(), True),))
+    spec = PartitionSpec([PartitionField(4, 1000, "b_p", parse_transform("identity"))])
+    ev = PartitionEvaluator(spec, bsch, starts_with("b_p", b"ab"))
+    assert ev.eval({"b_p": b"abc"}) is True
+    assert ev.eval({"b_p": b"xyz"}) is False
+    # mismatched literal/value types conservatively keep the file
+    ev2 = PartitionEvaluator(spec, bsch, starts_with("b_p", b"ab"))
+    assert ev2.eval({"b_p": 42}) is True
