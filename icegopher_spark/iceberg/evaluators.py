@@ -160,6 +160,14 @@ class InclusiveMetricsEvaluator:
         # — ne / not_in / gt / ge DO match NaN rows (r5 review fix)
         if self._nans_only(f, fid) and op in ("lt", "le", "eq", "in", "starts_with"):
             return ROWS_CANNOT_MATCH
+        # float bounds exclude NaN (spec), so a KNOWN NaN row defeats
+        # upper-bound pruning for gt/ge — the NaN row satisfies them
+        # regardless of the non-NaN maximum (caught by the hardened
+        # metrics fuzz after the r5 review fixes)
+        if op in ("gt", "ge") and isinstance(t, (FloatType, DoubleType)):
+            nanc = (f.nan_value_counts or {}).get(fid)
+            if nanc:
+                return ROWS_MIGHT_MATCH
 
         if op == "lt":
             lo = self._lower(f, field)
@@ -280,6 +288,11 @@ class ManifestEvaluator:
         if op in ("lt", "le", "gt", "ge", "eq", "ne") and _is_nan(p.literal.value):
             return ROWS_MIGHT_MATCH
         if op in ("in", "not_in") and any(_is_nan(l.value) for l in p.literals):
+            return ROWS_MIGHT_MATCH
+
+        # summary bounds exclude NaN, so declared NaN partitions defeat
+        # upper-bound pruning for gt/ge (NaN sorts above every literal)
+        if op in ("gt", "ge") and s.contains_nan is True:
             return ROWS_MIGHT_MATCH
 
         lo = literal_from_bytes(s.lower_bound, t) if s.lower_bound is not None else None

@@ -7,10 +7,10 @@ A violation is the silent-row-loss failure mode: a file pruned by
 min/max stats while containing matching rows. Driver-side only — the
 same DataFile surface production planning consumes (manifests.py).
 
-NaN rows are exercised through is_nan/not_nan/is_null/not_null (the
-predicates with engine-independent NaN semantics); ordered comparisons
-draw from non-NaN doubles, mirroring the reference's visitors.go which
-treats NaN bounds as unusable rather than orderable.
+NaN rows and NaN literals are exercised through EVERY predicate with
+the Spark/DuckDB total order as ground truth (NaN equals itself, sorts
+above everything) — round 5 widened this after a review found the
+all-NaN shortcut wrongly pruning ne/not_in/gt/ge.
 """
 
 from __future__ import annotations
@@ -62,18 +62,31 @@ def _matches(op, v, lits):
         return v is not None and isinstance(v, float) and math.isnan(v)
     if op == "not_nan":
         return v is not None and not (isinstance(v, float) and math.isnan(v))
-    if v is None or (isinstance(v, float) and math.isnan(v)):
+    if v is None:
         return False
+
+    def cmp3(a):
+        # Spark/DuckDB total order: NaN equals itself, sorts above all
+        v_nan = isinstance(v, float) and math.isnan(v)
+        a_nan = isinstance(a, float) and math.isnan(a)
+        if v_nan and a_nan:
+            return 0
+        if v_nan:
+            return 1
+        if a_nan:
+            return -1
+        return (v > a) - (v < a)
+
     a = lits[0] if lits else None
     return {
-        "lt": lambda: v < a,
-        "le": lambda: v <= a,
-        "gt": lambda: v > a,
-        "ge": lambda: v >= a,
-        "eq": lambda: v == a,
-        "ne": lambda: v != a,
-        "in": lambda: v in lits,
-        "not_in": lambda: v not in lits,
+        "lt": lambda: cmp3(a) < 0,
+        "le": lambda: cmp3(a) <= 0,
+        "gt": lambda: cmp3(a) > 0,
+        "ge": lambda: cmp3(a) >= 0,
+        "eq": lambda: cmp3(a) == 0,
+        "ne": lambda: cmp3(a) != 0,
+        "in": lambda: any(cmp3(x) == 0 for x in lits),
+        "not_in": lambda: all(cmp3(x) != 0 for x in lits),
         "starts_with": lambda: str(v).startswith(a),
     }[op]()
 
@@ -97,7 +110,12 @@ def metric_cases(draw):
         ops = _ORDERED_OPS + ["is_null", "not_null"]
     elif kind == "double":
         t, vals = DoubleType(), _DOUBLES
-        lit_s = st.floats(min_value=-100.0, max_value=100.0, allow_nan=False)
+        # NaN literals included: bounds cannot reason about them, so
+        # the evaluator must never prune (r5 NaN-soundness fixes)
+        lit_s = st.one_of(
+            st.just(float("nan")),
+            st.floats(min_value=-100.0, max_value=100.0, allow_nan=False),
+        )
         ops = _ORDERED_OPS + ["is_null", "not_null", "is_nan", "not_nan"]
     else:
         t, vals, lit_s = StringType(), _STRS, st.text(alphabet="abc", min_size=0, max_size=4)
