@@ -51,7 +51,14 @@ COMMIT_SNAPSHOT = "_commit_snapshot_id"
 def _lineage(table: Table, from_id: int, to_id: int | None) -> list:
     """Snapshots strictly after ``from_id`` up to ``to_id``, oldest first."""
     md = table.metadata
-    to_snap = md.snapshot_by_id(to_id) if to_id else md.current_snapshot
+    if to_id is not None:
+        to_snap = md.snapshot_by_id(to_id)
+        if to_snap is None:
+            # silent-empty here would let a consumer record "no changes"
+            # and advance its bookmark past real data (r5 review)
+            raise ValueError(f"unknown to_snapshot_id {to_id}")
+    else:
+        to_snap = md.current_snapshot
     if to_snap is None:
         return []
     chain = []
@@ -75,24 +82,42 @@ def _read_data_files(table: Table, spark: SparkSession, entries, with_pos: bool)
     base = table.schema
     from .types import to_spark_type
 
-    # the writing snapshot's schema governs how the file reads back
-    groups: dict[int | None, list] = {}
+    # the writing snapshot's schema governs how the file reads back;
+    # format matters too — ORC/AVRO data files go through the same
+    # readers the scan path uses (r5 review: parquet was hardcoded)
+    groups: dict[tuple, list] = {}
     for e in entries:
         snap = md.snapshot_by_id(e.snapshot_id) if e.snapshot_id is not None else None
-        groups.setdefault(snap.schema_id if snap is not None else None, []).append(e)
+        sid = snap.schema_id if snap is not None else None
+        groups.setdefault((sid, e.data_file.file_format), []).append(e)
 
     parts = []
-    for sid, es in groups.items():
+    for (sid, fmt), es in groups.items():
         file_schema = md.schema_by_id(sid) if sid is not None else None
         file_schema = file_schema or base
         paths = [strip_file_scheme(e.data_file.file_path) for e in es]
-        raw = spark.read.schema(file_schema.to_spark()).parquet(*paths)
+        if fmt == "AVRO":
+            from .pyreaders import read_avro_files
+
+            raw = read_avro_files(spark, paths, file_schema.to_spark(), with_pos=with_pos)
+        elif fmt == "ORC" and with_pos:
+            from .pyreaders import read_orc_with_pos
+
+            raw = read_orc_with_pos(spark, paths, file_schema.to_spark())
+        elif fmt == "ORC":
+            raw = spark.read.schema(file_schema.to_spark()).format("orc").load(paths)
+        else:
+            raw = spark.read.schema(file_schema.to_spark()).parquet(*paths)
         cols = []
         if with_pos:
-            cols += [
-                F.col("_metadata.file_path").alias("_file"),
-                F.col("_metadata.row_index").alias("_pos"),
-            ]
+            if fmt in ("AVRO", "ORC"):
+                # pyreaders emit exact per-file ordinals as _file/_pos
+                cols += [F.col("_file"), F.col("_pos")]
+            else:
+                cols += [
+                    F.col("_metadata.file_path").alias("_file"),
+                    F.col("_metadata.row_index").alias("_pos"),
+                ]
         for f in base.fields:
             old = file_schema.find_field(f.field_id)
             if old is not None:
@@ -109,6 +134,27 @@ def _read_data_files(table: Table, spark: SparkSession, entries, with_pos: bool)
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def _align_to_current(df: DataFrame, from_schema, base) -> DataFrame:
+    """Project a frame produced under ``from_schema`` into the CURRENT
+    schema by field ID: renames resolve, promoted types cast, columns
+    added since are null-filled — so every per-snapshot piece of the
+    changelog unions cleanly regardless of schema evolution between the
+    snapshots (r5 review)."""
+    from .types import to_spark_type
+
+    cols = []
+    for f in base.fields:
+        old = from_schema.find_field(f.field_id)
+        if old is not None:
+            c = F.col(old.name)
+            if old.field_type != f.field_type:
+                c = c.cast(to_spark_type(f.field_type))
+            cols.append(c.alias(f.name))
+        else:
+            cols.append(F.lit(None).cast(to_spark_type(f.field_type)).alias(f.name))
+    return df.select(*cols)
 
 
 def _live_data_entries(table: Table, snap) -> dict[str, object]:
@@ -143,9 +189,14 @@ def changelog_df(
     ).limit(0)
 
     out: DataFrame | None = None
+    # live-entry maps carry forward: iteration k's child state is
+    # iteration k+1's parent state (r5 review: each step re-read every
+    # manifest three times)
+    prev_live: tuple[int | None, dict] = (None, {})
     for snap in _lineage(table, from_snapshot_id, to_snapshot_id):
         op = (snap.summary or {}).get("operation", "append")
         if op == "replace":
+            prev_live = (snap.snapshot_id, _live_data_entries(table, snap))
             continue  # compaction/rewrite: no logical row change
         added_data, added_pos_deletes, added_eq_deletes = [], [], []
         for m in read_manifest_list(io.read(snap.manifest_list)):
@@ -172,12 +223,30 @@ def changelog_df(
             if snap.parent_snapshot_id is not None
             else None
         )
-        parent_live = _live_data_entries(table, parent)
+        if parent is not None and prev_live[0] == parent.snapshot_id:
+            parent_live = prev_live[1]
+        else:
+            parent_live = _live_data_entries(table, parent)
         snap_live = _live_data_entries(table, snap)
+        prev_live = (snap.snapshot_id, snap_live)
         removed = [e for p, e in parent_live.items() if p not in snap_live]
-        if removed:
-            gone = _read_data_files(table, spark, removed, with_pos=False)
-            if gone is not None:
+        if removed and parent is not None:
+            # read the removed files AS OF THE PARENT — its pos/eq
+            # deletes applied via the scan path — so rows already
+            # deleted in earlier snapshots are not re-reported (r5
+            # review: raw reads double-counted them in the MV fold)
+            removed_paths = {e.data_file.file_path for e in removed}
+            pscan = table.scan(snapshot_id=parent.snapshot_id)
+            ptasks = [t for t in pscan.plan_files() if t.file.file_path in removed_paths]
+            if ptasks:
+                parent_schema = (
+                    md.schema_by_id(parent.schema_id)
+                    if parent.schema_id is not None
+                    else None
+                ) or table.schema
+                gone = _align_to_current(
+                    pscan.to_df(spark, tasks=ptasks), parent_schema, table.schema
+                )
                 deletes = gone
 
         if added_pos_deletes:
@@ -215,22 +284,69 @@ def changelog_df(
                 ).drop("_file", "_pos")
                 deletes = hit if deletes is None else deletes.unionByName(hit)
 
-        if added_eq_deletes and snap.parent_snapshot_id is not None:
-            pre = table.scan(snapshot_id=snap.parent_snapshot_id).to_df(spark)
+        if added_eq_deletes and parent is not None:
+            parent_schema = (
+                md.schema_by_id(parent.schema_id) if parent.schema_id is not None else None
+            ) or table.schema
+            # group delete files by key field-id tuple and UNION their
+            # keys: overlapping delete files from parallel writer tasks
+            # must report a matched row once, not once per file (r5)
+            by_ids: dict[tuple, list] = {}
             for e in added_eq_deletes:
+                ids = tuple(e.data_file.equality_ids or [])
+                if ids:
+                    by_ids.setdefault(ids, []).append(e)
+            for ids, es in by_ids.items():
                 names = [
                     table.schema.find_field(fid).name
-                    for fid in (e.data_file.equality_ids or [])
+                    for fid in ids
                     if table.schema.find_field(fid) is not None
                 ]
-                if not names:
-                    continue
-                keys = (
-                    spark.read.parquet(strip_file_scheme(e.data_file.file_path))
-                    .select(*names)
-                    .distinct()
+                if len(names) != len(ids):
+                    raise ValueError(
+                        f"equality delete keys on field ids {ids} not all in "
+                        "the current schema; cannot compute pre-images"
+                    )
+                keys: DataFrame | None = None
+                total_bytes = 0
+                for e in es:
+                    kdf = spark.read.parquet(strip_file_scheme(e.data_file.file_path))
+                    # delete-file columns carry the names at DELETE time;
+                    # map to current names by name when possible, else
+                    # positionally (our writer emits keys in id order)
+                    if not set(names) <= set(kdf.columns):
+                        if len(kdf.columns) == len(names):
+                            kdf = kdf.toDF(*names)
+                        else:
+                            raise ValueError(
+                                f"eq-delete file {e.data_file.file_path} columns "
+                                f"{kdf.columns} do not match keys {names}"
+                            )
+                    kdf = kdf.select(*names)
+                    keys = kdf if keys is None else keys.unionByName(kdf)
+                    total_bytes += e.data_file.file_size_in_bytes
+                keys = _maybe_broadcast_deletes(keys.distinct(), total_bytes)
+                # prune the pre-image scan when the keys are few and
+                # single-column: an IN filter the metadata plane can
+                # prune files with (else the scan is O(parent table) —
+                # the r5 review's scale note)
+                flt = None
+                if len(names) == 1:
+                    pf = parent_schema.find_field(ids[0])
+                    if pf is not None:
+                        sample = [
+                            r[0] for r in keys.limit(1001).collect() if r[0] is not None
+                        ]
+                        if sample and len(sample) <= 1000:
+                            from . import expressions as E
+
+                            flt = E.is_in(pf.name, *sample)
+                scan_kwargs = {"snapshot_id": parent.snapshot_id}
+                if flt is not None:
+                    scan_kwargs["row_filter"] = flt
+                pre = _align_to_current(
+                    table.scan(**scan_kwargs).to_df(spark), parent_schema, table.schema
                 )
-                keys = _maybe_broadcast_deletes(keys, e.data_file.file_size_in_bytes)
                 hit = pre.join(keys, names, "left_semi")
                 deletes = hit if deletes is None else deletes.unionByName(hit)
 
@@ -273,20 +389,33 @@ def apply_changes_to_aggregate(
     """
     sum_specs = sum_specs or {}
     sign = F.when(F.col(CHANGE_TYPE) == "insert", F.lit(1)).otherwise(F.lit(-1))
+    # decimal(38,4): a (20,4) cast silently NULLed values above 16
+    # integer digits (non-ANSI), dropping them from the fold (r5 review)
     delta = changes.groupBy(*keys).agg(
         F.sum(sign).alias("_d_n"),
         *[
-            F.sum(sign * F.col(src).cast("decimal(20,4)")).alias(f"_d_{out}")
+            F.sum(sign * F.col(src).cast("decimal(38,4)")).alias(f"_d_{out}")
             for out, src in sum_specs.items()
         ],
     )
-    joined = mv.join(delta, keys, "full_outer")
-    out_cols = [F.col(k) for k in keys]
+    # null-safe key equality: a NULL-key group must merge, not fork into
+    # duplicate rows every refresh (r5 review)
+    delta = delta.select(
+        *[F.col(k).alias(f"_dk_{k}") for k in keys],
+        "_d_n",
+        *[F.col(f"_d_{out}") for out in sum_specs],
+    )
+    cond = None
+    for k in keys:
+        c = mv[k].eqNullSafe(delta[f"_dk_{k}"])
+        cond = c if cond is None else cond & c
+    joined = mv.join(delta, cond, "full_outer")
+    out_cols = [F.coalesce(mv[k], delta[f"_dk_{k}"]).alias(k) for k in keys]
     n = F.coalesce(F.col(count_col), F.lit(0)) + F.coalesce(F.col("_d_n"), F.lit(0))
     out_cols.append(n.cast("bigint").alias(count_col))
     for out in sum_specs:
-        s = F.coalesce(F.col(out), F.lit(0).cast("decimal(20,4)")) + F.coalesce(
-            F.col(f"_d_{out}"), F.lit(0).cast("decimal(20,4)")
+        s = F.coalesce(F.col(out), F.lit(0).cast("decimal(38,4)")) + F.coalesce(
+            F.col(f"_d_{out}"), F.lit(0).cast("decimal(38,4)")
         )
         out_cols.append(s.alias(out))
     return joined.select(*out_cols).filter(F.col(count_col) > 0)

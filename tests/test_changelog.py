@@ -162,3 +162,96 @@ def test_apply_changes_to_aggregate_folds_and_drops(spark):
         ).collect()
     }
     assert out == {"A": (3, 13.0), "C": (1, 7.0)}  # B gone
+
+
+# ---- round-5 review regressions ----
+
+
+def test_cow_removal_does_not_rereport_prior_deletes(spark, tmp_path):
+    """S2 MOR-deletes row A; S3 CoW-removes the file. S3's changelog
+    must report only the rows still live at the parent (A already
+    reported deleted in S2 must not be decremented twice)."""
+    t = _mk(spark, tmp_path / "rr", [(1, 1.0, "x"), (2, 2.0, "y")])
+    s1 = t.metadata.snapshots[0].snapshot_id
+    t = W.delete_where_mor(t, spark, E.equal_to("k", 1))  # S2: delete row 1
+    t = W.delete_where(t, spark, E.equal_to("tag", "y"))  # S3: CoW removes file
+    ch = changelog_df(t, spark, from_snapshot_id=s1).collect()
+    dels = sorted((r["k"], r["_commit_snapshot_id"]) for r in ch if r["_change_type"] == "delete")
+    s2, s3 = (s.snapshot_id for s in t.metadata.snapshots[1:3])
+    # exactly one delete per logical row removal — no double-report of k=1
+    assert dels == sorted([(1, s2), (2, s3)])
+
+
+def test_eq_delete_changelog_after_rename(spark, tmp_path):
+    """Schema renamed between the data and the eq-delete: pre-images
+    resolve by field id, not by (stale or current) names."""
+    from icegopher_spark.iceberg.evolve import update_schema
+
+    t = _mk(spark, tmp_path / "ren", [(1, 1.0, "x"), (2, 2.0, "y")])
+    s1 = t.metadata.snapshots[0].snapshot_id
+    t = update_schema(t).rename_column("k", "kk").commit()
+    keys = spark.createDataFrame([(1,)], "kk long")
+    t = W.delete_keys(t, spark, keys, ["kk"])
+    ch = changelog_df(t, spark, from_snapshot_id=s1).collect()
+    assert [(r["kk"], r["_change_type"]) for r in ch] == [(1, "delete")]
+
+
+def test_overlapping_eq_delete_files_report_once(spark, tmp_path):
+    """Two eq-delete files in separate snapshots sharing key 1: the row
+    is gone after the first, so the second reports nothing — and within
+    one snapshot, keys are unioned before the semi-join."""
+    t = _mk(spark, tmp_path / "ov", [(1, 1.0, "x"), (2, 2.0, "y"), (3, 3.0, "z")])
+    s1 = t.metadata.snapshots[0].snapshot_id
+    t = W.delete_keys(t, spark, spark.createDataFrame([(1,), (2,)], "k long"), ["k"])
+    t = W.delete_keys(t, spark, spark.createDataFrame([(1,), (3,)], "k long"), ["k"])
+    ch = changelog_df(t, spark, from_snapshot_id=s1).collect()
+    dels = sorted(r["k"] for r in ch if r["_change_type"] == "delete")
+    assert dels == [1, 2, 3]  # each logical delete exactly once
+
+
+def test_unknown_to_snapshot_raises(spark, tmp_path):
+    t = _mk(spark, tmp_path / "unk", [(1, 1.0, "x")])
+    with pytest.raises(ValueError, match="unknown to_snapshot_id"):
+        changelog_df(t, spark, from_snapshot_id=0, to_snapshot_id=999).collect()
+
+
+def test_apply_changes_null_keys_merge(spark):
+    """NULL-key groups must merge through the null-safe join instead of
+    forking a duplicate row per refresh; big values survive the
+    decimal(38,4) fold."""
+    from icegopher_spark.iceberg.changelog import apply_changes_to_aggregate
+
+    mv = spark.createDataFrame(
+        [(None, 5, 50.0), ("a", 2, 2.0e16)], "g string, n_rows long, vsum double"
+    ).select("g", "n_rows", F.col("vsum").cast("decimal(38,4)").alias("vsum"))
+    changes = spark.createDataFrame(
+        [(None, 1.0, "insert"), (None, 2.0, "insert"), ("a", 2.0e16, "insert")],
+        "g string, v double, _change_type string",
+    )
+    out = {r["g"]: r for r in apply_changes_to_aggregate(
+        mv, changes, keys=["g"], count_col="n_rows", sum_specs={"vsum": "v"}
+    ).collect()}
+    assert len(out) == 2  # no forked NULL row
+    assert out[None]["n_rows"] == 7 and float(out[None]["vsum"]) == 53.0
+    assert out["a"]["n_rows"] == 3 and float(out["a"]["vsum"]) == 4.0e16
+
+
+def test_changelog_orc_data_files(spark, tmp_path):
+    """Changelog over an ORC-format table: _read_data_files must branch
+    on file_format (r5 review: parquet was hardcoded)."""
+    t = W.create_table(
+        str(tmp_path / "orc"), SCHEMA, properties={"write.format.default": "orc"}
+    )
+    df = spark.createDataFrame([(1, 1.0, "x"), (2, 2.0, "y")], "k long, v double, tag string")
+    t = W.append(t, df.coalesce(1))
+    s1 = t.metadata.snapshots[0].snapshot_id
+    t = W.append(
+        t, spark.createDataFrame([(3, 3.0, "z")], "k long, v double, tag string")
+    )
+    ch = changelog_df(t, spark, from_snapshot_id=s1).collect()
+    assert [(r["k"], r["_change_type"]) for r in ch] == [(3, "insert")]
+    # and a MOR delete's pre-images read back through the ORC reader
+    t = W.delete_where_mor(t, spark, E.equal_to("k", 1))
+    ch = changelog_df(t, spark, from_snapshot_id=s1).collect()
+    dels = [r["k"] for r in ch if r["_change_type"] == "delete"]
+    assert dels == [1]
