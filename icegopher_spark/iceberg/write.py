@@ -174,14 +174,39 @@ def _truncate_string_max(s: str, length: int) -> str | None:
     return None
 
 
+def _truncate_binary_max(b: bytes, length: int) -> bytes | None:
+    """Truncate ``b`` and increment the last non-0xFF byte so the result
+    still upper-bounds ``b`` (Iceberg's ``truncateBinaryMax``; a plain
+    prefix would sort BELOW the real max and over-prune — r5 review).
+    Returns None when every truncated byte is 0xFF (no bound exists)."""
+    if len(b) <= length:
+        return b
+    t = bytearray(b[:length])
+    for i in range(len(t) - 1, -1, -1):
+        if t[i] < 0xFF:
+            t[i] += 1
+            return bytes(t[: i + 1])
+    return None
+
+
+def _micros_since_epoch(ts: datetime) -> int:
+    """Exact integer epoch-µs: float .timestamp() has ~0.4µs resolution
+    at current epochs and int() truncation could understate an upper
+    bound by 1µs (r5 review)."""
+    td = ts - datetime(1970, 1, 1, tzinfo=timezone.utc)
+    return (td.days * 86_400 + td.seconds) * 1_000_000 + td.microseconds
+
+
 def _bound_value(v: Any, t: IcebergType, upper: bool) -> bytes | None:
     """Convert a pyarrow footer min/max to Iceberg bound bytes."""
+    import math as _math
+
     if v is None:
         return None
     if isinstance(t, (TimestampType, TimestampTzType)):
         if isinstance(v, datetime):
             ts = v if v.tzinfo else v.replace(tzinfo=timezone.utc)
-            v = int(ts.timestamp() * 1_000_000)
+            v = _micros_since_epoch(ts)
         lit = Literal(int(v), t)
     elif isinstance(t, DateType):
         if isinstance(v, date):
@@ -196,12 +221,21 @@ def _bound_value(v: Any, t: IcebergType, upper: bool) -> bytes | None:
             s = str(v)[:_TRUNC_LEN]
         lit = Literal(s, t)
     elif isinstance(t, BinaryType):
-        b = bytes(v)[:_TRUNC_LEN]
+        raw = bytes(v)
+        if upper and len(raw) > _TRUNC_LEN:
+            b = _truncate_binary_max(raw, _TRUNC_LEN)
+            if b is None:
+                return None
+        else:
+            b = raw[:_TRUNC_LEN]
         lit = Literal(b, t)
     elif isinstance(t, DecimalType):
         lit = Literal(Decimal(str(v)), t)
     elif isinstance(t, (FloatType, DoubleType)):
-        lit = Literal(float(v), t)
+        fv = float(v)
+        if _math.isnan(fv):
+            return None  # the spec forbids NaN bounds
+        lit = Literal(fv, t)
     elif isinstance(t, BooleanType):
         lit = Literal(bool(v), t)
     elif isinstance(t, (IntegerType, LongType)):
@@ -252,9 +286,23 @@ def collect_data_file(path: str, schema: Schema, partition: dict[str, Any]) -> D
     upper: dict[int, tuple] = {}
     split_offsets: list[int] = []
 
+    import math as _math
+
+    def _nanish(x) -> bool:
+        return isinstance(x, float) and _math.isnan(x)
+
+    bad_bounds: set[int] = set()
     for rg in range(meta.num_row_groups):
         g = meta.row_group(rg)
-        split_offsets.append(g.column(0).file_offset if g.num_columns else 0)
+        if g.num_columns:
+            # row-group START: min of first column's page offsets —
+            # ColumnChunk.file_offset is deprecated and common writers
+            # set it to the chunk END (PARQUET-2188; r5 review)
+            c0 = g.column(0)
+            off = c0.data_page_offset
+            if c0.dictionary_page_offset is not None:
+                off = min(off, c0.dictionary_page_offset)
+            split_offsets.append(off)
         for ci in range(g.num_columns):
             col = g.column(ci)
             name = col.path_in_schema.split(".")[0]
@@ -265,26 +313,46 @@ def collect_data_file(path: str, schema: Schema, partition: dict[str, Any]) -> D
             column_sizes[fid] = column_sizes.get(fid, 0) + col.total_compressed_size
             value_counts[fid] = value_counts.get(fid, 0) + col.num_values
             st = col.statistics
-            if st is None:
-                continue
-            if st.null_count is not None:
+            if st is not None and st.null_count is not None:
                 null_counts[fid] = null_counts.get(fid, 0) + st.null_count
-            if st.has_min_max:
-                mn, mx = st.min, st.max
-                if fid not in lower or (mn is not None and mn < lower[fid][0]):
-                    lower[fid] = (mn,)
-                if fid not in upper or (mx is not None and mx > upper[fid][0]):
-                    upper[fid] = (mx,)
+            all_null = (
+                st is not None
+                and st.null_count is not None
+                and st.null_count == col.num_values
+            )
+            if all_null:
+                continue  # contributes no values: other groups' bounds hold
+            if st is None or not st.has_min_max or st.min is None or st.max is None:
+                # a group with UNKNOWN contents invalidates the file
+                # bounds — keeping other groups' min/max would over-
+                # prune rows hiding in this group (r5; was silently
+                # skipped)
+                bad_bounds.add(fid)
+                continue
+            mn, mx = st.min, st.max
+            if _nanish(mn) or _nanish(mx):
+                # NaN stats: the group's true extremes are unknowable
+                # from the footer (and a NaN bound is spec-illegal)
+                bad_bounds.add(fid)
+                continue
+            if fid not in lower or mn < lower[fid][0]:
+                lower[fid] = (mn,)
+            if fid not in upper or mx > upper[fid][0]:
+                upper[fid] = (mx,)
 
     lower_b = {
         fid: b
         for fid, (v,) in lower.items()
-        if (b := _bound_value(v, name_to_field_by_id(schema, fid).field_type, False)) is not None
+        if fid not in bad_bounds
+        and (b := _bound_value(v, name_to_field_by_id(schema, fid).field_type, False))
+        is not None
     }
     upper_b = {
         fid: b
         for fid, (v,) in upper.items()
-        if (b := _bound_value(v, name_to_field_by_id(schema, fid).field_type, True)) is not None
+        if fid not in bad_bounds
+        and (b := _bound_value(v, name_to_field_by_id(schema, fid).field_type, True))
+        is not None
     }
     return DataFile(
         file_path=path,
@@ -494,10 +562,24 @@ def _write_data_files(
 
 
 def _parse_partition_value(name: str, raw: str, spec: PartitionSpec, schema: Schema) -> Any:
-    from .types import DateType as DT, IntegerType as IT, LongType as LT, StringType as ST
+    from urllib.parse import unquote
+
+    from .types import BooleanType as BT
+    from .types import DateType as DT
+    from .types import DoubleType as DBT
+    from .types import FloatType as FT
+    from .types import IntegerType as IT
+    from .types import LongType as LT
+    from .types import StringType as ST
+    from .types import TimestampType as TT
+    from .types import TimestampTzType as TTZ
 
     if raw == "__HIVE_DEFAULT_PARTITION__":
         return None
+    # Spark writes Hive-escaped dir components (%2F for '/', %3A for
+    # ':', …); manifests must carry the REAL value or scans on it
+    # prune the file away (r5 review)
+    raw = unquote(raw)
     for pf in spec.fields:
         if pf.name == name:
             src = schema.find_field(pf.source_id)
@@ -510,6 +592,16 @@ def _parse_partition_value(name: str, raw: str, spec: PartitionSpec, schema: Sch
                 except ValueError:
                     # int epoch-day ordinal dir (legacy layout) → as-is
                     return int(raw)
+            if isinstance(rt, (TT, TTZ)):
+                # Spark dir format: 'YYYY-MM-DD HH:MM:SS[.ffffff]'
+                ts = datetime.fromisoformat(raw)
+                return _micros_since_epoch(
+                    ts if ts.tzinfo else ts.replace(tzinfo=timezone.utc)
+                )
+            if isinstance(rt, (FT, DBT)):
+                return float(raw)
+            if isinstance(rt, BT):
+                return raw.lower() == "true"
             return raw
     return raw
 
@@ -739,10 +831,17 @@ def _commit_snapshot(
     return table
 
 
-def append(table: Table, df: DataFrame, branch: str = "main") -> Table:
+def append(
+    table: Table,
+    df: DataFrame,
+    branch: str = "main",
+    extra_summary: dict[str, str] | None = None,
+) -> Table:
     """Append rows; one new manifest, prior manifests carried forward.
     ``branch`` stages the append on a branch head (write-audit-publish);
-    publish by fast-forwarding main (refs.rollback_to)."""
+    publish by fast-forwarding main (refs.rollback_to). ``extra_summary``
+    entries land in the snapshot summary ATOMICALLY with the commit
+    (idempotency markers must never ride a second commit — r5 review)."""
     md = table.metadata
     if branch != "main" and branch in md.refs:
         snap = md.snapshot_by_id(md.refs[branch].snapshot_id)
@@ -755,7 +854,14 @@ def append(table: Table, df: DataFrame, branch: str = "main") -> Table:
         keep = read_manifest_list(table.io.read(snap.manifest_list))
     pairs = _write_data_files(table, df, f"{table.location}/data")
     files = [collect_data_file(p, table.schema, part) for p, part in pairs]
-    return _commit_snapshot(table, files, OP_APPEND, keep_manifests=keep, branch=branch)
+    return _commit_snapshot(
+        table,
+        files,
+        OP_APPEND,
+        keep_manifests=keep,
+        branch=branch,
+        extra_summary=extra_summary,
+    )
 
 
 def overwrite(table: Table, df: DataFrame) -> Table:
@@ -829,8 +935,26 @@ def delete_where_mor(table: Table, spark: SparkSession, row_filter) -> Table:
         meta = pq.ParquetFile(path).metadata
         if meta.num_rows == 0:
             continue
-        tbl = pq.read_table(path, columns=["file_path"])
-        paths = tbl.column("file_path").to_pylist()
+        # path bounds come from the just-written parquet FOOTER stats —
+        # materializing every deleted row's path string on the driver
+        # (to_pylist + min/max) was O(deleted rows) driver memory (r5
+        # review). file_path is column 0 of the delete file layout.
+        lo_path = hi_path = None
+        for rg in range(meta.num_row_groups):
+            st = meta.row_group(rg).column(0).statistics
+            if st is None or not st.has_min_max:
+                lo_path = hi_path = None
+                break
+            mn = st.min if isinstance(st.min, str) else st.min.decode()
+            mx = st.max if isinstance(st.max, str) else st.max.decode()
+            lo_path = mn if lo_path is None else min(lo_path, mn)
+            hi_path = mx if hi_path is None else max(hi_path, mx)
+        bounds = {}
+        if lo_path is not None:
+            bounds = {
+                "lower_bounds": {2147483546: lo_path.encode()},
+                "upper_bounds": {2147483546: hi_path.encode()},
+            }
         delete_files.append(
             DataFile(
                 file_path=path,
@@ -840,8 +964,7 @@ def delete_where_mor(table: Table, spark: SparkSession, row_filter) -> Table:
                 partition={},
                 # path bounds let the planner skip non-overlapping data
                 # files (reference scanner.go:162-193 bounds check)
-                lower_bounds={2147483546: min(paths).encode()},
-                upper_bounds={2147483546: max(paths).encode()},
+                **bounds,
             )
         )
     if not delete_files:
@@ -945,7 +1068,14 @@ def delete_where(table: Table, spark: SparkSession, row_filter) -> Table:
         # read ONLY the affected tasks through the scan path so existing
         # positional/equality deletes are APPLIED before the rewrite —
         # a raw file read would resurrect merge-on-read-deleted rows
-        keep_rows = table.scan().to_df(spark, tasks=tasks).filter(~to_spark_column(row_filter))
+        # survivors = predicate FALSE **or NULL**: a bare ~cond drops
+        # NULL-evaluating rows too, silently deleting rows the predicate
+        # does not match (r5 review — data loss on nullable columns)
+        keep_rows = (
+            table.scan()
+            .to_df(spark, tasks=tasks)
+            .filter(~F.coalesce(to_spark_column(row_filter), F.lit(False)))
+        )
         if keep_rows.limit(1).count() > 0:
             pairs = _write_data_files(table, keep_rows, f"{table.location}/data")
             new_files = [collect_data_file(p, table.schema, part) for p, part in pairs]
@@ -1022,22 +1152,11 @@ def merge_upsert(
     """
     snap = table.current_snapshot()
     if snap is None:
-        t = append(table, source)
-        if extra_summary:
-            # stamp even the degenerate first-commit path (idempotency
-            # markers from the streaming sink must never be dropped)
-            snap0 = t.current_snapshot()
-            snap0.summary.update(extra_summary)
-            raw = t.metadata.to_json_dict()
-            raw["snapshots"][-1]["summary"].update(extra_summary)
-            from .metadata import parse_metadata as _pm
-
-            version = _loaded_version(t)
-            new_md = _pm(raw)
-            _commit_metadata(t.io, t.metadata.location, new_md, expected_version=version)
-            t.metadata = new_md
-            t.metadata_location = _version_path(t.metadata.location, version + 1)
-        return t
+        # the degenerate first-commit path carries the idempotency
+        # marker IN the append commit itself — a second stamping commit
+        # left a crash window where the snapshot existed without its
+        # marker and a restarted sink re-applied the batch (r5 review)
+        return append(table, source, extra_summary=extra_summary)
     schema = table.schema
     fids = []
     for c in key_columns:

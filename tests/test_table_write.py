@@ -490,3 +490,86 @@ def test_write_distribution_modes(spark, tmp_path, lineitem):
         if mode == "hash":
             # one file per partition value: 3 returnflags -> 3 files
             assert len(tasks) == 3
+
+
+# ---- round-5 review regressions (write path) ----
+
+
+def test_delete_where_keeps_null_predicate_rows(spark, tmp_path):
+    """CoW delete must keep rows where the predicate is NULL — a bare
+    ~cond dropped them (r5 review: silent data loss)."""
+    from icegopher_spark.iceberg import expressions as E
+    from icegopher_spark.iceberg.schema import Schema
+    from icegopher_spark.iceberg.types import LongType, NestedField
+
+    sch = Schema((NestedField(1, "x", LongType(), True),), schema_id=0)
+    t = W.create_table(str(tmp_path / "nulldel"), sch)
+    t = W.append(t, spark.createDataFrame([(1,), (None,), (2,)], "x long").coalesce(1))
+    t = W.delete_where(t, spark, E.equal_to("x", 1))
+    got = sorted(
+        (r.x for r in t.scan().to_df(spark).collect()), key=lambda v: (v is None, v)
+    )
+    assert got == [2, None]  # the NULL row survives
+
+
+def test_binary_upper_bound_truncation_increments():
+    """A truncated binary max must still upper-bound the real value."""
+    from icegopher_spark.iceberg.write import _truncate_binary_max
+
+    assert _truncate_binary_max(b"abcdefghijklmnopqr", 16) == b"abcdefghijklmnoq"
+    assert _truncate_binary_max(b"short", 16) == b"short"
+    assert _truncate_binary_max(b"ab" + b"\xff" * 20, 16) == b"ac"
+    assert _truncate_binary_max(b"\xff" * 20, 16) is None
+
+
+def test_identity_partition_types_roundtrip(spark, tmp_path):
+    """Identity partitions on timestamp/double/boolean columns must
+    parse back into manifest values (r5 review: crash / silent
+    bool corruption), and Hive-escaped string values must unescape."""
+    import datetime as dt
+
+    from icegopher_spark.iceberg import expressions as E
+    from icegopher_spark.iceberg.schema import Schema
+    from icegopher_spark.iceberg.transforms import (
+        PartitionField,
+        PartitionSpec,
+        parse_transform,
+    )
+    from icegopher_spark.iceberg.types import (
+        BooleanType,
+        LongType,
+        NestedField,
+        StringType,
+        TimestampType,
+    )
+
+    sch = Schema(
+        (
+            NestedField(1, "k", LongType(), True),
+            NestedField(2, "ts", TimestampType(), False),
+            NestedField(3, "flag", BooleanType(), False),
+            NestedField(4, "s", StringType(), False),
+        ),
+        schema_id=0,
+    )
+    spec = PartitionSpec(
+        [
+            PartitionField(3, 1000, "flag_p", parse_transform("identity")),
+            PartitionField(4, 1001, "s_p", parse_transform("identity")),
+        ]
+    )
+    t = W.create_table(str(tmp_path / "idp"), sch, spec)
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 12, 30), True, "a/b"),
+        (2, dt.datetime(2024, 1, 2, 0, 0), False, "x:y"),
+    ]
+    df = spark.createDataFrame(rows, "k long, ts timestamp, flag boolean, s string")
+    t = W.append(t, df)
+    parts = {
+        (task.file.partition["flag_p"], task.file.partition["s_p"])
+        for task in t.scan().plan_files()
+    }
+    assert parts == {(True, "a/b"), (False, "x:y")}  # unescaped, real bools
+    # and pruning on the unescaped value finds the row
+    got = t.scan(row_filter=E.equal_to("s", "a/b")).to_df(spark).collect()
+    assert [r.k for r in got] == [1]
