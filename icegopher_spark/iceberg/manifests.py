@@ -268,7 +268,15 @@ def partition_avro_fields_for(spec, schema) -> list[dict]:
     ptype = spec.partition_type(schema)
     out = []
     for f in ptype.fields:
-        avro_t = avro_of.get(type(f.field_type), "string")
+        avro_t = avro_of.get(type(f.field_type))
+        if avro_t is None:
+            # a silent "string" fallback wrote spec-invalid manifests
+            # and string-ordered partition bounds ('9' > '10') that
+            # over-pruned (r5 review) — refuse loudly instead
+            raise ValueError(
+                f"unsupported partition value type {f.field_type} for "
+                f"field {f.name!r} in manifest encoding"
+            )
         out.append(_f(f.name, _opt(avro_t), f.field_id))
     return out
 
@@ -330,7 +338,12 @@ def read_manifest_list(data: bytes) -> list[ManifestFile]:
     return out
 
 
-def write_manifest_list(manifests: list[ManifestFile], snapshot_id: int = 0) -> bytes:
+def write_manifest_list(
+    manifests: list[ManifestFile],
+    snapshot_id: int = 0,
+    sequence_number: int | None = None,
+    parent_snapshot_id: int | None = None,
+) -> bytes:
     records = []
     for m in manifests:
         records.append(
@@ -361,7 +374,19 @@ def write_manifest_list(manifests: list[ManifestFile], snapshot_id: int = 0) -> 
                 "key_metadata": m.key_metadata,
             }
         )
-    meta = {"snapshot-id": str(snapshot_id).encode(), "format-version": b"2"}
+    # v2 spec requires snapshot-id, parent-snapshot-id, sequence-number
+    # and format-version in the file metadata (r5 review: the lineage
+    # keys were missing, breaking metadata-only recovery tools)
+    meta = {
+        "snapshot-id": str(snapshot_id).encode(),
+        "parent-snapshot-id": str(
+            parent_snapshot_id if parent_snapshot_id is not None else "null"
+        ).encode(),
+        "sequence-number": str(
+            sequence_number if sequence_number is not None else 0
+        ).encode(),
+        "format-version": b"2",
+    }
     return write_ocf(MANIFEST_LIST_SCHEMA_V2, records, metadata=meta)
 
 
@@ -424,6 +449,16 @@ def fetch_entries(
             manifest.sequence_number == 0 or e.status == ManifestEntryStatus.ADDED
         ):
             e.file_sequence_number = manifest.sequence_number
+        if e.sequence_number is None:
+            # EXISTING/DELETED in a seq>0 manifest MUST carry a number
+            # (reference manifest.go:481-495 errors); treating it as 0
+            # would make every delete in the table apply to this file
+            # (r5 review)
+            raise ValueError(
+                f"manifest entry for {e.data_file.file_path} has no "
+                "sequence number and cannot inherit one "
+                f"(status={e.status}, manifest seq={manifest.sequence_number})"
+            )
     return entries
 
 
@@ -433,8 +468,24 @@ def write_manifest(
     schema_json: str = "",
     spec_json: str = "",
     content: ManifestContent = ManifestContent.DATA,
+    spec_id: int = 0,
 ) -> bytes:
     schema = manifest_entry_schema(partition_avro_fields)
+    # a DATA entry whose partition dict lacks the spec's fields would
+    # silently encode nulls (avro record encode uses .get) — the
+    # spec-evolution corruption the r5 review found. Delete files may
+    # legitimately carry empty partitions (global deletes).
+    pf_names = [f["name"] for f in partition_avro_fields]
+    if content == ManifestContent.DATA:
+        for e in entries:
+            part = e.data_file.partition or {}
+            missing = [n for n in pf_names if n not in part]
+            if missing:
+                raise ValueError(
+                    f"entry {e.data_file.file_path} partition {part} lacks "
+                    f"spec fields {missing}; write entries under their own "
+                    "partition spec"
+                )
     records = []
     for e in entries:
         df = e.data_file
@@ -467,6 +518,7 @@ def write_manifest(
     meta = {
         "schema": schema_json.encode() if schema_json else b"{}",
         "partition-spec": spec_json.encode() if spec_json else b"[]",
+        "partition-spec-id": str(spec_id).encode(),
         "content": b"data" if content == ManifestContent.DATA else b"deletes",
         "format-version": b"2",
     }

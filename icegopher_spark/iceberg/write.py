@@ -695,7 +695,12 @@ def _commit_snapshot(
     if all_new_entries:
         manifest_path = f"{location}/metadata/{_uuid.uuid4().hex}-m0.avro"
         data = write_manifest(
-            all_new_entries, pfields, schema.to_json(), "[]", ManifestContent.DATA
+            all_new_entries,
+            pfields,
+            schema.to_json(),
+            __import__("json").dumps(spec.to_json_dict().get("fields", [])),
+            ManifestContent.DATA,
+            spec_id=spec.spec_id,
         )
         io.write(manifest_path, data)
         manifests.insert(
@@ -738,7 +743,14 @@ def _commit_snapshot(
             )
             for f in delete_files
         ]
-        ddata = write_manifest(dentries, pfields, schema.to_json(), "[]", ManifestContent.DELETES)
+        ddata = write_manifest(
+            dentries,
+            pfields,
+            schema.to_json(),
+            __import__("json").dumps(spec.to_json_dict().get("fields", [])),
+            ManifestContent.DELETES,
+            spec_id=spec.spec_id,
+        )
         io.write(dm_path, ddata)
         manifests.insert(
             0,
@@ -755,17 +767,22 @@ def _commit_snapshot(
             ),
         )
 
-    list_path = f"{location}/metadata/snap-{snap_id}-{_uuid.uuid4().hex}.avro"
-    io.write(list_path, write_manifest_list(manifests, snap_id))
-
-    total_files = sum(m.added_files_count + m.existing_files_count for m in manifests)
-    total_rows = sum(m.added_rows_count + m.existing_rows_count for m in manifests)
     branch_ref = md.refs.get(branch)
     parent_id = (
         branch_ref.snapshot_id
         if branch != "main" and branch_ref is not None
         else md.current_snapshot_id
     )
+    list_path = f"{location}/metadata/snap-{snap_id}-{_uuid.uuid4().hex}.avro"
+    io.write(
+        list_path,
+        write_manifest_list(
+            manifests, snap_id, sequence_number=seq, parent_snapshot_id=parent_id
+        ),
+    )
+
+    total_files = sum(m.added_files_count + m.existing_files_count for m in manifests)
+    total_rows = sum(m.added_rows_count + m.existing_rows_count for m in manifests)
     snapshot = Snapshot(
         snapshot_id=snap_id,
         parent_snapshot_id=parent_id,
@@ -1034,6 +1051,60 @@ def delete_keys(
     )
 
 
+def _rewrite_manifest_for_spec(
+    table: Table, m: "ManifestFile", survivors: list[ManifestEntry]
+) -> "ManifestFile":
+    """Rewrite a manifest's surviving entries under the manifest's OWN
+    partition spec (EXISTING status, sequence numbers preserved) — used
+    when a CoW rewrite removes files from an older-spec manifest."""
+    import json as _json
+
+    md = table.metadata
+    spec = md.spec_by_id(m.partition_spec_id)
+    if spec is None:
+        raise ValueError(f"manifest {m.manifest_path} has unknown spec {m.partition_spec_id}")
+    pfields = partition_avro_fields_for(spec, table.schema)
+    entries = [
+        ManifestEntry(
+            status=ManifestEntryStatus.EXISTING,
+            snapshot_id=e.snapshot_id,
+            sequence_number=e.sequence_number,
+            file_sequence_number=e.file_sequence_number,
+            data_file=e.data_file,
+        )
+        for e in survivors
+    ]
+    data = write_manifest(
+        entries,
+        pfields,
+        table.schema.to_json(),
+        _json.dumps(spec.to_json_dict().get("fields", [])),
+        ManifestContent.DATA,
+        spec_id=spec.spec_id,
+    )
+    path = f"{md.location}/metadata/{_uuid.uuid4().hex}-m0.avro"
+    table.io.write(path, data)
+    seqs = [e.sequence_number or 0 for e in entries]
+    return ManifestFile(
+        manifest_path=path,
+        manifest_length=len(data),
+        partition_spec_id=spec.spec_id,
+        content=ManifestContent.DATA,
+        sequence_number=m.sequence_number,
+        min_sequence_number=min(seqs, default=m.min_sequence_number),
+        added_snapshot_id=m.added_snapshot_id,
+        added_files_count=0,
+        existing_files_count=len(entries),
+        deleted_files_count=0,
+        added_rows_count=0,
+        existing_rows_count=sum(e.data_file.record_count for e in entries),
+        deleted_rows_count=0,
+        partitions=_partition_summaries(spec, table.schema, [e.data_file for e in entries])
+        if not spec.is_unpartitioned
+        else [],
+    )
+
+
 def delete_where(table: Table, spark: SparkSession, row_filter) -> Table:
     """Copy-on-write delete: files that may contain matches are
     rewritten without matching rows; untouched files are retained.
@@ -1052,14 +1123,30 @@ def delete_where(table: Table, spark: SparkSession, row_filter) -> Table:
     # untouched DATA entries carry forward; DELETE manifests carry
     # forward WHOLE so merge-on-read deletes keep applying to untouched
     # files (entries pointing at rewritten paths no longer match
-    # anything — rewritten files take the new, higher sequence number)
+    # anything — rewritten files take the new, higher sequence number).
+    # Manifests of OLDER partition specs cannot have their entries
+    # re-encoded under the current spec (the partition dicts don't
+    # match — r5 review: values silently nulled): untouched foreign
+    # manifests carry forward whole, and a foreign manifest containing
+    # affected files is re-written under ITS OWN spec.
+    md = table.metadata
     untouched: list[ManifestEntry] = []
     keep_delete_manifests = []
     for m in read_manifest_list(table.io.read(snap.manifest_list)):
         if m.content != ManifestContent.DATA:
             keep_delete_manifests.append(m)
             continue
-        for e in fetch_entries(m, table.io.read(m.manifest_path), discard_deleted=True):
+        entries = fetch_entries(m, table.io.read(m.manifest_path), discard_deleted=True)
+        if m.partition_spec_id != md.default_spec_id:
+            survivors = [e for e in entries if e.data_file.file_path not in affected]
+            if len(survivors) == len(entries):
+                keep_delete_manifests.append(m)  # untouched: keep whole
+            elif survivors:
+                keep_delete_manifests.append(
+                    _rewrite_manifest_for_spec(table, m, survivors)
+                )
+            continue
+        for e in entries:
             if e.data_file.file_path not in affected:
                 untouched.append(e)
 

@@ -109,14 +109,15 @@ def test_manifest_roundtrip_and_stats_maps():
 
 
 def test_sequence_inheritance():
-    """Null seq inherited only for ADDED entries or manifests at seq 0
-    (reference manifest.go:488-494)."""
+    """Null seq inherited only for ADDED entries or manifests at seq 0;
+    an EXISTING entry that cannot inherit is a hard error (reference
+    manifest.go:488-494 — r5: was silently left None, which consumers
+    coerced to seq 0, making every delete apply to the file)."""
     entries = [
         ManifestEntry(ManifestEntryStatus.ADDED, None, _lineitem_like_datafile("/f1", 1)),
         ManifestEntry(
             ManifestEntryStatus.EXISTING, 5, _lineitem_like_datafile("/f2", 1), sequence_number=3
         ),
-        ManifestEntry(ManifestEntryStatus.EXISTING, 5, _lineitem_like_datafile("/f3", 1)),
     ]
     data = write_manifest(entries, PARTITION_FIELDS)
     m = ManifestFile(manifest_path="m", sequence_number=9, added_snapshot_id=42)
@@ -124,11 +125,15 @@ def test_sequence_inheritance():
     assert got[0].sequence_number == 9  # ADDED inherits
     assert got[0].snapshot_id == 42
     assert got[1].sequence_number == 3  # explicit value kept
-    assert got[2].sequence_number is None  # EXISTING at seq>0: no inherit
+
+    bad = [ManifestEntry(ManifestEntryStatus.EXISTING, 5, _lineitem_like_datafile("/f3", 1))]
+    data = write_manifest(bad, PARTITION_FIELDS)
+    with pytest.raises(ValueError, match="cannot inherit"):
+        fetch_entries(m, data)
 
     m0 = ManifestFile(manifest_path="m", sequence_number=0, added_snapshot_id=42)
     got0 = fetch_entries(m0, data)
-    assert got0[2].sequence_number == 0  # seq-0 manifest inherits everywhere
+    assert got0[0].sequence_number == 0  # seq-0 manifest inherits everywhere
 
 
 def test_discard_deleted():

@@ -123,3 +123,59 @@ def test_equality_deletes_cross_spec_eras(spark, tmp_path, lineitem):
     pruned = t.scan(row_filter=E.equal_to("l_returnflag", "R")).to_df(spark)
     expect_r = lineitem.filter("l_returnflag = 'R' AND l_orderkey % 100 <> 7").count()
     assert pruned.count() == expect_r
+
+
+def test_cow_delete_after_spec_evolution_preserves_old_partitions(spark, tmp_path):
+    """delete_where on a spec-evolved table must NOT re-encode old-spec
+    entries under the new spec (r5 review: partition values silently
+    nulled, breaking pruning). Foreign-spec manifests carry forward —
+    rewritten under their OWN spec when they lose files."""
+    from icegopher_spark.iceberg import expressions as E
+    from icegopher_spark.iceberg import write as W
+    from icegopher_spark.iceberg.evolve import update_spec
+    from icegopher_spark.iceberg.schema import Schema
+    from icegopher_spark.iceberg.table import Table
+    from icegopher_spark.iceberg.transforms import (
+        PartitionField,
+        PartitionSpec,
+        parse_transform,
+    )
+    from icegopher_spark.iceberg.types import LongType, NestedField, StringType
+
+    sch = Schema(
+        (
+            NestedField(1, "k", LongType(), True),
+            NestedField(2, "g", StringType(), False),
+        ),
+        schema_id=0,
+    )
+    spec0 = PartitionSpec([PartitionField(2, 1000, "g_p", parse_transform("identity"))])
+    t = W.create_table(str(tmp_path / "ev"), sch, spec0)
+    df = spark.createDataFrame(
+        [(i, "a" if i % 2 == 0 else "b") for i in range(20)], "k long, g string"
+    )
+    t = W.append(t, df)
+    # evolve to bucket(k) and append more rows under the new spec
+    t = update_spec(t).add_field("k", "bucket[4]", "k_b").remove_field("g_p").commit()
+    t = W.append(
+        t,
+        spark.createDataFrame([(i, "c") for i in range(100, 110)], "k long, g string"),
+    )
+    # k=0 lies outside the g_p='b' file's [1,19] bounds and the new
+    # era's [100,109], so ONLY the old g_p='a' file is affected — the
+    # foreign-spec manifest must be rewritten under ITS OWN spec with
+    # the surviving g_p='b' entry intact
+    t = W.delete_where(t, spark, E.equal_to("k", 0))
+    rows = sorted(r.k for r in t.scan().to_df(spark).collect())
+    assert rows == [i for i in range(1, 20)] + [i for i in range(100, 110)]
+    # the UNTOUCHED old-era file (g_p='b') still carries its partition
+    # value (the affected g_p='a' file was legitimately rewritten into
+    # the current spec); pruning on the old partition still works
+    old_tasks = [
+        task
+        for task in t.scan(row_filter=E.equal_to("g", "b")).plan_files()
+        if "g_p" in task.file.partition
+    ]
+    assert old_tasks and all(task.file.partition["g_p"] == "b" for task in old_tasks)
+    got = t.scan(row_filter=E.equal_to("g", "b")).to_df(spark)
+    assert sorted(r.k for r in got.collect()) == [i for i in range(20) if i % 2 == 1]
