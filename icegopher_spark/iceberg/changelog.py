@@ -334,10 +334,14 @@ def changelog_df(
                 if len(names) == 1:
                     pf = parent_schema.find_field(ids[0])
                     if pf is not None:
-                        sample = [
-                            r[0] for r in keys.limit(1001).collect() if r[0] is not None
-                        ]
-                        if sample and len(sample) <= 1000:
+                        # count BEFORE dropping nulls: if the distinct key
+                        # set exceeds the cap and contains a null, filtering
+                        # first would make the guard pass with a truncated
+                        # list and the IN filter would prune parent rows
+                        # matching unsampled keys (silent under-report)
+                        rows = keys.limit(1001).collect()
+                        sample = [r[0] for r in rows if r[0] is not None]
+                        if sample and len(rows) <= 1000:
                             from . import expressions as E
 
                             flt = E.is_in(pf.name, *sample)

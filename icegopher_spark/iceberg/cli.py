@@ -283,16 +283,23 @@ def _dispatch(args, cat) -> int:
         from . import maintenance as M
 
         t = cat.load_table(to_identifier(args.identifier))
+        snap = t.current_snapshot()
+        if snap is None:
+            print(f"{args.identifier}: empty table (no snapshots) — nothing to rewrite")
+            return 0
         spark = get_spark("icegopher-cli")
-        before = int((t.current_snapshot().summary or {}).get("total-data-files", "0"))
+
+        def _nfiles(tbl):
+            s = tbl.current_snapshot()
+            return int(((s.summary if s else None) or {}).get("total-data-files", "0"))
+
+        before = _nfiles(t)
         if args.verb == "compact":
             t = M.compact_data_files(t, spark)
-            after = int((t.current_snapshot().summary or {}).get("total-data-files", "0"))
-            print(f"compacted: {before} -> {after} data files")
+            print(f"compacted: {before} -> {_nfiles(t)} data files")
         else:
             t = M.rewrite_clustered(t, spark, *args.cols, n_files=args.n_files)
-            after = int((t.current_snapshot().summary or {}).get("total-data-files", "0"))
-            print(f"z-ordered on ({', '.join(args.cols)}): {before} -> {after} data files")
+            print(f"z-ordered on ({', '.join(args.cols)}): {before} -> {_nfiles(t)} data files")
         return 0
 
     if args.verb == "rename":

@@ -26,6 +26,58 @@ _HASH_MOD = 2**32
 # HUGEINT where Spark wraps silently. All gate corpora satisfy both.
 
 
+def _bucket(id_col: str) -> "F.Column":
+    """Knuth-hash bucket of an id in [0, 2^32) — the uniform, engine-
+    reproducible sort key behind every deterministic sampler here."""
+    return F.pmod(F.col(id_col).cast("bigint") * F.lit(_HASH_MULT), F.lit(_HASH_MOD))
+
+
+def _sharded_rank(
+    df: DataFrame,
+    part_cols: list[str],
+    bucket_col: str,
+    tiebreak_cols: list[str],
+    n_shards: int,
+    rank_name: str,
+) -> DataFrame:
+    """Exact per-group rank by (bucket, *tiebreak) WITHOUT funneling a
+    whole group through one reducer.
+
+    ``Window.partitionBy(group)`` hashes ALL of a group to one task for
+    ``row_number`` — a head language at 10^12 docs is TBs through a
+    single sort. Because the bucket is uniform on [0, 2^32), it can be
+    RANGE-sharded deterministically with no sampling: shard =
+    bucket div ceil(2^32 / n_shards) is monotone in bucket, so ranking
+    within (group, shard) and adding the count of earlier shards yields
+    the identical global rank. Phase 1 aggregates per-(group, shard)
+    counts (|groups|·n_shards narrow rows — broadcastable); phase 2
+    windows over (group, shard) partitions of ~n_g/n_shards rows each.
+    Same two-phase shape as pack_sequences' sharded cumsum; at scale
+    set n_shards ≈ executor count.
+    """
+    width = -(-_HASH_MOD // n_shards)  # ceil
+    df = df.withColumn("_shard", F.expr(f"{bucket_col} div {width}").cast("int"))
+    counts = df.groupBy(*part_cols, "_shard").agg(F.count(F.lit(1)).alias("_c"))
+    w_off = (
+        Window.partitionBy(*part_cols)
+        .orderBy("_shard")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = counts.withColumn(
+        "_off", F.coalesce(F.sum("_c").over(w_off), F.lit(0))
+    ).drop("_c")
+    w_rank = Window.partitionBy(*part_cols, "_shard").orderBy(
+        bucket_col, *tiebreak_cols
+    )
+    return (
+        df.join(F.broadcast(offs), [*part_cols, "_shard"])
+        .withColumn(
+            rank_name, (F.row_number().over(w_rank) + F.col("_off")).cast("bigint")
+        )
+        .drop("_shard", "_off")
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     max_tokens: int = 2048,
@@ -129,6 +181,7 @@ def stratified_sample(
     quota: int,
     key_col: str = "lang",
     id_col: str = "doc_id",
+    n_shards: int = 64,
 ) -> DataFrame:
     """Exact per-stratum quota sampling: keep the ``quota`` rows with
     the smallest Knuth-hash buckets in each stratum (eval-set
@@ -141,23 +194,26 @@ def stratified_sample(
     swaps rows whose hash displaces a previous member (bounded eval-set
     churn).
 
-    Scale posture: the window sorts only (bucket, id) pairs — the
-    projection drops every payload column before the shuffle, so a
-    skewed stratum (``en`` at 60% of a 100 TB corpus) sorts 16-byte
-    rows, not documents. Join the result back on ``id_col`` to recover
-    payloads for the sampled slice only.
+    Scale posture: payloads are projected away before any shuffle
+    (16-byte (bucket, id) rows), and the rank is the two-phase
+    ``_sharded_rank`` — a skewed stratum (``en`` at 60% of a 100 TB
+    corpus) sorts in n_shards bounded pieces instead of one reducer.
+    Join the result back on ``id_col`` to recover payloads for the
+    sampled slice only.
 
     Returns (id_col, key_col, sample_rank) with sample_rank in
     [1, quota] by hash order.
     """
-    bucket = F.pmod(F.col(id_col).cast("bigint") * F.lit(_HASH_MULT), F.lit(_HASH_MOD))
-    w = Window.partitionBy(key_col).orderBy("bucket", id_col)
-    return (
-        df.select(id_col, key_col)
-        .withColumn("bucket", bucket)
-        .withColumn("sample_rank", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("sample_rank") <= quota)
-        .drop("bucket")
+    ranked = _sharded_rank(
+        df.select(id_col, key_col).withColumn("bucket", _bucket(id_col)),
+        [key_col],
+        "bucket",
+        [id_col],
+        n_shards,
+        "sample_rank",
+    )
+    return ranked.filter(F.col("sample_rank") <= quota).select(
+        id_col, key_col, "sample_rank"
     )
 
 
@@ -167,6 +223,7 @@ def temperature_mix(
     target_den: int = 2,
     key_col: str = "lang",
     id_col: str = "doc_id",
+    n_shards: int = 64,
 ) -> DataFrame:
     """Square-root temperature mixture resampling (multilingual-LM
     training-mix reweighting): group g's share of the kept corpus is
@@ -176,18 +233,20 @@ def temperature_mix(
 
     Exact-arithmetic construction (every step reproduces bit-for-bit in
     any engine): w_g = floor(sqrt(n_g)) (integer temperature weight;
-    sqrt is correctly-rounded IEEE so the floor is exact), quota_g =
-    (floor(N·num/den) · w_g) div Σw — all int64 — then each group keeps
-    its quota_g members with the smallest Knuth-hash buckets (a group
-    smaller than its boosted quota keeps all its rows — no replication).
-    Selection is a pure function of the ids: stable across engines,
-    runs, partitionings.
+    correctly-rounded IEEE sqrt makes the floor exact for n_g ≤ 2^52 —
+    past that, sqrt(k²−1) can round up to k; group counts are far
+    inside the bound), quota_g = (floor(N·num/den) · w_g) div Σw — all
+    int64 — then each group keeps its quota_g members with the smallest
+    Knuth-hash buckets (a group smaller than its boosted quota keeps
+    all its rows — no replication). Selection is a pure function of the
+    ids: stable across engines, runs, partitionings.
 
     Scale posture: one narrow count per group, the quota map is
-    |groups|-sized (broadcast), and the per-group ranking window sorts
-    payload-free (bucket, id) pairs — the stratified_sample shuffle
-    shape. int64 exactness holds while target_total·w_g < 2^63 (a 1e12-
-    row corpus with 1e6-row groups is ~1e18 — inside the bound).
+    |groups|-sized (broadcast), and member ranking is the two-phase
+    ``_sharded_rank`` over payload-free (bucket, id) pairs — a head
+    language never funnels through one reducer. int64 exactness holds
+    while target_total·w_g < 2^63 (a 1e12-row corpus with 1e6-row
+    groups is ~1e18 — inside the bound).
 
     Returns (id_col, key_col) — the kept rows' identities.
     """
@@ -204,12 +263,13 @@ def temperature_mix(
         )
         .select(key_col, "quota")
     )
-    bucket = F.pmod(F.col(id_col).cast("bigint") * F.lit(_HASH_MULT), F.lit(_HASH_MOD))
-    w = Window.partitionBy(key_col).orderBy("bucket", id_col)
-    ranked = (
-        df.select(id_col, key_col)
-        .withColumn("bucket", bucket)
-        .withColumn("r", F.row_number().over(w).cast("bigint"))
+    ranked = _sharded_rank(
+        df.select(id_col, key_col).withColumn("bucket", _bucket(id_col)),
+        [key_col],
+        "bucket",
+        [id_col],
+        n_shards,
+        "r",
     )
     return (
         ranked.join(F.broadcast(quotas), key_col)
@@ -225,30 +285,68 @@ def length_trim(
     key_col: str = "lang",
     id_col: str = "doc_id",
     len_col: str = "n_chars",
+    n_shards: int = 64,
 ) -> DataFrame:
     """Per-group outlier trimming by length percentile: drop each
     group's shortest ``lo_pct``% and longest ``100-hi_pct``% documents
     (the truncated-distribution cleaning step before training-mix
     assembly — clipped boilerplate stubs and runaway concatenations).
 
-    Percentiles are defined by RANK, not interpolation: with r =
-    row_number ordered by (length, id) and n = group size, a row is
+    Percentiles are defined by RANK, not interpolation: with r = rank
+    ordered by (length, hash-bucket, id) and n = group size, a row is
     kept iff n·lo div 100 < r ≤ n·hi div 100 — pure integer
     arithmetic, so the kept set is identical in any engine (no
-    percentile_cont interpolation or approx-quantile divergence).
+    percentile_cont interpolation or approx-quantile divergence). Ties
+    break by Knuth-hash bucket before id, so WHICH of the equal-length
+    docs fall at a trim boundary is hash-uniform, not id-biased.
 
-    Scale posture: the ranking window sorts (length, id) pairs with the
-    group key — payloads are projected away before the shuffle; join
-    back on the id for surviving payloads.
+    Scale posture (no whole-group window): ranks come from a
+    per-(group, length) HISTOGRAM — the only per-group sort is over
+    the histogram (bounded by the length domain, invariant of corpus
+    size). Tie-groups whose whole rank span lies inside/outside the
+    kept range are kept/dropped with zero ranking; only the ≤2
+    boundary tie-groups per group rank their members, and that ranking
+    is the two-phase ``_sharded_rank`` on the uniform bucket — so even
+    an adversarial single-length corpus never funnels a group through
+    one reducer.
     """
-    w = Window.partitionBy(key_col).orderBy(len_col, id_col)
-    return (
-        df.select(id_col, key_col, len_col)
-        .withColumn("r", F.row_number().over(w).cast("bigint"))
-        .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy(key_col)))
-        .filter(
-            (F.col("r") > F.expr(f"(n * {int(lo_pct)}) div 100"))
-            & (F.col("r") <= F.expr(f"(n * {int(hi_pct)}) div 100"))
-        )
-        .select(id_col, key_col, len_col)
+    rows = df.select(id_col, key_col, len_col)
+    hist = rows.groupBy(key_col, len_col).agg(F.count(F.lit(1)).alias("_c"))
+    w_cum = (
+        Window.partitionBy(key_col)
+        .orderBy(len_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
+    hist = (
+        hist.withColumn("_cb", F.coalesce(F.sum("_c").over(w_cum), F.lit(0)))
+        .withColumn("_n", F.sum("_c").over(Window.partitionBy(key_col)))
+        .withColumn("_lo", F.expr(f"(_n * {int(lo_pct)}) div 100"))
+        .withColumn("_hi", F.expr(f"(_n * {int(hi_pct)}) div 100"))
+    )
+    # a tie-group's members occupy ranks (_cb, _cb + _c]; kept = (_lo, _hi]
+    hist = hist.select(
+        key_col,
+        len_col,
+        "_cb",
+        "_lo",
+        "_hi",
+        (
+            (F.col("_cb") >= F.col("_lo")) & (F.col("_cb") + F.col("_c") <= F.col("_hi"))
+        ).alias("_keep_all"),
+        (
+            (F.col("_cb") + F.col("_c") <= F.col("_lo")) | (F.col("_cb") >= F.col("_hi"))
+        ).alias("_drop_all"),
+    )
+    joined = rows.join(hist, [key_col, len_col])
+    keep = joined.filter("_keep_all").select(id_col, key_col, len_col)
+    boundary = joined.filter(~F.col("_keep_all") & ~F.col("_drop_all")).withColumn(
+        "bucket", _bucket(id_col)
+    )
+    ranked = _sharded_rank(
+        boundary, [key_col, len_col], "bucket", [id_col], n_shards, "_tr"
+    )
+    kept_b = ranked.filter(
+        (F.col("_cb") + F.col("_tr") > F.col("_lo"))
+        & (F.col("_cb") + F.col("_tr") <= F.col("_hi"))
+    ).select(id_col, key_col, len_col)
+    return keep.unionByName(kept_b)

@@ -339,6 +339,34 @@ def exact_jaccard_verify(sh: DataFrame, cands: DataFrame, threshold: float) -> D
 
 # -- persisted MinHash-LSH index: incremental dedup without recompute ------
 
+# Stamped into index table properties; bump whenever shingling/hashing/
+# banding changes so stale persisted indexes are detected (an index built
+# by an older kernel would silently change candidate recall otherwise).
+INDEX_KERNEL_VERSION = "2"
+
+# Probe-time (band, key) density cap: a long-running streamed index skips
+# the per-batch stop-shingle cap by design (per-batch doc-freq is
+# meaningless), so hot buckets must be bounded where GLOBAL frequency is
+# knowable — at probe time. A bucket of m entries emits O(m²) candidate
+# pairs; entries past this cap are boilerplate signatures, not near-dups.
+STOP_BUCKET_MAX_DF = STOP_SHINGLE_MAX_DF
+
+
+def _drop_hot_buckets(e: DataFrame, max_band_df: int | None) -> DataFrame:
+    """Anti-join away (band, key) buckets whose distinct-doc count
+    exceeds the cap. The count aggregation runs over narrow 20-byte
+    rows (index-scale, not corpus-scale); distinct-id counting keeps
+    replayed/duplicate index entries from inflating the density."""
+    if max_band_df is None:
+        return e
+    hot = (
+        e.groupBy("band", "key")
+        .agg(F.count_distinct("id").alias("df"))
+        .filter(F.col("df") > max_band_df)
+        .select("band", "key")
+    )
+    return e.join(hot, ["band", "key"], "left_anti")
+
 
 def minhash_index_create(
     location: str,
@@ -371,8 +399,45 @@ def minhash_index_create(
             "lsh.num-hashes": str(num_hashes),
             "lsh.bands": str(bands),
             "lsh.ngram": str(n),
+            "lsh.kernel-version": INDEX_KERNEL_VERSION,
         },
     )
+
+
+def minhash_index_load_or_create(
+    location: str,
+    num_hashes: int = 32,
+    bands: int = 8,
+    n: int = 3,
+):
+    """Load the index at ``location`` if one exists, else create it.
+
+    An existing index must match the requested LSH parameters AND the
+    current kernel version — probing with signatures hashed differently
+    from what was indexed silently loses recall, so a mismatch raises
+    instead of appending incompatible entries."""
+    import os as _os
+
+    from ..iceberg.io import strip_scheme
+    from ..iceberg.table import Table
+
+    hint = strip_scheme(location).rstrip("/") + "/metadata/version-hint.text"
+    if not _os.path.exists(hint):
+        return minhash_index_create(location, num_hashes, bands, n)
+    t = Table.from_location(location)
+    want = {
+        "lsh.num-hashes": str(num_hashes),
+        "lsh.bands": str(bands),
+        "lsh.ngram": str(n),
+        "lsh.kernel-version": INDEX_KERNEL_VERSION,
+    }
+    have = {k: t.properties.get(k) for k in want}
+    if have != want:
+        raise ValueError(
+            f"existing MinHash index at {location} is incompatible: "
+            f"has {have}, requested {want}; drop it or rebuild"
+        )
+    return t
 
 
 def minhash_index_write(
@@ -401,7 +466,10 @@ def minhash_index_write(
     entries = minhash_band_entries(
         docs, text_col, id_col, num_hashes, bands, n, max_doc_freq
     ).select(F.col("band").cast("int").alias("band"), "key", "id")
-    t = minhash_index_create(location, num_hashes, bands, n)
+    # load-or-create: writing a new corpus slice into an existing index
+    # APPENDS (the whole point of the persisted index); the old behavior
+    # of unconditionally re-creating silently discarded prior entries
+    t = minhash_index_load_or_create(location, num_hashes, bands, n)
     return W.append(t, entries)
 
 
@@ -412,14 +480,23 @@ def minhash_dedup_from_index(
     threshold: float = 0.5,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_band_df: int | None = STOP_BUCKET_MAX_DF,
 ) -> DataFrame:
     """Near-dup pairs of the WHOLE corpus from the persisted index
     alone: self-join the stored (band, key) entries for candidates,
     then exact-Jaccard verify via texts semi-joined to candidate ids.
     Signatures are never recomputed — the dedup a warehouse runs
-    nightly over an index its ingestion streams maintain."""
+    nightly over an index its ingestion streams maintain.
+
+    Hot (band, key) buckets above ``max_band_df`` distinct docs are
+    dropped BEFORE the self-join (they would emit O(m²) pairs and a
+    stream-maintained index never applied the batch stop-shingle cap);
+    this restores the batch path's density guarantee at probe time,
+    where global frequency is knowable."""
     n = int(table.properties.get("lsh.ngram", "3"))
-    e = table.scan().to_df(spark).select("band", "key", "id")
+    e = _drop_hot_buckets(
+        table.scan().to_df(spark).select("band", "key", "id"), max_band_df
+    )
     cands = (
         e.alias("a")
         .join(
@@ -448,6 +525,7 @@ def minhash_dedup_incremental(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_doc_freq: int | None = STOP_SHINGLE_MAX_DF,
+    max_band_df: int | None = STOP_BUCKET_MAX_DF,
 ) -> DataFrame:
     """Near-dup pairs involving at least one NEW document, probing the
     persisted index instead of re-hashing the old corpus.
@@ -470,6 +548,9 @@ def minhash_dedup_incremental(
     ).select(F.col("band").cast("int").alias("band"), "key", "id")
     stored = table.scan().to_df(spark).select("band", "key", "id")
     all_e = stored.unionByName(new_e)
+    # density cap over the UNION (global frequency); capping the build
+    # side alone suffices — probe rows in a dropped bucket match nothing
+    all_e = _drop_hot_buckets(all_e, max_band_df)
     cands = (
         new_e.alias("a")
         .join(

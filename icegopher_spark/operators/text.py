@@ -199,67 +199,102 @@ def bpe_merges(
     everywhere (ties broken lexicographically by (left, right)),
     repeat.
 
-    Representation: a word's symbol sequence is a single string of
-    fully-delimited units `' X '` per symbol (`' h  e  l  l  o '`,
-    adjacent units separated by the double space); a merge is then one
-    `replace(s, ' l  r ', ' lr ')` — left-to-right non-overlapping in
-    Spark and DuckDB alike, which is exactly BPE's greedy-from-left
-    application. Each symbol owning BOTH its delimiters is what makes
-    consecutive overlaps ('aaaa' -> ['aa','aa']) AND boundary prefixes
-    (rule (a,b) must NOT fire on ['a','bc']) come out right. Pure
-    codegen: split/slice/replace, no UDFs.
+    Scale posture (tokenizer training wants 30k+ merges): the ONLY
+    corpus-scale operation is the initial word count (one
+    partial-aggregated shuffle of (word, 1) — this is what scales with
+    100 TB); the merge loop then runs DRIVER-SIDE over the collected
+    vocabulary, which is bounded by distinct words (a few million
+    (word, count) rows — tens of MB — no matter how big the corpus).
+    Pair counts are maintained incrementally through a pair→words
+    inverted index, so each merge touches only the words containing
+    the merged pair. Total Spark jobs: O(1) regardless of n_merges
+    (the round-5 shape ran 2 jobs + 1 driver roundtrip PER merge —
+    ~60k jobs for a 30k-merge tokenizer).
 
-    Scale posture: the ONLY corpus-scale operation is the initial word
-    count (one partial-aggregated shuffle of (word, 1)); every
-    iteration runs on the vocabulary (bounded by distinct words — a few
-    million rows no matter how big the corpus), and each round's driver
-    roundtrip moves exactly one (l, r, freq) row. The vocab frame is
-    cached between rounds.
+    Merge application is greedy left-to-right non-overlapping
+    ('aaaa' + rule (a,a) -> ['aa','aa']), ties broken lexicographically
+    by (left, right) — byte order equals codepoint order in UTF-8, so
+    Spark/DuckDB/Python agree on the tie-break.
 
     Returns (rank, left_sym, right_sym, freq), rank in [1, n_merges].
     """
+    import heapq
+    from collections import Counter, defaultdict
+
     spark = docs.sparkSession
     words = (
         docs.select(F.explode(tokens(F.lower(F.col(text_col)))).alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    state = words.select(
-        "cnt", F.regexp_replace("w", "(.)", " $1 ").alias("s")
-    ).persist()
+    vocab = [(r["w"], int(r["cnt"])) for r in words.collect()]
+    syms: list[list[str]] = [list(w) for w, _ in vocab]
+    cnts = [c for _, c in vocab]
+
+    pair_freq: Counter = Counter()
+    pair_words: defaultdict[tuple[str, str], set[int]] = defaultdict(set)
+    for i, s in enumerate(syms):
+        c = cnts[i]
+        for j in range(len(s) - 1):
+            p = (s[j], s[j + 1])
+            pair_freq[p] += c
+            pair_words[p].add(i)
+
+    # lazy-invalidation max-heap on (freq desc, pair asc): stale entries
+    # (freq changed since push) are skipped on pop — O(log P) per merge
+    # instead of an O(P) scan, which is what makes 30k merges tractable
+    heap = [(-f, p) for p, f in pair_freq.items()]
+    heapq.heapify(heap)
+
+    def _push(p: tuple[str, str]) -> None:
+        f = pair_freq.get(p)
+        if f:
+            heapq.heappush(heap, (-f, p))
+
     rules: list[tuple[int, str, str, int]] = []
-    try:
-        for k in range(n_merges):
-            syms = F.split(F.expr("substring(s, 2, length(s) - 2)"), "  ")
-            pairs = (
-                state.select(
-                    "cnt",
-                    F.explode(
-                        F.arrays_zip(
-                            F.slice(syms, 1, F.size(syms) - 1).alias("l"),
-                            F.slice(syms, 2, F.size(syms) - 1).alias("r"),
-                        )
-                    ).alias("pr"),
-                )
-                .select("cnt", F.col("pr.l").alias("l"), F.col("pr.r").alias("r"))
-                .groupBy("l", "r")
-                .agg(F.sum("cnt").alias("freq"))
-            )
-            best = pairs.orderBy(F.col("freq").desc(), "l", "r").first()
-            if best is None:
+    for k in range(n_merges):
+        best = None
+        while heap:
+            nf, p = heapq.heappop(heap)
+            if pair_freq.get(p) == -nf:
+                best = (p, -nf)
                 break
-            l, r = best["l"], best["r"]
-            rules.append((k + 1, l, r, int(best["freq"])))
-            nxt = state.select(
-                "cnt",
-                F.replace(
-                    F.col("s"), F.lit(f" {l}  {r} "), F.lit(f" {l}{r} ")
-                ).alias("s"),
-            ).persist()
-            state.unpersist()
-            state = nxt
-    finally:
-        state.unpersist()
+        if best is None:
+            break
+        (l, r), freq = best
+        rules.append((k + 1, l, r, int(freq)))
+        merged = l + r
+        for i in list(pair_words[(l, r)]):
+            s, c = syms[i], cnts[i]
+            # retract the word's old pair multiset, apply the merge
+            # greedily left-to-right, then add the new one back
+            touched = set()
+            for j in range(len(s) - 1):
+                p = (s[j], s[j + 1])
+                pair_freq[p] -= c
+                if pair_freq[p] <= 0:
+                    del pair_freq[p]
+                touched.add(p)
+                ws = pair_words[p]
+                ws.discard(i)
+                if not ws:
+                    del pair_words[p]
+            out, j = [], 0
+            while j < len(s):
+                if j + 1 < len(s) and s[j] == l and s[j + 1] == r:
+                    out.append(merged)
+                    j += 2
+                else:
+                    out.append(s[j])
+                    j += 1
+            syms[i] = out
+            for j in range(len(out) - 1):
+                p = (out[j], out[j + 1])
+                pair_freq[p] += c
+                touched.add(p)
+                pair_words[p].add(i)
+            for p in touched:
+                _push(p)
     return spark.createDataFrame(
         rules, "rank bigint, left_sym string, right_sym string, freq bigint"
     )

@@ -2189,7 +2189,14 @@ def dedup_minhash_incremental_q(spark: SparkSession, sf: str) -> DataFrame:
     if _os.path.exists(hint):
         try:
             t = Table.from_location(loc)
-            if "lsh.bands" not in t.properties or t.current_snapshot() is None:
+            # kernel-version stamp: an index persisted by an older
+            # shingling/hashing kernel would silently change candidate
+            # recall across code revisions — rebuild on mismatch
+            if (
+                t.properties.get("lsh.kernel-version")
+                != _dedup.INDEX_KERNEL_VERSION
+                or t.current_snapshot() is None
+            ):
                 t = None
         except Exception:  # noqa: BLE001
             t = None
@@ -2203,7 +2210,10 @@ def dedup_minhash_incremental_q(spark: SparkSession, sf: str) -> DataFrame:
 length_trim_oracle = """
 WITH r AS (
   SELECT doc_id, lang, n_chars,
-         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rnk,
+         ROW_NUMBER() OVER (
+           PARTITION BY lang
+           ORDER BY n_chars, (doc_id * 2654435761) % 4294967296, doc_id
+         ) AS rnk,
          COUNT(*) OVER (PARTITION BY lang) AS n
   FROM documents
 )

@@ -255,3 +255,22 @@ def test_changelog_orc_data_files(spark, tmp_path):
     ch = changelog_df(t, spark, from_snapshot_id=s1).collect()
     dels = [r["k"] for r in ch if r["_change_type"] == "delete"]
     assert dels == [1]
+
+
+def test_eq_delete_many_keys_with_null_not_underreported(spark, tmp_path):
+    """Pre-image pruning guard (r6): with >1000 distinct delete keys
+    including a NULL, the sample-size check must count rows BEFORE
+    dropping nulls — the old order let the guard pass with a truncated
+    key list and the IN filter pruned parents matching unsampled keys,
+    silently under-reporting deletes."""
+    rows = [(i, float(i), "x") for i in range(1005)]
+    t = _mk(spark, tmp_path / "bigdel", rows)
+    s1 = t.metadata.snapshots[0].snapshot_id
+    # 1002 distinct keys: 1001 real + NULL (over the 1000-key cap)
+    keys = spark.createDataFrame(
+        [(None,)] + [(i,) for i in range(1001)], "k long"
+    ).coalesce(1)
+    t = W.delete_keys(t, spark, keys, ["k"])
+    ch = changelog_df(t, spark, from_snapshot_id=s1).collect()
+    dels = sorted(r["k"] for r in ch if r["_change_type"] == "delete")
+    assert dels == list(range(1001))  # every matched key reported

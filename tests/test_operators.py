@@ -609,3 +609,132 @@ def test_bpe_merges_boundary_prefix_safe(spark):
     assert got[0] == (1, "b", "c", 5)
     assert got[1] == (2, "a", "b", 3)
     assert got[2] == (3, "a", "bc", 1)
+
+
+def test_minhash_index_write_appends_not_resets(spark, tmp_path):
+    """Writing a second corpus slice into an existing index must APPEND
+    its entries (the r5 behavior silently re-created the table and
+    discarded prior entries); incompatible LSH params must refuse."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = docs.filter(F.col("doc_id") % 2 == 0)
+    b = docs.filter(F.col("doc_id") % 2 == 1)
+    loc = str(tmp_path / "idx")
+    t = dedup.minhash_index_write(spark, a, loc)
+    n_a = t.scan().to_df(spark).count()
+    t = dedup.minhash_index_write(spark, b, loc)
+    n_ab = t.scan().to_df(spark).count()
+    assert n_ab > n_a  # slice B's entries accumulated on top of A's
+    ids = {r["id"] for r in t.scan().to_df(spark).select("id").distinct().collect()}
+    assert ids == {r["doc_id"] for r in docs.select("doc_id").collect()}
+    with pytest.raises(ValueError, match="incompatible"):
+        dedup.minhash_index_write(spark, b, loc, bands=4)
+
+
+def test_minhash_probe_density_cap_bounds_hot_buckets(spark, tmp_path):
+    """A stream-maintained index (no per-batch stop-shingle cap)
+    accumulates hot (band, key) buckets; the probe-time density cap
+    must drop them BEFORE the self-join so candidates stay bounded."""
+    # 40 docs with IDENTICAL boilerplate -> every band bucket holds all
+    # 40 ids; plus one genuine near-dup pair of distinct text
+    rows = [(i, "the same boilerplate text repeated everywhere") for i in range(40)]
+    # genuine duplicate pair: identical text collides in EVERY band
+    # deterministically, and its buckets have size 2 (under the cap)
+    rows += [(100, "zebra quokka wombat axolotl pangolin"),
+             (101, "zebra quokka wombat axolotl pangolin")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    loc = str(tmp_path / "idx")
+    # streamed-ingest shape: no doc-freq cap at write time
+    t = dedup.minhash_index_write(spark, docs, loc, max_doc_freq=None)
+
+    capped = dedup.minhash_dedup_from_index(spark, t, docs, max_band_df=10)
+    got = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    assert (100, 101) in got  # genuine pair survives the cap
+    assert not any(a < 40 and b < 40 for a, b in got)  # hot bucket dropped
+    # uncapped control: the boilerplate clique IS emitted (40*39/2 pairs)
+    uncapped = dedup.minhash_dedup_from_index(spark, t, docs, max_band_df=None)
+    assert uncapped.filter((F.col("id_a") < 40) & (F.col("id_b") < 40)).count() == 780
+
+    # incremental probe honors the same cap over stored ∪ new
+    new = spark.createDataFrame(
+        [(200, "the same boilerplate text repeated everywhere")],
+        "doc_id long, text string",
+    )
+    inc = dedup.minhash_dedup_incremental(
+        spark, t, new, docs.unionByName(new), max_doc_freq=None, max_band_df=10
+    )
+    assert inc.count() == 0  # new doc only matches the dropped hot bucket
+
+
+def test_sharded_rank_equals_plain_window_on_zipfian_corpus(spark):
+    """De-skew guard (r6): the two-phase sharded rank must reproduce
+    the single-window ranks EXACTLY on a deliberately Zipfian corpus
+    (85% one group), for all three curation operators."""
+    from pyspark.sql import Window
+
+    from icegopher_spark.operators import curation
+
+    rows = [(i, "en" if i % 20 < 17 else ("de" if i % 2 == 0 else "fr"),
+             (i * 37) % 211 + 1) for i in range(4000)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, n_chars int")
+
+    # stratified_sample vs a plain whole-group window
+    got = curation.stratified_sample(df, quota=50, n_shards=7)
+    bucket = F.pmod(F.col("doc_id") * F.lit(2654435761), F.lit(2**32))
+    w = Window.partitionBy("lang").orderBy(bucket, "doc_id")
+    want = (
+        df.select("doc_id", "lang")
+        .withColumn("sample_rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("sample_rank") <= 50)
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+    # temperature_mix: compare kept id sets against n_shards=1 (plain)
+    a = curation.temperature_mix(df, 1, 2, n_shards=13)
+    b = curation.temperature_mix(df, 1, 2, n_shards=1)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+    # length_trim with heavy length ties (only 211 distinct lengths):
+    # boundary tie-groups rank through the sharded path
+    lt = curation.length_trim(df, n_shards=5)
+    wb = Window.partitionBy("lang").orderBy("n_chars", bucket, "doc_id")
+    ref = (
+        df.select("doc_id", "lang", "n_chars")
+        .withColumn("r", F.row_number().over(wb))
+        .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("lang")))
+        .filter(
+            (F.col("r") > F.expr("(n * 5) div 100"))
+            & (F.col("r") <= F.expr("(n * 95) div 100"))
+        )
+        .select("doc_id", "lang", "n_chars")
+    )
+    assert sorted(map(tuple, lt.collect())) == sorted(map(tuple, ref.collect()))
+
+    # adversarial single-length group: every row is one boundary
+    # tie-group; the sharded tie-rank must still trim exactly 5%+5%
+    one = spark.createDataFrame(
+        [(i, "xx", 42) for i in range(1000)], "doc_id long, lang string, n_chars int"
+    )
+    trimmed = curation.length_trim(one, n_shards=8)
+    assert trimmed.count() == 900
+
+
+def test_bpe_tokenizer_scale_constant_spark_jobs(spark):
+    """Tokenizer-scale BPE (r6): n_merges=1000 must complete with O(1)
+    Spark jobs — the word count + vocab collect — not jobs-per-merge
+    (the r5 shape ran 2 jobs + 1 driver roundtrip per merge)."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    sc = spark.sparkContext
+    sc.setJobGroup("bpe-scale", "bpe 1000 merges")
+    try:
+        out = text.bpe_merges(docs, n_merges=1000).collect()
+    finally:
+        sc.setJobGroup("", "")
+    jobs = sc.statusTracker().getJobIdsForGroup("bpe-scale")
+    assert len(jobs) <= 4, f"expected O(1) Spark jobs, got {len(jobs)}"
+    # the sf0.001 vocab exhausts all pairs well before 1000 merges —
+    # what matters is the loop ran deep without spawning jobs
+    assert len(out) >= 50
+    ranks = [r["rank"] for r in out]
+    assert ranks == list(range(1, len(out) + 1))
+    freqs = [r["freq"] for r in out]
+    assert all(f > 0 for f in freqs)

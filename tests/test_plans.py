@@ -366,3 +366,19 @@ def test_minhash_incremental_no_bnlj_no_text_shuffle(spark, queries):
     for line in formatted.splitlines():
         if "Exchange" in line and "text" in line:
             raise AssertionError(f"text column shuffles: {line}")
+
+
+def test_curation_rank_windows_are_sharded(spark, queries):
+    """De-skew pin (r6): the member-ranking row_number windows in
+    stratified_sample / temperature_mix / length_trim partition by
+    (group, _shard) — never by the group alone, which would funnel a
+    100 TB head language through one reducer. The only group-partitioned
+    windows left are histogram/offset-sized (bounded by the length
+    domain or n_shards, invariant of corpus size)."""
+    for q in ("corpus_stratified_sample", "corpus_temperature_mix", "corpus_length_trim"):
+        plan = plan_of(queries[q].fn(spark, SF), "simple")
+        rn_windows = [
+            l for l in plan.splitlines() if "row_number" in l and "Window" in l
+        ]
+        assert rn_windows, f"{q}: expected a ranking window"
+        assert all("_shard" in l for l in rn_windows), f"{q}: unsharded rank: {rn_windows}"

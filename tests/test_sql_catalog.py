@@ -180,3 +180,20 @@ def test_cli_compact_and_zorder(cat, tmp_path, spark, lineitem, capsys):
     t = cli_cat.load_table("db.cli_z")
     assert t.current_snapshot().summary["operation"] == "replace"
     assert t.scan().to_df(spark).count() == 40
+
+
+def test_cli_compact_empty_table_noop(cat, tmp_path, capsys):
+    """compact/zorder on a table with NO snapshots: clean no-op message,
+    not an AttributeError on current_snapshot().summary."""
+    from icegopher_spark.iceberg import write as W
+    from icegopher_spark.iceberg.cli import main as cli_main
+
+    loose = W.create_table(str(tmp_path / "cli_empty"), SCHEMA)
+    db = str(tmp_path / "catalog.db")
+    wh = str(tmp_path / "wh")
+    base = ["--catalog", f"sqlite:{db}", "--warehouse", wh]
+    assert cli_main([*base, "register", "db.cli_empty", loose.metadata_location]) == 0
+    assert cli_main([*base, "compact", "db.cli_empty"]) == 0
+    assert cli_main([*base, "zorder", "db.cli_empty", "l_orderkey"]) == 0
+    out = capsys.readouterr().out
+    assert out.count("empty table") == 2
