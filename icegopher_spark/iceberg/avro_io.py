@@ -47,8 +47,11 @@ def read_long(buf: BinaryIO) -> int:
 
 
 def write_long(out: io.BytesIO, value: int) -> None:
+    # refuse out-of-int64 rather than mask: the old "clamp" silently
+    # encoded 2**80 as 0 and corrupted the file undetectably
+    if not (-(1 << 63) <= value < (1 << 63)):
+        raise OverflowError(f"avro long out of int64 range: {value}")
     n = (value << 1) ^ (value >> 63) if value < 0 else value << 1
-    n &= (1 << 70) - 1  # clamp for safety
     while True:
         b = n & 0x7F
         n >>= 7
@@ -237,6 +240,11 @@ def read_ocf(data: bytes) -> tuple[dict, dict[str, bytes], list[dict]]:
         buf.seek(-1, os.SEEK_CUR)
         n_records = read_long(buf)
         block_len = read_long(buf)
+        if n_records < 0 or block_len < 0:
+            raise ValueError(
+                f"corrupt Avro OCF block header: n_records={n_records} "
+                f"block_len={block_len}"
+            )
         block = buf.read(block_len)
         if codec == "deflate":
             block = zlib.decompress(block, -15)
@@ -276,6 +284,11 @@ def count_ocf_rows(path: str) -> int:
             fh.seek(-1, os.SEEK_CUR)
             n_records = read_long(fh)
             block_len = read_long(fh)
+            # a single flipped varint bit can decode negative: trusting
+            # it would undercount (negative total +=) or seek BACKWARD
+            # into already-read bytes and false-match the sync
+            if n_records < 0 or block_len < 0:
+                raise ValueError(f"corrupt Avro OCF block header in {path}")
             fh.seek(block_len, os.SEEK_CUR)  # skip payload, never decode
             # seeking past EOF is legal, so a blind seek would turn a
             # truncated file into a silent undercount — instead read the
@@ -291,9 +304,16 @@ def write_ocf(
     records: list[dict],
     metadata: dict[str, bytes] | None = None,
     codec: str = "deflate",
-    sync: bytes = b"\x00" * 16,
+    sync: bytes | None = None,
 ) -> bytes:
-    """Encode records into an OCF byte string."""
+    """Encode records into an OCF byte string.
+
+    ``sync`` defaults to a fresh random 16-byte marker per file, as the
+    Avro spec requires — a constant all-zero marker would let the
+    truncation check in ``count_ocf_rows`` false-pass on zero runs and
+    confuse external sync-scanning splittable readers."""
+    if sync is None:
+        sync = os.urandom(16)
     if isinstance(schema, str):
         schema_obj = json.loads(schema)
         schema_str = schema

@@ -37,16 +37,41 @@ def _with_pos_schema(spark_schema: T.StructType) -> T.StructType:
     return T.StructType(_POS_FIELDS + list(spark_schema.fields))
 
 
-def _coerce_batch(pdf: pd.DataFrame, spark_schema: T.StructType) -> pd.DataFrame:
+def _coerce_batch(
+    pdf: pd.DataFrame, spark_schema: T.StructType, session_tz: str = "UTC"
+) -> pd.DataFrame:
     """Align pandas dtypes with the target Spark schema (timestamps from
-    µs ints, nullable ints)."""
+    µs ints, dates from epoch-day ints, nullable ints).
+
+    Stored Avro timestamptz micros are UTC instants; Spark interprets a
+    NAIVE datetime64 column from mapInPandas as session-LOCAL wall time,
+    so TimestampType columns convert UTC → session tz before dropping
+    the tz (identity at UTC). TimestampNTZ micros are wall-clock and
+    stay naive as-is."""
     for f in spark_schema.fields:
         if f.name not in pdf.columns:
             pdf[f.name] = None
-        if isinstance(f.dataType, (T.TimestampType, T.TimestampNTZType)):
-            col = pdf[f.name]
-            if col.dtype != "datetime64[us]" and not str(col.dtype).startswith("datetime"):
-                pdf[f.name] = pd.to_datetime(col, unit="us")
+        col = pdf[f.name]
+        already_dt = str(col.dtype).startswith("datetime")
+        if isinstance(f.dataType, T.TimestampType) and not already_dt:
+            pdf[f.name] = (
+                pd.to_datetime(col, unit="us", utc=True)
+                .dt.tz_convert(session_tz)
+                .dt.tz_localize(None)
+            )
+        elif isinstance(f.dataType, T.TimestampNTZType) and not already_dt:
+            pdf[f.name] = pd.to_datetime(col, unit="us")
+        elif isinstance(f.dataType, T.DateType) and not already_dt:
+            # epoch-day ints -> date objects (int64 -> date32 has no
+            # Arrow cast; every read of an Avro date column crashed).
+            # Object columns may hold python ints (nullable) — or real
+            # date objects, which pass through untouched.
+            nonnull = col.dropna()
+            if str(col.dtype).startswith(("int", "float")) or (
+                len(nonnull) and isinstance(nonnull.iloc[0], int)
+            ):
+                dt = pd.to_datetime(col.astype("float64"), unit="D")
+                pdf[f.name] = [None if pd.isna(v) else v.date() for v in dt]
     return pdf[[f.name for f in spark_schema.fields]]
 
 
@@ -57,6 +82,9 @@ def read_orc_with_pos(
     spec-exact per-file row ordinals."""
     out_schema = _with_pos_schema(spark_schema)
     names = [f.name for f in spark_schema.fields]
+    if not paths:
+        return spark.createDataFrame([], out_schema)
+    tz = spark.conf.get("spark.sql.session.timeZone") or "UTC"
 
     def gen(iterator: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import pyarrow.orc as orc
@@ -68,7 +96,7 @@ def read_orc_with_pos(
                 for i in range(f.nstripes):
                     batch = f.read_stripe(i, columns=[n for n in names])
                     b = batch.to_pandas()
-                    b = _coerce_batch(b, spark_schema)
+                    b = _coerce_batch(b, spark_schema, tz)
                     b.insert(0, "_pos", range(pos, pos + len(b)))
                     b.insert(0, "_file", path)
                     pos += len(b)
@@ -91,6 +119,9 @@ def read_avro_files(
     them readable at all, distributed, without extra packages.
     """
     out_schema = _with_pos_schema(spark_schema) if with_pos else spark_schema
+    if not paths:
+        return spark.createDataFrame([], out_schema)
+    tz = spark.conf.get("spark.sql.session.timeZone") or "UTC"
 
     def gen(iterator: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from .avro_io import read_ocf
@@ -100,7 +131,7 @@ def read_avro_files(
                 with open(strip_scheme(path), "rb") as fh:
                     _schema, _meta, rows = read_ocf(fh.read())
                 b = pd.DataFrame(rows)
-                b = _coerce_batch(b, spark_schema)
+                b = _coerce_batch(b, spark_schema, tz)
                 if with_pos:
                     b.insert(0, "_pos", range(len(b)))
                     b.insert(0, "_file", path)
@@ -163,19 +194,34 @@ def write_avro_data_file(path: str, schema: Schema, rows: list[dict]) -> None:
         fh.write(data)
 
 
-def _pdf_to_records(pdf: pd.DataFrame, schema: Schema) -> list[dict]:
+def _pdf_to_records(
+    pdf: pd.DataFrame, schema: Schema, session_tz: str = "UTC"
+) -> list[dict]:
     """Pandas batch → Avro-ready python records, typed per the Iceberg
     schema (timestamps to µs ints, dates to epoch days, numpy scalars
-    to python)."""
+    to python).
+
+    Timestamptz values arrive from mapInPandas as NAIVE session-local
+    wall times; the Iceberg spec stores UTC micros, so they localize to
+    ``session_tz`` before taking the epoch value (identity at UTC).
+    Plain (ntz) timestamps are wall-clock and encode as-is."""
     from datetime import date as _date
 
     from . import types as IT
+
+    def _utc_micros(v) -> int:
+        ts = pd.Timestamp(v)
+        if ts.tzinfo is None:
+            ts = ts.tz_localize(session_tz)
+        return int(ts.value // 1000)
 
     cols: dict[str, list] = {}
     for f in schema.fields:
         series = pdf[f.name]
         t = f.field_type
-        if isinstance(t, (IT.TimestampType, IT.TimestampTzType)):
+        if isinstance(t, IT.TimestampTzType):
+            vals = [None if pd.isna(v) else _utc_micros(v) for v in series]
+        elif isinstance(t, IT.TimestampType):
             vals = [
                 None if pd.isna(v) else int(pd.Timestamp(v).value // 1000) for v in series
             ]
@@ -191,9 +237,11 @@ def _pdf_to_records(pdf: pd.DataFrame, schema: Schema) -> list[dict]:
         elif isinstance(t, IT.BooleanType):
             vals = [None if pd.isna(v) else bool(v) for v in series]
         elif isinstance(t, IT.BinaryType):
-            vals = [None if v is None else bytes(v) for v in series]
+            # pd.isna, not `is None`: a NaN null in an object column
+            # would otherwise raise bytes(nan) / write the string 'nan'
+            vals = [None if (v is None or v is pd.NA) or (isinstance(v, float) and pd.isna(v)) else bytes(v) for v in series]
         else:
-            vals = [None if v is None else str(v) for v in series]
+            vals = [None if (v is None or v is pd.NA) or (isinstance(v, float) and pd.isna(v)) else str(v) for v in series]
         cols[f.name] = vals
     names = list(cols)
     return [{k: cols[k][i] for k in names} for i in range(len(pdf))]
@@ -232,15 +280,25 @@ def write_avro_files(
     pcols = list(partition_cols or [])
     base = strip_scheme(out_dir)
     staging_root = os.path.join(base, f"_staging-{_uuid.uuid4().hex[:8]}")
+    session_tz = df.sparkSession.conf.get("spark.sql.session.timeZone") or "UTC"
+
+    def _hive_escape(s: str) -> str:
+        # percent-escape the chars Hive/Spark escape in partition dirs —
+        # the read path unquote()s, so an UNescaped '/', '%' or control
+        # char would corrupt the dir structure / manifest value
+        return "".join(
+            f"%{ord(c):02X}" if (c in "\\/:=%#*?\"'\x7f" or ord(c) < 0x20) else c
+            for c in s
+        )
 
     def _dir_value(v) -> str:
         if v is None or (isinstance(v, float) and pd.isna(v)):
             return "__HIVE_DEFAULT_PARTITION__"
         if isinstance(v, _date):
-            return v.isoformat()
+            return _hive_escape(v.isoformat())
         if isinstance(v, float) and v.is_integer():
             return str(int(v))
-        return str(v)
+        return _hive_escape(str(v))
 
     def gen(iterator: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from pyspark import TaskContext
@@ -268,22 +326,25 @@ def write_avro_files(
                 d = os.path.join(staging_root, attempt, sub)
                 os.makedirs(d, exist_ok=True)
                 path = os.path.join(d, fname)
-                data = write_ocf(avro_schema, _pdf_to_records(g, schema), meta)
+                data = write_ocf(
+                    avro_schema, _pdf_to_records(g, schema, session_tz), meta
+                )
                 with open(path, "wb") as fh:
                     fh.write(data)
                 yield pd.DataFrame(
                     {
                         "path": [path],
                         "rel": [os.path.join(sub, fname) if sub else fname],
-                        "n_rows": [len(g)],
                     }
                 )
 
+    # no n_rows column: the commit path re-derives record counts from
+    # OCF block headers (count_ocf_rows), which doubles as a post-write
+    # integrity check
     out_schema = ST.StructType(
         [
             ST.StructField("path", ST.StringType()),
             ST.StructField("rel", ST.StringType()),
-            ST.StructField("n_rows", ST.LongType()),
         ]
     )
     try:

@@ -237,3 +237,181 @@ def test_count_ocf_rows_rejects_truncation(tmp_path):
     bad.write_bytes(data[:-25])  # chop into the last block+sync
     with _pytest.raises(ValueError, match="truncated or corrupt"):
         count_ocf_rows(str(bad))
+
+
+def test_avro_date_column_roundtrip(spark, tmp_path):
+    """Avro data files with DATE columns must be readable (r6): the
+    epoch-day ints in the file have no int64->date32 Arrow cast, so the
+    reader converts to date objects; nulls survive."""
+    from datetime import date
+
+    from icegopher_spark.iceberg.pyreaders import write_avro_files
+    from icegopher_spark.iceberg.types import DateType
+
+    schema = Schema(
+        (
+            NestedField(1, "k", LongType(), True),
+            NestedField(2, "d", DateType(), False),
+        ),
+        schema_id=0,
+    )
+    src = spark.createDataFrame(
+        [(1, date(2024, 3, 1)), (2, date(1969, 12, 31)), (3, None)],
+        "k long, d date",
+    )
+    paths = write_avro_files(src.coalesce(1), schema, str(tmp_path / "d"))
+    back = {r["k"]: r["d"] for r in read_avro_files(spark, paths, schema.to_spark()).collect()}
+    assert back == {1: date(2024, 3, 1), 2: date(1969, 12, 31), 3: None}
+
+
+def test_avro_timestamptz_utc_micros_under_local_session(spark, tmp_path):
+    """Iceberg timestamptz stores UTC micros: writing under a non-UTC
+    session timezone must encode the same instant a UTC session would
+    (r6 — the old path wrote session-local-epoch micros, 8h off)."""
+    from icegopher_spark.iceberg.avro_io import read_ocf
+    from icegopher_spark.iceberg.pyreaders import write_avro_files
+    from icegopher_spark.iceberg.types import TimestampTzType
+
+    schema = Schema(
+        (
+            NestedField(1, "k", LongType(), True),
+            NestedField(2, "ts", TimestampTzType(), False),
+        ),
+        schema_id=0,
+    )
+    rows = [(1, "2024-06-01 12:00:00")]
+
+    def _write(tz: str) -> int:
+        old = spark.conf.get("spark.sql.session.timeZone")
+        spark.conf.set("spark.sql.session.timeZone", tz)
+        try:
+            src = spark.createDataFrame(rows, "k long, ts string").select(
+                "k", F.col("ts").cast("timestamp").alias("ts")
+            )
+            paths = write_avro_files(src.coalesce(1), schema, str(tmp_path / tz.replace("/", "_")))
+            with open(paths[0], "rb") as fh:
+                _s, _m, recs = read_ocf(fh.read())
+            return recs[0]["ts"]
+        finally:
+            spark.conf.set("spark.sql.session.timeZone", old)
+
+    utc = _write("UTC")
+    la = _write("America/Los_Angeles")
+    # same wall-clock string in LA is 7h LATER as an instant (PDT)
+    assert la - utc == 7 * 3600 * 1_000_000
+
+    # and the full round trip under the LA session returns the wall time
+    old = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+    try:
+        src = spark.createDataFrame(rows, "k long, ts string").select(
+            "k", F.col("ts").cast("timestamp").alias("ts")
+        )
+        paths = write_avro_files(src.coalesce(1), schema, str(tmp_path / "rt"))
+        back = read_avro_files(spark, paths, schema.to_spark())
+        got = back.select(F.date_format("ts", "yyyy-MM-dd HH:mm:ss")).first()[0]
+        assert got == "2024-06-01 12:00:00"
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old)
+
+
+def test_avro_partition_values_with_special_chars(spark, tmp_path):
+    """Partition values containing '/', '%' or '=' must percent-escape
+    in the hive dir (r6): unescaped they corrupt the dir structure and
+    the manifest partition value after unquote()."""
+    import os
+
+    from urllib.parse import unquote
+
+    from icegopher_spark.iceberg.pyreaders import write_avro_files
+
+    schema = Schema(
+        (
+            NestedField(1, "k", LongType(), True),
+            NestedField(2, "tag", StringType(), False),
+        ),
+        schema_id=0,
+    )
+    src = spark.createDataFrame(
+        [(1, "a/b"), (2, "100%41"), (3, "x=y")], "k long, tag string"
+    )
+    out = str(tmp_path / "esc")
+    paths = write_avro_files(src.repartition("tag"), schema, out, partition_cols=["tag"])
+    vals = set()
+    for p in paths:
+        comp = os.path.basename(os.path.dirname(p))
+        assert comp.count("=") == 1  # 'tag=<escaped>' stays one component
+        k, v = comp.split("=", 1)
+        assert "/" not in v
+        vals.add(unquote(v))
+    assert vals == {"a/b", "100%41", "x=y"}
+    # values survive the read back
+    back = {r["k"]: r["tag"] for r in read_avro_files(spark, paths, schema.to_spark()).collect()}
+    assert back == {1: "a/b", 2: "100%41", 3: "x=y"}
+
+
+def test_write_long_refuses_out_of_int64():
+    import io
+
+    from icegopher_spark.iceberg.avro_io import write_long
+
+    with pytest.raises(OverflowError):
+        write_long(io.BytesIO(), 2**80)
+    with pytest.raises(OverflowError):
+        write_long(io.BytesIO(), -(2**70))
+
+
+def test_ocf_rejects_negative_block_header(tmp_path):
+    """A corrupted varint that decodes negative must raise, not
+    undercount or seek backwards (r6)."""
+    import io
+
+    from icegopher_spark.iceberg.avro_io import (
+        count_ocf_rows,
+        read_ocf,
+        write_long,
+        write_ocf,
+    )
+
+    schema = {"type": "record", "name": "r", "fields": [{"name": "x", "type": "long"}]}
+    data = write_ocf(schema, [{"x": i} for i in range(10)], codec="null")
+    # locate the first block header (right after the header sync) and
+    # overwrite n_records with -1
+    hdr_end = data.index(b"\x00", data.index(b"avro.codec")) # not robust; recompute below
+    # robust: find where read_ocf starts the block = after magic+meta+sync.
+    # Reuse the writer: encode the same header and measure its length.
+    buf = io.BytesIO(data)
+    assert buf.read(4) == b"Obj\x01"
+    from icegopher_spark.iceberg.avro_io import read_bytes, read_long
+
+    while True:
+        count = read_long(buf)
+        if count == 0:
+            break
+        if count < 0:
+            count = -count
+            read_long(buf)
+        for _ in range(count):
+            read_bytes(buf)
+            read_bytes(buf)
+    buf.read(16)  # sync
+    pos = buf.tell()
+    neg = io.BytesIO()
+    write_long(neg, -1)
+    corrupted = data[:pos] + neg.getvalue() + data[pos + 1 :]
+    with pytest.raises(ValueError, match="corrupt"):
+        read_ocf(corrupted)
+    bad = tmp_path / "neg.avro"
+    bad.write_bytes(corrupted)
+    with pytest.raises(ValueError, match="corrupt"):
+        count_ocf_rows(str(bad))
+
+
+def test_ocf_sync_marker_is_random():
+    from icegopher_spark.iceberg.avro_io import write_ocf
+
+    schema = {"type": "record", "name": "r", "fields": [{"name": "x", "type": "long"}]}
+    a = write_ocf(schema, [{"x": 1}])
+    b = write_ocf(schema, [{"x": 1}])
+    assert a[-16:] != b"\x00" * 16
+    assert a[-16:] != b[-16:]  # fresh marker per file
