@@ -212,6 +212,7 @@ def data_file_schema(partition_avro_fields: list[dict]) -> dict:
             _f("value_counts", _opt(_I64_KV("k119_v120", 119, 120)), 109),
             _f("null_value_counts", _opt(_I64_KV("k121_v122", 121, 122)), 110),
             _f("nan_value_counts", _opt(_I64_KV("k138_v139", 138, 139)), 137),
+            _f("distinct_counts", _opt(_I64_KV("k123_v124", 123, 124)), 111),
             _f("lower_bounds", _opt(_BYTES_KV("k126_v127", 126, 127)), 125),
             _f("upper_bounds", _opt(_BYTES_KV("k129_v130", 129, 130)), 128),
             _f("key_metadata", _opt("bytes"), 131),
@@ -419,6 +420,7 @@ def read_manifest_entries(
                     value_counts=_to_int_map(df.get("value_counts")),
                     null_value_counts=_to_int_map(df.get("null_value_counts")),
                     nan_value_counts=_to_int_map(df.get("nan_value_counts")),
+                    distinct_counts=_to_int_map(df.get("distinct_counts")),
                     lower_bounds=_to_int_map(df.get("lower_bounds")),
                     upper_bounds=_to_int_map(df.get("upper_bounds")),
                     key_metadata=df.get("key_metadata"),
@@ -469,6 +471,7 @@ def write_manifest(
     spec_json: str = "",
     content: ManifestContent = ManifestContent.DATA,
     spec_id: int = 0,
+    schema_id: int = 0,
 ) -> bytes:
     schema = manifest_entry_schema(partition_avro_fields)
     # a DATA entry whose partition dict lacks the spec's fields would
@@ -506,6 +509,7 @@ def write_manifest(
                     "value_counts": _from_int_map(df.value_counts),
                     "null_value_counts": _from_int_map(df.null_value_counts),
                     "nan_value_counts": _from_int_map(df.nan_value_counts),
+                    "distinct_counts": _from_int_map(df.distinct_counts),
                     "lower_bounds": _from_int_map(df.lower_bounds),
                     "upper_bounds": _from_int_map(df.upper_bounds),
                     "key_metadata": df.key_metadata,
@@ -517,6 +521,10 @@ def write_manifest(
         )
     meta = {
         "schema": schema_json.encode() if schema_json else b"{}",
+        # schema-id is spec-required alongside schema: external readers
+        # that resolve the manifest's schema by id fail without it (r6
+        # review; write_manifest_list got the analogous r5 fix)
+        "schema-id": str(schema_id).encode(),
         "partition-spec": spec_json.encode() if spec_json else b"[]",
         "partition-spec-id": str(spec_id).encode(),
         "content": b"data" if content == ManifestContent.DATA else b"deletes",

@@ -701,6 +701,7 @@ def _commit_snapshot(
             __import__("json").dumps(spec.to_json_dict().get("fields", [])),
             ManifestContent.DATA,
             spec_id=spec.spec_id,
+            schema_id=schema.schema_id,
         )
         io.write(manifest_path, data)
         manifests.insert(
@@ -750,6 +751,7 @@ def _commit_snapshot(
             __import__("json").dumps(spec.to_json_dict().get("fields", [])),
             ManifestContent.DELETES,
             spec_id=spec.spec_id,
+            schema_id=schema.schema_id,
         )
         io.write(dm_path, ddata)
         manifests.insert(
@@ -1081,6 +1083,7 @@ def _rewrite_manifest_for_spec(
         _json.dumps(spec.to_json_dict().get("fields", [])),
         ManifestContent.DATA,
         spec_id=spec.spec_id,
+        schema_id=table.schema.schema_id,
     )
     path = f"{md.location}/metadata/{_uuid.uuid4().hex}-m0.avro"
     table.io.write(path, data)

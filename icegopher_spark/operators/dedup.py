@@ -1,10 +1,12 @@
 """Deduplication operators: exact, n-gram Jaccard, MinHash-LSH, SimHash.
 
 Design for 100 TB:
-  * Exact dedup is one hash-aggregate shuffle on a 64-bit fingerprint —
-    never on the raw text (shuffling full documents would move the whole
-    corpus; shuffling 8-byte keys + ids moves ~nothing). A final
-    verification join guards against fingerprint collisions.
+  * Exact dedup is one hash-aggregate shuffle on a 128-bit fingerprint
+    (two independent 64-bit hashes) — never on the raw text (shuffling
+    full documents would move the whole corpus; shuffling 16-byte keys
+    + ids moves ~nothing). At 64 bits a 10^12-doc corpus expects ~27
+    birthday collisions; at 128 bits the expectation is ~10^-14, so no
+    text-shuffling verification join is needed.
   * Candidate generation for near-dup is the LSH pattern: explode to
     (band, band_hash) keys, self-join on the key, verify exact Jaccard
     only for candidates. The join key space is uniform (hash output),
@@ -71,14 +73,23 @@ def exact_dedup(
 ) -> DataFrame:
     """Exact dedup: keep the lowest id per identical text.
 
-    Shuffle is on a 64-bit fingerprint; the canonical representative is
-    min(id). Returns (kept id, n_copies, group fingerprint).
-    """
+    Shuffle is on a 128-bit fingerprint (two independent xxhash64
+    seeds — the second prepends a literal discriminator, giving an
+    unrelated 64-bit view of the same bytes); the canonical
+    representative is min(id). Returns (kept id, n_copies). 128 bits
+    makes birthday collisions ~10^-14 even at 10^12 docs, so identical
+    fingerprints ARE identical texts for any physically realizable
+    corpus — no text-shuffling verification join (r6 review: the
+    previous single 64-bit hash expects ~27 collisions at that scale,
+    each silently dropping a distinct document)."""
     t = F.lower(F.col(text_col)) if normalize else F.col(text_col)
-    fp = F.xxhash64(t)
     return (
-        df.select(F.col(id_col), fp.alias("fp"))
-        .groupBy("fp")
+        df.select(
+            F.col(id_col),
+            F.xxhash64(t).alias("fp_a"),
+            F.xxhash64(F.lit("icegopher-fp2"), t).alias("fp_b"),
+        )
+        .groupBy("fp_a", "fp_b")
         .agg(
             F.min(id_col).alias(id_col),
             F.count(F.lit(1)).alias("n_copies"),
@@ -157,16 +168,20 @@ def ngram_jaccard_pairs(
 
 def minhash_signature(col: Column, num_hashes: int = 32, n: int = 3) -> Column:
     """MinHash signature as array<bigint>: min over shingles of
-    xxhash64(seed, shingle) per seed — single F.aggregate pass with an
-    array accumulator. NOTE: higher-order functions are CodegenFallback
-    (interpreted) in Spark, so for bulk corpora prefer
-    ``minhash_signatures_df`` (explode + groupBy, whole-stage codegen);
-    this Column form remains for ad-hoc per-row use."""
+    xxhash64(seed, xxhash64(shingle)) per seed — BIT-IDENTICAL to
+    ``minhash_signatures_df``'s double-hashing scheme, so an ad-hoc
+    per-row signature can probe an index built by the bulk path (r6
+    review: the old form seed-hashed the raw shingle string, silently
+    matching ZERO index bands). Caveats vs the df form: no stop-shingle
+    cap (a single row cannot know global doc frequency), and
+    higher-order functions are CodegenFallback (interpreted) — for bulk
+    corpora prefer ``minhash_signatures_df`` (explode + groupBy,
+    whole-stage codegen)."""
     sh = word_shingles(col, n)
     init = F.array(*[F.lit(2**63 - 1).cast("bigint") for _ in range(num_hashes)])
 
     def step(acc: Column, s: Column) -> Column:
-        hs = F.array(*[F.xxhash64(F.lit(k), s) for k in range(num_hashes)])
+        hs = F.array(*[F.xxhash64(F.lit(k), F.xxhash64(s)) for k in range(num_hashes)])
         return F.zip_with(acc, hs, lambda a, h: F.least(a, h))
 
     return F.aggregate(sh, init, step)
@@ -416,13 +431,15 @@ def minhash_index_load_or_create(
     current kernel version — probing with signatures hashed differently
     from what was indexed silently loses recall, so a mismatch raises
     instead of appending incompatible entries."""
-    import os as _os
-
-    from ..iceberg.io import strip_scheme
+    from ..iceberg.io import load_io
     from ..iceberg.table import Table
 
-    hint = strip_scheme(location).rstrip("/") + "/metadata/version-hint.text"
-    if not _os.path.exists(hint):
+    # existence via the FileIO protocol, NOT os.path.exists: the
+    # stripped form of an s3:// location never exists locally, so an
+    # existing remote index would be silently re-created (r6 review)
+    io = load_io(location)
+    hint = location.rstrip("/") + "/metadata/version-hint.text"
+    if not io.exists(hint):
         return minhash_index_create(location, num_hashes, bands, n)
     t = Table.from_location(location)
     want = {
@@ -840,6 +857,17 @@ def neardup_groups(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
         labels = new
         if changed == 0:
             break
+    else:
+        # exhausting max_iter without a zero-change round means some
+        # component's diameter exceeds the budget: returning here would
+        # hand back MULTIPLE reps for one true component and dedup
+        # would silently keep near-duplicates (r6 review) — fail loud.
+        raise RuntimeError(
+            f"neardup_groups did not converge in {max_iter} rounds "
+            f"({changed} labels still changing): a component's diameter "
+            "exceeds max_iter — raise max_iter (rounds are O(1) shuffles "
+            "on 8-byte pairs, so a larger budget is cheap)"
+        )
     return labels.select(F.col("id"), F.col("rep"))
 
 

@@ -67,7 +67,11 @@ def foreach_batch_appender(
             return  # replayed batch — already durable
         for attempt in range(3):
             try:
-                _append_with_summary(table, batch_df, query_id, batch_id)
+                W.append(
+                    table,
+                    batch_df,
+                    extra_summary={QUERY_PROP: query_id, BATCH_PROP: str(batch_id)},
+                )
                 break
             except W.CommitFailedError:
                 table.refresh()
@@ -123,22 +127,6 @@ def foreach_batch_upserter(table: Table, query_id: str, key_columns: list[str]):
     return _upsert
 
 
-def _append_with_summary(table: Table, df: DataFrame, query_id: str, batch_id: int) -> None:
-    from ..iceberg.manifests import read_manifest_list
-
-    snap = table.current_snapshot()
-    keep = read_manifest_list(table.io.read(snap.manifest_list)) if snap else []
-    pairs = W._write_data_files(table, df, f"{table.location}/data")
-    files = [W.collect_data_file(p, table.schema, part) for p, part in pairs]
-    W._commit_snapshot(
-        table,
-        files,
-        W.OP_APPEND,
-        keep_manifests=keep,
-        extra_summary={QUERY_PROP: query_id, BATCH_PROP: str(batch_id)},
-    )
-
-
 def write_stream_to_iceberg(
     sdf: DataFrame,
     table: Table,
@@ -149,8 +137,19 @@ def write_stream_to_iceberg(
     rewrite_manifests_every: int | None = None,
 ):
     """Start (and for availableNow, run to completion) a streaming query
-    appending into an Iceberg table. Returns the StreamingQuery."""
-    qid = query_id or f"iceberg-sink-{table.metadata.table_uuid[:8]}"
+    appending into an Iceberg table. Returns the StreamingQuery.
+
+    The default ``query_id`` derives from the CHECKPOINT location, not
+    the table: Spark enforces one query per checkpoint, so it is unique
+    per logical query yet stable across restarts. A table-derived id
+    would make two distinct queries writing the same table share an
+    idempotency namespace and silently drop each other's batch ids."""
+    if query_id is None:
+        import hashlib
+
+        digest = hashlib.sha256(checkpoint.rstrip("/").encode()).hexdigest()[:16]
+        query_id = f"iceberg-sink-{digest}"
+    qid = query_id
     writer = (
         sdf.writeStream.foreachBatch(
             foreach_batch_appender(table, qid, compact_every, rewrite_manifests_every)

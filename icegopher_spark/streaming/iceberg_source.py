@@ -9,9 +9,13 @@ Reference parity: the reference models the snapshot lineage this
 source walks (table/snapshots.go) but has no read path at all.
 
 Semantics
-  * Offsets are indices into the table's append-ordered snapshot list,
-    so replay between two offsets is deterministic (same property the
-    file source gets from its log).
+  * Offsets are indices into the MAIN-branch ancestry (parent-id chain
+    of the current snapshot, root → current), so replay between two
+    offsets is deterministic AND branch-staged commits (write-audit-
+    publish) are invisible until actually published to main — walking
+    the raw snapshot list would emit audit-branch rows that logically
+    never existed on the table (r6 review). A staged snapshot enters
+    the lineage at its publish position, so nothing is skipped either.
   * Each micro-batch plans the ADDED data files of the new snapshots;
     `replace` snapshots (compaction) are skipped, matching the CDC
     surface (changelog.py).
@@ -69,9 +73,26 @@ class _AppendStreamReader(DataSourceStreamReader):
     def initialOffset(self) -> dict:
         return {"idx": 0, "last_id": 0}
 
+    @staticmethod
+    def _main_lineage(md) -> list:
+        """Snapshots on MAIN's ancestry, root → current. Branch-staged
+        (WAP) snapshots live in md.snapshots but not in this chain
+        until published, so the stream never emits unpublished rows."""
+        out = []
+        cur = md.current_snapshot
+        while cur is not None:
+            out.append(cur)
+            cur = (
+                md.snapshot_by_id(cur.parent_snapshot_id)
+                if cur.parent_snapshot_id is not None
+                else None
+            )
+        out.reverse()
+        return out
+
     def latestOffset(self) -> dict:
         md = self._table().metadata
-        snaps = md.snapshots
+        snaps = self._main_lineage(md)
         hi = len(snaps)
         if self.max_per_trigger > 0 and self._last_served is not None:
             # advance at most N snapshots past the last offset served.
@@ -80,7 +101,7 @@ class _AppendStreamReader(DataSourceStreamReader):
             # latest that fell BEHIND the checkpoint would stall the
             # stream — so restart catch-up is one uncapped batch, then
             # steady-state batches are bounded.
-            base = self._anchor(md, self._last_served)
+            base = self._anchor(md, self._last_served, snaps)
             hi = min(hi, base + self.max_per_trigger)
         off = {
             "idx": hi,
@@ -89,22 +110,27 @@ class _AppendStreamReader(DataSourceStreamReader):
         self._last_served = off
         return off
 
-    @staticmethod
-    def _anchor(md, off: dict) -> int:
-        """Resolve an offset to a position in the CURRENT snapshot
-        list. Offsets carry the last consumed snapshot ID because
-        expire_snapshots shifts list indices — anchoring by ID keeps a
-        checkpointed stream correct across table maintenance. An
-        expired anchor raises (the snapshots between the checkpoint and
-        now are gone: continuing would silently skip their rows)."""
+    @classmethod
+    def _anchor(cls, md, off: dict, lineage: list | None = None) -> int:
+        """Resolve an offset to a position in the CURRENT main lineage.
+        Offsets carry the last consumed snapshot ID because
+        expire_snapshots shifts positions — anchoring by ID keeps a
+        checkpointed stream correct across table maintenance. An anchor
+        no longer on the lineage raises: either it was expired (the
+        snapshots between checkpoint and now are gone — continuing
+        would silently skip their rows) or main was rolled back past it
+        (history rewritten under the stream)."""
         if not off.get("last_id"):
             return 0
-        for i, s in enumerate(md.snapshots):
+        if lineage is None:
+            lineage = cls._main_lineage(md)
+        for i, s in enumerate(lineage):
             if s.snapshot_id == off["last_id"]:
                 return i + 1
         raise ValueError(
-            f"stream offset anchor snapshot {off['last_id']} has been "
-            "expired from the table; restart the stream from scratch"
+            f"stream offset anchor snapshot {off['last_id']} is no longer "
+            "on the table's main history (expired or rolled back); "
+            "restart the stream from scratch"
         )
 
     def partitions(self, start: dict, end: dict):
@@ -124,10 +150,11 @@ class _AppendStreamReader(DataSourceStreamReader):
         md = t.metadata
         current = t.schema
         arrow_schema = to_arrow_schema(current.to_spark())
-        lo = self._anchor(md, start)
-        hi = self._anchor(md, end)
+        lineage = self._main_lineage(md)
+        lo = self._anchor(md, start, lineage)
+        hi = self._anchor(md, end, lineage)
         parts: list[_FilePartition] = []
-        for snap in md.snapshots[lo:hi]:
+        for snap in lineage[lo:hi]:
             op = (snap.summary or {}).get("operation")
             if op == "replace":
                 continue  # byte movement, not new rows
@@ -150,6 +177,13 @@ class _AppendStreamReader(DataSourceStreamReader):
             ) or current
             cmap = column_map_for(file_schema, current)
             for m in read_manifest_list(io.read(snap.manifest_list)):
+                # the sink carries prior manifests forward, so snapshot
+                # k's list holds ~k manifests; only the ones THIS
+                # snapshot added can contain ADDED entries for it —
+                # without this filter catch-up decodes O(snapshots²)
+                # manifests (r6 review)
+                if m.added_snapshot_id != snap.snapshot_id:
+                    continue
                 for e in fetch_entries(m, io.read(m.manifest_path), discard_deleted=True):
                     if e.status != ManifestEntryStatus.ADDED or e.snapshot_id != snap.snapshot_id:
                         continue

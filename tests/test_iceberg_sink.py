@@ -138,3 +138,27 @@ def test_upsert_sink_latest_key_wins(spark, tmp_path):
     from icegopher_spark.streaming.iceberg_sink import committed_batches
 
     assert committed_batches(t, "q4") == {0, 1}
+
+
+def test_two_queries_same_table_get_distinct_default_query_ids(spark, tmp_path):
+    """r6: the default query_id derives from the CHECKPOINT, not the
+    table — two distinct queries writing the same table previously
+    shared an idempotency namespace, and the second query's batch ids
+    looked already-committed: its batches were silently dropped."""
+    t = W.create_table(str(tmp_path / "sink2"), EVENTS_SCHEMA)
+    n_events = spark.read.parquet(f"{SF_DIR}/events.parquet").count()
+
+    def run(ck):
+        stream = read_events_stream(spark, f"{SF_DIR}/events.parquet").select(
+            "event_id", "user_id", "event_type", "value"
+        )
+        write_stream_to_iceberg(stream, t, str(tmp_path / ck))  # no query_id
+
+    run("ck_a")
+    run("ck_b")  # same batch ids (0..), different logical query
+    t.refresh()
+    assert t.scan().to_df(spark).count() == 2 * n_events
+    qids = {
+        s.summary.get("streaming.query-id") for s in t.metadata.snapshots
+    } - {None}
+    assert len(qids) == 2  # one namespace per checkpoint

@@ -297,3 +297,30 @@ def test_serialize_roundtrip():
     assert again.current_snapshot_id == md.current_snapshot_id
     assert again.current_schema == md.current_schema
     assert [s.snapshot_id for s in again.snapshots] == [s.snapshot_id for s in md.snapshots]
+
+
+def test_manifest_distinct_counts_roundtrip_and_schema_id_meta():
+    """r6: distinct_counts (spec field 111) must survive the manifest
+    round-trip (it silently vanished before), and the Avro metadata
+    must carry the spec-required schema-id key."""
+    from icegopher_spark.iceberg.avro_io import read_ocf
+
+    df = _lineitem_like_datafile("/data/f2.parquet", 50)
+    df.distinct_counts = {1: 40, 2: 7}
+    entries = [
+        ManifestEntry(
+            status=ManifestEntryStatus.ADDED,
+            snapshot_id=99,
+            sequence_number=7,
+            file_sequence_number=7,
+            data_file=df,
+        )
+    ]
+    data = write_manifest(entries, PARTITION_FIELDS, "{}", "[]", schema_id=3)
+    got = fetch_entries(
+        ManifestFile(manifest_path="m", sequence_number=7, added_snapshot_id=99), data
+    )
+    assert got[0].data_file.distinct_counts == {1: 40, 2: 7}
+    _schema, meta, _rows = read_ocf(data)
+    assert meta["schema-id"] == b"3"
+    assert meta["partition-spec-id"] == b"0"

@@ -738,3 +738,33 @@ def test_bpe_tokenizer_scale_constant_spark_jobs(spark):
     assert ranks == list(range(1, len(out) + 1))
     freqs = [r["freq"] for r in out]
     assert all(f > 0 for f in freqs)
+
+
+def test_neardup_groups_raises_on_nonconvergence(spark):
+    """Exhausting max_iter with labels still changing must raise (r6):
+    returning silently hands back multiple reps for one component."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 8)], "id_a int, id_b int"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.neardup_groups(pairs, max_iter=2)
+
+
+def test_minhash_signature_column_matches_df_form(spark, docs):
+    """The ad-hoc Column signature must be bit-identical to the bulk
+    df form (r6: it seed-hashed the raw shingle string, so per-row
+    probes of a df-built index matched zero bands)."""
+    nonempty = docs.filter(F.length("text") > 0)
+    col_form = {
+        r["doc_id"]: r["sig"]
+        for r in nonempty.select(
+            "doc_id", dedup.minhash_signature(F.col("text"), num_hashes=8).alias("sig")
+        ).collect()
+    }
+    df_form = {
+        r["id"]: r["sig"]
+        for r in dedup.minhash_signatures_df(
+            nonempty, num_hashes=8, max_doc_freq=None
+        ).collect()
+    }
+    assert col_form == df_form

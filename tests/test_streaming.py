@@ -363,3 +363,46 @@ def test_stream_minhash_index_contents_equal_batch(spark, tmp_path):
         )
     )
     assert got == want and len(got) > 0
+
+
+def test_iceberg_stream_source_skips_unpublished_branch_snapshots(spark, tmp_path):
+    """WAP staging (r6): snapshots appended on a branch live in
+    md.snapshots but are NOT on main's ancestry — the append stream
+    must not emit them until published, and must emit them after."""
+    from icegopher_spark.iceberg import refs, write as W
+    from icegopher_spark.iceberg.schema import Schema
+    from icegopher_spark.iceberg.types import LongType, NestedField
+    from icegopher_spark.streaming.iceberg_source import IcebergAppendStreamSource
+
+    sch = Schema((NestedField(1, "k", LongType(), True),), schema_id=0)
+    loc = str(tmp_path / "wap")
+    t = W.create_table(loc, sch)
+    t = W.append(t, spark.range(0, 10).selectExpr("id AS k"))
+    # stage on an audit branch: rows must stay invisible to the stream
+    t = refs.create_branch(t, "audit")
+    t = W.append(t, spark.range(10, 20).selectExpr("id AS k"), branch="audit")
+
+    spark.dataSource.register(IcebergAppendStreamSource)
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def drain():
+        q = (
+            spark.readStream.format("icegopher_appends")
+            .option("location", loc)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return sorted(r["k"] for r in spark.read.parquet(out).collect())
+
+    assert drain() == list(range(10))  # staged rows invisible
+    # publish: fast-forward main to the audit head
+    t.refresh()
+    t = refs.rollback_to(t, t.metadata.refs["audit"].snapshot_id)
+    assert drain() == list(range(20))  # published rows appear, no dupes
