@@ -54,9 +54,18 @@ def _sharded_rank(
     windows over (group, shard) partitions of ~n_g/n_shards rows each.
     Same two-phase shape as pack_sequences' sharded cumsum; at scale
     set n_shards ≈ executor count.
+
+    The offset join is NULL-SAFE on the group keys: ``groupBy`` treats
+    NULL as a real group, so a plain equi-join would silently drop
+    every NULL-keyed row (r6 review). The narrow input frame is
+    persisted — both phases consume it, and without the cache the
+    upstream lineage (source scan + any prior join) executes twice.
     """
+    from pyspark.storagelevel import StorageLevel
+
     width = -(-_HASH_MOD // n_shards)  # ceil
     df = df.withColumn("_shard", F.expr(f"{bucket_col} div {width}").cast("int"))
+    df = df.persist(StorageLevel.MEMORY_AND_DISK)
     counts = df.groupBy(*part_cols, "_shard").agg(F.count(F.lit(1)).alias("_c"))
     w_off = (
         Window.partitionBy(*part_cols)
@@ -66,15 +75,23 @@ def _sharded_rank(
     offs = counts.withColumn(
         "_off", F.coalesce(F.sum("_c").over(w_off), F.lit(0))
     ).drop("_c")
+    offs = offs.select(
+        *[F.col(c).alias(f"_o_{c}") for c in part_cols],
+        F.col("_shard").alias("_o_shard"),
+        "_off",
+    )
+    cond = F.col("_shard").eqNullSafe(F.col("_o_shard"))
+    for c in part_cols:
+        cond = cond & F.col(c).eqNullSafe(F.col(f"_o_{c}"))
     w_rank = Window.partitionBy(*part_cols, "_shard").orderBy(
         bucket_col, *tiebreak_cols
     )
     return (
-        df.join(F.broadcast(offs), [*part_cols, "_shard"])
+        df.join(F.broadcast(offs), cond)
         .withColumn(
             rank_name, (F.row_number().over(w_rank) + F.col("_off")).cast("bigint")
         )
-        .drop("_shard", "_off")
+        .drop("_shard", "_off", "_o_shard", *[f"_o_{c}" for c in part_cols])
     )
 
 
@@ -105,7 +122,10 @@ def pack_sequences(
     )
     toks = df.select(
         F.col(id_col),
-        (F.col(id_col) % n_shards).cast("int").alias("shard"),
+        # pmod, not %: sign-preserving % would emit negative shard
+        # values for negative ids (the exact trap the module header
+        # warns about), breaking consumers that allocate [0, n_shards)
+        F.pmod(F.col(id_col), F.lit(n_shards)).cast("int").alias("shard"),
         token_count(F.col(text_col)).alias("n_tokens"),
     )
     return toks.select(
@@ -135,9 +155,11 @@ def weighted_sample(
     of (id, group rate), so it is reproducible across engines, runs,
     and partitionings — and the filter is a codegen expression the
     scanner can evaluate, touching nothing but the id and group
-    columns.
+    columns. A NULL id hashes to a NULL bucket, which fails the
+    ``<`` filter — NULL-id rows are never sampled (documented, not
+    silent: they cannot be deterministically assigned).
     """
-    bucket = F.pmod(F.col(id_col).cast("bigint") * F.lit(_HASH_MULT), F.lit(_HASH_MOD))
+    bucket = _bucket(id_col)
     rate = F.lit(float(default_rate))
     for k, r in sorted(rates.items()):
         rate = F.when(F.col(key_col) == k, F.lit(float(r))).otherwise(rate)
@@ -159,9 +181,15 @@ def assign_splits(
     uncontaminated as a 100 TB corpus is re-snapshotted). Pure codegen:
     one integer multiply + compares, evaluable at the scan.
 
+    NULL ids route to the FIRST-listed split (train by default),
+    explicitly: a NULL bucket makes every ``when`` test NULL, which
+    previously fell through to the LAST split — silently concentrating
+    corrupted-id rows in the (smallest, most contamination-sensitive)
+    eval split (r6 review).
+
     Returns df plus a ``split`` column."""
     fractions = fractions or {"train": 0.9, "val": 0.05, "test": 0.05}
-    bucket = F.pmod(F.col(id_col).cast("bigint") * F.lit(_HASH_MULT), F.lit(_HASH_MOD))
+    bucket = _bucket(id_col)
     expr = None
     cum = 0.0
     items = list(fractions.items())
@@ -173,6 +201,8 @@ def assign_splits(
         )
     last = items[-1][0]
     expr = F.lit(last) if expr is None else expr.otherwise(F.lit(last))
+    first = items[0][0]
+    expr = F.when(F.col(id_col).isNull(), F.lit(first)).otherwise(expr)
     return df.withColumn("split", expr)
 
 
@@ -271,8 +301,9 @@ def temperature_mix(
         n_shards,
         "r",
     )
+    q = quotas.select(F.col(key_col).alias("_q_k"), "quota")
     return (
-        ranked.join(F.broadcast(quotas), key_col)
+        ranked.join(F.broadcast(q), F.col(key_col).eqNullSafe(F.col("_q_k")))
         .filter(F.col("r") <= F.col("quota"))
         .select(id_col, key_col)
     )
@@ -337,7 +368,29 @@ def length_trim(
             (F.col("_cb") + F.col("_c") <= F.col("_lo")) | (F.col("_cb") >= F.col("_hi"))
         ).alias("_drop_all"),
     )
-    joined = rows.join(hist, [key_col, len_col])
+    # broadcast + null-safe: hist is aggregate-sized (|groups| × length
+    # domain), and without the hint a disabled/exceeded auto-broadcast
+    # threshold turns this into a corpus shuffle keyed by (group, len) —
+    # an adversarial single-length corpus would funnel through one task,
+    # the exact skew this histogram design exists to avoid. NULL group
+    # or length values are real groupBy groups and must join back.
+    h = hist.select(
+        F.col(key_col).alias("_h_k"),
+        F.col(len_col).alias("_h_l"),
+        "_cb",
+        "_lo",
+        "_hi",
+        "_keep_all",
+        "_drop_all",
+    )
+    joined = rows.join(
+        F.broadcast(h),
+        F.col(key_col).eqNullSafe(F.col("_h_k"))
+        & F.col(len_col).eqNullSafe(F.col("_h_l")),
+    ).drop("_h_k", "_h_l")
+    from pyspark.storagelevel import StorageLevel
+
+    joined = joined.persist(StorageLevel.MEMORY_AND_DISK)
     keep = joined.filter("_keep_all").select(id_col, key_col, len_col)
     boundary = joined.filter(~F.col("_keep_all") & ~F.col("_drop_all")).withColumn(
         "bucket", _bucket(id_col)

@@ -50,8 +50,20 @@ def punct_count(col: Column) -> Column:
 
 
 def stopword_hits(col: Column, words: list[str]) -> Column:
-    """Total occurrences of any of ``words`` as whole words."""
-    pattern = r"\b(" + "|".join(words) + r")\b"
+    """Total occurrences of any of ``words`` as whole words. Words are
+    regex-escaped — a caller-supplied 'c++' or 'e.g.' must count as a
+    literal, not compile as quantifiers/wildcards (r6 review). ``\\b``
+    is applied per word edge only where the word actually starts/ends
+    with a word character: Java's \\b between two NON-word chars never
+    matches, so '\\bc\\+\\+\\b' could not match 'c++ ' at all."""
+    import re as _re
+
+    def _piece(w: str) -> str:
+        pre = r"\b" if (w and (w[0].isalnum() or w[0] == "_")) else ""
+        suf = r"\b" if (w and (w[-1].isalnum() or w[-1] == "_")) else ""
+        return pre + _re.escape(w) + suf
+
+    pattern = "|".join(_piece(w) for w in words)
     return F.regexp_count(F.lower(col), F.lit(pattern)).cast("bigint")
 
 
@@ -83,7 +95,12 @@ def quality_score(text_col: Column) -> Column:
     n_chars = F.length(text_col).cast("double")
     n_tok = token_count(text_col).cast("double")
     n_tok_safe = F.greatest(n_tok, F.lit(1.0))
-    mean_tok_len = (n_chars - (n_tok_safe - 1)) / n_tok_safe
+    # true mean token length = non-whitespace chars / tokens. The old
+    # (n_chars - (n_tok - 1)) form assumed exactly one separator char
+    # between tokens, so newline-heavy or padded docs scored inflated
+    # token lengths (r6 review).
+    n_ws = F.regexp_count(text_col, F.lit(r"\s")).cast("double")
+    mean_tok_len = (n_chars - n_ws) / n_tok_safe
     len_score = F.least(n_chars / F.lit(1000.0), F.lit(1.0))
     tok_score = F.when((mean_tok_len >= 3) & (mean_tok_len <= 8), F.lit(1.0)).otherwise(
         F.greatest(F.lit(0.0), F.lit(1.0) - F.abs(mean_tok_len - F.lit(5.5)) / F.lit(10.0))
@@ -174,15 +191,21 @@ def redact_pii(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") ->
     string byte-for-byte without shipping the text anywhere).
 
     Pure codegen narrow map: regexp_count + two chained regexp_replace,
-    zero shuffles, nothing text-sized leaves the scan stage."""
+    zero shuffles, nothing text-sized leaves the scan stage.
+
+    ``n_phones`` is counted on the EMAIL-REDACTED text, matching the
+    chained replacement the digest certifies: replacements interact
+    ('555-123-4567@mail.com' is consumed whole by the email pass; an
+    email ending in digits can expose a phone boundary), so counting
+    both on the original text could disagree with the substitutions
+    actually present in the redacted string (r6 review)."""
     t = F.col(text_col)
-    red = F.regexp_replace(
-        F.regexp_replace(t, PII_EMAIL_RE, "<EMAIL>"), PII_PHONE_RE, "<PHONE>"
-    )
+    after_email = F.regexp_replace(t, PII_EMAIL_RE, "<EMAIL>")
+    red = F.regexp_replace(after_email, PII_PHONE_RE, "<PHONE>")
     return df.select(
         F.col(id_col),
         F.regexp_count(t, F.lit(PII_EMAIL_RE)).cast("bigint").alias("n_emails"),
-        F.regexp_count(t, F.lit(PII_PHONE_RE)).cast("bigint").alias("n_phones"),
+        F.regexp_count(after_email, F.lit(PII_PHONE_RE)).cast("bigint").alias("n_phones"),
         F.md5(red).alias("redacted_md5"),
     )
 

@@ -966,14 +966,15 @@ WITH m AS (
   SELECT doc_id,
          CAST(length(text) AS DOUBLE) AS n_chars,
          greatest(CAST(len(regexp_extract_all(text, '\\S+')) AS DOUBLE), 1.0) AS n_tok,
+         CAST(len(regexp_extract_all(text, '\\s')) AS DOUBLE) AS n_ws,
          CAST(len(regexp_extract_all(text, '[.,;:!?''"()\\[\\]{{}}-]')) AS DOUBLE) AS n_punct,
          CAST({_langid_score_sql(_all_stopwords)} AS DOUBLE) AS n_stop
   FROM documents
 ), s AS (
   SELECT doc_id,
          least(n_chars / 1000.0, 1.0) AS len_score,
-         CASE WHEN (n_chars - (n_tok - 1)) / n_tok BETWEEN 3 AND 8 THEN 1.0
-              ELSE greatest(0.0, 1.0 - abs((n_chars - (n_tok - 1)) / n_tok - 5.5) / 10.0)
+         CASE WHEN (n_chars - n_ws) / n_tok BETWEEN 3 AND 8 THEN 1.0
+              ELSE greatest(0.0, 1.0 - abs((n_chars - n_ws) / n_tok - 5.5) / 10.0)
          END AS tok_score,
          1.0 - least(n_punct / greatest(n_chars, 1.0) * 10, 1.0) AS punct_score,
          least(n_stop / n_tok * 20, 1.0) AS stop_score
@@ -1025,6 +1026,7 @@ WITH m AS (
          CAST(length(text) AS DOUBLE) AS n_chars,
          CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens,
          greatest(CAST(len(regexp_extract_all(text, '\\S+')) AS DOUBLE), 1.0) AS n_tok,
+         CAST(len(regexp_extract_all(text, '\\s')) AS DOUBLE) AS n_ws,
          CAST(len(regexp_extract_all(text, '[.,;:!?''"()\\[\\]{{}}-]')) AS DOUBLE) AS n_punct,
          CAST({_langid_score_sql(_all_stopwords)} AS DOUBLE) AS n_stop,
          {_langid_case} AS pred_lang
@@ -1032,8 +1034,8 @@ WITH m AS (
 ), scored AS (
   SELECT doc_id, text, n_tokens, pred_lang,
          ROUND((least(n_chars / 1000.0, 1.0)
-              + CASE WHEN (n_chars - (n_tok - 1)) / n_tok BETWEEN 3 AND 8 THEN 1.0
-                     ELSE greatest(0.0, 1.0 - abs((n_chars - (n_tok - 1)) / n_tok - 5.5) / 10.0)
+              + CASE WHEN (n_chars - n_ws) / n_tok BETWEEN 3 AND 8 THEN 1.0
+                     ELSE greatest(0.0, 1.0 - abs((n_chars - n_ws) / n_tok - 5.5) / 10.0)
                 END
               + 1.0 - least(n_punct / greatest(n_chars, 1.0) * 10, 1.0)
               + least(n_stop / n_tok * 20, 1.0)) * 25.0, 4) AS quality
@@ -1515,7 +1517,11 @@ WITH injected AS (
 )
 SELECT doc_id,
        CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
-       CAST(len(regexp_extract_all(text, '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS BIGINT) AS n_phones,
+       -- phones counted on the EMAIL-REDACTED text (matches the chained
+       -- replacement the digest certifies; see operators/text.redact_pii)
+       CAST(len(regexp_extract_all(
+             regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS BIGINT) AS n_phones,
        md5(regexp_replace(
              regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
              '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g')) AS redacted_md5

@@ -768,3 +768,55 @@ def test_minhash_signature_column_matches_df_form(spark, docs):
         ).collect()
     }
     assert col_form == df_form
+
+
+def test_curation_null_keys_survive(spark):
+    """r6: NULL group keys are real groupBy groups — the sharded-rank
+    equi-joins previously dropped NULL-lang/NULL-length rows silently;
+    NULL ids route to the first split, never the eval split."""
+    from icegopher_spark.operators import curation
+
+    rows = [(1, "en", 10), (2, "en", 20), (3, None, 10), (4, None, 30), (5, "de", None)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, n_chars long")
+    # stratified_sample keeps NULL-lang stratum
+    got = curation.stratified_sample(df, quota=10, key_col="lang")
+    assert got.filter(F.col("lang").isNull()).count() == 2
+    # length_trim with full range keeps every row incl. NULL key/len
+    trimmed = curation.length_trim(df, lo_pct=0, hi_pct=100)
+    assert trimmed.count() == 5
+    # temperature_mix: the NULL-lang group gets its quota (here
+    # floor(5*1/1)=5 targets, w=1 each over 3 groups -> quota 1) —
+    # before the null-safe quota join it got ZERO
+    mixed = curation.temperature_mix(df, 1, 1)
+    assert mixed.filter(F.col("lang").isNull()).count() == 1
+    # NULL id -> first-listed split, deterministically
+    ids = spark.createDataFrame([(None,), (7,)], "doc_id long")
+    splits = {r["doc_id"]: r["split"] for r in curation.assign_splits(ids).collect()}
+    assert splits[None] == "train"
+    # pack_sequences shards stay in [0, n_shards) for negative ids
+    neg = spark.createDataFrame([(-5, "a b c")], "doc_id long, text string")
+    assert curation.pack_sequences(neg, n_shards=64).first()["shard"] == 59
+
+
+def test_redact_pii_counts_match_redacted_text(spark):
+    """r6: a phone-shaped string consumed by the email pass must not
+    count as a phone; a phone exposed by email replacement must."""
+    rows = [
+        (1, "reach 555-123-4567@mail.com now"),   # email eats the digits
+        (2, "a@b.co555-123-4567"),                 # boundary appears post-redact
+        (3, "call 555-123-4567 or x@y.org"),       # one of each
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in text.redact_pii(df).collect()}
+    assert (got[1]["n_emails"], got[1]["n_phones"]) == (1, 0)
+    assert (got[2]["n_emails"], got[2]["n_phones"]) == (1, 1)
+    assert (got[3]["n_emails"], got[3]["n_phones"]) == (1, 1)
+
+
+def test_stopword_hits_escapes_metacharacters(spark):
+    """r6: caller-supplied words like 'c++' must match literally."""
+    df = spark.createDataFrame([(1, "I code c++ and cccc daily e.g. now")], "id long, text string")
+    n = df.select(text.stopword_hits(F.col("text"), ["c++"]).alias("n")).first()["n"]
+    assert n == 1  # literal 'c++', NOT the quantifier reading matching 'cccc'
+    n2 = df.select(text.stopword_hits(F.col("text"), ["e.g."]).alias("n")).first()["n"]
+    assert n2 == 1
