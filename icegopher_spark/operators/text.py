@@ -58,13 +58,24 @@ def stopword_hits(col: Column, words: list[str]) -> Column:
     matches, so '\\bc\\+\\+\\b' could not match 'c++ ' at all."""
     import re as _re
 
-    def _piece(w: str) -> str:
-        pre = r"\b" if (w and (w[0].isalnum() or w[0] == "_")) else ""
-        suf = r"\b" if (w and (w[-1].isalnum() or w[-1] == "_")) else ""
-        return pre + _re.escape(w) + suf
+    def _wordy(w: str) -> bool:
+        return bool(w) and (w[0].isalnum() or w[0] == "_") and (
+            w[-1].isalnum() or w[-1] == "_"
+        )
 
-    pattern = "|".join(_piece(w) for w in words)
-    return F.regexp_count(F.lower(col), F.lit(pattern)).cast("bigint")
+    # words fully bounded by word chars share one \b(...)\b group (the
+    # common case — keeps the compiled regex as small/fast as before);
+    # irregular words get per-edge boundaries
+    wordy = [w for w in words if _wordy(w)]
+    pieces = []
+    if wordy:
+        pieces.append(r"\b(" + "|".join(_re.escape(w) for w in wordy) + r")\b")
+    for w in words:
+        if not _wordy(w):
+            pre = r"\b" if (w and (w[0].isalnum() or w[0] == "_")) else ""
+            suf = r"\b" if (w and (w[-1].isalnum() or w[-1] == "_")) else ""
+            pieces.append(pre + _re.escape(w) + suf)
+    return F.regexp_count(F.lower(col), F.lit("|".join(pieces))).cast("bigint")
 
 
 def lang_id(col: Column) -> Column:
@@ -98,8 +109,10 @@ def quality_score(text_col: Column) -> Column:
     # true mean token length = non-whitespace chars / tokens. The old
     # (n_chars - (n_tok - 1)) form assumed exactly one separator char
     # between tokens, so newline-heavy or padded docs scored inflated
-    # token lengths (r6 review).
-    n_ws = F.regexp_count(text_col, F.lit(r"\s")).cast("double")
+    # token lengths (r6 review). translate() is a char-map, not a
+    # regex pass — same \s set ([ \t\n\x0B\f\r]) at ~half the cost of
+    # regexp_count over every document.
+    n_ws = n_chars - F.length(F.translate(text_col, " \t\n\x0b\f\r", "")).cast("double")
     mean_tok_len = (n_chars - n_ws) / n_tok_safe
     len_score = F.least(n_chars / F.lit(1000.0), F.lit(1.0))
     tok_score = F.when((mean_tok_len >= 3) & (mean_tok_len <= 8), F.lit(1.0)).otherwise(
