@@ -41,7 +41,13 @@ from .manifests import (
     read_manifest_list,
 )
 from .metadata import OP_REPLACE, parse_metadata
-from .table import Table, _match_deletes, _maybe_broadcast_deletes, strip_file_scheme
+from .table import (
+    FileScanTask,
+    Table,
+    _match_deletes,
+    _maybe_broadcast_deletes,
+    strip_file_scheme,
+)
 from .types import to_spark_type
 from .write import (
     _commit_metadata,
@@ -64,6 +70,21 @@ def _data_and_delete_manifests(
     data = [m for m in manifests if m.content != ManifestContent.DELETES]
     deletes = [m for m in manifests if m.content == ManifestContent.DELETES]
     return data, deletes
+
+
+def _schema_fallback_renames(md) -> set[str]:
+    """Field names that differ for the same field id across the table's
+    schema history. Non-empty means current-schema fallback for
+    expired-snapshot files is NOT rename-safe (parquet reads match by
+    name)."""
+    current = {f.field_id: f.name for f in md.current_schema.fields}
+    out: set[str] = set()
+    for s in md.schemas:
+        for f in s.fields:
+            cur = current.get(f.field_id)
+            if cur is not None and cur != f.name:
+                out.add(f"{f.name}->{cur}")
+    return out
 
 
 def compact_data_files(
@@ -143,73 +164,45 @@ def compact_data_files(
     schema = table.schema
     fmt_out = table.properties.get("write.format.default", "parquet").lower()
     ext = f".{fmt_out}" if fmt_out != "parquet" else ".parquet"
+    scan = table.scan()
+    fallback_unsafe = _schema_fallback_renames(md)
     for (pkey, schema_id, _fmt, eq_key), group in groups.items():
         if len(group) < 2:
             continue
-        paths = [strip_file_scheme(e.data_file.file_path) for e in group]
-        file_schema = (md.schema_by_id(schema_id) if schema_id is not None else None) or schema
-        reader = spark.read.schema(file_schema.to_spark())
-        raw = (
-            reader.format("orc").load(paths)
-            if group[0].data_file.file_format == "ORC"
-            else reader.parquet(*paths)
-        )
-        # project to the CURRENT schema by field ID (rename-safe)
-        cols = []
-        for f in schema.fields:
-            old = file_schema.find_field(f.field_id)
-            if old is not None:
-                c = F.col(old.name)
-                if old.field_type != f.field_type:
-                    c = c.cast(to_spark_type(f.field_type))
-                cols.append(c.alias(f.name))
-            else:
-                cols.append(F.lit(None).cast(to_spark_type(f.field_type)).alias(f.name))
-        group_dfiles = {
-            d.file_path for e in group for d in _match_deletes(e, pos_deletes, pos_seqs)
-        }
-        if group_dfiles:
-            part = raw.select(
-                F.col("_metadata.file_path").alias("_file"),
-                F.col("_metadata.row_index").alias("_pos"),
-                *cols,
+        # a file whose adding snapshot was EXPIRED falls back to the
+        # current schema; parquet reads match columns BY NAME, so if any
+        # field was ever renamed the fallback reads nulls — and unlike a
+        # transient scan misread, compaction would bake those nulls into
+        # the replacement files permanently (r6 review). Refuse loudly.
+        if schema_id is None and fallback_unsafe and any(e.snapshot_id for e in group):
+            raise ValueError(
+                "cannot compact files whose adding snapshot has been "
+                f"expired: fields {sorted(fallback_unsafe)} were renamed "
+                "across schema versions, so the written schema of "
+                f"{[e.data_file.file_path for e in group]} cannot be "
+                "reconstructed; compact before expiring snapshots"
             )
-            dels = spark.read.parquet(*sorted(strip_file_scheme(p) for p in group_dfiles))
-            norm = F.regexp_replace(F.col("_file"), "^file:/*", "/")
-            norm_del = F.regexp_replace(F.col("file_path"), "^file:/*", "/")
-            del_bytes = sum(
-                d.file_size_in_bytes
-                for e in group
-                for d in _match_deletes(e, pos_deletes, pos_seqs)
+        # Read the group THROUGH THE SCAN PATH (to_df with an explicit
+        # task list): one implementation of schema projection,
+        # ORC/Avro positional readers, partial-key refusal, and by-name
+        # delete-column resolution instead of a drifting copy here —
+        # the old copy silently dropped missing equality-key fields
+        # (over-deleting where the scan raises) and renamed delete
+        # columns positionally (r6 review).
+        eq_files = [
+            d.data_file for d in eq_deletes if d.data_file.file_path in eq_key
+        ]
+        group_tasks = [
+            FileScanTask(
+                file=e.data_file,
+                delete_files=_match_deletes(e, pos_deletes, pos_seqs),
+                length=e.data_file.file_size_in_bytes,
+                schema_id=schema_id,
+                eq_delete_files=eq_files,
             )
-            part = part.join(
-                _maybe_broadcast_deletes(
-                    dels.select(norm_del.alias("_del_path"), F.col("pos").alias("_del_pos")),
-                    del_bytes,
-                ),
-                (norm == F.col("_del_path")) & (F.col("_pos") == F.col("_del_pos")),
-                "left_anti",
-            ).drop("_file", "_pos")
-        else:
-            part = raw.select(*cols)
-        for dpath in sorted(eq_key):
-            dentry = next(d.data_file for d in eq_deletes if d.data_file.file_path == dpath)
-            names = [
-                schema.find_field(fid).name
-                for fid in (dentry.equality_ids or [])
-                if schema.find_field(fid) is not None
-            ]
-            if not names:
-                continue
-            keys = spark.read.parquet(strip_file_scheme(dpath))
-            keys = keys.toDF(*names) if len(keys.columns) == len(names) else keys
-            part = part.join(
-                _maybe_broadcast_deletes(
-                    keys.select(*names).distinct(), dentry.file_size_in_bytes
-                ),
-                names,
-                "left_anti",
-            )
+            for e in group
+        ]
+        part = scan.to_df(spark, tasks=group_tasks)
 
         total = sum(e.data_file.file_size_in_bytes for e in group)
         n_out = max(1, math.ceil(total / target))
@@ -258,16 +251,32 @@ def rewrite_manifests(table: Table) -> Table:
     )
 
 
-def _snapshot_file_refs(table: Table, snap) -> tuple[set[str], set[str]]:
-    """(manifest paths, data/delete file paths) referenced by a snapshot."""
+def _snapshot_file_refs(
+    table: Table, snap, _cache: dict[str, set[str]] | None = None
+) -> tuple[set[str], set[str]]:
+    """(manifest paths, data/delete file paths) referenced by a snapshot.
+
+    ``_cache`` memoizes decoded manifests BY PATH across calls —
+    manifests are immutable and heavily shared between snapshots (every
+    append carries prior manifests forward), so reachability over N
+    snapshots without the cache re-reads each manifest up to N times:
+    O(snapshots × manifests) metadata IO (r6 review)."""
     io = table.io
     manifests = read_manifest_list(io.read(snap.manifest_list))
     mpaths: set[str] = set()
     fpaths: set[str] = set()
     for m in manifests:
         mpaths.add(m.manifest_path)
-        for e in fetch_entries(m, io.read(m.manifest_path), discard_deleted=False):
-            fpaths.add(e.data_file.file_path)
+        if _cache is not None and m.manifest_path in _cache:
+            fpaths |= _cache[m.manifest_path]
+            continue
+        refs = {
+            e.data_file.file_path
+            for e in fetch_entries(m, io.read(m.manifest_path), discard_deleted=False)
+        }
+        if _cache is not None:
+            _cache[m.manifest_path] = refs
+        fpaths |= refs
     return mpaths, fpaths
 
 
@@ -314,17 +323,18 @@ def expire_snapshots(
     # ExpireSnapshots does the same commit-then-clean ordering).
     doomed: list[str] = []
     if delete_files:
+        mcache: dict[str, set[str]] = {}  # manifests are immutable + shared
         kept_manifests: set[str] = set()
         kept_files: set[str] = set()
         for s in snaps:
             if s.snapshot_id in keep_ids:
-                mp, fp = _snapshot_file_refs(table, s)
+                mp, fp = _snapshot_file_refs(table, s, mcache)
                 kept_manifests |= mp
                 kept_files |= fp
         exp_manifests: set[str] = set()
         exp_files: set[str] = set()
         for s in expired:
-            mp, fp = _snapshot_file_refs(table, s)
+            mp, fp = _snapshot_file_refs(table, s, mcache)
             exp_manifests |= mp
             exp_files |= fp
         doomed.extend(exp_manifests - kept_manifests)
@@ -401,9 +411,10 @@ def orphan_files(
     for fn in os.listdir(os.path.join(location, "metadata")):
         if fn.endswith(".metadata.json") or fn == "version-hint.text":
             referenced.add(os.path.join(location, "metadata", fn))
+    mcache: dict[str, set[str]] = {}
     for s in md.snapshots:
         referenced.add(strip_file_scheme(s.manifest_list))
-        mp, fp = _snapshot_file_refs(table, s)
+        mp, fp = _snapshot_file_refs(table, s, mcache)
         referenced.update(strip_file_scheme(p) for p in mp)
         referenced.update(strip_file_scheme(p) for p in fp)
     # Spark write artifacts that are never referenced but expected

@@ -206,8 +206,15 @@ def _kmeans_centroids(
         on (data, seed), never on partitioning or parallelism."""
     import numpy as np
 
-    n = corpus.count()
-    train_df = corpus.select(F.col(vec_col).cast("array<double>").alias("v"))
+    # null embeddings can't train (tuple(None) below) and an empty
+    # corpus would IndexError at the first centroid pick — guard both
+    # with clear errors (r6 review)
+    train_df = corpus.select(F.col(vec_col).cast("array<double>").alias("v")).where(
+        F.col("v").isNotNull()
+    )
+    n = train_df.count()
+    if n == 0:
+        raise ValueError("cannot train IVF centroids: corpus has no non-null vectors")
     if n > sample_cap:
         mod = 1_000_000
         keep = max(1, int(mod * sample_cap / n))
@@ -382,20 +389,36 @@ def band_key_arrays(vec_col: str, planes: list[list[float]], band_size: int) -> 
     from pyspark.sql.functions import pandas_udf
 
     P = np.asarray(planes, dtype=np.float64).T  # dim × n_planes
+    if P.shape[1] % band_size:
+        raise ValueError(
+            f"n_planes={P.shape[1]} is not divisible by band_size={band_size}"
+        )
     n_bands = P.shape[1] // band_size
     weights = (1 << np.arange(band_size)).astype(np.int64)
 
     def _keys(v: pd.Series) -> pd.Series:
         if not len(v):
             return pd.Series([], dtype=object)
-        m = np.asarray([np.asarray(x, dtype=np.float64) for x in v.tolist()])
+        # NULL embeddings -> NULL key array (posexplode then emits no
+        # bands for the row); np.asarray(None) would fail the task
+        null = v.isna().to_numpy()
+        dim = P.shape[0]
+        m = np.asarray(
+            [
+                np.zeros(dim) if mask else np.asarray(x, dtype=np.float64)
+                for x, mask in zip(v.tolist(), null.tolist())
+            ]
+        )
         signs = (m @ P) > 0.0
         keys = (
             (signs.reshape(len(m), n_bands, band_size) * weights)
             .sum(axis=2)
             .astype("int32")
         )
-        return pd.Series([row.tolist() for row in keys])
+        return pd.Series(
+            [None if mask else row.tolist() for row, mask in zip(keys, null.tolist())],
+            dtype=object,
+        )
 
     _keys.__annotations__ = {"v": pd.Series, "return": pd.Series}
     return pandas_udf(_keys, "array<int>")(F.col(vec_col))
@@ -479,8 +502,11 @@ def group_centroids(
     import numpy as np
     import pandas as pd
 
+    # the group column keeps ITS OWN type — hardcoding int broke any
+    # string/long-labeled corpus at Arrow conversion (r6 review)
+    group_type = df.schema[group_col].dataType.simpleString()
     out_schema = (
-        f"{group_col} int, n_vecs long, centroid array<double>"
+        f"{group_col} {group_type}, n_vecs long, centroid array<double>"
     )
 
     def centroid(pdf: pd.DataFrame) -> pd.DataFrame:

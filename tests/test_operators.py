@@ -820,3 +820,42 @@ def test_stopword_hits_escapes_metacharacters(spark):
     assert n == 1  # literal 'c++', NOT the quantifier reading matching 'cccc'
     n2 = df.select(text.stopword_hits(F.col("text"), ["e.g."]).alias("n")).first()["n"]
     assert n2 == 1
+
+
+def test_similarity_null_and_param_guards(spark):
+    """r6: empty/null corpora fail with clear errors or skip null rows
+    instead of crashing deep inside numpy; group_centroids keeps the
+    group column's own type."""
+    from icegopher_spark.operators import similarity
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="no non-null vectors"):
+        similarity._kmeans_centroids(empty, "embedding", n_lists=4, seed=7)
+
+    rows = [(1, [1.0, 0.0]), (2, None), (3, [0.0, 1.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    # training silently skips the null row
+    c = similarity._kmeans_centroids(df, "embedding", n_lists=2, seed=7)
+    assert len(c) == 2
+    # band keys: null embedding -> null key array, others unaffected
+    planes = [[1.0, 0.0], [0.0, 1.0], [1.0, 1.0], [1.0, -1.0]]
+    keys = {
+        r["vec_id"]: r["k"]
+        for r in df.select(
+            "vec_id", similarity.band_key_arrays("embedding", planes, 2).alias("k")
+        ).collect()
+    }
+    assert keys[2] is None and keys[1] is not None
+    # non-divisible banding is a loud parameter error
+    with pytest.raises(ValueError, match="not divisible"):
+        df.select(similarity.band_key_arrays("embedding", planes, 3))
+    # string-labeled centroids
+    lab = spark.createDataFrame(
+        [("a", [1.0, 1.0]), ("a", [3.0, 3.0]), ("b", [0.0, 2.0])],
+        "label string, embedding array<double>",
+    )
+    got = {
+        r["label"]: r["centroid"]
+        for r in similarity.group_centroids(lab, group_col="label", vec_col="embedding").collect()
+    }
+    assert got["a"] == [2.0, 2.0] and got["b"] == [0.0, 2.0]
