@@ -55,9 +55,11 @@ class _FilePartition(InputPartition):
         column_map: tuple[tuple[str, str | None], ...] | None = None,
         arrow_schema=None,
         eq_deletes: tuple[tuple[str, tuple[str, ...]], ...] = (),
+        file_format: str = "PARQUET",
     ):
         self.path = path
         self.delete_paths = delete_paths
+        self.file_format = file_format
         # field-ID projection: (target name, name in THIS file | None if
         # the column didn't exist when the file was written)
         self.column_map = column_map
@@ -68,11 +70,18 @@ class _FilePartition(InputPartition):
         self.eq_deletes = eq_deletes
 
 
-def resolve_location(options) -> str:
+def resolve_location(options, for_write: bool = False) -> str:
     """Table location from datasource options: either a direct
     ``location``, or ``catalog`` (URI / warehouse path; type inferred
     the same way ``load_catalog`` infers it) + ``table`` (dotted
-    identifier) resolved through the catalog layer."""
+    identifier) resolved through the catalog layer.
+
+    Catalog-managed tables resolve to their EXACT metadata-file
+    location (the catalog's pointer), not the table directory — REST
+    tables have no version-hint.text, so a directory load would fail
+    or read stale metadata (r6 review). Writes refuse the catalog
+    route: committing via the hint file would advance the table behind
+    the catalog's pointer, and catalog readers would never see it."""
     if "location" in options:
         return options["location"]
     cat_uri = options.get("catalog")
@@ -85,7 +94,25 @@ def resolve_location(options) -> str:
     from .catalog import load_catalog
 
     t = load_catalog("dsv2", cat_uri).load_table(tuple(ident.split(".")))
-    return t.location
+    return t.metadata_location or t.location
+
+
+def load_table_for_commit(options):
+    """Driver-side table handle for a WRITE commit. Catalog-managed
+    tables load THROUGH the catalog so _commit_snapshot routes the
+    commit via cat.commit_table (updating the catalog's metadata
+    pointer atomically) — committing via the version-hint file would
+    advance the table behind the catalog's back and catalog readers
+    would never see it (r6 review)."""
+    from .table import Table
+
+    if "location" in options:
+        return Table.from_location(options["location"])
+    from .catalog import load_catalog
+
+    return load_catalog("dsv2", options["catalog"]).load_table(
+        tuple(options["table"].split("."))
+    )
 
 
 def column_map_for(file_schema, current):
@@ -195,14 +222,29 @@ class _BatchReader(DataSourceReader):
             kwargs["snapshot_id"] = int(self.snapshot_id)
         if self._row_filter is not None:
             kwargs["row_filter"] = self._row_filter
-        tasks = t.scan(**kwargs).plan_files()
+        scan = t.scan(**kwargs)
+        tasks = scan.plan_files()
         from pyspark.sql.pandas.types import to_arrow_schema
 
-        current = t.schema
+        # under explicit time travel the SNAPSHOT's schema governs
+        # (same contract as TableScan.projection and DataSource.schema;
+        # the current schema would hide columns dropped since — r6)
+        current = scan.projection()
         arrow_schema = to_arrow_schema(current.to_spark())
         md = t.metadata
         parts = []
         for task in tasks:
+            fmt = task.file.file_format
+            if fmt == "AVRO":
+                # the Arrow read path has no Avro decoder with exact
+                # Iceberg type coercion; refuse at PLAN time instead of
+                # failing mid-read with parquet magic-byte errors (r6).
+                # The native scan (Table.to_df) reads Avro tables.
+                raise ValueError(
+                    f"datasource read: {task.file.file_path} is AVRO; "
+                    "the DataSource face reads PARQUET and ORC only — "
+                    "use table.scan().to_df(spark) for Avro tables"
+                )
             file_schema = (
                 md.schema_by_id(task.schema_id) if task.schema_id is not None else None
             ) or current
@@ -230,6 +272,10 @@ class _BatchReader(DataSourceReader):
                 if names:
                     eq.append((d.file_path, tuple(names)))
             eq = tuple(eq)
+            # ORC batches always run the projection/cast step so the
+            # emitted Arrow types match the declared schema exactly
+            if fmt == "ORC" and cmap is None:
+                cmap = tuple((f.name, f.name) for f in current.fields)
             parts.append(
                 _FilePartition(
                     task.file.file_path,
@@ -237,6 +283,7 @@ class _BatchReader(DataSourceReader):
                     cmap,
                     arrow_schema if cmap is not None else None,
                     eq,
+                    file_format=fmt,
                 )
             )
         return parts or [_FilePartition("")]
@@ -250,22 +297,53 @@ class _BatchReader(DataSourceReader):
             return iter([])
         import pyarrow.parquet as pq
 
+        from .io import strip_scheme
         from .table import strip_file_scheme
 
         import numpy as np
         import pyarrow as pa
 
-        batches = pq.ParquetFile(strip_file_scheme(partition.path)).iter_batches()
+        if partition.file_format == "ORC":
+            from pyarrow import orc as _orc
+
+            def _orc_batches(path=strip_file_scheme(partition.path)):
+                f = _orc.ORCFile(path)
+                for i in range(f.nstripes):
+                    tbl = f.read_stripe(i)
+                    yield from (
+                        tbl.to_batches() if hasattr(tbl, "to_batches") else [tbl]
+                    )
+
+            batches = _orc_batches()
+        else:
+            batches = pq.ParquetFile(strip_file_scheme(partition.path)).iter_batches()
 
         if partition.delete_paths:
-            my_path = strip_file_scheme(partition.path)
+            # urlparse-based strip_scheme normalizes BOTH 'file:///x'
+            # and the single-slash 'file:/x' form some writers emit —
+            # the old exact 'file://' strip silently skipped deletes on
+            # mixed URI forms (r6 review)
+            my_path = strip_scheme(strip_file_scheme(partition.path))
             dead: set[int] = set()
             for dpath in partition.delete_paths:
-                dt = pq.read_table(
-                    strip_file_scheme(dpath), columns=["file_path", "pos"]
-                )
+                # push a file_path filter into the parquet read: delete
+                # files are sorted by (file_path, pos) per the spec, so
+                # row-group stats prune non-matching groups instead of
+                # decoding the whole delete file once per data file
+                try:
+                    dt = pq.read_table(
+                        strip_file_scheme(dpath),
+                        columns=["file_path", "pos"],
+                        filters=[
+                            ("file_path", "in", [my_path, "file://" + my_path, "file:" + my_path])
+                        ],
+                    )
+                except Exception:  # noqa: BLE001 - filter pushdown is best-effort
+                    dt = pq.read_table(
+                        strip_file_scheme(dpath), columns=["file_path", "pos"]
+                    )
                 for fp, pos in zip(dt["file_path"].to_pylist(), dt["pos"].to_pylist()):
-                    if strip_file_scheme(fp) == my_path:
+                    if strip_scheme(fp) == my_path:
                         dead.add(pos)
             if dead:
                 dead_arr = np.fromiter(dead, dtype=np.int64)
@@ -381,6 +459,7 @@ class _TaskCommit(WriterCommitMessage):
 
 class _BatchWriter(DataSourceArrowWriter):
     def __init__(self, options, overwrite: bool, part_fields):
+        self.options = dict(options)
         self.location = resolve_location(options)
         self.overwrite = overwrite
         # picklable: [(spec field name, source column, Transform, IcebergType)]
@@ -424,6 +503,11 @@ class _BatchWriter(DataSourceArrowWriter):
         tc = TaskContext.get()
         attempt = tc.taskAttemptId() if tc else 0
         loc = self.location.removeprefix("file://")
+        if loc.endswith(".json"):
+            # catalog-resolved metadata file -> table root is two levels up
+            import os as _os
+
+            loc = _os.path.dirname(_os.path.dirname(loc))
         d = f"{loc}/data/dsw-{uuid.uuid4().hex[:16]}-a{attempt}"
         writers: dict[tuple, tuple] = {}  # key -> (ParquetWriter, path, partition)
 
@@ -474,7 +558,7 @@ class _BatchWriter(DataSourceArrowWriter):
         from .write import _commit_snapshot, collect_data_file
 
         entries = [e for m in messages if m is not None for e in m.entries]
-        t = Table.from_location(self.location)
+        t = load_table_for_commit(self.options)
         files = [collect_data_file(p, t.schema, part) for p, part in entries]
         if self.overwrite:
             _commit_snapshot(t, files, OP_OVERWRITE, keep_manifests=[])
@@ -507,7 +591,13 @@ class IcebergDataSource(DataSource):
     def schema(self):
         from .table import Table
 
-        return Table.from_location(resolve_location(self.options)).schema.to_spark()
+        t = Table.from_location(resolve_location(self.options))
+        snap = self.options.get("snapshot-id")
+        if snap:
+            # snapshot schema governs under explicit time travel —
+            # must agree with what the reader's partitions() projects
+            return t.scan(snapshot_id=int(snap)).projection().to_spark()
+        return t.schema.to_spark()
 
     def reader(self, schema):
         from pyspark.sql import SparkSession
@@ -551,7 +641,7 @@ class IcebergDataSource(DataSource):
         return part_fields
 
     def streamWriter(self, schema, overwrite: bool):
-        return _IcebergStreamWriter(self.options, self._part_fields())
+        return _IcebergStreamWriter(self.options, self._part_fields(), overwrite)
 
     def writer(self, schema, overwrite: bool):
         return _BatchWriter(self.options, overwrite, self._part_fields())
@@ -570,9 +660,15 @@ class _IcebergStreamWriter(DataSourceStreamArrowWriter):
     discards its markers; keep `retain_last` above the replay horizon.
     """
 
-    def __init__(self, options, part_fields):
+    def __init__(self, options, part_fields, overwrite: bool = False):
+        self.options = dict(options)
         self.location = resolve_location(options)
         self.stream_id = options.get("stream-id", "default")
+        # Complete/truncate output mode: Spark hands overwrite=True and
+        # each micro-batch must REPLACE the table contents — committing
+        # appends instead silently accumulated duplicate aggregate rows
+        # (r6 review)
+        self.overwrite = overwrite
         self._delegate = _BatchWriter(options, overwrite=False, part_fields=part_fields)
 
     def write(self, iterator):
@@ -597,23 +693,28 @@ class _IcebergStreamWriter(DataSourceStreamArrowWriter):
 
     def commit(self, messages, batchId: int) -> None:
         from .manifests import read_manifest_list
-        from .metadata import OP_APPEND
+        from .metadata import OP_APPEND, OP_OVERWRITE
         from .table import Table
         from .write import _commit_snapshot, collect_data_file
 
         entries = [e for m in messages if m is not None for e in m.entries]
-        t = Table.from_location(self.location)
+        t = load_table_for_commit(self.options)
         if batchId <= self._last_committed(t):
             # replayed micro-batch after restart: drop its staged files
             self.abort(messages, batchId)
             return
         files = [collect_data_file(p, t.schema, part) for p, part in entries]
         snap = t.current_snapshot()
-        keep = list(read_manifest_list(t.io.read(snap.manifest_list))) if snap else []
+        if self.overwrite:
+            keep = []
+            op = OP_OVERWRITE
+        else:
+            keep = list(read_manifest_list(t.io.read(snap.manifest_list))) if snap else []
+            op = OP_APPEND
         _commit_snapshot(
             t,
             files,
-            OP_APPEND,
+            op,
             keep_manifests=keep,
             extra_summary={
                 "stream-id": self.stream_id,

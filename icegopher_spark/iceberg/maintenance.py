@@ -44,6 +44,7 @@ from .metadata import OP_REPLACE, parse_metadata
 from .table import (
     FileScanTask,
     Table,
+    _eq_delete_applies,
     _match_deletes,
     _maybe_broadcast_deletes,
     strip_file_scheme,
@@ -124,13 +125,13 @@ def compact_data_files(
         return table
 
     pos_deletes: list[ManifestEntry] = []
-    eq_deletes: list[ManifestEntry] = []
+    eq_deletes: list[tuple[int, ManifestEntry]] = []
     for m in delete_manifests:
         for e in fetch_entries(m, io.read(m.manifest_path), discard_deleted=True):
             if e.data_file.content == DataFileContent.POSITION_DELETES:
                 pos_deletes.append(e)
             elif e.data_file.content == DataFileContent.EQUALITY_DELETES:
-                eq_deletes.append(e)
+                eq_deletes.append((m.partition_spec_id, e))
     pos_deletes.sort(key=lambda e: e.sequence_number or 0)
     pos_seqs = [e.sequence_number or 0 for e in pos_deletes]
 
@@ -146,10 +147,13 @@ def compact_data_files(
         if df.file_size_in_bytes >= threshold:
             continue
         esnap = md.snapshot_by_id(e.snapshot_id) if e.snapshot_id else None
+        # same partition-scoped matching as the scan planner (r6)
         eq_key = frozenset(
             d.data_file.file_path
-            for d in eq_deletes
-            if (d.sequence_number or 0) > (e.sequence_number or 0)
+            for dsid, d in eq_deletes
+            if _eq_delete_applies(
+                dsid, d, md.default_spec_id, df, e.sequence_number or 0
+            )
         )
         key = (
             tuple(sorted(df.partition.items())),
@@ -190,7 +194,7 @@ def compact_data_files(
         # (over-deleting where the scan raises) and renamed delete
         # columns positionally (r6 review).
         eq_files = [
-            d.data_file for d in eq_deletes if d.data_file.file_path in eq_key
+            d.data_file for _sid, d in eq_deletes if d.data_file.file_path in eq_key
         ]
         group_tasks = [
             FileScanTask(

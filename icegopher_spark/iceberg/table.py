@@ -300,7 +300,7 @@ class TableScan:
         #    delete manifests (reference scanner.go:144-160; equality
         #    content enum manifest.go:306-312)
         delete_entries: list[ManifestEntry] = []
-        eq_delete_entries: list[ManifestEntry] = []
+        eq_delete_entries: list[tuple[int, ManifestEntry]] = []
         data_manifests: list[ManifestFile] = []
         for m in manifest_list:
             if m.content == ManifestContent.DELETES:
@@ -310,7 +310,7 @@ class TableScan:
                     if e.data_file.content == DataFileContent.POSITION_DELETES:
                         delete_entries.append(e)
                     elif e.data_file.content == DataFileContent.EQUALITY_DELETES:
-                        eq_delete_entries.append(e)
+                        eq_delete_entries.append((m.partition_spec_id, e))
             else:
                 data_manifests.append(m)
         delete_entries.sort(key=lambda e: e.sequence_number or 0)
@@ -329,12 +329,12 @@ class TableScan:
                 if not metrics_eval.eval(df):
                     continue
                 deletes = _match_deletes(e, delete_entries, delete_seqs)
-                # equality deletes apply to files with STRICTLY smaller
-                # data sequence numbers (Iceberg spec)
                 eq_deletes = [
                     d.data_file
-                    for d in eq_delete_entries
-                    if (d.sequence_number or 0) > (e.sequence_number or 0)
+                    for dsid, d in eq_delete_entries
+                    if _eq_delete_applies(
+                        dsid, d, m.partition_spec_id, df, e.sequence_number or 0
+                    )
                 ]
                 esnap = md.snapshot_by_id(e.snapshot_id) if e.snapshot_id else None
                 tasks.append(
@@ -406,7 +406,7 @@ class TableScan:
         # delete side stays on the driver: delete manifests are few and
         # matching needs the global sorted-by-sequence view
         delete_entries: list[ManifestEntry] = []
-        eq_delete_entries: list[ManifestEntry] = []
+        eq_delete_entries: list[tuple[int, ManifestEntry]] = []
         data_manifests: list[ManifestFile] = []
         for m in manifest_list:
             if m.content == ManifestContent.DELETES:
@@ -416,7 +416,7 @@ class TableScan:
                     if e.data_file.content == DataFileContent.POSITION_DELETES:
                         delete_entries.append(e)
                     elif e.data_file.content == DataFileContent.EQUALITY_DELETES:
-                        eq_delete_entries.append(e)
+                        eq_delete_entries.append((m.partition_spec_id, e))
             else:
                 if manifest_may_match(m):
                     data_manifests.append(m)
@@ -449,23 +449,25 @@ class TableScan:
                     continue
                 if not metrics.eval(df):
                     continue
-                out.append(e)
+                out.append((m.partition_spec_id, e))
             return out
 
         n_slices = min(len(data_manifests), spark.sparkContext.defaultParallelism)
-        survived: list[ManifestEntry] = (
+        survived: list[tuple[int, ManifestEntry]] = (
             spark.sparkContext.parallelize(data_manifests, n_slices)
             .flatMap(eval_manifest)
             .collect()
         )
 
         tasks: list[FileScanTask] = []
-        for e in survived:
+        for data_sid, e in survived:
             deletes = _match_deletes(e, delete_entries, delete_seqs)
             eq_deletes = [
                 d.data_file
-                for d in eq_delete_entries
-                if (d.sequence_number or 0) > (e.sequence_number or 0)
+                for dsid, d in eq_delete_entries
+                if _eq_delete_applies(
+                    dsid, d, data_sid, e.data_file, e.sequence_number or 0
+                )
             ]
             esnap = md.snapshot_by_id(e.snapshot_id) if e.snapshot_id else None
             tasks.append(
@@ -486,7 +488,16 @@ class TableScan:
         """Files ADDED strictly after ``from_snapshot_id`` up to
         ``to_snapshot_id`` (default: current) — the append-diff that
         powers incremental/CDC-style reads (reference: ADDED status,
-        manifest.go:298-304; snapshot lineage via parent ids)."""
+        manifest.go:298-304; snapshot lineage via parent ids).
+
+        The walk reads EACH in-range row-adding snapshot's OWN manifest
+        list (upstream's incremental append scan shape), not just
+        to_snap's: a later in-range compaction rewrites an append's
+        files out of to_snap's manifests (losing those rows to a
+        to_snap-only walk) and re-adds pre-range rows as fresh ADDED
+        entries under the replace snapshot (double-delivering them).
+        ``replace`` snapshots move bytes, not rows — skipped wholesale
+        (r6 review)."""
         md = self.table.metadata
         to_snap = (
             md.snapshot_by_id(to_snapshot_id) if to_snapshot_id else md.current_snapshot
@@ -494,10 +505,11 @@ class TableScan:
         if to_snap is None:
             return []
         # walk lineage from to_snap back to from_snapshot (exclusive)
-        new_snapshot_ids = set()
+        adding_snaps = []  # in-range snapshots that actually add rows
         cur = to_snap
         while cur is not None and cur.snapshot_id != from_snapshot_id:
-            new_snapshot_ids.add(cur.snapshot_id)
+            if (cur.summary or {}).get("operation") != "replace":
+                adding_snaps.append(cur)
             cur = (
                 md.snapshot_by_id(cur.parent_snapshot_id)
                 if cur.parent_snapshot_id is not None
@@ -509,36 +521,41 @@ class TableScan:
             )
         io = self.table.io
         tasks = []
-        for m in read_manifest_list(io.read(to_snap.manifest_list)):
-            if m.content != ManifestContent.DATA:
-                continue
-            if m.added_snapshot_id not in new_snapshot_ids:
-                continue
-            for e in fetch_entries(m, io.read(m.manifest_path), discard_deleted=True):
-                if e.status == ManifestEntryStatus.ADDED and e.snapshot_id in new_snapshot_ids:
-                    df = e.data_file
-                    tasks.append(FileScanTask(df, [], 0, df.file_size_in_bytes))
+        seen: set[str] = set()
+        for snap in adding_snaps:
+            for m in read_manifest_list(io.read(snap.manifest_list)):
+                if m.content != ManifestContent.DATA:
+                    continue
+                if m.added_snapshot_id != snap.snapshot_id:
+                    continue  # carried-forward manifest, nothing new
+                for e in fetch_entries(m, io.read(m.manifest_path), discard_deleted=True):
+                    if (
+                        e.status == ManifestEntryStatus.ADDED
+                        and e.snapshot_id == snap.snapshot_id
+                        and e.data_file.file_path not in seen
+                    ):
+                        df = e.data_file
+                        seen.add(df.file_path)
+                        tasks.append(
+                            FileScanTask(
+                                df,
+                                [],
+                                0,
+                                df.file_size_in_bytes,
+                                schema_id=snap.schema_id,
+                            )
+                        )
         return tasks
 
     def incremental_to_df(
         self, spark: SparkSession, from_snapshot_id: int, to_snapshot_id: int | None = None
     ) -> DataFrame:
+        # route through to_df: field-ID projection (rename-safe for
+        # files written under older schemas) and per-format readers
+        # (ORC/Avro) — a raw by-name parquet read returned nulls for
+        # renamed columns and crashed on non-parquet files (r6 review)
         tasks = self.plan_incremental_files(from_snapshot_id, to_snapshot_id)
-        schema = self.projection_base_schema().to_spark()
-        if not tasks:
-            return spark.createDataFrame([], schema)
-        df = spark.read.schema(schema).parquet(
-            *[strip_file_scheme(t.file.file_path) for t in tasks]
-        )
-        if not isinstance(self.row_filter, AlwaysTrue):
-            df = df.filter(
-                to_spark_column(
-                    ensure_bound(
-                        self.projection_base_schema(), rewrite_not(self.row_filter), self.case_sensitive
-                    )
-                )
-            )
-        return df
+        return self.to_df(spark, tasks=tasks)
 
     def projection_base_schema(self) -> Schema:
         """Schema used for binding the row filter: the full scan schema
@@ -593,8 +610,11 @@ class TableScan:
                 frozenset(d.file_path for d in t.eq_delete_files),
                 t.file.file_format,
             )
-            g = groups.setdefault(key, {"paths": [], "eq": t.eq_delete_files})
+            g = groups.setdefault(
+                key, {"paths": [], "eq": t.eq_delete_files, "has_del": False}
+            )
             g["paths"].append(strip_file_scheme(t.file.file_path))
+            g["has_del"] = g["has_del"] or bool(t.delete_files)
 
         from .types import to_spark_type
 
@@ -604,8 +624,13 @@ class TableScan:
             file_schema = file_schema or base
             # ORC lacks Spark's `_metadata.row_index`, and Avro has no
             # bundled JVM source at all — both go through the Arrow
-            # mapInPandas readers (exact per-file ordinals; pyreaders.py)
-            py_pos = has_deletes and fmt in ("ORC", "AVRO")
+            # mapInPandas readers (exact per-file ordinals; pyreaders.py).
+            # Position synthesis is needed only when THIS group's files
+            # carry positional deletes: one deleted ORC file must not
+            # push every other ORC group off the native JVM reader (r6
+            # review) — delete-free groups take literal-null pos columns
+            # that the global anti-join can never match.
+            py_pos = g["has_del"] and fmt in ("ORC", "AVRO")
             if fmt == "AVRO":
                 from .pyreaders import read_avro_files
 
@@ -634,14 +659,19 @@ class TableScan:
                 else:  # column added after this file was written
                     cols.append(F.lit(None).cast(to_spark_type(f.field_type)).alias(f.name))
             if has_deletes:
-                pos_cols = (
-                    [F.col("_file"), F.col("_pos")]
-                    if py_pos
-                    else [
+                if py_pos:
+                    pos_cols = [F.col("_file"), F.col("_pos")]
+                elif fmt in ("ORC", "AVRO"):
+                    # group is delete-free: null pos never anti-joins
+                    pos_cols = [
+                        F.lit(None).cast("string").alias("_file"),
+                        F.lit(None).cast("bigint").alias("_pos"),
+                    ]
+                else:
+                    pos_cols = [
                         F.col("_metadata.file_path").alias("_file"),
                         F.col("_metadata.row_index").alias("_pos"),
                     ]
-                )
                 cols = [*pos_cols, *cols]
             part = raw.select(*cols)
             # equality deletes: anti-join on the delete's equality fields
@@ -730,6 +760,36 @@ def _maybe_broadcast_deletes(df: DataFrame, manifest_bytes: int) -> DataFrame:
     if (manifest_bytes or 0) <= _BROADCAST_DELETE_BYTES:
         return F.broadcast(df)
     return df
+
+
+def _eq_delete_applies(
+    d_spec_id: int,
+    d: "ManifestEntry",
+    data_spec_id: int,
+    data_file,
+    data_seq: int,
+) -> bool:
+    """Equality-delete scoping per the Iceberg spec: strictly-newer
+    sequence number, AND partition scope — a delete file written with a
+    partition value applies only to data in that same (spec, partition);
+    only a delete with an EMPTY partition (unpartitioned spec / global
+    delete) applies table-wide. Matching purely by sequence number
+    over-deleted rows in sibling partitions (r6 review). Cross-spec
+    partitioned deletes do not match (same as upstream's
+    DeleteFileIndex partition keying).
+
+    A delete whose partition tuple is empty OR all-null is GLOBAL: our
+    own writer stamps global deletes with partition={} but the manifest
+    encodes them under the table's partitioned spec, so they decode
+    back as all-null fields. (A delete deliberately scoped to the null
+    partition therefore over-applies — conservative: deletes too much
+    is recoverable from history, resurrecting deleted rows is not.)"""
+    if (d.sequence_number or 0) <= data_seq:
+        return False
+    part = d.data_file.partition or {}
+    if all(v is None for v in part.values()):
+        return True
+    return d_spec_id == data_spec_id and part == (data_file.partition or {})
 
 
 def _match_deletes(

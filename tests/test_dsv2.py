@@ -420,3 +420,83 @@ def test_eq_delete_dropped_key_field_refused(spark, tmp_path):
         spark.read.format("icegopher").option("location", loc).load().collect()
     with pytest.raises(ValueError, match="not in the scan schema"):
         Table.from_location(loc).scan().to_df(spark).collect()
+
+
+def test_dsv2_reads_orc_tables(spark, tmp_path):
+    """r6: the DataSource face dispatches per file format — ORC files
+    previously crashed with parquet magic-byte errors; Avro refuses at
+    plan time with a pointer to the native path."""
+    loc = str(tmp_path / "orc_t")
+    W.create_table(loc, SCHEMA, properties={"write.format.default": "orc"})
+    t = Table.from_location(loc)
+    W.append(t, _df(spark, 0, 200))
+    got = spark.read.format("icegopher").option("location", loc).load()
+    assert got.count() == 200
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, _df(spark, 0, 200).collect())
+    )
+
+    avro_loc = str(tmp_path / "avro_t")
+    W.create_table(avro_loc, SCHEMA, properties={"write.format.default": "avro"})
+    W.append(Table.from_location(avro_loc), _df(spark, 0, 10))
+    with pytest.raises(Exception, match="AVRO"):
+        spark.read.format("icegopher").option("location", avro_loc).load().count()
+
+
+def test_dsv2_stream_complete_mode_overwrites(spark, tmp_path):
+    """r6: Complete output mode must REPLACE table contents per batch;
+    the writer previously ignored the overwrite flag and appended."""
+    loc = str(tmp_path / "agg_t")
+    AGG_SCHEMA = Schema(
+        (
+            NestedField(1, "flag", StringType(), False),
+            NestedField(2, "n", LongType(), False),
+        ),
+        schema_id=0,
+    )
+    W.create_table(loc, AGG_SCHEMA)
+    src = str(tmp_path / "src")
+    _df(spark, 0, 100).write.parquet(src)
+    sdf = (
+        spark.readStream.schema(_df(spark, 0, 1).schema)
+        .parquet(src)
+        .groupBy("flag")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    q = (
+        sdf.writeStream.format("icegopher")
+        .option("location", loc)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    t = Table.from_location(loc)
+    got = {r["flag"]: r["n"] for r in t.scan().to_df(spark).collect()}
+    assert got == {"f0": 25, "f1": 25, "f2": 25, "f3": 25}  # no duplicates
+    assert (t.current_snapshot().summary or {}).get("operation") == "overwrite"
+
+
+def test_dsv2_time_travel_sees_snapshot_schema(spark, tmp_path):
+    """r6: .option('snapshot-id') reads under the SNAPSHOT's schema —
+    a column dropped since must still surface."""
+    from icegopher_spark.iceberg.evolve import UpdateSchema
+
+    loc = str(tmp_path / "tt")
+    W.create_table(loc, SCHEMA)
+    t = Table.from_location(loc)
+    t = W.append(t, _df(spark, 0, 20))
+    snap = t.current_snapshot().snapshot_id
+    UpdateSchema(t).drop_column("q").commit()
+    got = (
+        spark.read.format("icegopher")
+        .option("location", loc)
+        .option("snapshot-id", str(snap))
+        .load()
+    )
+    assert "q" in got.columns
+    assert got.count() == 20
+    # and the current read hides it
+    now = spark.read.format("icegopher").option("location", loc).load()
+    assert "q" not in now.columns

@@ -573,3 +573,79 @@ def test_identity_partition_types_roundtrip(spark, tmp_path):
     # and pruning on the unescaped value finds the row
     got = t.scan(row_filter=E.equal_to("s", "a/b")).to_df(spark).collect()
     assert [r.k for r in got] == [1]
+
+
+def test_partitioned_equality_delete_scopes_to_its_partition(spark, warehouse, lineitem):
+    """r6: an equality-delete file carrying a partition value applies
+    ONLY to data in that (spec, partition) — sequence-only matching
+    deleted matching keys in sibling partitions too."""
+    import os as _os
+    import uuid as _uuid
+
+    from icegopher_spark.iceberg.manifests import DataFile, DataFileContent
+
+    cat = StaticCatalog("test", warehouse)
+    flag_spec = PartitionSpec(
+        [PartitionField(3, 1000, "flag", parse_transform("identity"))]
+    )
+    t = cat.create_table(("db", "li_eqscope"), SCHEMA, flag_spec)
+    t = W.append(t, lineitem)
+    # a key present in more than one l_returnflag partition
+    key = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.countDistinct("l_returnflag").alias("nf"))
+        .filter(F.col("nf") >= 2)
+        .first()["l_orderkey"]
+    )
+    n_total = lineitem.filter(F.col("l_orderkey") == key).count()
+    n_in_a = lineitem.filter(
+        (F.col("l_orderkey") == key) & (F.col("l_returnflag") == "A")
+    ).count()
+    assert 0 < n_in_a < n_total
+    # hand-craft a partition-scoped eq-delete (partition R/F survive)
+    out_dir = f"{t.location}/data/eqdel-{_uuid.uuid4().hex[:8]}"
+    spark.createDataFrame([(key,)], "l_orderkey long").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(out_dir)
+    fn = next(f for f in sorted(_os.listdir(out_dir)) if f.endswith(".parquet"))
+    path = f"{out_dir}/{fn}"
+    fid = t.schema.find_field("l_orderkey").field_id
+    dfile = DataFile(
+        file_path=path,
+        content=DataFileContent.EQUALITY_DELETES,
+        record_count=1,
+        file_size_in_bytes=_os.path.getsize(path),
+        partition={"flag": "A"},
+        equality_ids=[fid],
+    )
+    from icegopher_spark.iceberg.manifests import read_manifest_list
+    from icegopher_spark.iceberg.metadata import OP_DELETE
+
+    keep = read_manifest_list(t.io.read(t.current_snapshot().manifest_list))
+    t = W._commit_snapshot(t, [], OP_DELETE, keep_manifests=keep, delete_files=[dfile])
+    got = t.scan().to_df(spark).filter(F.col("l_orderkey") == key)
+    assert got.count() == n_total - n_in_a  # only partition A rows deleted
+    assert got.filter(F.col("l_returnflag") == "A").count() == 0
+
+
+def test_incremental_scan_survives_in_range_compaction(spark, warehouse, lineitem):
+    """r6: rows appended in-range must still be delivered exactly once
+    when a later in-range compaction rewrites their files, and a
+    compaction must not re-deliver pre-range rows."""
+    from icegopher_spark.iceberg.maintenance import compact_data_files
+
+    cat = StaticCatalog("test", warehouse)
+    t = cat.create_table(("db", "li_incr_compact"), SCHEMA, SPEC)
+    t = W.append(t, lineitem.limit(500))
+    from_id = t.current_snapshot().snapshot_id
+    add1 = lineitem.limit(700).subtract(lineitem.limit(500))
+    t = W.append(t, add1)
+    t = W.append(t, lineitem.limit(900).subtract(lineitem.limit(700)))
+    # compaction IN range rewrites everything into big files
+    t = compact_data_files(t, spark, small_file_threshold=1 << 40)
+    assert (t.current_snapshot().summary or {}).get("operation") == "replace"
+    got = t.scan().incremental_to_df(spark, from_id)
+    # exactly the two in-range appends, no pre-range re-delivery
+    assert got.count() == 400
+    in_range = lineitem.limit(900).subtract(lineitem.limit(500))
+    assert got.subtract(in_range).count() == 0
