@@ -74,10 +74,22 @@ class UpdateSchema:
     def drop_column(self, name: str) -> "UpdateSchema":
         if not any(f.name == name for f in self._fields):
             raise ValueError(f"column {name!r} not found")
-        used = {pf.source_id for pf in self.table.spec.fields}
+        # EVERY spec in history counts, not just the current default:
+        # manifests written under an older spec still resolve their
+        # partition types through the source field id (r6 review)
+        used = {
+            pf.source_id
+            for spec in self.table.metadata.partition_specs
+            for pf in spec.fields
+        }
         fid = next(f.field_id for f in self._fields if f.name == name)
         if fid in used:
-            raise ValueError(f"column {name!r} is a partition source; cannot drop")
+            raise ValueError(
+                f"column {name!r} is a partition source (in the current "
+                "or a historical spec); cannot drop"
+            )
+        if fid in (self.table.metadata.current_schema.identifier_field_ids or ()):
+            raise ValueError(f"column {name!r} is an identifier field; cannot drop")
         self._fields = [f for f in self._fields if f.name != name]
         return self
 

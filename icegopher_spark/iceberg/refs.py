@@ -92,7 +92,13 @@ def drop_ref(table: Table, name: str) -> Table:
 
 
 def replace_ref(table: Table, name: str, snapshot_id: int) -> Table:
-    """Retarget a branch/tag head (fast-forward or rollback)."""
+    """Retarget a branch/tag head (fast-forward or rollback).
+
+    ``main`` delegates to :func:`rollback_to` — main must stay equal to
+    current-snapshot-id (the parse_metadata invariant), so retargeting
+    just the ref always failed validation (r6 review)."""
+    if name == "main":
+        return rollback_to(table, snapshot_id)
     refs = dict(table.metadata.refs)
     if name not in refs:
         raise ValueError(f"ref {name!r} not found")

@@ -36,6 +36,9 @@ def docs_as_media(spark: SparkSession, sf_dir: str, kind: str = "image") -> Data
             else F.lit(None).cast("int")
         ).alias("sample_rate"),
         (n_frames if kind == "video" else F.lit(None).cast("int")).alias("n_frames"),
+        # byte size stamped into metadata at "ingest" — media_stats
+        # reads THIS, never the payload column (r6)
+        F.length(F.encode("text", "utf-8")).cast("long").alias("n_bytes"),
     )
     return docs.select(
         F.col("doc_id").alias("media_id"),

@@ -38,47 +38,61 @@ def asof_join_backward(
     check is a map-side CASE after it.
     """
     left_cols = left.columns
+    # ONE struct carries (rts, all payloads) through a single
+    # last(ignorenulls): per-column fills tore rows apart — a
+    # legitimately-NULL payload in the latest right row was replaced by
+    # a stale value from an older row, and different columns (incl. the
+    # tolerance timestamp) could come from different right rows (r6
+    # review). A null STRUCT (left rows) is skipped by ignorenulls; a
+    # struct with null fields is a real match and carries its nulls.
+    rp_type = right.select(
+        F.struct(
+            F.col(right_ts).cast("timestamp").cast("double").alias("_rts"),
+            *[F.col(c).alias(c) for c in payload_cols],
+        )
+    ).schema[0].dataType
     l = left.select(
         F.col(on).alias("_k"),
         F.col(left_ts).alias("_ts"),
         F.lit(1).alias("_side"),  # events sort after orders at equal ts → <= semantics
         F.struct(*left_cols).alias("_l"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in payload_cols],
+        F.lit(None).cast(rp_type).alias("_rp"),
+        F.lit(0).cast("bigint").alias("_tb"),
     )
     r = right.select(
         F.col(on).alias("_k"),
         F.col(right_ts).alias("_ts"),
         F.lit(0).alias("_side"),
         F.lit(None).cast(left.select(F.struct(*left_cols)).schema[0].dataType).alias("_l"),
-        *[F.col(c).alias(f"_r_{c}") for c in payload_cols],
+        F.struct(
+            F.col(right_ts).cast("timestamp").cast("double").alias("_rts"),
+            *[F.col(c).alias(c) for c in payload_cols],
+        ).alias("_rp"),
+        # deterministic tie-break among right rows with EQUAL (key, ts):
+        # without it, which duplicate wins depends on shuffle order and
+        # differs across runs/retries/AQE plans (r6 review)
+        F.xxhash64(*[F.col(c) for c in payload_cols]).alias("_tb"),
     )
-    # carry the matched right timestamp through the same window fill so
-    # a tolerance check needs no extra join or window pass
-    l = l.withColumn("_rts", F.lit(None).cast("double"))
-    r = r.withColumn("_rts", F.col("_ts").cast("timestamp").cast("double"))
     unioned = l.unionByName(r)
-    # Deterministic order: ts, then side (right first at equal ts), then
-    # right rows of equal ts resolved by the last payload value seen.
     w = (
         Window.partitionBy("_k")
-        .orderBy(F.col("_ts").asc(), F.col("_side").asc())
+        .orderBy(F.col("_ts").asc(), F.col("_side").asc(), F.col("_tb").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = unioned.select(
         "_side",
         "_ts",
         "_l",
-        F.last("_rts", ignorenulls=True).over(w).alias("_rts"),
-        *[F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"_r_{c}") for c in payload_cols],
+        F.last("_rp", ignorenulls=True).over(w).alias("_rp"),
     )
     fresh = (
         F.lit(True)
         if tolerance_seconds is None
-        else (F.col("_ts").cast("timestamp").cast("double") - F.col("_rts"))
+        else (F.col("_ts").cast("timestamp").cast("double") - F.col("_rp")["_rts"])
         <= F.lit(float(tolerance_seconds))
     )
     out = filled.filter(F.col("_side") == 1).select(
         *[F.col("_l")[c].alias(c) for c in left_cols],
-        *[F.when(fresh, F.col(f"_r_{c}")).alias(c) for c in payload_cols],
+        *[F.when(fresh, F.col("_rp")[c]).alias(c) for c in payload_cols],
     )
     return out

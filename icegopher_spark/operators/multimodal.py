@@ -152,13 +152,25 @@ def decode_image(payload: bytes, w: int, h: int, codec: str = "auto") -> bytes:
 
 
 def media_stats(df: DataFrame) -> DataFrame:
-    """Metadata-only stats: never touches the payload column, so the
-    parquet reader prunes it (check .explain ReadSchema)."""
+    """Per-kind media stats. Metadata-only WHEN the media struct
+    carries ``n_bytes`` (the payload column prunes out of the scan —
+    check .explain ReadSchema); otherwise total_bytes falls back to
+    length(content), which necessarily materializes every payload byte
+    (r6 review: the old docstring claimed payload pruning
+    unconditionally while always reading content). Real multimodal
+    schemas stamp the byte size into metadata at ingest for exactly
+    this reason."""
+    media_fields = df.schema["media"].dataType.fieldNames()
+    total = (
+        F.sum(F.col("media.n_bytes"))
+        if "n_bytes" in media_fields
+        else F.sum(F.length("content"))
+    )
     return (
         df.groupBy(F.col("media.kind").alias("kind"))
         .agg(
             F.count(F.lit(1)).alias("n_items"),
-            F.sum(F.length("content")).alias("total_bytes"),
+            total.alias("total_bytes"),
             F.avg(F.col("media.width")).alias("avg_width"),
         )
     )
@@ -181,6 +193,10 @@ def thumbnails(
             T.StructField("thumb_h", T.IntegerType()),
         ]
     )
+
+    df = df.filter(F.col("media.kind") == "image")  # never feed the
+    # image decoder audio/video payloads (r6: a real PIL decoder raises
+    # UnidentifiedImageError mid-task; the synthetic one emits garbage)
 
     def gen(batches: Iterator) -> Iterator:
         import pandas as pd
@@ -224,6 +240,8 @@ def image_features(df: DataFrame, codec: str = "auto") -> DataFrame:
         ]
     )
 
+    df = df.filter(F.col("media.kind") == "image")  # see thumbnails
+
     def gen(batches: Iterator) -> Iterator:
         import numpy as np
         import pandas as pd
@@ -247,10 +265,14 @@ def image_features(df: DataFrame, codec: str = "auto") -> DataFrame:
 def frame_sample(df: DataFrame, every_n: int = 8) -> DataFrame:
     """Video frame sampling plan: emits one row per sampled frame index
     (payload decode stubbed — indices and shapes are the real part)."""
-    frames = F.filter(
-        F.sequence(F.lit(0), F.coalesce(F.col("media.n_frames"), F.lit(1)) - 1),
+    # guard n_frames <= 0: F.sequence(0, -1) yields a DESCENDING [0,-1]
+    # (not empty), so a zero-frame video emitted a phantom frame_idx 0
+    # for downstream decoders to chase (r6 review)
+    nf = F.coalesce(F.col("media.n_frames"), F.lit(1))
+    frames = F.when(nf > 0, F.filter(
+        F.sequence(F.lit(0), nf - 1),
         lambda i: i % every_n == 0,
-    )
+    )).otherwise(F.array().cast("array<int>"))
     return (
         df.filter(F.col("media.kind") == "video")
         .select("media_id", F.explode(frames).alias("frame_idx"))
@@ -303,9 +325,15 @@ def audio_features(df: DataFrame) -> DataFrame:
         for pdf in batches:
             rows = []
             for mid, payload, media in zip(pdf["media_id"], pdf["content"], pdf["media"]):
-                sr = int(media["sample_rate"] or 8000)
-                dur = int(media["duration_ms"] or 1000)
-                n = sr * dur // 1000
+                # `x or default` would swallow a legitimate 0 (falsy)
+                sr = int(8000 if media["sample_rate"] is None else media["sample_rate"])
+                dur = int(1000 if media["duration_ms"] is None else media["duration_ms"])
+                n = max(sr * dur // 1000, 0)
+                if n == 0:
+                    # sub-millisecond clip: zero samples, not a
+                    # ZeroDivisionError mid-task (r6 review)
+                    rows.append((int(mid), 0, 0, 0.0, 0))
+                    continue
                 s = _fake_pcm(bytes(payload), n)
                 sumsq = int((s * s).sum())
                 rows.append(

@@ -15,9 +15,14 @@ AQE only splits after materializing.
 
 so one hot key's rows spread over S reducers. Cost: the right side
 replicates ×S — use with a small-to-medium right side and S sized to
-the worst key (rows_of_hottest_key / target_rows_per_task). The salt
-is derived from left-row content (deterministic, no Math.random), so
-replays and retries partition identically.
+the worst key (rows_of_hottest_key / target_rows_per_task). The salt is
+round-robin within each input partition (monotonically_increasing_id,
+no Math.random): content-derived salts gave IDENTICAL rows identical
+salts, so a hot key made of duplicate rows — the null-heavy-FK shape
+this module exists for — still funneled through one reducer (r6
+review). Join correctness never depends on the salt value, and a task
+replay re-reads its partition in the same order, so retries stay
+consistent within the attempt.
 
 The reference has no execution engine; this is [X] scale
 infrastructure (SURVEY.md §4: skew → salting or AQE).
@@ -49,8 +54,9 @@ def salted_join(
         raise ValueError(f"salted_join supports inner/left joins, got {how!r}")
     keys = [on] if isinstance(on, str) else list(on)
 
-    # deterministic per-row salt on the LEFT (the big/skewed side)
-    salt = F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(num_salts))
+    # round-robin per-row salt on the LEFT (the big/skewed side) —
+    # spreads even byte-identical duplicate rows of a hot key
+    salt = F.pmod(F.monotonically_increasing_id(), F.lit(num_salts))
     lhs = left.withColumn(SALT_COL, salt)
 
     rhs = right.withColumn(

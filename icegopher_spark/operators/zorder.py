@@ -78,6 +78,11 @@ def zvalue_n(cols: list[Column], mins: list[Column | int] | None = None) -> Colu
     if not 2 <= n <= 6:
         raise ValueError(f"zvalue_n supports 2..6 columns, got {n}")
     mins = mins or [0] * n
+    if len(mins) != n:
+        # zip() would silently truncate: trailing columns contribute no
+        # bits and their nulls skip the -1 mapping — degraded clustering
+        # with no error (r6 review)
+        raise ValueError(f"mins has {len(mins)} entries for {n} columns")
     if n == 2:
         return zvalue(cols[0], cols[1], mins[0], mins[1])
     bits = 63 // n

@@ -859,3 +859,57 @@ def test_similarity_null_and_param_guards(spark):
         for r in similarity.group_centroids(lab, group_col="label", vec_col="embedding").collect()
     }
     assert got["a"] == [2.0, 2.0] and got["b"] == [0.0, 2.0]
+
+
+def test_asof_payload_columns_come_from_one_right_row(spark):
+    """r6: per-column fills tore rows apart — a NULL payload in the
+    LATEST right row must stay NULL, not backfill from an older row,
+    and multi-column payloads must come from the same right row."""
+    left = spark.createDataFrame([(1, 30, "e")], ["k", "ts", "name"])
+    right = spark.createDataFrame(
+        [(1, 10, 100, "x"), (1, 20, None, "y")],
+        "k long, rts long, price long, tag string",
+    )
+    out = asof.asof_join_backward(
+        left, right, on="k", left_ts="ts", right_ts="rts",
+        payload_cols=["price", "tag"],
+    ).first()
+    assert out["price"] is None  # latest right row's NULL, not 100
+    assert out["tag"] == "y"     # same row as the (null) price
+
+
+def test_multimodal_kind_filters_and_guards(spark):
+    """r6: image ops skip non-image rows; zero-frame videos emit no
+    frames; zero-sample audio rows don't divide by zero."""
+    from icegopher_spark.operators import multimodal as M
+
+    rows = [
+        (1, b"imgpayload", ("image", "image/jpeg", 8, 8, None, None, None)),
+        (2, b"wavpayload", ("audio", "audio/wav", None, None, 0, 4, None)),
+        (3, b"mp4payload", ("video", "video/mp4", None, None, None, None, 0)),
+    ]
+    schema = (
+        "media_id long, content binary, media struct<kind:string,mime:string,"
+        "width:int,height:int,duration_ms:long,sample_rate:int,n_frames:int>"
+    )
+    df = spark.createDataFrame(rows, schema)
+    assert [r["media_id"] for r in M.thumbnails(df).collect()] == [1]
+    assert [r["media_id"] for r in M.image_features(df).collect()] == [1]
+    assert M.frame_sample(df).count() == 0  # n_frames=0: no phantom frame
+    au = M.audio_features(df).collect()
+    assert len(au) == 1 and au[0]["n_samples"] == 0 and au[0]["rms"] == 0.0
+
+
+def test_salted_join_spreads_duplicate_hot_rows(spark):
+    """r6: a hot key of byte-identical rows must spread over salts
+    (content-derived salt gave them all the same bucket)."""
+    from icegopher_spark.operators.skew import SALT_COL, salted_join  # noqa: F401
+    from pyspark.sql import functions as FF
+
+    left = spark.createDataFrame([(1, "same")] * 64, "k long, v string").repartition(4)
+    right = spark.createDataFrame([(1, "R")], "k long, rv string")
+    out = salted_join(left, right, "k", num_salts=8)
+    assert out.count() == 64
+    salt = FF.pmod(FF.monotonically_increasing_id(), FF.lit(8))
+    n_buckets = left.select(salt.alias("s")).distinct().count()
+    assert n_buckets > 1  # duplicates actually spread
