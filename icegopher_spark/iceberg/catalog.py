@@ -132,7 +132,16 @@ class StaticCatalog:
     def rename_table(self, src, dst) -> None:
         if not self.table_exists(src):
             raise NoSuchTableError(str(src))
-        self._os.rename(self._table_path(src), self._table_path(dst))
+        dst_path = self._table_path(dst)
+        dst_ns = self._os.path.dirname(dst_path)
+        if not self._os.path.isdir(dst_ns):
+            # raw os.rename would raise FileNotFoundError (not a
+            # CatalogError) for a missing destination namespace (r6)
+            raise NoSuchNamespaceError(str(to_identifier(dst)[:-1]))
+        if self._os.path.exists(dst_path):
+            # rename(2) silently replaces an empty dst dir (r6)
+            raise NamespaceAlreadyExistsError(f"{dst} already exists")
+        self._os.rename(self._table_path(src), dst_path)
 
     def list_tables(self, namespace) -> list[tuple[str, ...]]:
         ns = to_identifier(namespace)
@@ -168,7 +177,16 @@ class StaticCatalog:
         base = "/".join([self.warehouse, *to_identifier(namespace)])
         if not self._os.path.isdir(base):
             raise NoSuchNamespaceError(str(namespace))
-        self._os.rmdir(base)  # fails if non-empty, as it should
+        # the namespace's own properties sidecar doesn't make it
+        # non-empty — rmdir on it raised a raw OSError and a namespace
+        # created WITH properties was undroppable (r6)
+        props = f"{base}/.properties.json"
+        leftover = [d for d in self._os.listdir(base) if d != ".properties.json"]
+        if leftover:
+            raise CatalogError(f"namespace {namespace} is not empty: {leftover}")
+        if self._os.path.exists(props):
+            self._os.remove(props)
+        self._os.rmdir(base)
 
     def load_namespace_properties(self, namespace) -> dict[str, str]:
         base = "/".join([self.warehouse, *to_identifier(namespace)])
@@ -253,19 +271,24 @@ class RestCatalog:
             params["warehouse"] = self.properties["warehouse"]
         try:
             resp = self.session.get(f"{self.uri}/v1/config", params=params, timeout=30)
-            self._check(resp)
-            cfg = resp.json()
         except Exception:
+            return  # unreachable at construction: fail on first real op
+        if resp.status_code == 404:
             return  # config endpoint optional for some servers
+        # anything else (401/403 bad credentials, 5xx, bad JSON) must
+        # surface NOW — swallowing it made invalid credentials "succeed"
+        # at connect time and dropped server-mandated overrides (r6)
+        self._check(resp)
+        cfg = resp.json()
         merged = dict(cfg.get("defaults", {}))
         merged.update(self.properties)
         merged.update(cfg.get("overrides", {}))
         self.properties = merged
 
     @staticmethod
-    def _check(resp) -> None:
+    def _check(resp, not_found=NoSuchTableError) -> None:
         if resp.status_code == 404:
-            raise NoSuchTableError(resp.text)
+            raise not_found(resp.text)
         if resp.status_code == 409:
             raise NamespaceAlreadyExistsError(resp.text)
         if resp.status_code >= 400:
@@ -394,11 +417,11 @@ class RestCatalog:
 
     def drop_namespace(self, namespace) -> None:
         resp = self.session.delete(self._url("namespaces", self._ns(namespace)))
-        self._check(resp)
+        self._check(resp, not_found=NoSuchNamespaceError)
 
     def load_namespace_properties(self, namespace) -> dict[str, str]:
         resp = self.session.get(self._url("namespaces", self._ns(namespace)))
-        self._check(resp)
+        self._check(resp, not_found=NoSuchNamespaceError)
         return resp.json().get("properties", {})
 
     def update_namespace_properties(

@@ -121,7 +121,10 @@ def main(argv: list[str] | None = None) -> int:
 
     try:
         return _dispatch(args, cat)
-    except CatalogError as e:
+    except (CatalogError, ValueError) as e:
+        # ref/maintenance verbs raise ValueError for user mistakes
+        # (duplicate tag, unknown snapshot) — a traceback is not an
+        # error message (r6)
         print(f"error: {e}", file=sys.stderr)
         return 1
 

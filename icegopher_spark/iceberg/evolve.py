@@ -122,11 +122,20 @@ class UpdateSchema:
         raw["last-column-id"] = max(self._next_id, md.last_column_id)
         raw["last-updated-ms"] = int(time.time() * 1000)
         new_md = parse_metadata(raw)
-        version = _loaded_version(self.table)
-        _commit_metadata(self.table.io, md.location, new_md, expected_version=version)
-        self.table.metadata = new_md
-        self.table.metadata_location = _version_path(md.location, version + 1)
-        return self.table
+        from .write import commit_metadata_update
+
+        return commit_metadata_update(
+            self.table,
+            new_md,
+            [
+                {
+                    "action": "add-schema",
+                    "schema": new_schema.to_json_dict(),
+                    "last-column-id": max(self._next_id, md.last_column_id),
+                },
+                {"action": "set-current-schema", "schema-id": new_schema_id},
+            ],
+        )
 
 
 def update_schema(table: Table) -> UpdateSchema:
@@ -212,11 +221,20 @@ class UpdateSpec:
         raw["last-partition-id"] = max(self._last_pid, md.last_partition_id)
         raw["last-updated-ms"] = int(time.time() * 1000)
         new_md = parse_metadata(raw)
-        version = _loaded_version(self.table)
-        _commit_metadata(self.table.io, md.location, new_md, expected_version=version)
-        self.table.metadata = new_md
-        self.table.metadata_location = _version_path(md.location, version + 1)
-        return self.table
+        from .write import commit_metadata_update
+
+        return commit_metadata_update(
+            self.table,
+            new_md,
+            [
+                {
+                    "action": "add-spec",
+                    "spec": new_spec.to_json_dict(),
+                    "last-partition-id": max(self._last_pid, md.last_partition_id),
+                },
+                {"action": "set-default-spec", "spec-id": new_spec_id},
+            ],
+        )
 
 
 def update_spec(table: Table) -> UpdateSpec:

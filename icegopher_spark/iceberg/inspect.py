@@ -149,7 +149,14 @@ class InspectTables:
             ]
         )
         md = self.table.metadata
-        snap = md.snapshot_by_id(snapshot_id) if snapshot_id else md.current_snapshot
+        # `is not None`, not truthiness: an explicit snapshot_id=0 must
+        # look up (and fail on) snapshot 0, not silently answer for the
+        # current snapshot (r6)
+        snap = (
+            md.snapshot_by_id(snapshot_id)
+            if snapshot_id is not None
+            else md.current_snapshot
+        )
         rows = []
         if snap is not None:
             for m in read_manifest_list(self.table.io.read(snap.manifest_list)):

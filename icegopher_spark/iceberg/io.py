@@ -47,10 +47,19 @@ class LocalFileIO:
     def write(self, path: str, data: bytes) -> None:
         path = strip_scheme(path)
         os.makedirs(os.path.dirname(path), exist_ok=True)
-        tmp = path + ".tmp"
-        with open(tmp, "wb") as f:
-            f.write(data)
-        os.replace(tmp, path)
+        # unique temp per writer: a FIXED path+'.tmp' let two concurrent
+        # committers (e.g. both bumping version-hint.text) interleave
+        # writes into one temp file and atomically install garbage (r6)
+        import uuid as _uuid
+
+        tmp = f"{path}.tmp-{_uuid.uuid4().hex[:8]}"
+        try:
+            with open(tmp, "wb") as f:
+                f.write(data)
+            os.replace(tmp, path)
+        finally:
+            if os.path.exists(tmp):
+                os.remove(tmp)
 
     def remove(self, path: str) -> None:
         os.remove(strip_scheme(path))

@@ -357,10 +357,21 @@ def expire_snapshots(
     # a kept snapshot whose parent was expired keeps the dangling
     # parent-snapshot-id, matching Iceberg (history() just stops there)
     new_md = parse_metadata(raw)
-    version = _loaded_version(table)
-    _commit_metadata(table.io, md.location, new_md, expected_version=version)
-    table.metadata = new_md
-    table.metadata_location = _version_path(md.location, version + 1)
+    from .refs import _ref_update
+    from .write import commit_metadata_update
+
+    updates = [
+        {"action": "remove-snapshots", "snapshot-ids": sorted(expired_ids)}
+    ] + [
+        {"action": "remove-snapshot-ref", "ref-name": name}
+        for name in md.refs
+        if name not in surviving_refs
+    ] + [
+        _ref_update(name, r)
+        for name, r in surviving_refs.items()
+        if md.refs.get(name) != r
+    ]
+    table = commit_metadata_update(table, new_md, updates)
     for path in doomed:
         _safe_remove(table, path)
     return table

@@ -20,17 +20,40 @@ from .table import Table
 from .write import _commit_metadata, _loaded_version, _version_path
 
 
+def _ref_update(name: str, r: SnapshotRef) -> dict:
+    upd = {
+        "action": "set-snapshot-ref",
+        "ref-name": name,
+        "type": r.snapshot_ref_type,
+        "snapshot-id": r.snapshot_id,
+    }
+    if r.min_snapshots_to_keep is not None:
+        upd["min-snapshots-to-keep"] = r.min_snapshots_to_keep
+    if r.max_snapshot_age_ms is not None:
+        upd["max-snapshot-age-ms"] = r.max_snapshot_age_ms
+    if r.max_ref_age_ms is not None:
+        upd["max-ref-age-ms"] = r.max_ref_age_ms
+    return upd
+
+
 def _commit_refs(table: Table, refs: dict[str, SnapshotRef]) -> Table:
+    from .write import commit_metadata_update
+
     md = table.metadata
     raw = md.to_json_dict()
     raw["refs"] = {name: r.to_json_dict() for name, r in refs.items()}
     raw["last-updated-ms"] = int(time.time() * 1000)
     new_md = parse_metadata(raw)
-    version = _loaded_version(table)
-    _commit_metadata(table.io, md.location, new_md, expected_version=version)
-    table.metadata = new_md
-    table.metadata_location = _version_path(md.location, version + 1)
-    return table
+    updates = [
+        _ref_update(name, r)
+        for name, r in refs.items()
+        if md.refs.get(name) != r
+    ] + [
+        {"action": "remove-snapshot-ref", "ref-name": name}
+        for name in md.refs
+        if name not in refs
+    ]
+    return commit_metadata_update(table, new_md, updates)
 
 
 def _resolve_snapshot(table: Table, snapshot_id: int | None) -> int:
@@ -192,8 +215,8 @@ def rollback_to(table: Table, snapshot_id: int) -> Table:
         {"snapshot-id": target, "timestamp-ms": raw["last-updated-ms"]}
     )
     new_md = parse_metadata(raw)
-    version = _loaded_version(table)
-    _commit_metadata(table.io, md.location, new_md, expected_version=version)
-    table.metadata = new_md
-    table.metadata_location = _version_path(md.location, version + 1)
-    return table
+    from .write import commit_metadata_update
+
+    return commit_metadata_update(
+        table, new_md, [_ref_update("main", refs["main"])]
+    )

@@ -63,7 +63,16 @@ class SqlCatalog:
     def __init__(self, name: str, uri: str, properties: dict[str, str] | None = None):
         self.name = name
         self.properties = dict(properties or {})
-        path = uri.split(":", 1)[1] if uri.startswith("sqlite:") else uri
+        # accept both sqlite:<path> and the jdbc:sqlite:<path> spelling
+        # infer_catalog_type recognizes — the un-stripped jdbc: form was
+        # passed verbatim to sqlite3.connect as a literal relative
+        # filename (a './jdbc:sqlite:/...' directory tree) (r6)
+        for prefix in ("jdbc:sqlite:", "sqlite:"):
+            if uri.startswith(prefix):
+                path = uri[len(prefix):]
+                break
+        else:
+            path = uri
         self.warehouse = self.properties.get("warehouse", "").rstrip("/")
         if path != ":memory:":
             os.makedirs(os.path.dirname(os.path.abspath(path)) or ".", exist_ok=True)
@@ -246,20 +255,60 @@ class SqlCatalog:
                     raw.get("last-sequence-number", 0), snap.get("sequence-number", 0)
                 )
                 raw["last-updated-ms"] = snap.get("timestamp-ms", raw.get("last-updated-ms"))
-                raw.setdefault("snapshot-log", []).append(
-                    {
-                        "snapshot-id": snap["snapshot-id"],
-                        "timestamp-ms": snap.get("timestamp-ms", 0),
-                    }
-                )
             elif action == "set-snapshot-ref":
                 refs = dict(raw.get("refs", {}))
                 refs[upd["ref-name"]] = SnapshotRef(
-                    upd["snapshot-id"], upd.get("type", "branch")
+                    upd["snapshot-id"],
+                    upd.get("type", "branch"),
+                    min_snapshots_to_keep=upd.get("min-snapshots-to-keep"),
+                    max_snapshot_age_ms=upd.get("max-snapshot-age-ms"),
+                    max_ref_age_ms=upd.get("max-ref-age-ms"),
                 ).to_json_dict()
                 raw["refs"] = refs
                 if upd["ref-name"] == "main":
                     raw["current-snapshot-id"] = upd["snapshot-id"]
+                    # snapshot-log tracks the MAIN lineage only (same
+                    # rule as the local commit path, write.py): logging
+                    # branch-staged snapshots here polluted as-of time
+                    # travel and history() with unpublished commits (r6)
+                    raw.setdefault("snapshot-log", []).append(
+                        {
+                            "snapshot-id": upd["snapshot-id"],
+                            "timestamp-ms": raw.get("last-updated-ms", 0),
+                        }
+                    )
+            elif action == "remove-snapshot-ref":
+                refs = dict(raw.get("refs", {}))
+                refs.pop(upd["ref-name"], None)
+                raw["refs"] = refs
+            elif action == "remove-snapshots":
+                gone = set(upd.get("snapshot-ids", []))
+                raw["snapshots"] = [
+                    sn
+                    for sn in raw.get("snapshots", [])
+                    if sn.get("snapshot-id") not in gone
+                ]
+                raw["snapshot-log"] = [
+                    e
+                    for e in raw.get("snapshot-log", [])
+                    if e.get("snapshot-id") not in gone
+                ]
+            elif action == "add-schema":
+                raw["schemas"] = raw.get("schemas", []) + [upd["schema"]]
+                if "last-column-id" in upd:
+                    raw["last-column-id"] = max(
+                        raw.get("last-column-id", 0), upd["last-column-id"]
+                    )
+            elif action == "set-current-schema":
+                raw["current-schema-id"] = upd["schema-id"]
+            elif action == "add-spec":
+                raw["partition-specs"] = raw.get("partition-specs", []) + [upd["spec"]]
+                if "last-partition-id" in upd:
+                    raw["last-partition-id"] = max(
+                        raw.get("last-partition-id", 0), upd["last-partition-id"]
+                    )
+            elif action == "set-default-spec":
+                raw["default-spec-id"] = upd["spec-id"]
             elif action == "set-properties":
                 raw["properties"] = {**raw.get("properties", {}), **upd["updates"]}
             elif action == "remove-properties":

@@ -133,6 +133,28 @@ def _loaded_version(table: Table) -> int:
     return _current_version(table.io, table.metadata.location)
 
 
+def commit_metadata_update(table, new_md, updates, requirements=None):
+    """Route a prepared metadata replacement through the table's catalog
+    (granular update actions; the pointer swap is the CATALOG's) when
+    one owns the pointer, else CAS the filesystem version chain with
+    ``new_md``. Before this, refs/evolve/expire commits always took the
+    version-hint path, so on SQL/REST-catalog tables the change was
+    written to storage but the catalog pointer never moved — the next
+    load_table() silently lost it (r6 review)."""
+    cat = getattr(table, "catalog", None)
+    if cat is not None and hasattr(cat, "commit_table"):
+        reqs = requirements or [
+            {"type": "assert-table-uuid", "uuid": table.metadata.table_uuid}
+        ]
+        return cat.commit_table(table, reqs, updates)
+    location = table.metadata.location
+    version = _loaded_version(table)
+    _commit_metadata(table.io, location, new_md, expected_version=version)
+    table.metadata = new_md
+    table.metadata_location = _version_path(location, version + 1)
+    return table
+
+
 def _commit_metadata(io, location: str, md: TableMetadata, expected_version: int) -> int:
     """Atomic metadata swap: version files are create-once (O_EXCL), so
     a concurrent committer loses and must retry after refresh —

@@ -101,6 +101,28 @@ def _apply_commit(entry: dict, payload: dict) -> tuple[int, dict]:
                 )
         elif a == "remove-snapshot-ref":
             md.get("refs", {}).pop(u.get("ref-name"), None)
+        elif a == "remove-snapshots":
+            gone = set(u.get("snapshot-ids", []))
+            md["snapshots"] = [
+                s for s in md.get("snapshots", []) if s.get("snapshot-id") not in gone
+            ]
+            md["snapshot-log"] = [
+                e for e in md.get("snapshot-log", []) if e.get("snapshot-id") not in gone
+            ]
+        elif a == "add-schema":
+            md["schemas"] = md.get("schemas", []) + [u["schema"]]
+            if "last-column-id" in u:
+                md["last-column-id"] = max(md.get("last-column-id", 0), u["last-column-id"])
+        elif a == "set-current-schema":
+            md["current-schema-id"] = u["schema-id"]
+        elif a == "add-spec":
+            md["partition-specs"] = md.get("partition-specs", []) + [u["spec"]]
+            if "last-partition-id" in u:
+                md["last-partition-id"] = max(
+                    md.get("last-partition-id", 0), u["last-partition-id"]
+                )
+        elif a == "set-default-spec":
+            md["default-spec-id"] = u["spec-id"]
         elif a == "set-properties":
             md.setdefault("properties", {}).update(u.get("updates", {}))
         elif a == "remove-properties":

@@ -103,7 +103,9 @@ def test_expire_snapshots_failed_commit_deletes_nothing(spark, tmp_path, lineite
     def boom(*a, **k):
         raise W.CommitFailedError("concurrent commit")
 
-    monkeypatch.setattr(M, "_commit_metadata", boom)
+    # expire commits through write.commit_metadata_update now (r6:
+    # catalog-pointer routing), so patch the seam it actually uses
+    monkeypatch.setattr(W, "_commit_metadata", boom)
     with pytest.raises(W.CommitFailedError):
         M.expire_snapshots(t, retain_last=1, delete_files=True)
     after = M._list_recursive(t.metadata.location)

@@ -197,3 +197,60 @@ def test_cli_compact_empty_table_noop(cat, tmp_path, capsys):
     assert cli_main([*base, "zorder", "db.cli_empty", "l_orderkey"]) == 0
     out = capsys.readouterr().out
     assert out.count("empty table") == 2
+
+
+def test_ref_evolve_expire_commits_reach_the_catalog_pointer(spark, tmp_path):
+    """r6: refs/evolve/expire commits previously wrote new metadata via
+    the version-hint path WITHOUT moving the SQL catalog's pointer, so
+    the next load_table() silently lost the change."""
+    from icegopher_spark.iceberg import refs, write as W
+    from icegopher_spark.iceberg.evolve import UpdateSchema
+    from icegopher_spark.iceberg.maintenance import expire_snapshots
+    from icegopher_spark.iceberg.schema import Schema
+    from icegopher_spark.iceberg.sqlcatalog import SqlCatalog
+    from icegopher_spark.iceberg.types import LongType, NestedField, StringType
+
+    cat = SqlCatalog(
+        "c", f"sqlite:{tmp_path}/cat.db", {"warehouse": str(tmp_path / "wh")}
+    )
+    cat.create_namespace(("db",))
+    sch = Schema((NestedField(1, "k", LongType(), True),), schema_id=0)
+    t = cat.create_table(("db", "t"), sch)
+    t = W.append(t, spark.range(5).selectExpr("id AS k"))
+    t = W.append(t, spark.range(5, 9).selectExpr("id AS k"))
+
+    refs.create_tag(t, "v1")
+    assert "v1" in cat.load_table(("db", "t")).metadata.refs  # pointer moved
+
+    t = cat.load_table(("db", "t"))
+    UpdateSchema(t).add_column("note", StringType()).commit()
+    assert "note" in [
+        f.name for f in cat.load_table(("db", "t")).schema.fields
+    ]
+
+    t = cat.load_table(("db", "t"))
+    first = t.metadata.snapshots[0].snapshot_id
+    refs.drop_ref(t, "v1")
+    t = cat.load_table(("db", "t"))
+    expire_snapshots(t, retain_last=1)
+    fresh = cat.load_table(("db", "t"))
+    assert fresh.metadata.snapshot_by_id(first) is None  # expiry visible
+    assert "v1" not in fresh.metadata.refs
+
+    # rollback via replace_ref('main', ...) keeps the invariant AND the pointer
+    t = cat.load_table(("db", "t"))
+    cur = t.current_snapshot().snapshot_id
+    refs.replace_ref(t, "main", cur)  # no-op retarget must not raise
+    assert cat.load_table(("db", "t")).current_snapshot().snapshot_id == cur
+
+
+def test_jdbc_sqlite_uri_spelling(tmp_path):
+    from icegopher_spark.iceberg.sqlcatalog import SqlCatalog
+
+    cat = SqlCatalog(
+        "c", f"jdbc:sqlite:{tmp_path}/jc.db", {"warehouse": str(tmp_path / "wh")}
+    )
+    cat.create_namespace(("db",))
+    assert ("db",) in cat.list_namespaces()
+    import os
+    assert os.path.exists(f"{tmp_path}/jc.db")  # not a literal 'jdbc:sqlite:' dir
