@@ -1035,7 +1035,7 @@ WITH hourly AS (
   -- same IEEE double formula as the Spark side: bit-identical
   SELECT event_type, bucket, CAST(total_dec AS DOUBLE) AS total,
          CAST(SUM(total_dec) OVER w AS DOUBLE) AS s,
-         CAST(SUM(CAST(total_dec * total_dec AS DECIMAL(30,8))) OVER w AS DOUBLE) AS ss,
+         CAST(SUM(CAST(CAST(total_dec AS DECIMAL(18,4)) * CAST(total_dec AS DECIMAL(18,4)) AS DECIMAL(38,8))) OVER w AS DOUBLE) AS ss,
          CAST(COUNT(*) OVER w AS DOUBLE) AS n
   FROM hourly
   WINDOW w AS (PARTITION BY event_type)

@@ -33,9 +33,14 @@ from pyspark.sql import types as T
 
 def _first_parquet_file(path: str) -> str:
     if os.path.isdir(path):
-        for entry in sorted(os.listdir(path)):
-            if entry.endswith(".parquet") and not entry.startswith("_"):
-                return os.path.join(path, entry)
+        # recurse: a partitioned dataset (key=.../part-0.parquet) has no
+        # top-level *.parquet, and returning the DIRECTORY crashed the
+        # footer probe on a dataset Spark itself reads fine (r6)
+        for root, dirs, files in os.walk(path):
+            dirs.sort()
+            for entry in sorted(files):
+                if entry.endswith(".parquet") and not entry.startswith("_"):
+                    return os.path.join(root, entry)
     return path
 
 

@@ -287,10 +287,15 @@ class TableMetadata:
         for entry in sorted(self.snapshot_log, key=lambda e: e["timestamp-ms"]):
             if entry["timestamp-ms"] <= timestamp_ms:
                 best = entry["snapshot-id"]
-        if best is None:  # fall back to scanning snapshots directly
-            cands = [s for s in self.snapshots if s.timestamp_ms <= timestamp_ms]
-            return max(cands, key=lambda s: s.timestamp_ms, default=None)
-        return self.snapshot_by_id(best)
+        if best is not None:
+            snap = self.snapshot_by_id(best)
+            if snap is not None:
+                return snap
+            # log entry for an expired snapshot (external writers may
+            # not trim the log) — fall through to the direct scan
+            # instead of wrongly reporting "no snapshot" (r6 review)
+        cands = [s for s in self.snapshots if s.timestamp_ms <= timestamp_ms]
+        return max(cands, key=lambda s: s.timestamp_ms, default=None)
 
     # -- serialization ---------------------------------------------------
 
@@ -316,6 +321,12 @@ class TableMetadata:
         }
         if self.format_version >= 2:
             out["last-sequence-number"] = self.last_sequence_number
+        else:
+            # v1 REQUIRES the flat 'schema' / 'partition-spec' fields;
+            # a round-trip that emits only the v2-style lists produces
+            # spec-invalid v1 JSON that strict readers reject (r6)
+            out["schema"] = self.current_schema.to_json_dict()
+            out["partition-spec"] = self.default_spec.to_json_dict().get("fields", [])
         out["current-snapshot-id"] = (
             self.current_snapshot_id if self.current_snapshot_id is not None else -1
         )

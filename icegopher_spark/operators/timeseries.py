@@ -55,7 +55,17 @@ def gapfill_locf(
         .orderBy("bucket")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    joined = grid.join(hourly, [key_col, "bucket"], "left")
+    # null-safe on the key: a NULL event_type is a real group (the grid
+    # carries its row via distinct), but plain equality never matched it
+    # back to its totals — the whole NULL series silently zeroed (r6)
+    h = hourly.select(
+        F.col(key_col).alias("_h_k"), F.col("bucket").alias("_h_b"), "total"
+    )
+    joined = grid.join(
+        h,
+        F.col(key_col).eqNullSafe(F.col("_h_k")) & (F.col("bucket") == F.col("_h_b")),
+        "left",
+    ).drop("_h_k", "_h_b")
     return joined.select(
         key_col,
         "bucket",
@@ -173,9 +183,14 @@ def hourly_anomalies(
     ).agg(tot_dec)
     w = Window.partitionBy(key_col)
     s = F.sum("total_dec").over(w).cast("double")
-    ss = F.sum(
-        (F.col("total_dec") * F.col("total_dec")).cast("decimal(30,8)")
-    ).over(w).cast("double")
+    # square a decimal(18,4): its ideal product type (37,8) fits inside
+    # Spark's 38-digit cap, so the square stays EXACT. Squaring the
+    # window-sum's decimal(24,4) directly truncated to decimal(38,6)
+    # under allowPrecisionLoss — a silent scale-6 rounding DuckDB's
+    # exact scale-8 square doesn't do (r6 review; cross-engine gate).
+    # Domain: hourly totals < 10^14, far beyond any gate corpus.
+    sq = F.col("total_dec").cast("decimal(18,4)")
+    ss = F.sum((sq * sq).cast("decimal(38,8)")).over(w).cast("double")
     n = F.count(F.lit(1)).over(w).cast("double")
     stats = hourly.select(
         key_col,

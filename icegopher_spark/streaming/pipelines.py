@@ -37,14 +37,11 @@ def read_events_stream(
     corrupting two gate queries — never force a layout the file doesn't
     declare.
     """
-    from ..events_io import events_stream_schema
+    from ..events_io import _enable_nanos_as_long, events_stream_schema
 
     schema, needs_div = events_stream_schema(sf_dir)
     if needs_div:
-        try:
-            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        except Exception:  # noqa: BLE001
-            pass
+        _enable_nanos_as_long(spark)
     path = sf_dir if not sf_dir.endswith(".parquet") else _stage_dir(sf_dir)
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger:
@@ -67,8 +64,14 @@ def _stage_dir(file_path: str, variant: str = "") -> str:
     d = f"/tmp/icegopher_stream/{key}"
     os.makedirs(d, exist_ok=True)
     link = f"{d}/{os.path.basename(file_path)}"
-    if not os.path.exists(link):
-        os.symlink(file_path, link)
+    # lexists + EEXIST tolerance: exists() FOLLOWS the link, so a
+    # dangling target or a concurrent stager both crashed symlink()
+    # with FileExistsError (r6 review)
+    if not os.path.lexists(link):
+        try:
+            os.symlink(file_path, link)
+        except FileExistsError:
+            pass  # concurrent stager won the race — same target
     return d
 
 
@@ -168,7 +171,7 @@ def running_user_totals(events: DataFrame, watermark: str = "2 hours") -> DataFr
 
 
 def custom_sessionizer(
-    events: DataFrame, gap_minutes: int = 30, watermark: str = "0 seconds"
+    events: DataFrame, gap_minutes: int = 30, watermark: str = "30 minutes"
 ) -> DataFrame:
     """Gap-based sessionization as a CUSTOM stateful operator with an
     EVENT-TIME TIMEOUT — the escape hatch for session semantics the
@@ -181,7 +184,15 @@ def custom_sessionizer(
     with no new events, Spark calls the function once more with
     ``state.hasTimedOut`` and the closed session is emitted. Mirrors
     ``session_rollup`` (native session_window) so the two can be
-    differentially compared."""
+    differentially compared.
+
+    ``watermark`` defaults to the session gap, NOT 0 seconds: with an
+    event-time timeout Spark DROPS rows older than the global watermark
+    before update() runs, so a 0s watermark under multi-batch replay of
+    out-of-time-order files silently lost every event older than the
+    previous batch's max — undercounting sessions vs the batch
+    sessionizer (r6 review). A gap-sized watermark tolerates exactly
+    the disorder the session semantics already absorb."""
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     out_schema = (
@@ -222,8 +233,6 @@ def custom_sessionizer(
             n += 1
         state.update((start, last, n))
         state.setTimeoutTimestamp(last // 1000 + gap_minutes * 60 * 1000)
-        import pandas as pd  # noqa: F811
-
         if sessions:
             yield pd.DataFrame(
                 {
