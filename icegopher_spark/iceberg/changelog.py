@@ -263,12 +263,14 @@ def changelog_df(
             # rewritten/removed in the same commit is no longer a valid
             # delete target, and its rows already surface as deletes via
             # the parent-vs-child removal diff above
+            # snap_live (computed above) already holds the child
+            # snapshot's live path->entry map — re-decoding every DATA
+            # manifest here was a second full metadata pass per
+            # snapshot (r6 review)
             parent_entries = [
                 e
-                for m in read_manifest_list(io.read(snap.manifest_list))
-                if m.content == ManifestContent.DATA
-                for e in fetch_entries(m, io.read(m.manifest_path), discard_deleted=True)
-                if strip_file_scheme(e.data_file.file_path) in target_paths
+                for p, e in snap_live.items()
+                if strip_file_scheme(p) in target_paths
             ]
             rows = _read_data_files(table, spark, parent_entries, with_pos=True)
             if rows is not None:
@@ -291,12 +293,24 @@ def changelog_df(
             # group delete files by key field-id tuple and UNION their
             # keys: overlapping delete files from parallel writer tasks
             # must report a matched row once, not once per file (r5)
+            # group by (key ids, partition scope): a partitioned delete
+            # file applies only to its own partition (same scoping the
+            # read path enforces in _eq_delete_applies) — semi-joining
+            # keys against the FULL parent scan reported still-live rows
+            # in sibling partitions as deleted (r6 review). An all-null/
+            # empty partition tuple is a global delete (scope None).
             by_ids: dict[tuple, list] = {}
             for e in added_eq_deletes:
                 ids = tuple(e.data_file.equality_ids or [])
+                part = e.data_file.partition or {}
+                scope = (
+                    tuple(sorted(part.items()))
+                    if any(v is not None for v in part.values())
+                    else None
+                )
                 if ids:
-                    by_ids.setdefault(ids, []).append(e)
-            for ids, es in by_ids.items():
+                    by_ids.setdefault((ids, scope), []).append(e)
+            for (ids, scope), es in by_ids.items():
                 names = [
                     table.schema.find_field(fid).name
                     for fid in ids
@@ -348,8 +362,17 @@ def changelog_df(
                 scan_kwargs = {"snapshot_id": parent.snapshot_id}
                 if flt is not None:
                     scan_kwargs["row_filter"] = flt
+                pscan2 = table.scan(**scan_kwargs)
+                sc_tasks = None
+                if scope is not None:
+                    want = dict(scope)
+                    sc_tasks = [
+                        t
+                        for t in pscan2.plan_files()
+                        if (t.file.partition or {}) == want
+                    ]
                 pre = _align_to_current(
-                    table.scan(**scan_kwargs).to_df(spark), parent_schema, table.schema
+                    pscan2.to_df(spark, tasks=sc_tasks), parent_schema, table.schema
                 )
                 hit = pre.join(keys, names, "left_semi")
                 deletes = hit if deletes is None else deletes.unionByName(hit)

@@ -250,6 +250,22 @@ class SqlCatalog:
             action = upd.get("action")
             if action == "add-snapshot":
                 snap = upd["snapshot"]
+                # snap ids/seqs were computed from the WRITER's possibly
+                # stale metadata; the ref requirement only proves the
+                # target branch didn't move. A commit to branch B after
+                # someone committed to main would re-use main's new id —
+                # snapshot_by_id would then resolve B to main's snapshot
+                # (r6 review). Collision = stale writer: CAS-fail it.
+                have_ids = {
+                    sn.get("snapshot-id") for sn in raw.get("snapshots", [])
+                }
+                if snap["snapshot-id"] in have_ids or snap.get(
+                    "sequence-number", 0
+                ) <= raw.get("last-sequence-number", 0):
+                    raise CommitFailedError(
+                        "snapshot id/sequence collision with a concurrent "
+                        "commit; refresh and retry"
+                    )
                 raw["snapshots"] = raw.get("snapshots", []) + [snap]
                 raw["last-sequence-number"] = max(
                     raw.get("last-sequence-number", 0), snap.get("sequence-number", 0)

@@ -676,35 +676,7 @@ class TableScan:
             part = raw.select(*cols)
             # equality deletes: anti-join on the delete's equality fields
             # (resolved by field ID against the scan schema)
-            for dfile in g["eq"]:
-                names = []
-                for fid in dfile.equality_ids or []:
-                    f = base.find_field(fid)
-                    if f is None:
-                        # anti-joining on a PARTIAL key would over-delete
-                        raise ValueError(
-                            f"equality-delete file {dfile.file_path} keys on "
-                            f"field id {fid}, which is not in the scan "
-                            "schema; cannot apply a partial key"
-                        )
-                    names.append(f.name)
-                if not names:
-                    continue
-                keys = spark.read.parquet(strip_file_scheme(dfile.file_path))
-                # by-name when the file carries the key names (robust to
-                # column reordering); positional only as width fallback
-                if not set(names) <= set(keys.columns):
-                    if len(keys.columns) == len(names):
-                        keys = keys.toDF(*names)
-                    else:
-                        raise ValueError(
-                            f"equality-delete file {dfile.file_path} columns "
-                            f"{keys.columns} do not match keys {names}"
-                        )
-                keys = _maybe_broadcast_deletes(
-                    keys.select(*names).distinct(), dfile.file_size_in_bytes
-                )
-                part = part.join(keys, names, "left_anti")
+            part = apply_eq_delete_anti_joins(part, g["eq"], base, spark)
             parts.append(part)
         df = parts[0]
         for p in parts[1:]:
@@ -760,6 +732,45 @@ def _maybe_broadcast_deletes(df: DataFrame, manifest_bytes: int) -> DataFrame:
     if (manifest_bytes or 0) <= _BROADCAST_DELETE_BYTES:
         return F.broadcast(df)
     return df
+
+
+def apply_eq_delete_anti_joins(part, eq_files, base, spark):
+    """Anti-join ``part`` against each equality-delete file's key set,
+    resolving key columns by FIELD ID against ``base`` (partial keys
+    refuse loudly; by-name column resolution with positional width
+    fallback). Shared by the scan path and delete_where_mor — the MOR
+    writer previously raw-read files and re-deleted already-eq-deleted
+    rows (r6 review)."""
+    for dfile in eq_files:
+        names = []
+        for fid in dfile.equality_ids or []:
+            f = base.find_field(fid)
+            if f is None:
+                # anti-joining on a PARTIAL key would over-delete
+                raise ValueError(
+                    f"equality-delete file {dfile.file_path} keys on "
+                    f"field id {fid}, which is not in the scan "
+                    "schema; cannot apply a partial key"
+                )
+            names.append(f.name)
+        if not names:
+            continue
+        keys = spark.read.parquet(strip_file_scheme(dfile.file_path))
+        # by-name when the file carries the key names (robust to
+        # column reordering); positional only as width fallback
+        if not set(names) <= set(keys.columns):
+            if len(keys.columns) == len(names):
+                keys = keys.toDF(*names)
+            else:
+                raise ValueError(
+                    f"equality-delete file {dfile.file_path} columns "
+                    f"{keys.columns} do not match keys {names}"
+                )
+        keys = _maybe_broadcast_deletes(
+            keys.select(*names).distinct(), dfile.file_size_in_bytes
+        )
+        part = part.join(keys, names, "left_anti")
+    return part
 
 
 def _eq_delete_applies(

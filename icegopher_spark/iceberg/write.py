@@ -158,7 +158,21 @@ def commit_metadata_update(table, new_md, updates, requirements=None):
 def _commit_metadata(io, location: str, md: TableMetadata, expected_version: int) -> int:
     """Atomic metadata swap: version files are create-once (O_EXCL), so
     a concurrent committer loses and must retry after refresh —
-    optimistic concurrency without a lock service."""
+    optimistic concurrency without a lock service.
+
+    LOCAL filesystem only (O_EXCL has no S3 equivalent): an s3://
+    location refuses loudly instead of writing the version file into a
+    literal local './s3:/...' directory while the hint goes to S3 — a
+    split, unloadable table (r6 review). Remote tables commit through
+    a catalog (commit_metadata_update routes there first)."""
+    from urllib.parse import urlparse
+
+    if urlparse(location).scheme in ("s3", "s3a", "s3n"):
+        raise NotImplementedError(
+            f"filesystem commit requires a local location, got {location}; "
+            "use a catalog (REST/SQL) for object-store tables — the "
+            "version-file CAS needs create-exclusive, which S3 lacks"
+        )
     new_version = expected_version + 1
     path = strip_scheme(_version_path(location, new_version))
     os.makedirs(os.path.dirname(path), exist_ok=True)
@@ -617,6 +631,22 @@ def _parse_partition_value(name: str, raw: str, spec: PartitionSpec, schema: Sch
             if isinstance(rt, (TT, TTZ)):
                 # Spark dir format: 'YYYY-MM-DD HH:MM:SS[.ffffff]'
                 ts = datetime.fromisoformat(raw)
+                if ts.tzinfo is None and isinstance(rt, TTZ):
+                    # Spark renders timestamptz partition values in the
+                    # SESSION timezone; parsing them as UTC shifted the
+                    # manifest value by the tz offset and partition
+                    # pruning silently dropped matching files (r6)
+                    from zoneinfo import ZoneInfo
+
+                    from pyspark.sql import SparkSession
+
+                    sess = SparkSession.getActiveSession()
+                    tz = (
+                        sess.conf.get("spark.sql.session.timeZone", "UTC")
+                        if sess is not None
+                        else "UTC"
+                    )
+                    ts = ts.replace(tzinfo=ZoneInfo(tz))
                 return _micros_since_epoch(
                     ts if ts.tzinfo else ts.replace(tzinfo=timezone.utc)
                 )
@@ -683,6 +713,11 @@ def _commit_snapshot(
     current-snapshot-id stay untouched until a publish fast-forwards
     them."""
     md = table.metadata
+    existing_ref = md.refs.get(branch)
+    if existing_ref is not None and existing_ref.snapshot_ref_type == "tag":
+        # tags are immutable pins: committing here would silently
+        # convert the tag into a branch and move it (r6 review)
+        raise ValueError(f"ref {branch!r} is a tag; cannot commit to a tag")
     location = md.location
     io = table.io
     snap_id, seq = _next_ids(md)
@@ -805,8 +840,11 @@ def _commit_snapshot(
         ),
     )
 
-    total_files = sum(m.added_files_count + m.existing_files_count for m in manifests)
-    total_rows = sum(m.added_rows_count + m.existing_rows_count for m in manifests)
+    # DATA manifests only: counting DELETES manifests reported delete
+    # files/rows as table data in every subsequent summary (r6 review)
+    data_ms = [m for m in manifests if m.content == ManifestContent.DATA]
+    total_files = sum(m.added_files_count + m.existing_files_count for m in data_ms)
+    total_rows = sum(m.added_rows_count + m.existing_rows_count for m in data_ms)
     snapshot = Snapshot(
         snapshot_id=snap_id,
         parent_snapshot_id=parent_id,
@@ -928,22 +966,33 @@ def delete_where_mor(table: Table, spark: SparkSession, row_filter) -> Table:
         return table
 
     scan = table.scan(row_filter=row_filter)
-    by_fmt: dict[str, list[str]] = {}
+    # group by (format, applicable eq-delete set) and track prior pos
+    # deletes: matching against RAW file contents re-deleted rows that
+    # earlier pos/eq deletes already removed — reads stayed correct
+    # (anti-join is idempotent) but the changelog reported those rows
+    # deleted AGAIN, double-decrementing incremental MVs (r6 review)
+    groups: dict[tuple, dict] = {}
     for t in scan.plan_files():
-        by_fmt.setdefault(t.file.file_format, []).append(strip_file_scheme(t.file.file_path))
-    if not by_fmt:
+        key = (t.file.file_format, frozenset(d.file_path for d in t.eq_delete_files))
+        g = groups.setdefault(key, {"paths": set(), "eq": t.eq_delete_files, "pd": set()})
+        g["paths"].add(strip_file_scheme(t.file.file_path))
+        g["pd"].update(strip_file_scheme(d.file_path) for d in t.delete_files)
+    if not groups:
         return table
 
+    from .table import apply_eq_delete_anti_joins
+
     parts = []
-    for fmt, paths in by_fmt.items():
-        paths = sorted(set(paths))
+    for (fmt, _eqk), g in groups.items():
+        paths = sorted(g["paths"])
         if fmt == "PARQUET":
             src = spark.read.schema(table.schema.to_spark()).parquet(*paths)
-            part = src.filter(to_spark_column(row_filter)).select(
+            src = src.select(
                 F.regexp_replace(F.col("_metadata.file_path"), "^file:/*", "/").alias(
                     "file_path"
                 ),
                 F.col("_metadata.row_index").alias("pos"),
+                "*",
             )
         else:
             # ORC/Avro: Arrow readers supply spec-exact ordinals
@@ -954,11 +1003,20 @@ def delete_where_mor(table: Table, spark: SparkSession, row_filter) -> Table:
                 if fmt == "ORC"
                 else read_avro_files(spark, paths, table.schema.to_spark(), with_pos=True)
             )
-            part = src.filter(to_spark_column(row_filter)).select(
+            src = src.select(
                 F.regexp_replace(F.col("_file"), "^file:/*", "/").alias("file_path"),
                 F.col("_pos").alias("pos"),
+                *[c for c in src.columns if c not in ("_file", "_pos")],
             )
-        parts.append(part)
+        part = src.filter(to_spark_column(row_filter))
+        part = apply_eq_delete_anti_joins(part, g["eq"], table.schema, spark)
+        if g["pd"]:
+            prior = spark.read.parquet(*sorted(g["pd"])).select(
+                F.regexp_replace(F.col("file_path"), "^file:/*", "/").alias("file_path"),
+                "pos",
+            )
+            part = part.join(prior, ["file_path", "pos"], "left_anti")
+        parts.append(part.select("file_path", "pos"))
     matches = parts[0]
     for p in parts[1:]:
         matches = matches.unionByName(p)
@@ -1021,19 +1079,15 @@ def delete_where_mor(table: Table, spark: SparkSession, row_filter) -> Table:
     )
 
 
-def delete_keys(
-    table: Table, spark: SparkSession, keys_df: DataFrame, key_columns: list[str]
-) -> Table:
-    """Equality delete: drop every row whose key tuple appears in
-    ``keys_df`` — written as an equality-delete file (distinct keys +
-    equality field ids) in a DELETES manifest. Applies to all data
-    files with a smaller sequence number; later appends are untouched.
-    The streaming-upsert primitive: O(|keys|) to commit, applied at
-    read time as a broadcast anti-join (reference enum
-    manifest.go:306-312; field-ids surface manifest.go:438-444)."""
-    snap = table.current_snapshot()
-    if snap is None:
-        return table
+def _write_eq_delete_files(
+    table: Table, keys_df: DataFrame, key_columns: list[str]
+) -> list[DataFile]:
+    """Write an equality-delete parquet over the distinct key tuples and
+    return its DataFile entries (empty list for an empty key set).
+    Shared by delete_keys and merge_upsert — the two previously carried
+    verbatim copies of this block (r6 review)."""
+    import pyarrow.parquet as pq
+
     schema = table.schema
     fids = []
     for c in key_columns:
@@ -1044,10 +1098,6 @@ def delete_keys(
 
     out_dir = f"{table.location}/data/eqdel-{_uuid.uuid4().hex[:12]}"
     keys_df.select(*key_columns).distinct().coalesce(1).write.mode("overwrite").parquet(out_dir)
-
-    import pyarrow.parquet as pq
-
-    from .manifests import read_manifest_list
 
     delete_files = []
     for fn in sorted(os.listdir(out_dir)):
@@ -1067,6 +1117,25 @@ def delete_keys(
                 equality_ids=fids,
             )
         )
+    return delete_files
+
+
+def delete_keys(
+    table: Table, spark: SparkSession, keys_df: DataFrame, key_columns: list[str]
+) -> Table:
+    """Equality delete: drop every row whose key tuple appears in
+    ``keys_df`` — written as an equality-delete file (distinct keys +
+    equality field ids) in a DELETES manifest. Applies to all data
+    files with a smaller sequence number; later appends are untouched.
+    The streaming-upsert primitive: O(|keys|) to commit, applied at
+    read time as a broadcast anti-join (reference enum
+    manifest.go:306-312; field-ids surface manifest.go:438-444)."""
+    snap = table.current_snapshot()
+    if snap is None:
+        return table
+    from .manifests import read_manifest_list
+
+    delete_files = _write_eq_delete_files(table, keys_df, key_columns)
     if not delete_files:
         return table
     keep = read_manifest_list(table.io.read(snap.manifest_list))
@@ -1222,8 +1291,11 @@ def add_files(
 
     required = [f.name for f in table.schema.fields if f.required]
     for p in paths:
-        if p.endswith(".orc"):
-            continue  # ORC footer check skipped; stats optional
+        if p.endswith((".orc", ".avro")):
+            # non-parquet adoptables: collect_data_file has dedicated
+            # branches; pq.ParquetFile on them raised magic-byte errors
+            # before the commit even started (r6)
+            continue
         have = {c.split(".")[0] for c in pq.ParquetFile(strip_scheme(p)).schema_arrow.names}
         missing = [n for n in required if n not in have]
         if missing:
@@ -1269,40 +1341,10 @@ def merge_upsert(
         # left a crash window where the snapshot existed without its
         # marker and a restarted sink re-applied the batch (r5 review)
         return append(table, source, extra_summary=extra_summary)
-    schema = table.schema
-    fids = []
-    for c in key_columns:
-        f = schema.find_field(c)
-        if f is None:
-            raise ValueError(f"key column {c!r} not in schema")
-        fids.append(f.field_id)
-
-    out_dir = f"{table.location}/data/eqdel-{_uuid.uuid4().hex[:12]}"
-    source.select(*key_columns).distinct().coalesce(1).write.mode("overwrite").parquet(out_dir)
-
-    import pyarrow.parquet as pq
-
     from .manifests import read_manifest_list
 
-    delete_files = []
-    for fn in sorted(os.listdir(out_dir)):
-        if not fn.endswith(".parquet"):
-            continue
-        path = f"{out_dir}/{fn}"
-        meta = pq.ParquetFile(path).metadata
-        if meta.num_rows == 0:
-            continue
-        delete_files.append(
-            DataFile(
-                file_path=path,
-                content=DataFileContent.EQUALITY_DELETES,
-                record_count=meta.num_rows,
-                file_size_in_bytes=os.path.getsize(path),
-                partition={},
-                equality_ids=fids,
-            )
-        )
-
+    delete_files = _write_eq_delete_files(table, source, key_columns)
+    schema = table.schema
     pairs = _write_data_files(table, source, f"{table.location}/data")
     files = [collect_data_file(p, schema, part) for p, part in pairs]
     keep = read_manifest_list(table.io.read(snap.manifest_list))

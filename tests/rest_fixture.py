@@ -87,6 +87,10 @@ def _apply_commit(entry: dict, payload: dict) -> tuple[int, dict]:
         a = u.get("action")
         if a == "add-snapshot":
             snap = u["snapshot"]
+            if any(
+                sn.get("snapshot-id") == snap["snapshot-id"] for sn in md["snapshots"]
+            ) or snap.get("sequence-number", 0) <= md.get("last-sequence-number", 0):
+                return 409, {"error": "snapshot id/sequence collision"}
             md["snapshots"].append(snap)
             md["last-sequence-number"] = max(
                 md.get("last-sequence-number", 0), snap.get("sequence-number", 0)

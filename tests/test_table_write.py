@@ -649,3 +649,61 @@ def test_incremental_scan_survives_in_range_compaction(spark, warehouse, lineite
     assert got.count() == 400
     in_range = lineitem.limit(900).subtract(lineitem.limit(500))
     assert got.subtract(in_range).count() == 0
+
+
+def test_mor_delete_no_duplicate_positions(spark, warehouse, lineitem):
+    """r6: a second MOR delete must not re-delete rows earlier deletes
+    already removed — reads stayed right (idempotent anti-join) but the
+    changelog double-reported them."""
+    cat = StaticCatalog("test", warehouse)
+    t = cat.create_table(("db", "li_mor2"), SCHEMA, SPEC)
+    t = W.append(t, lineitem.limit(300))
+    t = W.delete_where_mor(t, spark, E.greater_than("l_quantity", 40.0))
+    n1 = lineitem.limit(300).filter(F.col("l_quantity") > 40.0).count()
+    t = W.delete_where_mor(t, spark, E.greater_than("l_quantity", 30.0))
+    n2 = lineitem.limit(300).filter(
+        (F.col("l_quantity") > 30.0) & (F.col("l_quantity") <= 40.0)
+    ).count()
+    # second snapshot's delete file holds ONLY the newly-dead rows
+    from icegopher_spark.iceberg.changelog import changelog_df
+
+    snaps = [s.snapshot_id for s in t.metadata.snapshots]
+    log = changelog_df(t, spark, from_snapshot_id=snaps[0], net=False)
+    per = {
+        r["_commit_snapshot_id"]: r["n"]
+        for r in log.filter(F.col("_change_type") == "delete")
+        .groupBy("_commit_snapshot_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert per.get(snaps[1], 0) == n1
+    assert per.get(snaps[2], 0) == n2  # no double-reported deletes
+    assert t.scan().to_df(spark).count() == 300 - n1 - n2
+
+
+def test_commit_to_tag_refused(spark, warehouse, lineitem):
+    """r6: tags are immutable pins — committing to one must raise, not
+    silently convert it to a branch and move it."""
+    from icegopher_spark.iceberg import refs
+
+    cat = StaticCatalog("test", warehouse)
+    t = cat.create_table(("db", "li_tag"), SCHEMA, SPEC)
+    t = W.append(t, lineitem.limit(10))
+    t = refs.create_tag(t, "v1")
+    with pytest.raises(ValueError, match="is a tag"):
+        W.append(t, lineitem.limit(5), branch="v1")
+
+
+def test_summary_totals_exclude_delete_manifests(spark, warehouse, lineitem):
+    """r6: total-data-files/total-records counted DELETES manifests."""
+    cat = StaticCatalog("test", warehouse)
+    t = cat.create_table(("db", "li_totals"), SCHEMA, SPEC)
+    t = W.append(t, lineitem.limit(100))
+    t = W.delete_keys(
+        t, spark, lineitem.limit(100).select("l_orderkey").distinct().limit(3),
+        ["l_orderkey"],
+    )
+    t = W.append(t, lineitem.limit(150).subtract(lineitem.limit(100)))
+    summary = t.current_snapshot().summary
+    # totals reflect DATA rows only: 100 + 50, never the delete file's keys
+    assert int(summary["total-records"]) == 150
