@@ -166,7 +166,11 @@ class InclusiveMetricsEvaluator:
         # metrics fuzz after the r5 review fixes)
         if op in ("gt", "ge") and isinstance(t, (FloatType, DoubleType)):
             nanc = (f.nan_value_counts or {}).get(fid)
-            if nanc:
+            # UNKNOWN (None) must be might-contain-NaN: a spec-compliant
+            # writer may omit the optional nan counts while the file
+            # holds NaN rows that satisfy gt/ge regardless of the
+            # (NaN-free, spec-required) upper bound (r6 review)
+            if nanc is None or nanc:
                 return ROWS_MIGHT_MATCH
 
         if op == "lt":
@@ -290,9 +294,15 @@ class ManifestEvaluator:
         if op in ("in", "not_in") and any(_is_nan(l.value) for l in p.literals):
             return ROWS_MIGHT_MATCH
 
-        # summary bounds exclude NaN, so declared NaN partitions defeat
-        # upper-bound pruning for gt/ge (NaN sorts above every literal)
-        if op in ("gt", "ge") and s.contains_nan is True:
+        # summary bounds exclude NaN, so NaN partitions defeat
+        # upper-bound pruning for gt/ge (NaN sorts above every literal).
+        # For float fields an UNKNOWN contains_nan (writer omitted the
+        # optional flag) must count as possible-NaN (r6 review)
+        if (
+            op in ("gt", "ge")
+            and isinstance(t, (FloatType, DoubleType))
+            and s.contains_nan is not False
+        ):
             return ROWS_MIGHT_MATCH
 
         lo = literal_from_bytes(s.lower_bound, t) if s.lower_bound is not None else None
@@ -309,7 +319,10 @@ class ManifestEvaluator:
             # only when NaN partitions are ruled out (r5 review)
             if op in ("lt", "le", "eq", "in", "starts_with"):
                 return ROWS_CANNOT_MATCH if not s.contains_null else ROWS_MIGHT_MATCH
-            if op in ("gt", "ge") and s.contains_nan is not True:
+            if op in ("gt", "ge") and (
+                not isinstance(t, (FloatType, DoubleType))
+                or s.contains_nan is False
+            ):
                 return ROWS_CANNOT_MATCH if not s.contains_null else ROWS_MIGHT_MATCH
             return ROWS_MIGHT_MATCH
 
@@ -381,7 +394,10 @@ class PartitionEvaluator:
         if op == "is_nan":
             return _is_nan(v)
         if op == "not_nan":
-            return v is not None and not _is_nan(v)
+            # Spark's NOT isnan(NULL) is TRUE (isnan is false for null),
+            # and Iceberg Java's NOT_NAN matches nulls too — requiring
+            # v is not None wrongly pruned files in null partitions (r6)
+            return not _is_nan(v)
         if v is None:
             return False
         t = e.term.field.field_type

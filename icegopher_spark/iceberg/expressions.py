@@ -415,10 +415,15 @@ def _lit_value(lit: Literal) -> Any:
     t = lit.literal_type
     if isinstance(t, DateType):
         return date(1970, 1, 1) + timedelta(days=lit.value)
+    # integer micros + timedelta, NOT fromtimestamp(micros/1e6): the
+    # float division corrupts microseconds beyond 2^53 µs (first hits
+    # ~year 2242 — e.g. the 9999-12-31 'no expiry' sentinel), and the
+    # exact Spark re-filter then matches zero rows (r6 review)
+    _epoch = datetime(1970, 1, 1, tzinfo=timezone.utc)
     if isinstance(t, TimestampTzType):
-        return datetime.fromtimestamp(lit.value / 1_000_000, tz=timezone.utc)
+        return _epoch + timedelta(microseconds=lit.value)
     if isinstance(t, TimestampType):
-        return datetime.fromtimestamp(lit.value / 1_000_000, tz=timezone.utc).replace(tzinfo=None)
+        return (_epoch + timedelta(microseconds=lit.value)).replace(tzinfo=None)
     if isinstance(t, UUIDType):
         return str(lit.value)
     return lit.value

@@ -14,7 +14,7 @@ from __future__ import annotations
 import struct
 import uuid as _uuid
 from dataclasses import dataclass
-from datetime import date, datetime, time, timezone
+from datetime import date, datetime, time, timedelta, timezone
 from decimal import Decimal
 from typing import Any
 
@@ -121,7 +121,13 @@ def L(value: Any, t: IcebergType | None = None) -> Literal:
     if isinstance(value, _uuid.UUID):
         return Literal(value, UUIDType())
     if isinstance(value, datetime):
-        micros = int(value.replace(tzinfo=value.tzinfo or timezone.utc).timestamp() * 1_000_000)
+        # integer arithmetic: float .timestamp()*1e6 corrupts micros
+        # beyond 2^53 us (~year 2255 — incl. the 9999-12-31 sentinel,
+        # which rounded UP past datetime.max; r6 review)
+        ts = value.replace(tzinfo=value.tzinfo or timezone.utc)
+        micros = (ts - datetime(1970, 1, 1, tzinfo=timezone.utc)) // timedelta(
+            microseconds=1
+        )
         return Literal(micros, TimestampTzType() if value.tzinfo else TimestampType())
     if isinstance(value, date):
         return Literal((value - _EPOCH_DATE).days, DateType())
@@ -144,7 +150,8 @@ def _parse_ts(s: str) -> int:
     dt = datetime.fromisoformat(s.replace("Z", "+00:00"))
     if dt.tzinfo is None:
         dt = dt.replace(tzinfo=timezone.utc)
-    return int(dt.timestamp() * 1_000_000)
+    # exact integer micros (see the datetime literal path above)
+    return (dt - datetime(1970, 1, 1, tzinfo=timezone.utc)) // timedelta(microseconds=1)
 
 
 def _cast(src: IcebergType, v: Any, target: IcebergType) -> Any:
@@ -269,8 +276,13 @@ def literal_to_bytes(lit: Literal) -> bytes:
     if isinstance(t, (BinaryType, FixedType)):
         return bytes(v)
     if isinstance(t, DecimalType):
+        from .transforms import _min_twos_complement_len
+
         unscaled = int(v.scaleb(t.scale).to_integral_value())
-        length = max((unscaled.bit_length() + 8) // 8, 1)
+        # MINIMAL two's complement (Java BigInteger.toByteArray): the
+        # old formula padded exact negative powers like -128 to ff80,
+        # spec-divergent bytes for external readers (r6)
+        length = _min_twos_complement_len(unscaled)
         return unscaled.to_bytes(length, "big", signed=True)
     raise TypeError(f"cannot serialize {lit!r}")
 

@@ -92,6 +92,17 @@ def murmur3_32(data: bytes, seed: int = 0) -> int:
     return h - (1 << 32) if h >= 1 << 31 else h
 
 
+def _min_twos_complement_len(v: int) -> int:
+    """MINIMAL two's-complement byte length (Java BigInteger.toByteArray,
+    which the Iceberg spec's decimal hashing requires). The old
+    (bit_length + 8) // 8 formula over-padded exact negative powers
+    -2^(8k-1) (-128 encoded as ff80, spec says 80) — a DIFFERENT
+    murmur3 bucket than every other engine computes (r6 review)."""
+    if v < 0:
+        return ((~v).bit_length() + 8) // 8
+    return max((v.bit_length() + 8) // 8, 1)
+
+
 def _bucket_encode(value: Any, t: IcebergType) -> bytes:
     """Single-value encoding for bucket hashing (Iceberg spec)."""
     if isinstance(t, (IntegerType, LongType, DateType, TimeType, TimestampType, TimestampTzType)):
@@ -100,7 +111,7 @@ def _bucket_encode(value: Any, t: IcebergType) -> bytes:
         return value.encode("utf-8")
     if isinstance(t, DecimalType):
         unscaled = int(Decimal(value).scaleb(t.scale).to_integral_value())
-        length = max((unscaled.bit_length() + 8) // 8, 1)
+        length = _min_twos_complement_len(unscaled)
         return unscaled.to_bytes(length, "big", signed=True)
     if isinstance(t, UUIDType):
         return value.bytes if isinstance(value, _uuid.UUID) else _uuid.UUID(str(value)).bytes
@@ -381,7 +392,11 @@ def _coerce(v: Any, t: IcebergType) -> Any:
             return v.value // 1000
         if isinstance(v, dt.datetime):
             ts = v.replace(tzinfo=v.tzinfo or dt.timezone.utc)
-            return int(ts.timestamp() * 1_000_000)
+            # integer arithmetic: float .timestamp()*1e6 is off by
+            # multiple µs beyond 2^53 µs (~year 2255) and int() rounds
+            # toward zero (r6 review, reproduced numerically)
+            epoch = dt.datetime(1970, 1, 1, tzinfo=dt.timezone.utc)
+            return (ts - epoch) // dt.timedelta(microseconds=1)
     return v
 
 
@@ -416,9 +431,13 @@ class TruncateTransform(Transform):
         if isinstance(source_type, StringType):
             return F.substring(col, 1, w)
         if isinstance(source_type, DecimalType):
+            # pure decimal arithmetic: the old long-cast + float `/`
+            # lost precision above 2^53 unscaled and NULLed p>=19
+            # values, writing wrong/null partition keys (r6 review).
+            # pmod(value, w·10^-s) == (unscaled mod w)·10^-s exactly.
             s = source_type.scale
-            unscaled = (col * F.lit(10**s)).cast("long")
-            return ((unscaled - F.pmod(unscaled, F.lit(w))) / F.lit(10**s)).cast(
+            step = F.lit(Decimal(w).scaleb(-s))
+            return (col - F.pmod(col, step)).cast(
                 f"decimal({source_type.precision},{s})"
             )
         if isinstance(source_type, (BinaryType, FixedType)):

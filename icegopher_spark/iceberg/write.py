@@ -328,6 +328,19 @@ def collect_data_file(path: str, schema: Schema, partition: dict[str, Any]) -> D
         return isinstance(x, float) and _math.isnan(x)
 
     bad_bounds: set[int] = set()
+    # NaN inference (sound for parquet-mr ONLY): Spark's writer computes
+    # min/max with standard double compareTo, where NaN sorts above
+    # everything — so a float column whose every row group has complete,
+    # non-NaN bounds PROVABLY holds no NaN (a single NaN would have
+    # become the max). pyarrow SKIPS NaN in stats (verified), so no such
+    # inference for other writers; their files keep nan counts unknown
+    # and the metrics evaluator stays conservative for gt/ge (r6).
+    from .types import DoubleType as _DT, FloatType as _FT
+
+    float_fids = {
+        f.field_id for f in schema.fields if isinstance(f.field_type, (_FT, _DT))
+    }
+    is_parquet_mr = (meta.created_by or "").startswith("parquet-mr")
     for rg in range(meta.num_row_groups):
         g = meta.row_group(rg)
         if g.num_columns:
@@ -390,6 +403,23 @@ def collect_data_file(path: str, schema: Schema, partition: dict[str, Any]) -> D
         and (b := _bound_value(v, name_to_field_by_id(schema, fid).field_type, True))
         is not None
     }
+    nan_counts = None
+    if is_parquet_mr and float_fids:
+        # complete non-NaN bounds for every row group => zero NaNs.
+        # bad_bounds covers both "stats missing" and "NaN in stats";
+        # all-null columns never enter lower/upper but hold no NaN
+        # either (value_counts == null_counts proves emptiness).
+        nan_counts = {}
+        for fid in float_fids:
+            all_null = (
+                value_counts.get(fid, 0) > 0
+                and null_counts.get(fid) == value_counts.get(fid)
+            )
+            if fid in bad_bounds:
+                continue  # unknowable: leave absent (might contain NaN)
+            if fid in lower or all_null or value_counts.get(fid, 0) == 0:
+                nan_counts[fid] = 0
+        nan_counts = nan_counts or None
     return DataFile(
         file_path=path,
         record_count=meta.num_rows,
@@ -398,6 +428,7 @@ def collect_data_file(path: str, schema: Schema, partition: dict[str, Any]) -> D
         column_sizes=column_sizes or None,
         value_counts=value_counts or None,
         null_value_counts=null_counts or None,
+        nan_value_counts=nan_counts,
         lower_bounds=lower_b or None,
         upper_bounds=upper_b or None,
         split_offsets=split_offsets or None,

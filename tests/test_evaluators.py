@@ -322,3 +322,76 @@ def test_partition_evaluator_starts_with_binary():
     # mismatched literal/value types conservatively keep the file
     ev2 = PartitionEvaluator(spec, bsch, starts_with("b_p", b"ab"))
     assert ev2.eval({"b_p": 42}) is True
+
+
+def test_not_nan_matches_null_partition_values():
+    """r6: NOT isnan(NULL) is TRUE in Spark — files in null partitions
+    must survive a not_nan filter."""
+    from icegopher_spark.iceberg import expressions as E
+    from icegopher_spark.iceberg.evaluators import PartitionEvaluator
+    from icegopher_spark.iceberg.schema import Schema
+    from icegopher_spark.iceberg.transforms import PartitionField, PartitionSpec, parse_transform
+    from icegopher_spark.iceberg.types import DoubleType, NestedField
+
+    sch = Schema((NestedField(1, "f", DoubleType(), False),), schema_id=0)
+    spec = PartitionSpec([PartitionField(1, 1000, "f", parse_transform("identity"))])
+    ev = PartitionEvaluator(spec, sch, E.not_nan("f"))
+    assert ev.eval({"f": None}) is True
+    assert ev.eval({"f": 1.5}) is True
+    assert ev.eval({"f": float("nan")}) is False
+
+
+def test_unknown_nan_stats_defeat_float_upper_bound_pruning():
+    """r6: a file with NO nan_value_counts for a float column may still
+    hold NaN rows (spec makes the stat optional) — gt/ge must not prune
+    on the NaN-free upper bound."""
+    import struct as _struct
+
+    from icegopher_spark.iceberg import expressions as E
+    from icegopher_spark.iceberg.evaluators import InclusiveMetricsEvaluator
+    from icegopher_spark.iceberg.manifests import DataFile
+    from icegopher_spark.iceberg.schema import Schema
+    from icegopher_spark.iceberg.types import DoubleType, NestedField
+
+    sch = Schema((NestedField(1, "f", DoubleType(), False),), schema_id=0)
+    df = DataFile(
+        file_path="/x.parquet",
+        record_count=10,
+        file_size_in_bytes=100,
+        partition={},
+        lower_bounds={1: _struct.pack("<d", 1.0)},
+        upper_bounds={1: _struct.pack("<d", 10.0)},
+        nan_value_counts=None,  # unknown — NOT "no NaNs"
+    )
+    ev = InclusiveMetricsEvaluator(sch, E.greater_than("f", 100.0))
+    assert ev.eval(df) is True  # NaN rows would satisfy f > 100
+    # with NaNs explicitly ruled out, the bound prunes again
+    df2 = DataFile(
+        file_path="/x.parquet",
+        record_count=10,
+        file_size_in_bytes=100,
+        partition={},
+        lower_bounds={1: _struct.pack("<d", 1.0)},
+        upper_bounds={1: _struct.pack("<d", 10.0)},
+        nan_value_counts={1: 0},
+    )
+    assert InclusiveMetricsEvaluator(sch, E.greater_than("f", 100.0)).eval(df2) is False
+
+
+def test_far_range_timestamp_literal_exact(spark):
+    """r6: timestamp literals beyond 2^53 us must compile exactly (the
+    9999-12-31 sentinel previously lost microseconds to float division)."""
+    from datetime import datetime
+
+    from icegopher_spark.iceberg import expressions as E
+    from icegopher_spark.iceberg.expressions import ensure_bound, to_spark_column
+    from icegopher_spark.iceberg.literals import Literal
+    from icegopher_spark.iceberg.schema import Schema
+    from icegopher_spark.iceberg.types import NestedField, TimestampType
+
+    sch = Schema((NestedField(1, "ts", TimestampType(), False),), schema_id=0)
+    sentinel = datetime(9999, 12, 31, 23, 59, 59, 999999)
+    micros = Literal(sentinel, TimestampType()).value
+    bound = ensure_bound(sch, E.equal_to("ts", sentinel), True)
+    df = spark.createDataFrame([(sentinel,)], "ts timestamp_ntz")
+    assert df.filter(to_spark_column(bound)).count() == 1

@@ -296,3 +296,47 @@ def test_bucket_series_hypothesis_unicode():
 
     check_strings()
     check_decimals()
+
+
+def test_decimal_bucket_minimal_twos_complement():
+    """r6: -128 must encode as the spec's minimal b'\\x80' (Java
+    BigInteger.toByteArray), not padded b'\\xff\\x80' — different bytes
+    hash to a different murmur3 bucket than every other engine."""
+    from decimal import Decimal
+
+    from icegopher_spark.iceberg.transforms import _bucket_encode, _min_twos_complement_len
+    from icegopher_spark.iceberg.types import DecimalType
+
+    t = DecimalType(9, 2)
+    assert _bucket_encode(Decimal("-1.28"), t) == b"\x80"
+    assert _bucket_encode(Decimal("-327.68"), t) == b"\x80\x00"
+    assert _bucket_encode(Decimal("1.27"), t) == b"\x7f"
+    assert _bucket_encode(Decimal("1.28"), t) == b"\x00\x80"
+    # exhaustive parity with int.to_bytes minimal round-trip
+    for v in range(-70000, 70000, 7):
+        n = _min_twos_complement_len(v)
+        assert int.from_bytes(v.to_bytes(n, "big", signed=True), "big", signed=True) == v
+        if n > 1:  # minimality: one byte fewer must NOT fit
+            import pytest as _pt
+
+            with _pt.raises(OverflowError):
+                v.to_bytes(n - 1, "big", signed=True)
+
+
+def test_truncate_decimal_column_exact_beyond_2_53(spark):
+    """r6: the truncate[w] decimal column path must match apply()
+    exactly for unscaled values beyond float precision."""
+    from decimal import Decimal
+
+    from pyspark.sql import functions as F
+
+    from icegopher_spark.iceberg.transforms import parse_transform
+    from icegopher_spark.iceberg.types import DecimalType
+
+    t = DecimalType(18, 2)
+    tr = parse_transform("truncate[10]")
+    vals = [Decimal("123456789012345.67"), Decimal("-123456789012345.67"), Decimal("0.05")]
+    df = spark.createDataFrame([(v,) for v in vals], f"d decimal(18,2)")
+    got = [r["out"] for r in df.select(tr.to_column(F.col("d"), t).alias("out")).collect()]
+    want = [tr.apply(v, t) for v in vals]
+    assert got == want
