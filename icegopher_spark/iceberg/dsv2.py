@@ -70,18 +70,18 @@ class _FilePartition(InputPartition):
         self.eq_deletes = eq_deletes
 
 
-def resolve_location(options, for_write: bool = False) -> str:
+def resolve_location(options) -> str:
     """Table location from datasource options: either a direct
     ``location``, or ``catalog`` (URI / warehouse path; type inferred
     the same way ``load_catalog`` infers it) + ``table`` (dotted
     identifier) resolved through the catalog layer.
 
-    Catalog-managed tables resolve to their EXACT metadata-file
-    location (the catalog's pointer), not the table directory — REST
-    tables have no version-hint.text, so a directory load would fail
-    or read stale metadata (r6 review). Writes refuse the catalog
-    route: committing via the hint file would advance the table behind
-    the catalog's pointer, and catalog readers would never see it."""
+    READ-side resolution: catalog-managed tables resolve to their EXACT
+    metadata-file location (the catalog's pointer), not the table
+    directory — REST tables have no version-hint.text, so a directory
+    load would fail or read stale metadata (r6 review). Write COMMITS
+    load through the catalog instead (load_table_for_commit), so the
+    pointer advances atomically via cat.commit_table."""
     if "location" in options:
         return options["location"]
     cat_uri = options.get("catalog")
@@ -451,6 +451,24 @@ class _PushdownBatchReader(_BatchReader):
         return filters
 
 
+def _entry_data_file(entry, schema):
+    """(path, partition[, nan_counts_by_name]) -> DataFile; write-time
+    NaN tallies map to field ids here so the metrics evaluator can
+    prune float gt/ge on pyarrow-written files too (r6)."""
+    from .write import collect_data_file
+
+    path, partition = entry[0], entry[1]
+    nan_by_name = entry[2] if len(entry) > 2 else None
+    nan_counts = None
+    if nan_by_name is not None:
+        nan_counts = {}
+        for name, n in nan_by_name.items():
+            f = schema.find_field(name)
+            if f is not None:
+                nan_counts[f.field_id] = n
+    return collect_data_file(path, schema, partition, nan_value_counts=nan_counts)
+
+
 class _TaskCommit(WriterCommitMessage):
     def __init__(self, entries):
         # list of (path, partition_dict) pairs
@@ -510,12 +528,33 @@ class _BatchWriter(DataSourceArrowWriter):
             loc = _os.path.dirname(_os.path.dirname(loc))
         d = f"{loc}/data/dsw-{uuid.uuid4().hex[:16]}-a{attempt}"
         writers: dict[tuple, tuple] = {}  # key -> (ParquetWriter, path, partition)
+        # NaN counts per (file, column) accumulated as batches stream —
+        # pyarrow SKIPS NaN in parquet min/max stats, so unlike
+        # parquet-mr files the footer can't prove NaN-freeness; without
+        # these counts the metrics evaluator must stay conservative for
+        # float gt/ge pruning on every dsv2-written file (r6)
+        nan_acc: dict[tuple, dict[str, int]] = {}
+        float_cols: list[str] | None = None
 
         def _sink(key, partition, batch):
+            import pyarrow.compute as pc
+
             if key not in writers:
                 os.makedirs(d, exist_ok=True)
                 path = f"{d}/part-{len(writers)}.parquet"
                 writers[key] = (pq.ParquetWriter(path, batch.schema), path, partition)
+                nan_acc[key] = {}
+            nonlocal float_cols
+            if float_cols is None:
+                float_cols = [
+                    f.name for f in batch.schema if pa.types.is_floating(f.type)
+                ]
+            acc = nan_acc[key]
+            for c in float_cols:
+                n = pc.sum(
+                    pc.is_nan(batch.column(batch.schema.get_field_index(c)))
+                ).as_py()
+                acc[c] = acc.get(c, 0) + int(n or 0)
             writers[key][0].write_batch(batch)
 
         for batch in iterator:
@@ -545,9 +584,9 @@ class _BatchWriter(DataSourceArrowWriter):
                       batch.take(pa.array(np.asarray(idx, dtype=np.int64))))
 
         entries = []
-        for w, path, partition in writers.values():
+        for key, (w, path, partition) in writers.items():
             w.close()
-            entries.append((path, partition))
+            entries.append((path, partition, nan_acc.get(key, {})))
         return _TaskCommit(entries)
 
     def commit(self, messages):
@@ -559,7 +598,7 @@ class _BatchWriter(DataSourceArrowWriter):
 
         entries = [e for m in messages if m is not None for e in m.entries]
         t = load_table_for_commit(self.options)
-        files = [collect_data_file(p, t.schema, part) for p, part in entries]
+        files = [_entry_data_file(e, t.schema) for e in entries]
         if self.overwrite:
             _commit_snapshot(t, files, OP_OVERWRITE, keep_manifests=[])
             return
@@ -576,8 +615,8 @@ class _BatchWriter(DataSourceArrowWriter):
         for m in messages or []:
             if m is None:
                 continue
-            for p, _part in m.entries:
-                shutil.rmtree(os.path.dirname(p), ignore_errors=True)
+            for e in m.entries:
+                shutil.rmtree(os.path.dirname(e[0]), ignore_errors=True)
 
 
 class IcebergDataSource(DataSource):
@@ -703,7 +742,7 @@ class _IcebergStreamWriter(DataSourceStreamArrowWriter):
             # replayed micro-batch after restart: drop its staged files
             self.abort(messages, batchId)
             return
-        files = [collect_data_file(p, t.schema, part) for p, part in entries]
+        files = [_entry_data_file(e, t.schema) for e in entries]
         snap = t.current_snapshot()
         if self.overwrite:
             keep = []
@@ -729,5 +768,5 @@ class _IcebergStreamWriter(DataSourceStreamArrowWriter):
         for m in messages or []:
             if m is None:
                 continue
-            for p, _part in m.entries:
-                shutil.rmtree(os.path.dirname(p), ignore_errors=True)
+            for e in m.entries:
+                shutil.rmtree(os.path.dirname(e[0]), ignore_errors=True)

@@ -281,7 +281,12 @@ def _bound_value(v: Any, t: IcebergType, upper: bool) -> bytes | None:
     return literal_to_bytes(lit)
 
 
-def collect_data_file(path: str, schema: Schema, partition: dict[str, Any]) -> DataFile:
+def collect_data_file(
+    path: str,
+    schema: Schema,
+    partition: dict[str, Any],
+    nan_value_counts: dict[int, int] | None = None,
+) -> DataFile:
     """Build a DataFile (with per-column stats) from a parquet footer —
     the write-side producer of the stats the metrics evaluator consumes
     (SURVEY.md §2.5). ORC files get row counts only (stats are optional
@@ -403,8 +408,8 @@ def collect_data_file(path: str, schema: Schema, partition: dict[str, Any]) -> D
         and (b := _bound_value(v, name_to_field_by_id(schema, fid).field_type, True))
         is not None
     }
-    nan_counts = None
-    if is_parquet_mr and float_fids:
+    nan_counts = nan_value_counts  # caller-supplied (e.g. counted at write)
+    if nan_counts is None and is_parquet_mr and float_fids:
         # complete non-NaN bounds for every row group => zero NaNs.
         # bad_bounds covers both "stats missing" and "NaN in stats";
         # all-null columns never enter lower/upper but hold no NaN

@@ -500,3 +500,27 @@ def test_dsv2_time_travel_sees_snapshot_schema(spark, tmp_path):
     # and the current read hides it
     now = spark.read.format("icegopher").option("location", loc).load()
     assert "q" not in now.columns
+
+
+def test_dsv2_writes_record_nan_counts(spark, tmp_path):
+    """r6: dsv2-written (pyarrow) files carry write-time NaN tallies —
+    the footer can't prove NaN-freeness (pyarrow skips NaN in stats),
+    and without the counts float gt/ge pruning must stay conservative."""
+    loc = str(tmp_path / "nan_t")
+    W.create_table(loc, SCHEMA)
+    rows = [(1, 1.0, "a"), (2, float("nan"), "b"), (3, 5.0, "c")]
+    spark.createDataFrame(rows, "k long, q double, flag string").coalesce(1).write.format(
+        "icegopher"
+    ).option("location", loc).mode("append").save()
+    t = Table.from_location(loc)
+    [task] = t.scan().plan_files()
+    q_fid = t.schema.find_field("q").field_id
+    assert task.file.nan_value_counts == {q_fid: 1}
+    # and a NaN-free write proves zero, enabling gt pruning
+    loc2 = str(tmp_path / "clean_t")
+    W.create_table(loc2, SCHEMA)
+    _df(spark, 0, 10).coalesce(1).write.format("icegopher").option(
+        "location", loc2
+    ).mode("append").save()
+    t2 = Table.from_location(loc2)
+    assert t2.scan(row_filter=E.greater_than("q", 1e9)).plan_files() == []
