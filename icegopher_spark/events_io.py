@@ -6,8 +6,9 @@ ways across driver builds:
   * TIMESTAMP(NANOS) — Spark's vectorized reader rejects nanos, so the
     file is read with ``spark.sql.legacy.parquet.nanosAsLong`` and the
     int64 nanos truncated to microseconds (integer division: ns values
-    ~1.7e18 overflow double precision, so no float math), matching
-    DuckDB's ns→µs truncation.
+    ~1.7e18 overflow double precision, so no float math). Spark's
+    ``div`` truncates toward zero, which is exactly DuckDB's ns→µs
+    behavior (verified empirically: -1500 ns → -1 µs in both).
   * plain ``timestamp[us]`` (TIMESTAMP_NTZ to Spark) — read as-is and
     cast to TimestampType. The session time zone is pinned to UTC
     (session.py), so the cast is value-identical to DuckDB's naive
@@ -41,6 +42,9 @@ def _first_parquet_file(path: str) -> str:
             for entry in sorted(files):
                 if entry.endswith(".parquet") and not entry.startswith("_"):
                     return os.path.join(root, entry)
+        # falling through to the directory itself would crash the
+        # footer probe with an unrelated ArrowInvalid far from here
+        raise FileNotFoundError(f"no parquet files under {path}")
     return path
 
 
@@ -75,10 +79,21 @@ def events_ts_unit(path: str) -> str:
 
 
 def _enable_nanos_as_long(spark: SparkSession) -> None:
+    """Session-global by necessity: the vectorized reader consults the
+    conf at EXECUTION time, so it can't be scoped to this one (lazy)
+    read. Other nano-timestamp parquet reads in the session will also
+    see int64 — acceptable here because events is the only nanos table.
+    A failed set with the conf still off would crash the later read far
+    from the cause, so raise the clear error now instead of swallowing."""
+    conf = "spark.sql.legacy.parquet.nanosAsLong"
     try:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    except Exception:  # noqa: BLE001 — static conf in some deployments
-        pass
+        spark.conf.set(conf, "true")
+    except Exception as exc:  # noqa: BLE001 — static conf in some deployments
+        if (spark.conf.get(conf, "false") or "").lower() != "true":
+            raise RuntimeError(
+                f"events file stores TIMESTAMP(NANOS) but {conf} could not "
+                "be enabled on this session; set it at session start"
+            ) from exc
 
 
 def load_events(spark: SparkSession, path: str) -> DataFrame:

@@ -524,6 +524,12 @@ def group_centroids(
 
 # -- persisted IVF index over an Iceberg table -------------------------------
 
+# Bump when the quantizer/search kernel changes semantics (kmeans
+# seeding, cell assignment, cosine fold): a persisted index built by an
+# older kernel would otherwise validate as healthy while silently
+# changing probe recall across code revisions.
+IVF_KERNEL_VERSION = "1"
+
 
 def ivf_index_write(
     spark,
@@ -565,7 +571,11 @@ def ivf_index_write(
         location,
         schema,
         spec=spec,
-        properties={"ivf.centroids": _json.dumps(centroids), "ivf.n-lists": str(n_lists)},
+        properties={
+            "ivf.centroids": _json.dumps(centroids),
+            "ivf.n-lists": str(n_lists),
+            "ivf.kernel-version": IVF_KERNEL_VERSION,
+        },
     )
 
     assigned = corpus.select(

@@ -20,7 +20,7 @@ from __future__ import annotations
 from collections.abc import Callable
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .operators import asof, dedup, similarity, text
@@ -458,7 +458,7 @@ FROM customer c
 JOIN orders o   ON c.c_custkey = o.o_custkey
 JOIN lineitem l ON o.o_orderkey = l.l_orderkey
 GROUP BY 1, 2, 3, 4, 5
-HAVING SUM(l.l_quantity) > 150
+HAVING SUM(CAST(l.l_quantity AS DECIMAL(12,2))) > 150
 """
 
 
@@ -1900,31 +1900,45 @@ def sim_ivf_q(spark: SparkSession, sf: str) -> DataFrame:
     return _topk_recall(exact, approx, k=5)
 
 
+def _cached_index_table(loc: str, is_current):
+    """Load a persisted /tmp index table when `is_current(table)` says
+    its stamp matches the running kernel; otherwise wipe the location
+    and return None so the caller rebuilds. Shared by the IVF and
+    MinHash incremental gates — a stale index from an older kernel
+    revision must never validate as healthy (it silently changes
+    candidate recall across code revisions)."""
+    import os as _os
+    import shutil as _shutil
+
+    from .iceberg.table import Table
+
+    t = None
+    if _os.path.exists(f"{loc}/metadata/version-hint.text"):
+        try:
+            t = Table.from_location(loc)
+            if t.current_snapshot() is None or not is_current(t):
+                t = None
+        except Exception:  # noqa: BLE001
+            t = None
+        if t is None:
+            _shutil.rmtree(loc, ignore_errors=True)
+    return t
+
+
 @register(
     "sim_ivf_index_topk",
     _pinned_recall_oracle(_IVF_INDEX_RECALL, k=5),
     "persisted IVF index recall@5: partition-pruned probe vs exact top-k",
 )
 def sim_ivf_index_q(spark: SparkSession, sf: str) -> DataFrame:
-    import os as _os
-    import shutil as _shutil
-
-    from .iceberg.table import Table
-
     emb = load(spark, sf, "embeddings").select("vec_id", "embedding")
     key = sf.strip("/").replace("/", "_")
     loc = f"/tmp/icegopher_tables/{key}/emb_ivf_index"
-    hint = f"{loc}/metadata/version-hint.text"
-    t = None
-    if _os.path.exists(hint):
-        try:
-            t = Table.from_location(loc)
-            if "ivf.centroids" not in t.properties or t.current_snapshot() is None:
-                t = None
-        except Exception:  # noqa: BLE001
-            t = None
-        if t is None:
-            _shutil.rmtree(loc, ignore_errors=True)
+    t = _cached_index_table(
+        loc,
+        lambda t: "ivf.centroids" in t.properties
+        and t.properties.get("ivf.kernel-version") == similarity.IVF_KERNEL_VERSION,
+    )
     if t is None:
         t = similarity.ivf_index_write(spark, emb, loc, n_lists=16)
     q = emb.filter(F.col("vec_id") < 10).select(
@@ -2178,10 +2192,6 @@ def dedup_minhash_incremental_q(spark: SparkSession, sf: str) -> DataFrame:
     the output must equal the batch exact-Jaccard pairs restricted to
     pairs with a new side — a recall loss from the split-index path
     (e.g. old sigs drifting from batch sigs) fails the hash match."""
-    import os as _os
-    import shutil as _shutil
-
-    from .iceberg.table import Table
     from .operators import dedup as _dedup
 
     docs = load(spark, sf, "documents")
@@ -2190,24 +2200,10 @@ def dedup_minhash_incremental_q(spark: SparkSession, sf: str) -> DataFrame:
 
     key = sf.strip("/").replace("/", "_")
     loc = f"/tmp/icegopher_tables/{key}/minhash_index"
-    hint = f"{loc}/metadata/version-hint.text"
-    t = None
-    if _os.path.exists(hint):
-        try:
-            t = Table.from_location(loc)
-            # kernel-version stamp: an index persisted by an older
-            # shingling/hashing kernel would silently change candidate
-            # recall across code revisions — rebuild on mismatch
-            if (
-                t.properties.get("lsh.kernel-version")
-                != _dedup.INDEX_KERNEL_VERSION
-                or t.current_snapshot() is None
-            ):
-                t = None
-        except Exception:  # noqa: BLE001
-            t = None
-        if t is None:
-            _shutil.rmtree(loc, ignore_errors=True)
+    t = _cached_index_table(
+        loc,
+        lambda t: t.properties.get("lsh.kernel-version") == _dedup.INDEX_KERNEL_VERSION,
+    )
     if t is None:
         t = _dedup.minhash_index_write(spark, old, loc)
     return _dedup.minhash_dedup_incremental(spark, t, new, docs, threshold=0.5)

@@ -40,5 +40,24 @@ def get_spark(app_name: str = "icegopher_spark", cpus: str | None = None) -> Spa
         .config("spark.sql.python.filterPushdown.enabled", "true")
     )
     spark = builder.getOrCreate()
+    # getOrCreate returns a PRE-EXISTING session unchanged, silently
+    # dropping every .config() above — and some of those are
+    # correctness-load-bearing, not tuning (UTC session timezone keeps
+    # timestamp casts oracle-comparable; filterPushdown gates the DSv2
+    # pushFilters contract). Re-apply the runtime-settable SQL confs on
+    # whatever session we got; static confs (master, driver.memory)
+    # genuinely can't change post-hoc and stay best-effort.
+    for k, v in (
+        ("spark.sql.session.timeZone", "UTC"),
+        ("spark.sql.shuffle.partitions", str(cpus)),
+        ("spark.sql.adaptive.enabled", "true"),
+        ("spark.sql.adaptive.coalescePartitions.enabled", "true"),
+        ("spark.sql.adaptive.skewJoin.enabled", "true"),
+        ("spark.sql.execution.arrow.pyspark.enabled", "true"),
+        ("spark.sql.autoBroadcastJoinThreshold", "64m"),
+        ("spark.sql.optimizer.nestedSchemaPruning.enabled", "true"),
+        ("spark.sql.python.filterPushdown.enabled", "true"),
+    ):
+        spark.conf.set(k, v)
     spark.sparkContext.setLogLevel("WARN")
     return spark

@@ -100,3 +100,33 @@ def test_int96_spark_written_events_roundtrip(spark, tmp_path):
     a = sorted(r["ts"] for r in src.select("ts").collect())
     b = sorted(r["ts"] for r in back.select("ts").collect())
     assert a == b
+
+
+def test_no_parquet_files_raises_clearly(tmp_path):
+    """A directory holding only _SUCCESS/metadata (failed or in-progress
+    write) must fail the footer probe with a clear message, not an
+    ArrowInvalid on the directory path itself (r6 review)."""
+    import pytest
+
+    from icegopher_spark.events_io import events_ts_unit
+
+    d = tmp_path / "events.parquet"
+    d.mkdir()
+    (d / "_SUCCESS").touch()
+    with pytest.raises(FileNotFoundError, match="no parquet files"):
+        events_ts_unit(str(d))
+
+
+def test_get_spark_reapplies_runtime_confs(spark):
+    """getOrCreate returns a pre-existing session unchanged, so the
+    correctness-load-bearing SQL confs (UTC timezone, filter pushdown)
+    must be re-applied via conf.set on every get_spark call (r6
+    review: a notebook-created local-TZ session would silently skew
+    every timestamp gate)."""
+    from icegopher_spark.session import get_spark
+
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "false")
+    s2 = get_spark("reapply-test")
+    assert s2.conf.get("spark.sql.session.timeZone") == "UTC"
+    assert s2.conf.get("spark.sql.python.filterPushdown.enabled") == "true"
