@@ -40,12 +40,13 @@ def q17(spark: SparkSession, sf: str) -> DataFrame:
 
 q22_oracle = """
 WITH cust_avg AS (
-  SELECT AVG(CAST(c_acctbal AS DECIMAL(12,2))) AS ab FROM customer WHERE c_acctbal > 0
+  SELECT SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS bal_sum, COUNT(*) AS n
+  FROM customer WHERE c_acctbal > 0
 )
 SELECT c.c_nationkey AS nationkey, COUNT(*) AS numcust,
        CAST(ROUND(SUM(CAST(c.c_acctbal AS DECIMAL(12,2))), 2) AS DOUBLE) AS totacctbal
 FROM customer c, cust_avg
-WHERE c.c_acctbal > cust_avg.ab
+WHERE CAST(c.c_acctbal AS DECIMAL(12,2)) * cust_avg.n > cust_avg.bal_sum
   AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
                   AND o.o_orderdate >= TIMESTAMP '1998-01-01 00:00:00')
 GROUP BY 1
@@ -56,10 +57,17 @@ GROUP BY 1
 def q22(spark: SparkSession, sf: str) -> DataFrame:
     c = load(spark, sf, "customer")
     o = load(spark, sf, "orders")
-    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(
-        F.avg(dec("c_acctbal")).alias("ab")
+    # `bal > avg(bal)` as `bal * n > sum(bal)`: Spark's avg(decimal)
+    # rounds the mean at 1e-6 while DuckDB's AVG(decimal) is a full-
+    # precision double, so a boundary customer within 5e-7 of the mean
+    # could pass on one engine only; the multiplied form is exact
+    # integer-scaled decimal arithmetic on both (r6 review)
+    stats = c.filter(F.col("c_acctbal") > 0).agg(
+        F.sum(dec("c_acctbal")).alias("bal_sum"), F.count(F.lit(1)).alias("n")
     )
-    rich = c.join(F.broadcast(avg_bal)).filter(F.col("c_acctbal") > F.col("ab"))
+    rich = c.join(F.broadcast(stats)).filter(
+        dec("c_acctbal") * F.col("n") > F.col("bal_sum")
+    )
     recent = o.filter(F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp"))
     no_orders = rich.join(recent, rich.c_custkey == recent.o_custkey, "left_anti")
     return no_orders.groupBy(F.col("c_nationkey").alias("nationkey")).agg(

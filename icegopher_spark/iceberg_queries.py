@@ -40,31 +40,66 @@ _SPEC = PartitionSpec(
 )
 
 
-def _table_for(spark: SparkSession, sf_dir: str) -> Table:
-    """Build-or-load the cached Iceberg lineitem table for a scale
-    factor. Two appends (even/odd orderkeys) so time travel has a
-    meaningful first snapshot."""
-    key = sf_dir.strip("/").replace("/", "_")
-    loc = f"{_CACHE_ROOT}/{key}/lineitem_ice"
-    hint = f"{loc}/metadata/version-hint.text"
-    if os.path.exists(hint):
-        try:
-            t = Table.from_location(loc)
-            if len(t.metadata.snapshots) == 2:
-                return t
-        except Exception:  # noqa: BLE001 — stale/corrupt cache
-            pass
-        shutil.rmtree(loc, ignore_errors=True)
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+def _li4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared 4-column lineitem projection every fixture builds from."""
+    return spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
         "l_orderkey",
         "l_quantity",
         "l_returnflag",
         F.col("l_shipdate").cast("timestamp_ntz").alias("l_shipdate"),
     )
-    t = W.create_table(loc, _SCHEMA, _SPEC)
-    t = W.append(t, li.filter(F.col("l_orderkey") % 2 == 0))
-    t = W.append(t, li.filter(F.col("l_orderkey") % 2 == 1))
-    return t
+
+
+def _cached_table(sf_dir: str, suffix: str, is_valid, build) -> Table:
+    """Build-or-load a /tmp-cached fixture table.
+
+    `is_valid` must reject every PARTIALLY-built state, not just corrupt
+    metadata: the builders commit in steps, and a crash mid-build leaves
+    a perfectly loadable table that would otherwise poison the cache on
+    every later run (two such holes found in r6 review: expire's
+    1-snapshot check matched the pre-overwrite state, specevo's 2-spec
+    check matched the pre-second-append state). Each builder therefore
+    pins its FULL commit sequence. Invalid or unreadable caches are
+    wiped and rebuilt — the gate self-heals instead of staying red."""
+    key = sf_dir.strip("/").replace("/", "_")
+    loc = f"{_CACHE_ROOT}/{key}/{suffix}"
+    if os.path.exists(f"{loc}/metadata/version-hint.text"):
+        try:
+            t = Table.from_location(loc)
+            if is_valid(t):
+                return t
+        except Exception:  # noqa: BLE001 — stale/corrupt cache
+            pass
+    shutil.rmtree(loc, ignore_errors=True)
+    return build(loc)
+
+
+def _table_for(spark: SparkSession, sf_dir: str) -> Table:
+    """Two appends (even/odd orderkeys) so time travel has a meaningful
+    first snapshot. Commit timestamps are forced DISTINCT: with both
+    appends in one millisecond, timestamp-as-of(first.ts) correctly
+    resolves to the SECOND snapshot (latest with ts <= given) and the
+    as-of gate's even-keys expectation flips (r6 review)."""
+
+    def build(loc: str) -> Table:
+        import time
+
+        li = _li4(spark, sf_dir)
+        t = W.create_table(loc, _SCHEMA, _SPEC)
+        t = W.append(t, li.filter(F.col("l_orderkey") % 2 == 0))
+        ts1 = t.metadata.snapshots[-1].timestamp_ms
+        while int(time.time() * 1000) <= ts1:
+            time.sleep(0.001)
+        return W.append(t, li.filter(F.col("l_orderkey") % 2 == 1))
+
+    return _cached_table(
+        sf_dir,
+        "lineitem_ice",
+        lambda t: len(t.metadata.snapshots) == 2
+        and t.metadata.snapshots[0].timestamp_ms
+        < t.metadata.snapshots[1].timestamp_ms,
+        build,
+    )
 
 
 ice_pruned_oracle = """
@@ -194,28 +229,18 @@ def iceberg_mor(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _mor_table_for(spark: SparkSession, sf_dir: str) -> Table:
-    """lineitem table with a merge-on-read delete of flag='R' applied."""
-    key = sf_dir.strip("/").replace("/", "_")
-    loc = f"{_CACHE_ROOT}/{key}/lineitem_mor"
-    hint = f"{loc}/metadata/version-hint.text"
-    if os.path.exists(hint):
-        try:
-            t = Table.from_location(loc)
-            if len(t.metadata.snapshots) == 2:
-                return t
-        except Exception:  # noqa: BLE001
-            pass
-        shutil.rmtree(loc, ignore_errors=True)
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
-        "l_orderkey",
-        "l_quantity",
-        "l_returnflag",
-        F.col("l_shipdate").cast("timestamp_ntz").alias("l_shipdate"),
+    """lineitem table with a merge-on-read delete of flag='R' applied.
+    Two commit steps of one snapshot each, so snapshot count == 2 pins
+    the complete build."""
+
+    def build(loc: str) -> Table:
+        t = W.create_table(loc, _SCHEMA, _SPEC)
+        t = W.append(t, _li4(spark, sf_dir))
+        return W.delete_where_mor(t, spark, E.equal_to("l_returnflag", "R"))
+
+    return _cached_table(
+        sf_dir, "lineitem_mor", lambda t: len(t.metadata.snapshots) == 2, build
     )
-    t = W.create_table(loc, _SCHEMA, _SPEC)
-    t = W.append(t, li)
-    t = W.delete_where_mor(t, spark, E.equal_to("l_returnflag", "R"))
-    return t
 
 
 ice_evo_oracle = """
@@ -246,38 +271,32 @@ def _evolved_table_for(spark: SparkSession, sf_dir: str) -> Table:
     between two appends: the first file set predates the evolution."""
     from .iceberg.evolve import update_schema
 
-    key = sf_dir.strip("/").replace("/", "_")
-    loc = f"{_CACHE_ROOT}/{key}/lineitem_evo"
-    hint = f"{loc}/metadata/version-hint.text"
-    if os.path.exists(hint):
-        try:
-            t = Table.from_location(loc)
-            if len(t.metadata.snapshots) == 2 and t.schema.find_field("note") is not None:
-                return t
-        except Exception:  # noqa: BLE001
-            pass
-        shutil.rmtree(loc, ignore_errors=True)
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
-        "l_orderkey",
-        "l_quantity",
-        "l_returnflag",
-        F.col("l_shipdate").cast("timestamp_ntz").alias("l_shipdate"),
+    def build(loc: str) -> Table:
+        li = _li4(spark, sf_dir)
+        t = W.create_table(loc, _SCHEMA, _SPEC)
+        t = W.append(t, li.filter(F.col("l_orderkey") % 2 == 0))
+        t = (
+            update_schema(t)
+            .rename_column("l_quantity", "qty")
+            .add_column("note", StringType())
+            .commit()
+        )
+        return W.append(
+            t,
+            li.filter(F.col("l_orderkey") % 2 == 1)
+            .withColumnRenamed("l_quantity", "qty")
+            .withColumn("note", F.lit("x")),
+        )
+
+    # 2 snapshots alone can't occur before the schema commit (it sits
+    # between the appends), but check `note` anyway for belt-and-braces
+    return _cached_table(
+        sf_dir,
+        "lineitem_evo",
+        lambda t: len(t.metadata.snapshots) == 2
+        and t.schema.find_field("note") is not None,
+        build,
     )
-    t = W.create_table(loc, _SCHEMA, _SPEC)
-    t = W.append(t, li.filter(F.col("l_orderkey") % 2 == 0))
-    t = (
-        update_schema(t)
-        .rename_column("l_quantity", "qty")
-        .add_column("note", StringType())
-        .commit()
-    )
-    t = W.append(
-        t,
-        li.filter(F.col("l_orderkey") % 2 == 1)
-        .withColumnRenamed("l_quantity", "qty")
-        .withColumn("note", F.lit("x")),
-    )
-    return t
 
 
 ice_eq_oracle = """
@@ -301,28 +320,17 @@ def iceberg_eq_delete(spark: SparkSession, sf: str) -> DataFrame:
 
 def _eqdel_table_for(spark: SparkSession, sf_dir: str) -> Table:
     """Table with an equality delete of every orderkey ≡ 7 (mod 100)."""
-    key = sf_dir.strip("/").replace("/", "_")
-    loc = f"{_CACHE_ROOT}/{key}/lineitem_eqdel"
-    hint = f"{loc}/metadata/version-hint.text"
-    if os.path.exists(hint):
-        try:
-            t = Table.from_location(loc)
-            if len(t.metadata.snapshots) == 2:
-                return t
-        except Exception:  # noqa: BLE001
-            pass
-        shutil.rmtree(loc, ignore_errors=True)
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
-        "l_orderkey",
-        "l_quantity",
-        "l_returnflag",
-        F.col("l_shipdate").cast("timestamp_ntz").alias("l_shipdate"),
+
+    def build(loc: str) -> Table:
+        li = _li4(spark, sf_dir)
+        t = W.create_table(loc, _SCHEMA, _SPEC)
+        t = W.append(t, li)
+        keys = li.filter(F.col("l_orderkey") % 100 == 7).select("l_orderkey").distinct()
+        return W.delete_keys(t, spark, keys, ["l_orderkey"])
+
+    return _cached_table(
+        sf_dir, "lineitem_eqdel", lambda t: len(t.metadata.snapshots) == 2, build
     )
-    t = W.create_table(loc, _SCHEMA, _SPEC)
-    t = W.append(t, li)
-    keys = li.filter(F.col("l_orderkey") % 100 == 7).select("l_orderkey").distinct()
-    t = W.delete_keys(t, spark, keys, ["l_orderkey"])
-    return t
 
 
 ice_compact_oracle = """
@@ -367,27 +375,17 @@ def _compacted_table_for(spark: SparkSession, sf_dir: str) -> Table:
     bin-pack compacted (maintenance.compact_data_files)."""
     from .iceberg.maintenance import compact_data_files
 
-    key = sf_dir.strip("/").replace("/", "_")
-    loc = f"{_CACHE_ROOT}/{key}/lineitem_compact"
-    hint = f"{loc}/metadata/version-hint.text"
-    if os.path.exists(hint):
-        try:
-            t = Table.from_location(loc)
-            if len(t.metadata.snapshots) == 5:
-                return t
-        except Exception:  # noqa: BLE001
-            pass
-        shutil.rmtree(loc, ignore_errors=True)
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
-        "l_orderkey",
-        "l_quantity",
-        "l_returnflag",
-        F.col("l_shipdate").cast("timestamp_ntz").alias("l_shipdate"),
+    def build(loc: str) -> Table:
+        li = _li4(spark, sf_dir)
+        t = W.create_table(loc, _SCHEMA)  # unpartitioned: pure bin-pack
+        for q in range(4):
+            t = W.append(t, li.filter(F.col("l_orderkey") % 4 == q))
+        return compact_data_files(t, spark)
+
+    # 5 snapshots = 4 appends + the replace; any crash leaves fewer
+    return _cached_table(
+        sf_dir, "lineitem_compact", lambda t: len(t.metadata.snapshots) == 5, build
     )
-    t = W.create_table(loc, _SCHEMA)  # unpartitioned: pure bin-pack
-    for q in range(4):
-        t = W.append(t, li.filter(F.col("l_orderkey") % 4 == q))
-    return compact_data_files(t, spark)
 
 
 ice_expire_oracle = """
@@ -421,28 +419,25 @@ def _expired_table_for(spark: SparkSession, sf_dir: str) -> Table:
     but the head — the even-key files become unreachable and are
     physically removed."""
     from .iceberg.maintenance import expire_snapshots
+    from .iceberg.metadata import OP_OVERWRITE
 
-    key = sf_dir.strip("/").replace("/", "_")
-    loc = f"{_CACHE_ROOT}/{key}/lineitem_expire"
-    hint = f"{loc}/metadata/version-hint.text"
-    if os.path.exists(hint):
-        try:
-            t = Table.from_location(loc)
-            if len(t.metadata.snapshots) == 1:
-                return t
-        except Exception:  # noqa: BLE001
-            pass
-        shutil.rmtree(loc, ignore_errors=True)
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
-        "l_orderkey",
-        "l_quantity",
-        "l_returnflag",
-        F.col("l_shipdate").cast("timestamp_ntz").alias("l_shipdate"),
+    def build(loc: str) -> Table:
+        li = _li4(spark, sf_dir)
+        t = W.create_table(loc, _SCHEMA)
+        t = W.append(t, li.filter(F.col("l_orderkey") % 2 == 0))
+        t = W.overwrite(t, li.filter(F.col("l_orderkey") % 2 == 1))
+        return expire_snapshots(t, retain_last=1)
+
+    # 1 snapshot alone matches the crashed-after-first-append state too
+    # (even keys, wrong data, permanently red gate — r6 review); only
+    # the OVERWRITE head proves the full append→overwrite→expire ran
+    return _cached_table(
+        sf_dir,
+        "lineitem_expire",
+        lambda t: len(t.metadata.snapshots) == 1
+        and t.metadata.snapshots[0].summary.get("operation") == OP_OVERWRITE,
+        build,
     )
-    t = W.create_table(loc, _SCHEMA)
-    t = W.append(t, li.filter(F.col("l_orderkey") % 2 == 0))
-    t = W.overwrite(t, li.filter(F.col("l_orderkey") % 2 == 1))
-    return expire_snapshots(t, retain_last=1)
 
 
 ice_specevo_oracle = """
@@ -474,28 +469,22 @@ def _specevo_table_for(spark: SparkSession, sf_dir: str) -> Table:
     partition while keeping era-1 files (stats-pruned only)."""
     from .iceberg.evolve import update_spec
 
-    key = sf_dir.strip("/").replace("/", "_")
-    loc = f"{_CACHE_ROOT}/{key}/lineitem_specevo"
-    hint = f"{loc}/metadata/version-hint.text"
-    if os.path.exists(hint):
-        try:
-            t = Table.from_location(loc)
-            if len(t.metadata.partition_specs) == 2:
-                return t
-        except Exception:  # noqa: BLE001
-            pass
-        shutil.rmtree(loc, ignore_errors=True)
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
-        "l_orderkey",
-        "l_quantity",
-        "l_returnflag",
-        F.col("l_shipdate").cast("timestamp_ntz").alias("l_shipdate"),
+    def build(loc: str) -> Table:
+        li = _li4(spark, sf_dir)
+        t = W.create_table(loc, Schema(_SCHEMA.fields, schema_id=0))
+        t = W.append(t, li.filter(F.col("l_orderkey") % 2 == 0))
+        t = update_spec(t).add_field("l_returnflag", "identity", name="flag").commit()
+        return W.append(t, li.filter(F.col("l_orderkey") % 2 == 1))
+
+    # 2 specs alone also matches the crashed-after-spec-commit state
+    # (one snapshot, even keys only — r6 review); require both appends
+    return _cached_table(
+        sf_dir,
+        "lineitem_specevo",
+        lambda t: len(t.metadata.partition_specs) == 2
+        and len(t.metadata.snapshots) == 2,
+        build,
     )
-    t = W.create_table(loc, _SCHEMA.__class__(_SCHEMA.fields, schema_id=0))
-    t = W.append(t, li.filter(F.col("l_orderkey") % 2 == 0))
-    t = update_spec(t).add_field("l_returnflag", "identity", name="flag").commit()
-    t = W.append(t, li.filter(F.col("l_orderkey") % 2 == 1))
-    return t
 
 
 ice_eqdel_specevo_oracle = """
@@ -529,30 +518,22 @@ def iceberg_eqdelete_spec_evolution(spark: SparkSession, sf: str) -> DataFrame:
 def _eqdel_specevo_table_for(spark: SparkSession, sf_dir: str) -> Table:
     from .iceberg.evolve import update_spec
 
-    key = sf_dir.strip("/").replace("/", "_")
-    loc = f"{_CACHE_ROOT}/{key}/lineitem_eqdel_specevo"
-    hint = f"{loc}/metadata/version-hint.text"
-    if os.path.exists(hint):
-        try:
-            t = Table.from_location(loc)
-            if len(t.metadata.partition_specs) == 2 and len(t.metadata.snapshots) == 3:
-                return t
-        except Exception:  # noqa: BLE001
-            pass
-        shutil.rmtree(loc, ignore_errors=True)
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
-        "l_orderkey",
-        "l_quantity",
-        "l_returnflag",
-        F.col("l_shipdate").cast("timestamp_ntz").alias("l_shipdate"),
+    def build(loc: str) -> Table:
+        li = _li4(spark, sf_dir)
+        t = W.create_table(loc, Schema(_SCHEMA.fields, schema_id=0))
+        t = W.append(t, li.filter(F.col("l_orderkey") % 2 == 0))
+        t = update_spec(t).add_field("l_returnflag", "identity", name="flag").commit()
+        t = W.append(t, li.filter(F.col("l_orderkey") % 2 == 1))
+        keys = li.filter(F.col("l_orderkey") % 100 == 7).select("l_orderkey").distinct()
+        return W.delete_keys(t, spark, keys, ["l_orderkey"])
+
+    return _cached_table(
+        sf_dir,
+        "lineitem_eqdel_specevo",
+        lambda t: len(t.metadata.partition_specs) == 2
+        and len(t.metadata.snapshots) == 3,
+        build,
     )
-    t = W.create_table(loc, _SCHEMA.__class__(_SCHEMA.fields, schema_id=0))
-    t = W.append(t, li.filter(F.col("l_orderkey") % 2 == 0))
-    t = update_spec(t).add_field("l_returnflag", "identity", name="flag").commit()
-    t = W.append(t, li.filter(F.col("l_orderkey") % 2 == 1))
-    keys = li.filter(F.col("l_orderkey") % 100 == 7).select("l_orderkey").distinct()
-    t = W.delete_keys(t, spark, keys, ["l_orderkey"])
-    return t
 
 
 ice_asof_oracle = """
@@ -654,37 +635,26 @@ def iceberg_merge(spark: SparkSession, sf: str) -> DataFrame:
 def _merge_table_for(spark: SparkSession, sf_dir: str) -> Table:
     """lineitem upserted: every orderkey ≡ 3 (mod 50) collapses to one
     row with quantity 777; everything else untouched."""
-    key = sf_dir.strip("/").replace("/", "_")
-    loc = f"{_CACHE_ROOT}/{key}/lineitem_merge"
-    hint = f"{loc}/metadata/version-hint.text"
-    if os.path.exists(hint):
-        try:
-            t = Table.from_location(loc)
-            if len(t.metadata.snapshots) == 2:
-                return t
-        except Exception:  # noqa: BLE001
-            pass
-        shutil.rmtree(loc, ignore_errors=True)
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
-        "l_orderkey",
-        "l_quantity",
-        "l_returnflag",
-        F.col("l_shipdate").cast("timestamp_ntz").alias("l_shipdate"),
-    )
-    t = W.create_table(loc, _SCHEMA)
-    t = W.append(t, li)
-    src = (
-        li.filter(F.col("l_orderkey") % 50 == 3)
-        .select("l_orderkey")
-        .distinct()
-        .select(
-            "l_orderkey",
-            F.lit(777.0).alias("l_quantity"),
-            F.lit("U").alias("l_returnflag"),
-            F.lit(None).cast("timestamp_ntz").alias("l_shipdate"),
+    def build(loc: str) -> Table:
+        li = _li4(spark, sf_dir)
+        t = W.create_table(loc, _SCHEMA)
+        t = W.append(t, li)
+        src = (
+            li.filter(F.col("l_orderkey") % 50 == 3)
+            .select("l_orderkey")
+            .distinct()
+            .select(
+                "l_orderkey",
+                F.lit(777.0).alias("l_quantity"),
+                F.lit("U").alias("l_returnflag"),
+                F.lit(None).cast("timestamp_ntz").alias("l_shipdate"),
+            )
         )
+        return W.merge_upsert(t, spark, src, ["l_orderkey"])
+
+    return _cached_table(
+        sf_dir, "lineitem_merge", lambda t: len(t.metadata.snapshots) == 2, build
     )
-    return W.merge_upsert(t, spark, src, ["l_orderkey"])
 
 
 avro_rt_oracle = """
@@ -707,31 +677,18 @@ def iceberg_avro_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     via mapInPandas (pyreaders.write_avro_files — nothing materializes
     on the driver; commit stats come from block headers only), the scan
     reads them back through pyreaders.read_avro_files."""
-    key = sf.strip("/").replace("/", "_")
-    loc = f"{_CACHE_ROOT}/{key}/lineitem_avro"
-    hint = f"{loc}/metadata/version-hint.text"
-    t = None
-    if os.path.exists(hint):
-        try:
-            t = Table.from_location(loc)
-            if t.current_snapshot() is None:
-                t = None
-        except Exception:  # noqa: BLE001
-            t = None
-        if t is None:
-            shutil.rmtree(loc, ignore_errors=True)
-    if t is None:
-        li = spark.read.parquet(f"{sf}/lineitem.parquet").select(
-            "l_orderkey",
-            "l_quantity",
-            "l_returnflag",
-            F.col("l_shipdate").cast("timestamp_ntz").alias("l_shipdate"),
+    def build(loc: str) -> Table:
+        spec = PartitionSpec(
+            [PartitionField(3, 1000, "flag", parse_transform("identity"))]
         )
-        spec = PartitionSpec([PartitionField(3, 1000, "flag", parse_transform("identity"))])
         t = W.create_table(
             loc, _SCHEMA, spec=spec, properties={"write.format.default": "avro"}
         )
-        t = W.append(t, li)
+        return W.append(t, _li4(spark, sf))
+
+    t = _cached_table(
+        sf, "lineitem_avro", lambda t: t.current_snapshot() is not None, build
+    )
     return (
         t.scan()
         .to_df(spark)
@@ -764,23 +721,17 @@ def _zorder_table_for(spark: SparkSession, sf_dir: str) -> Table:
     min/max bounds are tight on BOTH key columns."""
     from .iceberg.maintenance import rewrite_clustered
 
-    key = sf_dir.strip("/").replace("/", "_")
-    loc = f"{_CACHE_ROOT}/{key}/lineitem_zorder"
-    hint = f"{loc}/metadata/version-hint.text"
-    if os.path.exists(hint):
-        try:
-            t = Table.from_location(loc)
-            if len(t.metadata.snapshots) == 2:
-                return t
-        except Exception:  # noqa: BLE001
-            pass
-        shutil.rmtree(loc, ignore_errors=True)
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
-        "l_partkey", "l_suppkey", "l_quantity"
+    def build(loc: str) -> Table:
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+            "l_partkey", "l_suppkey", "l_quantity"
+        )
+        t = W.create_table(loc, _Z_SCHEMA)
+        t = W.append(t, li)
+        return rewrite_clustered(t, spark, "l_partkey", "l_suppkey", n_files=8)
+
+    return _cached_table(
+        sf_dir, "lineitem_zorder", lambda t: len(t.metadata.snapshots) == 2, build
     )
-    t = W.create_table(loc, _Z_SCHEMA)
-    t = W.append(t, li)
-    return rewrite_clustered(t, spark, "l_partkey", "l_suppkey", n_files=8)
 
 
 ice_zorder_oracle = """
@@ -810,10 +761,11 @@ def iceberg_zorder_pruned(spark: SparkSession, sf: str) -> DataFrame:
         & E.less_than_or_equal("l_suppkey", 39)
     )
     scan = t.scan(row_filter=flt)
-    planned = len(scan.plan_files())
+    tasks = scan.plan_files()
+    planned = len(tasks)
     total = int(t.current_snapshot().summary.get("total-data-files", "0"))
     return (
-        scan.to_df(spark)
+        scan.to_df(spark, tasks=tasks)  # reuse the plan, don't re-walk manifests
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
             F.round(F.sum(F.col("l_quantity").cast("decimal(12,2)")), 2)
@@ -888,16 +840,8 @@ def iceberg_datasource_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     from .iceberg.dsv2 import IcebergDataSource
 
     spark.dataSource.register(IcebergDataSource)
-    key = sf.strip("/").replace("/", "_")
-    loc = f"{_CACHE_ROOT}/{key}/lineitem_dsv2"
-    ok = False
-    if os.path.exists(f"{loc}/metadata/version-hint.text"):
-        try:
-            ok = len(Table.from_location(loc).metadata.snapshots) == 2
-        except Exception:  # noqa: BLE001
-            ok = False
-    if not ok:
-        shutil.rmtree(loc, ignore_errors=True)
+
+    def build(loc: str) -> Table:
         li = spark.read.parquet(f"{sf}/lineitem.parquet").select(
             "l_orderkey", "l_quantity", "l_returnflag"
         )
@@ -914,9 +858,14 @@ def iceberg_datasource_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
             li.filter(F.col("l_orderkey") % 2 == i).write.format("icegopher").option(
                 "location", loc
             ).mode("append").save()
+        return Table.from_location(loc)
+
+    t = _cached_table(
+        sf, "lineitem_dsv2", lambda t: len(t.metadata.snapshots) == 2, build
+    )
     return (
         spark.read.format("icegopher")
-        .option("location", loc)
+        .option("location", t.location)
         .load()
         .filter(F.col("l_quantity") < 10)
         .groupBy("l_returnflag")
@@ -952,43 +901,36 @@ def iceberg_wap_publish(spark: SparkSession, sf: str) -> DataFrame:
     the full table."""
     from .iceberg.refs import create_branch, rollback_to
 
-    key = sf.strip("/").replace("/", "_")
-    loc = f"{_CACHE_ROOT}/{key}/lineitem_wap"
     li = spark.read.parquet(f"{sf}/lineitem.parquet").select(
         "l_orderkey", "l_quantity", "l_returnflag"
     )
-    sch = Schema(
-        (
-            NestedField(1, "l_orderkey", LongType(), True),
-            NestedField(2, "l_quantity", DoubleType(), False),
-            NestedField(3, "l_returnflag", StringType(), False),
-        ),
-        schema_id=0,
-    )
-    ok = False
-    if os.path.exists(f"{loc}/metadata/version-hint.text"):
-        try:
-            t = Table.from_location(loc)
-            # the publish below PERSISTS (fast-forward is a metadata
-            # commit) — a previous run leaves main == audit head, so
-            # the staged-invisible phase needs a fresh build
-            ok = (
-                len(t.metadata.snapshots) == 3
-                and "audit" in t.metadata.refs
-                and t.current_snapshot().snapshot_id
-                != t.metadata.refs["audit"].snapshot_id
-            )
-        except Exception:  # noqa: BLE001
-            ok = False
-    if not ok:
-        shutil.rmtree(loc, ignore_errors=True)
+
+    def build(loc: str) -> Table:
+        sch = Schema(
+            (
+                NestedField(1, "l_orderkey", LongType(), True),
+                NestedField(2, "l_quantity", DoubleType(), False),
+                NestedField(3, "l_returnflag", StringType(), False),
+            ),
+            schema_id=0,
+        )
         t = W.create_table(loc, sch)
         t = W.append(t, li.filter(F.col("l_orderkey") % 2 == 0))
         t = create_branch(t, "audit")
         t = W.append(t, li.filter((F.col("l_orderkey") % 2 == 1) & (F.col("l_orderkey") % 4 == 1)), branch="audit")
-        t = W.append(t, li.filter((F.col("l_orderkey") % 2 == 1) & (F.col("l_orderkey") % 4 == 3)), branch="audit")
-    else:
-        t = Table.from_location(loc)
+        return W.append(t, li.filter((F.col("l_orderkey") % 2 == 1) & (F.col("l_orderkey") % 4 == 3)), branch="audit")
+
+    # the publish below PERSISTS (fast-forward is a metadata commit) —
+    # a previous run leaves main == audit head, so the staged-invisible
+    # phase needs a fresh build
+    t = _cached_table(
+        sf,
+        "lineitem_wap",
+        lambda t: len(t.metadata.snapshots) == 3
+        and "audit" in t.metadata.refs
+        and t.current_snapshot().snapshot_id != t.metadata.refs["audit"].snapshot_id,
+        build,
+    )
 
     n_main_before = t.scan().to_df(spark).count()
     n_even = li.filter(F.col("l_orderkey") % 2 == 0).count()
@@ -1054,26 +996,20 @@ def _zorder_part_table_for(spark: SparkSession, sf_dir: str) -> Table:
     range distribution)."""
     from .iceberg.maintenance import rewrite_clustered
 
-    key = sf_dir.strip("/").replace("/", "_")
-    loc = f"{_CACHE_ROOT}/{key}/lineitem_zorder_part"
-    hint = f"{loc}/metadata/version-hint.text"
-    if os.path.exists(hint):
-        try:
-            t = Table.from_location(loc)
-            if len(t.metadata.snapshots) == 2:
-                return t
-        except Exception:  # noqa: BLE001
-            pass
-        shutil.rmtree(loc, ignore_errors=True)
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
-        "l_partkey", "l_suppkey", "l_quantity", "l_returnflag"
+    def build(loc: str) -> Table:
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+            "l_partkey", "l_suppkey", "l_quantity", "l_returnflag"
+        )
+        spec = PartitionSpec(
+            [PartitionField(4, 1000, "l_returnflag_p", parse_transform("identity"))]
+        )
+        t = W.create_table(loc, _ZP_SCHEMA, spec)
+        t = W.append(t, li)
+        return rewrite_clustered(t, spark, "l_partkey", "l_suppkey", n_files=8)
+
+    return _cached_table(
+        sf_dir, "lineitem_zorder_part", lambda t: len(t.metadata.snapshots) == 2, build
     )
-    spec = PartitionSpec(
-        [PartitionField(4, 1000, "l_returnflag_p", parse_transform("identity"))]
-    )
-    t = W.create_table(loc, _ZP_SCHEMA, spec)
-    t = W.append(t, li)
-    return rewrite_clustered(t, spark, "l_partkey", "l_suppkey", n_files=8)
 
 
 ice_zorder_part_oracle = """
@@ -1106,9 +1042,10 @@ def iceberg_zorder_partitioned(spark: SparkSession, sf: str) -> DataFrame:
         & E.less_than_or_equal("l_suppkey", 39)
     )
     scan = t.scan(row_filter=box_flt)
-    planned = len(scan.plan_files())
+    tasks = scan.plan_files()
+    planned = len(tasks)
     part_only = len(t.scan(row_filter=part_flt).plan_files())
-    return scan.to_df(spark).agg(
+    return scan.to_df(spark, tasks=tasks).agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.round(F.sum(F.col("l_quantity").cast("decimal(12,2)")), 2)
         .cast("double")

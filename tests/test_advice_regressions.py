@@ -239,3 +239,40 @@ def test_retention_cohorts_no_ambiguous_self_join(spark):
     got = {r["cohort_day"].date(): r for r in TS.retention_cohorts(ev, (7,)).collect()}
     r = got[dt.date(2024, 1, 1)]
     assert r["n_users"] == 2 and r["n_day7"] == 1
+
+
+def test_half_built_fixture_cache_self_heals(spark, tmp_path, monkeypatch):
+    """r6 review: a crash mid-build left a loadable-but-partial fixture
+    table that the old snapshot-count checks accepted forever (expire's
+    1-snapshot check matched the pre-overwrite state). The validation
+    must reject the partial state and rebuild."""
+    from icegopher_spark import iceberg_queries as IQ
+    from icegopher_spark.iceberg.metadata import OP_OVERWRITE
+
+    monkeypatch.setattr(IQ, "_CACHE_ROOT", str(tmp_path))
+    # simulate the crash: append committed, overwrite+expire never ran
+    key = SF_DIR.strip("/").replace("/", "_")
+    loc = f"{tmp_path}/{key}/lineitem_expire"
+    li = IQ._li4(spark, SF_DIR)
+    t = W.create_table(loc, IQ._SCHEMA)
+    W.append(t, li.filter(F.col("l_orderkey") % 2 == 0))
+
+    healed = IQ._expired_table_for(spark, SF_DIR)
+    assert len(healed.metadata.snapshots) == 1
+    assert healed.metadata.snapshots[0].summary.get("operation") == OP_OVERWRITE
+    # and it serves the odd keys the gate expects, not the stale evens
+    keys = [r[0] for r in healed.scan().to_df(spark).select("l_orderkey").limit(50).collect()]
+    assert keys and all(k % 2 == 1 for k in keys)
+
+
+def test_fixture_commit_timestamps_distinct(spark, tmp_path, monkeypatch):
+    """r6 review: timestamp-as-of(first.ts) resolves to the SECOND
+    snapshot when both appends share a millisecond; the builder must
+    force distinct commit timestamps."""
+    from icegopher_spark import iceberg_queries as IQ
+
+    monkeypatch.setattr(IQ, "_CACHE_ROOT", str(tmp_path))
+    t = IQ._table_for(spark, SF_DIR)
+    s1, s2 = t.metadata.snapshots
+    assert s1.timestamp_ms < s2.timestamp_ms
+    assert t.metadata.snapshot_as_of(s1.timestamp_ms).snapshot_id == s1.snapshot_id
