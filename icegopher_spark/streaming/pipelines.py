@@ -143,18 +143,23 @@ def running_user_totals(events: DataFrame, watermark: str = "2 hours") -> DataFr
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     out_schema = "user_id long, n_events long, total_value double"
-    state_schema = "n long, total double"
+    state_schema = "n long, total_i long"
 
     def update(key, pdfs, state: GroupState):
-        n, total = state.get if state.exists else (0, 0.0)
+        n, total_i = state.get if state.exists else (0, 0)
         for pdf in pdfs:
             n += len(pdf)
-            total += float(pdf["value"].sum())
-        state.update((n, total))
+            # accumulate exact int64 ten-thousandths, not a float sum:
+            # values are 4-decimal, so v*10000 is within 1e-6 of an
+            # integer and round() recovers it exactly — a float
+            # accumulator is arrival-order-dependent and can flip a
+            # half-cent rounding boundary vs the oracle (r6 review)
+            total_i += int((pdf["value"] * 10000).round().astype("int64").sum())
+        state.update((n, total_i))
         import pandas as pd
 
         yield pd.DataFrame(
-            {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+            {"user_id": [key[0]], "n_events": [n], "total_value": [total_i / 10000.0]}
         )
 
     return (
@@ -275,7 +280,12 @@ def run_stream_to_table(
     open/commit overhead dominates at gate data sizes — measured 2×
     going 32→8 on the hourly rollup — while a high-cardinality
     production stream raises it to spread state. The session value is
-    restored after the (bounded) run."""
+    restored after the (bounded) run.
+
+    The result is materialized locally and the memory-sink temp view
+    dropped before returning: the sink otherwise pins the full result
+    set in driver memory for the session's lifetime, one leaked table
+    per call (r6 review)."""
     name = f"s{uuid.uuid4().hex[:12]}"
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     with tempfile.TemporaryDirectory(prefix="ckpt_") as ckpt:
@@ -292,7 +302,10 @@ def run_stream_to_table(
             q.awaitTermination()
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", prev)
-    return spark.table(name)
+    sink = spark.table(name)
+    rows, schema = sink.collect(), sink.schema
+    spark.catalog.dropTempView(name)
+    return spark.createDataFrame(rows, schema)
 
 
 def static_enriched_rollup(

@@ -34,8 +34,11 @@ GROUP BY 1, 2
     "streaming tumbling-window agg == batch rollup (availableNow replay)",
 )
 def stream_hourly(spark: SparkSession, sf: str) -> DataFrame:
-    out = P.run_stream_to_table(P.hourly_rollup(_events_stream(spark, sf)), spark, "update")
-    return out
+    # complete mode: the memory sink holds the FINAL state only — under
+    # a multi-batch replay, update mode appends one row per (key,
+    # trigger) and the sink no longer equals the batch oracle (r6
+    # review; single-file replay happens to be one batch today)
+    return P.run_stream_to_table(P.hourly_rollup(_events_stream(spark, sf)), spark, "complete")
 
 
 stream_sliding_oracle = """
@@ -56,7 +59,8 @@ GROUP BY 1, 2
     "sliding 1h/30m window counts (each event in 2 windows)",
 )
 def stream_sliding(spark: SparkSession, sf: str) -> DataFrame:
-    return P.run_stream_to_table(P.sliding_counts(_events_stream(spark, sf)), spark, "update")
+    # complete mode: final state only (see stream_hourly)
+    return P.run_stream_to_table(P.sliding_counts(_events_stream(spark, sf)), spark, "complete")
 
 
 stream_dedup_oracle = """
@@ -76,8 +80,14 @@ def stream_dedup_q(spark: SparkSession, sf: str) -> DataFrame:
     src = f"{sf}/events.parquet"
     d = P._stage_dir(src, variant="doubled")
     dup = f"{d}/events_dup.parquet"
-    if not os.path.exists(dup):
-        os.symlink(src, dup)
+    # lexists + EEXIST tolerance, same as _stage_dir: exists() follows
+    # the link, so a dangling target or a concurrent stager both
+    # crashed symlink() with FileExistsError (r6 review)
+    if not os.path.lexists(dup):
+        try:
+            os.symlink(src, dup)
+        except FileExistsError:
+            pass
     ev = P.read_events_stream(spark, d)
     out = P.run_stream_to_table(P.stream_dedup(ev), spark, "append")
     return out.agg(
@@ -87,7 +97,7 @@ def stream_dedup_q(spark: SparkSession, sf: str) -> DataFrame:
 
 stream_totals_oracle = """
 SELECT user_id, COUNT(*) AS n_events,
-       ROUND(SUM(value), 2) AS total_value
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_value
 FROM events GROUP BY user_id
 """
 
@@ -101,7 +111,18 @@ def stream_totals(spark: SparkSession, sf: str) -> DataFrame:
     out = P.run_stream_to_table(
         P.running_user_totals(_events_stream(spark, sf)), spark, "update"
     )
-    return out.select("user_id", "n_events", F.round("total_value", 2).alias("total_value"))
+    # update mode emits one row per (user, trigger); the FINAL state is
+    # the row with the largest n_events (state is monotone), so the
+    # argmax makes the gate multi-batch-safe (r6 review) — complete
+    # mode isn't available for applyInPandasWithState
+    final = out.groupBy("user_id").agg(
+        F.max(F.struct("n_events", "total_value")).alias("s")
+    )
+    return final.select(
+        "user_id",
+        F.col("s.n_events").alias("n_events"),
+        F.round("s.total_value", 2).cast("double").alias("total_value"),
+    )
 
 
 session_windows_oracle = """
@@ -217,41 +238,36 @@ def stream_iceberg_sink(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _sink_table_for(spark: SparkSession, sf_dir: str):
-    import shutil
-
     from .iceberg import write as W
     from .iceberg.schema import Schema
-    from .iceberg.table import Table
     from .iceberg.types import DoubleType, LongType, NestedField, StringType
+    from .iceberg_queries import _cached_table
     from .streaming.iceberg_sink import write_stream_to_iceberg
 
-    key = sf_dir.strip("/").replace("/", "_")
-    loc = f"/tmp/icegopher_tables/{key}/events_sink"
-    hint = f"{loc}/metadata/version-hint.text"
-    if os.path.exists(hint):
-        try:
-            t = Table.from_location(loc)
-            if t.current_snapshot() is not None:
-                return t
-        except Exception:  # noqa: BLE001
-            pass
-        shutil.rmtree(loc, ignore_errors=True)
-    schema = Schema(
-        (
-            NestedField(1, "event_id", LongType(), True),
-            NestedField(2, "user_id", LongType(), False),
-            NestedField(3, "event_type", StringType(), False),
-            NestedField(4, "value", DoubleType(), False),
-        ),
-        schema_id=0,
-    )
-    t = W.create_table(loc, schema)
-    stream = _events_stream(spark, sf_dir).select("event_id", "user_id", "event_type", "value")
-    import tempfile
+    def build(loc: str):
+        schema = Schema(
+            (
+                NestedField(1, "event_id", LongType(), True),
+                NestedField(2, "user_id", LongType(), False),
+                NestedField(3, "event_type", StringType(), False),
+                NestedField(4, "value", DoubleType(), False),
+            ),
+            schema_id=0,
+        )
+        t = W.create_table(loc, schema)
+        stream = _events_stream(spark, sf_dir).select(
+            "event_id", "user_id", "event_type", "value"
+        )
+        import tempfile
 
-    with tempfile.TemporaryDirectory(prefix="sinkckpt_") as ckpt:
-        write_stream_to_iceberg(stream, t, ckpt, query_id="gate")
-    return t
+        with tempfile.TemporaryDirectory(prefix="sinkckpt_") as ckpt:
+            write_stream_to_iceberg(stream, t, ckpt, query_id="gate")
+        t.refresh()
+        return t
+
+    return _cached_table(
+        sf_dir, "events_sink", lambda t: t.current_snapshot() is not None, build
+    )
 
 
 ss_left_join_oracle = """
@@ -431,10 +447,10 @@ def stream_static_join_q(spark: SparkSession, sf: str) -> DataFrame:
     from .queries import load
 
     dim = load(spark, sf, "customer").select("c_custkey", "c_nationkey")
-    out = P.run_stream_to_table(
-        P.static_enriched_rollup(_events_stream(spark, sf), dim), spark, "update"
+    # complete mode: final state only (see stream_hourly)
+    return P.run_stream_to_table(
+        P.static_enriched_rollup(_events_stream(spark, sf), dim), spark, "complete"
     )
-    return out
 
 
 ice_stream_src_oracle = """
@@ -457,27 +473,15 @@ def iceberg_stream_source_q(spark: SparkSession, sf: str) -> DataFrame:
     file reads, offsets = snapshot indices) and aggregates; the oracle
     is the batch aggregate of everything appended — equality proves the
     source replays the full snapshot log exactly once."""
-    import shutil as _sh
-
     from pyspark.sql import functions as FF
 
     from .iceberg import write as W
     from .iceberg.schema import Schema
-    from .iceberg.table import Table
     from .iceberg.types import DoubleType, LongType, NestedField, StringType
+    from .iceberg_queries import _cached_table
     from .streaming.iceberg_source import IcebergAppendStreamSource
 
-    key = sf.strip("/").replace("/", "_")
-    loc = f"/tmp/icegopher_tables/{key}/lineitem_stream_src"
-    ok = False
-    if os.path.exists(f"{loc}/metadata/version-hint.text"):
-        try:
-            t = Table.from_location(loc)
-            ok = len(t.metadata.snapshots) == 3
-        except Exception:  # noqa: BLE001
-            ok = False
-    if not ok:
-        _sh.rmtree(loc, ignore_errors=True)
+    def build(loc: str):
         li = spark.read.parquet(f"{sf}/lineitem.parquet").select(
             "l_orderkey", "l_quantity", "l_returnflag"
         )
@@ -492,9 +496,14 @@ def iceberg_stream_source_q(spark: SparkSession, sf: str) -> DataFrame:
         t = W.create_table(loc, sch)
         for i in range(3):
             t = W.append(t, li.filter(FF.col("l_orderkey") % 3 == i))
+        return t
+
+    t = _cached_table(
+        sf, "lineitem_stream_src", lambda t: len(t.metadata.snapshots) == 3, build
+    )
 
     spark.dataSource.register(IcebergAppendStreamSource)
-    sdf = spark.readStream.format("icegopher_appends").option("location", loc).load()
+    sdf = spark.readStream.format("icegopher_appends").option("location", t.location).load()
     agg = sdf.groupBy("l_returnflag").agg(
         FF.count(FF.lit(1)).alias("n_rows"),
         FF.round(FF.sum(FF.col("l_quantity").cast("decimal(14,2)")), 2)
@@ -502,7 +511,11 @@ def iceberg_stream_source_q(spark: SparkSession, sf: str) -> DataFrame:
         .alias("sum_qty"),
         FF.sum("l_orderkey").alias("sum_okey"),
     )
-    return P.run_stream_to_table(agg, spark, "update")
+    # complete mode: the 3-snapshot tail replays as MULTIPLE micro-
+    # batches by design; update mode emitted one row per (flag, batch)
+    # and only single-batch coincidence kept the old sink equal (the
+    # source emits all snapshots in one availableNow batch today)
+    return P.run_stream_to_table(agg, spark, "complete")
 
 
 ice_stream_writer_oracle = """
@@ -525,7 +538,6 @@ def iceberg_stream_writer_q(spark: SparkSession, sf: str) -> DataFrame:
     aggregates the TABLE — equality with the batch oracle proves the
     sink committed every micro-batch exactly once."""
     import shutil as _sh
-    import tempfile as _tf
 
     from pyspark.sql import functions as FF
 
@@ -541,7 +553,15 @@ def iceberg_stream_writer_q(spark: SparkSession, sf: str) -> DataFrame:
     )
 
     spark.dataSource.register(IcebergDataSource)
-    loc = _tf.mkdtemp(prefix="ice_stream_sink_") + "/t"
+    # deterministic per-sf workspace, wiped at the start of each run:
+    # mkdtemp-per-run accumulated a full events copy in /tmp per gate
+    # execution (r6 review). The current run's files must outlive this
+    # function (the returned DataFrame is lazy), so cleanup happens at
+    # the NEXT run's start — bounding /tmp to one copy.
+    key = sf.strip("/").replace("/", "_")
+    work = f"/tmp/icegopher_tables/{key}/stream_writer_gate"
+    _sh.rmtree(work, ignore_errors=True)
+    loc = f"{work}/t"
     sch = Schema(
         (
             NestedField(1, "event_id", LongType(), True),
@@ -560,7 +580,7 @@ def iceberg_stream_writer_q(spark: SparkSession, sf: str) -> DataFrame:
         "event_type",
         "value",
     )
-    ckpt = _tf.mkdtemp(prefix="ckpt_sink_")
+    ckpt = f"{work}/ckpt"
     q = (
         ev.writeStream.format("icegopher")
         .option("location", loc)
@@ -569,7 +589,6 @@ def iceberg_stream_writer_q(spark: SparkSession, sf: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    _sh.rmtree(ckpt, ignore_errors=True)
     from .iceberg.table import Table
 
     out = (
@@ -609,21 +628,23 @@ def stream_minhash_index_q(spark: SparkSession, sf: str) -> DataFrame:
     the batch exact-Jaccard pair SQL — equality proves exactly-once
     index maintenance AND candidate recall through the streamed index.
     """
-    import tempfile as _tf
+    import shutil as _sh
 
     from .operators import dedup as _dedup
     from .streaming.iceberg_sink import foreach_batch_appender
 
-    import os as _os
-
     docs_path = f"{sf}/documents.parquet"
     schema = spark.read.parquet(docs_path).schema
-    # the parquet STREAM source wants a directory; stage a symlink dir
-    stream_dir = _tf.mkdtemp(prefix="docs_stream_src_")
-    _os.symlink(_os.path.abspath(docs_path), f"{stream_dir}/documents.parquet")
+    # the parquet STREAM source wants a directory; reuse the cached
+    # symlink stager (mkdtemp-per-run leaked a dir per execution, r6)
+    stream_dir = P._stage_dir(os.path.abspath(docs_path), variant="minhash")
     sdocs = spark.readStream.schema(schema).parquet(stream_dir)
 
-    loc = _tf.mkdtemp(prefix="minhash_stream_idx_") + "/t"
+    # deterministic wiped-per-run workspace (see iceberg_stream_writer_q)
+    key = sf.strip("/").replace("/", "_")
+    work = f"/tmp/icegopher_tables/{key}/minhash_stream_gate"
+    _sh.rmtree(work, ignore_errors=True)
+    loc = f"{work}/t"
     t = _dedup.minhash_index_create(loc)
     app = foreach_batch_appender(t, "minhash-index")
 
@@ -633,7 +654,7 @@ def stream_minhash_index_q(spark: SparkSession, sf: str) -> DataFrame:
         )
         app(entries, batch_id)
 
-    ckpt = _tf.mkdtemp(prefix="ckpt_minhash_idx_")
+    ckpt = f"{work}/ckpt"
     q = (
         sdocs.writeStream.foreachBatch(_ingest)
         .option("checkpointLocation", ckpt)
