@@ -495,7 +495,10 @@ class _BatchWriter(DataSourceArrowWriter):
 
         cols = {}
         for name, src, tr, st in self.part_fields:
-            s = batch.column(src).to_pandas()
+            # integer_object_nulls: a nullable int64 column otherwise
+            # lands as float64, silently corrupting values >= 2^53
+            # before they reach the bucket hash / transform (r6 review)
+            s = batch.column(src).to_pandas(integer_object_nulls=True)
             if isinstance(tr, BucketTransform):
                 cols[name] = bucket_series(s, tr.num_buckets, st)
             else:

@@ -278,8 +278,15 @@ class ManifestEvaluator:
             return ROWS_MIGHT_MATCH if s.contains_null else ROWS_CANNOT_MATCH
         if op == "not_null":
             # all-null only when NaN partitions are ruled out too — NaN
-            # values are non-null (upstream's !containsNaN guard; r5)
-            if s.contains_null and s.contains_nan is not True and s.lower_bound is None:
+            # values are non-null (upstream's !containsNaN guard; r5).
+            # For float fields an UNKNOWN contains_nan (writer omitted
+            # the optional flag) must count as possible-NaN, same as
+            # the gt/ge rule below: {null, NaN} summaries have no
+            # bounds yet hold non-null rows (r6 review)
+            nan_possible = isinstance(t, (FloatType, DoubleType)) and (
+                s.contains_nan is not False
+            )
+            if s.contains_null and not nan_possible and s.lower_bound is None:
                 return ROWS_CANNOT_MATCH  # all-null partition values
             return ROWS_MIGHT_MATCH
         if op in ("is_nan", "not_nan"):

@@ -183,13 +183,27 @@ class UnboundPredicate(BooleanExpression):
             if out in SENTINELS:
                 folded = _fold_sentinel(self.op, out)
                 if folded is not None:
+                    # a vacuously-true comparison still excludes NULL
+                    # rows in SQL (NULL < 2^40 is not TRUE), and the
+                    # bound expression doubles as the exact row filter
+                    # — folding to AlwaysTrue would let NULL rows
+                    # through for large literals only (r6 review).
+                    # NotNull prunes identically and filters correctly;
+                    # on a required column AlwaysTrue is exact.
+                    if isinstance(folded, AlwaysTrue) and not field.required:
+                        return BoundPredicate("not_null", bound_term)
                     return folded
                 continue  # sentinel member of IN-set: drop it
             cast.append(out)
 
         if self.op in SET_OPS:
             if not cast:
-                return AlwaysFalse() if self.op == "in" else AlwaysTrue()
+                if self.op == "in":
+                    return AlwaysFalse()
+                # empty not_in: vacuously true for non-null rows only
+                if field.required:
+                    return AlwaysTrue()
+                return BoundPredicate("not_null", bound_term)
             vals = tuple(dict.fromkeys(cast))  # dedup, keep order
             if len(vals) == 1:
                 eq_op = "eq" if self.op == "in" else "ne"
@@ -444,7 +458,11 @@ def to_spark_column(expr: BooleanExpression) -> Column:
         return to_spark_column(expr.left) | to_spark_column(expr.right)
     if isinstance(expr, UnboundPredicate):
         col = F.col(expr.term.name)
-        vals = [l.value for l in expr.literals]
+        # _lit_value, NOT .value: date/timestamp literals store their
+        # epoch-day/micros int encodings, and comparing a DATE column
+        # to a raw int raises DATATYPE_MISMATCH in the delete paths
+        # that compile unbound filters (r6 review)
+        vals = [_lit_value(l) for l in expr.literals]
         return _pred_column(expr.op, col, vals)
     if isinstance(expr, BoundPredicate):
         col = F.col(expr.term.path)

@@ -11,6 +11,8 @@ unscaled decimal.
 
 from __future__ import annotations
 
+import decimal as _decimal
+import math as _math
 import struct
 import uuid as _uuid
 from dataclasses import dataclass
@@ -86,6 +88,15 @@ class Literal:
         """Cast to ``target``; returns a Literal, a sentinel, or raises
         ValueError on an invalid cast (matching the reference matrix)."""
         src, v = self.literal_type, self.value
+        if isinstance(target, LongType) and isinstance(v, int) and not isinstance(v, bool):
+            # Python ints are unbounded, so L(2**70) carries a LongType
+            # tag with an un-encodable value; the same-type early return
+            # then skipped sentinel folding and the filter reached Spark
+            # as an overflowing long literal (r6 review)
+            if v > LONG_MAX:
+                return LongAboveMax
+            if v < LONG_MIN:
+                return LongBelowMin
         if src == target:
             return self
         out = _cast(src, v, target)
@@ -154,6 +165,25 @@ def _parse_ts(s: str) -> int:
     return (dt - datetime(1970, 1, 1, tzinfo=timezone.utc)) // timedelta(microseconds=1)
 
 
+def _to_decimal(v: Any, target: DecimalType) -> Decimal | None:
+    """Quantize to the target scale under an explicit high-precision
+    context: the default 28-digit context raises InvalidOperation for
+    values needing more digits (e.g. 1e20 at scale 10 = 31 digits) even
+    when they FIT the target type, crashing bind() mid-scan (r6
+    review). Values that genuinely exceed the target precision return
+    None → a clean 'cannot cast' instead."""
+    try:
+        with _decimal.localcontext() as ctx:
+            ctx.prec = 80  # > 38-digit iceberg max + any scale shift
+            out = Decimal(str(v)).quantize(Decimal(1).scaleb(-target.scale))
+    except ArithmeticError:
+        return None  # NaN/inf or beyond-context values
+    _sign, digits, _exp = out.as_tuple()
+    if len(digits) > target.precision:
+        return None
+    return out
+
+
 def _cast(src: IcebergType, v: Any, target: IcebergType) -> Any:
     """Returns the cast value, a sentinel, or None for invalid."""
     # int →
@@ -165,7 +195,7 @@ def _cast(src: IcebergType, v: Any, target: IcebergType) -> Any:
         if isinstance(target, DateType) or isinstance(target, TimeType):
             return v
         if isinstance(target, DecimalType):
-            return Decimal(v).scaleb(-target.scale).scaleb(target.scale) if target.scale == 0 else Decimal(v)
+            return Decimal(v)
     # long →
     if isinstance(src, LongType):
         if isinstance(target, IntegerType):
@@ -185,17 +215,21 @@ def _cast(src: IcebergType, v: Any, target: IcebergType) -> Any:
         if isinstance(target, DoubleType):
             return v
         if isinstance(target, DecimalType):
-            return Decimal(str(v)).quantize(Decimal(1).scaleb(-target.scale))
+            return _to_decimal(v, target)
     # double →
     if isinstance(src, DoubleType):
         if isinstance(target, FloatType):
+            if _math.isinf(v) or _math.isnan(v):
+                return v  # float32 represents ±inf/NaN exactly — NOT an
+                # overflow: the sentinel would fold eq(f, inf) to
+                # always-false and drop matching rows (r6 review)
             if v > FLOAT_MAX:
                 return FloatAboveMax
             if v < -FLOAT_MAX:
                 return FloatBelowMin
             return v
         if isinstance(target, DecimalType):
-            return Decimal(str(v)).quantize(Decimal(1).scaleb(-target.scale))
+            return _to_decimal(v, target)
     # string →
     if isinstance(src, StringType):
         try:
@@ -224,7 +258,7 @@ def _cast(src: IcebergType, v: Any, target: IcebergType) -> Any:
             if isinstance(target, UUIDType):
                 return _uuid.UUID(v)
             if isinstance(target, DecimalType):
-                return Decimal(v).quantize(Decimal(1).scaleb(-target.scale))
+                return _to_decimal(v, target)
             if isinstance(target, BooleanType):
                 lv = v.lower()
                 if lv in ("true", "t", "1"):
@@ -235,6 +269,14 @@ def _cast(src: IcebergType, v: Any, target: IcebergType) -> Any:
         except (ValueError, ArithmeticError):
             return None
     # date/time/timestamp conversions
+    if isinstance(src, (TimestampType, TimestampTzType)) and isinstance(
+        target, (TimestampType, TimestampTzType)
+    ):
+        # micros-since-epoch are identical for both representations
+        # (naive literals are interpreted as UTC at construction), so a
+        # naive datetime binds against a timestamptz column and vice
+        # versa instead of raising 'cannot cast' (r6 review)
+        return v
     if isinstance(src, (TimestampType, TimestampTzType)) and isinstance(target, DateType):
         return v // 86_400_000_000 if v >= 0 else -((-v + 86_400_000_000 - 1) // 86_400_000_000)
     if isinstance(src, DateType) and isinstance(target, (TimestampType, TimestampTzType)):

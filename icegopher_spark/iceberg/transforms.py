@@ -319,9 +319,27 @@ def _series_to_int64_encoding(s, st: IcebergType):
         days = s.to_numpy(dtype="datetime64[ns]").view("int64") // 86_400_000_000_000
         return np.where(mask, 0, days), mask
     elif pd.api.types.is_integer_dtype(s.dtype):
+        if isinstance(s.dtype, pd.api.extensions.ExtensionDtype):
+            # nullable Int64: to_numpy(int64) raises on NA; fillna
+            # keeps exact int64 values (r6 review)
+            mask = s.isna().to_numpy()
+            return s.fillna(0).to_numpy(dtype="int64"), mask
         return s.to_numpy(dtype="int64"), np.zeros(len(s), dtype=bool)
-    # int column with nulls arrives as float64/object
     mask = s.isna().to_numpy()
+    if pd.api.types.is_float_dtype(s.dtype):
+        # int column with nulls converted to float64 upstream: values
+        # at/above 2^53 have ALREADY lost precision and would hash to
+        # the wrong bucket — pruning would then silently drop their
+        # rows. Refuse loudly; callers should convert arrow->pandas
+        # with integer_object_nulls=True instead (r6 review).
+        vals = s.fillna(0.0).to_numpy(dtype="float64")
+        if np.any(np.abs(vals) >= 2.0**53):
+            raise ValueError(
+                "int64 bucket source arrived as float64 with values >= 2^53 "
+                "(precision already lost); convert with integer_object_nulls=True"
+            )
+        return vals.astype("int64"), mask
+    # object dtype (python ints + None): exact conversion
     return s.fillna(0).to_numpy(dtype="int64"), mask
 
 
@@ -441,7 +459,10 @@ class TruncateTransform(Transform):
                 f"decimal({source_type.precision},{s})"
             )
         if isinstance(source_type, (BinaryType, FixedType)):
-            return F.expr(f"substring({col._jc.toString()}, 1, {w})")  # binary substring
+            # F.substring works on BINARY directly (returns binary);
+            # the old _jc.toString() SQL-text detour broke on column
+            # names needing quoting and under Spark Connect (r6 review)
+            return F.substring(col, 1, w)
         raise TypeError(f"cannot truncate {source_type}")
 
 

@@ -690,6 +690,20 @@ def _parse_partition_value(name: str, raw: str, spec: PartitionSpec, schema: Sch
                 return float(raw)
             if isinstance(rt, BT):
                 return raw.lower() == "true"
+            from .types import DecimalType as DECT
+            from .types import UUIDType as UT
+
+            if isinstance(rt, DECT):
+                # raw dir string would crash literal_to_bytes at commit
+                # (str has no .scaleb) and TypeError in the partition
+                # evaluator's compare (r6 review)
+                from decimal import Decimal as _D
+
+                return _D(raw)
+            if isinstance(rt, UT):
+                import uuid as _uuid
+
+                return _uuid.UUID(raw)
             return raw
     return raw
 

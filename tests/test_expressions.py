@@ -130,3 +130,52 @@ def test_expression_operators():
     assert isinstance(e.left, And)
     inv = ~equal_to("id", 1)
     assert repr(inv).startswith("ne(")
+
+
+def test_bind_overflow_fold_is_null_safe_on_nullable():
+    """r6: a vacuously-true comparison still excludes NULL rows in SQL,
+    and the bound expression doubles as the exact row filter — on a
+    NULLABLE column the fold must be not_null, not AlwaysTrue."""
+    from icegopher_spark.iceberg.expressions import not_equal_to
+
+    b = bind_expr(SCHEMA, less_than("total", 2**70))  # 'total' nullable
+    assert isinstance(b, BoundPredicate) and b.op == "not_null"
+    b2 = bind_expr(SCHEMA, not_equal_to("total", 2**70))
+    assert isinstance(b2, BoundPredicate) and b2.op == "not_null"
+    assert bind_expr(SCHEMA, not_in("total")).op == "not_null"
+    # eq stays a plain false: no row (null or not) can match
+    assert bind_expr(SCHEMA, equal_to("total", 2**70)) == AlwaysFalse()
+
+
+def test_bind_infinity_not_treated_as_overflow():
+    """r6: +inf is exactly representable in float32 — the overflow
+    sentinel folded eq(f, inf) to always-false and dropped real rows."""
+    from icegopher_spark.iceberg.types import FloatType
+
+    float_schema = Schema((NestedField(1, "f", FloatType(), False),))
+    b = bind_expr(float_schema, equal_to("f", float("inf")))
+    assert isinstance(b, BoundPredicate) and b.op == "eq"
+    assert b.literal.value == float("inf")
+    b2 = bind_expr(float_schema, less_than("f", float("-inf")))
+    assert isinstance(b2, BoundPredicate) and b2.op == "lt"
+
+
+def test_to_spark_column_unbound_temporal_literals(spark):
+    """r6: the delete paths compile UNBOUND filters; date/timestamp
+    literals must convert from their int encodings or Spark raises
+    DATATYPE_MISMATCH comparing DATE to INT."""
+    from datetime import date, datetime
+
+    from pyspark.sql import functions as F
+
+    from icegopher_spark.iceberg.expressions import less_than, to_spark_column
+
+    df = spark.createDataFrame(
+        [(date(2019, 12, 31), datetime(2019, 12, 31, 12, 0, 0)),
+         (date(2020, 1, 2), datetime(2020, 1, 2, 12, 0, 0))],
+        "d date, ts timestamp",
+    )
+    got = df.filter(to_spark_column(less_than("d", date(2020, 1, 1)))).count()
+    assert got == 1
+    got2 = df.filter(to_spark_column(less_than("ts", datetime(2020, 1, 1)))).count()
+    assert got2 == 1

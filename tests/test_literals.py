@@ -180,3 +180,46 @@ def test_uuid_ordering_bytes():
     a = uuid.UUID("00000000-0000-0000-0000-000000000001")
     b = uuid.UUID("ff000000-0000-0000-0000-000000000000")
     assert compare_values(a, b, UUIDType()) < 0
+
+
+def test_timestamp_tz_crosscasts():
+    """r6: micros are identical for ntz/tz; a naive datetime literal
+    must bind against a timestamptz column instead of 'cannot cast'."""
+    from icegopher_spark.iceberg.types import TimestampType, TimestampTzType
+
+    lit = Literal(1_000_000, TimestampType())
+    assert lit.to(TimestampTzType()).value == 1_000_000
+    lit2 = Literal(1_000_000, TimestampTzType())
+    assert lit2.to(TimestampType()).value == 1_000_000
+
+
+def test_double_to_float_infinity_passthrough():
+    from icegopher_spark.iceberg.types import DoubleType, FloatType
+
+    assert Literal(float("inf"), DoubleType()).to(FloatType()).value == float("inf")
+    assert Literal(float("-inf"), DoubleType()).to(FloatType()).value == float("-inf")
+
+
+def test_float_to_decimal_large_values_no_crash():
+    """r6: quantize under the default 28-digit context raised
+    InvalidOperation for values that FIT the target type."""
+    import pytest
+
+    from icegopher_spark.iceberg.types import DecimalType, DoubleType
+
+    # 1e20 at scale 10 needs 31 digits — fits decimal(38,10)
+    out = Literal(1e20, DoubleType()).to(DecimalType(38, 10))
+    assert out.value == Decimal("100000000000000000000.0000000000")
+    # 1e30 at scale 10 needs 41 digits — beyond precision 38: clean error
+    with pytest.raises(ValueError, match="cannot cast"):
+        Literal(1e30, DoubleType()).to(DecimalType(38, 10))
+
+
+def test_long_literal_beyond_int64_folds_to_sentinel():
+    """r6: L(2**70) carried an un-encodable LongType value and the
+    same-type early return skipped sentinel folding entirely."""
+    from icegopher_spark.iceberg.literals import LongAboveMax, LongBelowMin
+    from icegopher_spark.iceberg.types import LongType
+
+    assert Literal(2**70, LongType()).to(LongType()) is LongAboveMax
+    assert Literal(-(2**70), LongType()).to(LongType()) is LongBelowMin

@@ -707,3 +707,36 @@ def test_summary_totals_exclude_delete_manifests(spark, warehouse, lineitem):
     summary = t.current_snapshot().summary
     # totals reflect DATA rows only: 100 + 50, never the delete file's keys
     assert int(summary["total-records"]) == 150
+
+
+def test_parse_partition_value_decimal_uuid():
+    """r6: decimal/UUID partition dir values arrived as raw strings and
+    crashed literal_to_bytes at commit (str has no .scaleb)."""
+    import uuid as _uuid
+    from decimal import Decimal
+
+    from icegopher_spark.iceberg.schema import Schema
+    from icegopher_spark.iceberg.transforms import (
+        PartitionField,
+        PartitionSpec,
+        parse_transform,
+    )
+    from icegopher_spark.iceberg.types import DecimalType, NestedField, UUIDType
+    from icegopher_spark.iceberg.write import _parse_partition_value
+
+    sch = Schema(
+        (
+            NestedField(1, "d", DecimalType(12, 2), True),
+            NestedField(2, "u", UUIDType(), True),
+        ),
+        schema_id=0,
+    )
+    spec = PartitionSpec(
+        [
+            PartitionField(1, 1000, "d", parse_transform("identity")),
+            PartitionField(2, 1001, "u", parse_transform("identity")),
+        ]
+    )
+    assert _parse_partition_value("d", "12.30", spec, sch) == Decimal("12.30")
+    u = "12345678-1234-5678-1234-567812345678"
+    assert _parse_partition_value("u", u, spec, sch) == _uuid.UUID(u)

@@ -340,3 +340,44 @@ def test_truncate_decimal_column_exact_beyond_2_53(spark):
     got = [r["out"] for r in df.select(tr.to_column(F.col("d"), t).alias("out")).collect()]
     want = [tr.apply(v, t) for v in vals]
     assert got == want
+
+
+def test_bucket_series_nullable_int64_extension_exact():
+    """r6: nullable Int64 extension arrays crashed to_numpy; and the
+    float64 fallback corrupted values >= 2^53. Exact paths now."""
+    import pandas as pd
+    import pytest
+
+    from icegopher_spark.iceberg.transforms import BucketTransform, bucket_series
+    from icegopher_spark.iceberg.types import LongType
+
+    big = 2**53 + 1
+    tr = BucketTransform(16)
+    # Int64 extension with a null: exact, matches the scalar spec path
+    s = pd.Series(pd.array([big, None, 7], dtype="Int64"))
+    out = bucket_series(s, 16, LongType())
+    assert out[1] is pd.NA or pd.isna(out[1])
+    assert out[0] == tr.apply(big, LongType())
+    assert out[2] == tr.apply(7, LongType())
+    # object dtype (python ints + None): also exact
+    s2 = pd.Series([big, None, 7], dtype=object)
+    out2 = bucket_series(s2, 16, LongType())
+    assert out2[0] == tr.apply(big, LongType())
+    # float64 with already-lost precision: loud refusal, not wrong buckets
+    s3 = pd.Series([float(big), None])
+    with pytest.raises(ValueError, match="2\\^53"):
+        bucket_series(s3, 16, LongType())
+
+
+def test_binary_truncate_to_column(spark):
+    """r6: binary truncate used a _jc.toString() SQL detour that broke
+    on names needing quoting; F.substring works on binary directly."""
+    from pyspark.sql import functions as F
+
+    from icegopher_spark.iceberg.transforms import TruncateTransform
+    from icegopher_spark.iceberg.types import BinaryType
+
+    df = spark.createDataFrame([(bytearray(b"abcdef"),)], "`raw payload` binary")
+    col = TruncateTransform(4).to_column(F.col("`raw payload`"), BinaryType())
+    [row] = df.select(col.alias("t")).collect()
+    assert bytes(row["t"]) == b"abcd"
