@@ -491,7 +491,13 @@ class _BatchWriter(DataSourceArrowWriter):
         afterwards). Encodings match the manifest representation."""
         import pandas as pd
 
-        from .transforms import BucketTransform, _coerce, bucket_series
+        from .transforms import (
+            BucketTransform,
+            _coerce,
+            _series_to_int64_encoding,
+            bucket_series,
+        )
+        from .types import DateType, TimestampType, TimestampTzType
 
         cols = {}
         for name, src, tr, st in self.part_fields:
@@ -501,11 +507,29 @@ class _BatchWriter(DataSourceArrowWriter):
             s = batch.column(src).to_pandas(integer_object_nulls=True)
             if isinstance(tr, BucketTransform):
                 cols[name] = bucket_series(s, tr.num_buckets, st)
-            else:
-                mapping = {
-                    v: tr.apply(_coerce(v, st), st) for v in pd.unique(s.dropna())
-                }
-                cols[name] = s.map(mapping)
+                continue
+            if isinstance(st, (DateType, TimestampType, TimestampTzType)):
+                # encode to epoch days/µs ints FIRST: pd.unique on a
+                # datetime64 series yields np.datetime64 values that
+                # _coerce doesn't recognize, crashing (day/hour) or
+                # mis-encoding (identity) the transform apply — the
+                # int encodings are exactly what the transforms and
+                # the manifest partition representation expect (r6)
+                vals, mask = _series_to_int64_encoding(s, st)
+                s = pd.Series(vals, dtype=object)
+                s[mask] = None
+            mapping = {
+                v: tr.apply(_coerce(v, st), st) for v in pd.unique(s.dropna())
+            }
+            # object dtype, NOT s.map(mapping): map upcasts int results
+            # to float64 whenever the batch holds a null, and the float
+            # partition values crash the manifest int encoder at commit
+            # (r6 review — pre-existing for any nullable source)
+            cols[name] = pd.Series(
+                [None if pd.isna(v) else mapping[v] for v in s],
+                dtype=object,
+                index=s.index,
+            )
         return pd.DataFrame(cols)
 
     def write(self, iterator):
@@ -568,10 +592,15 @@ class _BatchWriter(DataSourceArrowWriter):
                 continue
             kdf = self._partition_keys(batch)
             names = list(kdf.columns)
-            groups = kdf.groupby(names, dropna=False, sort=False).indices
+            # exact tuple grouping, NOT kdf.groupby: pandas coerces an
+            # object key column holding ints+None to float64 group keys,
+            # which corrupts the committed partition values (floats
+            # crash the manifest int encoder) and would MERGE distinct
+            # int64 partitions above 2^53 into one file (r6 review)
+            groups: dict[tuple, list[int]] = {}
+            for i, kk in enumerate(zip(*(kdf[n].tolist() for n in names))):
+                groups.setdefault(kk, []).append(i)
             for gkey, idx in groups.items():
-                if not isinstance(gkey, tuple):
-                    gkey = (gkey,)
                 partition = {}
                 for n, v in zip(names, gkey):
                     # v may be None, float NaN, pandas NaT, or pd.NA
@@ -666,7 +695,14 @@ class IcebergDataSource(DataSource):
         the representations whose manifest encoding would diverge from
         the native write path (identity on timestamp/double)."""
         from .table import Table
-        from .types import DateType, IntegerType, LongType, StringType
+        from .types import (
+            DateType,
+            IntegerType,
+            LongType,
+            StringType,
+            TimestampType,
+            TimestampTzType,
+        )
 
         t = Table.from_location(resolve_location(self.options))
         ice_schema = t.schema
@@ -674,7 +710,14 @@ class IcebergDataSource(DataSource):
         for pf in t.metadata.default_spec.fields:
             src = ice_schema.find_field(pf.source_id)
             rt = pf.transform.result_type(src.field_type)
-            if not isinstance(rt, (IntegerType, LongType, DateType, StringType)):
+            # timestamp identity partitions encode as µs ints, same as
+            # the native path's dir-parse representation (r6: was a
+            # plan-time refusal). float/double stay refused: NaN/-0.0
+            # partition-value grouping is ill-defined in pandas keys.
+            if not isinstance(
+                rt,
+                (IntegerType, LongType, DateType, StringType, TimestampType, TimestampTzType),
+            ):
                 raise ValueError(
                     f"datasource write: unsupported partition value type {rt} "
                     f"for field {pf.name!r}; use write.append"

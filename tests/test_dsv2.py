@@ -172,19 +172,22 @@ def test_partitioned_write_clusters_and_prunes(spark, tmp_path):
 
 
 def test_partitioned_write_refuses_divergent_encoding(spark, tmp_path):
-    from icegopher_spark.iceberg.types import TimestampType
+    """identity-on-double stays a plan-time refusal (NaN/-0.0 partition
+    grouping is ill-defined); identity-on-timestamp became a supported
+    path in r6 (test_dsv2_temporal_partition_writes_match_native)."""
+    from icegopher_spark.iceberg.types import DoubleType
 
     loc = str(tmp_path / "t")
     sch = Schema(
         (
             NestedField(1, "k", LongType(), True),
-            NestedField(2, "ts", TimestampType(), False),
+            NestedField(2, "v", DoubleType(), False),
         ),
         schema_id=0,
     )
-    spec = PartitionSpec([PartitionField(2, 1000, "ts", parse_transform("identity"))])
+    spec = PartitionSpec([PartitionField(2, 1000, "v", parse_transform("identity"))])
     W.create_table(loc, sch, spec)
-    df = spark.range(3).selectExpr("id AS k", "timestamp'2024-01-01' AS ts")
+    df = spark.range(3).selectExpr("id AS k", "cast(id as double) AS v")
     with pytest.raises(Exception, match="unsupported partition value type"):
         df.write.format("icegopher").option("location", loc).mode("append").save()
 
@@ -524,3 +527,46 @@ def test_dsv2_writes_record_nan_counts(spark, tmp_path):
     ).mode("append").save()
     t2 = Table.from_location(loc2)
     assert t2.scan(row_filter=E.greater_than("q", 1e9)).plan_files() == []
+
+
+def test_dsv2_temporal_partition_writes_match_native(spark, tmp_path):
+    """r6: day/hour transforms on timestamp sources crashed the dsv2
+    write path (np.datetime64 missed _coerce; pandas groupby float-
+    coerced object keys), and identity-on-timestamp was a plan-time
+    refusal. All three must now write the same manifest partition
+    values as the native W.append path, including a NULL source row."""
+    import datetime as dt
+
+    from icegopher_spark.iceberg.transforms import (
+        PartitionField,
+        PartitionSpec,
+        parse_transform,
+    )
+    from icegopher_spark.iceberg.types import LongType, NestedField, TimestampType
+
+    sch = Schema(
+        (
+            NestedField(1, "k", LongType(), True),
+            NestedField(2, "ts", TimestampType(), False),
+        ),
+        schema_id=0,
+    )
+    rows = [(1, dt.datetime(2024, 1, 1, 5)), (2, dt.datetime(2024, 1, 2, 6)), (3, None)]
+    df = spark.createDataFrame(rows, "k long, ts timestamp_ntz").coalesce(1)
+    for trname in ("day", "identity", "hour"):
+        spec = PartitionSpec([PartitionField(2, 1000, "p", parse_transform(trname))])
+        loc = str(tmp_path / f"t_{trname}")
+        W.create_table(loc, sch, spec)
+        df.write.format("icegopher").option("location", loc).mode("append").save()
+        t = Table.from_location(loc)
+        got = sorted(str(task.file.partition) for task in t.scan().plan_files())
+
+        loc2 = str(tmp_path / f"n_{trname}")
+        t2 = W.create_table(loc2, sch, spec)
+        t2 = W.append(t2, df)
+        want = sorted(str(task.file.partition) for task in t2.scan().plan_files())
+        assert got == want, trname
+        assert t.scan().to_df(spark).count() == 3
+        # partition pruning must hold on the dsv2-written table
+        flt = E.less_than("ts", dt.datetime(2024, 1, 2))
+        assert len(t.scan(row_filter=flt).plan_files()) == 1
