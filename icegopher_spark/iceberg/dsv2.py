@@ -592,17 +592,41 @@ class _BatchWriter(DataSourceArrowWriter):
                 continue
             kdf = self._partition_keys(batch)
             names = list(kdf.columns)
-            # exact tuple grouping, NOT kdf.groupby: pandas coerces an
-            # object key column holding ints+None to float64 group keys,
-            # which corrupts the committed partition values (floats
-            # crash the manifest int encoder) and would MERGE distinct
-            # int64 partitions above 2^53 into one file (r6 review)
-            groups: dict[tuple, list[int]] = {}
-            for i, kk in enumerate(zip(*(kdf[n].tolist() for n in names))):
-                groups.setdefault(kk, []).append(i)
-            for gkey, idx in groups.items():
+            # exact grouping, NOT kdf.groupby: pandas coerces an object
+            # key column holding ints+None to float64 group keys, which
+            # corrupts the committed partition values (floats crash the
+            # manifest int encoder) and would MERGE distinct int64
+            # partitions above 2^53 into one file (r6 review).
+            # pd.factorize hashes values exactly (C-speed even for
+            # object dtype); combined radix codes split the row index,
+            # with a pure-Python tuple fallback if the radix would
+            # overflow int64 (only at absurd per-batch cardinalities).
+            factored, cap = [], 1
+            for n in names:
+                c, u = pd.factorize(kdf[n], use_na_sentinel=False)
+                factored.append((c, max(len(u), 1)))
+                cap *= max(len(u), 1)
+            if cap <= 2**62:
+                codes = np.zeros(len(kdf), dtype=np.int64)
+                for c, k in factored:
+                    codes = codes * k + c
+                order = np.argsort(codes, kind="stable")
+                sc = codes[order]
+                starts = np.flatnonzero(np.r_[True, sc[1:] != sc[:-1]])
+                bounds = np.append(starts, len(sc))
+                group_indices = [
+                    order[bounds[i] : bounds[i + 1]] for i in range(len(starts))
+                ]
+            else:
+                tup_groups: dict[tuple, list[int]] = {}
+                for i, kk in enumerate(zip(*(kdf[n].tolist() for n in names))):
+                    tup_groups.setdefault(kk, []).append(i)
+                group_indices = [np.asarray(v) for v in tup_groups.values()]
+            for idx in group_indices:
+                row0 = int(idx[0])
                 partition = {}
-                for n, v in zip(names, gkey):
+                for n in names:
+                    v = kdf[n].iloc[row0]
                     # v may be None, float NaN, pandas NaT, or pd.NA
                     # (nullable Int32 from the vectorized bucket path) —
                     # all must normalize to a null partition value

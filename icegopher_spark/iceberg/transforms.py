@@ -12,6 +12,7 @@ implemented in pure Python (driver) and as a vectorized pandas UDF
 
 from __future__ import annotations
 
+import datetime as _dt
 import re
 import struct
 import uuid as _uuid
@@ -309,15 +310,37 @@ def _series_to_int64_encoding(s, st: IcebergType):
             s = s.dt.tz_convert("UTC").dt.tz_localize(None)
         if pd.api.types.is_datetime64_any_dtype(s.dtype):
             mask = s.isna().to_numpy()
-            micros = s.to_numpy(dtype="datetime64[ns]").view("int64") // 1000
-            return np.where(mask, 0, micros), mask
+            # view the payload at the series' NATIVE unit: converting
+            # to datetime64[ns] first silently WRAPS values outside
+            # 1677-2262 (e.g. the 9999-12-31 'no expiry' sentinel
+            # encoded as year 1816 → wrong bucket/partition; r6 review)
+            arr = s.to_numpy()
+            unit = np.datetime_data(arr.dtype)[0]
+            iv = np.where(mask, 0, arr.view("int64"))  # zero NaT payloads
+            scale_up = {"s": 1_000_000, "ms": 1_000, "us": 1}
+            micros = iv // 1_000 if unit == "ns" else iv * scale_up[unit]
+            return micros, mask
     elif isinstance(st, DateType):
         mask = s.isna().to_numpy()
-        if not pd.api.types.is_datetime64_any_dtype(s.dtype):
-            # Arrow hands DateType over as object datetime.date
-            s = pd.to_datetime(s.where(~mask, pd.Timestamp(0)))
-        days = s.to_numpy(dtype="datetime64[ns]").view("int64") // 86_400_000_000_000
-        return np.where(mask, 0, days), mask
+        if pd.api.types.is_datetime64_any_dtype(s.dtype):
+            arr = s.to_numpy()
+            unit = np.datetime_data(arr.dtype)[0]
+            iv = np.where(mask, 0, arr.view("int64"))
+            per_day = {"s": 86_400, "ms": 86_400_000, "us": 86_400_000_000,
+                       "ns": 86_400_000_000_000}[unit]
+            # floor division is exact for date-valued timestamps and
+            # spec-correct (floor) for any stray intra-day component
+            return iv // per_day, mask
+        # Arrow hands DateType over as object datetime.date: exact
+        # ordinal arithmetic — pd.to_datetime would crash (ns range)
+        # on far dates like 9999-12-31 (r6 review)
+        epoch = _dt.date(1970, 1, 1)
+        days = np.fromiter(
+            (0 if m else (v - epoch).days for v, m in zip(s, mask.tolist())),
+            dtype=np.int64,
+            count=len(s),
+        )
+        return days, mask
     elif pd.api.types.is_integer_dtype(s.dtype):
         if isinstance(s.dtype, pd.api.extensions.ExtensionDtype):
             # nullable Int64: to_numpy(int64) raises on NA; fillna

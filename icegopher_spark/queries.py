@@ -1900,29 +1900,21 @@ def sim_ivf_q(spark: SparkSession, sf: str) -> DataFrame:
     return _topk_recall(exact, approx, k=5)
 
 
-def _cached_index_table(loc: str, is_current):
-    """Load a persisted /tmp index table when `is_current(table)` says
-    its stamp matches the running kernel; otherwise wipe the location
-    and return None so the caller rebuilds. Shared by the IVF and
-    MinHash incremental gates — a stale index from an older kernel
-    revision must never validate as healthy (it silently changes
-    candidate recall across code revisions)."""
-    import os as _os
-    import shutil as _shutil
+def _cached_index_table(sf_dir: str, suffix: str, is_current, build):
+    """Build-or-load a persisted /tmp index table, rebuilding when
+    `is_current(table)` says its stamp doesn't match the running
+    kernel — a stale index from an older revision must never validate
+    as healthy (it silently changes candidate recall). Thin wrapper
+    over iceberg_queries._cached_table so the poisoned-cache rules
+    live in ONE place (kernel check + snapshot presence added here)."""
+    from .iceberg_queries import _cached_table
 
-    from .iceberg.table import Table
-
-    t = None
-    if _os.path.exists(f"{loc}/metadata/version-hint.text"):
-        try:
-            t = Table.from_location(loc)
-            if t.current_snapshot() is None or not is_current(t):
-                t = None
-        except Exception:  # noqa: BLE001
-            t = None
-        if t is None:
-            _shutil.rmtree(loc, ignore_errors=True)
-    return t
+    return _cached_table(
+        sf_dir,
+        suffix,
+        lambda t: t.current_snapshot() is not None and is_current(t),
+        build,
+    )
 
 
 @register(
@@ -1932,15 +1924,13 @@ def _cached_index_table(loc: str, is_current):
 )
 def sim_ivf_index_q(spark: SparkSession, sf: str) -> DataFrame:
     emb = load(spark, sf, "embeddings").select("vec_id", "embedding")
-    key = sf.strip("/").replace("/", "_")
-    loc = f"/tmp/icegopher_tables/{key}/emb_ivf_index"
     t = _cached_index_table(
-        loc,
+        sf,
+        "emb_ivf_index",
         lambda t: "ivf.centroids" in t.properties
         and t.properties.get("ivf.kernel-version") == similarity.IVF_KERNEL_VERSION,
+        lambda loc: similarity.ivf_index_write(spark, emb, loc, n_lists=16),
     )
-    if t is None:
-        t = similarity.ivf_index_write(spark, emb, loc, n_lists=16)
     q = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), F.col("embedding")
     )
@@ -2198,14 +2188,12 @@ def dedup_minhash_incremental_q(spark: SparkSession, sf: str) -> DataFrame:
     old = docs.filter(F.col("doc_id") % 3 != 0)
     new = docs.filter(F.col("doc_id") % 3 == 0)
 
-    key = sf.strip("/").replace("/", "_")
-    loc = f"/tmp/icegopher_tables/{key}/minhash_index"
     t = _cached_index_table(
-        loc,
+        sf,
+        "minhash_index",
         lambda t: t.properties.get("lsh.kernel-version") == _dedup.INDEX_KERNEL_VERSION,
+        lambda loc: _dedup.minhash_index_write(spark, old, loc),
     )
-    if t is None:
-        t = _dedup.minhash_index_write(spark, old, loc)
     return _dedup.minhash_dedup_incremental(spark, t, new, docs, threshold=0.5)
 
 

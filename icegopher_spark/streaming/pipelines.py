@@ -153,8 +153,11 @@ def running_user_totals(events: DataFrame, watermark: str = "2 hours") -> DataFr
             # values are 4-decimal, so v*10000 is within 1e-6 of an
             # integer and round() recovers it exactly — a float
             # accumulator is arrival-order-dependent and can flip a
-            # half-cent rounding boundary vs the oracle (r6 review)
-            total_i += int((pdf["value"] * 10000).round().astype("int64").sum())
+            # half-cent rounding boundary vs the oracle (r6 review).
+            # dropna first: a NULL value is NaN here and the int64
+            # cast raises on non-finite — SUM semantics skip nulls.
+            vals = pdf["value"].dropna()
+            total_i += int((vals * 10000).round().astype("int64").sum())
         state.update((n, total_i))
         import pandas as pd
 
@@ -303,9 +306,14 @@ def run_stream_to_table(
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", prev)
     sink = spark.table(name)
-    rows, schema = sink.collect(), sink.schema
+    # Arrow round-trip, NOT collect()+createDataFrame(rows): Row
+    # objects convert timestamps through the driver's OS-local
+    # timezone (fromtimestamp/mktime), which collapses DST-ambiguous
+    # window boundaries when the OS TZ isn't UTC; Arrow carries exact
+    # UTC micros both ways (r6 review)
+    tbl = sink.toArrow()
     spark.catalog.dropTempView(name)
-    return spark.createDataFrame(rows, schema)
+    return spark.createDataFrame(tbl)
 
 
 def static_enriched_rollup(

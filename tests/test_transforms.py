@@ -381,3 +381,29 @@ def test_binary_truncate_to_column(spark):
     col = TruncateTransform(4).to_column(F.col("`raw payload`"), BinaryType())
     [row] = df.select(col.alias("t")).collect()
     assert bytes(row["t"]) == b"abcd"
+
+
+def test_bucket_series_far_range_timestamp_and_date():
+    """r6: converting to datetime64[ns] wrapped values outside
+    1677-2262 (9999-12-31 hashed as year 1816 — wrong bucket, silently
+    pruned rows). The encoder must view the series' native unit."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from icegopher_spark.iceberg.transforms import BucketTransform, bucket_series
+    from icegopher_spark.iceberg.types import DateType, TimestampType
+
+    tr = BucketTransform(16)
+    far = dt.datetime(9999, 12, 31, 0, 0, 0)
+    s = pd.Series([far, None]).astype("datetime64[us]")
+    out = bucket_series(s, 16, TimestampType())
+    micros = (far.replace(tzinfo=dt.timezone.utc) - dt.datetime(1970, 1, 1, tzinfo=dt.timezone.utc)) // dt.timedelta(microseconds=1)
+    assert out[0] == tr.apply(micros, TimestampType())
+    assert pd.isna(out[1])
+    # object datetime.date far-range: exact ordinal arithmetic
+    s2 = pd.Series([dt.date(9999, 12, 31), None], dtype=object)
+    out2 = bucket_series(s2, 16, DateType())
+    days = (dt.date(9999, 12, 31) - dt.date(1970, 1, 1)).days
+    assert out2[0] == tr.apply(days, DateType())
+    assert pd.isna(out2[1])
