@@ -290,8 +290,25 @@ class BucketTransform(Transform):
         per-type encodings — NOT bit-compatible — so for correct bucket
         pruning and write clustering we compute the spec hash in a
         pandas UDF (numpy-vectorized for 8-byte integer encodings, the
-        overwhelmingly common bucket sources)."""
-        return _bucket_udf(self.num_buckets, source_type)(col)
+        overwhelmingly common bucket sources).
+
+        For those 8-byte sources the Iceberg int64 encoding is computed
+        JVM-SIDE (unix_micros / unix_date / long cast) and a NON-NULL
+        long column handed to the UDF (nulls re-applied with when()):
+        the arrow→pandas hop otherwise converts nullable longs to
+        float64 — corrupting values ≥ 2^53 — and timestamps to
+        datetime64[ns], which crashes outside 1677-2262 (r6 review)."""
+        n = self.num_buckets
+        if isinstance(source_type, (IntegerType, LongType)):
+            enc = col.cast("long")
+        elif isinstance(source_type, (TimestampType, TimestampTzType)):
+            enc = F.unix_micros(col.cast("timestamp"))
+        elif isinstance(source_type, DateType):
+            enc = F.unix_date(col.cast("date"))
+        else:
+            return _bucket_udf(n, source_type)(col)
+        hashed = _bucket_udf_int64(n)(F.coalesce(enc, F.lit(0)))
+        return F.when(col.isNotNull(), hashed)
 
     def result_type(self, source_type):
         return IntegerType()
@@ -414,6 +431,24 @@ def _bucket_udf(n: int, st: IcebergType):
 
     def _bucket(s: pd.Series) -> pd.Series:
         return bucket_series(s, n, st)
+
+    _bucket.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    return pandas_udf(_bucket, "int")
+
+
+def _bucket_udf_int64(n: int):
+    """Bucket over a PRE-ENCODED, non-null int64 column (the JVM-side
+    encoding in BucketTransform.to_column): the series arrives as exact
+    numpy int64, so the flat murmur3 kernel applies directly."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _bucket(s: pd.Series) -> pd.Series:
+        import numpy as np
+
+        h = murmur3_32_vec8(s.to_numpy(dtype="int64"))
+        res = ((h & np.uint64(0x7FFFFFFF)) % np.uint64(n)).astype("int32")
+        return pd.Series(res)
 
     _bucket.__annotations__ = {"s": pd.Series, "return": pd.Series}
     return pandas_udf(_bucket, "int")
