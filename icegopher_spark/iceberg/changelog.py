@@ -209,7 +209,9 @@ def changelog_df(
                 elif content == DataFileContent.POSITION_DELETES:
                     added_pos_deletes.append(e)
                 elif content == DataFileContent.EQUALITY_DELETES:
-                    added_eq_deletes.append(e)
+                    # keep the manifest's spec id: partition-scoped
+                    # deletes only apply within the SAME spec (r6)
+                    added_eq_deletes.append((m.partition_spec_id, e))
 
         inserts = _read_data_files(table, spark, added_data, with_pos=False)
         deletes: DataFrame | None = None
@@ -300,11 +302,16 @@ def changelog_df(
             # in sibling partitions as deleted (r6 review). An all-null/
             # empty partition tuple is a global delete (scope None).
             by_ids: dict[tuple, list] = {}
-            for e in added_eq_deletes:
+            for dsid, e in added_eq_deletes:
                 ids = tuple(e.data_file.equality_ids or [])
                 part = e.data_file.partition or {}
+                # scope carries (spec_id, partition): dict-equal
+                # partitions under DIFFERENT specs are different
+                # partitions — the read path's _eq_delete_applies
+                # refuses cross-spec matches, so the changelog must
+                # too or it reports still-live rows as deleted (r6)
                 scope = (
-                    tuple(sorted(part.items()))
+                    (dsid, tuple(sorted(part.items())))
                     if any(v is not None for v in part.values())
                     else None
                 )
@@ -365,11 +372,13 @@ def changelog_df(
                 pscan2 = table.scan(**scan_kwargs)
                 sc_tasks = None
                 if scope is not None:
-                    want = dict(scope)
+                    scope_sid, scope_part = scope
+                    want = dict(scope_part)
                     sc_tasks = [
                         t
                         for t in pscan2.plan_files()
-                        if (t.file.partition or {}) == want
+                        if t.spec_id == scope_sid
+                        and (t.file.partition or {}) == want
                     ]
                 pre = _align_to_current(
                     pscan2.to_df(spark, tasks=sc_tasks), parent_schema, table.schema

@@ -24,7 +24,6 @@ from .types import (
     LongType,
     NestedField,
 )
-from .write import _commit_metadata, _loaded_version, _version_path
 
 # legal primitive promotions (Iceberg spec)
 _PROMOTIONS = {

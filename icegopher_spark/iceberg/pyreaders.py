@@ -48,6 +48,19 @@ def _coerce_batch(
     so TimestampType columns convert UTC → session tz before dropping
     the tz (identity at UTC). TimestampNTZ micros are wall-clock and
     stay naive as-is."""
+    import numpy as np
+
+    def _micros_series(col):
+        # exact µs-unit datetime64 from int µs, NOT pd.to_datetime
+        # (which builds ns-based values: crashes past 2262, e.g. the
+        # 9999-12-31 'no expiry' sentinel — r6 review; also float64
+        # intermediate corrupts µs >= 2^53, i.e. any current epoch)
+        mask = pd.isna(col).to_numpy()
+        iv = np.where(mask, 0, col.fillna(0).to_numpy(dtype="int64"))
+        s = pd.Series(iv.view("datetime64[us]"))
+        s[mask] = pd.NaT
+        return s
+
     for f in spark_schema.fields:
         if f.name not in pdf.columns:
             pdf[f.name] = None
@@ -55,23 +68,30 @@ def _coerce_batch(
         already_dt = str(col.dtype).startswith("datetime")
         if isinstance(f.dataType, T.TimestampType) and not already_dt:
             pdf[f.name] = (
-                pd.to_datetime(col, unit="us", utc=True)
+                _micros_series(col)
+                .dt.tz_localize("UTC")
                 .dt.tz_convert(session_tz)
                 .dt.tz_localize(None)
             )
         elif isinstance(f.dataType, T.TimestampNTZType) and not already_dt:
-            pdf[f.name] = pd.to_datetime(col, unit="us")
+            pdf[f.name] = _micros_series(col)
         elif isinstance(f.dataType, T.DateType) and not already_dt:
             # epoch-day ints -> date objects (int64 -> date32 has no
             # Arrow cast; every read of an Avro date column crashed).
             # Object columns may hold python ints (nullable) — or real
-            # date objects, which pass through untouched.
+            # date objects, which pass through untouched. Exact ordinal
+            # arithmetic: a ns-based to_datetime crashed on far dates.
             nonnull = col.dropna()
             if str(col.dtype).startswith(("int", "float")) or (
                 len(nonnull) and isinstance(nonnull.iloc[0], int)
             ):
-                dt = pd.to_datetime(col.astype("float64"), unit="D")
-                pdf[f.name] = [None if pd.isna(v) else v.date() for v in dt]
+                from datetime import date as _date
+                from datetime import timedelta as _td
+
+                epoch = _date(1970, 1, 1)
+                pdf[f.name] = [
+                    None if pd.isna(v) else epoch + _td(days=int(v)) for v in col
+                ]
     return pdf[[f.name for f in spark_schema.fields]]
 
 
@@ -209,11 +229,29 @@ def _pdf_to_records(
 
     from . import types as IT
 
+    from datetime import datetime as _dtm
+    from datetime import timedelta as _tdl
+    from datetime import timezone as _tz
+
+    _EPOCH_UTC = _dtm(1970, 1, 1, tzinfo=_tz.utc)
+    _EPOCH_NAIVE = _dtm(1970, 1, 1)
+
     def _utc_micros(v) -> int:
+        # datetime arithmetic, NOT pd.Timestamp(...).value: .value is
+        # ns-based and overflows for far-range timestamps like the
+        # 9999-12-31 sentinel (r6 review); µs arithmetic spans the
+        # whole datetime range exactly
         ts = pd.Timestamp(v)
         if ts.tzinfo is None:
             ts = ts.tz_localize(session_tz)
-        return int(ts.value // 1000)
+        py = ts.to_pydatetime(warn=False)
+        return (py - _EPOCH_UTC) // _tdl(microseconds=1)
+
+    def _naive_micros(v) -> int:
+        py = pd.Timestamp(v).to_pydatetime(warn=False)
+        if py.tzinfo is not None:
+            py = py.astimezone(_tz.utc).replace(tzinfo=None)
+        return (py - _EPOCH_NAIVE) // _tdl(microseconds=1)
 
     cols: dict[str, list] = {}
     for f in schema.fields:
@@ -222,12 +260,17 @@ def _pdf_to_records(
         if isinstance(t, IT.TimestampTzType):
             vals = [None if pd.isna(v) else _utc_micros(v) for v in series]
         elif isinstance(t, IT.TimestampType):
-            vals = [
-                None if pd.isna(v) else int(pd.Timestamp(v).value // 1000) for v in series
-            ]
+            vals = [None if pd.isna(v) else _naive_micros(v) for v in series]
         elif isinstance(t, IT.DateType):
+            # date objects pass straight to ordinal arithmetic —
+            # pd.Timestamp(date(9999,12,31)) overflows ns (r6 review)
             vals = [
-                None if pd.isna(v) else (pd.Timestamp(v).date() - _date(1970, 1, 1)).days
+                None
+                if pd.isna(v)
+                else (
+                    (v if isinstance(v, _date) and not isinstance(v, _dtm) else pd.Timestamp(v).date())
+                    - _date(1970, 1, 1)
+                ).days
                 for v in series
             ]
         elif isinstance(t, (IT.IntegerType, IT.LongType)):

@@ -17,7 +17,6 @@ import time
 
 from .metadata import MAIN_BRANCH, Snapshot, SnapshotRef, TableMetadata, parse_metadata
 from .table import Table
-from .write import _commit_metadata, _loaded_version, _version_path
 
 
 def _ref_update(name: str, r: SnapshotRef) -> dict:

@@ -283,6 +283,18 @@ class SqlCatalog:
                 raw["refs"] = refs
                 if upd["ref-name"] == "main":
                     raw["current-snapshot-id"] = upd["snapshot-id"]
+                    # ref-ONLY commits (rollback / fast-forward send no
+                    # add-snapshot) must stamp NOW: reusing the stale
+                    # last-updated-ms backdates the snapshot-log entry
+                    # and as-of time travel between the prior commit
+                    # and the rollback resolves to the rollback target
+                    # instead of what was current then (r6 review)
+                    if not any(
+                        u.get("action") == "add-snapshot" for u in updates
+                    ):
+                        import time as _time
+
+                        raw["last-updated-ms"] = int(_time.time() * 1000)
                     # snapshot-log tracks the MAIN lineage only (same
                     # rule as the local commit path, write.py): logging
                     # branch-staged snapshots here polluted as-of time

@@ -70,6 +70,11 @@ class FileScanTask:
     schema_id: int | None = None
     # equality delete files applying to this data file
     eq_delete_files: list[Any] = dfield(default_factory=list)
+    # partition spec the file was written under (its manifest's
+    # partition-spec-id); consumers that scope work by partition value
+    # must also compare specs — dict-equal partitions under different
+    # specs are different partitions (r6 review)
+    spec_id: int = 0
 
     @property
     def size_bytes(self) -> int:
@@ -345,6 +350,7 @@ class TableScan:
                         df.file_size_in_bytes,
                         schema_id=esnap.schema_id if esnap else None,
                         eq_delete_files=eq_deletes,
+                        spec_id=m.partition_spec_id,
                     )
                 )
         return tasks
@@ -478,6 +484,7 @@ class TableScan:
                     e.data_file.file_size_in_bytes,
                     schema_id=esnap.schema_id if esnap else None,
                     eq_delete_files=eq_deletes,
+                    spec_id=data_sid,
                 )
             )
         return tasks

@@ -939,7 +939,13 @@ def _commit_snapshot(
             {
                 "type": "assert-ref-snapshot-id",
                 "ref": branch,
-                "snapshot-id": parent_id,
+                # for a branch that doesn't exist yet, assert absence
+                # (snapshot-id null per the REST spec) — sending main's
+                # head (the snapshot PARENT) made the first commit to a
+                # new branch always fail CAS on catalog tables (r6)
+                "snapshot-id": branch_ref.snapshot_id
+                if branch != "main" and branch_ref is not None
+                else (md.current_snapshot_id if branch == "main" else None),
             },
         ]
         updates = [

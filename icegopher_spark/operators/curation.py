@@ -18,6 +18,25 @@ from .text import token_count
 # exact 64-bit integer arithmetic so DuckDB reproduces it bit-for-bit.
 _HASH_MULT = 2654435761
 _HASH_MOD = 2**32
+
+# One cached frame per operator call-site, rotated: DataFrame.persist
+# registers in the CacheManager and is NEVER GC-unpersisted, so
+# repeated operator calls in one session accumulated corpus-sized
+# cached frames for the application's lifetime (r6 review). Rotating
+# bounds storage to one frame per site; unpersisting the previous one
+# merely degrades a still-held old plan to recompute (correct).
+_PERSISTED: dict[str, DataFrame] = {}
+
+
+def _persist_rotating(key: str, df: DataFrame) -> DataFrame:
+    from pyspark.storagelevel import StorageLevel
+
+    old = _PERSISTED.get(key)
+    if old is not None:
+        old.unpersist(blocking=False)
+    df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    _PERSISTED[key] = df
+    return df
 # Bucketing uses F.pmod so a negative id still lands in [0, 2^32) —
 # Spark's sign-preserving % would make every negative bucket pass any
 # `< threshold` filter. Cross-engine oracle equality (DuckDB's
@@ -61,11 +80,9 @@ def _sharded_rank(
     persisted — both phases consume it, and without the cache the
     upstream lineage (source scan + any prior join) executes twice.
     """
-    from pyspark.storagelevel import StorageLevel
-
     width = -(-_HASH_MOD // n_shards)  # ceil
     df = df.withColumn("_shard", F.expr(f"{bucket_col} div {width}").cast("int"))
-    df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    df = _persist_rotating("sharded_rank", df)
     counts = df.groupBy(*part_cols, "_shard").agg(F.count(F.lit(1)).alias("_c"))
     w_off = (
         Window.partitionBy(*part_cols)
@@ -388,9 +405,7 @@ def length_trim(
         F.col(key_col).eqNullSafe(F.col("_h_k"))
         & F.col(len_col).eqNullSafe(F.col("_h_l")),
     ).drop("_h_k", "_h_l")
-    from pyspark.storagelevel import StorageLevel
-
-    joined = joined.persist(StorageLevel.MEMORY_AND_DISK)
+    joined = _persist_rotating("length_trim", joined)
     keep = joined.filter("_keep_all").select(id_col, key_col, len_col)
     boundary = joined.filter(~F.col("_keep_all") & ~F.col("_drop_all")).withColumn(
         "bucket", _bucket(id_col)

@@ -863,10 +863,10 @@ def neardup_groups(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
         # hand back MULTIPLE reps for one true component and dedup
         # would silently keep near-duplicates (r6 review) — fail loud.
         raise RuntimeError(
-            f"neardup_groups did not converge in {max_iter} rounds "
-            f"({changed} labels still changing): a component's diameter "
-            "exceeds max_iter — raise max_iter (rounds are O(1) shuffles "
-            "on 8-byte pairs, so a larger budget is cheap)"
+            f"neardup_groups did not converge in {max_iter} rounds: a "
+            "component's diameter exceeds max_iter — raise max_iter "
+            "(rounds are O(1) shuffles on 8-byte pairs, so a larger "
+            "budget is cheap)"
         )
     return labels.select(F.col("id"), F.col("rep"))
 

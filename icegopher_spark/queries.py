@@ -921,10 +921,10 @@ def dedup_simhash_q(spark: SparkSession, sf: str) -> DataFrame:
 text_stats_oracle = """
 SELECT doc_id,
        length(text) AS n_chars,
-       CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens,
+       CAST(len(regexp_extract_all(text, '[^ \\t\\n\\x0B\\f\\r]+')) AS BIGINT) AS n_tokens,
        CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_bpe_tokens,
        CAST(len(regexp_extract_all(text, '[.,;:!?''"()\\[\\]{}-]')) AS BIGINT) AS n_punct,
-       ROUND(length(text) / CAST(greatest(len(regexp_extract_all(text, '\\S+')), 1) AS DOUBLE), 4)
+       ROUND(length(text) / CAST(greatest(len(regexp_extract_all(text, '[^ \\t\\n\\x0B\\f\\r]+')), 1) AS DOUBLE), 4)
          AS chars_per_token
 FROM documents
 """
@@ -965,8 +965,8 @@ quality_oracle = f"""
 WITH m AS (
   SELECT doc_id,
          CAST(length(text) AS DOUBLE) AS n_chars,
-         greatest(CAST(len(regexp_extract_all(text, '\\S+')) AS DOUBLE), 1.0) AS n_tok,
-         CAST(len(regexp_extract_all(text, '\\s')) AS DOUBLE) AS n_ws,
+         greatest(CAST(len(regexp_extract_all(text, '[^ \\t\\n\\x0B\\f\\r]+')) AS DOUBLE), 1.0) AS n_tok,
+         CAST(len(regexp_extract_all(text, '[ \\t\\n\\x0B\\f\\r]')) AS DOUBLE) AS n_ws,
          CAST(len(regexp_extract_all(text, '[.,;:!?''"()\\[\\]{{}}-]')) AS DOUBLE) AS n_punct,
          CAST({_langid_score_sql(_all_stopwords)} AS DOUBLE) AS n_stop
   FROM documents
@@ -1024,9 +1024,9 @@ curation_oracle = f"""
 WITH m AS (
   SELECT doc_id, text,
          CAST(length(text) AS DOUBLE) AS n_chars,
-         CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens,
-         greatest(CAST(len(regexp_extract_all(text, '\\S+')) AS DOUBLE), 1.0) AS n_tok,
-         CAST(len(regexp_extract_all(text, '\\s')) AS DOUBLE) AS n_ws,
+         CAST(len(regexp_extract_all(text, '[^ \\t\\n\\x0B\\f\\r]+')) AS BIGINT) AS n_tokens,
+         greatest(CAST(len(regexp_extract_all(text, '[^ \\t\\n\\x0B\\f\\r]+')) AS DOUBLE), 1.0) AS n_tok,
+         CAST(len(regexp_extract_all(text, '[ \\t\\n\\x0B\\f\\r]')) AS DOUBLE) AS n_ws,
          CAST(len(regexp_extract_all(text, '[.,;:!?''"()\\[\\]{{}}-]')) AS DOUBLE) AS n_punct,
          CAST({_langid_score_sql(_all_stopwords)} AS DOUBLE) AS n_stop,
          {_langid_case} AS pred_lang

@@ -415,3 +415,51 @@ def test_ocf_sync_marker_is_random():
     b = write_ocf(schema, [{"x": 1}])
     assert a[-16:] != b"\x00" * 16
     assert a[-16:] != b[-16:]  # fresh marker per file
+
+
+def test_avro_far_range_temporals_roundtrip(spark, tmp_path):
+    """r6: the 9999-12-31 'no expiry' sentinel is outside
+    datetime64[ns]'s 2262 bound — pd.to_datetime on the read side and
+    pd.Timestamp(...).value on the write side both blew up. Temporal
+    coercions must use exact µs/ordinal arithmetic end to end."""
+    from datetime import date, datetime
+
+    from icegopher_spark.iceberg.pyreaders import write_avro_data_file
+    from icegopher_spark.iceberg.types import DateType, TimestampType
+
+    schema = Schema(
+        (
+            NestedField(1, "k", LongType(), True),
+            NestedField(2, "ts", TimestampType(), False),
+            NestedField(3, "d", DateType(), False),
+        ),
+        schema_id=0,
+    )
+    far_us = (
+        datetime(9999, 12, 31, tzinfo=__import__("datetime").timezone.utc)
+        - datetime(1970, 1, 1, tzinfo=__import__("datetime").timezone.utc)
+    ) // __import__("datetime").timedelta(microseconds=1)
+    far_days = (date(9999, 12, 31) - date(1970, 1, 1)).days
+    rows = [
+        {"k": 1, "ts": far_us, "d": far_days},
+        {"k": 2, "ts": 1_000_000, "d": 1},
+        {"k": 3, "ts": None, "d": None},
+    ]
+    import os
+
+    t = W.create_table(str(tmp_path / "tbl"), schema)
+    path = f"{t.location}/data/part-0.avro"
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    write_avro_data_file(path, schema, rows)
+    dfile = DataFile(
+        file_path=path,
+        file_format="AVRO",
+        record_count=len(rows),
+        file_size_in_bytes=os.path.getsize(path),
+        partition={},
+    )
+    t = W._commit_snapshot(t, [dfile], "append")
+    got = {r["k"]: (r["ts"], r["d"]) for r in t.scan().to_df(spark).collect()}
+    assert got[1] == (datetime(9999, 12, 31), date(9999, 12, 31))
+    assert got[2] == (datetime(1970, 1, 1, 0, 0, 1), date(1970, 1, 2))
+    assert got[3] == (None, None)

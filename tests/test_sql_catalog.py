@@ -254,3 +254,21 @@ def test_jdbc_sqlite_uri_spelling(tmp_path):
     assert ("db",) in cat.list_namespaces()
     import os
     assert os.path.exists(f"{tmp_path}/jc.db")  # not a literal 'jdbc:sqlite:' dir
+
+
+def test_first_branch_commit_on_catalog_table(cat, spark, lineitem):
+    """r6: the CAS requirement for a not-yet-existing branch must
+    assert ABSENCE (snapshot-id null) — sending main's head made the
+    first commit to a new branch always fail on catalog tables while
+    succeeding on filesystem tables."""
+    t = cat.create_table("db.branchy", SCHEMA)
+    t = W.append(t, lineitem.limit(60))
+    # no create_branch: the append itself creates 'audit'
+    t = W.append(t, lineitem.limit(40), branch="audit")
+    t = cat.load_table("db.branchy")
+    assert "audit" in t.metadata.refs
+    audit_head = t.metadata.refs["audit"].snapshot_id
+    assert audit_head != t.current_snapshot().snapshot_id
+    # main still sees only the first append
+    assert t.scan().to_df(spark).count() == 60
+    assert t.scan(snapshot_id=audit_head).to_df(spark).count() == 100
