@@ -172,6 +172,55 @@ def _live_data_entries(table: Table, snap) -> dict[str, object]:
     return out
 
 
+def _parent_delete_pairs(
+    table: Table, spark: SparkSession, parent, ref_paths: set[str]
+) -> DataFrame | None:
+    """The parent snapshot's positional-delete state (_del_path,
+    _del_pos) restricted to ``ref_paths`` — the baseline a replacement
+    deletion vector is diffed against. Position deletes only ever
+    reference files that existed when they were written, so path
+    restriction (broadcast semi-join; ref_paths is commit-sized)
+    suffices without sequence-number re-checks."""
+    from .table import _dv_positions_df
+
+    io = table.io
+    pq_paths: set[str] = set()
+    dvs = []
+    for m in read_manifest_list(io.read(parent.manifest_list)):
+        if m.content != ManifestContent.DELETES:
+            continue
+        for e in fetch_entries(m, io.read(m.manifest_path), discard_deleted=True):
+            df = e.data_file
+            if df.content != DataFileContent.POSITION_DELETES:
+                continue
+            if df.is_deletion_vector:
+                if strip_file_scheme(df.referenced_data_file or "") in ref_paths:
+                    dvs.append(df)
+            else:
+                pq_paths.add(strip_file_scheme(df.file_path))
+    parts: list[DataFrame] = []
+    if pq_paths:
+        refs = spark.createDataFrame(
+            [(p,) for p in sorted(ref_paths)], "_del_path string"
+        )
+        parts.append(
+            spark.read.parquet(*sorted(pq_paths))
+            .select(
+                F.regexp_replace("file_path", "^file:/*", "/").alias("_del_path"),
+                F.col("pos").alias("_del_pos"),
+            )
+            .join(F.broadcast(refs), "_del_path", "left_semi")
+        )
+    if dvs:
+        parts.append(_dv_positions_df(spark, dvs, table.properties))
+    if not parts:
+        return None
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def changelog_df(
     table: Table,
     spark: SparkSession,
@@ -252,12 +301,47 @@ def changelog_df(
                 deletes = gone
 
         if added_pos_deletes:
-            pairs = spark.read.parquet(
-                *[strip_file_scheme(e.data_file.file_path) for e in added_pos_deletes]
-            ).select(
-                F.regexp_replace("file_path", "^file:/*", "/").alias("_del_path"),
-                F.col("pos").alias("_del_pos"),
-            )
+            pq_entries = [
+                e for e in added_pos_deletes if not e.data_file.is_deletion_vector
+            ]
+            dv_entries = [
+                e for e in added_pos_deletes if e.data_file.is_deletion_vector
+            ]
+            pair_parts = []
+            if pq_entries:
+                pair_parts.append(
+                    spark.read.parquet(
+                        *[strip_file_scheme(e.data_file.file_path) for e in pq_entries]
+                    ).select(
+                        F.regexp_replace("file_path", "^file:/*", "/").alias(
+                            "_del_path"
+                        ),
+                        F.col("pos").alias("_del_pos"),
+                    )
+                )
+            if dv_entries:
+                from .table import _dv_positions_df
+
+                dv_pairs = _dv_positions_df(
+                    spark, [e.data_file for e in dv_entries], table.properties
+                )
+                # a replacement DV is the UNION of all the file's
+                # deletes (V3 superset invariant) — only the delta vs
+                # the parent's delete state is newly deleted HERE
+                if parent is not None:
+                    ref_paths = {
+                        strip_file_scheme(e.data_file.referenced_data_file or "")
+                        for e in dv_entries
+                    }
+                    prior = _parent_delete_pairs(table, spark, parent, ref_paths)
+                    if prior is not None:
+                        dv_pairs = dv_pairs.join(
+                            prior, ["_del_path", "_del_pos"], "left_anti"
+                        )
+                pair_parts.append(dv_pairs)
+            pairs = pair_parts[0]
+            for p in pair_parts[1:]:
+                pairs = pairs.unionByName(p)
             target_paths = {r["_del_path"] for r in pairs.select("_del_path").distinct().collect()}
             # entries for the targeted data files, read from the CHILD
             # snapshot's state (intended): MOR positional deletes target
@@ -279,7 +363,12 @@ def changelog_df(
                 norm = F.regexp_replace(F.col("_file"), "^file:/*", "/")
                 pairs = _maybe_broadcast_deletes(
                     pairs,
-                    sum(e.data_file.file_size_in_bytes for e in added_pos_deletes),
+                    sum(
+                        (e.data_file.content_size_in_bytes or 0)
+                        if e.data_file.is_deletion_vector
+                        else e.data_file.file_size_in_bytes
+                        for e in added_pos_deletes
+                    ),
                 )
                 hit = rows.join(
                     pairs,

@@ -56,9 +56,14 @@ class _FilePartition(InputPartition):
         arrow_schema=None,
         eq_deletes: tuple[tuple[str, tuple[str, ...]], ...] = (),
         file_format: str = "PARQUET",
+        dv_coords: tuple[tuple[str, int, int], ...] = (),
     ):
         self.path = path
         self.delete_paths = delete_paths
+        # V3 deletion vectors for THIS file: (puffin path, content
+        # offset, content size) — decoded executor-side to a row-index
+        # mask, same as the parquet positional deletes
+        self.dv_coords = dv_coords
         self.file_format = file_format
         # field-ID projection: (target name, name in THIS file | None if
         # the column didn't exist when the file was written)
@@ -279,11 +284,20 @@ class _BatchReader(DataSourceReader):
             parts.append(
                 _FilePartition(
                     task.file.file_path,
-                    tuple(d.file_path for d in task.delete_files),
+                    tuple(
+                        d.file_path
+                        for d in task.delete_files
+                        if not d.is_deletion_vector
+                    ),
                     cmap,
                     arrow_schema if cmap is not None else None,
                     eq,
                     file_format=fmt,
+                    dv_coords=tuple(
+                        (d.file_path, d.content_offset, d.content_size_in_bytes or 0)
+                        for d in task.delete_files
+                        if d.is_deletion_vector
+                    ),
                 )
             )
         return parts or [_FilePartition("")]
@@ -318,13 +332,24 @@ class _BatchReader(DataSourceReader):
         else:
             batches = pq.ParquetFile(strip_file_scheme(partition.path)).iter_batches()
 
-        if partition.delete_paths:
+        if partition.delete_paths or partition.dv_coords:
             # urlparse-based strip_scheme normalizes BOTH 'file:///x'
             # and the single-slash 'file:/x' form some writers emit —
             # the old exact 'file://' strip silently skipped deletes on
             # mixed URI forms (r6 review)
             my_path = strip_scheme(strip_file_scheme(partition.path))
             dead: set[int] = set()
+            for puffin_path, dv_off, dv_len in partition.dv_coords:
+                # V3 deletion vector: the bitmap is already scoped to
+                # this file at plan time (referenced_data_file match) —
+                # decode and mask, no path comparison needed
+                from .io import load_io
+                from .puffin import read_dv
+
+                dv_data = load_io(puffin_path, {}).read(puffin_path)
+                dead.update(
+                    int(p) for p in read_dv(dv_data, dv_off, dv_len)
+                )
             for dpath in partition.delete_paths:
                 # push a file_path filter into the parquet read: delete
                 # files are sorted by (file_path, pos) per the spec, so

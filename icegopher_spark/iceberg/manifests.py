@@ -39,6 +39,7 @@ class DataFileContent(IntEnum):
 FORMAT_AVRO = "AVRO"
 FORMAT_ORC = "ORC"
 FORMAT_PARQUET = "PARQUET"
+FORMAT_PUFFIN = "PUFFIN"  # deletion-vector carrier (Iceberg V3)
 
 
 # -- data structures --------------------------------------------------------
@@ -105,6 +106,17 @@ class DataFile:
     split_offsets: list[int] | None = None
     equality_ids: list[int] | None = None
     sort_order_id: int | None = None
+    # Iceberg V3 deletion-vector coordinates (fields 143-145): a DV is a
+    # POSITION_DELETES entry whose file is a Puffin file; it applies to
+    # exactly ONE data file and the blob is sliced by (offset, size)
+    # without parsing the Puffin footer. None on non-DV entries.
+    referenced_data_file: str | None = None
+    content_offset: int | None = None
+    content_size_in_bytes: int | None = None
+
+    @property
+    def is_deletion_vector(self) -> bool:
+        return self.content_offset is not None
 
 
 @dataclass
@@ -219,6 +231,11 @@ def data_file_schema(partition_avro_fields: list[dict]) -> dict:
             _f("split_offsets", _opt({"type": "array", "items": "long"}), 132),
             _f("equality_ids", _opt({"type": "array", "items": "int"}), 135),
             _f("sort_order_id", _opt("int"), 140),
+            # V3 deletion-vector fields; null on every non-DV entry, so
+            # V2 readers of our manifests see the same leading layout
+            _f("referenced_data_file", _opt("string"), 143),
+            _f("content_offset", _opt("long"), 144),
+            _f("content_size_in_bytes", _opt("long"), 145),
         ],
     }
 
@@ -427,6 +444,9 @@ def read_manifest_entries(
                     split_offsets=df.get("split_offsets"),
                     equality_ids=df.get("equality_ids"),
                     sort_order_id=df.get("sort_order_id"),
+                    referenced_data_file=df.get("referenced_data_file"),
+                    content_offset=df.get("content_offset"),
+                    content_size_in_bytes=df.get("content_size_in_bytes"),
                 ),
             )
         )
@@ -516,6 +536,9 @@ def write_manifest(
                     "split_offsets": df.split_offsets,
                     "equality_ids": df.equality_ids,
                     "sort_order_id": df.sort_order_id,
+                    "referenced_data_file": df.referenced_data_file,
+                    "content_offset": df.content_offset,
+                    "content_size_in_bytes": df.content_size_in_bytes,
                 },
             }
         )

@@ -690,14 +690,46 @@ class TableScan:
             df = df.unionByName(p)
 
         if has_deletes:
+            # split positional deletes into V2 parquet files of
+            # (file_path, pos) rows and V3 deletion vectors (roaring
+            # bitmaps in Puffin files, one per referenced data file) —
+            # both decode to the same (_del_path, _del_pos) shape and
+            # share one anti-join
             by_path = {
                 strip_file_scheme(d.file_path): d.file_size_in_bytes
                 for t in tasks
                 for d in t.delete_files
+                if not d.is_deletion_vector
             }
+            dv_entries = {
+                (d.file_path, d.content_offset): d
+                for t in tasks
+                for d in t.delete_files
+                if d.is_deletion_vector
+            }
+            parts_del: list[DataFrame] = []
             delete_paths = sorted(by_path)
-            deletes = spark.read.parquet(*delete_paths).select(
-                F.col("file_path").alias("_del_path"), F.col("pos").alias("_del_pos")
+            if delete_paths:
+                parts_del.append(
+                    spark.read.parquet(*delete_paths).select(
+                        F.col("file_path").alias("_del_path"),
+                        F.col("pos").alias("_del_pos"),
+                    )
+                )
+            if dv_entries:
+                parts_del.append(
+                    _dv_positions_df(
+                        spark, list(dv_entries.values()), self.table.properties
+                    )
+                )
+            deletes = parts_del[0]
+            for p in parts_del[1:]:
+                deletes = deletes.unionByName(p)
+            by_path.update(
+                {
+                    strip_file_scheme(d.file_path): d.content_size_in_bytes or 0
+                    for d in dv_entries.values()
+                }
             )
             # Exact row positions came from the parquet reader's hidden
             # _metadata column (split-safe, unlike row_number over
@@ -815,15 +847,22 @@ def _match_deletes(
 ) -> list[Any]:
     """Positional deletes apply when their sequence number is ≥ the data
     file's (reference matchDeletesToDataFile, scanner.go:162-193: binary
-    search for seq >= n, then path-bounds check)."""
+    search for seq >= n, then path-bounds check). A V3 deletion vector
+    carries its target in ``referenced_data_file`` and applies to
+    exactly that file — matched by path equality, no bounds heuristics."""
     if not sorted_deletes:
         return []
     n = entry.sequence_number or 0
     idx = bisect.bisect_left(seqs, n)
     out = []
     path_fid = 2147483546
+    target_path = strip_file_scheme(entry.data_file.file_path)
     for e in sorted_deletes[idx:]:
         df = e.data_file
+        if df.is_deletion_vector:
+            if strip_file_scheme(df.referenced_data_file or "") == target_path:
+                out.append(df)
+            continue
         lo = (df.lower_bounds or {}).get(path_fid)
         hi = (df.upper_bounds or {}).get(path_fid)
         target = entry.data_file.file_path.encode()
@@ -833,6 +872,54 @@ def _match_deletes(
             continue
         out.append(df)
     return out
+
+
+def _dv_positions_df(
+    spark: SparkSession, dv_entries: list, properties: dict | None
+) -> DataFrame:
+    """Decode deletion vectors into a (_del_path, _del_pos) DataFrame,
+    executor-side: the driver ships only (puffin path, offset, length,
+    referenced path) coordinate rows — one per DV, metadata-scale — and
+    each task reads its Puffin blobs and explodes the bitmap. The
+    decoded positions never pass through the driver, so a table with
+    billions of deleted rows costs the same driver memory as one with
+    ten."""
+    import pandas as pd
+
+    from .io import load_io
+    from .puffin import read_dv
+
+    props = dict(properties or {})
+    meta = [
+        (
+            d.file_path,
+            int(d.content_offset),
+            int(d.content_size_in_bytes or 0),
+            strip_file_scheme(d.referenced_data_file or ""),
+        )
+        for d in dv_entries
+    ]
+    src = spark.createDataFrame(
+        meta, "puffin_path string, off bigint, len bigint, ref string"
+    )
+
+    def _decode(batches):
+        for pdf in batches:
+            for row in pdf.itertuples(index=False):
+                data = load_io(row.puffin_path, props).read(row.puffin_path)
+                pos = read_dv(data, row.off, row.len)
+                import numpy as np
+
+                yield pd.DataFrame(
+                    {
+                        "_del_path": np.full(len(pos), row.ref, dtype=object),
+                        "_del_pos": pos.astype("int64"),
+                    }
+                )
+
+    return src.repartition(min(len(meta), 32)).mapInPandas(
+        _decode, "_del_path string, _del_pos bigint"
+    )
 
 
 def strip_file_scheme(path: str) -> str:

@@ -1030,9 +1030,17 @@ def delete_where_mor(table: Table, spark: SparkSession, row_filter) -> Table:
     groups: dict[tuple, dict] = {}
     for t in scan.plan_files():
         key = (t.file.file_format, frozenset(d.file_path for d in t.eq_delete_files))
-        g = groups.setdefault(key, {"paths": set(), "eq": t.eq_delete_files, "pd": set()})
+        g = groups.setdefault(
+            key, {"paths": set(), "eq": t.eq_delete_files, "pd": set(), "dv": {}}
+        )
         g["paths"].add(strip_file_scheme(t.file.file_path))
-        g["pd"].update(strip_file_scheme(d.file_path) for d in t.delete_files)
+        for d in t.delete_files:
+            # V3 deletion vectors are Puffin files — they decode through
+            # the bitmap reader, never spark.read.parquet
+            if d.is_deletion_vector:
+                g["dv"][(d.file_path, d.content_offset)] = d
+            else:
+                g["pd"].add(strip_file_scheme(d.file_path))
     if not groups:
         return table
 
@@ -1066,11 +1074,31 @@ def delete_where_mor(table: Table, spark: SparkSession, row_filter) -> Table:
             )
         part = src.filter(to_spark_column(row_filter))
         part = apply_eq_delete_anti_joins(part, g["eq"], table.schema, spark)
+        priors = []
         if g["pd"]:
-            prior = spark.read.parquet(*sorted(g["pd"])).select(
-                F.regexp_replace(F.col("file_path"), "^file:/*", "/").alias("file_path"),
-                "pos",
+            priors.append(
+                spark.read.parquet(*sorted(g["pd"])).select(
+                    F.regexp_replace(F.col("file_path"), "^file:/*", "/").alias(
+                        "file_path"
+                    ),
+                    "pos",
+                )
             )
+        if g["dv"]:
+            from .table import _dv_positions_df
+
+            priors.append(
+                _dv_positions_df(
+                    spark, list(g["dv"].values()), table.properties
+                ).select(
+                    F.col("_del_path").alias("file_path"),
+                    F.col("_del_pos").alias("pos"),
+                )
+            )
+        if priors:
+            prior = priors[0]
+            for p in priors[1:]:
+                prior = prior.unionByName(p)
             part = part.join(prior, ["file_path", "pos"], "left_anti")
         parts.append(part.select("file_path", "pos"))
     matches = parts[0]
@@ -1132,6 +1160,262 @@ def delete_where_mor(table: Table, spark: SparkSession, row_filter) -> Table:
         OP_DELETE,
         keep_manifests=keep,
         delete_files=delete_files,
+    )
+
+
+def delete_where_dv(
+    table: Table, spark: SparkSession, row_filter, n_shards: int = 32
+) -> Table:
+    """Merge-on-read delete via Iceberg V3 deletion vectors.
+
+    V2 positional deletes (``delete_where_mor``) scatter one data
+    file's delete state across every delete commit and re-join full
+    path strings at read time. A deletion vector is ONE roaring bitmap
+    per data file carried in a Puffin file (puffin.py): the new DV for
+    an affected file is the union of its newly-matching rows and ALL
+    its prior deletes (prior DV + prior positional-delete rows — the
+    V3 invariant: a replacement DV must be a superset), so repeated
+    deletes COMPACT per file instead of accumulating join inputs.
+    Superseded DV entries are dropped from the kept delete manifests;
+    prior positional-delete FILES stay (they may cover untouched
+    files) and re-apply idempotently.
+
+    Scale shape: matching rows shuffle once as narrow (path, pos)
+    pairs, bitmaps are built and Puffin files written EXECUTOR-side
+    (``applyInPandas`` over ``n_shards`` shards of data files, one
+    Puffin file per non-empty shard), and the driver handles one
+    metadata row per affected data file. The reference predates V3 and
+    has no DV support — this is beyond-reference surface from the
+    public spec."""
+    from .expressions import to_spark_column
+    from .manifests import (
+        FORMAT_PUFFIN,
+        fetch_entries,
+        read_manifest_list,
+    )
+    from .table import _dv_positions_df, apply_eq_delete_anti_joins, strip_file_scheme
+
+    snap = table.current_snapshot()
+    if snap is None:
+        return table
+
+    scan = table.scan(row_filter=row_filter)
+    groups: dict[tuple, dict] = {}
+    for t in scan.plan_files():
+        key = (t.file.file_format, frozenset(d.file_path for d in t.eq_delete_files))
+        g = groups.setdefault(
+            key, {"paths": set(), "eq": t.eq_delete_files, "pd": set(), "dv": {}}
+        )
+        g["paths"].add(strip_file_scheme(t.file.file_path))
+        for d in t.delete_files:
+            if d.is_deletion_vector:
+                g["dv"][(d.file_path, d.content_offset)] = d
+            else:
+                g["pd"].add(strip_file_scheme(d.file_path))
+    if not groups:
+        return table
+
+    def _prior_deletes(g) -> list[DataFrame]:
+        out = []
+        if g["pd"]:
+            out.append(
+                spark.read.parquet(*sorted(g["pd"])).select(
+                    F.regexp_replace(F.col("file_path"), "^file:/*", "/").alias(
+                        "file_path"
+                    ),
+                    "pos",
+                )
+            )
+        if g["dv"]:
+            out.append(
+                _dv_positions_df(
+                    spark, list(g["dv"].values()), table.properties
+                ).select(
+                    F.col("_del_path").alias("file_path"),
+                    F.col("_del_pos").alias("pos"),
+                )
+            )
+        return out
+
+    # 1) newly-matching rows per raw file, minus rows already deleted
+    # (eq deletes + prior pos deletes + prior DVs) — counting a row
+    # deleted twice would double-decrement incremental MVs downstream
+    new_parts: list[DataFrame] = []
+    prior_parts: list[DataFrame] = []
+    for (fmt, _eqk), g in groups.items():
+        paths = sorted(g["paths"])
+        if fmt == "PARQUET":
+            src = spark.read.schema(table.schema.to_spark()).parquet(*paths)
+            src = src.select(
+                F.regexp_replace(F.col("_metadata.file_path"), "^file:/*", "/").alias(
+                    "file_path"
+                ),
+                F.col("_metadata.row_index").alias("pos"),
+                "*",
+            )
+        else:
+            from .pyreaders import read_avro_files, read_orc_with_pos
+
+            src = (
+                read_orc_with_pos(spark, paths, table.schema.to_spark())
+                if fmt == "ORC"
+                else read_avro_files(spark, paths, table.schema.to_spark(), with_pos=True)
+            )
+            src = src.select(
+                F.regexp_replace(F.col("_file"), "^file:/*", "/").alias("file_path"),
+                F.col("_pos").alias("pos"),
+                *[c for c in src.columns if c not in ("_file", "_pos")],
+            )
+        part = src.filter(to_spark_column(row_filter))
+        part = apply_eq_delete_anti_joins(part, g["eq"], table.schema, spark)
+        priors = _prior_deletes(g)
+        if priors:
+            prior = priors[0]
+            for p in priors[1:]:
+                prior = prior.unionByName(p)
+            prior_parts.append(prior)
+            part = part.join(prior, ["file_path", "pos"], "left_anti")
+        new_parts.append(part.select("file_path", "pos"))
+    new_matches = new_parts[0]
+    for p in new_parts[1:]:
+        new_matches = new_matches.unionByName(p)
+    # (path, pos) pairs only — narrow enough to persist, and reused
+    # twice (bitmap union + affected-file list)
+    new_matches = new_matches.persist()
+    try:
+        if new_matches.limit(1).count() == 0:
+            return table
+
+        # 2) union with ALL prior deletes, restricted to files that
+        # actually have new matches: files scanned-but-unmatched keep
+        # their existing delete state untouched (no churn)
+        affected_files = new_matches.select("file_path").distinct()
+        union_df = new_matches
+        for prior in prior_parts:
+            union_df = union_df.unionByName(
+                prior.join(F.broadcast(affected_files), "file_path", "left_semi")
+            )
+
+        # 3) bitmaps + Puffin files, executor-side
+        import pandas as pd
+
+        loc = table.location
+        props = dict(table.properties or {})
+
+        def _build(pdf: pd.DataFrame) -> pd.DataFrame:
+            import uuid as _u
+
+            from .io import load_io
+            from .puffin import DV_BLOB_TYPE, dv_blob, write_puffin
+
+            blobs, rows = [], []
+            for fp, grp in pdf.groupby("file_path", sort=True):
+                blob, card = dv_blob(
+                    grp["pos"].to_numpy(dtype="int64").astype("uint64")
+                )
+                blobs.append(
+                    (
+                        blob,
+                        {
+                            "type": DV_BLOB_TYPE,
+                            "properties": {
+                                "referenced-data-file": fp,
+                                "cardinality": str(card),
+                            },
+                        },
+                    )
+                )
+                rows.append([fp, card])
+            if not blobs:
+                return pd.DataFrame(
+                    columns=[
+                        "file_path", "puffin_path", "off", "len",
+                        "cardinality", "puffin_size",
+                    ]
+                )
+            data, metas = write_puffin(blobs)
+            puffin_path = f"{loc}/data/dv-{_u.uuid4().hex}.puffin"
+            load_io(puffin_path, props).write(puffin_path, data)
+            return pd.DataFrame(
+                [
+                    [r[0], puffin_path, m["offset"], m["length"], r[1], len(data)]
+                    for r, m in zip(rows, metas)
+                ],
+                columns=[
+                    "file_path", "puffin_path", "off", "len",
+                    "cardinality", "puffin_size",
+                ],
+            )
+
+        dv_rows = (
+            union_df.withColumn(
+                "_shard", F.pmod(F.xxhash64("file_path"), F.lit(n_shards))
+            )
+            .groupBy("_shard")
+            .applyInPandas(
+                lambda pdf: _build(pdf.drop(columns=["_shard"])),
+                "file_path string, puffin_path string, off bigint, len bigint, "
+                "cardinality bigint, puffin_size bigint",
+            )
+            .collect()  # one row per AFFECTED DATA FILE — metadata-scale
+        )
+    finally:
+        new_matches.unpersist()
+
+    if not dv_rows:
+        return table
+
+    dv_files = [
+        DataFile(
+            file_path=r.puffin_path,
+            file_format=FORMAT_PUFFIN,
+            content=DataFileContent.POSITION_DELETES,
+            record_count=r.cardinality,
+            file_size_in_bytes=r.puffin_size,
+            partition={},
+            referenced_data_file=r.file_path,
+            content_offset=r.off,
+            content_size_in_bytes=r["len"],
+            lower_bounds={2147483546: r.file_path.encode()},
+            upper_bounds={2147483546: r.file_path.encode()},
+        )
+        for r in dv_rows
+    ]
+    covered = {r.file_path for r in dv_rows}
+
+    # 4) carry manifests forward, dropping DV entries superseded by the
+    # replacement DVs (at most one live DV per data file — V3 invariant)
+    kept: list[ManifestFile] = []
+    for m in read_manifest_list(table.io.read(snap.manifest_list)):
+        if m.content != ManifestContent.DELETES:
+            kept.append(m)
+            continue
+        entries = fetch_entries(m, table.io.read(m.manifest_path), discard_deleted=True)
+        survivors = [
+            e
+            for e in entries
+            if not (
+                e.data_file.is_deletion_vector
+                and strip_file_scheme(e.data_file.referenced_data_file or "")
+                in covered
+            )
+        ]
+        if len(survivors) == len(entries):
+            kept.append(m)
+        elif survivors:
+            kept.append(
+                _rewrite_manifest_for_spec(
+                    table, m, survivors, content=ManifestContent.DELETES
+                )
+            )
+        # else: every entry superseded — drop the manifest
+
+    return _commit_snapshot(
+        table,
+        [],
+        OP_DELETE,
+        keep_manifests=kept,
+        delete_files=dv_files,
     )
 
 
@@ -1201,11 +1485,16 @@ def delete_keys(
 
 
 def _rewrite_manifest_for_spec(
-    table: Table, m: "ManifestFile", survivors: list[ManifestEntry]
+    table: Table,
+    m: "ManifestFile",
+    survivors: list[ManifestEntry],
+    content: ManifestContent = ManifestContent.DATA,
 ) -> "ManifestFile":
     """Rewrite a manifest's surviving entries under the manifest's OWN
     partition spec (EXISTING status, sequence numbers preserved) — used
-    when a CoW rewrite removes files from an older-spec manifest."""
+    when a CoW rewrite removes files from an older-spec manifest, and
+    (content=DELETES) when a new deletion vector supersedes a file's
+    old DV entry."""
     import json as _json
 
     md = table.metadata
@@ -1228,7 +1517,7 @@ def _rewrite_manifest_for_spec(
         pfields,
         table.schema.to_json(),
         _json.dumps(spec.to_json_dict().get("fields", [])),
-        ManifestContent.DATA,
+        content,
         spec_id=spec.spec_id,
         schema_id=table.schema.schema_id,
     )
@@ -1239,7 +1528,7 @@ def _rewrite_manifest_for_spec(
         manifest_path=path,
         manifest_length=len(data),
         partition_spec_id=spec.spec_id,
-        content=ManifestContent.DATA,
+        content=content,
         sequence_number=m.sequence_number,
         min_sequence_number=min(seqs, default=m.min_sequence_number),
         added_snapshot_id=m.added_snapshot_id,

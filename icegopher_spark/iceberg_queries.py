@@ -243,6 +243,52 @@ def _mor_table_for(spark: SparkSession, sf_dir: str) -> Table:
     )
 
 
+ice_dv_oracle = """
+SELECT l_returnflag, COUNT(*) AS n_rows,
+       CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_qty
+FROM lineitem WHERE l_returnflag <> 'R' AND l_quantity >= 5
+GROUP BY l_returnflag
+"""
+
+
+@register(
+    "iceberg_dv_delete",
+    ice_dv_oracle,
+    "V3 deletion vectors: two MOR deletes -> one roaring-bitmap DV per "
+    "file (replacement union), applied as a per-file position mask",
+)
+def iceberg_dv(spark: SparkSession, sf: str) -> DataFrame:
+    t = _dv_table_for(spark, sf)
+    return (
+        t.scan()
+        .to_df(spark)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum(F.col("l_quantity").cast("decimal(12,2)")), 2)
+            .cast("double")
+            .alias("sum_qty"),
+        )
+    )
+
+
+def _dv_table_for(spark: SparkSession, sf_dir: str) -> Table:
+    """lineitem table with TWO deletion-vector deletes (flag='R', then
+    l_quantity<5): the second supersedes the first file-by-file, so the
+    read path exercises replacement DVs, not just fresh ones. Three
+    commit steps -> snapshot count == 3 pins the complete build."""
+
+    def build(loc: str) -> Table:
+        t = W.create_table(loc, _SCHEMA, _SPEC)
+        t = W.append(t, _li4(spark, sf_dir))
+        t = W.delete_where_dv(t, spark, E.equal_to("l_returnflag", "R"))
+        return W.delete_where_dv(t, spark, E.less_than("l_quantity", 5.0))
+
+    return _cached_table(
+        sf_dir, "lineitem_dv", lambda t: len(t.metadata.snapshots) == 3, build
+    )
+
+
 ice_evo_oracle = """
 SELECT l_returnflag,
        CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_qty,

@@ -61,7 +61,7 @@ def test_random_op_sequences_match_model(spark, tmp_path, seed):
 
     for step in range(8):
         op = rng.choice(
-            ["append", "cow_delete", "mor_delete", "eq_delete", "merge", "compact", "rewrite"]
+            ["append", "cow_delete", "mor_delete", "dv_delete", "eq_delete", "merge", "compact", "rewrite"]
         )
         if op == "append":
             rows = fresh_rows(rng.randint(1, 10))
@@ -75,6 +75,15 @@ def test_random_op_sequences_match_model(spark, tmp_path, seed):
             cut = rng.randint(0, next_k[0])
             t = W.delete_where_mor(t, spark, E.less_than("k", cut))
             model = Counter({r: c for r, c in model.items() if r[0] >= cut})
+        elif op == "dv_delete":
+            # V3 deletion vectors composed with every other op kind —
+            # including on top of / under V2 positional deletes
+            lo = rng.randint(0, max(next_k[0] - 1, 0))
+            hi = lo + rng.randint(1, 8)
+            t = W.delete_where_dv(
+                t, spark, E.greater_than_or_equal("k", lo) & E.less_than("k", hi)
+            )
+            model = Counter({r: c for r, c in model.items() if not (lo <= r[0] < hi)})
         elif op == "eq_delete":
             ks = [r[0] for r in model][: rng.randint(1, 5)]
             if not ks:
