@@ -238,3 +238,38 @@ class UpdateSpec:
 
 def update_spec(table: Table) -> UpdateSpec:
     return UpdateSpec(table)
+
+
+def upgrade_format_version(table: Table, new_version: int) -> Table:
+    """Upgrade the table's format version as a metadata-only commit
+    (Iceberg spec `upgrade-format-version` update action; downgrades
+    are illegal).
+
+    v2 -> v3 enables row lineage: ``next-row-id`` starts at 0 and the
+    FIRST post-upgrade data commit assigns ``first-row-id`` ranges to
+    every carried-over manifest (write.py ``_commit_snapshot``) — until
+    then, scans ``with_lineage=True`` return null ``_row_id`` for
+    pre-upgrade files rather than inventing unstable ids.
+    """
+    md = table.metadata
+    if new_version < md.format_version:
+        raise ValueError(
+            f"cannot downgrade format version {md.format_version} -> {new_version}"
+        )
+    if new_version == md.format_version:
+        return table
+    if new_version not in (2, 3):
+        raise ValueError(f"unsupported target format version: {new_version}")
+    raw = md.to_json_dict()
+    raw["format-version"] = new_version
+    if new_version >= 3 and "next-row-id" not in raw:
+        raw["next-row-id"] = 0
+    raw["last-updated-ms"] = int(time.time() * 1000)
+    new_md = parse_metadata(raw)
+    from .write import commit_metadata_update
+
+    return commit_metadata_update(
+        table,
+        new_md,
+        [{"action": "upgrade-format-version", "format-version": new_version}],
+    )

@@ -168,7 +168,22 @@ def compact_data_files(
     schema = table.schema
     fmt_out = table.properties.get("write.format.default", "parquet").lower()
     ext = f".{fmt_out}" if fmt_out != "parquet" else ".parquet"
-    scan = table.scan()
+    # V3 row lineage: compaction moves rows between files, so the
+    # rewritten files materialize _row_id / _last_updated_sequence_number
+    # as physical parquet columns (spec: rewrites preserve lineage) and
+    # their presence is recorded in value_counts under the reserved
+    # field ids for metadata-only detection at scan time. Non-parquet
+    # output can't carry the extra columns through this path — those
+    # rewrites would reassign ids, so refuse loudly rather than silently
+    # break lineage.
+    preserve_lineage = table.metadata.format_version >= 3
+    if preserve_lineage and fmt_out != "parquet":
+        raise ValueError(
+            "lineage-preserving compaction requires parquet output; "
+            f"write.format.default={fmt_out!r} on a v3 table would "
+            "reassign row ids"
+        )
+    scan = table.scan(with_lineage=preserve_lineage)
     fallback_unsafe = _schema_fallback_renames(md)
     for (pkey, schema_id, _fmt, eq_key), group in groups.items():
         if len(group) < 2:
@@ -203,6 +218,7 @@ def compact_data_files(
                 length=e.data_file.file_size_in_bytes,
                 schema_id=schema_id,
                 eq_delete_files=eq_files,
+                sequence_number=e.sequence_number or 0,
             )
             for e in group
         ]

@@ -41,6 +41,15 @@ FORMAT_ORC = "ORC"
 FORMAT_PARQUET = "PARQUET"
 FORMAT_PUFFIN = "PUFFIN"  # deletion-vector carrier (Iceberg V3)
 
+# Reserved column names/field ids for V3 row lineage (Iceberg spec v3):
+# _row_id = data file first_row_id + row position unless the file
+# materializes the column explicitly (lineage-preserving rewrites);
+# _last_updated_sequence_number defaults to the file's data sequence.
+ROW_ID_COL = "_row_id"
+LAST_UPDATED_SEQ_COL = "_last_updated_sequence_number"
+ROW_ID_FIELD_ID = 2147483540
+LAST_UPDATED_SEQ_FIELD_ID = 2147483539
+
 
 # -- data structures --------------------------------------------------------
 
@@ -75,6 +84,11 @@ class ManifestFile:
     deleted_rows_count: int = 0
     partitions: list[FieldSummary] = dfield(default_factory=list)
     key_metadata: bytes | None = None
+    # V3 row lineage (spec manifest_file field 520): the first _row_id
+    # available to data files in this manifest. Assigned when the
+    # manifest list is written; None on delete manifests, on v1/v2
+    # tables, and on manifests not yet assigned (pre-upgrade).
+    first_row_id: int | None = None
 
     def has_added_files(self) -> bool:
         return self.added_files_count > 0
@@ -113,6 +127,12 @@ class DataFile:
     referenced_data_file: str | None = None
     content_offset: int | None = None
     content_size_in_bytes: int | None = None
+    # V3 row lineage (spec data_file field 142): first _row_id of this
+    # file's rows; rows get first_row_id + position. Null in freshly
+    # written manifests — inherited from the manifest's first_row_id at
+    # read time (``fetch_entries``) and materialized when entries are
+    # copied into new manifests, so assigned ids are stable forever.
+    first_row_id: int | None = None
 
     @property
     def is_deletion_vector(self) -> bool:
@@ -199,6 +219,8 @@ MANIFEST_LIST_SCHEMA_V2 = {
         _f("deleted_rows_count", "long", 514),
         _f("partitions", _opt({"type": "array", "items": FIELD_SUMMARY_SCHEMA}), 507),
         _f("key_metadata", _opt("bytes"), 519),
+        # V3 row lineage (spec manifest_file field 520)
+        _f("first_row_id", _opt("long"), 520),
     ],
 }
 
@@ -236,6 +258,8 @@ def data_file_schema(partition_avro_fields: list[dict]) -> dict:
             _f("referenced_data_file", _opt("string"), 143),
             _f("content_offset", _opt("long"), 144),
             _f("content_size_in_bytes", _opt("long"), 145),
+            # V3 row lineage; null unless materialized from inheritance
+            _f("first_row_id", _opt("long"), 142),
         ],
     }
 
@@ -351,6 +375,7 @@ def read_manifest_list(data: bytes) -> list[ManifestFile]:
                     for p in (r.get("partitions") or [])
                 ],
                 key_metadata=r.get("key_metadata"),
+                first_row_id=r.get("first_row_id"),
             )
         )
     return out
@@ -390,6 +415,7 @@ def write_manifest_list(
                 ]
                 or None,
                 "key_metadata": m.key_metadata,
+                "first_row_id": m.first_row_id,
             }
         )
     # v2 spec requires snapshot-id, parent-snapshot-id, sequence-number
@@ -447,6 +473,7 @@ def read_manifest_entries(
                     referenced_data_file=df.get("referenced_data_file"),
                     content_offset=df.get("content_offset"),
                     content_size_in_bytes=df.get("content_size_in_bytes"),
+                    first_row_id=df.get("first_row_id"),
                 ),
             )
         )
@@ -481,6 +508,25 @@ def fetch_entries(
                 "sequence number and cannot inherit one "
                 f"(status={e.status}, manifest seq={manifest.sequence_number})"
             )
+    # V3 row-lineage inheritance (spec: first-row-id assignment): a data
+    # file with null first_row_id takes the manifest's first_row_id plus
+    # the record counts of preceding null-id data files; explicit ids
+    # (materialized when an entry was copied into a newer manifest) are
+    # kept and do NOT consume from this manifest's range. DELETED
+    # entries neither receive nor consume ids — read_manifest_entries
+    # may have dropped them (discard_deleted), so letting them consume
+    # would make the assignment depend on the read mode.
+    if manifest.first_row_id is not None and manifest.content == ManifestContent.DATA:
+        running = manifest.first_row_id
+        for e in entries:
+            df = e.data_file
+            if (
+                df.content == DataFileContent.DATA
+                and df.first_row_id is None
+                and e.status != ManifestEntryStatus.DELETED
+            ):
+                df.first_row_id = running
+                running += df.record_count
     return entries
 
 
@@ -539,6 +585,7 @@ def write_manifest(
                     "referenced_data_file": df.referenced_data_file,
                     "content_offset": df.content_offset,
                     "content_size_in_bytes": df.content_size_in_bytes,
+                    "first_row_id": df.first_row_id,
                 },
             }
         )

@@ -72,6 +72,10 @@ class Snapshot:
     summary: dict[str, str] = dfield(default_factory=dict)
     parent_snapshot_id: int | None = None
     schema_id: int | None = None
+    # V3 row lineage: the first _row_id assigned by this snapshot
+    # (Iceberg spec v3 snapshot field `first-row-id`); None on v1/v2
+    # tables and on snapshots committed before the upgrade.
+    first_row_id: int | None = None
 
     @property
     def operation(self) -> str | None:
@@ -87,6 +91,7 @@ class Snapshot:
             summary=obj.get("summary", {}),
             parent_snapshot_id=obj.get("parent-snapshot-id"),
             schema_id=obj.get("schema-id"),
+            first_row_id=obj.get("first-row-id"),
         )
 
     def to_json_dict(self) -> dict:
@@ -101,6 +106,8 @@ class Snapshot:
             out["parent-snapshot-id"] = self.parent_snapshot_id
         if self.schema_id is not None:
             out["schema-id"] = self.schema_id
+        if self.first_row_id is not None:
+            out["first-row-id"] = self.first_row_id
         return out
 
 
@@ -166,7 +173,7 @@ class TableMetadata:
     def __init__(self, raw: dict):
         self.raw = dict(raw)
         self.format_version: int = raw.get("format-version", 0)
-        if self.format_version not in (1, 2):
+        if self.format_version not in (1, 2, 3):
             raise ValueError(f"unsupported format version: {self.format_version}")
         self.table_uuid: str = raw.get("table-uuid", "")
         self.location: str = raw.get("location", "")
@@ -221,6 +228,12 @@ class TableMetadata:
         self.snapshot_log: list[dict] = raw.get("snapshot-log", [])
         self.metadata_log: list[dict] = raw.get("metadata-log", [])
         self.last_sequence_number: int = raw.get("last-sequence-number", 0)
+        # V3 row lineage: the next _row_id available for assignment
+        # (spec v3 `next-row-id`). A v3 table that omits it starts at 0;
+        # None on v1/v2 so lineage code can gate on format version.
+        self.next_row_id: int | None = (
+            int(raw.get("next-row-id", 0)) if self.format_version >= 3 else None
+        )
 
         # refs with main-branch backfill (reference metadata.go:284-311)
         self.refs: dict[str, SnapshotRef] = {
@@ -321,6 +334,8 @@ class TableMetadata:
         }
         if self.format_version >= 2:
             out["last-sequence-number"] = self.last_sequence_number
+        if self.format_version >= 3:
+            out["next-row-id"] = self.next_row_id or 0
         else:
             # v1 REQUIRES the flat 'schema' / 'partition-spec' fields;
             # a round-trip that emits only the v2-style lists produces

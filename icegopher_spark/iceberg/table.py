@@ -47,6 +47,15 @@ from .metadata import Snapshot, TableMetadata, parse_metadata
 from .schema import Schema
 from .types import LongType, NestedField, StringType
 
+# Reserved column names/field ids for V3 row lineage (defined in
+# manifests.py; re-exported here for scan-side consumers)
+from .manifests import (  # noqa: E402
+    LAST_UPDATED_SEQ_COL,
+    LAST_UPDATED_SEQ_FIELD_ID,
+    ROW_ID_COL,
+    ROW_ID_FIELD_ID,
+)
+
 # Reserved field ids for position delete files (Iceberg spec;
 # reference manifest.go:548-551).
 POSITIONAL_DELETE_SCHEMA = Schema(
@@ -75,6 +84,9 @@ class FileScanTask:
     # must also compare specs — dict-equal partitions under different
     # specs are different partitions (r6 review)
     spec_id: int = 0
+    # data sequence number of the entry (inherited view): rows'
+    # _last_updated_sequence_number defaults to this under V3 lineage
+    sequence_number: int = 0
 
     @property
     def size_bytes(self) -> int:
@@ -184,6 +196,7 @@ class TableScan:
         case_sensitive: bool = True,
         limit: int | None = None,
         options: dict | None = None,
+        with_lineage: bool = False,
     ) -> None:
         self.table = table
         self.row_filter = row_filter or AlwaysTrue()
@@ -193,6 +206,14 @@ class TableScan:
         self.case_sensitive = case_sensitive
         self.limit = limit
         self.options = options or {}
+        # V3 row lineage: append _row_id / _last_updated_sequence_number
+        # metadata columns to the scan output (spec reserved columns)
+        self.with_lineage = with_lineage
+        if with_lineage and table.metadata.format_version < 3:
+            raise ValueError(
+                "row lineage requires a format-version 3 table "
+                f"(this table is v{table.metadata.format_version})"
+            )
 
     def use_ref(self, name: str) -> "TableScan":
         """(reference scanner.go:69-80)"""
@@ -209,6 +230,7 @@ class TableScan:
             case_sensitive=self.case_sensitive,
             limit=self.limit,
             options=self.options,
+            with_lineage=self.with_lineage,
         )
 
     def snapshot(self) -> Snapshot | None:
@@ -351,6 +373,7 @@ class TableScan:
                         schema_id=esnap.schema_id if esnap else None,
                         eq_delete_files=eq_deletes,
                         spec_id=m.partition_spec_id,
+                        sequence_number=e.sequence_number or 0,
                     )
                 )
         return tasks
@@ -485,6 +508,7 @@ class TableScan:
                     schema_id=esnap.schema_id if esnap else None,
                     eq_delete_files=eq_deletes,
                     spec_id=data_sid,
+                    sequence_number=e.sequence_number or 0,
                 )
             )
         return tasks
@@ -597,11 +621,24 @@ class TableScan:
             tasks = self.plan_files()
         projection = self.projection()
         spark_schema = projection.to_spark()
+        lineage = self.with_lineage
+        if lineage:
+            from pyspark.sql.types import LongType, StructField, StructType
+
+            spark_schema = StructType(
+                list(spark_schema.fields)
+                + [
+                    StructField(ROW_ID_COL, LongType()),
+                    StructField(LAST_UPDATED_SEQ_COL, LongType()),
+                ]
+            )
         if not tasks:
             return spark.createDataFrame([], spark_schema)
 
         base = self.projection_base_schema()
         has_deletes = any(t.delete_files for t in tasks)
+        # lineage needs exact row positions even on delete-free files
+        need_pos = has_deletes or lineage
 
         # Group files by the schema they were written under and project
         # each group into the scan schema BY FIELD ID — renames and
@@ -612,13 +649,24 @@ class TableScan:
         # written after an equality delete must not be affected by it
         groups: dict[tuple, dict] = {}
         for t in tasks:
+            # lineage-preserving rewrites materialize the reserved
+            # columns in the parquet file; the writer records their
+            # presence as value_counts under the reserved field id, so
+            # detection is metadata-only (no footer read here)
+            has_lin_cols = bool(
+                lineage
+                and t.file.value_counts
+                and ROW_ID_FIELD_ID in t.file.value_counts
+            )
             key = (
                 t.schema_id,
                 frozenset(d.file_path for d in t.eq_delete_files),
                 t.file.file_format,
+                has_lin_cols,
             )
             g = groups.setdefault(
-                key, {"paths": [], "eq": t.eq_delete_files, "has_del": False}
+                key,
+                {"paths": [], "eq": t.eq_delete_files, "has_del": False},
             )
             g["paths"].append(strip_file_scheme(t.file.file_path))
             g["has_del"] = g["has_del"] or bool(t.delete_files)
@@ -626,7 +674,7 @@ class TableScan:
         from .types import to_spark_type
 
         parts: list[DataFrame] = []
-        for (sid, _eqkey, fmt), g in groups.items():
+        for (sid, _eqkey, fmt, has_lin_cols), g in groups.items():
             file_schema = md.schema_by_id(sid) if sid is not None else None
             file_schema = file_schema or base
             # ORC lacks Spark's `_metadata.row_index`, and Avro has no
@@ -637,7 +685,7 @@ class TableScan:
             # push every other ORC group off the native JVM reader (r6
             # review) — delete-free groups take literal-null pos columns
             # that the global anti-join can never match.
-            py_pos = g["has_del"] and fmt in ("ORC", "AVRO")
+            py_pos = (g["has_del"] or lineage) and fmt in ("ORC", "AVRO")
             if fmt == "AVRO":
                 from .pyreaders import read_avro_files
 
@@ -649,7 +697,21 @@ class TableScan:
 
                 raw = read_orc_with_pos(spark, g["paths"], file_schema.to_spark())
             else:
-                reader = spark.read.schema(file_schema.to_spark())
+                read_schema = file_schema.to_spark()
+                if has_lin_cols:
+                    # parquet files from a lineage-preserving rewrite
+                    # carry the reserved columns physically; extend the
+                    # read schema so Spark surfaces them
+                    from pyspark.sql.types import LongType, StructField, StructType
+
+                    read_schema = StructType(
+                        list(read_schema.fields)
+                        + [
+                            StructField(ROW_ID_COL, LongType()),
+                            StructField(LAST_UPDATED_SEQ_COL, LongType()),
+                        ]
+                    )
+                reader = spark.read.schema(read_schema)
                 raw = (
                     reader.format("orc").load(g["paths"])
                     if fmt == "ORC"
@@ -665,7 +727,17 @@ class TableScan:
                     cols.append(c.alias(f.name))
                 else:  # column added after this file was written
                     cols.append(F.lit(None).cast(to_spark_type(f.field_type)).alias(f.name))
-            if has_deletes:
+            if lineage:
+                # explicit (materialized) lineage values when the file
+                # carries them; nulls otherwise — the final coalesce
+                # falls back to first_row_id + position / file sequence
+                if has_lin_cols:
+                    cols.append(F.col(ROW_ID_COL).alias("__lin_rid"))
+                    cols.append(F.col(LAST_UPDATED_SEQ_COL).alias("__lin_lseq"))
+                else:
+                    cols.append(F.lit(None).cast("bigint").alias("__lin_rid"))
+                    cols.append(F.lit(None).cast("bigint").alias("__lin_lseq"))
+            if need_pos:
                 if py_pos:
                     pos_cols = [F.col("_file"), F.col("_pos")]
                 elif fmt in ("ORC", "AVRO"):
@@ -688,6 +760,39 @@ class TableScan:
         df = parts[0]
         for p in parts[1:]:
             df = df.unionByName(p)
+
+        if lineage:
+            # per-file (first_row_id, data sequence) — metadata-scale,
+            # broadcast; joined on the normalized file path the reader
+            # stamped into _file. Files never assigned an id (scans of a
+            # just-upgraded table before its first v3 commit) yield null
+            # _row_id rather than inventing unstable ids.
+            import re as _re
+
+            lin_rows = [
+                (
+                    _re.sub("^file:/*", "/", t.file.file_path),
+                    t.file.first_row_id,
+                    t.sequence_number,
+                )
+                for t in tasks
+            ]
+            lookup = spark.createDataFrame(
+                lin_rows, "__lin_path string, __lin_first bigint, __lin_fseq bigint"
+            )
+            norm_file = F.regexp_replace(F.col("_file"), "^file:/*", "/")
+            df = (
+                df.join(F.broadcast(lookup), norm_file == F.col("__lin_path"), "left")
+                .withColumn(
+                    ROW_ID_COL,
+                    F.coalesce(F.col("__lin_rid"), F.col("__lin_first") + F.col("_pos")),
+                )
+                .withColumn(
+                    LAST_UPDATED_SEQ_COL,
+                    F.coalesce(F.col("__lin_lseq"), F.col("__lin_fseq")),
+                )
+                .drop("__lin_rid", "__lin_lseq", "__lin_path", "__lin_first", "__lin_fseq")
+            )
 
         if has_deletes:
             # split positional deletes into V2 parquet files of
@@ -752,7 +857,10 @@ class TableScan:
             df = df.filter(to_spark_column(
                 ensure_bound(self.projection_base_schema(), rewrite_not(self.row_filter), self.case_sensitive)
             ))
-        df = df.select(*[F.col(name) for name in projection.column_names])
+        out_names = list(projection.column_names)
+        if lineage:
+            out_names += [ROW_ID_COL, LAST_UPDATED_SEQ_COL]
+        df = df.select(*[F.col(name) for name in out_names])
         if self.limit is not None:
             df = df.limit(self.limit)
         return df

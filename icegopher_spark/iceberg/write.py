@@ -74,14 +74,23 @@ def create_table(
     spec: PartitionSpec | None = None,
     properties: dict[str, str] | None = None,
     sort_order: "SortOrder | None" = None,
+    format_version: int = 2,
 ) -> Table:
-    """Create a new (empty) table at ``location`` with metadata/v1."""
+    """Create a new (empty) table at ``location`` with metadata/v1.
+
+    ``format_version=3`` enables V3 features that need table-level
+    state: row lineage (``next-row-id`` starts at 0; every commit
+    assigns ``first-row-id`` ranges) — deletion vectors work on either
+    version here, but a spec-strict reader expects them only under v3.
+    """
     from .metadata import SortOrder  # noqa: F401 (annotation)
 
+    if format_version not in (2, 3):
+        raise ValueError(f"create_table supports format versions 2 and 3, got {format_version}")
     location = strip_scheme(location).rstrip("/")
     spec = spec or PartitionSpec()
     md = {
-        "format-version": 2,
+        "format-version": format_version,
         "table-uuid": str(_uuid.uuid4()),
         "location": location,
         "last-updated-ms": int(time.time() * 1000),
@@ -103,6 +112,8 @@ def create_table(
         "refs": {},
         "last-sequence-number": 0,
     }
+    if format_version >= 3:
+        md["next-row-id"] = 0
     meta = parse_metadata(md)
     io = LocalFileIO()
     _commit_metadata(io, location, meta, expected_version=0)
@@ -319,6 +330,27 @@ def collect_data_file(
     f = pq.ParquetFile(strip_scheme(path))
     meta = f.metadata
     name_to_field = {field.name: field for field in schema.fields}
+    # Reserved V3 lineage columns (materialized by lineage-preserving
+    # rewrites, e.g. compaction): count them under the reserved field
+    # ids — the scan detects materialization from value_counts alone —
+    # but never record bounds for them (reserved ids don't resolve
+    # through the table schema's single-value encoding path).
+    from .manifests import (
+        LAST_UPDATED_SEQ_COL,
+        LAST_UPDATED_SEQ_FIELD_ID,
+        ROW_ID_COL,
+        ROW_ID_FIELD_ID,
+    )
+    from .types import NestedField
+
+    _reserved = {
+        ROW_ID_COL: ROW_ID_FIELD_ID,
+        LAST_UPDATED_SEQ_COL: LAST_UPDATED_SEQ_FIELD_ID,
+    }
+    pq_names = {meta.schema.column(i).path.split(".")[0] for i in range(meta.num_columns)}
+    for cname, cfid in _reserved.items():
+        if cname in pq_names:
+            name_to_field[cname] = NestedField(cfid, cname, LongType(), False)
 
     column_sizes: dict[int, int] = {}
     value_counts: dict[int, int] = {}
@@ -332,7 +364,7 @@ def collect_data_file(
     def _nanish(x) -> bool:
         return isinstance(x, float) and _math.isnan(x)
 
-    bad_bounds: set[int] = set()
+    bad_bounds: set[int] = set(_reserved.values())
     # NaN inference (sound for parquet-mr ONLY): Spark's writer computes
     # min/max with standard double compareTo, where NaN sorts above
     # everything — so a float column whose every row group has complete,
@@ -876,6 +908,34 @@ def _commit_snapshot(
             ),
         )
 
+    # V3 row lineage: assign first-row-id ranges at manifest-list write
+    # time (spec v3). Each still-unassigned DATA manifest takes the
+    # running next-row-id; it consumes one id per row of its data files
+    # that don't already carry an explicit first_row_id (entries
+    # materialized from older manifests keep their ids and consume
+    # nothing). Manifests carried over from before a v2->v3 upgrade
+    # have no per-file ids at all, so they consume their full row
+    # counts — the first post-upgrade commit assigns the whole table.
+    snap_first_row_id: int | None = None
+    next_row_id = md.next_row_id if md.format_version >= 3 else None
+    if next_row_id is not None:
+        snap_first_row_id = next_row_id
+        new_entry_rows = sum(
+            e.data_file.record_count
+            for e in all_new_entries
+            if e.data_file.content == DataFileContent.DATA
+            and e.data_file.first_row_id is None
+        )
+        for m in manifests:
+            if m.content != ManifestContent.DATA or m.first_row_id is not None:
+                continue
+            m.first_row_id = next_row_id
+            next_row_id += (
+                new_entry_rows
+                if m.added_snapshot_id == snap_id
+                else m.added_rows_count + m.existing_rows_count
+            )
+
     branch_ref = md.refs.get(branch)
     parent_id = (
         branch_ref.snapshot_id
@@ -910,12 +970,15 @@ def _commit_snapshot(
             "total-records": str(total_rows),
         },
         schema_id=schema.schema_id,
+        first_row_id=snap_first_row_id,
     )
 
     raw = md.to_json_dict()
     raw["snapshots"] = raw.get("snapshots", []) + [snapshot.to_json_dict()]
     raw["last-sequence-number"] = seq
     raw["last-updated-ms"] = ts_ms
+    if next_row_id is not None:
+        raw["next-row-id"] = next_row_id
     raw["refs"] = {
         **{k: v.to_json_dict() for k, v in md.refs.items()},
         branch: SnapshotRef(snap_id, "branch").to_json_dict(),
@@ -930,6 +993,17 @@ def _commit_snapshot(
 
     cat = getattr(table, "catalog", None)
     if cat is not None and hasattr(cat, "commit_table"):
+        if next_row_id is not None and next_row_id != md.next_row_id:
+            # the UpdateTableRequest actions we send carry the snapshot
+            # (with its first-row-id) but not the advanced next-row-id;
+            # a server that doesn't compute it v3-side would hand the
+            # next commit an overlapping id range. Refuse loudly rather
+            # than corrupt lineage silently.
+            raise NotImplementedError(
+                "row-lineage id assignment through a catalog commit is "
+                "not supported; v3 lineage tables must be "
+                "filesystem-committed"
+            )
         # REST commit (Iceberg REST spec UpdateTableRequest): the server
         # enforces the requirement atomically and returns authoritative
         # metadata; a concurrent writer gets 409 → CommitFailedError

@@ -289,6 +289,103 @@ def _dv_table_for(spark: SparkSession, sf_dir: str) -> Table:
     )
 
 
+# V3 row lineage: the table is built so every _row_id is derivable in
+# pure SQL — two single-file appends each sorted by o_orderkey, so
+# _row_id = (position within the sorted even/odd slice), with the odd
+# slice offset by the even count; _last_updated_sequence_number is the
+# append's data sequence (1 or 2). The DV delete (seq 3) and the
+# lineage-preserving compaction (seq 4) must leave both untouched.
+ice_lineage_oracle = """
+WITH evens AS (
+  SELECT o_orderkey, o_orderstatus,
+         ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS rid,
+         CAST(1 AS BIGINT) AS lseq
+  FROM orders WHERE o_orderkey % 2 = 0
+), odds AS (
+  SELECT o_orderkey, o_orderstatus,
+         (SELECT COUNT(*) FROM orders WHERE o_orderkey % 2 = 0)
+           + ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS rid,
+         CAST(2 AS BIGINT) AS lseq
+  FROM orders WHERE o_orderkey % 2 = 1
+), ranked AS (
+  SELECT * FROM evens UNION ALL SELECT * FROM odds
+)
+SELECT lseq, COUNT(*) AS n_rows,
+       CAST(SUM(rid) AS BIGINT) AS sum_rid,
+       CAST(MIN(rid) AS BIGINT) AS min_rid,
+       CAST(MAX(rid) AS BIGINT) AS max_rid,
+       CAST(SUM(rid * (o_orderkey % 1000)) AS BIGINT) AS rid_okey_chk
+FROM ranked WHERE o_orderstatus <> 'F'
+GROUP BY lseq
+"""
+
+
+@register(
+    "iceberg_row_lineage",
+    ice_lineage_oracle,
+    "V3 row lineage: first-row-id assignment across two appends, "
+    "stability through a DV delete and a lineage-preserving compaction; "
+    "rid_okey_chk binds each _row_id to its row, not just the id set",
+)
+def iceberg_row_lineage(spark: SparkSession, sf: str) -> DataFrame:
+    t = _lineage_table_for(spark, sf)
+    df = t.scan(with_lineage=True).to_df(spark)
+    return df.groupBy(
+        F.col("_last_updated_sequence_number").alias("lseq")
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("_row_id").cast("long").alias("sum_rid"),
+        F.min("_row_id").alias("min_rid"),
+        F.max("_row_id").alias("max_rid"),
+        F.sum(F.col("_row_id") * (F.col("o_orderkey") % 1000))
+        .cast("long")
+        .alias("rid_okey_chk"),
+    )
+
+
+_ORDERS_SCHEMA = Schema(
+    (
+        NestedField(1, "o_orderkey", LongType(), True),
+        NestedField(2, "o_orderstatus", StringType(), False),
+        NestedField(3, "o_totalprice", DoubleType(), False),
+    ),
+    schema_id=0,
+)
+
+
+def _lineage_table_for(spark: SparkSession, sf_dir: str) -> Table:
+    """v3 orders table with deterministic row positions: each append is
+    repartition(1) + sortWithinPartitions(o_orderkey) -> exactly one
+    file in known row order, so _row_id is oracle-derivable. Then a DV
+    delete and a full compaction, neither of which may move an id.
+    Validation pins the complete 4-commit sequence ending in replace."""
+    from .iceberg.maintenance import compact_data_files
+
+    def build(loc: str) -> Table:
+        od = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        )
+        t = W.create_table(loc, _ORDERS_SCHEMA, format_version=3)
+        for par in (0, 1):
+            t = W.append(
+                t,
+                od.filter(F.col("o_orderkey") % 2 == par)
+                .repartition(1)
+                .sortWithinPartitions("o_orderkey"),
+            )
+        t = W.delete_where_dv(t, spark, E.equal_to("o_orderstatus", "F"))
+        return compact_data_files(t, spark, target_file_size=1 << 30)
+
+    return _cached_table(
+        sf_dir,
+        "orders_lineage",
+        lambda t: t.metadata.format_version == 3
+        and len(t.metadata.snapshots) == 4
+        and t.current_snapshot().operation == "replace",
+        build,
+    )
+
+
 ice_evo_oracle = """
 SELECT l_returnflag,
        CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_qty,
