@@ -122,14 +122,23 @@ def load_table_for_commit(options):
 
 def column_map_for(file_schema, current):
     """Field-ID projection plan: (current name, name in the file |
-    None if the field didn't exist when the file was written). None
-    when the file schema IS the current schema (no projection)."""
+    None if the field didn't exist when the file was written, V3
+    initial-default in arrow Python form | None). None when the file
+    schema IS the current schema (no projection)."""
     if file_schema is current:
         return None
+    from .defaults import default_arrow_value
+
     out = []
     for f in current.fields:
         old = file_schema.find_field(f.field_id)
-        out.append((f.name, old.name if old is not None else None))
+        out.append(
+            (
+                f.name,
+                old.name if old is not None else None,
+                default_arrow_value(f) if old is None else None,
+            )
+        )
     return tuple(out)
 
 
@@ -141,9 +150,15 @@ def project_batches(batches, column_map, arrow_schema):
 
     for b in batches:
         cols = []
-        for field, (_tname, old) in zip(arrow_schema, column_map):
+        for field, (_tname, old, dflt) in zip(arrow_schema, column_map):
             if old is None or b.schema.get_field_index(old) < 0:
-                cols.append(pa.nulls(b.num_rows, type=field.type))
+                # dflt is only ever set for old is None (field postdates
+                # the file → V3 initial-default); a column the file's own
+                # schema declares but the footer lacks stays null
+                if dflt is not None and old is None:
+                    cols.append(pa.array([dflt] * b.num_rows, type=field.type))
+                else:
+                    cols.append(pa.nulls(b.num_rows, type=field.type))
             else:
                 c = b.column(b.schema.get_field_index(old))
                 if c.type != field.type:
@@ -277,10 +292,14 @@ class _BatchReader(DataSourceReader):
                 if names:
                     eq.append((d.file_path, tuple(names)))
             eq = tuple(eq)
-            # ORC batches always run the projection/cast step so the
-            # emitted Arrow types match the declared schema exactly
-            if fmt == "ORC" and cmap is None:
-                cmap = tuple((f.name, f.name) for f in current.fields)
+            # ALL batches run the projection/cast step so the emitted
+            # Arrow types match the declared schema exactly — zero-copy
+            # when types already agree, and it absorbs representation
+            # drift the footer alone can't prevent (ORC type coercions;
+            # INT96 timestamps decoding as Timestamp(NANOSECOND) from
+            # parquet files our own pre-r6 writer emitted)
+            if cmap is None:
+                cmap = tuple((f.name, f.name, None) for f in current.fields)
             parts.append(
                 _FilePartition(
                     task.file.file_path,

@@ -46,15 +46,55 @@ class UpdateSchema:
         return self._next_id
 
     def add_column(
-        self, name: str, field_type: IcebergType, doc: str | None = None, required: bool = False
+        self,
+        name: str,
+        field_type: IcebergType,
+        doc: str | None = None,
+        required: bool = False,
+        default: object = None,
     ) -> "UpdateSchema":
+        """Add a column. ``default`` (V3 default values, Iceberg spec
+        Appendix D) becomes BOTH the field's ``initial-default`` — what
+        scans return for rows in files written before the column
+        existed — and its ``write-default``; it is stored in metadata
+        in the spec's JSON single-value form. A REQUIRED column can
+        only be added with a default (existing rows must have a value).
+        Natural Python values are accepted (datetime.date, datetime,
+        Decimal, …) and normalized to the internal representation."""
         if any(f.name == name for f in self._fields):
             raise ValueError(f"column {name!r} already exists")
-        if required:
-            # adding a required column to existing rows is illegal unless
-            # a default is supplied; keep the simple rule
-            raise ValueError("new columns must be optional (no default-value support)")
-        self._fields.append(NestedField(self._alloc_id(), name, field_type, False, doc))
+        if required and default is None:
+            raise ValueError(
+                "adding a required column needs a default value "
+                "(existing rows would otherwise violate the constraint)"
+            )
+        initial = write = None
+        if default is not None:
+            if self.table.metadata.format_version < 3:
+                raise ValueError(
+                    "column default values require a format-version 3 table "
+                    f"(this table is v{self.table.metadata.format_version})"
+                )
+            from datetime import date as _date
+            from datetime import datetime as _datetime
+            from datetime import time as _time
+
+            from .literals import L, json_single_value
+
+            if isinstance(default, (_datetime, _date, _time)):
+                default = L(default).value
+            initial = write = json_single_value(field_type, default)
+        self._fields.append(
+            NestedField(
+                self._alloc_id(),
+                name,
+                field_type,
+                required,
+                doc,
+                initial_default=initial,
+                write_default=write,
+            )
+        )
         return self
 
     def rename_column(self, old: str, new: str) -> "UpdateSchema":
@@ -63,7 +103,10 @@ class UpdateSchema:
         if any(f.name == new for f in self._fields):
             raise ValueError(f"column {new!r} already exists")
         self._fields = [
-            NestedField(f.field_id, new, f.field_type, f.required, f.doc)
+            NestedField(
+                f.field_id, new, f.field_type, f.required, f.doc,
+                initial_default=f.initial_default, write_default=f.write_default,
+            )
             if f.name == old
             else f
             for f in self._fields
@@ -99,7 +142,12 @@ class UpdateSchema:
                     raise ValueError(
                         f"illegal promotion {f.field_type} -> {new_type} for {name!r}"
                     )
-                self._fields[i] = NestedField(f.field_id, f.name, new_type, f.required, f.doc)
+                # defaults survive promotion: int->long / float->double
+                # JSON single-value forms are identical (plain numbers)
+                self._fields[i] = NestedField(
+                    f.field_id, f.name, new_type, f.required, f.doc,
+                    initial_default=f.initial_default, write_default=f.write_default,
+                )
                 return self
         raise ValueError(f"column {name!r} not found")
 

@@ -373,3 +373,189 @@ def compare_values(a: Any, b: Any, t: IcebergType) -> int:
     if isinstance(t, BooleanType):
         a, b = int(a), int(b)
     return (a > b) - (a < b)
+
+
+# --------------------------------------------------------------------------
+# JSON single-value serialization (Iceberg table spec Appendix D) —
+# the representation of column default values (`initial-default` /
+# `write-default`, a V3 feature) inside table metadata JSON.
+#
+# Internal Python representations match Literal conventions: int for
+# int/long, int days for date, int µs for time/timestamp/timestamptz,
+# float, str, bool, Decimal, uuid.UUID, bytes for fixed/binary;
+# composites use dict[int, Any] keyed by field id for struct, list for
+# list, and list[tuple[key, value]] for map (keys may be unhashable).
+# --------------------------------------------------------------------------
+
+
+def _fmt_time_micros(micros: int) -> str:
+    if not 0 <= micros < 86_400_000_000:
+        raise ValueError(f"time out of range: {micros}µs")
+    s, us = divmod(micros, 1_000_000)
+    h, rem = divmod(s, 3600)
+    m, sec = divmod(rem, 60)
+    return f"{h:02d}:{m:02d}:{sec:02d}.{us:06d}"
+
+
+def _fmt_ts_micros(micros: int) -> str:
+    dt = datetime(1970, 1, 1) + timedelta(microseconds=micros)
+    return dt.strftime("%Y-%m-%dT%H:%M:%S.%f")
+
+
+def json_single_value(t: IcebergType, v: Any) -> Any:
+    """Encode an internal-representation value as the JSON form the
+    spec mandates for that type (nulls are not encodable: a null
+    default is expressed by OMITTING initial-default/write-default)."""
+    from .types import ListType, MapType, StructType
+
+    if v is None:
+        raise ValueError("null is not a JSON single value; omit the default instead")
+    if isinstance(t, BooleanType):
+        if not isinstance(v, bool):
+            raise TypeError(f"boolean default from {type(v).__name__}")
+        return v
+    if isinstance(t, (IntegerType, LongType)):
+        if isinstance(v, bool) or not isinstance(v, int):
+            raise TypeError(f"{t.name} default from {type(v).__name__}")
+        lo, hi = (INT_MIN, INT_MAX) if isinstance(t, IntegerType) else (LONG_MIN, LONG_MAX)
+        if not lo <= v <= hi:
+            raise ValueError(f"{t.name} default out of range: {v}")
+        return v
+    if isinstance(t, (FloatType, DoubleType)):
+        v = float(v)
+        if _math.isnan(v):
+            return "NaN"
+        if _math.isinf(v):
+            return "Infinity" if v > 0 else "-Infinity"
+        return v
+    if isinstance(t, DecimalType):
+        d = _to_decimal(v, t)
+        if d is None:
+            raise ValueError(f"{v!r} does not fit decimal({t.precision},{t.scale})")
+        return f"{d:f}"
+    if isinstance(t, DateType):
+        return (_EPOCH_DATE + timedelta(days=int(v))).isoformat()
+    if isinstance(t, TimeType):
+        return _fmt_time_micros(int(v))
+    if isinstance(t, TimestampType):
+        return _fmt_ts_micros(int(v))
+    if isinstance(t, TimestampTzType):
+        return _fmt_ts_micros(int(v)) + "+00:00"
+    if isinstance(t, StringType):
+        if not isinstance(v, str):
+            raise TypeError(f"string default from {type(v).__name__}")
+        return v
+    if isinstance(t, UUIDType):
+        return str(v if isinstance(v, _uuid.UUID) else _uuid.UUID(str(v)))
+    if isinstance(t, FixedType):
+        if len(v) != t.length:
+            raise ValueError(f"fixed[{t.length}] default of {len(v)} bytes")
+        return bytes(v).hex()
+    if isinstance(t, BinaryType):
+        return bytes(v).hex()
+    if isinstance(t, StructType):
+        if not isinstance(v, dict):
+            raise TypeError("struct default must be a dict keyed by field id")
+        by_id = {f.field_id: f for f in t.fields}
+        unknown = set(v) - set(by_id)
+        if unknown:
+            raise ValueError(f"struct default has unknown field ids: {sorted(unknown)}")
+        out = {}
+        for fid, fv in v.items():
+            if fv is None:
+                continue  # spec: only non-null fields appear
+            out[str(fid)] = json_single_value(by_id[fid].field_type, fv)
+        for f in t.fields:
+            if f.required and str(f.field_id) not in out:
+                raise ValueError(f"struct default missing required field {f.field_id}")
+        return out
+    if isinstance(t, ListType):
+        return [
+            None if e is None else json_single_value(t.element_type, e) for e in v
+        ]
+    if isinstance(t, MapType):
+        keys, vals = [], []
+        for k, mv in v:
+            keys.append(json_single_value(t.key_type, k))
+            vals.append(None if mv is None else json_single_value(t.value_type, mv))
+        return {"keys": keys, "values": vals}
+    raise TypeError(f"cannot JSON-encode a {t} value")
+
+
+def parse_json_single_value(t: IcebergType, j: Any) -> Any:
+    """Decode the metadata-JSON form back to the internal
+    representation (inverse of json_single_value)."""
+    from .types import ListType, MapType, StructType
+
+    if j is None:
+        raise ValueError("null is not a JSON single value")
+    if isinstance(t, BooleanType):
+        if not isinstance(j, bool):
+            raise TypeError(f"boolean from JSON {type(j).__name__}")
+        return j
+    if isinstance(t, (IntegerType, LongType)):
+        if isinstance(j, bool) or not isinstance(j, int):
+            raise TypeError(f"{t.name} from JSON {type(j).__name__}")
+        lo, hi = (INT_MIN, INT_MAX) if isinstance(t, IntegerType) else (LONG_MIN, LONG_MAX)
+        if not lo <= j <= hi:
+            raise ValueError(f"{t.name} out of range: {j}")
+        return j
+    if isinstance(t, (FloatType, DoubleType)):
+        if isinstance(j, str):
+            if j in ("NaN", "Infinity", "-Infinity"):
+                return float(j.replace("Infinity", "inf"))
+            raise ValueError(f"bad float JSON: {j!r}")
+        if isinstance(j, bool) or not isinstance(j, (int, float)):
+            raise TypeError(f"{t.name} from JSON {type(j).__name__}")
+        return float(j)
+    if isinstance(t, DecimalType):
+        d = _to_decimal(Decimal(str(j)), t)
+        if d is None:
+            raise ValueError(f"{j!r} does not fit decimal({t.precision},{t.scale})")
+        return d
+    if isinstance(t, DateType):
+        return _parse_date(j)
+    if isinstance(t, TimeType):
+        return _parse_time(j)
+    if isinstance(t, (TimestampType, TimestampTzType)):
+        return _parse_ts(j)
+    if isinstance(t, StringType):
+        if not isinstance(j, str):
+            raise TypeError(f"string from JSON {type(j).__name__}")
+        return j
+    if isinstance(t, UUIDType):
+        return _uuid.UUID(j)
+    if isinstance(t, FixedType):
+        b = bytes.fromhex(j)
+        if len(b) != t.length:
+            raise ValueError(f"fixed[{t.length}] from {len(b)} bytes")
+        return b
+    if isinstance(t, BinaryType):
+        return bytes.fromhex(j)
+    if isinstance(t, StructType):
+        # ids absent from `t` are skipped, not rejected: scans decode
+        # defaults against the PROJECTED (column-pruned) schema, which
+        # may have dropped sub-fields the stored default still carries
+        by_id = {str(f.field_id): f for f in t.fields}
+        return {
+            int(k): parse_json_single_value(by_id[k].field_type, fv)
+            for k, fv in j.items()
+            if k in by_id
+        }
+    if isinstance(t, ListType):
+        return [
+            None if e is None else parse_json_single_value(t.element_type, e)
+            for e in j
+        ]
+    if isinstance(t, MapType):
+        keys, vals = j["keys"], j["values"]
+        if len(keys) != len(vals):
+            raise ValueError("map JSON keys/values length mismatch")
+        return [
+            (
+                parse_json_single_value(t.key_type, k),
+                None if v is None else parse_json_single_value(t.value_type, v),
+            )
+            for k, v in zip(keys, vals)
+        ]
+    raise TypeError(f"cannot JSON-decode a {t} value")

@@ -367,7 +367,11 @@ def _prune_type(
             pruned = _prune_type(f.field_type, ids, full)
             if pruned is not None:
                 out.append(
-                    NestedField(f.field_id, f.name, pruned, f.required, f.doc)
+                    NestedField(
+                        f.field_id, f.name, pruned, f.required, f.doc,
+                        initial_default=f.initial_default,
+                        write_default=f.write_default,
+                    )
                 )
                 changed = True
         if not changed:

@@ -725,8 +725,17 @@ class TableScan:
                     if old.field_type != f.field_type:
                         c = c.cast(to_spark_type(f.field_type))
                     cols.append(c.alias(f.name))
-                else:  # column added after this file was written
-                    cols.append(F.lit(None).cast(to_spark_type(f.field_type)).alias(f.name))
+                else:
+                    # column added after this file was written: V3
+                    # initial-default if the field carries one, null
+                    # otherwise (spec: initial-default is what existing
+                    # rows read for a later-added column)
+                    from .defaults import default_column
+
+                    dc = default_column(f, "initial")
+                    if dc is None:
+                        dc = F.lit(None).cast(to_spark_type(f.field_type))
+                    cols.append(dc.alias(f.name))
             if lineage:
                 # explicit (materialized) lineage values when the file
                 # carries them; nulls otherwise — the final coalesce

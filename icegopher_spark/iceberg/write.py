@@ -365,6 +365,10 @@ def collect_data_file(
         return isinstance(x, float) and _math.isnan(x)
 
     bad_bounds: set[int] = set(_reserved.values())
+    # fids where ANY group's null count is unknowable: a PARTIAL sum
+    # understates nulls and would let IsNull pruning drop rows — strip
+    # such fids from null_counts entirely (unknown, not zero)
+    bad_nulls: set[int] = set()
     # NaN inference (sound for parquet-mr ONLY): Spark's writer computes
     # min/max with standard double compareTo, where NaN sorts above
     # everything — so a float column whose every row group has complete,
@@ -398,24 +402,34 @@ def collect_data_file(
             fid = field.field_id
             column_sizes[fid] = column_sizes.get(fid, 0) + col.total_compressed_size
             value_counts[fid] = value_counts.get(fid, 0) + col.num_values
-            st = col.statistics
-            if st is not None and st.null_count is not None:
-                null_counts[fid] = null_counts.get(fid, 0) + st.null_count
-            all_null = (
-                st is not None
-                and st.null_count is not None
-                and st.null_count == col.num_values
-            )
-            if all_null:
-                continue  # contributes no values: other groups' bounds hold
-            if st is None or not st.has_min_max or st.min is None or st.max is None:
+            # pyarrow can't decode stats for every physical/logical type
+            # pairing (e.g. INT32-backed decimals raise
+            # ArrowNotImplementedError from the .min/.max cast): treat
+            # any decode failure as unknown contents — the column is
+            # merely unprunable, never a write failure
+            try:
+                st = col.statistics
+                st_null = st.null_count if st is not None else None
+                if st is None or not st.has_min_max:
+                    mn = mx = None
+                else:
+                    mn, mx = st.min, st.max
+            except Exception:  # noqa: BLE001
+                st_null = mn = mx = None
+            if st_null is not None:
+                null_counts[fid] = null_counts.get(fid, 0) + st_null
+            else:
+                bad_nulls.add(fid)
+            if st_null is not None and st_null == col.num_values:
+                continue  # all-null group contributes no values: other
+                # groups' bounds hold
+            if mn is None or mx is None:
                 # a group with UNKNOWN contents invalidates the file
                 # bounds — keeping other groups' min/max would over-
                 # prune rows hiding in this group (r5; was silently
                 # skipped)
                 bad_bounds.add(fid)
                 continue
-            mn, mx = st.min, st.max
             if _nanish(mn) or _nanish(mx):
                 # NaN stats: the group's true extremes are unknowable
                 # from the footer (and a NaN bound is spec-illegal)
@@ -464,7 +478,10 @@ def collect_data_file(
         partition=partition,
         column_sizes=column_sizes or None,
         value_counts=value_counts or None,
-        null_value_counts=null_counts or None,
+        null_value_counts={
+            fid: n for fid, n in null_counts.items() if fid not in bad_nulls
+        }
+        or None,
         nan_value_counts=nan_counts,
         lower_bounds=lower_b or None,
         upper_bounds=upper_b or None,
@@ -541,9 +558,23 @@ def _write_data_files(
     # must never produce files whose physical types drift from the schema
     from .types import to_spark_type
 
-    df = df.select(
-        *[F.col(f.name).cast(to_spark_type(f.field_type)) for f in schema.fields]
-    )
+    in_cols = set(df.columns)
+    sel = []
+    for f in schema.fields:
+        if f.name in in_cols:
+            sel.append(F.col(f.name).cast(to_spark_type(f.field_type)).alias(f.name))
+        else:
+            # V3 write-default: a column absent from the incoming frame
+            # is filled with the field's write-default. Absent columns
+            # WITHOUT a write-default stay an error (resolved below by
+            # F.col raising), matching the strict pre-default behavior.
+            from .defaults import default_column
+
+            dc = default_column(f, "write")
+            sel.append(
+                dc.alias(f.name) if dc is not None else F.col(f.name).cast(to_spark_type(f.field_type)).alias(f.name)
+            )
+    df = df.select(*sel)
     fmt = table.properties.get("write.format.default", "parquet").lower()
     # write.distribution-mode (Iceberg table property): how rows reach
     # write tasks. none = no shuffle (one file per task×partition — most

@@ -386,6 +386,80 @@ def _lineage_table_for(spark: SparkSession, sf_dir: str) -> Table:
     )
 
 
+# V3 default values: rows from files that predate the added columns
+# read the initial-defaults ('legacy' / 0.25); post-evolution rows carry
+# explicit values. 0.25 and qty*0.5 are binary-exact, so the decimal
+# casts agree bit-for-bit across engines.
+ice_default_oracle = """
+SELECT CASE WHEN l_orderkey % 2 = 0 THEN 'legacy' ELSE 'new' END AS tag,
+       COUNT(*) AS n_rows,
+       CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_qty,
+       CAST(ROUND(SUM(CAST(CASE WHEN l_orderkey % 2 = 0 THEN 0.25
+                                ELSE l_quantity * 0.5 END AS DECIMAL(18,4))), 4)
+            AS DOUBLE) AS sum_adj
+FROM lineitem
+GROUP BY 1
+"""
+
+
+@register(
+    "iceberg_default_values",
+    ice_default_oracle,
+    "V3 default values: initial-default fill for pre-evolution files "
+    "(required string + double defaults), explicit values after",
+)
+def iceberg_default_values(spark: SparkSession, sf: str) -> DataFrame:
+    t = _defaults_table_for(spark, sf)
+    return (
+        t.scan()
+        .to_df(spark)
+        .groupBy("tag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum(F.col("l_quantity").cast("decimal(12,2)")), 2)
+            .cast("double")
+            .alias("sum_qty"),
+            F.round(F.sum(F.col("adj").cast("decimal(18,4)")), 4)
+            .cast("double")
+            .alias("sum_adj"),
+        )
+    )
+
+
+def _defaults_table_for(spark: SparkSession, sf_dir: str) -> Table:
+    """v3 partitioned table evolved BETWEEN two appends: the second
+    append's schema adds a required string column and a double column,
+    both with defaults, so the first append's files must fill them at
+    read time from initial-default (never from data)."""
+    from .iceberg.evolve import update_schema
+
+    def build(loc: str) -> Table:
+        li = _li4(spark, sf_dir)
+        t = W.create_table(loc, _SCHEMA, _SPEC, format_version=3)
+        t = W.append(t, li.filter(F.col("l_orderkey") % 2 == 0))
+        t = (
+            update_schema(t)
+            .add_column("tag", StringType(), required=True, default="legacy")
+            .add_column("adj", DoubleType(), default=0.25)
+            .commit()
+        )
+        return W.append(
+            t,
+            li.filter(F.col("l_orderkey") % 2 == 1)
+            .withColumn("tag", F.lit("new"))
+            .withColumn("adj", F.col("l_quantity") * 0.5),
+        )
+
+    return _cached_table(
+        sf_dir,
+        "lineitem_defaults",
+        lambda t: t.metadata.format_version == 3
+        and len(t.metadata.snapshots) == 2
+        and any(f.name == "tag" for f in t.schema.fields),
+        build,
+    )
+
+
 ice_evo_oracle = """
 SELECT l_returnflag,
        CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_qty,

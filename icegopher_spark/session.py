@@ -38,6 +38,10 @@ def get_spark(app_name: str = "icegopher_spark", cpus: str | None = None) -> Spa
         # Python DataSource filter pushdown (iceberg/dsv2.py prunes
         # files with pushed filters; rows still filtered by Spark)
         .config("spark.sql.python.filterPushdown.enabled", "true")
+        # µs-precision parquet timestamps (the spec-standard physical
+        # type); the INT96 legacy default decodes as Timestamp(NANOS)
+        # through Arrow and every pyarrow-side reader must then cast
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     )
     spark = builder.getOrCreate()
     # getOrCreate returns a PRE-EXISTING session unchanged, silently
@@ -57,6 +61,7 @@ def get_spark(app_name: str = "icegopher_spark", cpus: str | None = None) -> Spa
         ("spark.sql.autoBroadcastJoinThreshold", "64m"),
         ("spark.sql.optimizer.nestedSchemaPruning.enabled", "true"),
         ("spark.sql.python.filterPushdown.enabled", "true"),
+        ("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"),
     ):
         spark.conf.set(k, v)
     spark.sparkContext.setLogLevel("WARN")

@@ -176,6 +176,12 @@ class _AppendStreamReader(DataSourceStreamReader):
                 md.schema_by_id(snap.schema_id) if snap.schema_id is not None else None
             ) or current
             cmap = column_map_for(file_schema, current)
+            # always run the projection/cast step (identity map when the
+            # file schema IS current) so emitted Arrow types match the
+            # declared schema exactly — absorbs e.g. INT96 timestamps
+            # decoding as Timestamp(NANOS); zero-copy on agreement
+            if cmap is None:
+                cmap = tuple((f.name, f.name, None) for f in current.fields)
             for m in read_manifest_list(io.read(snap.manifest_list)):
                 # the sink carries prior manifests forward, so snapshot
                 # k's list holds ~k manifests; only the ones THIS
