@@ -131,11 +131,13 @@ def _arrow_py(t: IcebergType, v: Any) -> Any:
     return v
 
 
-def default_arrow_value(field: NestedField) -> Any:
-    """The field's initial-default in arrow-compatible Python form
-    (picklable — computed at plan time, shipped to executors inside the
-    DSv2 column map), or None when the field has no initial-default."""
-    if field.initial_default is None:
+def default_arrow_value(field: NestedField, which: str = "initial") -> Any:
+    """The field's default in arrow-compatible Python form (picklable —
+    computed at plan time, shipped to executors inside the DSv2 column
+    map / writer plan), or None when the field has no such default.
+    ``which`` is 'initial' (scan fill) or 'write' (write fill)."""
+    raw = field.initial_default if which == "initial" else field.write_default
+    if raw is None:
         return None
-    v = parse_json_single_value(field.field_type, field.initial_default)
+    v = parse_json_single_value(field.field_type, raw)
     return _arrow_py(field.field_type, v)

@@ -148,6 +148,7 @@ def project_batches(batches, column_map, arrow_schema):
     zero-copy when the arrow type already matches."""
     import pyarrow as pa
 
+    fill_scalars: dict[str, object] = {}
     for b in batches:
         cols = []
         for field, (_tname, old, dflt) in zip(arrow_schema, column_map):
@@ -156,7 +157,13 @@ def project_batches(batches, column_map, arrow_schema):
                 # the file → V3 initial-default); a column the file's own
                 # schema declares but the footer lacks stays null
                 if dflt is not None and old is None:
-                    cols.append(pa.array([dflt] * b.num_rows, type=field.type))
+                    # arrow-native constant replication: convert the
+                    # Python default ONCE, not O(rows) per batch
+                    sc = fill_scalars.get(field.name)
+                    if sc is None:
+                        sc = pa.array([dflt], type=field.type)[0]
+                        fill_scalars[field.name] = sc
+                    cols.append(pa.repeat(sc, b.num_rows))
                 else:
                     cols.append(pa.nulls(b.num_rows, type=field.type))
             else:
@@ -526,6 +533,52 @@ class _BatchWriter(DataSourceArrowWriter):
         self.overwrite = overwrite
         # picklable: [(spec field name, source column, Transform, IcebergType)]
         self.part_fields = part_fields
+        # schema-alignment plan (driver-side, picklable): for every
+        # table field, (name, arrow type, write-default in arrow Python
+        # form | None) — executors fill columns absent from incoming
+        # batches with the V3 write-default, exactly like the native
+        # write path (write.py alignment select), and refuse loudly when
+        # an absent column has no default.
+        from pyspark.sql.pandas.types import to_arrow_type
+
+        from .defaults import default_arrow_value
+        from .types import to_spark_type
+
+        t = load_table_for_commit(self.options)
+        self.schema_plan = tuple(
+            (
+                f.name,
+                to_arrow_type(to_spark_type(f.field_type)),
+                default_arrow_value(f, "write"),
+            )
+            for f in t.schema.fields
+        )
+
+    def _align(self, batch, fill_cache):
+        """Fill table columns missing from the incoming batch with
+        their write-default (arrow-native constant replication)."""
+        import pyarrow as pa
+
+        missing = [
+            p for p in self.schema_plan if batch.schema.get_field_index(p[0]) < 0
+        ]
+        if not missing:
+            return batch
+        arrays = list(batch.columns)
+        fields = list(batch.schema)
+        for name, atype, dflt in missing:
+            if dflt is None:
+                raise ValueError(
+                    f"datasource write: input frame lacks column {name!r} "
+                    "and the field has no write-default"
+                )
+            sc = fill_cache.get(name)
+            if sc is None:
+                sc = pa.array([dflt], type=atype)[0]
+                fill_cache[name] = sc
+            arrays.append(pa.repeat(sc, batch.num_rows))
+            fields.append(pa.field(name, atype))
+        return pa.RecordBatch.from_arrays(arrays, schema=pa.schema(fields))
 
     def _partition_keys(self, batch):
         """Partition tuple per row: bucket transforms run through the
@@ -628,9 +681,11 @@ class _BatchWriter(DataSourceArrowWriter):
                 acc[c] = acc.get(c, 0) + int(n or 0)
             writers[key][0].write_batch(batch)
 
+        fill_cache: dict[str, object] = {}
         for batch in iterator:
             if batch.num_rows == 0:
                 continue
+            batch = self._align(batch, fill_cache)
             if not self.part_fields:
                 _sink((), {}, batch)
                 continue

@@ -80,8 +80,31 @@ class UpdateSchema:
             from datetime import time as _time
 
             from .literals import L, json_single_value
+            from .types import DateType, TimestampType, TimestampTzType, TimeType
 
-            if isinstance(default, (_datetime, _date, _time)):
+            # temporal coercion is FIELD-TYPE-directed: a datetime on a
+            # date column (or vice versa) must raise, not be silently
+            # reinterpreted in the wrong unit (µs read as days, …)
+            if isinstance(default, _datetime):
+                want = TimestampTzType if default.tzinfo else TimestampType
+                if not isinstance(field_type, want):
+                    raise ValueError(
+                        f"default {default!r} is a "
+                        f"{'tz-aware' if default.tzinfo else 'naive'} datetime "
+                        f"but column {name!r} is {field_type}"
+                    )
+                default = L(default).value
+            elif isinstance(default, _date):
+                if not isinstance(field_type, DateType):
+                    raise ValueError(
+                        f"default {default!r} is a date but column {name!r} is {field_type}"
+                    )
+                default = L(default).value
+            elif isinstance(default, _time):
+                if not isinstance(field_type, TimeType):
+                    raise ValueError(
+                        f"default {default!r} is a time but column {name!r} is {field_type}"
+                    )
                 default = L(default).value
             initial = write = json_single_value(field_type, default)
         self._fields.append(

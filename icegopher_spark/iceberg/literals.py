@@ -422,11 +422,14 @@ def json_single_value(t: IcebergType, v: Any) -> Any:
             raise ValueError(f"{t.name} default out of range: {v}")
         return v
     if isinstance(t, (FloatType, DoubleType)):
+        if isinstance(v, bool):
+            raise TypeError(f"{t.name} default from bool")
         v = float(v)
-        if _math.isnan(v):
-            return "NaN"
-        if _math.isinf(v):
-            return "Infinity" if v > 0 else "-Infinity"
+        if not _math.isfinite(v):
+            # the spec's JSON form for float/double is a JSON number;
+            # NaN/Infinity have no defined encoding and spec-strict
+            # readers reject any string here — refuse at write time
+            raise ValueError(f"{t.name} default must be finite, got {v}")
         return v
     if isinstance(t, DecimalType):
         d = _to_decimal(v, t)
@@ -501,10 +504,7 @@ def parse_json_single_value(t: IcebergType, j: Any) -> Any:
             raise ValueError(f"{t.name} out of range: {j}")
         return j
     if isinstance(t, (FloatType, DoubleType)):
-        if isinstance(j, str):
-            if j in ("NaN", "Infinity", "-Infinity"):
-                return float(j.replace("Infinity", "inf"))
-            raise ValueError(f"bad float JSON: {j!r}")
+        # spec: a JSON number; NaN/Infinity have no defined JSON form
         if isinstance(j, bool) or not isinstance(j, (int, float)):
             raise TypeError(f"{t.name} from JSON {type(j).__name__}")
         return float(j)

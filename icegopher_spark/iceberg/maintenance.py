@@ -178,11 +178,13 @@ def compact_data_files(
     # break lineage.
     preserve_lineage = table.metadata.format_version >= 3
     if preserve_lineage and fmt_out != "parquet":
-        raise ValueError(
-            "lineage-preserving compaction requires parquet output; "
-            f"write.format.default={fmt_out!r} on a v3 table would "
-            "reassign row ids"
-        )
+        if any(len(g) >= 2 for g in groups.values()):
+            raise ValueError(
+                "lineage-preserving compaction requires parquet output; "
+                f"write.format.default={fmt_out!r} on a v3 table would "
+                "reassign row ids"
+            )
+        return table  # nothing to rewrite: a no-op stays a no-op
     scan = table.scan(with_lineage=preserve_lineage)
     fallback_unsafe = _schema_fallback_renames(md)
     for (pkey, schema_id, _fmt, eq_key), group in groups.items():

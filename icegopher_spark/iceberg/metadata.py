@@ -334,14 +334,14 @@ class TableMetadata:
         }
         if self.format_version >= 2:
             out["last-sequence-number"] = self.last_sequence_number
-        if self.format_version >= 3:
-            out["next-row-id"] = self.next_row_id or 0
         else:
             # v1 REQUIRES the flat 'schema' / 'partition-spec' fields;
             # a round-trip that emits only the v2-style lists produces
             # spec-invalid v1 JSON that strict readers reject (r6)
             out["schema"] = self.current_schema.to_json_dict()
             out["partition-spec"] = self.default_spec.to_json_dict().get("fields", [])
+        if self.format_version >= 3:
+            out["next-row-id"] = self.next_row_id or 0
         out["current-snapshot-id"] = (
             self.current_snapshot_id if self.current_snapshot_id is not None else -1
         )

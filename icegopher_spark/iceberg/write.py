@@ -960,12 +960,28 @@ def _commit_snapshot(
         for m in manifests:
             if m.content != ManifestContent.DATA or m.first_row_id is not None:
                 continue
+            if m.added_snapshot_id == snap_id:
+                consumed = new_entry_rows
+            else:
+                consumed = m.added_rows_count + m.existing_rows_count
+                if consumed == 0:
+                    # 0 is ambiguous: v1 manifest lists may legally OMIT
+                    # row counts (our reader defaults them to 0), and
+                    # under-consuming would hand the next manifest an
+                    # overlapping id range. Count directly from the
+                    # manifest — this runs at most once per carried-over
+                    # manifest (the first post-upgrade commit).
+                    from .manifests import read_manifest_entries
+
+                    consumed = sum(
+                        e.data_file.record_count
+                        for e in read_manifest_entries(io.read(m.manifest_path))
+                        if e.data_file.content == DataFileContent.DATA
+                        and e.data_file.first_row_id is None
+                        and e.status != ManifestEntryStatus.DELETED
+                    )
             m.first_row_id = next_row_id
-            next_row_id += (
-                new_entry_rows
-                if m.added_snapshot_id == snap_id
-                else m.added_rows_count + m.existing_rows_count
-            )
+            next_row_id += consumed
 
     branch_ref = md.refs.get(branch)
     parent_id = (

@@ -56,8 +56,6 @@ SCHEMA = Schema(
         (IntegerType(), -7, -7),
         (LongType(), 2**40, 2**40),
         (DoubleType(), 1.5, 1.5),
-        (DoubleType(), float("nan"), "NaN"),
-        (DoubleType(), float("-inf"), "-Infinity"),
         (DecimalType(9, 2), Decimal("14.20"), "14.20"),
         (DateType(), 18262, "2020-01-01"),
         (TimeType(), 81068123456, "22:31:08.123456"),
@@ -96,16 +94,18 @@ SCHEMA = Schema(
 def test_json_single_value_roundtrip(t, internal, json_form):
     enc = json_single_value(t, internal)
     assert enc == json_form
-    dec = parse_json_single_value(t, enc)
-    if isinstance(internal, float) and internal != internal:
-        assert dec != dec
-    else:
-        assert dec == internal
+    assert parse_json_single_value(t, enc) == internal
 
 
 def test_json_single_value_rejects():
     with pytest.raises(ValueError):
         json_single_value(IntegerType(), 2**40)  # int overflow
+    for bad in (float("nan"), float("inf"), float("-inf")):
+        with pytest.raises(ValueError):
+            # spec JSON form is a number; NaN/Inf have no encoding
+            json_single_value(DoubleType(), bad)
+    with pytest.raises(TypeError):
+        json_single_value(DoubleType(), True)
     with pytest.raises(TypeError):
         json_single_value(LongType(), True)  # bool is not an int default
     with pytest.raises(ValueError):
@@ -270,3 +270,45 @@ def test_default_metadata_json_roundtrip(tmp_path, spark):
     fld = next(f for f in t2.schema.fields if f.name == "tag")
     assert fld.initial_default == "d" and fld.write_default == "d"
     assert t2.scan().to_df(spark).collect()[0]["tag"] == "d"
+
+
+def test_add_column_temporal_default_type_directed(tmp_path):
+    t = W.create_table(str(tmp_path / "t"), SCHEMA, format_version=3)
+    us = update_schema(t)
+    with pytest.raises(ValueError, match="is a date"):
+        us.add_column("ts", TimestampType(), default=dt.date(2020, 1, 1))
+    with pytest.raises(ValueError, match="datetime"):
+        us.add_column("d", DateType(), default=dt.datetime(2020, 1, 1))
+    with pytest.raises(ValueError, match="tz-aware"):
+        us.add_column(
+            "ts2", TimestampType(),
+            default=dt.datetime(2020, 1, 1, tzinfo=dt.timezone.utc),
+        )
+    with pytest.raises(ValueError, match="naive"):
+        us.add_column("tz", TimestampTzType(), default=dt.datetime(2020, 1, 1))
+
+
+def test_write_default_fills_dsv2_write(tmp_path, spark):
+    from icegopher_spark.iceberg.dsv2 import IcebergDataSource
+    from icegopher_spark.iceberg.table import Table
+
+    spark.dataSource.register(IcebergDataSource)
+    t = _base_table(tmp_path, spark, n=2)
+    t = (
+        update_schema(t)
+        .add_column("tag", StringType(), required=True, default="auto")
+        .commit()
+    )
+    # frame WITHOUT the required defaulted column through the DSv2 face
+    spark.createDataFrame([(50, "y")], "id bigint, name string").write.format(
+        "icegopher"
+    ).option("location", t.location).mode("append").save()
+    t2 = Table.from_location(t.location)
+    got = {r["id"]: r["tag"] for r in t2.scan().to_df(spark).collect()}
+    assert got == {0: "auto", 1: "auto", 50: "auto"}
+    # a missing column with NO write-default refuses loudly
+    t3 = update_schema(t2).add_column("opt", LongType()).commit()
+    with pytest.raises(Exception, match="write-default|lacks column"):
+        spark.createDataFrame([(51, "z")], "id bigint, name string").write.format(
+            "icegopher"
+        ).option("location", t3.location).mode("append").save()

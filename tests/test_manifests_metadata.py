@@ -267,6 +267,36 @@ def test_v1_flat_schema_form():
     assert md.current_snapshot is None
 
 
+def test_flat_fields_are_v1_only_and_next_row_id_v3_only():
+    """v1 metadata MUST re-emit the flat schema/partition-spec fields;
+    v2/v3 must NOT (spec: writers omit them from v2 on). Regression for
+    an else-rebinding slip where the v3 next-row-id branch silently
+    re-attached the v1 flat fields to every v2 table."""
+    base = {
+        "table-uuid": "x",
+        "location": "/tmp/t",
+        "last-updated-ms": 1,
+        "last-column-id": 1,
+        "schemas": [{"type": "struct", "schema-id": 0,
+                     "fields": [{"id": 1, "name": "x", "required": True, "type": "long"}]}],
+        "current-schema-id": 0,
+        "partition-specs": [{"spec-id": 0, "fields": []}],
+        "default-spec-id": 0,
+        "last-partition-id": 999,
+    }
+    v1 = parse_metadata({**base, "format-version": 1,
+                         "schema": base["schemas"][0], "partition-spec": []})
+    out1 = v1.to_json_dict()
+    assert "schema" in out1 and "partition-spec" in out1
+    assert "next-row-id" not in out1
+    out2 = parse_metadata({**base, "format-version": 2}).to_json_dict()
+    assert "schema" not in out2 and "partition-spec" not in out2
+    assert "next-row-id" not in out2
+    out3 = parse_metadata({**base, "format-version": 3}).to_json_dict()
+    assert "schema" not in out3 and "partition-spec" not in out3
+    assert out3["next-row-id"] == 0
+
+
 def test_bad_format_version():
     with pytest.raises(ValueError):
         parse_metadata({"format-version": 7})

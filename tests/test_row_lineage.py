@@ -95,6 +95,10 @@ def test_inheritance_skips_explicit_and_deleted():
     entries = [
         ManifestEntry(ManifestEntryStatus.ADDED, 1, df("a", 4), 5, 5),
         ManifestEntry(ManifestEntryStatus.EXISTING, 1, df("b", 7, frid=1000), 3, 3),
+        # DELETED entry between the null-id files: must neither receive
+        # nor consume ids, in BOTH read modes — otherwise assignment
+        # depends on discard_deleted and ids shift across readers
+        ManifestEntry(ManifestEntryStatus.DELETED, 1, df("dead", 9), 2, 2),
         ManifestEntry(ManifestEntryStatus.ADDED, 1, df("c", 2), 5, 5),
     ]
     data = write_manifest(entries, [], "{}", "[]")
@@ -102,7 +106,11 @@ def test_inheritance_skips_explicit_and_deleted():
     out = fetch_entries(mf, data)
     by_path = {e.data_file.file_path: e.data_file.first_row_id for e in out}
     # explicit id kept and consumes nothing; null ids pack contiguously
-    assert by_path == {"a": 50, "b": 1000, "c": 54}
+    assert by_path == {"a": 50, "b": 1000, "dead": None, "c": 54}
+    out_dd = fetch_entries(mf, data, discard_deleted=True)
+    assert {
+        e.data_file.file_path: e.data_file.first_row_id for e in out_dd
+    } == {"a": 50, "b": 1000, "c": 54}
     # round-trip: materialized ids survive re-encode into a new manifest
     data2 = write_manifest(out, [], "{}", "[]")
     mf2 = ManifestFile("m2", len(data2), sequence_number=6, first_row_id=9999)

@@ -61,6 +61,10 @@ EXTRA_SCALE_QUERIES = [
     "stream_minhash_index",
     "mm_audio_features",
     "events_windowed_topk",
+    # round-6 operators (V3 deletion vectors, row lineage, defaults)
+    "iceberg_dv_delete",
+    "iceberg_row_lineage",
+    "iceberg_default_values",
 ]
 SCALE_QUERIES = BENCH_QUERIES + EXTRA_SCALE_QUERIES
 from icegopher_spark.queries import QUERIES, load  # noqa: E402
