@@ -544,3 +544,98 @@ def apply_changes_to_aggregate(
         )
         out_cols.append(s.alias(out))
     return joined.select(*out_cols).filter(F.col(count_col) > 0)
+
+
+def changelog_by_lineage(
+    table: Table,
+    spark: SparkSession,
+    from_snapshot_id: int,
+    to_snapshot_id: int | None = None,
+) -> DataFrame:
+    """CDC diff keyed on V3 row lineage: compare the table AS OF two
+    snapshots joined on ``_row_id`` and emit
+
+        insert            _row_id only in the newer state
+        delete            _row_id only in the older state
+        update_preimage   both states, newer _last_updated_sequence_
+        update_postimage  number strictly greater (row content BEFORE /
+                          AFTER; same _row_id on both images)
+
+    Unchanged rows (same _row_id, same last-updated sequence) produce
+    nothing — including rows moved by compaction or carried through a
+    copy-on-write rewrite, which is exactly the carryover-noise problem
+    lineage exists to solve: no exceptAll over row VALUES, so two
+    value-identical rows are never mistaken for each other.
+
+    True update pairs come from writers that carry _row_id forward and
+    bump the sequence (`update_where`); writers that model updates as
+    delete+insert (eq-delete `merge_upsert`) surface here as exactly
+    that. Requires a format-v3 table whose lineage is fully assigned at
+    BOTH snapshots (a just-upgraded, never-committed table raises).
+
+    Output: table columns + ``_row_id`` + ``_change_type`` +
+    ``_commit_snapshot_id`` (the newer snapshot — the diff attributes
+    the range, not each intermediate commit; walk ranges for that).
+
+    Scale: two pruned snapshot scans and one shuffle on an 8-byte key;
+    output sorted nowhere, aggregated nowhere — O(table + changes),
+    and O(changes) once partition/metrics pruning narrows the scans.
+    """
+    md = table.metadata
+    if md.format_version < 3:
+        raise ValueError(
+            "changelog_by_lineage requires a format-version 3 table "
+            f"(this table is v{md.format_version})"
+        )
+    to_id = to_snapshot_id if to_snapshot_id is not None else (
+        table.current_snapshot().snapshot_id if table.current_snapshot() else None
+    )
+    if to_id is None:
+        raise ValueError("table has no snapshots")
+
+    def _lineage_scan(snap_id: int) -> DataFrame:
+        scan = table.scan(snapshot_id=snap_id, with_lineage=True)
+        for t in scan.plan_files():
+            vc = t.file.value_counts or {}
+            from .manifests import ROW_ID_FIELD_ID
+
+            if t.file.first_row_id is None and ROW_ID_FIELD_ID not in vc:
+                raise ValueError(
+                    f"file {t.file.file_path} has no assigned row ids as of "
+                    f"snapshot {snap_id}; commit once after the v3 upgrade "
+                    "before diffing by lineage"
+                )
+        return scan.to_df(spark)
+
+    old = _lineage_scan(from_snapshot_id)
+    new = _lineage_scan(to_id)
+    data_cols = [f.name for f in table.schema.fields]
+
+    o = old.select(
+        F.col("_row_id").alias("_rid"),
+        F.col("_last_updated_sequence_number").alias("_oseq"),
+        *[F.col(c).alias(f"_o_{c}") for c in data_cols],
+    )
+    n = new.select(
+        F.col("_row_id").alias("_rid"),
+        F.col("_last_updated_sequence_number").alias("_nseq"),
+        *[F.col(c).alias(f"_n_{c}") for c in data_cols],
+    )
+    j = o.join(n, "_rid", "full_outer")
+
+    def _emit(side: str, kind: str, flt):
+        return j.filter(flt).select(
+            *[F.col(f"_{side}_{c}").alias(c) for c in data_cols],
+            F.col("_rid").alias("_row_id"),
+            F.lit(kind).alias(CHANGE_TYPE),
+            F.lit(to_id).cast("long").alias(COMMIT_SNAPSHOT),
+        )
+
+    inserted = _emit("n", "insert", F.col("_oseq").isNull() & F.col("_nseq").isNotNull())
+    deleted = _emit("o", "delete", F.col("_nseq").isNull() & F.col("_oseq").isNotNull())
+    upd = F.col("_oseq").isNotNull() & F.col("_nseq").isNotNull() & (
+        F.col("_nseq") > F.col("_oseq")
+    )
+    pre = _emit("o", "update_preimage", upd)
+    post = _emit("n", "update_postimage", upd)
+    return inserted.unionByName(deleted).unionByName(pre).unionByName(post)

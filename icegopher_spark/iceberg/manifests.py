@@ -51,6 +51,18 @@ ROW_ID_FIELD_ID = 2147483540
 LAST_UPDATED_SEQ_FIELD_ID = 2147483539
 
 
+def has_materialized_row_ids(df: "DataFile") -> bool:
+    """True when every row of the file carries a physical _row_id
+    (lineage-preserving rewrites: compaction, CoW delete/update) —
+    provable from metadata alone via the writer's value/null counts
+    under the reserved field id. Such files neither consume from the
+    table's next-row-id at commit nor receive an inherited first_row_id
+    at read time; the two sites MUST agree or ranges overlap."""
+    vc = df.value_counts or {}
+    nvc = df.null_value_counts or {}
+    return ROW_ID_FIELD_ID in vc and nvc.get(ROW_ID_FIELD_ID) == 0
+
+
 # -- data structures --------------------------------------------------------
 
 
@@ -524,6 +536,9 @@ def fetch_entries(
                 df.content == DataFileContent.DATA
                 and df.first_row_id is None
                 and e.status != ManifestEntryStatus.DELETED
+                # fully-materialized rewrites read ids from the file
+                # itself — they were skipped at consumption time too
+                and not has_materialized_row_ids(df)
             ):
                 df.first_row_id = running
                 running += df.record_count

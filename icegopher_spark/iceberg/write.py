@@ -560,6 +560,17 @@ def _write_data_files(
 
     in_cols = set(df.columns)
     sel = []
+    # V3 lineage-preserving rewrites (delete_where/update_where on v3
+    # tables) pass frames that carry the reserved lineage columns; keep
+    # them so they land in the files (collect_data_file records them
+    # under the reserved field ids; the scan coalesces them)
+    from .manifests import LAST_UPDATED_SEQ_COL, ROW_ID_COL
+
+    lineage_extras = [
+        F.col(c).cast("bigint").alias(c)
+        for c in (ROW_ID_COL, LAST_UPDATED_SEQ_COL)
+        if c in in_cols
+    ]
     for f in schema.fields:
         if f.name in in_cols:
             sel.append(F.col(f.name).cast(to_spark_type(f.field_type)).alias(f.name))
@@ -574,7 +585,7 @@ def _write_data_files(
             sel.append(
                 dc.alias(f.name) if dc is not None else F.col(f.name).cast(to_spark_type(f.field_type)).alias(f.name)
             )
-    df = df.select(*sel)
+    df = df.select(*sel, *lineage_extras)
     fmt = table.properties.get("write.format.default", "parquet").lower()
     # write.distribution-mode (Iceberg table property): how rows reach
     # write tasks. none = no shuffle (one file per task×partition — most
@@ -951,11 +962,17 @@ def _commit_snapshot(
     next_row_id = md.next_row_id if md.format_version >= 3 else None
     if next_row_id is not None:
         snap_first_row_id = next_row_id
+        from .manifests import has_materialized_row_ids
+
         new_entry_rows = sum(
             e.data_file.record_count
             for e in all_new_entries
             if e.data_file.content == DataFileContent.DATA
             and e.data_file.first_row_id is None
+            # lineage-preserving rewrites carry ids physically: they
+            # consume nothing (and fetch_entries skips them — the two
+            # sites must agree or ranges overlap)
+            and not has_materialized_row_ids(e.data_file)
         )
         for m in manifests:
             if m.content != ManifestContent.DATA or m.first_row_id is not None:
@@ -979,6 +996,7 @@ def _commit_snapshot(
                         if e.data_file.content == DataFileContent.DATA
                         and e.data_file.first_row_id is None
                         and e.status != ManifestEntryStatus.DELETED
+                        and not has_materialized_row_ids(e.data_file)
                     )
             m.first_row_id = next_row_id
             next_row_id += consumed
@@ -1677,6 +1695,21 @@ def delete_where(table: Table, spark: SparkSession, row_filter) -> Table:
     if snap is None:
         return table
 
+    # V3 row lineage: surviving rows of a rewritten file are the SAME
+    # rows, so the rewrite materializes _row_id/_last_updated_sequence_
+    # number physically (like compaction). Non-parquet output can't
+    # carry the reserved columns through this path — refuse rather than
+    # silently reassign ids (delete_where_mor/_dv preserve ids on any
+    # format since they never rewrite data files).
+    preserve_lineage = table.metadata.format_version >= 3
+    out_fmt = table.properties.get("write.format.default", "parquet").lower()
+    if preserve_lineage and out_fmt != "parquet":
+        raise ValueError(
+            "lineage-preserving copy-on-write delete requires parquet "
+            f"output; write.format.default={out_fmt!r} on a v3 table "
+            "would reassign row ids — use delete_where_mor/_dv instead"
+        )
+
     tasks = table.scan(row_filter=row_filter).plan_files()
     affected = {t.file.file_path for t in tasks}
 
@@ -1719,7 +1752,7 @@ def delete_where(table: Table, spark: SparkSession, row_filter) -> Table:
         # NULL-evaluating rows too, silently deleting rows the predicate
         # does not match (r5 review — data loss on nullable columns)
         keep_rows = (
-            table.scan()
+            table.scan(with_lineage=preserve_lineage)
             .to_df(spark, tasks=tasks)
             .filter(~F.coalesce(to_spark_column(row_filter), F.lit(False)))
         )
@@ -1731,6 +1764,111 @@ def delete_where(table: Table, spark: SparkSession, row_filter) -> Table:
         table,
         new_files,
         OP_DELETE,
+        keep_manifests=keep_delete_manifests,
+        retained_entries=untouched,
+    )
+
+
+def update_where(
+    table: Table,
+    spark: SparkSession,
+    row_filter,
+    assignments: dict[str, Any],
+) -> Table:
+    """Copy-on-write UPDATE: files that may contain matches are
+    rewritten with ``assignments`` (column name -> Column expression or
+    literal, evaluated against the PRE-update row) applied to matching
+    rows; untouched files are retained. One atomic snapshot.
+
+    V3 row lineage (spec: updates carry _row_id forward and bump
+    _last_updated_sequence_number): updated rows keep their _row_id and
+    get a NULL materialized sequence — inheriting the committing data
+    sequence at read time — while carried rows materialize their old
+    sequence. This is what makes `changelog_by_lineage` report true
+    update pre/post image pairs instead of delete+insert."""
+    from .expressions import to_spark_column
+    from .manifests import (
+        LAST_UPDATED_SEQ_COL,
+        ManifestContent,
+        ROW_ID_COL,
+        fetch_entries,
+        read_manifest_list,
+    )
+    from .types import to_spark_type
+
+    snap = table.current_snapshot()
+    if snap is None:
+        return table
+    schema = table.schema
+    known = {f.name for f in schema.fields}
+    bad = set(assignments) - known
+    if bad:
+        raise ValueError(f"update_where assigns unknown columns: {sorted(bad)}")
+
+    preserve_lineage = table.metadata.format_version >= 3
+    out_fmt = table.properties.get("write.format.default", "parquet").lower()
+    if preserve_lineage and out_fmt != "parquet":
+        raise ValueError(
+            "lineage-preserving copy-on-write update requires parquet "
+            f"output; write.format.default={out_fmt!r} on a v3 table "
+            "would reassign row ids"
+        )
+
+    tasks = table.scan(row_filter=row_filter).plan_files()
+    affected = {t.file.file_path for t in tasks}
+    if not affected:
+        return table
+
+    md = table.metadata
+    untouched: list[ManifestEntry] = []
+    keep_delete_manifests = []
+    for m in read_manifest_list(table.io.read(snap.manifest_list)):
+        if m.content != ManifestContent.DATA:
+            keep_delete_manifests.append(m)
+            continue
+        entries = fetch_entries(m, table.io.read(m.manifest_path), discard_deleted=True)
+        if m.partition_spec_id != md.default_spec_id:
+            survivors = [e for e in entries if e.data_file.file_path not in affected]
+            if len(survivors) == len(entries):
+                keep_delete_manifests.append(m)
+            elif survivors:
+                keep_delete_manifests.append(
+                    _rewrite_manifest_for_spec(table, m, survivors)
+                )
+            continue
+        for e in entries:
+            if e.data_file.file_path not in affected:
+                untouched.append(e)
+
+    rows = table.scan(with_lineage=preserve_lineage).to_df(spark, tasks=tasks)
+    # NULL-evaluating rows are NOT matches (same rule as delete_where)
+    cond = F.coalesce(to_spark_column(row_filter), F.lit(False))
+    cols = []
+    for f in schema.fields:
+        if f.name in assignments:
+            v = assignments[f.name]
+            vcol = v if isinstance(v, Column) else F.lit(v)
+            cols.append(
+                F.when(cond, vcol.cast(to_spark_type(f.field_type)))
+                .otherwise(F.col(f.name))
+                .alias(f.name)
+            )
+        else:
+            cols.append(F.col(f.name))
+    if preserve_lineage:
+        cols.append(F.col(ROW_ID_COL))
+        cols.append(
+            F.when(cond, F.lit(None).cast("bigint"))
+            .otherwise(F.col(LAST_UPDATED_SEQ_COL))
+            .alias(LAST_UPDATED_SEQ_COL)
+        )
+    new_rows = rows.select(*cols)
+    pairs = _write_data_files(table, new_rows, f"{table.location}/data")
+    new_files = [collect_data_file(p, schema, part) for p, part in pairs]
+    return _commit_snapshot(
+        table,
+        new_files,
+        OP_OVERWRITE,
         keep_manifests=keep_delete_manifests,
         retained_entries=untouched,
     )

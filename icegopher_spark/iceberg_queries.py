@@ -390,6 +390,113 @@ def _lineage_table_for(spark: SparkSession, sf_dir: str) -> Table:
 # read the initial-defaults ('legacy' / 0.25); post-evolution rows carry
 # explicit values. 0.25 and qty*0.5 are binary-exact, so the decimal
 # casts agree bit-for-bit across engines.
+# Lineage CDC: diff the table between the first append and HEAD, keyed
+# on _row_id. Relative to snapshot 1 (evens only): odd non-F rows are
+# inserts (P rows already carrying the updated price), even F rows are
+# deletes, even P rows are update pre/post pairs; rows compaction or
+# CoW carried over must NOT appear. int_price_chk counts only
+# integral-valued prices (exact in both engines): original cents-valued
+# prices mostly drop out, the okey*2 updates always count.
+ice_cdc_oracle = """
+WITH evens AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice,
+         ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS rid
+  FROM orders WHERE o_orderkey % 2 = 0
+), odds AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice,
+         (SELECT COUNT(*) FROM orders WHERE o_orderkey % 2 = 0)
+           + ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS rid
+  FROM orders WHERE o_orderkey % 2 = 1
+), ranked AS (
+  SELECT * FROM evens UNION ALL SELECT * FROM odds
+), changes AS (
+  SELECT 'insert' AS change_type, rid, o_orderkey,
+         CASE WHEN o_orderstatus = 'P'
+              THEN CAST(o_orderkey * 2 AS DOUBLE) ELSE o_totalprice END AS price
+  FROM ranked WHERE o_orderkey % 2 = 1 AND o_orderstatus <> 'F'
+  UNION ALL
+  SELECT 'delete', rid, o_orderkey, o_totalprice
+  FROM ranked WHERE o_orderkey % 2 = 0 AND o_orderstatus = 'F'
+  UNION ALL
+  SELECT 'update_preimage', rid, o_orderkey, o_totalprice
+  FROM ranked WHERE o_orderkey % 2 = 0 AND o_orderstatus = 'P'
+  UNION ALL
+  SELECT 'update_postimage', rid, o_orderkey, CAST(o_orderkey * 2 AS DOUBLE)
+  FROM ranked WHERE o_orderkey % 2 = 0 AND o_orderstatus = 'P'
+)
+SELECT change_type, COUNT(*) AS n_rows,
+       CAST(SUM(rid) AS BIGINT) AS sum_rid,
+       CAST(SUM(o_orderkey) AS BIGINT) AS sum_okey,
+       CAST(SUM(CASE WHEN price = FLOOR(price)
+                     THEN CAST(price AS BIGINT) ELSE 0 END) AS BIGINT)
+         AS int_price_chk
+FROM changes
+GROUP BY change_type
+"""
+
+
+@register(
+    "iceberg_lineage_changelog",
+    ice_cdc_oracle,
+    "V3 lineage CDC: changelog_by_lineage emits insert/delete/update "
+    "pre+post pairs keyed on _row_id; carryover rewrites emit nothing",
+)
+def iceberg_lineage_changelog(spark: SparkSession, sf: str) -> DataFrame:
+    from .iceberg.changelog import changelog_by_lineage
+
+    t = _cdc_table_for(spark, sf)
+    first = min(t.metadata.snapshots, key=lambda s: s.sequence_number)
+    df = changelog_by_lineage(t, spark, first.snapshot_id)
+    return df.groupBy(F.col("_change_type").alias("change_type")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("_row_id").cast("long").alias("sum_rid"),
+        F.sum("o_orderkey").cast("long").alias("sum_okey"),
+        F.sum(
+            F.when(
+                F.col("o_totalprice") == F.floor("o_totalprice"),
+                F.col("o_totalprice").cast("long"),
+            ).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("int_price_chk"),
+    )
+
+
+def _cdc_table_for(spark: SparkSession, sf_dir: str) -> Table:
+    """v3 orders table with deterministic row ids (sorted single-file
+    appends), then a CoW update (P rows: price -> okey*2, _row_id kept,
+    seq bumped) and a DV delete (F rows). 4-commit sequence pinned."""
+
+    def build(loc: str) -> Table:
+        od = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        )
+        t = W.create_table(loc, _ORDERS_SCHEMA, format_version=3)
+        for par in (0, 1):
+            t = W.append(
+                t,
+                od.filter(F.col("o_orderkey") % 2 == par)
+                .repartition(1)
+                .sortWithinPartitions("o_orderkey"),
+            )
+        t = W.update_where(
+            t,
+            spark,
+            E.equal_to("o_orderstatus", "P"),
+            {"o_totalprice": F.col("o_orderkey") * 2},
+        )
+        return W.delete_where_dv(t, spark, E.equal_to("o_orderstatus", "F"))
+
+    return _cached_table(
+        sf_dir,
+        "orders_cdc",
+        lambda t: t.metadata.format_version == 3
+        and len(t.metadata.snapshots) == 4
+        and [s.operation for s in t.metadata.snapshots][-2:] == ["overwrite", "delete"],
+        build,
+    )
+
+
 ice_default_oracle = """
 SELECT CASE WHEN l_orderkey % 2 = 0 THEN 'legacy' ELSE 'new' END AS tag,
        COUNT(*) AS n_rows,

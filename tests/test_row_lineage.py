@@ -201,3 +201,89 @@ def test_downgrade_refused(v3_table):
 def test_lineage_off_schema_unchanged(spark, v3_table):
     cols = t_cols = v3_table.scan().to_df(spark).columns
     assert "_row_id" not in cols and "_last_updated_sequence_number" not in t_cols
+
+
+def test_rewrite_manifests_keeps_ids(spark, v3_table):
+    from icegopher_spark.iceberg.maintenance import rewrite_manifests
+
+    before = _lineage_rows(spark, v3_table)
+    t = rewrite_manifests(v3_table)
+    manifests = read_manifest_list(t.io.read(t.current_snapshot().manifest_list))
+    assert len([m for m in manifests if m.content == ManifestContent.DATA]) == 1
+    # consolidation materialized every id: rows keep them exactly
+    assert _lineage_rows(spark, t) == before
+    # and post-rewrite appends never collide with the materialized ids
+    t = W.append(t, _mkdf(spark, range(300, 302)))
+    got = _lineage_rows(spark, t)
+    ids = [rid for rid, _ in got.values()]
+    assert len(ids) == len(set(ids))
+
+
+def test_update_where_preserves_ids_and_bumps_seq(spark, v3_table):
+    import icegopher_spark.iceberg.expressions as E
+
+    before = _lineage_rows(spark, v3_table)
+    t = W.update_where(v3_table, spark, E.less_than("id", 3), {"grp": "updated"})
+    new_seq = t.metadata.last_sequence_number
+    got = _lineage_rows(spark, t)
+    assert set(got) == set(before)
+    for i, (rid, seq) in got.items():
+        assert rid == before[i][0], "update must carry _row_id forward"
+        if i < 3:
+            assert seq == new_seq, "updated rows bump to the committing seq"
+        else:
+            assert seq == before[i][1], "carried rows keep their old seq"
+    rows = {r["id"]: r["grp"] for r in t.scan().to_df(spark).collect()}
+    assert rows[0] == "updated" and rows[2] == "updated"
+    assert rows[5] == "odd" and rows[100] == "even"
+
+
+def test_update_where_rejects_unknown_column(spark, v3_table):
+    import icegopher_spark.iceberg.expressions as E
+
+    with pytest.raises(ValueError, match="unknown columns"):
+        W.update_where(v3_table, spark, E.less_than("id", 3), {"nope": 1})
+
+
+def test_changelog_by_lineage(spark, v3_table):
+    import icegopher_spark.iceberg.expressions as E
+    from icegopher_spark.iceberg.changelog import changelog_by_lineage
+
+    t = v3_table
+    s1 = t.current_snapshot().snapshot_id
+    t = W.update_where(t, spark, E.equal_to("id", 4), {"grp": "upd"})
+    t = W.delete_where_dv(t, spark, E.equal_to("id", 7))
+    t = W.append(t, _mkdf(spark, [500]))
+    # compaction moves every row between files — pure carryover noise
+    # that a value-level diff would misreport; lineage must emit nothing
+    t = compact_data_files(t, spark, target_file_size=1 << 30)
+
+    df = changelog_by_lineage(t, spark, s1)
+    rows = df.collect()
+    by_kind = {}
+    for r in rows:
+        by_kind.setdefault(r["_change_type"], []).append(r)
+    assert [(r["id"], r["_row_id"]) for r in by_kind["insert"]] == [(500, 15)]
+    assert [(r["id"], r["_row_id"], r["grp"]) for r in by_kind["delete"]] == [
+        (7, 7, "odd")
+    ]
+    assert [(r["id"], r["_row_id"], r["grp"]) for r in by_kind["update_preimage"]] == [
+        (4, 4, "even")
+    ]
+    assert [(r["id"], r["_row_id"], r["grp"]) for r in by_kind["update_postimage"]] == [
+        (4, 4, "upd")
+    ]
+    assert len(rows) == 4, "carryover (compaction/CoW survivors) must not appear"
+
+
+def test_changelog_by_lineage_refuses_unassigned(tmp_path, spark):
+    from icegopher_spark.iceberg.changelog import changelog_by_lineage
+
+    t = W.create_table(str(tmp_path / "t"), SCHEMA)  # v2
+    t = W.append(t, _mkdf(spark, range(3)))
+    s1 = t.current_snapshot().snapshot_id
+    with pytest.raises(ValueError, match="format-version 3"):
+        changelog_by_lineage(t, spark, s1)
+    t = upgrade_format_version(t, 3)
+    with pytest.raises(ValueError, match="no assigned row ids"):
+        changelog_by_lineage(t, spark, s1, t.current_snapshot().snapshot_id)

@@ -65,6 +65,7 @@ EXTRA_SCALE_QUERIES = [
     "iceberg_dv_delete",
     "iceberg_row_lineage",
     "iceberg_default_values",
+    "iceberg_lineage_changelog",
 ]
 SCALE_QUERIES = BENCH_QUERIES + EXTRA_SCALE_QUERIES
 from icegopher_spark.queries import QUERIES, load  # noqa: E402
