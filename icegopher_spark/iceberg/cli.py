@@ -108,6 +108,8 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("identifier")
     sp.add_argument("cols", nargs="+", help="2-6 cluster columns")
     sp.add_argument("--n-files", type=int, default=8)
+    sp = sub.add_parser("partition-stats")
+    sp.add_argument("identifier")
 
     args = p.parse_args(argv)
     props = {}
@@ -270,6 +272,20 @@ def _dispatch(args, cat) -> int:
         t = cat.load_table(to_identifier(args.identifier))
         t = _add(t, list(args.paths))
         print(f"added {len(args.paths)} files; snapshot {t.current_snapshot().snapshot_id}")
+        return 0
+    if args.verb == "partition-stats":
+        from .partition_stats import compute_partition_stats
+
+        t = cat.load_table(to_identifier(args.identifier))
+        if t.current_snapshot() is None:
+            print(f"{args.identifier}: empty table (no snapshots) — nothing to compute")
+            return 0
+        t = compute_partition_stats(t)
+        entry = t.metadata.partition_statistics[-1]
+        print(
+            f"partition statistics for snapshot {entry['snapshot-id']}: "
+            f"{entry['statistics-path']} ({entry['file-size-in-bytes']} bytes)"
+        )
         return 0
     if args.verb == "register":
         if not hasattr(cat, "register_table"):

@@ -227,6 +227,11 @@ class TableMetadata:
 
         self.snapshot_log: list[dict] = raw.get("snapshot-log", [])
         self.metadata_log: list[dict] = raw.get("metadata-log", [])
+        # statistics registrations (Iceberg spec): table statistics
+        # (Puffin sketches) and partition statistics files, both lists
+        # of {snapshot-id, path, ...} dicts keyed to a snapshot
+        self.statistics: list[dict] = raw.get("statistics", [])
+        self.partition_statistics: list[dict] = raw.get("partition-statistics", [])
         self.last_sequence_number: int = raw.get("last-sequence-number", 0)
         # V3 row lineage: the next _row_id available for assignment
         # (spec v3 `next-row-id`). A v3 table that omits it starts at 0;
@@ -330,6 +335,12 @@ class TableMetadata:
             "snapshots": [s.to_json_dict() for s in self.snapshots],
             "snapshot-log": self.snapshot_log,
             "metadata-log": self.metadata_log,
+            **({"statistics": self.statistics} if self.statistics else {}),
+            **(
+                {"partition-statistics": self.partition_statistics}
+                if self.partition_statistics
+                else {}
+            ),
             "refs": {n: r.to_json_dict() for n, r in self.refs.items()},
         }
         if self.format_version >= 2:

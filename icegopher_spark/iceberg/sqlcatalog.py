@@ -344,6 +344,32 @@ class SqlCatalog:
                 for k in upd.get("removals", []):
                     props.pop(k, None)
                 raw["properties"] = props
+            elif action == "set-partition-statistics":
+                entry = upd["partition-statistics"]
+                raw["partition-statistics"] = [
+                    e
+                    for e in raw.get("partition-statistics", [])
+                    if e.get("snapshot-id") != entry.get("snapshot-id")
+                ] + [entry]
+            elif action == "remove-partition-statistics":
+                raw["partition-statistics"] = [
+                    e
+                    for e in raw.get("partition-statistics", [])
+                    if e.get("snapshot-id") != upd.get("snapshot-id")
+                ]
+            elif action == "set-statistics":
+                entry = upd.get("statistics", upd.get("statistics-file", {}))
+                raw["statistics"] = [
+                    e
+                    for e in raw.get("statistics", [])
+                    if e.get("snapshot-id") != entry.get("snapshot-id")
+                ] + [entry]
+            elif action == "remove-statistics":
+                raw["statistics"] = [
+                    e
+                    for e in raw.get("statistics", [])
+                    if e.get("snapshot-id") != upd.get("snapshot-id")
+                ]
             else:
                 raise CatalogError(f"unsupported update action {action!r}")
         new_md = parse_metadata(raw)

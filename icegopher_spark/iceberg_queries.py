@@ -390,6 +390,66 @@ def _lineage_table_for(spark: SparkSession, sf_dir: str) -> Table:
 # read the initial-defaults ('legacy' / 0.25); post-evolution rows carry
 # explicit values. 0.25 and qty*0.5 are binary-exact, so the decimal
 # casts agree bit-for-bit across engines.
+# Partition statistics file: per-partition record counts persisted at
+# metadata/ and registered under partition-statistics; the day
+# transform is SQL-derivable so the oracle recomputes every partition's
+# count from the raw rows.
+ice_pstats_oracle = """
+SELECT CAST(CAST(l_shipdate AS DATE) AS TIMESTAMP) AS day,
+       COUNT(*) AS record_count
+FROM lineitem
+GROUP BY 1
+"""
+
+
+@register(
+    "iceberg_partition_stats",
+    ice_pstats_oracle,
+    "persisted partition-statistics file (spec): manifest-aggregated "
+    "per-partition counts round-tripped through parquet + metadata",
+)
+def iceberg_partition_stats(spark: SparkSession, sf: str) -> DataFrame:
+    from .iceberg.partition_stats import read_partition_stats
+
+    t = _daypart_table_for(spark, sf)
+    return read_partition_stats(t, spark).select(
+        # dates hash-mismatch between engines (python date vs pandas
+        # datetime64) — cast BOTH sides to timestamp
+        F.col("partition.ship_day").cast("timestamp_ntz").alias("day"),
+        F.col("data_record_count").alias("record_count"),
+    )
+
+
+def _daypart_table_for(spark: SparkSession, sf_dir: str) -> Table:
+    """day(l_shipdate)-partitioned lineitem with computed partition
+    statistics; validation requires the registration to exist AND point
+    at the current snapshot (a crash between append and compute leaves
+    a loadable-but-unregistered table)."""
+    from .iceberg.partition_stats import compute_partition_stats
+
+    spec = PartitionSpec(
+        [PartitionField(4, 1000, "ship_day", parse_transform("day"))]
+    )
+
+    def build(loc: str) -> Table:
+        t = W.create_table(loc, _SCHEMA, spec)
+        t = W.append(t, _li4(spark, sf_dir))
+        return compute_partition_stats(t)
+
+    def valid(t: Table) -> bool:
+        snap = t.current_snapshot()
+        return (
+            snap is not None
+            and len(t.metadata.snapshots) == 1
+            and any(
+                e.get("snapshot-id") == snap.snapshot_id
+                for e in t.metadata.partition_statistics
+            )
+        )
+
+    return _cached_table(sf_dir, "lineitem_daypart_stats", valid, build)
+
+
 # Lineage CDC: diff the table between the first append and HEAD, keyed
 # on _row_id. Relative to snapshot 1 (evens only): odd non-F rows are
 # inserts (P rows already carrying the updated price), even F rows are

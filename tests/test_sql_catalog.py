@@ -272,3 +272,23 @@ def test_first_branch_commit_on_catalog_table(cat, spark, lineitem):
     # main still sees only the first append
     assert t.scan().to_df(spark).count() == 60
     assert t.scan(snapshot_id=audit_head).to_df(spark).count() == 100
+
+
+def test_cli_partition_stats(cat, tmp_path, spark, lineitem, capsys):
+    from icegopher_spark.iceberg import write as W
+    from icegopher_spark.iceberg.cli import main as cli_main
+    from icegopher_spark.iceberg.partition_stats import read_partition_stats
+
+    loose = W.create_table(str(tmp_path / "cli_ps"), SCHEMA)
+    loose = W.append(loose, lineitem.limit(25))
+    db = str(tmp_path / "catalog.db")
+    wh = str(tmp_path / "wh")
+    base = ["--catalog", f"sqlite:{db}", "--warehouse", wh]
+    assert cli_main([*base, "register", "db.cli_ps", loose.metadata_location]) == 0
+    assert cli_main([*base, "partition-stats", "db.cli_ps"]) == 0
+    out = capsys.readouterr().out
+    assert "partition statistics for snapshot" in out
+    cli_cat = load_catalog("cli", f"sqlite:{db}", {"warehouse": wh})
+    t = cli_cat.load_table("db.cli_ps")
+    stats = read_partition_stats(t, spark)
+    assert stats.agg(F.sum("data_record_count")).collect()[0][0] == 25

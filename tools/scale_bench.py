@@ -66,6 +66,7 @@ EXTRA_SCALE_QUERIES = [
     "iceberg_row_lineage",
     "iceberg_default_values",
     "iceberg_lineage_changelog",
+    "iceberg_partition_stats",
 ]
 SCALE_QUERIES = BENCH_QUERIES + EXTRA_SCALE_QUERIES
 from icegopher_spark.queries import QUERIES, load  # noqa: E402
