@@ -593,19 +593,42 @@ def changelog_by_lineage(
     if to_id is None:
         raise ValueError("table has no snapshots")
 
+    from .defaults import default_column
+    from .manifests import ROW_ID_FIELD_ID
+    from .types import to_spark_type
+
     def _lineage_scan(snap_id: int) -> DataFrame:
         scan = table.scan(snapshot_id=snap_id, with_lineage=True)
-        for t in scan.plan_files():
+        tasks = scan.plan_files()
+        for t in tasks:
             vc = t.file.value_counts or {}
-            from .manifests import ROW_ID_FIELD_ID
-
             if t.file.first_row_id is None and ROW_ID_FIELD_ID not in vc:
                 raise ValueError(
                     f"file {t.file.file_path} has no assigned row ids as of "
                     f"snapshot {snap_id}; commit once after the v3 upgrade "
                     "before diffing by lineage"
                 )
-        return scan.to_df(spark)
+        df = scan.to_df(spark, tasks=tasks)  # reuse: no second metadata walk
+        # project to the CURRENT schema by field id: a snapshot scan
+        # emits the SNAPSHOT schema's names (renames/drops/adds since
+        # then would otherwise crash the diff's column references).
+        # Columns that postdate the snapshot fill with initial-default,
+        # the same rule the file-level projection applies.
+        snap_schema = scan.projection()
+        cols = []
+        for f in table.schema.fields:
+            old_f = snap_schema.find_field(f.field_id)
+            if old_f is not None:
+                c = F.col(old_f.name)
+                if old_f.field_type != f.field_type:
+                    c = c.cast(to_spark_type(f.field_type))
+                cols.append(c.alias(f.name))
+            else:
+                dc = default_column(f, "initial")
+                if dc is None:
+                    dc = F.lit(None).cast(to_spark_type(f.field_type))
+                cols.append(dc.alias(f.name))
+        return df.select(*cols, "_row_id", "_last_updated_sequence_number")
 
     old = _lineage_scan(from_snapshot_id)
     new = _lineage_scan(to_id)

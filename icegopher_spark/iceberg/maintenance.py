@@ -513,7 +513,18 @@ def rewrite_clustered(
     if snap is None:
         return table
 
-    df = table.scan().to_df(spark)
+    # V3 row lineage: a z-order rewrite moves every row between files —
+    # materialize the reserved columns like compaction does; non-parquet
+    # output can't carry them, so refuse rather than reassign ids
+    preserve_lineage = table.metadata.format_version >= 3
+    out_fmt = table.properties.get("write.format.default", "parquet").lower()
+    if preserve_lineage and out_fmt != "parquet":
+        raise ValueError(
+            "lineage-preserving z-order rewrite requires parquet output; "
+            f"write.format.default={out_fmt!r} on a v3 table would "
+            "reassign row ids"
+        )
+    df = table.scan(with_lineage=preserve_lineage).to_df(spark)
     lo = df.agg(
         *[F.min(F.col(c).cast("bigint")).alias(f"m{i}") for i, c in enumerate(cols)]
     ).first()
@@ -523,7 +534,12 @@ def rewrite_clustered(
 
     schema = table.schema
     pairs = _write_data_files(
-        table, df, f"{table.location}/data", cluster_by=z, n_ranges=n_files
+        table,
+        df,
+        f"{table.location}/data",
+        cluster_by=z,
+        n_ranges=n_files,
+        carry_lineage=preserve_lineage,
     )
     new_files = [collect_data_file(p, schema, part) for p, part in pairs]
     if not new_files:

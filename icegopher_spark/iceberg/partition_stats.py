@@ -35,10 +35,9 @@ from .table import Table, strip_file_scheme
 def _unified_partition_fields(md) -> list[tuple[str, Any]]:
     """Union of partition fields across ALL specs (spec: the unified
     partition type), ordered by first appearance; (name, iceberg result
-    type). Same-named fields must agree on the result type."""
-    from .transforms import PartitionSpec  # noqa: F401
-
-    out: list[tuple[str, Any]] = []
+    type, partition field id). Same-named fields must agree on the
+    result type."""
+    out: list[tuple[str, Any, int]] = []
     seen: dict[str, Any] = {}
     for spec in md.partition_specs:
         for pf in spec.fields:
@@ -47,14 +46,17 @@ def _unified_partition_fields(md) -> list[tuple[str, Any]]:
                 continue
             rt = pf.transform.result_type(src.field_type)
             if pf.name in seen:
-                if type(seen[pf.name]) is not type(rt):
+                # value equality, not type identity: decimal(4,2) vs
+                # decimal(18,6) must conflict loudly, not silently take
+                # the first spec's precision (r6 review)
+                if seen[pf.name] != rt:
                     raise ValueError(
                         f"partition field {pf.name!r} has conflicting result "
                         f"types across specs: {seen[pf.name]} vs {rt}"
                     )
                 continue
             seen[pf.name] = rt
-            out.append((pf.name, rt))
+            out.append((pf.name, rt, pf.field_id))
     return out
 
 
@@ -76,6 +78,7 @@ def compute_partition_stats(table: Table, snapshot_id: int | None = None) -> Tab
     if snap is None:
         raise ValueError("table has no snapshots")
 
+    snap_by_id = {s.snapshot_id: s for s in md.snapshots}  # O(1) lookups
     agg: dict[tuple, dict] = {}
     for m in read_manifest_list(table.io.read(snap.manifest_list)):
         for e in fetch_entries(m, table.io.read(m.manifest_path), discard_deleted=True):
@@ -106,7 +109,7 @@ def compute_partition_stats(table: Table, snapshot_id: int | None = None) -> Tab
             elif df.content == DataFileContent.EQUALITY_DELETES:
                 row["equality_delete_record_count"] += df.record_count
                 row["equality_delete_file_count"] += 1
-            esnap = md.snapshot_by_id(e.snapshot_id) if e.snapshot_id else None
+            esnap = snap_by_id.get(e.snapshot_id) if e.snapshot_id else None
             if esnap is not None and (
                 row["last_updated_at"] is None or esnap.timestamp_ms > row["last_updated_at"]
             ):
@@ -114,43 +117,58 @@ def compute_partition_stats(table: Table, snapshot_id: int | None = None) -> Tab
                 row["last_updated_snapshot_id"] = esnap.snapshot_id
 
     part_fields = _unified_partition_fields(md)
+
+    def _fid(f: "pa.Field", fid: int) -> "pa.Field":
+        # the spec resolves partition-stats columns BY FIELD ID — stamp
+        # the standard parquet field-id metadata on every field
+        return f.with_metadata({b"PARQUET:field_id": str(fid).encode()})
+
     # parquet cannot encode an EMPTY struct: unpartitioned tables get a
     # partition-less stats file (one row per spec, usually one total)
     part_cols = (
         [
-            pa.field(
-                "partition",
-                pa.struct(
-                    [
-                        pa.field(n, to_arrow_type(to_spark_type(t)), nullable=True)
-                        for n, t in part_fields
-                    ]
+            _fid(
+                pa.field(
+                    "partition",
+                    pa.struct(
+                        [
+                            _fid(
+                                pa.field(
+                                    n, to_arrow_type(to_spark_type(t)), nullable=True
+                                ),
+                                pfid,
+                            )
+                            for n, t, pfid in part_fields
+                        ]
+                    ),
+                    nullable=False,
                 ),
-                nullable=False,
+                1,
             )
         ]
         if part_fields
         else []
     )
+    # fixed spec field ids: 2 spec_id … 12 last_updated_snapshot_id
     schema = pa.schema(
         [
             *part_cols,
-            pa.field("spec_id", pa.int32(), nullable=False),
-            pa.field("data_record_count", pa.int64(), nullable=False),
-            pa.field("data_file_count", pa.int32(), nullable=False),
-            pa.field("total_data_file_size_in_bytes", pa.int64(), nullable=False),
-            pa.field("position_delete_record_count", pa.int64()),
-            pa.field("position_delete_file_count", pa.int32()),
-            pa.field("equality_delete_record_count", pa.int64()),
-            pa.field("equality_delete_file_count", pa.int32()),
-            pa.field("total_record_count", pa.int64()),
-            pa.field("last_updated_at", pa.int64()),
-            pa.field("last_updated_snapshot_id", pa.int64()),
+            _fid(pa.field("spec_id", pa.int32(), nullable=False), 2),
+            _fid(pa.field("data_record_count", pa.int64(), nullable=False), 3),
+            _fid(pa.field("data_file_count", pa.int32(), nullable=False), 4),
+            _fid(pa.field("total_data_file_size_in_bytes", pa.int64(), nullable=False), 5),
+            _fid(pa.field("position_delete_record_count", pa.int64()), 6),
+            _fid(pa.field("position_delete_file_count", pa.int32()), 7),
+            _fid(pa.field("equality_delete_record_count", pa.int64()), 8),
+            _fid(pa.field("equality_delete_file_count", pa.int32()), 9),
+            _fid(pa.field("total_record_count", pa.int64()), 10),
+            _fid(pa.field("last_updated_at", pa.int64()), 11),
+            _fid(pa.field("last_updated_snapshot_id", pa.int64()), 12),
         ]
     )
     # deterministic order: sort by (spec_id, partition repr)
     items = sorted(agg.items(), key=lambda kv: (kv[0][0], repr(kv[0][1])))
-    names = [n for n, _t in part_fields]
+    names = [n for n, _t, _fid2 in part_fields]
     rows = []
     for (sid, pkey), row in items:
         pdict = dict(pkey)

@@ -358,7 +358,14 @@ class SqlCatalog:
                     if e.get("snapshot-id") != upd.get("snapshot-id")
                 ]
             elif action == "set-statistics":
-                entry = upd.get("statistics", upd.get("statistics-file", {}))
+                entry = upd.get("statistics") or upd.get("statistics-file")
+                if not entry or entry.get("snapshot-id") is None:
+                    # a snapshot-id-only (deprecated) or empty payload
+                    # would persist a junk {} entry forever — reject
+                    raise CatalogError(
+                        "set-statistics requires a statistics file entry "
+                        "with a snapshot-id"
+                    )
                 raw["statistics"] = [
                     e
                     for e in raw.get("statistics", [])

@@ -537,6 +537,7 @@ def _write_data_files(
     data_dir: str,
     cluster_by: Column | None = None,
     n_ranges: int | None = None,
+    carry_lineage: bool = False,
 ) -> list[tuple[str, dict[str, Any]]]:
     """Write parquet clustered by the partition transforms; returns
     (path, partition tuple) pairs. Partition evaluation uses the
@@ -560,17 +561,25 @@ def _write_data_files(
 
     in_cols = set(df.columns)
     sel = []
-    # V3 lineage-preserving rewrites (delete_where/update_where on v3
-    # tables) pass frames that carry the reserved lineage columns; keep
-    # them so they land in the files (collect_data_file records them
-    # under the reserved field ids; the scan coalesces them)
+    # V3 lineage-preserving rewrites (delete_where / update_where /
+    # rewrite_clustered on v3 tables) OPT IN to carrying the reserved
+    # lineage columns into the files (collect_data_file records them
+    # under the reserved field ids; the scan coalesces them). This is
+    # an explicit parameter, NOT name-sniffing: a user append of a
+    # frame that happens to carry _row_id (scan-with-lineage copy /
+    # backfill pattern) must get FRESH ids, not silently duplicate
+    # live ones (r6 review).
     from .manifests import LAST_UPDATED_SEQ_COL, ROW_ID_COL
 
-    lineage_extras = [
-        F.col(c).cast("bigint").alias(c)
-        for c in (ROW_ID_COL, LAST_UPDATED_SEQ_COL)
-        if c in in_cols
-    ]
+    lineage_extras = (
+        [
+            F.col(c).cast("bigint").alias(c)
+            for c in (ROW_ID_COL, LAST_UPDATED_SEQ_COL)
+            if c in in_cols
+        ]
+        if carry_lineage
+        else []
+    )
     for f in schema.fields:
         if f.name in in_cols:
             sel.append(F.col(f.name).cast(to_spark_type(f.field_type)).alias(f.name))
@@ -1757,7 +1766,12 @@ def delete_where(table: Table, spark: SparkSession, row_filter) -> Table:
             .filter(~F.coalesce(to_spark_column(row_filter), F.lit(False)))
         )
         if keep_rows.limit(1).count() > 0:
-            pairs = _write_data_files(table, keep_rows, f"{table.location}/data")
+            pairs = _write_data_files(
+                table,
+                keep_rows,
+                f"{table.location}/data",
+                carry_lineage=preserve_lineage,
+            )
             new_files = [collect_data_file(p, table.schema, part) for p, part in pairs]
 
     return _commit_snapshot(
@@ -1863,7 +1877,9 @@ def update_where(
             .alias(LAST_UPDATED_SEQ_COL)
         )
     new_rows = rows.select(*cols)
-    pairs = _write_data_files(table, new_rows, f"{table.location}/data")
+    pairs = _write_data_files(
+        table, new_rows, f"{table.location}/data", carry_lineage=preserve_lineage
+    )
     new_files = [collect_data_file(p, schema, part) for p, part in pairs]
     return _commit_snapshot(
         table,

@@ -85,6 +85,7 @@ def test_random_ops_keep_lineage_invariants(spark, tmp_path, seed):
             ]
         )
         next_before = t.metadata.next_row_id
+        merged_keys: set = set()
         if op == "append":
             rows = fresh_rows(rng.randint(1, 8))
             t = W.append(t, df_of(rows))
@@ -128,12 +129,11 @@ def test_random_ops_keep_lineage_invariants(spark, tmp_path, seed):
             src = [(k, 111.0, "m") for k in [*existing, *new]]
             t = W.merge_upsert(t, spark, df_of(src), ["k"])
             seq = t.metadata.last_sequence_number
+            merged_keys = set()
             for k, v, tag in src:
                 model[k] = [v, tag, seq]
-                # replaced/new keys are NEW rows: fresh id required
-                old_rid = rids.pop(k, None)
-                if old_rid is not None:
-                    assert old_rid < next_before
+                rids.pop(k, None)  # replaced/new keys are NEW rows
+                merged_keys.add(k)
         elif op == "compact":
             t = compact_data_files(
                 t, spark, target_file_size=1 << 20, small_file_threshold=1 << 20
@@ -157,3 +157,7 @@ def test_random_ops_keep_lineage_invariants(spark, tmp_path, seed):
             else:
                 rids[k] = rid
             assert seq == model[k][2], f"{ctx}: seq mismatch for k={k}"
+        for k in merged_keys:
+            # merge models update as delete+insert: the replacement row
+            # is NEW and must take a fresh id, never recycle the old one
+            assert got[k][2] >= next_before, f"{ctx}: merged k={k} reused an id"

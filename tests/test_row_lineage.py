@@ -287,3 +287,63 @@ def test_changelog_by_lineage_refuses_unassigned(tmp_path, spark):
     t = upgrade_format_version(t, 3)
     with pytest.raises(ValueError, match="no assigned row ids"):
         changelog_by_lineage(t, spark, s1, t.current_snapshot().snapshot_id)
+
+
+def test_append_of_lineage_frame_gets_fresh_ids(spark, v3_table):
+    """A user append of a frame that happens to carry _row_id (e.g. a
+    scan-with-lineage copy) must get FRESH ids — the reserved columns
+    are carried only by explicit lineage-preserving rewrites."""
+    src = (
+        v3_table.scan(with_lineage=True)
+        .to_df(spark)
+        .filter(F.col("id") < 2)
+        .withColumn("id", F.col("id") + 9000)
+    )
+    t = W.append(v3_table, src)
+    got = _lineage_rows(spark, t)
+    ids = [rid for rid, _ in got.values()]
+    assert len(ids) == len(set(ids)), "copied rows duplicated live _row_ids"
+    assert got[9000][0] >= 15 and got[9001][0] >= 15
+
+
+def test_zorder_preserves_ids(spark, v3_table):
+    from icegopher_spark.iceberg.maintenance import rewrite_clustered
+
+    before = _lineage_rows(spark, v3_table)
+    t = rewrite_clustered(v3_table, spark, "id", "id", n_files=2)
+    assert _lineage_rows(spark, t) == before
+
+
+def test_changelog_by_lineage_across_schema_evolution(spark, v3_table):
+    import icegopher_spark.iceberg.expressions as E
+    from icegopher_spark.iceberg.changelog import changelog_by_lineage
+    from icegopher_spark.iceberg.evolve import update_schema
+
+    t = v3_table
+    s1 = t.current_snapshot().snapshot_id
+    t = (
+        update_schema(t)
+        .rename_column("grp", "bucket")
+        .add_column("note", StringType(), default="d")
+        .commit()
+    )
+    t = W.append(
+        t,
+        spark.createDataFrame(
+            [(700, "even", "x")], "id bigint, bucket string, note string"
+        ).coalesce(1),
+    )
+    t = W.delete_where_dv(t, spark, E.equal_to("id", 3))
+    rows = changelog_by_lineage(t, spark, s1).collect()
+    by_kind = {}
+    for r in rows:
+        by_kind.setdefault(r["_change_type"], []).append(r)
+    assert [(r["id"], r["bucket"], r["note"]) for r in by_kind["insert"]] == [
+        (700, "even", "x")
+    ]
+    # old-side image surfaces under CURRENT names; the post-snapshot
+    # column fills with its initial-default
+    assert [(r["id"], r["bucket"], r["note"]) for r in by_kind["delete"]] == [
+        (3, "odd", "d")
+    ]
+    assert set(by_kind) == {"insert", "delete"}
