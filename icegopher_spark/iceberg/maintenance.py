@@ -371,6 +371,23 @@ def expire_snapshots(
     raw["snapshot-log"] = [
         e for e in raw.get("snapshot-log", []) if e.get("snapshot-id") not in expired_ids
     ]
+    # statistics registrations are keyed to a snapshot: drop the ones
+    # whose snapshot expired (spec behavior) and delete their files
+    # with the same commit-then-clean ordering as everything else
+    dropped_stats: dict[str, list[int]] = {}
+    for key in ("statistics", "partition-statistics"):
+        kept_entries = []
+        for e in raw.get(key, []):
+            if e.get("snapshot-id") in expired_ids:
+                dropped_stats.setdefault(key, []).append(e.get("snapshot-id"))
+                if delete_files and e.get("statistics-path"):
+                    doomed.append(e["statistics-path"])
+            else:
+                kept_entries.append(e)
+        if kept_entries:
+            raw[key] = kept_entries
+        else:
+            raw.pop(key, None)
     raw["refs"] = {name: r.to_json_dict() for name, r in surviving_refs.items()}
     # a kept snapshot whose parent was expired keeps the dangling
     # parent-snapshot-id, matching Iceberg (history() just stops there)
@@ -388,6 +405,12 @@ def expire_snapshots(
         _ref_update(name, r)
         for name, r in surviving_refs.items()
         if md.refs.get(name) != r
+    ] + [
+        # catalog-routed commits replay granular actions, not our raw
+        # dict: the stats registrations must be dropped explicitly
+        {"action": f"remove-{key}", "snapshot-id": sid}
+        for key, sids in dropped_stats.items()
+        for sid in sids
     ]
     table = commit_metadata_update(table, new_md, updates)
     for path in doomed:
@@ -444,6 +467,13 @@ def orphan_files(
     for fn in os.listdir(os.path.join(location, "metadata")):
         if fn.endswith(".metadata.json") or fn == "version-hint.text":
             referenced.add(os.path.join(location, "metadata", fn))
+    # registered statistics files are LIVE metadata, not orphans —
+    # without this, remove_orphan_files deletes every partition-stats
+    # parquet older than the age cutoff while still registered (r6)
+    for e in [*md.statistics, *md.partition_statistics]:
+        p = e.get("statistics-path")
+        if p:
+            referenced.add(strip_file_scheme(p))
     mcache: dict[str, set[str]] = {}
     for s in md.snapshots:
         referenced.add(strip_file_scheme(s.manifest_list))

@@ -96,3 +96,30 @@ def test_partition_stats_requires_snapshot(tmp_path, spark):
     t = W.append(t, _df(spark, 3))
     with pytest.raises(ValueError, match="no partition statistics"):
         read_partition_stats(t, spark)
+
+
+def test_expire_drops_stats_and_orphan_keeps_live(tmp_path, spark):
+    import os
+
+    from icegopher_spark.iceberg.maintenance import expire_snapshots, orphan_files
+
+    t = W.create_table(str(tmp_path / "t"), SCHEMA, SPEC)
+    t = W.append(t, _df(spark, 9))
+    t = compute_partition_stats(t)
+    old_path = t.metadata.partition_statistics[0]["statistics-path"]
+    t = W.append(t, _df(spark, 6, day0=10))
+    t = compute_partition_stats(t)
+    assert len(t.metadata.partition_statistics) == 2
+    # live registrations are never orphans, whatever their age
+    assert old_path not in set(orphan_files(t, older_than_ms=0))
+    t = expire_snapshots(t, retain_last=1)
+    # the expired snapshot's registration is gone AND its file deleted
+    assert [e["snapshot-id"] for e in t.metadata.partition_statistics] == [
+        t.current_snapshot().snapshot_id
+    ]
+    assert not os.path.exists(old_path)
+    # the surviving registration still reads back
+    assert (
+        read_partition_stats(t, spark).agg(F.sum("data_record_count")).collect()[0][0]
+        == 15
+    )
