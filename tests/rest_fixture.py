@@ -134,6 +134,23 @@ def _apply_commit(entry: dict, payload: dict) -> tuple[int, dict]:
                 md.get("properties", {}).pop(k, None)
         elif a == "set-location":
             md["location"] = u["location"]
+        elif a in ("set-statistics", "set-partition-statistics"):
+            key = "statistics" if a == "set-statistics" else "partition-statistics"
+            entry_u = u.get(key) or u.get("statistics-file")
+            if not entry_u or entry_u.get("snapshot-id") is None:
+                return 400, {"error": f"{a} requires an entry with snapshot-id"}
+            md[key] = [
+                e
+                for e in md.get(key, [])
+                if e.get("snapshot-id") != entry_u.get("snapshot-id")
+            ] + [entry_u]
+        elif a in ("remove-statistics", "remove-partition-statistics"):
+            key = "statistics" if a == "remove-statistics" else "partition-statistics"
+            md[key] = [
+                e
+                for e in md.get(key, [])
+                if e.get("snapshot-id") != u.get("snapshot-id")
+            ]
         else:
             return 400, {"error": f"unsupported update {a}"}
     md["last-updated-ms"] = md.get("last-updated-ms", 0) + 1

@@ -144,3 +144,34 @@ def test_external_uri_env_wiring(monkeypatch, tmp_path):
         assert cat.load_table((ns, "t")).metadata.table_uuid == t.metadata.table_uuid
         cat.drop_table((ns, "t"))
         cat.drop_namespace(ns)
+
+
+def test_partition_stats_commit_through_rest(spark, catalog, namespace, tmp_path):
+    """compute_partition_stats on a catalog-attached table routes the
+    set-partition-statistics action through the REST commit; expire
+    replays the remove action; a reload sees both states."""
+    from icegopher_spark.iceberg.maintenance import expire_snapshots
+    from icegopher_spark.iceberg.partition_stats import (
+        compute_partition_stats,
+        read_partition_stats,
+    )
+
+    catalog.create_table((namespace, "t4"), SCHEMA, location=f"file://{tmp_path}/t4")
+    t = catalog.load_table((namespace, "t4"))
+    df = spark.range(40).select(F.col("id").alias("k"), (F.col("id") * 0.5).alias("v"))
+    t = W.append(t, df)
+    t = compute_partition_stats(t)
+    fresh = catalog.load_table((namespace, "t4"))
+    assert len(fresh.metadata.partition_statistics) == 1
+    assert (
+        read_partition_stats(fresh, spark).agg(F.sum("data_record_count")).collect()[0][0]
+        == 40
+    )
+    old_snap = t.current_snapshot().snapshot_id
+    t = W.append(t, df)
+    t = expire_snapshots(t, retain_last=1)
+    fresh = catalog.load_table((namespace, "t4"))
+    assert all(
+        e.get("snapshot-id") != old_snap
+        for e in fresh.metadata.partition_statistics
+    )
