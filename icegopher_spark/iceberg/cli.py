@@ -110,6 +110,8 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--n-files", type=int, default=8)
     sp = sub.add_parser("partition-stats")
     sp.add_argument("identifier")
+    sp = sub.add_parser("rewrite-deletes")
+    sp.add_argument("identifier")
 
     args = p.parse_args(argv)
     props = {}
@@ -295,7 +297,7 @@ def _dispatch(args, cat) -> int:
         print(f"registered {args.identifier} at {t.metadata_location}")
         return 0
 
-    if args.verb in ("compact", "zorder"):
+    if args.verb in ("compact", "zorder", "rewrite-deletes"):
         # the only verbs that move DATA (everything else is metadata-
         # plane): spin up a local session on demand
         from ..session import get_spark
@@ -311,6 +313,17 @@ def _dispatch(args, cat) -> int:
         def _nfiles(tbl):
             s = tbl.current_snapshot()
             return int(((s.summary if s else None) or {}).get("total-data-files", "0"))
+
+        if args.verb == "rewrite-deletes":
+            before_snap = t.current_snapshot().snapshot_id
+            t = M.rewrite_position_delete_files(t, spark)
+            after = t.current_snapshot()
+            if after.snapshot_id == before_snap:
+                print(f"{args.identifier}: no positional-delete files to migrate")
+            else:
+                n_dv = (after.summary or {}).get("added-delete-files", "?")
+                print(f"migrated positional deletes -> {n_dv} deletion vectors")
+            return 0
 
         before = _nfiles(t)
         if args.verb == "compact":

@@ -582,3 +582,154 @@ def rewrite_clustered(
         retained_entries=[],
         extra_summary={"rewrite": f"zorder({','.join(cols)})"},
     )
+
+
+def rewrite_position_delete_files(
+    table: Table, spark: SparkSession, n_shards: int = 32
+) -> Table:
+    """Migrate V2 positional-delete FILES to V3 deletion vectors
+    (Iceberg's ``rewrite_position_delete_files`` action on a v3 table).
+
+    ``upgrade_format_version(3)`` flips the metadata but leaves prior
+    per-commit positional-delete parquet files in place; every scan
+    keeps paying their path-string joins until the files happen to be
+    superseded by a re-delete or compaction. This op retires them in
+    one replace commit: all live positional-delete rows are read once,
+    restricted to data files still live in the table, unioned with any
+    existing DV for the same file (the V3 one-DV-per-file superset
+    invariant ``delete_where_dv`` enforces), and rewritten as ONE
+    roaring-bitmap DV per referenced data file. Equality deletes are
+    untouched. The old delete files stay on storage for time travel
+    until ``expire_snapshots``/``remove_orphan_files`` reclaims them.
+
+    Scale shape: planning is driver-side over manifest entries;
+    delete rows shuffle once as narrow (path, pos) pairs and Puffin
+    files are written executor-side (write.py::write_dv_files), so
+    driver work is one metadata row per affected data file.
+
+    Reference anchor: manifest.go:306-312 enumerates the delete
+    content types; the migration itself is beyond-reference (the
+    reference predates V3 and cannot write at all).
+    """
+    from .table import _dv_positions_df
+    from .write import _rewrite_manifest_for_spec, write_dv_files
+
+    if table.metadata.format_version < 3:
+        raise ValueError(
+            "rewrite_position_delete_files requires a v3 table "
+            f"(format-version={table.metadata.format_version}); run "
+            "upgrade_format_version(table, 3) first"
+        )
+    snap = table.current_snapshot()
+    if snap is None:
+        return table
+
+    # Plan with the proven delete-matching logic (seq + path) so only
+    # positions for LIVE data files are migrated; positions referencing
+    # rewritten-away files are garbage and simply dropped.
+    pd_paths: set[str] = set()
+    dv_by_file: dict[str, object] = {}
+    affected: set[str] = set()
+    for t in table.scan().plan_files():
+        dpath = strip_file_scheme(t.file.file_path)
+        has_pd = False
+        for d in t.delete_files:
+            if d.is_deletion_vector:
+                dv_by_file[dpath] = d
+            else:
+                pd_paths.add(strip_file_scheme(d.file_path))
+                has_pd = True
+        if has_pd:
+            affected.add(dpath)
+    live_pd_entries = _has_positional_delete_entries(table, snap)
+    if not pd_paths and not live_pd_entries:
+        return table  # nothing to migrate
+
+    dv_files = []
+    if affected:
+        pos = spark.read.parquet(*sorted(pd_paths)).select(
+            F.regexp_replace(F.col("file_path"), "^file:/*", "/").alias(
+                "file_path"
+            ),
+            "pos",
+        )
+        aff_df = spark.createDataFrame(
+            [(p,) for p in sorted(affected)], "file_path string"
+        )
+        union_df = pos.join(F.broadcast(aff_df), "file_path", "left_semi")
+        prior_dvs = [dv_by_file[p] for p in sorted(affected) if p in dv_by_file]
+        if prior_dvs:
+            union_df = union_df.unionByName(
+                _dv_positions_df(spark, prior_dvs, table.properties).select(
+                    F.col("_del_path").alias("file_path"),
+                    F.col("_del_pos").alias("pos"),
+                )
+            )
+        # re-applied MOR deletes duplicate (path,pos) rows across files;
+        # distinct keeps the shard build proportional to unique positions
+        union_df = union_df.distinct()
+        dv_files = write_dv_files(table, union_df, n_shards=n_shards)
+    covered = {
+        strip_file_scheme(f.referenced_data_file or "") for f in dv_files
+    }
+
+    # Carry manifests forward: data untouched; delete manifests lose
+    # every plain positional-delete entry (migrated or dead-file
+    # garbage) and any DV entry superseded by a replacement DV.
+    kept: list[ManifestFile] = []
+    for m in read_manifest_list(table.io.read(snap.manifest_list)):
+        if m.content != ManifestContent.DELETES:
+            kept.append(m)
+            continue
+        entries = fetch_entries(
+            m, table.io.read(m.manifest_path), discard_deleted=True
+        )
+        survivors = []
+        for e in entries:
+            f = e.data_file
+            if f.content == DataFileContent.EQUALITY_DELETES:
+                survivors.append(e)
+            elif f.is_deletion_vector and (
+                strip_file_scheme(f.referenced_data_file or "") not in covered
+            ):
+                survivors.append(e)
+        if len(survivors) == len(entries):
+            kept.append(m)
+        elif survivors:
+            kept.append(
+                _rewrite_manifest_for_spec(
+                    table, m, survivors, content=ManifestContent.DELETES
+                )
+            )
+        # else: every entry retired — drop the manifest
+
+    return _commit_snapshot(
+        table,
+        [],
+        OP_REPLACE,
+        keep_manifests=kept,
+        delete_files=dv_files,
+        extra_summary={
+            "rewrite": "position-deletes->dv",
+            "added-delete-files": str(len(dv_files)),
+        },
+    )
+
+
+def _has_positional_delete_entries(table: Table, snap) -> bool:
+    """True if any live delete manifest still carries a plain (non-DV)
+    positional-delete entry — catches entries whose referenced data
+    files are all dead, which scan planning never surfaces."""
+    for m in read_manifest_list(table.io.read(snap.manifest_list)):
+        if m.content != ManifestContent.DELETES:
+            continue
+        for e in fetch_entries(
+            m, table.io.read(m.manifest_path), discard_deleted=True
+        ):
+            f = e.data_file
+            if (
+                f.content == DataFileContent.POSITION_DELETES
+                and not f.is_deletion_vector
+            ):
+                return True
+    return False

@@ -1311,6 +1311,100 @@ def delete_where_mor(table: Table, spark: SparkSession, row_filter) -> Table:
     )
 
 
+def write_dv_files(
+    table: Table, union_df: DataFrame, n_shards: int = 32
+) -> list[DataFile]:
+    """Build one roaring-bitmap deletion vector per data file from a
+    ``(file_path, pos)`` DataFrame and write them as Puffin files.
+
+    The heavy lifting is EXECUTOR-side: positions shuffle once on a
+    hash of ``file_path`` into ``n_shards`` shards, each shard builds
+    its files' bitmaps and writes ONE Puffin file (``applyInPandas``),
+    and only one metadata row per affected data file reaches the
+    driver. Shared by ``delete_where_dv`` and the positional-delete ->
+    DV migration (maintenance.rewrite_position_delete_files)."""
+    import pandas as pd
+
+    from .manifests import FORMAT_PUFFIN
+
+    loc = table.location
+    props = dict(table.properties or {})
+
+    def _build(pdf: pd.DataFrame) -> pd.DataFrame:
+        import uuid as _u
+
+        from .io import load_io
+        from .puffin import DV_BLOB_TYPE, dv_blob, write_puffin
+
+        blobs, rows = [], []
+        for fp, grp in pdf.groupby("file_path", sort=True):
+            blob, card = dv_blob(
+                grp["pos"].to_numpy(dtype="int64").astype("uint64")
+            )
+            blobs.append(
+                (
+                    blob,
+                    {
+                        "type": DV_BLOB_TYPE,
+                        "properties": {
+                            "referenced-data-file": fp,
+                            "cardinality": str(card),
+                        },
+                    },
+                )
+            )
+            rows.append([fp, card])
+        if not blobs:
+            return pd.DataFrame(
+                columns=[
+                    "file_path", "puffin_path", "off", "len",
+                    "cardinality", "puffin_size",
+                ]
+            )
+        data, metas = write_puffin(blobs)
+        puffin_path = f"{loc}/data/dv-{_u.uuid4().hex}.puffin"
+        load_io(puffin_path, props).write(puffin_path, data)
+        return pd.DataFrame(
+            [
+                [r[0], puffin_path, m["offset"], m["length"], r[1], len(data)]
+                for r, m in zip(rows, metas)
+            ],
+            columns=[
+                "file_path", "puffin_path", "off", "len",
+                "cardinality", "puffin_size",
+            ],
+        )
+
+    dv_rows = (
+        union_df.withColumn(
+            "_shard", F.pmod(F.xxhash64("file_path"), F.lit(n_shards))
+        )
+        .groupBy("_shard")
+        .applyInPandas(
+            lambda pdf: _build(pdf.drop(columns=["_shard"])),
+            "file_path string, puffin_path string, off bigint, len bigint, "
+            "cardinality bigint, puffin_size bigint",
+        )
+        .collect()  # one row per AFFECTED DATA FILE — metadata-scale
+    )
+    return [
+        DataFile(
+            file_path=r.puffin_path,
+            file_format=FORMAT_PUFFIN,
+            content=DataFileContent.POSITION_DELETES,
+            record_count=r.cardinality,
+            file_size_in_bytes=r.puffin_size,
+            partition={},
+            referenced_data_file=r.file_path,
+            content_offset=r.off,
+            content_size_in_bytes=r["len"],
+            lower_bounds={2147483546: r.file_path.encode()},
+            upper_bounds={2147483546: r.file_path.encode()},
+        )
+        for r in dv_rows
+    ]
+
+
 def delete_where_dv(
     table: Table, spark: SparkSession, row_filter, n_shards: int = 32
 ) -> Table:
@@ -1336,11 +1430,7 @@ def delete_where_dv(
     has no DV support — this is beyond-reference surface from the
     public spec."""
     from .expressions import to_spark_column
-    from .manifests import (
-        FORMAT_PUFFIN,
-        fetch_entries,
-        read_manifest_list,
-    )
+    from .manifests import fetch_entries, read_manifest_list
     from .table import _dv_positions_df, apply_eq_delete_anti_joins, strip_file_scheme
 
     snap = table.current_snapshot()
@@ -1445,91 +1535,14 @@ def delete_where_dv(
             )
 
         # 3) bitmaps + Puffin files, executor-side
-        import pandas as pd
-
-        loc = table.location
-        props = dict(table.properties or {})
-
-        def _build(pdf: pd.DataFrame) -> pd.DataFrame:
-            import uuid as _u
-
-            from .io import load_io
-            from .puffin import DV_BLOB_TYPE, dv_blob, write_puffin
-
-            blobs, rows = [], []
-            for fp, grp in pdf.groupby("file_path", sort=True):
-                blob, card = dv_blob(
-                    grp["pos"].to_numpy(dtype="int64").astype("uint64")
-                )
-                blobs.append(
-                    (
-                        blob,
-                        {
-                            "type": DV_BLOB_TYPE,
-                            "properties": {
-                                "referenced-data-file": fp,
-                                "cardinality": str(card),
-                            },
-                        },
-                    )
-                )
-                rows.append([fp, card])
-            if not blobs:
-                return pd.DataFrame(
-                    columns=[
-                        "file_path", "puffin_path", "off", "len",
-                        "cardinality", "puffin_size",
-                    ]
-                )
-            data, metas = write_puffin(blobs)
-            puffin_path = f"{loc}/data/dv-{_u.uuid4().hex}.puffin"
-            load_io(puffin_path, props).write(puffin_path, data)
-            return pd.DataFrame(
-                [
-                    [r[0], puffin_path, m["offset"], m["length"], r[1], len(data)]
-                    for r, m in zip(rows, metas)
-                ],
-                columns=[
-                    "file_path", "puffin_path", "off", "len",
-                    "cardinality", "puffin_size",
-                ],
-            )
-
-        dv_rows = (
-            union_df.withColumn(
-                "_shard", F.pmod(F.xxhash64("file_path"), F.lit(n_shards))
-            )
-            .groupBy("_shard")
-            .applyInPandas(
-                lambda pdf: _build(pdf.drop(columns=["_shard"])),
-                "file_path string, puffin_path string, off bigint, len bigint, "
-                "cardinality bigint, puffin_size bigint",
-            )
-            .collect()  # one row per AFFECTED DATA FILE — metadata-scale
-        )
+        dv_files = write_dv_files(table, union_df, n_shards=n_shards)
     finally:
         new_matches.unpersist()
 
-    if not dv_rows:
+    if not dv_files:
         return table
 
-    dv_files = [
-        DataFile(
-            file_path=r.puffin_path,
-            file_format=FORMAT_PUFFIN,
-            content=DataFileContent.POSITION_DELETES,
-            record_count=r.cardinality,
-            file_size_in_bytes=r.puffin_size,
-            partition={},
-            referenced_data_file=r.file_path,
-            content_offset=r.off,
-            content_size_in_bytes=r["len"],
-            lower_bounds={2147483546: r.file_path.encode()},
-            upper_bounds={2147483546: r.file_path.encode()},
-        )
-        for r in dv_rows
-    ]
-    covered = {r.file_path for r in dv_rows}
+    covered = {strip_file_scheme(f.referenced_data_file) for f in dv_files}
 
     # 4) carry manifests forward, dropping DV entries superseded by the
     # replacement DVs (at most one live DV per data file — V3 invariant)

@@ -1436,3 +1436,67 @@ def iceberg_zorder_partitioned(spark: SparkSession, sf: str) -> DataFrame:
         .alias("sum_qty"),
         F.lit(bool(planned < part_only)).alias("pruned"),
     )
+
+
+# --- V3 positional-delete -> deletion-vector migration -------------------
+
+ice_dv_migrate_oracle = """
+SELECT l_returnflag, COUNT(*) AS n_rows,
+       CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_qty,
+       CAST(SUM(l_orderkey % 1000) AS BIGINT) AS okey_chk
+FROM lineitem WHERE l_quantity >= 3 AND l_returnflag <> 'A'
+GROUP BY l_returnflag
+"""
+
+
+@register(
+    "iceberg_dv_migrate",
+    ice_dv_migrate_oracle,
+    "V2 table with two scattered MOR positional-delete commits, "
+    "upgrade_format_version(3), then rewrite_position_delete_files -> "
+    "one roaring DV per data file; scan must hash-match the pre-"
+    "migration semantics with zero surviving positional-delete entries",
+)
+def iceberg_dv_migrate(spark: SparkSession, sf: str) -> DataFrame:
+    t = _dv_migrated_table_for(spark, sf)
+    return (
+        t.scan()
+        .to_df(spark)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum(F.col("l_quantity").cast("decimal(12,2)")), 2)
+            .cast("double")
+            .alias("sum_qty"),
+            F.sum(F.col("l_orderkey") % 1000).cast("bigint").alias("okey_chk"),
+        )
+    )
+
+
+def _dv_migrated_table_for(spark: SparkSession, sf_dir: str) -> Table:
+    """V2 lineitem with two MOR delete commits (quantity<3, flag='A'),
+    upgraded to v3 and migrated: positional-delete files replaced by one
+    DV per data file in a replace commit. Four snapshots + the summary
+    marker pin the complete build (the upgrade is metadata-only)."""
+
+    def build(loc: str) -> Table:
+        from .iceberg.evolve import upgrade_format_version
+        from .iceberg.maintenance import rewrite_position_delete_files
+
+        t = W.create_table(loc, _SCHEMA, _SPEC, format_version=2)
+        t = W.append(t, _li4(spark, sf_dir))
+        t = W.delete_where_mor(t, spark, E.less_than("l_quantity", 3.0))
+        t = W.delete_where_mor(t, spark, E.equal_to("l_returnflag", "A"))
+        t = upgrade_format_version(t, 3)
+        return rewrite_position_delete_files(t, spark)
+
+    def valid(t: Table) -> bool:
+        snap = t.current_snapshot()
+        return (
+            t.metadata.format_version == 3
+            and len(t.metadata.snapshots) == 4
+            and snap is not None
+            and (snap.summary or {}).get("rewrite") == "position-deletes->dv"
+        )
+
+    return _cached_table(sf_dir, "lineitem_dv_migrated", valid, build)

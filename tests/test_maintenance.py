@@ -346,3 +346,146 @@ def test_rewrite_clustered_three_columns(spark, tmp_path):
     total = int(t.current_snapshot().summary["total-data-files"])
     assert total == 8
     assert planned < total
+
+
+# --- positional-delete -> deletion-vector migration ----------------------
+
+
+def _delete_manifest_entries(t):
+    from icegopher_spark.iceberg.manifests import DataFileContent, fetch_entries
+
+    snap = t.current_snapshot()
+    pos, dvs, eqs = [], [], []
+    for m in read_manifest_list(t.io.read(snap.manifest_list)):
+        if m.content != ManifestContent.DELETES:
+            continue
+        for e in fetch_entries(m, t.io.read(m.manifest_path), discard_deleted=True):
+            f = e.data_file
+            if f.content == DataFileContent.EQUALITY_DELETES:
+                eqs.append(f)
+            elif f.is_deletion_vector:
+                dvs.append(f)
+            else:
+                pos.append(f)
+    return pos, dvs, eqs
+
+
+def test_rewrite_deletes_migrates_pos_files(spark, tmp_path, lineitem):
+    from icegopher_spark.iceberg.evolve import upgrade_format_version
+
+    t = W.create_table(str(tmp_path / "tbl"), SCHEMA, format_version=2)
+    t = W.append(t, lineitem.limit(400))
+    t = W.delete_where_mor(t, spark, E.less_than("l_quantity", 5.0))
+    t = W.delete_where_mor(t, spark, E.equal_to("l_returnflag", "A"))
+    pos, dvs, _ = _delete_manifest_entries(t)
+    assert pos and not dvs
+    old_pd_paths = {f.file_path.replace("file://", "") for f in pos}
+    before = sorted(map(tuple, t.scan().to_df(spark).collect()))
+
+    t = upgrade_format_version(t, 3)
+    t = M.rewrite_position_delete_files(t, spark)
+
+    pos, dvs, _ = _delete_manifest_entries(t)
+    assert not pos, "positional-delete entries must be retired"
+    assert dvs, "expected replacement deletion vectors"
+    # one DV per referenced data file (V3 invariant)
+    refs = [f.referenced_data_file for f in dvs]
+    assert len(refs) == len(set(refs))
+    after = sorted(map(tuple, t.scan().to_df(spark).collect()))
+    assert after == before
+    assert t.current_snapshot().summary["operation"] == "replace"
+
+    # expire then reclaims the old positional-delete parquet files
+    t = M.expire_snapshots(t, retain_last=1)
+    for p in old_pd_paths:
+        assert not os.path.exists(p), f"expire left stale pos-delete file {p}"
+    assert sorted(map(tuple, t.scan().to_df(spark).collect())) == before
+
+
+def test_rewrite_deletes_folds_existing_dv(spark, tmp_path, lineitem):
+    t = W.create_table(str(tmp_path / "tbl"), SCHEMA, format_version=3)
+    t = W.append(t, lineitem.limit(400))
+    t = W.delete_where_dv(t, spark, E.less_than("l_quantity", 3.0))
+    t = W.delete_where_mor(t, spark, E.equal_to("l_returnflag", "R"))
+    before = sorted(map(tuple, t.scan().to_df(spark).collect()))
+    pos, dvs, _ = _delete_manifest_entries(t)
+    assert pos and dvs
+
+    t = M.rewrite_position_delete_files(t, spark)
+    pos, dvs, _ = _delete_manifest_entries(t)
+    assert not pos
+    refs = [f.referenced_data_file for f in dvs]
+    assert len(refs) == len(set(refs)), "superseded DV entries must be dropped"
+    assert sorted(map(tuple, t.scan().to_df(spark).collect())) == before
+
+
+def test_rewrite_deletes_preserves_eq_deletes(spark, tmp_path, lineitem):
+    t = W.create_table(str(tmp_path / "tbl"), SCHEMA, format_version=3)
+    t = W.append(t, lineitem.limit(300))
+    keys = lineitem.limit(300).filter(F.col("l_returnflag") == "N").select("l_orderkey").distinct().limit(5)
+    t = W.delete_keys(t, spark, keys, ["l_orderkey"])
+    t = W.delete_where_mor(t, spark, E.less_than("l_quantity", 2.0))
+    before = sorted(map(tuple, t.scan().to_df(spark).collect()))
+
+    t = M.rewrite_position_delete_files(t, spark)
+    pos, dvs, eqs = _delete_manifest_entries(t)
+    assert not pos and dvs and eqs, "equality deletes must survive migration"
+    assert sorted(map(tuple, t.scan().to_df(spark).collect())) == before
+
+
+def test_rewrite_deletes_requires_v3(spark, tmp_path, lineitem):
+    t = W.create_table(str(tmp_path / "tbl"), SCHEMA, format_version=2)
+    t = W.append(t, lineitem.limit(100))
+    with pytest.raises(ValueError, match="format-version"):
+        M.rewrite_position_delete_files(t, spark)
+
+
+def test_rewrite_deletes_noop_without_pos_deletes(spark, tmp_path, lineitem):
+    t = W.create_table(str(tmp_path / "tbl"), SCHEMA, format_version=3)
+    t = W.append(t, lineitem.limit(100))
+    t = W.delete_where_dv(t, spark, E.less_than("l_quantity", 3.0))
+    snap = t.current_snapshot().snapshot_id
+    t2 = M.rewrite_position_delete_files(t, spark)
+    assert t2.current_snapshot().snapshot_id == snap, "no-op must not commit"
+
+
+def test_rewrite_deletes_drops_dead_file_garbage(spark, tmp_path, lineitem):
+    """After compaction, positional-delete files reference only
+    rewritten-away data files; migration must retire the garbage
+    entries without writing any DV and leave the scan unchanged."""
+    from icegopher_spark.iceberg.evolve import upgrade_format_version
+
+    t = W.create_table(str(tmp_path / "tbl"), SCHEMA, format_version=2)
+    for i in range(3):
+        t = W.append(t, lineitem.limit(100 * (i + 1)).offset(100 * i))
+    t = W.delete_where_mor(t, spark, E.less_than("l_quantity", 4.0))
+    t = M.compact_data_files(t, spark, target_file_size=64 * 1024 * 1024)
+    pos, dvs, _ = _delete_manifest_entries(t)
+    assert pos, "compaction carries delete manifests forward"
+    before = sorted(map(tuple, t.scan().to_df(spark).collect()))
+
+    t = upgrade_format_version(t, 3)
+    t = M.rewrite_position_delete_files(t, spark)
+    pos, dvs, _ = _delete_manifest_entries(t)
+    assert not pos and not dvs, "dead-file garbage needs no DV"
+    assert sorted(map(tuple, t.scan().to_df(spark).collect())) == before
+
+
+def test_cli_rewrite_deletes(spark, tmp_path, lineitem, capsys):
+    from icegopher_spark.iceberg.cli import main as cli_main
+    from icegopher_spark.iceberg.evolve import upgrade_format_version
+
+    wh = tmp_path / "wh"
+    (wh / "db").mkdir(parents=True)
+    t = W.create_table(str(wh / "db" / "li"), SCHEMA, format_version=2)
+    t = W.append(t, lineitem.limit(200))
+    t = W.delete_where_mor(t, spark, E.less_than("l_quantity", 5.0))
+    upgrade_format_version(t, 3)
+
+    rc = cli_main(["--catalog", str(wh), "rewrite-deletes", "db.li"])
+    out = capsys.readouterr().out
+    assert rc == 0 and "deletion vectors" in out
+    # second run: nothing left to migrate
+    rc = cli_main(["--catalog", str(wh), "rewrite-deletes", "db.li"])
+    out = capsys.readouterr().out
+    assert rc == 0 and "no positional-delete files" in out
