@@ -223,10 +223,37 @@ def redact_pii(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") ->
     )
 
 
+def _bounded_vocab(
+    docs: DataFrame,
+    text_col: str,
+    min_count: int,
+    max_vocab: int | None,
+) -> DataFrame:
+    """(word, cnt) vocabulary with an EXPLICIT driver bound: words below
+    ``min_count`` are dropped executor-side, and ``max_vocab`` keeps only
+    the top-K by (cnt DESC, word) — Spark's sort-limit runs as
+    TakeOrderedAndProject (per-partition top-K, K-row merge), so the
+    driver never holds more than ``max_vocab`` rows no matter how
+    heavy-tailed the corpus (URLs/typos in 100 TB multilingual web text
+    produce hundreds of millions of distinct tokens)."""
+    words = (
+        docs.select(F.explode(tokens(F.lower(F.col(text_col)))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    if min_count > 1:
+        words = words.filter(F.col("cnt") >= min_count)
+    if max_vocab is not None:
+        words = words.orderBy(F.desc("cnt"), F.asc("w")).limit(max_vocab)
+    return words
+
+
 def bpe_merges(
     docs: DataFrame,
     n_merges: int = 6,
     text_col: str = "text",
+    min_count: int = 2,
+    max_vocab: int | None = 5_000_000,
 ) -> DataFrame:
     """First ``n_merges`` byte-pair-encoding merge rules over the
     whitespace-tokenized, lowercased corpus (the vocabulary-induction
@@ -239,8 +266,14 @@ def bpe_merges(
     corpus-scale operation is the initial word count (one
     partial-aggregated shuffle of (word, 1) — this is what scales with
     100 TB); the merge loop then runs DRIVER-SIDE over the collected
-    vocabulary, which is bounded by distinct words (a few million
-    (word, count) rows — tens of MB — no matter how big the corpus).
+    vocabulary, whose size is EXPLICITLY bounded before collect:
+    ``min_count`` (default 2) drops hapax tokens executor-side —
+    sub-floor merges are tokenizer noise — and ``max_vocab`` (default
+    5M) caps the driver materialization at top-K by (cnt DESC, word)
+    even for adversarially heavy-tailed corpora, so the driver holds
+    at most ~max_vocab narrow rows (~hundreds of MB at the default)
+    regardless of corpus size. Pass ``min_count=1, max_vocab=None``
+    to reproduce unbounded classic BPE on small corpora.
     Pair counts are maintained incrementally through a pair→words
     inverted index, so each merge touches only the words containing
     the merged pair. Total Spark jobs: O(1) regardless of n_merges
@@ -258,11 +291,7 @@ def bpe_merges(
     from collections import Counter, defaultdict
 
     spark = docs.sparkSession
-    words = (
-        docs.select(F.explode(tokens(F.lower(F.col(text_col)))).alias("w"))
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
+    words = _bounded_vocab(docs, text_col, min_count, max_vocab)
     vocab = [(r["w"], int(r["cnt"])) for r in words.collect()]
     syms: list[list[str]] = [list(w) for w, _ in vocab]
     cnts = [c for _, c in vocab]

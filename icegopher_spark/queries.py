@@ -2228,12 +2228,13 @@ def length_trim_q(spark: SparkSession, sf: str) -> DataFrame:
     return curation.length_trim(docs)
 
 
-def _bpe_oracle(n_merges: int) -> str:
+def _bpe_oracle(n_merges: int, min_count: int = 2) -> str:
     """Unrolled BPE in SQL: stage k counts adjacent symbol pairs of the
     space-prefixed symbol strings, picks the (freq DESC, l, r) best,
     and stage k+1 applies it with replace(' l r' -> ' lr') — the same
     left-to-right greedy application the Spark operator uses, so the
-    merge tables are engine-exact."""
+    merge tables are engine-exact. ``min_count`` mirrors the operator's
+    executor-side vocabulary floor (text.py:bpe_merges default)."""
     stages = ""
     # (symbols are fully-delimited ' X ' units, double-space separated —
     # see operators/text.py:bpe_merges for why boundary-safe matters)
@@ -2261,7 +2262,9 @@ s{k + 1} AS (
 WITH w AS (
   SELECT w, COUNT(*) AS cnt FROM (
     SELECT UNNEST(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS w
-    FROM documents) GROUP BY w
+    FROM documents) GROUP BY w HAVING COUNT(*) >= """
+        + str(min_count)
+        + """
 ),
 s0 AS (SELECT cnt, regexp_replace(w, '(.)', ' \\1 ', 'g') AS s FROM w)"""
         + stages
