@@ -32,11 +32,17 @@ from .types import (
     IntegerType,
     LongType,
     StringType,
+    TimestampNsType,
     TimestampType,
+    TimestampTzNsType,
     TimestampTzType,
     TimeType,
     UUIDType,
 )
+
+# V3 nanosecond-precision timestamp pair (int64 nanos since epoch)
+_NS_TYPES = (TimestampNsType, TimestampTzNsType)
+_US_TYPES = (TimestampType, TimestampTzType)
 
 INT_MIN, INT_MAX = -(2**31), 2**31 - 1
 LONG_MIN, LONG_MAX = -(2**63), 2**63 - 1
@@ -165,6 +171,23 @@ def _parse_ts(s: str) -> int:
     return (dt - datetime(1970, 1, 1, tzinfo=timezone.utc)) // timedelta(microseconds=1)
 
 
+_NS_FRACTION_RE = __import__("re").compile(r"\.(\d{7,9})(?=$|[Z+\-])")
+
+
+def _parse_ts_ns(s: str) -> int:
+    """ISO timestamp -> int64 nanos since epoch. Python's datetime caps
+    at µs, so a 7-9 digit fraction is split off and re-added as exact
+    integer nanos (fromisoformat would raise on it)."""
+    m = _NS_FRACTION_RE.search(s)
+    extra_ns = 0
+    if m:
+        frac = m.group(1)
+        extra_ns = int(frac.ljust(9, "0"))
+        s = s[: m.start()] + s[m.end():]
+        return _parse_ts(s) * 1000 + extra_ns
+    return _parse_ts(s) * 1000
+
+
 def _to_decimal(v: Any, target: DecimalType) -> Decimal | None:
     """Quantize to the target scale under an explicit high-precision
     context: the default 28-digit context raises InvalidOperation for
@@ -268,6 +291,39 @@ def _cast(src: IcebergType, v: Any, target: IcebergType) -> Any:
                 return None
         except (ValueError, ArithmeticError):
             return None
+    # V3 nanosecond timestamps: ns->µs truncates toward -inf (floorDiv
+    # by 1000 — Iceberg Java's rule); µs->ns multiplies and can overflow
+    # int64 (years past ~2262), surfacing the standard sentinels so the
+    # binder folds out-of-range predicates instead of corrupting them
+    if isinstance(src, _NS_TYPES):
+        if isinstance(target, _NS_TYPES):
+            return v
+        if isinstance(target, _US_TYPES):
+            return v // 1000  # Python // floors toward -inf for ints
+        if isinstance(target, DateType):
+            d = 86_400_000_000_000
+            return v // d
+    if isinstance(src, _US_TYPES) and isinstance(target, _NS_TYPES):
+        n = v * 1000
+        if n > LONG_MAX:
+            return LongAboveMax
+        if n < LONG_MIN:
+            return LongBelowMin
+        return n
+    if isinstance(src, LongType) and isinstance(target, _NS_TYPES):
+        return v
+    if isinstance(src, DateType) and isinstance(target, _NS_TYPES):
+        n = v * 86_400_000_000_000
+        if n > LONG_MAX:
+            return LongAboveMax
+        if n < LONG_MIN:
+            return LongBelowMin
+        return n
+    if isinstance(src, StringType) and isinstance(target, _NS_TYPES):
+        try:
+            return _parse_ts_ns(v)
+        except (ValueError, ArithmeticError):
+            return None
     # date/time/timestamp conversions
     if isinstance(src, (TimestampType, TimestampTzType)) and isinstance(
         target, (TimestampType, TimestampTzType)
@@ -303,7 +359,8 @@ def literal_to_bytes(lit: Literal) -> bytes:
         return b"\x01" if v else b"\x00"
     if isinstance(t, IntegerType):
         return struct.pack("<i", v)
-    if isinstance(t, (LongType, TimeType, TimestampType, TimestampTzType)):
+    if isinstance(t, (LongType, TimeType, TimestampType, TimestampTzType,
+                      TimestampNsType, TimestampTzNsType)):
         return struct.pack("<q", v)
     if isinstance(t, DateType):
         return struct.pack("<i", v)
@@ -336,7 +393,8 @@ def literal_from_bytes(data: bytes, t: IcebergType) -> Literal:
         return Literal(data[0] != 0, t)
     if isinstance(t, IntegerType):
         return Literal(struct.unpack("<i", data)[0], t)
-    if isinstance(t, (LongType, TimeType, TimestampType, TimestampTzType)):
+    if isinstance(t, (LongType, TimeType, TimestampType, TimestampTzType,
+                      TimestampNsType, TimestampTzNsType)):
         return Literal(struct.unpack("<q", data)[0], t)
     if isinstance(t, DateType):
         return Literal(struct.unpack("<i", data)[0], t)
@@ -402,6 +460,13 @@ def _fmt_ts_micros(micros: int) -> str:
     return dt.strftime("%Y-%m-%dT%H:%M:%S.%f")
 
 
+def _fmt_ts_nanos(nanos: int) -> str:
+    """ISO form with a 9-digit fraction (spec Appendix D for the V3
+    ns types); the sub-µs residue is appended to the µs formatting."""
+    micros, rem = divmod(nanos, 1000)  # floor division: rem in [0,1000)
+    return _fmt_ts_micros(micros) + f"{rem:03d}"
+
+
 def json_single_value(t: IcebergType, v: Any) -> Any:
     """Encode an internal-representation value as the JSON form the
     spec mandates for that type (nulls are not encodable: a null
@@ -444,6 +509,10 @@ def json_single_value(t: IcebergType, v: Any) -> Any:
         return _fmt_ts_micros(int(v))
     if isinstance(t, TimestampTzType):
         return _fmt_ts_micros(int(v)) + "+00:00"
+    if isinstance(t, TimestampNsType):
+        return _fmt_ts_nanos(int(v))
+    if isinstance(t, TimestampTzNsType):
+        return _fmt_ts_nanos(int(v)) + "+00:00"
     if isinstance(t, StringType):
         if not isinstance(v, str):
             raise TypeError(f"string default from {type(v).__name__}")
@@ -519,6 +588,8 @@ def parse_json_single_value(t: IcebergType, j: Any) -> Any:
         return _parse_time(j)
     if isinstance(t, (TimestampType, TimestampTzType)):
         return _parse_ts(j)
+    if isinstance(t, _NS_TYPES):
+        return _parse_ts_ns(j)
     if isinstance(t, StringType):
         if not isinstance(j, str):
             raise TypeError(f"string from JSON {type(j).__name__}")

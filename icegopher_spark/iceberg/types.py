@@ -91,6 +91,31 @@ class TimestampTzType(PrimitiveType):
     name = "timestamptz"
 
 
+class TimestampNsType(PrimitiveType):
+    """V3: nanoseconds since epoch, no timezone. Spark's finest
+    timestamp grain is microseconds, so the Spark surface truncates
+    toward negative infinity (floor-division by 1000 — the same rule
+    Iceberg's Java implementation uses for ns->µs); the metadata plane
+    (literals, bounds, defaults) keeps full int64 nanos."""
+
+    name = "timestamp_ns"
+
+
+class TimestampTzNsType(PrimitiveType):
+    """V3: nanoseconds since epoch, stored UTC. Same µs truncation rule
+    on the Spark surface as ``timestamp_ns``."""
+
+    name = "timestamptz_ns"
+
+
+class UnknownType(PrimitiveType):
+    """V3: a column whose type could not be determined at write time.
+    All values are null; the field must be optional; reads surface as
+    Spark NullType (always-null column)."""
+
+    name = "unknown"
+
+
 class StringType(PrimitiveType):
     name = "string"
 
@@ -139,11 +164,35 @@ PRIMITIVE_TYPES: dict[str, PrimitiveType] = {
         TimeType,
         TimestampType,
         TimestampTzType,
+        TimestampNsType,
+        TimestampTzNsType,
+        UnknownType,
         StringType,
         UUIDType,
         BinaryType,
     )
 }
+
+
+class UnsupportedTypeError(ValueError):
+    """A V3 type that is recognized but not implemented here. Raised at
+    PARSE time with the offending type named, so metadata written by
+    another engine fails actionably instead of with a generic
+    'unknown primitive type' (r6 verdict #3)."""
+
+    def __init__(self, type_name: str) -> None:
+        self.type_name = type_name
+        super().__init__(
+            f"Iceberg V3 type {type_name!r} is not supported by this "
+            "engine (recognized but unimplemented: variant/geometry/"
+            "geography); read this table with an engine that implements "
+            "it, or drop the column first"
+        )
+
+
+# V3 types we can NAME but not represent: `variant` plus parameterized
+# `geometry(<crs>)` / `geography(<crs>, <algorithm>)` (bare forms too).
+_UNSUPPORTED_V3_RE = re.compile(r"^(variant|geometry|geography)\s*(\(.*\))?$")
 
 
 @dataclass(frozen=True)
@@ -230,6 +279,9 @@ def type_from_json(obj: Any) -> IcebergType:
         m = _DECIMAL_RE.match(obj)
         if m:
             return DecimalType(int(m.group(1)), int(m.group(2)))
+        m = _UNSUPPORTED_V3_RE.match(obj)
+        if m:
+            raise UnsupportedTypeError(obj)
         raise ValueError(f"unknown primitive type: {obj!r}")
     t = obj.get("type")
     if t == "struct":
@@ -252,11 +304,20 @@ def type_from_json(obj: Any) -> IcebergType:
 
 
 def field_from_json(obj: dict) -> NestedField:
+    ftype = type_from_json(obj["type"])
+    required = obj.get("required", False)
+    if isinstance(ftype, UnknownType) and required:
+        # V3 spec: `unknown` columns hold only nulls, so a required
+        # unknown field is unsatisfiable — reject at the parse boundary
+        raise ValueError(
+            f"field {obj['name']!r} (id {obj['id']}): `unknown` type "
+            "must be optional"
+        )
     return NestedField(
         field_id=obj["id"],
         name=obj["name"],
-        field_type=type_from_json(obj["type"]),
-        required=obj.get("required", False),
+        field_type=ftype,
+        required=required,
         doc=obj.get("doc"),
         initial_default=obj.get("initial-default"),
         write_default=obj.get("write-default"),
@@ -315,6 +376,12 @@ _PRIM_TO_SPARK: dict[str, T.DataType] = {
     "time": T.LongType(),  # µs since midnight; Spark has no TimeType
     "timestamp": T.TimestampNTZType(),
     "timestamptz": T.TimestampType(),
+    # V3 nanos: Spark's finest grain is µs — values truncate toward
+    # negative infinity (floorDiv by 1000); full nanos stay available
+    # on the metadata plane (literals/bounds/defaults)
+    "timestamp_ns": T.TimestampNTZType(),
+    "timestamptz_ns": T.TimestampType(),
+    "unknown": T.NullType(),  # V3: always-null column
     "string": T.StringType(),
     "uuid": T.StringType(),  # canonical text form
     "binary": T.BinaryType(),
@@ -336,6 +403,12 @@ def to_spark_type(t: IcebergType) -> T.DataType:
                         {"iceberg.field-id": f.field_id, "iceberg.type": "time",
                          "iceberg.unit": "micros-since-midnight"}
                         if isinstance(f.field_type, TimeType)
+                        else {"iceberg.field-id": f.field_id,
+                              "iceberg.type": f.field_type.name,
+                              "iceberg.truncation": "nanos->micros floorDiv"}
+                        if isinstance(
+                            f.field_type, (TimestampNsType, TimestampTzNsType)
+                        )
                         else {"iceberg.field-id": f.field_id}
                     ),
                 )

@@ -219,3 +219,180 @@ def test_time_type_annotation_survives_to_spark_schema():
     assert wake.metadata["iceberg.unit"] == "micros-since-midnight"
     # non-time fields carry only the field id
     assert "iceberg.type" not in spark_t["id"].metadata
+
+
+# --- V3 type plane (r7): unknown, ns timestamps, loud refusals -----------
+
+
+def test_v3_ns_and_unknown_roundtrip():
+    from icegopher_spark.iceberg.types import (
+        TimestampNsType,
+        TimestampTzNsType,
+        UnknownType,
+        type_from_json,
+        type_to_json,
+    )
+
+    for name, cls in (
+        ("timestamp_ns", TimestampNsType),
+        ("timestamptz_ns", TimestampTzNsType),
+        ("unknown", UnknownType),
+    ):
+        t = type_from_json(name)
+        assert isinstance(t, cls)
+        assert type_to_json(t) == name
+
+
+def test_v3_unsupported_types_fail_loudly():
+    from icegopher_spark.iceberg.types import UnsupportedTypeError, type_from_json
+
+    for s in (
+        "variant",
+        "geometry",
+        "geography",
+        "geometry(srid:4326)",
+        "geography(srid:4326, spherical)",
+    ):
+        with pytest.raises(UnsupportedTypeError, match="not supported") as ei:
+            type_from_json(s)
+        assert s.split("(")[0] in str(ei.value)
+    # unrecognized strings still get the generic error, not the V3 one
+    from icegopher_spark.iceberg.types import UnsupportedTypeError as UTE
+
+    with pytest.raises(ValueError) as ei:
+        type_from_json("frobnicate")
+    assert not isinstance(ei.value, UTE)
+
+
+def test_v3_required_unknown_rejected():
+    from icegopher_spark.iceberg.types import field_from_json
+
+    with pytest.raises(ValueError, match="must be optional"):
+        field_from_json({"id": 7, "name": "u", "type": "unknown", "required": True})
+    f = field_from_json({"id": 7, "name": "u", "type": "unknown", "required": False})
+    assert f.field_type.name == "unknown"
+
+
+def test_v3_spark_mapping():
+    from icegopher_spark.iceberg.types import (
+        NestedField,
+        StructType,
+        TimestampNsType,
+        TimestampTzNsType,
+        UnknownType,
+        to_spark_type,
+    )
+
+    st = to_spark_type(
+        StructType(
+            (
+                NestedField(1, "ns", TimestampNsType(), False),
+                NestedField(2, "tzns", TimestampTzNsType(), False),
+                NestedField(3, "u", UnknownType(), False),
+            )
+        )
+    )
+    assert isinstance(st["ns"].dataType, T.TimestampNTZType)
+    assert isinstance(st["tzns"].dataType, T.TimestampType)
+    assert isinstance(st["u"].dataType, T.NullType)
+    # the logical ns type is annotated so truncation is visible
+    assert st["ns"].metadata["iceberg.type"] == "timestamp_ns"
+
+
+def test_v3_ns_literal_casts_and_serde():
+    from icegopher_spark.iceberg.literals import (
+        L,
+        Literal,
+        LongAboveMax,
+        literal_from_bytes,
+        literal_to_bytes,
+    )
+    from icegopher_spark.iceberg.types import (
+        DateType,
+        TimestampNsType,
+        TimestampType,
+    )
+
+    ns = Literal(1_500, TimestampNsType())       # 1.5 µs past epoch
+    assert ns.to(TimestampType()).value == 1     # floor, not round
+    neg = Literal(-1_500, TimestampNsType())
+    assert neg.to(TimestampType()).value == -2   # floor toward -inf
+    us = Literal(7, TimestampType())
+    assert us.to(TimestampNsType()).value == 7_000
+    # µs -> ns overflow surfaces the long sentinel (year ~2262+)
+    big = Literal(2**62, TimestampType())
+    assert big.to(TimestampNsType()) is LongAboveMax
+    # binary single-value round-trip (int64 little-endian nanos)
+    b = literal_to_bytes(ns)
+    assert len(b) == 8
+    assert literal_from_bytes(b, TimestampNsType()).value == 1_500
+    # ns -> date floors whole days
+    day_ns = Literal(-1, TimestampNsType())
+    assert day_ns.to(DateType()).value == -1
+
+
+def test_v3_ns_json_single_value_roundtrip():
+    from icegopher_spark.iceberg.literals import (
+        json_single_value,
+        parse_json_single_value,
+    )
+    from icegopher_spark.iceberg.types import TimestampNsType, TimestampTzNsType
+
+    v = 1_510_871_468_000_000_001  # 2017-11-16T22:31:08.000000001
+    j = json_single_value(TimestampNsType(), v)
+    assert j.endswith(".000000001")
+    assert parse_json_single_value(TimestampNsType(), j) == v
+    jz = json_single_value(TimestampTzNsType(), v)
+    assert jz.endswith("+00:00")
+    assert parse_json_single_value(TimestampTzNsType(), jz) == v
+    # sub-µs fractions parse exactly (datetime.fromisoformat caps at 6)
+    assert (
+        parse_json_single_value(TimestampNsType(), "1970-01-01T00:00:00.123456789")
+        == 123_456_789
+    )
+
+
+def test_v3_metadata_with_ns_and_unknown_parses():
+    """A V3 metadata JSON from another engine using ns timestamps and an
+    unknown column loads end-to-end: schema parses, Spark schema maps,
+    and an unsupported `variant` column fails naming the type."""
+    from icegopher_spark.iceberg.metadata import parse_metadata
+    from icegopher_spark.iceberg.types import UnsupportedTypeError
+
+    def md_with(fields):
+        return {
+            "format-version": 3,
+            "table-uuid": "9c12e441-d0c6-4b2f-9e84-5e9d7c0a1c00",
+            "location": "/tmp/v3types",
+            "last-updated-ms": 1,
+            "last-column-id": 9,
+            "schemas": [{"type": "struct", "schema-id": 0, "fields": fields}],
+            "current-schema-id": 0,
+            "partition-specs": [{"spec-id": 0, "fields": []}],
+            "default-spec-id": 0,
+            "last-partition-id": 999,
+            "properties": {},
+            "current-snapshot-id": -1,
+            "snapshots": [],
+            "sort-orders": [{"order-id": 0, "fields": []}],
+            "default-sort-order-id": 0,
+            "next-row-id": 0,
+        }
+
+    md = parse_metadata(
+        md_with(
+            [
+                {"id": 1, "name": "ev_ns", "type": "timestamp_ns", "required": False},
+                {"id": 2, "name": "ev_tzns", "type": "timestamptz_ns", "required": False},
+                {"id": 3, "name": "maybe", "type": "unknown", "required": False},
+            ]
+        )
+    )
+    spark_schema = md.current_schema.to_spark()
+    assert isinstance(spark_schema["ev_ns"].dataType, T.TimestampNTZType)
+    assert isinstance(spark_schema["maybe"].dataType, T.NullType)
+
+    with pytest.raises(UnsupportedTypeError, match="variant"):
+        parse_metadata(
+            md_with([{"id": 1, "name": "v", "type": "variant", "required": False}])
+        )
