@@ -486,6 +486,11 @@ def orphan_files(
     for path in _list_recursive(md.location):
         if path in referenced:
             continue
+        if f"{os.sep}_cache{os.sep}" in path:
+            # regenerable sidecar caches (e.g. the MinHash index's
+            # snapshot-keyed density stats) are owned and garbage-
+            # collected by their writers, not by orphan GC
+            continue
         base = os.path.basename(path)
         if base == "_SUCCESS" or base.endswith(".crc") or any(base.startswith(n) for n in noise):
             continue

@@ -367,20 +367,96 @@ INDEX_KERNEL_VERSION = "2"
 STOP_BUCKET_MAX_DF = STOP_SHINGLE_MAX_DF
 
 
-def _drop_hot_buckets(e: DataFrame, max_band_df: int | None) -> DataFrame:
-    """Anti-join away (band, key) buckets whose distinct-doc count
-    exceeds the cap. The count aggregation runs over narrow 20-byte
-    rows (index-scale, not corpus-scale); distinct-id counting keeps
-    replayed/duplicate index entries from inflating the density."""
-    if max_band_df is None:
-        return e
-    hot = (
-        e.groupBy("band", "key")
-        .agg(F.count_distinct("id").alias("df"))
-        .filter(F.col("df") > max_band_df)
-        .select("band", "key")
-    )
-    return e.join(hot, ["band", "key"], "left_anti")
+def _density_cache_path(table, snapshot_id: int) -> str:
+    # under _cache/: regenerable sidecar, excluded from orphan GC
+    # (maintenance.orphan_files) and from Spark directory listings
+    # (underscore-prefixed paths are hidden by convention)
+    return f"{table.location}/_cache/density-{snapshot_id}.parquet"
+
+
+def minhash_index_density(spark, table) -> DataFrame | None:
+    """Per-(band, key) distinct-doc density of the index's CURRENT
+    snapshot, cached at ``_cache/density-<snapshot-id>.parquet`` so a
+    probe never re-aggregates the full index (r6 wrong #2: every probe
+    paid one full index pass).
+
+    Maintained INCREMENTALLY: when the nearest ancestor snapshot with a
+    cached density is reachable through append-only commits, the new
+    density = ancestor stats + distinct counts of just the appended
+    entries (incremental scan — O(batch), not O(index)). Any
+    non-append commit in between (compaction rewrites files) falls
+    back to one full aggregation, cached thereafter. Additivity is
+    exact when each doc id is indexed once (the ingest contract; the
+    streaming sink's replay protection upholds it) — a re-ingested id
+    inflates density, which only drops a bucket EARLIER (conservative).
+
+    Returns None for an empty index. Concurrent probes may race on the
+    write; the content is deterministic per snapshot, so last-writer-
+    wins is benign."""
+    from ..iceberg.metadata import OP_APPEND
+
+    snap = table.current_snapshot()
+    if snap is None:
+        return None
+    io = table.io
+    cur_path = _density_cache_path(table, snap.snapshot_id)
+    if io.exists(cur_path):
+        return spark.read.parquet(cur_path)
+
+    by_id = {s.snapshot_id: s for s in table.metadata.snapshots}
+    base = None
+    s = snap
+    while s is not None:
+        if s.operation != OP_APPEND:
+            break  # cannot roll counts forward through a rewrite
+        p = by_id.get(s.parent_snapshot_id) if s.parent_snapshot_id else None
+        if p is None:
+            break
+        if io.exists(_density_cache_path(table, p.snapshot_id)):
+            base = p
+            break
+        s = p
+
+    if base is not None:
+        prior = spark.read.parquet(_density_cache_path(table, base.snapshot_id))
+        inc = table.scan().incremental_to_df(
+            spark, base.snapshot_id, snap.snapshot_id
+        )
+        fresh = inc.groupBy("band", "key").agg(
+            F.count_distinct("id").cast("long").alias("df")
+        )
+        density = (
+            prior.unionByName(fresh)
+            .groupBy("band", "key")
+            .agg(F.sum("df").cast("long").alias("df"))
+        )
+    else:
+        density = (
+            table.scan()
+            .to_df(spark)
+            .groupBy("band", "key")
+            .agg(F.count_distinct("id").cast("long").alias("df"))
+        )
+    density.write.mode("overwrite").parquet(cur_path)
+    # retire caches of older snapshots (the writer owns its cache dir)
+    import os as _os
+    import shutil as _shutil
+
+    cache_dir = f"{table.location}/_cache"
+    keep = _os.path.basename(cur_path)
+    try:
+        for fn in _os.listdir(cache_dir):
+            if fn.startswith("density-") and fn != keep:
+                _shutil.rmtree(_os.path.join(cache_dir, fn), ignore_errors=True)
+    except OSError:
+        pass  # remote/object-store locations: stale caches are cheap
+    return spark.read.parquet(cur_path)
+
+
+def _hot_buckets(density: DataFrame | None, max_band_df: int) -> DataFrame | None:
+    if density is None:
+        return None
+    return density.filter(F.col("df") > max_band_df).select("band", "key")
 
 
 def minhash_index_create(
@@ -487,7 +563,12 @@ def minhash_index_write(
     # APPENDS (the whole point of the persisted index); the old behavior
     # of unconditionally re-creating silently discarded prior entries
     t = minhash_index_load_or_create(location, num_hashes, bands, n)
-    return W.append(t, entries)
+    t = W.append(t, entries)
+    # eagerly roll the density cache forward (O(batch) via incremental
+    # scan from the pre-append snapshot) so probes never pay an index
+    # pass; lazily self-heals at probe time if this is skipped
+    minhash_index_density(spark, t)
+    return t
 
 
 def minhash_dedup_from_index(
@@ -509,11 +590,15 @@ def minhash_dedup_from_index(
     dropped BEFORE the self-join (they would emit O(m²) pairs and a
     stream-maintained index never applied the batch stop-shingle cap);
     this restores the batch path's density guarantee at probe time,
-    where global frequency is knowable."""
+    where global frequency is knowable. Density comes from the
+    snapshot-keyed cache (minhash_index_density) — the hot-bucket list
+    is small (<= index/cap rows), and AQE broadcasts the anti-join."""
     n = int(table.properties.get("lsh.ngram", "3"))
-    e = _drop_hot_buckets(
-        table.scan().to_df(spark).select("band", "key", "id"), max_band_df
-    )
+    e = table.scan().to_df(spark).select("band", "key", "id")
+    if max_band_df is not None:
+        hot = _hot_buckets(minhash_index_density(spark, table), max_band_df)
+        if hot is not None:
+            e = e.join(hot, ["band", "key"], "left_anti")
     cands = (
         e.alias("a")
         .join(
@@ -563,11 +648,33 @@ def minhash_dedup_incremental(
     new_e = minhash_band_entries(
         new_docs, text_col, id_col, num_hashes, bands, n, max_doc_freq
     ).select(F.col("band").cast("int").alias("band"), "key", "id")
+    if max_band_df is not None:
+        # the batch's entries feed BOTH the density merge and the probe
+        # join; without a persist the signature computation (the
+        # expensive xxhash fold over shingles) runs twice. Narrow
+        # (band, key, id) rows, batch-sized; the ContextCleaner frees
+        # the cache when the result DataFrame is collected and dropped.
+        new_e = new_e.persist()
     stored = table.scan().to_df(spark).select("band", "key", "id")
     all_e = stored.unionByName(new_e)
     # density cap over the UNION (global frequency); capping the build
-    # side alone suffices — probe rows in a dropped bucket match nothing
-    all_e = _drop_hot_buckets(all_e, max_band_df)
+    # side alone suffices — probe rows in a dropped bucket match nothing.
+    # Stored density comes from the snapshot-keyed cache; only the NEW
+    # batch is aggregated here (O(batch), not O(index) — r6 wrong #2)
+    if max_band_df is not None:
+        new_density = new_e.groupBy("band", "key").agg(
+            F.count_distinct("id").cast("long").alias("df")
+        )
+        stored_density = minhash_index_density(spark, table)
+        total = (
+            new_density
+            if stored_density is None
+            else stored_density.unionByName(new_density)
+            .groupBy("band", "key")
+            .agg(F.sum("df").cast("long").alias("df"))
+        )
+        hot = _hot_buckets(total, max_band_df)
+        all_e = all_e.join(hot, ["band", "key"], "left_anti")
     cands = (
         new_e.alias("a")
         .join(

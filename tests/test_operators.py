@@ -952,3 +952,66 @@ def test_bpe_merges_min_count_floor(spark):
     got = [tuple(r) for r in text.bpe_merges(docs, n_merges=2).collect()]
     # 'zq' is hapax -> dropped; only (a,a) remains, freq 3 (not 3+0)
     assert got == [(1, "a", "a", 3)]
+
+
+def test_minhash_density_cache_incremental(spark, tmp_path):
+    """The density cache (r7): built per snapshot, rolled forward
+    incrementally across ingest batches, and exactly equal to a full
+    count_distinct aggregation of the stored index."""
+    import os
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    loc = str(tmp_path / "idx")
+    t = dedup.minhash_index_write(spark, docs.filter(F.col("doc_id") % 3 == 0), loc)
+    s1 = t.current_snapshot().snapshot_id
+    assert os.path.exists(f"{loc}/_cache/density-{s1}.parquet")
+
+    # second batch (disjoint ids) rolls the cache forward; the stale
+    # snapshot's cache is retired by the writer
+    t = dedup.minhash_index_write(spark, docs.filter(F.col("doc_id") % 3 == 1), loc)
+    s2 = t.current_snapshot().snapshot_id
+    assert os.path.exists(f"{loc}/_cache/density-{s2}.parquet")
+    assert not os.path.exists(f"{loc}/_cache/density-{s1}.parquet")
+
+    got = {
+        (r["band"], r["key"]): r["df"]
+        for r in dedup.minhash_index_density(spark, t).collect()
+    }
+    want = {
+        (r["band"], r["key"]): r["df"]
+        for r in t.scan()
+        .to_df(spark)
+        .groupBy("band", "key")
+        .agg(F.count_distinct("id").alias("df"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_minhash_density_probe_after_streamed_batches(spark, tmp_path):
+    """Probe correctness after MULTIPLE ingest batches with NO per-batch
+    cap (the streaming shape): the snapshot-keyed density still bounds
+    hot buckets accumulated across batches, and probing does not
+    re-aggregate a stale cache (cache is keyed by snapshot id)."""
+    loc = str(tmp_path / "idx")
+    boiler = "the same boilerplate text repeated everywhere"
+    for b in range(3):  # 3 streamed batches, 15 boilerplate docs each
+        rows = [(b * 100 + i, boiler) for i in range(15)]
+        if b == 0:
+            rows += [(98, "zebra quokka wombat axolotl pangolin")]
+        if b == 2:
+            rows += [(99, "zebra quokka wombat axolotl pangolin")]
+        batch = spark.createDataFrame(rows, "doc_id long, text string")
+        t = dedup.minhash_index_write(spark, batch, loc, max_doc_freq=None)
+
+    # each batch is under the cap (15 < 20), but the accumulated bucket
+    # (45 docs) is hot — only the cross-batch density can see that
+    corpus = t.scan().to_df(spark).select(F.col("id").alias("doc_id")).distinct()
+    texts = corpus.withColumn(
+        "text",
+        F.when(F.col("doc_id").isin(98, 99),
+               F.lit("zebra quokka wombat axolotl pangolin")).otherwise(F.lit(boiler)),
+    )
+    got = {(r["id_a"], r["id_b"])
+           for r in dedup.minhash_dedup_from_index(spark, t, texts, max_band_df=20).collect()}
+    assert got == {(98, 99)}
