@@ -241,6 +241,9 @@ class RestCatalog:
             self._fetch_token(self.properties["credential"])
         self._fetch_config()
         self.prefix = self.properties.get("prefix", "")
+        # requested page size for paginated list endpoints; the server
+        # may ignore it or pick its own (spec: pageSize is advisory)
+        self.page_size = int(self.properties.get("rest.page-size", "0")) or None
 
     # -- plumbing --------------------------------------------------------
 
@@ -373,12 +376,39 @@ class RestCatalog:
         self._check(resp)
 
     def list_tables(self, namespace) -> list[tuple[str, ...]]:
-        """(reference rest.go:463-493)"""
-        resp = self.session.get(self._url("namespaces", self._ns(namespace), "tables"))
-        self._check(resp)
-        return [
-            (*t["namespace"], t["name"]) for t in resp.json().get("identifiers", [])
-        ]
+        """All pages (public REST spec `page-token`/`pageSize` loop —
+        the reference's single-shot GET, rest.go:463-493, silently
+        truncates a 100k-table warehouse to the server's first page)."""
+        out: list[tuple[str, ...]] = []
+        for body in self._paged(
+            self._url("namespaces", self._ns(namespace), "tables")
+        ):
+            out.extend(
+                (*t["namespace"], t["name"]) for t in body.get("identifiers", [])
+            )
+        return out
+
+    def _paged(self, url: str, params: dict | None = None):
+        """Yield response bodies following `next-page-token` until the
+        server stops returning one. The first request carries no
+        page-token (spec: servers that don't paginate just return
+        everything with no token — the loop degrades to one GET)."""
+        params = dict(params or {})
+        if self.page_size:
+            params["pageSize"] = str(self.page_size)
+        seen: set[str] = set()
+        while True:
+            resp = self.session.get(url, params=params)
+            self._check(resp)
+            body = resp.json()
+            yield body
+            token = body.get("next-page-token")
+            if not token:
+                return
+            if token in seen:  # defend against a server echoing a token
+                raise CatalogError(f"REST pagination loop: token {token!r} repeated")
+            seen.add(token)
+            params["pageToken"] = token
 
     def commit_table(self, table: Table, requirements: list[dict], updates: list[dict]) -> Table:
         """POST updates (write-path commit; reference enumerates
@@ -404,9 +434,10 @@ class RestCatalog:
         params = {}
         if parent:
             params["parent"] = NAMESPACE_SEPARATOR.join(to_identifier(parent))
-        resp = self.session.get(self._url("namespaces"), params=params)
-        self._check(resp)
-        return [tuple(ns) for ns in resp.json().get("namespaces", [])]
+        out: list[tuple[str, ...]] = []
+        for body in self._paged(self._url("namespaces"), params):
+            out.extend(tuple(ns) for ns in body.get("namespaces", []))
+        return out
 
     def create_namespace(self, namespace, properties=None) -> None:
         resp = self.session.post(

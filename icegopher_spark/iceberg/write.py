@@ -144,6 +144,32 @@ def _loaded_version(table: Table) -> int:
     return _current_version(table.io, table.metadata.location)
 
 
+def commit_with_retry(table: Table, fn, attempts: int = 3) -> Table:
+    """Run ``fn(table) -> Table`` under optimistic-concurrency retry:
+    on ``CommitFailedError`` (a concurrent writer advanced the table —
+    reference enumerates ErrCommitFailed, rest.go:51-52) the handle is
+    refreshed to the NEW head and ``fn`` re-applied, up to ``attempts``
+    total tries. ``fn`` must be a pure function of the table it is
+    given (plan from the passed handle, no captured stale snapshots) —
+    the standard Iceberg commit-loop contract. The last failure
+    re-raises so callers never mistake an exhausted retry for success.
+
+    Usage::
+
+        t = commit_with_retry(t, lambda t: W.append(t, df))
+    """
+    if attempts < 1:
+        raise ValueError(f"attempts must be >= 1, got {attempts}")
+    for i in range(attempts):
+        try:
+            return fn(table)
+        except CommitFailedError:
+            if i == attempts - 1:
+                raise
+            table = table.refresh()
+    raise AssertionError("unreachable")
+
+
 def commit_metadata_update(table, new_md, updates, requirements=None):
     """Route a prepared metadata replacement through the table's catalog
     (granular update actions; the pointer swap is the CATALOG's) when

@@ -32,6 +32,10 @@ class _State:
         self.namespaces: dict[tuple[str, ...], dict] = {}
         self.tables: dict[tuple[str, ...], dict] = {}  # ident -> {"metadata","location"}
         self.commits = 0
+        # pagination mode: when set, list endpoints return at most this
+        # many items per response plus a next-page-token (opaque offset)
+        self.page_size = 0
+        self.list_requests = 0
 
 
 def _new_metadata(name: str, body: dict) -> dict:
@@ -191,6 +195,25 @@ class StatefulRestServer:
             def _parts(self) -> list[str]:
                 return [unquote(p) for p in self.path.split("?")[0].split("/") if p]
 
+            def _query(self) -> dict:
+                from urllib.parse import parse_qs
+
+                q = self.path.split("?", 1)
+                return (
+                    {k: v[0] for k, v in parse_qs(q[1]).items()}
+                    if len(q) > 1
+                    else {}
+                )
+
+            def _page(self, items: list) -> tuple[list, str | None]:
+                """Slice a sorted listing by the opaque offset token;
+                non-paginating mode returns everything, no token."""
+                if not state.page_size:
+                    return items, None
+                start = int(self._query().get("pageToken", "0") or 0)
+                end = start + state.page_size
+                return items[start:end], (str(end) if end < len(items) else None)
+
             def do_POST(self):  # noqa: N802
                 p = self._parts()
                 if p[:3] == ["v1", "oauth", "tokens"]:
@@ -246,22 +269,26 @@ class StatefulRestServer:
                     return self._json(401, {"error": "unauthorized"})
                 if p[-1] == "namespaces":
                     with state.lock:
-                        return self._json(
-                            200, {"namespaces": [list(ns) for ns in sorted(state.namespaces)]}
-                        )
+                        page, nxt = self._page(sorted(state.namespaces))
+                        body = {"namespaces": [list(ns) for ns in page]}
+                        if nxt is not None:
+                            body["next-page-token"] = nxt
+                        return self._json(200, body)
                 if p[-1] == "tables" and p[-3] == "namespaces":
                     ns = tuple(p[-2].split(SEP))
                     with state.lock:
-                        idents = [i for i in state.tables if i[:-1] == ns]
-                        return self._json(
-                            200,
-                            {
-                                "identifiers": [
-                                    {"namespace": list(i[:-1]), "name": i[-1]}
-                                    for i in sorted(idents)
-                                ]
-                            },
-                        )
+                        state.list_requests += 1
+                        idents = sorted(i for i in state.tables if i[:-1] == ns)
+                        page, nxt = self._page(idents)
+                        body = {
+                            "identifiers": [
+                                {"namespace": list(i[:-1]), "name": i[-1]}
+                                for i in page
+                            ]
+                        }
+                        if nxt is not None:
+                            body["next-page-token"] = nxt
+                        return self._json(200, body)
                 if len(p) >= 3 and p[-2] == "tables":
                     ns = tuple(p[-3].split(SEP))
                     ident = (*ns, p[-1])

@@ -175,3 +175,37 @@ def test_partition_stats_commit_through_rest(spark, catalog, namespace, tmp_path
         e.get("snapshot-id") != old_snap
         for e in fresh.metadata.partition_statistics
     )
+
+
+def test_list_pagination_2500_tables_across_3_pages():
+    """The public REST spec paginates ListTables/ListNamespaces via
+    next-page-token (the reference's single-shot GET, rest.go:463-520,
+    silently truncates); the client must follow every page."""
+    from rest_fixture import StatefulRestServer
+
+    from icegopher_spark.iceberg.catalog import RestCatalog
+
+    with StatefulRestServer() as srv:
+        srv.state.page_size = 1000
+        srv.state.namespaces[("db",)] = {}
+        # inject listings directly (pagination of the LIST is what's
+        # under test, not table creation)
+        for i in range(2500):
+            srv.state.tables[("db", f"t{i:04d}")] = {"metadata": {}, "location": ""}
+        for ns in [("a",), ("b",), ("c",)] * 400:  # 3 extra namespaces
+            srv.state.namespaces[ns] = {}
+
+        cat = RestCatalog("fixture", srv.uri, {"credential": "cid:secret"})
+        got = cat.list_tables(("db",))
+        assert len(got) == 2500
+        assert got[0] == ("db", "t0000") and got[-1] == ("db", "t2499")
+        assert srv.state.list_requests == 3  # 1000 + 1000 + 500
+
+        # namespaces paginate through the same loop (4 < page size: one page)
+        assert len(cat.list_namespaces()) == 4
+
+        # page-size hint is forwarded; server still slices by its own size
+        cat2 = RestCatalog(
+            "fixture", srv.uri, {"credential": "cid:secret", "rest.page-size": "500"}
+        )
+        assert len(cat2.list_tables(("db",))) == 2500

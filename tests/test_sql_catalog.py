@@ -292,3 +292,33 @@ def test_cli_partition_stats(cat, tmp_path, spark, lineitem, capsys):
     t = cli_cat.load_table("db.cli_ps")
     stats = read_partition_stats(t, spark)
     assert stats.agg(F.sum("data_record_count")).collect()[0][0] == 25
+
+
+def test_commit_with_retry_two_interleaved_committers(cat, spark, lineitem):
+    """Two writers holding handles at the same base version both land:
+    the loser's commit_with_retry refreshes to the winner's head and
+    re-applies, producing three snapshots and all 30 rows."""
+    t1 = cat.create_table("db.retry", SCHEMA)
+    t2 = cat.load_table("db.retry")
+    W.append(t1, lineitem.limit(10))
+    # t2 is now stale; a plain append conflicts, the retry loop wins
+    t2 = W.commit_with_retry(t2, lambda t: W.append(t, lineitem.offset(10).limit(20)))
+    fresh = cat.load_table("db.retry")
+    assert fresh.scan().to_df(spark).count() == 30
+    assert len(fresh.metadata.snapshots) == 2
+
+
+def test_commit_with_retry_exhausts_and_raises(cat, lineitem):
+    t1 = cat.create_table("db.retry2", SCHEMA)
+
+    calls = []
+
+    def always_conflicts(t):
+        calls.append(1)
+        raise W.CommitFailedError("simulated concurrent writer")
+
+    with pytest.raises(W.CommitFailedError, match="simulated"):
+        W.commit_with_retry(t1, always_conflicts, attempts=3)
+    assert len(calls) == 3
+    with pytest.raises(ValueError, match="attempts"):
+        W.commit_with_retry(t1, always_conflicts, attempts=0)
