@@ -363,3 +363,79 @@ def bpe_merges(
     return spark.createDataFrame(
         rules, "rank bigint, left_sym string, right_sym string, freq bigint"
     )
+
+
+# Gopher quality-filter rules (Rae et al. 2021, "Scaling Language
+# Models: ... Gopher", table A1 — the de-facto standard web-corpus
+# pre-filter). The 8 high-frequency English words whose PRESENCE
+# (>= 2 distinct) the paper requires:
+GOPHER_REQUIRED_WORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document Gopher quality-rule counters and the keep verdict.
+
+    All rules evaluate in INTEGER arithmetic (e.g. mean word length in
+    [3, 10] as ``3*n_words <= n_word_chars <= 10*n_words``), so the
+    verdict is engine-exact — no float-division boundary can flip
+    between Spark and an oracle. Pure codegen column ops: one pass,
+    no shuffle, no UDF; at 100 TB this is a map-only filter.
+
+    Rules (keep = all pass):
+      * 50 <= n_words <= 100,000
+      * mean word length in [3, 10] (word chars = non-whitespace chars)
+      * symbol-to-word ratio <= 0.1 (symbols: '#', '...', ellipsis char)
+      * <= 10% of lines start with a bullet (•, *, -)
+      * <= 30% of lines end with an ellipsis
+      * >= 80% of words contain an alphabetic character
+      * >= 2 of the 8 required English words present
+    """
+    t = F.col(text_col)
+    toks = tokens(t)
+    n_words = F.size(toks).cast("bigint")
+    n_word_chars = F.length(
+        F.regexp_replace(t, r"\s", "")
+    ).cast("bigint")
+    n_symbols = F.regexp_count(t, F.lit(r"#|\.\.\.|…")).cast("bigint")
+    lines = F.split(t, "\n")
+    n_lines = F.size(lines).cast("bigint")
+    n_bullet_lines = F.size(
+        F.filter(lines, lambda l: F.ltrim(l).rlike("^[•*-]"))
+    ).cast("bigint")
+    n_ellipsis_lines = F.size(
+        F.filter(lines, lambda l: F.rtrim(l).rlike(r"(\.\.\.|…)$"))
+    ).cast("bigint")
+    n_alpha_words = F.size(
+        F.filter(toks, lambda w: w.rlike("[A-Za-z]"))
+    ).cast("bigint")
+    low = F.lower(t)
+    n_stop_present = sum(
+        F.when(low.rlike(rf"\b{w}\b"), 1).otherwise(0)
+        for w in GOPHER_REQUIRED_WORDS
+    ).cast("bigint")
+
+    out = df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        n_word_chars.alias("n_word_chars"),
+        n_symbols.alias("n_symbols"),
+        n_lines.alias("n_lines"),
+        n_bullet_lines.alias("n_bullet_lines"),
+        n_ellipsis_lines.alias("n_ellipsis_lines"),
+        n_alpha_words.alias("n_alpha_words"),
+        n_stop_present.alias("n_stop_present"),
+    )
+    keep = (
+        (F.col("n_words") >= 50)
+        & (F.col("n_words") <= 100_000)
+        & (F.col("n_word_chars") >= 3 * F.col("n_words"))
+        & (F.col("n_word_chars") <= 10 * F.col("n_words"))
+        & (10 * F.col("n_symbols") <= F.col("n_words"))
+        & (10 * F.col("n_bullet_lines") <= F.col("n_lines"))
+        & (10 * F.col("n_ellipsis_lines") <= 3 * F.col("n_lines"))
+        & (5 * F.col("n_alpha_words") >= 4 * F.col("n_words"))
+        & (F.col("n_stop_present") >= 2)
+    )
+    return out.withColumn("keep", keep)

@@ -2289,3 +2289,56 @@ def bpe_merges_q(spark: SparkSession, sf: str) -> DataFrame:
 
     docs = load(spark, sf, "documents")
     return T.bpe_merges(docs, n_merges=6)
+
+
+gopher_filter_oracle = """
+WITH c AS (
+  SELECT doc_id,
+    CAST(len(regexp_extract_all(text, '[^ \\t\\n\\x0B\\f\\r]+')) AS BIGINT) AS n_words,
+    CAST(length(regexp_replace(text, '[ \\t\\n\\x0B\\f\\r]', '', 'g')) AS BIGINT) AS n_word_chars,
+    CAST(len(regexp_extract_all(text, '#|\\.\\.\\.|…')) AS BIGINT) AS n_symbols,
+    CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,
+    CAST(len(list_filter(string_split(text, chr(10)),
+             l -> regexp_matches(ltrim(l), '^[•*-]'))) AS BIGINT) AS n_bullet_lines,
+    CAST(len(list_filter(string_split(text, chr(10)),
+             l -> regexp_matches(rtrim(l), '(\\.\\.\\.|…)$'))) AS BIGINT) AS n_ellipsis_lines,
+    CAST(len(list_filter(regexp_extract_all(text, '[^ \\t\\n\\x0B\\f\\r]+'),
+             w -> regexp_matches(w, '[A-Za-z]'))) AS BIGINT) AS n_alpha_words,
+    CAST((CASE WHEN regexp_matches(lower(text), '\\bthe\\b') THEN 1 ELSE 0 END)
+       + (CASE WHEN regexp_matches(lower(text), '\\bbe\\b') THEN 1 ELSE 0 END)
+       + (CASE WHEN regexp_matches(lower(text), '\\bto\\b') THEN 1 ELSE 0 END)
+       + (CASE WHEN regexp_matches(lower(text), '\\bof\\b') THEN 1 ELSE 0 END)
+       + (CASE WHEN regexp_matches(lower(text), '\\band\\b') THEN 1 ELSE 0 END)
+       + (CASE WHEN regexp_matches(lower(text), '\\bthat\\b') THEN 1 ELSE 0 END)
+       + (CASE WHEN regexp_matches(lower(text), '\\bhave\\b') THEN 1 ELSE 0 END)
+       + (CASE WHEN regexp_matches(lower(text), '\\bwith\\b') THEN 1 ELSE 0 END)
+      AS BIGINT) AS n_stop_present
+  FROM documents
+)
+SELECT *,
+       (n_words >= 50 AND n_words <= 100000
+        AND n_word_chars >= 3 * n_words AND n_word_chars <= 10 * n_words
+        AND 10 * n_symbols <= n_words
+        AND 10 * n_bullet_lines <= n_lines
+        AND 10 * n_ellipsis_lines <= 3 * n_lines
+        AND 5 * n_alpha_words >= 4 * n_words
+        AND n_stop_present >= 2) AS keep
+FROM c
+"""
+
+
+@register(
+    "text_gopher_filter",
+    gopher_filter_oracle,
+    "Gopher quality-rule web-corpus pre-filter, integer-exact verdicts",
+)
+def gopher_filter_q(spark: SparkSession, sf: str) -> DataFrame:
+    """The Gopher paper's rule filter (word count, mean word length,
+    symbol/bullet/ellipsis ratios, alpha-word fraction, required-word
+    presence) as a single map-only codegen pass — every rule compares
+    in integer space so the keep verdict can't float-flip between
+    engines (operators/text.py:gopher_rules)."""
+    from .operators import text as T
+
+    docs = load(spark, sf, "documents")
+    return T.gopher_rules(docs)

@@ -1015,3 +1015,24 @@ def test_minhash_density_probe_after_streamed_batches(spark, tmp_path):
     got = {(r["id_a"], r["id_b"])
            for r in dedup.minhash_dedup_from_index(spark, t, texts, max_band_df=20).collect()}
     assert got == {(98, 99)}
+
+
+def test_gopher_rules_verdicts(spark):
+    """Pin each Gopher rule against hand-built documents."""
+    good = ("the cat and the dog live together in a house of wood " * 6).strip()
+    rows = [
+        (1, good),                                    # passes everything
+        (2, "the cat and of that"),                   # too short (<50 words)
+        (3, good + "\n" + "\n".join("• item" for _ in range(20))),  # bullets
+        (4, good + " " + "#tag " * 20),               # symbol-heavy
+        (5, ("0101 1010 1100 " * 20) + "the of"),     # <80% alpha words
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in text.gopher_rules(df).collect()}
+    assert out[1]["keep"] is True
+    assert out[2]["keep"] is False and out[2]["n_words"] < 50
+    assert out[3]["keep"] is False and out[3]["n_bullet_lines"] == 20
+    assert out[4]["keep"] is False and 10 * out[4]["n_symbols"] > out[4]["n_words"]
+    assert out[5]["keep"] is False and 5 * out[5]["n_alpha_words"] < 4 * out[5]["n_words"]
+    # required-word presence is DISTINCT words, not total hits
+    assert out[1]["n_stop_present"] >= 3
