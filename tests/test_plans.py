@@ -382,3 +382,37 @@ def test_curation_rank_windows_are_sharded(spark, queries):
         ]
         assert rn_windows, f"{q}: expected a ranking window"
         assert all("_shard" in l for l in rn_windows), f"{q}: unsharded rank: {rn_windows}"
+
+
+def test_gopher_filter_map_only_no_shuffle(spark, queries):
+    """The Gopher rule filter must stay a map-only codegen pass: no
+    aggregation/join exchanges (only load()'s deliberate round-robin
+    scale-out repartition), no Python UDF, pruned to doc_id + text."""
+    plan = plan_of(queries["text_gopher_filter"].fn(spark, SF))
+    # the one allowed Exchange is the RoundRobinPartitioning scale-out
+    import re as _re
+
+    exchanges = _re.findall(r"Exchange \w+", plan)
+    assert all("RoundRobin" in e for e in exchanges), exchanges
+    assert "HashAggregate" not in plan and "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    read = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "text" in read and "lang" not in read
+
+
+def test_minhash_incremental_density_from_cache_not_index(spark, queries):
+    """The incremental probe's hot-bucket side must come from the
+    snapshot-keyed density cache: the probe plan scans the cached
+    density parquet, and a cache-hit minhash_index_density() is a BARE
+    parquet scan — no aggregate, no scan of the index's data files."""
+    plan = plan_of(queries["dedup_minhash_incremental"].fn(spark, SF))
+    assert "density-" in plan, "expected a scan of the cached density parquet"
+
+    from icegopher_spark.iceberg.table import Table
+    from icegopher_spark.operators import dedup
+
+    t = Table.from_location("/tmp/icegopher_tables/root_testdata_sf0.001/minhash_index")
+    dplan = plan_of(dedup.minhash_index_density(spark, t))
+    assert "density-" in dplan
+    assert "HashAggregate" not in dplan, "cache hit must not re-aggregate"
+    assert "/data/" not in dplan, "cache hit must not touch index data files"
