@@ -439,3 +439,60 @@ def gopher_rules(
         & (F.col("n_stop_present") >= 2)
     )
     return out.withColumn("keep", keep)
+
+
+def _dup_counts(parts: Column) -> tuple[Column, Column, Column, Column]:
+    """(n, n_dup, chars, dup_chars) over a pre-split array of non-empty
+    text units: duplicates = occurrences beyond each unit's first, so
+    n_dup = n - n_distinct and dup_chars = chars - distinct_chars."""
+    ne = F.filter(parts, lambda p: p != F.lit(""))
+    dist = F.array_distinct(ne)
+    chars = F.aggregate(
+        ne, F.lit(0).cast("bigint"), lambda acc, p: acc + F.length(p)
+    )
+    dchars = F.aggregate(
+        dist, F.lit(0).cast("bigint"), lambda acc, p: acc + F.length(p)
+    )
+    n = F.size(ne).cast("bigint")
+    return n, n - F.size(dist).cast("bigint"), chars, chars - dchars
+
+
+def repetition_filter(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """MassiveText repetition rules (Gopher paper, table A1): documents
+    dominated by repeated lines/paragraphs are spam or boilerplate.
+
+    Rules (keep = all pass; integer arithmetic — engine-exact):
+      * duplicate-line fraction <= 0.30        (10*dup <= 3*n)
+      * duplicate-line CHAR fraction <= 0.20   (5*dup_chars <= chars)
+      * duplicate-paragraph fraction <= 0.30   (paragraphs = blank-line
+        separated)
+      * duplicate-paragraph CHAR fraction <= 0.20
+
+    A unit's "duplicates" are its occurrences beyond the first, so the
+    counts reduce to array_distinct deltas — pure array expressions,
+    one map pass, no shuffle, no UDF. Empty docs keep (0 <= 0).
+    Complements ``repetition_stats`` (within-doc n-gram repetition)
+    and ``gopher_rules`` (the paper's non-repetition rules)."""
+    t = F.col(text_col)
+    ln, ln_dup, lchars, lchars_dup = _dup_counts(F.split(t, "\n"))
+    pn, pn_dup, pchars, pchars_dup = _dup_counts(F.split(t, "\n\n"))
+    out = df.select(
+        F.col(id_col),
+        ln.alias("n_lines"),
+        ln_dup.alias("n_dup_lines"),
+        lchars.alias("line_chars"),
+        lchars_dup.alias("dup_line_chars"),
+        pn.alias("n_paras"),
+        pn_dup.alias("n_dup_paras"),
+        pchars.alias("para_chars"),
+        pchars_dup.alias("dup_para_chars"),
+    )
+    keep = (
+        (10 * F.col("n_dup_lines") <= 3 * F.col("n_lines"))
+        & (5 * F.col("dup_line_chars") <= F.col("line_chars"))
+        & (10 * F.col("n_dup_paras") <= 3 * F.col("n_paras"))
+        & (5 * F.col("dup_para_chars") <= F.col("para_chars"))
+    )
+    return out.withColumn("keep", keep)

@@ -2342,3 +2342,50 @@ def gopher_filter_q(spark: SparkSession, sf: str) -> DataFrame:
 
     docs = load(spark, sf, "documents")
     return T.gopher_rules(docs)
+
+
+repetition_filter_oracle = """
+WITH u AS (
+  SELECT doc_id,
+    list_filter(string_split(text, chr(10)), p -> p <> '') AS lines,
+    list_filter(string_split(text, chr(10) || chr(10)), p -> p <> '') AS paras
+  FROM documents
+), c AS (
+  SELECT doc_id,
+    CAST(len(lines) AS BIGINT) AS n_lines,
+    CAST(len(lines) - len(list_distinct(lines)) AS BIGINT) AS n_dup_lines,
+    CAST(COALESCE(list_sum(list_transform(lines, p -> length(p))), 0) AS BIGINT) AS line_chars,
+    CAST(COALESCE(list_sum(list_transform(lines, p -> length(p))), 0)
+       - COALESCE(list_sum(list_transform(list_distinct(lines), p -> length(p))), 0)
+      AS BIGINT) AS dup_line_chars,
+    CAST(len(paras) AS BIGINT) AS n_paras,
+    CAST(len(paras) - len(list_distinct(paras)) AS BIGINT) AS n_dup_paras,
+    CAST(COALESCE(list_sum(list_transform(paras, p -> length(p))), 0) AS BIGINT) AS para_chars,
+    CAST(COALESCE(list_sum(list_transform(paras, p -> length(p))), 0)
+       - COALESCE(list_sum(list_transform(list_distinct(paras), p -> length(p))), 0)
+      AS BIGINT) AS dup_para_chars
+  FROM u
+)
+SELECT *,
+       (10 * n_dup_lines <= 3 * n_lines
+        AND 5 * dup_line_chars <= line_chars
+        AND 10 * n_dup_paras <= 3 * n_paras
+        AND 5 * dup_para_chars <= para_chars) AS keep
+FROM c
+"""
+
+
+@register(
+    "text_repetition_filter",
+    repetition_filter_oracle,
+    "MassiveText duplicate-line/paragraph repetition filter, integer-exact",
+)
+def repetition_filter_q(spark: SparkSession, sf: str) -> DataFrame:
+    """The Gopher/MassiveText repetition rules (duplicate-line and
+    duplicate-paragraph fractions by count and by chars) as one
+    array-expression map pass; rules compare in integer space
+    (operators/text.py:repetition_filter)."""
+    from .operators import text as T
+
+    docs = load(spark, sf, "documents")
+    return T.repetition_filter(docs)

@@ -1036,3 +1036,18 @@ def test_gopher_rules_verdicts(spark):
     assert out[5]["keep"] is False and 5 * out[5]["n_alpha_words"] < 4 * out[5]["n_words"]
     # required-word presence is DISTINCT words, not total hits
     assert out[1]["n_stop_present"] >= 3
+
+
+def test_repetition_filter_verdicts(spark):
+    """Pin the MassiveText duplicate-line/paragraph rules."""
+    uniq = "\n".join(f"line number {i} is distinct" for i in range(10))
+    spam = "\n".join(["buy cheap pills now"] * 8 + ["one real line"])
+    para_spam = ("same paragraph text\n\n" * 5) + "distinct closing paragraph"
+    rows = [(1, uniq), (2, spam), (3, para_spam), (4, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in text.repetition_filter(df).collect()}
+    assert out[1]["keep"] is True and out[1]["n_dup_lines"] == 0
+    assert out[2]["keep"] is False and out[2]["n_dup_lines"] == 7
+    # para spam: 5 identical paragraphs -> 4 dup of 6 units... still >30%
+    assert out[3]["keep"] is False and out[3]["n_dup_paras"] == 4
+    assert out[4]["keep"] is True  # empty doc: vacuous pass (0 <= 0)
