@@ -496,3 +496,71 @@ def repetition_filter(
         & (5 * F.col("dup_para_chars") <= F.col("para_chars"))
     )
     return out.withColumn("keep", keep)
+
+
+# MassiveText top-n-gram thresholds (Gopher table A1): max char share
+# of the single most frequent word n-gram, in percent.
+TOP_NGRAM_MAX_PCT = {2: 20, 3: 18, 4: 16}
+
+
+def top_ngram_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per document and n in {2,3,4}: the most frequent word n-gram
+    (ties by gram ascending), its occurrence count, the characters it
+    covers (count × gram length), and the keep verdict against the
+    MassiveText thresholds — integer-exact (100 × top_chars <= pct ×
+    non-ws chars).
+
+    Shape: one explode per n → (doc, gram) count → per-doc top-1 via
+    max_by over a (cnt, inverted-gram) ordering... implemented as a
+    row_number window partitioned BY DOCUMENT, so parallelism is
+    per-doc (millions of partitions at corpus scale — no global sort,
+    no skew beyond the longest single document)."""
+    from pyspark.sql import Window
+
+    from .dedup import word_ngrams
+
+    t = F.col(text_col)
+    base = df.select(
+        F.col(id_col),
+        F.length(F.regexp_replace(t, r"\s", "")).cast("bigint").alias("n_word_chars"),
+        *[word_ngrams(t, n).alias(f"_g{n}") for n in TOP_NGRAM_MAX_PCT],
+    )
+    parts = []
+    for n in TOP_NGRAM_MAX_PCT:
+        g = base.select(
+            id_col,
+            "n_word_chars",
+            F.lit(n).cast("int").alias("n"),
+            F.explode(f"_g{n}").alias("gram"),
+        )
+        counted = g.groupBy(id_col, "n_word_chars", "n", "gram").agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+        w = Window.partitionBy(id_col, "n").orderBy(F.desc("cnt"), F.asc("gram"))
+        parts.append(
+            counted.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+    top = parts[0]
+    for p in parts[1:]:
+        top = top.unionByName(p)
+    top = top.withColumn(
+        "top_chars", (F.col("cnt") * F.length("gram")).cast("bigint")
+    )
+    thr = F.create_map(
+        *[x for n, pct in TOP_NGRAM_MAX_PCT.items() for x in (F.lit(n), F.lit(pct))]
+    )
+    return top.select(
+        id_col,
+        "n",
+        F.col("gram").alias("top_gram"),
+        F.col("cnt").alias("top_cnt"),
+        "top_chars",
+        "n_word_chars",
+        (100 * F.col("top_chars") <= thr[F.col("n")] * F.col("n_word_chars")).alias(
+            "keep"
+        ),
+    )

@@ -2389,3 +2389,58 @@ def repetition_filter_q(spark: SparkSession, sf: str) -> DataFrame:
 
     docs = load(spark, sf, "documents")
     return T.repetition_filter(docs)
+
+
+top_ngram_oracle = """
+WITH toks AS (
+  SELECT doc_id,
+         CAST(length(regexp_replace(text, '[ \\t\\n\\x0B\\f\\r]', '', 'g')) AS BIGINT) AS n_word_chars,
+         list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS w
+  FROM documents
+), grams AS (
+  SELECT doc_id, n_word_chars, 2 AS n,
+         UNNEST(list_transform(range(1, greatest(len(w) - 1, 0) + 1),
+                i -> w[i] || ' ' || w[i+1])) AS gram
+  FROM toks
+  UNION ALL
+  SELECT doc_id, n_word_chars, 3 AS n,
+         UNNEST(list_transform(range(1, greatest(len(w) - 2, 0) + 1),
+                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS gram
+  FROM toks
+  UNION ALL
+  SELECT doc_id, n_word_chars, 4 AS n,
+         UNNEST(list_transform(range(1, greatest(len(w) - 3, 0) + 1),
+                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS gram
+  FROM toks
+), counted AS (
+  SELECT doc_id, n_word_chars, n, gram, COUNT(*) AS cnt
+  FROM grams GROUP BY doc_id, n_word_chars, n, gram
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id, n ORDER BY cnt DESC, gram) AS rn
+  FROM counted
+)
+SELECT doc_id, CAST(n AS INT) AS n, gram AS top_gram,
+       CAST(cnt AS BIGINT) AS top_cnt,
+       CAST(cnt * length(gram) AS BIGINT) AS top_chars,
+       n_word_chars,
+       (100 * cnt * length(gram)
+        <= (CASE n WHEN 2 THEN 20 WHEN 3 THEN 18 ELSE 16 END) * n_word_chars) AS keep
+FROM ranked WHERE rn = 1
+"""
+
+
+@register(
+    "text_top_ngram",
+    top_ngram_oracle,
+    "MassiveText top-n-gram char-share rule (n=2,3,4), integer-exact",
+)
+def top_ngram_q(spark: SparkSession, sf: str) -> DataFrame:
+    """The last MassiveText rule family: the char share of each doc's
+    single most frequent word n-gram for n in {2,3,4}, thresholded
+    20/18/16% in integer space. Explode -> per-(doc, n) count ->
+    per-doc top-1 window (parallelism is per-document — no global
+    sort; operators/text.py:top_ngram_stats)."""
+    from .operators import text as T
+
+    docs = load(spark, sf, "documents")
+    return T.top_ngram_stats(docs)

@@ -1051,3 +1051,24 @@ def test_repetition_filter_verdicts(spark):
     # para spam: 5 identical paragraphs -> 4 dup of 6 units... still >30%
     assert out[3]["keep"] is False and out[3]["n_dup_paras"] == 4
     assert out[4]["keep"] is True  # empty doc: vacuous pass (0 <= 0)
+
+
+def test_top_ngram_stats_verdicts(spark):
+    distinct_long = " ".join(f"uniquely{i}" for i in range(60))
+    rows = [
+        (1, "spam spam spam spam spam only"),  # "spam spam" dominates
+        (2, distinct_long),                    # no repeated gram, long doc
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {(r["doc_id"], r["n"]): r for r in text.top_ngram_stats(df).collect()}
+    r = out[(1, 2)]
+    assert r["top_gram"] == "spam spam" and r["top_cnt"] == 4
+    assert r["keep"] is False  # 4*9=36 chars of 25 non-ws — way over 20%
+    # a long all-distinct doc: every gram count 1, share far under 20%
+    assert out[(2, 2)]["top_cnt"] == 1 and out[(2, 2)]["keep"] is True
+    assert out[(2, 4)]["top_cnt"] == 1
+    # short docs trivially fail (one gram is >20% of a tiny doc) —
+    # faithful to the rule: MassiveText pairs it with the word-count
+    # floor in gopher_rules
+    short = spark.createDataFrame([(3, "only four short words")], "doc_id long, text string")
+    assert all(not r["keep"] for r in text.top_ngram_stats(short).collect())
