@@ -564,3 +564,104 @@ def top_ngram_stats(
             "keep"
         ),
     )
+
+
+def _spaced(col: Column) -> Column:
+    """The boundary-safe BPE working representation: every symbol a
+    fully-delimited ' X ' unit, adjacent units double-space separated
+    (' a  b  c '), so literal replace of ' l  r ' -> ' lr ' can never
+    merge across what is actually a single multi-char symbol."""
+    return F.regexp_replace(col, "(.)", " $1 ")
+
+
+def bpe_encode_counts(
+    docs: DataFrame,
+    rules: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document BPE token count after applying ``rules`` (learned
+    by ``bpe_merges``; applied sequentially by rank, each greedy
+    left-to-right — the learner's own application semantics).
+
+    Pure-JVM path for bounded rule lists: the corpus EXPLODES to
+    (doc, word) once, encoding runs over DISTINCT words only (the same
+    vocabulary-not-corpus trick the learner uses) as a chain of literal
+    `replace` expressions over the spaced representation — whole-stage
+    codegen, no Python. One equi-join fans the per-word counts back
+    out, one groupBy sums per doc. For tokenizer-scale rule sets
+    (30k+, where a 30k-deep expression chain won't compile) use
+    ``bpe_encode_counts_arrow``."""
+    spark = docs.sparkSession
+    words = docs.select(
+        F.col(id_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("w")
+    )
+    s = _spaced(F.col("w"))
+    for left, right in rules:
+        s = F.replace(
+            s,
+            F.lit(f" {left}  {right} "),
+            F.lit(f" {left}{right} "),
+        )
+    enc = (
+        words.select("w")
+        .distinct()
+        .select("w", F.size(F.split(F.trim(s), "  ")).cast("bigint").alias("ntok"))
+    )
+    return (
+        words.join(enc, "w")
+        .groupBy(id_col)
+        .agg(F.sum("ntok").alias("n_bpe_tokens"))
+    )
+
+
+def bpe_encode_counts_arrow(
+    docs: DataFrame,
+    rules: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Tokenizer-scale BPE encode: same semantics as
+    ``bpe_encode_counts`` but the per-word merge loop runs in an
+    Arrow-batched kernel with a per-batch distinct-word memo, so rule
+    count is a Python loop bound, not an expression-tree depth. Rules
+    ride to executors via the closure (a merges table is ~30k tuples,
+    well under broadcast scale)."""
+    import pandas as pd
+
+    rule_list = list(rules)
+
+    def _encode_word(w: str, memo: dict) -> int:
+        n = memo.get(w)
+        if n is not None:
+            return n
+        syms = list(w)
+        for left, right in rule_list:
+            out, j = [], 0
+            while j < len(syms):
+                if (
+                    j + 1 < len(syms)
+                    and syms[j] == left
+                    and syms[j + 1] == right
+                ):
+                    out.append(left + right)
+                    j += 2
+                else:
+                    out.append(syms[j])
+                    j += 1
+            syms = out
+        memo[w] = len(syms)
+        return memo[w]
+
+    def batches(it):
+        for pdf in it:
+            memo: dict[str, int] = {}
+            counts = [
+                sum(_encode_word(w, memo) for w in str(t).lower().split())
+                for t in pdf[text_col].fillna("")
+            ]
+            yield pd.DataFrame({id_col: pdf[id_col], "n_bpe_tokens": counts})
+
+    return docs.select(id_col, text_col).mapInPandas(
+        batches, f"{id_col} long, n_bpe_tokens bigint"
+    )

@@ -2235,9 +2235,20 @@ def _bpe_oracle(n_merges: int, min_count: int = 2) -> str:
     left-to-right greedy application the Spark operator uses, so the
     merge tables are engine-exact. ``min_count`` mirrors the operator's
     executor-side vocabulary floor (text.py:bpe_merges default)."""
+    stages = _bpe_stage_ctes(n_merges)
+    finals = "\nUNION ALL ".join(
+        f"SELECT CAST({k + 1} AS BIGINT) AS rank, l AS left_sym, r AS right_sym, freq FROM b{k}"
+        for k in range(n_merges)
+    )
+    return _bpe_learn_ctes(n_merges, min_count) + stages + "\n" + finals
+
+
+def _bpe_stage_ctes(n_merges: int) -> str:
+    """Per-merge CTEs (p{k} pair counts, b{k} best pair, s{k+1} applied
+    state). Symbols are fully-delimited ' X ' units, double-space
+    separated — see operators/text.py:bpe_merges for why boundary-safe
+    matters."""
     stages = ""
-    # (symbols are fully-delimited ' X ' units, double-space separated —
-    # see operators/text.py:bpe_merges for why boundary-safe matters)
     for k in range(n_merges):
         stages += f""",
 p{k} AS (
@@ -2253,10 +2264,12 @@ s{k + 1} AS (
   SELECT cnt, replace(s, ' ' || l || '  ' || r || ' ', ' ' || l || r || ' ') AS s
   FROM s{k}, b{k}
 )"""
-    finals = "\nUNION ALL ".join(
-        f"SELECT CAST({k + 1} AS BIGINT) AS rank, l AS left_sym, r AS right_sym, freq FROM b{k}"
-        for k in range(n_merges)
-    )
+    return stages
+
+
+def _bpe_learn_ctes(n_merges: int, min_count: int) -> str:
+    """The WITH-prefix learning the vocabulary (w, s0): shared between
+    the merge-table oracle and the encode oracle."""
     return (
         """
 WITH w AS (
@@ -2267,9 +2280,6 @@ WITH w AS (
         + """
 ),
 s0 AS (SELECT cnt, regexp_replace(w, '(.)', ' \\1 ', 'g') AS s FROM w)"""
-        + stages
-        + "\n"
-        + finals
     )
 
 
@@ -2444,3 +2454,56 @@ def top_ngram_q(spark: SparkSession, sf: str) -> DataFrame:
 
     docs = load(spark, sf, "documents")
     return T.top_ngram_stats(docs)
+
+
+def _bpe_encode_oracle(n_merges: int = 6, min_count: int = 2) -> str:
+    """Learn the merge table (shared CTEs), then apply the rules in
+    rank order to every DISTINCT word of the corpus (including hapax
+    words the learner's vocabulary floor excluded — encoding covers
+    the whole corpus) and sum per-word token counts per document."""
+    enc = ""
+    for k in range(n_merges):
+        enc += f""",
+e{k + 1} AS (
+  SELECT w, replace(s, ' ' || b{k}.l || '  ' || b{k}.r || ' ', ' ' || b{k}.l || b{k}.r || ' ') AS s
+  FROM e{k}, b{k}
+)"""
+    return (
+        _bpe_learn_ctes(n_merges, min_count)
+        + _bpe_stage_ctes(n_merges)
+        + """,
+docw AS (
+  SELECT doc_id, UNNEST(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS w
+  FROM documents
+),
+e0 AS (SELECT DISTINCT w, regexp_replace(w, '(.)', ' \\1 ', 'g') AS s FROM docw)"""
+        + enc
+        + f"""
+SELECT doc_id,
+       CAST(SUM(len(string_split(s[2:len(s)-1], '  '))) AS BIGINT) AS n_bpe_tokens
+FROM docw JOIN e{n_merges} USING (w)
+GROUP BY doc_id
+"""
+    )
+
+
+@register(
+    "vocab_bpe_encode",
+    _bpe_encode_oracle(6),
+    "BPE tokenizer apply: per-doc token counts under the learned merges",
+)
+def bpe_encode_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Tokenizer APPLY (the other half of training-data token
+    accounting): learn the 6 fixture merges, then encode the corpus —
+    distinct words encoded once through a codegen replace chain, fanned
+    back per doc by an equi-join (operators/text.py:bpe_encode_counts;
+    the 30k-rule scale path is bpe_encode_counts_arrow, differentially
+    tested)."""
+    from .operators import text as T
+
+    docs = load(spark, sf, "documents")
+    rules = [
+        (r["left_sym"], r["right_sym"])
+        for r in T.bpe_merges(docs, n_merges=6).orderBy("rank").collect()
+    ]
+    return T.bpe_encode_counts(docs, rules)

@@ -1072,3 +1072,26 @@ def test_top_ngram_stats_verdicts(spark):
     # floor in gopher_rules
     short = spark.createDataFrame([(3, "only four short words")], "doc_id long, text string")
     assert all(not r["keep"] for r in text.top_ngram_stats(short).collect())
+
+
+def test_bpe_encode_paths_agree(spark):
+    """The codegen replace-chain encode and the Arrow-batched kernel
+    must agree exactly (same sequential-by-rank greedy semantics), and
+    match a hand-computed case."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    rules = [
+        (r["left_sym"], r["right_sym"])
+        for r in text.bpe_merges(docs, n_merges=6).orderBy("rank").collect()
+    ]
+    a = {r["doc_id"]: r["n_bpe_tokens"]
+         for r in text.bpe_encode_counts(docs, rules).collect()}
+    b = {r["doc_id"]: r["n_bpe_tokens"]
+         for r in text.bpe_encode_counts_arrow(docs, rules).collect()}
+    assert a == b and len(a) > 100
+
+    tiny = spark.createDataFrame([(1, "abab abcd xy")], "doc_id long, text string")
+    # rules (a,b) then (ab,ab): 'abab'->[abab], 'abcd'->[ab,c,d], 'xy'->[x,y]
+    got = text.bpe_encode_counts(tiny, [("a", "b"), ("ab", "ab")]).collect()
+    assert got[0]["n_bpe_tokens"] == 1 + 3 + 2
+    got2 = text.bpe_encode_counts_arrow(tiny, [("a", "b"), ("ab", "ab")]).collect()
+    assert got2[0]["n_bpe_tokens"] == 6
