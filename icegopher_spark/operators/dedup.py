@@ -1011,3 +1011,45 @@ def repeated_ngram_spans(
         .select("gram_hash")
     )
     return grams.join(hot, "gram_hash", "left_semi").select(id_col, "pos", "gram_hash")
+
+
+def source_overlap(
+    df: DataFrame,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    n: int = 3,
+    max_doc_freq: int | None = STOP_SHINGLE_MAX_DF,
+) -> DataFrame:
+    """Cross-source contamination matrix: for every unordered source
+    pair, how many near-duplicate document pairs (n-gram Jaccard >=
+    threshold) span them — the standard corpus audit before mixing
+    sources into a training set (a high off-diagonal count means one
+    source republishes another and the mix double-counts its content).
+
+    Built on the inverted-index pair generator (``ngram_jaccard_pairs``
+    — bounded by shared-shingle pairs, stop-shingle capped), then two
+    broadcast-friendly id→source joins and an unordered (least,
+    greatest) normalization. Jaccard extremes are min/max (order-
+    independent), not averages: float sums depend on reduction order
+    and would not be engine-stable."""
+    pairs = ngram_jaccard_pairs(df, text_col, id_col, n, threshold, max_doc_freq)
+    src = df.select(F.col(id_col).alias("_id"), F.col(source_col).alias("_src"))
+    labeled = (
+        pairs.join(src.withColumnRenamed("_id", "id_a").withColumnRenamed("_src", "src_of_a"), "id_a")
+        .join(src.withColumnRenamed("_id", "id_b").withColumnRenamed("_src", "src_of_b"), "id_b")
+    )
+    return (
+        labeled.select(
+            F.least("src_of_a", "src_of_b").alias("src_a"),
+            F.greatest("src_of_a", "src_of_b").alias("src_b"),
+            "jaccard",
+        )
+        .groupBy("src_a", "src_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.min("jaccard").alias("min_jaccard"),
+            F.max("jaccard").alias("max_jaccard"),
+        )
+    )

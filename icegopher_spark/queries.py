@@ -2507,3 +2507,48 @@ def bpe_encode_q(spark: SparkSession, sf: str) -> DataFrame:
         for r in T.bpe_merges(docs, n_merges=6).orderBy("rank").collect()
     ]
     return T.bpe_encode_counts(docs, rules)
+
+
+source_overlap_oracle = """
+WITH toks AS (
+  SELECT doc_id, source,
+         list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS w
+  FROM documents
+), grams AS (
+  SELECT doc_id, source,
+         list_distinct(list_transform(range(1, greatest(len(w) - 2, 0) + 1),
+                        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+  FROM toks
+), ex AS (
+  SELECT doc_id, source, len(sh) AS n_sh, UNNEST(sh) AS s FROM grams
+), p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         MIN(a.source) AS sa, MIN(b.source) AS sb,
+         COUNT(*) AS n_common, MIN(a.n_sh) AS n_a, MIN(b.n_sh) AS n_b
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), j AS (
+  SELECT least(sa, sb) AS src_a, greatest(sa, sb) AS src_b,
+         ROUND(n_common / CAST(n_a + n_b - n_common AS DOUBLE), 6) AS jaccard
+  FROM p
+  WHERE n_common / CAST(n_a + n_b - n_common AS DOUBLE) >= 0.5
+)
+SELECT src_a, src_b, COUNT(*) AS n_pairs,
+       MIN(jaccard) AS min_jaccard, MAX(jaccard) AS max_jaccard
+FROM j GROUP BY src_a, src_b
+"""
+
+
+@register(
+    "dedup_source_overlap",
+    source_overlap_oracle,
+    "cross-source near-dup contamination matrix (n-gram Jaccard >= 0.5)",
+)
+def source_overlap_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus audit before source mixing: near-dup pairs spanning each
+    unordered source pair, with order-independent jaccard extremes
+    (operators/dedup.py:source_overlap)."""
+    from .operators import dedup as _dedup
+
+    docs = load(spark, sf, "documents")
+    return _dedup.source_overlap(docs, threshold=0.5)

@@ -1095,3 +1095,18 @@ def test_bpe_encode_paths_agree(spark):
     assert got[0]["n_bpe_tokens"] == 1 + 3 + 2
     got2 = text.bpe_encode_counts_arrow(tiny, [("a", "b"), ("ab", "ab")]).collect()
     assert got2[0]["n_bpe_tokens"] == 6
+
+
+def test_source_overlap_matrix(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog tonight", "wiki"),
+        (2, "the quick brown fox jumps over the lazy dog tonight", "web"),   # cross-source dup
+        (3, "the quick brown fox jumps over the lazy cat tonight", "web"),   # near dup of 1,2
+        (4, "entirely different content about query engines and storage", "web"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {(r["src_a"], r["src_b"]): r for r in dedup.source_overlap(df, threshold=0.5).collect()}
+    assert out[("web", "wiki")]["n_pairs"] == 2     # (1,2) exact + (1,3) near
+    assert out[("web", "wiki")]["max_jaccard"] == 1.0
+    assert out[("web", "web")]["n_pairs"] == 1      # (2,3)
+    assert ("wiki", "wiki") not in out
