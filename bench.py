@@ -151,6 +151,13 @@ def main() -> None:
         "vocab_bpe_merges",
         "mm_audio_features",
         "events_windowed_topk",
+        # round-7 additions
+        "iceberg_dv_migrate",
+        "text_gopher_filter",
+        "text_repetition_filter",
+        "text_top_ngram",
+        "vocab_bpe_encode",
+        "dedup_source_overlap",
     ]
 
     times: dict[str, float] = {}

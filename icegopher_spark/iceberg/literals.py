@@ -310,7 +310,7 @@ def _cast(src: IcebergType, v: Any, target: IcebergType) -> Any:
         if n < LONG_MIN:
             return LongBelowMin
         return n
-    if isinstance(src, LongType) and isinstance(target, _NS_TYPES):
+    if isinstance(src, (IntegerType, LongType)) and isinstance(target, _NS_TYPES):
         return v
     if isinstance(src, DateType) and isinstance(target, _NS_TYPES):
         n = v * 86_400_000_000_000

@@ -37,6 +37,20 @@ def bind1(value: Column, fn) -> Column:
     return F.element_at(F.transform(F.array(value), fn), 1)
 
 
+def word_ngrams_from_tokens(toks: Column, n: int) -> Column:
+    """Word n-grams from an ALREADY-tokenized array column — for
+    callers building several n sizes from one tokenization (the
+    tokenizer is the expensive regex pass; HOFs have no CSE, so a
+    shared ``toks`` must be materialized in its own projection)."""
+    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    grams = F.transform(
+        idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)])
+    )
+    return F.when(F.size(toks) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
 def word_ngrams(col: Column, n: int = 3) -> Column:
     """Word n-grams (NOT deduplicated, in document order) as an
     array<string>; empty-safe; case-folded to match the SQL oracles.
@@ -51,16 +65,7 @@ def word_ngrams(col: Column, n: int = 3) -> Column:
     regexp tokenizer for every element_at reference inside the lambda —
     measured ~10× the entire MinHash pipeline cost."""
 
-    def build(toks: Column) -> Column:
-        idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
-        grams = F.transform(
-            idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)])
-        )
-        return F.when(F.size(toks) >= n, grams).otherwise(
-            F.array().cast("array<string>")
-        )
-
-    return bind1(tokens(F.lower(col)), build)
+    return bind1(tokens(F.lower(col)), lambda toks: word_ngrams_from_tokens(toks, n))
 
 
 def word_shingles(col: Column, n: int = 3) -> Column:
@@ -459,6 +464,31 @@ def _hot_buckets(density: DataFrame | None, max_band_df: int) -> DataFrame | Non
     return density.filter(F.col("df") > max_band_df).select("band", "key")
 
 
+# Hot (band, key) lists are tiny by construction (every over-cap bucket
+# consumes > cap index rows, so |hot| <= |index|/cap) — but "tiny" is a
+# heuristic, so the driver-side fast path is guarded: above this many
+# hot buckets we fall back to the distributed anti-join.
+_HOT_COLLECT_GUARD = 100_000
+
+
+def _drop_hot(e: DataFrame, hot: DataFrame | None) -> DataFrame:
+    """Anti-join ``e`` against the hot-bucket list, with a guarded
+    driver fast path: the dominant case is ZERO hot buckets, where the
+    anti-join (a sort or broadcast build over the full entry stream)
+    would be pure overhead — collect up to the guard, skip the join
+    when empty, inline a broadcast list when small, and fall back to
+    the distributed join only past the guard."""
+    if hot is None:
+        return e
+    rows = hot.limit(_HOT_COLLECT_GUARD + 1).collect()
+    if not rows:
+        return e
+    if len(rows) > _HOT_COLLECT_GUARD:
+        return e.join(hot, ["band", "key"], "left_anti")
+    hot_df = e.sparkSession.createDataFrame(rows, "band int, key bigint")
+    return e.join(F.broadcast(hot_df), ["band", "key"], "left_anti")
+
+
 def minhash_index_create(
     location: str,
     num_hashes: int = 32,
@@ -597,8 +627,7 @@ def minhash_dedup_from_index(
     e = table.scan().to_df(spark).select("band", "key", "id")
     if max_band_df is not None:
         hot = _hot_buckets(minhash_index_density(spark, table), max_band_df)
-        if hot is not None:
-            e = e.join(hot, ["band", "key"], "left_anti")
+        e = _drop_hot(e, hot)
     cands = (
         e.alias("a")
         .join(
@@ -673,8 +702,7 @@ def minhash_dedup_incremental(
             .groupBy("band", "key")
             .agg(F.sum("df").cast("long").alias("df"))
         )
-        hot = _hot_buckets(total, max_band_df)
-        all_e = all_e.join(hot, ["band", "key"], "left_anti")
+        all_e = _drop_hot(all_e, _hot_buckets(total, max_band_df))
     cands = (
         new_e.alias("a")
         .join(

@@ -519,13 +519,23 @@ def top_ngram_stats(
     no skew beyond the longest single document)."""
     from pyspark.sql import Window
 
-    from .dedup import word_ngrams
+    from .dedup import word_ngrams_from_tokens
 
     t = F.col(text_col)
+    # tokenize ONCE in a staged projection (interpreted HOFs have no
+    # common-subexpression elimination — inlining would run the regex
+    # tokenizer 3×), then build all three gram sizes from the array
     base = df.select(
         F.col(id_col),
         F.length(F.regexp_replace(t, r"\s", "")).cast("bigint").alias("n_word_chars"),
-        *[word_ngrams(t, n).alias(f"_g{n}") for n in TOP_NGRAM_MAX_PCT],
+        tokens(F.lower(t)).alias("_toks"),
+    ).select(
+        id_col,
+        "n_word_chars",
+        *[
+            word_ngrams_from_tokens(F.col("_toks"), n).alias(f"_g{n}")
+            for n in TOP_NGRAM_MAX_PCT
+        ],
     )
     parts = []
     for n in TOP_NGRAM_MAX_PCT:

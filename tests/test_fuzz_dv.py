@@ -85,3 +85,70 @@ def test_roaring_fuzz_boundaries(seed):
     parts.append(np.arange(10 * 65536, 10 * 65536 + 5000, dtype=np.uint64))
     v = np.unique(np.concatenate(parts))
     assert np.array_equal(deserialize_roaring64(serialize_roaring64(v)), v)
+
+
+@pytest.mark.parametrize("seed", [7, 29])
+def test_dv_migration_fuzz(spark, tmp_path, seed):
+    """Migration invariant fuzz: random append/MOR-delete sequences on
+    a V2 table, upgrade to v3, rewrite_position_delete_files —
+    scan must equal the Python set model; zero positional-delete
+    entries survive; at most one DV per referenced data file; a
+    further DV delete after migration folds cleanly."""
+    from icegopher_spark.iceberg.evolve import upgrade_format_version
+    from icegopher_spark.iceberg.maintenance import (
+        rewrite_position_delete_files,
+    )
+    from icegopher_spark.iceberg.manifests import (
+        DataFileContent,
+        ManifestContent,
+        fetch_entries,
+        read_manifest_list,
+    )
+
+    rng = random.Random(seed)
+
+    def df_of(rows):
+        return spark.createDataFrame(rows, "k long, tag string").coalesce(1)
+
+    t = W.create_table(str(tmp_path / f"mig_{seed}"), SCHEMA, format_version=2)
+    model: set[tuple] = set()
+    next_k = 0
+    for _ in range(5):
+        if rng.random() < 0.5 or not model:
+            rows = [(next_k + i, rng.choice("abc")) for i in range(rng.randint(5, 25))]
+            next_k += len(rows)
+            t = W.append(t, df_of(rows))
+            model.update(rows)
+        else:
+            lo = rng.randint(0, next_k)
+            hi = lo + rng.randint(1, 15)
+            pred = E.greater_than_or_equal("k", lo) & E.less_than("k", hi)
+            t = W.delete_where_mor(t, spark, pred)
+            model = {r for r in model if not (lo <= r[0] < hi)}
+
+    t = upgrade_format_version(t, 3)
+    t = rewrite_position_delete_files(t, spark)
+
+    got = sorted(tuple(r) for r in t.scan().to_df(spark).collect())
+    assert got == sorted(model), f"seed={seed} post-migration scan"
+    pos, dv_refs = 0, []
+    snap = t.current_snapshot()
+    for m in read_manifest_list(t.io.read(snap.manifest_list)):
+        if m.content != ManifestContent.DELETES:
+            continue
+        for e in fetch_entries(m, t.io.read(m.manifest_path), discard_deleted=True):
+            f = e.data_file
+            if f.is_deletion_vector:
+                dv_refs.append(f.referenced_data_file)
+            elif f.content == DataFileContent.POSITION_DELETES:
+                pos += 1
+    assert pos == 0, f"seed={seed}: {pos} positional-delete entries survive"
+    assert len(dv_refs) == len(set(dv_refs)), f"seed={seed}: duplicate DVs"
+
+    # post-migration DV delete folds on top of the migrated state
+    if model:
+        lo = min(r[0] for r in model)
+        t = W.delete_where_dv(t, spark, E.equal_to("k", lo))
+        model = {r for r in model if r[0] != lo}
+        got = sorted(tuple(r) for r in t.scan().to_df(spark).collect())
+        assert got == sorted(model), f"seed={seed} post-migration DV delete"

@@ -67,6 +67,13 @@ EXTRA_SCALE_QUERIES = [
     "iceberg_default_values",
     "iceberg_lineage_changelog",
     "iceberg_partition_stats",
+    # round-7 operators (DV migration, rule filters, BPE encode)
+    "iceberg_dv_migrate",
+    "text_gopher_filter",
+    "text_repetition_filter",
+    "text_top_ngram",
+    "vocab_bpe_encode",
+    "dedup_source_overlap",
 ]
 SCALE_QUERIES = BENCH_QUERIES + EXTRA_SCALE_QUERIES
 from icegopher_spark.queries import QUERIES, load  # noqa: E402
