@@ -344,3 +344,76 @@ def upgrade_format_version(table: Table, new_version: int) -> Table:
         new_md,
         [{"action": "upgrade-format-version", "format-version": new_version}],
     )
+
+
+def replace_sort_order(table: Table, *fields) -> Table:
+    """Set a new default sort order (Iceberg's ``replaceSortOrder``) as
+    a metadata-only commit. Each field is a column name or a tuple
+    ``(name, direction, null_order, transform)`` with spec defaults
+    (asc, nulls-first, identity); no args sets UNSORTED.
+
+    Later writes cluster by the new order (write.py sorts within write
+    tasks — tighter min/max bounds, better pruning); existing files are
+    untouched until compaction/z-order rewrites them. An identical
+    existing order is reused by id (the spec forbids duplicate order
+    definitions under distinct ids). Reference surface:
+    table/sorting.go:29-122 models sort orders; evolution is
+    beyond-reference (its write path is WIP)."""
+    from .metadata import SortField, SortOrder
+
+    md = table.metadata
+    schema = md.current_schema
+    sfs = []
+    for f in fields:
+        name, direction, null_order, transform = (
+            (f, "asc", None, "identity") if isinstance(f, str)
+            else (tuple(f) + ("asc", None, "identity")[len(f) - 1:])
+        )
+        if direction not in ("asc", "desc"):
+            raise ValueError(f"direction must be asc|desc, got {direction!r}")
+        if null_order is None:
+            # spec default: nulls-first for asc, nulls-last for desc
+            null_order = "nulls-first" if direction == "asc" else "nulls-last"
+        if null_order not in ("nulls-first", "nulls-last"):
+            raise ValueError(f"null_order must be nulls-first|nulls-last, got {null_order!r}")
+        src = schema.find_field(name)
+        if src is None:
+            raise ValueError(f"sort column {name!r} not in current schema")
+        # validate the transform parses (raises on unknown)
+        from .transforms import parse_transform
+
+        parse_transform(transform)
+        sfs.append(
+            SortField(
+                source_id=src.field_id,
+                transform=transform,
+                direction=direction,
+                null_order=null_order,
+            )
+        )
+
+    new_fields = tuple(sfs)
+    existing = None
+    for o in md.sort_orders:
+        if o.fields == new_fields:
+            existing = o
+            break
+    if existing is not None:
+        if existing.order_id == md.default_sort_order_id:
+            return table  # already the default — no-op, no commit
+        order = existing
+    else:
+        next_id = max((o.order_id for o in md.sort_orders), default=0) + 1
+        order = SortOrder(order_id=next_id if new_fields else 0, fields=new_fields)
+
+    raw = md.to_json_dict()
+    updates = []
+    if existing is None and new_fields:
+        raw["sort-orders"] = raw.get("sort-orders", []) + [order.to_json_dict()]
+        updates.append({"action": "add-sort-order", "sort-order": order.to_json_dict()})
+    raw["default-sort-order-id"] = order.order_id
+    raw["last-updated-ms"] = int(time.time() * 1000)
+    updates.append({"action": "set-default-sort-order", "sort-order-id": order.order_id})
+    from .write import commit_metadata_update
+
+    return commit_metadata_update(table, parse_metadata(raw), updates)

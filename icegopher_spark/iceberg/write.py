@@ -644,7 +644,17 @@ def _write_data_files(
         elif mode == "range":
             sort_cols = _sort_order_columns(table)
             if sort_cols:
-                df = df.repartitionByRange(*sort_cols)
+                # engine-specific knob: an EXPLICIT range-partition count
+                # pins the file fan-out (AQE coalesces an unspecified
+                # range exchange on small inputs down to one file, which
+                # defeats the disjoint-bounds layout range mode exists
+                # for); unset -> planner/AQE decides
+                n_range = table.properties.get("write.range-partitions")
+                df = (
+                    df.repartitionByRange(int(n_range), *sort_cols)
+                    if n_range
+                    else df.repartitionByRange(*sort_cols)
+                )
         if cluster_by is None:
             df = _apply_sort_order(table, df)
         out = f"{data_dir}/{_uuid.uuid4().hex[:16]}"
@@ -694,8 +704,12 @@ def _write_data_files(
     elif mode == "hash":
         staged = staged.repartition(*[F.col(n) for n in names])
     elif mode == "range":
-        staged = staged.repartitionByRange(
-            *[F.col(n) for n in names], *_sort_order_columns(table)
+        n_range = table.properties.get("write.range-partitions")
+        rcols = [*[F.col(n) for n in names], *_sort_order_columns(table)]
+        staged = (
+            staged.repartitionByRange(int(n_range), *rcols)
+            if n_range
+            else staged.repartitionByRange(*rcols)
         )
     # sort INSIDE write tasks after the distribution shuffle (a shuffle
     # after sortWithinPartitions would destroy the clustering). The sort

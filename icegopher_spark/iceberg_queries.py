@@ -1500,3 +1500,62 @@ def _dv_migrated_table_for(spark: SparkSession, sf_dir: str) -> Table:
         )
 
     return _cached_table(sf_dir, "lineitem_dv_migrated", valid, build)
+
+
+# --- sort-order evolution -> stats-pruned scan ----------------------------
+
+ice_sortorder_oracle = """
+SELECT COUNT(*) AS n_rows,
+       CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_qty,
+       CAST(SUM(l_orderkey % 1000) AS BIGINT) AS okey_chk,
+       TRUE AS pruned
+FROM lineitem WHERE l_quantity < 5
+"""
+
+
+@register(
+    "iceberg_sortorder_pruned",
+    ice_sortorder_oracle,
+    "replace_sort_order + range distribution-mode -> per-file quantity "
+    "bounds are disjoint and the metrics evaluator prunes most files",
+)
+def iceberg_sortorder_pruned(spark: SparkSession, sf: str) -> DataFrame:
+    t = _sorted_table_for(spark, sf)
+    flt = E.less_than("l_quantity", 5.0)
+    scan = t.scan(row_filter=flt)
+    tasks = scan.plan_files()
+    total = len(t.scan().plan_files())
+    return scan.to_df(spark, tasks=tasks).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum(F.col("l_quantity").cast("decimal(12,2)")), 2)
+        .cast("double")
+        .alias("sum_qty"),
+        F.sum(F.col("l_orderkey") % 1000).cast("bigint").alias("okey_chk"),
+        F.lit(bool(len(tasks) < total)).alias("pruned"),
+    )
+
+
+def _sorted_table_for(spark: SparkSession, sf_dir: str) -> Table:
+    """Unpartitioned lineitem under write.distribution-mode=range with a
+    post-create replace_sort_order(l_quantity): one append range-
+    partitions rows by quantity so per-file min/max bounds are disjoint
+    — the metrics evaluator must prune files for a quantity predicate.
+    One snapshot + default order id 1 pins the complete build."""
+
+    def build(loc: str) -> Table:
+        from .iceberg.evolve import replace_sort_order
+        from .iceberg.transforms import PartitionSpec as PS
+
+        t = W.create_table(
+            loc, _SCHEMA, PS(), properties={"write.distribution-mode": "range", "write.range-partitions": "8"}
+        )
+        t = replace_sort_order(t, "l_quantity")
+        return W.append(t, _li4(spark, sf_dir))
+
+    def valid(t: Table) -> bool:
+        return (
+            t.metadata.default_sort_order_id == 1
+            and len(t.metadata.snapshots) == 1
+        )
+
+    return _cached_table(sf_dir, "lineitem_sorted", valid, build)

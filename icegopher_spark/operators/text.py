@@ -519,23 +519,19 @@ def top_ngram_stats(
     no skew beyond the longest single document)."""
     from pyspark.sql import Window
 
-    from .dedup import word_ngrams_from_tokens
+    from .dedup import word_ngrams
 
     t = F.col(text_col)
-    # tokenize ONCE in a staged projection (interpreted HOFs have no
-    # common-subexpression elimination — inlining would run the regex
-    # tokenizer 3×), then build all three gram sizes from the array
+    # Three word_ngrams calls = three tokenizer runs, each bind1-
+    # protected. DO NOT "share" the token array through a projected
+    # column instead: CollapseProject inlines the projection into every
+    # element_at reference inside the gram lambdas (HOFs have no CSE),
+    # re-running the tokenizer per element — measured 15× slower than
+    # the three protected runs (r7 bench: 1.7 s -> 25.8 s at sf0.1).
     base = df.select(
         F.col(id_col),
         F.length(F.regexp_replace(t, r"\s", "")).cast("bigint").alias("n_word_chars"),
-        tokens(F.lower(t)).alias("_toks"),
-    ).select(
-        id_col,
-        "n_word_chars",
-        *[
-            word_ngrams_from_tokens(F.col("_toks"), n).alias(f"_g{n}")
-            for n in TOP_NGRAM_MAX_PCT
-        ],
+        *[word_ngrams(t, n).alias(f"_g{n}") for n in TOP_NGRAM_MAX_PCT],
     )
     parts = []
     for n in TOP_NGRAM_MAX_PCT:

@@ -179,3 +179,47 @@ def test_cow_delete_after_spec_evolution_preserves_old_partitions(spark, tmp_pat
     assert old_tasks and all(task.file.partition["g_p"] == "b" for task in old_tasks)
     got = t.scan(row_filter=E.equal_to("g", "b")).to_df(spark)
     assert sorted(r.k for r in got.collect()) == [i for i in range(20) if i % 2 == 1]
+
+
+def test_replace_sort_order(spark, tmp_path, lineitem):
+    from icegopher_spark.iceberg import write as W
+    from icegopher_spark.iceberg.evolve import replace_sort_order
+
+    t = W.create_table(str(tmp_path / "so"), SCHEMA)
+    assert t.metadata.default_sort_order_id == 0
+    t = replace_sort_order(t, ("l_quantity", "desc"), "l_orderkey")
+    order = t.metadata.default_sort_order
+    assert order.order_id == 1 and len(order.fields) == 2
+    assert order.fields[0].direction == "desc"
+    assert order.fields[0].null_order == "nulls-last"  # spec default for desc
+    assert order.fields[1].direction == "asc"
+
+    # identical replacement is a no-op (no new commit, same id)
+    v = t.metadata_location
+    t2 = replace_sort_order(t, ("l_quantity", "desc"), "l_orderkey")
+    assert t2.metadata_location == v
+
+    # switching back to a previously-defined order reuses its id
+    t3 = replace_sort_order(t, "l_orderkey")
+    t3 = replace_sort_order(t3, ("l_quantity", "desc"), "l_orderkey")
+    assert t3.metadata.default_sort_order_id == 1
+    assert len(t3.metadata.sort_orders) == 3  # unsorted + two defined
+
+    # writes under the new order tighten per-file quantity bounds:
+    # the sort applies within write tasks (coalesce to 1 task, 2 files
+    # via range split is not guaranteed here — just assert scan works
+    # and metadata round-trips through a reload)
+    t4 = W.append(t3, lineitem.limit(100))
+    from icegopher_spark.iceberg.table import Table
+
+    fresh = Table.from_location(t4.metadata.location)
+    assert fresh.metadata.default_sort_order_id == 1
+    assert fresh.scan().to_df(spark).count() == 100
+
+    # unknown column / bad direction fail loudly
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="not in current schema"):
+        replace_sort_order(t, "nope")
+    with _pt.raises(ValueError, match="direction"):
+        replace_sort_order(t, ("l_orderkey", "sideways"))
