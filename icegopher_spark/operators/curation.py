@@ -418,3 +418,58 @@ def length_trim(
         & (F.col("_cb") + F.col("_tr") <= F.col("_hi"))
     ).select(id_col, key_col, len_col)
     return keep.unionByName(kept_b)
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int = 256,
+    overlap: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split documents into fixed-size token windows with overlap — the
+    standard pre-tokenization chunking for long-context training and
+    embedding pipelines. Windows start every ``chunk_tokens - overlap``
+    tokens; the tail window may be shorter; a non-empty doc always
+    yields at least one chunk; empty docs yield none.
+
+    Returns (doc_id, chunk_id, n_tokens, chunk_text). One map pass —
+    tokenize, compute the window count arithmetically, posexplode the
+    slices; no shuffle, no UDF. At corpus scale the output is larger
+    than the input by ~overlap/chunk_tokens — the explode is the point,
+    not a hazard."""
+    from .text import tokens as _tokens
+
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError(
+            f"need 0 <= overlap < chunk_tokens, got {overlap}/{chunk_tokens}"
+        )
+    stride = chunk_tokens - overlap
+    t = F.col(text_col)
+    staged = docs.select(
+        F.col(id_col), _tokens(t).alias("_toks")
+    ).select(
+        id_col,
+        "_toks",
+        F.size("_toks").alias("_n"),
+        F.greatest(
+            F.lit(1),
+            F.ceil((F.size("_toks") - F.lit(overlap)) / F.lit(float(stride))).cast("int"),
+        ).alias("_nc"),
+    ).filter(F.col("_n") > 0)
+    chunks = staged.select(
+        id_col,
+        "_n",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.col("_nc") - 1),
+                lambda i: F.slice(F.col("_toks"), i * stride + 1, chunk_tokens),
+            )
+        ).alias("chunk_id", "_ctoks"),
+    )
+    return chunks.select(
+        id_col,
+        F.col("chunk_id").cast("bigint").alias("chunk_id"),
+        F.size("_ctoks").cast("bigint").alias("n_tokens"),
+        F.concat_ws(" ", "_ctoks").alias("chunk_text"),
+    )

@@ -2552,3 +2552,39 @@ def source_overlap_q(spark: SparkSession, sf: str) -> DataFrame:
 
     docs = load(spark, sf, "documents")
     return _dedup.source_overlap(docs, threshold=0.5)
+
+
+chunk_documents_oracle = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS w
+  FROM documents
+), c AS (
+  SELECT doc_id, w, len(w) AS n,
+         greatest(1, CAST(ceil((len(w) - 32) / 224.0) AS BIGINT)) AS n_chunks
+  FROM toks WHERE len(w) > 0
+), ch AS (
+  SELECT doc_id, w, n, UNNEST(range(0, n_chunks)) AS chunk_id FROM c
+)
+SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+       CAST(least(chunk_id * 224 + 256, n) - chunk_id * 224 AS BIGINT) AS n_tokens,
+       array_to_string(w[chunk_id * 224 + 1 : least(chunk_id * 224 + 256, n)], ' ')
+         AS chunk_text
+FROM ch
+"""
+
+
+@register(
+    "corpus_chunk_documents",
+    chunk_documents_oracle,
+    "fixed-size token-window chunking with overlap (256/32)",
+)
+def chunk_documents_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Pre-tokenization chunking for long-context training: 256-token
+    windows, 32-token overlap, tail window shorter, at least one chunk
+    per non-empty doc (operators/curation.py:chunk_documents). One map
+    pass; the posexplode IS the output."""
+    from .operators import curation
+
+    docs = load(spark, sf, "documents")
+    return curation.chunk_documents(docs, chunk_tokens=256, overlap=32)

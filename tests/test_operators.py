@@ -1110,3 +1110,37 @@ def test_source_overlap_matrix(spark):
     assert out[("web", "wiki")]["max_jaccard"] == 1.0
     assert out[("web", "web")]["n_pairs"] == 1      # (2,3)
     assert ("wiki", "wiki") not in out
+
+
+def test_chunk_documents_boundaries(spark):
+    from icegopher_spark.operators import curation
+
+    rows = [
+        (1, " ".join(f"t{i}" for i in range(10))),  # 10 tokens
+        (2, "a b"),                                  # under overlap
+        (3, ""),                                     # empty -> no chunks
+        (4, " ".join(f"t{i}" for i in range(9))),    # exactly 2 strides + tail?
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = curation.chunk_documents(df, chunk_tokens=4, overlap=1)  # stride 3
+    got = {(r["doc_id"], r["chunk_id"]): r for r in out.collect()}
+    # doc 1: 10 tokens, stride 3 -> ceil(9/3)=3 chunks: [0:4],[3:7],[6:10]
+    assert {c for (d, c) in got if d == 1} == {0, 1, 2}
+    assert got[(1, 0)]["chunk_text"] == "t0 t1 t2 t3"
+    assert got[(1, 1)]["chunk_text"] == "t3 t4 t5 t6"
+    assert got[(1, 2)]["chunk_text"] == "t6 t7 t8 t9"
+    # doc 2: 2 tokens <= overlap span -> exactly one (short) chunk
+    assert {c for (d, c) in got if d == 2} == {0}
+    assert got[(2, 0)]["n_tokens"] == 2
+    # doc 3: no chunks
+    assert not any(d == 3 for (d, c) in got)
+    # doc 4: 9 tokens -> ceil(8/3)=3 chunks, last is the 3-token tail
+    assert got[(4, 2)]["n_tokens"] == 3
+    # every adjacent chunk pair overlaps by exactly `overlap` tokens
+    a, b = got[(1, 0)]["chunk_text"].split(), got[(1, 1)]["chunk_text"].split()
+    assert a[-1:] == b[:1]
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="overlap"):
+        curation.chunk_documents(df, chunk_tokens=4, overlap=4)
