@@ -1081,3 +1081,42 @@ def source_overlap(
             F.max("jaccard").alias("max_jaccard"),
         )
     )
+
+
+def neardup_select(
+    df: DataFrame,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    max_doc_freq: int | None = STOP_SHINGLE_MAX_DF,
+) -> DataFrame:
+    """Keep-one-representative selection over near-dup components: the
+    kept doc per group is the LONGEST (non-ws chars), ties by lowest id
+    — the usual curation policy (longer near-dup usually supersets the
+    shorter), and an integer-exact, engine-stable ordering.
+
+    Pipeline composition: exact-Jaccard pairs (inverted index) →
+    min-label components (8-byte iterative propagation) → one
+    per-group window over (component, length, id). Returns
+    (group_rep, kept_id, n_members); docs in no component are
+    implicitly kept and not listed."""
+    from pyspark.sql import Window
+
+    pairs = ngram_jaccard_pairs(df, text_col, id_col, n, threshold, max_doc_freq)
+    groups = neardup_groups(pairs)
+    lens = df.select(
+        F.col(id_col).alias("id"),
+        F.length(F.regexp_replace(F.col(text_col), r"\s", ""))
+        .cast("bigint")
+        .alias("_len"),
+    )
+    w = Window.partitionBy("rep").orderBy(F.desc("_len"), F.asc("id"))
+    ranked = groups.join(lens, "id").withColumn("_rn", F.row_number().over(w))
+    return (
+        ranked.groupBy(F.col("rep").alias("group_rep"))
+        .agg(
+            F.min(F.when(F.col("_rn") == 1, F.col("id"))).alias("kept_id"),
+            F.count(F.lit(1)).alias("n_members"),
+        )
+    )

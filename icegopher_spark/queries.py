@@ -2588,3 +2588,45 @@ def chunk_documents_q(spark: SparkSession, sf: str) -> DataFrame:
 
     docs = load(spark, sf, "documents")
     return curation.chunk_documents(docs, chunk_tokens=256, overlap=32)
+
+
+def _neardup_select_oracle(rounds: int = 4) -> str:
+    """Components (the unrolled propagation from the groups oracle)
+    plus the representative policy: longest doc (non-ws chars), ties by
+    lowest id."""
+    base = _neardup_groups_oracle(rounds)
+    # reuse the full WITH-chain; wrap its SELECT as another CTE
+    head, _, final = base.rpartition("SELECT id AS doc_id, rep AS group_rep FROM")
+    ln = final.strip()
+    return (
+        head
+        + f""", comp AS (
+  SELECT id, rep FROM {ln}
+), lens AS (
+  SELECT doc_id AS id,
+         CAST(length(regexp_replace(text, '[ \\t\\n\\x0B\\f\\r]', '', 'g')) AS BIGINT) AS _len
+  FROM documents
+), ranked AS (
+  SELECT c.rep, c.id, ROW_NUMBER() OVER (
+           PARTITION BY c.rep ORDER BY l._len DESC, c.id) AS rn
+  FROM comp c JOIN lens l USING (id)
+)
+SELECT rep AS group_rep,
+       CAST(MIN(CASE WHEN rn = 1 THEN id END) AS BIGINT) AS kept_id,
+       COUNT(*) AS n_members
+FROM ranked GROUP BY rep
+"""
+    )
+
+
+@register(
+    "dedup_neardup_select",
+    _neardup_select_oracle(),
+    "keep-one-representative selection over near-dup components",
+)
+def neardup_select_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Pairs -> components -> per-group representative (longest doc,
+    ties by id) — the full dedup DECISION pipeline, integer-exact
+    (operators/dedup.py:neardup_select)."""
+    docs = load(spark, sf, "documents")
+    return dedup.neardup_select(docs, threshold=0.5)

@@ -1144,3 +1144,19 @@ def test_chunk_documents_boundaries(spark):
 
     with _pt.raises(ValueError, match="overlap"):
         curation.chunk_documents(df, chunk_tokens=4, overlap=4)
+
+
+def test_neardup_select_policy(spark):
+    long = "the quick brown fox jumps over the lazy dog again and again tonight"
+    rows = [
+        (5, long),                       # longest in its component
+        (9, long.replace("dog", "cat")), # near dup, same length
+        (2, long + " extended with more trailing words here"),  # longer
+        (7, "completely unrelated content about engines"),       # singleton
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["group_rep"]: r for r in dedup.neardup_select(df, threshold=0.5).collect()}
+    assert len(out) == 1            # one component; singleton not listed
+    g = out[2]
+    assert g["kept_id"] == 2        # longest wins
+    assert g["n_members"] == 3
