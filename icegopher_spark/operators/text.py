@@ -671,3 +671,41 @@ def bpe_encode_counts_arrow(
     return docs.select(id_col, text_col).mapInPandas(
         batches, f"{id_col} long, n_bpe_tokens bigint"
     )
+
+
+def oov_stats(
+    docs: DataFrame,
+    vocab_size: int = 1000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document out-of-vocabulary counts against the corpus's own
+    top-``vocab_size`` words (count DESC, word ASC — deterministic) —
+    the coverage check run before committing to a tokenizer/vocab size.
+    Returns (doc_id, n_tokens, n_oov) for non-empty docs; integer-exact.
+
+    The vocab is a distributed top-K (TakeOrderedAndProject) kept as a
+    DataFrame and hash-joined against the exploded token stream (AQE
+    broadcasts it — vocab_size rows); one groupBy per doc aggregates
+    counts. Corpus touched twice (vocab count + coverage join), both
+    times as narrow (doc_id, word) rows."""
+    words = docs.select(
+        F.col(id_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("w")
+    )
+    vocab = (
+        words.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("w"))
+        .limit(vocab_size)
+        .select("w", F.lit(1).alias("_in_vocab"))
+    )
+    return (
+        words.join(vocab, "w", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("_in_vocab").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_oov"),
+        )
+    )

@@ -2630,3 +2630,33 @@ def neardup_select_q(spark: SparkSession, sf: str) -> DataFrame:
     (operators/dedup.py:neardup_select)."""
     docs = load(spark, sf, "documents")
     return dedup.neardup_select(docs, threshold=0.5)
+
+
+oov_oracle = """
+WITH w AS (
+  SELECT doc_id,
+         UNNEST(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS w
+  FROM documents
+), vocab AS (
+  SELECT w FROM (SELECT w, COUNT(*) AS c FROM w GROUP BY w)
+  ORDER BY c DESC, w LIMIT 1000
+)
+SELECT doc_id, COUNT(*) AS n_tokens,
+       CAST(SUM(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+FROM w LEFT JOIN vocab v USING (w)
+GROUP BY doc_id
+"""
+
+
+@register(
+    "vocab_oov_stats",
+    oov_oracle,
+    "per-doc OOV counts vs the corpus top-1000 vocabulary",
+)
+def oov_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Vocabulary-coverage audit: per-doc token and OOV counts against
+    a deterministic top-1000 corpus vocab (operators/text.py:oov_stats)."""
+    from .operators import text as T
+
+    docs = load(spark, sf, "documents")
+    return T.oov_stats(docs, vocab_size=1000)

@@ -1160,3 +1160,12 @@ def test_neardup_select_policy(spark):
     g = out[2]
     assert g["kept_id"] == 2        # longest wins
     assert g["n_members"] == 3
+
+
+def test_oov_stats(spark):
+    rows = [(1, "the the the rarely"), (2, "the zzz")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in text.oov_stats(df, vocab_size=2).collect()}
+    # corpus counts: the=4, rarely=1, zzz=1 -> top-2 = {the, rarely} (tie by word asc)
+    assert out[1]["n_tokens"] == 4 and out[1]["n_oov"] == 0
+    assert out[2]["n_tokens"] == 2 and out[2]["n_oov"] == 1  # zzz OOV
