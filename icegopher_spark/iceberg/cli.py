@@ -112,6 +112,11 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("identifier")
     sp = sub.add_parser("rewrite-deletes")
     sp.add_argument("identifier")
+    sp.add_argument(
+        "--equality",
+        action="store_true",
+        help="also materialize equality deletes into deletion vectors",
+    )
 
     args = p.parse_args(argv)
     props = {}
@@ -316,6 +321,13 @@ def _dispatch(args, cat) -> int:
 
         if args.verb == "rewrite-deletes":
             before_snap = t.current_snapshot().snapshot_id
+            if args.equality:
+                t = M.rewrite_equality_deletes(t, spark)
+                eq_after = t.current_snapshot()
+                if eq_after.snapshot_id != before_snap:
+                    n_dv = (eq_after.summary or {}).get("added-delete-files", "?")
+                    print(f"materialized equality deletes -> {n_dv} deletion vectors")
+                before_snap = eq_after.snapshot_id
             t = M.rewrite_position_delete_files(t, spark)
             after = t.current_snapshot()
             if after.snapshot_id == before_snap:

@@ -738,3 +738,220 @@ def _has_positional_delete_entries(table: Table, snap) -> bool:
             ):
                 return True
     return False
+
+
+def rewrite_equality_deletes(
+    table: Table, spark: SparkSession, n_shards: int = 32
+) -> Table:
+    """Materialize equality deletes into deletion vectors (Iceberg's
+    ``convert_equality_deletes``) on a v3 table.
+
+    Equality deletes are cheap to COMMIT (O(|keys|)) but charge every
+    subsequent scan an anti-join per delete file forever. This op pays
+    the matching cost once: for every live data file each eq-delete
+    applies to (plan-time seq scoping), the matching row positions are
+    computed, unioned with the file's existing delete state (prior DV +
+    positional rows — the superset invariant), and written as one DV
+    per file; every equality-delete entry is then dropped in a single
+    replace commit. Positional-delete FILES are left to
+    ``rewrite_position_delete_files``. Scans afterwards apply only
+    per-file bitmaps — no key joins.
+
+    Scale shape: only files an eq-delete actually applies to are read
+    (grouped by (format, eq-set)); matches shuffle as narrow
+    (path, pos) pairs; Puffin writes are executor-side
+    (write.py::write_dv_files).
+    """
+    from .table import _dv_positions_df, strip_file_scheme as _strip
+    from .write import _rewrite_manifest_for_spec, write_dv_files
+
+    if table.metadata.format_version < 3:
+        raise ValueError(
+            "rewrite_equality_deletes requires a v3 table "
+            f"(format-version={table.metadata.format_version}); run "
+            "upgrade_format_version(table, 3) first"
+        )
+    snap = table.current_snapshot()
+    if snap is None:
+        return table
+
+    groups: dict[tuple, dict] = {}
+    any_eq = False
+    for t in table.scan().plan_files():
+        if not t.eq_delete_files:
+            continue
+        any_eq = True
+        key = (
+            t.file.file_format,
+            frozenset(d.file_path for d in t.eq_delete_files),
+        )
+        g = groups.setdefault(
+            key, {"paths": set(), "eq": t.eq_delete_files, "pd": set(), "dv": {}}
+        )
+        g["paths"].add(_strip(t.file.file_path))
+        for d in t.delete_files:
+            if d.is_deletion_vector:
+                g["dv"][(d.file_path, d.content_offset)] = d
+            else:
+                g["pd"].add(_strip(d.file_path))
+    if not any_eq and not _has_equality_delete_entries(table, snap):
+        return table  # nothing to convert
+
+    match_parts: list[DataFrame] = []
+    prior_parts: list[DataFrame] = []
+    for (fmt, _eqk), g in groups.items():
+        paths = sorted(g["paths"])
+        if fmt == "PARQUET":
+            src = spark.read.schema(table.schema.to_spark()).parquet(*paths)
+            src = src.select(
+                F.regexp_replace(F.col("_metadata.file_path"), "^file:/*", "/").alias(
+                    "file_path"
+                ),
+                F.col("_metadata.row_index").alias("pos"),
+                "*",
+            )
+        else:
+            from .pyreaders import read_avro_files, read_orc_with_pos
+
+            src = (
+                read_orc_with_pos(spark, paths, table.schema.to_spark())
+                if fmt == "ORC"
+                else read_avro_files(spark, paths, table.schema.to_spark(), with_pos=True)
+            )
+            src = src.select(
+                F.regexp_replace(F.col("_file"), "^file:/*", "/").alias("file_path"),
+                F.col("_pos").alias("pos"),
+                *[c for c in src.columns if c not in ("_file", "_pos")],
+            )
+        matched = _eq_delete_semi_union(src, g["eq"], table.schema, spark)
+        match_parts.append(matched.select("file_path", "pos"))
+        priors = []
+        if g["pd"]:
+            priors.append(
+                spark.read.parquet(*sorted(g["pd"])).select(
+                    F.regexp_replace(F.col("file_path"), "^file:/*", "/").alias(
+                        "file_path"
+                    ),
+                    "pos",
+                )
+            )
+        if g["dv"]:
+            priors.append(
+                _dv_positions_df(spark, list(g["dv"].values()), table.properties).select(
+                    F.col("_del_path").alias("file_path"),
+                    F.col("_del_pos").alias("pos"),
+                )
+            )
+        prior_parts.extend(priors)
+
+    dv_files = []
+    if match_parts:
+        new_matches = match_parts[0]
+        for p in match_parts[1:]:
+            new_matches = new_matches.unionByName(p)
+        new_matches = new_matches.persist()
+        try:
+            affected = new_matches.select("file_path").distinct()
+            union_df = new_matches
+            for prior in prior_parts:
+                union_df = union_df.unionByName(
+                    prior.join(F.broadcast(affected), "file_path", "left_semi")
+                )
+            dv_files = write_dv_files(table, union_df.distinct(), n_shards=n_shards)
+        finally:
+            new_matches.unpersist()
+    covered = {
+        _strip(f.referenced_data_file or "") for f in dv_files
+    }
+
+    kept: list[ManifestFile] = []
+    for m in read_manifest_list(table.io.read(snap.manifest_list)):
+        if m.content != ManifestContent.DELETES:
+            kept.append(m)
+            continue
+        entries = fetch_entries(
+            m, table.io.read(m.manifest_path), discard_deleted=True
+        )
+        survivors = []
+        for e in entries:
+            f = e.data_file
+            if f.content == DataFileContent.EQUALITY_DELETES:
+                continue  # materialized into DVs — retire every entry
+            if f.is_deletion_vector and (
+                _strip(f.referenced_data_file or "") in covered
+            ):
+                continue  # superseded by the replacement DV
+            survivors.append(e)
+        if len(survivors) == len(entries):
+            kept.append(m)
+        elif survivors:
+            kept.append(
+                _rewrite_manifest_for_spec(
+                    table, m, survivors, content=ManifestContent.DELETES
+                )
+            )
+
+    return _commit_snapshot(
+        table,
+        [],
+        OP_REPLACE,
+        keep_manifests=kept,
+        delete_files=dv_files,
+        extra_summary={
+            "rewrite": "equality-deletes->dv",
+            "added-delete-files": str(len(dv_files)),
+        },
+    )
+
+
+def _eq_delete_semi_union(src: DataFrame, eq_files, base, spark) -> DataFrame:
+    """Rows of ``src`` matching ANY equality-delete file's key set —
+    the semi twin of table.apply_eq_delete_anti_joins, same field-ID
+    key resolution and broadcast guard."""
+    from .table import _maybe_broadcast_deletes, strip_file_scheme as _strip
+
+    parts = []
+    for dfile in eq_files:
+        names = []
+        for fid in dfile.equality_ids or []:
+            f = base.find_field(fid)
+            if f is None:
+                raise ValueError(
+                    f"equality-delete file {dfile.file_path} keys on "
+                    f"field id {fid}, which is not in the table schema; "
+                    "cannot materialize a partial key"
+                )
+            names.append(f.name)
+        if not names:
+            continue
+        keys = spark.read.parquet(_strip(dfile.file_path))
+        if not set(names) <= set(keys.columns):
+            if len(keys.columns) == len(names):
+                keys = keys.toDF(*names)
+            else:
+                raise ValueError(
+                    f"equality-delete file {dfile.file_path} columns "
+                    f"{keys.columns} do not match keys {names}"
+                )
+        keys = _maybe_broadcast_deletes(
+            keys.select(*names).distinct(), dfile.file_size_in_bytes
+        )
+        parts.append(src.join(keys, names, "left_semi"))
+    if not parts:
+        return src.limit(0)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _has_equality_delete_entries(table: Table, snap) -> bool:
+    for m in read_manifest_list(table.io.read(snap.manifest_list)):
+        if m.content != ManifestContent.DELETES:
+            continue
+        for e in fetch_entries(
+            m, table.io.read(m.manifest_path), discard_deleted=True
+        ):
+            if e.data_file.content == DataFileContent.EQUALITY_DELETES:
+                return True
+    return False

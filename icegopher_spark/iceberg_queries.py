@@ -1559,3 +1559,75 @@ def _sorted_table_for(spark: SparkSession, sf_dir: str) -> Table:
         )
 
     return _cached_table(sf_dir, "lineitem_sorted", valid, build)
+
+
+# --- equality-delete -> deletion-vector conversion ------------------------
+
+# The fixture deletes okey%10==4 then RE-INSERTS exactly those rows in
+# a later append (higher data seq -> the eq delete must not touch it),
+# so the correct scan is the FULL corpus, each row exactly once: an
+# over-applied DV loses the re-inserts, a dropped-but-unmaterialized
+# eq delete double-counts them — both flip okey_chk/n_rows.
+ice_eqmigrate_oracle = """
+SELECT l_returnflag, COUNT(*) AS n_rows,
+       CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_qty,
+       CAST(SUM(l_orderkey % 1000) AS BIGINT) AS okey_chk
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@register(
+    "iceberg_eqdelete_migrate",
+    ice_eqmigrate_oracle,
+    "equality deletes materialized into one DV per affected data file "
+    "(convert_equality_deletes); the post-delete append's re-inserted "
+    "keys must survive (seq scoping) and zero eq entries remain",
+)
+def iceberg_eqdelete_migrate(spark: SparkSession, sf: str) -> DataFrame:
+    t = _eqmigrated_table_for(spark, sf)
+    return (
+        t.scan()
+        .to_df(spark)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum(F.col("l_quantity").cast("decimal(12,2)")), 2)
+            .cast("double")
+            .alias("sum_qty"),
+            F.sum(F.col("l_orderkey") % 1000).cast("bigint").alias("okey_chk"),
+        )
+    )
+
+
+def _eqmigrated_table_for(spark: SparkSession, sf_dir: str) -> Table:
+    """v3 lineitem: append ALL rows, equality-delete okey%10==4, then
+    RE-INSERT exactly those rows (the eq delete's seq scoping must
+    leave the later append untouched), then rewrite_equality_deletes —
+    correct result is the full corpus, each row exactly once. Four
+    snapshots + the summary marker pin the complete build."""
+
+    def build(loc: str) -> Table:
+        from .iceberg.maintenance import rewrite_equality_deletes
+
+        li = _li4(spark, sf_dir)
+        t = W.create_table(loc, _SCHEMA, _SPEC, format_version=3)
+        t = W.append(t, li)
+        keys = (
+            li.filter(F.col("l_orderkey") % 10 == 4)
+            .select("l_orderkey")
+            .distinct()
+        )
+        t = W.delete_keys(t, spark, keys, ["l_orderkey"])
+        t = W.append(t, li.filter(F.col("l_orderkey") % 10 == 4))
+        return rewrite_equality_deletes(t, spark)
+
+    def valid(t: Table) -> bool:
+        snap = t.current_snapshot()
+        return (
+            len(t.metadata.snapshots) == 4
+            and snap is not None
+            and (snap.summary or {}).get("rewrite") == "equality-deletes->dv"
+        )
+
+    return _cached_table(sf_dir, "lineitem_eq_migrated", valid, build)

@@ -489,3 +489,75 @@ def test_cli_rewrite_deletes(spark, tmp_path, lineitem, capsys):
     rc = cli_main(["--catalog", str(wh), "rewrite-deletes", "db.li"])
     out = capsys.readouterr().out
     assert rc == 0 and "no positional-delete files" in out
+
+
+# --- equality-delete -> deletion-vector conversion ------------------------
+
+
+def test_rewrite_equality_deletes(spark, tmp_path, lineitem):
+    t = W.create_table(str(tmp_path / "tbl"), SCHEMA, format_version=3)
+    t = W.append(t, lineitem.limit(400))
+    keys = (
+        lineitem.limit(400)
+        .filter(F.col("l_orderkey") % 7 == 0)
+        .select("l_orderkey")
+        .distinct()
+    )
+    t = W.delete_keys(t, spark, keys, ["l_orderkey"])
+    # a later append re-inserting deleted keys must survive (seq scope)
+    reinsert = lineitem.limit(400).filter(F.col("l_orderkey") % 7 == 0).limit(5)
+    t = W.append(t, reinsert)
+    before = sorted(map(tuple, t.scan().to_df(spark).collect()))
+    pos, dvs, eqs = _delete_manifest_entries(t)
+    assert eqs and not dvs
+
+    t = M.rewrite_equality_deletes(t, spark)
+    pos, dvs, eqs = _delete_manifest_entries(t)
+    assert not eqs, "equality-delete entries must be retired"
+    assert dvs, "expected replacement deletion vectors"
+    refs = [f.referenced_data_file for f in dvs]
+    assert len(refs) == len(set(refs))
+    assert sorted(map(tuple, t.scan().to_df(spark).collect())) == before
+
+    # a fresh eq delete after conversion still applies (normal MOR path)
+    more = t.scan().to_df(spark).select("l_orderkey").distinct().limit(3)
+    t = M.rewrite_equality_deletes(W.delete_keys(t, spark, more, ["l_orderkey"]), spark)
+    pos, dvs, eqs = _delete_manifest_entries(t)
+    assert not eqs
+
+
+def test_rewrite_equality_deletes_noop_and_guard(spark, tmp_path, lineitem):
+    t = W.create_table(str(tmp_path / "v2"), SCHEMA, format_version=2)
+    t = W.append(t, lineitem.limit(50))
+    with pytest.raises(ValueError, match="format-version"):
+        M.rewrite_equality_deletes(t, spark)
+
+    t3 = W.create_table(str(tmp_path / "v3"), SCHEMA, format_version=3)
+    t3 = W.append(t3, lineitem.limit(50))
+    snap = t3.current_snapshot().snapshot_id
+    out = M.rewrite_equality_deletes(t3, spark)
+    assert out.current_snapshot().snapshot_id == snap, "no eq deletes -> no commit"
+
+
+def test_rewrite_equality_deletes_folds_prior_dv(spark, tmp_path, lineitem):
+    """A file carrying both a DV (from a prior DV delete) and an
+    applicable eq delete gets ONE replacement DV unioning both."""
+    t = W.create_table(str(tmp_path / "tbl"), SCHEMA, format_version=3)
+    t = W.append(t, lineitem.limit(300))
+    t = W.delete_where_dv(t, spark, E.less_than("l_quantity", 3.0))
+    keys = (
+        lineitem.limit(300)
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey")
+        .distinct()
+        .limit(20)
+    )
+    t = W.delete_keys(t, spark, keys, ["l_orderkey"])
+    before = sorted(map(tuple, t.scan().to_df(spark).collect()))
+
+    t = M.rewrite_equality_deletes(t, spark)
+    pos, dvs, eqs = _delete_manifest_entries(t)
+    assert not eqs
+    refs = [f.referenced_data_file for f in dvs]
+    assert len(refs) == len(set(refs)), "one DV per file after the fold"
+    assert sorted(map(tuple, t.scan().to_df(spark).collect())) == before
