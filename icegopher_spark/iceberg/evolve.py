@@ -408,7 +408,11 @@ def replace_sort_order(table: Table, *fields) -> Table:
 
     raw = md.to_json_dict()
     updates = []
-    if existing is None and new_fields:
+    if existing is None:
+        # also covers UNSORTED on a table created straight to a custom
+        # order (order 0 never written): default-sort-order-id must
+        # resolve inside sort-orders — spec-strict readers reject a
+        # dangling id (r7 review)
         raw["sort-orders"] = raw.get("sort-orders", []) + [order.to_json_dict()]
         updates.append({"action": "add-sort-order", "sort-order": order.to_json_dict()})
     raw["default-sort-order-id"] = order.order_id

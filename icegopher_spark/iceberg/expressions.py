@@ -424,7 +424,15 @@ def _lit_value(lit: Literal) -> Any:
     integer encodings are converted by the caller's column type)."""
     from datetime import date, datetime, timedelta, timezone
 
-    from .types import DateType, TimestampType, TimestampTzType, TimeType, UUIDType
+    from .types import (
+        DateType,
+        TimestampNsType,
+        TimestampType,
+        TimestampTzNsType,
+        TimestampTzType,
+        TimeType,
+        UUIDType,
+    )
 
     t = lit.literal_type
     if isinstance(t, DateType):
@@ -438,6 +446,15 @@ def _lit_value(lit: Literal) -> Any:
         return _epoch + timedelta(microseconds=lit.value)
     if isinstance(t, TimestampType):
         return (_epoch + timedelta(microseconds=lit.value)).replace(tzinfo=None)
+    # V3 ns timestamps surface in Spark as µs (floor-truncated at read,
+    # types.py); the exact re-filter therefore compares over the
+    # truncated plane: the literal floors the same way. Metadata
+    # pruning keeps full nanos (r7 review: the raw int64 literal raised
+    # DATATYPE_MISMATCH against the timestamp column).
+    if isinstance(t, TimestampTzNsType):
+        return _epoch + timedelta(microseconds=lit.value // 1000)
+    if isinstance(t, TimestampNsType):
+        return (_epoch + timedelta(microseconds=lit.value // 1000)).replace(tzinfo=None)
     if isinstance(t, UUIDType):
         return str(lit.value)
     return lit.value

@@ -321,9 +321,17 @@ def _cast(src: IcebergType, v: Any, target: IcebergType) -> Any:
         return n
     if isinstance(src, StringType) and isinstance(target, _NS_TYPES):
         try:
-            return _parse_ts_ns(v)
+            n = _parse_ts_ns(v)
         except (ValueError, ArithmeticError):
             return None
+        # same int64 sentinel rule as the µs->ns path: '9999-12-31'-ish
+        # strings overflow nanos (~year 2262) and must FOLD, not crash
+        # struct.pack at serialization time (r7 review)
+        if n > LONG_MAX:
+            return LongAboveMax
+        if n < LONG_MIN:
+            return LongBelowMin
+        return n
     # date/time/timestamp conversions
     if isinstance(src, (TimestampType, TimestampTzType)) and isinstance(
         target, (TimestampType, TimestampTzType)

@@ -646,9 +646,10 @@ def rewrite_position_delete_files(
                 has_pd = True
         if has_pd:
             affected.add(dpath)
-    live_pd_entries = _has_positional_delete_entries(table, snap)
-    if not pd_paths and not live_pd_entries:
-        return table  # nothing to migrate
+    if not pd_paths and not _has_positional_delete_entries(table, snap):
+        return table  # nothing to migrate (the manifest walk only runs
+        # when planning surfaced no pos-deletes — dead-file-garbage-only
+        # tables; r7 review)
 
     dv_files = []
     if affected:
@@ -781,14 +782,11 @@ def rewrite_equality_deletes(
         if not t.eq_delete_files:
             continue
         any_eq = True
-        key = (
-            t.file.file_format,
-            frozenset(d.file_path for d in t.eq_delete_files),
-        )
+        key = frozenset(d.file_path for d in t.eq_delete_files)
         g = groups.setdefault(
-            key, {"paths": set(), "eq": t.eq_delete_files, "pd": set(), "dv": {}}
+            key, {"tasks": [], "eq": t.eq_delete_files, "pd": set(), "dv": {}}
         )
-        g["paths"].add(_strip(t.file.file_path))
+        g["tasks"].append(t)
         for d in t.delete_files:
             if d.is_deletion_vector:
                 g["dv"][(d.file_path, d.content_offset)] = d
@@ -797,32 +795,16 @@ def rewrite_equality_deletes(
     if not any_eq and not _has_equality_delete_entries(table, snap):
         return table  # nothing to convert
 
+    from .table import read_tasks_with_pos
+
     match_parts: list[DataFrame] = []
     prior_parts: list[DataFrame] = []
-    for (fmt, _eqk), g in groups.items():
-        paths = sorted(g["paths"])
-        if fmt == "PARQUET":
-            src = spark.read.schema(table.schema.to_spark()).parquet(*paths)
-            src = src.select(
-                F.regexp_replace(F.col("_metadata.file_path"), "^file:/*", "/").alias(
-                    "file_path"
-                ),
-                F.col("_metadata.row_index").alias("pos"),
-                "*",
-            )
-        else:
-            from .pyreaders import read_avro_files, read_orc_with_pos
-
-            src = (
-                read_orc_with_pos(spark, paths, table.schema.to_spark())
-                if fmt == "ORC"
-                else read_avro_files(spark, paths, table.schema.to_spark(), with_pos=True)
-            )
-            src = src.select(
-                F.regexp_replace(F.col("_file"), "^file:/*", "/").alias("file_path"),
-                F.col("_pos").alias("pos"),
-                *[c for c in src.columns if c not in ("_file", "_pos")],
-            )
+    for _eqk, g in groups.items():
+        # rename-safe: files project into the current schema by field
+        # id before the key semi-joins (a by-name current-schema read
+        # nulls a renamed key column, matches nothing, and the eq
+        # entries below would still be dropped — silent resurrection)
+        src = read_tasks_with_pos(table, spark, g["tasks"])
         matched = _eq_delete_semi_union(src, g["eq"], table.schema, spark)
         match_parts.append(matched.select("file_path", "pos"))
         priors = []

@@ -1043,3 +1043,69 @@ def strip_file_scheme(path: str) -> str:
     if path.startswith("file://"):
         return path[len("file://") :]
     return path
+
+
+def read_tasks_with_pos(table, spark: SparkSession, tasks) -> DataFrame:
+    """Read a task list as (file_path, pos, <current-schema columns>),
+    RENAME-SAFE: files group by (written schema, format) and project
+    into the current schema BY FIELD ID — the same rule as the scan
+    path (to_df), without delete application. Shared by the write/
+    maintenance ops that must locate row positions (delete_where_dv,
+    rewrite_equality_deletes): a by-name read under the current schema
+    returns all-null for renamed columns, silently matching nothing
+    (the r6-review rename lesson, re-found in the r7 review)."""
+    from .types import to_spark_type
+
+    md = table.metadata
+    base = md.current_schema
+    groups: dict[tuple, list] = {}
+    for t in tasks:
+        groups.setdefault((t.schema_id, t.file.file_format), []).append(
+            strip_file_scheme(t.file.file_path)
+        )
+    parts: list[DataFrame] = []
+    for (sid, fmt), paths in groups.items():
+        file_schema = (md.schema_by_id(sid) if sid is not None else None) or base
+        paths = sorted(set(paths))
+        if fmt == "PARQUET":
+            raw = spark.read.schema(file_schema.to_spark()).parquet(*paths)
+            raw = raw.select(
+                F.regexp_replace(F.col("_metadata.file_path"), "^file:/*", "/").alias(
+                    "file_path"
+                ),
+                F.col("_metadata.row_index").alias("pos"),
+                "*",
+            )
+        else:
+            from .pyreaders import read_avro_files, read_orc_with_pos
+
+            raw = (
+                read_orc_with_pos(spark, paths, file_schema.to_spark())
+                if fmt == "ORC"
+                else read_avro_files(spark, paths, file_schema.to_spark(), with_pos=True)
+            )
+            raw = raw.select(
+                F.regexp_replace(F.col("_file"), "^file:/*", "/").alias("file_path"),
+                F.col("_pos").alias("pos"),
+                *[c for c in raw.columns if c not in ("_file", "_pos")],
+            )
+        cols = [F.col("file_path"), F.col("pos")]
+        for f in base.fields:
+            old = file_schema.find_field(f.field_id)
+            if old is not None:
+                c = F.col(old.name)
+                if old.field_type != f.field_type:
+                    c = c.cast(to_spark_type(f.field_type))
+                cols.append(c.alias(f.name))
+            else:
+                from .defaults import default_column
+
+                dc = default_column(f, "initial")
+                if dc is None:
+                    dc = F.lit(None).cast(to_spark_type(f.field_type))
+                cols.append(dc.alias(f.name))
+        parts.append(raw.select(*cols))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

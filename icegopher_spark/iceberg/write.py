@@ -526,6 +526,26 @@ def name_to_field_by_id(schema: Schema, fid: int):
 # --------------------------------------------------------------------------
 
 
+def _range_partitions(table: Table) -> int | None:
+    """Parse write.range-partitions: a positive int pins the range
+    exchange's partition count (AQE coalesces an unspecified one on
+    small inputs to a single file); 0/unset means let the planner
+    decide; anything else fails naming the property (r7 review: '0'
+    was truthy as a string and crashed repartitionByRange(0))."""
+    raw = table.properties.get("write.range-partitions")
+    if raw in (None, ""):
+        return None
+    try:
+        n = int(raw)
+    except ValueError:
+        raise ValueError(
+            f"table property write.range-partitions must be an integer, got {raw!r}"
+        ) from None
+    if n < 0:
+        raise ValueError(f"write.range-partitions must be >= 0, got {n}")
+    return n or None
+
+
 def _sort_order_columns(table: Table) -> list:
     """The table's default sort order as Spark sort Columns."""
     order = table.metadata.default_sort_order
@@ -649,9 +669,9 @@ def _write_data_files(
                 # range exchange on small inputs down to one file, which
                 # defeats the disjoint-bounds layout range mode exists
                 # for); unset -> planner/AQE decides
-                n_range = table.properties.get("write.range-partitions")
+                n_range = _range_partitions(table)
                 df = (
-                    df.repartitionByRange(int(n_range), *sort_cols)
+                    df.repartitionByRange(n_range, *sort_cols)
                     if n_range
                     else df.repartitionByRange(*sort_cols)
                 )
@@ -704,10 +724,10 @@ def _write_data_files(
     elif mode == "hash":
         staged = staged.repartition(*[F.col(n) for n in names])
     elif mode == "range":
-        n_range = table.properties.get("write.range-partitions")
+        n_range = _range_partitions(table)
         rcols = [*[F.col(n) for n in names], *_sort_order_columns(table)]
         staged = (
-            staged.repartitionByRange(int(n_range), *rcols)
+            staged.repartitionByRange(n_range, *rcols)
             if n_range
             else staged.repartitionByRange(*rcols)
         )
@@ -1480,11 +1500,11 @@ def delete_where_dv(
     scan = table.scan(row_filter=row_filter)
     groups: dict[tuple, dict] = {}
     for t in scan.plan_files():
-        key = (t.file.file_format, frozenset(d.file_path for d in t.eq_delete_files))
+        key = frozenset(d.file_path for d in t.eq_delete_files)
         g = groups.setdefault(
-            key, {"paths": set(), "eq": t.eq_delete_files, "pd": set(), "dv": {}}
+            key, {"tasks": [], "eq": t.eq_delete_files, "pd": set(), "dv": {}}
         )
-        g["paths"].add(strip_file_scheme(t.file.file_path))
+        g["tasks"].append(t)
         for d in t.delete_files:
             if d.is_deletion_vector:
                 g["dv"][(d.file_path, d.content_offset)] = d
@@ -1518,32 +1538,17 @@ def delete_where_dv(
     # 1) newly-matching rows per raw file, minus rows already deleted
     # (eq deletes + prior pos deletes + prior DVs) — counting a row
     # deleted twice would double-decrement incremental MVs downstream
+    from .table import read_tasks_with_pos
+
     new_parts: list[DataFrame] = []
     prior_parts: list[DataFrame] = []
-    for (fmt, _eqk), g in groups.items():
-        paths = sorted(g["paths"])
-        if fmt == "PARQUET":
-            src = spark.read.schema(table.schema.to_spark()).parquet(*paths)
-            src = src.select(
-                F.regexp_replace(F.col("_metadata.file_path"), "^file:/*", "/").alias(
-                    "file_path"
-                ),
-                F.col("_metadata.row_index").alias("pos"),
-                "*",
-            )
-        else:
-            from .pyreaders import read_avro_files, read_orc_with_pos
-
-            src = (
-                read_orc_with_pos(spark, paths, table.schema.to_spark())
-                if fmt == "ORC"
-                else read_avro_files(spark, paths, table.schema.to_spark(), with_pos=True)
-            )
-            src = src.select(
-                F.regexp_replace(F.col("_file"), "^file:/*", "/").alias("file_path"),
-                F.col("_pos").alias("pos"),
-                *[c for c in src.columns if c not in ("_file", "_pos")],
-            )
+    for _eqk, g in groups.items():
+        # rename-safe: project files into the current schema by field
+        # id (read_tasks_with_pos) before filtering — a by-name read of
+        # pre-rename files nulls the renamed column and the filter
+        # silently matches nothing (r7 review, same lesson as r6's
+        # scan-path fix)
+        src = read_tasks_with_pos(table, spark, g["tasks"])
         part = src.filter(to_spark_column(row_filter))
         part = apply_eq_delete_anti_joins(part, g["eq"], table.schema, spark)
         priors = _prior_deletes(g)

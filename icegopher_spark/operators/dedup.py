@@ -388,7 +388,11 @@ def minhash_index_density(spark, table) -> DataFrame | None:
     Maintained INCREMENTALLY: when the nearest ancestor snapshot with a
     cached density is reachable through append-only commits, the new
     density = ancestor stats + distinct counts of just the appended
-    entries (incremental scan — O(batch), not O(index)). Any
+    entries (incremental scan). The AGGREGATION is O(batch); the cache
+    REWRITE is O(distinct buckets) of narrow pre-aggregated rows — far
+    cheaper than the full-index distinct-count shuffle it replaces, but
+    not free (an ingest-heavy probe-light workload can pass
+    ``max_band_df=None`` to skip density entirely). Any
     non-append commit in between (compaction rewrites files) falls
     back to one full aggregation, cached thereafter. Additivity is
     exact when each doc id is indexed once (the ingest contract; the
@@ -442,16 +446,28 @@ def minhash_index_density(spark, table) -> DataFrame | None:
             .groupBy("band", "key")
             .agg(F.count_distinct("id").cast("long").alias("df"))
         )
-    density.write.mode("overwrite").parquet(cur_path)
-    # retire caches of older snapshots (the writer owns its cache dir)
+    try:
+        density.write.mode("overwrite").parquet(cur_path)
+    except Exception:  # noqa: BLE001 — read-only/foreign-owned location
+        # the cache is an optimization, not a correctness dependency:
+        # a probe against an index it cannot write to (read-only mount,
+        # another principal's bucket) degrades to computing the density
+        # per call instead of failing the probe (r7 review)
+        return density
+    # retire stale caches, KEEPING current + parent: a concurrent
+    # probe holding the pre-ingest table handle may still lazily
+    # reference the parent snapshot's cache (r7 review — deleting it
+    # mid-plan failed that probe's distributed-fallback read)
     import os as _os
     import shutil as _shutil
 
     cache_dir = f"{table.location}/_cache"
-    keep = _os.path.basename(cur_path)
+    keep = {_os.path.basename(cur_path)}
+    if snap.parent_snapshot_id is not None:
+        keep.add(f"density-{snap.parent_snapshot_id}.parquet")
     try:
         for fn in _os.listdir(cache_dir):
-            if fn.startswith("density-") and fn != keep:
+            if fn.startswith("density-") and fn not in keep:
                 _shutil.rmtree(_os.path.join(cache_dir, fn), ignore_errors=True)
     except OSError:
         pass  # remote/object-store locations: stale caches are cheap

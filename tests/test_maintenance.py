@@ -561,3 +561,36 @@ def test_rewrite_equality_deletes_folds_prior_dv(spark, tmp_path, lineitem):
     refs = [f.referenced_data_file for f in dvs]
     assert len(refs) == len(set(refs)), "one DV per file after the fold"
     assert sorted(map(tuple, t.scan().to_df(spark).collect())) == before
+
+
+def test_rewrite_equality_deletes_rename_safe(spark, tmp_path, lineitem):
+    """r7 review: a by-name current-schema read after a column rename
+    nulls the eq-key column, matches nothing, and the eq entries were
+    still dropped — silent resurrection. The field-ID read must match."""
+    from icegopher_spark.iceberg.evolve import update_schema
+
+    t = W.create_table(str(tmp_path / "tbl"), SCHEMA, format_version=3)
+    t = W.append(t, lineitem.limit(200))
+    keys = lineitem.limit(200).select("l_orderkey").distinct().limit(10)
+    t = W.delete_keys(t, spark, keys, ["l_orderkey"])
+    expect_n = t.scan().to_df(spark).count()
+    t = update_schema(t).rename_column("l_orderkey", "okey").commit()
+
+    t = M.rewrite_equality_deletes(t, spark)
+    pos, dvs, eqs = _delete_manifest_entries(t)
+    assert not eqs and dvs, "rename must not defeat the key match"
+    assert t.scan().to_df(spark).count() == expect_n
+
+
+def test_delete_where_dv_rename_safe(spark, tmp_path, lineitem):
+    """Same lesson for the DV delete path: the filter binds against the
+    CURRENT name but files physically carry the old one."""
+    from icegopher_spark.iceberg.evolve import update_schema
+
+    t = W.create_table(str(tmp_path / "tbl"), SCHEMA, format_version=3)
+    t = W.append(t, lineitem.limit(200))
+    t = update_schema(t).rename_column("l_quantity", "qty").commit()
+    t = W.delete_where_dv(t, spark, E.less_than("qty", 5.0))
+    got = t.scan().to_df(spark)
+    assert got.filter(F.col("qty") < 5.0).count() == 0
+    assert got.count() == lineitem.limit(200).filter(F.col("l_quantity") >= 5.0).count()

@@ -966,10 +966,16 @@ def test_minhash_density_cache_incremental(spark, tmp_path):
     s1 = t.current_snapshot().snapshot_id
     assert os.path.exists(f"{loc}/_cache/density-{s1}.parquet")
 
-    # second batch (disjoint ids) rolls the cache forward; the stale
-    # snapshot's cache is retired by the writer
+    # second batch (disjoint ids) rolls the cache forward; the PARENT
+    # cache is kept (a concurrent probe may still reference it), the
+    # grandparent is retired on the third ingest
     t = dedup.minhash_index_write(spark, docs.filter(F.col("doc_id") % 3 == 1), loc)
     s2 = t.current_snapshot().snapshot_id
+    assert os.path.exists(f"{loc}/_cache/density-{s2}.parquet")
+    assert os.path.exists(f"{loc}/_cache/density-{s1}.parquet")
+    t = dedup.minhash_index_write(spark, docs.filter(F.col("doc_id") % 3 == 2), loc)
+    s3 = t.current_snapshot().snapshot_id
+    assert os.path.exists(f"{loc}/_cache/density-{s3}.parquet")
     assert os.path.exists(f"{loc}/_cache/density-{s2}.parquet")
     assert not os.path.exists(f"{loc}/_cache/density-{s1}.parquet")
 

@@ -223,3 +223,48 @@ def test_replace_sort_order(spark, tmp_path, lineitem):
         replace_sort_order(t, "nope")
     with _pt.raises(ValueError, match="direction"):
         replace_sort_order(t, ("l_orderkey", "sideways"))
+
+
+def test_replace_sort_order_to_unsorted_from_custom_created(tmp_path):
+    """r7 review: a table CREATED with a custom order never wrote order
+    0; resetting to UNSORTED must add it, not dangle the default id."""
+    from icegopher_spark.iceberg import write as W
+    from icegopher_spark.iceberg.evolve import replace_sort_order
+    from icegopher_spark.iceberg.metadata import SortField, SortOrder
+
+    so = SortOrder(order_id=1, fields=(SortField(source_id=1),))
+    t = W.create_table(str(tmp_path / "so0"), SCHEMA, sort_order=so)
+    assert [o.order_id for o in t.metadata.sort_orders] == [1]
+    t = replace_sort_order(t)  # -> UNSORTED
+    assert t.metadata.default_sort_order_id == 0
+    assert any(
+        o.order_id == 0 and not o.fields for o in t.metadata.sort_orders
+    ), "order 0 must exist in sort-orders"
+    # round-trips through a strict reload
+    from icegopher_spark.iceberg.table import Table
+
+    assert Table.from_location(t.metadata.location).metadata.default_sort_order_id == 0
+
+
+def test_range_partitions_property_validation(spark, tmp_path, lineitem):
+    from icegopher_spark.iceberg import write as W
+
+    t = W.create_table(
+        str(tmp_path / "rp"),
+        SCHEMA,
+        properties={"write.distribution-mode": "range", "write.range-partitions": "0"},
+    )
+    from icegopher_spark.iceberg.evolve import replace_sort_order
+
+    t = replace_sort_order(t, "l_quantity")
+    t = W.append(t, lineitem.limit(50))  # '0' = unset: planner decides
+    assert t.scan().to_df(spark).count() == 50
+
+    t2 = W.create_table(
+        str(tmp_path / "rp2"),
+        SCHEMA,
+        properties={"write.distribution-mode": "range", "write.range-partitions": "lots"},
+    )
+    t2 = replace_sort_order(t2, "l_quantity")
+    with pytest.raises(ValueError, match="write.range-partitions"):
+        W.append(t2, lineitem.limit(10))

@@ -396,3 +396,30 @@ def test_v3_metadata_with_ns_and_unknown_parses():
         parse_metadata(
             md_with([{"id": 1, "name": "v", "type": "variant", "required": False}])
         )
+
+
+def test_v3_ns_filter_compiles_to_datetime_literal():
+    """r7 review: the exact Spark re-filter compared a TimestampNTZ
+    column to a raw int64-nanos literal (DATATYPE_MISMATCH). The
+    compiled literal must be a datetime over the truncated µs plane."""
+    from datetime import datetime
+
+    from icegopher_spark.iceberg.expressions import _lit_value
+    from icegopher_spark.iceberg.literals import Literal
+    from icegopher_spark.iceberg.types import TimestampNsType, TimestampTzNsType
+
+    v = _lit_value(Literal(1_500_000_000_123_456_789, TimestampNsType()))
+    assert isinstance(v, datetime) and v.tzinfo is None
+    assert v.microsecond == 123_456  # floor truncation of ...789 ns
+    vz = _lit_value(Literal(1_500_000_000_123_456_789, TimestampTzNsType()))
+    assert isinstance(vz, datetime) and vz.tzinfo is not None
+
+
+def test_v3_string_to_ns_overflow_folds_to_sentinel():
+    from icegopher_spark.iceberg.literals import L, LongAboveMax
+    from icegopher_spark.iceberg.types import StringType, TimestampNsType
+
+    lit = L("9999-12-31T23:59:59", StringType())
+    assert lit.to(TimestampNsType()) is LongAboveMax  # ~year 2262 cap
+    ok = L("2100-01-01T00:00:00", StringType()).to(TimestampNsType())
+    assert ok.value == 4_102_444_800_000_000_000
