@@ -665,3 +665,77 @@ def stream_minhash_index_q(spark: SparkSession, sf: str) -> DataFrame:
     t.refresh()
     docs = spark.read.parquet(docs_path)
     return _dedup.minhash_dedup_from_index(spark, t, docs, threshold=0.5)
+
+
+# Stream fixture = the cached DV table (one append of the full slice,
+# then DV deletes of flag='R' and quantity<5). CDC emissions: every row
+# as insert; flag='R' rows as deletes (first DV commit); quantity<5
+# rows NOT already deleted (flag<>'R') as deletes (second DV commit —
+# replacement supersets must emit only the NEWLY-deleted positions).
+cdc_stream_oracle = """
+WITH ins AS (
+  SELECT 'insert' AS change_type, l_returnflag, l_quantity, l_orderkey FROM lineitem
+), del AS (
+  SELECT 'delete', l_returnflag, l_quantity, l_orderkey FROM lineitem
+  WHERE l_returnflag = 'R'
+  UNION ALL
+  SELECT 'delete', l_returnflag, l_quantity, l_orderkey FROM lineitem
+  WHERE l_quantity < 5 AND l_returnflag <> 'R'
+), u AS (SELECT * FROM ins UNION ALL SELECT * FROM del)
+SELECT change_type, l_returnflag, COUNT(*) AS n_rows,
+       CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_qty,
+       CAST(SUM(l_orderkey % 1000) AS BIGINT) AS okey_chk
+FROM u GROUP BY change_type, l_returnflag
+"""
+
+
+@register(
+    "stream_cdc_changelog",
+    cdc_stream_oracle,
+    "CDC streaming source over a DV table: inserts + newly-deleted "
+    "rows per snapshot, exactly once (replacement DVs must emit only "
+    "the delta)",
+)
+def stream_cdc_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Row-level CDC as a STREAM: `readStream.format("icegopher_cdc")`
+    tails the DV fixture table and emits inserts plus per-snapshot
+    newly-deleted rows (streaming/iceberg_cdc_source.py); the oracle
+    recomputes the exact change set from the fixture's construction.
+    A second DV delete supersedes the first file-by-file, so emitting
+    a replacement bitmap wholesale (instead of its delta vs the prior
+    state) double-counts flag='R' rows and fails the hash."""
+    import shutil as _sh
+
+    from .iceberg_queries import _dv_table_for
+    from .streaming.iceberg_cdc_source import IcebergCdcStreamSource
+
+    t = _dv_table_for(spark, sf)
+    spark.dataSource.register(IcebergCdcStreamSource)
+
+    key = sf.strip("/").replace("/", "_")
+    work = f"/tmp/icegopher_tables/{key}/cdc_stream_gate"
+    _sh.rmtree(work, ignore_errors=True)
+    out, ckpt = f"{work}/out", f"{work}/ckpt"
+    q = (
+        spark.readStream.format("icegopher_cdc")
+        .option("location", t.location)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.read.parquet(out)
+        .groupBy(F.col("_change_type").alias("change_type"), "l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum(F.col("l_quantity").cast("decimal(12,2)")), 2)
+            .cast("double")
+            .alias("sum_qty"),
+            F.sum(F.col("l_orderkey") % 1000).cast("bigint").alias("okey_chk"),
+        )
+    )

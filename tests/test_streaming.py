@@ -406,3 +406,127 @@ def test_iceberg_stream_source_skips_unpublished_branch_snapshots(spark, tmp_pat
     t.refresh()
     t = refs.rollback_to(t, t.metadata.refs["audit"].snapshot_id)
     assert drain() == list(range(20))  # published rows appear, no dupes
+
+
+def _drain_cdc(spark, loc, ckpt, out):
+    from icegopher_spark.streaming.iceberg_cdc_source import IcebergCdcStreamSource
+
+    spark.dataSource.register(IcebergCdcStreamSource)
+    q = (
+        spark.readStream.format("icegopher_cdc")
+        .option("location", loc)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out)
+
+
+def test_cdc_stream_source_dv_and_pos_deletes(spark, tmp_path):
+    """The CDC stream must equal the batch changelog on a table mixing
+    appends, a DV delete, and a positional MOR delete."""
+    from icegopher_spark.iceberg import expressions as E
+    from icegopher_spark.iceberg import write as W
+    from icegopher_spark.iceberg.changelog import changelog_df
+    from icegopher_spark.iceberg.schema import Schema
+    from icegopher_spark.iceberg.types import LongType, NestedField, StringType
+
+    sch = Schema(
+        (NestedField(1, "k", LongType(), True), NestedField(2, "tag", StringType(), False)),
+        schema_id=0,
+    )
+    loc = str(tmp_path / "cdc")
+    rows = [(i, "ab"[i % 2]) for i in range(40)]
+    t = W.create_table(loc, sch, format_version=3)
+    t = W.append(t, spark.createDataFrame(rows, "k long, tag string").coalesce(1))
+    t = W.delete_where_dv(t, spark, E.less_than("k", 5))
+    t = W.delete_where_mor(t, spark, E.equal_to("tag", "b"))
+
+    got = _drain_cdc(spark, loc, str(tmp_path / "ck"), str(tmp_path / "out"))
+    g = sorted(
+        (r["_change_type"], r["k"], r["tag"]) for r in got.collect()
+    )
+    root = t.metadata.snapshots[0].snapshot_id
+    want_df = changelog_df(t, spark, root, None)
+    want = sorted(
+        ("delete", r["k"], r["tag"]) if r["_change_type"] == "delete"
+        else ("insert", r["k"], r["tag"])
+        for r in want_df.collect()
+    )
+    # the stream also carries the first append's inserts
+    want = sorted(want + [("insert", k, tag) for k, tag in rows])
+    assert g == want
+    # deletes are exactly: k<5 (DV) plus tag='b' with k>=5 (already-
+    # deleted rows must not re-emit through the MOR delete)
+    dels = [(k, tag) for c, k, tag in g if c == "delete"]
+    assert sorted(dels) == sorted(
+        [(k, tag) for k, tag in rows if k < 5]
+        + [(k, tag) for k, tag in rows if tag == "b" and k >= 5]
+    )
+
+
+def test_cdc_stream_source_cow_and_checkpoint(spark, tmp_path):
+    """CoW delete emits the removed files' still-live rows as deletes
+    (carryover rows as delete+insert pairs), and a checkpoint restart
+    emits only the NEW snapshots."""
+    from icegopher_spark.iceberg import expressions as E
+    from icegopher_spark.iceberg import write as W
+    from icegopher_spark.iceberg.schema import Schema
+    from icegopher_spark.iceberg.types import LongType, NestedField
+
+    sch = Schema((NestedField(1, "k", LongType(), True),), schema_id=0)
+    loc = str(tmp_path / "cow")
+    t = W.create_table(loc, sch)
+    t = W.append(t, spark.range(0, 20).selectExpr("id AS k").coalesce(1))
+    t = W.delete_where(t, spark, E.less_than("k", 3))  # CoW
+
+    ckpt, out = str(tmp_path / "ck"), str(tmp_path / "out")
+    got = _drain_cdc(spark, loc, ckpt, out)
+    by = {(r["_change_type"], r["k"]) for r in got.collect()}
+    # CoW: whole file deleted (20 rows), survivors re-inserted (17)
+    assert {("delete", k) for k in range(20)} <= by
+    assert {("insert", k) for k in range(3, 20)} <= by
+    n_first = got.count()
+    assert n_first == 20 + 20 + 17
+
+    # restart after a MOR delete: only the new snapshot's deletes emit
+    t = W.delete_where_mor(t, spark, E.equal_to("k", 10))
+    got2 = _drain_cdc(spark, loc, ckpt, out)
+    assert got2.count() == n_first + 1
+    new_rows = [
+        (r["_change_type"], r["k"], r["_commit_snapshot_id"]) for r in got2.collect()
+    ]
+    last = t.metadata.snapshots[-1].snapshot_id
+    assert ("delete", 10, last) in new_rows
+
+
+def test_cdc_stream_source_refuses_equality_deletes(spark, tmp_path):
+    from icegopher_spark.iceberg import write as W
+    from icegopher_spark.iceberg.schema import Schema
+    from icegopher_spark.iceberg.types import LongType, NestedField
+
+    sch = Schema((NestedField(1, "k", LongType(), True),), schema_id=0)
+    loc = str(tmp_path / "eq")
+    t = W.create_table(loc, sch)
+    t = W.append(t, spark.range(0, 10).selectExpr("id AS k"))
+    keys = spark.range(0, 3).selectExpr("id AS k")
+    W.delete_keys(t, spark, keys, ["k"])
+
+    from pyspark.sql.utils import StreamingQueryException
+
+    with pytest.raises(StreamingQueryException, match="equality-delete"):
+        q = (
+            spark.readStream.format("icegopher_cdc")
+            .option("location", loc)
+            .load()
+            .writeStream.format("noop")
+            .option("checkpointLocation", str(tmp_path / "ck2"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
