@@ -158,6 +158,12 @@ def main() -> None:
         "text_top_ngram",
         "vocab_bpe_encode",
         "dedup_source_overlap",
+        "iceberg_eqdelete_migrate",
+        "iceberg_sortorder_pruned",
+        "corpus_chunk_documents",
+        "vocab_oov_stats",
+        "dedup_neardup_select",
+        "stream_cdc_changelog",
     ]
 
     times: dict[str, float] = {}

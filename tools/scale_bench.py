@@ -74,6 +74,12 @@ EXTRA_SCALE_QUERIES = [
     "text_top_ngram",
     "vocab_bpe_encode",
     "dedup_source_overlap",
+    "iceberg_eqdelete_migrate",
+    "iceberg_sortorder_pruned",
+    "corpus_chunk_documents",
+    "vocab_oov_stats",
+    "dedup_neardup_select",
+    "stream_cdc_changelog",
 ]
 SCALE_QUERIES = BENCH_QUERIES + EXTRA_SCALE_QUERIES
 from icegopher_spark.queries import QUERIES, load  # noqa: E402
