@@ -104,6 +104,18 @@ class _CdcStreamReader(_AppendStreamReader):
     """Shares lineage/offset/anchor mechanics with the append reader;
     overrides planning + the partition kernel."""
 
+    def __init__(self, options):
+        super().__init__(options)
+        # mirror of the append source's skip flags: equality-delete
+        # snapshots (and pre-range live eq files) refuse by default;
+        # opting in SKIPS them wholesale — their key deletes become
+        # invisible to the stream and a later DV may re-report rows the
+        # eq already removed. The exact path is rewrite_equality_deletes
+        # + a checkpoint anchored past the eq commits.
+        self.skip_eq = (
+            options.get("skip-equality-snapshots", "false").lower() == "true"
+        )
+
     def partitions(self, start: dict, end: dict):
         from pyspark.sql.pandas.types import to_arrow_schema
 
@@ -125,12 +137,16 @@ class _CdcStreamReader(_AppendStreamReader):
         hi = self._anchor(md, end, lineage)
 
         def snap_state(snap):
-            """(live data entries by path, delete-file state) at snap."""
+            """(live data entries by path, delete-file state, has_eq)
+            at snap. NOTE: catch-up planning walks this per snapshot in
+            the batch range — O(snapshots × manifests); bound long
+            catch-ups with max-snapshots-per-trigger."""
             data: dict[str, object] = {}
             pos_files: list = []  # (path, seq)
             dvs: dict[str, tuple] = {}  # referenced path -> (puffin, off, len)
+            has_eq = False
             if snap is None:
-                return data, pos_files, dvs
+                return data, pos_files, dvs, has_eq
             for m in read_manifest_list(io.read(snap.manifest_list)):
                 entries = fetch_entries(
                     m, io.read(m.manifest_path), discard_deleted=True
@@ -139,7 +155,8 @@ class _CdcStreamReader(_AppendStreamReader):
                     for e in entries:
                         f = e.data_file
                         if f.content == DataFileContent.EQUALITY_DELETES:
-                            continue  # handled (refused) at emit time
+                            has_eq = True
+                            continue
                         if f.is_deletion_vector:
                             dvs[strip_file_scheme(f.referenced_data_file or "")] = (
                                 f.file_path,
@@ -153,7 +170,7 @@ class _CdcStreamReader(_AppendStreamReader):
                 else:
                     for e in entries:
                         data[strip_file_scheme(e.data_file.file_path)] = e
-            return data, pos_files, dvs
+            return data, pos_files, dvs, has_eq
 
         parts: list[_CdcPartition] = []
         # parent of the FIRST emitted snapshot; state rolls forward
@@ -162,10 +179,23 @@ class _CdcStreamReader(_AppendStreamReader):
             if lo < hi and lineage[lo].parent_snapshot_id
             else None
         )
-        prev_data, prev_pos, prev_dvs = snap_state(parent)
+        prev_data, prev_pos, prev_dvs, prev_eq = snap_state(parent)
+        if prev_eq and not self.skip_eq:
+            # live equality deletes predating this batch are not part of
+            # the per-file prior-state subtraction (materializing them
+            # needs cross-file key joins), so a later DV covering an
+            # already-eq-deleted row would re-emit its delete — refuse
+            # rather than mis-report (r7 review wave 2)
+            raise ValueError(
+                "the table carries live equality-delete files from "
+                "before this batch's range; the CDC stream cannot "
+                "subtract key deletes from later row deletes — run "
+                "maintenance.rewrite_equality_deletes first or use "
+                "the batch changelog"
+            )
         for snap in lineage[lo:hi]:
             op = (snap.summary or {}).get("operation")
-            cur_data, cur_pos, cur_dvs = snap_state(snap)
+            cur_data, cur_pos, cur_dvs, _cur_eq = snap_state(snap)
             if op == "replace":
                 prev_data, prev_pos, prev_dvs = cur_data, cur_pos, cur_dvs
                 continue
@@ -216,6 +246,7 @@ class _CdcStreamReader(_AppendStreamReader):
                         e.status == ManifestEntryStatus.ADDED
                         and e.snapshot_id == snap.snapshot_id
                         and e.data_file.content == DataFileContent.EQUALITY_DELETES
+                        and not self.skip_eq
                     ):
                         raise ValueError(
                             f"snapshot {snap.snapshot_id} adds equality-delete "

@@ -530,3 +530,68 @@ def test_cdc_stream_source_refuses_equality_deletes(spark, tmp_path):
             .start()
         )
         q.awaitTermination()
+
+
+def test_cdc_stream_source_refuses_pre_range_equality_deletes(spark, tmp_path):
+    """Eq deletes LIVE BEFORE the stream's range can't be subtracted
+    from later row deletes — the plan must refuse, and converting them
+    (rewrite_equality_deletes) unblocks the stream."""
+    from icegopher_spark.iceberg import expressions as E
+    from icegopher_spark.iceberg import maintenance as M
+    from icegopher_spark.iceberg import write as W
+    from icegopher_spark.iceberg.schema import Schema
+    from icegopher_spark.iceberg.types import LongType, NestedField
+    from pyspark.sql.utils import StreamingQueryException
+
+    sch = Schema((NestedField(1, "k", LongType(), True),), schema_id=0)
+    loc = str(tmp_path / "preeq")
+    t = W.create_table(loc, sch, format_version=3)
+    t = W.append(t, spark.range(0, 20).selectExpr("id AS k").coalesce(1))
+    t = W.delete_keys(t, spark, spark.range(0, 3).selectExpr("id AS k"), ["k"])
+    t = W.delete_where_dv(t, spark, E.equal_to("k", 5))
+
+    def run(ck):
+        q = (
+            spark.readStream.format("icegopher_cdc")
+            .option("location", loc)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", str(tmp_path / f"out{ck}"))
+            .option("checkpointLocation", str(tmp_path / f"ck{ck}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    from icegopher_spark.streaming.iceberg_cdc_source import IcebergCdcStreamSource
+
+    spark.dataSource.register(IcebergCdcStreamSource)
+    with pytest.raises(StreamingQueryException, match="equality-delete"):
+        run("a")
+
+    # conversion retires the eq FILES, but the eq COMMIT stays in
+    # history — a full-history replay still refuses...
+    t = M.rewrite_equality_deletes(t, spark)
+    with pytest.raises(StreamingQueryException, match="equality-delete"):
+        run("b")
+
+    # ...and skip-equality-snapshots opts into skipping it wholesale:
+    # the DV delete (k=5) and the CONVERSION's replace commit stream
+    # fine; the skipped eq keys never emit
+    q = (
+        spark.readStream.format("icegopher_cdc")
+        .option("location", loc)
+        .option("skip-equality-snapshots", "true")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", str(tmp_path / "outc"))
+        .option("checkpointLocation", str(tmp_path / "ckc"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {(r["_change_type"], r["k"])
+           for r in spark.read.parquet(str(tmp_path / "outc")).collect()}
+    assert ("delete", 5) in got
+    assert ("delete", 4) not in got
+    assert ("delete", 0) not in got  # skipped eq keys never emit
