@@ -87,7 +87,12 @@ def _positions_for(path, pos_paths, dvs):
         t = pq.read_table(
             strip_file_scheme(p),
             columns=["file_path", "pos"],
-            filters=[("file_path", "in", [path, f"file://{path}"])],
+            # writers record file_path as written by Spark's _metadata
+            # (file://{path}) or normalized (/…); cover every scheme
+            # spelling so pushdown never silently drops positions
+            filters=[
+                ("file_path", "in", [path, f"file:{path}", f"file://{path}"])
+            ],
         )
         if t.num_rows:
             out.append(t.column("pos").to_numpy(zero_copy_only=False))
