@@ -888,36 +888,17 @@ def rewrite_equality_deletes(
 
 def _eq_delete_semi_union(src: DataFrame, eq_files, base, spark) -> DataFrame:
     """Rows of ``src`` matching ANY equality-delete file's key set —
-    the semi twin of table.apply_eq_delete_anti_joins, same field-ID
-    key resolution and broadcast guard."""
-    from .table import _maybe_broadcast_deletes, strip_file_scheme as _strip
+    the semi twin of table.apply_eq_delete_anti_joins; key resolution
+    is the SHARED table.eq_delete_keys_df (field-ID lookup, partial-key
+    refusal, broadcast guard), so the two faces cannot drift."""
+    from .table import eq_delete_keys_df
 
     parts = []
     for dfile in eq_files:
-        names = []
-        for fid in dfile.equality_ids or []:
-            f = base.find_field(fid)
-            if f is None:
-                raise ValueError(
-                    f"equality-delete file {dfile.file_path} keys on "
-                    f"field id {fid}, which is not in the table schema; "
-                    "cannot materialize a partial key"
-                )
-            names.append(f.name)
-        if not names:
+        resolved = eq_delete_keys_df(dfile, base, spark)
+        if resolved is None:
             continue
-        keys = spark.read.parquet(_strip(dfile.file_path))
-        if not set(names) <= set(keys.columns):
-            if len(keys.columns) == len(names):
-                keys = keys.toDF(*names)
-            else:
-                raise ValueError(
-                    f"equality-delete file {dfile.file_path} columns "
-                    f"{keys.columns} do not match keys {names}"
-                )
-        keys = _maybe_broadcast_deletes(
-            keys.select(*names).distinct(), dfile.file_size_in_bytes
-        )
+        keys, names = resolved
         parts.append(src.join(keys, names, "left_semi"))
     if not parts:
         return src.limit(0)

@@ -890,41 +890,54 @@ def _maybe_broadcast_deletes(df: DataFrame, manifest_bytes: int) -> DataFrame:
     return df
 
 
-def apply_eq_delete_anti_joins(part, eq_files, base, spark):
-    """Anti-join ``part`` against each equality-delete file's key set,
-    resolving key columns by FIELD ID against ``base`` (partial keys
+def eq_delete_keys_df(dfile, base, spark):
+    """(key DataFrame, key column names) for one equality-delete file:
+    key columns resolved by FIELD ID against ``base`` (partial keys
     refuse loudly; by-name column resolution with positional width
-    fallback). Shared by the scan path and delete_where_mor — the MOR
-    writer previously raw-read files and re-deleted already-eq-deleted
-    rows (r6 review)."""
+    fallback), distinct tuples, broadcast-guarded. None when the file
+    carries no equality ids. Shared by the scan anti-joins and the
+    eq→DV conversion's semi-joins (r7 review 2: the two copies had
+    already drifted)."""
+    names = []
+    for fid in dfile.equality_ids or []:
+        f = base.find_field(fid)
+        if f is None:
+            # joining on a PARTIAL key would mis-match
+            raise ValueError(
+                f"equality-delete file {dfile.file_path} keys on "
+                f"field id {fid}, which is not in the scan "
+                "schema; cannot apply a partial key"
+            )
+        names.append(f.name)
+    if not names:
+        return None
+    keys = spark.read.parquet(strip_file_scheme(dfile.file_path))
+    # by-name when the file carries the key names (robust to
+    # column reordering); positional only as width fallback
+    if not set(names) <= set(keys.columns):
+        if len(keys.columns) == len(names):
+            keys = keys.toDF(*names)
+        else:
+            raise ValueError(
+                f"equality-delete file {dfile.file_path} columns "
+                f"{keys.columns} do not match keys {names}"
+            )
+    keys = _maybe_broadcast_deletes(
+        keys.select(*names).distinct(), dfile.file_size_in_bytes
+    )
+    return keys, names
+
+
+def apply_eq_delete_anti_joins(part, eq_files, base, spark):
+    """Anti-join ``part`` against each equality-delete file's key set
+    (see eq_delete_keys_df). Shared by the scan path and
+    delete_where_mor — the MOR writer previously raw-read files and
+    re-deleted already-eq-deleted rows (r6 review)."""
     for dfile in eq_files:
-        names = []
-        for fid in dfile.equality_ids or []:
-            f = base.find_field(fid)
-            if f is None:
-                # anti-joining on a PARTIAL key would over-delete
-                raise ValueError(
-                    f"equality-delete file {dfile.file_path} keys on "
-                    f"field id {fid}, which is not in the scan "
-                    "schema; cannot apply a partial key"
-                )
-            names.append(f.name)
-        if not names:
+        resolved = eq_delete_keys_df(dfile, base, spark)
+        if resolved is None:
             continue
-        keys = spark.read.parquet(strip_file_scheme(dfile.file_path))
-        # by-name when the file carries the key names (robust to
-        # column reordering); positional only as width fallback
-        if not set(names) <= set(keys.columns):
-            if len(keys.columns) == len(names):
-                keys = keys.toDF(*names)
-            else:
-                raise ValueError(
-                    f"equality-delete file {dfile.file_path} columns "
-                    f"{keys.columns} do not match keys {names}"
-                )
-        keys = _maybe_broadcast_deletes(
-            keys.select(*names).distinct(), dfile.file_size_in_bytes
-        )
+        keys, names = resolved
         part = part.join(keys, names, "left_anti")
     return part
 

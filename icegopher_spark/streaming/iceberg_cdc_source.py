@@ -28,7 +28,10 @@ Per-snapshot semantics (lineage oldest → newest):
     into row pre-images needs cross-file joins a self-contained
     partition read cannot do — run
     ``maintenance.rewrite_equality_deletes`` first (the stream then
-    sees DVs) or use the batch changelog.
+    sees DVs) or use the batch changelog. Option
+    ``skip-equality-snapshots`` opts into IGNORING the key deletes
+    (the snapshot's data files and DVs still emit) — a documented
+    exactness trade, not a wholesale snapshot skip.
 
 Scale posture: planning is driver-side over manifest entries (one
 partition per changed file — the same fan-out as the batch scan);
@@ -111,12 +114,13 @@ class _CdcStreamReader(_AppendStreamReader):
 
     def __init__(self, options):
         super().__init__(options)
-        # mirror of the append source's skip flags: equality-delete
-        # snapshots (and pre-range live eq files) refuse by default;
-        # opting in SKIPS them wholesale — their key deletes become
-        # invisible to the stream and a later DV may re-report rows the
-        # eq already removed. The exact path is rewrite_equality_deletes
-        # + a checkpoint anchored past the eq commits.
+        # analog of the append source's skip flags: equality-delete
+        # FILES (added in-range or live before it) refuse by default;
+        # opting in IGNORES the key deletes — the snapshot's data files
+        # and DVs still emit, but its eq deletes never do, and a later
+        # DV may re-report rows the eq already removed. The exact path
+        # is rewrite_equality_deletes + a checkpoint anchored past the
+        # eq commits.
         self.skip_eq = (
             options.get("skip-equality-snapshots", "false").lower() == "true"
         )
@@ -150,8 +154,9 @@ class _CdcStreamReader(_AppendStreamReader):
             pos_files: list = []  # (path, seq)
             dvs: dict[str, tuple] = {}  # referenced path -> (puffin, off, len)
             has_eq = False
+            eq_added = None  # an eq-delete file ADDED by this snapshot
             if snap is None:
-                return data, pos_files, dvs, has_eq
+                return data, pos_files, dvs, has_eq, eq_added
             for m in read_manifest_list(io.read(snap.manifest_list)):
                 entries = fetch_entries(
                     m, io.read(m.manifest_path), discard_deleted=True
@@ -161,12 +166,19 @@ class _CdcStreamReader(_AppendStreamReader):
                         f = e.data_file
                         if f.content == DataFileContent.EQUALITY_DELETES:
                             has_eq = True
+                            if (
+                                e.status == ManifestEntryStatus.ADDED
+                                and e.snapshot_id == snap.snapshot_id
+                            ):
+                                eq_added = f.file_path
                             continue
                         if f.is_deletion_vector:
                             dvs[strip_file_scheme(f.referenced_data_file or "")] = (
                                 f.file_path,
                                 f.content_offset,
-                                f.content_size_in_bytes,
+                                # defend like _dv_positions_df: a foreign
+                                # writer may omit the size (r7 review 2)
+                                int(f.content_size_in_bytes or 0),
                             )
                         else:
                             pos_files.append(
@@ -175,16 +187,27 @@ class _CdcStreamReader(_AppendStreamReader):
                 else:
                     for e in entries:
                         data[strip_file_scheme(e.data_file.file_path)] = e
-            return data, pos_files, dvs, has_eq
+            return data, pos_files, dvs, has_eq, eq_added
 
         parts: list[_CdcPartition] = []
         # parent of the FIRST emitted snapshot; state rolls forward
-        parent = (
-            md.snapshot_by_id(lineage[lo].parent_snapshot_id)
-            if lo < hi and lineage[lo].parent_snapshot_id
-            else None
-        )
-        prev_data, prev_pos, prev_dvs, prev_eq = snap_state(parent)
+        parent = None
+        if lo < hi and lineage[lo].parent_snapshot_id:
+            parent = md.snapshot_by_id(lineage[lo].parent_snapshot_id)
+            if parent is None:
+                # the parent was EXPIRED: with an empty prior state the
+                # first retained snapshot's replacement DVs would emit
+                # their FULL bitmaps as "newly deleted" and pre-history
+                # inserts never emitted — refuse like _anchor does for
+                # an expired checkpoint anchor (r7 review 2)
+                raise ValueError(
+                    f"snapshot {lineage[lo].snapshot_id}'s parent "
+                    f"{lineage[lo].parent_snapshot_id} was expired; the "
+                    "CDC stream cannot reconstruct the prior delete "
+                    "state — start from a later offset or use the batch "
+                    "changelog over the retained range"
+                )
+        prev_data, prev_pos, prev_dvs, prev_eq, _ = snap_state(parent)
         if prev_eq and not self.skip_eq:
             # live equality deletes predating this batch are not part of
             # the per-file prior-state subtraction (materializing them
@@ -200,7 +223,7 @@ class _CdcStreamReader(_AppendStreamReader):
             )
         for snap in lineage[lo:hi]:
             op = (snap.summary or {}).get("operation")
-            cur_data, cur_pos, cur_dvs, _cur_eq = snap_state(snap)
+            cur_data, cur_pos, cur_dvs, _cur_eq, eq_added = snap_state(snap)
             if op == "replace":
                 prev_data, prev_pos, prev_dvs = cur_data, cur_pos, cur_dvs
                 continue
@@ -238,28 +261,16 @@ class _CdcStreamReader(_AppendStreamReader):
                 for f, coords in cur_dvs.items()
                 if prev_dvs.get(f) != coords
             }
-            # eq deletes: detect additions and refuse loudly
-            for m in read_manifest_list(io.read(snap.manifest_list)):
-                if m.content != ManifestContent.DELETES:
-                    continue
-                if m.added_snapshot_id != snap.snapshot_id:
-                    continue
-                for e in fetch_entries(
-                    m, io.read(m.manifest_path), discard_deleted=True
-                ):
-                    if (
-                        e.status == ManifestEntryStatus.ADDED
-                        and e.snapshot_id == snap.snapshot_id
-                        and e.data_file.content == DataFileContent.EQUALITY_DELETES
-                        and not self.skip_eq
-                    ):
-                        raise ValueError(
-                            f"snapshot {snap.snapshot_id} adds equality-delete "
-                            f"file {e.data_file.file_path}: the CDC stream "
-                            "cannot materialize key deletes per-partition — "
-                            "run maintenance.rewrite_equality_deletes first "
-                            "(DVs stream fine) or use the batch changelog"
-                        )
+            # eq deletes: refuse additions loudly (detected during the
+            # snap_state walk — no second manifest pass, r7 review 2)
+            if eq_added is not None and not self.skip_eq:
+                raise ValueError(
+                    f"snapshot {snap.snapshot_id} adds equality-delete "
+                    f"file {eq_added}: the CDC stream cannot materialize "
+                    "key deletes per-partition — run "
+                    "maintenance.rewrite_equality_deletes first (DVs "
+                    "stream fine) or use the batch changelog"
+                )
 
             # targets of new deletes that still exist (MOR)
             affected: dict[str, dict] = {}

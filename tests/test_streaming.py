@@ -519,6 +519,9 @@ def test_cdc_stream_source_refuses_equality_deletes(spark, tmp_path):
 
     from pyspark.sql.utils import StreamingQueryException
 
+    from icegopher_spark.streaming.iceberg_cdc_source import IcebergCdcStreamSource
+
+    spark.dataSource.register(IcebergCdcStreamSource)  # isolation-safe
     with pytest.raises(StreamingQueryException, match="equality-delete"):
         q = (
             spark.readStream.format("icegopher_cdc")
