@@ -739,3 +739,83 @@ def stream_cdc_q(spark: SparkSession, sf: str) -> DataFrame:
             F.sum(F.col("l_orderkey") % 1000).cast("bigint").alias("okey_chk"),
         )
     )
+
+
+@register(
+    "stream_cdc_mv",
+    # the MV maintained from the CDC stream must equal the TABLE's
+    # final state (same oracle shape as iceberg_dv_delete): inserts
+    # minus both DV deletes, never recomputed from a table scan
+    """
+SELECT l_returnflag, COUNT(*) AS n_rows,
+       CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_qty
+FROM lineitem WHERE l_returnflag <> 'R' AND l_quantity >= 5
+GROUP BY l_returnflag
+""",
+    "incremental materialized view maintained by folding the CDC "
+    "stream's inserts/deletes — never a table rescan",
+)
+def stream_cdc_mv_q(spark: SparkSession, sf: str) -> DataFrame:
+    """The full CDC loop: `icegopher_cdc` streams row-level changes off
+    the DV fixture table and each micro-batch folds into a persisted
+    COUNT/SUM aggregate via changelog.apply_changes_to_aggregate
+    (+1/-1 signed folds in DECIMAL) — the MV's final state must equal
+    the table's, proving insert/delete deltas are exactly-once and
+    complete. Cost per refresh is O(changed rows), never a rescan."""
+    import shutil as _sh
+
+    from pyspark.sql import types as T
+
+    from .iceberg.changelog import apply_changes_to_aggregate
+    from .iceberg_queries import _dv_table_for
+    from .streaming.iceberg_cdc_source import IcebergCdcStreamSource
+
+    t = _dv_table_for(spark, sf)
+    spark.dataSource.register(IcebergCdcStreamSource)
+
+    key = sf.strip("/").replace("/", "_")
+    work = f"/tmp/icegopher_tables/{key}/cdc_mv_gate"
+    _sh.rmtree(work, ignore_errors=True)
+    state = f"{work}/mv"
+    empty = spark.createDataFrame(
+        [],
+        T.StructType(
+            [
+                T.StructField("l_returnflag", T.StringType()),
+                T.StructField("n_rows", T.LongType()),
+                T.StructField("qty_sum", T.DecimalType(38, 4)),
+            ]
+        ),
+    )
+    empty.write.mode("overwrite").parquet(state)
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        mv = spark.read.parquet(state)
+        new = apply_changes_to_aggregate(
+            mv,
+            batch_df,
+            keys=["l_returnflag"],
+            count_col="n_rows",
+            sum_specs={"qty_sum": "l_quantity"},
+        )
+        # state swap via a staging dir: overwriting the parquet we are
+        # lazily reading from would truncate our own input mid-job
+        new.write.mode("overwrite").parquet(f"{work}/stage")
+        _sh.rmtree(state)
+        _sh.move(f"{work}/stage", state)
+
+    q = (
+        spark.readStream.format("icegopher_cdc")
+        .option("location", t.location)
+        .load()
+        .writeStream.foreachBatch(fold)
+        .option("checkpointLocation", f"{work}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(state).select(
+        "l_returnflag",
+        "n_rows",
+        F.round(F.col("qty_sum"), 2).cast("double").alias("sum_qty"),
+    )
