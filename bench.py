@@ -164,6 +164,7 @@ def main() -> None:
         "vocab_oov_stats",
         "dedup_neardup_select",
         "stream_cdc_changelog",
+        "stream_cdc_mv",
     ]
 
     times: dict[str, float] = {}

@@ -80,6 +80,7 @@ EXTRA_SCALE_QUERIES = [
     "vocab_oov_stats",
     "dedup_neardup_select",
     "stream_cdc_changelog",
+    "stream_cdc_mv",
 ]
 SCALE_QUERIES = BENCH_QUERIES + EXTRA_SCALE_QUERIES
 from icegopher_spark.queries import QUERIES, load  # noqa: E402
