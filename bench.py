@@ -165,6 +165,7 @@ def main() -> None:
         "dedup_neardup_select",
         "stream_cdc_changelog",
         "stream_cdc_mv",
+        "iceberg_changes_datasource",
     ]
 
     times: dict[str, float] = {}

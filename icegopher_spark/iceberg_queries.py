@@ -1631,3 +1631,52 @@ def _eqmigrated_table_for(spark: SparkSession, sf_dir: str) -> Table:
         )
 
     return _cached_table(sf_dir, "lineitem_eq_migrated", valid, build)
+
+
+# --- batch CDC DataSource face --------------------------------------------
+
+ice_changes_ds_oracle = """
+WITH ins AS (
+  SELECT 'insert' AS change_type, l_returnflag, l_quantity, l_orderkey FROM lineitem
+), del AS (
+  SELECT 'delete', l_returnflag, l_quantity, l_orderkey FROM lineitem
+  WHERE l_returnflag = 'R'
+  UNION ALL
+  SELECT 'delete', l_returnflag, l_quantity, l_orderkey FROM lineitem
+  WHERE l_quantity < 5 AND l_returnflag <> 'R'
+), u AS (SELECT * FROM ins UNION ALL SELECT * FROM del)
+SELECT change_type, l_returnflag, COUNT(*) AS n_rows,
+       CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_qty,
+       CAST(SUM(l_orderkey % 1000) AS BIGINT) AS okey_chk
+FROM u GROUP BY change_type, l_returnflag
+"""
+
+
+@register(
+    "iceberg_changes_datasource",
+    ice_changes_ds_oracle,
+    "batch CDC via spark.read.format('icegopher_changes'): the SQL-"
+    "friendly face of the change log, same planner/kernel as the stream",
+)
+def iceberg_changes_datasource(spark: SparkSession, sf: str) -> DataFrame:
+    """Full-range batch CDC read over the DV fixture through the
+    DataSource face (streaming/iceberg_cdc_source.py:
+    IcebergChangesDataSource) — identical change set to the stream
+    gate, through the batch reader path."""
+    from .streaming.iceberg_cdc_source import IcebergChangesDataSource
+
+    t = _dv_table_for(spark, sf)
+    spark.dataSource.register(IcebergChangesDataSource)
+    return (
+        spark.read.format("icegopher_changes")
+        .option("location", t.location)
+        .load()
+        .groupBy(F.col("_change_type").alias("change_type"), "l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum(F.col("l_quantity").cast("decimal(12,2)")), 2)
+            .cast("double")
+            .alias("sum_qty"),
+            F.sum(F.col("l_orderkey") % 1000).cast("bigint").alias("okey_chk"),
+        )
+    )

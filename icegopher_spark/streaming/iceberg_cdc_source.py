@@ -345,59 +345,65 @@ class _CdcStreamReader(_AppendStreamReader):
         return parts or [_CdcPartition("empty")]
 
     def read(self, partition: _CdcPartition):
-        if partition.kind == "empty":
-            return iter([])
-        import numpy as np
-        import pyarrow as pa
-        import pyarrow.parquet as pq
+        return _read_cdc_partition(partition)
 
-        from ..iceberg.dsv2 import project_batches
-        from ..iceberg.table import strip_file_scheme
 
-        if partition.kind == "insert":
-            tbl = pq.read_table(strip_file_scheme(partition.path))
-            change = "insert"
-        else:
-            # positions first: a candidate file the new delete files
-            # don't actually touch costs only delete-metadata reads,
-            # never a data-file scan
-            prior = _positions_for(
-                partition.path, partition.prior_pos_paths, partition.prior_dvs
-            )
-            if partition.kind == "delete_file":
-                keep = None  # resolved against num_rows below
-            else:  # delete_rows: newly-deleted positions
-                new = _positions_for(
-                    partition.path, partition.new_pos_paths, partition.new_dvs
-                )
-                keep = np.setdiff1d(new, prior)
-                if keep.size == 0:
-                    return iter([])
-            tbl = pq.read_table(strip_file_scheme(partition.path))
-            if keep is None:
-                # still-live rows of a CoW-removed file
-                keep = np.setdiff1d(np.arange(tbl.num_rows, dtype="int64"), prior)
-                if keep.size == 0:
-                    return iter([])
-            tbl = tbl.take(pa.array(keep))
-            change = "delete"
+def _read_cdc_partition(partition: _CdcPartition):
+    """Executor-side CDC partition kernel — shared by the streaming
+    reader and the batch `icegopher_changes` DataSource face."""
+    if partition.kind == "empty":
+        return iter([])
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
 
-        batches = project_batches(
-            tbl.to_batches(), partition.column_map, partition.arrow_schema
+    from ..iceberg.dsv2 import project_batches
+    from ..iceberg.table import strip_file_scheme
+
+    if partition.kind == "insert":
+        tbl = pq.read_table(strip_file_scheme(partition.path))
+        change = "insert"
+    else:
+        # positions first: a candidate file the new delete files
+        # don't actually touch costs only delete-metadata reads,
+        # never a data-file scan
+        prior = _positions_for(
+            partition.path, partition.prior_pos_paths, partition.prior_dvs
         )
-        sid = partition.snapshot_id
+        if partition.kind == "delete_file":
+            keep = None  # resolved against num_rows below
+        else:  # delete_rows: newly-deleted positions
+            new = _positions_for(
+                partition.path, partition.new_pos_paths, partition.new_dvs
+            )
+            keep = np.setdiff1d(new, prior)
+            if keep.size == 0:
+                return iter([])
+        tbl = pq.read_table(strip_file_scheme(partition.path))
+        if keep is None:
+            # still-live rows of a CoW-removed file
+            keep = np.setdiff1d(np.arange(tbl.num_rows, dtype="int64"), prior)
+            if keep.size == 0:
+                return iter([])
+        tbl = tbl.take(pa.array(keep))
+        change = "delete"
 
-        def tagged():
-            for b in batches:
-                n = b.num_rows
-                arrays = list(b.columns) + [
-                    pa.array([change] * n, pa.string()),
-                    pa.array(np.full(n, sid, dtype="int64")),
-                ]
-                names = list(b.schema.names) + [CHANGE_TYPE, COMMIT_SNAPSHOT]
-                yield pa.RecordBatch.from_arrays(arrays, names=names)
+    batches = project_batches(
+        tbl.to_batches(), partition.column_map, partition.arrow_schema
+    )
+    sid = partition.snapshot_id
 
-        return tagged()
+    def tagged():
+        for b in batches:
+            n = b.num_rows
+            arrays = list(b.columns) + [
+                pa.array([change] * n, pa.string()),
+                pa.array(np.full(n, sid, dtype="int64")),
+            ]
+            names = list(b.schema.names) + [CHANGE_TYPE, COMMIT_SNAPSHOT]
+            yield pa.RecordBatch.from_arrays(arrays, names=names)
+
+    return tagged()
 
 
 class IcebergCdcStreamSource(DataSource):
@@ -428,3 +434,63 @@ class IcebergCdcStreamSource(DataSource):
 
     def streamReader(self, schema):
         return _CdcStreamReader(self.options)
+
+
+from pyspark.sql.datasource import DataSourceReader
+
+
+class _ChangesBatchReader(DataSourceReader):
+    """Batch twin: a fixed snapshot range planned by the SAME CDC
+    planner, read by the SAME partition kernel."""
+
+    def __init__(self, options):
+        self.options = options
+
+    def partitions(self):
+        from ..iceberg.table import Table
+
+        r = _CdcStreamReader(self.options)
+        t = Table.from_location(self.options["location"])
+        lineage = r._main_lineage(t.metadata)
+        if not lineage:
+            return [_CdcPartition("empty")]
+        from_id = int(self.options.get("from-snapshot-id", "0"))
+        to_raw = self.options.get("to-snapshot-id")
+        to_id = int(to_raw) if to_raw else lineage[-1].snapshot_id
+        # offsets anchor by snapshot ID (same rule as the stream):
+        # from is EXCLUSIVE (0 = table origin), to is INCLUSIVE and
+        # must be on the main lineage — _anchor raises otherwise
+        start = {"idx": 0, "last_id": from_id}
+        end = {"idx": 0, "last_id": to_id}
+        r._anchor(t.metadata, end, lineage)  # validate before planning
+        return r.partitions(start, end)
+
+    def read(self, partition: _CdcPartition):
+        return _read_cdc_partition(partition)
+
+
+class IcebergChangesDataSource(DataSource):
+    """Batch CDC face (the SQL-friendly twin of changelog.changelog_df
+    and of the icegopher_cdc stream):
+
+        spark.dataSource.register(IcebergChangesDataSource)
+        df = (spark.read.format("icegopher_changes")
+              .option("location", loc)
+              .option("from-snapshot-id", str(s0))   # exclusive; 0 = origin
+              .option("to-snapshot-id", str(s2))     # inclusive; default head
+              .load())
+
+    Emits the same rows + _change_type/_commit_snapshot_id columns with
+    the same refusal rules (equality deletes, expired parents). Unlike
+    changelog_df there is no carryover netting — copy-on-write
+    carryovers appear as delete+insert pairs."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "icegopher_changes"
+
+    def schema(self):
+        return IcebergCdcStreamSource.schema(self)
+
+    def reader(self, schema):
+        return _ChangesBatchReader(self.options)

@@ -598,3 +598,56 @@ def test_cdc_stream_source_refuses_pre_range_equality_deletes(spark, tmp_path):
     assert ("delete", 5) in got
     assert ("delete", 4) not in got
     assert ("delete", 0) not in got  # skipped eq keys never emit
+
+
+def test_changes_batch_datasource_matches_stream(spark, tmp_path):
+    """spark.read.format('icegopher_changes') over a fixed snapshot
+    range must produce the stream's change rows, and from-snapshot-id
+    slices the range exclusively."""
+    from icegopher_spark.iceberg import expressions as E
+    from icegopher_spark.iceberg import write as W
+    from icegopher_spark.iceberg.schema import Schema
+    from icegopher_spark.iceberg.types import LongType, NestedField
+    from icegopher_spark.streaming.iceberg_cdc_source import (
+        IcebergChangesDataSource,
+    )
+
+    sch = Schema((NestedField(1, "k", LongType(), True),), schema_id=0)
+    loc = str(tmp_path / "bc")
+    t = W.create_table(loc, sch, format_version=3)
+    t = W.append(t, spark.range(0, 10).selectExpr("id AS k").coalesce(1))
+    t = W.delete_where_dv(t, spark, E.less_than("k", 3))
+    s1, s2 = (s.snapshot_id for s in t.metadata.snapshots)
+
+    spark.dataSource.register(IcebergChangesDataSource)
+    full = (
+        spark.read.format("icegopher_changes")
+        .option("location", loc)
+        .load()
+    )
+    got = {(r["_change_type"], r["k"]) for r in full.collect()}
+    assert got == {("insert", k) for k in range(10)} | {("delete", k) for k in range(3)}
+
+    # exclusive from: only the DV delete's changes
+    tail = (
+        spark.read.format("icegopher_changes")
+        .option("location", loc)
+        .option("from-snapshot-id", str(s1))
+        .load()
+    )
+    assert {(r["_change_type"], r["k"]) for r in tail.collect()} == {
+        ("delete", 0), ("delete", 1), ("delete", 2)
+    }
+    assert {r["_commit_snapshot_id"] for r in tail.collect()} == {s2}
+
+    # unknown to-snapshot-id refuses (anchored by id, like the stream)
+    import pytest as _pt
+
+    with _pt.raises(Exception, match="no longer on the table"):
+        (
+            spark.read.format("icegopher_changes")
+            .option("location", loc)
+            .option("to-snapshot-id", "424242")
+            .load()
+            .collect()
+        )

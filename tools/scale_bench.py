@@ -81,6 +81,7 @@ EXTRA_SCALE_QUERIES = [
     "dedup_neardup_select",
     "stream_cdc_changelog",
     "stream_cdc_mv",
+    "iceberg_changes_datasource",
 ]
 SCALE_QUERIES = BENCH_QUERIES + EXTRA_SCALE_QUERIES
 from icegopher_spark.queries import QUERIES, load  # noqa: E402
