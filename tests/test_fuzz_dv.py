@@ -152,3 +152,76 @@ def test_dv_migration_fuzz(spark, tmp_path, seed):
         model = {r for r in model if r[0] != lo}
         got = sorted(tuple(r) for r in t.scan().to_df(spark).collect())
         assert got == sorted(model), f"seed={seed} post-migration DV delete"
+
+
+@pytest.mark.parametrize("seed", [11, 37])
+def test_cdc_stream_vs_batch_changelog_fuzz(spark, tmp_path, seed):
+    """Differential fuzz: random append/DV/MOR sequences on a v3 table
+    — the CDC STREAM's change rows must equal changelog_df's over the
+    same range (no CoW in the mix, so no carryover-netting divergence),
+    and the batch DataSource face must equal the stream."""
+    from icegopher_spark.iceberg.changelog import changelog_df
+    from icegopher_spark.streaming.iceberg_cdc_source import (
+        IcebergCdcStreamSource,
+        IcebergChangesDataSource,
+    )
+
+    rng = random.Random(seed)
+
+    def df_of(rows):
+        return spark.createDataFrame(rows, "k long, tag string").coalesce(1)
+
+    loc = str(tmp_path / f"cdcfuzz_{seed}")
+    t = W.create_table(loc, SCHEMA, format_version=3)
+    next_k = 0
+    have_rows = False
+    for _ in range(6):
+        op = rng.choice(["append", "dv", "mor"])
+        if op == "append" or not have_rows:
+            rows = [(next_k + i, rng.choice("abc")) for i in range(rng.randint(4, 15))]
+            next_k += len(rows)
+            t = W.append(t, df_of(rows))
+            have_rows = True
+        elif op == "dv":
+            lo = rng.randint(0, next_k)
+            t = W.delete_where_dv(
+                t, spark, E.greater_than_or_equal("k", lo) & E.less_than("k", lo + 6)
+            )
+        else:
+            t = W.delete_where_mor(t, spark, E.equal_to("tag", rng.choice("abc")))
+
+    spark.dataSource.register(IcebergCdcStreamSource)
+    spark.dataSource.register(IcebergChangesDataSource)
+    out = str(tmp_path / "out")
+    q = (
+        spark.readStream.format("icegopher_cdc")
+        .option("location", loc)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    key = lambda r: (r["_change_type"], r["k"], r["tag"], r["_commit_snapshot_id"])
+    stream_rows = sorted(map(key, spark.read.parquet(out).collect()))
+
+    root = t.metadata.snapshots[0].snapshot_id
+    batch = changelog_df(t, spark, root, None)
+    want = sorted(map(key, batch.collect()))
+    # the stream additionally emits the ROOT snapshot's inserts, which
+    # changelog_df(from=root) excludes (exclusive from)
+    root_ins = sorted(
+        ("insert", r["k"], r["tag"], root)
+        for r in t.scan(snapshot_id=root).to_df(spark).collect()
+    )
+    assert stream_rows == sorted(want + root_ins), f"seed={seed} stream vs changelog"
+
+    ds_rows = sorted(
+        map(
+            key,
+            spark.read.format("icegopher_changes").option("location", loc).load().collect(),
+        )
+    )
+    assert ds_rows == stream_rows, f"seed={seed} batch face vs stream"
