@@ -1175,3 +1175,38 @@ def test_oov_stats(spark):
     # corpus counts: the=4, rarely=1, zzz=1 -> top-2 = {the, rarely} (tie by word asc)
     assert out[1]["n_tokens"] == 4 and out[1]["n_oov"] == 0
     assert out[2]["n_tokens"] == 2 and out[2]["n_oov"] == 1  # zzz OOV
+
+
+def test_minhash_density_fallback_after_index_compaction(spark, tmp_path):
+    """A non-append commit (compaction) on the index breaks the
+    incremental roll-forward chain: the density must rebuild via the
+    full-aggregation fallback, stay exact, and probes stay green."""
+    import os
+
+    from icegopher_spark.iceberg.maintenance import compact_data_files
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    loc = str(tmp_path / "idx")
+    t = dedup.minhash_index_write(spark, docs.filter(F.col("doc_id") % 2 == 0), loc)
+    t = dedup.minhash_index_write(spark, docs.filter(F.col("doc_id") % 2 == 1), loc)
+    t = compact_data_files(t, spark, target_file_size=64 * 1024 * 1024)
+    assert t.current_snapshot().summary["operation"] == "replace"
+    snap = t.current_snapshot().snapshot_id
+    assert not os.path.exists(f"{loc}/_cache/density-{snap}.parquet")
+
+    got = {
+        (r["band"], r["key"]): r["df"]
+        for r in dedup.minhash_index_density(spark, t).collect()
+    }
+    want = {
+        (r["band"], r["key"]): r["df"]
+        for r in t.scan().to_df(spark)
+        .groupBy("band", "key")
+        .agg(F.count_distinct("id").alias("df"))
+        .collect()
+    }
+    assert got == want
+    assert os.path.exists(f"{loc}/_cache/density-{snap}.parquet")
+    # probe over the compacted index still returns pairs
+    pairs = dedup.minhash_dedup_from_index(spark, t, docs, threshold=0.5)
+    assert pairs.count() > 0
