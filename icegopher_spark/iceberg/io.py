@@ -28,6 +28,8 @@ class FileIO(Protocol):
     def write(self, path: str, data: bytes) -> None: ...
     def remove(self, path: str) -> None: ...
     def exists(self, path: str) -> bool: ...
+    def list_dir(self, path: str) -> list[str]: ...
+    def remove_dir(self, path: str) -> None: ...
 
 
 def strip_scheme(path: str) -> str:
@@ -66,6 +68,18 @@ class LocalFileIO:
 
     def exists(self, path: str) -> bool:
         return os.path.exists(strip_scheme(path))
+
+    def list_dir(self, path: str) -> list[str]:
+        """Child basenames; [] for a missing directory."""
+        try:
+            return os.listdir(strip_scheme(path))
+        except OSError:
+            return []
+
+    def remove_dir(self, path: str) -> None:
+        import shutil
+
+        shutil.rmtree(strip_scheme(path), ignore_errors=True)
 
 
 class S3FileIO:
@@ -110,6 +124,18 @@ class S3FileIO:
 
     def exists(self, path: str) -> bool:
         return self.fs.exists(path)
+
+    def list_dir(self, path: str) -> list[str]:
+        try:
+            return [p.rstrip("/").rsplit("/", 1)[-1] for p in self.fs.ls(path)]
+        except FileNotFoundError:
+            return []
+
+    def remove_dir(self, path: str) -> None:
+        try:
+            self.fs.rm(path, recursive=True)
+        except FileNotFoundError:
+            pass
 
 
 def load_io(location: str, properties: dict[str, str] | None = None) -> FileIO:

@@ -1633,6 +1633,54 @@ def _eqmigrated_table_for(spark: SparkSession, sf_dir: str) -> Table:
     return _cached_table(sf_dir, "lineitem_eq_migrated", valid, build)
 
 
+def _eqstream_table_for(spark: SparkSession, sf_dir: str) -> Table:
+    """The migrate-then-stream composition (r7 verdict #2): a v3
+    lineitem table whose MAIN lineage still carries a poison
+    equality-delete snapshot, followed by the sanctioned
+    ``rewrite_equality_deletes`` migration, followed by TWO
+    post-migration commits a CDC stream anchored past the migration
+    must emit — a DV delete of flag='R' (replacement supersets over
+    the migration's DVs: the delta is flag='R' rows not already
+    eq-deleted-and-not-reinserted) and an append of quantity<5 rows.
+    Six snapshots pin the complete build."""
+
+    def build(loc: str) -> Table:
+        from .iceberg.maintenance import rewrite_equality_deletes
+
+        li = _li4(spark, sf_dir)
+        t = W.create_table(loc, _SCHEMA, _SPEC, format_version=3)
+        t = W.append(t, li)
+        keys = (
+            li.filter(F.col("l_orderkey") % 10 == 4)
+            .select("l_orderkey")
+            .distinct()
+        )
+        t = W.delete_keys(t, spark, keys, ["l_orderkey"])
+        t = W.append(t, li.filter(F.col("l_orderkey") % 10 == 4))
+        t = rewrite_equality_deletes(t, spark)
+        t = W.delete_where_dv(t, spark, E.equal_to("l_returnflag", "R"))
+        return W.append(t, li.filter(F.col("l_quantity") < 5))
+
+    def valid(t: Table) -> bool:
+        snaps = t.metadata.snapshots
+        return len(snaps) == 6 and any(
+            (s.summary or {}).get("rewrite") == "equality-deletes->dv"
+            for s in snaps
+        )
+
+    return _cached_table(sf_dir, "lineitem_eq_stream", valid, build)
+
+
+def eq_migration_snapshot_id(t: Table) -> int:
+    """The snapshot committed by rewrite_equality_deletes — the CDC
+    bootstrap anchor for a migrated table."""
+    return next(
+        s.snapshot_id
+        for s in t.metadata.snapshots
+        if (s.summary or {}).get("rewrite") == "equality-deletes->dv"
+    )
+
+
 # --- batch CDC DataSource face --------------------------------------------
 
 ice_changes_ds_oracle = """

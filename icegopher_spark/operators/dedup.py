@@ -454,29 +454,32 @@ def minhash_index_density(spark, table) -> DataFrame | None:
         # another principal's bucket) degrades to computing the density
         # per call instead of failing the probe (r7 review). A FAILED
         # write may have left a partial directory that io.exists would
-        # later trust — remove it so the next call recomputes instead
-        # of reading garbage (r7 review 2)
-        import shutil as _shutil
-
-        _shutil.rmtree(cur_path, ignore_errors=True)
+        # later trust — remove it THROUGH THE TABLE'S IO (r7 advice: a
+        # raw shutil.rmtree silently no-ops on scheme-prefixed /
+        # object-store locations, leaving partial stats that a later
+        # exists() hit would read) so the next call recomputes
+        try:
+            io.remove_dir(cur_path)
+        except Exception:  # noqa: BLE001 — best-effort on foreign stores
+            pass
         return density
     # retire stale caches, KEEPING current + parent: a concurrent
     # probe holding the pre-ingest table handle may still lazily
     # reference the parent snapshot's cache (r7 review — deleting it
-    # mid-plan failed that probe's distributed-fallback read)
-    import os as _os
-    import shutil as _shutil
-
+    # mid-plan failed that probe's distributed-fallback read). Listing
+    # and deletion go through the table's io so retirement also works
+    # on object-store locations (stale caches there are cheap but not
+    # free at 100 TB ingest rates).
     cache_dir = f"{table.location}/_cache"
-    keep = {_os.path.basename(cur_path)}
+    keep = {cur_path.rsplit("/", 1)[-1]}
     if snap.parent_snapshot_id is not None:
         keep.add(f"density-{snap.parent_snapshot_id}.parquet")
     try:
-        for fn in _os.listdir(cache_dir):
+        for fn in io.list_dir(cache_dir):
             if fn.startswith("density-") and fn not in keep:
-                _shutil.rmtree(_os.path.join(cache_dir, fn), ignore_errors=True)
-    except OSError:
-        pass  # remote/object-store locations: stale caches are cheap
+                io.remove_dir(f"{cache_dir}/{fn}")
+    except Exception:  # noqa: BLE001 — listing is best-effort
+        pass
     return spark.read.parquet(cur_path)
 
 
@@ -669,6 +672,11 @@ def minhash_dedup_from_index(
     return exact_jaccard_verify(sh, cands, threshold)
 
 
+# One-slot registry of the previous incremental probe's persisted band
+# entries; see minhash_dedup_incremental for the unpersist contract.
+_INC_PROBE_CACHE: list = []
+
+
 def minhash_dedup_incremental(
     spark,
     table,
@@ -703,9 +711,17 @@ def minhash_dedup_incremental(
         # the batch's entries feed BOTH the density merge and the probe
         # join; without a persist the signature computation (the
         # expensive xxhash fold over shingles) runs twice. Narrow
-        # (band, key, id) rows, batch-sized; the ContextCleaner frees
-        # the cache when the result DataFrame is collected and dropped.
+        # (band, key, id) rows, batch-sized. The returned DataFrame's
+        # lineage keeps this cache referenced, so a long-lived session
+        # issuing many probes would accumulate cached blocks (r7
+        # advice); the one-slot registry below unpersists the PREVIOUS
+        # probe's cache on each new call — correctness-safe (worst
+        # case the previous, not-yet-collected result recomputes its
+        # signatures), bounding residency to one batch.
         new_e = new_e.persist()
+        while _INC_PROBE_CACHE:
+            _INC_PROBE_CACHE.pop().unpersist()
+        _INC_PROBE_CACHE.append(new_e)
     stored = table.scan().to_df(spark).select("band", "key", "id")
     all_e = stored.unionByName(new_e)
     # density cap over the UNION (global frequency); capping the build

@@ -253,7 +253,7 @@ def bpe_merges(
     n_merges: int = 6,
     text_col: str = "text",
     min_count: int = 2,
-    max_vocab: int | None = 5_000_000,
+    max_vocab: int | None = 1_000_000,
 ) -> DataFrame:
     """First ``n_merges`` byte-pair-encoding merge rules over the
     whitespace-tokenized, lowercased corpus (the vocabulary-induction
@@ -269,11 +269,13 @@ def bpe_merges(
     vocabulary, whose size is EXPLICITLY bounded before collect:
     ``min_count`` (default 2) drops hapax tokens executor-side —
     sub-floor merges are tokenizer noise — and ``max_vocab`` (default
-    5M) caps the driver materialization at top-K by (cnt DESC, word)
+    1M) caps the driver materialization at top-K by (cnt DESC, word)
     even for adversarially heavy-tailed corpora, so the driver holds
-    at most ~max_vocab narrow rows (~hundreds of MB at the default)
-    regardless of corpus size. Pass ``min_count=1, max_vocab=None``
-    to reproduce unbounded classic BPE on small corpora.
+    at most ~max_vocab narrow rows (~tens of MB at the default; BPE
+    merge selection only ever needs the head of the frequency
+    distribution, so 1M words is ample for 30k+ merges). Pass
+    ``min_count=1, max_vocab=None`` to reproduce unbounded classic
+    BPE on small corpora.
     Pair counts are maintained incrementally through a pair→words
     inverted index, so each merge touches only the words containing
     the merged pair. Total Spark jobs: O(1) regardless of n_merges
@@ -473,11 +475,106 @@ def repetition_filter(
     A unit's "duplicates" are its occurrences beyond the first, so the
     counts reduce to array_distinct deltas — pure array expressions,
     one map pass, no shuffle, no UDF. Empty docs keep (0 <= 0).
+
+    DEVIATION from the paper: Gopher/MassiveText's char-fraction rules
+    count the characters of EVERY occurrence of a duplicated unit
+    (first occurrence included); this implementation counts only the
+    occurrences beyond the first (chars - distinct_chars), so it is
+    strictly more permissive on the char-fraction rules. The oracle
+    matches this definition; use ``repetition_filter_strict`` for the
+    paper-exact counts.
     Complements ``repetition_stats`` (within-doc n-gram repetition)
     and ``gopher_rules`` (the paper's non-repetition rules)."""
     t = F.col(text_col)
     ln, ln_dup, lchars, lchars_dup = _dup_counts(F.split(t, "\n"))
     pn, pn_dup, pchars, pchars_dup = _dup_counts(F.split(t, "\n\n"))
+    out = df.select(
+        F.col(id_col),
+        ln.alias("n_lines"),
+        ln_dup.alias("n_dup_lines"),
+        lchars.alias("line_chars"),
+        lchars_dup.alias("dup_line_chars"),
+        pn.alias("n_paras"),
+        pn_dup.alias("n_dup_paras"),
+        pchars.alias("para_chars"),
+        pchars_dup.alias("dup_para_chars"),
+    )
+    keep = (
+        (10 * F.col("n_dup_lines") <= 3 * F.col("n_lines"))
+        & (5 * F.col("dup_line_chars") <= F.col("line_chars"))
+        & (10 * F.col("n_dup_paras") <= 3 * F.col("n_paras"))
+        & (5 * F.col("dup_para_chars") <= F.col("para_chars"))
+    )
+    return out.withColumn("keep", keep)
+
+
+def _dup_counts_strict(parts: Column) -> tuple[Column, Column, Column, Column]:
+    """(n, n_dup, chars, dup_chars) where a "duplicated" unit is one
+    appearing more than once and dup counts include EVERY occurrence
+    (the paper-exact MassiveText definition, vs ``_dup_counts``'s
+    beyond-the-first). Still one map pass, no shuffle: sort the array,
+    then a single F.aggregate fold counts runs — a run of length r > 1
+    contributes r to n_dup and r*len to dup_chars."""
+    ne = F.filter(parts, lambda p: p != F.lit(""))
+    srt = F.array_sort(ne)
+    zero = F.lit(0).cast("bigint")
+    start = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        zero.alias("run"),
+        zero.alias("dup_n"),
+        zero.alias("dup_chars"),
+    )
+
+    def merge(acc: Column, p: Column) -> Column:
+        same = acc["prev"].eqNullSafe(p)
+        ended_dup = (~same) & (acc["run"] > 1)
+        return F.struct(
+            p.alias("prev"),
+            F.when(same, acc["run"] + 1)
+            .otherwise(F.lit(1).cast("bigint"))
+            .alias("run"),
+            F.when(ended_dup, acc["dup_n"] + acc["run"])
+            .otherwise(acc["dup_n"])
+            .alias("dup_n"),
+            F.when(
+                ended_dup,
+                acc["dup_chars"] + acc["run"] * F.length(acc["prev"]),
+            )
+            .otherwise(acc["dup_chars"])
+            .alias("dup_chars"),
+        )
+
+    def finish(acc: Column) -> Column:
+        last_dup = acc["run"] > 1
+        return F.struct(
+            F.when(last_dup, acc["dup_n"] + acc["run"])
+            .otherwise(acc["dup_n"])
+            .alias("dup_n"),
+            F.when(
+                last_dup,
+                acc["dup_chars"] + acc["run"] * F.length(acc["prev"]),
+            )
+            .otherwise(acc["dup_chars"])
+            .alias("dup_chars"),
+        )
+
+    agg = F.aggregate(srt, start, merge, finish)
+    chars = F.aggregate(ne, zero, lambda a, p: a + F.length(p))
+    n = F.size(ne).cast("bigint")
+    return n, agg["dup_n"], chars, agg["dup_chars"]
+
+
+def repetition_filter_strict(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Paper-exact MassiveText repetition rules: identical thresholds to
+    ``repetition_filter`` but a duplicated unit's count/chars include
+    ALL its occurrences (Gopher table A1's definition), so this filter
+    is strictly more aggressive. Same 100 TB posture: one map pass of
+    array expressions per document, no shuffle, no UDF."""
+    t = F.col(text_col)
+    ln, ln_dup, lchars, lchars_dup = _dup_counts_strict(F.split(t, "\n"))
+    pn, pn_dup, pchars, pchars_dup = _dup_counts_strict(F.split(t, "\n\n"))
     out = df.select(
         F.col(id_col),
         ln.alias("n_lines"),

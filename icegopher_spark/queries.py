@@ -789,7 +789,7 @@ WITH toks AS (
 SELECT id_a, id_b,
        ROUND(n_common / CAST(n_a + n_b - n_common AS DOUBLE), 6) AS jaccard
 FROM pairs
-WHERE n_common / CAST(n_a + n_b - n_common AS DOUBLE) >= 0.5
+WHERE ROUND(n_common / CAST(n_a + n_b - n_common AS DOUBLE), 6) >= 0.5
 """
 
 
@@ -848,7 +848,7 @@ WITH toks AS (
   GROUP BY 1, 2
 ), pairs AS (
   SELECT id_a, id_b FROM pr
-  WHERE n_common / CAST(n_a + n_b - n_common AS DOUBLE) >= 0.5
+  WHERE ROUND(n_common / CAST(n_a + n_b - n_common AS DOUBLE), 6) >= 0.5
 ), sym AS (
   SELECT id_a AS id, id_b AS nb FROM pairs
   UNION ALL
@@ -2164,7 +2164,7 @@ WITH toks AS (
 SELECT id_a, id_b,
        ROUND(n_common / CAST(n_a + n_b - n_common AS DOUBLE), 6) AS jaccard
 FROM pairs
-WHERE n_common / CAST(n_a + n_b - n_common AS DOUBLE) >= 0.5
+WHERE ROUND(n_common / CAST(n_a + n_b - n_common AS DOUBLE), 6) >= 0.5
   AND (id_a % 3 = 0 OR id_b % 3 = 0)
 """
 
@@ -2401,6 +2401,67 @@ def repetition_filter_q(spark: SparkSession, sf: str) -> DataFrame:
     return T.repetition_filter(docs)
 
 
+repetition_strict_oracle = """
+WITH lu AS (
+  SELECT doc_id, u.unit AS unit
+  FROM documents, UNNEST(list_filter(string_split(text, chr(10)), p -> p <> '')) AS u(unit)
+), lc AS (
+  SELECT doc_id, unit, COUNT(*) AS cnt, length(unit) AS ln FROM lu GROUP BY doc_id, unit
+), ls AS (
+  SELECT doc_id,
+    CAST(SUM(cnt) AS BIGINT) AS n_lines,
+    CAST(COALESCE(SUM(cnt) FILTER (WHERE cnt > 1), 0) AS BIGINT) AS n_dup_lines,
+    CAST(SUM(cnt * ln) AS BIGINT) AS line_chars,
+    CAST(COALESCE(SUM(cnt * ln) FILTER (WHERE cnt > 1), 0) AS BIGINT) AS dup_line_chars
+  FROM lc GROUP BY doc_id
+), pu AS (
+  SELECT doc_id, u.unit AS unit
+  FROM documents, UNNEST(list_filter(string_split(text, chr(10) || chr(10)), p -> p <> '')) AS u(unit)
+), pc AS (
+  SELECT doc_id, unit, COUNT(*) AS cnt, length(unit) AS ln FROM pu GROUP BY doc_id, unit
+), ps AS (
+  SELECT doc_id,
+    CAST(SUM(cnt) AS BIGINT) AS n_paras,
+    CAST(COALESCE(SUM(cnt) FILTER (WHERE cnt > 1), 0) AS BIGINT) AS n_dup_paras,
+    CAST(SUM(cnt * ln) AS BIGINT) AS para_chars,
+    CAST(COALESCE(SUM(cnt * ln) FILTER (WHERE cnt > 1), 0) AS BIGINT) AS dup_para_chars
+  FROM pc GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(ls.n_lines, 0) AS n_lines,
+       COALESCE(ls.n_dup_lines, 0) AS n_dup_lines,
+       COALESCE(ls.line_chars, 0) AS line_chars,
+       COALESCE(ls.dup_line_chars, 0) AS dup_line_chars,
+       COALESCE(ps.n_paras, 0) AS n_paras,
+       COALESCE(ps.n_dup_paras, 0) AS n_dup_paras,
+       COALESCE(ps.para_chars, 0) AS para_chars,
+       COALESCE(ps.dup_para_chars, 0) AS dup_para_chars,
+       (10 * COALESCE(ls.n_dup_lines, 0) <= 3 * COALESCE(ls.n_lines, 0)
+        AND 5 * COALESCE(ls.dup_line_chars, 0) <= COALESCE(ls.line_chars, 0)
+        AND 10 * COALESCE(ps.n_dup_paras, 0) <= 3 * COALESCE(ps.n_paras, 0)
+        AND 5 * COALESCE(ps.dup_para_chars, 0) <= COALESCE(ps.para_chars, 0)) AS keep
+FROM documents d
+LEFT JOIN ls ON d.doc_id = ls.doc_id
+LEFT JOIN ps ON d.doc_id = ps.doc_id
+"""
+
+
+@register(
+    "text_repetition_strict",
+    repetition_strict_oracle,
+    "Paper-exact MassiveText repetition filter (all-occurrence dup counts)",
+)
+def repetition_strict_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Paper-exact variant of the repetition rules: duplicated-unit
+    counts and chars include every occurrence (the Gopher table A1
+    definition), computed as a sorted-array run-length fold — still one
+    map pass, no shuffle (operators/text.py:repetition_filter_strict)."""
+    from .operators import text as T
+
+    docs = load(spark, sf, "documents")
+    return T.repetition_filter_strict(docs)
+
+
 top_ngram_oracle = """
 WITH toks AS (
   SELECT doc_id,
@@ -2531,7 +2592,7 @@ WITH toks AS (
   SELECT least(sa, sb) AS src_a, greatest(sa, sb) AS src_b,
          ROUND(n_common / CAST(n_a + n_b - n_common AS DOUBLE), 6) AS jaccard
   FROM p
-  WHERE n_common / CAST(n_a + n_b - n_common AS DOUBLE) >= 0.5
+  WHERE ROUND(n_common / CAST(n_a + n_b - n_common AS DOUBLE), 6) >= 0.5
 )
 SELECT src_a, src_b, COUNT(*) AS n_pairs,
        MIN(jaccard) AS min_jaccard, MAX(jaccard) AS max_jaccard

@@ -63,6 +63,14 @@ class _AppendStreamReader(DataSourceStreamReader):
         # (mirrors streaming-skip-overwrite/delete-snapshots).
         self.skip_overwrite = options.get("skip-overwrite-snapshots", "false").lower() == "true"
         self.skip_delete = options.get("skip-delete-snapshots", "false").lower() == "true"
+        # anchor a FRESH checkpoint after a specific snapshot (exclusive)
+        # instead of replaying the full history — the CDC bootstrap
+        # pattern (batch-read table state at the anchor, stream changes
+        # after it) and the sanctioned way past poison history such as
+        # pre-migration equality-delete snapshots (mirrors upstream
+        # Iceberg's stream-from-timestamp). An anchor not on the main
+        # lineage fails loudly at the first batch (_anchor).
+        self.start_after = int(options.get("starting-snapshot-id", "0"))
         self._last_served: dict | None = None
 
     def _table(self):
@@ -71,7 +79,9 @@ class _AppendStreamReader(DataSourceStreamReader):
         return Table.from_location(self.location)
 
     def initialOffset(self) -> dict:
-        return {"idx": 0, "last_id": 0}
+        # idx is advisory; _anchor re-resolves by snapshot ID so the
+        # offset stays correct across expire_snapshots
+        return {"idx": 0, "last_id": self.start_after}
 
     @staticmethod
     def _main_lineage(md) -> list:

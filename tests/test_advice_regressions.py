@@ -276,3 +276,49 @@ def test_fixture_commit_timestamps_distinct(spark, tmp_path, monkeypatch):
     s1, s2 = t.metadata.snapshots
     assert s1.timestamp_ms < s2.timestamp_ms
     assert t.metadata.snapshot_as_of(s1.timestamp_ms).snapshot_id == s1.snapshot_id
+
+
+def test_fileio_dir_ops_local(tmp_path):
+    """r7 advice #1: density-cache cleanup must route through the
+    table's io abstraction. LocalFileIO grows list_dir/remove_dir with
+    missing-path tolerance (the cleanup is best-effort by contract)."""
+    from icegopher_spark.iceberg.io import LocalFileIO
+
+    io = LocalFileIO()
+    d = tmp_path / "cache" / "density-1.parquet"
+    d.mkdir(parents=True)
+    (d / "part-0.parquet").write_bytes(b"x")
+    assert io.list_dir(str(tmp_path / "cache")) == ["density-1.parquet"]
+    # scheme-prefixed local path resolves too
+    assert io.list_dir(f"file://{tmp_path}/cache") == ["density-1.parquet"]
+    io.remove_dir(str(d))
+    assert not d.exists()
+    # missing paths: empty listing, silent remove
+    assert io.list_dir(str(tmp_path / "nope")) == []
+    io.remove_dir(str(tmp_path / "nope"))
+
+
+def test_incremental_probe_unpersists_previous(spark, tmp_path):
+    """r7 advice #3: repeated incremental probes must not accumulate
+    cached blocks — each call unpersists the previous call's persisted
+    band entries (one-slot registry)."""
+    from icegopher_spark.operators import dedup as D
+
+    loc = str(tmp_path / "idx")
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon"), (2, "alpha beta gamma delta zeta")],
+        "doc_id long, text string",
+    )
+    table = D.minhash_index_write(spark, corpus.filter("doc_id = 1"), loc)
+    new = corpus.filter("doc_id = 2")
+    D._INC_PROBE_CACHE.clear()
+    r1 = D.minhash_dedup_incremental(spark, table, new, corpus)
+    assert len(D._INC_PROBE_CACHE) == 1
+    first = D._INC_PROBE_CACHE[0]
+    assert first.storageLevel.useMemory
+    r2 = D.minhash_dedup_incremental(spark, table, new, corpus)
+    # previous probe's cache was released; current one took its slot
+    assert not first.storageLevel.useMemory
+    assert len(D._INC_PROBE_CACHE) == 1 and D._INC_PROBE_CACHE[0] is not first
+    # unpersist is correctness-safe: the earlier result still computes
+    assert r1.count() == r2.count()

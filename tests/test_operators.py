@@ -940,6 +940,11 @@ def test_bpe_vocab_collect_is_bounded(spark):
     # top-K is by (cnt DESC, word): the hot core always survives the cap
     kept = {r["w"] for r in capped.collect()}
     assert {"the", "quick", "fox"} <= kept
+    # pin the default cap (r7 verdict #5: 5M was ~hundreds of MB of
+    # driver heap; 1M is ample for BPE merge selection)
+    import inspect
+
+    assert inspect.signature(text.bpe_merges).parameters["max_vocab"].default == 1_000_000
 
 
 def test_bpe_merges_min_count_floor(spark):
@@ -1057,6 +1062,35 @@ def test_repetition_filter_verdicts(spark):
     # para spam: 5 identical paragraphs -> 4 dup of 6 units... still >30%
     assert out[3]["keep"] is False and out[3]["n_dup_paras"] == 4
     assert out[4]["keep"] is True  # empty doc: vacuous pass (0 <= 0)
+
+
+def test_repetition_filter_strict_all_occurrences(spark):
+    """The strict variant counts EVERY occurrence of a duplicated unit
+    (Gopher table A1's definition) — strictly >= the permissive
+    beyond-the-first counts, diverging exactly when any unit repeats."""
+    spam = "\n".join(["buy cheap pills now"] * 8 + ["one real line"])
+    # borderline: 3 of 10 lines are one duplicated pair + 8 distinct.
+    # permissive: dup=1 of 9 -> keep; strict: dup=2 of 9 -> keep still
+    # (10*2 <= 27) but char rule flips when the dup line is long enough
+    long_dup = "x" * 50
+    borderline = "\n".join([long_dup, long_dup] + [f"s{i}" for i in range(7)])
+    rows = [(1, spam), (2, borderline), (3, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    strict = {r["doc_id"]: r for r in text.repetition_filter_strict(df).collect()}
+    loose = {r["doc_id"]: r for r in text.repetition_filter(df).collect()}
+    # all 8 spam occurrences count, not 7
+    assert strict[1]["n_dup_lines"] == 8 and loose[1]["n_dup_lines"] == 7
+    assert strict[1]["keep"] is False
+    # borderline: line-count rule passes both ways; char rule diverges
+    # (strict dup chars 100 of 114 > 20%; loose 50 of 114 > 20% too)
+    assert strict[2]["n_dup_lines"] == 2 and loose[2]["n_dup_lines"] == 1
+    assert strict[2]["dup_line_chars"] == 100 and loose[2]["dup_line_chars"] == 50
+    # empty doc: vacuous pass in both
+    assert strict[3]["keep"] is True and strict[3]["n_lines"] == 0
+    # strict is never more permissive than loose on the same corpus
+    for k in strict:
+        assert strict[k]["n_dup_lines"] >= loose[k]["n_dup_lines"]
+        assert strict[k]["dup_line_chars"] >= loose[k]["dup_line_chars"]
 
 
 def test_top_ngram_stats_verdicts(spark):

@@ -651,3 +651,96 @@ def test_changes_batch_datasource_matches_stream(spark, tmp_path):
             .load()
             .collect()
         )
+
+
+def test_cdc_stream_anchored_past_eq_migration(spark, tmp_path):
+    """The migrate-then-stream composition (r7 verdict #2): with the
+    poison equality-delete snapshot still on the lineage, (a) an
+    unanchored fresh checkpoint refuses at history replay, (b) option
+    starting-snapshot-id anchored at the migration commit streams the
+    post-migration changes exactly (== the batch changelog over the
+    same range; the replacement DV's delta subtracts the MIGRATION's
+    DVs as prior state), (c) skip-equality-snapshots replays the full
+    history minus the key deletes (the documented exactness trade)."""
+    from icegopher_spark.iceberg import expressions as E
+    from icegopher_spark.iceberg import maintenance as M
+    from icegopher_spark.iceberg import write as W
+    from icegopher_spark.iceberg.changelog import changelog_df
+    from icegopher_spark.iceberg.schema import Schema
+    from icegopher_spark.iceberg.types import LongType, NestedField, StringType
+    from icegopher_spark.streaming.iceberg_cdc_source import IcebergCdcStreamSource
+    from pyspark.sql.utils import StreamingQueryException
+
+    sch = Schema(
+        (NestedField(1, "k", LongType(), True), NestedField(2, "tag", StringType(), False)),
+        schema_id=0,
+    )
+    loc = str(tmp_path / "eqmig")
+    rows = [(i, "ab"[i % 2]) for i in range(20)]
+    t = W.create_table(loc, sch, format_version=3)
+    t = W.append(t, spark.createDataFrame(rows, "k long, tag string").coalesce(1))
+    t = W.delete_keys(t, spark, spark.range(0, 4).selectExpr("id AS k"), ["k"])
+    t = M.rewrite_equality_deletes(t, spark)
+    mig_id = t.current_snapshot().snapshot_id
+    # post-migration: a replacement DV (delta vs the migration's DVs)
+    # and a plain append
+    t = W.delete_where_dv(t, spark, E.equal_to("tag", "b"))
+    t = W.append(t, spark.createDataFrame([(100, "c")], "k long, tag string"))
+
+    spark.dataSource.register(IcebergCdcStreamSource)
+
+    def run(ck_name, out_name, **opts):
+        r = spark.readStream.format("icegopher_cdc").option("location", loc)
+        for k, v in opts.items():
+            r = r.option(k, v)
+        q = (
+            r.load()
+            .writeStream.format("parquet")
+            .option("path", str(tmp_path / out_name))
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / ck_name))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return sorted(
+            (r["_change_type"], r["k"], r["tag"])
+            for r in spark.read.parquet(str(tmp_path / out_name)).collect()
+        )
+
+    # (a) unanchored fresh checkpoint replays into the poison snapshot
+    with pytest.raises(StreamingQueryException, match="equality-delete"):
+        run("ck_poison", "out_poison")
+
+    # (b) anchored at the migration: post-migration changes only.
+    # live at anchor = k in 4..19; DV delete removes tag='b' (odd k)
+    # among them; append adds (100,'c')
+    got = run("ck_anchor", "out_anchor", **{"starting-snapshot-id": str(mig_id)})
+    want = sorted(
+        [("delete", k, tag) for k, tag in rows if k >= 4 and tag == "b"]
+        + [("insert", 100, "c")]
+    )
+    assert got == want
+    # and equals the batch changelog over the same snapshot range
+    batch = sorted(
+        (r["_change_type"], r["k"], r["tag"])
+        for r in changelog_df(t, spark, mig_id, None).collect()
+    )
+    assert got == batch
+
+    # (c) skip-equality-snapshots: full replay minus the key deletes —
+    # every original insert emits, eq-deleted keys 0..3 never emit a
+    # delete, later DV/append changes still do
+    got_skip = run(
+        "ck_skip", "out_skip", **{"skip-equality-snapshots": "true"}
+    )
+    want_skip = sorted(
+        [("insert", k, tag) for k, tag in rows]
+        + [("insert", 100, "c")]
+        + [("delete", k, tag) for k, tag in rows if k >= 4 and tag == "b"]
+    )
+    assert got_skip == want_skip
+
+    # a bogus anchor fails loudly instead of silently replaying root
+    with pytest.raises(StreamingQueryException, match="no longer"):
+        run("ck_bogus", "out_bogus", **{"starting-snapshot-id": "12345"})
