@@ -116,6 +116,18 @@ class UnknownType(PrimitiveType):
     name = "unknown"
 
 
+class VariantType(PrimitiveType):
+    """V3: semi-structured value (binary-encoded metadata + value).
+    Spark 4 has a native VariantType with the same parquet physical
+    layout (struct<metadata: binary, value: binary>), so the read and
+    write surfaces pass through natively; extract with
+    ``variant_get``/``to_json``. Variant columns carry NO column stats
+    or bounds (unprunable, like the spec says for unshredded variant)
+    and cannot be partition-transform or single-value-serde inputs."""
+
+    name = "variant"
+
+
 class StringType(PrimitiveType):
     name = "string"
 
@@ -167,6 +179,7 @@ PRIMITIVE_TYPES: dict[str, PrimitiveType] = {
         TimestampNsType,
         TimestampTzNsType,
         UnknownType,
+        VariantType,
         StringType,
         UUIDType,
         BinaryType,
@@ -184,15 +197,16 @@ class UnsupportedTypeError(ValueError):
         self.type_name = type_name
         super().__init__(
             f"Iceberg V3 type {type_name!r} is not supported by this "
-            "engine (recognized but unimplemented: variant/geometry/"
-            "geography); read this table with an engine that implements "
-            "it, or drop the column first"
+            "engine (recognized but unimplemented: geometry/geography); "
+            "read this table with an engine that implements it, or drop "
+            "the column first"
         )
 
 
-# V3 types we can NAME but not represent: `variant` plus parameterized
+# V3 types we can NAME but not represent: parameterized
 # `geometry(<crs>)` / `geography(<crs>, <algorithm>)` (bare forms too).
-_UNSUPPORTED_V3_RE = re.compile(r"^(variant|geometry|geography)\s*(\(.*\))?$")
+# `variant` graduated to a real type in r8 (VariantType above).
+_UNSUPPORTED_V3_RE = re.compile(r"^(geometry|geography)\s*(\(.*\))?$")
 
 
 @dataclass(frozen=True)
@@ -382,6 +396,7 @@ _PRIM_TO_SPARK: dict[str, T.DataType] = {
     "timestamp_ns": T.TimestampNTZType(),
     "timestamptz_ns": T.TimestampType(),
     "unknown": T.NullType(),  # V3: always-null column
+    "variant": T.VariantType(),  # V3: Spark-native since 4.0
     "string": T.StringType(),
     "uuid": T.StringType(),  # canonical text form
     "binary": T.BinaryType(),
@@ -468,6 +483,7 @@ def from_spark_type(dt: T.DataType, next_id) -> IcebergType:
         T.TimestampType(): TimestampTzType(),
         T.StringType(): StringType(),
         T.BinaryType(): BinaryType(),
+        T.VariantType(): VariantType(),
     }
     if dt in rev:
         return rev[dt]

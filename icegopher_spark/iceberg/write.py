@@ -225,6 +225,109 @@ def _commit_metadata(io, location: str, md: TableMetadata, expected_version: int
 
 
 # --------------------------------------------------------------------------
+def _footer_num_rows(local_path: str) -> int:
+    """FileMetaData.num_rows (field 3, i64) from a parquet footer by a
+    minimal thrift COMPACT-protocol walk — used only when pyarrow
+    cannot open the footer (unrecognized logical types, e.g. parquet
+    `variant`). A generic wire-type skipper never interprets semantics,
+    so unknown logical types inside the schema elements are skipped
+    byte-exactly."""
+    with open(local_path, "rb") as fh:
+        fh.seek(-8, 2)
+        tail = fh.read(8)
+        if tail[4:] != b"PAR1":
+            raise ValueError(f"{local_path}: not a parquet file")
+        flen = int.from_bytes(tail[:4], "little")
+        fh.seek(-(8 + flen), 2)
+        buf = fh.read(flen)
+
+    pos = 0
+
+    def u8() -> int:
+        nonlocal pos
+        b = buf[pos]
+        pos += 1
+        return b
+
+    def varint() -> int:
+        nonlocal pos
+        out = shift = 0
+        while True:
+            b = buf[pos]
+            pos += 1
+            out |= (b & 0x7F) << shift
+            if not b & 0x80:
+                return out
+            shift += 7
+
+    def zigzag() -> int:
+        v = varint()
+        return (v >> 1) ^ -(v & 1)
+
+    def skip(wtype: int) -> None:
+        nonlocal pos
+        if wtype in (1, 2):  # bool encoded in the container element byte
+            pass
+        elif wtype == 3:  # byte
+            pos += 1
+        elif wtype in (4, 5, 6):  # i16/i32/i64 (zigzag varint)
+            varint()
+        elif wtype == 7:  # double
+            pos += 8
+        elif wtype == 8:  # binary/string
+            # NOT `pos += varint()`: augmented assignment loads pos
+            # BEFORE varint() consumes the length byte, silently
+            # dropping that byte from the walk
+            n = varint()
+            pos += n
+        elif wtype in (9, 10):  # list/set
+            head = u8()
+            size, etype = head >> 4, head & 0x0F
+            if size == 15:
+                size = varint()
+            for _ in range(size):
+                if etype in (1, 2):
+                    pos += 1  # container bools are one byte each
+                else:
+                    skip(etype)
+        elif wtype == 11:  # map
+            size = varint()
+            if size:
+                types = u8()
+                kt, vt = types >> 4, types & 0x0F
+                for _ in range(size):
+                    skip(kt) if kt not in (1, 2) else None
+                    if kt in (1, 2):
+                        pos += 1
+                    skip(vt) if vt not in (1, 2) else None
+                    if vt in (1, 2):
+                        pos += 1
+        elif wtype == 12:  # struct
+            fid = 0
+            while True:
+                head = u8()
+                if head == 0:
+                    return
+                delta, ft = head >> 4, head & 0x0F
+                fid = fid + delta if delta else zigzag()
+                skip(ft)
+        else:
+            raise ValueError(f"unknown thrift compact type {wtype}")
+
+    # top-level FileMetaData struct
+    fid = 0
+    while pos < len(buf):
+        head = u8()
+        if head == 0:
+            break
+        delta, ft = head >> 4, head & 0x0F
+        fid = fid + delta if delta else zigzag()
+        if fid == 3 and ft == 6:  # num_rows: i64
+            return zigzag()
+        skip(ft)
+    raise ValueError(f"{local_path}: footer has no num_rows field")
+
+
 # Stats collection from parquet footers
 # --------------------------------------------------------------------------
 
@@ -353,7 +456,25 @@ def collect_data_file(
         )
     import pyarrow.parquet as pq
 
-    f = pq.ParquetFile(strip_scheme(path))
+    try:
+        f = pq.ParquetFile(strip_scheme(path))
+    except OSError:
+        # pyarrow refuses footers carrying logical types it doesn't know
+        # (today: the parquet `variant` annotation Spark writes for
+        # VariantType columns — "Thrift LogicalType that is not
+        # recognized"). The file is perfectly valid and Spark reads it;
+        # only the stats pass is blind. Fall back to a minimal
+        # thrift-compact parse of the footer for the ONE required
+        # field, record_count — bounds/counts stay absent (unshredded
+        # variant is unprunable anyway; other columns merely lose
+        # pruning on these files).
+        return DataFile(
+            file_path=path,
+            file_format="PARQUET",
+            record_count=_footer_num_rows(strip_scheme(path)),
+            file_size_in_bytes=os.path.getsize(strip_scheme(path)),
+            partition=partition,
+        )
     meta = f.metadata
     name_to_field = {field.name: field for field in schema.fields}
     # Reserved V3 lineage columns (materialized by lineage-preserving
@@ -424,6 +545,15 @@ def collect_data_file(
             name = col.path_in_schema.split(".")[0]
             field = name_to_field.get(name)
             if field is None or not field.field_type.is_primitive:
+                continue
+            from .types import VariantType as _VarT
+
+            if isinstance(field.field_type, _VarT):
+                # variant is logically primitive but physically a
+                # struct<metadata, value> — two parquet chunks per
+                # column, so summing num_values here would double the
+                # value count, and binary sub-chunk min/max are not
+                # variant bounds. Unshredded variant carries no stats.
                 continue
             fid = field.field_id
             column_sizes[fid] = column_sizes.get(fid, 0) + col.total_compressed_size

@@ -1728,3 +1728,79 @@ def iceberg_changes_datasource(spark: SparkSession, sf: str) -> DataFrame:
             F.sum(F.col("l_orderkey") % 1000).cast("bigint").alias("okey_chk"),
         )
     )
+
+
+# --- V3 variant column (round-8) -------------------------------------------
+
+def _variant_table_for(spark: SparkSession, sf_dir: str) -> Table:
+    """v3 documents table with a VARIANT payload column: doc metadata
+    packed as JSON (to_json of a struct — quoting-safe) and parsed into
+    Spark's native VariantType at write time. The parquet files carry
+    the `variant` logical-type annotation, which pyarrow cannot even
+    open — the footer-stats fallback (write.py:_footer_num_rows) keeps
+    the commit path working; Spark reads the files natively."""
+    from .iceberg.types import VariantType
+
+    schema = Schema(
+        (
+            NestedField(1, "doc_id", LongType(), True),
+            NestedField(2, "lang", StringType(), False),
+            NestedField(3, "payload", VariantType(), False),
+        ),
+        schema_id=0,
+    )
+
+    def build(loc: str) -> Table:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id",
+            "lang",
+            F.parse_json(
+                F.to_json(F.struct("source", "n_chars"))
+            ).alias("payload"),
+        )
+        t = W.create_table(loc, schema, format_version=3)
+        return W.append(t, docs)
+
+    return _cached_table(
+        sf_dir, "documents_variant", lambda t: len(t.metadata.snapshots) == 1, build
+    )
+
+
+ice_variant_oracle = """
+SELECT lang, source, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM documents
+GROUP BY lang, source
+"""
+
+
+@register(
+    "iceberg_variant_read",
+    ice_variant_oracle,
+    "V3 variant column: written as Spark-native VariantType, scanned "
+    "back and extracted with variant_get (typed paths) — footer stats "
+    "survive pyarrow's refusal of the variant logical type",
+)
+def iceberg_variant_read(spark: SparkSession, sf: str) -> DataFrame:
+    """Full variant loop: JSON-packed doc metadata written into an
+    Iceberg v3 VariantType column, read back through the scan path,
+    and extracted with typed variant_get paths; the oracle recomputes
+    the same aggregate from the original flat columns. Deselect
+    tolerance (scanning the OTHER columns of a variant table) is
+    pinned in tests/test_types_schema.py (iceberg/types.py:VariantType,
+    write.py:_footer_num_rows)."""
+    t = _variant_table_for(spark, sf)
+    return (
+        t.scan()
+        .to_df(spark)
+        .select(
+            "lang",
+            F.try_variant_get("payload", "$.source", "string").alias("source"),
+            F.try_variant_get("payload", "$.n_chars", "long").alias("n_chars"),
+        )
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        )
+    )

@@ -246,8 +246,9 @@ def test_v3_ns_and_unknown_roundtrip():
 def test_v3_unsupported_types_fail_loudly():
     from icegopher_spark.iceberg.types import UnsupportedTypeError, type_from_json
 
+    # variant graduated to a supported type in r8 (see
+    # test_variant_type_parses_and_maps_to_spark)
     for s in (
-        "variant",
         "geometry",
         "geography",
         "geometry(srid:4326)",
@@ -355,7 +356,8 @@ def test_v3_ns_json_single_value_roundtrip():
 def test_v3_metadata_with_ns_and_unknown_parses():
     """A V3 metadata JSON from another engine using ns timestamps and an
     unknown column loads end-to-end: schema parses, Spark schema maps,
-    and an unsupported `variant` column fails naming the type."""
+    and a `variant` column maps to Spark-native VariantType; geometry
+    still fails naming the type."""
     from icegopher_spark.iceberg.metadata import parse_metadata
     from icegopher_spark.iceberg.types import UnsupportedTypeError
 
@@ -392,9 +394,15 @@ def test_v3_metadata_with_ns_and_unknown_parses():
     assert isinstance(spark_schema["ev_ns"].dataType, T.TimestampNTZType)
     assert isinstance(spark_schema["maybe"].dataType, T.NullType)
 
-    with pytest.raises(UnsupportedTypeError, match="variant"):
+    # variant is a supported type since r8 — a V3 metadata JSON with a
+    # variant field parses and maps to Spark's native VariantType
+    vmd = parse_metadata(
+        md_with([{"id": 1, "name": "v", "type": "variant", "required": False}])
+    )
+    assert isinstance(vmd.current_schema.to_spark()["v"].dataType, T.VariantType)
+    with pytest.raises(UnsupportedTypeError, match="geometry"):
         parse_metadata(
-            md_with([{"id": 1, "name": "v", "type": "variant", "required": False}])
+            md_with([{"id": 1, "name": "g", "type": "geometry", "required": False}])
         )
 
 
@@ -423,3 +431,99 @@ def test_v3_string_to_ns_overflow_folds_to_sentinel():
     assert lit.to(TimestampNsType()) is LongAboveMax  # ~year 2262 cap
     ok = L("2100-01-01T00:00:00", StringType()).to(TimestampNsType())
     assert ok.value == 4_102_444_800_000_000_000
+
+
+def test_variant_type_parses_and_maps_to_spark():
+    """r7 verdict #3: `variant` is a real type now — parses from
+    metadata JSON, maps to Spark's native VariantType, round-trips
+    through schema JSON; geometry/geography stay loudly refused."""
+    import pytest
+    from pyspark.sql import types as ST
+
+    from icegopher_spark.iceberg.types import (
+        UnsupportedTypeError,
+        VariantType,
+        to_spark_type,
+        type_from_json,
+    )
+
+    v = type_from_json("variant")
+    assert isinstance(v, VariantType)
+    assert to_spark_type(v) == ST.VariantType()
+    for bad in ("geometry", "geography", "geometry(srid:3857)"):
+        with pytest.raises(UnsupportedTypeError):
+            type_from_json(bad)
+
+
+def test_variant_table_scan_and_deselect(spark, tmp_path):
+    """A v3 table with a variant column is scannable: other columns
+    with the variant DESELECTED (the r7 verdict's minimum), and the
+    variant itself through Spark's native read + variant_get."""
+    from pyspark.sql import functions as F
+
+    from icegopher_spark.iceberg import write as W
+    from icegopher_spark.iceberg.schema import Schema
+    from icegopher_spark.iceberg.table import Table
+    from icegopher_spark.iceberg.types import (
+        LongType,
+        NestedField,
+        StringType,
+        VariantType,
+    )
+
+    sch = Schema(
+        (
+            NestedField(1, "k", LongType(), True),
+            NestedField(2, "name", StringType(), False),
+            NestedField(3, "payload", VariantType(), False),
+        ),
+        schema_id=0,
+    )
+    df = spark.range(20).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("n"), F.col("id").cast("string")).alias("name"),
+        F.parse_json(
+            F.to_json(F.struct((F.col("id") * 2).alias("q")))
+        ).alias("payload"),
+    )
+    loc = str(tmp_path / "var")
+    t = W.create_table(loc, sch, format_version=3)
+    t = W.append(t, df.coalesce(2))
+
+    # record counts came through the footer fallback (pyarrow cannot
+    # open these footers at all)
+    tasks = t.scan().plan_files()
+    assert sum(task.file.record_count for task in tasks) == 20
+    # variant columns carry no bounds/counts — unprunable, not wrong
+    assert all(3 not in (task.file.value_counts or {}) for task in tasks)
+
+    # deselect-tolerant scan
+    got = t.scan(selected_fields=("k", "name")).to_df(spark)
+    assert got.count() == 20 and got.columns == ["k", "name"]
+
+    # full scan + typed extraction; metadata JSON round-trip via reload
+    t2 = Table.from_location(loc)
+    vals = {
+        r["k"]: r["q"]
+        for r in t2.scan()
+        .to_df(spark)
+        .select("k", F.try_variant_get("payload", "$.q", "long").alias("q"))
+        .collect()
+    }
+    assert vals == {i: 2 * i for i in range(20)}
+
+
+def test_footer_num_rows_matches_pyarrow():
+    """The thrift-compact fallback parser agrees with pyarrow on every
+    test table (it is only USED when pyarrow refuses the footer, but it
+    must be byte-exact on anything)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from icegopher_spark.iceberg.write import _footer_num_rows
+
+    paths = sorted(glob.glob("/root/testdata/sf0.001/*.parquet"))
+    assert paths
+    for p in paths:
+        assert _footer_num_rows(p) == pq.ParquetFile(p).metadata.num_rows
