@@ -1018,6 +1018,140 @@ def _partition_summaries(
     return out
 
 
+def _maybe_merge_manifests(
+    table: Table,
+    manifests: list[ManifestFile],
+    snap_id: int,
+    seq: int,
+    pfields,
+    spec,
+    schema,
+) -> list[ManifestFile]:
+    """Auto manifest-merge on commit (Iceberg's
+    ``commit.manifest-merge.enabled`` / ``commit.manifest.
+    min-count-to-merge`` / ``commit.manifest.target-size-bytes``
+    properties; semantics anchor: reference manifest.go:47-53 — the
+    merged manifests' added/existing counts must be preserved, here as
+    EXISTING entries keeping their original snapshot/sequence ids).
+
+    Every append adds one manifest; without merging, a 100k-commit
+    table walks 100k manifests per plan and only a MANUAL
+    rewrite_manifests collapses them (r7 verdict #4). When the
+    current-spec data-manifest count reaches the threshold, carried
+    manifests are bin-packed by on-disk size toward the target and each
+    multi-manifest bin is rewritten as one manifest of EXISTING entries
+    (explicit seq + first-row-id via fetch_entries inheritance, so
+    nothing shifts). V3 guard: a bin containing any data file without
+    an assigned first_row_id is left unmerged — merging it would force
+    re-assignment and break row lineage."""
+    import json as _json
+
+    from .manifests import fetch_entries, has_materialized_row_ids
+
+    props = table.properties
+    if props.get("commit.manifest-merge.enabled", "true").lower() != "true":
+        return manifests
+    min_count = int(props.get("commit.manifest.min-count-to-merge", "100"))
+    target = int(
+        props.get("commit.manifest.target-size-bytes", str(8 * 1024 * 1024))
+    )
+    md = table.metadata
+    mergeable = [
+        m
+        for m in manifests
+        if m.content == ManifestContent.DATA
+        and m.partition_spec_id == md.default_spec_id
+    ]
+    # +1 counts the new manifest this commit is about to add
+    if len(mergeable) + 1 < min_count:
+        return manifests
+    io = table.io
+    out = [m for m in manifests if m not in mergeable]
+    bins: list[list[ManifestFile]] = []
+    cur: list[ManifestFile] = []
+    cur_sz = 0
+    for m in mergeable:
+        if cur and cur_sz + m.manifest_length > target:
+            bins.append(cur)
+            cur, cur_sz = [], 0
+        cur.append(m)
+        cur_sz += m.manifest_length
+    if cur:
+        bins.append(cur)
+    for b in bins:
+        if len(b) == 1:
+            out.append(b[0])
+            continue
+        entries: list[ManifestEntry] = []
+        skip_bin = False
+        for m in b:
+            es = fetch_entries(m, io.read(m.manifest_path), discard_deleted=True)
+            if md.format_version >= 3 and any(
+                e.data_file.content == DataFileContent.DATA
+                and e.data_file.first_row_id is None
+                and not has_materialized_row_ids(e.data_file)
+                for e in es
+            ):
+                skip_bin = True
+                break
+            entries.extend(es)
+        if skip_bin or not entries:
+            out.extend(b)
+            continue
+        for e in entries:
+            e.status = ManifestEntryStatus.EXISTING
+        data = write_manifest(
+            entries,
+            pfields,
+            schema.to_json(),
+            _json.dumps(spec.to_json_dict().get("fields", [])),
+            ManifestContent.DATA,
+            spec_id=spec.spec_id,
+            schema_id=schema.schema_id,
+        )
+        path = f"{md.location}/metadata/{_uuid.uuid4().hex}-mm.avro"
+        io.write(path, data)
+        frid = None
+        if md.format_version >= 3:
+            ids = [
+                e.data_file.first_row_id
+                for e in entries
+                if e.data_file.first_row_id is not None
+            ]
+            # entries carry explicit ids (checked above), so this value
+            # is never inherited from — it only marks the manifest as
+            # already-assigned for the list-write id allocator
+            frid = min(ids) if ids else 0
+        out.append(
+            ManifestFile(
+                manifest_path=path,
+                manifest_length=len(data),
+                partition_spec_id=spec.spec_id,
+                content=ManifestContent.DATA,
+                sequence_number=seq,
+                min_sequence_number=min(
+                    (e.sequence_number or seq for e in entries), default=seq
+                ),
+                added_snapshot_id=snap_id,
+                added_files_count=0,
+                existing_files_count=len(entries),
+                deleted_files_count=0,
+                added_rows_count=0,
+                existing_rows_count=sum(
+                    e.data_file.record_count for e in entries
+                ),
+                deleted_rows_count=0,
+                partitions=_partition_summaries(
+                    spec, schema, [e.data_file for e in entries]
+                )
+                if not spec.is_unpartitioned
+                else [],
+                first_row_id=frid,
+            )
+        )
+    return out
+
+
 def _commit_snapshot(
     table: Table,
     new_files: list[DataFile],
@@ -1049,6 +1183,10 @@ def _commit_snapshot(
     pfields = partition_avro_fields_for(spec, schema)
 
     manifests: list[ManifestFile] = list(keep_manifests or [])
+    if operation == OP_APPEND and manifests:
+        manifests = _maybe_merge_manifests(
+            table, manifests, snap_id, seq, pfields, spec, schema
+        )
 
     all_new_entries: list[ManifestEntry] = [
         ManifestEntry(

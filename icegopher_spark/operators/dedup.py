@@ -1094,6 +1094,7 @@ def source_overlap(
     source_col: str = "source",
     n: int = 3,
     max_doc_freq: int | None = STOP_SHINGLE_MAX_DF,
+    pairs: DataFrame | None = None,
 ) -> DataFrame:
     """Cross-source contamination matrix: for every unordered source
     pair, how many near-duplicate document pairs (n-gram Jaccard >=
@@ -1107,10 +1108,17 @@ def source_overlap(
     of every-shingle joins), then two id→source joins and an unordered
     (least, greatest) normalization. Jaccard extremes are min/max
     (order-independent), not averages: float sums depend on reduction
-    order and would not be engine-stable."""
-    pairs = minhash_dedup_pairs(
-        df, text_col, id_col, threshold, n=n, max_doc_freq=max_doc_freq
-    )
+    order and would not be engine-stable.
+
+    ``pairs`` injects a precomputed (id_a, id_b, jaccard) frame (r7
+    verdict #6): composing select + overlap + dedup on one corpus
+    otherwise regenerates the banded LSH pairs per operator — share one
+    ``minhash_dedup_pairs(...).persist()`` across the pipeline to cut
+    the composed cost ~3x."""
+    if pairs is None:
+        pairs = minhash_dedup_pairs(
+            df, text_col, id_col, threshold, n=n, max_doc_freq=max_doc_freq
+        )
     src = df.select(F.col(id_col).alias("_id"), F.col(source_col).alias("_src"))
     labeled = (
         pairs.join(src.withColumnRenamed("_id", "id_a").withColumnRenamed("_src", "src_of_a"), "id_a")
@@ -1138,6 +1146,7 @@ def neardup_select(
     id_col: str = "doc_id",
     n: int = 3,
     max_doc_freq: int | None = STOP_SHINGLE_MAX_DF,
+    pairs: DataFrame | None = None,
 ) -> DataFrame:
     """Keep-one-representative selection over near-dup components: the
     kept doc per group is the LONGEST (non-ws chars), ties by lowest id
@@ -1151,12 +1160,17 @@ def neardup_select(
     shingle) → min-label components (8-byte iterative propagation) →
     one per-group window over (component, length, id). Returns
     (group_rep, kept_id, n_members); docs in no component are
-    implicitly kept and not listed."""
+    implicitly kept and not listed.
+
+    ``pairs`` injects a precomputed (id_a, id_b, jaccard) frame shared
+    with source_overlap / dedup (r7 verdict #6) so a composed curation
+    pipeline generates the banded pairs once."""
     from pyspark.sql import Window
 
-    pairs = minhash_dedup_pairs(
-        df, text_col, id_col, threshold, n=n, max_doc_freq=max_doc_freq
-    )
+    if pairs is None:
+        pairs = minhash_dedup_pairs(
+            df, text_col, id_col, threshold, n=n, max_doc_freq=max_doc_freq
+        )
     groups = neardup_groups(pairs)
     lens = df.select(
         F.col(id_col).alias("id"),

@@ -1244,3 +1244,22 @@ def test_minhash_density_fallback_after_index_compaction(spark, tmp_path):
     # probe over the compacted index still returns pairs
     pairs = dedup.minhash_dedup_from_index(spark, t, docs, threshold=0.5)
     assert pairs.count() > 0
+
+
+def test_shared_pairs_injection(spark):
+    """r7 verdict #6: a composed pipeline (overlap + select on one
+    corpus) can share ONE banded-pair computation — the injected frame
+    must give byte-identical results to per-op recomputation."""
+    from icegopher_spark.operators import dedup as D
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    pairs = D.minhash_dedup_pairs(docs).persist()
+    try:
+        ov_inj = D.source_overlap(docs, pairs=pairs).collect()
+        ov_own = D.source_overlap(docs).collect()
+        assert sorted(map(tuple, ov_inj)) == sorted(map(tuple, ov_own))
+        sel_inj = D.neardup_select(docs, pairs=pairs).collect()
+        sel_own = D.neardup_select(docs).collect()
+        assert sorted(map(tuple, sel_inj)) == sorted(map(tuple, sel_own))
+    finally:
+        pairs.unpersist()
