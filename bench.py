@@ -166,6 +166,14 @@ def main() -> None:
         "stream_cdc_changelog",
         "stream_cdc_mv",
         "iceberg_changes_datasource",
+        # round-8 additions
+        "text_repetition_strict",
+        "stream_cdc_after_eq_migrate",
+        "iceberg_variant_read",
+        "iceberg_manifest_merge",
+        "iceberg_files_metadata",
+        "dedup_containment",
+        "text_char_diversity",
     ]
 
     times: dict[str, float] = {}

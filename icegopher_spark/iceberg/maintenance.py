@@ -635,8 +635,10 @@ def rewrite_position_delete_files(
     pd_paths: set[str] = set()
     dv_by_file: dict[str, object] = {}
     affected: set[str] = set()
+    fp_parts: dict[str, dict] = {}
     for t in table.scan().plan_files():
         dpath = strip_file_scheme(t.file.file_path)
+        fp_parts[dpath] = dict(t.file.partition or {})
         has_pd = False
         for d in t.delete_files:
             if d.is_deletion_vector:
@@ -674,7 +676,9 @@ def rewrite_position_delete_files(
         # re-applied MOR deletes duplicate (path,pos) rows across files;
         # distinct keeps the shard build proportional to unique positions
         union_df = union_df.distinct()
-        dv_files = write_dv_files(table, union_df, n_shards=n_shards)
+        dv_files = write_dv_files(
+            table, union_df, n_shards=n_shards, partitions=fp_parts
+        )
     covered = {
         strip_file_scheme(f.referenced_data_file or "") for f in dv_files
     }
@@ -792,6 +796,11 @@ def rewrite_equality_deletes(
                 g["dv"][(d.file_path, d.content_offset)] = d
             else:
                 g["pd"].add(_strip(d.file_path))
+    fp_parts = {
+        _strip(t.file.file_path): dict(t.file.partition or {})
+        for g in groups.values()
+        for t in g["tasks"]
+    }
     if not any_eq and not _has_equality_delete_entries(table, snap):
         return table  # nothing to convert
 
@@ -839,7 +848,9 @@ def rewrite_equality_deletes(
                 union_df = union_df.unionByName(
                     prior.join(F.broadcast(affected), "file_path", "left_semi")
                 )
-            dv_files = write_dv_files(table, union_df.distinct(), n_shards=n_shards)
+            dv_files = write_dv_files(
+                table, union_df.distinct(), n_shards=n_shards, partitions=fp_parts
+            )
         finally:
             new_matches.unpersist()
     covered = {

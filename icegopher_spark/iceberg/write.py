@@ -1640,10 +1640,20 @@ def delete_where_mor(table: Table, spark: SparkSession, row_filter) -> Table:
 
 
 def write_dv_files(
-    table: Table, union_df: DataFrame, n_shards: int = 32
+    table: Table,
+    union_df: DataFrame,
+    n_shards: int = 32,
+    partitions: dict[str, dict] | None = None,
 ) -> list[DataFile]:
     """Build one roaring-bitmap deletion vector per data file from a
     ``(file_path, pos)`` DataFrame and write them as Puffin files.
+
+    ``partitions`` maps (scheme-stripped) data-file paths to their
+    partition dicts so each DV entry records its referenced file's
+    partition (the spec's partition-scoped delete pruning; previously
+    DV entries carried empty partitions). Only values shaped like the
+    CURRENT default spec are stamped — delete manifests are written
+    under it, and an old-era partition dict would mis-encode.
 
     The heavy lifting is EXECUTOR-side: positions shuffle once on a
     hash of ``file_path`` into ``n_shards`` shards, each shard builds
@@ -1654,9 +1664,16 @@ def write_dv_files(
     import pandas as pd
 
     from .manifests import FORMAT_PUFFIN
+    from .table import strip_file_scheme as _strip_p
 
     loc = table.location
     props = dict(table.properties or {})
+    spec_names = {f.name for f in table.spec.fields}
+    part_map = {
+        _strip_p(k): dict(v)
+        for k, v in (partitions or {}).items()
+        if set(v.keys()) == spec_names
+    }
 
     def _build(pdf: pd.DataFrame) -> pd.DataFrame:
         import uuid as _u
@@ -1722,7 +1739,7 @@ def write_dv_files(
             content=DataFileContent.POSITION_DELETES,
             record_count=r.cardinality,
             file_size_in_bytes=r.puffin_size,
-            partition={},
+            partition=part_map.get(_strip_p(r.file_path), {}),
             referenced_data_file=r.file_path,
             content_offset=r.off,
             content_size_in_bytes=r["len"],
@@ -1767,12 +1784,14 @@ def delete_where_dv(
 
     scan = table.scan(row_filter=row_filter)
     groups: dict[tuple, dict] = {}
+    fp_parts: dict[str, dict] = {}
     for t in scan.plan_files():
         key = frozenset(d.file_path for d in t.eq_delete_files)
         g = groups.setdefault(
             key, {"tasks": [], "eq": t.eq_delete_files, "pd": set(), "dv": {}}
         )
         g["tasks"].append(t)
+        fp_parts[strip_file_scheme(t.file.file_path)] = dict(t.file.partition or {})
         for d in t.delete_files:
             if d.is_deletion_vector:
                 g["dv"][(d.file_path, d.content_offset)] = d
@@ -1848,7 +1867,9 @@ def delete_where_dv(
             )
 
         # 3) bitmaps + Puffin files, executor-side
-        dv_files = write_dv_files(table, union_df, n_shards=n_shards)
+        dv_files = write_dv_files(
+            table, union_df, n_shards=n_shards, partitions=fp_parts
+        )
     finally:
         new_matches.unpersist()
 

@@ -284,9 +284,32 @@ def _dv_table_for(spark: SparkSession, sf_dir: str) -> Table:
         t = W.delete_where_dv(t, spark, E.equal_to("l_returnflag", "R"))
         return W.delete_where_dv(t, spark, E.less_than("l_quantity", 5.0))
 
-    return _cached_table(
-        sf_dir, "lineitem_dv", lambda t: len(t.metadata.snapshots) == 3, build
-    )
+    def valid(t: Table) -> bool:
+        if len(t.metadata.snapshots) != 3:
+            return False
+        # r8: DV entries must carry their referenced file's partition
+        # (spec partition-scoped delete pruning) — caches written by
+        # the pre-stamping writer rebuild
+        from .iceberg.manifests import (
+            DataFileContent,
+            ManifestContent,
+            fetch_entries,
+            read_manifest_list,
+        )
+
+        for m in read_manifest_list(t.io.read(t.current_snapshot().manifest_list)):
+            if m.content != ManifestContent.DELETES:
+                continue
+            for e in fetch_entries(m, t.io.read(m.manifest_path), True):
+                if e.data_file.content == DataFileContent.POSITION_DELETES:
+                    # pre-stamping caches decode as all-None values
+                    return any(
+                        v is not None
+                        for v in (e.data_file.partition or {}).values()
+                    )
+        return False
+
+    return _cached_table(sf_dir, "lineitem_dv", valid, build)
 
 
 # V3 row lineage: the table is built so every _row_id is derivable in
@@ -1803,4 +1826,127 @@ def iceberg_variant_read(spark: SparkSession, sf: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_chars").cast("bigint").alias("sum_chars"),
         )
+    )
+
+
+# --- auto manifest-merge (round-8) -----------------------------------------
+
+def _merged_manifests_table_for(spark: SparkSession, sf_dir: str) -> Table:
+    """lineitem split into 12 single-slice appends with
+    commit.manifest.min-count-to-merge=4: the commit path auto-merges
+    carried manifests (write.py:_maybe_merge_manifests), so the final
+    snapshot plans over a BOUNDED manifest list whose merged manifests
+    hold EXISTING entries with their original sequence numbers."""
+
+    def build(loc: str) -> Table:
+        li = _li4(spark, sf_dir)
+        t = W.create_table(
+            loc,
+            _SCHEMA,
+            _SPEC,
+            format_version=3,
+            properties={"commit.manifest.min-count-to-merge": "4"},
+        )
+        for i in range(12):
+            t = W.append(t, li.filter(F.col("l_orderkey") % 12 == i))
+        return t
+
+    def valid(t: Table) -> bool:
+        from .iceberg.manifests import read_manifest_list
+
+        snap = t.current_snapshot()
+        if snap is None or len(t.metadata.snapshots) != 12:
+            return False
+        manifests = read_manifest_list(t.io.read(snap.manifest_list))
+        # the merge must actually have bounded the list (12 appends
+        # would otherwise carry 12 manifests)
+        return len(manifests) < 8 and any(
+            m.existing_files_count > 0 for m in manifests
+        )
+
+    return _cached_table(sf_dir, "lineitem_manifest_merge", valid, build)
+
+
+ice_manifest_merge_oracle = """
+SELECT l_returnflag,
+       CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_qty,
+       COUNT(*) AS n_rows,
+       CAST(SUM(l_orderkey % 1000) AS BIGINT) AS okey_chk
+FROM lineitem
+WHERE l_returnflag = 'R' AND l_quantity < 10
+GROUP BY l_returnflag
+"""
+
+
+@register(
+    "iceberg_manifest_merge",
+    ice_manifest_merge_oracle,
+    "auto manifest-merge on commit: 12 appends plan over a bounded "
+    "manifest list; merged EXISTING entries keep original seq ids and "
+    "partition summaries still prune the flag='R' scan",
+)
+def iceberg_manifest_merge(spark: SparkSession, sf: str) -> DataFrame:
+    """Scan over auto-merged manifests with a partition-pruned filter:
+    the merged manifests' partition summaries must prune exactly like
+    the originals and every row must appear exactly once across the
+    merged + fresh manifests (write.py:_maybe_merge_manifests; same
+    filter shape as iceberg_scan_pruned)."""
+    t = _merged_manifests_table_for(spark, sf)
+    flt = E.equal_to("l_returnflag", "R") & E.less_than("l_quantity", 10.0)
+    return (
+        t.scan(row_filter=flt)
+        .to_df(spark)
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.sum(F.col("l_quantity").cast("decimal(12,2)")), 2)
+            .cast("double")
+            .alias("sum_qty"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("l_orderkey") % 1000).cast("bigint").alias("okey_chk"),
+        )
+    )
+
+
+# --- metadata tables, oracled (round-8) -------------------------------------
+
+# The DV fixture's file inventory is fully derivable from lineitem:
+# data files hold every row (partitioned by flag identity + okey
+# bucket), and each file's CURRENT deletion vector holds its total
+# deleted positions — flag='R' rows plus quantity<5 rows (the second
+# replacement DV supersedes the first per file, so a stale or
+# double-counted DV entry flips n_rows).
+ice_files_meta_oracle = """
+SELECT 0 AS content, l_returnflag AS flag, COUNT(*) AS n_rows
+FROM lineitem GROUP BY 2
+UNION ALL
+SELECT 1 AS content, l_returnflag AS flag, COUNT(*) AS n_rows
+FROM lineitem WHERE l_returnflag = 'R' OR l_quantity < 5
+GROUP BY 2
+"""
+
+
+@register(
+    "iceberg_files_metadata",
+    ice_files_meta_oracle,
+    "files/partitions metadata tables, oracled: per-(content, flag "
+    "partition) record counts over the DV fixture — live data entries "
+    "plus the CURRENT (replacement-superseding) deletion vectors",
+)
+def iceberg_files_metadata(spark: SparkSession, sf: str) -> DataFrame:
+    """The inspection plane under an oracle (was pytest-only, SURVEY
+    §2.10): `table.inspect.files()` rows aggregated per content type
+    and flag partition must reproduce counts derivable from the source
+    table — data record counts per partition, and DV record counts
+    equal to the per-file deleted-position totals after replacement
+    supersession (iceberg/inspect.py:files)."""
+    t = _dv_table_for(spark, sf)
+    files = t.inspect.files(spark)
+    return (
+        files.select(
+            F.col("content"),
+            F.col("partition")["flag"].alias("flag"),
+            "record_count",
+        )
+        .groupBy("content", "flag")
+        .agg(F.sum("record_count").cast("bigint").alias("n_rows"))
     )

@@ -171,6 +171,52 @@ def ngram_jaccard_pairs(
     return pairs
 
 
+def ngram_containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.8,
+    max_doc_freq: int | None = STOP_SHINGLE_MAX_DF,
+) -> DataFrame:
+    """ASYMMETRIC near-dup pairs by n-gram containment: C(A,B) =
+    |A∩B| / min(|A|,|B|) — the quote/inclusion detector Jaccard misses
+    (a short doc fully embedded in a long one has tiny Jaccard but
+    containment 1.0; Broder's resemblance-vs-containment distinction).
+    The standard audit before mixing a curated subset into a superset
+    corpus.
+
+    Same inverted-index shape and stop-shingle cap as
+    ``ngram_jaccard_pairs`` (cost bounded by shared-shingle pairs, not
+    |docs|²); the threshold compares in integer space
+    (100·common ≥ pct·min) so the keep set can't float-flip between
+    engines. Returns (id_a, id_b, n_common, n_a, n_b, containment),
+    id_a < id_b."""
+    pct = int(round(threshold * 100))
+    sh = shingle_hash_rows(df, text_col, id_col, n)
+    sh = drop_stop_shingles(sh, "h", max_doc_freq)
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    return (
+        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .join(sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a")), "id_a")
+        .join(sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b")), "id_b")
+        .filter(100 * F.col("n_common") >= pct * F.least("n_a", "n_b"))
+        .select(
+            "id_a",
+            "id_b",
+            "n_common",
+            "n_a",
+            "n_b",
+            F.round(
+                F.col("n_common") / F.least("n_a", "n_b").cast("double"), 6
+            ).alias("containment"),
+        )
+    )
+
+
 def minhash_signature(col: Column, num_hashes: int = 32, n: int = 3) -> Column:
     """MinHash signature as array<bigint>: min over shingles of
     xxhash64(seed, xxhash64(shingle)) per seed — BIT-IDENTICAL to

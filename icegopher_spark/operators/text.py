@@ -595,6 +595,72 @@ def repetition_filter_strict(
     return out.withColumn("keep", keep)
 
 
+def char_diversity(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document character-diversity quality signal via the
+    Gini–Simpson index: 1 − Σc_i²/n² over case-folded character counts
+    (keyboard-mash and repeated-char spam concentrate mass in few
+    characters; natural text sits high). The concentration numerator
+    Σc_i² is an exact INTEGER (engine-stable, unlike Shannon entropy's
+    order-sensitive float log sum), computed as a sorted-array
+    run-length fold — one map pass, no shuffle, no UDF. Returns
+    (id, n_chars, n_distinct, sum_sq, simpson[=round(1−Σc²/n²,6)];
+    empty docs get simpson 0.0)."""
+    chars = F.array_sort(
+        F.filter(F.split(F.lower(F.col(text_col)), ""), lambda c: c != F.lit(""))
+    )
+    zero = F.lit(0).cast("bigint")
+    start = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        zero.alias("run"),
+        zero.alias("sum_sq"),
+        zero.alias("n_distinct"),
+    )
+
+    def merge(acc: Column, c: Column) -> Column:
+        same = acc["prev"].eqNullSafe(c)
+        return F.struct(
+            c.alias("prev"),
+            F.when(same, acc["run"] + 1)
+            .otherwise(F.lit(1).cast("bigint"))
+            .alias("run"),
+            F.when(same, acc["sum_sq"])
+            .otherwise(acc["sum_sq"] + acc["run"] * acc["run"])
+            .alias("sum_sq"),
+            F.when(same, acc["n_distinct"])
+            .otherwise(acc["n_distinct"] + 1)
+            .alias("n_distinct"),
+        )
+
+    def finish(acc: Column) -> Column:
+        return F.struct(
+            (acc["sum_sq"] + acc["run"] * acc["run"]).alias("sum_sq"),
+            acc["n_distinct"].alias("n_distinct"),
+        )
+
+    agg = F.aggregate(chars, start, merge, finish)
+    n = F.size(chars).cast("bigint")
+    out = df.select(
+        F.col(id_col),
+        n.alias("n_chars"),
+        agg["n_distinct"].alias("n_distinct"),
+        agg["sum_sq"].alias("sum_sq"),
+    )
+    return out.withColumn(
+        "simpson",
+        F.when(
+            F.col("n_chars") > 0,
+            F.round(
+                1
+                - F.col("sum_sq")
+                / (F.col("n_chars") * F.col("n_chars")).cast("double"),
+                6,
+            ),
+        ).otherwise(F.lit(0.0)),
+    )
+
+
 # MassiveText top-n-gram thresholds (Gopher table A1): max char share
 # of the single most frequent word n-gram, in percent.
 TOP_NGRAM_MAX_PCT = {2: 20, 3: 18, 4: 16}

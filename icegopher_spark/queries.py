@@ -2721,3 +2721,89 @@ def oov_q(spark: SparkSession, sf: str) -> DataFrame:
 
     docs = load(spark, sf, "documents")
     return T.oov_stats(docs, vocab_size=1000)
+
+
+containment_oracle = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS w
+  FROM documents
+), grams AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(w) - 2, 0) + 1),
+                        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingles
+  FROM toks
+), ex AS (
+  SELECT doc_id, len(shingles) AS n_sh, UNNEST(shingles) AS sh FROM grams
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(COUNT(*) AS BIGINT) AS n_common,
+         CAST(MIN(a.n_sh) AS BIGINT) AS n_a,
+         CAST(MIN(b.n_sh) AS BIGINT) AS n_b
+  FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, n_common, n_a, n_b,
+       ROUND(n_common / CAST(LEAST(n_a, n_b) AS DOUBLE), 6) AS containment
+FROM pairs
+WHERE 100 * n_common >= 80 * LEAST(n_a, n_b)
+"""
+
+
+@register(
+    "dedup_containment",
+    containment_oracle,
+    "asymmetric n-gram containment pairs (quote/inclusion detection; "
+    "integer-exact threshold)",
+)
+def dedup_containment_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Containment C(A,B) = |A∩B|/min(|A|,|B|) over 3-gram shingle
+    sets: catches a short doc embedded in a long one, which Jaccard's
+    union denominator dilutes below any useful threshold (Broder's
+    resemblance-vs-containment; operators/dedup.py:
+    ngram_containment_pairs). Inverted-index equi-join, integer-space
+    threshold (100*common >= 80*min)."""
+    docs = load(spark, sf, "documents")
+    return dedup.ngram_containment_pairs(docs, threshold=0.8)
+
+
+char_diversity_oracle = """
+WITH ch AS (
+  SELECT doc_id, u.c AS c
+  FROM documents, UNNEST(string_split(lower(text), '')) AS u(c)
+  WHERE u.c <> ''
+), cnt AS (
+  SELECT doc_id, c, COUNT(*) AS k FROM ch GROUP BY 1, 2
+), agg AS (
+  SELECT doc_id, CAST(SUM(k) AS BIGINT) AS n_chars,
+         CAST(COUNT(*) AS BIGINT) AS n_distinct,
+         CAST(SUM(k * k) AS BIGINT) AS sum_sq
+  FROM cnt GROUP BY 1
+)
+SELECT d.doc_id,
+       COALESCE(a.n_chars, 0) AS n_chars,
+       COALESCE(a.n_distinct, 0) AS n_distinct,
+       COALESCE(a.sum_sq, 0) AS sum_sq,
+       CASE WHEN COALESCE(a.n_chars, 0) > 0
+            THEN ROUND(1 - a.sum_sq / CAST(a.n_chars * a.n_chars AS DOUBLE), 6)
+            ELSE 0.0 END AS simpson
+FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+
+
+@register(
+    "text_char_diversity",
+    char_diversity_oracle,
+    "Gini-Simpson character-diversity quality signal: integer-exact "
+    "concentration numerator, map-only run-length fold",
+)
+def char_diversity_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Character-diversity quality scoring: 1 - sum(c_i^2)/n^2 over
+    case-folded char counts — spam/keyboard-mash detection with an
+    exact-integer concentration numerator (Shannon entropy's float log
+    sum is reduction-order-dependent and not engine-stable). One map
+    pass per doc (operators/text.py:char_diversity)."""
+    from .operators import text as T
+
+    docs = load(spark, sf, "documents")
+    return T.char_diversity(docs)

@@ -1263,3 +1263,35 @@ def test_shared_pairs_injection(spark):
         assert sorted(map(tuple, sel_inj)) == sorted(map(tuple, sel_own))
     finally:
         pairs.unpersist()
+
+
+def test_ngram_containment_pairs(spark):
+    """Containment catches a short doc embedded in a long one where
+    Jaccard stays under threshold (Broder resemblance vs containment)."""
+    from icegopher_spark.operators import dedup as D
+
+    short = "the quick brown fox jumps over the lazy dog tonight"
+    filler = " ".join(f"filler{i} pad{i} extra{i}" for i in range(40))
+    rows = [(1, short), (2, short + " " + filler), (3, "totally unrelated words here about ships")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r["id_a"], r["id_b"]): r for r in D.ngram_containment_pairs(df).collect()}
+    assert (1, 2) in got and got[(1, 2)]["containment"] == 1.0
+    assert got[(1, 2)]["n_common"] == got[(1, 2)]["n_a"]
+    assert all(k == (1, 2) for k in got)
+    # Jaccard misses the same pair at 0.5 (union dominated by filler)
+    jac = D.ngram_jaccard_pairs(df, threshold=0.5).collect()
+    assert not any((r["id_a"], r["id_b"]) == (1, 2) for r in jac)
+
+
+def test_char_diversity(spark):
+    """Hand-computed Simpson values; empty doc = 0; spam concentrates."""
+    rows = [(1, "aab"), (2, ""), (3, "x" * 50), (4, "AaB")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in text.char_diversity(df).collect()}
+    # 'aab': counts {a:2, b:1}; sum_sq 5; 1 - 5/9
+    assert got[1]["n_chars"] == 3 and got[1]["sum_sq"] == 5
+    assert got[1]["simpson"] == round(1 - 5 / 9, 6)
+    assert got[2]["n_chars"] == 0 and got[2]["simpson"] == 0.0
+    assert got[3]["simpson"] == 0.0 and got[3]["n_distinct"] == 1
+    # case-folded: AaB == aab
+    assert got[4]["sum_sq"] == 5 and got[4]["n_distinct"] == 2

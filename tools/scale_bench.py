@@ -82,6 +82,14 @@ EXTRA_SCALE_QUERIES = [
     "stream_cdc_changelog",
     "stream_cdc_mv",
     "iceberg_changes_datasource",
+    # round-8 operators (strict repetition, CDC bootstrap, variant)
+    "text_repetition_strict",
+    "stream_cdc_after_eq_migrate",
+    "iceberg_variant_read",
+    "iceberg_manifest_merge",
+    "iceberg_files_metadata",
+    "dedup_containment",
+    "text_char_diversity",
 ]
 SCALE_QUERIES = BENCH_QUERIES + EXTRA_SCALE_QUERIES
 from icegopher_spark.queries import QUERIES, load  # noqa: E402
@@ -266,8 +274,16 @@ def main() -> None:
         "flagged_superlinear": flags,
         "queries": rows,
     }
+    # drift self-flagging (r7 verdict #1): a stale shipped artifact —
+    # queries appended to SCALE_QUERIES after the last run — must fail
+    # loudly here AND be detectable from the artifact alone, so the
+    # query list is embedded and asserted on write.
+    artifact["query_set"] = sorted(SCALE_QUERIES)
     Path(args.out).write_text(json.dumps(artifact, indent=1))
-    print(json.dumps({k: v for k, v in artifact.items() if k != "queries"}))
+    assert set(artifact["queries"]) == set(SCALE_QUERIES), (
+        "scale artifact drifted from SCALE_QUERIES"
+    )
+    print(json.dumps({k: v for k, v in artifact.items() if k not in ("queries", "query_set")}))
 
 
 if __name__ == "__main__":
