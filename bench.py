@@ -174,6 +174,8 @@ def main() -> None:
         "iceberg_files_metadata",
         "dedup_containment",
         "text_char_diversity",
+        "corpus_shuffle_shard",
+        "iceberg_orphan_cleanup",
     ]
 
     times: dict[str, float] = {}

@@ -1950,3 +1950,81 @@ def iceberg_files_metadata(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("content", "flag")
         .agg(F.sum("record_count").cast("bigint").alias("n_rows"))
     )
+
+
+# --- orphan-file cleanup, oracled (round-8) ---------------------------------
+
+def _orphan_cleaned_table_for(spark: SparkSession, sf_dir: str) -> Table:
+    """A copy of the two-append fixture with planted orphan junk (a
+    fake data parquet, an abandoned temp, a stray metadata avro — the
+    debris failed commits leave), then remove_orphan_files with
+    older_than_ms=0. A cleanup that misclassifies a LIVE file as orphan
+    breaks the scan; one that misses the junk leaves it for the
+    validity check to catch."""
+
+    def build(loc: str) -> Table:
+        import os as _os
+
+        from .iceberg.maintenance import remove_orphan_files
+
+        li = _li4(spark, sf_dir)
+        t = W.create_table(loc, _SCHEMA, _SPEC)
+        t = W.append(t, li.filter(F.col("l_orderkey") % 2 == 0))
+        t = W.append(t, li.filter(F.col("l_orderkey") % 2 == 1))
+        junk = [
+            f"{loc}/data/zz-orphan-{i}.parquet" for i in range(2)
+        ] + [f"{loc}/data/part-tmp-abandoned.parquet.tmp-deadbeef"]
+        for p in junk:
+            with open(p, "wb") as f:
+                f.write(b"not a real parquet")
+        removed = remove_orphan_files(t, older_than_ms=0)
+        assert all(not _os.path.exists(p) for p in junk), removed
+        return t
+
+    def valid(t: Table) -> bool:
+        import os as _os
+
+        if len(t.metadata.snapshots) != 2:
+            return False
+        return not any(
+            fn.startswith(("zz-orphan", "part-tmp-abandoned"))
+            for fn in _os.listdir(f"{t.location}/data")
+        )
+
+    return _cached_table(sf_dir, "lineitem_orphan_clean", valid, build)
+
+
+ice_orphan_oracle = """
+SELECT l_returnflag, COUNT(*) AS n_rows,
+       CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_qty,
+       CAST(SUM(l_orderkey % 1000) AS BIGINT) AS okey_chk
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@register(
+    "iceberg_orphan_cleanup",
+    ice_orphan_oracle,
+    "remove_orphan_files deletes planted junk and ONLY junk: the "
+    "post-cleanup scan still returns every live row exactly once",
+)
+def iceberg_orphan_cleanup(spark: SparkSession, sf: str) -> DataFrame:
+    """Orphan GC under an oracle (was pytest-only): junk files planted
+    under the table location are removed, live data files are not, and
+    the scan over the cleaned table reproduces the full corpus
+    (iceberg/maintenance.py:orphan_files — reachability from metadata
+    alone, mtime-guarded for in-flight writers)."""
+    t = _orphan_cleaned_table_for(spark, sf)
+    return (
+        t.scan()
+        .to_df(spark)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum(F.col("l_quantity").cast("decimal(12,2)")), 2)
+            .cast("double")
+            .alias("sum_qty"),
+            F.sum(F.col("l_orderkey") % 1000).cast("bigint").alias("okey_chk"),
+        )
+    )

@@ -473,3 +473,46 @@ def chunk_documents(
         F.size("_ctoks").cast("bigint").alias("n_tokens"),
         F.concat_ws(" ", "_ctoks").alias("chunk_text"),
     )
+
+
+def shuffle_shard(
+    df: DataFrame,
+    n_shards: int = 16,
+    seed: int = 0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic corpus shuffle + sharding for training-data
+    writes (the WebDataset/TFRecord sharding step): each doc gets a
+    pseudorandom 32-bit sort key from the seeded Knuth multiplicative
+    hash — exact integer arithmetic, so every engine, run, and
+    partitioning agrees — and shard = key mod n_shards. The id is
+    reduced mod 2^32 BEFORE the multiply so the product stays inside
+    int64 for arbitrarily large ids (a raw 1e12 id times the Knuth
+    constant overflows; the reduction changes nothing for ids < 2^32).
+
+    A training job writes df.withColumn('shard', ...).write
+    .partitionBy('shard'); this operator returns the shard-level
+    manifest (n_docs, token totals, a membership checksum binding ids
+    to shards) — the artifact the actual write is verified against.
+    Pure codegen: one map pass + one n_shards-row aggregation.
+    """
+    key = F.pmod(
+        F.pmod(F.col(id_col).cast("bigint"), F.lit(_HASH_MOD))
+        * F.lit(_HASH_MULT)
+        + F.lit(int(seed)),
+        F.lit(_HASH_MOD),
+    )
+    per_doc = df.select(
+        F.pmod(key, F.lit(int(n_shards))).cast("int").alias("shard"),
+        key.alias("_key"),
+        F.col(id_col).alias("_id"),
+        token_count(F.col(text_col)).alias("_tok"),
+    )
+    return per_doc.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("_tok").cast("bigint").alias("total_tokens"),
+        F.min("_key").cast("bigint").alias("min_key"),
+        F.max("_key").cast("bigint").alias("max_key"),
+        F.sum(F.col("_id") % 1000).cast("bigint").alias("id_chk"),
+    )

@@ -2807,3 +2807,37 @@ def char_diversity_q(spark: SparkSession, sf: str) -> DataFrame:
 
     docs = load(spark, sf, "documents")
     return T.char_diversity(docs)
+
+
+shuffle_shard_oracle = """
+WITH d AS (
+  SELECT doc_id,
+         ((doc_id % 4294967296) * 2654435761) % 4294967296 AS key,
+         CAST(len(regexp_extract_all(text, '[^ \\t\\n\\x0B\\f\\r]+')) AS BIGINT) AS tok
+  FROM documents
+)
+SELECT CAST(key % 16 AS INT) AS shard,
+       COUNT(*) AS n_docs,
+       CAST(SUM(tok) AS BIGINT) AS total_tokens,
+       CAST(MIN(key) AS BIGINT) AS min_key,
+       CAST(MAX(key) AS BIGINT) AS max_key,
+       CAST(SUM(doc_id % 1000) AS BIGINT) AS id_chk
+FROM d GROUP BY 1
+"""
+
+
+@register(
+    "corpus_shuffle_shard",
+    shuffle_shard_oracle,
+    "deterministic corpus shuffle + shard manifest (seeded Knuth keys, "
+    "engine-exact integer arithmetic)",
+)
+def shuffle_shard_q(spark: SparkSession, sf: str) -> DataFrame:
+    """The training-data sharding step: seeded multiplicative-hash sort
+    keys, shard = key mod N, and the shard-level manifest (doc/token
+    totals + membership checksum) the physical partitionBy write is
+    verified against (operators/curation.py:shuffle_shard)."""
+    from .operators import curation as C
+
+    docs = load(spark, sf, "documents")
+    return C.shuffle_shard(docs, n_shards=16, seed=0)

@@ -90,6 +90,8 @@ EXTRA_SCALE_QUERIES = [
     "iceberg_files_metadata",
     "dedup_containment",
     "text_char_diversity",
+    "corpus_shuffle_shard",
+    "iceberg_orphan_cleanup",
 ]
 SCALE_QUERIES = BENCH_QUERIES + EXTRA_SCALE_QUERIES
 from icegopher_spark.queries import QUERIES, load  # noqa: E402
