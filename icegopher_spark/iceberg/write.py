@@ -296,12 +296,11 @@ def _footer_num_rows(local_path: str) -> int:
                 types = u8()
                 kt, vt = types >> 4, types & 0x0F
                 for _ in range(size):
-                    skip(kt) if kt not in (1, 2) else None
-                    if kt in (1, 2):
-                        pos += 1
-                    skip(vt) if vt not in (1, 2) else None
-                    if vt in (1, 2):
-                        pos += 1
+                    for t_ in (kt, vt):
+                        if t_ in (1, 2):
+                            pos += 1  # container bools: one byte each
+                        else:
+                            skip(t_)
         elif wtype == 12:  # struct
             fid = 0
             while True:

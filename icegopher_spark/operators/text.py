@@ -607,8 +607,13 @@ def char_diversity(
     run-length fold — one map pass, no shuffle, no UDF. Returns
     (id, n_chars, n_distinct, sum_sq, simpson[=round(1−Σc²/n²,6)];
     empty docs get simpson 0.0)."""
+    # null text counts as empty (simpson 0.0), matching the oracle's
+    # LEFT JOIN + COALESCE shape
     chars = F.array_sort(
-        F.filter(F.split(F.lower(F.col(text_col)), ""), lambda c: c != F.lit(""))
+        F.filter(
+            F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), ""),
+            lambda c: c != F.lit(""),
+        )
     )
     zero = F.lit(0).cast("bigint")
     start = F.struct(

@@ -33,6 +33,13 @@ Per-snapshot semantics (lineage oldest → newest):
     (the snapshot's data files and DVs still emit) — a documented
     exactness trade, not a wholesale snapshot skip.
 
+Option ``starting-snapshot-id`` (r8) anchors a FRESH checkpoint after
+the given snapshot (exclusive) instead of replaying full history —
+the CDC bootstrap pattern (batch-read state at the anchor, stream
+changes after), and the exact path past pre-migration equality-delete
+snapshots: rewrite_equality_deletes, then anchor at the migration
+commit (gate stream_cdc_after_eq_migrate).
+
 Scale posture: planning is driver-side over manifest entries (one
 partition per changed file — the same fan-out as the batch scan);
 reads run on executors via pyarrow with NO Spark session: position
@@ -140,6 +147,17 @@ class _CdcStreamReader(_AppendStreamReader):
 
         t = self._table()
         io, md, current = t.io, t.metadata, t.schema
+        from ..iceberg.types import VariantType as _VarT
+
+        bad = [f.name for f in current.fields if isinstance(f.field_type, _VarT)]
+        if bad:
+            raise ValueError(
+                f"streaming source cannot read variant column(s) {bad}: "
+                "the executor kernel reads parquet via pyarrow, which "
+                "rejects the variant logical type — use the batch scan "
+                "(Spark-native variant) or deselect by evolving a view "
+                "without the variant column"
+            )
         arrow_schema = to_arrow_schema(current.to_spark())
         lineage = self._main_lineage(md)
         lo = self._anchor(md, start, lineage)

@@ -159,6 +159,17 @@ class _AppendStreamReader(DataSourceStreamReader):
         io = t.io
         md = t.metadata
         current = t.schema
+        from ..iceberg.types import VariantType as _VarT
+
+        bad = [f.name for f in current.fields if isinstance(f.field_type, _VarT)]
+        if bad:
+            raise ValueError(
+                f"streaming source cannot read variant column(s) {bad}: "
+                "the executor kernel reads parquet via pyarrow, which "
+                "rejects the variant logical type — use the batch scan "
+                "(Spark-native variant) or deselect by evolving a view "
+                "without the variant column"
+            )
         arrow_schema = to_arrow_schema(current.to_spark())
         lineage = self._main_lineage(md)
         lo = self._anchor(md, start, lineage)

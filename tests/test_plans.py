@@ -443,3 +443,44 @@ def test_scale_artifact_matches_scale_queries():
         "BENCH_SCALE.json is stale: re-run tools/scale_bench.py"
     )
     assert artifact["flagged_superlinear"] == []
+
+
+def test_round8_map_only_text_ops(spark, queries):
+    """char_diversity and the strict repetition filter are one map pass:
+    no Exchange before the final (gate-level) aggregation — the fold
+    runs inside the project, not as a per-unit groupBy shuffle."""
+    from icegopher_spark.operators import text as T
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    for op in (T.char_diversity, T.repetition_filter_strict):
+        plan = plan_of(op(docs), "simple")
+        assert "Exchange" not in plan, op.__name__
+        assert "aggregate" in plan.lower() or "Project" in plan
+
+
+def test_shuffle_shard_single_agg_exchange(spark, queries):
+    """shuffle_shard is map + ONE aggregation shuffle (the n_shards-row
+    manifest); the key/shard math is codegen, no window, no sort."""
+    plan = plan_of(queries["corpus_shuffle_shard"].fn(spark, SF), "simple")
+    assert plan.count("Exchange") <= 2  # partial->final agg exchange(s)
+    assert "Window" not in plan and "Sort" not in plan.replace("SortAggregate", "")
+
+
+def test_containment_is_equi_join(spark, queries):
+    """Containment pairs ride the inverted-index EQUI-join — a
+    cartesian/BNLJ here is the |docs|^2 failure mode."""
+    plan = plan_of(queries["dedup_containment"].fn(spark, SF), "simple")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_variant_scan_prunes_other_columns(spark):
+    """A deselect scan on a variant table reads only the selected
+    columns (the variant stays out of ReadSchema)."""
+    from icegopher_spark.iceberg_queries import _variant_table_for
+
+    t = _variant_table_for(spark, SF)
+    plan = plan_of(t.scan(selected_fields=("doc_id", "lang")).to_df(spark))
+    read = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "doc_id" in read and "lang" in read and "payload" not in read

@@ -744,3 +744,36 @@ def test_cdc_stream_anchored_past_eq_migration(spark, tmp_path):
     # a bogus anchor fails loudly instead of silently replaying root
     with pytest.raises(StreamingQueryException, match="no longer"):
         run("ck_bogus", "out_bogus", **{"starting-snapshot-id": "12345"})
+
+
+def test_stream_sources_refuse_variant_columns(spark, tmp_path):
+    """Both streaming planners refuse variant tables actionably BEFORE
+    the arrow conversion (the executor pyarrow kernel can't open the
+    variant logical type; a deep OSError would be undiagnosable)."""
+    from pyspark.sql import functions as F
+
+    from icegopher_spark.iceberg import write as W
+    from icegopher_spark.iceberg.schema import Schema
+    from icegopher_spark.iceberg.types import LongType, NestedField, VariantType
+    from icegopher_spark.streaming.iceberg_cdc_source import _CdcStreamReader
+    from icegopher_spark.streaming.iceberg_source import _AppendStreamReader
+
+    sch = Schema(
+        (
+            NestedField(1, "k", LongType(), True),
+            NestedField(2, "v", VariantType(), False),
+        ),
+        schema_id=0,
+    )
+    loc = str(tmp_path / "vref")
+    t = W.create_table(loc, sch, format_version=3)
+    t = W.append(
+        t,
+        spark.range(3).select(
+            "id", F.parse_json(F.lit('{"a":1}')).alias("v")
+        ).selectExpr("id AS k", "v"),
+    )
+    for reader_cls in (_AppendStreamReader, _CdcStreamReader):
+        r = reader_cls({"location": loc})
+        with pytest.raises(ValueError, match="variant column"):
+            r.partitions({"idx": 0, "last_id": 0}, r.latestOffset())
