@@ -161,16 +161,24 @@ def build_scaled(spark, k: int) -> str:
                 if c in _KEYS:
                     col = (col + F.lit(r * strides[c])).alias(c)
                 elif tbl == "documents" and c == "text":
-                    # interleave a per-replica token between every word:
-                    # a single prefix token is NOT enough — SimHash
-                    # signatures of one-token-different docs stay within
-                    # hamming 3, so cross-replica copies remained near-
-                    # dups and the OUTPUT grew quadratically in k.
-                    # Interleaving changes every shingle, so near-dup
-                    # structure (exact/jaccard/minhash/simhash) is
-                    # strictly per-replica and cost stays linear.
+                    # interleave a per-replica, PER-WORD marker between
+                    # every word. A single prefix token is NOT enough —
+                    # SimHash signatures of one-token-different docs stay
+                    # within hamming 3, so cross-replica copies remained
+                    # near-dups. A CONSTANT interleave marker (the r4–r7
+                    # form, " w{r} ") is not enough either: it makes
+                    # every other 3-shingle the degenerate (w{r} word
+                    # w{r}) — identical across ALL docs of a replica
+                    # containing that word, under the stop-shingle cap
+                    # (df ≈ docs-per-replica), so the inverted-index
+                    # join's co-pair count grew ~k² (caught by the r8
+                    # dedup_containment flag: 29× at k=10). Deriving the
+                    # marker from the preceding word (w{r}<word>) keeps
+                    # every shingle replica-specific while preserving the
+                    # base corpus's natural shingle-frequency shape.
                     col = F.concat(
-                        F.lit(f"r{r}d "), F.regexp_replace(col, " ", f" w{r} ")
+                        F.lit(f"r{r}d "),
+                        F.regexp_replace(col, r"(\S+) ", f"$1 w{r}$1 "),
                     ).alias(c)
                 elif tbl == "embeddings" and c == "embedding" and r > 0:
                     # rotate dims by r: uncorrelated across replicas
