@@ -176,6 +176,7 @@ def main() -> None:
         "text_char_diversity",
         "corpus_shuffle_shard",
         "iceberg_orphan_cleanup",
+        "iceberg_table_stats",
     ]
 
     times: dict[str, float] = {}

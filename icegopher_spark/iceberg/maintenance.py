@@ -929,3 +929,124 @@ def _has_equality_delete_entries(table: Table, snap) -> bool:
             if e.data_file.content == DataFileContent.EQUALITY_DELETES:
                 return True
     return False
+
+
+NDV_BLOB_TYPE = "ndv-long-v1"
+
+
+def compute_table_stats(
+    table: Table, spark: SparkSession, columns: list[str] | None = None
+) -> Table:
+    """ANALYZE for CBO: write a Puffin table-statistics file with one
+    per-column NDV blob and register it under the metadata's
+    ``statistics`` list (the Iceberg StatisticsFile spec — the hook
+    engines read distinct-count estimates from for join reordering and
+    broadcast decisions).
+
+    Blob type is the engine-specific ``ndv-long-v1`` (payload: the NDV
+    as 8 big-endian bytes), NOT ``apache-datasketches-theta-v1``: the
+    datasketches library is unavailable here and shipping a fake
+    payload under the standard type would corrupt any reader that
+    deserializes the sketch rather than reading the ``ndv`` property.
+    The ``ndv`` blob property — the field Trino/Spark actually consult
+    — is populated exactly per the spec's recommendation, and the
+    value is the EXACT distinct count (one count_distinct pass over
+    the scan, partial-aggregated; a theta sketch would only
+    approximate it). Re-running replaces the current snapshot's entry.
+
+    Scale: one wide aggregation over the table (all requested columns
+    in a single pass); the statistics file itself is O(columns).
+    """
+    import uuid as _uuid
+
+    from .puffin import write_puffin
+    from .types import VariantType
+    from .write import commit_metadata_update
+
+    snap = table.current_snapshot()
+    if snap is None:
+        return table
+    fields = [
+        f
+        for f in table.schema.fields
+        if f.field_type.is_primitive and not isinstance(f.field_type, VariantType)
+        and (columns is None or f.name in columns)
+    ]
+    if not fields:
+        raise ValueError("no stats-eligible columns selected")
+    df = table.scan(selected_fields=tuple(f.name for f in fields)).to_df(spark)
+    row = df.agg(
+        *[F.count_distinct(F.col(f.name)).alias(f.name) for f in fields]
+    ).collect()[0]
+
+    blobs = []
+    for f in fields:
+        ndv = int(row[f.name])
+        blobs.append(
+            (
+                ndv.to_bytes(8, "big"),
+                {
+                    "type": NDV_BLOB_TYPE,
+                    "snapshot-id": snap.snapshot_id,
+                    "sequence-number": snap.sequence_number,
+                    "fields": [f.field_id],
+                    "properties": {"ndv": str(ndv)},
+                },
+            )
+        )
+    data, metas = write_puffin(blobs)
+    path = f"{table.location}/metadata/stats-{_uuid.uuid4().hex}.puffin"
+    table.io.write(path, data)
+
+    stats_file = {
+        "snapshot-id": snap.snapshot_id,
+        "statistics-path": path,
+        "file-size-in-bytes": len(data),
+        # footer = everything after the last blob byte (magic + payload
+        # + payload-size + flags + magic)
+        "file-footer-size-in-bytes": len(data)
+        - (4 + sum(len(b) for b, _ in blobs)),
+        "blob-metadata": metas,
+    }
+    md = table.metadata
+    raw = md.to_json_dict()
+    kept = [
+        s
+        for s in md.statistics
+        if s.get("snapshot-id") != snap.snapshot_id
+    ]
+    raw["statistics"] = kept + [stats_file]
+    import time as _time
+
+    raw["last-updated-ms"] = int(_time.time() * 1000)
+    from .metadata import parse_metadata as _parse
+
+    new_md = _parse(raw)
+    updates = [
+        {
+            "action": "set-statistics",
+            "snapshot-id": snap.snapshot_id,
+            "statistics": stats_file,
+        }
+    ]
+    return commit_metadata_update(table, new_md, updates)
+
+
+def table_ndv(table: Table) -> dict[str, int]:
+    """Read back the CURRENT snapshot's registered NDV statistics as
+    {column name: ndv} — what a CBO integration would consult."""
+    snap = table.current_snapshot()
+    if snap is None:
+        return {}
+    by_id = {f.field_id: f.name for f in table.schema.fields}
+    out: dict[str, int] = {}
+    for s in table.metadata.statistics:
+        if s.get("snapshot-id") != snap.snapshot_id:
+            continue
+        for b in s.get("blob-metadata", []):
+            if b.get("type") != NDV_BLOB_TYPE or len(b.get("fields", [])) != 1:
+                continue
+            name = by_id.get(b["fields"][0])
+            if name is not None:
+                out[name] = int(b.get("properties", {}).get("ndv", 0))
+    return out

@@ -2028,3 +2028,66 @@ def iceberg_orphan_cleanup(spark: SparkSession, sf: str) -> DataFrame:
             F.sum(F.col("l_orderkey") % 1000).cast("bigint").alias("okey_chk"),
         )
     )
+
+
+# --- table statistics (ANALYZE / NDV), round-8 ------------------------------
+
+def _stats_table_for(spark: SparkSession, sf_dir: str) -> Table:
+    """Two-append lineitem with a registered Puffin statistics file:
+    per-column EXACT NDV blobs for the current snapshot
+    (maintenance.compute_table_stats)."""
+
+    def build(loc: str) -> Table:
+        from .iceberg.maintenance import compute_table_stats
+
+        li = _li4(spark, sf_dir)
+        t = W.create_table(loc, _SCHEMA, _SPEC)
+        t = W.append(t, li.filter(F.col("l_orderkey") % 2 == 0))
+        t = W.append(t, li.filter(F.col("l_orderkey") % 2 == 1))
+        return compute_table_stats(t, spark)
+
+    def valid(t: Table) -> bool:
+        snap = t.current_snapshot()
+        return (
+            len(t.metadata.snapshots) == 2
+            and snap is not None
+            and any(
+                s.get("snapshot-id") == snap.snapshot_id
+                for s in t.metadata.statistics
+            )
+        )
+
+    return _cached_table(sf_dir, "lineitem_stats", valid, build)
+
+
+ice_table_stats_oracle = """
+SELECT 'l_orderkey' AS col, CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS ndv FROM lineitem
+UNION ALL
+SELECT 'l_quantity', CAST(COUNT(DISTINCT l_quantity) AS BIGINT) FROM lineitem
+UNION ALL
+SELECT 'l_returnflag', CAST(COUNT(DISTINCT l_returnflag) AS BIGINT) FROM lineitem
+UNION ALL
+SELECT 'l_shipdate', CAST(COUNT(DISTINCT l_shipdate) AS BIGINT) FROM lineitem
+"""
+
+
+@register(
+    "iceberg_table_stats",
+    ice_table_stats_oracle,
+    "ANALYZE: per-column NDV written as a Puffin statistics file, "
+    "registered in metadata (StatisticsFile), read back via the blob "
+    "ndv properties — exact distinct counts",
+)
+def iceberg_table_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """The CBO statistics hook under an oracle: compute_table_stats
+    writes one NDV blob per column into a Puffin file and registers it
+    under metadata `statistics`; table_ndv reads the registration back
+    the way a cost model would — values must equal exact COUNT(DISTINCT)
+    (iceberg/maintenance.py:compute_table_stats/table_ndv)."""
+    from .iceberg.maintenance import table_ndv
+
+    t = _stats_table_for(spark, sf)
+    ndv = table_ndv(t)
+    return spark.createDataFrame(
+        sorted(ndv.items()), "col string, ndv bigint"
+    )

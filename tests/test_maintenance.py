@@ -594,3 +594,58 @@ def test_delete_where_dv_rename_safe(spark, tmp_path, lineitem):
     got = t.scan().to_df(spark)
     assert got.filter(F.col("qty") < 5.0).count() == 0
     assert got.count() == lineitem.limit(200).filter(F.col("l_quantity") >= 5.0).count()
+
+
+def test_compute_table_stats_ndv(spark, tmp_path):
+    """ANALYZE: exact NDV per column written as Puffin blobs, registered
+    under metadata statistics, replaced (not duplicated) on re-run, and
+    readable through both table_ndv and the raw Puffin footer."""
+    from icegopher_spark.iceberg import write as W
+    from icegopher_spark.iceberg.maintenance import (
+        NDV_BLOB_TYPE,
+        compute_table_stats,
+        table_ndv,
+    )
+    from icegopher_spark.iceberg.puffin import read_puffin_footer
+    from icegopher_spark.iceberg.schema import Schema
+    from icegopher_spark.iceberg.types import LongType, NestedField, StringType
+
+    sch = Schema(
+        (
+            NestedField(1, "k", LongType(), True),
+            NestedField(2, "tag", StringType(), False),
+        ),
+        schema_id=0,
+    )
+    loc = str(tmp_path / "stats")
+    t = W.create_table(loc, sch)
+    rows = [(i % 7, "ab"[i % 2]) for i in range(50)]
+    t = W.append(t, spark.createDataFrame(rows, "k long, tag string"))
+    t = compute_table_stats(t, spark)
+
+    assert table_ndv(t) == {"k": 7, "tag": 2}
+    reg = t.metadata.statistics
+    assert len(reg) == 1 and reg[0]["snapshot-id"] == t.current_snapshot().snapshot_id
+    # raw Puffin: blob payload is the 8-byte big-endian ndv; footer
+    # size registered exactly
+    data = t.io.read(reg[0]["statistics-path"])
+    footer = read_puffin_footer(data)
+    by_field = {b["fields"][0]: b for b in footer["blobs"]}
+    assert by_field[1]["type"] == NDV_BLOB_TYPE
+    off, ln = by_field[1]["offset"], by_field[1]["length"]
+    assert int.from_bytes(data[off : off + ln], "big") == 7
+    assert reg[0]["file-size-in-bytes"] == len(data)
+
+    # re-run replaces the entry for the same snapshot
+    t = compute_table_stats(t, spark)
+    assert len(t.metadata.statistics) == 1
+    # a new snapshot gets its own entry; the old one is retained
+    t = W.append(t, spark.createDataFrame([(99, "z")], "k long, tag string"))
+    t = compute_table_stats(t, spark)
+    assert len(t.metadata.statistics) == 2
+    assert table_ndv(t) == {"k": 8, "tag": 3}
+    # column subset + ineligible guard
+    t2 = compute_table_stats(t, spark, columns=["tag"])
+    assert table_ndv(t2)["tag"] == 3
+    with pytest.raises(ValueError, match="eligible"):
+        compute_table_stats(t, spark, columns=["nope"])

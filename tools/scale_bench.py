@@ -92,6 +92,7 @@ EXTRA_SCALE_QUERIES = [
     "text_char_diversity",
     "corpus_shuffle_shard",
     "iceberg_orphan_cleanup",
+    "iceberg_table_stats",
 ]
 SCALE_QUERIES = BENCH_QUERIES + EXTRA_SCALE_QUERIES
 from icegopher_spark.queries import QUERIES, load  # noqa: E402
