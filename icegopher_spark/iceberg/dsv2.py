@@ -257,6 +257,20 @@ class _BatchReader(DataSourceReader):
         # (same contract as TableScan.projection and DataSource.schema;
         # the current schema would hide columns dropped since — r6)
         current = scan.projection()
+        from .types import VariantType as _VarT
+
+        bad = [f.name for f in current.fields if isinstance(f.field_type, _VarT)]
+        if bad:
+            # same refusal as the streaming planners (r8 review: the
+            # batch face shares their executor pyarrow kernel, which
+            # cannot open the variant logical type — without this the
+            # failure is a raw OSError repeated across task retries)
+            raise ValueError(
+                f"the icegopher DataSource face cannot read variant "
+                f"column(s) {bad}: its executor kernel reads parquet "
+                "via pyarrow, which rejects the variant logical type — "
+                "use table.scan().to_df(spark) (Spark-native variant)"
+            )
         arrow_schema = to_arrow_schema(current.to_spark())
         md = t.metadata
         parts = []

@@ -636,9 +636,11 @@ def rewrite_position_delete_files(
     dv_by_file: dict[str, object] = {}
     affected: set[str] = set()
     fp_parts: dict[str, dict] = {}
+    default_spec = table.metadata.default_spec_id
     for t in table.scan().plan_files():
         dpath = strip_file_scheme(t.file.file_path)
-        fp_parts[dpath] = dict(t.file.partition or {})
+        if t.spec_id == default_spec:  # see write.py delete_where_dv (r8)
+            fp_parts[dpath] = dict(t.file.partition or {})
         has_pd = False
         for d in t.delete_files:
             if d.is_deletion_vector:
@@ -800,6 +802,7 @@ def rewrite_equality_deletes(
         _strip(t.file.file_path): dict(t.file.partition or {})
         for g in groups.values()
         for t in g["tasks"]
+        if t.spec_id == table.metadata.default_spec_id  # r8: spec guard
     }
     if not any_eq and not _has_equality_delete_entries(table, snap):
         return table  # nothing to convert
@@ -952,7 +955,9 @@ def compute_table_stats(
     — is populated exactly per the spec's recommendation, and the
     value is the EXACT distinct count (one count_distinct pass over
     the scan, partial-aggregated; a theta sketch would only
-    approximate it). Re-running replaces the current snapshot's entry.
+    approximate it). Re-running replaces the current snapshot's entry;
+    a ``columns=`` subset re-analyze merges with it (prior blobs for
+    unselected columns carry over byte-for-byte).
 
     Scale: one wide aggregation over the table (all requested columns
     in a single pass); the statistics file itself is O(columns).
@@ -994,6 +999,26 @@ def compute_table_stats(
                 },
             )
         )
+    # a column-subset re-analyze MERGES with the snapshot's existing
+    # registration instead of replacing it (r8 review: incremental
+    # per-column ANALYZE — the natural usage — silently destroyed the
+    # other columns' stats): blobs for field ids NOT being recomputed
+    # are carried over byte-for-byte from the prior statistics file.
+    recomputed = {f.field_id for f in fields}
+    for s in table.metadata.statistics:
+        if s.get("snapshot-id") != snap.snapshot_id:
+            continue
+        try:
+            prior = table.io.read(s["statistics-path"])
+        except Exception:  # noqa: BLE001 — a missing prior file only
+            continue  # loses its carried blobs, never the new ones
+        for b in s.get("blob-metadata", []):
+            fids = b.get("fields", [])
+            if any(fid in recomputed for fid in fids):
+                continue
+            payload = prior[b["offset"] : b["offset"] + b["length"]]
+            meta = {k: v for k, v in b.items() if k not in ("offset", "length")}
+            blobs.append((payload, meta))
     data, metas = write_puffin(blobs)
     path = f"{table.location}/metadata/stats-{_uuid.uuid4().hex}.puffin"
     table.io.write(path, data)

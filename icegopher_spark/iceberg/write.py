@@ -226,12 +226,18 @@ def _commit_metadata(io, location: str, md: TableMetadata, expected_version: int
 
 # --------------------------------------------------------------------------
 def _footer_num_rows(local_path: str) -> int:
-    """FileMetaData.num_rows (field 3, i64) from a parquet footer by a
-    minimal thrift COMPACT-protocol walk — used only when pyarrow
-    cannot open the footer (unrecognized logical types, e.g. parquet
-    `variant`). A generic wire-type skipper never interprets semantics,
-    so unknown logical types inside the schema elements are skipped
-    byte-exactly."""
+    return _footer_summary(local_path)[0]
+
+
+def _footer_summary(local_path: str) -> tuple[int, list[str]]:
+    """(FileMetaData.num_rows, top-level column names) from a parquet
+    footer by a minimal thrift COMPACT-protocol walk — used only when
+    pyarrow cannot open the footer (unrecognized logical types, e.g.
+    parquet `variant`). A generic wire-type skipper never interprets
+    semantics, so unknown logical types inside the schema elements are
+    skipped byte-exactly. Column names matter because lineage-
+    preserving rewrites record their materialized _row_id columns via
+    value_counts — stats the fallback must reconstruct (r8 review)."""
     with open(local_path, "rb") as fh:
         fh.seek(-8, 2)
         tail = fh.read(8)
@@ -313,7 +319,30 @@ def _footer_num_rows(local_path: str) -> int:
         else:
             raise ValueError(f"unknown thrift compact type {wtype}")
 
+    def parse_schema_element() -> tuple[str | None, int]:
+        """One SchemaElement struct: (name [field 4], num_children
+        [field 5, 0 for leaves]); everything else skipped."""
+        nonlocal pos
+        name, nc = None, 0
+        fid = 0
+        while True:
+            head = u8()
+            if head == 0:
+                return name, nc
+            delta, ft = head >> 4, head & 0x0F
+            fid = fid + delta if delta else zigzag()
+            if fid == 4 and ft == 8:
+                ln = varint()
+                name = buf[pos : pos + ln].decode("utf-8", "replace")
+                pos += ln
+            elif fid == 5 and ft == 5:
+                nc = zigzag()
+            else:
+                skip(ft)
+
     # top-level FileMetaData struct
+    num_rows: int | None = None
+    top_names: list[str] = []
     fid = 0
     while pos < len(buf):
         head = u8()
@@ -322,9 +351,43 @@ def _footer_num_rows(local_path: str) -> int:
         delta, ft = head >> 4, head & 0x0F
         fid = fid + delta if delta else zigzag()
         if fid == 3 and ft == 6:  # num_rows: i64
-            return zigzag()
-        skip(ft)
-    raise ValueError(f"{local_path}: footer has no num_rows field")
+            num_rows = zigzag()
+        elif fid == 2 and ft == 9:  # schema: list<SchemaElement>
+            lh = u8()
+            size, etype = lh >> 4, lh & 0x0F
+            if size == 15:
+                size = varint()
+            elements = []
+            for _ in range(size):
+                if etype == 12:
+                    elements.append(parse_schema_element())
+                else:  # malformed; skip generically
+                    skip(etype)
+            # flatten depth-first: elements[0] is the root; an element
+            # consumed while only the root's counter is open is a
+            # top-level column
+            if elements:
+                stack = [max(elements[0][1], 0)]
+                for name, nc in elements[1:]:
+                    if not stack:
+                        break
+                    if len(stack) == 1 and name is not None:
+                        top_names.append(name)
+                    stack[-1] -= 1
+                    if nc > 0:
+                        stack.append(nc)
+                    while stack and stack[-1] == 0:
+                        stack.pop()
+        else:
+            skip(ft)
+        if num_rows is not None and top_names and fid > 3:
+            # both captured (schema is field 2, num_rows field 3) —
+            # the remaining fields (row groups, kv metadata) are the
+            # bulk of the footer and carry nothing we need
+            break
+    if num_rows is None:
+        raise ValueError(f"{local_path}: footer has no num_rows field")
+    return num_rows, top_names
 
 
 # Stats collection from parquet footers
@@ -467,12 +530,32 @@ def collect_data_file(
         # field, record_count — bounds/counts stay absent (unshredded
         # variant is unprunable anyway; other columns merely lose
         # pruning on these files).
+        from .manifests import (
+            LAST_UPDATED_SEQ_COL as _LSC,
+            LAST_UPDATED_SEQ_FIELD_ID as _LSF,
+            ROW_ID_COL as _RIC,
+            ROW_ID_FIELD_ID as _RIF,
+        )
+
+        nrows, top_names = _footer_summary(strip_scheme(path))
+        # lineage-preserving rewrites materialize _row_id physically and
+        # are DETECTED via value_counts under the reserved ids — losing
+        # that here would make the id allocator re-consume and scans
+        # synthesize fresh ids, silently rewriting every row's lineage
+        # (r8 review). The rewrite path never writes NULL ids, so the
+        # reconstructed null count is 0 by construction.
+        vc = nc = None
+        if _RIC in top_names:
+            vc = {_RIF: nrows, _LSF: nrows} if _LSC in top_names else {_RIF: nrows}
+            nc = {fid: 0 for fid in vc}
         return DataFile(
             file_path=path,
             file_format="PARQUET",
-            record_count=_footer_num_rows(strip_scheme(path)),
+            record_count=nrows,
             file_size_in_bytes=os.path.getsize(strip_scheme(path)),
             partition=partition,
+            value_counts=vc,
+            null_value_counts=nc,
         )
     meta = f.metadata
     name_to_field = {field.name: field for field in schema.fields}
@@ -1790,7 +1873,13 @@ def delete_where_dv(
             key, {"tasks": [], "eq": t.eq_delete_files, "pd": set(), "dv": {}}
         )
         g["tasks"].append(t)
-        fp_parts[strip_file_scheme(t.file.file_path)] = dict(t.file.partition or {})
+        # stamp only current-spec partitions: a spec evolution that
+        # reuses a field NAME with a different transform would otherwise
+        # pass the writer's name-set guard and mis-encode old-era values
+        # under the new spec (r8 review — an external reader pruning
+        # delete files by partition would resurrect the deleted rows)
+        if t.spec_id == table.metadata.default_spec_id:
+            fp_parts[strip_file_scheme(t.file.file_path)] = dict(t.file.partition or {})
         for d in t.delete_files:
             if d.is_deletion_vector:
                 g["dv"][(d.file_path, d.content_offset)] = d

@@ -37,18 +37,29 @@ def _persist_rotating(key: str, df: DataFrame) -> DataFrame:
     df = df.persist(StorageLevel.MEMORY_AND_DISK)
     _PERSISTED[key] = df
     return df
+
+
 # Bucketing uses F.pmod so a negative id still lands in [0, 2^32) —
 # Spark's sign-preserving % would make every negative bucket pass any
 # `< threshold` filter. Cross-engine oracle equality (DuckDB's
-# sign-preserving %) additionally requires ids nonnegative and small
-# enough that id*MULT fits int64 (id < ~3.5e9): DuckDB promotes to
-# HUGEINT where Spark wraps silently. All gate corpora satisfy both.
+# sign-preserving %) additionally requires ids nonnegative. The id is
+# pre-reduced mod 2^31 so id*MULT stays inside int64 for ARBITRARY ids
+# (r8 review: Spark 4 runs ANSI mode — a raw id above ~3.47e9 made the
+# multiply throw ARITHMETIC_OVERFLOW, and DuckDB's HUGEINT promotion
+# diverged; the reduction changes nothing for ids < 2^31 and merely
+# folds the hash domain above it). Every oracle carries the same
+# `% 2147483648` inner reduction.
+_HASH_PREMOD = 2**31
 
 
 def _bucket(id_col: str) -> "F.Column":
     """Knuth-hash bucket of an id in [0, 2^32) — the uniform, engine-
     reproducible sort key behind every deterministic sampler here."""
-    return F.pmod(F.col(id_col).cast("bigint") * F.lit(_HASH_MULT), F.lit(_HASH_MOD))
+    return F.pmod(
+        F.pmod(F.col(id_col).cast("bigint"), F.lit(_HASH_PREMOD))
+        * F.lit(_HASH_MULT),
+        F.lit(_HASH_MOD),
+    )
 
 
 def _sharded_rank(
@@ -487,9 +498,10 @@ def shuffle_shard(
     pseudorandom 32-bit sort key from the seeded Knuth multiplicative
     hash — exact integer arithmetic, so every engine, run, and
     partitioning agrees — and shard = key mod n_shards. The id is
-    reduced mod 2^32 BEFORE the multiply so the product stays inside
-    int64 for arbitrarily large ids (a raw 1e12 id times the Knuth
-    constant overflows; the reduction changes nothing for ids < 2^32).
+    reduced mod 2^31 BEFORE the multiply so the product stays inside
+    int64 for arbitrarily large ids under ANSI mode (a reduced id above
+    ~3.47e9 times the Knuth constant overflows int64 — r8 review; the
+    reduction changes nothing for ids < 2^31).
 
     A training job writes df.withColumn('shard', ...).write
     .partitionBy('shard'); this operator returns the shard-level
@@ -498,7 +510,7 @@ def shuffle_shard(
     Pure codegen: one map pass + one n_shards-row aggregation.
     """
     key = F.pmod(
-        F.pmod(F.col(id_col).cast("bigint"), F.lit(_HASH_MOD))
+        F.pmod(F.col(id_col).cast("bigint"), F.lit(_HASH_PREMOD))
         * F.lit(_HASH_MULT)
         + F.lit(int(seed)),
         F.lit(_HASH_MOD),

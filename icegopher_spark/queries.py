@@ -1403,7 +1403,7 @@ _sample_case = "CASE lang " + " ".join(
 weighted_sample_oracle = f"""
 SELECT lang, COUNT(*) AS n_docs, CAST(SUM(doc_id) AS BIGINT) AS sum_ids
 FROM documents
-WHERE (doc_id * 2654435761) % 4294967296 <
+WHERE ((doc_id % 2147483648) * 2654435761) % 4294967296 <
       CAST(FLOOR(({_sample_case}) * 4294967296) AS BIGINT)
 GROUP BY lang
 """
@@ -1944,7 +1944,7 @@ WITH r AS (
   SELECT doc_id, lang,
          ROW_NUMBER() OVER (
            PARTITION BY lang
-           ORDER BY (doc_id * 2654435761) % 4294967296, doc_id
+           ORDER BY ((doc_id % 2147483648) * 2654435761) % 4294967296, doc_id
          ) AS sample_rank
   FROM documents
 )
@@ -2117,7 +2117,7 @@ q AS (SELECT lang, ((nn * 1 // 2) * w) // ws AS quota FROM s, t),
 r AS (SELECT doc_id, lang,
         ROW_NUMBER() OVER (
           PARTITION BY lang
-          ORDER BY (doc_id * 2654435761) % 4294967296, doc_id
+          ORDER BY ((doc_id % 2147483648) * 2654435761) % 4294967296, doc_id
         ) AS rnk
       FROM documents)
 SELECT r.doc_id, r.lang FROM r JOIN q USING (lang) WHERE rnk <= quota
@@ -2202,7 +2202,7 @@ WITH r AS (
   SELECT doc_id, lang, n_chars,
          ROW_NUMBER() OVER (
            PARTITION BY lang
-           ORDER BY n_chars, (doc_id * 2654435761) % 4294967296, doc_id
+           ORDER BY n_chars, ((doc_id % 2147483648) * 2654435761) % 4294967296, doc_id
          ) AS rnk,
          COUNT(*) OVER (PARTITION BY lang) AS n
   FROM documents
@@ -2812,7 +2812,7 @@ def char_diversity_q(spark: SparkSession, sf: str) -> DataFrame:
 shuffle_shard_oracle = """
 WITH d AS (
   SELECT doc_id,
-         ((doc_id % 4294967296) * 2654435761) % 4294967296 AS key,
+         ((doc_id % 2147483648) * 2654435761) % 4294967296 AS key,
          CAST(len(regexp_extract_all(text, '[^ \\t\\n\\x0B\\f\\r]+')) AS BIGINT) AS tok
   FROM documents
 )

@@ -570,3 +570,34 @@ def test_dsv2_temporal_partition_writes_match_native(spark, tmp_path):
         # partition pruning must hold on the dsv2-written table
         flt = E.less_than("ts", dt.datetime(2024, 1, 2))
         assert len(t.scan(row_filter=flt).plan_files()) == 1
+
+
+def test_dsv2_refuses_variant_columns(spark, tmp_path):
+    """r8 review: the batch DataSource face shares the streams' pyarrow
+    executor kernel — it must refuse variant tables at PLAN time with
+    the same actionable message, not die per-task in pyarrow."""
+    from pyspark.sql import functions as F
+
+    from icegopher_spark.iceberg import write as W
+    from icegopher_spark.iceberg.dsv2 import IcebergDataSource
+    from icegopher_spark.iceberg.schema import Schema
+    from icegopher_spark.iceberg.types import LongType, NestedField, VariantType
+
+    sch = Schema(
+        (
+            NestedField(1, "k", LongType(), True),
+            NestedField(2, "v", VariantType(), False),
+        ),
+        schema_id=0,
+    )
+    loc = str(tmp_path / "vds")
+    t = W.create_table(loc, sch, format_version=3)
+    t = W.append(
+        t,
+        spark.range(3).select(
+            F.col("id").alias("k"), F.parse_json(F.lit('{"a":1}')).alias("v")
+        ),
+    )
+    spark.dataSource.register(IcebergDataSource)
+    with pytest.raises(Exception, match="variant"):
+        spark.read.format("icegopher").option("location", loc).load().count()

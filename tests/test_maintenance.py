@@ -644,8 +644,9 @@ def test_compute_table_stats_ndv(spark, tmp_path):
     t = compute_table_stats(t, spark)
     assert len(t.metadata.statistics) == 2
     assert table_ndv(t) == {"k": 8, "tag": 3}
-    # column subset + ineligible guard
+    # column subset MERGES with the snapshot's prior registration
+    # (r8 review: a partial re-analyze must not destroy other columns)
     t2 = compute_table_stats(t, spark, columns=["tag"])
-    assert table_ndv(t2)["tag"] == 3
+    assert table_ndv(t2) == {"k": 8, "tag": 3}
     with pytest.raises(ValueError, match="eligible"):
         compute_table_stats(t, spark, columns=["nope"])

@@ -1295,3 +1295,29 @@ def test_char_diversity(spark):
     assert got[3]["simpson"] == 0.0 and got[3]["n_distinct"] == 1
     # case-folded: AaB == aab
     assert got[4]["sum_sq"] == 5 and got[4]["n_distinct"] == 2
+
+
+def test_hash_bucket_no_overflow_on_huge_ids(spark):
+    """r8 review: Spark 4 runs ANSI mode — (id % 2^32) * KNUTH overflows
+    int64 for reduced ids above ~3.47e9 and THREW instead of hashing.
+    The 2^31 pre-reduction must keep every id finite-hashable and agree
+    with DuckDB running the oracle arithmetic."""
+    import duckdb
+
+    from icegopher_spark.operators import curation as C
+
+    ids = [0, 1, 12345, 2**31 - 1, 2**31, 3_567_587_328, 4_000_000_000, 2**40 + 7]
+    df = spark.createDataFrame([(i, "x") for i in ids], "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["b"]
+        for r in df.select("doc_id", C._bucket("doc_id").alias("b")).collect()
+    }
+    con = duckdb.connect()
+    for i in ids:
+        want = con.execute(
+            f"SELECT ((({i} % 2147483648) * 2654435761) % 4294967296)::BIGINT"
+        ).fetchone()[0]
+        assert got[i] == want, i
+    # shuffle_shard end-to-end on the same ids (seeded key + shard)
+    out = C.shuffle_shard(df, n_shards=4).collect()
+    assert sum(r["n_docs"] for r in out) == len(ids)

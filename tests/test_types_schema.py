@@ -527,3 +527,51 @@ def test_footer_num_rows_matches_pyarrow():
     assert paths
     for p in paths:
         assert _footer_num_rows(p) == pq.ParquetFile(p).metadata.num_rows
+
+
+def test_variant_table_lineage_preserving_compaction(spark, tmp_path):
+    """r8 review: the variant footer fallback must reconstruct the
+    reserved-column value_counts, or a lineage-preserving compaction of
+    a variant table silently reassigns every row's _row_id (the
+    allocator re-consumes and scans synthesize ids instead of reading
+    the materialized column)."""
+    from pyspark.sql import functions as F
+
+    from icegopher_spark.iceberg import write as W
+    from icegopher_spark.iceberg.maintenance import compact_data_files
+    from icegopher_spark.iceberg.manifests import has_materialized_row_ids
+    from icegopher_spark.iceberg.schema import Schema
+    from icegopher_spark.iceberg.types import LongType, NestedField, VariantType
+
+    sch = Schema(
+        (
+            NestedField(1, "k", LongType(), True),
+            NestedField(2, "v", VariantType(), False),
+        ),
+        schema_id=0,
+    )
+    loc = str(tmp_path / "varcomp")
+    t = W.create_table(loc, sch, format_version=3)
+    for lo in (0, 10):
+        df = spark.range(lo, lo + 10).select(
+            F.col("id").alias("k"),
+            F.parse_json(
+                F.concat(F.lit('{"q": '), F.col("id").cast("string"), F.lit("}"))
+            ).alias("v"),
+        )
+        t = W.append(t, df.coalesce(1))
+    before = {
+        r["k"]: r["_row_id"]
+        for r in t.scan(with_lineage=True).to_df(spark).collect()
+    }
+    assert sorted(before.values()) == list(range(20))
+
+    t = compact_data_files(t, spark, small_file_threshold=10**9)
+    # the rewritten (variant-bearing) file is detected as id-carrying
+    tasks = t.scan().plan_files()
+    assert any(has_materialized_row_ids(task.file) for task in tasks)
+    after = {
+        r["k"]: r["_row_id"]
+        for r in t.scan(with_lineage=True).to_df(spark).collect()
+    }
+    assert after == before  # lineage survived the rewrite byte-exactly

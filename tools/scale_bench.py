@@ -162,25 +162,26 @@ def build_scaled(spark, k: int) -> str:
                 if c in _KEYS:
                     col = (col + F.lit(r * strides[c])).alias(c)
                 elif tbl == "documents" and c == "text":
-                    # interleave a per-replica, PER-WORD marker between
-                    # every word. A single prefix token is NOT enough —
-                    # SimHash signatures of one-token-different docs stay
-                    # within hamming 3, so cross-replica copies remained
+                    # prefix EVERY word with a replica marker (w{r}<word>).
+                    # A single doc-prefix token is NOT enough — SimHash
+                    # signatures of one-token-different docs stay within
+                    # hamming 3, so cross-replica copies remained
                     # near-dups. A CONSTANT interleave marker (the r4–r7
-                    # form, " w{r} ") is not enough either: it makes
-                    # every other 3-shingle the degenerate (w{r} word
-                    # w{r}) — identical across ALL docs of a replica
-                    # containing that word, under the stop-shingle cap
-                    # (df ≈ docs-per-replica), so the inverted-index
-                    # join's co-pair count grew ~k² (caught by the r8
-                    # dedup_containment flag: 29× at k=10). Deriving the
-                    # marker from the preceding word (w{r}<word>) keeps
-                    # every shingle replica-specific while preserving the
-                    # base corpus's natural shingle-frequency shape.
-                    col = F.concat(
-                        F.lit(f"r{r}d "),
-                        F.regexp_replace(col, r"(\S+) ", f"$1 w{r}$1 "),
-                    ).alias(c)
+                    # form, " w{r} ") is not enough either: it makes every
+                    # other 3-shingle the degenerate (w{r} word w{r}) —
+                    # identical across ALL docs of a replica containing
+                    # that word, under the stop-shingle df cap, so the
+                    # inverted-index join's co-pair count grew ~k² (caught
+                    # by the r8 dedup_containment flag: 29× at k=10); and
+                    # any interleave DOUBLES shingles/doc (~4× co-pairs
+                    # per replica — still a flag at 22×). Per-word
+                    # prefixing is a 1:1 token isomorphism with the base
+                    # corpus: per-replica shingle structure, df
+                    # distribution, and co-pair count are EXACTLY the
+                    # base's (measured: 11533 == 11533 per replica, 2
+                    # replicas == 2.00×), so any residual super-linearity
+                    # is the plan's fault, not the harness's.
+                    col = F.regexp_replace(col, r"(\S+)", f"w{r}$1").alias(c)
                 elif tbl == "embeddings" and c == "embedding" and r > 0:
                     # rotate dims by r: uncorrelated across replicas
                     n = 64
