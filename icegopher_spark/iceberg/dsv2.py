@@ -257,9 +257,9 @@ class _BatchReader(DataSourceReader):
         # (same contract as TableScan.projection and DataSource.schema;
         # the current schema would hide columns dropped since — r6)
         current = scan.projection()
-        from .types import VariantType as _VarT
+        from .types import contains_variant as _has_var
 
-        bad = [f.name for f in current.fields if isinstance(f.field_type, _VarT)]
+        bad = [f.name for f in current.fields if _has_var(f.field_type)]
         if bad:
             # same refusal as the streaming planners (r8 review: the
             # batch face shares their executor pyarrow kernel, which
@@ -559,6 +559,22 @@ class _BatchWriter(DataSourceArrowWriter):
         from .types import to_spark_type
 
         t = load_table_for_commit(self.options)
+        from .types import contains_variant
+
+        bad = [f.name for f in t.schema.fields if contains_variant(f.field_type)]
+        if bad:
+            # the executor pq.ParquetWriter would emit a PLAIN
+            # struct<metadata,value> without the parquet variant
+            # logical-type annotation — a silently-committed file whose
+            # physical type contradicts the table's declared VariantType
+            # and fails long after the commit (r8 review wave 2). Spark's
+            # own parquet writer annotates correctly: use W.append.
+            raise ValueError(
+                f"the icegopher DataSource face cannot WRITE variant "
+                f"column(s) {bad}: its pyarrow writer would drop the "
+                "variant logical-type annotation — write through "
+                "iceberg.write.append (Spark-native variant) instead"
+            )
         self.schema_plan = tuple(
             (
                 f.name,

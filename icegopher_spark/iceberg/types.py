@@ -488,3 +488,20 @@ def from_spark_type(dt: T.DataType, next_id) -> IcebergType:
     if dt in rev:
         return rev[dt]
     raise ValueError(f"cannot convert Spark type {dt} to Iceberg")
+
+
+def contains_variant(t: IcebergType) -> bool:
+    """True when ``t`` is or nests a VariantType anywhere (struct field,
+    list element, map key/value). The pyarrow-kernel faces must refuse
+    such schemas at PLAN time — a top-level-only isinstance check lets
+    struct<payload: variant> through to an undiagnosable executor
+    OSError (r8 review wave 2)."""
+    if isinstance(t, VariantType):
+        return True
+    if isinstance(t, StructType):
+        return any(contains_variant(f.field_type) for f in t.fields)
+    if isinstance(t, ListType):
+        return contains_variant(t.element_type)
+    if isinstance(t, MapType):
+        return contains_variant(t.key_type) or contains_variant(t.value_type)
+    return False

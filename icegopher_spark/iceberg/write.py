@@ -379,12 +379,14 @@ def _footer_summary(local_path: str) -> tuple[int, list[str]]:
                     while stack and stack[-1] == 0:
                         stack.pop()
         else:
+            if num_rows is not None and top_names:
+                # both captured (schema is field 2, num_rows field 3) —
+                # everything else (row groups, kv metadata) is the bulk
+                # of the footer and carries nothing we need; break
+                # BEFORE skipping it (r8 review wave 2: breaking after
+                # skip(ft) still byte-walked the whole RowGroup list)
+                break
             skip(ft)
-        if num_rows is not None and top_names and fid > 3:
-            # both captured (schema is field 2, num_rows field 3) —
-            # the remaining fields (row groups, kv metadata) are the
-            # bulk of the footer and carry nothing we need
-            break
     if num_rows is None:
         raise ValueError(f"{local_path}: footer has no num_rows field")
     return num_rows, top_names
@@ -590,6 +592,8 @@ def collect_data_file(
 
     import math as _math
 
+    from .types import VariantType as _VarT
+
     def _nanish(x) -> bool:
         return isinstance(x, float) and _math.isnan(x)
 
@@ -628,8 +632,6 @@ def collect_data_file(
             field = name_to_field.get(name)
             if field is None or not field.field_type.is_primitive:
                 continue
-            from .types import VariantType as _VarT
-
             if isinstance(field.field_type, _VarT):
                 # variant is logically primitive but physically a
                 # struct<metadata, value> — two parquet chunks per
@@ -1211,8 +1213,16 @@ def _maybe_merge_manifests(
                 partition_spec_id=spec.spec_id,
                 content=ManifestContent.DATA,
                 sequence_number=seq,
+                # `or seq` would replace a LEGITIMATE sequence 0 (v1-era
+                # upgraded manifests) with the new commit's, overstating
+                # min-sequence-number and letting external readers skip
+                # applicable deletes (r8 review wave 2)
                 min_sequence_number=min(
-                    (e.sequence_number or seq for e in entries), default=seq
+                    (
+                        e.sequence_number if e.sequence_number is not None else seq
+                        for e in entries
+                    ),
+                    default=seq,
                 ),
                 added_snapshot_id=snap_id,
                 added_files_count=0,

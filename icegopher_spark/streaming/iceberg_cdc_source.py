@@ -147,9 +147,9 @@ class _CdcStreamReader(_AppendStreamReader):
 
         t = self._table()
         io, md, current = t.io, t.metadata, t.schema
-        from ..iceberg.types import VariantType as _VarT
+        from ..iceberg.types import contains_variant as _has_var
 
-        bad = [f.name for f in current.fields if isinstance(f.field_type, _VarT)]
+        bad = [f.name for f in current.fields if _has_var(f.field_type)]
         if bad:
             raise ValueError(
                 f"streaming source cannot read variant column(s) {bad}: "

@@ -159,9 +159,9 @@ class _AppendStreamReader(DataSourceStreamReader):
         io = t.io
         md = t.metadata
         current = t.schema
-        from ..iceberg.types import VariantType as _VarT
+        from ..iceberg.types import contains_variant as _has_var
 
-        bad = [f.name for f in current.fields if isinstance(f.field_type, _VarT)]
+        bad = [f.name for f in current.fields if _has_var(f.field_type)]
         if bad:
             raise ValueError(
                 f"streaming source cannot read variant column(s) {bad}: "

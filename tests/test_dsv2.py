@@ -601,3 +601,68 @@ def test_dsv2_refuses_variant_columns(spark, tmp_path):
     spark.dataSource.register(IcebergDataSource)
     with pytest.raises(Exception, match="variant"):
         spark.read.format("icegopher").option("location", loc).load().count()
+
+
+def test_dsv2_refuses_variant_write_and_nested_variant_read(spark, tmp_path):
+    """r8 review wave 2: (a) the WRITE face must refuse variant tables
+    (its pyarrow writer would drop the variant logical-type annotation
+    and commit files contradicting the declared schema); (b) the read
+    guards must catch variant NESTED inside a struct, not just
+    top-level columns."""
+    from pyspark.sql import functions as F
+
+    from icegopher_spark.iceberg import write as W
+    from icegopher_spark.iceberg.dsv2 import IcebergDataSource
+    from icegopher_spark.iceberg.schema import Schema
+    from icegopher_spark.iceberg.types import (
+        LongType,
+        NestedField,
+        StructType,
+        VariantType,
+    )
+
+    # (a) write refusal on a plain variant table
+    sch = Schema(
+        (
+            NestedField(1, "k", LongType(), True),
+            NestedField(2, "v", VariantType(), False),
+        ),
+        schema_id=0,
+    )
+    loc = str(tmp_path / "vw")
+    W.create_table(loc, sch, format_version=3)
+    spark.dataSource.register(IcebergDataSource)
+    with pytest.raises(Exception, match="cannot WRITE variant"):
+        (
+            spark.range(2)
+            .select(F.col("id").alias("k"), F.parse_json(F.lit("{}")).alias("v"))
+            .write.format("icegopher")
+            .mode("append")
+            .option("location", loc)
+            .save()
+        )
+
+    # (b) nested variant read refusal
+    nsch = Schema(
+        (
+            NestedField(1, "k", LongType(), True),
+            NestedField(
+                2,
+                "s",
+                StructType((NestedField(3, "payload", VariantType(), False),)),
+                False,
+            ),
+        ),
+        schema_id=0,
+    )
+    nloc = str(tmp_path / "vn")
+    t = W.create_table(nloc, nsch, format_version=3)
+    t = W.append(
+        t,
+        spark.range(2).select(
+            F.col("id").alias("k"),
+            F.struct(F.parse_json(F.lit('{"a":1}')).alias("payload")).alias("s"),
+        ),
+    )
+    with pytest.raises(Exception, match="variant"):
+        spark.read.format("icegopher").option("location", nloc).load().count()

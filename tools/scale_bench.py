@@ -181,7 +181,11 @@ def build_scaled(spark, k: int) -> str:
                     # base's (measured: 11533 == 11533 per replica, 2
                     # replicas == 2.00×), so any residual super-linearity
                     # is the plan's fault, not the harness's.
-                    col = F.regexp_replace(col, r"(\S+)", f"w{r}$1").alias(c)
+                    # the trailing '_' keeps markers prefix-free for
+                    # ANY k (r8 review wave 2: at k=11, replica 1's
+                    # digit-leading word '0foo' would collide with
+                    # replica 10's 'foo' as 'w10foo')
+                    col = F.regexp_replace(col, r"(\S+)", f"w{r}_$1").alias(c)
                 elif tbl == "embeddings" and c == "embedding" and r > 0:
                     # rotate dims by r: uncorrelated across replicas
                     n = 64
