@@ -23,7 +23,6 @@ from .expressions import (
     BoundPredicate,
     Not,
     Or,
-    UnboundPredicate,
     ensure_bound,
     rewrite_not,
 )
@@ -41,7 +40,7 @@ from .transforms import (
     VoidTransform,
     YearTransform,
 )
-from .types import DoubleType, FloatType, NestedField, StringType, StructType
+from .types import DoubleType, FloatType, NestedField, StringType
 
 ROWS_MIGHT_MATCH = True
 ROWS_CANNOT_MATCH = False

@@ -25,7 +25,7 @@ from .literals import (
     L,
 )
 from .schema import Accessor, Schema
-from .types import DoubleType, FloatType, IcebergType, NestedField
+from .types import DecimalType, DoubleType, FloatType, IcebergType, NestedField
 
 # -- operations -------------------------------------------------------------
 
@@ -175,13 +175,66 @@ class UnboundPredicate(BooleanExpression):
                 raise ValueError(f"{self.op} on non-floating column {field.name!r}")
             return BoundPredicate(self.op, bound_term)
 
+        # float -> decimal comparisons: an INEXACT literal must adjust
+        # the operator, never round the value (r8 review wave 3: d <
+        # 0.994 on decimal(4,2) rounded to d < 0.99, flipping the
+        # verdict for rows at exactly 0.99 in BOTH pruning and the
+        # exact refilter). Rewritten to the equivalent exact decimal
+        # comparison: lt/le v -> le floor(v); gt/ge v -> ge ceil(v);
+        # eq -> constant false; ne -> not-null; inexact IN/NOT_IN
+        # members can never equal a column value and drop out.
+        op = self.op
+        lits = list(self.literals)
+        ftype = field.field_type
+        if isinstance(ftype, DecimalType) and any(
+            isinstance(l.value, float) and not isinstance(l.value, bool)
+            for l in lits
+        ):
+            import decimal as _dec
+            from decimal import Decimal as _D
+
+            def _floor_split(v: float):
+                with _dec.localcontext() as ctx:
+                    ctx.prec = 80
+                    d = _D(str(v))
+                    fl = d.quantize(
+                        _D(1).scaleb(-ftype.scale), rounding=_dec.ROUND_FLOOR
+                    )
+                return d, fl
+
+            if op in ("lt", "le", "gt", "ge") and len(lits) == 1:
+                d, fl = _floor_split(lits[0].value)
+                if fl != d:
+                    if op in ("lt", "le"):
+                        op, lits = "le", [Literal(fl, ftype)]
+                    else:
+                        op = "ge"
+                        lits = [Literal(fl + _D(1).scaleb(-ftype.scale), ftype)]
+            elif op in ("eq", "ne") and len(lits) == 1:
+                d, fl = _floor_split(lits[0].value)
+                if fl != d:
+                    if op == "eq":
+                        return AlwaysFalse()
+                    if field.required:
+                        return AlwaysTrue()
+                    return BoundPredicate("not_null", bound_term)
+            elif op in ("in", "not_in"):
+                kept = []
+                for l in lits:
+                    if isinstance(l.value, float) and not isinstance(l.value, bool):
+                        d, fl = _floor_split(l.value)
+                        if fl != d:
+                            continue
+                    kept.append(l)
+                lits = kept
+
         # literal promotion to the column type, with overflow folding
         # (reference expressions.go:146-154 + literals.go:155-217)
         cast: list[Literal] = []
-        for lit in self.literals:
+        for lit in lits:
             out = lit.to(field.field_type)
             if out in SENTINELS:
-                folded = _fold_sentinel(self.op, out)
+                folded = _fold_sentinel(op, out)
                 if folded is not None:
                     # a vacuously-true comparison still excludes NULL
                     # rows in SQL (NULL < 2^40 is not TRUE), and the
@@ -196,9 +249,9 @@ class UnboundPredicate(BooleanExpression):
                 continue  # sentinel member of IN-set: drop it
             cast.append(out)
 
-        if self.op in SET_OPS:
+        if op in SET_OPS:
             if not cast:
-                if self.op == "in":
+                if op == "in":
                     return AlwaysFalse()
                 # empty not_in: vacuously true for non-null rows only
                 if field.required:
@@ -206,10 +259,10 @@ class UnboundPredicate(BooleanExpression):
                 return BoundPredicate("not_null", bound_term)
             vals = tuple(dict.fromkeys(cast))  # dedup, keep order
             if len(vals) == 1:
-                eq_op = "eq" if self.op == "in" else "ne"
+                eq_op = "eq" if op == "in" else "ne"
                 return BoundPredicate(eq_op, bound_term, vals)
-            return BoundPredicate(self.op, bound_term, vals)
-        return BoundPredicate(self.op, bound_term, tuple(cast))
+            return BoundPredicate(op, bound_term, vals)
+        return BoundPredicate(op, bound_term, tuple(cast))
 
 
 def _fold_sentinel(op: str, sentinel) -> BooleanExpression | None:

@@ -342,7 +342,7 @@ def _cast(src: IcebergType, v: Any, target: IcebergType) -> Any:
         # versa instead of raising 'cannot cast' (r6 review)
         return v
     if isinstance(src, (TimestampType, TimestampTzType)) and isinstance(target, DateType):
-        return v // 86_400_000_000 if v >= 0 else -((-v + 86_400_000_000 - 1) // 86_400_000_000)
+        return v // 86_400_000_000  # Python // already floors toward -inf
     if isinstance(src, DateType) and isinstance(target, (TimestampType, TimestampTzType)):
         return v * 86_400_000_000
     # bytes ↔ fixed
@@ -385,7 +385,12 @@ def literal_to_bytes(lit: Literal) -> bytes:
     if isinstance(t, DecimalType):
         from .transforms import _min_twos_complement_len
 
-        unscaled = int(v.scaleb(t.scale).to_integral_value())
+        # explicit 80-digit context: the default 28-digit context rounds
+        # 29..38-digit unscaled values during scaleb, corrupting stats
+        # bounds on write (r8 review wave 3)
+        with _decimal.localcontext() as _ctx:
+            _ctx.prec = 80
+            unscaled = int(v.scaleb(t.scale).to_integral_value())
         # MINIMAL two's complement (Java BigInteger.toByteArray): the
         # old formula padded exact negative powers like -128 to ff80,
         # spec-divergent bytes for external readers (r6)
@@ -422,7 +427,11 @@ def literal_from_bytes(data: bytes, t: IcebergType) -> Literal:
         return Literal(bytes(data), t)
     if isinstance(t, DecimalType):
         unscaled = int.from_bytes(data, "big", signed=True)
-        return Literal(Decimal(unscaled).scaleb(-t.scale), t)
+        # same 80-digit context on decode: a correctly-written 38-digit
+        # bound must not round while rescaling (r8 review wave 3)
+        with _decimal.localcontext() as _ctx:
+            _ctx.prec = 80
+            return Literal(Decimal(unscaled).scaleb(-t.scale), t)
     raise TypeError(f"cannot deserialize {t}")
 
 

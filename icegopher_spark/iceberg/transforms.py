@@ -106,12 +106,36 @@ def _min_twos_complement_len(v: int) -> int:
 
 def _bucket_encode(value: Any, t: IcebergType) -> bytes:
     """Single-value encoding for bucket hashing (Iceberg spec)."""
-    if isinstance(t, (IntegerType, LongType, DateType, TimeType, TimestampType, TimestampTzType)):
+    from .types import TimestampNsType, TimestampTzNsType
+
+    if isinstance(
+        t,
+        (
+            IntegerType,
+            LongType,
+            DateType,
+            TimeType,
+            TimestampType,
+            TimestampTzType,
+            # V3: bucket over timestamp_ns hashes the raw nanos long
+            # (spec appendix B hashes the underlying long value)
+            TimestampNsType,
+            TimestampTzNsType,
+        ),
+    ):
         return struct.pack("<q", int(value))
     if isinstance(t, StringType):
         return value.encode("utf-8")
     if isinstance(t, DecimalType):
-        unscaled = int(Decimal(value).scaleb(t.scale).to_integral_value())
+        # explicit high-precision context: the DEFAULT 28-digit context
+        # silently ROUNDS unscaled values of decimal(29..38) columns,
+        # hashing the wrong bytes (r8 review wave 3; literals._to_decimal
+        # fixed the same trap in r6)
+        import decimal as _dec
+
+        with _dec.localcontext() as _ctx:
+            _ctx.prec = 80
+            unscaled = int(Decimal(value).scaleb(t.scale).to_integral_value())
         length = _min_twos_complement_len(unscaled)
         return unscaled.to_bytes(length, "big", signed=True)
     if isinstance(t, UUIDType):
@@ -337,6 +361,28 @@ def _series_to_int64_encoding(s, st: IcebergType):
             scale_up = {"s": 1_000_000, "ms": 1_000, "us": 1}
             micros = iv // 1_000 if unit == "ns" else iv * scale_up[unit]
             return micros, mask
+        # object dtype of datetime.datetime (pyarrow timestamp_as_object
+        # or far-range values): exact integer micros, mirroring the
+        # DateType object path below — falling through to the generic
+        # int64 conversion raised TypeError (r8 review wave 3)
+        mask = s.isna().to_numpy()
+        epoch_dt = _dt.datetime(1970, 1, 1)
+        one_us = _dt.timedelta(microseconds=1)
+        micros = np.fromiter(
+            (
+                0
+                if m
+                else (
+                    (v.astimezone(_dt.timezone.utc).replace(tzinfo=None) if v.tzinfo else v)
+                    - epoch_dt
+                )
+                // one_us
+                for v, m in zip(s, mask.tolist())
+            ),
+            dtype=np.int64,
+            count=len(s),
+        )
+        return micros, mask
     elif isinstance(st, DateType):
         mask = s.isna().to_numpy()
         if pd.api.types.is_datetime64_any_dtype(s.dtype):
@@ -491,8 +537,18 @@ class TruncateTransform(Transform):
         if isinstance(source_type, (IntegerType, LongType)):
             return value - (value % w)  # Python % is floor-mod, spec-correct for negatives
         if isinstance(source_type, DecimalType):
-            unscaled = int(Decimal(value).scaleb(source_type.scale).to_integral_value())
-            return Decimal(unscaled - (unscaled % w)).scaleb(-source_type.scale)
+            # high-precision context: the default 28-digit context rounds
+            # 29..38-digit unscaled values on BOTH scaleb calls (r8 wave 3)
+            import decimal as _dec
+
+            with _dec.localcontext() as _ctx:
+                _ctx.prec = 80
+                unscaled = int(
+                    Decimal(value).scaleb(source_type.scale).to_integral_value()
+                )
+                return Decimal(unscaled - (unscaled % w)).scaleb(
+                    -source_type.scale
+                )
         if isinstance(source_type, StringType):
             return value[:w]
         if isinstance(source_type, (BinaryType, FixedType)):
@@ -531,6 +587,14 @@ class _TemporalTransform(Transform):
         if isinstance(source_type, DateType):
             days = value
             return self._from_days(days)
+        from .types import TimestampNsType, TimestampTzNsType
+
+        if isinstance(source_type, (TimestampNsType, TimestampTzNsType)):
+            # V3 nanos: floor-divide to micros first (the spec's temporal
+            # transforms are defined on the µs plane; treating nanos as
+            # micros made projected day ordinals 1000x too large, so
+            # eq/ge pruning silently dropped every file — r8 wave 3)
+            return self._from_micros(value // 1000)
         micros = value
         return self._from_micros(micros)
 
@@ -683,10 +747,18 @@ def parse_transform(s: str) -> Transform:
         return HourTransform()
     m = _BUCKET_RE.match(sl)
     if m:
-        return BucketTransform(int(m.group(1)))
+        n = int(m.group(1))
+        if n <= 0:
+            # loud at parse time, not ZeroDivisionError mid-scan (r8 w3)
+            raise ValueError(f"bucket width must be positive: {s!r}")
+        return BucketTransform(n)
     m = _TRUNCATE_RE.match(sl)
     if m:
-        return TruncateTransform(int(m.group(1)))
+        n = int(m.group(1))
+        if n <= 0:
+            # truncate[0] silently maps every value to ''/b'' (r8 w3)
+            raise ValueError(f"truncate width must be positive: {s!r}")
+        return TruncateTransform(n)
     raise ValueError(f"invalid transform: {s!r}")
 
 

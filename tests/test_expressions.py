@@ -179,3 +179,40 @@ def test_to_spark_column_unbound_temporal_literals(spark):
     assert got == 1
     got2 = df.filter(to_spark_column(less_than("ts", datetime(2020, 1, 1)))).count()
     assert got2 == 1
+
+
+def test_float_to_decimal_bind_is_op_aware():
+    """r8 review wave 3: binding `d < 0.994` on decimal(4,2) must NOT
+    round the literal to 0.99 (that flips the verdict for rows at
+    exactly 0.99 in both pruning and the exact refilter). Inexact
+    float literals adjust the OPERATOR instead: lt/le -> le floor,
+    gt/ge -> ge ceil, eq -> constant false, ne -> not-null; inexact
+    IN members drop."""
+    from decimal import Decimal
+
+    from icegopher_spark.iceberg.expressions import (
+        AlwaysFalse,
+        equal_to,
+        greater_than,
+        is_in,
+        less_than,
+        not_equal_to,
+    )
+    from icegopher_spark.iceberg.schema import Schema
+    from icegopher_spark.iceberg.types import DecimalType, NestedField
+
+    sch = Schema((NestedField(1, "d", DecimalType(4, 2), False),), schema_id=0)
+
+    p = less_than("d", 0.994).bind(sch)
+    assert p.op == "le" and p.literals[0].value == Decimal("0.99")
+    p = greater_than("d", 0.994).bind(sch)
+    assert p.op == "ge" and p.literals[0].value == Decimal("1.00")
+    p = less_than("d", -0.994).bind(sch)
+    assert p.op == "le" and p.literals[0].value == Decimal("-1.00")
+    assert isinstance(equal_to("d", 0.994).bind(sch), AlwaysFalse)
+    assert not_equal_to("d", 0.994).bind(sch).op == "not_null"
+    # exact literals keep their op; inexact IN members vanish
+    p = less_than("d", 0.25).bind(sch)
+    assert p.op == "lt" and p.literals[0].value == Decimal("0.25")
+    p = is_in("d", 0.994, 0.25).bind(sch)
+    assert p.op == "eq" and p.literals[0].value == Decimal("0.25")

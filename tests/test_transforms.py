@@ -407,3 +407,126 @@ def test_bucket_series_far_range_timestamp_and_date():
     days = (dt.date(9999, 12, 31) - dt.date(1970, 1, 1)).days
     assert out2[0] == tr.apply(days, DateType())
     assert pd.isna(out2[1])
+
+
+def test_decimal38_bucket_truncate_exact():
+    """r8 review wave 3: the DEFAULT 28-digit Decimal context silently
+    rounded 29..38-digit unscaled values inside scaleb, hashing the
+    wrong bucket bytes and truncating to the wrong partition value."""
+    from decimal import Decimal
+
+    from icegopher_spark.iceberg.transforms import (
+        TruncateTransform,
+        _bucket_encode,
+    )
+    from icegopher_spark.iceberg.types import DecimalType
+
+    t = DecimalType(38, 2)
+    v = Decimal("123456789012345678901234567890123456.78")
+    enc = _bucket_encode(v, t)
+    want_unscaled = 12345678901234567890123456789012345678
+    assert int.from_bytes(enc, "big", signed=True) == want_unscaled
+    tr = TruncateTransform(10)
+    got = tr.apply(v, t)
+    # expectation computed in a wide context (the default 28-digit one
+    # rounds this very assertion — the exact trap under test)
+    import decimal as _dec
+
+    with _dec.localcontext() as ctx:
+        ctx.prec = 80
+        want = Decimal(want_unscaled - (want_unscaled % 10)).scaleb(-2)
+    assert got == want == Decimal("123456789012345678901234567890123456.70")
+
+
+def test_decimal38_bound_bytes_exact():
+    """Stats-bound serde must round-trip 38-digit decimals exactly."""
+    from decimal import Decimal
+
+    from icegopher_spark.iceberg.literals import (
+        Literal,
+        literal_from_bytes,
+        literal_to_bytes,
+    )
+    from icegopher_spark.iceberg.types import DecimalType
+
+    t = DecimalType(38, 2)
+    v = Decimal("123456789012345678901234567890123456.78")
+    data = literal_to_bytes(Literal(v, t))
+    back = literal_from_bytes(data, t)
+    assert back.value == v
+
+
+def test_ns_timestamp_transforms():
+    """r8 review wave 3: temporal transforms on V3 ns timestamps must
+    floor to the µs plane first (nanos-as-micros made projected day
+    ordinals 1000x too large → every file pruned); bucket hashes the
+    raw nanos long instead of raising."""
+    from icegopher_spark.iceberg.transforms import (
+        BucketTransform,
+        DayTransform,
+        HourTransform,
+        YearTransform,
+        bucket_hash,
+    )
+    from icegopher_spark.iceberg.types import (
+        TimestampNsType,
+        TimestampType,
+        TimestampTzNsType,
+    )
+
+    micros = 1_709_251_200_000_000  # 2024-03-01T00:00:00
+    nanos = micros * 1000
+    for tr in (DayTransform(), HourTransform(), YearTransform()):
+        assert tr.apply(nanos, TimestampNsType()) == tr.apply(
+            micros, TimestampType()
+        ), tr
+        # pre-1970 floor behavior matches too (floorDiv by 1000)
+        assert tr.apply(-nanos - 1, TimestampNsType()) == tr.apply(
+            -micros - 1, TimestampType()
+        ), tr
+    # bucket: hashes the nanos long (no TypeError), deterministic
+    b = BucketTransform(16)
+    assert 0 <= b.apply(nanos, TimestampTzNsType()) < 16
+    assert bucket_hash(nanos, TimestampNsType()) == bucket_hash(
+        nanos, TimestampNsType()
+    )
+
+
+def test_parse_transform_rejects_zero_width():
+    import pytest
+
+    from icegopher_spark.iceberg.transforms import parse_transform
+
+    with pytest.raises(ValueError, match="positive"):
+        parse_transform("bucket[0]")
+    with pytest.raises(ValueError, match="positive"):
+        parse_transform("truncate[0]")
+
+
+def test_bucket_series_object_dtype_timestamps():
+    """r8 review wave 3: an object-dtype series of datetime.datetime
+    (pyarrow timestamp_as_object / far-range values) must bucket-encode
+    exactly like the datetime64 path, not crash in the int64 fallback."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from icegopher_spark.iceberg.transforms import bucket_series
+    from icegopher_spark.iceberg.types import TimestampType
+
+    stamps = [
+        dt.datetime(2024, 3, 1, 12, 30, 45, 123456),
+        None,
+        dt.datetime(9999, 12, 31, 23, 59, 59),  # outside datetime64[ns]
+        dt.datetime(1950, 6, 1),
+    ]
+    obj = pd.Series(stamps, dtype="object")
+    got = bucket_series(obj, 16, TimestampType())
+    assert got[1] is pd.NA or pd.isna(got[1])
+    # the representable subset agrees with the datetime64[us] path
+    native = pd.Series(
+        pd.array([stamps[0], None, None, stamps[3]], dtype="datetime64[us]")
+    )
+    want = bucket_series(native, 16, TimestampType())
+    assert got[0] == want[0] and got[3] == want[3]
+    assert 0 <= got[2] < 16
