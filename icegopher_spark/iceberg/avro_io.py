@@ -80,11 +80,27 @@ def write_bytes(out: io.BytesIO, value: bytes) -> None:
 # --------------------------------------------------------------------------
 
 
+def _read_block_count(buf: BinaryIO) -> int:
+    """Avro block count: negative means |count| items preceded by a
+    byte-size prefix (read and discarded). One helper for the four
+    sites that previously copy-pasted the idiom (r8 wave 4)."""
+    count = read_long(buf)
+    if count < 0:
+        count = -count
+        read_long(buf)  # block byte size, unused
+    return count
+
+
 def _decode(schema: Any, buf: BinaryIO) -> Any:
     if isinstance(schema, str):
         t = schema
     elif isinstance(schema, list):  # union: zigzag index then value
         idx = read_long(buf)
+        if not 0 <= idx < len(schema):
+            # a corrupt index must fail loudly — Python's negative
+            # indexing would silently pick a branch from the END and
+            # misalign the whole stream (r8 review wave 4)
+            raise ValueError(f"avro union branch {idx} out of range")
         return _decode(schema[idx], buf)
     else:
         t = schema["type"]
@@ -104,32 +120,32 @@ def _decode(schema: Any, buf: BinaryIO) -> Any:
     if t == "string":
         return read_bytes(buf).decode("utf-8")
     if t == "fixed":
-        return buf.read(schema["size"])
+        data = buf.read(schema["size"])
+        if len(data) != schema["size"]:
+            raise EOFError("short read in avro fixed")  # like read_bytes
+        return data
     if t == "enum":
-        return schema["symbols"][read_long(buf)]
+        sym = read_long(buf)
+        if not 0 <= sym < len(schema["symbols"]):
+            raise ValueError(f"avro enum index {sym} out of range")
+        return schema["symbols"][sym]
     if t == "record":
         return {f["name"]: _decode(f["type"], buf) for f in schema["fields"]}
     if t == "array":
         out = []
         while True:
-            count = read_long(buf)
+            count = _read_block_count(buf)
             if count == 0:
                 break
-            if count < 0:  # block with byte size prefix
-                count = -count
-                read_long(buf)  # block byte size, unused
             for _ in range(count):
                 out.append(_decode(schema["items"], buf))
         return out
     if t == "map":
         out_m: dict[str, Any] = {}
         while True:
-            count = read_long(buf)
+            count = _read_block_count(buf)
             if count == 0:
                 break
-            if count < 0:
-                count = -count
-                read_long(buf)
             for _ in range(count):
                 k = read_bytes(buf).decode("utf-8")
                 out_m[k] = _decode(schema["values"], buf)
@@ -160,6 +176,11 @@ def _encode(schema: Any, value: Any, out: io.BytesIO) -> None:
     if t == "null":
         return
     if t == "boolean":
+        if value is None:
+            # a missing required boolean must crash like long/string do
+            # (int(None)/None.encode), not silently encode false — the
+            # .get-null corruption class from the r5 review (r8 wave 4)
+            raise TypeError("required avro boolean is None")
         out.write(b"\x01" if value else b"\x00")
         return
     if t in ("int", "long"):
@@ -219,12 +240,9 @@ def read_ocf(data: bytes) -> tuple[dict, dict[str, bytes], list[dict]]:
         raise ValueError("not an Avro object container file")
     meta: dict[str, bytes] = {}
     while True:
-        count = read_long(buf)
+        count = _read_block_count(buf)
         if count == 0:
             break
-        if count < 0:
-            count = -count
-            read_long(buf)
         for _ in range(count):
             k = read_bytes(buf).decode("utf-8")
             meta[k] = read_bytes(buf)
@@ -267,12 +285,9 @@ def count_ocf_rows(path: str) -> int:
         if fh.read(4) != MAGIC:
             raise ValueError("not an Avro object container file")
         while True:
-            count = read_long(fh)
+            count = _read_block_count(fh)
             if count == 0:
                 break
-            if count < 0:
-                count = -count
-                read_long(fh)
             for _ in range(count):
                 read_bytes(fh)  # key
                 read_bytes(fh)  # value

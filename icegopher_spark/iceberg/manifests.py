@@ -398,6 +398,7 @@ def write_manifest_list(
     snapshot_id: int = 0,
     sequence_number: int | None = None,
     parent_snapshot_id: int | None = None,
+    format_version: int = 2,
 ) -> bytes:
     records = []
     for m in manifests:
@@ -441,7 +442,7 @@ def write_manifest_list(
         "sequence-number": str(
             sequence_number if sequence_number is not None else 0
         ).encode(),
-        "format-version": b"2",
+        "format-version": str(int(format_version)).encode(),
     }
     return write_ocf(MANIFEST_LIST_SCHEMA_V2, records, metadata=meta)
 
@@ -553,23 +554,27 @@ def write_manifest(
     content: ManifestContent = ManifestContent.DATA,
     spec_id: int = 0,
     schema_id: int = 0,
+    format_version: int = 2,
 ) -> bytes:
     schema = manifest_entry_schema(partition_avro_fields)
-    # a DATA entry whose partition dict lacks the spec's fields would
+    # an entry whose partition dict lacks the spec's fields would
     # silently encode nulls (avro record encode uses .get) — the
     # spec-evolution corruption the r5 review found. Delete files may
-    # legitimately carry empty partitions (global deletes).
+    # legitimately carry an EMPTY partition (global deletes); a PARTIAL
+    # delete partition is the same null-encoding corruption and would
+    # mis-scope partition-based delete matching (r8 review wave 4).
     pf_names = [f["name"] for f in partition_avro_fields]
-    if content == ManifestContent.DATA:
-        for e in entries:
-            part = e.data_file.partition or {}
-            missing = [n for n in pf_names if n not in part]
-            if missing:
-                raise ValueError(
-                    f"entry {e.data_file.file_path} partition {part} lacks "
-                    f"spec fields {missing}; write entries under their own "
-                    "partition spec"
-                )
+    for e in entries:
+        part = e.data_file.partition or {}
+        if content == ManifestContent.DELETES and not part:
+            continue
+        missing = [n for n in pf_names if n not in part]
+        if missing:
+            raise ValueError(
+                f"entry {e.data_file.file_path} partition {part} lacks "
+                f"spec fields {missing}; write entries under their own "
+                "partition spec"
+            )
     records = []
     for e in entries:
         df = e.data_file
@@ -613,6 +618,6 @@ def write_manifest(
         "partition-spec": spec_json.encode() if spec_json else b"[]",
         "partition-spec-id": str(spec_id).encode(),
         "content": b"data" if content == ManifestContent.DATA else b"deletes",
-        "format-version": b"2",
+        "format-version": str(int(format_version)).encode(),
     }
     return write_ocf(schema, records, metadata=meta)

@@ -165,9 +165,14 @@ def _deserialize_roaring32(buf: bytes, off: int) -> tuple[np.ndarray, int]:
 # -- roaring 64-bit portable ------------------------------------------------
 
 
-def serialize_roaring64(positions) -> bytes:
-    """Sorted-unique uint64 positions → 64-bit portable roaring bytes."""
-    pos = np.unique(np.asarray(positions, dtype=np.uint64))
+def serialize_roaring64(positions, assume_sorted_unique: bool = False) -> bytes:
+    """Sorted-unique uint64 positions → 64-bit portable roaring bytes.
+    ``assume_sorted_unique`` skips the normalization sort when the
+    caller already deduped (dv_blob: the second O(n log n) pass on
+    multi-million-position vectors was pure waste — r8 wave 4)."""
+    pos = np.asarray(positions, dtype=np.uint64)
+    if not assume_sorted_unique:
+        pos = np.unique(pos)
     high = (pos >> np.uint64(32)).astype(np.uint32)
     low = (pos & np.uint64(0xFFFFFFFF)).astype(np.uint32)
     keys, starts = np.unique(high, return_index=True)
@@ -202,7 +207,7 @@ def dv_blob(positions) -> tuple[bytes, int]:
     4-byte BE length of magic+vector, magic D1D33964, the portable
     roaring64 vector, 4-byte BE CRC-32 of magic+vector."""
     pos = np.unique(np.asarray(positions, dtype=np.uint64))
-    body = DV_MAGIC + serialize_roaring64(pos)
+    body = DV_MAGIC + serialize_roaring64(pos, assume_sorted_unique=True)
     return (
         struct.pack(">i", len(body)) + body + struct.pack(">I", zlib.crc32(body)),
         len(pos),

@@ -1192,6 +1192,7 @@ def _maybe_merge_manifests(
             ManifestContent.DATA,
             spec_id=spec.spec_id,
             schema_id=schema.schema_id,
+            format_version=md.format_version,
         )
         path = f"{md.location}/metadata/{_uuid.uuid4().hex}-mm.avro"
         io.write(path, data)
@@ -1312,6 +1313,7 @@ def _commit_snapshot(
             ManifestContent.DATA,
             spec_id=spec.spec_id,
             schema_id=schema.schema_id,
+            format_version=md.format_version,
         )
         io.write(manifest_path, data)
         manifests.insert(
@@ -1362,6 +1364,7 @@ def _commit_snapshot(
             ManifestContent.DELETES,
             spec_id=spec.spec_id,
             schema_id=schema.schema_id,
+            format_version=md.format_version,
         )
         io.write(dm_path, ddata)
         manifests.insert(
@@ -1440,7 +1443,11 @@ def _commit_snapshot(
     io.write(
         list_path,
         write_manifest_list(
-            manifests, snap_id, sequence_number=seq, parent_snapshot_id=parent_id
+            manifests,
+            snap_id,
+            sequence_number=seq,
+            parent_snapshot_id=parent_id,
+            format_version=md.format_version,
         ),
     )
 
@@ -2113,6 +2120,7 @@ def _rewrite_manifest_for_spec(
         content,
         spec_id=spec.spec_id,
         schema_id=table.schema.schema_id,
+        format_version=table.metadata.format_version,
     )
     path = f"{md.location}/metadata/{_uuid.uuid4().hex}-m0.avro"
     table.io.write(path, data)

@@ -354,3 +354,113 @@ def test_manifest_distinct_counts_roundtrip_and_schema_id_meta():
     _schema, meta, _rows = read_ocf(data)
     assert meta["schema-id"] == b"3"
     assert meta["partition-spec-id"] == b"0"
+
+
+def test_manifest_avro_metadata_stamps_real_format_version(spark, tmp_path):
+    """r8 review wave 4: V3 tables wrote format-version '2' into the
+    manifest/manifest-list Avro file metadata — external readers
+    dispatch V3 behaviors (first-row-id inheritance, DV entries) on
+    that key."""
+    import io as _io
+    import json as _json
+
+    from icegopher_spark.iceberg import write as W
+    from icegopher_spark.iceberg.avro_io import MAGIC, read_bytes, read_long
+    from icegopher_spark.iceberg.schema import Schema
+    from icegopher_spark.iceberg.types import LongType, NestedField
+
+    def file_meta(data: bytes) -> dict:
+        buf = _io.BytesIO(data)
+        assert buf.read(4) == MAGIC
+        meta = {}
+        while True:
+            count = read_long(buf)
+            if count == 0:
+                break
+            if count < 0:
+                count = -count
+                read_long(buf)
+            for _ in range(count):
+                k = read_bytes(buf).decode()
+                meta[k] = read_bytes(buf)
+        return meta
+
+    sch = Schema((NestedField(1, "k", LongType(), True),), schema_id=0)
+    for fv in (2, 3):
+        loc = str(tmp_path / f"v{fv}")
+        t = W.create_table(loc, sch, format_version=fv)
+        t = W.append(t, spark.range(3).selectExpr("id AS k"))
+        snap = t.current_snapshot()
+        ml = t.io.read(snap.manifest_list)
+        assert file_meta(ml)["format-version"] == str(fv).encode(), fv
+        from icegopher_spark.iceberg.manifests import read_manifest_list
+
+        m = read_manifest_list(ml)[0]
+        assert file_meta(t.io.read(m.manifest_path))["format-version"] == str(fv).encode(), fv
+
+
+def test_write_manifest_rejects_partial_delete_partition():
+    """A PARTIAL delete-entry partition dict is the same null-encoding
+    corruption as for data entries (r8 wave 4); only fully-empty
+    (global) delete partitions are exempt."""
+    import pytest
+
+    from icegopher_spark.iceberg.manifests import (
+        DataFile,
+        DataFileContent,
+        ManifestContent,
+        ManifestEntry,
+        ManifestEntryStatus,
+        write_manifest,
+    )
+
+    pfields = [
+        {"name": "a", "type": ["null", "long"], "field-id": 1000},
+        {"name": "b", "type": ["null", "long"], "field-id": 1001},
+    ]
+
+    def entry(part):
+        return ManifestEntry(
+            status=ManifestEntryStatus.ADDED,
+            snapshot_id=1,
+            sequence_number=1,
+            file_sequence_number=1,
+            data_file=DataFile(
+                file_path="/x.parquet",
+                file_format="PARQUET",
+                content=DataFileContent.POSITION_DELETES,
+                record_count=1,
+                file_size_in_bytes=1,
+                partition=part,
+            ),
+        )
+
+    # empty = global delete: allowed
+    write_manifest([entry({})], pfields, content=ManifestContent.DELETES)
+    # full: allowed
+    write_manifest([entry({"a": 1, "b": 2})], pfields, content=ManifestContent.DELETES)
+    # partial: refused
+    with pytest.raises(ValueError, match="lacks"):
+        write_manifest([entry({"a": 1})], pfields, content=ManifestContent.DELETES)
+
+
+def test_avro_decode_hardening():
+    """Corrupt streams fail loudly: short fixed reads, out-of-range
+    union/enum indices (negative Python indexing silently picked a
+    branch from the END before — r8 wave 4)."""
+    import io as _io
+
+    import pytest
+
+    from icegopher_spark.iceberg.avro_io import _decode
+
+    with pytest.raises(EOFError):
+        _decode({"type": "fixed", "size": 4, "name": "f"}, _io.BytesIO(b"ab"))
+    # union index -1 (zigzag byte 0x01)
+    with pytest.raises(ValueError, match="out of range"):
+        _decode(["null", "long"], _io.BytesIO(b"\x01\x02"))
+    with pytest.raises(ValueError, match="out of range"):
+        _decode(
+            {"type": "enum", "name": "e", "symbols": ["x", "y"]},
+            _io.BytesIO(b"\x07"),
+        )
