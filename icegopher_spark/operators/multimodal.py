@@ -205,8 +205,20 @@ def thumbnails(
         for pdf in batches:
             thumbs = []
             for payload, media in zip(pdf["content"], pdf["media"]):
-                w = media["width"] or 64
-                h = media["height"] or 64
+                if payload is None:
+                    # nullable binary: a NULL payload yields a NULL
+                    # thumb, never a bytes(None) TypeError killing the
+                    # task (r8 review wave 5)
+                    thumbs.append(None)
+                    continue
+                # is-None check, not `or`: a stored width/height of 0
+                # must not silently become 64 (same falsy-zero trap
+                # audio_features was fixed for in r6)
+                w = 64 if media["width"] is None else media["width"]
+                h = 64 if media["height"] is None else media["height"]
+                if w <= 0 or h <= 0:
+                    thumbs.append(None)
+                    continue
                 px = decode(bytes(payload), int(w), int(h))
                 # nearest-neighbor downsample to thumb_w × thumb_h
                 tw, th = thumb_w, thumb_h
@@ -250,8 +262,14 @@ def image_features(df: DataFrame, codec: str = "auto") -> DataFrame:
         for pdf in batches:
             feats = []
             for payload, media in zip(pdf["content"], pdf["media"]):
-                w = int(media["width"] or 64)
-                h = int(media["height"] or 64)
+                if payload is None:
+                    feats.append(None)  # see thumbnails (r8 wave 5)
+                    continue
+                w = int(64 if media["width"] is None else media["width"])
+                h = int(64 if media["height"] is None else media["height"])
+                if w <= 0 or h <= 0:
+                    feats.append(None)
+                    continue
                 px = np.frombuffer(decode(bytes(payload), w, h), dtype=np.uint8)
                 hist = np.bincount(px >> 5, minlength=8).astype("float64") / len(px)
                 feats.append(
@@ -269,10 +287,12 @@ def frame_sample(df: DataFrame, every_n: int = 8) -> DataFrame:
     # (not empty), so a zero-frame video emitted a phantom frame_idx 0
     # for downstream decoders to chase (r6 review)
     nf = F.coalesce(F.col("media.n_frames"), F.lit(1))
-    frames = F.when(nf > 0, F.filter(
-        F.sequence(F.lit(0), nf - 1),
-        lambda i: i % every_n == 0,
-    )).otherwise(F.array().cast("array<int>"))
+    # stepped sequence, not full-range-then-filter: a 2h/30fps video
+    # would materialize 216k indices per row to keep 27k (r8 wave 5);
+    # sequence(0, nf-1, step) emits exactly the i % every_n == 0 set
+    frames = F.when(
+        nf > 0, F.sequence(F.lit(0), nf - 1, F.lit(int(every_n)))
+    ).otherwise(F.array().cast("array<int>"))
     return (
         df.filter(F.col("media.kind") == "video")
         .select("media_id", F.explode(frames).alias("frame_idx"))
@@ -329,9 +349,10 @@ def audio_features(df: DataFrame) -> DataFrame:
                 sr = int(8000 if media["sample_rate"] is None else media["sample_rate"])
                 dur = int(1000 if media["duration_ms"] is None else media["duration_ms"])
                 n = max(sr * dur // 1000, 0)
-                if n == 0:
-                    # sub-millisecond clip: zero samples, not a
-                    # ZeroDivisionError mid-task (r6 review)
+                if n == 0 or payload is None:
+                    # sub-millisecond clip OR NULL payload: zero
+                    # samples, not a ZeroDivisionError / bytes(None)
+                    # TypeError mid-task (r6 review; r8 wave 5)
                     rows.append((int(mid), 0, 0, 0.0, 0))
                     continue
                 s = _fake_pcm(bytes(payload), n)

@@ -166,15 +166,6 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     return planes
 
 
-def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
-    """Sign-LSH bucket id: bit b = sign(vec · plane_b)."""
-    bucket = F.lit(0).cast("bigint")
-    for b, plane in enumerate(planes):
-        p = F.array(*[F.lit(float(x)) for x in plane])
-        bucket = bucket + F.when(dot(vec, p) > 0, F.lit(2**b).cast("bigint")).otherwise(F.lit(0))
-    return bucket
-
-
 def _kmeans_centroids(
     corpus: DataFrame,
     vec_col: str,
@@ -216,12 +207,21 @@ def _kmeans_centroids(
     if n == 0:
         raise ValueError("cannot train IVF centroids: corpus has no non-null vectors")
     if n > sample_cap:
-        mod = 1_000_000
+        # wide modulus: at mod=1e6 the keep fraction floored at 1/mod,
+        # so corpora past mod*cap rows collected n/1e6 rows (driver OOM
+        # at the documented 100 TB posture — r8 review wave 5)
+        mod = 2**31
         keep = max(1, int(mod * sample_cap / n))
         train_df = train_df.where(
             F.pmod(F.xxhash64(F.col("v"), F.lit(seed)), F.lit(mod)) < F.lit(keep)
         )
     sample = sorted(tuple(r["v"]) for r in train_df.collect())
+    if len(sample) > 2 * sample_cap:
+        # deterministic stride slice as the final backstop: the hash
+        # filter's keep floor (1/mod) can still overshoot on extreme
+        # corpora; a sorted stride keeps the sample spread and exact
+        step = len(sample) // sample_cap
+        sample = sample[::step][:sample_cap]
     x = np.asarray(sample, dtype=np.float64)
     k = min(n_lists, len(x))
 
@@ -519,7 +519,15 @@ def group_centroids(
             }
         )
 
-    return df.select(group_col, vec_col).groupBy(group_col).applyInPandas(centroid, out_schema)
+    return (
+        df.select(group_col, vec_col)
+        # NULL embeddings can't average — np.stack over a None element
+        # raised inside the task (r8 wave 5; same guard as
+        # _kmeans_centroids). n_vecs counts non-null members.
+        .where(F.col(vec_col).isNotNull())
+        .groupBy(group_col)
+        .applyInPandas(centroid, out_schema)
+    )
 
 
 # -- persisted IVF index over an Iceberg table -------------------------------
@@ -614,7 +622,15 @@ def ivf_index_search(
         F.col(vec_col).alias("_qvec"),
         F.explode(nearest_cells_arrow(F.col(vec_col), centroids, n_probe)).alias("cell"),
     )
-    probe_cells = sorted({r["cell"] for r in q.select("cell").distinct().collect()})
+    # one evaluation of the query-side Arrow UDF plan: the collect
+    # below feeds BOTH the probe-cell list and (rebuilt as a local
+    # frame) the broadcast join — the lazy q would otherwise recompute
+    # nearest_cells_arrow + explode a second time inside the join
+    # (r8 review wave 5). Query sets are small by contract (they're
+    # broadcast anyway).
+    q_rows = q.collect()
+    probe_cells = sorted({r["cell"] for r in q_rows})
+    q = spark.createDataFrame(q_rows, q.schema)
     scan = table.scan(row_filter=E.is_in("cell", *probe_cells))
     corpus = scan.to_df(spark)
     scored = (

@@ -38,6 +38,18 @@ def gapfill_locf(
     Returns (key, bucket, value_filled, was_gap). Buckets before a
     key's first observation fill with 0.
     """
+    # date_trunc accepts more units than INTERVAL arithmetic does
+    # (e.g. 'quarter'); validate up front so an unsupported bucket
+    # fails with a clear message, not a plan-time ParseException on
+    # the interval literal (r8 review wave 5)
+    _INTERVAL_BUCKETS = {
+        "year", "month", "week", "day", "hour", "minute", "second"
+    }
+    if bucket.lower() not in _INTERVAL_BUCKETS:
+        raise ValueError(
+            f"gapfill bucket {bucket!r} not supported: pick one of "
+            f"{sorted(_INTERVAL_BUCKETS)} (INTERVAL has no such unit)"
+        )
     b = F.date_trunc(bucket, F.col(ts_col))
     hourly = events.groupBy(F.col(key_col), b.alias("bucket")).agg(
         F.sum(F.col(value_col).cast("decimal(14,4)")).alias("total")
@@ -91,6 +103,8 @@ def funnel_counts(
     a pure function of the event set. Each stage reduces to one narrow
     (user, ts) row per user before the next join.
     """
+    if not stages:
+        raise ValueError("funnel_counts needs at least one stage")
     cur: DataFrame | None = None
     per_user: DataFrame | None = None
     for i, stage in enumerate(stages):

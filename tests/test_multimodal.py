@@ -131,3 +131,42 @@ def test_audio_features_closed_form(spark):
     assert r.amp_sum == int(s.sum())
     assert r.peak == int(np.abs(s).max())
     assert r.rms == round(math.sqrt(int((s * s).sum()) / n), 6)
+
+
+def test_null_payloads_do_not_kill_tasks(spark):
+    """r8 review wave 5: a NULL binary payload (nullable column) must
+    yield NULL/zero features, never a bytes(None) TypeError mid-task;
+    width/height of 0 must not silently become 64."""
+    from pyspark.sql import functions as F
+
+    from icegopher_spark.operators import multimodal as M
+
+    rows = [
+        (1, bytearray(b"img-bytes"), ("image", 8, 8, None, None, None)),
+        (2, None, ("image", 8, 8, None, None, None)),
+        (3, bytearray(b"zero-dim"), ("image", 0, 8, None, None, None)),
+        (4, None, ("audio", None, None, 8000, 1000, None)),
+    ]
+    schema = (
+        "media_id long, content binary, media struct<kind string, "
+        "width int, height int, sample_rate int, duration_ms int, n_frames int>"
+    )
+    df = spark.createDataFrame(rows, schema)
+    th = {r["media_id"]: r["thumb"] for r in M.thumbnails(df).collect()}
+    assert th[1] is not None and th[2] is None and th[3] is None
+    ft = {r["media_id"]: r["features"] for r in M.image_features(df).collect()}
+    assert ft[1] is not None and ft[2] is None
+    au = {r["media_id"]: r for r in M.audio_features(df).collect()}
+    assert au[4]["n_samples"] == 0 and au[4]["rms"] == 0.0
+
+
+def test_group_centroids_skips_null_embeddings(spark):
+    from icegopher_spark.operators import similarity as S
+
+    df = spark.createDataFrame(
+        [("a", [1.0, 0.0]), ("a", None), ("a", [0.0, 1.0]), ("b", None)],
+        "label string, embedding array<double>",
+    )
+    got = {r["label"]: r for r in S.group_centroids(df, "label").collect()}
+    assert got["a"]["n_vecs"] == 2 and got["a"]["centroid"] == [0.5, 0.5]
+    assert "b" not in got  # all-null group has nothing to average
