@@ -47,6 +47,13 @@ from .table import Table, _maybe_broadcast_deletes, strip_file_scheme
 CHANGE_TYPE = "_change_type"
 COMMIT_SNAPSHOT = "_commit_snapshot_id"
 
+# Rotating registry of the previous changelog call's persisted
+# (path, pos) pair frames; see the persist site in _snapshot_changes
+# (r8 wave 6). Unpersist is correctness-safe: a still-held old result
+# merely recomputes.
+_PAIR_CACHES: list = []
+
+
 
 def _lineage(table: Table, from_id: int, to_id: int | None) -> list:
     """Snapshots strictly after ``from_id`` up to ``to_id``, oldest first."""
@@ -228,6 +235,10 @@ def changelog_df(
     to_snapshot_id: int | None = None,
     net: bool = True,
 ) -> DataFrame:
+    while _PAIR_CACHES:
+        # release the PREVIOUS call's persisted pair frames (bounded
+        # residency; an old still-held result merely recomputes)
+        _PAIR_CACHES.pop().unpersist()
     md = table.metadata
     io = table.io
     base_spark = table.schema.to_spark()
@@ -309,6 +320,20 @@ def changelog_df(
             ]
             pair_parts = []
             if pq_entries:
+                bad = [
+                    e.data_file.file_path
+                    for e in pq_entries
+                    if e.data_file.file_format != "PARQUET"
+                ]
+                if bad:
+                    # explicit, not a cryptic 'not a Parquet file'
+                    # mid-read: our writers emit parquet delete files
+                    # only; a foreign write.delete.format=orc table is
+                    # out of scope (r8 wave 6)
+                    raise ValueError(
+                        f"changelog supports parquet positional-delete "
+                        f"files only; got {bad[:3]}"
+                    )
                 pair_parts.append(
                     spark.read.parquet(
                         *[strip_file_scheme(e.data_file.file_path) for e in pq_entries]
@@ -342,6 +367,16 @@ def changelog_df(
             pairs = pair_parts[0]
             for p in pair_parts[1:]:
                 pairs = pairs.unionByName(p)
+            # persist: the collect below AND the semi-join both consume
+            # pairs — without the cache the Puffin DV decode + parent
+            # delete-state reads + anti-join all executed twice per
+            # snapshot (r8 review wave 6). Narrow (path, pos) rows; the
+            # emitted frames keep the cache in lineage, so the rotating
+            # registry below releases the PREVIOUS changelog call's
+            # caches (same bounded-residency contract as
+            # dedup._INC_PROBE_CACHE).
+            pairs = pairs.persist()
+            _PAIR_CACHES.append(pairs)
             target_paths = {r["_del_path"] for r in pairs.select("_del_path").distinct().collect()}
             # entries for the targeted data files, read from the CHILD
             # snapshot's state (intended): MOR positional deletes target
@@ -420,6 +455,12 @@ def changelog_df(
                 keys: DataFrame | None = None
                 total_bytes = 0
                 for e in es:
+                    if e.data_file.file_format != "PARQUET":
+                        raise ValueError(
+                            "changelog supports parquet equality-delete "
+                            f"files only; got {e.data_file.file_path} "
+                            f"({e.data_file.file_format})"
+                        )
                     kdf = spark.read.parquet(strip_file_scheme(e.data_file.file_path))
                     # delete-file columns carry the names at DELETE time;
                     # map to current names by name when possible, else
@@ -451,10 +492,18 @@ def changelog_df(
                         # matching unsampled keys (silent under-report)
                         rows = keys.limit(1001).collect()
                         sample = [r[0] for r in rows if r[0] is not None]
-                        if sample and len(rows) <= 1000:
+                        has_null = any(r[0] is None for r in rows)
+                        if (sample or has_null) and len(rows) <= 1000:
                             from . import expressions as E
 
-                            flt = E.is_in(pf.name, *sample)
+                            # null-safe matching below must still see
+                            # NULL-keyed parent rows (r8 wave 6)
+                            if sample:
+                                flt = E.is_in(pf.name, *sample)
+                                if has_null:
+                                    flt = flt | E.is_null(pf.name)
+                            else:
+                                flt = E.is_null(pf.name)
                 scan_kwargs = {"snapshot_id": parent.snapshot_id}
                 if flt is not None:
                     scan_kwargs["row_filter"] = flt
@@ -472,7 +521,20 @@ def changelog_df(
                 pre = _align_to_current(
                     pscan2.to_df(spark, tasks=sc_tasks), parent_schema, table.schema
                 )
-                hit = pre.join(keys, names, "left_semi")
+                # null-safe semi-join: spec-compliant engines treat a
+                # NULL eq-delete key as deleting NULL-keyed rows; the
+                # plain equi-join under-reported them (r8 wave 6, same
+                # fix as the read path's anti-join)
+                from functools import reduce as _reduce
+                from operator import and_ as _and
+
+                kd = keys.select(
+                    *[F.col(n).alias(f"_ek_{n}") for n in names]
+                )
+                cond = _reduce(
+                    _and, [pre[n].eqNullSafe(kd[f"_ek_{n}"]) for n in names]
+                )
+                hit = pre.join(kd, cond, "left_semi")
                 deletes = hit if deletes is None else deletes.unionByName(hit)
 
         if net and inserts is not None and deletes is not None:
@@ -513,7 +575,17 @@ def apply_changes_to_aggregate(
     DECIMAL so incremental and full recompute agree exactly.
     """
     sum_specs = sum_specs or {}
-    sign = F.when(F.col(CHANGE_TYPE) == "insert", F.lit(1)).otherwise(F.lit(-1))
+    # explicit per-type signs: the old catch-all otherwise(-1) folded
+    # update_postimage rows (changelog_by_lineage output, this module)
+    # as DELETES — count down 2 per update, sums subtracting both
+    # images (r8 wave 6). Unknown change types get a NULL sign, which
+    # SUM skips — they are ignored rather than miscounted (documented
+    # here; a raise is not expressible in codegen).
+    sign = (
+        F.when(F.col(CHANGE_TYPE).isin("insert", "update_postimage"), F.lit(1))
+        .when(F.col(CHANGE_TYPE).isin("delete", "update_preimage"), F.lit(-1))
+        .otherwise(F.lit(None).cast("int"))
+    )
     # decimal(38,4): a (20,4) cast silently NULLed values above 16
     # integer digits (non-ANSI), dropping them from the fold (r5 review)
     delta = changes.groupBy(*keys).agg(

@@ -933,12 +933,22 @@ def apply_eq_delete_anti_joins(part, eq_files, base, spark):
     (see eq_delete_keys_df). Shared by the scan path and
     delete_where_mor — the MOR writer previously raw-read files and
     re-deleted already-eq-deleted rows (r6 review)."""
+    from functools import reduce as _reduce
+    from operator import and_ as _and
+
     for dfile in eq_files:
         resolved = eq_delete_keys_df(dfile, base, spark)
         if resolved is None:
             continue
         keys, names = resolved
-        part = part.join(keys, names, "left_anti")
+        # NULL-SAFE key equality (spec + Java readers: an eq-delete key
+        # of NULL deletes NULL-keyed rows; a plain equi-join never
+        # matched them and under-deleted vs other engines — r8 wave 6)
+        kd = keys.select(*[F.col(n).alias(f"_ek_{n}") for n in names])
+        cond = _reduce(
+            _and, [part[n].eqNullSafe(kd[f"_ek_{n}"]) for n in names]
+        )
+        part = part.join(kd, cond, "left_anti")
     return part
 
 

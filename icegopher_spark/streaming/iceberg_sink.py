@@ -36,11 +36,26 @@ QUERY_PROP = "streaming.query-id"
 
 def committed_batches(table: Table, query_id: str) -> set[int]:
     """Batch ids already committed for this query, from snapshot
-    summaries on the current branch."""
+    summaries on the CURRENT branch's ancestry.
+
+    Ancestry, not metadata.snapshots: the full list keeps rolled-back
+    and branch-staged snapshots reachable until expiration, so a batch
+    undone by refs.rollback_to still looked committed and its replay
+    was silently dropped — exactly-once became data loss (r8 review
+    wave 6). Walking parent ids from the current head means an undone
+    batch re-commits on replay, which is the durable-on-THIS-history
+    contract the module docstring promises."""
+    md = table.metadata
     out = set()
-    for s in table.metadata.snapshots:
-        if s.summary.get(QUERY_PROP) == query_id and BATCH_PROP in s.summary:
-            out.add(int(s.summary[BATCH_PROP]))
+    snap = md.current_snapshot
+    while snap is not None:
+        if snap.summary.get(QUERY_PROP) == query_id and BATCH_PROP in snap.summary:
+            out.add(int(snap.summary[BATCH_PROP]))
+        snap = (
+            md.snapshot_by_id(snap.parent_snapshot_id)
+            if snap.parent_snapshot_id is not None
+            else None
+        )
     return out
 
 
@@ -64,7 +79,13 @@ def foreach_batch_appender(
     def _append(batch_df: DataFrame, batch_id: int) -> None:
         table.refresh()
         if batch_id in committed_batches(table, query_id):
-            return  # replayed batch — already durable
+            # replayed batch — already durable. Still run the
+            # maintenance check below: a crash between the boundary
+            # batch's commit and its checkpoint otherwise skipped that
+            # cycle entirely, deferring compaction a full period
+            # (r8 review wave 6)
+            _maybe_maintain(batch_df)
+            return
         for attempt in range(3):
             try:
                 W.append(
@@ -79,6 +100,9 @@ def foreach_batch_appender(
                     break
                 if attempt == 2:
                     raise
+        _maybe_maintain(batch_df)
+
+    def _maybe_maintain(batch_df: DataFrame) -> None:
         n_done = len(committed_batches(table, query_id))
         if compact_every and n_done and n_done % compact_every == 0:
             from ..iceberg.maintenance import compact_data_files
@@ -102,8 +126,6 @@ def foreach_batch_upserter(table: Table, query_id: str, key_columns: list[str]):
     later batch wins, which is exactly upsert semantics."""
 
     def _upsert(batch_df: DataFrame, batch_id: int) -> None:
-        from ..iceberg import write as W
-
         table.refresh()
         if batch_id in committed_batches(table, query_id):
             return

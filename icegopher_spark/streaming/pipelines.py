@@ -227,18 +227,25 @@ def custom_sessionizer(
         ts_us: list[int] = []
         for pdf in pdfs:
             ts_us.extend(int(t.value // 1000) for t in pd.to_datetime(pdf["ts"]))
-        ts_us.sort()
-        sessions = []
+        # interval merge over (stored session + batch events) sorted by
+        # start: a cross-batch late event EARLIER than the stored start
+        # must extend the session backward (or form its own earlier
+        # session) — the old forward-only loop never lowered `start`,
+        # so session_start diverged from the native session_window
+        # (r8 review wave 6)
+        intervals = [(t, t, 1) for t in sorted(ts_us)]
         if state.exists:
-            start, last, n = state.get
-        else:
-            start, last, n = ts_us[0], ts_us[0], 0
-        for t in ts_us:
-            if t - last >= gap_us:  # half-open [first, last+gap): gap closes
-                sessions.append((start, last, n))
-                start, n = t, 0
-            last = max(last, t)
-            n += 1
+            intervals.append(tuple(state.get))
+            intervals.sort(key=lambda iv: (iv[0], iv[1]))
+        merged: list[list[int]] = []
+        for st, en, cnt in intervals:
+            if merged and st - merged[-1][1] < gap_us:
+                merged[-1][1] = max(merged[-1][1], en)
+                merged[-1][2] += cnt
+            else:
+                merged.append([st, en, cnt])
+        sessions = [tuple(iv) for iv in merged[:-1]]
+        start, last, n = merged[-1]
         state.update((start, last, n))
         state.setTimeoutTimestamp(last // 1000 + gap_minutes * 60 * 1000)
         if sessions:

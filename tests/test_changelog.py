@@ -274,3 +274,40 @@ def test_eq_delete_many_keys_with_null_not_underreported(spark, tmp_path):
     ch = changelog_df(t, spark, from_snapshot_id=s1).collect()
     dels = sorted(r["k"] for r in ch if r["_change_type"] == "delete")
     assert dels == list(range(1001))  # every matched key reported
+
+
+def test_eq_delete_null_key_matches(spark, tmp_path):
+    """r8 review wave 6: an equality-delete key of NULL deletes
+    NULL-keyed rows (spec/Java semantics); the plain equi-join never
+    matched them — both the scan anti-join and the changelog pre-image
+    semi-join are now null-safe."""
+    from icegopher_spark.iceberg import write as W
+    from icegopher_spark.iceberg.changelog import changelog_df
+    from icegopher_spark.iceberg.schema import Schema
+    from icegopher_spark.iceberg.types import LongType, NestedField, StringType
+
+    sch = Schema(
+        (
+            NestedField(1, "k", StringType(), False),  # nullable key
+            NestedField(2, "v", LongType(), True),
+        ),
+        schema_id=0,
+    )
+    loc = str(tmp_path / "nulleq")
+    t = W.create_table(loc, sch)
+    rows = [("a", 1), (None, 2), ("b", 3), (None, 4)]
+    t = W.append(t, spark.createDataFrame(rows, "k string, v long").coalesce(1))
+    keys = spark.createDataFrame([("a",), (None,)], "k string")
+    t = W.delete_keys(t, spark, keys, ["k"])
+
+    # scan: NULL-keyed rows are gone along with 'a'
+    live = sorted(r["v"] for r in t.scan().to_df(spark).collect())
+    assert live == [3]
+
+    # changelog pre-images report all three deleted rows
+    root = t.metadata.snapshots[0].snapshot_id
+    ch = changelog_df(t, spark, root, None)
+    dels = sorted(
+        r["v"] for r in ch.filter("_change_type = 'delete'").collect()
+    )
+    assert dels == [1, 2, 4]

@@ -162,3 +162,34 @@ def test_two_queries_same_table_get_distinct_default_query_ids(spark, tmp_path):
         s.summary.get("streaming.query-id") for s in t.metadata.snapshots
     } - {None}
     assert len(qids) == 2  # one namespace per checkpoint
+
+
+def test_replayed_batch_recommits_after_rollback(spark, tmp_path):
+    """r8 review wave 6: committed_batches must consult the current
+    branch's ANCESTRY — a batch undone by rollback_to stays in
+    metadata.snapshots until expiration, and counting it as committed
+    silently dropped its replay (exactly-once became data loss)."""
+    from icegopher_spark.iceberg import refs, write as W
+    from icegopher_spark.iceberg.schema import Schema
+    from icegopher_spark.iceberg.types import LongType, NestedField
+    from icegopher_spark.streaming.iceberg_sink import (
+        committed_batches,
+        foreach_batch_appender,
+    )
+
+    sch = Schema((NestedField(1, "k", LongType(), True),), schema_id=0)
+    loc = str(tmp_path / "rb")
+    t = W.create_table(loc, sch)
+    app = foreach_batch_appender(t, "q1")
+    app(spark.range(0, 5).selectExpr("id AS k"), 0)
+    good = t.current_snapshot().snapshot_id
+    app(spark.range(5, 10).selectExpr("id AS k"), 1)
+    assert committed_batches(t, "q1") == {0, 1}
+
+    # undo batch 1
+    t2 = refs.rollback_to(t, good)
+    assert committed_batches(t2, "q1") == {0}  # ancestry, not full list
+    # the replay re-commits instead of silently no-opping
+    app2 = foreach_batch_appender(t2, "q1")
+    app2(spark.range(5, 10).selectExpr("id AS k"), 1)
+    assert sorted(r["k"] for r in t2.scan().to_df(spark).collect()) == list(range(10))
