@@ -48,10 +48,15 @@ CHANGE_TYPE = "_change_type"
 COMMIT_SNAPSHOT = "_commit_snapshot_id"
 
 # Rotating registry of the previous changelog call's persisted
-# (path, pos) pair frames; see the persist site in _snapshot_changes
-# (r8 wave 6). Unpersist is correctness-safe: a still-held old result
-# merely recomputes.
-_PAIR_CACHES: list = []
+# (path, pos) pair frames, KEYED PER TABLE LOCATION (r8 advice #3:
+# a module-global list let a call on table B unpersist table A's
+# in-flight caches, and a mid-loop raise grew the list unboundedly).
+# Unpersist is correctness-safe: a still-held old result merely
+# recomputes — the registry exists only to bound cached-block
+# residency. Concurrent changelog_df calls on the SAME table location
+# in one SparkSession still race (single-caller-per-table assumption);
+# calls on different tables no longer interfere.
+_PAIR_CACHES: dict[str, list] = {}
 
 
 
@@ -235,10 +240,31 @@ def changelog_df(
     to_snapshot_id: int | None = None,
     net: bool = True,
 ) -> DataFrame:
-    while _PAIR_CACHES:
-        # release the PREVIOUS call's persisted pair frames (bounded
-        # residency; an old still-held result merely recomputes)
-        _PAIR_CACHES.pop().unpersist()
+    # release the PREVIOUS call's persisted pair frames for THIS table
+    # (bounded residency; an old still-held result merely recomputes),
+    # and drain our own entries if the build raises mid-loop so a
+    # failed call can't leak cached blocks (r8 advice #3)
+    loc = table.location
+    for df in _PAIR_CACHES.pop(loc, []):
+        df.unpersist()
+    _PAIR_CACHES[loc] = []
+    try:
+        return _changelog_df_impl(
+            table, spark, from_snapshot_id, to_snapshot_id, net
+        )
+    except BaseException:
+        for df in _PAIR_CACHES.pop(loc, []):
+            df.unpersist()
+        raise
+
+
+def _changelog_df_impl(
+    table: Table,
+    spark: SparkSession,
+    from_snapshot_id: int,
+    to_snapshot_id: int | None,
+    net: bool,
+) -> DataFrame:
     md = table.metadata
     io = table.io
     base_spark = table.schema.to_spark()
@@ -376,7 +402,7 @@ def changelog_df(
             # caches (same bounded-residency contract as
             # dedup._INC_PROBE_CACHE).
             pairs = pairs.persist()
-            _PAIR_CACHES.append(pairs)
+            _PAIR_CACHES.setdefault(table.location, []).append(pairs)
             target_paths = {r["_del_path"] for r in pairs.select("_del_path").distinct().collect()}
             # entries for the targeted data files, read from the CHILD
             # snapshot's state (intended): MOR positional deletes target

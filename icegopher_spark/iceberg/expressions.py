@@ -194,25 +194,35 @@ class UnboundPredicate(BooleanExpression):
             from decimal import Decimal as _D
 
             def _floor_split(v: float):
-                with _dec.localcontext() as ctx:
-                    ctx.prec = 80
-                    d = _D(str(v))
-                    fl = d.quantize(
-                        _D(1).scaleb(-ftype.scale), rounding=_dec.ROUND_FLOOR
-                    )
+                # Returns None when the literal is too large to
+                # quantize at the working precision (e.g. 1e100 on
+                # decimal(4,2)): the caller falls through to the cast
+                # path, whose overflow sentinels fold with a typed
+                # error/AlwaysTrue-or-False instead of a raw
+                # decimal.InvalidOperation (r8 advice #1).
+                try:
+                    with _dec.localcontext() as ctx:
+                        ctx.prec = 80
+                        d = _D(str(v))
+                        fl = d.quantize(
+                            _D(1).scaleb(-ftype.scale), rounding=_dec.ROUND_FLOOR
+                        )
+                except _dec.InvalidOperation:
+                    return None
                 return d, fl
 
             if op in ("lt", "le", "gt", "ge") and len(lits) == 1:
-                d, fl = _floor_split(lits[0].value)
-                if fl != d:
+                split = _floor_split(lits[0].value)
+                if split is not None and split[1] != split[0]:
+                    fl = split[1]
                     if op in ("lt", "le"):
                         op, lits = "le", [Literal(fl, ftype)]
                     else:
                         op = "ge"
                         lits = [Literal(fl + _D(1).scaleb(-ftype.scale), ftype)]
             elif op in ("eq", "ne") and len(lits) == 1:
-                d, fl = _floor_split(lits[0].value)
-                if fl != d:
+                split = _floor_split(lits[0].value)
+                if split is not None and split[1] != split[0]:
                     if op == "eq":
                         return AlwaysFalse()
                     if field.required:
@@ -222,8 +232,8 @@ class UnboundPredicate(BooleanExpression):
                 kept = []
                 for l in lits:
                     if isinstance(l.value, float) and not isinstance(l.value, bool):
-                        d, fl = _floor_split(l.value)
-                        if fl != d:
+                        split = _floor_split(l.value)
+                        if split is not None and split[1] != split[0]:
                             continue
                     kept.append(l)
                 lits = kept

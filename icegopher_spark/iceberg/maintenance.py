@@ -635,12 +635,12 @@ def rewrite_position_delete_files(
     pd_paths: set[str] = set()
     dv_by_file: dict[str, object] = {}
     affected: set[str] = set()
-    fp_parts: dict[str, dict] = {}
-    default_spec = table.metadata.default_spec_id
+    # (spec_id, partition) pairs; write_dv_files stamps only
+    # current-default-spec values centrally (r8 advice #2)
+    fp_parts: dict[str, tuple[int, dict]] = {}
     for t in table.scan().plan_files():
         dpath = strip_file_scheme(t.file.file_path)
-        if t.spec_id == default_spec:  # see write.py delete_where_dv (r8)
-            fp_parts[dpath] = dict(t.file.partition or {})
+        fp_parts[dpath] = (t.spec_id, dict(t.file.partition or {}))
         has_pd = False
         for d in t.delete_files:
             if d.is_deletion_vector:
@@ -798,11 +798,12 @@ def rewrite_equality_deletes(
                 g["dv"][(d.file_path, d.content_offset)] = d
             else:
                 g["pd"].add(_strip(d.file_path))
+    # (spec_id, partition) pairs; write_dv_files validates spec_id
+    # against the default spec centrally (r8 advice #2)
     fp_parts = {
-        _strip(t.file.file_path): dict(t.file.partition or {})
+        _strip(t.file.file_path): (t.spec_id, dict(t.file.partition or {}))
         for g in groups.values()
         for t in g["tasks"]
-        if t.spec_id == table.metadata.default_spec_id  # r8: spec guard
     }
     if not any_eq and not _has_equality_delete_entries(table, snap):
         return table  # nothing to convert

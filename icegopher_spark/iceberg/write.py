@@ -1742,17 +1742,21 @@ def write_dv_files(
     table: Table,
     union_df: DataFrame,
     n_shards: int = 32,
-    partitions: dict[str, dict] | None = None,
+    partitions: dict[str, tuple[int, dict]] | None = None,
 ) -> list[DataFile]:
     """Build one roaring-bitmap deletion vector per data file from a
     ``(file_path, pos)`` DataFrame and write them as Puffin files.
 
-    ``partitions`` maps (scheme-stripped) data-file paths to their
-    partition dicts so each DV entry records its referenced file's
-    partition (the spec's partition-scoped delete pruning; previously
-    DV entries carried empty partitions). Only values shaped like the
-    CURRENT default spec are stamped — delete manifests are written
-    under it, and an old-era partition dict would mis-encode.
+    ``partitions`` maps (scheme-stripped) data-file paths to
+    ``(spec_id, partition_dict)`` pairs so each DV entry records its
+    referenced file's partition (the spec's partition-scoped delete
+    pruning; previously DV entries carried empty partitions). Only
+    values whose ``spec_id`` equals the table's CURRENT default spec
+    are stamped — delete manifests are written under it, and an
+    old-era partition dict would mis-encode. The spec check lives HERE
+    (r8 advice #2): a name-set guard alone cannot distinguish an
+    evolved spec that reuses field names with different transforms,
+    and relying on every caller to pre-filter by spec_id is fragile.
 
     The heavy lifting is EXECUTOR-side: positions shuffle once on a
     hash of ``file_path`` into ``n_shards`` shards, each shard builds
@@ -1768,10 +1772,11 @@ def write_dv_files(
     loc = table.location
     props = dict(table.properties or {})
     spec_names = {f.name for f in table.spec.fields}
+    default_spec = table.metadata.default_spec_id
     part_map = {
         _strip_p(k): dict(v)
-        for k, v in (partitions or {}).items()
-        if set(v.keys()) == spec_names
+        for k, (sid, v) in (partitions or {}).items()
+        if sid == default_spec and set(v.keys()) == spec_names
     }
 
     def _build(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -1883,20 +1888,23 @@ def delete_where_dv(
 
     scan = table.scan(row_filter=row_filter)
     groups: dict[tuple, dict] = {}
-    fp_parts: dict[str, dict] = {}
+    # (spec_id, partition) pairs — write_dv_files stamps only
+    # current-default-spec values centrally (r8 advice #2; the original
+    # r8-review rationale: a spec evolution reusing a field NAME with a
+    # different transform would mis-encode old-era values and an
+    # external reader pruning delete files by partition would
+    # resurrect the deleted rows)
+    fp_parts: dict[str, tuple[int, dict]] = {}
     for t in scan.plan_files():
         key = frozenset(d.file_path for d in t.eq_delete_files)
         g = groups.setdefault(
             key, {"tasks": [], "eq": t.eq_delete_files, "pd": set(), "dv": {}}
         )
         g["tasks"].append(t)
-        # stamp only current-spec partitions: a spec evolution that
-        # reuses a field NAME with a different transform would otherwise
-        # pass the writer's name-set guard and mis-encode old-era values
-        # under the new spec (r8 review — an external reader pruning
-        # delete files by partition would resurrect the deleted rows)
-        if t.spec_id == table.metadata.default_spec_id:
-            fp_parts[strip_file_scheme(t.file.file_path)] = dict(t.file.partition or {})
+        fp_parts[strip_file_scheme(t.file.file_path)] = (
+            t.spec_id,
+            dict(t.file.partition or {}),
+        )
         for d in t.delete_files:
             if d.is_deletion_vector:
                 g["dv"][(d.file_path, d.content_offset)] = d

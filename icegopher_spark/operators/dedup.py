@@ -718,9 +718,14 @@ def minhash_dedup_from_index(
     return exact_jaccard_verify(sh, cands, threshold)
 
 
-# One-slot registry of the previous incremental probe's persisted band
-# entries; see minhash_dedup_incremental for the unpersist contract.
-_INC_PROBE_CACHE: list = []
+# One-slot-PER-INDEX registry of the previous incremental probe's
+# persisted band entries, keyed by the index table's location (r8
+# advice #3: a single global slot let a probe against index B
+# unpersist index A's in-flight cache — correctness-safe but the perf
+# win silently vanished). Concurrent probes against the SAME index in
+# one session still race (single-caller-per-index assumption). Tests
+# reach the entries via .values().
+_INC_PROBE_CACHE: dict = {}
 
 
 def minhash_dedup_incremental(
@@ -765,9 +770,10 @@ def minhash_dedup_incremental(
         # case the previous, not-yet-collected result recomputes its
         # signatures), bounding residency to one batch.
         new_e = new_e.persist()
-        while _INC_PROBE_CACHE:
-            _INC_PROBE_CACHE.pop().unpersist()
-        _INC_PROBE_CACHE.append(new_e)
+        prev = _INC_PROBE_CACHE.pop(table.location, None)
+        if prev is not None:
+            prev.unpersist()
+        _INC_PROBE_CACHE[table.location] = new_e
     stored = table.scan().to_df(spark).select("band", "key", "id")
     all_e = stored.unionByName(new_e)
     # density cap over the UNION (global frequency); capping the build

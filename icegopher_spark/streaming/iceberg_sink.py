@@ -102,15 +102,39 @@ def foreach_batch_appender(
                     raise
         _maybe_maintain(batch_df)
 
+    # boundaries already maintained by THIS process — prevents the
+    # replay path re-running compaction for the same boundary batch it
+    # just handled (cross-crash re-runs remain possible and are
+    # semantics-preserving: compaction of an already-compacted table
+    # finds nothing to bin-pack)
+    _maintained: set = set()
+
     def _maybe_maintain(batch_df: DataFrame) -> None:
+        # W.append is functional (returns a NEW Table); without a
+        # refresh the local handle's metadata excludes the batch just
+        # committed, so compaction fired one batch later than
+        # documented (r8 advice #4)
+        table.refresh()
         n_done = len(committed_batches(table, query_id))
-        if compact_every and n_done and n_done % compact_every == 0:
+        if (
+            compact_every
+            and n_done
+            and n_done % compact_every == 0
+            and ("compact", n_done) not in _maintained
+        ):
             from ..iceberg.maintenance import compact_data_files
 
+            _maintained.add(("compact", n_done))
             compact_data_files(table, batch_df.sparkSession)
-        if rewrite_manifests_every and n_done and n_done % rewrite_manifests_every == 0:
+        if (
+            rewrite_manifests_every
+            and n_done
+            and n_done % rewrite_manifests_every == 0
+            and ("manifests", n_done) not in _maintained
+        ):
             from ..iceberg.maintenance import rewrite_manifests
 
+            _maintained.add(("manifests", n_done))
             rewrite_manifests(table)
 
     return _append

@@ -314,11 +314,45 @@ def test_incremental_probe_unpersists_previous(spark, tmp_path):
     D._INC_PROBE_CACHE.clear()
     r1 = D.minhash_dedup_incremental(spark, table, new, corpus)
     assert len(D._INC_PROBE_CACHE) == 1
-    first = D._INC_PROBE_CACHE[0]
+    first = next(iter(D._INC_PROBE_CACHE.values()))
     assert first.storageLevel.useMemory
     r2 = D.minhash_dedup_incremental(spark, table, new, corpus)
     # previous probe's cache was released; current one took its slot
     assert not first.storageLevel.useMemory
-    assert len(D._INC_PROBE_CACHE) == 1 and D._INC_PROBE_CACHE[0] is not first
+    assert len(D._INC_PROBE_CACHE) == 1
+    assert next(iter(D._INC_PROBE_CACHE.values())) is not first
     # unpersist is correctness-safe: the earlier result still computes
     assert r1.count() == r2.count()
+
+
+def test_oversized_float_on_decimal_binds_to_typed_error():
+    """r8 advice #1: a float literal whose decimal expansion exceeds
+    the quantize precision (1e100 on decimal(4,2)) must surface the
+    cast path's typed ValueError, not a raw decimal.InvalidOperation
+    out of _floor_split."""
+    import decimal
+
+    from icegopher_spark.iceberg.expressions import (
+        equal_to,
+        greater_than,
+        is_in,
+        less_than,
+    )
+    from icegopher_spark.iceberg.schema import Schema
+    from icegopher_spark.iceberg.types import DecimalType, NestedField
+
+    sch = Schema((NestedField(1, "d", DecimalType(4, 2), False),), schema_id=0)
+    for mk in (
+        lambda: less_than("d", 1e100),
+        lambda: greater_than("d", 1e100),
+        lambda: equal_to("d", 1e100),
+        lambda: is_in("d", 1e100, 0.25),
+    ):
+        try:
+            mk().bind(sch)
+        except ValueError as e:
+            assert "cannot cast" in str(e)
+        except decimal.InvalidOperation:
+            pytest.fail("raw decimal.InvalidOperation leaked out of bind()")
+        else:
+            pytest.fail("expected typed ValueError for oversized literal")
