@@ -503,8 +503,173 @@ def orphan_files(
     return sorted(orphans)
 
 
-def remove_orphan_files(table: Table, older_than_ms: int | None = None) -> list[str]:
-    removed = orphan_files(table, older_than_ms=older_than_ms)
+def orphan_files_distributed(
+    table: Table,
+    spark: SparkSession,
+    older_than_ms: int | None = None,
+    refresh: bool = True,
+) -> list[str]:
+    """Distributed orphan discovery (r8 verdict #2): same result as
+    ``orphan_files``, but both heavy sides run as DataFrames —
+    upstream Iceberg ships RemoveOrphanFiles as a Spark action for
+    exactly this reason.
+
+    - The DRIVER touches only metadata-scale state: metadata jsons,
+      registered stats files, manifest LISTS, and the distinct set of
+      manifest paths (manifests are immutable and shared across
+      snapshots, so `distinct` replaces the driver-side memo cache).
+    - The big reachable set — every data/delete path inside every
+      manifest — is decoded EXECUTOR-side, a partition of manifests
+      per task (`mapInPandas` over the manifest-path frame).
+    - The file LISTING fans out one task per top-level directory under
+      the table location (on an object store this becomes a parallel
+      prefix listing), stamping mtime during the walk.
+    - Orphans = listing ANTI-JOIN reachable, with the same mtime guard
+      / noise filters / `_cache` exclusion applied in the plan. Only
+      the orphan list itself (small by contract — it is write garbage)
+      is collected.
+
+    Scale posture: a 100 TB table with millions of files never
+    materializes the listing or the reachable set on the driver; the
+    anti-join shuffles O(#files) short path strings once.
+    """
+    import time as _time
+
+    if refresh:
+        table = table.refresh()
+    if older_than_ms is None:
+        older_than_ms = DEFAULT_ORPHAN_AGE_MS
+    cutoff_s = _time.time() - older_than_ms / 1000.0
+    md = table.metadata
+    location = strip_scheme(md.location)
+
+    # --- driver side: metadata plane + stats + manifest lists ---------
+    small_refs: set[str] = set()
+    for fn in os.listdir(os.path.join(location, "metadata")):
+        if fn.endswith(".metadata.json") or fn == "version-hint.text":
+            small_refs.add(os.path.join(location, "metadata", fn))
+    for e in [*md.statistics, *md.partition_statistics]:
+        p = e.get("statistics-path")
+        if p:
+            small_refs.add(strip_file_scheme(p))
+    manifest_paths: set[str] = set()
+    for s in md.snapshots:
+        small_refs.add(strip_file_scheme(s.manifest_list))
+        for m in read_manifest_list(table.io.read(s.manifest_list)):
+            manifest_paths.add(m.manifest_path)
+    small_refs |= {strip_file_scheme(p) for p in manifest_paths}
+
+    props = dict(table.properties or {})
+
+    # --- executor side: decode manifests -> referenced data paths -----
+    def _decode_manifests(batches):
+        import pandas as pd
+
+        from .io import load_io
+        from .manifests import read_manifest_entries
+
+        for pdf in batches:
+            out: list[str] = []
+            for mp in pdf["manifest"]:
+                raw = load_io(mp, props).read(mp)
+                out.extend(
+                    strip_file_scheme(e.data_file.file_path)
+                    for e in read_manifest_entries(raw, discard_deleted=False)
+                )
+            yield pd.DataFrame({"path": out})
+
+    sc_parallelism = spark.sparkContext.defaultParallelism
+    reachable_parts = [
+        spark.createDataFrame(
+            [(p,) for p in sorted(small_refs)], "path string"
+        )
+    ]
+    if manifest_paths:
+        mdf = spark.createDataFrame(
+            [(p,) for p in sorted(manifest_paths)], "manifest string"
+        ).repartition(min(len(manifest_paths), sc_parallelism))
+        reachable_parts.append(mdf.mapInPandas(_decode_manifests, "path string"))
+    reachable = reachable_parts[0]
+    for p in reachable_parts[1:]:
+        reachable = reachable.unionByName(p)
+
+    # --- executor side: parallel tree walk with mtimes -----------------
+    root = location
+    top_files: list[tuple[str, float]] = []
+    top_dirs: list[str] = []
+    for name in sorted(os.listdir(root)):
+        full = os.path.join(root, name)
+        if os.path.isdir(full):
+            top_dirs.append(full)
+        else:
+            try:
+                top_files.append((full, os.path.getmtime(full)))
+            except OSError:
+                pass  # vanished mid-listing → someone owns it
+
+    def _walk(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            paths: list[str] = []
+            mtimes: list[float] = []
+            for d in pdf["dir"]:
+                for dirpath, _dirs, files in os.walk(d):
+                    for fn in files:
+                        fp = os.path.join(dirpath, fn)
+                        try:
+                            mt = os.path.getmtime(fp)
+                        except OSError:
+                            continue
+                        paths.append(fp)
+                        mtimes.append(mt)
+            yield pd.DataFrame({"path": paths, "mtime": mtimes})
+
+    listing_parts = [
+        spark.createDataFrame(top_files or [], "path string, mtime double")
+    ]
+    if top_dirs:
+        ddf = spark.createDataFrame(
+            [(d,) for d in top_dirs], "dir string"
+        ).repartition(min(len(top_dirs), sc_parallelism))
+        listing_parts.append(ddf.mapInPandas(_walk, "path string, mtime double"))
+    listing = listing_parts[0]
+    for p in listing_parts[1:]:
+        listing = listing.unionByName(p)
+
+    base = F.element_at(F.split(F.col("path"), os.sep), -1)
+    candidates = (
+        listing
+        # same guards as the driver path, expressed in the plan:
+        .filter(~F.col("path").contains(f"{os.sep}_cache{os.sep}"))
+        .filter(~base.endswith(".crc"))
+        .filter(~base.startswith("_SUCCESS"))
+        .filter(~base.startswith(".crc"))
+        .filter(~base.startswith("_started"))
+        .filter(~base.startswith("_committed"))
+        .filter(F.col("mtime") <= F.lit(cutoff_s))
+    )
+    orphans = (
+        candidates.join(reachable.distinct(), "path", "left_anti")
+        .select("path")
+        .collect()
+    )
+    return sorted(r["path"] for r in orphans)
+
+
+def remove_orphan_files(
+    table: Table,
+    older_than_ms: int | None = None,
+    spark: SparkSession | None = None,
+) -> list[str]:
+    """Delete orphan candidates. With ``spark`` the discovery runs
+    distributed (orphan_files_distributed — the 100 TB path); without,
+    the driver-side walk is kept for metadata-scale tables and
+    spark-less callers (CLI)."""
+    if spark is not None:
+        removed = orphan_files_distributed(table, spark, older_than_ms=older_than_ms)
+    else:
+        removed = orphan_files(table, older_than_ms=older_than_ms)
     for path in removed:
         _safe_remove(table, path)
     return removed

@@ -129,6 +129,20 @@ class Schema:
     def to_spark(self):
         return to_spark_type(self.as_struct)
 
+    def to_spark_readable(self):
+        """Spark schema with unsupported (geo) top-level fields DROPPED
+        — the READ schema for data files of a table that contains geo
+        columns (deselect tolerance, r8 verdict #1b). Refusal for a
+        geo column the user actually selected happens earlier, at
+        projection().to_spark(); this method only keeps the readers
+        from choking on columns nobody asked for."""
+        from .types import StructType, contains_unsupported, to_spark_type
+
+        kept = tuple(
+            f for f in self.fields if not contains_unsupported(f.field_type)
+        )
+        return to_spark_type(StructType(kept))
+
     # -- JSON ------------------------------------------------------------
 
     def to_json_dict(self) -> dict:

@@ -690,14 +690,14 @@ class TableScan:
                 from .pyreaders import read_avro_files
 
                 raw = read_avro_files(
-                    spark, g["paths"], file_schema.to_spark(), with_pos=py_pos
+                    spark, g["paths"], file_schema.to_spark_readable(), with_pos=py_pos
                 )
             elif py_pos:
                 from .pyreaders import read_orc_with_pos
 
-                raw = read_orc_with_pos(spark, g["paths"], file_schema.to_spark())
+                raw = read_orc_with_pos(spark, g["paths"], file_schema.to_spark_readable())
             else:
-                read_schema = file_schema.to_spark()
+                read_schema = file_schema.to_spark_readable()
                 if has_lin_cols:
                     # parquet files from a lineage-preserving rewrite
                     # carry the reserved columns physically; extend the
@@ -718,7 +718,15 @@ class TableScan:
                     else reader.parquet(*g["paths"])
                 )
             cols = []
+            from .types import contains_unsupported
+
             for f in base.fields:
+                if contains_unsupported(f.field_type):
+                    # geo column the projection didn't select (it
+                    # couldn't have: projection.to_spark() refuses
+                    # selected geo with the column named) — skip, so
+                    # the rest of the table scans normally
+                    continue
                 old = file_schema.find_field(f.field_id)
                 if old is not None:
                     c = F.col(old.name)

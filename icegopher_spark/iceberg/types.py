@@ -188,18 +188,23 @@ PRIMITIVE_TYPES: dict[str, PrimitiveType] = {
 
 
 class UnsupportedTypeError(ValueError):
-    """A V3 type that is recognized but not implemented here. Raised at
-    PARSE time with the offending type named, so metadata written by
-    another engine fails actionably instead of with a generic
-    'unknown primitive type' (r6 verdict #3)."""
+    """A V3 type that is recognized but not implemented here. Raised
+    when the offending column is SELECTED (or written), with the type
+    and column named, so metadata written by another engine fails
+    actionably instead of with a generic 'unknown primitive type'
+    (r6 verdict #3). Since r9 the refusal is PER-COLUMN, not at parse:
+    a geo column no longer makes the whole table unloadable — deselect
+    it and every other column scans normally (r8 verdict #1b)."""
 
-    def __init__(self, type_name: str) -> None:
+    def __init__(self, type_name: str, column: str | None = None) -> None:
         self.type_name = type_name
+        self.column = column
+        at = f"column {column!r} has" if column else ""
         super().__init__(
-            f"Iceberg V3 type {type_name!r} is not supported by this "
-            "engine (recognized but unimplemented: geometry/geography); "
-            "read this table with an engine that implements it, or drop "
-            "the column first"
+            f"{at} Iceberg V3 type {type_name!r} which is not supported "
+            "by this engine (recognized but unimplemented: "
+            "geometry/geography); deselect the column to scan the rest "
+            "of the table, or read it with an engine that implements it"
         )
 
 
@@ -207,6 +212,28 @@ class UnsupportedTypeError(ValueError):
 # `geometry(<crs>)` / `geography(<crs>, <algorithm>)` (bare forms too).
 # `variant` graduated to a real type in r8 (VariantType above).
 _UNSUPPORTED_V3_RE = re.compile(r"^(geometry|geography)\s*(\(.*\))?$")
+
+
+@dataclass(frozen=True)
+class UnsupportedGeoType(PrimitiveType):
+    """Placeholder for a RECOGNIZED-but-unimplemented V3 geo type
+    (``geometry(<crs>)`` / ``geography(<crs>, <algorithm>)``). Parsing
+    into a placeholder instead of raising (r9, was r6 verdict #3
+    behavior) makes geo tables DESELECT-TOLERANT: a table containing
+    one geo column still loads and every other column scans normally;
+    only an attempt to SELECT/convert/write the geo column raises the
+    precise ``UnsupportedTypeError``. ``str()`` round-trips the
+    original type string so metadata re-serialization preserves it
+    byte-exactly (type_to_json falls back to str). Semantics anchor:
+    reference types.go:61-135 (type JSON dispatch)."""
+
+    type_str: str = ""
+
+    def __str__(self) -> str:
+        return self.type_str
+
+    __hash__ = IcebergType.__hash__
+    __eq__ = IcebergType.__eq__
 
 
 @dataclass(frozen=True)
@@ -295,7 +322,10 @@ def type_from_json(obj: Any) -> IcebergType:
             return DecimalType(int(m.group(1)), int(m.group(2)))
         m = _UNSUPPORTED_V3_RE.match(obj)
         if m:
-            raise UnsupportedTypeError(obj)
+            # recognized geo type: parse into a placeholder so the
+            # TABLE stays loadable; refusal happens per-column at
+            # select/convert time (UnsupportedGeoType docstring)
+            return UnsupportedGeoType(obj)
         raise ValueError(f"unknown primitive type: {obj!r}")
     t = obj.get("type")
     if t == "struct":
@@ -404,12 +434,14 @@ _PRIM_TO_SPARK: dict[str, T.DataType] = {
 
 
 def to_spark_type(t: IcebergType) -> T.DataType:
+    if isinstance(t, UnsupportedGeoType):
+        raise UnsupportedTypeError(t.type_str)
     if isinstance(t, StructType):
         return T.StructType(
             [
                 T.StructField(
                     f.name,
-                    to_spark_type(f.field_type),
+                    _to_spark_type_named(f.field_type, f.name),
                     nullable=not f.required,
                     # Spark has no TimeType: `time` columns surface as
                     # bigint µs-since-midnight, annotated so the logical
@@ -443,6 +475,17 @@ def to_spark_type(t: IcebergType) -> T.DataType:
     if isinstance(t, DecimalType):
         return T.DecimalType(t.precision, t.scale)
     return _PRIM_TO_SPARK[t.name]
+
+
+def _to_spark_type_named(t: IcebergType, name: str) -> T.DataType:
+    """to_spark_type with the owning field's name attached to the
+    unsupported-type refusal, so 'deselect column X' is actionable."""
+    try:
+        return to_spark_type(t)
+    except UnsupportedTypeError as e:
+        if e.column is None:
+            raise UnsupportedTypeError(e.type_name, column=name) from None
+        raise
 
 
 def from_spark_type(dt: T.DataType, next_id) -> IcebergType:
@@ -488,6 +531,22 @@ def from_spark_type(dt: T.DataType, next_id) -> IcebergType:
     if dt in rev:
         return rev[dt]
     raise ValueError(f"cannot convert Spark type {dt} to Iceberg")
+
+
+def contains_unsupported(t: IcebergType) -> bool:
+    """True when ``t`` is or nests an UnsupportedGeoType anywhere —
+    same shape as contains_variant: the scan path uses this to SKIP
+    geo fields the projection doesn't select (deselect tolerance) and
+    to refuse, per-column, the ones it does."""
+    if isinstance(t, UnsupportedGeoType):
+        return True
+    if isinstance(t, StructType):
+        return any(contains_unsupported(f.field_type) for f in t.fields)
+    if isinstance(t, ListType):
+        return contains_unsupported(t.element_type)
+    if isinstance(t, MapType):
+        return contains_unsupported(t.key_type) or contains_unsupported(t.value_type)
+    return False
 
 
 def contains_variant(t: IcebergType) -> bool:

@@ -1829,6 +1829,114 @@ def iceberg_variant_read(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# --- V3 SHREDDED variant column (round-9) -----------------------------------
+
+def _shredded_file_check(t: Table) -> bool:
+    """True when every data file of ``t`` is a SHREDDED variant file
+    (typed_value subcolumns present in the parquet footer per the V3
+    shredding spec). Raw-bytes probe: pyarrow cannot open
+    variant-annotated footers at all."""
+    try:
+        tasks = t.scan().plan_files()
+        if not tasks:
+            return False
+        for task in tasks:
+            from .iceberg.table import strip_file_scheme
+
+            with open(strip_file_scheme(task.file.file_path), "rb") as f:
+                if b"typed_value" not in f.read():
+                    return False
+        return True
+    except Exception:  # noqa: BLE001 — unreadable cache
+        return False
+
+
+def _variant_shredded_table_for(spark: SparkSession, sf_dir: str) -> Table:
+    """v3 documents table whose variant payload files are SHREDDED
+    (typed_value subcolumns per the V3/parquet variant shredding spec
+    — what another engine's shredding writer produces). Spark 4's
+    reader reassembles shredded variant natively
+    (spark.sql.variant.allowReadingShredded, default on); the fixture
+    forces shredding at write time via
+    spark.sql.variant.forceShreddingSchemaForTest and VERIFIES the
+    footers really carry typed_value, so the gate can't silently pass
+    on unshredded files (r8 verdict #1a)."""
+    from .iceberg.types import VariantType
+
+    schema = Schema(
+        (
+            NestedField(1, "doc_id", LongType(), True),
+            NestedField(2, "lang", StringType(), False),
+            NestedField(3, "payload", VariantType(), False),
+        ),
+        schema_id=0,
+    )
+
+    def build(loc: str) -> Table:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id",
+            "lang",
+            F.parse_json(
+                F.to_json(F.struct("source", "n_chars"))
+            ).alias("payload"),
+        )
+        t = W.create_table(loc, schema, format_version=3)
+        conf_key = "spark.sql.variant.forceShreddingSchemaForTest"
+        prev = spark.conf.get(conf_key, "")
+        spark.conf.set(conf_key, "source string, n_chars bigint")
+        try:
+            t = W.append(t, docs)
+        finally:
+            spark.conf.set(conf_key, prev or "")
+        if not _shredded_file_check(t):
+            raise RuntimeError(
+                "shredded-variant fixture wrote UNSHREDDED files — the "
+                "gate would not be testing shredded reassembly"
+            )
+        return t
+
+    return _cached_table(
+        sf_dir,
+        "documents_variant_shredded",
+        lambda t: len(t.metadata.snapshots) == 1 and _shredded_file_check(t),
+        build,
+    )
+
+
+@register(
+    "iceberg_variant_shredded",
+    ice_variant_oracle,
+    "V3 SHREDDED variant read: data files carry typed_value subcolumns "
+    "per the shredding spec; the scan reassembles them into Spark "
+    "VariantType natively and variant_get extracts typed paths — same "
+    "oracle as the unshredded gate, so shredding must be "
+    "value-invisible",
+)
+def iceberg_variant_shredded(spark: SparkSession, sf: str) -> DataFrame:
+    """Shredded-variant read (r8 verdict #1a): another engine shredding
+    the variant column (typed_value subcolumns) must read back
+    identically to the unshredded layout. The fixture builder asserts
+    the footers are really shredded; the oracle recomputes the
+    aggregate from the original flat columns. Semantics anchor:
+    types.go:61-135 (type JSON dispatch) + the parquet variant
+    shredding spec."""
+    t = _variant_shredded_table_for(spark, sf)
+    return (
+        t.scan()
+        .to_df(spark)
+        .select(
+            "lang",
+            F.try_variant_get("payload", "$.source", "string").alias("source"),
+            F.try_variant_get("payload", "$.n_chars", "long").alias("n_chars"),
+        )
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        )
+    )
+
+
 # --- auto manifest-merge (round-8) -----------------------------------------
 
 def _merged_manifests_table_for(spark: SparkSession, sf_dir: str) -> Table:
@@ -1977,7 +2085,11 @@ def _orphan_cleaned_table_for(spark: SparkSession, sf_dir: str) -> Table:
         for p in junk:
             with open(p, "wb") as f:
                 f.write(b"not a real parquet")
-        removed = remove_orphan_files(t, older_than_ms=0)
+        # spark= engages the DISTRIBUTED discovery path (r8 verdict
+        # #2): the gate now proves the executor-side manifest decode +
+        # parallel walk + anti-join classify exactly like the driver
+        # walk did
+        removed = remove_orphan_files(t, older_than_ms=0, spark=spark)
         assert all(not _os.path.exists(p) for p in junk), removed
         return t
 

@@ -650,3 +650,44 @@ def test_compute_table_stats_ndv(spark, tmp_path):
     assert table_ndv(t2) == {"k": 8, "tag": 3}
     with pytest.raises(ValueError, match="eligible"):
         compute_table_stats(t, spark, columns=["nope"])
+
+
+def test_orphan_files_distributed_matches_driver(spark, tmp_path, lineitem):
+    """r8 verdict #2: the distributed discovery (executor-side manifest
+    decode + parallel tree walk + anti-join) classifies a many-files
+    table EXACTLY like the driver walk — same orphans, same live-file
+    protection, same age guard, same _cache/noise exclusions."""
+    t = _mk_table(tmp_path, 4, lineitem, rows_per=100)
+    ddir = str(tmp_path / "tbl" / "data")
+    os.makedirs(ddir, exist_ok=True)
+    # plant a spread of junk: fake datafiles, nested dir garbage,
+    # noise files that must NOT be treated as orphans, a _cache
+    # sidecar, and a too-young file under a nonzero age cutoff
+    junk = [f"{ddir}/zz-junk-{i}.parquet" for i in range(25)]
+    nested = str(tmp_path / "tbl" / "data" / "deep" / "deeper")
+    os.makedirs(nested, exist_ok=True)
+    junk += [f"{nested}/stray-{i}.bin" for i in range(5)]
+    for p in junk:
+        with open(p, "wb") as f:
+            f.write(b"junk")
+    for noise in ("_SUCCESS", "x.crc", "_started_123", "_committed_456"):
+        with open(f"{ddir}/{noise}", "wb") as f:
+            f.write(b"")
+    cache_dir = str(tmp_path / "tbl" / "data" / "_cache")
+    os.makedirs(cache_dir, exist_ok=True)
+    with open(f"{cache_dir}/density.parquet", "wb") as f:
+        f.write(b"sidecar")
+
+    driver = M.orphan_files(t, older_than_ms=0)
+    dist = M.orphan_files_distributed(t, spark, older_than_ms=0)
+    assert dist == driver
+    assert set(junk) <= set(dist)
+    assert not any("_cache" in p for p in dist)
+    assert not any(os.path.basename(p).startswith(("_SUCCESS", "_started", "_committed")) for p in dist)
+    # age guard: with the default 3-day cutoff nothing just-written
+    # qualifies on either path
+    assert M.orphan_files_distributed(t, spark) == M.orphan_files(t)
+    # distributed removal leaves the table scannable and junk gone
+    removed = M.remove_orphan_files(t, older_than_ms=0, spark=spark)
+    assert set(junk) <= set(removed)
+    assert t.scan().to_df(spark).count() == 400

@@ -243,19 +243,31 @@ def test_v3_ns_and_unknown_roundtrip():
         assert type_to_json(t) == name
 
 
-def test_v3_unsupported_types_fail_loudly():
-    from icegopher_spark.iceberg.types import UnsupportedTypeError, type_from_json
+def test_v3_unsupported_types_parse_but_refuse_conversion():
+    """r9 (r8 verdict #1b): geometry/geography PARSE into a placeholder
+    (deselect tolerance — the table stays loadable) and refuse loudly,
+    with the type named, only when converted to a Spark type (i.e.
+    when the column is actually selected or written). The placeholder
+    round-trips the original type string byte-exactly."""
+    from icegopher_spark.iceberg.types import (
+        UnsupportedGeoType,
+        UnsupportedTypeError,
+        to_spark_type,
+        type_from_json,
+        type_to_json,
+    )
 
-    # variant graduated to a supported type in r8 (see
-    # test_variant_type_parses_and_maps_to_spark)
     for s in (
         "geometry",
         "geography",
         "geometry(srid:4326)",
         "geography(srid:4326, spherical)",
     ):
+        t = type_from_json(s)
+        assert isinstance(t, UnsupportedGeoType)
+        assert type_to_json(t) == s  # byte-exact re-serialization
         with pytest.raises(UnsupportedTypeError, match="not supported") as ei:
-            type_from_json(s)
+            to_spark_type(t)
         assert s.split("(")[0] in str(ei.value)
     # unrecognized strings still get the generic error, not the V3 one
     from icegopher_spark.iceberg.types import UnsupportedTypeError as UTE
@@ -400,10 +412,13 @@ def test_v3_metadata_with_ns_and_unknown_parses():
         md_with([{"id": 1, "name": "v", "type": "variant", "required": False}])
     )
     assert isinstance(vmd.current_schema.to_spark()["v"].dataType, T.VariantType)
-    with pytest.raises(UnsupportedTypeError, match="geometry"):
-        parse_metadata(
-            md_with([{"id": 1, "name": "g", "type": "geometry", "required": False}])
-        )
+    # geometry PARSES (deselect tolerance, r9) but refuses per-column
+    # at Spark conversion with the column named
+    gmd = parse_metadata(
+        md_with([{"id": 1, "name": "g", "type": "geometry", "required": False}])
+    )
+    with pytest.raises(UnsupportedTypeError, match="'g'.*geometry"):
+        gmd.current_schema.to_spark()
 
 
 def test_v3_ns_filter_compiles_to_datetime_literal():
@@ -450,9 +465,11 @@ def test_variant_type_parses_and_maps_to_spark():
     v = type_from_json("variant")
     assert isinstance(v, VariantType)
     assert to_spark_type(v) == ST.VariantType()
+    # geometry/geography parse to a placeholder (deselect tolerance,
+    # r9) and refuse loudly at Spark conversion
     for bad in ("geometry", "geography", "geometry(srid:3857)"):
         with pytest.raises(UnsupportedTypeError):
-            type_from_json(bad)
+            to_spark_type(type_from_json(bad))
 
 
 def test_variant_table_scan_and_deselect(spark, tmp_path):
@@ -575,3 +592,143 @@ def test_variant_table_lineage_preserving_compaction(spark, tmp_path):
         for r in t.scan(with_lineage=True).to_df(spark).collect()
     }
     assert after == before  # lineage survived the rewrite byte-exactly
+
+
+def test_geo_table_deselect_tolerant_scan(spark, tmp_path):
+    """r8 verdict #1b: a table containing ONE geo column must not be
+    entirely unloadable. The table loads, non-geo columns scan
+    normally (data files adopted via add_files carry the geo column
+    physically as WKB binary, exactly the V3 on-disk representation),
+    and selecting the geo column — explicitly or via the default
+    ``*`` projection — refuses with the column and type named."""
+    from pyspark.sql import functions as F
+
+    from icegopher_spark.iceberg import write as W
+    from icegopher_spark.iceberg.schema import Schema
+    from icegopher_spark.iceberg.table import Table
+    from icegopher_spark.iceberg.types import (
+        DoubleType,
+        LongType,
+        NestedField,
+        UnsupportedTypeError,
+        type_from_json,
+    )
+
+    sch = Schema(
+        (
+            NestedField(1, "k", LongType(), True),
+            NestedField(2, "geo", type_from_json("geometry(srid:4326)"), False),
+            NestedField(3, "val", DoubleType(), False),
+        ),
+        schema_id=0,
+    )
+    # data file as another engine would write it: geometry physically
+    # stored as WKB binary
+    df = spark.range(30).select(
+        F.col("id").alias("k"),
+        F.encode(F.lit("\x01\x01WKB-ish"), "utf-8").alias("geo"),
+        (F.col("id") * 1.5).alias("val"),
+    )
+    path = str(tmp_path / "geo_data")
+    df.coalesce(1).write.parquet(path)
+    import glob
+
+    files = sorted(glob.glob(f"{path}/*.parquet"))
+
+    loc = str(tmp_path / "geo_table")
+    t = W.create_table(loc, sch, format_version=3)
+    t = W.add_files(t, files)
+
+    # metadata JSON round-trip: reloading from disk preserves the geo
+    # type string byte-exactly
+    t2 = Table.from_location(loc)
+    assert str(t2.schema.find_field(2).field_type) == "geometry(srid:4326)"
+
+    # deselect-tolerant scan of the non-geo columns
+    got = t2.scan(selected_fields=("k", "val")).to_df(spark)
+    assert got.columns == ["k", "val"]
+    assert got.count() == 30
+    assert got.agg(F.sum("val")).collect()[0][0] == sum(i * 1.5 for i in range(30))
+
+    # selecting the geo column refuses with column + type named
+    with pytest.raises(UnsupportedTypeError, match="'geo'.*geometry"):
+        t2.scan(selected_fields=("k", "geo")).to_df(spark)
+    with pytest.raises(UnsupportedTypeError, match="geometry"):
+        t2.scan().to_df(spark)  # default * projection selects geo
+
+    # writes into a geo table refuse too (cannot encode the column)
+    with pytest.raises(UnsupportedTypeError):
+        W.append(t2, df)
+
+
+def test_shredded_variant_reads_back_identically(spark, tmp_path):
+    """r8 verdict #1a: a variant column whose data files are SHREDDED
+    (typed_value subcolumns per the V3 shredding spec) must read back
+    value-identically to the unshredded layout, including paths NOT in
+    the shredding schema (they fall back to the residual `value`
+    field). Deselect of the variant column works on shredded files
+    too."""
+    from pyspark.sql import functions as F
+
+    from icegopher_spark.iceberg import write as W
+    from icegopher_spark.iceberg.schema import Schema
+    from icegopher_spark.iceberg.table import strip_file_scheme
+    from icegopher_spark.iceberg.types import (
+        LongType,
+        NestedField,
+        VariantType,
+    )
+
+    sch = Schema(
+        (
+            NestedField(1, "k", LongType(), True),
+            NestedField(2, "payload", VariantType(), False),
+        ),
+        schema_id=0,
+    )
+    # q is in the shredding schema; extra is NOT (exercises the
+    # residual value path of the reassembly)
+    df = spark.range(25).select(
+        F.col("id").alias("k"),
+        F.parse_json(
+            F.to_json(
+                F.struct(
+                    (F.col("id") * 3).alias("q"),
+                    F.concat(F.lit("x"), F.col("id").cast("string")).alias("extra"),
+                )
+            )
+        ).alias("payload"),
+    )
+    loc = str(tmp_path / "shred")
+    t = W.create_table(loc, sch, format_version=3)
+    key = "spark.sql.variant.forceShreddingSchemaForTest"
+    spark.conf.set(key, "q long")
+    try:
+        t = W.append(t, df.coalesce(2))
+    finally:
+        spark.conf.set(key, "")
+
+    tasks = t.scan().plan_files()
+    assert tasks
+    for task in tasks:  # files are REALLY shredded
+        with open(strip_file_scheme(task.file.file_path), "rb") as f:
+            assert b"typed_value" in f.read()
+    # footer fallback still counts rows on shredded footers
+    assert sum(task.file.record_count for task in tasks) == 25
+
+    got = {
+        r["k"]: (r["q"], r["extra"])
+        for r in t.scan()
+        .to_df(spark)
+        .select(
+            "k",
+            F.try_variant_get("payload", "$.q", "long").alias("q"),
+            F.try_variant_get("payload", "$.extra", "string").alias("extra"),
+        )
+        .collect()
+    }
+    assert got == {i: (3 * i, f"x{i}") for i in range(25)}
+
+    # deselect tolerance holds on shredded files
+    slim = t.scan(selected_fields=("k",)).to_df(spark)
+    assert slim.columns == ["k"] and slim.count() == 25
