@@ -65,7 +65,11 @@ BENCH_QUERIES = [
 def main() -> None:
     # parse flags BEFORE the Spark session / warm-ups so a bad
     # invocation fails in milliseconds, not minutes
-    repeat = int(os.environ.get("SPARK_GRAFT_REPEAT", "2"))
+    # repeat=3 (r8 verdict #6): at repeat=2 round-to-round comparisons
+    # were noise-dominated (r8's uniform +9% was VM weather); three
+    # minima + the calibration spread below let the judge separate
+    # weather from regressions.
+    repeat = int(os.environ.get("SPARK_GRAFT_REPEAT", "3"))
     if "--repeat" in sys.argv:
         i = sys.argv.index("--repeat")
         if i + 1 >= len(sys.argv) or not sys.argv[i + 1].isdigit():
@@ -177,12 +181,25 @@ def main() -> None:
         "corpus_shuffle_shard",
         "iceberg_orphan_cleanup",
         "iceberg_table_stats",
+        # round-9 additions
+        "iceberg_variant_shredded",
+        "stream_cdc_updates",
     ]
+
+    # Noise calibration (r8 verdict #6): a fixed query timed once per
+    # repeat, ALL runs reported (not the min) — its spread is the
+    # VM-weather signal for this bench invocation. q1 is the pick: pure
+    # relational scan+agg, plan pinned since r1, no fixture effects.
+    CALIBRATION_QUERY = "q1_pricing_summary"
+    calibration_runs: list[float] = []
 
     times: dict[str, float] = {}
     extended: dict[str, float] = {}
     run_totals: list[float] = []
     for _run in range(repeat):
+        t0 = time.time()
+        QUERIES[CALIBRATION_QUERY].fn(spark, sf_dir).count()
+        calibration_runs.append(round(time.time() - t0, 3))
         run_total = 0.0
         for name in BENCH_QUERIES:
             t0 = time.time()
@@ -207,6 +224,11 @@ def main() -> None:
         "extended_total": round(sum(extended.values()), 3),
         "repeat": repeat,
         "run_totals": run_totals,
+        "calibration": {
+            "query": CALIBRATION_QUERY,
+            "runs": calibration_runs,
+            "spread": round(max(calibration_runs) / max(min(calibration_runs), 1e-9), 3),
+        },
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         # duplicated at the tail so a truncated capture of either end of
         # the (long) line still contains the one number the gate needs

@@ -579,6 +579,111 @@ def _changelog_df_impl(
     return out if out is not None else empty
 
 
+def pair_updates(df: DataFrame, identifier_fields: list[str]) -> DataFrame:
+    """Pair same-commit delete+insert rows into UPDATE pre/post images
+    keyed on ``identifier_fields`` (upstream Iceberg's
+    ``changelog.identifier-fields`` view; r8 verdict #7).
+
+    Two stages, both O(changed rows):
+
+    1. CARRYOVER removal — a copy-on-write rewrite emits every carried
+       (unchanged) row as an identical delete+insert pair; per
+       (commit, full row values) the balanced count of such pairs is
+       dropped (groupBy equates NULLs, so this is null-safe where a
+       join would not be).
+    2. Identifier pairing — per (commit, identifier key) the i-th
+       delete pairs with the i-th insert (deterministic rank over the
+       non-identifier columns) as ``update_preimage`` /
+       ``update_postimage``; unmatched rows keep their original
+       change type. Identifier fields must be non-null (join keys).
+
+    Batch-shaped on purpose: run it inside ``foreachBatch`` on the CDC
+    stream — stream offsets are whole snapshots, so per-batch pairing
+    equals per-commit pairing (a commit is never split across
+    micro-batches). The batch changelog's output pairs identically.
+    Change types other than insert/delete pass through untouched.
+    """
+    out_order = list(df.columns)
+    data_cols = [c for c in df.columns if c not in (CHANGE_TYPE, COMMIT_SNAPSHOT)]
+    ids = list(identifier_fields)
+    unknown = [c for c in ids if c not in data_cols]
+    if unknown:
+        raise ValueError(f"identifier fields not in the changelog: {unknown}")
+    rest = [c for c in data_cols if c not in ids]
+
+    io_df = df.filter(F.col(CHANGE_TYPE).isin("delete", "insert"))
+    others = df.filter(~F.col(CHANGE_TYPE).isin("delete", "insert"))
+
+    # stage 1: balanced-count carryover removal over FULL row values
+    cnts = io_df.groupBy(COMMIT_SNAPSHOT, *data_cols).agg(
+        F.count(F.when(F.col(CHANGE_TYPE) == "delete", 1)).alias("_nd"),
+        F.count(F.when(F.col(CHANGE_TYPE) == "insert", 1)).alias("_ni"),
+    )
+    m = F.least("_nd", "_ni")
+    surv = cnts.select(
+        COMMIT_SNAPSHOT,
+        *data_cols,
+        (F.col("_nd") - m).alias("_nd"),
+        (F.col("_ni") - m).alias("_ni"),
+    ).filter((F.col("_nd") > 0) | (F.col("_ni") > 0))
+
+    def _expand(n_col: str, kind: str) -> DataFrame:
+        # rows within a group are identical, so re-expanding the
+        # surviving count loses nothing
+        return (
+            surv.filter(F.col(n_col) > 0)
+            .select(
+                COMMIT_SNAPSHOT,
+                *data_cols,
+                F.explode(F.sequence(F.lit(1), F.col(n_col))).alias("_dup"),
+            )
+            .drop("_dup")
+            .withColumn(CHANGE_TYPE, F.lit(kind))
+        )
+
+    dels, ins = _expand("_nd", "delete"), _expand("_ni", "insert")
+
+    # stage 2: rank-pair by identifier within the commit
+    from pyspark.sql import Window
+
+    order_cols = [F.col(c).asc_nulls_first() for c in rest] or [F.lit(1)]
+    w = Window.partitionBy(COMMIT_SNAPSHOT, *ids).orderBy(*order_cols)
+    d_side = dels.withColumn("_rk", F.row_number().over(w)).select(
+        COMMIT_SNAPSHOT,
+        *ids,
+        "_rk",
+        F.lit(1).alias("_dhas"),
+        *[F.col(c).alias(f"_d_{c}") for c in rest],
+    )
+    i_side = ins.withColumn("_rk", F.row_number().over(w)).select(
+        COMMIT_SNAPSHOT,
+        *ids,
+        "_rk",
+        F.lit(1).alias("_ihas"),
+        *[F.col(c).alias(f"_i_{c}") for c in rest],
+    )
+    j = d_side.join(i_side, [COMMIT_SNAPSHOT, *ids, "_rk"], "full_outer")
+
+    def _emit(side: str, kind: str, flt) -> DataFrame:
+        return j.filter(flt).select(
+            *ids,
+            *[F.col(f"_{side}_{c}").alias(c) for c in rest],
+            F.lit(kind).alias(CHANGE_TYPE),
+            F.col(COMMIT_SNAPSHOT),
+        )
+
+    both = F.col("_dhas").isNotNull() & F.col("_ihas").isNotNull()
+    pre = _emit("d", "update_preimage", both)
+    post = _emit("i", "update_postimage", both)
+    del_only = _emit("d", "delete", F.col("_ihas").isNull())
+    ins_only = _emit("i", "insert", F.col("_dhas").isNull())
+
+    out = others.select(*out_order)
+    for p in (pre, post, del_only, ins_only):
+        out = out.unionByName(p.select(*out_order))
+    return out
+
+
 def apply_changes_to_aggregate(
     mv: DataFrame,
     changes: DataFrame,

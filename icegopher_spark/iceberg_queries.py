@@ -2060,6 +2060,38 @@ def iceberg_files_metadata(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# --- CoW update fixture for CDC update pairing (round-9) --------------------
+
+def _cow_update_table_for(spark: SparkSession, sf_dir: str) -> Table:
+    """Unpartitioned lineitem slice with ONE copy-on-write UPDATE
+    commit (update_where: l_quantity += 100 where l_returnflag = 'R').
+    The CDC stream sees the overwrite snapshot as removed-file rows
+    (deletes, pre-update values) + added-file rows (inserts,
+    post-update values); carryover rows of the rewritten files emit as
+    identical delete+insert pairs. Exactly the shape
+    changelog.pair_updates exists to fold (r8 verdict #7)."""
+
+    def build(loc: str) -> Table:
+        from .iceberg.expressions import equal_to
+
+        li = _li4(spark, sf_dir)
+        t = W.create_table(loc, _SCHEMA)
+        t = W.append(t, li)
+        return W.update_where(
+            t,
+            spark,
+            equal_to("l_returnflag", "R"),
+            {"l_quantity": F.col("l_quantity") + 100},
+        )
+
+    return _cached_table(
+        sf_dir,
+        "lineitem_cow_update",
+        lambda t: len(t.metadata.snapshots) == 2,
+        build,
+    )
+
+
 # --- orphan-file cleanup, oracled (round-8) ---------------------------------
 
 def _orphan_cleaned_table_for(spark: SparkSession, sf_dir: str) -> Table:

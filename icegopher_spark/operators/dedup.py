@@ -894,6 +894,11 @@ def simhash_df(
     return sums.select("id", sh.alias("sh"))
 
 
+# One-slot rotating registry of the previous simhash call's persisted
+# signature frame (see the persist site in simhash_neardup_pairs).
+_SIMHASH_SIG_CACHE: list = []
+
+
 def simhash_neardup_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -927,6 +932,19 @@ def simhash_neardup_pairs(
     from itertools import combinations
 
     d = simhash_df(df, text_col, id_col, nbits=nbits, hash_col=hash_col)
+    # The signature frame feeds FIVE consumers (identity self-join ×2,
+    # distinct, id expansion ×2); without a persist the shingle
+    # explode + 64-way groupBy — the expensive part — recomputes for
+    # each (r8 verdict #4: this is the dedup_simhash cost creep;
+    # measured 3.18 s → 1.39 s at sf0.1 with the persist). Narrow
+    # (id, sh) rows, O(docs)×16 B; the one-slot registry bounds
+    # residency to the latest call, same contract as
+    # _INC_PROBE_CACHE / changelog._PAIR_CACHES.
+    d = d.persist()
+    prev = _SIMHASH_SIG_CACHE.pop() if _SIMHASH_SIG_CACHE else None
+    if prev is not None:
+        prev.unpersist()
+    _SIMHASH_SIG_CACHE.append(d)
     # 1. identical signatures: single equi-join, hamming 0 by definition
     sa, sb = d.alias("a"), d.alias("b")
     within = sa.join(

@@ -896,3 +896,88 @@ def stream_cdc_after_eq_migrate_q(spark: SparkSession, sf: str) -> DataFrame:
             F.sum(F.col("l_orderkey") % 1000).cast("bigint").alias("okey_chk"),
         )
     )
+
+
+# Expected pairing for the CoW update fixture (iceberg_queries.
+# _cow_update_table_for): snapshot 1 inserts every row; snapshot 2 is
+# a copy-on-write UPDATE (qty += 100 where flag='R') whose carryover
+# delete+insert pairs must VANISH and whose changed rows must pair
+# into update_preimage (old qty) / update_postimage (new qty).
+cdc_updates_oracle = """
+WITH ins AS (
+  SELECT 'insert' AS change_type, l_returnflag, l_quantity, l_orderkey
+  FROM lineitem
+), pre AS (
+  SELECT 'update_preimage', l_returnflag, l_quantity, l_orderkey
+  FROM lineitem WHERE l_returnflag = 'R'
+), post AS (
+  SELECT 'update_postimage', l_returnflag, l_quantity + 100, l_orderkey
+  FROM lineitem WHERE l_returnflag = 'R'
+), u AS (
+  SELECT * FROM ins UNION ALL SELECT * FROM pre UNION ALL SELECT * FROM post
+)
+SELECT change_type, l_returnflag, COUNT(*) AS n_rows,
+       CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_qty,
+       CAST(SUM(l_orderkey % 1000) AS BIGINT) AS okey_chk
+FROM u GROUP BY change_type, l_returnflag
+"""
+
+
+@register(
+    "stream_cdc_updates",
+    cdc_updates_oracle,
+    "CDC stream with identifier-field UPDATE pairing: per-commit "
+    "delete+insert rows fold into update_preimage/update_postimage "
+    "and copy-on-write carryover pairs vanish (changelog.pair_updates "
+    "inside foreachBatch)",
+)
+def stream_cdc_updates_q(spark: SparkSession, sf: str) -> DataFrame:
+    """UPDATE_BEFORE/AFTER on the STREAM face (r8 verdict #7, upstream
+    Iceberg's changelog.identifier-fields): the CDC stream emits raw
+    insert+delete rows; each micro-batch folds them through
+    changelog.pair_updates keyed on (l_orderkey, l_shipdate) — valid
+    because stream offsets are whole snapshots, so a commit is never
+    split across batches. Carryover rows of the CoW rewrite (identical
+    pre/post) must produce NOTHING; real updates must pair. The oracle
+    recomputes all three change classes from the fixture's
+    construction."""
+    import shutil as _sh
+
+    from .iceberg.changelog import pair_updates
+    from .iceberg_queries import _cow_update_table_for
+    from .streaming.iceberg_cdc_source import IcebergCdcStreamSource
+
+    t = _cow_update_table_for(spark, sf)
+    spark.dataSource.register(IcebergCdcStreamSource)
+
+    key = sf.strip("/").replace("/", "_")
+    work = f"/tmp/icegopher_tables/{key}/cdc_updates_gate"
+    _sh.rmtree(work, ignore_errors=True)
+    out, ckpt = f"{work}/out", f"{work}/ckpt"
+
+    def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        pair_updates(batch_df, ["l_orderkey", "l_shipdate"]).write.mode(
+            "append"
+        ).parquet(out)
+
+    q = (
+        spark.readStream.format("icegopher_cdc")
+        .option("location", t.location)
+        .load()
+        .writeStream.foreachBatch(_fold)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.read.parquet(out)
+        .groupBy(F.col("_change_type").alias("change_type"), "l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum(F.col("l_quantity").cast("decimal(12,2)")), 2)
+            .cast("double")
+            .alias("sum_qty"),
+            F.sum(F.col("l_orderkey") % 1000).cast("bigint").alias("okey_chk"),
+        )
+    )

@@ -691,3 +691,47 @@ def test_orphan_files_distributed_matches_driver(spark, tmp_path, lineitem):
     removed = M.remove_orphan_files(t, older_than_ms=0, spark=spark)
     assert set(junk) <= set(removed)
     assert t.scan().to_df(spark).count() == 400
+
+
+def test_compute_table_stats_approx_mode(spark):
+    """r8 verdict #3: mode='approx' (HyperLogLog++ via
+    approx_count_distinct) pins its relative error against exact NDV
+    on the lineitem fixture and marks its blobs ndv-mode=approx so
+    readers can tell; exact stays the default/oracled path."""
+    import tempfile
+
+    from icegopher_spark.iceberg import write as W
+    from icegopher_spark.iceberg.maintenance import (
+        compute_table_stats,
+        table_ndv,
+    )
+    from icegopher_spark.iceberg.schema import Schema
+    from icegopher_spark.iceberg.types import DoubleType, LongType, NestedField
+
+    sch = Schema(
+        (
+            NestedField(1, "l_orderkey", LongType(), True),
+            NestedField(2, "l_quantity", DoubleType(), False),
+        ),
+        schema_id=0,
+    )
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").select(
+        "l_orderkey", "l_quantity"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        t = W.create_table(f"{d}/t", sch)
+        t = W.append(t, li)
+        exact = table_ndv(compute_table_stats(t, spark))
+        ta = compute_table_stats(t, spark, mode="approx", approx_rsd=0.05)
+        approx = table_ndv(ta)
+        for col in ("l_orderkey", "l_quantity"):
+            rel_err = abs(approx[col] - exact[col]) / exact[col]
+            # rsd=0.05 → 3-sigma bound 15%; generous but pinned
+            assert rel_err < 0.15, (col, approx[col], exact[col])
+        # approx blobs are marked so a reader can tell
+        reg = ta.metadata.statistics[-1]
+        for b in reg["blob-metadata"]:
+            assert b["properties"]["ndv-mode"] == "approx"
+            assert b["properties"]["ndv-rsd"] == "0.05"
+        with pytest.raises(ValueError, match="mode"):
+            compute_table_stats(t, spark, mode="bogus")

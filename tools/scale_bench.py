@@ -93,6 +93,9 @@ EXTRA_SCALE_QUERIES = [
     "corpus_shuffle_shard",
     "iceberg_orphan_cleanup",
     "iceberg_table_stats",
+    # round-9 operators (shredded variant, CDC update pairing)
+    "iceberg_variant_shredded",
+    "stream_cdc_updates",
 ]
 SCALE_QUERIES = BENCH_QUERIES + EXTRA_SCALE_QUERIES
 from icegopher_spark.queries import QUERIES, load  # noqa: E402
