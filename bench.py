@@ -184,6 +184,10 @@ def main() -> None:
         # round-9 additions
         "iceberg_variant_shredded",
         "stream_cdc_updates",
+        "text_c4_filter",
+        "text_bigram_stats",
+        "iceberg_snapshots_metadata",
+        "cdc_scd2_history",
     ]
 
     # Noise calibration (r8 verdict #6): a fixed query timed once per

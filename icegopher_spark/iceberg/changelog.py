@@ -684,6 +684,64 @@ def pair_updates(df: DataFrame, identifier_fields: list[str]) -> DataFrame:
     return out
 
 
+def scd2_from_changelog(
+    changes: DataFrame, key_fields: list[str]
+) -> DataFrame:
+    """Slowly-changing-dimension TYPE 2 history from a changelog
+    (composes with ``pair_updates``): every insert/update_postimage
+    OPENS a version at its commit; the next event on the same key —
+    a delete, an update_preimage, or a re-insert — CLOSES it.
+
+    Output: the changelog's data columns plus ``valid_from`` /
+    ``valid_to`` (commit snapshot ids; ``valid_to`` null on the live
+    version) and ``is_current``. Requires key uniqueness per commit
+    (run ``pair_updates`` first so an update is one close + one open,
+    not a bare delete+insert pair).
+
+    Scale: one window over (key, commit) — a single shuffle on the key,
+    O(changed rows); nothing rescans the table.
+    """
+    from pyspark.sql import Window
+
+    data_cols = [
+        c for c in changes.columns if c not in (CHANGE_TYPE, COMMIT_SNAPSHOT)
+    ]
+    missing = [k for k in key_fields if k not in data_cols]
+    if missing:
+        raise ValueError(f"key fields not in the changelog: {missing}")
+
+    opens = changes.filter(
+        F.col(CHANGE_TYPE).isin("insert", "update_postimage")
+    ).select(*data_cols, F.col(COMMIT_SNAPSHOT).alias("_commit"), F.lit(1).alias("_open"))
+    closes = changes.filter(
+        F.col(CHANGE_TYPE).isin("delete", "update_preimage")
+    ).select(
+        *[
+            F.col(c) if c in key_fields else F.lit(None).cast(changes.schema[c].dataType).alias(c)
+            for c in data_cols
+        ],
+        F.col(COMMIT_SNAPSHOT).alias("_commit"),
+        F.lit(0).alias("_open"),
+    )
+    events = opens.unionByName(closes)
+    # within one commit a close sorts BEFORE an open (update pre/post
+    # share the commit: the close terminates the PREVIOUS version, the
+    # open starts the new one), so lead() from an open always lands on
+    # a strictly-later event for that key
+    w = Window.partitionBy(*key_fields).orderBy("_commit", "_open")
+    out = (
+        events.withColumn("_valid_to", F.lead("_commit").over(w))
+        .filter(F.col("_open") == 1)
+        .select(
+            *data_cols,
+            F.col("_commit").alias("valid_from"),
+            F.col("_valid_to").alias("valid_to"),
+            F.col("_valid_to").isNull().alias("is_current"),
+        )
+    )
+    return out
+
+
 def apply_changes_to_aggregate(
     mv: DataFrame,
     changes: DataFrame,

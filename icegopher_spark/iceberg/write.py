@@ -1469,6 +1469,27 @@ def _commit_snapshot(
             "added-records": str(sum(f.record_count for f in new_files)),
             "total-data-files": str(total_files),
             "total-records": str(total_rows),
+            # spec SnapshotSummary delete fields (r9): record_count of
+            # a delete file is its row count (DV cardinality /
+            # positional rows / eq-delete rows), so these stamp what
+            # this commit newly deletes — upstream engines surface them
+            # in the snapshots metadata table and ops dashboards key
+            # on them
+            "added-delete-files": str(len(delete_files or [])),
+            "added-position-deletes": str(
+                sum(
+                    f.record_count
+                    for f in (delete_files or [])
+                    if f.content != DataFileContent.EQUALITY_DELETES
+                )
+            ),
+            "added-equality-deletes": str(
+                sum(
+                    f.record_count
+                    for f in (delete_files or [])
+                    if f.content == DataFileContent.EQUALITY_DELETES
+                )
+            ),
         },
         schema_id=schema.schema_id,
         first_row_id=snap_first_row_id,

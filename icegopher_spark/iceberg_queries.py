@@ -2060,6 +2060,197 @@ def iceberg_files_metadata(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# --- snapshots metadata table, oracled (round-9) ----------------------------
+
+def _snapmeta_table_for(spark: SparkSession, sf_dir: str) -> Table:
+    """Three-snapshot fixture whose SnapshotSummary numbers are all
+    SQL-derivable (no file-boundary dependence): append the full slice,
+    ONE deletion-vector delete of flag='R' (first delete ⇒ no
+    replacement-superset carry), then append the qty<5 rows again."""
+
+    def build(loc: str) -> Table:
+        from .iceberg.expressions import equal_to
+
+        li = _li4(spark, sf_dir)
+        t = W.create_table(loc, _SCHEMA, format_version=3)
+        t = W.append(t, li)
+        t = W.delete_where_dv(t, spark, equal_to("l_returnflag", "R"))
+        return W.append(t, li.filter(F.col("l_quantity") < 5))
+
+    return _cached_table(
+        sf_dir,
+        "lineitem_snapmeta",
+        lambda t: len(t.metadata.snapshots) == 3,
+        build,
+    )
+
+
+ice_snapshots_oracle = """
+SELECT CAST(1 AS BIGINT) AS seq, 'append' AS operation,
+       CAST(COUNT(*) AS BIGINT) AS added_records,
+       CAST(0 AS BIGINT) AS added_position_deletes
+FROM lineitem
+UNION ALL
+SELECT CAST(2 AS BIGINT), 'delete', CAST(0 AS BIGINT),
+       CAST(COUNT(*) AS BIGINT)
+FROM lineitem WHERE l_returnflag = 'R'
+UNION ALL
+SELECT CAST(3 AS BIGINT), 'append', CAST(COUNT(*) AS BIGINT),
+       CAST(0 AS BIGINT)
+FROM lineitem WHERE l_quantity < 5
+"""
+
+
+@register(
+    "iceberg_snapshots_metadata",
+    ice_snapshots_oracle,
+    "snapshots metadata table: operation + spec SnapshotSummary "
+    "counters (added-records, added-position-deletes) recomputed "
+    "row-exactly by the oracle from the fixture's construction",
+)
+def iceberg_snapshots_metadata(spark: SparkSession, sf: str) -> DataFrame:
+    """The snapshots inspection table (upstream's
+    `table$snapshots`; reference surfaces snapshot state via
+    table.go/metadata.go but has no metadata-table face): per-snapshot
+    operation and the spec's SnapshotSummary delete counters, stamped
+    at commit (write.py:_commit_snapshot, r9) and verified against
+    SQL-recomputed expectations. File counts are intentionally NOT
+    gated — they depend on write parallelism."""
+    from .iceberg.inspect import InspectTables
+
+    t = _snapmeta_table_for(spark, sf)
+    snaps = InspectTables(t).snapshots(spark)
+    return snaps.select(
+        F.col("sequence_number").alias("seq"),
+        "operation",
+        F.element_at("summary", "added-records").cast("bigint").alias("added_records"),
+        F.element_at("summary", "added-position-deletes")
+        .cast("bigint")
+        .alias("added_position_deletes"),
+    )
+
+
+# --- SCD2 dimension history from the changelog (round-9) --------------------
+
+def _scd2_table_for(spark: SparkSession, sf_dir: str) -> Table:
+    """Orders dimension with a deterministic 3-commit history:
+    append all, CoW UPDATE (+10 on o_totalprice where status 'F'),
+    CoW DELETE (o_orderkey < 1000). Keys are unique (o_orderkey), so
+    the paired changelog is SCD2-legal."""
+
+    def build(loc: str) -> Table:
+        from .iceberg.expressions import equal_to, less_than
+
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        )
+        t = W.create_table(loc, _ORDERS_SCHEMA)
+        t = W.append(t, orders)
+        t = W.update_where(
+            t,
+            spark,
+            equal_to("o_orderstatus", "F"),
+            {"o_totalprice": F.col("o_totalprice") + 10.0},
+        )
+        return W.delete_where(t, spark, less_than("o_orderkey", 1000))
+
+    return _cached_table(
+        sf_dir, "orders_scd2", lambda t: len(t.metadata.snapshots) == 3, build
+    )
+
+
+# Expected SCD2 over the fixture, with commits mapped to their
+# sequence numbers (1=append, 2=update, 3=delete):
+#   v1 (original price): valid_from 1; closes at 2 if status='F',
+#      else at 3 if okey<1000, else current.
+#   v2 (price+10, only status='F'): valid_from 2; closes at 3 if
+#      okey<1000, else current.
+cdc_scd2_oracle = """
+WITH v1 AS (
+  SELECT o_orderkey, o_orderstatus,
+         CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+         CAST(1 AS BIGINT) AS valid_from,
+         CASE WHEN o_orderstatus = 'F' THEN CAST(2 AS BIGINT)
+              WHEN o_orderkey < 1000 THEN CAST(3 AS BIGINT)
+              ELSE CAST(NULL AS BIGINT) END AS valid_to
+  FROM orders
+), v2 AS (
+  SELECT o_orderkey, o_orderstatus,
+         CAST(o_totalprice + 10.0 AS DOUBLE) AS o_totalprice,
+         CAST(2 AS BIGINT) AS valid_from,
+         CASE WHEN o_orderkey < 1000 THEN CAST(3 AS BIGINT)
+              ELSE CAST(NULL AS BIGINT) END AS valid_to
+  FROM orders WHERE o_orderstatus = 'F'
+), u AS (SELECT * FROM v1 UNION ALL SELECT * FROM v2)
+SELECT *, valid_to IS NULL AS is_current FROM u
+"""
+
+
+@register(
+    "cdc_scd2_history",
+    cdc_scd2_oracle,
+    "SCD2 dimension history built from the paired changelog: version "
+    "intervals per key with valid_from/valid_to/is_current, carryover "
+    "rewrites invisible",
+)
+def cdc_scd2_history(spark: SparkSession, sf: str) -> DataFrame:
+    """The full CDC composition: changelog (un-netted) -> pair_updates
+    (identifier o_orderkey) -> scd2_from_changelog. Copy-on-write
+    carryover noise must vanish (a carried row would fabricate a
+    version split); snapshot ids map to their sequence numbers so the
+    oracle can state the expected intervals literally
+    (iceberg/changelog.py:pair_updates, scd2_from_changelog)."""
+    from .iceberg.changelog import (
+        COMMIT_SNAPSHOT,
+        changelog_df,
+        pair_updates,
+        scd2_from_changelog,
+    )
+
+    t = _scd2_table_for(spark, sf)
+    first = t.metadata.snapshots[0]
+    raw = changelog_df(t, spark, from_snapshot_id=first.snapshot_id, net=False)
+    # include the first snapshot's inserts: changelog_df is exclusive
+    # of from_snapshot_id, so re-read its rows as inserts via a scan
+    # pinned at that snapshot
+    base = (
+        t.scan(snapshot_id=first.snapshot_id)
+        .to_df(spark)
+        .select(
+            "*",
+            F.lit("insert").alias("_change_type"),
+            F.lit(first.snapshot_id).cast("long").alias(COMMIT_SNAPSHOT),
+        )
+    )
+    changes = base.unionByName(raw)
+    paired = pair_updates(changes, ["o_orderkey"])
+    scd2 = scd2_from_changelog(paired, ["o_orderkey"])
+    seq_map = spark.createDataFrame(
+        [(s.snapshot_id, s.sequence_number) for s in t.metadata.snapshots],
+        "snap_id long, seq long",
+    )
+    return (
+        scd2.join(F.broadcast(seq_map), scd2["valid_from"] == seq_map["snap_id"], "left")
+        .drop("valid_from", "snap_id")
+        .withColumnRenamed("seq", "valid_from")
+        .join(
+            F.broadcast(seq_map.withColumnRenamed("seq", "seq_to")),
+            scd2["valid_to"] == seq_map["snap_id"],
+            "left",
+        )
+        .drop("valid_to", "snap_id")
+        .withColumnRenamed("seq_to", "valid_to")
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+            F.col("valid_from").cast("bigint").alias("valid_from"),
+            F.col("valid_to").cast("bigint").alias("valid_to"),
+            "is_current",
+        )
+    )
+
+
 # --- CoW update fixture for CDC update pairing (round-9) --------------------
 
 def _cow_update_table_for(spark: SparkSession, sf_dir: str) -> Table:

@@ -443,6 +443,122 @@ def gopher_rules(
     return out.withColumn("keep", keep)
 
 
+def bigram_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Corpus bigram language-model rarity signals per document,
+    INTEGER-exact (the KenLM-style quality-scoring shape without the
+    float trap).
+
+    Bigrams are consecutive lowered whitespace-token pairs. The corpus
+    pair counts ``c12`` and left counts ``c1`` feed per-document:
+
+      n_bigrams            bigram instances in the doc
+      corpus_occurrences   Σ c12 over the doc's instances — high when
+                           the doc is made of common continuations
+      n_singletons         instances whose pair occurs ONCE in the
+                           corpus (text unique to this doc)
+      lm_score             avg -log2 P(w2|w1) = avg log2(c1/c12), the
+                           classic LM quality score. FLOAT — exposed
+                           for ranking but NOT oracle-gated: a float
+                           log-sum is reduction-order-dependent across
+                           engines (same rule as Shannon entropy in
+                           char_diversity).
+
+    Docs with <2 tokens have no bigrams and drop out (both engines).
+
+    Scale: one explode + one groupBy over distinct pairs (the model),
+    one equi-join of doc instances to pair counts, one per-doc
+    roll-up — O(tokens) shuffled twice, nothing all-pairs; the pair
+    model can be broadcast when small.
+    """
+    arr = tokens(F.lower(F.col(text_col)))
+    shifted = F.slice(arr, 2, F.greatest(F.size(arr) - 1, F.lit(0)))
+    pairs = F.filter(
+        F.zip_with(arr, shifted, lambda a, b: F.struct(a.alias("w1"), b.alias("w2"))),
+        lambda p: p["w2"].isNotNull(),
+    )
+    bg = df.select(F.col(id_col).alias("doc_id"), F.explode(pairs).alias("p")).select(
+        "doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
+    )
+    cc = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    joined = bg.join(cc, ["w1", "w2"]).join(c1, ["w1"])
+    return joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+        F.sum("c12").cast("bigint").alias("corpus_occurrences"),
+        F.sum(F.when(F.col("c12") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_singletons"),
+        F.avg(F.log2(F.col("c1") / F.col("c12"))).alias("lm_score"),
+    )
+
+
+# C4's naughty-word screen uses the full "List of Dirty, Naughty,
+# Obscene..." blocklist; shipping that list adds nothing to the
+# engineering, so this STUB carries a tiny deterministic sample — the
+# rule's plumbing (word-boundary match over the lowered page) is real
+# and oracle-checked, swap the tuple for the full list in production.
+C4_NAUGHTY_STUB = ("xxxshock", "gorefest", "slurstub")
+
+
+def c4_rules(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document C4 cleaning counters and the keep verdict (Raffel
+    et al. 2020 §2.2, the rules that are deterministic per page):
+
+      line level (a line SURVIVES iff all three hold):
+        * ends in terminal punctuation (. ! ? or closing quote)
+        * contains >= 3 words
+        * does not contain the word "javascript" (case-insensitive)
+      page level (keep = all hold):
+        * >= 5 sentences (sentences = terminal-punct marks [.!?] in
+          the SURVIVING lines — a deterministic proxy both engines
+          compute identically; the paper does not pin a tokenizer)
+        * the phrase "lorem ipsum" absent (lowered page)
+        * no curly brace '{'
+        * no blocklist word (C4_NAUGHTY_STUB; word-boundary match)
+
+    Emits the counters, the verdict, and ``kept_chars`` (length of the
+    surviving text) so downstream can weigh the cleaning loss. Pure
+    codegen column ops — one pass, no shuffle, no UDF; map-only at
+    100 TB. The 3-sentence-span dedup step of C4 is a separate
+    operator (dedup.substring spans).
+    """
+    t = F.col(text_col)
+    lines = F.split(t, "\n")
+    survives = F.filter(
+        lines,
+        lambda l: F.rtrim(l).rlike(r'[.!?"”]$')
+        & (F.size(F.filter(F.split(l, r"\s+"), lambda w: w != F.lit(""))) >= 3)
+        & ~F.lower(l).rlike(r"\bjavascript\b"),
+    )
+    kept_text = F.array_join(survives, "\n")
+    low = F.lower(t)
+    n_naughty = sum(
+        F.when(low.rlike(rf"\b{w}\b"), 1).otherwise(0) for w in C4_NAUGHTY_STUB
+    ).cast("bigint")
+
+    out = df.select(
+        F.col(id_col),
+        F.size(lines).cast("bigint").alias("n_lines"),
+        F.size(survives).cast("bigint").alias("n_kept_lines"),
+        F.regexp_count(kept_text, F.lit(r"[.!?]")).cast("bigint").alias("n_sentences"),
+        F.length(kept_text).cast("bigint").alias("kept_chars"),
+        low.contains("lorem ipsum").alias("has_lorem_ipsum"),
+        t.contains("{").alias("has_curly_brace"),
+        (n_naughty > 0).alias("has_naughty_word"),
+    )
+    keep = (
+        (F.col("n_sentences") >= 5)
+        & ~F.col("has_lorem_ipsum")
+        & ~F.col("has_curly_brace")
+        & ~F.col("has_naughty_word")
+    )
+    return out.withColumn("keep", keep)
+
+
 def _dup_counts(parts: Column) -> tuple[Column, Column, Column, Column]:
     """(n, n_dup, chars, dup_chars) over a pre-split array of non-empty
     text units: duplicates = occurrences beyond each unit's first, so

@@ -2354,6 +2354,119 @@ def gopher_filter_q(spark: SparkSession, sf: str) -> DataFrame:
     return T.gopher_rules(docs)
 
 
+# The synthetic documents are newline-free word soup, so the gate
+# first derives a deterministic PAGE from each doc (sentence breaks at
+# ' table ', plus screen-triggering tails on fixed doc_id residues) —
+# identical expressions on both engines — and runs the C4 rules on it.
+c4_filter_oracle = r"""
+WITH pages AS (
+  SELECT doc_id,
+    replace(text, ' table ', '.' || chr(10))
+    || (CASE WHEN doc_id % 17 = 0 THEN chr(10) || 'lorem ipsum dolor sit.' ELSE '' END)
+    || (CASE WHEN doc_id % 23 = 0 THEN chr(10) || 'a curly { brace line here.' ELSE '' END)
+    || (CASE WHEN doc_id % 29 = 0 THEN chr(10) || 'the gorefest word appears here.' ELSE '' END)
+    || (CASE WHEN doc_id % 31 = 0 THEN chr(10) || 'inline javascript widget line appears here.' ELSE '' END)
+    AS text
+  FROM documents
+), c AS (
+  SELECT doc_id, text,
+    list_filter(string_split(text, chr(10)),
+      l -> regexp_matches(rtrim(l), '[.!?"”]$')
+           AND len(list_filter(string_split_regex(l, '\s+'), w -> w <> '')) >= 3
+           AND NOT regexp_matches(lower(l), '\bjavascript\b')) AS survives
+  FROM pages
+), k AS (
+  SELECT doc_id, text,
+    CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,
+    CAST(len(survives) AS BIGINT) AS n_kept_lines,
+    COALESCE(array_to_string(survives, chr(10)), '') AS kept_text
+  FROM c
+), m AS (
+  SELECT doc_id, n_lines, n_kept_lines,
+    CAST(len(regexp_extract_all(kept_text, '[.!?]')) AS BIGINT) AS n_sentences,
+    CAST(length(kept_text) AS BIGINT) AS kept_chars,
+    contains(lower(text), 'lorem ipsum') AS has_lorem_ipsum,
+    contains(text, '{') AS has_curly_brace,
+    (regexp_matches(lower(text), '\bxxxshock\b')
+     OR regexp_matches(lower(text), '\bgorefest\b')
+     OR regexp_matches(lower(text), '\bslurstub\b')) AS has_naughty_word
+  FROM k
+)
+SELECT *,
+       (n_sentences >= 5 AND NOT has_lorem_ipsum AND NOT has_curly_brace
+        AND NOT has_naughty_word) AS keep
+FROM m
+"""
+
+
+bigram_stats_oracle = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'), w -> w <> '') AS ws
+  FROM documents
+), bg AS (
+  -- list_zip instead of a lateral range() (this DuckDB build rejects
+  -- lateral column parameters to range — see driver-oracle gotchas)
+  SELECT doc_id, u.pr[1] AS w1, u.pr[2] AS w2
+  FROM toks, unnest(list_zip(ws, ws[2:])) u(pr)
+  WHERE u.pr[2] IS NOT NULL
+), cc AS (
+  SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY w1, w2
+)
+SELECT bg.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       CAST(SUM(cc.c12) AS BIGINT) AS corpus_occurrences,
+       CAST(SUM(CASE WHEN cc.c12 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_singletons
+FROM bg JOIN cc USING (w1, w2)
+GROUP BY bg.doc_id
+"""
+
+
+@register(
+    "text_bigram_stats",
+    bigram_stats_oracle,
+    "corpus bigram LM rarity signals per doc, integer-exact "
+    "(n_bigrams, corpus occurrences, singleton pairs); the float "
+    "lm_score rides along ungated",
+)
+def bigram_stats_q(spark: SparkSession, sf: str) -> DataFrame:
+    """KenLM-style per-document quality signal from a corpus bigram
+    model (operators/text.py:bigram_stats): the gated columns are all
+    integer counts so the verdict is engine-exact; avg -log2 P(w2|w1)
+    is exposed by the operator but dropped here (float log-sums are
+    reduction-order-dependent)."""
+    from .operators import text as T
+
+    docs = load(spark, sf, "documents")
+    return T.bigram_stats(docs).drop("lm_score")
+
+
+@register(
+    "text_c4_filter",
+    c4_filter_oracle,
+    "C4 cleaning rules (terminal-punct lines, >=3 words/line, "
+    "javascript-line drop, >=5 sentences, lorem-ipsum/brace/blocklist "
+    "page drop), deterministic verdicts",
+)
+def c4_filter_q(spark: SparkSession, sf: str) -> DataFrame:
+    """The C4 corpus-cleaning rule set (Raffel et al. 2020 §2.2) as a
+    map-only codegen pass — line survival, sentence floor, and the
+    page-level screens all recomputed independently by the oracle
+    (operators/text.py:c4_rules; the 3-sentence-span dedup half of C4
+    is dedup.substring spans)."""
+    from .operators import text as T
+
+    docs = load(spark, sf, "documents")
+    page = F.concat(
+        F.replace(F.col("text"), F.lit(" table "), F.lit(".\n")),
+        F.when(F.col("doc_id") % 17 == 0, F.lit("\nlorem ipsum dolor sit.")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 23 == 0, F.lit("\na curly { brace line here.")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 29 == 0, F.lit("\nthe gorefest word appears here.")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 31 == 0, F.lit("\ninline javascript widget line appears here.")).otherwise(F.lit("")),
+    )
+    return T.c4_rules(docs.select("doc_id", page.alias("text")))
+
+
 repetition_filter_oracle = """
 WITH u AS (
   SELECT doc_id,

@@ -428,3 +428,49 @@ def test_pair_updates_matches_lineage_changelog(spark, tmp_path):
     a, b = agg(paired), agg(lineage)
     assert {k[0] for k in a} == {"update_preimage", "update_postimage"}
     assert a == b
+
+
+def test_scd2_reinsert_and_update_chains(spark):
+    """scd2_from_changelog edge cases: delete-then-reinsert produces
+    two versions with a gap; chained updates produce consecutive
+    closed versions; within-commit close-before-open ordering means an
+    update never fabricates a zero-length current version."""
+    from icegopher_spark.iceberg.changelog import (
+        CHANGE_TYPE,
+        COMMIT_SNAPSHOT,
+        scd2_from_changelog,
+    )
+
+    rows = [
+        # key 1: insert@1, update@2 (pre+post), update@3 -> 3 versions
+        (1, "a", "insert", 1),
+        (1, "a", "update_preimage", 2),
+        (1, "b", "update_postimage", 2),
+        (1, "b", "update_preimage", 3),
+        (1, "c", "update_postimage", 3),
+        # key 2: insert@1, delete@2, reinsert@3 -> v1 closed, v2 open
+        (2, "x", "insert", 1),
+        (2, "x", "delete", 2),
+        (2, "y", "insert", 3),
+        # key 3: insert@2 only -> current
+        (3, "z", "insert", 2),
+    ]
+    df = spark.createDataFrame(
+        rows, f"k long, v string, {CHANGE_TYPE} string, {COMMIT_SNAPSHOT} long"
+    )
+    got = {
+        (r["k"], r["v"], r["valid_from"], r["valid_to"], r["is_current"])
+        for r in scd2_from_changelog(df, ["k"]).collect()
+    }
+    assert got == {
+        (1, "a", 1, 2, False),
+        (1, "b", 2, 3, False),
+        (1, "c", 3, None, True),
+        (2, "x", 1, 2, False),
+        (2, "y", 3, None, True),
+        (3, "z", 2, None, True),
+    }
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="key fields"):
+        scd2_from_changelog(df, ["nope"])

@@ -93,9 +93,14 @@ EXTRA_SCALE_QUERIES = [
     "corpus_shuffle_shard",
     "iceberg_orphan_cleanup",
     "iceberg_table_stats",
-    # round-9 operators (shredded variant, CDC update pairing)
+    # round-9 operators (shredded variant, CDC update pairing, C4,
+    # bigram LM, snapshots metadata, SCD2)
     "iceberg_variant_shredded",
     "stream_cdc_updates",
+    "text_c4_filter",
+    "text_bigram_stats",
+    "iceberg_snapshots_metadata",
+    "cdc_scd2_history",
 ]
 SCALE_QUERIES = BENCH_QUERIES + EXTRA_SCALE_QUERIES
 from icegopher_spark.queries import QUERIES, load  # noqa: E402
