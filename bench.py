@@ -188,6 +188,9 @@ def main() -> None:
         "text_bigram_stats",
         "iceberg_snapshots_metadata",
         "cdc_scd2_history",
+        "text_winnow_fingerprints",
+        "sim_semdedup",
+        "text_lm_filter",
     ]
 
     # Noise calibration (r8 verdict #6): a fixed query timed once per

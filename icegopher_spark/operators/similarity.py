@@ -536,6 +536,63 @@ def group_centroids(
 # seeding, cell assignment, cosine fold): a persisted index built by an
 # older kernel would otherwise validate as healthy while silently
 # changing probe recall across code revisions.
+def semdedup(
+    df: DataFrame,
+    threshold: float = 0.95,
+    n_clusters: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 17,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication by clustering embeddings and dropping within-cluster
+    near-duplicates — the scale trick is that pairwise cosine runs
+    only INSIDE clusters (O(Σ cᵢ²), never O(n²) — at 100 TB the
+    cluster fan-out is the whole game).
+
+    Keep rule (the deterministic id-priority variant): a vector DROPS
+    iff some LOWER-id vector in its cluster has cosine ≥ threshold
+    with it. One pair-join + one anti-join — no iterative component
+    propagation, matching the paper's keep-one-per-duplicate-set
+    semantics for the common case while staying order-exact. Like the
+    paper, cross-cluster near-dups survive (bounded recall by
+    construction; raise n_clusters' probe width or fall back to
+    lsh_neardup_pairs for exhaustive pairs).
+
+    Clustering reuses the IVF coarse quantizer (`_kmeans_centroids`):
+    deterministic in (data, seed), invariant to partitioning, capped
+    sample — so results are reproducible enough to golden-pin.
+
+    Returns (id, cluster, keep).
+    """
+    cents = _kmeans_centroids(df, vec_col, n_clusters, seed)
+    assigned = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        F.element_at(nearest_cells_arrow(F.col(vec_col), cents, 1), 1).alias("cluster"),
+    )
+    a = assigned.select(F.col("cluster"), F.col("id").alias("id_a"), F.col("v").alias("va"))
+    b = assigned.select(F.col("cluster"), F.col("id").alias("id_b"), F.col("v").alias("vb"))
+    dup_pairs = (
+        a.join(b, ["cluster"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(F.round(cosine(F.col("va"), F.col("vb")), 6) >= threshold)
+        .select("cluster", "id_b")
+        .distinct()
+    )
+    return (
+        assigned.join(
+            dup_pairs.withColumnRenamed("id_b", "id"), ["cluster", "id"], "left_anti"
+        )
+        .select("id", "cluster", F.lit(True).alias("keep"))
+        .unionByName(
+            dup_pairs.select(
+                F.col("id_b").alias("id"), "cluster", F.lit(False).alias("keep")
+            )
+        )
+    )
+
+
 IVF_KERNEL_VERSION = "1"
 
 

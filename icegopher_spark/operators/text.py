@@ -443,6 +443,92 @@ def gopher_rules(
     return out.withColumn("keep", keep)
 
 
+def winnow_fingerprints(
+    df: DataFrame,
+    k: int = 5,
+    w: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al., SIGMOD'03 —
+    the MOSS algorithm): hash every character ``k``-gram, slide a
+    window of ``w`` consecutive hashes, select each window's MINIMUM
+    (ties -> rightmost), emit the distinct selected (position, hash)
+    set. Guarantees at least one shared fingerprint for any match of
+    length >= w + k - 1 — the local-fingerprint property exact-hash
+    sampling (0 mod p) lacks.
+
+    Engine-portable and integer-exact: the gram hash is the md5-derived
+    32-bit value (DuckDB computes the identical one), and the
+    rightmost-min selection is ONE windowed ``min`` over the combined
+    key ``h * 2^20 + (2^20 - pos)`` — (hash asc, pos desc) ordering
+    packed into a single bigint, so both engines pick the same
+    position without an argmin construct. Docs longer than 2^20 chars
+    refuse loudly rather than mis-pack.
+
+    Returns (doc_id, pos, fp_hash), one row per selected fingerprint.
+
+    Scale: explode to O(chars) gram rows, ONE window pass per doc
+    (shuffle on doc_id only), distinct on the tiny selected set. No
+    UDFs; the substring/md5/min pipeline is whole-stage codegen.
+    """
+    from pyspark.sql import Window
+
+    M = 1 << 20
+    t = F.col(text_col)
+    n_grams = F.length(t) - k + 1
+    g = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            t.alias("_t"),
+            # sequence(1, 0) would COUNT DOWN in Spark; empty-array
+            # guard drops sub-k docs instead
+            F.explode(
+                F.when(n_grams >= 1, F.sequence(F.lit(1), n_grams)).otherwise(
+                    F.array().cast("array<int>")
+                )
+            ).alias("pos"),
+        )
+        .select(
+            "doc_id",
+            "pos",
+            F.conv(F.substring(F.md5(F.col("_t").substr(F.col("pos"), F.lit(k))), 1, 8), 16, 10)
+            .cast("bigint")
+            .alias("h"),
+        )
+    )
+    # refuse mis-packing instead of silently wrong fingerprints
+    too_long = df.filter(F.length(t) >= M).limit(1).count()
+    if too_long:
+        raise ValueError(
+            f"winnow_fingerprints packs positions into {M}; a document "
+            "exceeds it — raise M or chunk the document first"
+        )
+    win = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, w - 1)
+    )
+    key = F.col("h") * M + (F.lit(M) - F.col("pos"))
+    sel = (
+        g.select(
+            "doc_id",
+            F.min(key).over(win).alias("_k"),
+            F.count(F.lit(1)).over(win).alias("_c"),
+        )
+        .filter(F.col("_c") == w)  # only FULL windows select
+        .select(
+            "doc_id",
+            # integer decode: / would go through DOUBLE and lose
+            # exactness past 2^53 — shift/mask instead (M = 2^20)
+            (F.lit(M) - F.col("_k").bitwiseAND(M - 1)).alias("pos"),
+            F.shiftright("_k", 20).cast("bigint").alias("fp_hash"),
+        )
+        .distinct()
+    )
+    return sel
+
+
 def bigram_stats(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -492,6 +578,33 @@ def bigram_stats(
         .alias("n_singletons"),
         F.avg(F.log2(F.col("c1") / F.col("c12"))).alias("lm_score"),
     )
+
+
+def lm_quality_filter(
+    df: DataFrame,
+    lo_avg: int = 2,
+    hi_avg: int = 1000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Perplexity-band curation on the bigram model (the CCNet/Gopher
+    move of dropping BOTH tails of the LM-quality distribution): a doc
+    keeps iff the AVERAGE corpus frequency of its bigrams lies in
+    [lo_avg, hi_avg] — too LOW means rare continuations no model has
+    seen (gibberish tail), too HIGH means boilerplate every other doc
+    also says. The band test is integer arithmetic
+    (``lo·n ≤ Σc12 ≤ hi·n``), so verdicts are engine-exact where a
+    perplexity float threshold would not be. Band edges are
+    corpus-dependent — calibrate them off bigram_stats percentiles.
+
+    Returns bigram_stats columns + keep. Same scale shape as
+    bigram_stats (it IS bigram_stats + a map).
+    """
+    s = bigram_stats(df, text_col, id_col)
+    keep = (F.col("corpus_occurrences") >= lo_avg * F.col("n_bigrams")) & (
+        F.col("corpus_occurrences") <= hi_avg * F.col("n_bigrams")
+    )
+    return s.withColumn("keep", keep)
 
 
 # C4's naughty-word screen uses the full "List of Dirty, Naughty,

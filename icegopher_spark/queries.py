@@ -1772,6 +1772,41 @@ def sim_neardup_q(spark: SparkSession, sf: str) -> DataFrame:
     return similarity.lsh_neardup_pairs(aug, threshold=0.9)
 
 
+sim_semdedup_oracle = """
+SELECT CAST(vec_id AS BIGINT) AS id, TRUE AS keep FROM embeddings
+UNION ALL
+SELECT CAST(vec_id + 1000000 AS BIGINT), FALSE FROM embeddings WHERE vec_id < 25
+"""
+
+
+@register(
+    "sim_semdedup",
+    sim_semdedup_oracle,
+    "SemDeDup cluster-then-dedup over planted duplicate embeddings: "
+    "exactly the planted copies drop, every original survives",
+)
+def sim_semdedup_q(spark: SparkSession, sf: str) -> DataFrame:
+    """SemDeDup (operators/similarity.py:semdedup) end-to-end: 25
+    scaled copies are planted (vec_id+1000000, embedding x2 — cosine
+    1.0 to their source and UNCHANGED cosine to everything else, so
+    scale-invariance guarantees each copy lands in its source's
+    cluster). The oracle is exact SQL, no pinned goldens: the corpus
+    has no natural pairs at 0.9 (checked), so keep=False iff planted.
+    A clustering bug that separates a copy from its source — or a
+    pair-join that leaks across clusters — flips the hash."""
+    emb = load(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    planted = emb.filter(F.col("vec_id") < 25).select(
+        (F.col("vec_id") + F.lit(1000000)).alias("vec_id"),
+        F.transform(F.col("embedding"), lambda x: x * F.lit(2.0)).alias("embedding"),
+    )
+    aug = emb.unionByName(planted)
+    return similarity.semdedup(aug, threshold=0.9, n_clusters=16).select(
+        F.col("id").cast("bigint").alias("id"), "keep"
+    )
+
+
 # sim_lsh_topk is registered below, next to the other recall gates —
 # its oracle judges retrieval quality against the exact top-k instead
 # of replaying the pipeline's own hyperplanes in SQL (r3 verdict #2:
@@ -2399,6 +2434,69 @@ FROM m
 """
 
 
+# Full winnowing replica in SQL: same md5-derived 32-bit gram hash,
+# same (hash asc, pos desc) packed-key rightmost-min selection, same
+# full-window rule — the fingerprint SETS must match, so the gate
+# aggregates per doc with an order-free integer checksum.
+winnow_oracle = r"""
+WITH pos AS (
+  SELECT doc_id, text,
+         unnest(range(1, CAST(length(text) AS BIGINT) - 5 + 2)) AS p
+  FROM documents
+  WHERE length(text) >= 5
+), g AS (
+  SELECT doc_id, p,
+         ('0x' || substr(md5(substr(text, CAST(p AS INT), 5)), 1, 8))::BIGINT AS h
+  FROM pos
+), win AS (
+  SELECT doc_id,
+         MIN(h * 1048576 + (1048576 - p)) OVER fr AS k,
+         COUNT(*) OVER fr AS c
+  FROM g
+  WINDOW fr AS (PARTITION BY doc_id ORDER BY p
+                ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING)
+), sel AS (
+  SELECT DISTINCT doc_id,
+         1048576 - (k % 1048576) AS pos,
+         k // 1048576 AS fp_hash
+  FROM win WHERE c = 4
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_fingerprints,
+       CAST(COUNT(DISTINCT fp_hash) AS BIGINT) AS n_distinct_hashes,
+       CAST(MIN(fp_hash) AS BIGINT) AS min_fp,
+       CAST(MAX(fp_hash) AS BIGINT) AS max_fp,
+       CAST(SUM(fp_hash * pos) AS BIGINT) AS fp_checksum
+FROM sel GROUP BY doc_id
+"""
+
+
+@register(
+    "text_winnow_fingerprints",
+    winnow_oracle,
+    "winnowing (MOSS) document fingerprints: k-gram rightmost-min "
+    "window selection, fingerprint set verified via order-free "
+    "integer checksum",
+)
+def winnow_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Winnowing fingerprints (operators/text.py:winnow_fingerprints,
+    k=5, w=4) with the full selection replayed independently in SQL;
+    SUM(hash*pos) is an order-free exact checksum of the selected
+    set, so a single mis-picked tie or off-by-one window flips the
+    gate."""
+    from .operators import text as T
+
+    docs = load(spark, sf, "documents")
+    fp = T.winnow_fingerprints(docs, k=5, w=4)
+    return fp.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_fingerprints"),
+        F.count_distinct("fp_hash").cast("bigint").alias("n_distinct_hashes"),
+        F.min("fp_hash").cast("bigint").alias("min_fp"),
+        F.max("fp_hash").cast("bigint").alias("max_fp"),
+        F.sum(F.col("fp_hash") * F.col("pos")).cast("bigint").alias("fp_checksum"),
+    )
+
+
 bigram_stats_oracle = r"""
 WITH toks AS (
   SELECT doc_id,
@@ -2420,6 +2518,36 @@ SELECT bg.doc_id,
 FROM bg JOIN cc USING (w1, w2)
 GROUP BY bg.doc_id
 """
+
+
+# band verdicts derived from the same integer stats the bigram oracle
+# computes — wrap it as a subquery so the two gates can never drift
+lm_filter_oracle = f"""
+WITH s AS ({bigram_stats_oracle})
+SELECT *,
+       (corpus_occurrences >= 30 * n_bigrams
+        AND corpus_occurrences <= 32 * n_bigrams) AS keep
+FROM s
+"""
+
+
+@register(
+    "text_lm_filter",
+    lm_filter_oracle,
+    "perplexity-band curation on the bigram model: drop both tails of "
+    "the avg-commonality distribution, integer-exact band verdicts",
+)
+def lm_filter_q(spark: SparkSession, sf: str) -> DataFrame:
+    """CCNet-style LM-quality banding without the float trap
+    (operators/text.py:lm_quality_filter): keep iff the average corpus
+    frequency of the doc's bigrams is inside [30, 32] (band edges
+    calibrated to the synthetic corpus's 25th/75th percentiles so the
+    gate exercises BOTH tails) — both edges compared in integer space,
+    oracle recomputed from the same stats CTE as text_bigram_stats."""
+    from .operators import text as T
+
+    docs = load(spark, sf, "documents")
+    return T.lm_quality_filter(docs, lo_avg=30, hi_avg=32).drop("lm_score")
 
 
 @register(

@@ -1321,3 +1321,37 @@ def test_hash_bucket_no_overflow_on_huge_ids(spark):
     # shuffle_shard end-to-end on the same ids (seeded key + shard)
     out = C.shuffle_shard(df, n_shards=4).collect()
     assert sum(r["n_docs"] for r in out) == len(ids)
+
+
+def test_winnow_fingerprint_guarantee(spark):
+    """The winnowing property (SIGMOD'03): any shared substring of
+    length >= w + k - 1 shares at least one fingerprint; and the
+    position-packing refusal fires on over-long docs."""
+    from icegopher_spark.operators import text as T
+
+    k, w = 5, 4
+    shared = "the quick brown fox jumps over it"  # > w + k - 1 chars
+    df = spark.createDataFrame(
+        [
+            (1, "AAAA " + shared + " BBBBBB"),
+            (2, "zzz " + shared + " qqqq different tail"),
+            (3, "completely unrelated content here with no overlap at all"),
+        ],
+        "doc_id long, text string",
+    )
+    fp = T.winnow_fingerprints(df, k=k, w=w).collect()
+    by_doc = {}
+    for r in fp:
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp_hash"])
+    assert by_doc[1] & by_doc[2], "shared substring must share a fingerprint"
+    # positions are 1-based and within the doc
+    assert all(1 <= r["pos"] for r in fp)
+    # sub-k docs produce nothing rather than erroring
+    tiny = spark.createDataFrame([(9, "abc")], "doc_id long, text string")
+    assert T.winnow_fingerprints(tiny, k=k, w=w).count() == 0
+    # over-long doc refuses loudly (position packing bound)
+    import pytest as _pytest
+
+    big = spark.createDataFrame([(7, "x" * (1 << 20))], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="winnow_fingerprints packs"):
+        T.winnow_fingerprints(big, k=k, w=w)

@@ -101,6 +101,9 @@ EXTRA_SCALE_QUERIES = [
     "text_bigram_stats",
     "iceberg_snapshots_metadata",
     "cdc_scd2_history",
+    "text_winnow_fingerprints",
+    "sim_semdedup",
+    "text_lm_filter",
 ]
 SCALE_QUERIES = BENCH_QUERIES + EXTRA_SCALE_QUERIES
 from icegopher_spark.queries import QUERIES, load  # noqa: E402
