@@ -602,6 +602,10 @@ def pair_updates(df: DataFrame, identifier_fields: list[str]) -> DataFrame:
     equals per-commit pairing (a commit is never split across
     micro-batches). The batch changelog's output pairs identically.
     Change types other than insert/delete pass through untouched.
+
+    Limitation: carryover removal groups by FULL row values, so map
+    columns (not groupable in Spark) are unsupported — drop or
+    serialize them first.
     """
     out_order = list(df.columns)
     data_cols = [c for c in df.columns if c not in (CHANGE_TYPE, COMMIT_SNAPSHOT)]

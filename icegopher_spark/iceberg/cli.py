@@ -108,6 +108,16 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("identifier")
     sp.add_argument("cols", nargs="+", help="2-6 cluster columns")
     sp.add_argument("--n-files", type=int, default=8)
+    sp = sub.add_parser("analyze")
+    sp.add_argument("identifier")
+    sp.add_argument("--columns", help="comma-separated column subset")
+    sp.add_argument(
+        "--approx",
+        action="store_true",
+        help="HLL++ NDV (one map-side pass; the 100 TB posture) "
+        "instead of exact COUNT(DISTINCT)",
+    )
+    sp.add_argument("--rsd", type=float, default=0.05)
     sp = sub.add_parser("partition-stats")
     sp.add_argument("identifier")
     sp = sub.add_parser("rewrite-deletes")
@@ -279,6 +289,27 @@ def _dispatch(args, cat) -> int:
         t = cat.load_table(to_identifier(args.identifier))
         t = _add(t, list(args.paths))
         print(f"added {len(args.paths)} files; snapshot {t.current_snapshot().snapshot_id}")
+        return 0
+    if args.verb == "analyze":
+        # ANALYZE scans data -> needs a session, like compact/zorder
+        from ..session import get_spark
+        from .maintenance import compute_table_stats, table_ndv
+
+        t = cat.load_table(to_identifier(args.identifier))
+        if t.current_snapshot() is None:
+            print(f"{args.identifier}: empty table (no snapshots) — nothing to analyze")
+            return 0
+        spark = get_spark("icegopher-cli")
+        cols = args.columns.split(",") if args.columns else None
+        t = compute_table_stats(
+            t,
+            spark,
+            columns=cols,
+            mode="approx" if args.approx else "exact",
+            approx_rsd=args.rsd,
+        )
+        mode = f"approx (rsd={args.rsd})" if args.approx else "exact"
+        print(f"ndv ({mode}): {json.dumps(table_ndv(t))}")
         return 0
     if args.verb == "partition-stats":
         from .partition_stats import compute_partition_stats

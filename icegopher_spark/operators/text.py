@@ -476,6 +476,17 @@ def winnow_fingerprints(
 
     M = 1 << 20
     t = F.col(text_col)
+    # packing-bound guard INSIDE the plan (raise_error branch) — a
+    # separate validation count() would add a full extra pass over the
+    # text column per call
+    t = F.when(F.length(t) < M, t).otherwise(
+        F.raise_error(
+            F.lit(
+                f"winnow_fingerprints packs positions into {M}; a "
+                "document exceeds it — raise M or chunk the document first"
+            )
+        )
+    )
     n_grams = F.length(t) - k + 1
     g = (
         df.select(
@@ -497,13 +508,6 @@ def winnow_fingerprints(
             .alias("h"),
         )
     )
-    # refuse mis-packing instead of silently wrong fingerprints
-    too_long = df.filter(F.length(t) >= M).limit(1).count()
-    if too_long:
-        raise ValueError(
-            f"winnow_fingerprints packs positions into {M}; a document "
-            "exceeds it — raise M or chunk the document first"
-        )
     win = (
         Window.partitionBy("doc_id")
         .orderBy("pos")

@@ -677,6 +677,12 @@ def test_orphan_files_distributed_matches_driver(spark, tmp_path, lineitem):
     os.makedirs(cache_dir, exist_ok=True)
     with open(f"{cache_dir}/density.parquet", "wb") as f:
         f.write(b"sidecar")
+    # a file directly under the table ROOT exercises the driver-listed
+    # top_files branch (no directory to fan out)
+    root_junk = str(tmp_path / "tbl" / "root-stray.tmp")
+    with open(root_junk, "wb") as f:
+        f.write(b"stray")
+    junk.append(root_junk)
 
     driver = M.orphan_files(t, older_than_ms=0)
     dist = M.orphan_files_distributed(t, spark, older_than_ms=0)
@@ -735,3 +741,32 @@ def test_compute_table_stats_approx_mode(spark):
             assert b["properties"]["ndv-rsd"] == "0.05"
         with pytest.raises(ValueError, match="mode"):
             compute_table_stats(t, spark, mode="bogus")
+
+
+def test_cli_analyze(spark, tmp_path, lineitem, capsys):
+    """r9: `analyze` CLI verb — exact and approx modes both register
+    NDV stats and report them."""
+    import json as _json
+
+    from icegopher_spark.iceberg.cli import main as cli_main
+
+    wh = tmp_path / "wh"
+    (wh / "db").mkdir(parents=True)
+    t = W.create_table(str(wh / "db" / "li"), SCHEMA)
+    W.append(t, lineitem.limit(200))
+
+    rc = cli_main(["--catalog", str(wh), "analyze", "db.li"])
+    out = capsys.readouterr().out
+    assert rc == 0 and "ndv (exact)" in out
+    exact = _json.loads(out.split(": ", 1)[1])
+    assert exact["l_orderkey"] > 0
+
+    rc = cli_main(
+        ["--catalog", str(wh), "analyze", "db.li", "--approx", "--columns", "l_orderkey"]
+    )
+    out = capsys.readouterr().out
+    assert rc == 0 and "approx" in out
+    approx = _json.loads(out.split(": ", 1)[1])
+    # merged registration keeps the other columns' exact blobs
+    assert set(approx) == set(exact)
+    assert abs(approx["l_orderkey"] - exact["l_orderkey"]) <= 0.15 * exact["l_orderkey"]

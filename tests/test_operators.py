@@ -1349,9 +1349,11 @@ def test_winnow_fingerprint_guarantee(spark):
     # sub-k docs produce nothing rather than erroring
     tiny = spark.createDataFrame([(9, "abc")], "doc_id long, text string")
     assert T.winnow_fingerprints(tiny, k=k, w=w).count() == 0
-    # over-long doc refuses loudly (position packing bound)
+    # over-long doc refuses loudly at execution (the packing guard is
+    # a raise_error branch INSIDE the plan — a validation count()
+    # would cost a full extra pass over the text column)
     import pytest as _pytest
 
     big = spark.createDataFrame([(7, "x" * (1 << 20))], "doc_id long, text string")
-    with _pytest.raises(ValueError, match="winnow_fingerprints packs"):
-        T.winnow_fingerprints(big, k=k, w=w)
+    with _pytest.raises(Exception, match="winnow_fingerprints packs"):
+        T.winnow_fingerprints(big, k=k, w=w).count()
