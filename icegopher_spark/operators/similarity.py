@@ -536,6 +536,11 @@ def group_centroids(
 # seeding, cell assignment, cosine fold): a persisted index built by an
 # older kernel would otherwise validate as healthy while silently
 # changing probe recall across code revisions.
+# One-slot rotating registry for semdedup's persisted cluster
+# assignment (see the persist site inside semdedup).
+_SEMDEDUP_ASSIGN_CACHE: list = []
+
+
 def semdedup(
     df: DataFrame,
     threshold: float = 0.95,
@@ -571,6 +576,17 @@ def semdedup(
         F.col(vec_col).alias("v"),
         F.element_at(nearest_cells_arrow(F.col(vec_col), cents, 1), 1).alias("cluster"),
     )
+    # the assigned frame feeds FOUR consumers (pair join both sides,
+    # anti-join, keep-side output) — without a persist each one re-runs
+    # the embedding scan AND the centroid-assignment Arrow kernel.
+    # One-slot rotating registry, same residency contract as
+    # dedup._SIMHASH_SIG_CACHE; at scale real pipelines materialize
+    # the assignment anyway.
+    assigned = assigned.persist()
+    prev = _SEMDEDUP_ASSIGN_CACHE.pop() if _SEMDEDUP_ASSIGN_CACHE else None
+    if prev is not None:
+        prev.unpersist()
+    _SEMDEDUP_ASSIGN_CACHE.append(assigned)
     a = assigned.select(F.col("cluster"), F.col("id").alias("id_a"), F.col("v").alias("va"))
     b = assigned.select(F.col("cluster"), F.col("id").alias("id_b"), F.col("v").alias("vb"))
     dup_pairs = (

@@ -533,6 +533,11 @@ def winnow_fingerprints(
     return sel
 
 
+# One-slot rotating registry for bigram_stats' persisted per-doc pair
+# multiplicities (see the persist site inside bigram_stats).
+_BIGRAM_DBG_CACHE: list = []
+
+
 def bigram_stats(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -571,16 +576,34 @@ def bigram_stats(
     bg = df.select(F.col(id_col).alias("doc_id"), F.explode(pairs).alias("p")).select(
         "doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
     )
-    cc = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
-    c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
-    joined = bg.join(cc, ["w1", "w2"]).join(c1, ["w1"])
+    # collapse to per-doc pair MULTIPLICITY first: the corpus counts
+    # derive from it (c12 = Σm over docs, c1 = Σc12 over w2), so the
+    # raw token explode is scanned once per consumer of `dbg` — two
+    # identical groupBy exchanges AQE can reuse — instead of three
+    # independent re-tokenizations of the whole corpus, and every join
+    # side shrinks from O(tokens) to O(distinct doc-pairs)
+    dbg = bg.groupBy("doc_id", "w1", "w2").agg(F.count(F.lit(1)).alias("m"))
+    # the three consumers need different partitionings, so exchange
+    # reuse can't kick in — persist the collapsed frame (narrow
+    # (doc, pair, m) rows, far smaller than the raw token explode it
+    # replaces re-running; one-slot registry bounds residency)
+    dbg = dbg.persist()
+    prev = _BIGRAM_DBG_CACHE.pop() if _BIGRAM_DBG_CACHE else None
+    if prev is not None:
+        prev.unpersist()
+    _BIGRAM_DBG_CACHE.append(dbg)
+    cc = dbg.groupBy("w1", "w2").agg(F.sum("m").alias("c12"))
+    c1 = cc.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    joined = dbg.join(cc, ["w1", "w2"]).join(c1, ["w1"])
     return joined.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
-        F.sum("c12").cast("bigint").alias("corpus_occurrences"),
-        F.sum(F.when(F.col("c12") == 1, 1).otherwise(0))
+        F.sum("m").cast("bigint").alias("n_bigrams"),
+        F.sum(F.col("m") * F.col("c12")).cast("bigint").alias("corpus_occurrences"),
+        F.sum(F.when(F.col("c12") == 1, F.col("m")).otherwise(0))
         .cast("bigint")
         .alias("n_singletons"),
-        F.avg(F.log2(F.col("c1") / F.col("c12"))).alias("lm_score"),
+        (
+            F.sum(F.col("m") * F.log2(F.col("c1") / F.col("c12"))) / F.sum("m")
+        ).alias("lm_score"),
     )
 
 
