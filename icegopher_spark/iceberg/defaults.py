@@ -32,6 +32,8 @@ from .types import (
     MapType,
     NestedField,
     StructType,
+    TimestampNsType,
+    TimestampTzNsType,
     TimestampType,
     TimestampTzType,
     UUIDType,
@@ -50,6 +52,16 @@ def _value_to_column(t: IcebergType, v: Any) -> Column:
         return F.expr(f"TIMESTAMP_NTZ '{_fmt_ts_micros(int(v))}'")
     if isinstance(t, TimestampTzType):
         return F.expr(f"TIMESTAMP '{_fmt_ts_micros(int(v))}+00:00'")
+    # V3 ns timestamps: the stored default is int NANOS; the Spark
+    # surface is µs (same "nanos->micros floorDiv" rule as the read
+    # path). Without this branch the raw int fell through to
+    # F.lit(int).cast(timestamp_ntz), which Spark REFUSES — so adding
+    # a ns column with a default made the whole table unscannable
+    # (r9 review).
+    if isinstance(t, TimestampNsType):
+        return F.expr(f"TIMESTAMP_NTZ '{_fmt_ts_micros(int(v) // 1000)}'")
+    if isinstance(t, TimestampTzNsType):
+        return F.expr(f"TIMESTAMP '{_fmt_ts_micros(int(v) // 1000)}+00:00'")
     if isinstance(t, UUIDType):
         return F.lit(str(v))
     if isinstance(t, DecimalType):
@@ -128,6 +140,11 @@ def _arrow_py(t: IcebergType, v: Any) -> Any:
         ]
     if isinstance(t, UUIDType):
         return str(v)
+    if isinstance(t, (TimestampNsType, TimestampTzNsType)):
+        # arrow schema for ns columns is timestamp('us') (the Spark
+        # surface) — a raw int-nanos default would be read as µs,
+        # shifting the value 1000x (r9 review)
+        return int(v) // 1000
     return v
 
 

@@ -80,13 +80,24 @@ class UpdateSchema:
             from datetime import time as _time
 
             from .literals import L, json_single_value
-            from .types import DateType, TimestampType, TimestampTzType, TimeType
+            from .types import (
+                DateType,
+                TimestampNsType,
+                TimestampType,
+                TimestampTzNsType,
+                TimestampTzType,
+                TimeType,
+            )
 
             # temporal coercion is FIELD-TYPE-directed: a datetime on a
             # date column (or vice versa) must raise, not be silently
             # reinterpreted in the wrong unit (µs read as days, …)
             if isinstance(default, _datetime):
-                want = TimestampTzType if default.tzinfo else TimestampType
+                want = (
+                    (TimestampTzType, TimestampTzNsType)
+                    if default.tzinfo
+                    else (TimestampType, TimestampNsType)
+                )
                 if not isinstance(field_type, want):
                     raise ValueError(
                         f"default {default!r} is a "
@@ -94,6 +105,9 @@ class UpdateSchema:
                         f"but column {name!r} is {field_type}"
                     )
                 default = L(default).value
+                if isinstance(field_type, (TimestampNsType, TimestampTzNsType)):
+                    # internal rep for ns columns is int NANOS; L() gave µs
+                    default *= 1000
             elif isinstance(default, _date):
                 if not isinstance(field_type, DateType):
                     raise ValueError(

@@ -22,7 +22,6 @@ registration follows the public Iceberg spec only.
 
 from __future__ import annotations
 
-import os
 import uuid as _uuid
 from typing import Any
 
@@ -188,13 +187,17 @@ def compute_partition_stats(table: Table, snapshot_id: int | None = None) -> Tab
 
     loc = strip_file_scheme(table.location)
     path = f"{loc}/metadata/partition-stats-{snap.snapshot_id}-{_uuid.uuid4().hex[:12]}.parquet"
-    os.makedirs(os.path.dirname(path), exist_ok=True)
-    pq.write_table(tbl, path)
+    # route through FileIO (r9 review: a direct pq.write_table(path)
+    # bypassed the table's IO and only worked on local filesystems)
+    buf = pa.BufferOutputStream()
+    pq.write_table(tbl, buf)
+    data = buf.getvalue().to_pybytes()
+    table.io.write(path, data)
 
     entry = {
         "snapshot-id": snap.snapshot_id,
         "statistics-path": path,
-        "file-size-in-bytes": os.path.getsize(path),
+        "file-size-in-bytes": len(data),
     }
     from .metadata import parse_metadata
 

@@ -206,6 +206,9 @@ def rollback_to(table: Table, snapshot_id: int) -> Table:
         "branch",
         min_snapshots_to_keep=old.min_snapshots_to_keep if old else None,
         max_snapshot_age_ms=old.max_snapshot_age_ms if old else None,
+        # main never age-expires, but dropping the property on rollback
+        # would silently rewrite user-set metadata (r9 review)
+        max_ref_age_ms=old.max_ref_age_ms if old else None,
     )
     raw["refs"] = {name: r.to_json_dict() for name, r in refs.items()}
     raw["current-snapshot-id"] = target

@@ -312,3 +312,67 @@ def test_write_default_fills_dsv2_write(tmp_path, spark):
         spark.createDataFrame([(51, "z")], "id bigint, name string").write.format(
             "icegopher"
         ).option("location", t3.location).mode("append").save()
+
+
+def test_ns_timestamp_defaults_truncate_to_micros(spark):
+    """r9 review: a V3 ns-timestamp column default is stored as int
+    NANOS; both the Column and arrow paths must floorDiv to the µs
+    Spark surface — the raw int previously hit
+    F.lit(int).cast(timestamp_ntz), which Spark refuses, so ADDING a
+    ns column with a default made the whole table unscannable."""
+    from datetime import datetime
+
+    from icegopher_spark.iceberg.defaults import (
+        default_arrow_value,
+        default_column,
+    )
+    from icegopher_spark.iceberg.types import (
+        NestedField,
+        TimestampNsType,
+        TimestampTzNsType,
+    )
+
+    f = NestedField(
+        1, "ts", TimestampNsType(), False,
+        initial_default="2021-01-01T00:00:00.123456789",
+    )
+    got = spark.range(1).select(default_column(f, "initial").alias("d")).collect()[0]["d"]
+    assert got == datetime(2021, 1, 1, 0, 0, 0, 123456)
+    assert default_arrow_value(f, "initial") == 1609459200123456  # µs
+
+    f2 = NestedField(
+        2, "tz", TimestampTzNsType(), False,
+        initial_default="2021-01-01T00:00:00.123456789+00:00",
+    )
+    got2 = spark.range(1).select(default_column(f2, "initial").alias("d")).collect()[0]["d"]
+    assert got2.replace(tzinfo=None) == datetime(2021, 1, 1, 0, 0, 0, 123456)
+    assert default_arrow_value(f2, "initial") == 1609459200123456
+
+
+def test_add_ns_column_with_datetime_default_end_to_end(spark, tmp_path):
+    """r9 review: adding a V3 ns-timestamp column with a natural
+    datetime default stores int NANOS and scans back at the µs Spark
+    surface for pre-existing rows."""
+    from datetime import datetime
+
+    from icegopher_spark.iceberg import write as W
+    from icegopher_spark.iceberg.evolve import update_schema
+    from icegopher_spark.iceberg.schema import Schema
+    from icegopher_spark.iceberg.types import (
+        LongType,
+        NestedField,
+        TimestampNsType,
+    )
+
+    sch = Schema((NestedField(1, "k", LongType(), True),), schema_id=0)
+    t = W.create_table(str(tmp_path / "ns"), sch, format_version=3)
+    t = W.append(t, spark.range(3).selectExpr("id AS k"))
+    dt = datetime(2024, 6, 1, 12, 30, 0, 123456)
+    t = update_schema(t).add_column("seen_at", TimestampNsType(), default=dt).commit()
+    f = t.schema.find_field("seen_at")
+    # stored default is the ISO string; internal rep carries nanos
+    from icegopher_spark.iceberg.literals import parse_json_single_value
+
+    assert parse_json_single_value(TimestampNsType(), f.initial_default) % 1000 == 0
+    got = {r["seen_at"] for r in t.scan().to_df(spark).collect()}
+    assert got == {dt}
