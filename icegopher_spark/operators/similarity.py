@@ -544,10 +544,11 @@ _SEMDEDUP_ASSIGN_CACHE: list = []
 def semdedup(
     df: DataFrame,
     threshold: float = 0.95,
-    n_clusters: int = 16,
+    n_clusters: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 17,
+    target_cluster_size: int = 32,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     deduplication by clustering embeddings and dropping within-cluster
@@ -570,6 +571,16 @@ def semdedup(
 
     Returns (id, cluster, keep).
     """
+    if n_clusters is None:
+        # the scale posture: cluster COUNT grows with the corpus so
+        # cluster SIZE — and the per-cluster quadratic pair term —
+        # stays ~target_cluster_size (SemDeDup uses 50k clusters for
+        # LAION for exactly this reason). A fixed n_clusters turns the
+        # within-cluster join quadratic: the 10x scale artifact
+        # measured 11.7x before this default. One count of the id
+        # column prices the corpus.
+        n = df.count()
+        n_clusters = max(16, n // target_cluster_size)
     cents = _kmeans_centroids(df, vec_col, n_clusters, seed)
     assigned = df.select(
         F.col(id_col).alias("id"),

@@ -1802,7 +1802,7 @@ def sim_semdedup_q(spark: SparkSession, sf: str) -> DataFrame:
         F.transform(F.col("embedding"), lambda x: x * F.lit(2.0)).alias("embedding"),
     )
     aug = emb.unionByName(planted)
-    return similarity.semdedup(aug, threshold=0.9, n_clusters=16).select(
+    return similarity.semdedup(aug, threshold=0.9).select(
         F.col("id").cast("bigint").alias("id"), "keep"
     )
 
