@@ -474,3 +474,88 @@ def test_scd2_reinsert_and_update_chains(spark):
 
     with _pytest.raises(ValueError, match="key fields"):
         scd2_from_changelog(df, ["nope"])
+
+
+def test_scd2_reconstructs_every_snapshot_state(spark, tmp_path):
+    """Replay property: filtering the SCD2 history to
+    valid_from <= k < valid_to reproduces the table's exact state AS OF
+    every snapshot k — the invariant that makes the history usable for
+    point-in-time dimension joins."""
+    from pyspark.sql import functions as F
+
+    from icegopher_spark.iceberg import write as W
+    from icegopher_spark.iceberg.changelog import (
+        COMMIT_SNAPSHOT,
+        changelog_df,
+        pair_updates,
+        scd2_from_changelog,
+    )
+    from icegopher_spark.iceberg.expressions import equal_to, less_than
+    from icegopher_spark.iceberg.schema import Schema
+    from icegopher_spark.iceberg.types import (
+        DoubleType,
+        LongType,
+        NestedField,
+        StringType,
+    )
+
+    sch = Schema(
+        (
+            NestedField(1, "o_orderkey", LongType(), True),
+            NestedField(2, "o_orderstatus", StringType(), False),
+            NestedField(3, "o_totalprice", DoubleType(), False),
+        ),
+        schema_id=0,
+    )
+    orders = (
+        spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .limit(400)
+    )
+    t = W.create_table(str(tmp_path / "dim"), sch)
+    t = W.append(t, orders)
+    t = W.update_where(
+        t, spark, equal_to("o_orderstatus", "O"), {"o_totalprice": F.col("o_totalprice") * 2}
+    )
+    t = W.delete_where(t, spark, less_than("o_orderkey", 200))
+
+    snaps = [s.snapshot_id for s in t.metadata.snapshots]
+    first = snaps[0]
+    base = (
+        t.scan(snapshot_id=first)
+        .to_df(spark)
+        .select(
+            "*",
+            F.lit("insert").alias("_change_type"),
+            F.lit(first).cast("long").alias(COMMIT_SNAPSHOT),
+        )
+    )
+    changes = base.unionByName(
+        changelog_df(t, spark, from_snapshot_id=first, net=False)
+    )
+    scd2 = scd2_from_changelog(pair_updates(changes, ["o_orderkey"]), ["o_orderkey"])
+    # order snapshots by sequence for interval comparison
+    seq = {s.snapshot_id: s.sequence_number for s in t.metadata.snapshots}
+    m = spark.createDataFrame(list(seq.items()), "sid long, seq long")
+    scd2s = (
+        scd2.join(m.withColumnRenamed("sid", "valid_from").withColumnRenamed("seq", "f"), "valid_from")
+        .join(
+            m.withColumnRenamed("sid", "valid_to").withColumnRenamed("seq", "tt"),
+            "valid_to",
+            "left",
+        )
+    )
+    for sid in snaps:
+        k = seq[sid]
+        reconstructed = sorted(
+            map(
+                tuple,
+                scd2s.filter(
+                    (F.col("f") <= k) & (F.col("tt").isNull() | (F.col("tt") > k))
+                )
+                .select("o_orderkey", "o_orderstatus", "o_totalprice")
+                .collect(),
+            )
+        )
+        actual = sorted(map(tuple, t.scan(snapshot_id=sid).to_df(spark).collect()))
+        assert reconstructed == actual, f"state mismatch at snapshot seq {k}"
