@@ -191,6 +191,7 @@ def main() -> None:
         "text_winnow_fingerprints",
         "sim_semdedup",
         "text_lm_filter",
+        "stream_scd2_history",
     ]
 
     # Noise calibration (r8 verdict #6): a fixed query timed once per

@@ -981,3 +981,75 @@ def stream_cdc_updates_q(spark: SparkSession, sf: str) -> DataFrame:
             F.sum(F.col("l_orderkey") % 1000).cast("bigint").alias("okey_chk"),
         )
     )
+
+
+@register(
+    "stream_scd2_history",
+    # the BATCH gate's oracle verbatim: the stream face must produce
+    # the identical SCD2 history — stream/batch parity is the point
+    __import__("icegopher_spark.iceberg_queries", fromlist=["cdc_scd2_oracle"]).cdc_scd2_oracle,
+    "SCD2 dimension history maintained from the CDC STREAM: replayed "
+    "insert+CoW-update+CoW-delete commits fold through pair_updates + "
+    "scd2_from_changelog into the same history the batch changelog "
+    "produces",
+)
+def stream_scd2_history_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Stream-face SCD2 (closes the CDC family loop): a fresh
+    icegopher_cdc checkpoint replays the orders fixture's full history
+    — append, copy-on-write UPDATE, copy-on-write DELETE — the raw
+    insert+delete rows accumulate per micro-batch, then fold through
+    the same pair_updates -> scd2_from_changelog pipeline as the batch
+    gate and must hash-match its oracle exactly. Exercises the CDC
+    source's CoW-delete emission (removed-file live rows) that
+    stream_cdc_updates' fixture lacks."""
+    import shutil as _sh
+
+    from .iceberg.changelog import pair_updates, scd2_from_changelog
+    from .iceberg_queries import _scd2_table_for
+    from .streaming.iceberg_cdc_source import IcebergCdcStreamSource
+
+    t = _scd2_table_for(spark, sf)
+    spark.dataSource.register(IcebergCdcStreamSource)
+
+    key = sf.strip("/").replace("/", "_")
+    work = f"/tmp/icegopher_tables/{key}/scd2_stream_gate"
+    _sh.rmtree(work, ignore_errors=True)
+    out, ckpt = f"{work}/out", f"{work}/ckpt"
+    q = (
+        spark.readStream.format("icegopher_cdc")
+        .option("location", t.location)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    changes = spark.read.parquet(out)
+    scd2 = scd2_from_changelog(pair_updates(changes, ["o_orderkey"]), ["o_orderkey"])
+    seq_map = spark.createDataFrame(
+        [(s.snapshot_id, s.sequence_number) for s in t.metadata.snapshots],
+        "snap_id long, seq long",
+    )
+    return (
+        scd2.join(F.broadcast(seq_map), scd2["valid_from"] == seq_map["snap_id"], "left")
+        .drop("valid_from", "snap_id")
+        .withColumnRenamed("seq", "valid_from")
+        .join(
+            F.broadcast(seq_map.withColumnRenamed("seq", "seq_to")),
+            scd2["valid_to"] == seq_map["snap_id"],
+            "left",
+        )
+        .drop("valid_to", "snap_id")
+        .withColumnRenamed("seq_to", "valid_to")
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+            F.col("valid_from").cast("bigint").alias("valid_from"),
+            F.col("valid_to").cast("bigint").alias("valid_to"),
+            "is_current",
+        )
+    )

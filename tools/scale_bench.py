@@ -104,6 +104,7 @@ EXTRA_SCALE_QUERIES = [
     "text_winnow_fingerprints",
     "sim_semdedup",
     "text_lm_filter",
+    "stream_scd2_history",
 ]
 SCALE_QUERIES = BENCH_QUERIES + EXTRA_SCALE_QUERIES
 from icegopher_spark.queries import QUERIES, load  # noqa: E402
