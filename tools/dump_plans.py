@@ -118,6 +118,24 @@ ENTRIES = [
         "new batch's band keys against the persisted index scan; verify "
         "joins shuffle only hashed shingle longs. No nested-loop joins.",
     ),
+    (
+        "text_winnow_fingerprints",
+        "simple",
+        "Winnowing (round-9): ONE scan, one window pass partitioned by "
+        "doc (rightmost-min selection is a single frame MIN over the "
+        "packed key — no argmin join), distinct on the tiny selected "
+        "set. Whole-stage codegen end to end; no UDFs.",
+    ),
+    (
+        "sim_semdedup",
+        "simple",
+        "SemDeDup (round-9): the cluster-assignment frame is PERSISTED "
+        "(InMemoryTableScan feeds all four consumers — the Arrow "
+        "centroid kernel runs once); the pair join shuffles on cluster "
+        "id so pairwise cosine never leaves a cluster. Adaptive cluster "
+        "count keeps the per-cluster quadratic term constant (10x "
+        "artifact: 11.65x fixed -> 3.27x adaptive).",
+    ),
 ]
 
 
