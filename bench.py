@@ -192,6 +192,7 @@ def main() -> None:
         "sim_semdedup",
         "text_lm_filter",
         "stream_scd2_history",
+        "text_paragraph_dedup",
     ]
 
     # Noise calibration (r8 verdict #6): a fixed query timed once per

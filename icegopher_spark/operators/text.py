@@ -533,6 +533,60 @@ def winnow_fingerprints(
     return sel
 
 
+def paragraph_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Dolma-style PARAGRAPH-level exact dedup: split documents on
+    newlines, keep each distinct (trimmed) paragraph's FIRST
+    corpus-wide occurrence (ordered by (doc_id, position)), drop every
+    later duplicate, and reassemble each document in original order —
+    the standard boilerplate-stripping pass (nav bars, cookie banners,
+    "subscribe" footers) that document-level dedup cannot touch.
+
+    Whitespace-only paragraphs always survive: they are structure, not
+    content, and dropping "the second empty line in the corpus" would
+    mangle every document.
+
+    Returns (doc_id, kept_text, n_paragraphs, n_dropped).
+
+    Scale: one shuffle on the paragraph hash (global first-occurrence
+    rank) + one shuffle back on doc_id (reassembly) — O(paragraphs),
+    nothing all-pairs; the md5 hash keys the rank window so the
+    shuffle carries 32-byte keys, not paragraph text... (the struct
+    carries the text for reassembly; at 100 TB swap to a two-pass
+    hash-join variant if paragraph payloads dominate the shuffle).
+    """
+    from pyspark.sql import Window
+
+    paras = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "para"),
+    )
+    w = Window.partitionBy("h").orderBy("doc_id", "pos")
+    ranked = (
+        paras.withColumn("h", F.md5(F.trim(F.col("para"))))
+        .withColumn("rk", F.row_number().over(w))
+        .withColumn(
+            "keep", (F.trim(F.col("para")) == "") | (F.col("rk") == 1)
+        )
+    )
+    return ranked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_paragraphs"),
+        F.sum(F.when(F.col("keep"), 0).otherwise(1)).cast("bigint").alias("n_dropped"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("keep"), F.struct("pos", "para"))
+                    )
+                ),
+                lambda s: s["para"],
+            ),
+            "\n",
+        ).alias("kept_text"),
+    )
+
+
 # One-slot rotating registry for bigram_stats' persisted per-doc pair
 # multiplicities (see the persist site inside bigram_stats).
 _BIGRAM_DBG_CACHE: list = []

@@ -2520,6 +2520,73 @@ GROUP BY bg.doc_id
 """
 
 
+# Paragraph dedup over derived pages with PLANTED boilerplate: every
+# doc gets a shared footer paragraph (only the first doc corpus-wide
+# keeps it) and every third doc a shared banner. Page derivation is
+# the same deterministic expression on both engines.
+para_dedup_oracle = r"""
+WITH pages AS (
+  SELECT doc_id,
+    replace(text, ' table ', '.' || chr(10))
+    || chr(10) || 'subscribe to our newsletter today.'
+    || (CASE WHEN doc_id % 3 = 0
+        THEN chr(10) || 'cookie banner accept all choices.' ELSE '' END)
+    AS text
+  FROM documents
+), p AS (
+  SELECT doc_id, u.s['i'] AS pos, u.s['p'] AS para
+  FROM pages,
+       unnest(list_transform(string_split(text, chr(10)),
+                             (x, i) -> {'p': x, 'i': i})) u(s)
+), r AS (
+  SELECT doc_id, pos, para,
+         ROW_NUMBER() OVER (PARTITION BY md5(trim(para))
+                            ORDER BY doc_id, pos) AS rk
+  FROM p
+), k AS (
+  SELECT doc_id, pos, para, (trim(para) = '' OR rk = 1) AS keep FROM r
+)
+SELECT doc_id,
+  CAST(COUNT(*) AS BIGINT) AS n_paragraphs,
+  CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped,
+  COALESCE(
+    array_to_string(
+      list_transform(
+        list_sort(list({'pos': pos, 'para': para}) FILTER (WHERE keep)),
+        s -> s['para']),
+      chr(10)),
+    '') AS kept_text
+FROM k GROUP BY doc_id
+"""
+
+
+@register(
+    "text_paragraph_dedup",
+    para_dedup_oracle,
+    "Dolma-style paragraph-level exact dedup with in-order document "
+    "reassembly: planted boilerplate paragraphs survive only at their "
+    "first corpus-wide occurrence",
+)
+def paragraph_dedup_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Paragraph dedup (operators/text.py:paragraph_dedup): the gate
+    plants a shared footer in every page and a banner in every third,
+    and the oracle replays split/rank/filter/reassemble — kept_text is
+    compared as a full string, so a mis-ordered reassembly or an
+    off-by-one first-occurrence rank flips the hash."""
+    from .operators import text as T
+
+    docs = load(spark, sf, "documents")
+    page = F.concat(
+        F.replace(F.col("text"), F.lit(" table "), F.lit(".\n")),
+        F.lit("\nsubscribe to our newsletter today."),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.lit("\ncookie banner accept all choices."),
+        ).otherwise(F.lit("")),
+    )
+    return T.paragraph_dedup(docs.select("doc_id", page.alias("text")))
+
+
 # band verdicts derived from the same integer stats the bigram oracle
 # computes — wrap it as a subquery so the two gates can never drift
 lm_filter_oracle = f"""

@@ -105,6 +105,7 @@ EXTRA_SCALE_QUERIES = [
     "sim_semdedup",
     "text_lm_filter",
     "stream_scd2_history",
+    "text_paragraph_dedup",
 ]
 SCALE_QUERIES = BENCH_QUERIES + EXTRA_SCALE_QUERIES
 from icegopher_spark.queries import QUERIES, load  # noqa: E402
