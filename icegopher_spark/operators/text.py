@@ -549,26 +549,28 @@ def paragraph_dedup(
 
     Returns (doc_id, kept_text, n_paragraphs, n_dropped).
 
-    Scale: one shuffle on the paragraph hash (global first-occurrence
-    rank) + one shuffle back on doc_id (reassembly) — O(paragraphs),
-    nothing all-pairs; the md5 hash keys the rank window so the
-    shuffle carries 32-byte keys, not paragraph text... (the struct
-    carries the text for reassembly; at 100 TB swap to a two-pass
-    hash-join variant if paragraph payloads dominate the shuffle).
+    Scale: the global first occurrence per hash comes from a
+    ``groupBy(hash).agg(min(struct(doc, pos)))`` — PARTIAL-aggregated,
+    so a boilerplate paragraph present in every document (the whole
+    point of this operator) is combined map-side instead of funneling
+    into one rank-window partition that sorts N rows in a single task
+    (the skew trap a row_number-over-hash formulation has). One
+    aggregation shuffle on 32-byte hashes + one equi-join back + one
+    reassembly shuffle on doc_id — O(paragraphs), nothing all-pairs.
     """
-    from pyspark.sql import Window
-
     paras = df.select(
         F.col(id_col).alias("doc_id"),
         F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "para"),
+    ).withColumn("h", F.md5(F.trim(F.col("para"))))
+    firsts = (
+        paras.filter(F.trim(F.col("para")) != "")
+        .groupBy("h")
+        .agg(F.min(F.struct("doc_id", "pos")).alias("_first"))
     )
-    w = Window.partitionBy("h").orderBy("doc_id", "pos")
-    ranked = (
-        paras.withColumn("h", F.md5(F.trim(F.col("para"))))
-        .withColumn("rk", F.row_number().over(w))
-        .withColumn(
-            "keep", (F.trim(F.col("para")) == "") | (F.col("rk") == 1)
-        )
+    ranked = paras.join(firsts, "h", "left").withColumn(
+        "keep",
+        (F.trim(F.col("para")) == "")
+        | (F.struct("doc_id", "pos") == F.col("_first")),
     )
     return ranked.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_paragraphs"),
