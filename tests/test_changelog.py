@@ -559,3 +559,94 @@ def test_scd2_reconstructs_every_snapshot_state(spark, tmp_path):
         )
         actual = sorted(map(tuple, t.scan(snapshot_id=sid).to_df(spark).collect()))
         assert reconstructed == actual, f"state mismatch at snapshot seq {k}"
+
+
+def test_pair_updates_scd2_fuzz_vs_simulator(spark):
+    """Randomized differential: 200 keys × 6 commits of raw
+    insert/delete changelog rows (updates modeled as same-commit
+    delete+insert, plus carryover noise pairs) fold through
+    pair_updates -> scd2_from_changelog and must match a pure-Python
+    simulator exactly: per-key interval chains (no overlaps, at most
+    one open version) AND the reconstructed state at every commit."""
+    import random
+
+    from icegopher_spark.iceberg.changelog import (
+        CHANGE_TYPE,
+        COMMIT_SNAPSHOT,
+        pair_updates,
+        scd2_from_changelog,
+    )
+
+    rng = random.Random(1337)
+    rows = []  # (k, v, type, commit)
+    state: dict[int, str] = {}  # live value per key
+    states_at: dict[int, dict[int, str]] = {}
+    versions: dict[int, list] = {}  # simulator SCD2: key -> [(v, from, to)]
+
+    def _open(k, v, c):
+        versions.setdefault(k, []).append([v, c, None])
+
+    def _close(k, c):
+        versions[k][-1][2] = c
+
+    for commit in range(1, 7):
+        for k in range(200):
+            live = k in state
+            act = rng.random()
+            if not live and act < 0.5:
+                v = f"v{commit}_{rng.randrange(1000)}"
+                rows.append((k, v, "insert", commit))
+                state[k] = v
+                _open(k, v, commit)
+            elif live and act < 0.25:
+                rows.append((k, state[k], "delete", commit))
+                _close(k, commit)
+                del state[k]
+            elif live and act < 0.55:
+                old, new = state[k], f"v{commit}_{rng.randrange(1000)}"
+                rows.append((k, old, "delete", commit))
+                rows.append((k, new, "insert", commit))
+                _close(k, commit)
+                _open(k, new, commit)
+                state[k] = new
+            elif live and act < 0.7:
+                # carryover noise: a CoW rewrite emits the UNCHANGED
+                # row as an identical delete+insert pair — must vanish
+                rows.append((k, state[k], "delete", commit))
+                rows.append((k, state[k], "insert", commit))
+        states_at[commit] = dict(state)
+
+    df = spark.createDataFrame(
+        rows, f"k long, v string, {CHANGE_TYPE} string, {COMMIT_SNAPSHOT} long"
+    )
+    scd2 = scd2_from_changelog(pair_updates(df, ["k"]), ["k"]).collect()
+
+    got = {}
+    for r in scd2:
+        got.setdefault(r["k"], []).append((r["v"], r["valid_from"], r["valid_to"]))
+    want = {
+        k: [(v, f, t) for v, f, t in vs] for k, vs in versions.items() if vs
+    }
+    for k in want:
+        assert sorted(got.get(k, []), key=lambda x: x[1]) == sorted(
+            want[k], key=lambda x: x[1]
+        ), f"key {k}"
+    assert set(got) == set(want)
+
+    # interval sanity: per key ordered, non-overlapping, <= 1 open
+    for k, vs in got.items():
+        vs = sorted(vs, key=lambda x: x[1])
+        opens = [x for x in vs if x[2] is None]
+        assert len(opens) <= 1
+        for (_, f1, t1), (_, f2, _t2) in zip(vs, vs[1:]):
+            assert t1 is not None and t1 <= f2
+
+    # state reconstruction at every commit
+    for c, expect in states_at.items():
+        recon = {
+            k: v
+            for k, vs in got.items()
+            for (v, f, t) in vs
+            if f <= c and (t is None or t > c)
+        }
+        assert recon == expect, f"commit {c}"
