@@ -1,0 +1,355 @@
+"""Minimal Delta Lake table READER, built from the public Delta
+transaction-log protocol (delta.io PROTOCOL.md).
+
+A Delta table is a directory of parquet data files plus a
+``_delta_log/`` of zero-padded, ordered JSON commits (and optional
+parquet checkpoints).  Each commit is newline-delimited JSON actions;
+replaying ``add``/``remove`` actions yields the file set of any
+version.  This module implements the read path only:
+
+  * version + timestamp time travel (``version=`` / ``timestamp_ms=``)
+  * partition columns reconstructed from each file's
+    ``partitionValues`` — the protocol stores them in the LOG, not in
+    the data files, so a plain parquet scan of a partitioned Delta
+    table silently drops columns
+  * parquet checkpoints honored via ``_last_checkpoint``: replay is
+    O(commits since checkpoint), not O(table history), and pre-
+    checkpoint JSON may have been vacuumed away entirely
+  * metadata-plane partition pruning (``partition_filter=``) before
+    any data file is opened
+  * loud refusal of features this reader cannot honor silently:
+    deletion vectors on live files, column mapping (id/name modes),
+    unsupported ``readerFeatures`` — misreading is worse than failing
+
+Why a Delta reader in an Iceberg-centric engine: migration.  A 100 TB
+estate is rarely single-format; ``read_delta`` + the Iceberg write
+plane (`iceberg.write.append`) is a one-pass migration path, and the
+reader is metadata-scale on the driver (file LIST only — the data
+path is a normal distributed parquet scan with one broadcast join to
+re-attach partition values).
+
+The reference engine is Iceberg-only (catalog.go:40-47); this module
+is engine-surface the reference lacks, added because a training-data
+pipeline at 100 TB routinely ingests Delta-format drops.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+__all__ = ["DeltaSnapshot", "load_delta", "read_delta"]
+
+
+# readerFeatures this implementation actually honors (protocol §
+# "Table Features").  `timestampNtz` is a pure type-system feature —
+# parquet TIMESTAMP(isAdjustedToUTC=false) reads natively.
+_SUPPORTED_READER_FEATURES = {"timestampNtz"}
+
+
+@dataclass
+class DeltaSnapshot:
+    """The resolved state of one table version: schema + live files."""
+
+    version: int
+    schema: StructType
+    partition_columns: list[str]
+    # (absolute data path, partitionValues as written — str|None values)
+    files: list[tuple[str, dict[str, str | None]]] = field(default_factory=list)
+    configuration: dict[str, str] = field(default_factory=dict)
+
+
+def _log_dir(table_path: str) -> str:
+    return os.path.join(table_path, "_delta_log")
+
+
+def _version_of(fn: str) -> int:
+    return int(fn.split(".", 1)[0])
+
+
+def _list_log(table_path: str) -> tuple[list[int], list[int]]:
+    """(sorted json commit versions, sorted checkpoint versions).
+
+    Multi-part checkpoints (`.checkpoint.<part>.<of>.parquet`) are
+    recognized and counted once; v2/uuid checkpoints are refused by
+    the _last_checkpoint reader below.
+    """
+    commits, checkpoints = set(), set()
+    for fn in os.listdir(_log_dir(table_path)):
+        if fn.endswith(".json") and fn.split(".")[0].isdigit():
+            commits.add(_version_of(fn))
+        elif ".checkpoint" in fn and fn.endswith(".parquet"):
+            checkpoints.add(_version_of(fn))
+    return sorted(commits), sorted(checkpoints)
+
+
+def _checkpoint_paths(table_path: str, version: int) -> list[str]:
+    """All parquet parts of the checkpoint at `version` (1 or N files)."""
+    d = _log_dir(table_path)
+    single = os.path.join(d, f"{version:020d}.checkpoint.parquet")
+    if os.path.exists(single):
+        return [single]
+    parts = sorted(
+        os.path.join(d, fn)
+        for fn in os.listdir(d)
+        if fn.startswith(f"{version:020d}.checkpoint.") and fn.endswith(".parquet")
+    )
+    if not parts:
+        raise FileNotFoundError(f"checkpoint {version} listed but no parquet found")
+    return parts
+
+
+def _refuse(feature: str, where: str) -> None:
+    raise NotImplementedError(
+        f"Delta reader: table uses {feature} ({where}), which this "
+        "minimal reader does not implement — refusing rather than "
+        "misreading. Supported: add/remove replay, checkpoints, "
+        "partition values, version/timestamp travel."
+    )
+
+
+def _check_protocol(protocol: dict) -> None:
+    min_reader = int(protocol.get("minReaderVersion", 1))
+    if min_reader >= 3:
+        feats = set(protocol.get("readerFeatures") or [])
+        unsupported = feats - _SUPPORTED_READER_FEATURES
+        if unsupported:
+            _refuse(f"readerFeatures {sorted(unsupported)}", "protocol action")
+    elif min_reader == 2:
+        # reader v2 == column mapping; checked again on metaData, but a
+        # protocol-only log (pre-metadata replay) must already refuse
+        pass
+    elif min_reader > 3:  # pragma: no cover — future-proofing
+        _refuse(f"minReaderVersion={min_reader}", "protocol action")
+
+
+def _check_metadata(meta: dict) -> None:
+    conf = meta.get("configuration") or {}
+    mapping = conf.get("delta.columnMapping.mode", "none")
+    if mapping not in ("", "none"):
+        _refuse(f"column mapping mode '{mapping}'", "metaData.configuration")
+
+
+def _apply_action(state: dict, action: dict) -> None:
+    """Replay one action into {files: {path: partitionValues},
+    metaData, protocol}.  Later actions win within and across commits
+    (commits are applied in version order, actions in file order)."""
+    if "add" in action and action["add"] is not None:
+        a = action["add"]
+        if a.get("deletionVector"):
+            _refuse("deletion vectors", f"add {a.get('path')}")
+        pv = a.get("partitionValues") or {}
+        if not isinstance(pv, dict):
+            # checkpoint parquet stores partitionValues as map<str,str>,
+            # which pyarrow surfaces as a list of (k, v) pairs
+            pv = dict(pv)
+        state["files"][a["path"]] = pv
+    elif "remove" in action and action["remove"] is not None:
+        state["files"].pop(action["remove"]["path"], None)
+    elif "metaData" in action and action["metaData"] is not None:
+        _check_metadata(action["metaData"])
+        state["metaData"] = action["metaData"]
+    elif "protocol" in action and action["protocol"] is not None:
+        _check_protocol(action["protocol"])
+        state["protocol"] = action["protocol"]
+    # txn / commitInfo / cdc / domainMetadata: no effect on the file set
+
+
+def _replay_checkpoint(state: dict, table_path: str, version: int) -> None:
+    """Seed replay state from a parquet checkpoint: one row per action,
+    struct columns `add`, `remove`, `metaData`, `protocol` (protocol
+    § "Checkpoints"). Tombstones (`remove`) in a checkpoint exist only
+    for VACUUM bookkeeping — the live file set is the `add` rows."""
+    import pyarrow.parquet as pq
+
+    for part in _checkpoint_paths(table_path, version):
+        tbl = pq.read_table(part)
+        cols = set(tbl.schema.names)
+        rows = tbl.to_pylist()
+        for row in rows:
+            for key in ("protocol", "metaData", "add"):
+                if key in cols and row.get(key) is not None:
+                    _apply_action(state, {key: row[key]})
+
+
+def _commit_timestamp(table_path: str, version: int) -> int:
+    """Commit time in ms: `commitInfo.timestamp` when present (the
+    in-log value survives file copies), else file mtime (the protocol's
+    stated fallback)."""
+    p = os.path.join(_log_dir(table_path), f"{version:020d}.json")
+    with open(p, encoding="utf-8") as f:
+        for line in f:
+            if not line.strip():
+                continue
+            action = json.loads(line)
+            ci = action.get("commitInfo")
+            if ci and "timestamp" in ci:
+                return int(ci["timestamp"])
+    return int(os.path.getmtime(p) * 1000)
+
+
+def _resolve_version(
+    table_path: str,
+    commits: list[int],
+    checkpoints: list[int],
+    version: int | None,
+    timestamp_ms: int | None,
+) -> int:
+    latest = max([*commits, *checkpoints])
+    if version is not None and timestamp_ms is not None:
+        raise ValueError("pass version= or timestamp_ms=, not both")
+    if version is None and timestamp_ms is None:
+        return latest
+    if version is not None:
+        if version > latest:
+            raise ValueError(f"version {version} > latest {latest}")
+        return version
+    # timestamp travel: newest commit whose timestamp <= given (same
+    # semantics as Iceberg's snapshot-as-of and Delta's own resolver)
+    best = None
+    for v in commits:
+        if _commit_timestamp(table_path, v) <= timestamp_ms:
+            best = v
+    if best is None:
+        raise ValueError(
+            f"no commit at or before timestamp {timestamp_ms} "
+            "(earliest readable commit is newer)"
+        )
+    return best
+
+
+def load_delta(
+    table_path: str,
+    version: int | None = None,
+    timestamp_ms: int | None = None,
+) -> DeltaSnapshot:
+    """Replay the transaction log to a :class:`DeltaSnapshot`.
+
+    Driver cost is metadata-scale: one directory listing plus the JSON
+    commits after the newest checkpoint ≤ target version (the
+    checkpoint itself is a columnar parquet read).  No data file is
+    opened.
+    """
+    log_dir = _log_dir(table_path)
+    if not os.path.isdir(log_dir):
+        raise FileNotFoundError(f"not a Delta table (no _delta_log): {table_path}")
+    commits, checkpoints = _list_log(table_path)
+    if not commits and not checkpoints:
+        raise FileNotFoundError(f"empty _delta_log: {table_path}")
+    target = _resolve_version(table_path, commits, checkpoints, version, timestamp_ms)
+
+    # newest checkpoint ≤ target seeds the state; JSON replays the rest
+    start_cp = max((c for c in checkpoints if c <= target), default=None)
+    state: dict = {"files": {}, "metaData": None, "protocol": None}
+    if start_cp is not None:
+        _replay_checkpoint(state, table_path, start_cp)
+    replay_from = (start_cp + 1) if start_cp is not None else 0
+    for v in range(replay_from, target + 1):
+        p = os.path.join(log_dir, f"{v:020d}.json")
+        if not os.path.exists(p):
+            if v in checkpoints:
+                continue  # checkpoint-only version (JSON vacuumed)
+            raise FileNotFoundError(
+                f"commit {v} missing from _delta_log (log has a hole; "
+                f"earliest checkpoint covering it: {start_cp})"
+            )
+        with open(p, encoding="utf-8") as f:
+            for line in f:
+                if line.strip():
+                    _apply_action(state, json.loads(line))
+
+    meta = state["metaData"]
+    if meta is None:
+        raise ValueError(
+            f"no metaData action found replaying to version {target} — "
+            "corrupt log or checkpoint"
+        )
+    schema = StructType.fromJson(json.loads(meta["schemaString"]))
+    part_cols = list(meta.get("partitionColumns") or [])
+    files = [
+        (os.path.join(table_path, p), pv) for p, pv in sorted(state["files"].items())
+    ]
+    return DeltaSnapshot(
+        version=target,
+        schema=schema,
+        partition_columns=part_cols,
+        files=files,
+        configuration=dict(meta.get("configuration") or {}),
+    )
+
+
+def read_delta(
+    spark: SparkSession,
+    table_path: str,
+    version: int | None = None,
+    timestamp_ms: int | None = None,
+    partition_filter=None,
+) -> DataFrame:
+    """Read a Delta table as a Spark DataFrame.
+
+    ``partition_filter`` is an optional ``dict[str, str|None] -> bool``
+    applied to each file's partitionValues at PLAN time — files are
+    pruned before the scan, which is the Delta analogue of Iceberg's
+    manifest-level partition pruning (the log, like a manifest, carries
+    per-file partition tuples).
+
+    Physical shape: ONE distributed parquet scan over the surviving
+    files.  For partitioned tables the partition columns are re-attached
+    by a broadcast hash join on the file path (`input_file_name()` ⋈
+    a files→values map of metadata size) — per-partition-group unions
+    would blow the plan up at 100 TB (one scan node per partition),
+    and hive-style path inference is not guaranteed by the protocol.
+    """
+    snap = load_delta(table_path, version=version, timestamp_ms=timestamp_ms)
+    files = snap.files
+    if partition_filter is not None:
+        files = [(p, pv) for p, pv in files if partition_filter(pv)]
+
+    data_fields = [f for f in snap.schema.fields if f.name not in snap.partition_columns]
+    data_schema = StructType(data_fields)
+
+    if not files:
+        return spark.createDataFrame([], snap.schema)
+
+    paths = [p for p, _ in files]
+    df = spark.read.schema(data_schema).parquet(*paths)
+    if not snap.partition_columns:
+        return df
+
+    # metadata-size (path → partition values) frame, broadcast-joined.
+    # input_file_name() returns a URI (file://...); normalize both
+    # sides to os paths for the equi-join key.
+    part_fields = [f for f in snap.schema.fields if f.name in snap.partition_columns]
+    rows = []
+    for p, pv in files:
+        rows.append(
+            (os.path.abspath(p), *[pv.get(f.name) for f in part_fields])
+        )
+    map_schema = StructType.fromDDL(
+        "__delta_path string, "
+        + ", ".join(f"`{f.name}__raw` string" for f in part_fields)
+    )
+    pmap = spark.createDataFrame(rows, map_schema)
+    for f_ in part_fields:
+        raw = F.col(f"{f_.name}__raw")
+        typed = raw.cast(f_.dataType)
+        if f_.dataType.simpleString() != "string":
+            # '' means NULL for non-string partition types (protocol)
+            typed = F.when(raw == "", F.lit(None).cast(f_.dataType)).otherwise(typed)
+        pmap = pmap.withColumn(f_.name, typed)
+    pmap = pmap.drop(*[f"{f_.name}__raw" for f_ in part_fields])
+
+    # input_file_name() yields a URI: file:///a/b (or file:/a/b);
+    # stripping "file:" + an optional "//" leaves the os path /a/b,
+    # matching os.path.abspath on the map side
+    joined = df.withColumn(
+        "__delta_path", F.regexp_replace(F.input_file_name(), "^file:(//)?", "")
+    )
+    out = joined.join(F.broadcast(pmap), "__delta_path", "inner").drop("__delta_path")
+    # present columns in declared schema order
+    return out.select(*[f.name for f in snap.schema.fields])

@@ -1,0 +1,377 @@
+"""Delta-format gates: read, time travel, log-level partition pruning,
+and the Delta→Iceberg migration path.
+
+The fixture is a hand-authored Delta table built STRICTLY from the
+public protocol (delta.io PROTOCOL.md) — data files written by
+pyarrow, the `_delta_log` JSON and the version-2 parquet checkpoint
+composed field by field — so the gates prove interop with the wire
+format, not round-tripping through this module's own writer (there is
+none; the reader is the product).
+
+Fixture commit history over `orders` (all splits keyed on
+``o_orderkey % 3`` so every oracle is plain SQL over the base table):
+
+  v0  protocol + metaData + adds: keys %3==0, one file per priority
+  v1  adds: keys %3==1
+  v2  removes the '5-LOW' file of v0 (a partition-targeted DELETE)
+      — and a parquet CHECKPOINT is written at v2 (_last_checkpoint)
+  v3  adds: keys %3==2
+
+so the latest-version read must seed from the checkpoint and replay
+only v3, and the live set is  NOT(key%3==0 AND priority='5-LOW').
+
+Data files live FLAT at the table root (no hive-style dirs): the
+protocol makes `partitionValues` in the log authoritative, and a
+reader that infers partitions from paths silently misreads tables
+laid out this way — the gate would catch that.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .delta import read_delta
+from .queries import dec, register
+
+_CACHE_ROOT = "/tmp/icegopher_tables"
+
+_PRIORITIES = ("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+
+_SCHEMA_STRING = json.dumps(
+    {
+        "type": "struct",
+        "fields": [
+            {"name": "o_orderkey", "type": "long", "nullable": True, "metadata": {}},
+            {"name": "o_custkey", "type": "long", "nullable": True, "metadata": {}},
+            {
+                "name": "o_totalprice",
+                "type": "double",
+                "nullable": True,
+                "metadata": {},
+            },
+            {
+                "name": "o_orderpriority",
+                "type": "string",
+                "nullable": True,
+                "metadata": {},
+            },
+        ],
+    }
+)
+
+# fixed, strictly-increasing commit timestamps (ms) so timestamp
+# travel is deterministic across rebuilds
+_T0 = 1_700_000_000_000
+
+
+def _one_commit_files(sf_dir: str, residue: int) -> dict[str, pa.Table]:
+    """{priority: data table} for keys with o_orderkey % 3 == residue.
+    Data files do NOT contain the partition column (per protocol,
+    partition values live only in the log)."""
+    import duckdb
+
+    con = duckdb.connect()
+    out: dict[str, pa.Table] = {}
+    for prio in _PRIORITIES:
+        t = con.execute(
+            f"""
+            SELECT o_orderkey, o_custkey, o_totalprice
+            FROM '{sf_dir}/orders.parquet'
+            WHERE o_orderkey % 3 = {residue} AND o_orderpriority = ?
+            ORDER BY o_orderkey
+            """,
+            [prio],
+        ).fetch_arrow_table()
+        out[prio] = t
+    con.close()
+    return out
+
+
+def _fname(version: int, prio: str) -> str:
+    slug = prio.split("-")[0]
+    return f"part-{version:05d}-{slug}.parquet"
+
+
+def _add_action(loc: str, version: int, prio: str) -> dict:
+    path = _fname(version, prio)
+    full = os.path.join(loc, path)
+    return {
+        "add": {
+            "path": path,
+            "partitionValues": {"o_orderpriority": prio},
+            "size": os.path.getsize(full),
+            "modificationTime": _T0 + version * 1000,
+            "dataChange": True,
+        }
+    }
+
+
+def _write_commit(loc: str, version: int, actions: list[dict]) -> None:
+    lines = [
+        json.dumps(
+            {
+                "commitInfo": {
+                    "timestamp": _T0 + version * 1000,
+                    "operation": "TEST-FIXTURE",
+                }
+            }
+        )
+    ] + [json.dumps(a) for a in actions]
+    with open(
+        os.path.join(loc, "_delta_log", f"{version:020d}.json"), "w", encoding="utf-8"
+    ) as f:
+        f.write("\n".join(lines) + "\n")
+
+
+def _write_checkpoint(loc: str, version: int, live: dict[str, dict]) -> None:
+    """Classic single-part parquet checkpoint: one row per action with
+    struct columns protocol / metaData / add (PROTOCOL.md
+    § Checkpoints). `live` maps data path → partitionValues."""
+    pv_t = pa.map_(pa.string(), pa.string())
+    add_t = pa.struct(
+        [
+            ("path", pa.string()),
+            ("partitionValues", pv_t),
+            ("size", pa.int64()),
+            ("modificationTime", pa.int64()),
+            ("dataChange", pa.bool_()),
+        ]
+    )
+    meta_t = pa.struct(
+        [
+            ("id", pa.string()),
+            ("format", pa.struct([("provider", pa.string())])),
+            ("schemaString", pa.string()),
+            ("partitionColumns", pa.list_(pa.string())),
+            ("configuration", pa.map_(pa.string(), pa.string())),
+            ("createdTime", pa.int64()),
+        ]
+    )
+    proto_t = pa.struct([("minReaderVersion", pa.int32()), ("minWriterVersion", pa.int32())])
+
+    rows_proto: list = [{"minReaderVersion": 1, "minWriterVersion": 2}]
+    rows_meta: list = [
+        {
+            "id": "icegopher-delta-fixture",
+            "format": {"provider": "parquet"},
+            "schemaString": _SCHEMA_STRING,
+            "partitionColumns": ["o_orderpriority"],
+            "configuration": [],
+            "createdTime": _T0,
+        }
+    ]
+    rows_add = [
+        {
+            "path": p,
+            "partitionValues": list(pv.items()),
+            "size": os.path.getsize(os.path.join(loc, p)),
+            "modificationTime": _T0,
+            "dataChange": False,
+        }
+        for p, pv in sorted(live.items())
+    ]
+    n = 2 + len(rows_add)
+    proto_col = pa.array(rows_proto + [None] * (n - 1), type=proto_t)
+    meta_col = pa.array([None] + rows_meta + [None] * (n - 2), type=meta_t)
+    add_col = pa.array([None, None] + rows_add, type=add_t)
+    tbl = pa.table({"protocol": proto_col, "metaData": meta_col, "add": add_col})
+    pq.write_table(
+        tbl, os.path.join(loc, "_delta_log", f"{version:020d}.checkpoint.parquet")
+    )
+    with open(os.path.join(loc, "_delta_log", "_last_checkpoint"), "w") as f:
+        json.dump({"version": version, "size": n}, f)
+
+
+def build_delta_fixture(sf_dir: str, loc: str) -> None:
+    """Author the 4-commit Delta table described in the module doc."""
+    os.makedirs(os.path.join(loc, "_delta_log"), exist_ok=True)
+    # data files for the three residue commits (v0, v1, v3)
+    for version, residue in ((0, 0), (1, 1), (3, 2)):
+        for prio, t in _one_commit_files(sf_dir, residue).items():
+            pq.write_table(t, os.path.join(loc, _fname(version, prio)))
+
+    meta_action = {
+        "metaData": {
+            "id": "icegopher-delta-fixture",
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": _SCHEMA_STRING,
+            "partitionColumns": ["o_orderpriority"],
+            "configuration": {},
+            "createdTime": _T0,
+        }
+    }
+    proto_action = {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
+
+    _write_commit(
+        loc,
+        0,
+        [proto_action, meta_action]
+        + [_add_action(loc, 0, p) for p in _PRIORITIES],
+    )
+    _write_commit(loc, 1, [_add_action(loc, 1, p) for p in _PRIORITIES])
+    _write_commit(
+        loc,
+        2,
+        [
+            {
+                "remove": {
+                    "path": _fname(0, "5-LOW"),
+                    "deletionTimestamp": _T0 + 2000,
+                    "dataChange": True,
+                }
+            }
+        ],
+    )
+    # live set as of v2: v0 files minus the 5-LOW remove, plus v1 files
+    live = {
+        _fname(v, p): {"o_orderpriority": p}
+        for v in (0, 1)
+        for p in _PRIORITIES
+        if not (v == 0 and p == "5-LOW")
+    }
+    _write_checkpoint(loc, 2, live)
+    _write_commit(loc, 3, [_add_action(loc, 3, p) for p in _PRIORITIES])
+    with open(os.path.join(loc, "_FIXTURE_OK"), "w") as f:
+        f.write("4-commits+checkpoint@2\n")
+
+
+def delta_fixture_path(sf_dir: str) -> str:
+    """Build-or-reuse the fixture (self-healing like _cached_table:
+    a partial build is wiped and rebuilt, never trusted)."""
+    key = sf_dir.strip("/").replace("/", "_")
+    loc = f"{_CACHE_ROOT}/{key}/orders_delta"
+    ok = os.path.join(loc, "_FIXTURE_OK")
+    if os.path.exists(ok):
+        try:
+            with open(ok) as f:
+                if f.read().strip() == "4-commits+checkpoint@2":
+                    return loc
+        except OSError:
+            pass
+    shutil.rmtree(loc, ignore_errors=True)
+    build_delta_fixture(sf_dir, loc)
+    return loc
+
+
+def _priority_agg(df: DataFrame) -> DataFrame:
+    return df.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum(dec("o_totalprice")), 2).cast("double").alias("total_price"),
+    )
+
+
+delta_read_oracle = """
+SELECT o_orderpriority, COUNT(*) AS n_orders,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE)
+         AS total_price
+FROM orders
+WHERE NOT (o_orderkey % 3 = 0 AND o_orderpriority = '5-LOW')
+GROUP BY o_orderpriority
+"""
+
+
+@register(
+    "delta_read",
+    delta_read_oracle,
+    "Delta log replay (checkpoint seed + JSON tail) -> partitioned scan",
+)
+def delta_read(spark: SparkSession, sf: str) -> DataFrame:
+    """Latest-version read: seeds from the v2 parquet checkpoint and
+    replays only the v3 JSON commit; partition values come from the
+    log (files are flat at the root) via one broadcast path-join."""
+    loc = delta_fixture_path(sf)
+    return _priority_agg(read_delta(spark, loc))
+
+
+delta_tt_oracle = """
+SELECT o_orderpriority, COUNT(*) AS n_orders,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE)
+         AS total_price
+FROM orders
+WHERE o_orderkey % 3 IN (0, 1)
+GROUP BY o_orderpriority
+"""
+
+
+@register(
+    "delta_time_travel",
+    delta_tt_oracle,
+    "Delta version travel: v1 read skips the later delete + append",
+)
+def delta_time_travel(spark: SparkSession, sf: str) -> DataFrame:
+    loc = delta_fixture_path(sf)
+    return _priority_agg(read_delta(spark, loc, version=1))
+
+
+delta_pruned_oracle = """
+SELECT o_orderpriority, COUNT(*) AS n_orders,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE)
+         AS total_price
+FROM orders
+WHERE o_orderpriority = '1-URGENT'
+GROUP BY o_orderpriority
+"""
+
+
+@register(
+    "delta_partition_pruned",
+    delta_pruned_oracle,
+    "log-level partition pruning: only the 3 URGENT files are scanned",
+)
+def delta_partition_pruned(spark: SparkSession, sf: str) -> DataFrame:
+    """Pruning happens at PLAN time against the log's partitionValues
+    (the Delta analogue of Iceberg manifest pruning) — 3 of 14 live
+    files survive; `tests/test_delta.py` pins the inputFiles count."""
+    loc = delta_fixture_path(sf)
+    df = read_delta(
+        spark, loc, partition_filter=lambda pv: pv["o_orderpriority"] == "1-URGENT"
+    )
+    return _priority_agg(df)
+
+
+@register(
+    "delta_to_iceberg_migrate",
+    delta_read_oracle,
+    "Delta -> Iceberg metadata-plane migration, read back via Iceberg scan",
+)
+def delta_to_iceberg_migrate(spark: SparkSession, sf: str) -> DataFrame:
+    """One-pass migration: read the Delta table's live version, append
+    into an Iceberg table (full write plane: stats, manifests), then
+    answer from the ICEBERG scan — proving the estate-merge path a
+    mixed-format 100 TB shop needs. The Iceberg table is /tmp-cached
+    with the same self-heal contract as the other iceberg fixtures."""
+    from .iceberg import write as W
+    from .iceberg.schema import Schema
+    from .iceberg.table import Table
+    from .iceberg.transforms import PartitionSpec
+    from .iceberg.types import DoubleType, LongType, NestedField, StringType
+    from .iceberg_queries import _cached_table
+
+    def build(loc2: str) -> Table:
+        schema = Schema(
+            (
+                NestedField(1, "o_orderkey", LongType(), True),
+                NestedField(2, "o_custkey", LongType(), False),
+                NestedField(3, "o_totalprice", DoubleType(), False),
+                NestedField(4, "o_orderpriority", StringType(), False),
+            ),
+            schema_id=0,
+        )
+        t = W.create_table(loc2, schema, PartitionSpec([]))
+        df = read_delta(spark, delta_fixture_path(sf))
+        return W.append(t, df)
+
+    t = _cached_table(
+        sf,
+        "orders_from_delta",
+        lambda t: len(t.metadata.snapshots) == 1,
+        build,
+    )
+    return _priority_agg(t.scan().to_df(spark))

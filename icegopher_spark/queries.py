@@ -1820,6 +1820,7 @@ from . import iceberg_queries  # noqa: E402,F401  (registration side effect)
 from . import streaming_queries  # noqa: E402,F401  (registration side effect)
 from . import multimodal_queries  # noqa: E402,F401  (registration side effect)
 from . import analytics_queries  # noqa: E402,F401  (registration side effect)
+from . import delta_queries  # noqa: E402,F401  (registration side effect)
 
 
 def _topk_recall(exact: DataFrame, approx: DataFrame, k: int) -> DataFrame:

@@ -1,0 +1,254 @@
+"""Delta Lake reader: protocol-level behaviors the gates can't see —
+refusals, timestamp travel, vacuumed logs, partition-value decoding."""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+import pytest
+
+from icegopher_spark.delta import load_delta, read_delta
+from icegopher_spark.delta_queries import _T0, delta_fixture_path
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def fixture_loc() -> str:
+    return delta_fixture_path(SF)
+
+
+def _copy_table(loc: str, tmp_path, name: str) -> str:
+    dst = str(tmp_path / name)
+    shutil.copytree(loc, dst)
+    return dst
+
+
+def _append_commit(loc: str, version: int, actions: list[dict]) -> None:
+    with open(
+        os.path.join(loc, "_delta_log", f"{version:020d}.json"), "w", encoding="utf-8"
+    ) as f:
+        f.write("\n".join(json.dumps(a) for a in actions) + "\n")
+
+
+# ---------------------------------------------------------------- replay
+
+
+def test_latest_version_and_live_files(fixture_loc):
+    snap = load_delta(fixture_loc)
+    assert snap.version == 3
+    assert snap.partition_columns == ["o_orderpriority"]
+    # v0 (5 files) - 1 removed + v1 (5) + v3 (5) = 14
+    assert len(snap.files) == 14
+    assert not any("part-00000-5" in p for p, _ in snap.files)
+
+
+def test_version_travel_marks(fixture_loc):
+    assert len(load_delta(fixture_loc, version=0).files) == 5
+    assert len(load_delta(fixture_loc, version=1).files) == 10
+    assert len(load_delta(fixture_loc, version=2).files) == 9
+
+
+def test_version_past_latest_raises(fixture_loc):
+    with pytest.raises(ValueError, match="> latest"):
+        load_delta(fixture_loc, version=99)
+
+
+def test_timestamp_travel(fixture_loc):
+    # commit v's timestamp is _T0 + v*1000; ts between v1 and v2 → v1
+    snap = load_delta(fixture_loc, timestamp_ms=_T0 + 1500)
+    assert snap.version == 1
+    # exactly at v2 → v2 (newest commit with ts <= given)
+    assert load_delta(fixture_loc, timestamp_ms=_T0 + 2000).version == 2
+    with pytest.raises(ValueError, match="no commit at or before"):
+        load_delta(fixture_loc, timestamp_ms=_T0 - 1)
+
+
+def test_version_and_timestamp_mutually_exclusive(fixture_loc):
+    with pytest.raises(ValueError, match="not both"):
+        load_delta(fixture_loc, version=1, timestamp_ms=_T0)
+
+
+def test_vacuumed_log_reads_from_checkpoint(fixture_loc, tmp_path):
+    """Pre-checkpoint JSON may be deleted entirely (the protocol allows
+    vacuuming it); the checkpoint at v2 must seed the replay."""
+    loc = _copy_table(fixture_loc, tmp_path, "vacuumed")
+    for v in (0, 1, 2):
+        os.remove(os.path.join(loc, "_delta_log", f"{v:020d}.json"))
+    snap = load_delta(loc)
+    assert snap.version == 3
+    assert len(snap.files) == 14
+    # but pre-checkpoint versions are no longer reconstructable
+    with pytest.raises(FileNotFoundError, match="log has a hole"):
+        load_delta(loc, version=1)
+
+
+def test_checkpoint_only_version_readable(fixture_loc, tmp_path):
+    loc = _copy_table(fixture_loc, tmp_path, "cp_only")
+    for v in (0, 1, 2, 3):
+        os.remove(os.path.join(loc, "_delta_log", f"{v:020d}.json"))
+    snap = load_delta(loc)  # only the checkpoint remains
+    assert snap.version == 2
+    assert len(snap.files) == 9
+
+
+# --------------------------------------------------------------- refusals
+
+
+def test_deletion_vector_refused(fixture_loc, tmp_path):
+    loc = _copy_table(fixture_loc, tmp_path, "dv")
+    _append_commit(
+        loc,
+        4,
+        [
+            {
+                "add": {
+                    "path": "part-00000-1.parquet",
+                    "partitionValues": {"o_orderpriority": "1-URGENT"},
+                    "size": 1,
+                    "modificationTime": _T0,
+                    "dataChange": True,
+                    "deletionVector": {
+                        "storageType": "u",
+                        "pathOrInlineDv": "x",
+                        "offset": 1,
+                        "sizeInBytes": 1,
+                        "cardinality": 1,
+                    },
+                }
+            }
+        ],
+    )
+    with pytest.raises(NotImplementedError, match="deletion vectors"):
+        load_delta(loc)
+
+
+def test_column_mapping_refused(fixture_loc, tmp_path):
+    loc = _copy_table(fixture_loc, tmp_path, "colmap")
+    with open(os.path.join(loc, "_delta_log", f"{0:020d}.json")) as f:
+        lines = [json.loads(ln) for ln in f if ln.strip()]
+    for a in lines:
+        if "metaData" in a:
+            a["metaData"]["configuration"] = {"delta.columnMapping.mode": "name"}
+    _append_commit(loc, 0, lines)
+    with pytest.raises(NotImplementedError, match="column mapping"):
+        load_delta(loc, version=0)
+
+
+def test_unsupported_reader_feature_refused(fixture_loc, tmp_path):
+    loc = _copy_table(fixture_loc, tmp_path, "feat")
+    _append_commit(
+        loc,
+        4,
+        [
+            {
+                "protocol": {
+                    "minReaderVersion": 3,
+                    "minWriterVersion": 7,
+                    "readerFeatures": ["deletionVectors"],
+                }
+            }
+        ],
+    )
+    with pytest.raises(NotImplementedError, match="deletionVectors"):
+        load_delta(loc)
+
+
+def test_supported_reader_feature_ok(fixture_loc, tmp_path):
+    loc = _copy_table(fixture_loc, tmp_path, "feat_ok")
+    _append_commit(
+        loc,
+        4,
+        [
+            {
+                "protocol": {
+                    "minReaderVersion": 3,
+                    "minWriterVersion": 7,
+                    "readerFeatures": ["timestampNtz"],
+                }
+            }
+        ],
+    )
+    assert load_delta(loc).version == 4
+
+
+def test_not_a_delta_table(tmp_path):
+    with pytest.raises(FileNotFoundError, match="_delta_log"):
+        load_delta(str(tmp_path))
+
+
+# ------------------------------------------------------------- data path
+
+
+def test_partition_columns_reattached(spark, fixture_loc):
+    df = read_delta(spark, fixture_loc, version=0)
+    assert df.columns == ["o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"]
+    got = {r["o_orderpriority"] for r in df.select("o_orderpriority").distinct().collect()}
+    assert got == {"1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"}
+    # every key in v0 is %3==0 and the priority matches the base table
+    rows = df.collect()
+    assert rows and all(r["o_orderkey"] % 3 == 0 for r in rows)
+
+
+def test_partition_pruning_limits_scan(spark, fixture_loc):
+    df = read_delta(
+        spark,
+        fixture_loc,
+        partition_filter=lambda pv: pv["o_orderpriority"] == "1-URGENT",
+    )
+    # one URGENT file per add-commit (v0, v1, v3)
+    assert len(df.inputFiles()) == 3
+
+
+def test_empty_selection_keeps_schema(spark, fixture_loc):
+    df = read_delta(spark, fixture_loc, partition_filter=lambda pv: False)
+    assert df.count() == 0
+    assert df.columns == ["o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"]
+
+
+def test_empty_string_partition_value_is_null_for_nonstring(spark, tmp_path):
+    """Protocol: '' in partitionValues means NULL for non-string types."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    loc = str(tmp_path / "nullpart")
+    os.makedirs(os.path.join(loc, "_delta_log"))
+    pq.write_table(pa.table({"v": pa.array([1, 2], type=pa.int64())}),
+                   os.path.join(loc, "f.parquet"))
+    schema = {
+        "type": "struct",
+        "fields": [
+            {"name": "v", "type": "long", "nullable": True, "metadata": {}},
+            {"name": "p", "type": "integer", "nullable": True, "metadata": {}},
+        ],
+    }
+    _append_commit(
+        loc,
+        0,
+        [
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+            {
+                "metaData": {
+                    "id": "t",
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": json.dumps(schema),
+                    "partitionColumns": ["p"],
+                    "configuration": {},
+                    "createdTime": _T0,
+                }
+            },
+            {
+                "add": {
+                    "path": "f.parquet",
+                    "partitionValues": {"p": ""},
+                    "size": 1,
+                    "modificationTime": _T0,
+                    "dataChange": True,
+                }
+            },
+        ],
+    )
+    rows = read_delta(spark, loc).collect()
+    assert len(rows) == 2 and all(r["p"] is None for r in rows)
