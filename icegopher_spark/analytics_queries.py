@@ -1116,3 +1116,137 @@ def events_windowed_topk_q(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("rnk") <= 3)
         .select("bucket", "event_type", "n", "rnk")
     )
+
+
+# ----------------------------------------------------- range joins (r9)
+
+interval_campaigns_oracle = """
+WITH t0 AS (SELECT MIN(epoch(ts)) AS t0 FROM events),
+camp AS (
+    SELECT r.range AS campaign_id,
+           t0.t0 + r.range * 7200 AS start_s,
+           t0.t0 + r.range * 7200 + ((r.range % 5) + 1) * 3600 AS end_s
+    FROM range(50) r, t0
+)
+SELECT c.campaign_id,
+       COUNT(*) AS n_events,
+       CAST(ROUND(SUM(CAST(e.value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_value
+FROM camp c
+JOIN events e ON epoch(e.ts) >= c.start_s AND epoch(e.ts) < c.end_s
+GROUP BY c.campaign_id
+"""
+
+
+@register(
+    "interval_join_campaigns",
+    interval_campaigns_oracle,
+    "point-in-interval range join via bucketized equi-join (no BNLJ)",
+)
+def interval_join_campaigns(spark: SparkSession, sf: str) -> DataFrame:
+    """50 synthetic overlapping campaign windows (2h stride, 1-5h
+    length) joined to every event whose ts falls inside — the raw
+    inequality join Catalyst would run as BroadcastNestedLoop,
+    re-expressed as explode-to-buckets + hash join. Bucket width 1h ≈
+    the typical interval, so the interval side inflates ≤5×.
+    Plan pin: tests/test_plans.py asserts no BNLJ/cartesian."""
+    ev = load(spark, sf, "events").select(
+        F.col("ts").cast("double").alias("ts_s"), "value"
+    )
+    t0 = ev.agg(F.min("ts_s").alias("t0"))
+    camp = (
+        spark.range(50)
+        .withColumnRenamed("id", "campaign_id")
+        .join(F.broadcast(t0))
+        .select(
+            "campaign_id",
+            (F.col("t0") + F.col("campaign_id") * 7200).alias("start_s"),
+            (
+                F.col("t0")
+                + F.col("campaign_id") * 7200
+                + ((F.col("campaign_id") % 5) + 1) * 3600
+            ).alias("end_s"),
+        )
+    )
+    from .operators.interval import point_interval_join
+
+    joined = point_interval_join(
+        ev, camp, "ts_s", "start_s", "end_s", bucket_width=3600.0
+    )
+    return joined.groupBy("campaign_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum(F.col("value").cast("decimal(18,6)")), 2)
+        .cast("double")
+        .alias("sum_value"),
+    )
+
+
+overlap_cohorts_oracle = """
+WITH spans AS (
+    SELECT user_id, user_id % 32 AS cohort,
+           MIN(epoch(ts)) AS start_s, MAX(epoch(ts)) AS end_s
+    FROM events GROUP BY user_id
+)
+SELECT a.cohort,
+       COUNT(*) AS n_pairs,
+       CAST(ROUND(SUM(CAST(
+           LEAST(a.end_s, b.end_s) - GREATEST(a.start_s, b.start_s)
+           AS DECIMAL(18,6))), 2) AS DOUBLE) AS overlap_s
+FROM spans a
+JOIN spans b
+  ON a.cohort = b.cohort AND a.user_id < b.user_id
+ AND a.start_s < b.end_s AND b.start_s < a.end_s
+GROUP BY a.cohort
+"""
+
+
+@register(
+    "interval_overlap_cohorts",
+    overlap_cohorts_oracle,
+    "interval-overlap self-join, exactly-once via first-shared-bucket rule",
+)
+def interval_overlap_cohorts(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-user activity spans [min ts, max ts) self-joined for
+    overlapping pairs within a cohort. Each pair meets in every shared
+    week-bucket; only the bucket holding greatest(start) survives, so
+    the result is exactly-once WITHOUT a distinct — at 100 TB the
+    distinct would be a second full shuffle of the pair set."""
+    from .operators.interval import interval_overlap_join
+
+    ev = load(spark, sf, "events")
+    spans = ev.groupBy("user_id").agg(
+        (F.col("user_id") % 32).alias("cohort"),
+        F.min(F.col("ts").cast("double")).alias("start_s"),
+        F.max(F.col("ts").cast("double")).alias("end_s"),
+    )
+    left = spans.select(
+        F.col("user_id").alias("u1"),
+        "cohort",
+        F.col("start_s").alias("s1"),
+        F.col("end_s").alias("e1"),
+    )
+    right = spans.select(
+        F.col("user_id").alias("u2"),
+        "cohort",
+        F.col("start_s").alias("s2"),
+        F.col("end_s").alias("e2"),
+    )
+    pairs = interval_overlap_join(
+        left,
+        right,
+        ("s1", "e1"),
+        ("s2", "e2"),
+        bucket_width=7 * 86400.0,
+        on=["cohort"],
+        antisymmetric_key=("u1", "u2"),
+    )
+    return pairs.groupBy("cohort").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(
+            F.sum(
+                (F.least("e1", "e2") - F.greatest("s1", "s2")).cast("decimal(18,6)")
+            ),
+            2,
+        )
+        .cast("double")
+        .alias("overlap_s"),
+    )

@@ -484,3 +484,24 @@ def test_variant_scan_prunes_other_columns(spark):
     plan = plan_of(t.scan(selected_fields=("doc_id", "lang")).to_df(spark))
     read = [l for l in plan.splitlines() if "ReadSchema" in l][0]
     assert "doc_id" in read and "lang" in read and "payload" not in read
+
+
+def test_interval_join_is_hash_join(spark, queries):
+    """The range join itself must be an equi(hash) join on the bucket
+    id — a BNLJ on the bucket key would be the O(N·M) plan the operator
+    exists to avoid. (interval_join_campaigns legitimately contains ONE
+    BNLJ: the 50-row × 1-row cross join attaching the global min
+    timestamp — constant-size, not data-dependent.)"""
+    plan = plan_of(queries["interval_join_campaigns"].fn(spark, SF), "simple")
+    assert "CartesianProduct" not in plan
+    bucket_joins = [
+        ln for ln in plan.splitlines() if "HashJoin" in ln and "__range_bucket" in ln
+    ]
+    assert bucket_joins, "bucket equi-join not planned as a hash join"
+
+    plan2 = plan_of(queries["interval_overlap_cohorts"].fn(spark, SF), "simple")
+    assert "BroadcastNestedLoopJoin" not in plan2
+    assert "CartesianProduct" not in plan2
+    assert any(
+        "HashJoin" in ln and "__bucket_l" in ln for ln in plan2.splitlines()
+    ), "overlap bucket equi-join not planned as a hash join"
