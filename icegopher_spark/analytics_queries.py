@@ -1250,3 +1250,104 @@ def interval_overlap_cohorts(spark: SparkSession, sf: str) -> DataFrame:
         .cast("double")
         .alias("overlap_s"),
     )
+
+
+# ------------------------------------------------ profiling + drift (r9)
+
+profile_oracle = """
+SELECT 'o_custkey' AS col_name, COUNT(*) AS n_rows,
+       COUNT(*) - COUNT(o_custkey) AS n_nulls,
+       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_distinct,
+       CAST(MIN(o_custkey) AS VARCHAR) AS min_value,
+       CAST(MAX(o_custkey) AS VARCHAR) AS max_value,
+       ROUND(AVG(o_custkey), 4) AS mean
+FROM orders
+UNION ALL
+SELECT 'o_totalprice', COUNT(*), COUNT(*) - COUNT(o_totalprice),
+       CAST(COUNT(DISTINCT o_totalprice) AS BIGINT),
+       CAST(MIN(o_totalprice) AS VARCHAR), CAST(MAX(o_totalprice) AS VARCHAR),
+       ROUND(AVG(o_totalprice), 4)
+FROM orders
+UNION ALL
+SELECT 'o_orderpriority', COUNT(*), COUNT(*) - COUNT(o_orderpriority),
+       CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT),
+       CAST(MIN(o_orderpriority) AS VARCHAR), CAST(MAX(o_orderpriority) AS VARCHAR),
+       NULL
+FROM orders
+"""
+
+
+@register(
+    "profile_columns_exact",
+    profile_oracle,
+    "one-job column profiler: nulls/distinct/min/max/mean per column",
+)
+def profile_columns_exact(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact mode (count-distinct via EXPAND, one shuffle); the 100 TB
+    default is mode='approx' (HLL++, fully map-combinable) — pinned
+    against exact within rsd in tests/test_profile.py."""
+    from .operators.profile import profile_columns
+
+    df = load(spark, sf, "orders")
+    p = profile_columns(
+        df, ["o_custkey", "o_totalprice", "o_orderpriority"], mode="exact"
+    )
+    return p.select(
+        F.col("column").alias("col_name"),
+        "n_rows",
+        "n_nulls",
+        "n_distinct",
+        "min_value",
+        "max_value",
+        "mean",
+    )
+
+
+drift_oracle = """
+WITH ref AS (SELECT event_type, CAST(value AS DOUBLE) AS v FROM events
+             WHERE ts < TIMESTAMP '2024-01-16 00:00:00'),
+cur AS (SELECT event_type, CAST(value AS DOUBLE) AS v FROM events
+        WHERE ts >= TIMESTAMP '2024-01-16 00:00:00'),
+b AS (SELECT MIN(v) AS lo, MAX(v) AS hi FROM ref),
+rb AS (SELECT event_type,
+              CAST(LEAST(GREATEST(FLOOR((v - lo) / ((hi - lo) / 20.0)), 0), 19) AS INT) AS bin,
+              COUNT(*) AS n_ref
+       FROM ref, b GROUP BY 1, 2),
+cb AS (SELECT event_type,
+              CAST(LEAST(GREATEST(FLOOR((v - lo) / ((hi - lo) / 20.0)), 0), 19) AS INT) AS bin,
+              COUNT(*) AS n_cur
+       FROM cur, b GROUP BY 1, 2),
+m AS (SELECT event_type, bin,
+             COALESCE(n_ref, 0) AS n_ref, COALESCE(n_cur, 0) AS n_cur
+      FROM rb FULL OUTER JOIN cb USING (event_type, bin)),
+t AS (SELECT event_type, SUM(n_ref) AS t_ref, SUM(n_cur) AS t_cur
+      FROM m GROUP BY 1)
+SELECT m.event_type,
+       ROUND(SUM(((n_cur + 0.5) / (t_cur + 10.0) - (n_ref + 0.5) / (t_ref + 10.0))
+                 * LN(((n_cur + 0.5) / (t_cur + 10.0))
+                      / ((n_ref + 0.5) / (t_ref + 10.0)))), 4) AS psi,
+       CAST(SUM(n_ref) AS BIGINT) AS n_ref,
+       CAST(SUM(n_cur) AS BIGINT) AS n_cur
+FROM m JOIN t USING (event_type)
+GROUP BY m.event_type
+"""
+
+
+@register(
+    "events_drift_psi",
+    drift_oracle,
+    "PSI drift per event_type: first vs second half-month, ref-anchored bins",
+)
+def events_drift_psi(spark: SparkSession, sf: str) -> DataFrame:
+    """Population Stability Index of `value` per event_type between the
+    first 15 days (reference) and the rest (current). Bin edges come
+    from the REFERENCE min/max and use only IEEE-exact ops, so DuckDB
+    reproduces the binning bit-for-bit; only the final 20-term PSI fold
+    touches a transcendental (ln), rounded to 4 decimals."""
+    from .operators.profile import drift_psi
+
+    ev = load(spark, sf, "events")
+    cutoff = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    ref = ev.filter(F.col("ts") < cutoff).select("event_type", "value")
+    cur = ev.filter(F.col("ts") >= cutoff).select("event_type", "value")
+    return drift_psi(ref, cur, "value", group_cols=["event_type"])
