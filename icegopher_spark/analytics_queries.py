@@ -1351,3 +1351,76 @@ def events_drift_psi(spark: SparkSession, sf: str) -> DataFrame:
     ref = ev.filter(F.col("ts") < cutoff).select("event_type", "value")
     cur = ev.filter(F.col("ts") >= cutoff).select("event_type", "value")
     return drift_psi(ref, cur, "value", group_cols=["event_type"])
+
+
+# --------------------------------------------------- fuzzy joins (r9)
+
+_CORRUPT_SQL = """
+SELECT p_partkey,
+       SUBSTR(p_name, 1, CAST(p_partkey % LENGTH(p_name) AS INT)) ||
+       SUBSTR(p_name, CAST(p_partkey % LENGTH(p_name) AS INT) + 2) AS cname
+FROM part
+"""
+
+fuzzy_match_oracle = f"""
+WITH corrupted AS ({_CORRUPT_SQL}),
+canon AS (SELECT DISTINCT p_name FROM part)
+SELECT c.p_name, COUNT(*) AS n_matched
+FROM corrupted x JOIN canon c ON levenshtein(x.cname, c.p_name) <= 1
+GROUP BY c.p_name
+"""
+
+
+def _corrupted_names(spark: SparkSession, sf: str) -> DataFrame:
+    """Each part's name with ONE char deleted at a key-derived position
+    — a deterministic misspelling generator both engines replay."""
+    return load(spark, sf, "part").select(
+        "p_partkey",
+        F.expr(
+            "substring(p_name, 1, cast(p_partkey % length(p_name) as int)) || "
+            "substring(p_name, cast(p_partkey % length(p_name) as int) + 2)"
+        ).alias("cname"),
+    )
+
+
+@register(
+    "fuzzy_match_partnames",
+    fuzzy_match_oracle,
+    "edit-distance join misspelled -> canonical names via q-gram index",
+)
+def fuzzy_match_partnames(spark: SparkSession, sf: str) -> DataFrame:
+    """Entity resolution: 1-char-deleted part names matched back to the
+    canonical vocabulary at levenshtein <= 1. No cartesian product —
+    candidates come from a q-gram inverted index over DISTINCT strings
+    (vocabulary-scale), verified with JVM levenshtein. The oracle IS
+    the naive all-pairs join, so the gate proves recall 1.0."""
+    from .operators.linkage import fuzzy_join
+
+    corrupted = _corrupted_names(spark, sf)
+    canon = load(spark, sf, "part").select("p_name").distinct()
+    m = fuzzy_join(corrupted, canon, "cname", "p_name", max_distance=1, q=2)
+    return m.groupBy("p_name").agg(F.count(F.lit(1)).alias("n_matched"))
+
+
+fuzzy_pairs_oracle = """
+WITH canon AS (SELECT DISTINCT p_name FROM part)
+SELECT a.p_name AS value_a, b.p_name AS value_b,
+       CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS distance
+FROM canon a JOIN canon b
+  ON a.p_name < b.p_name AND levenshtein(a.p_name, b.p_name) <= 2
+"""
+
+
+@register(
+    "fuzzy_name_pairs",
+    fuzzy_pairs_oracle,
+    "near-duplicate name report: self fuzzy-pairs at distance <= 2",
+)
+def fuzzy_name_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.linkage import fuzzy_self_pairs
+
+    p = load(spark, sf, "part")
+    pairs = fuzzy_self_pairs(p, "p_name", max_distance=2, q=2)
+    return pairs.select(
+        "value_a", "value_b", F.col("distance").cast("bigint").alias("distance")
+    )
