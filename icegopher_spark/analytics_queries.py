@@ -1424,3 +1424,75 @@ def fuzzy_name_pairs(spark: SparkSession, sf: str) -> DataFrame:
     return pairs.select(
         "value_a", "value_b", F.col("distance").cast("bigint").alias("distance")
     )
+
+
+# ------------------------------------------------------- pagerank (r9)
+
+
+def _pagerank_oracle(iterations: int = 3, damping: float = 0.85) -> str:
+    """Unrolled power-iteration CTE chain — DuckDB replays the exact
+    fixpoint loop the Spark operator runs, iteration by iteration."""
+    head = f"""
+WITH edges AS (
+    SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+),
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+nn AS (SELECT COUNT(*) AS n FROM nodes),
+outdeg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+r0 AS (SELECT node, 1.0 / nn.n AS rank FROM nodes CROSS JOIN nn)"""
+    blocks = []
+    for i in range(1, iterations + 1):
+        p = f"r{i-1}"
+        blocks.append(f""",
+dang{i} AS (
+    SELECT COALESCE(SUM(r.rank), 0) AS mass
+    FROM {p} r LEFT JOIN outdeg o ON r.node = o.src
+    WHERE o.src IS NULL
+),
+c{i} AS (
+    SELECT e.dst AS node, SUM(r.rank / o.deg) AS contrib
+    FROM edges e JOIN {p} r ON e.src = r.node
+    JOIN outdeg o ON e.src = o.src
+    GROUP BY e.dst
+),
+r{i} AS (
+    SELECT nd.node,
+           (1 - {damping}) / nn.n
+           + {damping} * (COALESCE(c.contrib, 0) + d.mass / nn.n) AS rank
+    FROM nodes nd
+    CROSS JOIN nn CROSS JOIN dang{i} d
+    LEFT JOIN c{i} c ON nd.node = c.node
+)""")
+    return (
+        head
+        + "".join(blocks)
+        + f"""
+SELECT node, ROUND(rank, 6) AS rank FROM r{iterations}"""
+    )
+
+
+@register(
+    "graph_pagerank",
+    _pagerank_oracle(),
+    "3-iteration PageRank over the customer->supplier purchase graph",
+)
+def graph_pagerank(spark: SparkSession, sf: str) -> DataFrame:
+    """Iterative-algorithm family: per-iteration persist/replace keeps
+    lineage O(1); dangling supplier mass redistributes uniformly so
+    total rank stays 1 (pytest-pinned). The oracle unrolls the same
+    power iteration as a CTE chain."""
+    from .operators.graph import pagerank
+
+    o = load(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    pr = pagerank(edges, iterations=3, damping=0.85)
+    return pr.select("node", F.round("rank", 6).alias("rank"))

@@ -2426,3 +2426,63 @@ def iceberg_table_stats(spark: SparkSession, sf: str) -> DataFrame:
     return spark.createDataFrame(
         sorted(ndv.items()), "col string, ndv bigint"
     )
+
+
+# ----------------------------------------------- in-place adoption (r9)
+
+
+def _adopted_table_for(spark: SparkSession, sf_dir: str) -> Table:
+    """Iceberg table whose ONLY data file is the raw testdata
+    orders.parquet, adopted in place via add_files (write.py:2375) —
+    zero data movement, footer stats land in the manifest. The 100 TB
+    onboarding path: O(#files) metadata work."""
+
+    def build(loc: str) -> Table:
+        schema = Schema(
+            (
+                NestedField(1, "o_orderkey", LongType(), True),
+                NestedField(2, "o_custkey", LongType(), False),
+                NestedField(3, "o_orderstatus", StringType(), False),
+                NestedField(4, "o_totalprice", DoubleType(), False),
+                NestedField(5, "o_orderdate", TimestampType(), False),
+                NestedField(6, "o_orderpriority", StringType(), False),
+            ),
+            schema_id=0,
+        )
+        t = W.create_table(loc, schema)
+        return W.add_files(t, [f"{sf_dir}/orders.parquet"])
+
+    return _cached_table(
+        sf_dir,
+        "orders_adopted",
+        lambda t: len(t.metadata.snapshots) == 1
+        and len(list(t.scan().plan_files())) == 1,
+        build,
+    )
+
+
+add_files_oracle = """
+SELECT o_orderstatus,
+       COUNT(*) AS n_orders,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE)
+         AS total_price
+FROM orders
+WHERE o_orderkey < 5000
+GROUP BY o_orderstatus
+"""
+
+
+@register(
+    "iceberg_add_files",
+    add_files_oracle,
+    "in-place parquet adoption (add_files): footer stats drive pruning",
+)
+def iceberg_add_files(spark: SparkSession, sf: str) -> DataFrame:
+    t = _adopted_table_for(spark, sf)
+    df = t.scan(row_filter=E.less_than("o_orderkey", 5000)).to_df(spark)
+    return df.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(12,2)")), 2)
+        .cast("double")
+        .alias("total_price"),
+    )
