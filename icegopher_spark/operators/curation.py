@@ -528,3 +528,56 @@ def shuffle_shard(
         F.max("_key").cast("bigint").alias("max_key"),
         F.sum(F.col("_id") % 1000).cast("bigint").alias("id_chk"),
     )
+
+
+def filter_sweep(
+    df: DataFrame,
+    score_col: str,
+    thresholds: list[float],
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Survival curve for a quality-filter threshold decision: for each
+    candidate threshold t, how many rows (and how much ``weight_col``
+    mass — typically tokens) survive ``score >= t``.
+
+    Returns (threshold, n_rows, row_share, n_weight, weight_share),
+    one row per threshold. shares rounded to 6 decimals.
+
+    ONE aggregation pass regardless of grid size: each threshold is a
+    conditional-sum column (map-side combinable, stays in codegen), and
+    the single wide result row explodes into the grid — no windows, no
+    second scan, no shuffle beyond the one partial-agg exchange. This
+    is the "measure before you filter" tool: sweeping 20 thresholds
+    costs the same as counting once, so there is no excuse for picking
+    a cutoff blind.
+    """
+    if not thresholds:
+        raise ValueError("thresholds must be non-empty")
+    s = F.col(score_col)
+    w = F.col(weight_col) if weight_col is not None else F.lit(1)
+    aggs = [
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(w).cast("double").alias("w_total"),
+    ]
+    for i, t in enumerate(thresholds):
+        cond = s >= F.lit(float(t))
+        aggs.append(F.sum(F.when(cond, 1).otherwise(0)).alias(f"n__{i}"))
+        aggs.append(
+            F.sum(F.when(cond, w).otherwise(F.lit(0))).cast("double").alias(f"w__{i}")
+        )
+    wide = df.agg(*aggs)
+    rows = [
+        F.struct(
+            F.lit(float(t)).alias("threshold"),
+            F.col(f"n__{i}").cast("bigint").alias("n_rows"),
+            F.round(F.col(f"n__{i}") / F.greatest(F.col("n_total"), F.lit(1)), 6).alias(
+                "row_share"
+            ),
+            F.col(f"w__{i}").cast("bigint").alias("n_weight"),
+            F.round(
+                F.col(f"w__{i}") / F.greatest(F.col("w_total"), F.lit(1.0)), 6
+            ).alias("weight_share"),
+        )
+        for i, t in enumerate(thresholds)
+    ]
+    return wide.select(F.explode(F.array(*rows)).alias("r")).select("r.*")

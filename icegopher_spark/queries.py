@@ -992,6 +992,52 @@ def quality_q(spark: SparkSession, sf: str) -> DataFrame:
     return docs.select("doc_id", text.quality_score(F.col("text")).alias("quality"))
 
 
+sweep_oracle = f"""
+WITH scored AS ({quality_oracle}),
+tok AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '[^ \\t\\n\\x0B\\f\\r]+')) AS BIGINT)
+           AS n_tok
+  FROM documents
+),
+j AS (SELECT s.quality, t.n_tok FROM scored s JOIN tok t USING (doc_id)),
+tot AS (SELECT COUNT(*) AS n_total, SUM(n_tok) AS w_total FROM j),
+grid AS (SELECT 10.0 * r.range AS threshold FROM range(10) r)
+SELECT g.threshold,
+       CAST(COUNT(*) FILTER (WHERE j.quality >= g.threshold) AS BIGINT) AS n_rows,
+       ROUND(COUNT(*) FILTER (WHERE j.quality >= g.threshold)
+             / GREATEST(tot.n_total, 1), 6) AS row_share,
+       CAST(COALESCE(SUM(n_tok) FILTER (WHERE j.quality >= g.threshold), 0)
+            AS BIGINT) AS n_weight,
+       ROUND(COALESCE(SUM(n_tok) FILTER (WHERE j.quality >= g.threshold), 0)
+             / GREATEST(tot.w_total, 1.0), 6) AS weight_share
+FROM j CROSS JOIN grid g CROSS JOIN tot
+GROUP BY g.threshold, tot.n_total, tot.w_total
+"""
+
+
+@register(
+    "text_filter_sweep",
+    sweep_oracle,
+    "quality-threshold survival curve: rows+tokens kept per cutoff, one pass",
+)
+def text_filter_sweep_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Measure before you filter: 10 candidate quality cutoffs swept in
+    ONE aggregation pass (each threshold is a conditional sum — map-
+    side combinable, codegen), so choosing a filter threshold over
+    100 TB costs the same as one count(*)."""
+    from .operators.curation import filter_sweep
+
+    docs = load(spark, sf, "documents")
+    scored = docs.select(
+        text.quality_score(F.col("text")).alias("q"),
+        text.token_count(F.col("text")).alias("n_tok"),
+    )
+    return filter_sweep(
+        scored, "q", [10.0 * i for i in range(10)], weight_col="n_tok"
+    )
+
+
 vocab_oracle = """
 WITH toks AS (
   SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS token

@@ -1357,3 +1357,34 @@ def test_winnow_fingerprint_guarantee(spark):
     big = spark.createDataFrame([(7, "x" * (1 << 20))], "doc_id long, text string")
     with _pytest.raises(Exception, match="winnow_fingerprints packs"):
         T.winnow_fingerprints(big, k=k, w=w).count()
+
+
+def test_filter_sweep_survival_curve(spark):
+    from icegopher_spark.operators.curation import filter_sweep
+
+    df = spark.createDataFrame(
+        [(float(i), 10 * i) for i in range(1, 11)], "score double, w long"
+    )
+    rows = {
+        r["threshold"]: r
+        for r in filter_sweep(df, "score", [0.0, 5.0, 11.0], weight_col="w").collect()
+    }
+    assert rows[0.0]["n_rows"] == 10 and rows[0.0]["row_share"] == 1.0
+    assert rows[5.0]["n_rows"] == 6  # scores 5..10
+    assert rows[5.0]["n_weight"] == sum(10 * i for i in range(5, 11))
+    assert rows[11.0]["n_rows"] == 0 and rows[11.0]["weight_share"] == 0.0
+    # survival is monotone non-increasing in the threshold
+    shares = [rows[t]["row_share"] for t in (0.0, 5.0, 11.0)]
+    assert shares == sorted(shares, reverse=True)
+
+
+def test_filter_sweep_default_weight_and_validation(spark):
+    import pytest as _pytest
+
+    from icegopher_spark.operators.curation import filter_sweep
+
+    df = spark.createDataFrame([(1.0,), (2.0,)], "score double")
+    [r] = filter_sweep(df, "score", [1.5]).collect()
+    assert r["n_rows"] == 1 and r["n_weight"] == 1  # weight defaults to 1/row
+    with _pytest.raises(ValueError, match="non-empty"):
+        filter_sweep(df, "score", [])
