@@ -43,7 +43,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
-__all__ = ["DeltaSnapshot", "load_delta", "read_delta"]
+__all__ = ["DeltaSnapshot", "load_delta", "read_delta", "vacuum_candidates"]
 
 
 # readerFeatures this implementation actually honors (protocol §
@@ -353,3 +353,63 @@ def read_delta(
     out = joined.join(F.broadcast(pmap), "__delta_path", "inner").drop("__delta_path")
     # present columns in declared schema order
     return out.select(*[f.name for f in snap.schema.fields])
+
+
+def vacuum_candidates(
+    table_path: str,
+    retention_ms: int = 7 * 24 * 3600 * 1000,
+    now_ms: int | None = None,
+) -> list[str]:
+    """Dry-run VACUUM: data files under the table root that are (a) not
+    in the CURRENT version's live set, (b) not referenced by any commit
+    whose timestamp is within the retention window (time travel to
+    those versions must keep working), and (c) whose mtime is older
+    than the retention cutoff (an in-flight writer's uncommitted file
+    is never a candidate — same guard as Iceberg orphan GC).
+
+    Returns absolute paths; deletion is the caller's decision.  Driver
+    cost is metadata-scale plus one directory walk — the same contract
+    as `iceberg/maintenance.py::orphan_files`, and like it, the walk
+    would become a distributed listing on an object store.
+    """
+    import time as _time
+
+    if now_ms is None:
+        now_ms = int(_time.time() * 1000)
+    cutoff_ms = now_ms - retention_ms
+    commits, checkpoints = _list_log(table_path)
+    latest = max([*commits, *checkpoints])
+
+    # live set of the current version, plus every version still inside
+    # the retention window (their files must survive for time travel)
+    protected_versions = {latest}
+    for v in commits:
+        if _commit_timestamp(table_path, v) >= cutoff_ms:
+            protected_versions.add(v)
+    referenced: set[str] = set()
+    for v in sorted(protected_versions):
+        try:
+            snap = load_delta(table_path, version=v)
+        except FileNotFoundError:
+            continue  # pre-checkpoint version no longer reconstructable
+        referenced.update(p for p, _ in snap.files)
+
+    root = os.path.abspath(table_path)
+    log_root = os.path.abspath(_log_dir(table_path))
+    out: list[str] = []
+    for dirpath, _dirs, files in os.walk(root):
+        if os.path.abspath(dirpath).startswith(log_root):
+            continue  # the transaction log is never vacuumed
+        for fn in files:
+            if not fn.endswith(".parquet"):
+                continue
+            p = os.path.abspath(os.path.join(dirpath, fn))
+            if p in referenced:
+                continue
+            try:
+                if os.path.getmtime(p) * 1000 > cutoff_ms:
+                    continue
+            except OSError:
+                continue
+            out.append(p)
+    return sorted(out)

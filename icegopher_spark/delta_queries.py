@@ -375,3 +375,39 @@ def delta_to_iceberg_migrate(spark: SparkSession, sf: str) -> DataFrame:
         build,
     )
     return _priority_agg(t.scan().to_df(spark))
+
+
+delta_vacuum_oracle = """
+SELECT COUNT(*) AS n_rows,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE)
+         AS total_price
+FROM orders
+WHERE o_orderkey % 3 = 0 AND o_orderpriority = '5-LOW'
+"""
+
+
+@register(
+    "delta_vacuum_preview",
+    delta_vacuum_oracle,
+    "VACUUM dry-run finds exactly the log-removed file's rows",
+)
+def delta_vacuum_preview(spark: SparkSession, sf: str) -> DataFrame:
+    """The v2 DELETE removed v0's 5-LOW file from the log; with the
+    retention window collapsed, vacuum_candidates must surface exactly
+    that file — so reading the candidates back yields exactly the
+    deleted rows, which the oracle recomputes from the base table.
+    (now_ms is pinned far ahead so the fixture's mtimes can't protect
+    the file; retention 0 drops time-travel protection.)"""
+    from .delta import vacuum_candidates
+
+    loc = delta_fixture_path(sf)
+    cands = vacuum_candidates(loc, retention_ms=0, now_ms=_T0 + 10**12)
+    if not cands:
+        raise AssertionError("vacuum dry-run found no candidates — fixture broken")
+    df = spark.read.parquet(*cands)
+    return df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(12,2)")), 2)
+        .cast("double")
+        .alias("total_price"),
+    )

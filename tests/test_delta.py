@@ -252,3 +252,48 @@ def test_empty_string_partition_value_is_null_for_nonstring(spark, tmp_path):
     )
     rows = read_delta(spark, loc).collect()
     assert len(rows) == 2 and all(r["p"] is None for r in rows)
+
+
+# ----------------------------------------------------------------- vacuum
+
+
+def test_vacuum_finds_removed_file_only(fixture_loc):
+    from icegopher_spark.delta import vacuum_candidates
+
+    cands = vacuum_candidates(fixture_loc, retention_ms=0, now_ms=_T0 + 10**12)
+    assert len(cands) == 1
+    assert os.path.basename(cands[0]) == "part-00000-5.parquet"
+
+
+def test_vacuum_retention_protects_time_travel(fixture_loc):
+    from icegopher_spark.delta import vacuum_candidates
+
+    # retention window reaches back past v0's commit timestamp: every
+    # version is still time-travelable, nothing may be vacuumed
+    cands = vacuum_candidates(
+        fixture_loc, retention_ms=10**12, now_ms=_T0 + 10**12 - 1
+    )
+    assert cands == []
+
+
+def test_vacuum_mtime_guard(fixture_loc):
+    from icegopher_spark.delta import vacuum_candidates
+
+    # now == fixture build time: the removed file's mtime is "recent",
+    # so an in-flight-writer guard must keep it
+    import time
+
+    cands = vacuum_candidates(
+        fixture_loc, retention_ms=3600 * 1000, now_ms=int(time.time() * 1000)
+    )
+    assert cands == []
+
+
+def test_vacuum_never_touches_log(fixture_loc, tmp_path):
+    from icegopher_spark.delta import vacuum_candidates
+
+    loc = _copy_table(fixture_loc, tmp_path, "vac_log")
+    cands = vacuum_candidates(loc, retention_ms=0, now_ms=_T0 + 10**12)
+    assert all("_delta_log" not in c for c in cands)
+    # the checkpoint parquet is inside _delta_log and must not appear
+    assert not any(c.endswith(".checkpoint.parquet") for c in cands)

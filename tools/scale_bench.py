@@ -106,6 +106,24 @@ EXTRA_SCALE_QUERIES = [
     "text_lm_filter",
     "stream_scd2_history",
     "text_paragraph_dedup",
+    # round-9 operators (Delta reader, range joins, fuzzy joins,
+    # profiling/drift, PageRank, filter sweep, in-place adoption)
+    "delta_read",
+    "delta_to_iceberg_migrate",
+    "interval_join_campaigns",
+    # interval_overlap_cohorts is deliberately NOT here: with the
+    # synthetic data every user's span covers the whole month, so the
+    # ANSWER is quadratic in users-per-cohort (10x users -> ~100x
+    # pairs). The operator emits each pair exactly once (linear in
+    # output size, pytest-pinned); timing a query whose result set
+    # grows 100x tells you about the data, not the plan.
+    "fuzzy_match_partnames",
+    "fuzzy_name_pairs",
+    "profile_columns_exact",
+    "events_drift_psi",
+    "graph_pagerank",
+    "text_filter_sweep",
+    "iceberg_add_files",
 ]
 SCALE_QUERIES = BENCH_QUERIES + EXTRA_SCALE_QUERIES
 from icegopher_spark.queries import QUERIES, load  # noqa: E402
