@@ -411,3 +411,51 @@ def delta_vacuum_preview(spark: SparkSession, sf: str) -> DataFrame:
         .cast("double")
         .alias("total_price"),
     )
+
+
+delta_export_oracle = """
+SELECT l_returnflag,
+       COUNT(*) AS n_rows,
+       CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(12,2))), 2) AS DOUBLE)
+         AS sum_qty
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@register(
+    "delta_export_roundtrip",
+    delta_export_oracle,
+    "Iceberg -> Delta export (writer + checkpoint), read back via Delta reader",
+)
+def delta_export_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """The reverse interop path: the Iceberg lineitem fixture's current
+    snapshot exported as a NEW partitioned Delta table (distributed
+    parquet write, hive layout, one JSON commit, finishing checkpoint),
+    then answered THROUGH the Delta reader — so the gate exercises
+    writer and reader against each other and hash-checks the values
+    against the base table."""
+    from .delta_write import export_iceberg_to_delta
+    from .iceberg_queries import _table_for
+
+    t = _table_for(spark, sf)
+    key = sf.strip("/").replace("/", "_")
+    loc = f"{_CACHE_ROOT}/{key}/lineitem_delta_export"
+    ok = os.path.join(loc, "_FIXTURE_OK")
+    rebuild = True
+    if os.path.exists(ok):
+        try:
+            with open(ok) as fh:
+                rebuild = fh.read().strip() != "export-v1"
+        except OSError:
+            rebuild = True
+    if rebuild:
+        shutil.rmtree(loc, ignore_errors=True)
+        export_iceberg_to_delta(spark, t, loc, ["l_returnflag"])
+        with open(ok, "w") as fh:
+            fh.write("export-v1\n")
+    df = read_delta(spark, loc)
+    return df.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum(dec("l_quantity")), 2).cast("double").alias("sum_qty"),
+    )

@@ -1,0 +1,298 @@
+"""Minimal Delta Lake WRITER — the export half of the interop loop
+(the reader lives in `delta.py`; both implement delta.io PROTOCOL.md
+and nothing else).
+
+Scope:
+  * ``create_delta_table`` — commit 0 with protocol + metaData
+  * ``append_delta`` / ``overwrite_delta`` — distributed parquet write
+    (hive-layout partitioning), then one atomic JSON commit listing
+    add (and for overwrite, remove) actions with per-file
+    ``partitionValues`` and numRecords stats
+  * optimistic concurrency: the commit file is created with O_EXCL, so
+    two writers racing to version N get exactly one winner (same
+    contract the protocol specifies for the log store)
+  * ``write_checkpoint`` — classic single-part parquet checkpoint +
+    ``_last_checkpoint``, so a long log stays O(commits-since-
+    checkpoint) to read and old JSON becomes vacuumable
+  * ``export_iceberg_to_delta`` — one-pass Iceberg → Delta export
+    (the reverse of `delta_queries.delta_to_iceberg_migrate`)
+
+Writer-side restrictions are enforced loudly: partition column types
+are limited to the string/integral/date serializations this module
+can round-trip exactly (protocol § Partition Value Serialization);
+anything else must be a data column.
+
+The data write is Spark-distributed; the driver handles only the
+metadata plane (listing the staged files + writing one JSON commit),
+mirroring how the Iceberg write plane splits work.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .delta import _list_log, _log_dir, load_delta
+
+__all__ = [
+    "create_delta_table",
+    "append_delta",
+    "overwrite_delta",
+    "write_checkpoint",
+    "export_iceberg_to_delta",
+]
+
+# partition value serializations we can round-trip EXACTLY (write the
+# string form, read it back, cast — no precision or timezone traps)
+_PARTITIONABLE = {"string", "int", "bigint", "smallint", "tinyint", "date", "boolean"}
+
+
+def _schema_string(schema) -> str:
+    return schema.json()
+
+
+def _commit(table_path: str, version: int, actions: list[dict]) -> None:
+    """Atomic commit: O_EXCL create of the next version file. A loser
+    in a version race gets FileExistsError and must re-plan (the
+    protocol's put-if-absent log-store contract)."""
+    path = os.path.join(_log_dir(table_path), f"{version:020d}.json")
+    lines = [
+        json.dumps({"commitInfo": {"timestamp": int(time.time() * 1000),
+                                   "operation": "icegopher-delta-write"}})
+    ] + [json.dumps(a) for a in actions]
+    with open(path, "x", encoding="utf-8") as f:
+        f.write("\n".join(lines) + "\n")
+
+
+def create_delta_table(
+    table_path: str,
+    schema,
+    partition_columns: list[str] | None = None,
+    configuration: dict[str, str] | None = None,
+) -> None:
+    """Commit 0: protocol(1,2) + metaData. ``schema`` is a Spark
+    StructType covering data AND partition columns."""
+    partition_columns = list(partition_columns or [])
+    by_name = {f.name: f for f in schema.fields}
+    for pc in partition_columns:
+        if pc not in by_name:
+            raise ValueError(f"partition column {pc!r} not in schema")
+        t = by_name[pc].dataType.simpleString()
+        if t not in _PARTITIONABLE:
+            raise NotImplementedError(
+                f"Delta writer: partition column {pc!r} has type {t}; this "
+                f"writer serializes only {sorted(_PARTITIONABLE)} partition "
+                "values exactly — make it a data column instead"
+            )
+    os.makedirs(_log_dir(table_path), exist_ok=True)
+    if os.listdir(_log_dir(table_path)):
+        raise FileExistsError(f"{table_path} already has a _delta_log")
+    _commit(
+        table_path,
+        0,
+        [
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+            {
+                "metaData": {
+                    "id": str(uuid.uuid4()),
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": _schema_string(schema),
+                    "partitionColumns": partition_columns,
+                    "configuration": dict(configuration or {}),
+                    "createdTime": int(time.time() * 1000),
+                }
+            },
+        ],
+    )
+
+
+def _stage_and_collect(
+    spark: SparkSession, table_path: str, df: DataFrame, part_cols: list[str]
+) -> list[dict]:
+    """Distributed parquet write into a unique staging dir inside the
+    table, then one driver pass over the staged files to build add
+    actions. Files stay where Spark put them (hive layout for
+    partitioned tables) — the log's partitionValues, parsed from the
+    layout THIS writer controls, are what readers trust."""
+    import urllib.parse
+
+    import pyarrow.parquet as pq
+
+    stage = f"data-{uuid.uuid4().hex[:12]}"
+    out_dir = os.path.join(table_path, stage)
+    writer = df.write.mode("error")
+    if part_cols:
+        writer = writer.partitionBy(*part_cols)
+    writer.parquet(out_dir)
+
+    adds: list[dict] = []
+    for dirpath, _dirs, files in os.walk(out_dir):
+        # partition values from the hive dirs under the staging root
+        rel_dir = os.path.relpath(dirpath, out_dir)
+        pv: dict[str, str | None] = {}
+        if rel_dir != ".":
+            for seg in rel_dir.split(os.sep):
+                k, _, v = seg.partition("=")
+                pv[k] = (
+                    None
+                    if v == "__HIVE_DEFAULT_PARTITION__"
+                    else urllib.parse.unquote(v)
+                )
+        for fn in files:
+            if not fn.endswith(".parquet"):
+                continue
+            full = os.path.join(dirpath, fn)
+            rel = os.path.relpath(full, table_path)
+            adds.append(
+                {
+                    "add": {
+                        "path": rel.replace(os.sep, "/"),
+                        "partitionValues": {c: pv.get(c) for c in part_cols},
+                        "size": os.path.getsize(full),
+                        "modificationTime": int(os.path.getmtime(full) * 1000),
+                        "dataChange": True,
+                        "stats": json.dumps(
+                            {"numRecords": pq.ParquetFile(full).metadata.num_rows}
+                        ),
+                    }
+                }
+            )
+    if not adds:
+        shutil.rmtree(out_dir, ignore_errors=True)
+    return adds
+
+
+def _next_version(table_path: str) -> int:
+    commits, checkpoints = _list_log(table_path)
+    return max([*commits, *checkpoints]) + 1
+
+
+def append_delta(spark: SparkSession, table_path: str, df: DataFrame) -> int:
+    """Append ``df``; returns the committed version."""
+    snap = load_delta(table_path)
+    missing = set(f.name for f in snap.schema.fields) - set(df.columns)
+    if missing:
+        raise ValueError(f"append is missing table columns: {sorted(missing)}")
+    adds = _stage_and_collect(spark, table_path, df, snap.partition_columns)
+    v = _next_version(table_path)
+    _commit(table_path, v, adds)
+    return v
+
+
+def overwrite_delta(spark: SparkSession, table_path: str, df: DataFrame) -> int:
+    """Replace the table contents in ONE commit: remove every live
+    file, add the new ones (readers of any earlier version are
+    unaffected — that's the log's snapshot isolation)."""
+    snap = load_delta(table_path)
+    adds = _stage_and_collect(spark, table_path, df, snap.partition_columns)
+    now = int(time.time() * 1000)
+    removes = [
+        {
+            "remove": {
+                "path": os.path.relpath(p, table_path).replace(os.sep, "/"),
+                "deletionTimestamp": now,
+                "dataChange": True,
+            }
+        }
+        for p, _ in snap.files
+    ]
+    v = _next_version(table_path)
+    _commit(table_path, v, removes + adds)
+    return v
+
+
+def write_checkpoint(table_path: str, version: int | None = None) -> int:
+    """Classic single-part parquet checkpoint of ``version`` (default
+    latest) + ``_last_checkpoint`` pointer. After this, JSON commits
+    ≤ version are readable-but-optional (vacuumable)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    snap = load_delta(table_path, version=version)
+    v = snap.version
+    pv_t = pa.map_(pa.string(), pa.string())
+    add_t = pa.struct(
+        [
+            ("path", pa.string()),
+            ("partitionValues", pv_t),
+            ("size", pa.int64()),
+            ("modificationTime", pa.int64()),
+            ("dataChange", pa.bool_()),
+        ]
+    )
+    meta_t = pa.struct(
+        [
+            ("id", pa.string()),
+            ("format", pa.struct([("provider", pa.string())])),
+            ("schemaString", pa.string()),
+            ("partitionColumns", pa.list_(pa.string())),
+            ("configuration", pa.map_(pa.string(), pa.string())),
+            ("createdTime", pa.int64()),
+        ]
+    )
+    proto_t = pa.struct(
+        [("minReaderVersion", pa.int32()), ("minWriterVersion", pa.int32())]
+    )
+    rows_add = [
+        {
+            "path": os.path.relpath(p, table_path).replace(os.sep, "/"),
+            "partitionValues": [(k, val) for k, val in pv.items() if val is not None],
+            "size": os.path.getsize(p),
+            "modificationTime": int(os.path.getmtime(p) * 1000),
+            "dataChange": False,
+        }
+        for p, pv in snap.files
+    ]
+    n = 2 + len(rows_add)
+    tbl = pa.table(
+        {
+            "protocol": pa.array(
+                [{"minReaderVersion": 1, "minWriterVersion": 2}] + [None] * (n - 1),
+                type=proto_t,
+            ),
+            "metaData": pa.array(
+                [None]
+                + [
+                    {
+                        "id": "icegopher-delta-export",
+                        "format": {"provider": "parquet"},
+                        "schemaString": snap.schema.json(),
+                        "partitionColumns": snap.partition_columns,
+                        "configuration": list(snap.configuration.items()),
+                        "createdTime": None,
+                    }
+                ]
+                + [None] * (n - 2),
+                type=meta_t,
+            ),
+            "add": pa.array([None, None] + rows_add, type=add_t),
+        }
+    )
+    pq.write_table(
+        tbl, os.path.join(_log_dir(table_path), f"{v:020d}.checkpoint.parquet")
+    )
+    with open(os.path.join(_log_dir(table_path), "_last_checkpoint"), "w") as f:
+        json.dump({"version": v, "size": n}, f)
+    return v
+
+
+def export_iceberg_to_delta(
+    spark: SparkSession,
+    iceberg_table,
+    delta_path: str,
+    partition_columns: list[str] | None = None,
+) -> int:
+    """One-pass Iceberg → Delta export: scan the Iceberg table's
+    current snapshot (full metadata path: manifests, deletes, DVs) and
+    write it as a new Delta table, finishing with a checkpoint so the
+    result is immediately vacuum-friendly."""
+    df = iceberg_table.scan().to_df(spark)
+    create_delta_table(delta_path, df.schema, partition_columns)
+    v = append_delta(spark, delta_path, df)
+    write_checkpoint(delta_path, v)
+    return v

@@ -1,0 +1,119 @@
+"""Delta writer: append/overwrite snapshot isolation, commit races,
+checkpoint self-sufficiency, partition serialization edge cases."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from icegopher_spark.delta import load_delta, read_delta, vacuum_candidates
+from icegopher_spark.delta_write import (
+    append_delta,
+    create_delta_table,
+    overwrite_delta,
+    write_checkpoint,
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "k long, v string, p string")
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    loc = str(tmp_path / "t")
+    create_delta_table(loc, _df(spark, []).schema, ["p"])
+    return loc
+
+
+def test_append_and_read_back(spark, table):
+    append_delta(spark, table, _df(spark, [(1, "a", "x"), (2, "b", "y")]))
+    append_delta(spark, table, _df(spark, [(3, "c", "x")]))
+    got = sorted(
+        (r["k"], r["v"], r["p"]) for r in read_delta(spark, table).collect()
+    )
+    assert got == [(1, "a", "x"), (2, "b", "y"), (3, "c", "x")]
+    # partition pruning sees the writer's partitionValues
+    x_only = read_delta(spark, table, partition_filter=lambda pv: pv["p"] == "x")
+    assert sorted(r["k"] for r in x_only.collect()) == [1, 3]
+
+
+def test_overwrite_is_snapshot_isolated(spark, table):
+    v1 = append_delta(spark, table, _df(spark, [(1, "a", "x")]))
+    v2 = overwrite_delta(spark, table, _df(spark, [(9, "z", "y")]))
+    assert [r["k"] for r in read_delta(spark, table).collect()] == [9]
+    assert [r["k"] for r in read_delta(spark, table, version=v1).collect()] == [1]
+    assert v2 == v1 + 1
+
+
+def test_commit_race_one_winner(spark, table):
+    """Two writers that both resolved 'next version = 2' (the race the
+    protocol's put-if-absent log store exists for): exactly one wins."""
+    from icegopher_spark.delta_write import _commit
+
+    append_delta(spark, table, _df(spark, [(1, "a", "x")]))
+    _commit(table, 2, [])  # writer A claims version 2
+    with pytest.raises(FileExistsError):
+        _commit(table, 2, [])  # writer B must lose, not overwrite
+    # a writer that re-plans from the log proceeds normally
+    assert append_delta(spark, table, _df(spark, [(2, "b", "x")])) == 3
+
+
+def test_checkpoint_makes_json_vacuumable(spark, table):
+    append_delta(spark, table, _df(spark, [(1, "a", "x"), (2, "b", "y")]))
+    v = append_delta(spark, table, _df(spark, [(3, "c", "x")]))
+    write_checkpoint(table, v)
+    for old in range(v + 1):
+        os.remove(os.path.join(table, "_delta_log", f"{old:020d}.json"))
+    got = sorted(r["k"] for r in read_delta(spark, table).collect())
+    assert got == [1, 2, 3]
+    # and the table keeps accepting appends after the log was truncated
+    append_delta(spark, table, _df(spark, [(4, "d", "y")]))
+    assert read_delta(spark, table).count() == 4
+
+
+def test_null_partition_value_roundtrip(spark, table):
+    append_delta(spark, table, _df(spark, [(1, "a", None), (2, "b", "x")]))
+    rows = {r["k"]: r["p"] for r in read_delta(spark, table).collect()}
+    assert rows == {1: None, 2: "x"}
+
+
+def test_unpartitioned_table(spark, tmp_path):
+    loc = str(tmp_path / "flat")
+    df = spark.createDataFrame([(1, 2.5)], "k long, x double")
+    create_delta_table(loc, df.schema)
+    append_delta(spark, loc, df)
+    [r] = read_delta(spark, loc).collect()
+    assert (r["k"], r["x"]) == (1, 2.5)
+
+
+def test_partition_type_refused(spark, tmp_path):
+    df = spark.createDataFrame([(1.5, "a")], "x double, v string")
+    with pytest.raises(NotImplementedError, match="partition column"):
+        create_delta_table(str(tmp_path / "bad"), df.schema, ["x"])
+
+
+def test_append_missing_column_rejected(spark, table):
+    with pytest.raises(ValueError, match="missing table columns"):
+        append_delta(spark, table, spark.createDataFrame([(1,)], "k long"))
+
+
+def test_writer_output_vacuums_cleanly(spark, table):
+    append_delta(spark, table, _df(spark, [(1, "a", "x")]))
+    v = overwrite_delta(spark, table, _df(spark, [(2, "b", "x")]))
+    # far-future clock + zero retention: only the overwritten file goes
+    cands = vacuum_candidates(table, retention_ms=0, now_ms=10**20)
+    assert len(cands) == 1
+    live = {p for p, _ in load_delta(table, version=v).files}
+    assert cands[0] not in live
+
+
+def test_add_stats_carry_numrecords(spark, table):
+    append_delta(spark, table, _df(spark, [(1, "a", "x"), (2, "b", "x")]))
+    with open(os.path.join(table, "_delta_log", f"{1:020d}.json")) as f:
+        adds = [json.loads(l)["add"] for l in f if '"add"' in l]
+    total = sum(json.loads(a["stats"])["numRecords"] for a in adds)
+    assert total == 2
