@@ -136,6 +136,35 @@ ENTRIES = [
         "count keeps the per-cluster quadratic term constant (10x "
         "artifact: 11.65x fixed -> 3.27x adaptive).",
     ),
+    (
+        "interval_join_campaigns",
+        "simple",
+        "Range join (round-9): the inequality join Catalyst would run "
+        "as BroadcastNestedLoop is re-expressed as explode-to-buckets + "
+        "BroadcastHashJoin on __range_bucket with the exact range "
+        "predicate as the join residual. Each (point, interval) pair "
+        "meets exactly once (a point lives in ONE bucket) — no dedup "
+        "pass. The only BNLJ in the plan is the constant-size 50x1 "
+        "global-min attach.",
+    ),
+    (
+        "fuzzy_match_partnames",
+        "simple",
+        "Fuzzy join (round-9): candidates from a q-gram inverted-index "
+        "equi-join over DISTINCT strings (vocabulary-scale, not corpus-"
+        "scale); short strings route through a bounded broadcast block; "
+        "JVM levenshtein verifies. The gate's oracle is the naive "
+        "all-pairs join, so the hash match proves recall 1.0.",
+    ),
+    (
+        "graph_pagerank",
+        "simple",
+        "PageRank (round-9): the returned plan is ONE iteration deep — "
+        "LocalTableScan/checkpoint blocks stand in for iteration k-1 "
+        "because the loop localCheckpoints every pass. Without it the "
+        "logical plan grows 3^k nodes (driver OOMs printing the tree "
+        "at k=10; caught by this repo's own tests).",
+    ),
 ]
 
 

@@ -110,6 +110,8 @@ EXTRA_SCALE_QUERIES = [
     # profiling/drift, PageRank, filter sweep, in-place adoption)
     "delta_read",
     "delta_to_iceberg_migrate",
+    "delta_export_roundtrip",
+    "delta_vacuum_preview",
     "interval_join_campaigns",
     # interval_overlap_cohorts is deliberately NOT here: with the
     # synthetic data every user's span covers the whole month, so the
