@@ -1053,3 +1053,59 @@ def stream_scd2_history_q(spark: SparkSession, sf: str) -> DataFrame:
             "is_current",
         )
     )
+
+
+# ------------------------------------------------ Delta stream source (r9)
+
+stream_delta_oracle = """
+SELECT o_orderpriority, COUNT(*) AS n_orders,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE)
+         AS total_price
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+@register(
+    "stream_delta_source",
+    stream_delta_oracle,
+    "Delta log tailed as a stream: per-commit adds, change commits skipped",
+)
+def stream_delta_source_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Tail the hand-authored Delta fixture from version 0 with
+    skip-change-commits: the stream emits every commit's ADDS (v0+v1+v3
+    = the full orders table, since the append view never retracts) and
+    skips the v2 DELETE commit — per-commit attribution straight from
+    the JSON log. Partition values come back as constant Arrow columns
+    on the executor."""
+    import shutil as _sh
+
+    from .delta_queries import delta_fixture_path
+    from .streaming.delta_source import DeltaAppendStreamSource
+
+    spark.dataSource.register(DeltaAppendStreamSource)
+    loc = delta_fixture_path(sf)
+    key = sf.strip("/").replace("/", "_")
+    work = f"/tmp/icegopher_tables/{key}/delta_stream_gate"
+    _sh.rmtree(work, ignore_errors=True)
+    out, ckpt = f"{work}/out", f"{work}/ckpt"
+    q = (
+        spark.readStream.format("icegopher_delta_stream")
+        .option("location", loc)
+        .option("starting-version", "0")
+        .option("skip-change-commits", "true")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    df = spark.read.parquet(out)
+    return df.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(12,2)")), 2)
+        .cast("double")
+        .alias("total_price"),
+    )

@@ -1,0 +1,127 @@
+"""Delta streaming source: bootstrap vs tail semantics, change-commit
+refusal, admission control, partition-value typing."""
+
+from __future__ import annotations
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def fixture_loc():
+    from icegopher_spark.delta_queries import delta_fixture_path
+
+    return delta_fixture_path(SF)
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _register(spark):
+    from icegopher_spark.streaming.delta_source import DeltaAppendStreamSource
+
+    spark.dataSource.register(DeltaAppendStreamSource)
+
+
+def _run(spark, loc, tmp_path, name, **options):
+    out = str(tmp_path / f"{name}_out")
+    reader = spark.readStream.format("icegopher_delta_stream").option(
+        "location", loc
+    )
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    q = (
+        reader.load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / f"{name}_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out)
+
+
+def test_bootstrap_equals_live_set(spark, fixture_loc, tmp_path):
+    """Default mode: first batch is the CURRENT snapshot — the v2
+    remove is already netted out, like delta-spark's initial snapshot."""
+    from icegopher_spark.delta import read_delta
+
+    got = _run(spark, fixture_loc, tmp_path, "boot")
+    assert got.count() == read_delta(spark, fixture_loc).count()
+    # partition column is materialized with correct per-file values
+    per_prio = {
+        r["o_orderpriority"]: r["n"]
+        for r in got.groupBy("o_orderpriority").count().withColumnRenamed(
+            "count", "n"
+        ).collect()
+    }
+    batch = {
+        r["o_orderpriority"]: r["n"]
+        for r in read_delta(spark, fixture_loc)
+        .groupBy("o_orderpriority")
+        .count()
+        .withColumnRenamed("count", "n")
+        .collect()
+    }
+    assert per_prio == batch
+
+
+def test_tail_refuses_change_commit(spark, fixture_loc, tmp_path):
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    with pytest.raises((StreamingQueryException, Py4JJavaError)) as ei:
+        _run(spark, fixture_loc, tmp_path, "refuse", **{"starting-version": "0"})
+    assert "removes files" in str(ei.value)
+
+
+def test_tail_skip_change_commits_is_append_view(spark, fixture_loc, tmp_path):
+    got = _run(
+        spark,
+        fixture_loc,
+        tmp_path,
+        "skip",
+        **{"starting-version": "0", "skip-change-commits": "true"},
+    )
+    # all adds of v0+v1+v3 = the full base table (nothing retracted)
+    import duckdb
+
+    n = duckdb.sql(f"SELECT COUNT(*) FROM '{SF}/orders.parquet'").fetchone()[0]
+    assert got.count() == n
+
+
+def test_max_versions_per_trigger_bounds_batches(fixture_loc):
+    """Admission control at the reader level (Python DataSource streams
+    fall back to single-batch under availableNow, so the cap is only
+    observable on a live trigger — simulate the micro-batch loop).
+    Like the Iceberg source, the FIRST batch of a run is uncapped
+    (restart catch-up must not stall behind an unknown checkpoint);
+    steady-state batches then advance at most N versions."""
+    from icegopher_spark.streaming.delta_source import _DeltaStreamReader
+
+    r = _DeltaStreamReader(
+        {
+            "location": fixture_loc,
+            "starting-version": "0",
+            "skip-change-commits": "true",
+            "max-versions-per-trigger": "1",
+        }
+    )
+    start = r.initialOffset()
+    first = r.latestOffset()
+    assert first["version"] == 3  # uncapped catch-up
+    parts = r.partitions(start, first)
+    assert len(parts) == 15  # v0+v1+v3 adds, v2 skipped
+
+    # steady state: a new commit lands; the next offset advances by 1
+    r._last_served = 3
+    import json as _json
+    import os as _os
+
+    # pretend two more commits exist by asking for latest twice
+    def _fake_latest(self=r):
+        return 6
+
+    r._latest_version = _fake_latest
+    assert r.latestOffset()["version"] == 4  # 3 + cap(1)
+    assert r.latestOffset()["version"] == 5
