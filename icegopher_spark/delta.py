@@ -325,10 +325,21 @@ def read_delta(
     # input_file_name() returns a URI (file://...); normalize both
     # sides to os paths for the equi-join key.
     part_fields = [f for f in snap.schema.fields if f.name in snap.partition_columns]
+    # input_file_name() percent-encodes the path like a Java URI
+    # (space→%20, %→%25) but leaves RFC-3986 pchar sub-delims (+ = & …)
+    # literal — so the MAP side must encode the same way. Decoding the
+    # Spark side instead (url_decode) would corrupt literal '+' to a
+    # space. Verified empirically against Spark 4; a mismatch here
+    # silently DROPS the partition's rows (inner join).
+    from urllib.parse import quote as _q
+
+    def _uri_path(p: str) -> str:
+        return _q(os.path.abspath(p), safe="/!$&'()*+,;=:@-._~")
+
     rows = []
     for p, pv in files:
         rows.append(
-            (os.path.abspath(p), *[pv.get(f.name) for f in part_fields])
+            (_uri_path(p), *[pv.get(f.name) for f in part_fields])
         )
     map_schema = StructType.fromDDL(
         "__delta_path string, "

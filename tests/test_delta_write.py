@@ -117,3 +117,27 @@ def test_add_stats_carry_numrecords(spark, table):
         adds = [json.loads(l)["add"] for l in f if '"add"' in l]
     total = sum(json.loads(a["stats"])["numRecords"] for a in adds)
     assert total == 2
+
+
+def test_special_chars_in_partition_values_roundtrip(spark, tmp_path):
+    """Spark's input_file_name() percent-encodes paths (space->%20,
+    %->%25, '+' literal); a naive path join silently drops these
+    partitions' rows. Writer hive-escaping + reader URI-encoding must
+    agree end to end."""
+    loc = str(tmp_path / "nasty")
+    df = spark.createDataFrame(
+        [
+            (1, "NOT SPECIFIED and 100% sure+plus"),
+            (2, "plain"),
+            (3, "a=b,c;d&e"),
+        ],
+        "k long, p string",
+    )
+    create_delta_table(loc, df.schema, ["p"])
+    append_delta(spark, loc, df)
+    rows = {r["k"]: r["p"] for r in read_delta(spark, loc).collect()}
+    assert rows == {
+        1: "NOT SPECIFIED and 100% sure+plus",
+        2: "plain",
+        3: "a=b,c;d&e",
+    }

@@ -112,6 +112,7 @@ EXTRA_SCALE_QUERIES = [
     "delta_to_iceberg_migrate",
     "delta_export_roundtrip",
     "delta_vacuum_preview",
+    "stream_delta_source",
     "interval_join_campaigns",
     # interval_overlap_cohorts is deliberately NOT here: with the
     # synthetic data every user's span covers the whole month, so the
