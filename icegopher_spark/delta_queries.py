@@ -77,13 +77,17 @@ def _one_commit_files(sf_dir: str, residue: int) -> dict[str, pa.Table]:
     partition values live only in the log)."""
     import duckdb
 
+    src = f"{sf_dir}/orders.parquet"
+    if os.path.isdir(src):
+        # scaled copies are Spark-written DIRECTORIES of part files
+        src = f"{src}/*.parquet"
     con = duckdb.connect()
     out: dict[str, pa.Table] = {}
     for prio in _PRIORITIES:
         t = con.execute(
             f"""
             SELECT o_orderkey, o_custkey, o_totalprice
-            FROM '{sf_dir}/orders.parquet'
+            FROM '{src}'
             WHERE o_orderkey % 3 = {residue} AND o_orderpriority = ?
             ORDER BY o_orderkey
             """,

@@ -2450,13 +2450,23 @@ def _adopted_table_for(spark: SparkSession, sf_dir: str) -> Table:
             schema_id=0,
         )
         t = W.create_table(loc, schema)
-        return W.add_files(t, [f"{sf_dir}/orders.parquet"])
+        src = f"{sf_dir}/orders.parquet"
+        if os.path.isdir(src):
+            # scaled copies are Spark-written DIRECTORIES of part files
+            paths = sorted(
+                os.path.join(src, fn)
+                for fn in os.listdir(src)
+                if fn.endswith(".parquet")
+            )
+        else:
+            paths = [src]
+        return W.add_files(t, paths)
 
     return _cached_table(
         sf_dir,
         "orders_adopted",
         lambda t: len(t.metadata.snapshots) == 1
-        and len(list(t.scan().plan_files())) == 1,
+        and len(list(t.scan().plan_files())) >= 1,
         build,
     )
 
