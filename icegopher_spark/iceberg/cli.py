@@ -127,6 +127,14 @@ def main(argv: list[str] | None = None) -> int:
         action="store_true",
         help="also materialize equality deletes into deletion vectors",
     )
+    sp = sub.add_parser("delta-import")
+    sp.add_argument("identifier", help="target Iceberg table")
+    sp.add_argument("delta_path", help="source Delta table directory")
+    sp.add_argument("--version", type=int, default=None, help="Delta version to import")
+    sp = sub.add_parser("delta-export")
+    sp.add_argument("identifier", help="source Iceberg table")
+    sp.add_argument("delta_path", help="target Delta table directory (created)")
+    sp.add_argument("--partition-by", help="comma-separated partition columns")
 
     args = p.parse_args(argv)
     props = {}
@@ -324,6 +332,35 @@ def _dispatch(args, cat) -> int:
             f"partition statistics for snapshot {entry['snapshot-id']}: "
             f"{entry['statistics-path']} ({entry['file-size-in-bytes']} bytes)"
         )
+        return 0
+    if args.verb == "delta-import":
+        # mixed-estate onboarding: Delta log replay -> one Iceberg append
+        from ..delta import read_delta
+        from ..session import get_spark
+        from .write import append as _append
+
+        t = cat.load_table(to_identifier(args.identifier))
+        spark = get_spark("icegopher-cli")
+        df = read_delta(spark, args.delta_path, version=args.version)
+        t = _append(t, df)
+        print(
+            f"imported Delta {args.delta_path} "
+            f"(version {args.version if args.version is not None else 'latest'}) "
+            f"-> snapshot {t.current_snapshot().snapshot_id}"
+        )
+        return 0
+    if args.verb == "delta-export":
+        from ..delta_write import export_iceberg_to_delta
+        from ..session import get_spark
+
+        t = cat.load_table(to_identifier(args.identifier))
+        if t.current_snapshot() is None:
+            print(f"{args.identifier}: empty table (no snapshots) — nothing to export")
+            return 0
+        spark = get_spark("icegopher-cli")
+        parts = args.partition_by.split(",") if args.partition_by else None
+        v = export_iceberg_to_delta(spark, t, args.delta_path, parts)
+        print(f"exported {args.identifier} -> Delta {args.delta_path} (version {v})")
         return 0
     if args.verb == "register":
         if not hasattr(cat, "register_table"):
