@@ -35,16 +35,16 @@ __all__ = ["fuzzy_join", "fuzzy_self_pairs"]
 
 
 def _gram_array(col: str, q: int):
-    """Distinct positional q-grams of a string column as an array.
-    sequence() + transform() + substr stay in codegen — no Python."""
+    """Distinct positional q-grams of a string column as an array
+    (empty when len < q — guard needed because sequence(1, 0) in Spark
+    infers step -1 and would emit bogus pseudo-grams). sequence() +
+    transform() + substr stay in codegen — no Python."""
     s = F.col(col)
     n = F.length(s) - (q - 1)
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(n, F.lit(0))),
-            lambda i: s.substr(i, F.lit(q)),
-        )
+    grams = F.array_distinct(
+        F.transform(F.sequence(F.lit(1), n), lambda i: s.substr(i, F.lit(q)))
     )
+    return F.when(n >= 1, grams).otherwise(F.array().cast("array<string>"))
 
 
 def _candidate_pairs(
@@ -56,32 +56,58 @@ def _candidate_pairs(
 ) -> DataFrame:
     """Distinct candidate (s, t) pairs over the two vocabularies
     (columns: __s / __t), guaranteed to contain every pair within
-    edit distance ``max_distance`` (when max_gram_freq is None)."""
-    short_cut = q * (max_distance + 1)
+    edit distance ``max_distance`` (when max_gram_freq is None).
 
-    lg = vocab_l.select(F.col("__s"), F.explode(_gram_array("__s", q)).alias("g"))
-    rg = vocab_r.select(F.col("__t"), F.explode(_gram_array("__t", q)).alias("g"))
+    Three disjoint tiers keyed on the PAIR's max(len) (d = distance):
+      * max(len) ≥ q·(d+1): q-gram equi-join — the count bound
+        ``shared ≥ max(len) − q + 1 − d·q ≥ 1`` guarantees a meeting
+        gram, and the shorter side (≥ max(len) − d ≥ q) has grams;
+      * d < max(len) < q·(d+1): 1-gram (character) equi-join — the
+        q=1 bound gives ``shared chars ≥ max(len) − d ≥ 1``;
+      * max(len) ≤ d: EVERY pair is within distance d (delete one
+        string, insert the other), so the all-pairs block here is the
+        answer itself, not a shortcut — and it only holds strings of
+        ≤ d characters, a set that is tiny by construction.
+    """
+    d = max_distance
+    long_cut = q * (d + 1)
+
+    def _tier_join(gl, gr, lo_excl: int, hi_incl: int | None) -> DataFrame:
+        mx = F.greatest(F.length("__s"), F.length("__t"))
+        cond = mx > lo_excl if hi_incl is None else (mx > lo_excl) & (mx <= hi_incl)
+        return gl.join(gr, "g").where(cond).select("__s", "__t")
+
+    def _grams(df, col, qq):
+        return df.select(F.col(col), F.explode(_gram_array(col, qq)).alias("g"))
+
+    lq, rq = _grams(vocab_l, "__s", q), _grams(vocab_r, "__t", q)
     if max_gram_freq is not None:
+        # document frequency over BOTH sides: a gram ultra-frequent on
+        # only one side still explodes the index (self-review r9)
         freq = (
-            lg.groupBy("g").agg(F.count(F.lit(1)).alias("nf"))
+            lq.select("g").unionByName(rq.select("g"))
+            .groupBy("g")
+            .agg(F.count(F.lit(1)).alias("nf"))
             .filter(F.col("nf") > max_gram_freq)
             .select("g")
         )
-        lg = lg.join(freq, "g", "left_anti")
-        rg = rg.join(freq, "g", "left_anti")
-    long_pairs = (
-        lg.join(rg, "g")
-        # gram equi-join guarantees coverage only when one side is long
-        .where(
-            (F.length("__s") >= short_cut) | (F.length("__t") >= short_cut)
-        )
-        .select("__s", "__t")
-        .distinct()
+        lq = lq.join(freq, "g", "left_anti")
+        rq = rq.join(freq, "g", "left_anti")
+    long_pairs = _tier_join(lq, rq, long_cut - 1, None)
+
+    mid_l = vocab_l.where(F.length("__s") < long_cut)
+    mid_r = vocab_r.where(F.length("__t") < long_cut)
+    mid_pairs = _tier_join(
+        _grams(mid_l, "__s", 1), _grams(mid_r, "__t", 1), d, long_cut - 1
     )
-    shorts_l = vocab_l.where(F.length("__s") < short_cut)
-    shorts_r = vocab_r.where(F.length("__t") < short_cut)
-    short_pairs = shorts_l.crossJoin(F.broadcast(shorts_r))
-    return long_pairs.unionByName(short_pairs.select("__s", "__t"))
+
+    ultra_l = vocab_l.where(F.length("__s") <= d)
+    ultra_r = vocab_r.where(F.length("__t") <= d)
+    ultra_pairs = ultra_l.crossJoin(F.broadcast(ultra_r)).select("__s", "__t")
+
+    return (
+        long_pairs.unionByName(mid_pairs).unionByName(ultra_pairs).distinct()
+    )
 
 
 def fuzzy_join(
@@ -105,6 +131,11 @@ def fuzzy_join(
     if dup:
         raise ValueError(
             f"column name collision between sides: {sorted(dup)} — rename first"
+        )
+    if "distance" in left.columns or "distance" in right.columns:
+        raise ValueError(
+            "a 'distance' column already exists on an input; rename it — "
+            "fuzzy_join appends its own"
         )
     vl = left.select(F.col(left_col).alias("__s")).where(
         F.col("__s").isNotNull()

@@ -108,3 +108,37 @@ def test_stop_gram_cap_trades_recall_not_precision(spark, vocab):
     }
     # never a false positive; may miss pairs (documented tradeoff)
     assert capped <= exact
+
+
+def test_three_tier_coverage_edges(spark):
+    """Pairs that each tier uniquely covers: ultra (both <= d, share no
+    char), mid (share a char but no q-gram), long (share a q-gram)."""
+    left = spark.createDataFrame([("xy",), ("abcde",), ("abcdefghij",)], "l string")
+    right = spark.createDataFrame([("zw",), ("abdce",), ("abcdefghXj",)], "r string")
+    got = {
+        (r["l"], r["r"])
+        for r in fuzzy_join(left, right, "l", "r", 2, q=3).collect()
+    }
+    assert ("xy", "zw") in got          # ultra: distance 2, zero shared chars
+    assert ("abcde", "abdce") in got    # mid: transposition, no shared 3-gram run needed
+    assert ("abcdefghij", "abcdefghXj") in got  # long: q-gram tier
+
+
+def test_empty_string_matches_ultra_short(spark):
+    left = spark.createDataFrame([("",)], "l string")
+    right = spark.createDataFrame([("ab",), ("abc",)], "r string")
+    got = {
+        (r["l"], r["r"], r["distance"])
+        for r in fuzzy_join(left, right, "l", "r", 2, q=3).collect()
+    }
+    # "" -> "ab" is 2 inserts (= d); "" -> "abc" is 3 (> d)
+    assert got == {("", "ab", 2)}
+
+
+def test_distance_column_collision_guard(spark):
+    l = spark.createDataFrame([("a", 1)], "name string, distance int")
+    r = spark.createDataFrame([("b",)], "other string")
+    import pytest as _p
+
+    with _p.raises(ValueError, match="'distance' column"):
+        fuzzy_join(l, r, "name", "other", 1)
