@@ -297,3 +297,41 @@ def test_vacuum_never_touches_log(fixture_loc, tmp_path):
     assert all("_delta_log" not in c for c in cands)
     # the checkpoint parquet is inside _delta_log and must not appear
     assert not any(c.endswith(".checkpoint.parquet") for c in cands)
+
+
+# ------------------------------------------------------------ open_table
+
+
+def test_open_table_sniffs_all_three(spark, fixture_loc, tmp_path):
+    from icegopher_spark.open_table import detect_format, open_table
+
+    # delta (version travel passes through)
+    assert detect_format(fixture_loc) == "delta"
+    v0 = open_table(spark, fixture_loc, version=0)
+    assert v0.count() == read_delta(spark, fixture_loc, version=0).count()
+
+    # plain parquet
+    assert detect_format(SF) == "parquet"
+    n = open_table(spark, f"{SF}").count()
+    assert n > 0
+    with pytest.raises(ValueError, match="no version history"):
+        open_table(spark, SF, version=1)
+
+    # iceberg
+    from icegopher_spark.iceberg_queries import _table_for
+
+    t = _table_for(spark, SF)
+    loc = t.metadata.location.replace("file://", "")
+    assert detect_format(loc) == "iceberg"
+    assert open_table(spark, loc).count() == t.scan().to_df(spark).count()
+
+    # ambiguity refused
+    both = tmp_path / "both"
+    (both / "metadata").mkdir(parents=True)
+    (both / "metadata" / "version-hint.text").touch()
+    (both / "_delta_log").mkdir()
+    with pytest.raises(ValueError, match="BOTH"):
+        detect_format(str(both))
+
+    with pytest.raises(ValueError, match="no Iceberg/Delta"):
+        detect_format(str(tmp_path / "empty_nothing"))
