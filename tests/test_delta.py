@@ -276,15 +276,20 @@ def test_vacuum_retention_protects_time_travel(fixture_loc):
     assert cands == []
 
 
-def test_vacuum_mtime_guard(fixture_loc):
+def test_vacuum_mtime_guard(fixture_loc, tmp_path):
     from icegopher_spark.delta import vacuum_candidates
 
-    # now == fixture build time: the removed file's mtime is "recent",
-    # so an in-flight-writer guard must keep it
+    # freshen every data file's mtime (the /tmp-cached fixture may be
+    # hours old): a "recent" file must be kept by the in-flight-writer
+    # guard even when the retention window alone would vacuum it
     import time
 
+    loc = _copy_table(fixture_loc, tmp_path, "mtime")
+    for fn in os.listdir(loc):
+        if fn.endswith(".parquet"):
+            os.utime(os.path.join(loc, fn))
     cands = vacuum_candidates(
-        fixture_loc, retention_ms=3600 * 1000, now_ms=int(time.time() * 1000)
+        loc, retention_ms=3600 * 1000, now_ms=int(time.time() * 1000)
     )
     assert cands == []
 
