@@ -1496,3 +1496,46 @@ def graph_pagerank(spark: SparkSession, sf: str) -> DataFrame:
     )
     pr = pagerank(edges, iterations=3, damping=0.85)
     return pr.select("node", F.round("rank", 6).alias("rank"))
+
+
+# ------------------------------------------- hard-negative mining (r9)
+
+hard_neg_oracle = """
+WITH c AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, label AS qlabel, v AS qv FROM c WHERE vec_id < 16
+), scored AS (
+  SELECT q.query_id, c.vec_id, c.label AS negative_label,
+         ROUND(list_dot_product(c.v, q.qv)
+               / (sqrt(list_dot_product(c.v, c.v))
+                  * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cosine_sim
+  FROM c JOIN q ON c.vec_id <> q.query_id AND c.label <> q.qlabel
+), ranked AS (
+  SELECT query_id, vec_id, negative_label, cosine_sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine_sim DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, negative_label, cosine_sim, rank
+FROM ranked WHERE rank <= 3
+"""
+
+
+@register(
+    "sim_hard_negatives",
+    hard_neg_oracle,
+    "contrastive hard-negative mining: top-k nearest with a DIFFERENT label",
+)
+def sim_hard_negatives(spark: SparkSession, sf: str) -> DataFrame:
+    """The contrastive-training miner: nearest neighbors that the label
+    says are wrong — the examples a contrastive loss learns most from.
+    Same broadcast + codegen-HOF plan as sim_topk_bruteforce with the
+    label inequality pushed into the join."""
+    from .operators.similarity import hard_negatives
+
+    emb = load(spark, sf, "embeddings")
+    q = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("query_id"), "label", "embedding"
+    )
+    return hard_negatives(emb, q, k=3)

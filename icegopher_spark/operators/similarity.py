@@ -768,3 +768,55 @@ def quantize_int8(
         F.when(zero, F.array().cast("array<bigint>")).otherwise(codes).alias("codes"),
         F.when(zero, F.lit(0.0)).otherwise(max_err).alias("max_err"),
     ).withColumn("within_bound", F.col("max_err") <= F.col("scale") / 2 + 1e-12)
+
+
+def hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Contrastive-training hard-negative mining: for each query, the
+    top-k most-similar corpus vectors with a DIFFERENT label (the
+    near-misses a contrastive loss learns the most from).
+
+    queries: (query_id, label, embedding). Same plan shape as
+    brute_force_topk — queries broadcast, cosine in codegen HOFs, one
+    window for top-k — plus the label inequality pushed into the join
+    so same-label candidates never reach the scorer. Scale path: swap
+    the broadcast scorer for ivf_topk's cell-pruned candidates and
+    keep the same label filter; mining is embarrassingly parallel in
+    queries either way.
+    """
+    from pyspark.sql import Window
+
+    q = queries.select(
+        F.col(query_id_col),
+        F.col(label_col).alias("_qlabel"),
+        F.col(vec_col).alias("_qvec"),
+    )
+    scored = (
+        corpus.select(F.col(id_col), F.col(label_col), F.col(vec_col))
+        .crossJoin(F.broadcast(q))
+        .filter(
+            (F.col(id_col) != F.col(query_id_col))
+            & (F.col(label_col) != F.col("_qlabel"))
+        )
+        .select(
+            query_id_col,
+            id_col,
+            F.col(label_col).alias("negative_label"),
+            F.round(cosine(F.col(vec_col), F.col("_qvec")), 6).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine_sim").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "negative_label", "cosine_sim", "rank")
+    )

@@ -1388,3 +1388,24 @@ def test_filter_sweep_default_weight_and_validation(spark):
     assert r["n_rows"] == 1 and r["n_weight"] == 1  # weight defaults to 1/row
     with _pytest.raises(ValueError, match="non-empty"):
         filter_sweep(df, "score", [])
+
+
+def test_hard_negatives_label_filter_and_rank(spark):
+    from icegopher_spark.operators.similarity import hard_negatives
+
+    corpus = spark.createDataFrame(
+        [
+            (1, 0, [1.0, 0.0]),
+            (2, 0, [0.9, 0.1]),   # same label as query -> excluded
+            (3, 1, [0.8, 0.2]),   # different label, most similar
+            (4, 1, [0.0, 1.0]),   # different label, orthogonal-ish
+        ],
+        "vec_id long, label int, embedding array<double>",
+    )
+    q = corpus.filter("vec_id = 1").selectExpr(
+        "vec_id as query_id", "label", "embedding"
+    )
+    rows = hard_negatives(corpus, q, k=2).collect()
+    assert [r["vec_id"] for r in rows] == [3, 4]
+    assert all(r["negative_label"] == 1 for r in rows)
+    assert rows[0]["rank"] == 1 and rows[0]["cosine_sim"] > rows[1]["cosine_sim"]
