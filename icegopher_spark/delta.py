@@ -43,7 +43,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
-__all__ = ["DeltaSnapshot", "load_delta", "read_delta", "vacuum_candidates"]
+__all__ = [
+    "DeltaSnapshot",
+    "load_delta",
+    "read_delta",
+    "read_changes",
+    "vacuum_candidates",
+]
 
 
 # readerFeatures this implementation actually honors (protocol §
@@ -309,22 +315,41 @@ def read_delta(
     files = snap.files
     if partition_filter is not None:
         files = [(p, pv) for p, pv in files if partition_filter(pv)]
+    return _scan_files(spark, snap.schema, snap.partition_columns, files)
 
-    data_fields = [f for f in snap.schema.fields if f.name not in snap.partition_columns]
+
+def _scan_files(
+    spark: SparkSession,
+    schema: StructType,
+    partition_columns: list[str],
+    files: list[tuple[str, dict]],
+    extra_schema: StructType | None = None,
+) -> DataFrame:
+    """ONE distributed parquet scan over `files`, with each file's
+    partitionValues re-attached via a broadcast path join.  Shared by
+    the batch read and the CDF read.  `extra_schema` appends columns
+    that live IN the data files but not in the table schema (the CDF
+    `_change_type` column of cdc files)."""
+    data_fields = [f for f in schema.fields if f.name not in partition_columns]
+    if extra_schema is not None:
+        data_fields = data_fields + list(extra_schema.fields)
     data_schema = StructType(data_fields)
+    out_names = [f.name for f in schema.fields] + (
+        [f.name for f in extra_schema.fields] if extra_schema is not None else []
+    )
 
     if not files:
-        return spark.createDataFrame([], snap.schema)
+        return spark.createDataFrame([], StructType(
+            [f for f in schema.fields] + (list(extra_schema.fields) if extra_schema else [])
+        ))
 
     paths = [p for p, _ in files]
     df = spark.read.schema(data_schema).parquet(*paths)
-    if not snap.partition_columns:
-        return df
+    if not partition_columns:
+        return df.select(*out_names)
 
     # metadata-size (path → partition values) frame, broadcast-joined.
-    # input_file_name() returns a URI (file://...); normalize both
-    # sides to os paths for the equi-join key.
-    part_fields = [f for f in snap.schema.fields if f.name in snap.partition_columns]
+    part_fields = [f for f in schema.fields if f.name in partition_columns]
     # input_file_name() percent-encodes the path like a Java URI
     # (space→%20, %→%25) but leaves RFC-3986 pchar sub-delims (+ = & …)
     # literal — so the MAP side must encode the same way. Decoding the
@@ -363,7 +388,7 @@ def read_delta(
     )
     out = joined.join(F.broadcast(pmap), "__delta_path", "inner").drop("__delta_path")
     # present columns in declared schema order
-    return out.select(*[f.name for f in snap.schema.fields])
+    return out.select(*out_names)
 
 
 def vacuum_candidates(
@@ -424,3 +449,155 @@ def vacuum_candidates(
                 continue
             out.append(p)
     return sorted(out)
+
+
+def read_changes(
+    spark: SparkSession,
+    table_path: str,
+    starting_version: int = 0,
+    ending_version: int | None = None,
+) -> DataFrame:
+    """Change Data Feed: row-level changes per commit in
+    ``[starting_version, ending_version]`` — the Delta analogue of the
+    Iceberg changelog (`iceberg/changelog.py`).
+
+    Output: table columns + ``_change_type`` (insert / delete /
+    update_preimage / update_postimage) + ``_commit_version``.
+
+    Sources of change rows, per the protocol's CDF rules:
+      * a commit carrying ``cdc`` actions: those files are the ONLY
+        authority for that commit's changes (they carry _change_type
+        in-file, including update pre/post images);
+      * otherwise: ``add`` actions with dataChange=true are inserts,
+        ``remove`` actions with dataChange=true are deletes — the
+        removed file's rows are read back, with partitionValues taken
+        from the replay state at removal time (remove actions aren't
+        required to carry them);
+      * dataChange=false adds/removes (OPTIMIZE/compaction) move bytes,
+        not rows — no change rows, state still advances.
+
+    Physical shape: one scan per (commit, change-kind) group, unioned —
+    O(commits in range) plan nodes, which is bounded by the range the
+    caller asked for (delta-spark attributes CDF per commit the same
+    way). A single global scan is NOT possible: the same physical file
+    can legitimately appear in several change events (inserted at v0,
+    deleted at v2, re-added at v5), and a path-keyed map join would
+    multiply its rows across all of them.
+    """
+    from pyspark.sql.types import LongType, StringType, StructField
+
+    commits, checkpoints = _list_log(table_path)
+    if not commits and not checkpoints:
+        raise FileNotFoundError(f"empty _delta_log: {table_path}")
+    latest = max([*commits, *checkpoints])
+    end = latest if ending_version is None else ending_version
+    if not 0 <= starting_version <= end <= latest:
+        raise ValueError(
+            f"bad CDF range [{starting_version}, {end}] (latest {latest})"
+        )
+
+    snap = load_delta(table_path, version=end)  # schema authority + refusals
+    log_dir = _log_dir(table_path)
+
+    # seed replay state from the newest checkpoint BELOW the range so
+    # removed-file partitionValues are known at removal time
+    start_cp = max((c for c in checkpoints if c < starting_version), default=None)
+    state: dict = {"files": {}, "metaData": None, "protocol": None}
+    if start_cp is not None:
+        _replay_checkpoint(state, table_path, start_cp)
+    replay_from = (start_cp + 1) if start_cp is not None else 0
+
+    schema_json = json.dumps(json.loads(snap.schema.json()), sort_keys=True)
+    # {(version, change_type): [(path, pv), ...]} — within one commit a
+    # path is unique, so the per-group path-map join is collision-free
+    plain: dict[tuple[int, str], list[tuple[str, dict]]] = {}
+    cdc: dict[int, list[tuple[str, dict]]] = {}
+
+    for v in range(replay_from, end + 1):
+        p = os.path.join(log_dir, f"{v:020d}.json")
+        if not os.path.exists(p):
+            if v < starting_version and v in checkpoints:
+                continue  # pre-range, checkpoint-covered
+            raise FileNotFoundError(
+                f"CDF: commit {v} missing from _delta_log — per-commit "
+                "changes cannot be attributed (vacuumed log?)"
+            )
+        in_range = v >= starting_version
+        v_adds: list[dict] = []
+        v_removes: list[tuple[str, dict]] = []  # (path, pv at removal)
+        v_cdc: list[dict] = []
+        with open(p, encoding="utf-8") as f:
+            for line in f:
+                if not line.strip():
+                    continue
+                a = json.loads(line)
+                if a.get("cdc") is not None:
+                    v_cdc.append(a["cdc"])
+                    continue
+                if in_range and a.get("metaData") is not None:
+                    ms = a["metaData"].get("schemaString")
+                    if ms and json.dumps(json.loads(ms), sort_keys=True) != schema_json:
+                        raise ValueError(
+                            f"CDF: commit {v} changes the table schema inside "
+                            "the requested range; split the read at that version"
+                        )
+                if a.get("remove") is not None and in_range:
+                    rp = a["remove"]["path"]
+                    if a["remove"].get("dataChange", True):
+                        pv = a["remove"].get("partitionValues") or state["files"].get(rp)
+                        if pv is None:
+                            raise ValueError(
+                                f"CDF: remove of {rp} at commit {v} predates "
+                                "the replayable log — cannot recover its "
+                                "partition values"
+                            )
+                        v_removes.append((rp, dict(pv)))
+                if a.get("add") is not None and in_range and a["add"].get("dataChange", True):
+                    v_adds.append(a["add"])
+                _apply_action(state, a)
+        if not in_range:
+            continue
+        if v_cdc:
+            # cdc files are the only authority for this commit's changes
+            cdc[v] = [
+                (os.path.join(table_path, c["path"]), dict(c.get("partitionValues") or {}))
+                for c in v_cdc
+            ]
+            continue
+        if v_adds:
+            plain[(v, "insert")] = [
+                (os.path.join(table_path, a["path"]), dict(a.get("partitionValues") or {}))
+                for a in v_adds
+            ]
+        if v_removes:
+            plain[(v, "delete")] = [
+                (os.path.join(table_path, rp), dict(rpv)) for rp, rpv in v_removes
+            ]
+
+    ct_field = StructField("_change_type", StringType(), True)
+    cv_field = StructField("_commit_version", LongType(), True)
+    out_schema = StructType([*snap.schema.fields, ct_field, cv_field])
+    out_names = [f.name for f in out_schema.fields]
+    pieces: list[DataFrame] = []
+    for (v, kind), group in sorted(plain.items()):
+        df = _scan_files(spark, snap.schema, snap.partition_columns, group)
+        pieces.append(
+            df.withColumn("_change_type", F.lit(kind)).withColumn(
+                "_commit_version", F.lit(v).cast("long")
+            )
+        )
+    for v, group in sorted(cdc.items()):
+        df = _scan_files(
+            spark,
+            snap.schema,
+            snap.partition_columns,
+            group,
+            extra_schema=StructType([ct_field]),
+        )
+        pieces.append(df.withColumn("_commit_version", F.lit(v).cast("long")))
+    if not pieces:
+        return spark.createDataFrame([], out_schema)
+    out = pieces[0].select(*out_names)
+    for p_ in pieces[1:]:
+        out = out.unionByName(p_.select(*out_names))
+    return out

@@ -463,3 +463,45 @@ def delta_export_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.round(F.sum(dec("l_quantity")), 2).cast("double").alias("sum_qty"),
     )
+
+
+delta_cdf_oracle = """
+SELECT 'insert' AS _change_type, CAST(0 AS BIGINT) AS _commit_version,
+       COUNT(*) AS n_rows,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS total_price
+FROM orders WHERE o_orderkey % 3 = 0
+UNION ALL
+SELECT 'insert', 1, COUNT(*),
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE)
+FROM orders WHERE o_orderkey % 3 = 1
+UNION ALL
+SELECT 'delete', 2, COUNT(*),
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE)
+FROM orders WHERE o_orderkey % 3 = 0 AND o_orderpriority = '5-LOW'
+UNION ALL
+SELECT 'insert', 3, COUNT(*),
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE)
+FROM orders WHERE o_orderkey % 3 = 2
+"""
+
+
+@register(
+    "delta_cdf_read",
+    delta_cdf_oracle,
+    "Delta Change Data Feed: per-commit inserts + recovered deletes",
+)
+def delta_cdf_read(spark: SparkSession, sf: str) -> DataFrame:
+    """CDC parity with the Iceberg changelog, on the Delta side: the
+    fixture's v2 DELETE has no cdc files, so the reader must recover
+    the deleted rows by reading the REMOVED file with partition values
+    from the replay state at removal time."""
+    from .delta import read_changes
+
+    loc = delta_fixture_path(sf)
+    ch = read_changes(spark, loc, 0, 3)
+    return ch.groupBy("_change_type", "_commit_version").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(12,2)")), 2)
+        .cast("double")
+        .alias("total_price"),
+    )

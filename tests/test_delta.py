@@ -340,3 +340,122 @@ def test_open_table_sniffs_all_three(spark, fixture_loc, tmp_path):
 
     with pytest.raises(ValueError, match="no Iceberg/Delta"):
         detect_format(str(tmp_path / "empty_nothing"))
+
+
+# ---------------------------------------------------------------- CDF
+
+
+def test_cdf_recovers_deletes_and_versions(spark, fixture_loc):
+    from icegopher_spark.delta import read_changes
+
+    ch = read_changes(spark, fixture_loc, 0, 3)
+    agg = {
+        (r["_change_type"], r["_commit_version"]): r["n"]
+        for r in ch.groupBy("_change_type", "_commit_version")
+        .count()
+        .withColumnRenamed("count", "n")
+        .collect()
+    }
+    assert set(agg) == {("insert", 0), ("insert", 1), ("delete", 2), ("insert", 3)}
+    # the delete commit's rows are exactly the removed file's rows
+    deleted = ch.filter("_change_type = 'delete'")
+    rows = deleted.collect()
+    assert all(r["o_orderkey"] % 3 == 0 and r["o_orderpriority"] == "5-LOW" for r in rows)
+    # range narrowing
+    only2 = read_changes(spark, fixture_loc, 2, 2)
+    assert {r["_change_type"] for r in only2.collect()} == {"delete"}
+
+
+def test_cdf_cdc_files_are_sole_authority(spark, fixture_loc, tmp_path):
+    """A commit carrying cdc actions must be read ONLY from its cdc
+    files (which carry _change_type in-file, incl. update images) —
+    its add/remove actions move data but not change-attribution."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from icegopher_spark.delta import read_changes
+
+    loc = _copy_table(fixture_loc, tmp_path, "cdf_cdc")
+    cdc_path = "cdc-00004.parquet"
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array([7, 7], type=pa.int64()),
+                "o_custkey": pa.array([1, 1], type=pa.int64()),
+                "o_totalprice": pa.array([10.0, 99.0], type=pa.float64()),
+                "_change_type": pa.array(["update_preimage", "update_postimage"]),
+            }
+        ),
+        os.path.join(loc, cdc_path),
+    )
+    _append_commit(
+        loc,
+        4,
+        [
+            {
+                "cdc": {
+                    "path": cdc_path,
+                    "partitionValues": {"o_orderpriority": "1-URGENT"},
+                    "size": 1,
+                    "dataChange": False,
+                }
+            },
+            # the rewritten data files that cdc supersedes for CDF
+            {
+                "add": {
+                    "path": "part-00001-1.parquet",
+                    "partitionValues": {"o_orderpriority": "1-URGENT"},
+                    "size": 1,
+                    "modificationTime": 1,
+                    "dataChange": True,
+                }
+            },
+        ],
+    )
+    ch = read_changes(spark, loc, 4, 4).collect()
+    assert len(ch) == 2
+    assert {r["_change_type"] for r in ch} == {"update_preimage", "update_postimage"}
+    assert all(r["o_orderpriority"] == "1-URGENT" and r["o_orderkey"] == 7 for r in ch)
+
+
+def test_cdf_schema_change_in_range_refused(spark, fixture_loc, tmp_path):
+    from icegopher_spark.delta import read_changes
+
+    loc = _copy_table(fixture_loc, tmp_path, "cdf_schema")
+    new_schema = json.loads(
+        json.dumps(
+            {
+                "type": "struct",
+                "fields": [
+                    {"name": "o_orderkey", "type": "long", "nullable": True, "metadata": {}}
+                ],
+            }
+        )
+    )
+    _append_commit(
+        loc,
+        4,
+        [
+            {
+                "metaData": {
+                    "id": "icegopher-delta-fixture",
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": json.dumps(new_schema),
+                    "partitionColumns": [],
+                    "configuration": {},
+                    "createdTime": 1,
+                }
+            }
+        ],
+    )
+    with pytest.raises(ValueError, match="changes the table schema"):
+        read_changes(spark, loc, 0, 4)
+
+
+def test_cdf_range_validation(spark, fixture_loc):
+    from icegopher_spark.delta import read_changes
+
+    with pytest.raises(ValueError, match="bad CDF range"):
+        read_changes(spark, fixture_loc, 2, 1)
+    with pytest.raises(ValueError, match="bad CDF range"):
+        read_changes(spark, fixture_loc, 0, 99)
