@@ -451,56 +451,22 @@ def vacuum_candidates(
     return sorted(out)
 
 
-def read_changes(
-    spark: SparkSession,
+def _classify_changes(
     table_path: str,
-    starting_version: int = 0,
-    ending_version: int | None = None,
-) -> DataFrame:
-    """Change Data Feed: row-level changes per commit in
-    ``[starting_version, ending_version]`` — the Delta analogue of the
-    Iceberg changelog (`iceberg/changelog.py`).
-
-    Output: table columns + ``_change_type`` (insert / delete /
-    update_preimage / update_postimage) + ``_commit_version``.
-
-    Sources of change rows, per the protocol's CDF rules:
-      * a commit carrying ``cdc`` actions: those files are the ONLY
-        authority for that commit's changes (they carry _change_type
-        in-file, including update pre/post images);
-      * otherwise: ``add`` actions with dataChange=true are inserts,
-        ``remove`` actions with dataChange=true are deletes — the
-        removed file's rows are read back, with partitionValues taken
-        from the replay state at removal time (remove actions aren't
-        required to carry them);
-      * dataChange=false adds/removes (OPTIMIZE/compaction) move bytes,
-        not rows — no change rows, state still advances.
-
-    Physical shape: one scan per (commit, change-kind) group, unioned —
-    O(commits in range) plan nodes, which is bounded by the range the
-    caller asked for (delta-spark attributes CDF per commit the same
-    way). A single global scan is NOT possible: the same physical file
-    can legitimately appear in several change events (inserted at v0,
-    deleted at v2, re-added at v5), and a path-keyed map join would
-    multiply its rows across all of them.
-    """
-    from pyspark.sql.types import LongType, StringType, StructField
-
+    snap: DeltaSnapshot,
+    starting_version: int,
+    end: int,
+) -> tuple[dict, dict]:
+    """Replay the log and attribute change files per commit in
+    ``[starting_version, end]``.  Returns
+    ``({(version, 'insert'|'delete'): [(abs_path, pv)]},
+    {version: [(abs_path, pv)]})`` — the second dict holds cdc files
+    (in-file _change_type).  State replays from the newest checkpoint
+    below the range so removed files' partitionValues are known at
+    removal time.  Shared by the batch CDF read and the CDF stream."""
     commits, checkpoints = _list_log(table_path)
-    if not commits and not checkpoints:
-        raise FileNotFoundError(f"empty _delta_log: {table_path}")
-    latest = max([*commits, *checkpoints])
-    end = latest if ending_version is None else ending_version
-    if not 0 <= starting_version <= end <= latest:
-        raise ValueError(
-            f"bad CDF range [{starting_version}, {end}] (latest {latest})"
-        )
-
-    snap = load_delta(table_path, version=end)  # schema authority + refusals
     log_dir = _log_dir(table_path)
 
-    # seed replay state from the newest checkpoint BELOW the range so
-    # removed-file partitionValues are known at removal time
     start_cp = max((c for c in checkpoints if c < starting_version), default=None)
     state: dict = {"files": {}, "metaData": None, "protocol": None}
     if start_cp is not None:
@@ -573,6 +539,56 @@ def read_changes(
             plain[(v, "delete")] = [
                 (os.path.join(table_path, rp), dict(rpv)) for rp, rpv in v_removes
             ]
+    return plain, cdc
+
+
+def read_changes(
+    spark: SparkSession,
+    table_path: str,
+    starting_version: int = 0,
+    ending_version: int | None = None,
+) -> DataFrame:
+    """Change Data Feed: row-level changes per commit in
+    ``[starting_version, ending_version]`` — the Delta analogue of the
+    Iceberg changelog (`iceberg/changelog.py`).
+
+    Output: table columns + ``_change_type`` (insert / delete /
+    update_preimage / update_postimage) + ``_commit_version``.
+
+    Sources of change rows, per the protocol's CDF rules:
+      * a commit carrying ``cdc`` actions: those files are the ONLY
+        authority for that commit's changes (they carry _change_type
+        in-file, including update pre/post images);
+      * otherwise: ``add`` actions with dataChange=true are inserts,
+        ``remove`` actions with dataChange=true are deletes — the
+        removed file's rows are read back, with partitionValues taken
+        from the replay state at removal time (remove actions aren't
+        required to carry them);
+      * dataChange=false adds/removes (OPTIMIZE/compaction) move bytes,
+        not rows — no change rows, state still advances.
+
+    Physical shape: one scan per (commit, change-kind) group, unioned —
+    O(commits in range) plan nodes, which is bounded by the range the
+    caller asked for (delta-spark attributes CDF per commit the same
+    way). A single global scan is NOT possible: the same physical file
+    can legitimately appear in several change events (inserted at v0,
+    deleted at v2, re-added at v5), and a path-keyed map join would
+    multiply its rows across all of them.
+    """
+    from pyspark.sql.types import LongType, StringType, StructField
+
+    commits, checkpoints = _list_log(table_path)
+    if not commits and not checkpoints:
+        raise FileNotFoundError(f"empty _delta_log: {table_path}")
+    latest = max([*commits, *checkpoints])
+    end = latest if ending_version is None else ending_version
+    if not 0 <= starting_version <= end <= latest:
+        raise ValueError(
+            f"bad CDF range [{starting_version}, {end}] (latest {latest})"
+        )
+
+    snap = load_delta(table_path, version=end)  # schema authority + refusals
+    plain, cdc = _classify_changes(table_path, snap, starting_version, end)
 
     ct_field = StructField("_change_type", StringType(), True)
     cv_field = StructField("_commit_version", LongType(), True)

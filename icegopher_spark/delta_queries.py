@@ -505,3 +505,12 @@ def delta_cdf_read(spark: SparkSession, sf: str) -> DataFrame:
         .cast("double")
         .alias("total_price"),
     )
+
+
+# stream/batch parity: the CDF stream gate (registered by
+# streaming_queries, which queries.py imports before this module)
+# shares the batch oracle — one SQL text serves both faces.
+from .queries import QUERIES as _QUERIES  # noqa: E402
+
+if "stream_delta_cdf" in _QUERIES:
+    _QUERIES["stream_delta_cdf"].oracle = delta_cdf_oracle

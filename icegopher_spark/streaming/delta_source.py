@@ -37,10 +37,23 @@ from pyspark.sql.datasource import DataSource, DataSourceStreamReader, InputPart
 
 
 class _DeltaFilePartition(InputPartition):
-    def __init__(self, path: str, pv: dict | None, schema_json: str | None):
+    def __init__(
+        self,
+        path: str,
+        pv: dict | None,
+        schema_json: str | None,
+        change_type: str | None = None,
+        commit_version: int | None = None,
+        cdc_in_file: bool = False,
+    ):
         self.path = path
         self.pv = pv
         self.schema_json = schema_json
+        # CDF mode: constant _change_type per file (insert/delete), or
+        # cdc_in_file=True when the file itself carries _change_type
+        self.change_type = change_type
+        self.commit_version = commit_version
+        self.cdc_in_file = cdc_in_file
 
 
 def _pv_value(raw: str | None, spark_type: str):
@@ -72,7 +85,19 @@ class _DeltaStreamReader(DataSourceStreamReader):
         self.skip_change = (
             options.get("skip-change-commits", "false").lower() == "true"
         )
+        self.cdf = options.get("read-change-feed", "false").lower() == "true"
         self.starting_version = options.get("starting-version")
+        if self.cdf and self.starting_version is None:
+            raise ValueError(
+                "read-change-feed requires starting-version (a CDF stream "
+                "tails commits; there is no snapshot bootstrap to fall "
+                "back to)"
+            )
+        if self.cdf and self.skip_change:
+            raise ValueError(
+                "read-change-feed and skip-change-commits are mutually "
+                "exclusive — CDF exists to EMIT change commits"
+            )
         self._last_served: int | None = None
 
     # -- offsets ---------------------------------------------------------
@@ -106,6 +131,33 @@ class _DeltaStreamReader(DataSourceStreamReader):
         snap = self._snapshot(end["version"])
         schema_json = snap.schema.json()
         parts: list[_DeltaFilePartition] = []
+
+        if self.cdf:
+            # CDF stream: each batch is read_changes over (start, end] —
+            # same shared classifier, same per-commit attribution
+            from ..delta import _classify_changes
+
+            lo = start["version"] + 1
+            if lo > end["version"]:
+                return [_DeltaFilePartition("", None, None)]
+            plain, cdc = _classify_changes(
+                self.location, snap, lo, end["version"]
+            )
+            for (v, kind), group in sorted(plain.items()):
+                for p, pv in group:
+                    parts.append(
+                        _DeltaFilePartition(
+                            p, pv, schema_json, change_type=kind, commit_version=v
+                        )
+                    )
+            for v, group in sorted(cdc.items()):
+                for p, pv in group:
+                    parts.append(
+                        _DeltaFilePartition(
+                            p, pv, schema_json, commit_version=v, cdc_in_file=True
+                        )
+                    )
+            return parts or [_DeltaFilePartition("", None, None)]
 
         # the explicit flag decides: starting-version=0 encodes as
         # {version: -1, bootstrap: False} and must TAIL from commit 0,
@@ -185,20 +237,47 @@ class _DeltaStreamReader(DataSourceStreamReader):
         import pyarrow as pa
         import pyarrow.parquet as pq
         from pyspark.sql.pandas.types import to_arrow_schema
-        from pyspark.sql.types import StructType
+        from pyspark.sql.types import LongType, StringType, StructField, StructType
 
         schema = StructType.fromJson(json.loads(partition.schema_json))
-        arrow_schema = to_arrow_schema(schema)
+        cdf = partition.commit_version is not None
+        out_schema = schema
+        if cdf:
+            out_schema = StructType(
+                [
+                    *schema.fields,
+                    StructField("_change_type", StringType(), True),
+                    StructField("_commit_version", LongType(), True),
+                ]
+            )
+        arrow_schema = to_arrow_schema(out_schema)
         pv = partition.pv or {}
         data_names = [f.name for f in schema.fields if f.name not in pv]
+        if partition.cdc_in_file:
+            data_names.append("_change_type")
 
         def gen():
             pf = pq.ParquetFile(partition.path)
             for batch in pf.iter_batches(columns=data_names):
                 cols = []
-                for f in schema.fields:
+                for f in out_schema.fields:
                     target = arrow_schema.field(f.name).type
-                    if f.name in pv:
+                    if f.name == "_change_type" and cdf:
+                        if partition.cdc_in_file:
+                            cols.append(batch.column(f.name).cast(target))
+                        else:
+                            cols.append(
+                                pa.array(
+                                    [partition.change_type] * batch.num_rows
+                                ).cast(target)
+                            )
+                    elif f.name == "_commit_version" and cdf:
+                        cols.append(
+                            pa.array(
+                                [partition.commit_version] * batch.num_rows
+                            ).cast(target)
+                        )
+                    elif f.name in pv:
                         val = _pv_value(pv[f.name], f.dataType.simpleString())
                         cols.append(
                             pa.array([val] * batch.num_rows).cast(target)
@@ -226,9 +305,20 @@ class DeltaAppendStreamSource(DataSource):
         return "icegopher_delta_stream"
 
     def schema(self):
+        from pyspark.sql.types import LongType, StringType, StructField, StructType
+
         from ..delta import load_delta
 
-        return load_delta(self.options["location"]).schema
+        base = load_delta(self.options["location"]).schema
+        if self.options.get("read-change-feed", "false").lower() == "true":
+            return StructType(
+                [
+                    *base.fields,
+                    StructField("_change_type", StringType(), True),
+                    StructField("_commit_version", LongType(), True),
+                ]
+            )
+        return base
 
     def streamReader(self, schema):
         return _DeltaStreamReader(self.options)

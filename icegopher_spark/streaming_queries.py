@@ -11,7 +11,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .queries import register
+from .queries import QUERIES, register
 from .streaming import pipelines as P
 
 
@@ -1109,3 +1109,50 @@ def stream_delta_source_q(spark: SparkSession, sf: str) -> DataFrame:
         .cast("double")
         .alias("total_price"),
     )
+
+
+@register(
+    "stream_delta_cdf",
+    None,  # replaced right below with the batch CDF oracle
+    "Delta CDF as a stream: per-commit inserts + recovered deletes",
+)
+def stream_delta_cdf_q(spark: SparkSession, sf: str) -> DataFrame:
+    """The CDF stream must fold to exactly the batch read_changes
+    result (stream/batch parity, same contract as the Iceberg CDC
+    pair stream_cdc_changelog / iceberg_changelog)."""
+    import shutil as _sh
+
+    from .delta_queries import delta_fixture_path
+    from .streaming.delta_source import DeltaAppendStreamSource
+
+    spark.dataSource.register(DeltaAppendStreamSource)
+    loc = delta_fixture_path(sf)
+    key = sf.strip("/").replace("/", "_")
+    work = f"/tmp/icegopher_tables/{key}/delta_cdf_stream_gate"
+    _sh.rmtree(work, ignore_errors=True)
+    out, ckpt = f"{work}/out", f"{work}/ckpt"
+    q = (
+        spark.readStream.format("icegopher_delta_stream")
+        .option("location", loc)
+        .option("starting-version", "0")
+        .option("read-change-feed", "true")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    df = spark.read.parquet(out)
+    return df.groupBy("_change_type", "_commit_version").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(12,2)")), 2)
+        .cast("double")
+        .alias("total_price"),
+    )
+
+
+# stream/batch parity: the batch CDF oracle is attached by
+# delta_queries.py at import time (importing it here would be circular
+# — queries.py imports this module before delta_queries)

@@ -125,3 +125,37 @@ def test_max_versions_per_trigger_bounds_batches(fixture_loc):
     r._latest_version = _fake_latest
     assert r.latestOffset()["version"] == 4  # 3 + cap(1)
     assert r.latestOffset()["version"] == 5
+
+
+def test_cdf_stream_option_validation(fixture_loc):
+    from icegopher_spark.streaming.delta_source import _DeltaStreamReader
+
+    with pytest.raises(ValueError, match="requires starting-version"):
+        _DeltaStreamReader({"location": fixture_loc, "read-change-feed": "true"})
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        _DeltaStreamReader(
+            {
+                "location": fixture_loc,
+                "read-change-feed": "true",
+                "starting-version": "0",
+                "skip-change-commits": "true",
+            }
+        )
+
+
+def test_cdf_stream_matches_batch(spark, fixture_loc, tmp_path):
+    from icegopher_spark.delta import read_changes
+
+    got = _run(
+        spark,
+        fixture_loc,
+        tmp_path,
+        "cdf",
+        **{"starting-version": "0", "read-change-feed": "true"},
+    )
+    batch = read_changes(spark, fixture_loc, 0, 3)
+    key = ["_change_type", "_commit_version"]
+    a = {tuple(r): None for r in got.groupBy(*key).count().collect()}
+    b = {tuple(r): None for r in batch.groupBy(*key).count().collect()}
+    assert a == b
+    assert got.count() == batch.count()
