@@ -113,6 +113,9 @@ EXTRA_SCALE_QUERIES = [
     "delta_export_roundtrip",
     "delta_vacuum_preview",
     "stream_delta_source",
+    "delta_cdf_read",
+    "stream_delta_cdf",
+    "sim_hard_negatives",
     "interval_join_campaigns",
     # interval_overlap_cohorts is deliberately NOT here: with the
     # synthetic data every user's span covers the whole month, so the
