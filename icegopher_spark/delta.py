@@ -49,6 +49,7 @@ __all__ = [
     "read_delta",
     "read_changes",
     "vacuum_candidates",
+    "delta_history",
 ]
 
 
@@ -616,4 +617,56 @@ def read_changes(
     out = pieces[0].select(*out_names)
     for p_ in pieces[1:]:
         out = out.unionByName(p_.select(*out_names))
+    return out
+
+
+def delta_history(table_path: str) -> list[dict]:
+    """Commit history, newest first — the inspection-plane twin of
+    `iceberg/inspect.py::history` for the Delta side.  One dict per
+    reconstructable JSON commit: version, timestamp (ms), operation
+    (from commitInfo when present), and action counts.  Driver-side,
+    metadata-scale (JSON only; checkpoint-only versions appear with
+    operation 'UNKNOWN (checkpoint-only)')."""
+    commits, checkpoints = _list_log(table_path)
+    if not commits and not checkpoints:
+        raise FileNotFoundError(f"empty _delta_log: {table_path}")
+    out: list[dict] = []
+    for v in sorted(set(commits) | set(checkpoints), reverse=True):
+        p = os.path.join(_log_dir(table_path), f"{v:020d}.json")
+        if not os.path.exists(p):
+            out.append(
+                {
+                    "version": v,
+                    "timestamp": None,
+                    "operation": "UNKNOWN (checkpoint-only)",
+                    "n_adds": None,
+                    "n_removes": None,
+                }
+            )
+            continue
+        op, ts, n_add, n_rm = None, None, 0, 0
+        with open(p, encoding="utf-8") as f:
+            for line in f:
+                if not line.strip():
+                    continue
+                a = json.loads(line)
+                ci = a.get("commitInfo")
+                if ci:
+                    op = ci.get("operation", op)
+                    ts = ci.get("timestamp", ts)
+                if a.get("add") is not None:
+                    n_add += 1
+                if a.get("remove") is not None:
+                    n_rm += 1
+        if ts is None:
+            ts = int(os.path.getmtime(p) * 1000)
+        out.append(
+            {
+                "version": v,
+                "timestamp": ts,
+                "operation": op or "UNKNOWN",
+                "n_adds": n_add,
+                "n_removes": n_rm,
+            }
+        )
     return out

@@ -135,8 +135,17 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("identifier", help="source Iceberg table")
     sp.add_argument("delta_path", help="target Delta table directory (created)")
     sp.add_argument("--partition-by", help="comma-separated partition columns")
+    sp = sub.add_parser("delta-history")
+    sp.add_argument("delta_path", help="Delta table directory")
 
     args = p.parse_args(argv)
+    if args.verb == "delta-history":
+        # pure-path verb: no catalog involved
+        from ..delta import delta_history
+
+        for row in delta_history(args.delta_path):
+            print(json.dumps(row))
+        return 0
     props = {}
     if args.warehouse:
         props["warehouse"] = args.warehouse

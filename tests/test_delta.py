@@ -459,3 +459,19 @@ def test_cdf_range_validation(spark, fixture_loc):
         read_changes(spark, fixture_loc, 2, 1)
     with pytest.raises(ValueError, match="bad CDF range"):
         read_changes(spark, fixture_loc, 0, 99)
+
+
+def test_delta_history(fixture_loc, tmp_path):
+    from icegopher_spark.delta import delta_history
+
+    h = delta_history(fixture_loc)
+    assert [r["version"] for r in h] == [3, 2, 1, 0]
+    assert h[1]["n_removes"] == 1 and h[1]["n_adds"] == 0
+    assert all(r["timestamp"] == _T0 + r["version"] * 1000 for r in h)
+    # vacuumed prefix: checkpoint-only versions still listed
+    loc = _copy_table(fixture_loc, tmp_path, "hist_vac")
+    for v in (0, 1, 2):
+        os.remove(os.path.join(loc, "_delta_log", f"{v:020d}.json"))
+    h2 = delta_history(loc)
+    assert [r["version"] for r in h2] == [3, 2]
+    assert h2[1]["operation"] == "UNKNOWN (checkpoint-only)"
