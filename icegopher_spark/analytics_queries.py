@@ -1539,3 +1539,51 @@ def sim_hard_negatives(spark: SparkSession, sf: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "label", "embedding"
     )
     return hard_negatives(emb, q, k=3)
+
+
+# ------------------------------------------- centroid drift (r9)
+
+centroid_drift_oracle = """
+WITH flat AS (
+  SELECT label, vec_id % 2 AS half,
+         UNNEST(embedding) AS v,
+         UNNEST(range(len(embedding))) AS i
+  FROM embeddings
+), cent AS (
+  SELECT label, half, i, AVG(CAST(v AS DOUBLE)) AS c
+  FROM flat GROUP BY label, half, i
+), paired AS (
+  SELECT a.label,
+         SUM(a.c * b.c) AS dot,
+         SUM(a.c * a.c) AS na,
+         SUM(b.c * b.c) AS nb
+  FROM cent a JOIN cent b ON a.label = b.label AND a.i = b.i
+  WHERE a.half = 0 AND b.half = 1
+  GROUP BY a.label
+), counts AS (
+  SELECT label,
+         CAST(SUM(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+         CAST(SUM(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_cur
+  FROM embeddings GROUP BY label
+)
+SELECT p.label, c.n_ref, c.n_cur,
+       ROUND(p.dot / (sqrt(p.na) * sqrt(p.nb)), 6) AS centroid_cosine
+FROM paired p JOIN counts c ON p.label = c.label
+"""
+
+
+@register(
+    "sim_centroid_drift",
+    centroid_drift_oracle,
+    "per-label centroid cosine between two corpus halves (drift monitor)",
+)
+def sim_centroid_drift(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding drift: cosine between each label's centroid in the
+    even-id half (reference) vs the odd-id half (current). Two grouped
+    Arrow centroid passes + a label-sized join — nothing pairwise."""
+    from .operators.similarity import centroid_drift
+
+    emb = load(spark, sf, "embeddings")
+    ref = emb.filter(F.col("vec_id") % 2 == 0)
+    cur = emb.filter(F.col("vec_id") % 2 == 1)
+    return centroid_drift(ref, cur)

@@ -820,3 +820,35 @@ def hard_negatives(
         .filter(F.col("rank") <= k)
         .select(query_id_col, id_col, "negative_label", "cosine_sim", "rank")
     )
+
+
+def centroid_drift(
+    ref: DataFrame,
+    cur: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-space drift monitor: per label, the cosine between the
+    reference and current centroid (1.0 = no drift; the drop is the
+    signal a retrained encoder or a shifted corpus produces).  Pairs
+    with `profile.drift_psi` (scalar distributions) for model-input
+    monitoring.  Cost: two grouped centroid passes (Arrow kernels,
+    partial-aggregated) + a label-sized join — nothing pairwise.
+
+    Returns (label, n_ref, n_cur, centroid_cosine); labels present on
+    only one side are dropped (no centroid to compare)."""
+    a = group_centroids(ref, label_col, vec_col).select(
+        F.col(label_col), F.col("n_vecs").alias("n_ref"), F.col("centroid").alias("_ca")
+    )
+    b = group_centroids(cur, label_col, vec_col).select(
+        F.col(label_col), F.col("n_vecs").alias("n_cur"), F.col("centroid").alias("_cb")
+    )
+    return (
+        a.join(b, label_col)
+        .select(
+            label_col,
+            "n_ref",
+            "n_cur",
+            F.round(cosine(F.col("_ca"), F.col("_cb")), 6).alias("centroid_cosine"),
+        )
+    )

@@ -1409,3 +1409,27 @@ def test_hard_negatives_label_filter_and_rank(spark):
     assert [r["vec_id"] for r in rows] == [3, 4]
     assert all(r["negative_label"] == 1 for r in rows)
     assert rows[0]["rank"] == 1 and rows[0]["cosine_sim"] > rows[1]["cosine_sim"]
+
+
+def test_centroid_drift_identical_and_shifted(spark):
+    from icegopher_spark.operators.similarity import centroid_drift
+
+    base = spark.createDataFrame(
+        [(i, 0, [1.0, float(i % 3)]) for i in range(30)],
+        "vec_id long, label int, embedding array<double>",
+    )
+    [same] = centroid_drift(base, base).collect()
+    assert same["centroid_cosine"] == 1.0
+    assert same["n_ref"] == same["n_cur"] == 30
+    # orthogonal shift drops the cosine
+    shifted = spark.createDataFrame(
+        [(i, 0, [0.0, 1.0]) for i in range(30)],
+        "vec_id long, label int, embedding array<double>",
+    )
+    [moved] = centroid_drift(base, shifted).collect()
+    assert moved["centroid_cosine"] < 0.9
+    # one-sided labels are dropped, not nulled
+    other = spark.createDataFrame(
+        [(1, 7, [1.0, 0.0])], "vec_id long, label int, embedding array<double>"
+    )
+    assert centroid_drift(base, other).count() == 0
