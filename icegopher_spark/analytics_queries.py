@@ -1587,3 +1587,47 @@ def sim_centroid_drift(spark: SparkSession, sf: str) -> DataFrame:
     ref = emb.filter(F.col("vec_id") % 2 == 0)
     cur = emb.filter(F.col("vec_id") % 2 == 1)
     return centroid_drift(ref, cur)
+
+
+# ------------------------------------------- corpus token budget (r9)
+
+token_budget_oracle = """
+WITH t AS (
+  SELECT lang,
+         CAST(len(regexp_extract_all(text, '[^ \\t\\n\\x0B\\f\\r]+')) AS BIGINT)
+           AS n_tok
+  FROM documents
+), tot AS (SELECT SUM(n_tok) AS w FROM t)
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+       ROUND(SUM(n_tok) / tot.w, 6) AS token_share
+FROM t CROSS JOIN tot
+GROUP BY lang, tot.w
+"""
+
+
+@register(
+    "corpus_token_budget",
+    token_budget_oracle,
+    "token budget per language: the mixture report temperature-mix consumes",
+)
+def corpus_token_budget(spark: SparkSession, sf: str) -> DataFrame:
+    """One partial-aggregated pass + a 1-row broadcast for the share
+    denominator — the per-source/per-language budget sheet every
+    mixture decision starts from (pairs with corpus_temperature_mix,
+    which reweights exactly these shares)."""
+    from .operators import text as T
+
+    docs = load(spark, sf, "documents")
+    per = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(T.token_count(F.col("text"))).cast("bigint").alias("n_tokens"),
+    )
+    tot = per.agg(F.sum("n_tokens").cast("double").alias("w"))
+    return per.join(F.broadcast(tot)).select(
+        "lang",
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("n_tokens") / F.col("w"), 6).alias("token_share"),
+    )
