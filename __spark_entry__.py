@@ -180,7 +180,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
-        name: QUERIES[name].oracle
+        name: QUERIES[name].oracle_text()
         for name in _ordered_names()
         if QUERIES[name].oracle is not None
     }

@@ -83,14 +83,22 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 @dataclass
 class Query:
     fn: Callable[[SparkSession, str], DataFrame]
-    oracle: str | None  # None → driver does rows-only check
+    # str → DuckDB SQL; zero-arg callable → resolved lazily at
+    # oracle_sql() time (lets a module reference another query module's
+    # oracle without importing it at module scope — the r9 verdict's
+    # import-order bug); None → driver does rows-only check.
+    oracle: str | Callable[[], str] | None
     doc: str = ""
+
+    def oracle_text(self) -> str | None:
+        """Resolve the oracle to SQL text (thunks evaluated here)."""
+        return self.oracle() if callable(self.oracle) else self.oracle
 
 
 QUERIES: dict[str, Query] = {}
 
 
-def register(name: str, oracle: str | None, doc: str = ""):
+def register(name: str, oracle: str | Callable[[], str] | None, doc: str = ""):
     def deco(fn):
         QUERIES[name] = Query(fn=fn, oracle=oracle, doc=doc)
         return fn

@@ -986,8 +986,13 @@ def stream_cdc_updates_q(spark: SparkSession, sf: str) -> DataFrame:
 @register(
     "stream_scd2_history",
     # the BATCH gate's oracle verbatim: the stream face must produce
-    # the identical SCD2 history — stream/batch parity is the point
-    __import__("icegopher_spark.iceberg_queries", fromlist=["cdc_scd2_oracle"]).cdc_scd2_oracle,
+    # the identical SCD2 history — stream/batch parity is the point.
+    # Lazy thunk, NOT a module-scope import: iceberg_queries also
+    # imports this package, so an eager __import__ here explodes when
+    # iceberg_queries is imported first (r9 verdict task #1).
+    lambda: __import__(
+        "icegopher_spark.iceberg_queries", fromlist=["cdc_scd2_oracle"]
+    ).cdc_scd2_oracle,
     "SCD2 dimension history maintained from the CDC STREAM: replayed "
     "insert+CoW-update+CoW-delete commits fold through pair_updates + "
     "scd2_from_changelog into the same history the batch changelog "

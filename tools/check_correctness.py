@@ -54,7 +54,7 @@ def main() -> int:
             print(f"ok?   {name}: rows-only ({len(sdf)} rows, {time.time()-t0:.1f}s)")
             continue
         try:
-            odf = con.execute(q.oracle).fetchdf()
+            odf = con.execute(q.oracle_text()).fetchdf()
         except Exception as e:  # noqa: BLE001
             failures.append(name)
             print(f"FAIL  {name}: oracle error: {e}")
