@@ -12,14 +12,25 @@ version.  This module implements the read path only:
     ``partitionValues`` — the protocol stores them in the LOG, not in
     the data files, so a plain parquet scan of a partitioned Delta
     table silently drops columns
-  * parquet checkpoints honored via ``_last_checkpoint``: replay is
-    O(commits since checkpoint), not O(table history), and pre-
-    checkpoint JSON may have been vacuumed away entirely
+  * parquet checkpoints honored via ``_last_checkpoint`` (version +
+    parts count cross-validated against the files actually present —
+    a partially vacuumed multi-part checkpoint must refuse, not seed
+    an incomplete live set): replay is O(commits since checkpoint),
+    not O(table history), and pre-checkpoint JSON may have been
+    vacuumed away entirely.  UUID-named V2 checkpoints are refused by
+    NAME (not merely by the protocol row they happen to carry).
   * metadata-plane partition pruning (``partition_filter=``) before
     any data file is opened
+  * deletion vectors (reader feature ``deletionVectors``): the add's
+    roaring bitmap is decoded driver-side (`delta_dv.py`) and applied
+    as a broadcast anti-join on (file, ``_metadata.row_index``) —
+    the same per-file position mask the Iceberg V3 face uses
+  * column mapping (modes ``name``/``id``): data files are read by
+    physical column name and re-labelled to logical names with one
+    positional struct CAST (nested renames included, still codegen)
   * loud refusal of features this reader cannot honor silently:
-    deletion vectors on live files, column mapping (id/name modes),
-    unsupported ``readerFeatures`` — misreading is worse than failing
+    unsupported ``readerFeatures``, v2/uuid checkpoints, unknown
+    mapping modes — misreading is worse than failing
 
 Why a Delta reader in an Iceberg-centric engine: migration.  A 100 TB
 estate is rarely single-format; ``read_delta`` + the Iceberg write
@@ -37,6 +48,8 @@ from __future__ import annotations
 
 import json
 import os
+import re
+import warnings
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -56,7 +69,13 @@ __all__ = [
 # readerFeatures this implementation actually honors (protocol §
 # "Table Features").  `timestampNtz` is a pure type-system feature —
 # parquet TIMESTAMP(isAdjustedToUTC=false) reads natively.
-_SUPPORTED_READER_FEATURES = {"timestampNtz"}
+# `deletionVectors` and `columnMapping` are implemented (delta_dv.py /
+# the physical→logical CAST in _scan_files).
+_SUPPORTED_READER_FEATURES = {"timestampNtz", "deletionVectors", "columnMapping"}
+
+_COLUMN_MAPPING_MODES = ("", "none", "name", "id")
+
+_PHYSICAL_NAME_KEY = "delta.columnMapping.physicalName"
 
 
 @dataclass
@@ -66,9 +85,23 @@ class DeltaSnapshot:
     version: int
     schema: StructType
     partition_columns: list[str]
-    # (absolute data path, partitionValues as written — str|None values)
+    # (absolute data path, partitionValues as written — str|None values,
+    # keyed by PHYSICAL column name when column mapping is enabled)
     files: list[tuple[str, dict[str, str | None]]] = field(default_factory=list)
     configuration: dict[str, str] = field(default_factory=dict)
+    # abs data path → deletionVector descriptor (storageType,
+    # pathOrInlineDv, offset, sizeInBytes, cardinality)
+    deletion_vectors: dict[str, dict] = field(default_factory=dict)
+    # 'none' | 'name' | 'id'
+    column_mapping_mode: str = "none"
+    # schema tree with PHYSICAL field names (None when mode is 'none' —
+    # logical and physical coincide)
+    physical_schema: StructType | None = None
+    # the replayed protocol / metaData actions VERBATIM — checkpointing
+    # must carry them unchanged (synthesizing a new protocol downgrades
+    # the table; replacing metaData.id changes its identity)
+    protocol: dict = field(default_factory=dict)
+    metadata_raw: dict = field(default_factory=dict)
 
 
 def _log_dir(table_path: str) -> str:
@@ -79,36 +112,86 @@ def _version_of(fn: str) -> int:
     return int(fn.split(".", 1)[0])
 
 
-def _list_log(table_path: str) -> tuple[list[int], list[int]]:
-    """(sorted json commit versions, sorted checkpoint versions).
+# classic checkpoint names only; anything else matching
+# `<v>.checkpoint.*` (uuid-named V2 checkpoints, compat files) refuses
+_CP_SINGLE = re.compile(r"^(\d{20})\.checkpoint\.parquet$")
+_CP_MULTI = re.compile(r"^(\d{20})\.checkpoint\.(\d{10})\.(\d{10})\.parquet$")
+_CP_ANY = re.compile(r"^(\d{20})\.checkpoint\.")
 
-    Multi-part checkpoints (`.checkpoint.<part>.<of>.parquet`) are
-    recognized and counted once; v2/uuid checkpoints are refused by
-    the _last_checkpoint reader below.
+
+def _read_last_checkpoint(table_path: str) -> dict | None:
+    """Parse `_delta_log/_last_checkpoint` ({version, size, parts?});
+    absent or unparsable → None (the protocol calls it a hint — the
+    listing below is the authority, but when the hint IS present its
+    version/parts are cross-validated against the files found)."""
+    p = os.path.join(_log_dir(table_path), "_last_checkpoint")
+    try:
+        with open(p, encoding="utf-8") as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return None
+
+
+def _complete_checkpoints(table_path: str) -> dict[int, list[str]]:
+    """version → sorted checkpoint part paths, COMPLETE sets only.
+
+    * single-part `<v>.checkpoint.parquet` → that one file;
+    * multi-part `<v>.checkpoint.<part>.<of>.parquet` → included only
+      when all 1..<of> parts are present (a partially vacuumed/copied
+      multi-part checkpoint would otherwise silently seed an
+      incomplete live file set — silent row loss);
+    * any other `<v>.checkpoint.*` name (uuid-named V2 checkpoints)
+      → loud refusal BY NAME, not via the protocol row it may carry.
     """
-    commits, checkpoints = set(), set()
+    d = _log_dir(table_path)
+    singles: dict[int, str] = {}
+    multi: dict[int, dict[int, tuple[int, str]]] = {}
+    for fn in os.listdir(d):
+        m = _CP_SINGLE.match(fn)
+        if m:
+            singles[int(m.group(1))] = os.path.join(d, fn)
+            continue
+        m = _CP_MULTI.match(fn)
+        if m:
+            v, part, of = int(m.group(1)), int(m.group(2)), int(m.group(3))
+            multi.setdefault(v, {})[part] = (of, os.path.join(d, fn))
+            continue
+        if _CP_ANY.match(fn):
+            _refuse(f"checkpoint naming '{fn}' (v2/uuid checkpoint?)", "_delta_log")
+    out: dict[int, list[str]] = {v: [p] for v, p in singles.items()}
+    for v, parts in multi.items():
+        if v in out:
+            continue  # a complete single-part at the same version wins
+        of = next(iter(parts.values()))[0]
+        if {o for o, _ in parts.values()} == {of} and set(parts) == set(
+            range(1, of + 1)
+        ):
+            out[v] = [parts[i][1] for i in range(1, of + 1)]
+        # else: incomplete — excluded; load_delta raises if no other
+        # checkpoint or JSON covers the range, and the _last_checkpoint
+        # cross-check below raises if the hint names this version
+    return out
+
+
+def _list_log(table_path: str) -> tuple[list[int], list[int]]:
+    """(sorted json commit versions, sorted COMPLETE checkpoint
+    versions)."""
+    commits = set()
     for fn in os.listdir(_log_dir(table_path)):
         if fn.endswith(".json") and fn.split(".")[0].isdigit():
             commits.add(_version_of(fn))
-        elif ".checkpoint" in fn and fn.endswith(".parquet"):
-            checkpoints.add(_version_of(fn))
-    return sorted(commits), sorted(checkpoints)
+    return sorted(commits), sorted(_complete_checkpoints(table_path))
 
 
 def _checkpoint_paths(table_path: str, version: int) -> list[str]:
-    """All parquet parts of the checkpoint at `version` (1 or N files)."""
-    d = _log_dir(table_path)
-    single = os.path.join(d, f"{version:020d}.checkpoint.parquet")
-    if os.path.exists(single):
-        return [single]
-    parts = sorted(
-        os.path.join(d, fn)
-        for fn in os.listdir(d)
-        if fn.startswith(f"{version:020d}.checkpoint.") and fn.endswith(".parquet")
-    )
-    if not parts:
-        raise FileNotFoundError(f"checkpoint {version} listed but no parquet found")
-    return parts
+    """All parquet parts of the checkpoint at `version` (1 or N files),
+    complete sets only."""
+    cps = _complete_checkpoints(table_path)
+    if version not in cps:
+        raise FileNotFoundError(
+            f"checkpoint {version} incomplete or missing in _delta_log"
+        )
+    return cps[version]
 
 
 def _refuse(feature: str, where: str) -> None:
@@ -122,44 +205,38 @@ def _refuse(feature: str, where: str) -> None:
 
 def _check_protocol(protocol: dict) -> None:
     min_reader = int(protocol.get("minReaderVersion", 1))
-    if min_reader >= 3:
+    if min_reader == 3:
         feats = set(protocol.get("readerFeatures") or [])
         unsupported = feats - _SUPPORTED_READER_FEATURES
         if unsupported:
             _refuse(f"readerFeatures {sorted(unsupported)}", "protocol action")
-    elif min_reader == 2:
-        # reader v2 == column mapping; checked again on metaData, but a
-        # protocol-only log (pre-metadata replay) must already refuse
-        pass
-    elif min_reader > 3:  # pragma: no cover — future-proofing
+    elif min_reader > 3:
         _refuse(f"minReaderVersion={min_reader}", "protocol action")
-
-
-def _check_metadata(meta: dict) -> None:
-    conf = meta.get("configuration") or {}
-    mapping = conf.get("delta.columnMapping.mode", "none")
-    if mapping not in ("", "none"):
-        _refuse(f"column mapping mode '{mapping}'", "metaData.configuration")
+    # min_reader 1: base protocol; 2: column mapping — implemented
 
 
 def _apply_action(state: dict, action: dict) -> None:
-    """Replay one action into {files: {path: partitionValues},
+    """Replay one action into {files: {path: (partitionValues, dv)},
     metaData, protocol}.  Later actions win within and across commits
-    (commits are applied in version order, actions in file order)."""
+    (commits are applied in version order, actions in file order).
+    A DV update commits remove(path, old dv) + add(path, new dv) —
+    path-keyed state makes the add win naturally."""
     if "add" in action and action["add"] is not None:
         a = action["add"]
-        if a.get("deletionVector"):
-            _refuse("deletion vectors", f"add {a.get('path')}")
         pv = a.get("partitionValues") or {}
         if not isinstance(pv, dict):
             # checkpoint parquet stores partitionValues as map<str,str>,
             # which pyarrow surfaces as a list of (k, v) pairs
             pv = dict(pv)
-        state["files"][a["path"]] = pv
+        dv = a.get("deletionVector") or None
+        if dv is not None and not isinstance(dv, dict):
+            dv = dict(dv)
+        if dv is not None and not dv.get("storageType"):
+            dv = None  # checkpoint row with an all-null dv struct
+        state["files"][a["path"]] = (pv, dv)
     elif "remove" in action and action["remove"] is not None:
         state["files"].pop(action["remove"]["path"], None)
     elif "metaData" in action and action["metaData"] is not None:
-        _check_metadata(action["metaData"])
         state["metaData"] = action["metaData"]
     elif "protocol" in action and action["protocol"] is not None:
         _check_protocol(action["protocol"])
@@ -182,6 +259,66 @@ def _replay_checkpoint(state: dict, table_path: str, version: int) -> None:
             for key in ("protocol", "metaData", "add"):
                 if key in cols and row.get(key) is not None:
                     _apply_action(state, {key: row[key]})
+
+
+def _strip_mapping_metadata(field_json: dict) -> dict:
+    """Drop the columnMapping keys from a field's metadata (they would
+    otherwise leak into the Spark schema's metadata surface)."""
+    md = {
+        k: v
+        for k, v in (field_json.get("metadata") or {}).items()
+        if not k.startswith("delta.columnMapping.")
+    }
+    return {**field_json, "metadata": md}
+
+
+def _mapped_schemas(schema_json: dict) -> tuple[dict, dict, bool]:
+    """(logical schema json, physical schema json, any_renamed).
+
+    Column mapping (protocol § "Column Mapping"): every field carries
+    ``delta.columnMapping.physicalName`` in its metadata; data files
+    use the physical names (at every nesting level), the table schema
+    the logical ones.  Fields without the key keep their logical name
+    (tables upgraded in 'name' mode map existing columns to
+    themselves)."""
+    renamed = False
+
+    def walk(node, rename: bool):
+        nonlocal renamed
+        if isinstance(node, dict) and node.get("type") == "struct":
+            fields = []
+            for f in node["fields"]:
+                phys = (f.get("metadata") or {}).get(_PHYSICAL_NAME_KEY)
+                name = f["name"]
+                if rename and phys and phys != name:
+                    renamed = True
+                    name = phys
+                fields.append(
+                    _strip_mapping_metadata(
+                        {**f, "name": name, "type": walk(f["type"], rename)}
+                    )
+                )
+            return {"type": "struct", "fields": fields}
+        if isinstance(node, dict) and node.get("type") == "array":
+            return {**node, "elementType": walk(node["elementType"], rename)}
+        if isinstance(node, dict) and node.get("type") == "map":
+            return {
+                **node,
+                "keyType": walk(node["keyType"], rename),
+                "valueType": walk(node["valueType"], rename),
+            }
+        return node
+
+    return walk(schema_json, False), walk(schema_json, True), renamed
+
+
+def _physical_partition_name(meta: dict, logical: str) -> str:
+    """Physical name of a top-level column (partitionValues are keyed
+    by physical name under column mapping)."""
+    for f in json.loads(meta["schemaString"])["fields"]:
+        if f["name"] == logical:
+            return (f.get("metadata") or {}).get(_PHYSICAL_NAME_KEY, logical)
+    return logical
 
 
 def _commit_timestamp(table_path: str, version: int) -> int:
@@ -248,6 +385,26 @@ def load_delta(
     commits, checkpoints = _list_log(table_path)
     if not commits and not checkpoints:
         raise FileNotFoundError(f"empty _delta_log: {table_path}")
+    # _last_checkpoint is a hint, but when present it must be
+    # SATISFIABLE: if it names a version whose parquet parts are not
+    # all on disk (partial vacuum/copy), seeding from an older
+    # checkpoint could silently mask the hole — refuse instead
+    last_cp = _read_last_checkpoint(table_path)
+    if last_cp is not None and "version" in last_cp:
+        lv = int(last_cp["version"])
+        if lv not in checkpoints:
+            raise FileNotFoundError(
+                f"_last_checkpoint names version {lv} but its parquet "
+                "part(s) are missing or incomplete in _delta_log — "
+                "refusing (partially vacuumed checkpoint?)"
+            )
+        want_parts = int(last_cp.get("parts") or 1)
+        have_parts = len(_checkpoint_paths(table_path, lv))
+        if want_parts != have_parts:
+            raise FileNotFoundError(
+                f"_last_checkpoint says checkpoint {lv} has "
+                f"{want_parts} part(s) but {have_parts} found — refusing"
+            )
     target = _resolve_version(table_path, commits, checkpoints, version, timestamp_ms)
 
     # newest checkpoint ≤ target seeds the state; JSON replays the rest
@@ -276,17 +433,34 @@ def load_delta(
             f"no metaData action found replaying to version {target} — "
             "corrupt log or checkpoint"
         )
-    schema = StructType.fromJson(json.loads(meta["schemaString"]))
+    conf = dict(meta.get("configuration") or {})
+    mode = conf.get("delta.columnMapping.mode", "none") or "none"
+    if mode not in _COLUMN_MAPPING_MODES:
+        _refuse(f"column mapping mode '{mode}'", "metaData.configuration")
+    logical_json, physical_json, renamed = _mapped_schemas(
+        json.loads(meta["schemaString"])
+    )
+    schema = StructType.fromJson(logical_json)
+    physical = StructType.fromJson(physical_json) if renamed else None
     part_cols = list(meta.get("partitionColumns") or [])
-    files = [
-        (os.path.join(table_path, p), pv) for p, pv in sorted(state["files"].items())
-    ]
+    files = []
+    dvs: dict[str, dict] = {}
+    for p, (pv, dv) in sorted(state["files"].items()):
+        absp = os.path.join(table_path, p)
+        files.append((absp, pv))
+        if dv:
+            dvs[absp] = dict(dv)
     return DeltaSnapshot(
         version=target,
         schema=schema,
         partition_columns=part_cols,
         files=files,
-        configuration=dict(meta.get("configuration") or {}),
+        configuration=conf,
+        deletion_vectors=dvs,
+        column_mapping_mode=mode if mode else "none",
+        physical_schema=physical,
+        protocol=dict(state.get("protocol") or {"minReaderVersion": 1, "minWriterVersion": 2}),
+        metadata_raw=dict(meta),
     )
 
 
@@ -307,16 +481,69 @@ def read_delta(
 
     Physical shape: ONE distributed parquet scan over the surviving
     files.  For partitioned tables the partition columns are re-attached
-    by a broadcast hash join on the file path (`input_file_name()` ⋈
+    by a broadcast hash join on the file path (`_metadata.file_path` ⋈
     a files→values map of metadata size) — per-partition-group unions
     would blow the plan up at 100 TB (one scan node per partition),
     and hive-style path inference is not guaranteed by the protocol.
+    Files carrying deletion vectors are masked by an anti-join on
+    (file, ``_metadata.row_index``); column-mapped tables are read by
+    physical name and re-labelled to logical with one positional CAST.
+
+    Note: under column mapping, ``partition_filter`` receives
+    partitionValues as written in the log — keyed by PHYSICAL name.
     """
     snap = load_delta(table_path, version=version, timestamp_ms=timestamp_ms)
     files = snap.files
     if partition_filter is not None:
         files = [(p, pv) for p, pv in files if partition_filter(pv)]
-    return _scan_files(spark, snap.schema, snap.partition_columns, files)
+    masks = None
+    if snap.deletion_vectors:
+        from .delta_dv import read_dv_positions
+
+        kept = {p for p, _ in files}
+        masks = {
+            p: ("exclude", read_dv_positions(table_path, d))
+            for p, d in snap.deletion_vectors.items()
+            if p in kept
+        }
+    return _scan_files(
+        spark,
+        snap.schema,
+        snap.partition_columns,
+        files,
+        physical_schema=snap.physical_schema,
+        position_masks=masks,
+        partition_name_map=_partition_name_map(snap),
+    )
+
+
+def _partition_name_map(snap: DeltaSnapshot) -> dict[str, str] | None:
+    """logical partition column → the key its values use in
+    partitionValues (the PHYSICAL name under column mapping)."""
+    if snap.physical_schema is None:
+        return None
+    return {
+        lf.name: pf.name
+        for lf, pf in zip(snap.schema.fields, snap.physical_schema.fields)
+    }
+
+
+# positions below this stay a broadcast anti-join (≈8 MB of longs);
+# above it the mask join runs un-hinted and AQE picks the strategy —
+# force-broadcasting a 100M-row DV would OOM the driver
+_DV_BROADCAST_MAX_POSITIONS = 1_000_000
+
+
+def _uri_path(p: str) -> str:
+    """Percent-encode an absolute path the way Spark's scan metadata
+    does (`_metadata.file_path` / `input_file_name()` percent-encode
+    space→%20, %→%25 but leave RFC-3986 pchar sub-delims (+ = & …)
+    literal).  Decoding the Spark side instead (url_decode) would
+    corrupt literal '+' to a space.  Verified empirically on Spark 4;
+    a mismatch here silently DROPS rows (inner join)."""
+    from urllib.parse import quote as _q
+
+    return _q(os.path.abspath(p), safe="/!$&'()*+,;=:@-._~")
 
 
 def _scan_files(
@@ -325,16 +552,35 @@ def _scan_files(
     partition_columns: list[str],
     files: list[tuple[str, dict]],
     extra_schema: StructType | None = None,
+    physical_schema: StructType | None = None,
+    position_masks: dict | None = None,
+    partition_name_map: dict[str, str] | None = None,
 ) -> DataFrame:
     """ONE distributed parquet scan over `files`, with each file's
     partitionValues re-attached via a broadcast path join.  Shared by
-    the batch read and the CDF read.  `extra_schema` appends columns
-    that live IN the data files but not in the table schema (the CDF
-    `_change_type` column of cdc files)."""
-    data_fields = [f for f in schema.fields if f.name not in partition_columns]
+    the batch read and the CDF read.
+
+    ``extra_schema`` appends columns that live IN the data files but
+    not in the table schema (the CDF `_change_type` column of cdc
+    files).  ``physical_schema`` (column mapping): read the files by
+    physical name, re-label to logical with a positional CAST (covers
+    nested renames, stays whole-stage-codegen).  ``position_masks``:
+    abs path → ('exclude'|'keep', uint64 positions) row-index masks
+    (deletion vectors / CDF DV diffs), applied as a join against
+    (``_metadata.file_path``, ``_metadata.row_index``) — 'exclude' is
+    an anti-join (pass-through for unmasked files), 'keep' an inner
+    join (every file in the scan must then carry a mask).
+    """
+    phys = physical_schema or schema
+    part_set = set(partition_columns)
+    data_pairs = [
+        (pf, lf)
+        for pf, lf in zip(phys.fields, schema.fields)
+        if lf.name not in part_set
+    ]
+    data_schema = StructType([pf for pf, _ in data_pairs])
     if extra_schema is not None:
-        data_fields = data_fields + list(extra_schema.fields)
-    data_schema = StructType(data_fields)
+        data_schema = StructType([*data_schema.fields, *extra_schema.fields])
     out_names = [f.name for f in schema.fields] + (
         [f.name for f in extra_schema.fields] if extra_schema is not None else []
     )
@@ -346,26 +592,71 @@ def _scan_files(
 
     paths = [p for p, _ in files]
     df = spark.read.schema(data_schema).parquet(*paths)
+
+    need_path = bool(partition_columns) or bool(position_masks)
+    if need_path:
+        # capture scan metadata ONCE, before any join breaks lineage;
+        # file_path is a URI (file:///a/b) — strip the scheme so it
+        # matches os.path.abspath + _uri_path on the map side
+        df = df.withColumn(
+            "__delta_path",
+            F.regexp_replace(F.col("_metadata.file_path"), "^file:(//)?", ""),
+        )
+    if position_masks:
+        df = df.withColumn("__delta_pos", F.col("_metadata.row_index"))
+        modes = {m for m, _ in position_masks.values()}
+        if len(modes) > 1:
+            raise ValueError("position_masks must be all-exclude or all-keep")
+        mode = modes.pop()
+        if mode == "keep":
+            missing = {p for p, _ in files} - set(position_masks)
+            if missing:
+                raise ValueError(
+                    f"keep-mode masks must cover every file; missing {missing}"
+                )
+        import pandas as pd
+
+        frames = [
+            pd.DataFrame(
+                {"__delta_path": _uri_path(p), "__delta_pos": pos.astype("int64")}
+            )
+            for p, (_, pos) in position_masks.items()
+        ]
+        mdf = spark.createDataFrame(
+            pd.concat(frames, ignore_index=True),
+            "__delta_path string, __delta_pos long",
+        )
+        total = sum(len(pos) for _, pos in position_masks.values())
+        if total <= _DV_BROADCAST_MAX_POSITIONS:
+            mdf = F.broadcast(mdf)
+        how = "left_anti" if mode == "exclude" else "left_semi"
+        df = df.join(mdf, ["__delta_path", "__delta_pos"], how).drop("__delta_pos")
+
+    # physical → logical re-label (no-op select when names coincide)
+    rename_exprs = []
+    for pf, lf in data_pairs:
+        c = df[pf.name]
+        if pf != lf:
+            c = c.cast(lf.dataType)  # positional struct cast renames nested fields
+        rename_exprs.append(c.alias(lf.name))
+    if extra_schema is not None:
+        rename_exprs += [df[f.name] for f in extra_schema.fields]
+    if need_path:
+        rename_exprs.append(df["__delta_path"])
+    df = df.select(*rename_exprs)
+
     if not partition_columns:
         return df.select(*out_names)
 
     # metadata-size (path → partition values) frame, broadcast-joined.
-    part_fields = [f for f in schema.fields if f.name in partition_columns]
-    # input_file_name() percent-encodes the path like a Java URI
-    # (space→%20, %→%25) but leaves RFC-3986 pchar sub-delims (+ = & …)
-    # literal — so the MAP side must encode the same way. Decoding the
-    # Spark side instead (url_decode) would corrupt literal '+' to a
-    # space. Verified empirically against Spark 4; a mismatch here
-    # silently DROPS the partition's rows (inner join).
-    from urllib.parse import quote as _q
-
-    def _uri_path(p: str) -> str:
-        return _q(os.path.abspath(p), safe="/!$&'()*+,;=:@-._~")
-
+    # partitionValues in the log are keyed by PHYSICAL name under
+    # column mapping — partition_name_map translates.
+    part_fields = [f for f in schema.fields if f.name in part_set]
+    nmap = partition_name_map or {}
     rows = []
     for p, pv in files:
         rows.append(
-            (_uri_path(p), *[pv.get(f.name) for f in part_fields])
+            (_uri_path(p), *[pv.get(nmap.get(f.name, f.name)) for f in part_fields])
         )
     map_schema = StructType.fromDDL(
         "__delta_path string, "
@@ -381,13 +672,7 @@ def _scan_files(
         pmap = pmap.withColumn(f_.name, typed)
     pmap = pmap.drop(*[f"{f_.name}__raw" for f_ in part_fields])
 
-    # input_file_name() yields a URI: file:///a/b (or file:/a/b);
-    # stripping "file:" + an optional "//" leaves the os path /a/b,
-    # matching os.path.abspath on the map side
-    joined = df.withColumn(
-        "__delta_path", F.regexp_replace(F.input_file_name(), "^file:(//)?", "")
-    )
-    out = joined.join(F.broadcast(pmap), "__delta_path", "inner").drop("__delta_path")
+    out = df.join(F.broadcast(pmap), "__delta_path", "inner").drop("__delta_path")
     # present columns in declared schema order
     return out.select(*out_names)
 
@@ -460,11 +745,24 @@ def _classify_changes(
 ) -> tuple[dict, dict]:
     """Replay the log and attribute change files per commit in
     ``[starting_version, end]``.  Returns
-    ``({(version, 'insert'|'delete'): [(abs_path, pv)]},
-    {version: [(abs_path, pv)]})`` — the second dict holds cdc files
-    (in-file _change_type).  State replays from the newest checkpoint
-    below the range so removed files' partitionValues are known at
-    removal time.  Shared by the batch CDF read and the CDF stream."""
+    ``({(version, kind): [(abs_path, pv, mask)]},
+    {version: [(abs_path, pv)]})`` where kind is 'insert' | 'delete' |
+    'delete_dvdiff' (rendered as _change_type 'delete') and mask is
+    None or ('exclude'|'keep', sorted uint64 row positions):
+
+      * a file added WITH a deletion vector → insert of (file −
+        positions) — exclude mask;
+      * a file removed while carrying a DV → delete of its LIVE rows
+        only — exclude mask;
+      * a DV update (remove(path, old dv) + add(path, new dv) in one
+        commit) → delete of exactly (new − old) positions — keep
+        mask, its own group so keep/exclude modes never mix in one
+        scan.  Row-accurate CDF for DV DELETEs without cdc files.
+
+    The second dict holds cdc files (in-file _change_type).  State
+    replays from the newest checkpoint below the range so removed
+    files' partitionValues/DVs are known at removal time.  Shared by
+    the batch CDF read and the CDF stream."""
     commits, checkpoints = _list_log(table_path)
     log_dir = _log_dir(table_path)
 
@@ -491,7 +789,8 @@ def _classify_changes(
             )
         in_range = v >= starting_version
         v_adds: list[dict] = []
-        v_removes: list[tuple[str, dict]] = []  # (path, pv at removal)
+        # path → (pv at removal, old dv descriptor or None)
+        v_removes: dict[str, tuple[dict, dict | None]] = {}
         v_cdc: list[dict] = []
         with open(p, encoding="utf-8") as f:
             for line in f:
@@ -509,16 +808,21 @@ def _classify_changes(
                             "the requested range; split the read at that version"
                         )
                 if a.get("remove") is not None and in_range:
-                    rp = a["remove"]["path"]
-                    if a["remove"].get("dataChange", True):
-                        pv = a["remove"].get("partitionValues") or state["files"].get(rp)
+                    rm = a["remove"]
+                    rp = rm["path"]
+                    if rm.get("dataChange", True):
+                        entry = state["files"].get(rp)
+                        pv = rm.get("partitionValues") or (entry[0] if entry else None)
                         if pv is None:
                             raise ValueError(
                                 f"CDF: remove of {rp} at commit {v} predates "
                                 "the replayable log — cannot recover its "
                                 "partition values"
                             )
-                        v_removes.append((rp, dict(pv)))
+                        dv_old = rm.get("deletionVector") or (
+                            entry[1] if entry else None
+                        )
+                        v_removes[rp] = (dict(pv), dv_old)
                 if a.get("add") is not None and in_range and a["add"].get("dataChange", True):
                     v_adds.append(a["add"])
                 _apply_action(state, a)
@@ -531,15 +835,51 @@ def _classify_changes(
                 for c in v_cdc
             ]
             continue
-        if v_adds:
-            plain[(v, "insert")] = [
-                (os.path.join(table_path, a["path"]), dict(a.get("partitionValues") or {}))
-                for a in v_adds
-            ]
-        if v_removes:
-            plain[(v, "delete")] = [
-                (os.path.join(table_path, rp), dict(rpv)) for rp, rpv in v_removes
-            ]
+
+        def _positions(dv: dict | None):
+            if not dv:
+                return None
+            from .delta_dv import read_dv_positions
+
+            return read_dv_positions(table_path, dv)
+
+        inserts, deletes, dv_diffs = [], [], []
+        for a in v_adds:
+            ap = a["path"]
+            pv = dict(a.get("partitionValues") or {})
+            dv_new = a.get("deletionVector")
+            if ap in v_removes:
+                # same-file rewrite: a DV update. Newly-deleted rows =
+                # new − old; the add does NOT re-insert existing rows.
+                _, dv_old = v_removes.pop(ap)
+                new_pos = _positions(dv_new)
+                old_pos = _positions(dv_old)
+                if new_pos is None:
+                    continue  # DV dropped (e.g. compaction rewrote rows)
+                if old_pos is not None:
+                    import numpy as np
+
+                    diff = np.setdiff1d(new_pos, old_pos, assume_unique=True)
+                else:
+                    diff = new_pos
+                if len(diff):
+                    dv_diffs.append(
+                        (os.path.join(table_path, ap), pv, ("keep", diff))
+                    )
+                continue
+            new_pos = _positions(dv_new)
+            mask = ("exclude", new_pos) if new_pos is not None else None
+            inserts.append((os.path.join(table_path, ap), pv, mask))
+        for rp, (rpv, dv_old) in v_removes.items():
+            old_pos = _positions(dv_old)
+            mask = ("exclude", old_pos) if old_pos is not None else None
+            deletes.append((os.path.join(table_path, rp), dict(rpv), mask))
+        if inserts:
+            plain[(v, "insert")] = inserts
+        if deletes:
+            plain[(v, "delete")] = deletes
+        if dv_diffs:
+            plain[(v, "delete_dvdiff")] = dv_diffs
     return plain, cdc
 
 
@@ -589,17 +929,43 @@ def read_changes(
         )
 
     snap = load_delta(table_path, version=end)  # schema authority + refusals
+    if snap.configuration.get("delta.enableChangeDataFeed", "").lower() != "true":
+        # without CDF, UPDATE/MERGE commits carry no cdc actions, so
+        # their rewritten files synthesize as full-file delete+insert —
+        # file-granularity, not row-granularity (delta-spark refuses
+        # outright; we warn because pure append/delete histories are
+        # still row-exact)
+        warnings.warn(
+            f"Delta CDF read on {table_path}: table configuration lacks "
+            "delta.enableChangeDataFeed=true — commits that rewrite "
+            "files (UPDATE/MERGE/OPTIMIZE-adjacent DML) will surface "
+            "file-granularity delete+insert pairs, not row-level "
+            "changes",
+            stacklevel=2,
+        )
     plain, cdc = _classify_changes(table_path, snap, starting_version, end)
 
     ct_field = StructField("_change_type", StringType(), True)
     cv_field = StructField("_commit_version", LongType(), True)
     out_schema = StructType([*snap.schema.fields, ct_field, cv_field])
     out_names = [f.name for f in out_schema.fields]
+    nmap = _partition_name_map(snap)
     pieces: list[DataFrame] = []
     for (v, kind), group in sorted(plain.items()):
-        df = _scan_files(spark, snap.schema, snap.partition_columns, group)
+        files = [(p, pv) for p, pv, _ in group]
+        masks = {p: m for p, _, m in group if m is not None} or None
+        df = _scan_files(
+            spark,
+            snap.schema,
+            snap.partition_columns,
+            files,
+            physical_schema=snap.physical_schema,
+            position_masks=masks,
+            partition_name_map=nmap,
+        )
+        ct = "delete" if kind == "delete_dvdiff" else kind
         pieces.append(
-            df.withColumn("_change_type", F.lit(kind)).withColumn(
+            df.withColumn("_change_type", F.lit(ct)).withColumn(
                 "_commit_version", F.lit(v).cast("long")
             )
         )
@@ -610,6 +976,8 @@ def read_changes(
             snap.partition_columns,
             group,
             extra_schema=StructType([ct_field]),
+            physical_schema=snap.physical_schema,
+            partition_name_map=nmap,
         )
         pieces.append(df.withColumn("_commit_version", F.lit(v).cast("long")))
     if not pieces:

@@ -167,7 +167,7 @@ def _write_checkpoint(loc: str, version: int, live: dict[str, dict]) -> None:
             "format": {"provider": "parquet"},
             "schemaString": _SCHEMA_STRING,
             "partitionColumns": ["o_orderpriority"],
-            "configuration": [],
+            "configuration": [("delta.enableChangeDataFeed", "true")],
             "createdTime": _T0,
         }
     ]
@@ -207,7 +207,7 @@ def build_delta_fixture(sf_dir: str, loc: str) -> None:
             "format": {"provider": "parquet", "options": {}},
             "schemaString": _SCHEMA_STRING,
             "partitionColumns": ["o_orderpriority"],
-            "configuration": {},
+            "configuration": {"delta.enableChangeDataFeed": "true"},
             "createdTime": _T0,
         }
     }
@@ -243,7 +243,7 @@ def build_delta_fixture(sf_dir: str, loc: str) -> None:
     _write_checkpoint(loc, 2, live)
     _write_commit(loc, 3, [_add_action(loc, 3, p) for p in _PRIORITIES])
     with open(os.path.join(loc, "_FIXTURE_OK"), "w") as f:
-        f.write("4-commits+checkpoint@2\n")
+        f.write("4-commits+checkpoint@2+cdf\n")
 
 
 def delta_fixture_path(sf_dir: str) -> str:
@@ -255,7 +255,7 @@ def delta_fixture_path(sf_dir: str) -> str:
     if os.path.exists(ok):
         try:
             with open(ok) as f:
-                if f.read().strip() == "4-commits+checkpoint@2":
+                if f.read().strip() == "4-commits+checkpoint@2+cdf":
                     return loc
         except OSError:
             pass
@@ -514,3 +514,386 @@ from .queries import QUERIES as _QUERIES  # noqa: E402
 
 if "stream_delta_cdf" in _QUERIES:
     _QUERIES["stream_delta_cdf"].oracle = delta_cdf_oracle
+
+
+# ---------------------------------------------------------------------------
+# Deletion-vector fixture (r10): a second, unpartitioned Delta table
+# whose history exercises the protocol's DV surface end to end —
+# on-disk 'u' DVs, a DV UPDATE (remove+add of the same file swapping
+# bitmaps), and an inline 'i' DV.  Every DV's positions are chosen by
+# an o_orderkey predicate over the file's sorted rows, so all oracles
+# stay plain SQL over the base `orders` view:
+#
+#   v0  protocol (reader v3, readerFeatures [deletionVectors]) +
+#       metaData + adds: file_r<r> = keys %3==r, sorted by o_orderkey
+#   v1  DV DELETE on file_r0: positions of keys %5==0      ('u' file)
+#   v2  DV UPDATE on file_r0: new DV = keys %5==0 OR %7==0 ('u' file)
+#   v3  DV DELETE on file_r1: positions of keys %11==0     (inline)
+#
+# live set at v3:  NOT(k%3=0 AND (k%5=0 OR k%7=0))
+#                  AND NOT(k%3=1 AND k%11=0)
+
+_DV_SCHEMA_STRING = json.dumps(
+    {
+        "type": "struct",
+        "fields": [
+            {"name": "o_orderkey", "type": "long", "nullable": True, "metadata": {}},
+            {"name": "o_custkey", "type": "long", "nullable": True, "metadata": {}},
+            {
+                "name": "o_totalprice",
+                "type": "double",
+                "nullable": True,
+                "metadata": {},
+            },
+        ],
+    }
+)
+
+_DV_MARKER = "dv-fixture@v3"
+
+
+def _dv_fixture_meta() -> dict:
+    return {
+        "metaData": {
+            "id": "icegopher-delta-dv-fixture",
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": _DV_SCHEMA_STRING,
+            "partitionColumns": [],
+            "configuration": {"delta.enableChangeDataFeed": "true"},
+            "createdTime": _T0,
+        }
+    }
+
+
+def _residue_table(sf_dir: str, residue: int):
+    """orders columns for keys %3==residue, sorted by o_orderkey (the
+    sort makes DV positions a pure function of the key predicate)."""
+    import duckdb
+
+    src = f"{sf_dir}/orders.parquet"
+    if os.path.isdir(src):
+        src = f"{src}/*.parquet"
+    con = duckdb.connect()
+    t = con.execute(
+        f"""
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM '{src}' WHERE o_orderkey % 3 = {residue}
+        ORDER BY o_orderkey
+        """
+    ).fetch_arrow_table()
+    con.close()
+    return t
+
+
+def _dv_add(loc: str, path: str, dv: dict | None, data_change: bool = True) -> dict:
+    a = {
+        "path": path,
+        "partitionValues": {},
+        "size": os.path.getsize(os.path.join(loc, path)),
+        "modificationTime": _T0,
+        "dataChange": data_change,
+    }
+    if dv is not None:
+        a["deletionVector"] = dv
+    return {"add": a}
+
+
+def build_delta_dv_fixture(sf_dir: str, loc: str) -> None:
+    import numpy as np
+
+    from .delta_dv import write_dv_file, z85encode
+    from .iceberg.puffin import DV_MAGIC, serialize_roaring64
+
+    os.makedirs(os.path.join(loc, "_delta_log"), exist_ok=True)
+    tables = {r: _residue_table(sf_dir, r) for r in (0, 1, 2)}
+    for r, t in tables.items():
+        pq.write_table(t, os.path.join(loc, f"file_r{r}.parquet"))
+
+    keys0 = np.asarray(tables[0]["o_orderkey"])
+    keys1 = np.asarray(tables[1]["o_orderkey"])
+    pos_v1 = np.nonzero(keys0 % 5 == 0)[0].astype("uint64")
+    pos_v2 = np.nonzero((keys0 % 5 == 0) | (keys0 % 7 == 0))[0].astype("uint64")
+    pos_v3 = np.nonzero(keys1 % 11 == 0)[0].astype("uint64")
+
+    proto = {
+        "protocol": {
+            "minReaderVersion": 3,
+            "minWriterVersion": 7,
+            "readerFeatures": ["deletionVectors"],
+            "writerFeatures": ["deletionVectors"],
+        }
+    }
+    _write_commit(
+        loc, 0,
+        [proto, _dv_fixture_meta()]
+        + [_dv_add(loc, f"file_r{r}.parquet", None) for r in (0, 1, 2)],
+    )
+
+    dv1 = write_dv_file(loc, pos_v1)
+    _write_commit(
+        loc, 1,
+        [
+            {"remove": {"path": "file_r0.parquet", "deletionTimestamp": _T0 + 1000,
+                        "dataChange": True}},
+            _dv_add(loc, "file_r0.parquet", dv1),
+        ],
+    )
+    dv2 = write_dv_file(loc, pos_v2)
+    _write_commit(
+        loc, 2,
+        [
+            {"remove": {"path": "file_r0.parquet", "deletionTimestamp": _T0 + 2000,
+                        "dataChange": True, "deletionVector": dv1}},
+            _dv_add(loc, "file_r0.parquet", dv2),
+        ],
+    )
+    # inline DV ('i'): body = magic + portable roaring64, Z85-encoded
+    body = DV_MAGIC + serialize_roaring64(pos_v3, assume_sorted_unique=True)
+    dv3 = {
+        "storageType": "i",
+        "pathOrInlineDv": z85encode(body),
+        "sizeInBytes": len(body),
+        "cardinality": int(len(pos_v3)),
+    }
+    _write_commit(
+        loc, 3,
+        [
+            {"remove": {"path": "file_r1.parquet", "deletionTimestamp": _T0 + 3000,
+                        "dataChange": True}},
+            _dv_add(loc, "file_r1.parquet", dv3),
+        ],
+    )
+    with open(os.path.join(loc, "_FIXTURE_OK"), "w") as f:
+        f.write(_DV_MARKER + "\n")
+
+
+def delta_dv_fixture_path(sf_dir: str) -> str:
+    key = sf_dir.strip("/").replace("/", "_")
+    loc = f"{_CACHE_ROOT}/{key}/orders_delta_dv"
+    ok = os.path.join(loc, "_FIXTURE_OK")
+    if os.path.exists(ok):
+        try:
+            with open(ok) as f:
+                if f.read().strip() == _DV_MARKER:
+                    return loc
+        except OSError:
+            pass
+    shutil.rmtree(loc, ignore_errors=True)
+    build_delta_dv_fixture(sf_dir, loc)
+    return loc
+
+
+delta_dv_read_oracle = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(o_orderkey % 1000) AS BIGINT) AS okey_chk,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE)
+         AS total_price
+FROM orders
+WHERE NOT (o_orderkey % 3 = 0 AND (o_orderkey % 5 = 0 OR o_orderkey % 7 = 0))
+  AND NOT (o_orderkey % 3 = 1 AND o_orderkey % 11 = 0)
+"""
+
+
+@register(
+    "delta_dv_read",
+    delta_dv_read_oracle,
+    "Delta deletion-vector read: 'u'-file + inline DVs masked via "
+    "(file, _metadata.row_index) anti-join",
+)
+def delta_dv_read(spark: SparkSession, sf: str) -> DataFrame:
+    """Latest-version read of the DV fixture: file_r0's rows are
+    masked by the UPDATED on-disk DV (v2 replaced v1's bitmap — stale
+    masks would fail the oracle), file_r1's by an inline Z85 DV.
+
+    Spec anchors: delta.io PROTOCOL.md § Deletion Vectors (the blob
+    framing is byte-identical to Iceberg V3's deletion-vector-v1, so
+    `iceberg/puffin.py`'s roaring codec is reused)."""
+    loc = delta_dv_fixture_path(sf)
+    df = read_delta(spark, loc)
+    return df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("o_orderkey") % 1000).cast("bigint").alias("okey_chk"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(12,2)")), 2)
+        .cast("double")
+        .alias("total_price"),
+    )
+
+
+delta_dv_cdf_oracle = """
+SELECT * FROM (
+  SELECT 'delete' AS change_type, CAST(1 AS BIGINT) AS commit_version,
+         CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(SUM(o_orderkey % 1000) AS BIGINT) AS okey_chk
+  FROM orders WHERE o_orderkey % 3 = 0 AND o_orderkey % 5 = 0
+  UNION ALL
+  SELECT 'delete', CAST(2 AS BIGINT), CAST(COUNT(*) AS BIGINT),
+         CAST(SUM(o_orderkey % 1000) AS BIGINT)
+  FROM orders
+  WHERE o_orderkey % 3 = 0 AND o_orderkey % 7 = 0 AND o_orderkey % 5 <> 0
+  UNION ALL
+  SELECT 'delete', CAST(3 AS BIGINT), CAST(COUNT(*) AS BIGINT),
+         CAST(SUM(o_orderkey % 1000) AS BIGINT)
+  FROM orders WHERE o_orderkey % 3 = 1 AND o_orderkey % 11 = 0
+) WHERE n_rows > 0
+"""
+
+
+@register(
+    "delta_dv_cdf",
+    delta_dv_cdf_oracle,
+    "Delta CDF over DV commits: row-accurate deletes from bitmap "
+    "diffs (new DV minus old), not file-granularity resends",
+)
+def delta_dv_cdf(spark: SparkSession, sf: str) -> DataFrame:
+    """The v2 DV UPDATE must surface ONLY the newly-masked rows
+    (%7==0 minus %5==0) — a file-granularity reader would re-emit the
+    whole file as delete+insert; delta-spark's CDF does the same bitmap
+    diff."""
+    from .delta import read_changes
+
+    loc = delta_dv_fixture_path(sf)
+    ch = read_changes(spark, loc, 1, 3)
+    return ch.groupBy(
+        F.col("_change_type").alias("change_type"),
+        F.col("_commit_version").alias("commit_version"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("o_orderkey") % 1000).cast("bigint").alias("okey_chk"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Column-mapping fixture (r10): same orders splits, but the table uses
+# delta.columnMapping.mode=name — data files carry opaque PHYSICAL
+# column names ("col-<n>"), the schemaString maps them to logical
+# names, minReaderVersion=2, and partitionValues are keyed by the
+# partition column's PHYSICAL name (protocol § Column Mapping).
+
+_CM_PHYS = {
+    "o_orderkey": "col-1a2b",
+    "o_custkey": "col-3c4d",
+    "o_totalprice": "col-5e6f",
+    "o_orderpriority": "col-7a8b",
+}
+
+_CM_SCHEMA_STRING = json.dumps(
+    {
+        "type": "struct",
+        "fields": [
+            {
+                "name": n,
+                "type": t,
+                "nullable": True,
+                "metadata": {
+                    "delta.columnMapping.id": i + 1,
+                    "delta.columnMapping.physicalName": _CM_PHYS[n],
+                },
+            }
+            for i, (n, t) in enumerate(
+                [
+                    ("o_orderkey", "long"),
+                    ("o_custkey", "long"),
+                    ("o_totalprice", "double"),
+                    ("o_orderpriority", "string"),
+                ]
+            )
+        ],
+    }
+)
+
+_CM_MARKER = "cm-fixture@v1"
+
+
+def build_delta_cm_fixture(sf_dir: str, loc: str) -> None:
+    os.makedirs(os.path.join(loc, "_delta_log"), exist_ok=True)
+    # data files: keys %3==0 at v0, %3==1 at v1, one file per priority,
+    # columns RENAMED to their physical names (partition col omitted)
+    for version, residue in ((0, 0), (1, 1)):
+        for prio, t in _one_commit_files(sf_dir, residue).items():
+            t = t.rename_columns(
+                [_CM_PHYS[c] for c in ("o_orderkey", "o_custkey", "o_totalprice")]
+            )
+            pq.write_table(t, os.path.join(loc, _fname(version, prio)))
+
+    meta = {
+        "metaData": {
+            "id": "icegopher-delta-cm-fixture",
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": _CM_SCHEMA_STRING,
+            "partitionColumns": ["o_orderpriority"],
+            "configuration": {
+                "delta.columnMapping.mode": "name",
+                "delta.columnMapping.maxColumnId": "4",
+            },
+            "createdTime": _T0,
+        }
+    }
+    proto = {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}}
+
+    def cm_add(version: int, prio: str) -> dict:
+        path = _fname(version, prio)
+        return {
+            "add": {
+                "path": path,
+                # keyed by the PHYSICAL partition column name
+                "partitionValues": {_CM_PHYS["o_orderpriority"]: prio},
+                "size": os.path.getsize(os.path.join(loc, path)),
+                "modificationTime": _T0 + version * 1000,
+                "dataChange": True,
+            }
+        }
+
+    _write_commit(loc, 0, [proto, meta] + [cm_add(0, p) for p in _PRIORITIES])
+    _write_commit(loc, 1, [cm_add(1, p) for p in _PRIORITIES])
+    with open(os.path.join(loc, "_FIXTURE_OK"), "w") as f:
+        f.write(_CM_MARKER + "\n")
+
+
+def delta_cm_fixture_path(sf_dir: str) -> str:
+    key = sf_dir.strip("/").replace("/", "_")
+    loc = f"{_CACHE_ROOT}/{key}/orders_delta_cm"
+    ok = os.path.join(loc, "_FIXTURE_OK")
+    if os.path.exists(ok):
+        try:
+            with open(ok) as f:
+                if f.read().strip() == _CM_MARKER:
+                    return loc
+        except OSError:
+            pass
+    shutil.rmtree(loc, ignore_errors=True)
+    build_delta_cm_fixture(sf_dir, loc)
+    return loc
+
+
+delta_cm_read_oracle = """
+SELECT o_orderpriority, COUNT(*) AS n_orders,
+       CAST(SUM(o_orderkey % 1000) AS BIGINT) AS okey_chk,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE)
+         AS total_price
+FROM orders
+WHERE o_orderkey % 3 IN (0, 1)
+GROUP BY o_orderpriority
+"""
+
+
+@register(
+    "delta_column_mapping_read",
+    delta_cm_read_oracle,
+    "Delta column-mapping (name mode): physical-name scan re-labelled "
+    "to logical, partitionValues keyed by physical name",
+)
+def delta_column_mapping_read(spark: SparkSession, sf: str) -> DataFrame:
+    """Reads a mode=name table whose parquet columns are opaque
+    physical ids — a reader that scans by logical name returns all
+    NULLs (schema-on-read miss), and one that keys partitionValues by
+    logical name drops every partition (inner-join miss); both fail
+    this oracle."""
+    loc = delta_cm_fixture_path(sf)
+    df = read_delta(spark, loc)
+    return df.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_orderkey") % 1000).cast("bigint").alias("okey_chk"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(12,2)")), 2)
+        .cast("double")
+        .alias("total_price"),
+    )

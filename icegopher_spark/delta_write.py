@@ -209,25 +209,45 @@ def overwrite_delta(spark: SparkSession, table_path: str, df: DataFrame) -> int:
 def write_checkpoint(table_path: str, version: int | None = None) -> int:
     """Classic single-part parquet checkpoint of ``version`` (default
     latest) + ``_last_checkpoint`` pointer. After this, JSON commits
-    ≤ version are readable-but-optional (vacuumable)."""
+    ≤ version are readable-but-optional (vacuumable).
+
+    The replayed ``protocol`` and ``metaData`` actions are carried
+    VERBATIM (r9 advice): synthesizing `{1, 2}` would downgrade a
+    reader-v3 table's feature set, and replacing ``metaData.id``
+    changes the table's identity — delta-spark streams treat an id
+    change as a different table.  Live files' deletion vectors are
+    carried too (dropping them would resurrect deleted rows once the
+    pre-checkpoint JSON is vacuumed)."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     snap = load_delta(table_path, version=version)
     v = snap.version
     pv_t = pa.map_(pa.string(), pa.string())
-    add_t = pa.struct(
+    dv_t = pa.struct(
         [
-            ("path", pa.string()),
-            ("partitionValues", pv_t),
-            ("size", pa.int64()),
-            ("modificationTime", pa.int64()),
-            ("dataChange", pa.bool_()),
+            ("storageType", pa.string()),
+            ("pathOrInlineDv", pa.string()),
+            ("offset", pa.int32()),
+            ("sizeInBytes", pa.int32()),
+            ("cardinality", pa.int64()),
         ]
     )
+    add_fields = [
+        ("path", pa.string()),
+        ("partitionValues", pv_t),
+        ("size", pa.int64()),
+        ("modificationTime", pa.int64()),
+        ("dataChange", pa.bool_()),
+    ]
+    if snap.deletion_vectors:
+        add_fields.append(("deletionVector", dv_t))
+    add_t = pa.struct(add_fields)
     meta_t = pa.struct(
         [
             ("id", pa.string()),
+            ("name", pa.string()),
+            ("description", pa.string()),
             ("format", pa.struct([("provider", pa.string())])),
             ("schemaString", pa.string()),
             ("partitionColumns", pa.list_(pa.string())),
@@ -235,40 +255,64 @@ def write_checkpoint(table_path: str, version: int | None = None) -> int:
             ("createdTime", pa.int64()),
         ]
     )
-    proto_t = pa.struct(
-        [("minReaderVersion", pa.int32()), ("minWriterVersion", pa.int32())]
-    )
-    rows_add = [
-        {
+    proto_fields = [
+        ("minReaderVersion", pa.int32()),
+        ("minWriterVersion", pa.int32()),
+    ]
+    if snap.protocol.get("readerFeatures") is not None:
+        proto_fields.append(("readerFeatures", pa.list_(pa.string())))
+    if snap.protocol.get("writerFeatures") is not None:
+        proto_fields.append(("writerFeatures", pa.list_(pa.string())))
+    proto_t = pa.struct(proto_fields)
+
+    def _dv_row(p: str) -> dict | None:
+        d = snap.deletion_vectors.get(p)
+        if d is None:
+            return None
+        return {
+            "storageType": d.get("storageType"),
+            "pathOrInlineDv": d.get("pathOrInlineDv"),
+            "offset": d.get("offset"),
+            "sizeInBytes": d.get("sizeInBytes"),
+            "cardinality": d.get("cardinality"),
+        }
+
+    rows_add = []
+    for p, pv in snap.files:
+        row = {
             "path": os.path.relpath(p, table_path).replace(os.sep, "/"),
             "partitionValues": [(k, val) for k, val in pv.items() if val is not None],
             "size": os.path.getsize(p),
             "modificationTime": int(os.path.getmtime(p) * 1000),
             "dataChange": False,
         }
-        for p, pv in snap.files
-    ]
+        if snap.deletion_vectors:
+            row["deletionVector"] = _dv_row(p)
+        rows_add.append(row)
+
+    meta = snap.metadata_raw
+    fmt = meta.get("format") or {"provider": "parquet"}
+    meta_row = {
+        "id": meta.get("id"),
+        "name": meta.get("name"),
+        "description": meta.get("description"),
+        "format": {"provider": fmt.get("provider", "parquet")},
+        "schemaString": meta.get("schemaString"),
+        "partitionColumns": list(meta.get("partitionColumns") or []),
+        "configuration": list(dict(meta.get("configuration") or {}).items()),
+        "createdTime": meta.get("createdTime"),
+    }
+    proto_row = {
+        k: snap.protocol.get(k, {"minReaderVersion": 1, "minWriterVersion": 2}.get(k))
+        for k, _ in proto_fields
+    }
+
     n = 2 + len(rows_add)
     tbl = pa.table(
         {
-            "protocol": pa.array(
-                [{"minReaderVersion": 1, "minWriterVersion": 2}] + [None] * (n - 1),
-                type=proto_t,
-            ),
+            "protocol": pa.array([proto_row] + [None] * (n - 1), type=proto_t),
             "metaData": pa.array(
-                [None]
-                + [
-                    {
-                        "id": "icegopher-delta-export",
-                        "format": {"provider": "parquet"},
-                        "schemaString": snap.schema.json(),
-                        "partitionColumns": snap.partition_columns,
-                        "configuration": list(snap.configuration.items()),
-                        "createdTime": None,
-                    }
-                ]
-                + [None] * (n - 2),
-                type=meta_t,
+                [None] + [meta_row] + [None] * (n - 2), type=meta_t
             ),
             "add": pa.array([None, None] + rows_add, type=add_t),
         }
@@ -277,7 +321,7 @@ def write_checkpoint(table_path: str, version: int | None = None) -> int:
         tbl, os.path.join(_log_dir(table_path), f"{v:020d}.checkpoint.parquet")
     )
     with open(os.path.join(_log_dir(table_path), "_last_checkpoint"), "w") as f:
-        json.dump({"version": v, "size": n}, f)
+        json.dump({"version": v, "size": n}, f)  # parts omitted: single-part
     return v
 
 

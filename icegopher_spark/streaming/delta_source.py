@@ -45,6 +45,7 @@ class _DeltaFilePartition(InputPartition):
         change_type: str | None = None,
         commit_version: int | None = None,
         cdc_in_file: bool = False,
+        mask: tuple | None = None,
     ):
         self.path = path
         self.pv = pv
@@ -54,6 +55,11 @@ class _DeltaFilePartition(InputPartition):
         self.change_type = change_type
         self.commit_version = commit_version
         self.cdc_in_file = cdc_in_file
+        # ('exclude'|'keep', sorted int64 row positions) — deletion-
+        # vector masks, applied against the file-global row index
+        self.mask = (
+            (mask[0], [int(x) for x in mask[1]]) if mask is not None else None
+        )
 
 
 def _pv_value(raw: str | None, spark_type: str):
@@ -104,6 +110,7 @@ class _DeltaStreamReader(DataSourceStreamReader):
 
     def initialOffset(self) -> dict:
         if self.starting_version is not None:
+            self._track_served(int(self.starting_version) - 1)
             return {"version": int(self.starting_version) - 1, "bootstrap": False}
         return {"version": -1, "bootstrap": True}
 
@@ -120,6 +127,18 @@ class _DeltaStreamReader(DataSourceStreamReader):
         self._last_served = hi
         return {"version": hi, "bootstrap": False}
 
+    def _track_served(self, version: int) -> None:
+        """Keep the admission-control watermark in sync with every
+        offset the engine shows us (initialOffset on a fresh start,
+        partitions() on a checkpoint-replayed batch, commit() after
+        each batch) — so the FIRST latestOffset after a (re)start is
+        also bounded by max-versions-per-trigger, not just steady
+        state.  Residual gap: a restart whose last batch was already
+        committed gives the reader no start offset before the first
+        latestOffset — that one catch-up batch is unbounded."""
+        if self._last_served is None or version > self._last_served:
+            self._last_served = version
+
     # -- planning --------------------------------------------------------
 
     def _snapshot(self, version: int | None = None):
@@ -128,13 +147,21 @@ class _DeltaStreamReader(DataSourceStreamReader):
         return load_delta(self.location, version=version)
 
     def partitions(self, start: dict, end: dict):
+        self._track_served(end["version"])
         snap = self._snapshot(end["version"])
+        if snap.physical_schema is not None:
+            raise NotImplementedError(
+                "Delta stream: column-mapped tables are not supported by "
+                "the streaming source (the batch reader is) — physical-"
+                "name projection is a batch-face feature so far"
+            )
         schema_json = snap.schema.json()
         parts: list[_DeltaFilePartition] = []
 
         if self.cdf:
             # CDF stream: each batch is read_changes over (start, end] —
             # same shared classifier, same per-commit attribution
+            # (including deletion-vector masks / DV-diff deletes)
             from ..delta import _classify_changes
 
             lo = start["version"] + 1
@@ -144,10 +171,12 @@ class _DeltaStreamReader(DataSourceStreamReader):
                 self.location, snap, lo, end["version"]
             )
             for (v, kind), group in sorted(plain.items()):
-                for p, pv in group:
+                ct = "delete" if kind == "delete_dvdiff" else kind
+                for p, pv, mask in group:
                     parts.append(
                         _DeltaFilePartition(
-                            p, pv, schema_json, change_type=kind, commit_version=v
+                            p, pv, schema_json, change_type=ct,
+                            commit_version=v, mask=mask,
                         )
                     )
             for v, group in sorted(cdc.items()):
@@ -164,9 +193,20 @@ class _DeltaStreamReader(DataSourceStreamReader):
         # not bootstrap (version<0 is only the fallback for offsets
         # checkpointed without the flag)
         if start.get("bootstrap", start["version"] < 0):
-            # first batch: the whole live set at `end` (initial snapshot)
+            # first batch: the whole live set at `end` (initial
+            # snapshot); deletion vectors mask out their dead rows
+            masks = {}
+            if snap.deletion_vectors:
+                from ..delta_dv import read_dv_positions
+
+                masks = {
+                    p: ("exclude", read_dv_positions(self.location, d))
+                    for p, d in snap.deletion_vectors.items()
+                }
             for p, pv in snap.files:
-                parts.append(_DeltaFilePartition(p, pv, schema_json))
+                parts.append(
+                    _DeltaFilePartition(p, pv, schema_json, mask=masks.get(p))
+                )
             return parts or [_DeltaFilePartition("", None, None)]
 
         base_schema = self._snapshot(start["version"]).schema.json() if (
@@ -193,15 +233,13 @@ class _DeltaStreamReader(DataSourceStreamReader):
                     if not line.strip():
                         continue
                     a = json.loads(line)
-                    if a.get("remove"):
+                    # dataChange=false actions (OPTIMIZE/compaction)
+                    # move bytes, not rows — transparent to an append
+                    # stream, exactly as delta-spark filters them
+                    if a.get("remove") and a["remove"].get("dataChange", True):
                         removes += 1
                     add = a.get("add")
-                    if add:
-                        if add.get("deletionVector"):
-                            raise NotImplementedError(
-                                f"Delta stream: commit {v} adds a deletion "
-                                "vector; not supported"
-                            )
+                    if add and add.get("dataChange", True):
                         adds.append(add)
                     if a.get("metaData") is not None:
                         ms = a["metaData"].get("schemaString")
@@ -218,6 +256,17 @@ class _DeltaStreamReader(DataSourceStreamReader):
                     "OVERWRITE); an append stream cannot retract rows. Set "
                     "option 'skip-change-commits'='true' to skip such "
                     "commits, or consume the table in batch"
+                )
+            if any(add.get("deletionVector") for add in adds):
+                # no remove in the commit yet a DV-carrying add: a new
+                # file born with dead rows — emit its live rows only
+                # would be fine, but a dataChange add with a DV outside
+                # a rewrite is protocol-unusual; refuse until a real
+                # writer is seen producing it
+                raise NotImplementedError(
+                    f"Delta stream: commit {v} adds a new file carrying a "
+                    "deletion vector without removing its predecessor; "
+                    "unsupported — consume via batch read_delta"
                 )
             for add in adds:
                 parts.append(
@@ -256,9 +305,30 @@ class _DeltaStreamReader(DataSourceStreamReader):
         if partition.cdc_in_file:
             data_names.append("_change_type")
 
+        mask = partition.mask
+
         def gen():
+            import numpy as np
+
             pf = pq.ParquetFile(partition.path)
+            row_offset = 0
+            mode, positions = (None, None)
+            if mask is not None:
+                mode = mask[0]
+                positions = np.asarray(mask[1], dtype=np.int64)
             for batch in pf.iter_batches(columns=data_names):
+                if mode is not None:
+                    # deletion-vector mask on the FILE-global row index
+                    idx = np.arange(
+                        row_offset, row_offset + batch.num_rows, dtype=np.int64
+                    )
+                    row_offset += batch.num_rows
+                    hit = np.isin(idx, positions, assume_unique=True)
+                    keep = ~hit if mode == "exclude" else hit
+                    if not keep.all():
+                        batch = batch.take(pa.array(np.nonzero(keep)[0]))
+                    if batch.num_rows == 0:
+                        continue
                 cols = []
                 for f in out_schema.fields:
                     target = arrow_schema.field(f.name).type
@@ -289,7 +359,9 @@ class _DeltaStreamReader(DataSourceStreamReader):
         return gen()
 
     def commit(self, end: dict) -> None:
-        pass  # offsets derive from the table's own log
+        # offsets derive from the table's own log; tracking feeds the
+        # admission-control watermark across restarts
+        self._track_served(end["version"])
 
 
 class DeltaAppendStreamSource(DataSource):

@@ -97,7 +97,9 @@ def test_checkpoint_only_version_readable(fixture_loc, tmp_path):
 # --------------------------------------------------------------- refusals
 
 
-def test_deletion_vector_refused(fixture_loc, tmp_path):
+def test_unknown_dv_storage_type_refused(spark, fixture_loc, tmp_path):
+    """DVs are now implemented, but an unknown storageType must still
+    refuse loudly at read time rather than misread."""
     loc = _copy_table(fixture_loc, tmp_path, "dv")
     _append_commit(
         loc,
@@ -111,7 +113,7 @@ def test_deletion_vector_refused(fixture_loc, tmp_path):
                     "modificationTime": _T0,
                     "dataChange": True,
                     "deletionVector": {
-                        "storageType": "u",
+                        "storageType": "z",
                         "pathOrInlineDv": "x",
                         "offset": 1,
                         "sizeInBytes": 1,
@@ -121,19 +123,24 @@ def test_deletion_vector_refused(fixture_loc, tmp_path):
             }
         ],
     )
-    with pytest.raises(NotImplementedError, match="deletion vectors"):
-        load_delta(loc)
+    snap = load_delta(loc)  # replay itself carries the descriptor fine
+    assert any(snap.deletion_vectors.values())
+    from icegopher_spark.delta import read_delta
+
+    with pytest.raises(NotImplementedError, match="storageType"):
+        read_delta(spark, loc)
 
 
-def test_column_mapping_refused(fixture_loc, tmp_path):
+def test_unknown_column_mapping_mode_refused(fixture_loc, tmp_path):
+    """name/id mapping is implemented; an unrecognized mode refuses."""
     loc = _copy_table(fixture_loc, tmp_path, "colmap")
     with open(os.path.join(loc, "_delta_log", f"{0:020d}.json")) as f:
         lines = [json.loads(ln) for ln in f if ln.strip()]
     for a in lines:
         if "metaData" in a:
-            a["metaData"]["configuration"] = {"delta.columnMapping.mode": "name"}
+            a["metaData"]["configuration"] = {"delta.columnMapping.mode": "weird"}
     _append_commit(loc, 0, lines)
-    with pytest.raises(NotImplementedError, match="column mapping"):
+    with pytest.raises(NotImplementedError, match="column mapping mode"):
         load_delta(loc, version=0)
 
 
@@ -147,12 +154,12 @@ def test_unsupported_reader_feature_refused(fixture_loc, tmp_path):
                 "protocol": {
                     "minReaderVersion": 3,
                     "minWriterVersion": 7,
-                    "readerFeatures": ["deletionVectors"],
+                    "readerFeatures": ["v2Checkpoint"],
                 }
             }
         ],
     )
-    with pytest.raises(NotImplementedError, match="deletionVectors"):
+    with pytest.raises(NotImplementedError, match="v2Checkpoint"):
         load_delta(loc)
 
 

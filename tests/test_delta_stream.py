@@ -94,9 +94,10 @@ def test_max_versions_per_trigger_bounds_batches(fixture_loc):
     """Admission control at the reader level (Python DataSource streams
     fall back to single-batch under availableNow, so the cap is only
     observable on a live trigger — simulate the micro-batch loop).
-    Like the Iceberg source, the FIRST batch of a run is uncapped
-    (restart catch-up must not stall behind an unknown checkpoint);
-    steady-state batches then advance at most N versions."""
+    The FIRST batch is bounded too (r9 advice): initialOffset seeds the
+    watermark, so a fresh start with a deep backlog catches up at the
+    capped rate instead of one unbounded batch — exactly the case
+    admission control exists for."""
     from icegopher_spark.streaming.delta_source import _DeltaStreamReader
 
     r = _DeltaStreamReader(
@@ -109,9 +110,13 @@ def test_max_versions_per_trigger_bounds_batches(fixture_loc):
     )
     start = r.initialOffset()
     first = r.latestOffset()
-    assert first["version"] == 3  # uncapped catch-up
+    assert first["version"] == 0  # capped from the very first batch
     parts = r.partitions(start, first)
-    assert len(parts) == 15  # v0+v1+v3 adds, v2 skipped
+    assert len(parts) == 5  # v0's adds only
+    # successive capped batches drain the backlog one version at a time
+    assert r.latestOffset()["version"] == 1
+    assert r.latestOffset()["version"] == 2
+    assert r.latestOffset()["version"] == 3
 
     # steady state: a new commit lands; the next offset advances by 1
     r._last_served = 3

@@ -38,8 +38,12 @@ def test_module_imports_first(module: str) -> None:
         cwd=str(REPO),
         capture_output=True,
         text=True,
-        timeout=120,
+        # generous: under a full-suite run the 32-thread Spark JVM can
+        # starve this subprocess; the test is about import ERRORS, not
+        # import latency
+        timeout=600,
     )
     assert proc.returncode == 0, (
-        f"import {module} failed as first package import:\n{proc.stderr[-2000:]}"
+        f"import {module} failed as first package import:\n"
+        f"stdout: {proc.stdout[-500:]}\nstderr: {proc.stderr[-2000:]}"
     )
