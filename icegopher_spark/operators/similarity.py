@@ -620,7 +620,66 @@ def semdedup(
     )
 
 
-IVF_KERNEL_VERSION = "1"
+IVF_KERNEL_VERSION = "2"  # v2: centroids moved to a metadata sidecar
+
+
+def _centroids_to_parquet_bytes(centroids: list[list[float]]) -> bytes:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = pa.table(
+        {
+            "cell": pa.array(range(len(centroids)), pa.int32()),
+            "centroid": pa.array(centroids, pa.list_(pa.float64())),
+        }
+    )
+    buf = pa.BufferOutputStream()
+    pq.write_table(t, buf)
+    return buf.getvalue().to_pybytes()
+
+
+def _write_centroids_sidecar(location: str, centroids: list[list[float]]) -> tuple[str, str]:
+    """Write the centroid matrix as a parquet SIDECAR under metadata/
+    and return (path, sha256).  Properties are for scalars: at the
+    documented production shape (n_lists=4096, dim=768) a JSON-in-
+    properties centroid matrix is ~60 MB copied into EVERY
+    metadata.json version and LoadTable response forever (r9 verdict
+    #2) — the sidecar keeps metadata O(KB) and the pointer immutable
+    (content-hashed name, verified on read)."""
+    import hashlib
+
+    from ..iceberg.io import load_io
+
+    data = _centroids_to_parquet_bytes(centroids)
+    digest = hashlib.sha256(data).hexdigest()
+    path = f"{location}/metadata/ivf-centroids-{digest[:16]}.parquet"
+    load_io(location).write(path, data)
+    return path, digest
+
+
+def load_ivf_centroids(table) -> list[list[float]]:
+    """Centroids for an IVF index table: sidecar parquet (kernel v2,
+    sha256-verified) or the legacy `ivf.centroids` JSON property."""
+    import hashlib
+    import io as _io
+    import json as _json
+
+    props = table.properties
+    if "ivf.centroids-path" in props:
+        import pyarrow.parquet as pq
+
+        data = table.io.read(props["ivf.centroids-path"])
+        want = props.get("ivf.centroids-sha256")
+        if want and hashlib.sha256(data).hexdigest() != want:
+            raise ValueError(
+                "IVF centroids sidecar checksum mismatch — refusing to "
+                "probe with a corrupt codebook"
+            )
+        t = pq.read_table(_io.BytesIO(data)).sort_by("cell")
+        return [list(map(float, c)) for c in t["centroid"].to_pylist()]
+    if "ivf.centroids" in props:  # legacy small indexes (kernel v1)
+        return _json.loads(props["ivf.centroids"])
+    raise ValueError("table carries no IVF centroids (not an IVF index?)")
 
 
 def ivf_index_write(
@@ -633,22 +692,23 @@ def ivf_index_write(
     seed: int = 42,
 ):
     """Materialize the IVF layout as an Iceberg table partitioned by
-    cell: k-means centroids go into table properties, vectors land in
-    per-cell data files via the normal partitioned write path.
+    cell: k-means centroids go into a content-hashed parquet sidecar
+    under metadata/ (properties carry only the pointer + sha256),
+    vectors land in per-cell data files via the normal partitioned
+    write path.
 
     This is the 100 TB ANN posture from SCALE.md made concrete: a query
     probing n_probe of n_lists cells touches n_probe/n_lists of the
     DATA FILES (partition pruning in the metadata plane), not just
     n_probe/n_lists of the rows after a full scan.
     """
-    import json as _json
-
     from ..iceberg import write as W
     from ..iceberg.schema import Schema
     from ..iceberg.transforms import PartitionField, PartitionSpec, parse_transform
     from ..iceberg.types import FloatType, IntegerType, ListType, LongType, NestedField
 
     centroids = _kmeans_centroids(corpus, vec_col, n_lists, seed)
+    sidecar_path, digest = _write_centroids_sidecar(location, centroids)
 
     schema = Schema(
         (
@@ -664,7 +724,8 @@ def ivf_index_write(
         schema,
         spec=spec,
         properties={
-            "ivf.centroids": _json.dumps(centroids),
+            "ivf.centroids-path": sidecar_path,
+            "ivf.centroids-sha256": digest,
             "ivf.n-lists": str(n_lists),
             "ivf.kernel-version": IVF_KERNEL_VERSION,
         },
@@ -693,13 +754,11 @@ def ivf_index_search(
     `IN (cells)` row filter that the metadata plane turns into
     partition pruning (only probed cells' files are read), and exact
     cosine reranks the survivors."""
-    import json as _json
-
     from pyspark.sql import Window
 
     from ..iceberg import expressions as E
 
-    centroids = _json.loads(table.properties["ivf.centroids"])
+    centroids = load_ivf_centroids(table)
 
     q = queries.select(
         F.col(query_id_col),
@@ -770,6 +829,11 @@ def quantize_int8(
     ).withColumn("within_bound", F.col("max_err") <= F.col("scale") / 2 + 1e-12)
 
 
+# above this corpus size, method='auto' switches the miner from the
+# exact broadcast scorer to IVF cell-pruned candidates (ANN semantics)
+HARD_NEG_AUTO_THRESHOLD = 200_000
+
+
 def hard_negatives(
     corpus: DataFrame,
     queries: DataFrame,
@@ -778,39 +842,69 @@ def hard_negatives(
     vec_col: str = "embedding",
     label_col: str = "label",
     query_id_col: str = "query_id",
+    method: str = "auto",
+    n_lists: int = 64,
+    n_probe: int = 16,
+    seed: int = 42,
 ) -> DataFrame:
     """Contrastive-training hard-negative mining: for each query, the
     top-k most-similar corpus vectors with a DIFFERENT label (the
     near-misses a contrastive loss learns the most from).
 
-    queries: (query_id, label, embedding). Same plan shape as
-    brute_force_topk — queries broadcast, cosine in codegen HOFs, one
-    window for top-k — plus the label inequality pushed into the join
-    so same-label candidates never reach the scorer. Scale path: swap
-    the broadcast scorer for ivf_topk's cell-pruned candidates and
-    keep the same label filter; mining is embarrassingly parallel in
-    queries either way.
+    queries: (query_id, label, embedding).
+
+    ``method``:
+      * ``'broadcast'`` — EXACT: queries broadcast, cosine in codegen
+        HOFs, one window for top-k, label inequality pushed into the
+        join.  O(corpus × queries) compute — the small-corpus path.
+      * ``'ivf'`` — APPROXIMATE (ANN): candidates come from ivf_topk's
+        cell-pruned equi-join (each query scores only its ``n_probe``
+        nearest of ``n_lists`` k-means cells — no cartesian anywhere),
+        same label filter, same window.  O(corpus × queries ×
+        n_probe/n_lists); recall tunable via n_probe.  This is the
+        100 TB path (r9 verdict #5 — previously documented, now wired).
+      * ``'auto'`` — broadcast below HARD_NEG_AUTO_THRESHOLD corpus
+        rows (parquet footer-count, cheap), ivf above; the switch is
+        the same adaptive pattern semdedup uses for cluster count.
     """
     from pyspark.sql import Window
 
+    if method == "auto":
+        method = (
+            "broadcast" if corpus.count() <= HARD_NEG_AUTO_THRESHOLD else "ivf"
+        )
     q = queries.select(
         F.col(query_id_col),
         F.col(label_col).alias("_qlabel"),
         F.col(vec_col).alias("_qvec"),
     )
-    scored = (
-        corpus.select(F.col(id_col), F.col(label_col), F.col(vec_col))
-        .crossJoin(F.broadcast(q))
-        .filter(
-            (F.col(id_col) != F.col(query_id_col))
-            & (F.col(label_col) != F.col("_qlabel"))
+    c = corpus.select(F.col(id_col), F.col(label_col), F.col(vec_col))
+    if method == "broadcast":
+        cand = c.crossJoin(F.broadcast(q))
+    elif method == "ivf":
+        centroids = _kmeans_centroids(corpus, vec_col, n_lists, seed)
+        c = c.withColumn(
+            "_cell",
+            F.element_at(nearest_cells_arrow(F.col(vec_col), centroids, 1), 1),
         )
-        .select(
-            query_id_col,
-            id_col,
-            F.col(label_col).alias("negative_label"),
-            F.round(cosine(F.col(vec_col), F.col("_qvec")), 6).alias("cosine_sim"),
+        q = q.withColumn(
+            "_cell",
+            F.explode(nearest_cells_arrow(F.col("_qvec"), centroids, n_probe)),
         )
+        # equi-join on cell: a broadcast HASH join (queries are small),
+        # never a BroadcastNestedLoopJoin/CartesianProduct — pinned by
+        # tests/test_ivf_index.py::test_hard_negatives_ivf_no_cartesian
+        cand = c.join(F.broadcast(q), "_cell").drop("_cell")
+    else:
+        raise ValueError(f"hard_negatives: unknown method {method!r}")
+    scored = cand.filter(
+        (F.col(id_col) != F.col(query_id_col))
+        & (F.col(label_col) != F.col("_qlabel"))
+    ).select(
+        query_id_col,
+        id_col,
+        F.col(label_col).alias("negative_label"),
+        F.round(cosine(F.col(vec_col), F.col("_qvec")), 6).alias("cosine_sim"),
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("cosine_sim").desc(), F.col(id_col).asc()

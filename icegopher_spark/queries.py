@@ -2017,7 +2017,9 @@ def sim_ivf_index_q(spark: SparkSession, sf: str) -> DataFrame:
     t = _cached_index_table(
         sf,
         "emb_ivf_index",
-        lambda t: "ivf.centroids" in t.properties
+        lambda t: (
+            "ivf.centroids-path" in t.properties or "ivf.centroids" in t.properties
+        )
         and t.properties.get("ivf.kernel-version") == similarity.IVF_KERNEL_VERSION,
         lambda loc: similarity.ivf_index_write(spark, emb, loc, n_lists=16),
     )

@@ -112,3 +112,88 @@ def test_nearest_cells_arrow_plan_bounded(spark, corpus):
     for r in rows:
         assert len(r.cells) == 4
         assert all(0 <= c < 1024 for c in r.cells)
+
+
+def test_centroids_sidecar_keeps_metadata_small(spark, corpus, tmp_path_factory):
+    """r9 verdict #2: centroids live in a content-hashed parquet
+    sidecar, NOT in table properties — properties are copied into every
+    metadata.json version and every LoadTable response forever, so a
+    big-JSON codebook there is a metadata-plane scale landmine."""
+    import json
+    import os
+
+    loc = str(tmp_path_factory.mktemp("ivf_meta") / "emb_ivf_sidecar")
+    t = S.ivf_index_write(spark, corpus, loc, n_lists=32)
+
+    assert "ivf.centroids" not in t.properties
+    sidecar = t.properties["ivf.centroids-path"]
+    assert "/metadata/ivf-centroids-" in sidecar and os.path.exists(sidecar)
+    # every metadata.json version stays O(KB)
+    mdir = os.path.join(loc, "metadata")
+    for fn in os.listdir(mdir):
+        if fn.endswith(".metadata.json"):
+            size = os.path.getsize(os.path.join(mdir, fn))
+            assert size < 64 * 1024, f"{fn} is {size}B — centroids leaked?"
+    # the sidecar round-trips and matches what the search path uses
+    cents = S.load_ivf_centroids(t)
+    assert len(cents) == int(t.properties["ivf.n-lists"])
+
+    # checksum verification: a corrupted sidecar refuses loudly
+    with open(sidecar, "r+b") as f:
+        f.seek(100)
+        b = f.read(1)
+        f.seek(100)
+        f.write(bytes([b[0] ^ 0xFF]))
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="checksum"):
+        S.load_ivf_centroids(t)
+
+
+def test_legacy_centroids_property_still_loads():
+    """kernel-v1 indexes (centroids JSON in properties) keep working."""
+    import json
+
+    class _T:
+        properties = {"ivf.centroids": json.dumps([[1.0, 0.0], [0.0, 1.0]])}
+
+    assert S.load_ivf_centroids(_T()) == [[1.0, 0.0], [0.0, 1.0]]
+
+
+def test_hard_negatives_ivf_no_cartesian(spark, corpus):
+    """r9 verdict #5: the large-corpus miner path routes candidates
+    through the IVF cell equi-join — NO cartesian in the physical plan.
+    Probing ALL cells makes IVF candidate-complete, so the result must
+    equal the exact broadcast path row for row (same rounding, same
+    tie-break) — parity is structural, not sampled."""
+    emb = corpus.join(
+        spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select("vec_id", "label"),
+        "vec_id",
+    )
+    q = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "label", "embedding"
+    )
+    exact = S.hard_negatives(emb, q, k=3, method="broadcast")
+    approx = S.hard_negatives(emb, q, k=3, method="ivf", n_lists=8, n_probe=8)
+
+    plan = approx._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+    ex = {tuple(r) for r in exact.collect()}
+    ap = {tuple(r) for r in approx.collect()}
+    assert ex == ap  # all-cells probe == exact, via a hash join only
+
+
+def test_hard_negatives_auto_small_corpus_exact(spark, corpus):
+    """auto picks the exact broadcast path under the threshold."""
+    emb = corpus.join(
+        spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select("vec_id", "label"),
+        "vec_id",
+    )
+    q = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "label", "embedding"
+    )
+    auto = {tuple(r) for r in S.hard_negatives(emb, q, k=2).collect()}
+    exact = {tuple(r) for r in S.hard_negatives(emb, q, k=2, method="broadcast").collect()}
+    assert auto == exact
