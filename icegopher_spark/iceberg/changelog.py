@@ -53,10 +53,13 @@ COMMIT_SNAPSHOT = "_commit_snapshot_id"
 # in-flight caches, and a mid-loop raise grew the list unboundedly).
 # Unpersist is correctness-safe: a still-held old result merely
 # recomputes — the registry exists only to bound cached-block
-# residency. Concurrent changelog_df calls on the SAME table location
-# in one SparkSession still race (single-caller-per-table assumption);
-# calls on different tables no longer interfere.
+# residency. Mutations are lock-guarded (r9 verdict #8): without the
+# lock, two interleaved calls could orphan a frame list (persisted
+# blocks leaking for the session's lifetime). Concurrent calls on the
+# SAME table may still steal each other's warm cache — that costs a
+# recompute, never correctness or a leak.
 _PAIR_CACHES: dict[str, list] = {}
+_REG_LOCK = __import__("threading").Lock()
 
 
 
@@ -245,15 +248,19 @@ def changelog_df(
     # and drain our own entries if the build raises mid-loop so a
     # failed call can't leak cached blocks (r8 advice #3)
     loc = table.location
-    for df in _PAIR_CACHES.pop(loc, []):
+    with _REG_LOCK:
+        prev = _PAIR_CACHES.pop(loc, [])
+        _PAIR_CACHES[loc] = []
+    for df in prev:
         df.unpersist()
-    _PAIR_CACHES[loc] = []
     try:
         return _changelog_df_impl(
             table, spark, from_snapshot_id, to_snapshot_id, net
         )
     except BaseException:
-        for df in _PAIR_CACHES.pop(loc, []):
+        with _REG_LOCK:
+            prev = _PAIR_CACHES.pop(loc, [])
+        for df in prev:
             df.unpersist()
         raise
 
@@ -402,7 +409,8 @@ def _changelog_df_impl(
             # caches (same bounded-residency contract as
             # dedup._INC_PROBE_CACHE).
             pairs = pairs.persist()
-            _PAIR_CACHES.setdefault(table.location, []).append(pairs)
+            with _REG_LOCK:
+                _PAIR_CACHES.setdefault(table.location, []).append(pairs)
             target_paths = {r["_del_path"] for r in pairs.select("_del_path").distinct().collect()}
             # entries for the targeted data files, read from the CHILD
             # snapshot's state (intended): MOR positional deletes target

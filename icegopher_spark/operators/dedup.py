@@ -722,10 +722,12 @@ def minhash_dedup_from_index(
 # persisted band entries, keyed by the index table's location (r8
 # advice #3: a single global slot let a probe against index B
 # unpersist index A's in-flight cache — correctness-safe but the perf
-# win silently vanished). Concurrent probes against the SAME index in
-# one session still race (single-caller-per-index assumption). Tests
-# reach the entries via .values().
+# win silently vanished). Mutations are lock-guarded (r9 verdict #8)
+# so interleaved probes can't orphan a persisted frame; concurrent
+# probes against the SAME index may still steal each other's warm
+# cache — a recompute, never a leak. Tests reach entries via .values().
 _INC_PROBE_CACHE: dict = {}
+_REG_LOCK = __import__("threading").Lock()
 
 
 def minhash_dedup_incremental(
@@ -770,10 +772,11 @@ def minhash_dedup_incremental(
         # case the previous, not-yet-collected result recomputes its
         # signatures), bounding residency to one batch.
         new_e = new_e.persist()
-        prev = _INC_PROBE_CACHE.pop(table.location, None)
+        with _REG_LOCK:
+            prev = _INC_PROBE_CACHE.pop(table.location, None)
+            _INC_PROBE_CACHE[table.location] = new_e
         if prev is not None:
             prev.unpersist()
-        _INC_PROBE_CACHE[table.location] = new_e
     stored = table.scan().to_df(spark).select("band", "key", "id")
     all_e = stored.unionByName(new_e)
     # density cap over the UNION (global frequency); capping the build
@@ -941,10 +944,11 @@ def simhash_neardup_pairs(
     # residency to the latest call, same contract as
     # _INC_PROBE_CACHE / changelog._PAIR_CACHES.
     d = d.persist()
-    prev = _SIMHASH_SIG_CACHE.pop() if _SIMHASH_SIG_CACHE else None
+    with _REG_LOCK:
+        prev = _SIMHASH_SIG_CACHE.pop() if _SIMHASH_SIG_CACHE else None
+        _SIMHASH_SIG_CACHE.append(d)
     if prev is not None:
         prev.unpersist()
-    _SIMHASH_SIG_CACHE.append(d)
     # 1. identical signatures: single equi-join, hamming 0 by definition
     sa, sb = d.alias("a"), d.alias("b")
     within = sa.join(
