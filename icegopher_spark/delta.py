@@ -555,6 +555,7 @@ def _scan_files(
     physical_schema: StructType | None = None,
     position_masks: dict | None = None,
     partition_name_map: dict[str, str] | None = None,
+    with_position: bool = False,
 ) -> DataFrame:
     """ONE distributed parquet scan over `files`, with each file's
     partitionValues re-attached via a broadcast path join.  Shared by
@@ -593,7 +594,8 @@ def _scan_files(
     paths = [p for p, _ in files]
     df = spark.read.schema(data_schema).parquet(*paths)
 
-    need_path = bool(partition_columns) or bool(position_masks)
+    need_pos = bool(position_masks) or with_position
+    need_path = bool(partition_columns) or need_pos
     if need_path:
         # capture scan metadata ONCE, before any join breaks lineage;
         # file_path is a URI (file:///a/b) — strip the scheme so it
@@ -602,8 +604,9 @@ def _scan_files(
             "__delta_path",
             F.regexp_replace(F.col("_metadata.file_path"), "^file:(//)?", ""),
         )
-    if position_masks:
+    if need_pos:
         df = df.withColumn("__delta_pos", F.col("_metadata.row_index"))
+    if position_masks:
         modes = {m for m, _ in position_masks.values()}
         if len(modes) > 1:
             raise ValueError("position_masks must be all-exclude or all-keep")
@@ -630,7 +633,9 @@ def _scan_files(
         if total <= _DV_BROADCAST_MAX_POSITIONS:
             mdf = F.broadcast(mdf)
         how = "left_anti" if mode == "exclude" else "left_semi"
-        df = df.join(mdf, ["__delta_path", "__delta_pos"], how).drop("__delta_pos")
+        df = df.join(mdf, ["__delta_path", "__delta_pos"], how)
+        if not with_position:
+            df = df.drop("__delta_pos")
 
     # physical → logical re-label (no-op select when names coincide)
     rename_exprs = []
@@ -643,7 +648,15 @@ def _scan_files(
         rename_exprs += [df[f.name] for f in extra_schema.fields]
     if need_path:
         rename_exprs.append(df["__delta_path"])
+    if with_position:
+        rename_exprs.append(df["__delta_pos"])
     df = df.select(*rename_exprs)
+
+    if with_position:
+        out_names = out_names + ["_file_path", "_row_pos"]
+        df = df.withColumn("_file_path", F.col("__delta_path")).withColumn(
+            "_row_pos", F.col("__delta_pos")
+        )
 
     if not partition_columns:
         return df.select(*out_names)

@@ -897,3 +897,76 @@ def delta_column_mapping_read(spark: SparkSession, sf: str) -> DataFrame:
         .cast("double")
         .alias("total_price"),
     )
+
+
+# ---------------------------------------------------------------------------
+# DV-writing DELETE (r10): the write half of the deletion-vector loop.
+
+_DVW_MARKER = "dvw-fixture@v1"
+
+
+def delta_dvw_fixture_path(spark: SparkSession, sf_dir: str) -> str:
+    """Create-or-reuse a Delta table written ENTIRELY by this repo's
+    writer (create + append + two DV deletes), then read back by the
+    independent reader + SQL oracle: the deletes are o_orderkey%9==0
+    and then %13==0, so the second DV must UNION the first (superset
+    invariant) or rows resurrect."""
+    key = sf_dir.strip("/").replace("/", "_")
+    loc = f"{_CACHE_ROOT}/{key}/orders_delta_dvw"
+    ok = os.path.join(loc, "_FIXTURE_OK")
+    if os.path.exists(ok):
+        try:
+            with open(ok) as f:
+                if f.read().strip() == _DVW_MARKER:
+                    return loc
+        except OSError:
+            pass
+    shutil.rmtree(loc, ignore_errors=True)
+
+    from .delta_write import append_delta, create_delta_table, delete_where_delta
+    from .queries import load as _load
+
+    orders = _load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    create_delta_table(loc, orders.schema)
+    append_delta(spark, loc, orders)
+    delete_where_delta(spark, loc, F.col("o_orderkey") % 9 == 0)
+    delete_where_delta(spark, loc, F.col("o_orderkey") % 13 == 0)
+    with open(ok, "w") as f:
+        f.write(_DVW_MARKER + "\n")
+    return loc
+
+
+delta_dv_delete_write_oracle = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(o_orderkey % 1000) AS BIGINT) AS okey_chk,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE)
+         AS total_price
+FROM orders
+WHERE o_orderkey % 9 <> 0 AND o_orderkey % 13 <> 0
+"""
+
+
+@register(
+    "delta_dv_delete_write",
+    delta_dv_delete_write_oracle,
+    "DV-writing DELETE: two successive merge-on-read deletes, second "
+    "bitmap a superset of the first; protocol auto-upgraded",
+)
+def delta_dv_delete_write(spark: SparkSession, sf: str) -> DataFrame:
+    """End-to-end write-side DVs: positions from _metadata.row_index in
+    the predicate scan, bitmaps built + DV files written executor-side
+    (applyInPandas per affected file), remove+add commit swapping the
+    descriptor, protocol upgraded to reader 3 + deletionVectors.  The
+    read-back goes through the same reader the spec-composed byte
+    fixtures pin."""
+    loc = delta_dvw_fixture_path(spark, sf)
+    df = read_delta(spark, loc)
+    return df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("o_orderkey") % 1000).cast("bigint").alias("okey_chk"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(12,2)")), 2)
+        .cast("double")
+        .alias("total_price"),
+    )

@@ -44,6 +44,7 @@ __all__ = [
     "append_delta",
     "overwrite_delta",
     "write_checkpoint",
+    "delete_where_delta",
     "export_iceberg_to_delta",
 ]
 
@@ -339,4 +340,164 @@ def export_iceberg_to_delta(
     create_delta_table(delta_path, df.schema, partition_columns)
     v = append_delta(spark, delta_path, df)
     write_checkpoint(delta_path, v)
+    return v
+
+
+def delete_where_delta(spark: SparkSession, table_path: str, predicate) -> int:
+    """Merge-on-read DELETE on a Delta table via deletion vectors —
+    the write half of the DV loop (the read half is `delta.py` +
+    `delta_dv.py`).
+
+    Per the protocol's DV write semantics: for each live file with
+    matching rows, the commit carries ``remove(path, old DV)`` +
+    ``add(path, NEW DV)`` where the new bitmap is the UNION of the old
+    one and the newly-matching row positions (a replacement DV must be
+    a superset — repeated deletes COMPACT per file instead of
+    accumulating delete files, the same invariant as Iceberg V3's
+    `delete_where_dv`).  If the table's protocol predates DVs, the
+    commit upgrades it (reader 3 / writer 7 + deletionVectors
+    features), which the protocol allows writers to do.
+
+    Scale shape: matching rows travel as narrow (file, pos) pairs —
+    positions come from ``_metadata.row_index`` in the SAME scan that
+    evaluates the predicate (existing DVs already masked, so a row is
+    never deleted twice); bitmaps are grouped per file with one
+    ``applyInPandas`` and DV files are written executor-side, one per
+    affected data file.  The driver touches one metadata row per
+    affected file.  Column-mapped tables are refused (writer scope).
+    Returns the committed version.
+    """
+    import pandas as pd
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from .delta import _partition_name_map, _scan_files, _uri_path
+    from .delta_dv import read_dv_positions
+
+    snap = load_delta(table_path)
+    if snap.physical_schema is not None:
+        raise NotImplementedError(
+            "delete_where_delta: column-mapped tables not supported by "
+            "the writer (the reader is)"
+        )
+
+    masks = None
+    if snap.deletion_vectors:
+        masks = {
+            p: ("exclude", read_dv_positions(table_path, d))
+            for p, d in snap.deletion_vectors.items()
+        }
+    live = _scan_files(
+        spark,
+        snap.schema,
+        snap.partition_columns,
+        snap.files,
+        position_masks=masks,
+        partition_name_map=_partition_name_map(snap),
+        with_position=True,
+    )
+    matches = live.filter(predicate).select("_file_path", "_row_pos")
+
+    # executor-side bitmap build + DV file write, one per affected file
+    out_schema = StructType(
+        [
+            StructField("_file_path", StringType()),
+            StructField("storageType", StringType()),
+            StructField("pathOrInlineDv", StringType()),
+            StructField("offset", IntegerType()),
+            StructField("sizeInBytes", IntegerType()),
+            StructField("cardinality", LongType()),
+        ]
+    )
+    uri_to_old = {
+        _uri_path(p): d for p, d in snap.deletion_vectors.items()
+    }
+    tp = table_path
+
+    def _write_dv(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        from .delta_dv import read_dv_positions as _rd
+        from .delta_dv import write_dv_file as _w
+
+        uri = key[0]
+        pos = pdf["_row_pos"].to_numpy(dtype="uint64")
+        old = uri_to_old.get(uri)
+        if old is not None:
+            pos = np.union1d(pos, _rd(tp, old))  # superset invariant
+        d = _w(tp, pos)
+        return pd.DataFrame(
+            [
+                {
+                    "_file_path": uri,
+                    "storageType": d["storageType"],
+                    "pathOrInlineDv": d["pathOrInlineDv"],
+                    "offset": d["offset"],
+                    "sizeInBytes": d["sizeInBytes"],
+                    "cardinality": d["cardinality"],
+                }
+            ]
+        )
+
+    dv_rows = matches.groupBy("_file_path").applyInPandas(_write_dv, out_schema).collect()
+    if not dv_rows:
+        return snap.version  # nothing matched — no commit
+
+    uri_info = {_uri_path(p): (p, pv) for p, pv in snap.files}
+
+    actions: list[dict] = []
+    proto = snap.protocol
+    feats = set(proto.get("readerFeatures") or [])
+    if int(proto.get("minReaderVersion", 1)) < 3 or "deletionVectors" not in feats:
+        actions.append(
+            {
+                "protocol": {
+                    "minReaderVersion": 3,
+                    "minWriterVersion": 7,
+                    "readerFeatures": sorted(feats | {"deletionVectors"}),
+                    "writerFeatures": sorted(
+                        set(proto.get("writerFeatures") or []) | {"deletionVectors"}
+                    ),
+                }
+            }
+        )
+    now_ms = int(time.time() * 1000)
+    for r in dv_rows:
+        abs_path, pv = uri_info[r["_file_path"]]
+        rel = os.path.relpath(abs_path, table_path).replace(os.sep, "/")
+        old_dv = snap.deletion_vectors.get(abs_path)
+        rm = {
+            "path": rel,
+            "deletionTimestamp": now_ms,
+            "dataChange": True,
+            "partitionValues": dict(pv),
+        }
+        if old_dv is not None:
+            rm["deletionVector"] = old_dv
+        actions.append({"remove": rm})
+        actions.append(
+            {
+                "add": {
+                    "path": rel,
+                    "partitionValues": dict(pv),
+                    "size": os.path.getsize(abs_path),
+                    "modificationTime": int(os.path.getmtime(abs_path) * 1000),
+                    "dataChange": True,
+                    "deletionVector": {
+                        "storageType": r["storageType"],
+                        "pathOrInlineDv": r["pathOrInlineDv"],
+                        "offset": r["offset"],
+                        "sizeInBytes": r["sizeInBytes"],
+                        "cardinality": r["cardinality"],
+                    },
+                }
+            }
+        )
+    v = snap.version + 1
+    _commit(table_path, v, actions)
     return v

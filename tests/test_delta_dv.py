@@ -467,3 +467,76 @@ def test_dv_plus_partition_join_compose(spark, tmp_path):
     got = read_delta(spark, loc).orderBy("v").collect()
     assert [r["v"] for r in got] == [3, 4, 5, 6, 7, 8, 9]
     assert {r["part"] for r in got} == {"A"}
+
+
+def test_delete_where_delta_partitioned_and_cdf(spark, tmp_path):
+    """Writer-DV loop on a PARTITIONED table: predicate on data +
+    partition columns, repeated delete unions bitmaps, CDF shows the
+    row-accurate diffs, checkpoint carries the final DVs."""
+    import pyspark.sql.functions as F
+
+    from icegopher_spark.delta import read_changes
+    from icegopher_spark.delta_write import (
+        append_delta,
+        create_delta_table,
+        delete_where_delta,
+        write_checkpoint,
+    )
+
+    loc = str(tmp_path / "t")
+    df = spark.range(0, 40).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 2).cast("string").alias("side"),
+    )
+    create_delta_table(
+        loc, df.schema, ["side"],
+        configuration={"delta.enableChangeDataFeed": "true"},
+    )
+    append_delta(spark, loc, df)
+
+    v1 = delete_where_delta(spark, loc, (F.col("k") % 5 == 0) & (F.col("side") == "0"))
+    # k%5==0 AND k even: 0,10,20,30
+    assert read_delta(spark, loc).count() == 36
+
+    v2 = delete_where_delta(spark, loc, F.col("k") < 12)
+    # newly dead: 1..11 except 0,10 already dead → 10 more
+    assert read_delta(spark, loc).count() == 26
+
+    # second delete on the same files must not resurrect the first
+    got = {r["k"] for r in read_delta(spark, loc).collect()}
+    assert got == {k for k in range(40) if k >= 12 and not (k % 5 == 0 and k % 2 == 0)}
+
+    # CDF: v2's diff is exactly the 10 newly-dead keys
+    ch = read_changes(spark, loc, v2, v2)
+    assert {r["k"] for r in ch.collect()} == {
+        k for k in range(12) if not (k % 5 == 0 and k % 2 == 0)
+    }
+    assert {r["_change_type"] for r in ch.collect()} == {"delete"}
+
+    # protocol upgraded exactly once, checkpoint survives JSON vacuum
+    snap = load_delta(loc)
+    assert snap.protocol["minReaderVersion"] == 3
+    assert "deletionVectors" in snap.protocol["readerFeatures"]
+    write_checkpoint(loc)
+    for fn in os.listdir(os.path.join(loc, "_delta_log")):
+        if fn.endswith(".json") and fn.split(".")[0].isdigit():
+            os.remove(os.path.join(loc, "_delta_log", fn))
+    assert read_delta(spark, loc).count() == 26
+
+
+def test_delete_where_delta_no_match_no_commit(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    from icegopher_spark.delta_write import (
+        append_delta,
+        create_delta_table,
+        delete_where_delta,
+    )
+
+    loc = str(tmp_path / "t")
+    df = spark.range(0, 10).select(F.col("id").alias("k"))
+    create_delta_table(loc, df.schema)
+    v_append = append_delta(spark, loc, df)
+    v = delete_where_delta(spark, loc, F.col("k") > 100)
+    assert v == v_append  # no-op: no new version
+    assert read_delta(spark, loc).count() == 10
