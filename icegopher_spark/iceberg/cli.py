@@ -137,6 +137,11 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--partition-by", help="comma-separated partition columns")
     sp = sub.add_parser("delta-history")
     sp.add_argument("delta_path", help="Delta table directory")
+    sp = sub.add_parser("delta-delete")
+    sp.add_argument("delta_path", help="Delta table directory")
+    sp.add_argument(
+        "where", help="SQL predicate over the table's columns (e.g. \"k % 9 = 0\")"
+    )
 
     args = p.parse_args(argv)
     if args.verb == "delta-history":
@@ -145,6 +150,17 @@ def main(argv: list[str] | None = None) -> int:
 
         for row in delta_history(args.delta_path):
             print(json.dumps(row))
+        return 0
+    if args.verb == "delta-delete":
+        # pure-path verb: deletion-vector merge-on-read DELETE
+        from pyspark.sql import functions as F
+
+        from ..delta_write import delete_where_delta
+        from ..session import get_spark
+
+        spark = get_spark("icegopher-cli")
+        v = delete_where_delta(spark, args.delta_path, F.expr(args.where))
+        print(f"deleted rows matching {args.where!r} -> version {v}")
         return 0
     props = {}
     if args.warehouse:

@@ -180,3 +180,19 @@ def test_cli_delta_export_and_import(spark, tmp_path, capsys):
         for r in Table.from_location(str(wh / "db" / "dst")).scan().to_df(spark).collect()
     )
     assert got == [(1, "x"), (2, "y"), (3, "x")]
+
+
+def test_cli_delta_delete(spark, tmp_path, capsys):
+    from pyspark.sql import functions as F
+
+    from icegopher_spark.delta import read_delta
+    from icegopher_spark.delta_write import append_delta, create_delta_table
+    from icegopher_spark.iceberg.cli import main
+
+    loc = str(tmp_path / "t")
+    df = spark.range(0, 20).select(F.col("id").alias("k"))
+    create_delta_table(loc, df.schema)
+    append_delta(spark, loc, df)
+    assert main(["delta-delete", loc, "k % 4 = 0"]) == 0
+    assert "version 2" in capsys.readouterr().out
+    assert read_delta(spark, loc).count() == 15
