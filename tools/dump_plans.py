@@ -165,6 +165,28 @@ ENTRIES = [
         "logical plan grows 3^k nodes (driver OOMs printing the tree "
         "at k=10; caught by this repo's own tests).",
     ),
+    (
+        "delta_dv_read",
+        "formatted",
+        "Delta deletion-vector read (round-10): ONE parquet scan "
+        "(filters still push down; ReadSchema carries only the "
+        "projected columns + the hidden row_index), the DV mask is a "
+        "BroadcastHashJoin LeftAnti on (file_path, row_index) against "
+        "a metadata-sized LocalTableScan of decoded positions — no "
+        "cartesian, no UDF, codegen end to end. Above "
+        "_DV_BROADCAST_MAX_POSITIONS the broadcast hint is dropped and "
+        "AQE picks the join strategy (a 100M-position broadcast would "
+        "OOM the driver).",
+    ),
+    (
+        "delta_column_mapping_read",
+        "formatted",
+        "Delta column mapping (round-10): the scan reads PHYSICAL "
+        "column names (`col-*` in ReadSchema) and one positional CAST "
+        "re-labels them logical — a pure Project, no extra exchange; "
+        "partition values re-attach via the same broadcast path join "
+        "as plain Delta reads, keyed by physical name.",
+    ),
 ]
 
 
