@@ -505,3 +505,34 @@ def test_interval_join_is_hash_join(spark, queries):
     assert any(
         "HashJoin" in ln and "__bucket_l" in ln for ln in plan2.splitlines()
     ), "overlap bucket equi-join not planned as a hash join"
+
+
+def test_delta_dv_read_plan_shape(spark, queries):
+    """DV mask = BroadcastHashJoin LeftAnti on (path, row_index); the
+    scan still pushes predicates and prunes columns; no cartesian, no
+    python UDF in the plan (round-10)."""
+    from icegopher_spark.delta import read_delta
+    from icegopher_spark.delta_queries import delta_dv_fixture_path
+
+    loc = delta_dv_fixture_path(SF)
+    df = read_delta(spark, loc).filter("o_orderkey > 1000").select("o_orderkey")
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "LeftAnti" in plan
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l][0]
+    assert "GreaterThan(o_orderkey,1000)" in pushed
+    read = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "o_custkey" not in read and "o_totalprice" not in read
+
+
+def test_delta_column_mapping_reads_physical_names(spark, queries):
+    """The mapped scan's ReadSchema carries PHYSICAL names; the logical
+    names appear only in the re-label Project (round-10)."""
+    from icegopher_spark.delta import read_delta
+    from icegopher_spark.delta_queries import delta_cm_fixture_path
+
+    loc = delta_cm_fixture_path(SF)
+    df = read_delta(spark, loc).select("o_orderkey", "o_orderpriority")
+    plan = plan_of(df)
+    read = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "col-1a2b" in read and "o_orderkey" not in read
