@@ -193,6 +193,13 @@ def main() -> None:
         "text_lm_filter",
         "stream_scd2_history",
         "text_paragraph_dedup",
+        # round-10 additions
+        "delta_dv_read",
+        "delta_dv_cdf",
+        "delta_column_mapping_read",
+        "delta_dv_delete_write",
+        "sim_hard_negatives",
+        "sim_ivf_index_topk",
     ]
 
     # Noise calibration (r8 verdict #6): a fixed query timed once per

@@ -970,3 +970,75 @@ def delta_dv_delete_write(spark: SparkSession, sf: str) -> DataFrame:
         .cast("double")
         .alias("total_price"),
     )
+
+
+# ---------------------------------------------------------------------------
+# OPTIMIZE (r10): dataChange=false compaction with DV folding.
+
+_OPT_MARKER = "opt-fixture@v1"
+
+
+def delta_opt_fixture_path(spark: SparkSession, sf_dir: str) -> str:
+    """An orders table written as 8 small files + two DV deletes, then
+    OPTIMIZEd: the files and their deletion vectors collapse into
+    ~one live-rows-only file.  The read-back must still match the
+    delete oracle — compaction must move bytes, never rows."""
+    key = sf_dir.strip("/").replace("/", "_")
+    loc = f"{_CACHE_ROOT}/{key}/orders_delta_opt"
+    ok = os.path.join(loc, "_FIXTURE_OK")
+    if os.path.exists(ok):
+        try:
+            with open(ok) as f:
+                if f.read().strip() == _OPT_MARKER:
+                    return loc
+        except OSError:
+            pass
+    shutil.rmtree(loc, ignore_errors=True)
+
+    from .delta import load_delta
+    from .delta_write import (
+        append_delta,
+        create_delta_table,
+        delete_where_delta,
+        optimize_delta,
+    )
+    from .queries import load as _load
+
+    orders = _load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    create_delta_table(loc, orders.schema)
+    append_delta(spark, loc, orders.repartition(8))  # 8 small files
+    delete_where_delta(spark, loc, F.col("o_orderkey") % 9 == 0)
+    delete_where_delta(spark, loc, F.col("o_orderkey") % 13 == 0)
+    before = load_delta(loc)
+    v = optimize_delta(spark, loc)
+    after = load_delta(loc)
+    assert v is not None and len(after.files) < len(before.files)
+    assert not after.deletion_vectors  # DVs folded away
+    with open(ok, "w") as f:
+        f.write(_OPT_MARKER + "\n")
+    return loc
+
+
+@register(
+    "delta_optimize_roundtrip",
+    delta_dv_delete_write_oracle,  # identical rows before/after OPTIMIZE
+    "OPTIMIZE compaction: dataChange=false rewrite folding DVs; row "
+    "set provably unchanged (same oracle as the delete gate)",
+)
+def delta_optimize_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """Bin-packing compaction must be invisible to readers: the gate
+    reuses the DV-delete oracle verbatim, so a single resurrected or
+    dropped row hash-mismatches.  The commit's dataChange=false actions
+    are what the stream source passes through silently (r9 advice #3's
+    fix, exercised from the WRITER side here)."""
+    loc = delta_opt_fixture_path(spark, sf)
+    df = read_delta(spark, loc)
+    return df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("o_orderkey") % 1000).cast("bigint").alias("okey_chk"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(12,2)")), 2)
+        .cast("double")
+        .alias("total_price"),
+    )

@@ -45,6 +45,7 @@ __all__ = [
     "overwrite_delta",
     "write_checkpoint",
     "delete_where_delta",
+    "optimize_delta",
     "export_iceberg_to_delta",
 ]
 
@@ -498,6 +499,97 @@ def delete_where_delta(spark: SparkSession, table_path: str, predicate) -> int:
                 }
             }
         )
+    v = snap.version + 1
+    _commit(table_path, v, actions)
+    return v
+
+
+def optimize_delta(
+    spark: SparkSession,
+    table_path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    min_files: int = 2,
+) -> int | None:
+    """OPTIMIZE (bin-packing compaction): rewrite groups of small live
+    files into ~``target_file_bytes`` files, committed with
+    ``dataChange=false`` adds + removes — the visible row set is
+    UNCHANGED, which is exactly what downstream streams key on (this
+    repo's Delta stream source passes such commits through silently,
+    as delta-spark does).
+
+    Deletion vectors are FOLDED: compaction reads files through their
+    DV masks, so the rewritten files carry only live rows and no DV —
+    row-set-preserving, hence still dataChange=false (delta-spark's
+    PURGE semantics).  Per-partition grouping: only files sharing a
+    partition tuple compact together (a rewritten file must keep one
+    partitionValues).  Returns the committed version, or None when no
+    group had ``min_files`` small files.
+
+    Scale shape: the rewrite is ONE distributed scan + write over the
+    selected files (repartitioned to ceil(bytes/target) outputs); the
+    driver touches one metadata row per in/out file.  Column-mapped
+    tables are refused (writer scope)."""
+    import math
+
+    from .delta import _partition_name_map, _scan_files, load_delta
+    from .delta_dv import read_dv_positions
+
+    snap = load_delta(table_path)
+    if snap.physical_schema is not None:
+        raise NotImplementedError(
+            "optimize_delta: column-mapped tables not supported by the "
+            "writer (the reader is)"
+        )
+
+    # group live files by partition tuple; pick small-file groups
+    groups: dict[tuple, list[tuple[str, dict]]] = {}
+    for p, pv in snap.files:
+        if os.path.getsize(p) < target_file_bytes:
+            groups.setdefault(tuple(sorted(pv.items())), []).append((p, pv))
+    victims = [g for g in groups.values() if len(g) >= min_files]
+    if not victims:
+        return None
+    flat = [fp for g in victims for fp in g]
+
+    masks = None
+    if snap.deletion_vectors:
+        masks = {
+            p: ("exclude", read_dv_positions(table_path, d))
+            for p, d in snap.deletion_vectors.items()
+            if p in {p2 for p2, _ in flat}
+        } or None
+    df = _scan_files(
+        spark,
+        snap.schema,
+        snap.partition_columns,
+        flat,
+        position_masks=masks,
+        partition_name_map=_partition_name_map(snap),
+    )
+    total = sum(os.path.getsize(p) for p, _ in flat)
+    n_out = max(1, math.ceil(total / target_file_bytes))
+    df = (
+        df.repartition(n_out, *snap.partition_columns)
+        if snap.partition_columns
+        else df.coalesce(n_out)
+    )
+    adds = _stage_and_collect(spark, table_path, df, snap.partition_columns)
+    now = int(time.time() * 1000)
+    actions: list[dict] = []
+    for a in adds:
+        a["add"]["dataChange"] = False
+        actions.append(a)
+    for p, pv in flat:
+        rm = {
+            "path": os.path.relpath(p, table_path).replace(os.sep, "/"),
+            "deletionTimestamp": now,
+            "dataChange": False,
+            "partitionValues": dict(pv),
+        }
+        dv = snap.deletion_vectors.get(p)
+        if dv is not None:
+            rm["deletionVector"] = dv
+        actions.append({"remove": rm})
     v = snap.version + 1
     _commit(table_path, v, actions)
     return v

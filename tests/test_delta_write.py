@@ -196,3 +196,69 @@ def test_cli_delta_delete(spark, tmp_path, capsys):
     assert main(["delta-delete", loc, "k % 4 = 0"]) == 0
     assert "version 2" in capsys.readouterr().out
     assert read_delta(spark, loc).count() == 15
+
+
+def test_optimize_delta_folds_dvs_and_is_stream_transparent(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from icegopher_spark.delta import load_delta, read_delta, vacuum_candidates
+    from icegopher_spark.delta_write import (
+        append_delta,
+        create_delta_table,
+        delete_where_delta,
+        optimize_delta,
+    )
+    from icegopher_spark.streaming.delta_source import _DeltaStreamReader
+
+    loc = str(tmp_path / "t")
+    df = spark.range(0, 200).select(F.col("id").alias("k"))
+    create_delta_table(loc, df.schema)
+    append_delta(spark, loc, df.repartition(6))
+    delete_where_delta(spark, loc, F.col("k") % 10 == 0)
+    before = load_delta(loc)
+    assert len(before.files) == 6 and before.deletion_vectors
+
+    v = optimize_delta(spark, loc, target_file_bytes=1 << 30)
+    after = load_delta(loc)
+    assert len(after.files) == 1
+    assert not after.deletion_vectors  # folded
+    got = {r["k"] for r in read_delta(spark, loc).collect()}
+    assert got == {k for k in range(200) if k % 10 != 0}
+
+    # stream tail over the OPTIMIZE commit: transparent, no error even
+    # without skip-change-commits
+    r = _DeltaStreamReader({"location": loc, "starting-version": str(v)})
+    parts = r.partitions({"version": v - 1, "bootstrap": False},
+                         {"version": v, "bootstrap": False})
+    assert [p for p in parts if p.path] == []
+
+    # the compacted-away small files become vacuum candidates once aged
+    cands = vacuum_candidates(loc, retention_ms=0, now_ms=int(2e15))
+    assert len(cands) >= 6
+
+
+def test_optimize_delta_partitioned_groups(spark, tmp_path):
+    """Files only compact WITHIN a partition tuple."""
+    from pyspark.sql import functions as F
+
+    from icegopher_spark.delta import load_delta, read_delta
+    from icegopher_spark.delta_write import (
+        append_delta,
+        create_delta_table,
+        optimize_delta,
+    )
+
+    loc = str(tmp_path / "t")
+    df = spark.range(0, 100).select(
+        F.col("id").alias("k"), (F.col("id") % 2).cast("string").alias("side")
+    )
+    create_delta_table(loc, df.schema, ["side"])
+    append_delta(spark, loc, df.repartition(4))
+    append_delta(spark, loc, df.repartition(4))
+    optimize_delta(spark, loc, target_file_bytes=1 << 30)
+    snap = load_delta(loc)
+    by_side = {}
+    for p, pv in snap.files:
+        by_side.setdefault(pv["side"], []).append(p)
+    assert all(len(v) == 1 for v in by_side.values())  # one file per side
+    assert read_delta(spark, loc).count() == 200
