@@ -728,6 +728,13 @@ def vacuum_candidates(
         except FileNotFoundError:
             continue  # pre-checkpoint version no longer reconstructable
         referenced.update(p for p, _ in snap.files)
+        # on-disk deletion vectors referenced by protected versions must
+        # survive too — deleting a live DV resurrects its dead rows
+        from .delta_dv import dv_store_path
+
+        for d in snap.deletion_vectors.values():
+            if d.get("storageType") in ("u", "p"):
+                referenced.add(os.path.abspath(dv_store_path(table_path, d)))
 
     root = os.path.abspath(table_path)
     log_root = os.path.abspath(_log_dir(table_path))
@@ -736,7 +743,13 @@ def vacuum_candidates(
         if os.path.abspath(dirpath).startswith(log_root):
             continue  # the transaction log is never vacuumed
         for fn in files:
-            if not fn.endswith(".parquet"):
+            # data files AND orphaned deletion-vector stores (a DV .bin
+            # becomes unreferenced when a later DV supersedes it or
+            # OPTIMIZE folds it away)
+            if not (
+                fn.endswith(".parquet")
+                or (fn.startswith("deletion_vector_") and fn.endswith(".bin"))
+            ):
                 continue
             p = os.path.abspath(os.path.join(dirpath, fn))
             if p in referenced:

@@ -540,3 +540,31 @@ def test_delete_where_delta_no_match_no_commit(spark, tmp_path):
     v = delete_where_delta(spark, loc, F.col("k") > 100)
     assert v == v_append  # no-op: no new version
     assert read_delta(spark, loc).count() == 10
+
+
+def test_vacuum_tracks_dv_bins(spark, tmp_path):
+    """A superseded DV .bin is vacuumable; the LIVE one never is —
+    deleting a live DV would resurrect its dead rows."""
+    import pyspark.sql.functions as F
+
+    from icegopher_spark.delta import load_delta, vacuum_candidates
+    from icegopher_spark.delta_dv import dv_store_path
+    from icegopher_spark.delta_write import (
+        append_delta,
+        create_delta_table,
+        delete_where_delta,
+    )
+
+    loc = str(tmp_path / "t")
+    df = spark.range(0, 50).select(F.col("id").alias("k")).coalesce(1)
+    create_delta_table(loc, df.schema)
+    append_delta(spark, loc, df)
+    delete_where_delta(spark, loc, F.col("k") % 5 == 0)
+    first_dv = dv_store_path(loc, next(iter(load_delta(loc).deletion_vectors.values())))
+    delete_where_delta(spark, loc, F.col("k") % 7 == 0)  # supersedes
+    live_dv = dv_store_path(loc, next(iter(load_delta(loc).deletion_vectors.values())))
+    assert first_dv != live_dv
+
+    cands = set(vacuum_candidates(loc, retention_ms=0, now_ms=int(2e15)))
+    assert first_dv in cands
+    assert live_dv not in cands
