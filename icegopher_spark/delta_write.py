@@ -46,6 +46,7 @@ __all__ = [
     "write_checkpoint",
     "delete_where_delta",
     "optimize_delta",
+    "restore_delta",
     "export_iceberg_to_delta",
 ]
 
@@ -591,5 +592,70 @@ def optimize_delta(
             rm["deletionVector"] = dv
         actions.append({"remove": rm})
     v = snap.version + 1
+    _commit(table_path, v, actions)
+    return v
+
+
+def restore_delta(table_path: str, version: int) -> int:
+    """RESTORE TABLE ... TO VERSION AS OF: one commit that makes the
+    live file set equal version ``version``'s again — adds back files
+    the target version had that the current one lacks, removes files
+    the current one gained (dataChange=true on both: rows visibly
+    change).  Time travel to the in-between versions keeps working; the
+    restore is itself just another commit (the protocol has no special
+    restore action — this mirrors delta-spark's RESTORE).
+
+    Deletion vectors ride along: a file restored WITH its old DV
+    descriptor masks exactly the rows it masked then.  Driver-only,
+    metadata-scale."""
+    snap_now = load_delta(table_path)
+    snap_old = load_delta(table_path, version=version)
+    if snap_old.metadata_raw.get("schemaString") != snap_now.metadata_raw.get(
+        "schemaString"
+    ):
+        raise ValueError(
+            "restore across a schema change is not supported — the "
+            "restored files would not match the current schema"
+        )
+
+    now_files = {p: (pv, snap_now.deletion_vectors.get(p)) for p, pv in snap_now.files}
+    old_files = {p: (pv, snap_old.deletion_vectors.get(p)) for p, pv in snap_old.files}
+    now_ms = int(time.time() * 1000)
+    actions: list[dict] = []
+    for p, (pv, dv) in sorted(old_files.items()):
+        if p in now_files and now_files[p] == (pv, dv):
+            continue  # unchanged live file
+        rel = os.path.relpath(p, table_path).replace(os.sep, "/")
+        if not os.path.exists(p):
+            raise FileNotFoundError(
+                f"restore target version {version} references {rel}, which "
+                "was vacuumed — cannot restore"
+            )
+        add = {
+            "path": rel,
+            "partitionValues": dict(pv),
+            "size": os.path.getsize(p),
+            "modificationTime": int(os.path.getmtime(p) * 1000),
+            "dataChange": True,
+        }
+        if dv is not None:
+            add["deletionVector"] = dv
+        actions.append({"add": add})
+    for p, (pv, dv) in sorted(now_files.items()):
+        if p in old_files:
+            continue  # stays live (possibly with a different DV — the
+            # add above already swapped the descriptor)
+        rm = {
+            "path": os.path.relpath(p, table_path).replace(os.sep, "/"),
+            "deletionTimestamp": now_ms,
+            "dataChange": True,
+            "partitionValues": dict(pv),
+        }
+        if dv is not None:
+            rm["deletionVector"] = dv
+        actions.append({"remove": rm})
+    if not actions:
+        return snap_now.version  # already at the target state
+    v = snap_now.version + 1
     _commit(table_path, v, actions)
     return v

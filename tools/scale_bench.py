@@ -130,6 +130,15 @@ EXTRA_SCALE_QUERIES = [
     "graph_pagerank",
     "text_filter_sweep",
     "iceberg_add_files",
+    # round-10 additions: the Delta DV/column-mapping planes + the
+    # persisted-IVF probe (fixture builds are part of the timed cost —
+    # they scan the scaled base tables, so they must scale linearly too)
+    "delta_dv_read",
+    "delta_dv_cdf",
+    "delta_column_mapping_read",
+    "delta_dv_delete_write",
+    "delta_optimize_roundtrip",
+    "sim_ivf_index_topk",
 ]
 SCALE_QUERIES = BENCH_QUERIES + EXTRA_SCALE_QUERIES
 from icegopher_spark.queries import QUERIES, load  # noqa: E402
