@@ -1042,3 +1042,63 @@ def delta_optimize_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
         .cast("double")
         .alias("total_price"),
     )
+
+
+# ---------------------------------------------------------------------------
+# RESTORE (r10): rollback-as-a-commit.
+
+_RESTORE_MARKER = "restore-fixture@v1"
+
+
+def delta_restore_fixture_path(sf_dir: str) -> str:
+    """The 4-commit fixture copied and RESTOREd to version 1: the v2
+    DELETE and the v3 adds must both unwind, as ONE new commit (v4) —
+    time travel to v2/v3 keeps working."""
+    key = sf_dir.strip("/").replace("/", "_")
+    loc = f"{_CACHE_ROOT}/{key}/orders_delta_restore"
+    ok = os.path.join(loc, "_FIXTURE_OK")
+    if os.path.exists(ok):
+        try:
+            with open(ok) as f:
+                if f.read().strip() == _RESTORE_MARKER:
+                    return loc
+        except OSError:
+            pass
+    shutil.rmtree(loc, ignore_errors=True)
+
+    from .delta import load_delta
+    from .delta_write import restore_delta
+
+    src = delta_fixture_path(sf_dir)
+    shutil.copytree(src, loc)
+    os.remove(os.path.join(loc, "_FIXTURE_OK"))
+    v = restore_delta(loc, 1)
+    assert v == 4 and load_delta(loc).version == 4
+    with open(ok, "w") as f:
+        f.write(_RESTORE_MARKER + "\n")
+    return loc
+
+
+delta_restore_oracle = """
+SELECT o_orderpriority, COUNT(*) AS n_orders,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE)
+         AS total_price
+FROM orders
+WHERE o_orderkey % 3 IN (0, 1)
+GROUP BY o_orderpriority
+"""
+
+
+@register(
+    "delta_restore_read",
+    delta_restore_oracle,
+    "RESTORE TO VERSION AS OF: one commit re-adds the v1 live set "
+    "(the v2 DELETE and v3 adds unwind); time travel preserved",
+)
+def delta_restore_read(spark: SparkSession, sf: str) -> DataFrame:
+    """Rollback semantics: after restore-to-1, the live set is exactly
+    v1's (keys %3 in (0,1), all priorities — including the '5-LOW' file
+    the v2 DELETE had removed), while versions 2/3 remain readable via
+    time travel (pytest-pinned)."""
+    loc = delta_restore_fixture_path(sf)
+    return _priority_agg(read_delta(spark, loc))

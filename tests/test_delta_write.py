@@ -262,3 +262,42 @@ def test_optimize_delta_partitioned_groups(spark, tmp_path):
         by_side.setdefault(pv["side"], []).append(p)
     assert all(len(v) == 1 for v in by_side.values())  # one file per side
     assert read_delta(spark, loc).count() == 200
+
+
+def test_restore_delta_preserves_time_travel_and_dvs(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from icegopher_spark.delta import load_delta, read_delta
+    from icegopher_spark.delta_write import (
+        append_delta,
+        create_delta_table,
+        delete_where_delta,
+        restore_delta,
+    )
+
+    loc = str(tmp_path / "t")
+    df = spark.range(0, 30).select(F.col("id").alias("k"))
+    create_delta_table(loc, df.schema)
+    v1 = append_delta(spark, loc, df.coalesce(1))
+    v2 = delete_where_delta(spark, loc, F.col("k") % 3 == 0)
+    v3 = append_delta(spark, loc, spark.createDataFrame([(100,)], "k long"))
+    assert read_delta(spark, loc).count() == 21
+
+    # restore to the DV-carrying version: its descriptor must ride along
+    v4 = restore_delta(loc, v2)
+    assert v4 == v3 + 1
+    assert read_delta(spark, loc).count() == 20
+    assert load_delta(loc).deletion_vectors  # DV restored with the file
+
+    # restore to pre-delete: full set back, no DV
+    restore_delta(loc, v1)
+    assert read_delta(spark, loc).count() == 30
+    assert not load_delta(loc).deletion_vectors
+
+    # time travel through the whole history still works
+    assert read_delta(spark, loc, version=v2).count() == 20
+    assert read_delta(spark, loc, version=v3).count() == 21
+
+    # restoring to the current state is a no-op (no new version)
+    latest = load_delta(loc).version
+    assert restore_delta(loc, latest) == latest
