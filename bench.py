@@ -198,6 +198,8 @@ def main() -> None:
         "delta_dv_cdf",
         "delta_column_mapping_read",
         "delta_dv_delete_write",
+        "delta_optimize_roundtrip",
+        "delta_restore_read",
         "sim_hard_negatives",
         "sim_ivf_index_topk",
     ]

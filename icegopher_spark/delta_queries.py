@@ -1102,3 +1102,74 @@ def delta_restore_read(spark: SparkSession, sf: str) -> DataFrame:
     time travel (pytest-pinned)."""
     loc = delta_restore_fixture_path(sf)
     return _priority_agg(read_delta(spark, loc))
+
+
+# ---------------------------------------------------------------------------
+# UPDATE (r10): one-commit DV-masked update.
+
+_UPD_MARKER = "upd-fixture@v1"
+
+
+def delta_upd_fixture_path(spark: SparkSession, sf_dir: str) -> str:
+    key = sf_dir.strip("/").replace("/", "_")
+    loc = f"{_CACHE_ROOT}/{key}/orders_delta_upd"
+    ok = os.path.join(loc, "_FIXTURE_OK")
+    if os.path.exists(ok):
+        try:
+            with open(ok) as f:
+                if f.read().strip() == _UPD_MARKER:
+                    return loc
+        except OSError:
+            pass
+    shutil.rmtree(loc, ignore_errors=True)
+
+    from .delta_write import append_delta, create_delta_table, update_where_delta
+    from .queries import load as _load
+
+    orders = _load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    create_delta_table(loc, orders.schema)
+    append_delta(spark, loc, orders)
+    update_where_delta(
+        spark, loc,
+        F.col("o_orderkey") % 11 == 0,
+        {"o_totalprice": F.col("o_totalprice") + F.lit(1000.0)},
+    )
+    with open(ok, "w") as f:
+        f.write(_UPD_MARKER + "\n")
+    return loc
+
+
+delta_update_write_oracle = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(o_orderkey % 1000) AS BIGINT) AS okey_chk,
+       CAST(ROUND(SUM(CAST(
+         CASE WHEN o_orderkey % 11 = 0 THEN o_totalprice + 1000.0
+              ELSE o_totalprice END AS DECIMAL(13,2))), 2) AS DOUBLE)
+         AS total_price
+FROM orders
+"""
+
+
+@register(
+    "delta_update_write",
+    delta_update_write_oracle,
+    "DV-masked UPDATE: one commit = pre-image masked by DV swaps + "
+    "post-image rows in new files; row count unchanged",
+)
+def delta_update_write(spark: SparkSession, sf: str) -> DataFrame:
+    """UPDATE without whole-file rewrites: touched files keep their
+    untouched rows behind a deletion vector; only changed rows' bytes
+    are written.  The oracle prices the update as a CASE over the base
+    table, so a doubled row (DV not applied) or a lost row (post-image
+    not written) hash-mismatches on BOTH n_rows and total_price."""
+    loc = delta_upd_fixture_path(spark, sf)
+    df = read_delta(spark, loc)
+    return df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("o_orderkey") % 1000).cast("bigint").alias("okey_chk"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(13,2)")), 2)
+        .cast("double")
+        .alias("total_price"),
+    )

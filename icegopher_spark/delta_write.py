@@ -45,6 +45,7 @@ __all__ = [
     "overwrite_delta",
     "write_checkpoint",
     "delete_where_delta",
+    "update_where_delta",
     "optimize_delta",
     "restore_delta",
     "export_iceberg_to_delta",
@@ -369,25 +370,29 @@ def delete_where_delta(spark: SparkSession, table_path: str, predicate) -> int:
     affected file.  Column-mapped tables are refused (writer scope).
     Returns the committed version.
     """
-    import pandas as pd
-    from pyspark.sql.types import (
-        IntegerType,
-        LongType,
-        StringType,
-        StructField,
-        StructType,
-    )
+    snap, live = _live_with_positions(spark, table_path, "delete_where_delta")
+    matches = live.filter(predicate).select("_file_path", "_row_pos")
+    actions = _dv_swap_actions(spark, table_path, snap, matches)
+    if not actions:
+        return snap.version  # nothing matched — no commit
+    v = snap.version + 1
+    _commit(table_path, v, actions)
+    return v
 
-    from .delta import _partition_name_map, _scan_files, _uri_path
+
+def _live_with_positions(spark: SparkSession, table_path: str, who: str):
+    """(snapshot, live-rows DataFrame with _file_path/_row_pos) — the
+    shared front half of the DV-writing DML verbs: existing DVs are
+    pre-masked so a row can never be deleted/updated twice."""
+    from .delta import _partition_name_map, _scan_files
     from .delta_dv import read_dv_positions
 
     snap = load_delta(table_path)
     if snap.physical_schema is not None:
         raise NotImplementedError(
-            "delete_where_delta: column-mapped tables not supported by "
+            f"{who}: column-mapped tables not supported by "
             "the writer (the reader is)"
         )
-
     masks = None
     if snap.deletion_vectors:
         masks = {
@@ -403,9 +408,28 @@ def delete_where_delta(spark: SparkSession, table_path: str, predicate) -> int:
         partition_name_map=_partition_name_map(snap),
         with_position=True,
     )
-    matches = live.filter(predicate).select("_file_path", "_row_pos")
+    return snap, live
 
-    # executor-side bitmap build + DV file write, one per affected file
+
+def _dv_swap_actions(
+    spark: SparkSession, table_path: str, snap, matches: DataFrame
+) -> list[dict]:
+    """DV-swap actions masking ``matches`` ((_file_path, _row_pos)
+    rows) out of their files: protocol upgrade when needed, then
+    remove(old DV)+add(new DV) per affected file.  [] when no matches.
+    Bitmaps union the file's prior DV (superset invariant); DV files
+    are written executor-side, one applyInPandas group per file."""
+    import pandas as pd
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from .delta import _uri_path
+
     out_schema = StructType(
         [
             StructField("_file_path", StringType()),
@@ -448,7 +472,7 @@ def delete_where_delta(spark: SparkSession, table_path: str, predicate) -> int:
 
     dv_rows = matches.groupBy("_file_path").applyInPandas(_write_dv, out_schema).collect()
     if not dv_rows:
-        return snap.version  # nothing matched — no commit
+        return []
 
     uri_info = {_uri_path(p): (p, pv) for p, pv in snap.files}
 
@@ -500,9 +524,7 @@ def delete_where_delta(spark: SparkSession, table_path: str, predicate) -> int:
                 }
             }
         )
-    v = snap.version + 1
-    _commit(table_path, v, actions)
-    return v
+    return actions
 
 
 def optimize_delta(
@@ -659,3 +681,50 @@ def restore_delta(table_path: str, version: int) -> int:
     v = snap_now.version + 1
     _commit(table_path, v, actions)
     return v
+
+
+def update_where_delta(
+    spark: SparkSession, table_path: str, predicate, assignments: dict
+) -> int:
+    """Merge-on-read UPDATE: rows matching ``predicate`` get
+    ``assignments`` ({column: Column expression}) applied — ONE atomic
+    commit that (a) masks the pre-image rows out of their files via
+    deletion-vector swaps and (b) adds new files carrying the
+    post-image rows (dataChange=true on everything).
+
+    This is how DV-enabled writers implement UPDATE without rewriting
+    whole files: touched files keep their untouched rows behind a
+    bitmap, only the changed rows' bytes are written.  CDF note: with
+    no cdc files, readers (ours and delta-spark's) attribute this
+    commit as delete(pre-image) + insert(post-image), not
+    update_pre/postimage pairs.
+
+    Scale shape: one scan evaluates the predicate (positions from
+    ``_metadata.row_index``); matched rows flow straight into the
+    staged distributed write; DV bitmaps build executor-side.  The
+    driver touches one metadata row per affected/new file.  Returns
+    the committed version (unchanged version when nothing matched)."""
+    for col in assignments:
+        if col not in {f.name for f in load_delta(table_path).schema.fields}:
+            raise ValueError(f"update_where_delta: unknown column {col!r}")
+    snap, live = _live_with_positions(spark, table_path, "update_where_delta")
+    matched = live.filter(predicate)
+    matched = matched.persist()  # feeds BOTH the DV build and the rewrite
+    try:
+        actions = _dv_swap_actions(
+            spark, table_path, snap, matched.select("_file_path", "_row_pos")
+        )
+        if not actions:
+            return snap.version  # nothing matched — no commit
+        post = matched.select(
+            *[
+                (assignments[f.name].alias(f.name) if f.name in assignments else f.name)
+                for f in snap.schema.fields
+            ]
+        )
+        adds = _stage_and_collect(spark, table_path, post, snap.partition_columns)
+        v = snap.version + 1
+        _commit(table_path, v, actions + adds)
+        return v
+    finally:
+        matched.unpersist()

@@ -301,3 +301,68 @@ def test_restore_delta_preserves_time_travel_and_dvs(spark, tmp_path):
     # restoring to the current state is a no-op (no new version)
     latest = load_delta(loc).version
     assert restore_delta(loc, latest) == latest
+
+
+def test_update_where_delta_partition_move_and_cdf(spark, tmp_path):
+    """UPDATE that changes a PARTITION column moves rows across
+    partitions in one commit; CDF attributes delete(pre)+insert(post)."""
+    from pyspark.sql import functions as F
+
+    from icegopher_spark.delta import read_changes, read_delta
+    from icegopher_spark.delta_write import (
+        append_delta,
+        create_delta_table,
+        update_where_delta,
+    )
+
+    loc = str(tmp_path / "t")
+    df = spark.range(0, 30).select(
+        F.col("id").alias("k"), F.lit("old").alias("bucket")
+    )
+    create_delta_table(
+        loc, df.schema, ["bucket"],
+        configuration={"delta.enableChangeDataFeed": "true"},
+    )
+    append_delta(spark, loc, df)
+    v = update_where_delta(
+        spark, loc, F.col("k") % 3 == 0, {"bucket": F.lit("new")}
+    )
+    got = read_delta(spark, loc)
+    assert got.count() == 30  # row count preserved
+    assert got.filter("bucket = 'new'").count() == 10
+    assert {r["k"] for r in got.filter("bucket = 'new'").collect()} == {
+        k for k in range(30) if k % 3 == 0
+    }
+
+    ch = read_changes(spark, loc, v, v)
+    by_kind = {k: set() for k in ("delete", "insert")}
+    for r in ch.collect():
+        by_kind[r["_change_type"]].add((r["k"], r["bucket"]))
+    assert by_kind["delete"] == {(k, "old") for k in range(30) if k % 3 == 0}
+    assert by_kind["insert"] == {(k, "new") for k in range(30) if k % 3 == 0}
+
+    # repeated update composes with the existing DVs
+    update_where_delta(spark, loc, F.col("k") % 5 == 0, {"bucket": F.lit("five")})
+    got = read_delta(spark, loc)
+    assert got.count() == 30
+    assert got.filter("bucket = 'five'").count() == 6
+    assert got.filter("bucket = 'new'").count() == 8  # 0,15 moved on
+
+
+def test_update_where_delta_unknown_column_refused(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from icegopher_spark.delta_write import (
+        append_delta,
+        create_delta_table,
+        update_where_delta,
+    )
+
+    loc = str(tmp_path / "t")
+    df = spark.range(0, 5).select(F.col("id").alias("k"))
+    create_delta_table(loc, df.schema)
+    append_delta(spark, loc, df)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown column"):
+        update_where_delta(spark, loc, F.col("k") > 0, {"nope": F.lit(1)})
