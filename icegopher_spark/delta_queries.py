@@ -1173,3 +1173,92 @@ def delta_update_write(spark: SparkSession, sf: str) -> DataFrame:
         .cast("double")
         .alias("total_price"),
     )
+
+
+# ---------------------------------------------------------------------------
+# MERGE upsert (r10): Delta twin of iceberg_merge_upsert.
+
+_MRG_MARKER = "mrg-fixture@v1"
+
+
+def delta_mrg_fixture_path(spark: SparkSession, sf_dir: str) -> str:
+    """orders table upserted: every orderkey ≡ 3 (mod 50) collapses to
+    one row with totalprice 777; plus 5 brand-new keys — both in ONE
+    commit (DV swaps + new files)."""
+    key = sf_dir.strip("/").replace("/", "_")
+    loc = f"{_CACHE_ROOT}/{key}/orders_delta_mrg"
+    ok = os.path.join(loc, "_FIXTURE_OK")
+    if os.path.exists(ok):
+        try:
+            with open(ok) as f:
+                if f.read().strip() == _MRG_MARKER:
+                    return loc
+        except OSError:
+            pass
+    shutil.rmtree(loc, ignore_errors=True)
+
+    from .delta_write import append_delta, create_delta_table, merge_upsert_delta
+    from .queries import load as _load
+
+    orders = _load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    create_delta_table(loc, orders.schema)
+    append_delta(spark, loc, orders)
+    src = (
+        orders.filter(F.col("o_orderkey") % 50 == 3)
+        .select("o_orderkey")
+        .distinct()
+        .select(
+            "o_orderkey",
+            F.lit(-1).cast("long").alias("o_custkey"),
+            F.lit(777.0).alias("o_totalprice"),
+        )
+    ).unionByName(
+        spark.createDataFrame(
+            [(10_000_000 + i, -1, 777.0) for i in range(5)],
+            "o_orderkey long, o_custkey long, o_totalprice double",
+        )
+    )
+    merge_upsert_delta(spark, loc, src, ["o_orderkey"])
+    with open(ok, "w") as f:
+        f.write(_MRG_MARKER + "\n")
+    return loc
+
+
+delta_merge_oracle = """
+WITH src_keys AS (
+  SELECT DISTINCT o_orderkey FROM orders WHERE o_orderkey % 50 = 3
+),
+merged AS (
+  SELECT o_orderkey, o_totalprice FROM orders
+  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM src_keys)
+  UNION ALL
+  SELECT o_orderkey, CAST(777 AS DOUBLE) FROM src_keys
+  UNION ALL
+  SELECT 10000000 + i, CAST(777 AS DOUBLE) FROM range(5) t(i)
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(o_orderkey % 1000) AS BIGINT) AS okey_chk,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(13,2))), 2) AS DOUBLE)
+         AS total_price
+FROM merged
+"""
+
+
+@register(
+    "delta_merge_upsert",
+    delta_merge_oracle,
+    "MERGE upsert, Delta face: DV swaps erase pre-images, source lands "
+    "as new files, ONE commit (twin of iceberg_merge_upsert)",
+)
+def delta_merge_upsert(spark: SparkSession, sf: str) -> DataFrame:
+    loc = delta_mrg_fixture_path(spark, sf)
+    df = read_delta(spark, loc)
+    return df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("o_orderkey") % 1000).cast("bigint").alias("okey_chk"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(13,2)")), 2)
+        .cast("double")
+        .alias("total_price"),
+    )

@@ -36,6 +36,7 @@ import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from .delta import _list_log, _log_dir, load_delta
 
@@ -46,6 +47,7 @@ __all__ = [
     "write_checkpoint",
     "delete_where_delta",
     "update_where_delta",
+    "merge_upsert_delta",
     "optimize_delta",
     "restore_delta",
     "export_iceberg_to_delta",
@@ -728,3 +730,47 @@ def update_where_delta(
         return v
     finally:
         matched.unpersist()
+
+
+def merge_upsert_delta(
+    spark: SparkSession,
+    table_path: str,
+    source: DataFrame,
+    key_columns: list[str],
+) -> int:
+    """MERGE-style upsert in ONE atomic commit: every target row whose
+    key tuple appears in ``source`` is replaced by the source row;
+    source rows with new keys are inserts — the Delta twin of the
+    Iceberg face's `merge_upsert` (which rides equality deletes; Delta
+    has none, so the pre-images are masked with deletion-vector swaps
+    instead).
+
+    Mechanics: one scan finds target rows matching source keys (a
+    LEFT SEMI join — only keys travel); their (file, pos) pairs become
+    DV swaps; the ENTIRE source stages as new data files; everything
+    commits together.  O(|source| + matched rows), never a
+    read-modify-write of untouched files.  Source keys must be unique
+    (checked — one aggregate): two source rows for one target key is
+    the ambiguous MERGE delta-spark also refuses.
+    """
+    dup = (
+        source.groupBy(*key_columns).count().filter(F.col("count") > 1).limit(1).count()
+    )
+    if dup:
+        raise ValueError(
+            "merge_upsert_delta: source has duplicate key tuples — "
+            "ambiguous MERGE (multiple source rows match one target row)"
+        )
+    snap, live = _live_with_positions(spark, table_path, "merge_upsert_delta")
+    # no broadcast hint: AQE broadcasts small key sets itself, and a
+    # forced broadcast of a 100M-key source would OOM the driver
+    keys = source.select(*key_columns)
+    matched = live.join(keys, key_columns, "left_semi")
+    actions = _dv_swap_actions(
+        spark, table_path, snap, matched.select("_file_path", "_row_pos")
+    )
+    post = source.select(*[f.name for f in snap.schema.fields])
+    adds = _stage_and_collect(spark, table_path, post, snap.partition_columns)
+    v = snap.version + 1
+    _commit(table_path, v, actions + adds)
+    return v

@@ -366,3 +366,50 @@ def test_update_where_delta_unknown_column_refused(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="unknown column"):
         update_where_delta(spark, loc, F.col("k") > 0, {"nope": F.lit(1)})
+
+
+def test_merge_upsert_delta_duplicate_source_keys_refused(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from icegopher_spark.delta_write import (
+        append_delta,
+        create_delta_table,
+        merge_upsert_delta,
+    )
+
+    loc = str(tmp_path / "t")
+    df = spark.range(0, 10).select(F.col("id").alias("k"), F.lit(1.0).alias("v"))
+    create_delta_table(loc, df.schema)
+    append_delta(spark, loc, df)
+    dup_src = spark.createDataFrame([(1, 2.0), (1, 3.0)], "k long, v double")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="duplicate key"):
+        merge_upsert_delta(spark, loc, dup_src, ["k"])
+
+
+def test_merge_upsert_delta_atomic_snapshot(spark, tmp_path):
+    """Upsert is one commit: the pre-merge version is still readable
+    untouched; the post-merge version has replaced + inserted rows."""
+    from pyspark.sql import functions as F
+
+    from icegopher_spark.delta import read_delta
+    from icegopher_spark.delta_write import (
+        append_delta,
+        create_delta_table,
+        merge_upsert_delta,
+    )
+
+    loc = str(tmp_path / "t")
+    df = spark.range(0, 10).select(F.col("id").alias("k"), F.lit(1.0).alias("v"))
+    create_delta_table(loc, df.schema)
+    v1 = append_delta(spark, loc, df.coalesce(1))
+    src = spark.createDataFrame([(3, 99.0), (100, 99.0)], "k long, v double")
+    v2 = merge_upsert_delta(spark, loc, src, ["k"])
+    assert v2 == v1 + 1
+
+    pre = read_delta(spark, loc, version=v1)
+    assert pre.count() == 10 and pre.filter("v = 99.0").count() == 0
+    post = {(r["k"], r["v"]) for r in read_delta(spark, loc).collect()}
+    assert (3, 99.0) in post and (100, 99.0) in post and (3, 1.0) not in post
+    assert len(post) == 11
