@@ -51,6 +51,7 @@ __all__ = [
     "optimize_delta",
     "restore_delta",
     "export_iceberg_to_delta",
+    "link_iceberg_to_delta",
 ]
 
 # partition value serializations we can round-trip EXACTLY (write the
@@ -774,3 +775,170 @@ def merge_upsert_delta(
     v = snap.version + 1
     _commit(table_path, v, actions + adds)
     return v
+
+
+def link_iceberg_to_delta(
+    spark: SparkSession, iceberg_table, delta_path: str
+) -> int:
+    """ZERO-COPY Iceberg → Delta export: register the Iceberg table's
+    live parquet data files in a new Delta log BY ABSOLUTE PATH (the
+    protocol allows absolute add paths) instead of rewriting them —
+    O(metadata) migration, not O(data).  Positional delete state
+    (V2 delete files and V3 Puffin DVs) is translated into Delta
+    deletion vectors: positions decode EXECUTOR-side (the driver ships
+    only blob coordinates), bitmaps re-serialize per data file via one
+    applyInPandas.  The two formats share the roaring framing, but a
+    Delta DV file needs its own version-byte header, so the bytes are
+    re-wrapped, never reinterpreted in place.
+
+    At 100 TB this is the difference between a metadata commit and a
+    full-table rewrite.  The linked table aliases the Iceberg files:
+    run Iceberg compaction/GC after linking and the Delta face goes
+    stale — it is a migration stepping stone, not a dual-write setup.
+
+    Refused (use export_iceberg_to_delta's rewrite path instead):
+      * equality deletes (positions would require evaluating the
+        equality predicate — the fold path does that naturally);
+      * multi-schema histories (a linked reader projects by NAME; a
+        renamed column would silently null out).
+    Partition columns are not declared on the Delta side: Iceberg data
+    files CONTAIN all data columns, Delta partition columns must NOT
+    be in the files — the linked table is unpartitioned metadata-wise
+    (engine-side predicate pushdown still prunes row groups).
+    """
+    import pandas as pd
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from .iceberg.table import _dv_positions_df, strip_file_scheme
+
+    md = iceberg_table.metadata
+    if len(md.schemas or []) > 1:
+        raise NotImplementedError(
+            "link_iceberg_to_delta: table has evolved schemas — a linked "
+            "Delta reader projects by NAME and would misread renamed "
+            "columns; use export_iceberg_to_delta (rewrite) instead"
+        )
+    tasks = iceberg_table.scan().plan_files()
+    if any(t.eq_delete_files for t in tasks):
+        raise NotImplementedError(
+            "link_iceberg_to_delta: table carries equality deletes; "
+            "use export_iceberg_to_delta (rewrite) to fold them"
+        )
+
+    # delete positions per data file: V2 positional-delete parquet
+    # (distributed read) + V3 Puffin DVs (executor-side decode)
+    pd_files = sorted(
+        {strip_file_scheme(d.file_path) for t in tasks for d in t.delete_files
+         if not d.is_deletion_vector}
+    )
+    dv_entries = {}
+    for t in tasks:
+        for d in t.delete_files:
+            if d.is_deletion_vector:
+                dv_entries[(d.file_path, d.content_offset)] = d
+    parts = []
+    if pd_files:
+        parts.append(
+            spark.read.parquet(*pd_files).select(
+                F.regexp_replace(F.col("file_path"), "^file:/*", "/").alias("path"),
+                F.col("pos"),
+            )
+        )
+    if dv_entries:
+        parts.append(
+            _dv_positions_df(
+                spark, list(dv_entries.values()), iceberg_table.properties
+            ).select(F.col("_del_path").alias("path"), F.col("_del_pos").alias("pos"))
+        )
+    deletes_by_file: dict[str, dict] = {}
+    if parts:
+        all_pos = parts[0]
+        for p_ in parts[1:]:
+            all_pos = all_pos.unionByName(p_)
+        out_schema = StructType(
+            [
+                StructField("path", StringType()),
+                StructField("storageType", StringType()),
+                StructField("pathOrInlineDv", StringType()),
+                StructField("offset", IntegerType()),
+                StructField("sizeInBytes", IntegerType()),
+                StructField("cardinality", LongType()),
+            ]
+        )
+        dp = delta_path
+
+        def _mk_dv(key, pdf: pd.DataFrame) -> pd.DataFrame:
+            import numpy as np
+
+            from .delta_dv import write_dv_file as _w
+
+            pos = np.unique(pdf["pos"].to_numpy(dtype="uint64"))
+            d = _w(dp, pos)
+            return pd.DataFrame([{"path": key[0], **d}])
+
+        os.makedirs(delta_path, exist_ok=True)
+        rows = (
+            all_pos.dropDuplicates(["path", "pos"])
+            .groupBy("path")
+            .applyInPandas(_mk_dv, out_schema)
+            .collect()
+        )
+        deletes_by_file = {
+            r["path"]: {
+                "storageType": r["storageType"],
+                "pathOrInlineDv": r["pathOrInlineDv"],
+                "offset": r["offset"],
+                "sizeInBytes": r["sizeInBytes"],
+                "cardinality": r["cardinality"],
+            }
+            for r in rows
+        }
+
+    schema = iceberg_table.scan().to_df(spark).schema
+    os.makedirs(_log_dir(delta_path), exist_ok=True)
+    if [f for f in os.listdir(_log_dir(delta_path)) if f.endswith(".json")]:
+        raise FileExistsError(f"{delta_path} already has a _delta_log")
+    proto = (
+        {
+            "minReaderVersion": 3,
+            "minWriterVersion": 7,
+            "readerFeatures": ["deletionVectors"],
+            "writerFeatures": ["deletionVectors"],
+        }
+        if deletes_by_file
+        else {"minReaderVersion": 1, "minWriterVersion": 2}
+    )
+    actions: list[dict] = [
+        {"protocol": proto},
+        {
+            "metaData": {
+                "id": str(uuid.uuid4()),
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": schema.json(),
+                "partitionColumns": [],
+                "configuration": {"icegopher.linked-from": iceberg_table.location},
+                "createdTime": int(time.time() * 1000),
+            }
+        },
+    ]
+    for t in sorted(tasks, key=lambda t: t.file.file_path):
+        abs_path = strip_file_scheme(t.file.file_path)
+        add = {
+            "path": abs_path,  # absolute: zero-copy link
+            "partitionValues": {},
+            "size": int(t.file.file_size_in_bytes or os.path.getsize(abs_path)),
+            "modificationTime": int(os.path.getmtime(abs_path) * 1000),
+            "dataChange": True,
+        }
+        dv = deletes_by_file.get(abs_path)
+        if dv is not None:
+            add["deletionVector"] = dv
+        actions.append({"add": add})
+    _commit(delta_path, 0, actions)
+    return 0
