@@ -1262,3 +1262,91 @@ def delta_merge_upsert(spark: SparkSession, sf: str) -> DataFrame:
         .cast("double")
         .alias("total_price"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Zero-copy link export (r10): Iceberg files registered in a Delta log.
+
+_LNK_MARKER = "lnk-fixture@v1"
+
+
+def delta_lnk_fixture_path(spark: SparkSession, sf_dir: str) -> str:
+    """An Iceberg orders table with MOR positional deletes (%9==0),
+    LINK-exported: the Delta log points at the SAME parquet files, the
+    delete state travels as a translated deletion vector."""
+    key = sf_dir.strip("/").replace("/", "_")
+    loc_root = f"{_CACHE_ROOT}/{key}/orders_link"
+    loc = f"{loc_root}/delta"
+    ok = os.path.join(loc_root, "_FIXTURE_OK")
+    if os.path.exists(ok):
+        try:
+            with open(ok) as f:
+                if f.read().strip() == _LNK_MARKER:
+                    return loc
+        except OSError:
+            pass
+    shutil.rmtree(loc_root, ignore_errors=True)
+    os.makedirs(loc_root, exist_ok=True)
+
+    import icegopher_spark.iceberg.write as W
+    from icegopher_spark.iceberg import expressions as E
+    from icegopher_spark.iceberg.schema import Schema as ISchema
+    from icegopher_spark.iceberg.types import DoubleType, LongType, NestedField
+
+    from .delta_write import link_iceberg_to_delta
+    from .queries import load as _load
+
+    schema = ISchema(
+        (
+            NestedField(1, "o_orderkey", LongType(), True),
+            NestedField(2, "o_custkey", LongType(), False),
+            NestedField(3, "o_totalprice", DoubleType(), False),
+        ),
+        schema_id=0,
+    )
+    t = W.create_table(f"{loc_root}/iceberg", schema)
+    orders = _load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    t = W.append(t, orders)
+    # MOR positional deletes for o_orderkey % 9 == 0: mod isn't a bound
+    # predicate, so the matching keys become an IN-list predicate and
+    # delete_where_mor writes V2 positional-delete files (the state the
+    # link path translates; equality deletes are refused by design)
+    from pyspark.sql import functions as SF
+
+    keys = [int(r[0]) for r in orders.filter(SF.col("o_orderkey") % 9 == 0)
+            .select("o_orderkey").collect()]
+    t = W.delete_where_mor(t, spark, E.is_in("o_orderkey", *keys))
+    link_iceberg_to_delta(spark, t, loc)
+    with open(ok, "w") as f:
+        f.write(_LNK_MARKER + "\n")
+    return loc
+
+
+delta_link_export_oracle = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(o_orderkey % 1000) AS BIGINT) AS okey_chk,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE)
+         AS total_price
+FROM orders
+WHERE o_orderkey % 9 <> 0
+"""
+
+
+@register(
+    "delta_link_export",
+    delta_link_export_oracle,
+    "Zero-copy Iceberg->Delta link: same parquet files, positional "
+    "deletes translated to a Delta DV — O(metadata) migration",
+)
+def delta_link_export(spark: SparkSession, sf: str) -> DataFrame:
+    loc = delta_lnk_fixture_path(spark, sf)
+    df = read_delta(spark, loc)
+    return df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("o_orderkey") % 1000).cast("bigint").alias("okey_chk"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(12,2)")), 2)
+        .cast("double")
+        .alias("total_price"),
+    )

@@ -413,3 +413,48 @@ def test_merge_upsert_delta_atomic_snapshot(spark, tmp_path):
     post = {(r["k"], r["v"]) for r in read_delta(spark, loc).collect()}
     assert (3, 99.0) in post and (100, 99.0) in post and (3, 1.0) not in post
     assert len(post) == 11
+
+
+def test_link_export_zero_copy_and_refusals(spark, tmp_path):
+    """The linked Delta log must point at the ICEBERG files (no copy);
+    V3 Puffin-DV delete state translates; eq deletes refuse."""
+    from pyspark.sql import functions as F
+
+    import icegopher_spark.iceberg.write as W
+    from icegopher_spark.delta import load_delta, read_delta
+    from icegopher_spark.delta_write import link_iceberg_to_delta
+    from icegopher_spark.iceberg import expressions as E
+    from icegopher_spark.iceberg.schema import Schema
+    from icegopher_spark.iceberg.types import LongType, NestedField
+
+    schema = Schema(
+        (
+            NestedField(1, "k", LongType(), True),
+            NestedField(2, "v", LongType(), False),
+        ),
+        schema_id=0,
+    )
+    t = W.create_table(str(tmp_path / "ice"), schema)
+    df = spark.range(0, 60).select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+    t = W.append(t, df)
+    t = W.delete_where_dv(t, spark, E.is_in("k", 5, 15, 25))  # V3 Puffin DV
+
+    out = str(tmp_path / "linked")
+    link_iceberg_to_delta(spark, t, out)
+    snap = load_delta(out)
+    # zero-copy: every add path lives under the ICEBERG table dir
+    assert all(str(tmp_path / "ice") in p for p, _ in snap.files)
+    assert snap.deletion_vectors  # translated
+    got = {r["k"] for r in read_delta(spark, out).collect()}
+    assert got == set(range(60)) - {5, 15, 25}
+
+    # equality deletes refuse toward the rewrite path
+    t2 = W.create_table(str(tmp_path / "ice2"), schema)
+    t2 = W.append(t2, df)
+    t2 = W.delete_keys(
+        t2, spark, spark.createDataFrame([(7,)], "k long"), ["k"]
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError, match="equality deletes"):
+        link_iceberg_to_delta(spark, t2, str(tmp_path / "linked2"))
