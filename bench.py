@@ -200,6 +200,9 @@ def main() -> None:
         "delta_dv_delete_write",
         "delta_optimize_roundtrip",
         "delta_restore_read",
+        "delta_update_write",
+        "delta_merge_upsert",
+        "delta_link_export",
         "sim_hard_negatives",
         "sim_ivf_index_topk",
     ]
