@@ -60,6 +60,9 @@ class _DeltaFilePartition(InputPartition):
         self.mask = (
             (mask[0], [int(x) for x in mask[1]]) if mask is not None else None
         )
+        # logical→physical TOP-LEVEL column names (column mapping);
+        # set post-construction by partitions() when the table is mapped
+        self.phys_map: dict | None = None
 
 
 def _pv_value(raw: str | None, spark_type: str):
@@ -93,6 +96,8 @@ class _DeltaStreamReader(DataSourceStreamReader):
         )
         self.cdf = options.get("read-change-feed", "false").lower() == "true"
         self.starting_version = options.get("starting-version")
+        self._phys_map: dict | None = None
+        self._logical_parts = False
         if self.cdf and self.starting_version is None:
             raise ValueError(
                 "read-change-feed requires starting-version (a CDF stream "
@@ -147,14 +152,40 @@ class _DeltaStreamReader(DataSourceStreamReader):
         return load_delta(self.location, version=version)
 
     def partitions(self, start: dict, end: dict):
+        parts = self._partitions_impl(start, end)
+        if self._phys_map or self._logical_parts:
+            for p in parts:
+                p.phys_map = self._phys_map
+                if p.pv:
+                    # partitionValues in the log are keyed by PHYSICAL
+                    # name under column mapping — re-key to logical so
+                    # read() matches schema fields
+                    inv = {v: k for k, v in (self._phys_map or {}).items()}
+                    p.pv = {inv.get(k, k): v for k, v in p.pv.items()}
+        return parts
+
+    def _partitions_impl(self, start: dict, end: dict):
         self._track_served(end["version"])
         snap = self._snapshot(end["version"])
+        phys_map = None
         if snap.physical_schema is not None:
-            raise NotImplementedError(
-                "Delta stream: column-mapped tables are not supported by "
-                "the streaming source (the batch reader is) — physical-"
-                "name projection is a batch-face feature so far"
-            )
+            # top-level physical→logical is a per-column rename the
+            # arrow reader handles; NESTED renames would need a struct
+            # rebuild — refuse those (batch face handles them via CAST)
+            for lf, pf in zip(snap.schema.fields, snap.physical_schema.fields):
+                if lf.dataType.json() != pf.dataType.json():
+                    raise NotImplementedError(
+                        "Delta stream: column mapping renames NESTED "
+                        f"fields (column {lf.name!r}) — unsupported in "
+                        "the streaming source; read in batch"
+                    )
+            phys_map = {
+                lf.name: pf.name
+                for lf, pf in zip(snap.schema.fields, snap.physical_schema.fields)
+                if lf.name != pf.name
+            }
+        self._phys_map = phys_map
+        self._logical_parts = bool(phys_map)
         schema_json = snap.schema.json()
         parts: list[_DeltaFilePartition] = []
 
@@ -301,7 +332,11 @@ class _DeltaStreamReader(DataSourceStreamReader):
             )
         arrow_schema = to_arrow_schema(out_schema)
         pv = partition.pv or {}
-        data_names = [f.name for f in schema.fields if f.name not in pv]
+        phys = getattr(partition, "phys_map", None) or {}
+        # column-mapped tables: parquet columns carry PHYSICAL names
+        data_names = [
+            phys.get(f.name, f.name) for f in schema.fields if f.name not in pv
+        ]
         if partition.cdc_in_file:
             data_names.append("_change_type")
 
@@ -353,7 +388,9 @@ class _DeltaStreamReader(DataSourceStreamReader):
                             pa.array([val] * batch.num_rows).cast(target)
                         )
                     else:
-                        cols.append(batch.column(f.name).cast(target))
+                        cols.append(
+                            batch.column(phys.get(f.name, f.name)).cast(target)
+                        )
                 yield pa.RecordBatch.from_arrays(cols, schema=arrow_schema)
 
         return gen()

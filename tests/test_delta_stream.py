@@ -164,3 +164,23 @@ def test_cdf_stream_matches_batch(spark, fixture_loc, tmp_path):
     b = {tuple(r): None for r in batch.groupBy(*key).count().collect()}
     assert a == b
     assert got.count() == batch.count()
+
+
+def test_stream_over_column_mapped_table(spark):
+    """Top-level column mapping works in the stream source: parquet
+    columns carry physical names, partitionValues are keyed physically;
+    the emitted batches use logical names."""
+    from icegopher_spark.delta_queries import delta_cm_fixture_path
+    from icegopher_spark.streaming.delta_source import _DeltaStreamReader
+
+    loc = delta_cm_fixture_path("/root/testdata/sf0.001")
+    r = _DeltaStreamReader({"location": loc})
+    parts = r.partitions(r.initialOffset(), r.latestOffset())
+    total, prios = 0, set()
+    for p in parts:
+        assert p.phys_map  # mapping travelled with the partition
+        for batch in r.read(p):
+            assert batch.schema.names[:2] == ["o_orderkey", "o_custkey"]
+            total += batch.num_rows
+            prios.update(batch.column("o_orderpriority").to_pylist())
+    assert total > 0 and len(prios) == 5
