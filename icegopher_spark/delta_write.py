@@ -707,10 +707,11 @@ def update_where_delta(
     staged distributed write; DV bitmaps build executor-side.  The
     driver touches one metadata row per affected/new file.  Returns
     the committed version (unchanged version when nothing matched)."""
-    for col in assignments:
-        if col not in {f.name for f in load_delta(table_path).schema.fields}:
-            raise ValueError(f"update_where_delta: unknown column {col!r}")
     snap, live = _live_with_positions(spark, table_path, "update_where_delta")
+    known = {f.name for f in snap.schema.fields}
+    for col in assignments:
+        if col not in known:
+            raise ValueError(f"update_where_delta: unknown column {col!r}")
     matched = live.filter(predicate)
     matched = matched.persist()  # feeds BOTH the DV build and the rewrite
     try:
