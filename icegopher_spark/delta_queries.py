@@ -1350,3 +1350,43 @@ def delta_link_export(spark: SparkSession, sf: str) -> DataFrame:
         .cast("double")
         .alias("total_price"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch DataSource face (r10): format("icegopher_delta").
+
+delta_datasource_oracle = """
+SELECT o_orderpriority, COUNT(*) AS n_orders,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE)
+         AS total_price
+FROM orders
+WHERE NOT (o_orderkey % 3 = 0 AND o_orderpriority = '5-LOW')
+  AND o_orderpriority IN ('1-URGENT', '2-HIGH')
+GROUP BY o_orderpriority
+"""
+
+
+@register(
+    "delta_datasource_read",
+    delta_datasource_oracle,
+    "format('icegopher_delta') batch face: shared Arrow kernel with "
+    "the stream source; pushed IN-filter prunes files at plan time",
+)
+def delta_datasource_read(spark: SparkSession, sf: str) -> DataFrame:
+    """SQL-face Delta read: the session enables python filterPushdown,
+    so the IN predicate on the partition column reaches pushFilters and
+    prunes files against the log's partitionValues BEFORE any parquet
+    opens (pruning pinned by tests/test_delta_dsv2.py); Spark re-applies
+    the filter row-level, so pruning can only drop whole files, never
+    rows."""
+    from .delta_dsv2 import DeltaBatchDataSource
+
+    spark.dataSource.register(DeltaBatchDataSource)
+    loc = delta_fixture_path(sf)
+    df = (
+        spark.read.format("icegopher_delta")
+        .option("location", loc)
+        .load()
+        .filter(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+    )
+    return _priority_agg(df)

@@ -312,93 +312,104 @@ class _DeltaStreamReader(DataSourceStreamReader):
     # -- executor read ----------------------------------------------------
 
     def read(self, partition: _DeltaFilePartition):
-        if not partition.path:
-            return iter([])
-        import pyarrow as pa
-        import pyarrow.parquet as pq
-        from pyspark.sql.pandas.types import to_arrow_schema
-        from pyspark.sql.types import LongType, StringType, StructField, StructType
-
-        schema = StructType.fromJson(json.loads(partition.schema_json))
-        cdf = partition.commit_version is not None
-        out_schema = schema
-        if cdf:
-            out_schema = StructType(
-                [
-                    *schema.fields,
-                    StructField("_change_type", StringType(), True),
-                    StructField("_commit_version", LongType(), True),
-                ]
-            )
-        arrow_schema = to_arrow_schema(out_schema)
-        pv = partition.pv or {}
-        phys = getattr(partition, "phys_map", None) or {}
-        # column-mapped tables: parquet columns carry PHYSICAL names
-        data_names = [
-            phys.get(f.name, f.name) for f in schema.fields if f.name not in pv
-        ]
-        if partition.cdc_in_file:
-            data_names.append("_change_type")
-
-        mask = partition.mask
-
-        def gen():
-            import numpy as np
-
-            pf = pq.ParquetFile(partition.path)
-            row_offset = 0
-            mode, positions = (None, None)
-            if mask is not None:
-                mode = mask[0]
-                positions = np.asarray(mask[1], dtype=np.int64)
-            for batch in pf.iter_batches(columns=data_names):
-                if mode is not None:
-                    # deletion-vector mask on the FILE-global row index
-                    idx = np.arange(
-                        row_offset, row_offset + batch.num_rows, dtype=np.int64
-                    )
-                    row_offset += batch.num_rows
-                    hit = np.isin(idx, positions, assume_unique=True)
-                    keep = ~hit if mode == "exclude" else hit
-                    if not keep.all():
-                        batch = batch.take(pa.array(np.nonzero(keep)[0]))
-                    if batch.num_rows == 0:
-                        continue
-                cols = []
-                for f in out_schema.fields:
-                    target = arrow_schema.field(f.name).type
-                    if f.name == "_change_type" and cdf:
-                        if partition.cdc_in_file:
-                            cols.append(batch.column(f.name).cast(target))
-                        else:
-                            cols.append(
-                                pa.array(
-                                    [partition.change_type] * batch.num_rows
-                                ).cast(target)
-                            )
-                    elif f.name == "_commit_version" and cdf:
-                        cols.append(
-                            pa.array(
-                                [partition.commit_version] * batch.num_rows
-                            ).cast(target)
-                        )
-                    elif f.name in pv:
-                        val = _pv_value(pv[f.name], f.dataType.simpleString())
-                        cols.append(
-                            pa.array([val] * batch.num_rows).cast(target)
-                        )
-                    else:
-                        cols.append(
-                            batch.column(phys.get(f.name, f.name)).cast(target)
-                        )
-                yield pa.RecordBatch.from_arrays(cols, schema=arrow_schema)
-
-        return gen()
+        return read_file_partition(partition)
 
     def commit(self, end: dict) -> None:
         # offsets derive from the table's own log; tracking feeds the
         # admission-control watermark across restarts
         self._track_served(end["version"])
+
+
+
+def read_file_partition(partition: _DeltaFilePartition):
+    """Executor-side Arrow read of one Delta file partition: parquet
+    batches with partitionValues attached as constant columns, the DV
+    mask applied on the file-global row index, physical->logical
+    top-level renames, and (CDF mode) _change_type/_commit_version
+    columns.  Shared by the STREAM source and the batch DataSource face
+    (delta_dsv2.py) — one kernel, two planners."""
+    if not partition.path:
+        return iter([])
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql.pandas.types import to_arrow_schema
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    schema = StructType.fromJson(json.loads(partition.schema_json))
+    cdf = partition.commit_version is not None
+    out_schema = schema
+    if cdf:
+        out_schema = StructType(
+            [
+                *schema.fields,
+                StructField("_change_type", StringType(), True),
+                StructField("_commit_version", LongType(), True),
+            ]
+        )
+    arrow_schema = to_arrow_schema(out_schema)
+    pv = partition.pv or {}
+    phys = getattr(partition, "phys_map", None) or {}
+    # column-mapped tables: parquet columns carry PHYSICAL names
+    data_names = [
+        phys.get(f.name, f.name) for f in schema.fields if f.name not in pv
+    ]
+    if partition.cdc_in_file:
+        data_names.append("_change_type")
+
+    mask = partition.mask
+
+    def gen():
+        import numpy as np
+
+        pf = pq.ParquetFile(partition.path)
+        row_offset = 0
+        mode, positions = (None, None)
+        if mask is not None:
+            mode = mask[0]
+            positions = np.asarray(mask[1], dtype=np.int64)
+        for batch in pf.iter_batches(columns=data_names):
+            if mode is not None:
+                # deletion-vector mask on the FILE-global row index
+                idx = np.arange(
+                    row_offset, row_offset + batch.num_rows, dtype=np.int64
+                )
+                row_offset += batch.num_rows
+                hit = np.isin(idx, positions, assume_unique=True)
+                keep = ~hit if mode == "exclude" else hit
+                if not keep.all():
+                    batch = batch.take(pa.array(np.nonzero(keep)[0]))
+                if batch.num_rows == 0:
+                    continue
+            cols = []
+            for f in out_schema.fields:
+                target = arrow_schema.field(f.name).type
+                if f.name == "_change_type" and cdf:
+                    if partition.cdc_in_file:
+                        cols.append(batch.column(f.name).cast(target))
+                    else:
+                        cols.append(
+                            pa.array(
+                                [partition.change_type] * batch.num_rows
+                            ).cast(target)
+                        )
+                elif f.name == "_commit_version" and cdf:
+                    cols.append(
+                        pa.array(
+                            [partition.commit_version] * batch.num_rows
+                        ).cast(target)
+                    )
+                elif f.name in pv:
+                    val = _pv_value(pv[f.name], f.dataType.simpleString())
+                    cols.append(
+                        pa.array([val] * batch.num_rows).cast(target)
+                    )
+                else:
+                    cols.append(
+                        batch.column(phys.get(f.name, f.name)).cast(target)
+                    )
+            yield pa.RecordBatch.from_arrays(cols, schema=arrow_schema)
+
+    return gen()
 
 
 class DeltaAppendStreamSource(DataSource):
