@@ -102,6 +102,9 @@ class DeltaSnapshot:
     # the table; replacing metaData.id changes its identity)
     protocol: dict = field(default_factory=dict)
     metadata_raw: dict = field(default_factory=dict)
+    # abs data path → parsed add.stats JSON (numRecords/minValues/
+    # maxValues/nullCount) — advisory, used for data skipping
+    file_stats: dict[str, dict] = field(default_factory=dict)
 
 
 def _log_dir(table_path: str) -> str:
@@ -233,7 +236,7 @@ def _apply_action(state: dict, action: dict) -> None:
             dv = dict(dv)
         if dv is not None and not dv.get("storageType"):
             dv = None  # checkpoint row with an all-null dv struct
-        state["files"][a["path"]] = (pv, dv)
+        state["files"][a["path"]] = (pv, dv, a.get("stats") or None)
     elif "remove" in action and action["remove"] is not None:
         state["files"].pop(action["remove"]["path"], None)
     elif "metaData" in action and action["metaData"] is not None:
@@ -445,11 +448,17 @@ def load_delta(
     part_cols = list(meta.get("partitionColumns") or [])
     files = []
     dvs: dict[str, dict] = {}
-    for p, (pv, dv) in sorted(state["files"].items()):
+    stats: dict[str, dict] = {}
+    for p, (pv, dv, st) in sorted(state["files"].items()):
         absp = os.path.join(table_path, p)
         files.append((absp, pv))
         if dv:
             dvs[absp] = dict(dv)
+        if st:
+            try:
+                stats[absp] = json.loads(st) if isinstance(st, str) else dict(st)
+            except (ValueError, TypeError):
+                pass  # malformed stats are advisory — ignore, never fail
     return DeltaSnapshot(
         version=target,
         schema=schema,
@@ -461,6 +470,7 @@ def load_delta(
         physical_schema=physical,
         protocol=dict(state.get("protocol") or {"minReaderVersion": 1, "minWriterVersion": 2}),
         metadata_raw=dict(meta),
+        file_stats=stats,
     )
 
 

@@ -75,6 +75,58 @@ def _partition_prune(filters, part_cols: set[str], nmap: dict[str, str]):
     return pred
 
 
+def _stats_keep(filters, stats: dict | None) -> bool:
+    """Data skipping: False = the file provably contains NO matching
+    row.  Conservative: only numeric/bool bounds (the writer never
+    emits string stats — foreign writers may truncate them) and only
+    filters whose semantics are exact on min/max; anything else keeps
+    the file.  Sound with deletion vectors: stats bound a SUPERSET of
+    the live rows, so skipping can only be less aggressive."""
+    if not stats:
+        return True
+    mins = stats.get("minValues") or {}
+    maxs = stats.get("maxValues") or {}
+    nulls = stats.get("nullCount") or {}
+    nrec = stats.get("numRecords")
+
+    def _num(x):
+        return x if isinstance(x, (int, float)) and not isinstance(x, bool) else None
+
+    for f in filters:
+        kind = type(f).__name__
+        if kind == "Not":
+            continue  # negations over ranges are not exact — keep
+        try:
+            col = ".".join(f.attribute)
+        except AttributeError:
+            continue
+        if kind == "IsNull":
+            if col in nulls and nulls[col] == 0:
+                return False
+            continue
+        if kind == "IsNotNull":
+            if col in nulls and nrec is not None and nulls[col] == nrec:
+                return False
+            continue
+        mn, mx = _num(mins.get(col)), _num(maxs.get(col))
+        if mn is None or mx is None:
+            continue
+        v = _num(getattr(f, "value", None))
+        if v is None:
+            continue
+        if kind == "EqualTo" and (v < mn or v > mx):
+            return False
+        if kind == "GreaterThan" and mx <= v:
+            return False
+        if kind == "GreaterThanOrEqual" and mx < v:
+            return False
+        if kind == "LessThan" and mn >= v:
+            return False
+        if kind == "LessThanOrEqual" and mn > v:
+            return False
+    return True
+
+
 class _DeltaBatchReader(DataSourceReader):
     """Base reader WITHOUT pushFilters (implementing it trips
     DATA_SOURCE_PUSHDOWN_DISABLED when the session conf is off — same
@@ -125,6 +177,12 @@ class _DeltaBatchReader(DataSourceReader):
             )
             if pred is not None:
                 files = [(p, pv) for p, pv in files if pred(pv)]
+            # data skipping on add.stats min/max (non-partition columns)
+            files = [
+                (p, pv)
+                for p, pv in files
+                if _stats_keep(self._filters, snap.file_stats.get(p))
+            ]
 
         masks = {}
         if snap.deletion_vectors:

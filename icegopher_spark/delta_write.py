@@ -163,15 +163,64 @@ def _stage_and_collect(
                         "size": os.path.getsize(full),
                         "modificationTime": int(os.path.getmtime(full) * 1000),
                         "dataChange": True,
-                        "stats": json.dumps(
-                            {"numRecords": pq.ParquetFile(full).metadata.num_rows}
-                        ),
+                        "stats": json.dumps(_footer_stats(pq.ParquetFile(full))),
                     }
                 }
             )
     if not adds:
         shutil.rmtree(out_dir, ignore_errors=True)
     return adds
+
+
+def _footer_stats(pf) -> dict:
+    """add.stats JSON from the parquet footer: numRecords plus
+    minValues/maxValues/nullCount for TOP-LEVEL numeric/bool/date
+    columns — the fields delta-spark's data skipping consumes.  Strings
+    are deliberately excluded: footer string min/max may be truncated
+    by the writer, and a truncated max presented as exact resurrects
+    skipped rows on the reader side."""
+    import datetime as _dt
+
+    md = pf.metadata
+    out: dict = {"numRecords": md.num_rows}
+    mins: dict = {}
+    maxs: dict = {}
+    nulls: dict = {}
+    skip: set[int] = set()
+    n_cols = md.num_columns
+    for rg_i in range(md.num_row_groups):
+        rg = md.row_group(rg_i)
+        for c_i in range(n_cols):
+            if c_i in skip:
+                continue
+            col = rg.column(c_i)
+            name = col.path_in_schema
+            if "." in name:  # nested — skip
+                skip.add(c_i)
+                continue
+            if col.physical_type in ("BYTE_ARRAY", "FIXED_LEN_BYTE_ARRAY"):
+                skip.add(c_i)  # strings/binary: truncation-unsafe
+                continue
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                skip.add(c_i)
+                mins.pop(name, None)
+                maxs.pop(name, None)
+                nulls.pop(name, None)
+                continue
+            mn, mx = st.min, st.max
+            if isinstance(mn, (_dt.date, _dt.datetime)):
+                mn, mx = mn.isoformat(), mx.isoformat()
+            if name not in mins or mn < mins[name]:
+                mins[name] = mn
+            if name not in maxs or mx > maxs[name]:
+                maxs[name] = mx
+            nulls[name] = nulls.get(name, 0) + (st.null_count or 0)
+    if mins:
+        out["minValues"] = mins
+        out["maxValues"] = maxs
+        out["nullCount"] = nulls
+    return out
 
 
 def _next_version(table_path: str) -> int:
@@ -246,6 +295,7 @@ def write_checkpoint(table_path: str, version: int | None = None) -> int:
         ("size", pa.int64()),
         ("modificationTime", pa.int64()),
         ("dataChange", pa.bool_()),
+        ("stats", pa.string()),
     ]
     if snap.deletion_vectors:
         add_fields.append(("deletionVector", dv_t))
@@ -286,12 +336,14 @@ def write_checkpoint(table_path: str, version: int | None = None) -> int:
 
     rows_add = []
     for p, pv in snap.files:
+        st = snap.file_stats.get(p)
         row = {
             "path": os.path.relpath(p, table_path).replace(os.sep, "/"),
             "partitionValues": [(k, val) for k, val in pv.items() if val is not None],
             "size": os.path.getsize(p),
             "modificationTime": int(os.path.getmtime(p) * 1000),
             "dataChange": False,
+            "stats": json.dumps(st) if st else None,
         }
         if snap.deletion_vectors:
             row["deletionVector"] = _dv_row(p)
@@ -509,6 +561,7 @@ def _dv_swap_actions(
         if old_dv is not None:
             rm["deletionVector"] = old_dv
         actions.append({"remove": rm})
+        st = snap.file_stats.get(abs_path)
         actions.append(
             {
                 "add": {
@@ -517,6 +570,9 @@ def _dv_swap_actions(
                     "size": os.path.getsize(abs_path),
                     "modificationTime": int(os.path.getmtime(abs_path) * 1000),
                     "dataChange": True,
+                    # bounds over a superset of the live rows — sound
+                    # for skipping (may under-skip, never misreads)
+                    **({"stats": json.dumps(st)} if st else {}),
                     "deletionVector": {
                         "storageType": r["storageType"],
                         "pathOrInlineDv": r["pathOrInlineDv"],

@@ -93,3 +93,57 @@ def test_filter_results_identical_with_pruning(spark):
     a = {tuple(r) for r in _fmt(spark, loc).filter(pred).collect()}
     b = {tuple(r) for r in read_delta(spark, loc).filter(pred).collect()}
     assert a == b and a
+
+
+def test_stats_data_skipping(spark, tmp_path):
+    """add.stats min/max (written by this repo's writer from parquet
+    footers) prune files for range predicates on NON-partition columns;
+    results stay identical because Spark re-applies every filter."""
+    from pyspark.sql import functions as F
+
+    from icegopher_spark.delta_dsv2 import _DeltaPushdownBatchReader
+    from icegopher_spark.delta_write import append_delta, create_delta_table
+
+    loc = str(tmp_path / "t")
+    df = spark.range(0, 1000).select(F.col("id").alias("k"))
+    create_delta_table(loc, df.schema)
+    # 4 files with disjoint k ranges
+    append_delta(spark, loc, df.repartitionByRange(4, "k"))
+
+    r = _DeltaPushdownBatchReader({"location": loc})
+    assert len(r.partitions()) == 4
+
+    class _Gt:
+        attribute = ("k",)
+        value = 900
+
+    _Gt.__name__ = "GreaterThan"
+    r2 = _DeltaPushdownBatchReader({"location": loc})
+    r2.pushFilters([_Gt()])
+    pruned = r2.partitions()
+    assert len(pruned) == 1  # only the top range file survives
+
+    got = (
+        _fmt(spark, loc).filter(F.col("k") > 900).count()
+    )
+    assert got == 99
+
+
+def test_stats_skipping_sound_with_dvs(spark, tmp_path):
+    """DV-carrying files keep their (superset) stats — skipping must
+    never drop a file whose live rows match."""
+    from pyspark.sql import functions as F
+
+    from icegopher_spark.delta_write import (
+        append_delta,
+        create_delta_table,
+        delete_where_delta,
+    )
+
+    loc = str(tmp_path / "t")
+    df = spark.range(0, 100).select(F.col("id").alias("k"))
+    create_delta_table(loc, df.schema)
+    append_delta(spark, loc, df.repartitionByRange(2, "k"))
+    delete_where_delta(spark, loc, F.col("k") % 10 == 0)
+    got = _fmt(spark, loc).filter(F.col("k") >= 55).count()
+    assert got == 41  # 55..99 minus 60,70,80,90
