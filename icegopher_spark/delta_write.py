@@ -719,6 +719,9 @@ def restore_delta(table_path: str, version: int) -> int:
             "modificationTime": int(os.path.getmtime(p) * 1000),
             "dataChange": True,
         }
+        st = snap_old.file_stats.get(p)
+        if st:
+            add["stats"] = json.dumps(st)
         if dv is not None:
             add["deletionVector"] = dv
         actions.append({"add": add})
