@@ -140,3 +140,164 @@ def test_random_log_matches_simulator(tmp_path, seed):
             snap = load_delta(loc, version=v)
             got = {os.path.relpath(p, loc): pv for p, pv in snap.files}
             assert got == states[v], f"seed={seed} post-vacuum v={v}"
+
+
+def _write_checkpoint_dv(loc, version, live: dict[str, tuple]):
+    """Checkpoint writer for the DV fuzz: live maps path -> (pv, dv|None)."""
+    pv_t = pa.map_(pa.string(), pa.string())
+    dv_t = pa.struct(
+        [("storageType", pa.string()), ("pathOrInlineDv", pa.string()),
+         ("offset", pa.int32()), ("sizeInBytes", pa.int32()),
+         ("cardinality", pa.int64())]
+    )
+    add_t = pa.struct(
+        [("path", pa.string()), ("partitionValues", pv_t), ("size", pa.int64()),
+         ("modificationTime", pa.int64()), ("dataChange", pa.bool_()),
+         ("deletionVector", dv_t)]
+    )
+    meta_t = pa.struct(
+        [("id", pa.string()), ("format", pa.struct([("provider", pa.string())])),
+         ("schemaString", pa.string()), ("partitionColumns", pa.list_(pa.string())),
+         ("configuration", pa.map_(pa.string(), pa.string())), ("createdTime", pa.int64())]
+    )
+    proto_t = pa.struct([("minReaderVersion", pa.int32()), ("minWriterVersion", pa.int32()),
+                         ("readerFeatures", pa.list_(pa.string())),
+                         ("writerFeatures", pa.list_(pa.string()))])
+    rows_add = [
+        {"path": p, "partitionValues": list(pv.items()), "size": 1,
+         "modificationTime": 1, "dataChange": False, "deletionVector": dv}
+        for p, (pv, dv) in sorted(live.items())
+    ]
+    n = 2 + len(rows_add)
+    tbl = pa.table({
+        "protocol": pa.array(
+            [{"minReaderVersion": 3, "minWriterVersion": 7,
+              "readerFeatures": ["deletionVectors"],
+              "writerFeatures": ["deletionVectors"]}] + [None] * (n - 1),
+            type=proto_t),
+        "metaData": pa.array([None, {"id": "f", "format": {"provider": "parquet"},
+                                     "schemaString": _SCHEMA_STRING,
+                                     "partitionColumns": ["p"],
+                                     "configuration": [], "createdTime": 1}]
+                             + [None] * (n - 2), type=meta_t),
+        "add": pa.array([None, None] + rows_add, type=add_t),
+    })
+    pq.write_table(tbl, os.path.join(loc, "_delta_log", f"{version:020d}.checkpoint.parquet"))
+    with open(os.path.join(loc, "_delta_log", "_last_checkpoint"), "w") as f:
+        json.dump({"version": version, "size": n}, f)
+
+
+def _rand_dv(rng) -> dict:
+    """A structurally valid inline DV descriptor (never dereferenced by
+    metadata-only replay; positions [k] keep cardinality honest)."""
+    from icegopher_spark.delta_dv import z85encode
+    from icegopher_spark.iceberg.puffin import DV_MAGIC, serialize_roaring64
+
+    k = rng.randrange(5)
+    body = DV_MAGIC + serialize_roaring64([k])
+    return {
+        "storageType": "i",
+        "pathOrInlineDv": z85encode(body),
+        "sizeInBytes": len(body),
+        "cardinality": 1,
+    }
+
+
+@pytest.mark.parametrize("seed", [7, 31, 59, 97])
+def test_random_log_with_dvs_and_compaction(tmp_path, seed):
+    """Round-10 surface under fuzz: DV attach/update (remove+add swap),
+    dataChange=false compactions, DV-carrying checkpoints, vacuumed
+    prefixes — replay must track the (file, DV) state exactly."""
+    rng = random.Random(seed)
+    loc = str(tmp_path / f"t{seed}")
+    os.makedirs(os.path.join(loc, "_delta_log"))
+
+    live: dict[str, tuple] = {}   # path -> (pv, dv|None)
+    states: list[dict] = []
+    checkpoints: list[int] = []
+    next_file = 0
+
+    n_versions = rng.randint(5, 12)
+    for v in range(n_versions):
+        actions = []
+        if v == 0:
+            actions.append({"protocol": {
+                "minReaderVersion": 3, "minWriterVersion": 7,
+                "readerFeatures": ["deletionVectors"],
+                "writerFeatures": ["deletionVectors"]}})
+            actions.append({"metaData": {
+                "id": "f", "format": {"provider": "parquet", "options": {}},
+                "schemaString": _SCHEMA_STRING, "partitionColumns": ["p"],
+                "configuration": {}, "createdTime": 1}})
+        for _ in range(rng.randint(1 if v == 0 else 0, 3)):
+            path = f"f{next_file}.parquet"
+            next_file += 1
+            pv = {"p": rng.choice(["a", "b"])}
+            actions.append({"add": {"path": path, "partitionValues": pv,
+                                    "size": 1, "modificationTime": 1,
+                                    "dataChange": True}})
+            live[path] = (pv, None)
+        # DV attach/update on a live file: remove(old) + add(new dv)
+        if live and rng.random() < 0.5:
+            path = rng.choice(sorted(live))
+            pv, old_dv = live[path]
+            rm = {"path": path, "deletionTimestamp": 1, "dataChange": True}
+            if old_dv:
+                rm["deletionVector"] = old_dv
+            dv = _rand_dv(rng)
+            actions.append({"remove": rm})
+            actions.append({"add": {"path": path, "partitionValues": pv,
+                                    "size": 1, "modificationTime": 1,
+                                    "dataChange": True, "deletionVector": dv}})
+            live[path] = (pv, dv)
+        # plain remove
+        if live and rng.random() < 0.3:
+            path = rng.choice(sorted(live))
+            actions.append({"remove": {"path": path, "deletionTimestamp": 1,
+                                       "dataChange": True}})
+            del live[path]
+        # dataChange=false compaction: fold 2 files into one
+        if len(live) >= 2 and rng.random() < 0.3:
+            a, b = sorted(live)[:2]
+            for p in (a, b):
+                rm = {"path": p, "deletionTimestamp": 1, "dataChange": False}
+                if live[p][1]:
+                    rm["deletionVector"] = live[p][1]
+                actions.append({"remove": rm})
+                del live[p]
+            path = f"f{next_file}.parquet"
+            next_file += 1
+            pv = {"p": "c"}
+            actions.append({"add": {"path": path, "partitionValues": pv,
+                                    "size": 2, "modificationTime": 2,
+                                    "dataChange": False}})
+            live[path] = (pv, None)
+        _write_commit(loc, v, actions, ts=1000 + v)
+        states.append({p: (dict(pv), dict(dv) if dv else None)
+                       for p, (pv, dv) in live.items()})
+        if rng.random() < 0.3:
+            _write_checkpoint_dv(loc, v, live)
+            checkpoints.append(v)
+
+    def _clean(dv):
+        # checkpoint replay normalizes the struct (absent fields come
+        # back as explicit nulls) — compare on present values only
+        return {k: v for k, v in dv.items() if v is not None} if dv else None
+
+    def _observed(v):
+        snap = load_delta(loc, version=v)
+        out = {}
+        for p, pv in snap.files:
+            rel = os.path.relpath(p, loc)
+            out[rel] = (dict(pv), _clean(snap.deletion_vectors.get(p)))
+        return out
+
+    for v, expect in enumerate(states):
+        assert _observed(v) == expect, f"seed={seed} v={v}"
+
+    if checkpoints:
+        cp = max(checkpoints)
+        for v in range(cp):
+            os.remove(os.path.join(loc, "_delta_log", f"{v:020d}.json"))
+        for v in range(cp, n_versions):
+            assert _observed(v) == states[v], f"seed={seed} post-vacuum v={v}"
