@@ -142,6 +142,17 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument(
         "where", help="SQL predicate over the table's columns (e.g. \"k % 9 = 0\")"
     )
+    sp = sub.add_parser("delta-optimize")
+    sp.add_argument("delta_path", help="Delta table directory")
+    sp.add_argument("--target-mb", type=int, default=128, help="target file size")
+    sp = sub.add_parser("delta-restore")
+    sp.add_argument("delta_path", help="Delta table directory")
+    sp.add_argument("version", type=int, help="version to restore to")
+    sp = sub.add_parser("delta-vacuum")
+    sp.add_argument("delta_path", help="Delta table directory")
+    sp.add_argument(
+        "--retention-hours", type=float, default=168.0, help="retention window"
+    )
 
     args = p.parse_args(argv)
     if args.verb == "delta-history":
@@ -161,6 +172,35 @@ def main(argv: list[str] | None = None) -> int:
         spark = get_spark("icegopher-cli")
         v = delete_where_delta(spark, args.delta_path, F.expr(args.where))
         print(f"deleted rows matching {args.where!r} -> version {v}")
+        return 0
+    if args.verb == "delta-optimize":
+        from ..delta_write import optimize_delta
+        from ..session import get_spark
+
+        spark = get_spark("icegopher-cli")
+        v = optimize_delta(
+            spark, args.delta_path, target_file_bytes=args.target_mb * 1024 * 1024
+        )
+        print(
+            f"optimized -> version {v}" if v is not None
+            else "nothing to compact (no group of small files)"
+        )
+        return 0
+    if args.verb == "delta-restore":
+        from ..delta_write import restore_delta
+
+        v = restore_delta(args.delta_path, args.version)
+        print(f"restored to version {args.version} -> version {v}")
+        return 0
+    if args.verb == "delta-vacuum":
+        from ..delta import vacuum_candidates
+
+        cands = vacuum_candidates(
+            args.delta_path, retention_ms=int(args.retention_hours * 3600 * 1000)
+        )
+        for p in cands:
+            print(p)
+        print(f"# {len(cands)} vacuumable file(s) — dry run, nothing deleted")
         return 0
     props = {}
     if args.warehouse:

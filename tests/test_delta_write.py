@@ -458,3 +458,28 @@ def test_link_export_zero_copy_and_refusals(spark, tmp_path):
 
     with _pytest.raises(NotImplementedError, match="equality deletes"):
         link_iceberg_to_delta(spark, t2, str(tmp_path / "linked2"))
+
+
+def test_cli_delta_optimize_restore_vacuum(spark, tmp_path, capsys):
+    from pyspark.sql import functions as F
+
+    from icegopher_spark.delta import read_delta
+    from icegopher_spark.delta_write import append_delta, create_delta_table
+    from icegopher_spark.iceberg.cli import main
+
+    loc = str(tmp_path / "t")
+    df = spark.range(0, 40).select(F.col("id").alias("k"))
+    create_delta_table(loc, df.schema)
+    append_delta(spark, loc, df.repartition(4))
+
+    assert main(["delta-optimize", loc]) == 0
+    assert "optimized -> version 2" in capsys.readouterr().out
+    assert read_delta(spark, loc).count() == 40
+
+    assert main(["delta-restore", loc, "1"]) == 0
+    assert "restored" in capsys.readouterr().out
+    assert read_delta(spark, loc).count() == 40
+
+    assert main(["delta-vacuum", loc, "--retention-hours", "0"]) == 0
+    out = capsys.readouterr().out
+    assert "dry run" in out
