@@ -105,6 +105,8 @@ class DeltaSnapshot:
     # abs data path → parsed add.stats JSON (numRecords/minValues/
     # maxValues/nullCount) — advisory, used for data skipping
     file_stats: dict[str, dict] = field(default_factory=dict)
+    # appId → latest committed version (txn actions; exactly-once sinks)
+    app_versions: dict[str, int] = field(default_factory=dict)
 
 
 def _log_dir(table_path: str) -> str:
@@ -244,7 +246,13 @@ def _apply_action(state: dict, action: dict) -> None:
     elif "protocol" in action and action["protocol"] is not None:
         _check_protocol(action["protocol"])
         state["protocol"] = action["protocol"]
-    # txn / commitInfo / cdc / domainMetadata: no effect on the file set
+    elif "txn" in action and action["txn"] is not None:
+        t = action["txn"]
+        if t.get("appId") is not None:
+            # latest version per application id (protocol § Transaction
+            # Identifiers) — the exactly-once handle streaming sinks use
+            state.setdefault("txn", {})[t["appId"]] = int(t.get("version") or 0)
+    # commitInfo / cdc / domainMetadata: no effect on the file set
 
 
 def _replay_checkpoint(state: dict, table_path: str, version: int) -> None:
@@ -259,7 +267,7 @@ def _replay_checkpoint(state: dict, table_path: str, version: int) -> None:
         cols = set(tbl.schema.names)
         rows = tbl.to_pylist()
         for row in rows:
-            for key in ("protocol", "metaData", "add"):
+            for key in ("protocol", "metaData", "add", "txn"):
                 if key in cols and row.get(key) is not None:
                     _apply_action(state, {key: row[key]})
 
@@ -471,6 +479,7 @@ def load_delta(
         protocol=dict(state.get("protocol") or {"minReaderVersion": 1, "minWriterVersion": 2}),
         metadata_raw=dict(meta),
         file_stats=stats,
+        app_versions=dict(state.get("txn") or {}),
     )
 
 

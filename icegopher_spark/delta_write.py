@@ -228,15 +228,30 @@ def _next_version(table_path: str) -> int:
     return max([*commits, *checkpoints]) + 1
 
 
-def append_delta(spark: SparkSession, table_path: str, df: DataFrame) -> int:
-    """Append ``df``; returns the committed version."""
+def append_delta(
+    spark: SparkSession,
+    table_path: str,
+    df: DataFrame,
+    txn: tuple[str, int] | None = None,
+) -> int:
+    """Append ``df``; returns the committed version.  ``txn`` =
+    (appId, version) rides the SAME commit as a transaction identifier
+    (protocol § Transaction Identifiers) — the exactly-once handle the
+    streaming sink keys on."""
     snap = load_delta(table_path)
     missing = set(f.name for f in snap.schema.fields) - set(df.columns)
     if missing:
         raise ValueError(f"append is missing table columns: {sorted(missing)}")
     adds = _stage_and_collect(spark, table_path, df, snap.partition_columns)
+    actions = list(adds)
+    if txn is not None:
+        actions.insert(
+            0,
+            {"txn": {"appId": txn[0], "version": int(txn[1]),
+                     "lastUpdated": int(time.time() * 1000)}},
+        )
     v = _next_version(table_path)
-    _commit(table_path, v, adds)
+    _commit(table_path, v, actions)
     return v
 
 
@@ -366,16 +381,27 @@ def write_checkpoint(table_path: str, version: int | None = None) -> int:
         for k, _ in proto_fields
     }
 
-    n = 2 + len(rows_add)
-    tbl = pa.table(
-        {
-            "protocol": pa.array([proto_row] + [None] * (n - 1), type=proto_t),
-            "metaData": pa.array(
-                [None] + [meta_row] + [None] * (n - 2), type=meta_t
-            ),
-            "add": pa.array([None, None] + rows_add, type=add_t),
-        }
-    )
+    txn_rows = [
+        {"appId": a, "version": int(vv)}
+        for a, vv in sorted(snap.app_versions.items())
+    ]
+    txn_t = pa.struct([("appId", pa.string()), ("version", pa.int64())])
+    n = 2 + len(txn_rows) + len(rows_add)
+    cols = {
+        "protocol": pa.array([proto_row] + [None] * (n - 1), type=proto_t),
+        "metaData": pa.array([None] + [meta_row] + [None] * (n - 2), type=meta_t),
+        "add": pa.array(
+            [None] * (2 + len(txn_rows)) + rows_add, type=add_t
+        ),
+    }
+    if txn_rows:
+        # protocol: checkpoints MUST include the latest txn per appId —
+        # dropping them would reset every sink's exactly-once watermark
+        # once the JSON is vacuumed
+        cols["txn"] = pa.array(
+            [None, None] + txn_rows + [None] * len(rows_add), type=txn_t
+        )
+    tbl = pa.table(cols)
     pq.write_table(
         tbl, os.path.join(_log_dir(table_path), f"{v:020d}.checkpoint.parquet")
     )

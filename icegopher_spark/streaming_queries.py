@@ -1161,3 +1161,57 @@ def stream_delta_cdf_q(spark: SparkSession, sf: str) -> DataFrame:
 # stream/batch parity: the batch CDF oracle is attached by
 # delta_queries.py at import time (importing it here would be circular
 # — queries.py imports this module before delta_queries)
+
+
+@register(
+    "stream_delta_sink",
+    sink_oracle,  # the Iceberg sink gate's oracle verbatim: same input
+    "streaming foreachBatch -> Delta commit-per-batch sink with txn "
+    "exactly-once identifiers, read back via the Delta reader",
+)
+def stream_delta_sink(spark: SparkSession, sf: str) -> DataFrame:
+    """Events replayed as a stream, appended into a DELTA table — one
+    commit per micro-batch carrying a txn (appId, batch) identifier —
+    then answered from the independent Delta reader.  Sink/sink parity:
+    this gate and stream_iceberg_sink share one oracle, so both
+    exactly-once protocols are adjudicated against the same truth."""
+    import os as _os
+    import shutil as _sh
+    import tempfile as _tmp
+
+    from .delta import read_delta
+    from .delta_queries import _CACHE_ROOT
+    from .delta_write import create_delta_table
+    from .streaming.delta_sink import write_stream_to_delta
+
+    key = sf.strip("/").replace("/", "_")
+    loc = f"{_CACHE_ROOT}/{key}/events_delta_sink"
+    ok = _os.path.join(loc, "_FIXTURE_OK")
+    marker = "delta-sink@v1"
+    rebuild = True
+    if _os.path.exists(ok):
+        try:
+            with open(ok) as f:
+                rebuild = f.read().strip() != marker
+        except OSError:
+            rebuild = True
+    if rebuild:
+        _sh.rmtree(loc, ignore_errors=True)
+        stream = _events_stream(spark, sf).select(
+            "event_id", "user_id", "event_type", "value"
+        )
+        create_delta_table(loc, stream.schema)
+        with _tmp.TemporaryDirectory(prefix="deltasinkckpt_") as ckpt:
+            write_stream_to_delta(stream, loc, ckpt, query_id="gate")
+        with open(ok, "w") as f:
+            f.write(marker + "\n")
+    return (
+        read_delta(spark, loc)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(14,4)")), 2)
+            .cast("double")
+            .alias("total_value"),
+        )
+    )
