@@ -606,9 +606,17 @@ def _scan_files(
     )
 
     if not files:
-        return spark.createDataFrame([], StructType(
-            [f for f in schema.fields] + (list(extra_schema.fields) if extra_schema else [])
-        ))
+        from pyspark.sql.types import LongType, StringType, StructField
+
+        empty_fields = [f for f in schema.fields] + (
+            list(extra_schema.fields) if extra_schema else []
+        )
+        if with_position:
+            empty_fields += [
+                StructField("_file_path", StringType(), True),
+                StructField("_row_pos", LongType(), True),
+            ]
+        return spark.createDataFrame([], StructType(empty_fields))
 
     paths = [p for p, _ in files]
     df = spark.read.schema(data_schema).parquet(*paths)

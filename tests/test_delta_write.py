@@ -546,3 +546,28 @@ def test_delta_sink_stream_replay_noop(spark, tmp_path):
     stream2 = spark.readStream.schema("k long").parquet(src)
     write_stream_to_delta(stream2, loc, str(tmp_path / "ck2"), query_id="q")
     assert read_delta(spark, loc).count() == 50
+
+
+def test_dml_on_empty_table_noop(spark, tmp_path):
+    """DELETE/UPDATE/MERGE against a zero-file table must no-op (or
+    plain-append for merge), not crash on the missing position columns
+    (caught by round-10 self-review)."""
+    from pyspark.sql import functions as F
+
+    from icegopher_spark.delta import read_delta
+    from icegopher_spark.delta_write import (
+        create_delta_table,
+        delete_where_delta,
+        merge_upsert_delta,
+        update_where_delta,
+    )
+
+    loc = str(tmp_path / "t")
+    df = spark.range(0, 1).select(F.col("id").alias("k"), F.lit(1.0).alias("v"))
+    create_delta_table(loc, df.schema)
+    assert delete_where_delta(spark, loc, F.col("k") > 0) == 0
+    assert update_where_delta(spark, loc, F.col("k") > 0, {"v": F.lit(2.0)}) == 0
+    # merge into empty = pure insert
+    src = spark.createDataFrame([(1, 9.0)], "k long, v double")
+    merge_upsert_delta(spark, loc, src, ["k"])
+    assert read_delta(spark, loc).count() == 1
