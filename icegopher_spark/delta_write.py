@@ -916,6 +916,15 @@ def link_iceberg_to_delta(
             "link_iceberg_to_delta: table carries equality deletes; "
             "use export_iceberg_to_delta (rewrite) to fold them"
         )
+    non_parquet = sorted(
+        {t.file.file_format for t in tasks if t.file.file_format != "PARQUET"}
+    )
+    if non_parquet:
+        raise NotImplementedError(
+            f"link_iceberg_to_delta: table has {non_parquet} data files; "
+            "Delta's format is parquet-only — use export_iceberg_to_delta "
+            "(rewrite) instead"
+        )
 
     # delete positions per data file: V2 positional-delete parquet
     # (distributed read) + V3 Puffin DVs (executor-side decode)

@@ -571,3 +571,41 @@ def test_dml_on_empty_table_noop(spark, tmp_path):
     src = spark.createDataFrame([(1, 9.0)], "k long, v double")
     merge_upsert_delta(spark, loc, src, ["k"])
     assert read_delta(spark, loc).count() == 1
+
+
+def test_link_export_refuses_non_parquet(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    import icegopher_spark.iceberg.write as W
+    from icegopher_spark.delta_write import link_iceberg_to_delta
+    from icegopher_spark.iceberg.schema import Schema
+    from icegopher_spark.iceberg.types import LongType, NestedField
+
+    schema = Schema((NestedField(1, "k", LongType(), True),), schema_id=0)
+    t = W.create_table(str(tmp_path / "ice"), schema)
+    df = spark.range(0, 5).select(F.col("id").alias("k"))
+    t = W.append(t, df, )
+    # rewrite the manifest entry format? simpler: write an ORC file via
+    # the write plane if supported; otherwise patch the planned task
+    tasks = t.scan().plan_files()
+    tasks[0].file.file_format = "ORC"
+
+    class _FakeScan:
+        def plan_files(self_inner):
+            return tasks
+
+        def to_df(self_inner, spark_):
+            raise AssertionError("should refuse before reading")
+
+    class _FakeTable:
+        metadata = t.metadata
+        properties = t.properties
+        location = t.location
+
+        def scan(self_inner):
+            return _FakeScan()
+
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError, match="parquet-only"):
+        link_iceberg_to_delta(spark, _FakeTable(), str(tmp_path / "out"))
