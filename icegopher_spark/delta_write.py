@@ -81,9 +81,19 @@ def create_delta_table(
     schema,
     partition_columns: list[str] | None = None,
     configuration: dict[str, str] | None = None,
+    column_mapping: bool = False,
 ) -> None:
-    """Commit 0: protocol(1,2) + metaData. ``schema`` is a Spark
-    StructType covering data AND partition columns."""
+    """Commit 0: protocol + metaData. ``schema`` is a Spark StructType
+    covering data AND partition columns.
+
+    ``column_mapping=True`` creates the table in mapping mode 'name'
+    (protocol § Column Mapping): every TOP-LEVEL field gets a
+    ``delta.columnMapping.id`` and an opaque ``physicalName``
+    (col-<uuid8>), the protocol becomes reader 2 / writer 5, and every
+    write path (append/update/merge staging) renames to physical names
+    before parquet lands.  Nested struct schemas refuse — the writer's
+    rename is a top-level select (the READER handles nested renames,
+    so foreign-written nested-mapped tables still read)."""
     partition_columns = list(partition_columns or [])
     by_name = {f.name: f for f in schema.fields}
     for pc in partition_columns:
@@ -99,18 +109,45 @@ def create_delta_table(
     os.makedirs(_log_dir(table_path), exist_ok=True)
     if os.listdir(_log_dir(table_path)):
         raise FileExistsError(f"{table_path} already has a _delta_log")
+    conf = dict(configuration or {})
+    proto = {"minReaderVersion": 1, "minWriterVersion": 2}
+    schema_string = _schema_string(schema)
+    if column_mapping:
+        from pyspark.sql.types import StructType as _ST
+
+        if any(
+            "struct" in f.dataType.simpleString() for f in schema.fields
+        ):
+            raise NotImplementedError(
+                "create_delta_table(column_mapping=True): nested struct "
+                "columns are not supported by the mapped WRITER (top-"
+                "level select rename); flatten or create unmapped"
+            )
+        fields = []
+        for i, f in enumerate(schema.fields):
+            fj = json.loads(_ST([f]).json())["fields"][0]
+            fj["metadata"] = {
+                **(fj.get("metadata") or {}),
+                "delta.columnMapping.id": i + 1,
+                "delta.columnMapping.physicalName": f"col-{uuid.uuid4().hex[:8]}",
+            }
+            fields.append(fj)
+        schema_string = json.dumps({"type": "struct", "fields": fields})
+        conf.setdefault("delta.columnMapping.mode", "name")
+        conf.setdefault("delta.columnMapping.maxColumnId", str(len(fields)))
+        proto = {"minReaderVersion": 2, "minWriterVersion": 5}
     _commit(
         table_path,
         0,
         [
-            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+            {"protocol": proto},
             {
                 "metaData": {
                     "id": str(uuid.uuid4()),
                     "format": {"provider": "parquet", "options": {}},
-                    "schemaString": _schema_string(schema),
+                    "schemaString": schema_string,
                     "partitionColumns": partition_columns,
-                    "configuration": dict(configuration or {}),
+                    "configuration": conf,
                     "createdTime": int(time.time() * 1000),
                 }
             },
@@ -223,6 +260,27 @@ def _footer_stats(pf) -> dict:
     return out
 
 
+def _to_physical(snap, df: DataFrame) -> tuple[DataFrame, list[str]]:
+    """(df renamed to PHYSICAL top-level names, physical partition
+    columns) — identity for unmapped tables.  Writers stage parquet
+    under physical names so mapped readers (ours and delta-spark's)
+    resolve columns; nested renames refuse (writer scope — the reader
+    handles them)."""
+    if snap.physical_schema is None:
+        return df, list(snap.partition_columns)
+    nm = {}
+    for lf, pf in zip(snap.schema.fields, snap.physical_schema.fields):
+        if lf.dataType.json() != pf.dataType.json():
+            raise NotImplementedError(
+                "Delta writer: column mapping renames NESTED fields "
+                f"(column {lf.name!r}) — the mapped writer renames top-"
+                "level only; read works, writes refuse"
+            )
+        nm[lf.name] = pf.name
+    df = df.select(*[F.col(f.name).alias(nm[f.name]) for f in snap.schema.fields])
+    return df, [nm.get(c, c) for c in snap.partition_columns]
+
+
 def _next_version(table_path: str) -> int:
     commits, checkpoints = _list_log(table_path)
     return max([*commits, *checkpoints]) + 1
@@ -242,7 +300,8 @@ def append_delta(
     missing = set(f.name for f in snap.schema.fields) - set(df.columns)
     if missing:
         raise ValueError(f"append is missing table columns: {sorted(missing)}")
-    adds = _stage_and_collect(spark, table_path, df, snap.partition_columns)
+    df, part_cols = _to_physical(snap, df)
+    adds = _stage_and_collect(spark, table_path, df, part_cols)
     actions = list(adds)
     if txn is not None:
         actions.insert(
@@ -469,11 +528,6 @@ def _live_with_positions(spark: SparkSession, table_path: str, who: str):
     from .delta_dv import read_dv_positions
 
     snap = load_delta(table_path)
-    if snap.physical_schema is not None:
-        raise NotImplementedError(
-            f"{who}: column-mapped tables not supported by "
-            "the writer (the reader is)"
-        )
     masks = None
     if snap.deletion_vectors:
         masks = {
@@ -485,6 +539,7 @@ def _live_with_positions(spark: SparkSession, table_path: str, who: str):
         snap.schema,
         snap.partition_columns,
         snap.files,
+        physical_schema=snap.physical_schema,
         position_masks=masks,
         partition_name_map=_partition_name_map(snap),
         with_position=True,
@@ -643,11 +698,6 @@ def optimize_delta(
     from .delta_dv import read_dv_positions
 
     snap = load_delta(table_path)
-    if snap.physical_schema is not None:
-        raise NotImplementedError(
-            "optimize_delta: column-mapped tables not supported by the "
-            "writer (the reader is)"
-        )
 
     # group live files by partition tuple; pick small-file groups
     groups: dict[tuple, list[tuple[str, dict]]] = {}
@@ -671,6 +721,7 @@ def optimize_delta(
         snap.schema,
         snap.partition_columns,
         flat,
+        physical_schema=snap.physical_schema,
         position_masks=masks,
         partition_name_map=_partition_name_map(snap),
     )
@@ -681,7 +732,8 @@ def optimize_delta(
         if snap.partition_columns
         else df.coalesce(n_out)
     )
-    adds = _stage_and_collect(spark, table_path, df, snap.partition_columns)
+    df, part_phys = _to_physical(snap, df)
+    adds = _stage_and_collect(spark, table_path, df, part_phys)
     now = int(time.time() * 1000)
     actions: list[dict] = []
     for a in adds:
@@ -811,7 +863,8 @@ def update_where_delta(
                 for f in snap.schema.fields
             ]
         )
-        adds = _stage_and_collect(spark, table_path, post, snap.partition_columns)
+        post, part_phys = _to_physical(snap, post)
+        adds = _stage_and_collect(spark, table_path, post, part_phys)
         v = snap.version + 1
         _commit(table_path, v, actions + adds)
         return v
@@ -857,7 +910,8 @@ def merge_upsert_delta(
         spark, table_path, snap, matched.select("_file_path", "_row_pos")
     )
     post = source.select(*[f.name for f in snap.schema.fields])
-    adds = _stage_and_collect(spark, table_path, post, snap.partition_columns)
+    post, part_phys = _to_physical(snap, post)
+    adds = _stage_and_collect(spark, table_path, post, part_phys)
     v = snap.version + 1
     _commit(table_path, v, actions + adds)
     return v

@@ -609,3 +609,86 @@ def test_link_export_refuses_non_parquet(spark, tmp_path):
 
     with _pytest.raises(NotImplementedError, match="parquet-only"):
         link_iceberg_to_delta(spark, _FakeTable(), str(tmp_path / "out"))
+
+
+def test_column_mapping_writer_full_dml_loop(spark, tmp_path):
+    """create(column_mapping=True) → append → DV delete → update →
+    merge → optimize, all on a mapped PARTITIONED table; every read
+    goes through the independent mapped reader."""
+    from pyspark.sql import functions as F
+
+    from icegopher_spark.delta import load_delta, read_delta
+    from icegopher_spark.delta_write import (
+        append_delta,
+        create_delta_table,
+        delete_where_delta,
+        merge_upsert_delta,
+        optimize_delta,
+        update_where_delta,
+    )
+
+    loc = str(tmp_path / "t")
+    df = spark.range(0, 40).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 2).cast("string").alias("side"),
+        F.lit(1.0).alias("v"),
+    )
+    create_delta_table(loc, df.schema, ["side"], column_mapping=True)
+    snap = load_delta(loc)
+    assert snap.column_mapping_mode == "name"
+    assert snap.protocol["minReaderVersion"] == 2
+    append_delta(spark, loc, df)
+
+    got = read_delta(spark, loc)
+    assert got.columns == ["k", "side", "v"]  # logical names back
+    assert got.count() == 40
+
+    # parquet files carry PHYSICAL names
+    import pyarrow.parquet as pq
+
+    p0 = load_delta(loc).files[0][0]
+    names = pq.ParquetFile(p0).schema_arrow.names
+    assert all(n.startswith("col-") for n in names)
+
+    delete_where_delta(spark, loc, F.col("k") % 10 == 0)
+    assert read_delta(spark, loc).count() == 36
+
+    update_where_delta(spark, loc, F.col("k") == 7, {"v": F.lit(9.0)})
+    rows = {r["k"]: r["v"] for r in read_delta(spark, loc).collect()}
+    assert rows[7] == 9.0 and rows[8] == 1.0 and len(rows) == 36
+
+    src = spark.createDataFrame([(7, "1", 5.0), (100, "0", 5.0)],
+                                "k long, side string, v double")
+    merge_upsert_delta(spark, loc, src, ["k"])
+    rows = {r["k"]: r["v"] for r in read_delta(spark, loc).collect()}
+    assert rows[7] == 5.0 and rows[100] == 5.0 and len(rows) == 37
+
+    v = optimize_delta(spark, loc, target_file_bytes=1 << 30)
+    assert v is not None
+    assert read_delta(spark, loc).count() == 37
+    assert not load_delta(loc).deletion_vectors
+
+
+def test_column_mapping_writer_refuses_nested(spark, tmp_path):
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from icegopher_spark.delta_write import create_delta_table
+
+    schema = StructType(
+        [
+            StructField("k", LongType()),
+            StructField(
+                "payload",
+                StructType([StructField("x", StringType())]),
+            ),
+        ]
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError, match="nested"):
+        create_delta_table(str(tmp_path / "t"), schema, column_mapping=True)
