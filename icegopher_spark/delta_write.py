@@ -260,6 +260,72 @@ def _footer_stats(pf) -> dict:
     return out
 
 
+def _check_writer_protocol(snap, operation: str) -> None:
+    """Writers MUST refuse tables demanding writer features they do not
+    implement (protocol § Table Features) — silently writing anyway
+    corrupts the table for engines that rely on the feature.  Also
+    enforces the two table-level write constraints this writer DOES
+    implement: ``delta.appendOnly`` (no row-removing DML) and CHECK
+    constraints (validated in _validate_constraints)."""
+    proto = snap.protocol
+    min_writer = int(proto.get("minWriterVersion", 2))
+    if min_writer >= 7:
+        feats = set(proto.get("writerFeatures") or [])
+        unsupported = feats - _SUPPORTED_WRITER_FEATURES
+        if unsupported:
+            raise NotImplementedError(
+                f"Delta writer: table requires writerFeatures "
+                f"{sorted(unsupported)} this writer does not implement — "
+                "refusing to write"
+            )
+    elif min_writer > 7:
+        raise NotImplementedError(
+            f"Delta writer: minWriterVersion={min_writer} unsupported"
+        )
+    if (
+        operation in _ROW_REMOVING_OPS
+        and snap.configuration.get("delta.appendOnly", "").lower() == "true"
+    ):
+        raise ValueError(
+            f"Delta writer: table is delta.appendOnly=true — {operation} "
+            "would remove or rewrite rows; refused"
+        )
+
+
+# writer-feature surface this module actually honors: DVs and column
+# mapping are implemented; appendOnly and check constraints are
+# ENFORCED (refusal/validation below); invariants (legacy writer v2
+# schema-embedded NOT NULL/expr) are validated by _validate_constraints
+_SUPPORTED_WRITER_FEATURES = {
+    "deletionVectors",
+    "columnMapping",
+    "appendOnly",
+    "checkConstraints",
+    "timestampNtz",
+}
+
+_ROW_REMOVING_OPS = {"delete", "update", "merge", "overwrite", "restore"}
+
+
+def _validate_constraints(snap, df: DataFrame, operation: str) -> None:
+    """Enforce CHECK constraints (configuration delta.constraints.<n>)
+    on rows about to land — the protocol makes constraint enforcement
+    a WRITER obligation; skipping it silently poisons the table for
+    every reader that trusts the constraint."""
+    checks = {
+        k[len("delta.constraints."):]: v
+        for k, v in snap.configuration.items()
+        if k.startswith("delta.constraints.")
+    }
+    for name, expr in checks.items():
+        bad = df.filter(~F.expr(expr).eqNullSafe(F.lit(True))).limit(1).count()
+        if bad:
+            raise ValueError(
+                f"Delta writer: CHECK constraint {name!r} ({expr}) "
+                f"violated by {operation} rows; commit refused"
+            )
+
+
 def _to_physical(snap, df: DataFrame) -> tuple[DataFrame, list[str]]:
     """(df renamed to PHYSICAL top-level names, physical partition
     columns) — identity for unmapped tables.  Writers stage parquet
@@ -297,9 +363,11 @@ def append_delta(
     (protocol § Transaction Identifiers) — the exactly-once handle the
     streaming sink keys on."""
     snap = load_delta(table_path)
+    _check_writer_protocol(snap, "append")
     missing = set(f.name for f in snap.schema.fields) - set(df.columns)
     if missing:
         raise ValueError(f"append is missing table columns: {sorted(missing)}")
+    _validate_constraints(snap, df, "append")
     df, part_cols = _to_physical(snap, df)
     adds = _stage_and_collect(spark, table_path, df, part_cols)
     actions = list(adds)
@@ -319,7 +387,10 @@ def overwrite_delta(spark: SparkSession, table_path: str, df: DataFrame) -> int:
     file, add the new ones (readers of any earlier version are
     unaffected — that's the log's snapshot isolation)."""
     snap = load_delta(table_path)
-    adds = _stage_and_collect(spark, table_path, df, snap.partition_columns)
+    _check_writer_protocol(snap, "overwrite")
+    _validate_constraints(snap, df, "overwrite")
+    df, part_phys = _to_physical(snap, df)
+    adds = _stage_and_collect(spark, table_path, df, part_phys)
     now = int(time.time() * 1000)
     removes = [
         {
@@ -511,6 +582,7 @@ def delete_where_delta(spark: SparkSession, table_path: str, predicate) -> int:
     Returns the committed version.
     """
     snap, live = _live_with_positions(spark, table_path, "delete_where_delta")
+    _check_writer_protocol(snap, "delete")
     matches = live.filter(predicate).select("_file_path", "_row_pos")
     actions = _dv_swap_actions(spark, table_path, snap, matches)
     if not actions:
@@ -698,6 +770,7 @@ def optimize_delta(
     from .delta_dv import read_dv_positions
 
     snap = load_delta(table_path)
+    _check_writer_protocol(snap, "optimize")
 
     # group live files by partition tuple; pick small-file groups
     groups: dict[tuple, list[tuple[str, dict]]] = {}
@@ -768,6 +841,7 @@ def restore_delta(table_path: str, version: int) -> int:
     descriptor masks exactly the rows it masked then.  Driver-only,
     metadata-scale."""
     snap_now = load_delta(table_path)
+    _check_writer_protocol(snap_now, "restore")
     snap_old = load_delta(table_path, version=version)
     if snap_old.metadata_raw.get("schemaString") != snap_now.metadata_raw.get(
         "schemaString"
@@ -845,6 +919,7 @@ def update_where_delta(
     driver touches one metadata row per affected/new file.  Returns
     the committed version (unchanged version when nothing matched)."""
     snap, live = _live_with_positions(spark, table_path, "update_where_delta")
+    _check_writer_protocol(snap, "update")
     known = {f.name for f in snap.schema.fields}
     for col in assignments:
         if col not in known:
@@ -863,6 +938,7 @@ def update_where_delta(
                 for f in snap.schema.fields
             ]
         )
+        _validate_constraints(snap, post, "update")
         post, part_phys = _to_physical(snap, post)
         adds = _stage_and_collect(spark, table_path, post, part_phys)
         v = snap.version + 1
@@ -902,6 +978,7 @@ def merge_upsert_delta(
             "ambiguous MERGE (multiple source rows match one target row)"
         )
     snap, live = _live_with_positions(spark, table_path, "merge_upsert_delta")
+    _check_writer_protocol(snap, "merge")
     # no broadcast hint: AQE broadcasts small key sets itself, and a
     # forced broadcast of a 100M-key source would OOM the driver
     keys = source.select(*key_columns)
@@ -910,6 +987,7 @@ def merge_upsert_delta(
         spark, table_path, snap, matched.select("_file_path", "_row_pos")
     )
     post = source.select(*[f.name for f in snap.schema.fields])
+    _validate_constraints(snap, post, "merge")
     post, part_phys = _to_physical(snap, post)
     adds = _stage_and_collect(spark, table_path, post, part_phys)
     v = snap.version + 1

@@ -692,3 +692,55 @@ def test_column_mapping_writer_refuses_nested(spark, tmp_path):
 
     with _pytest.raises(NotImplementedError, match="nested"):
         create_delta_table(str(tmp_path / "t"), schema, column_mapping=True)
+
+
+def test_writer_protocol_compliance(spark, tmp_path):
+    """appendOnly tables refuse row-removing DML; unknown writerFeatures
+    refuse every write; CHECK constraints validate on append/update."""
+    import json as _json
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from icegopher_spark.delta_write import (
+        append_delta,
+        create_delta_table,
+        delete_where_delta,
+        merge_upsert_delta,
+        optimize_delta,
+        update_where_delta,
+    )
+
+    loc = str(tmp_path / "t")
+    df = spark.range(0, 10).select(F.col("id").alias("k"))
+    create_delta_table(
+        loc, df.schema,
+        configuration={
+            "delta.appendOnly": "true",
+            "delta.constraints.positive": "k >= 0",
+        },
+    )
+    append_delta(spark, loc, df)  # passes the constraint, append allowed
+
+    with pytest.raises(ValueError, match="CHECK constraint"):
+        append_delta(spark, loc, spark.createDataFrame([(-1,)], "k long"))
+
+    with pytest.raises(ValueError, match="appendOnly"):
+        delete_where_delta(spark, loc, F.col("k") > 5)
+    with pytest.raises(ValueError, match="appendOnly"):
+        update_where_delta(spark, loc, F.col("k") > 5, {"k": F.lit(0)})
+    with pytest.raises(ValueError, match="appendOnly"):
+        merge_upsert_delta(spark, loc, spark.createDataFrame([(1,)], "k long"), ["k"])
+    # OPTIMIZE moves bytes, not rows — allowed on appendOnly tables
+    assert optimize_delta(spark, loc, min_files=99) is None  # no-op, no refusal
+
+    # unknown writerFeatures refuse every write
+    loc2 = str(tmp_path / "t2")
+    create_delta_table(loc2, df.schema)
+    log = _os.path.join(loc2, "_delta_log", f"{1:020d}.json")
+    with open(log, "w") as f:
+        f.write(_json.dumps({"protocol": {
+            "minReaderVersion": 1, "minWriterVersion": 7,
+            "writerFeatures": ["identityColumns"]}}) + "\n")
+    with pytest.raises(NotImplementedError, match="identityColumns"):
+        append_delta(spark, loc2, df)
