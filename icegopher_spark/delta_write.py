@@ -317,6 +317,26 @@ def _validate_constraints(snap, df: DataFrame, operation: str) -> None:
         for k, v in snap.configuration.items()
         if k.startswith("delta.constraints.")
     }
+    # legacy writer-v2 invariants: per-field metadata
+    # {"delta.invariants": "{\"expression\":{\"expression\":\"x > 3\"}}"}
+    try:
+        raw_fields = json.loads(snap.metadata_raw.get("schemaString") or "{}").get(
+            "fields", []
+        )
+    except ValueError:
+        raw_fields = []
+    for fj in raw_fields:
+        inv = (fj.get("metadata") or {}).get("delta.invariants")
+        if not inv:
+            continue
+        try:
+            expr = json.loads(inv)["expression"]["expression"]
+        except (ValueError, KeyError, TypeError):
+            raise NotImplementedError(
+                f"Delta writer: unparsable invariant on column "
+                f"{fj.get('name')!r}: {inv!r} — refusing to write blind"
+            ) from None
+        checks[f"invariant:{fj.get('name')}"] = expr
     for name, expr in checks.items():
         bad = df.filter(~F.expr(expr).eqNullSafe(F.lit(True))).limit(1).count()
         if bad:

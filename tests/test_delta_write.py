@@ -744,3 +744,35 @@ def test_writer_protocol_compliance(spark, tmp_path):
             "writerFeatures": ["identityColumns"]}}) + "\n")
     with pytest.raises(NotImplementedError, match="identityColumns"):
         append_delta(spark, loc2, df)
+
+
+def test_writer_enforces_schema_invariants(spark, tmp_path):
+    """Legacy writer-v2 invariants (schema field metadata) validate on
+    append — the protocol makes them a writer obligation."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from icegopher_spark.delta_write import append_delta, create_delta_table
+
+    loc = str(tmp_path / "t")
+    df = spark.range(0, 5).select(F.col("id").alias("k"))
+    create_delta_table(loc, df.schema)
+    # inject an invariant into the schemaString (as a foreign writer would)
+    log0 = f"{loc}/_delta_log/{0:020d}.json"
+    lines = [_json.loads(l) for l in open(log0) if l.strip()]
+    for a in lines:
+        if "metaData" in a:
+            sch = _json.loads(a["metaData"]["schemaString"])
+            sch["fields"][0]["metadata"] = {
+                "delta.invariants": _json.dumps(
+                    {"expression": {"expression": "k < 100"}}
+                )
+            }
+            a["metaData"]["schemaString"] = _json.dumps(sch)
+    with open(log0, "w") as f:
+        f.write("\n".join(_json.dumps(a) for a in lines) + "\n")
+
+    append_delta(spark, loc, df)  # all k < 100: fine
+    with pytest.raises(ValueError, match="invariant:k"):
+        append_delta(spark, loc, spark.createDataFrame([(500,)], "k long"))
