@@ -50,6 +50,8 @@ __all__ = [
     "merge_upsert_delta",
     "optimize_delta",
     "restore_delta",
+    "add_column_delta",
+    "set_properties_delta",
     "export_iceberg_to_delta",
     "link_iceberg_to_delta",
 ]
@@ -1189,3 +1191,54 @@ def link_iceberg_to_delta(
         actions.append({"add": add})
     _commit(delta_path, 0, actions)
     return 0
+
+
+def add_column_delta(table_path: str, name: str, spark_type: str) -> int:
+    """ALTER TABLE ADD COLUMN (nullable, top-level): one metaData
+    commit extending the schema.  Files written before the change lack
+    the column and read back as NULLs (schema-on-read); under column
+    mapping the new field gets the next id + a fresh physical name.
+    Driver-only, metadata-scale."""
+    from pyspark.sql.types import StructField, StructType, _parse_datatype_string
+
+    snap = load_delta(table_path)
+    _check_writer_protocol(snap, "alter")
+    if any(f.name == name for f in snap.schema.fields):
+        raise ValueError(f"column {name!r} already exists")
+    dt = _parse_datatype_string(spark_type)
+    meta = dict(snap.metadata_raw)
+    sch = json.loads(meta["schemaString"])
+    fj = json.loads(StructType([StructField(name, dt, True)]).json())["fields"][0]
+    conf = dict(meta.get("configuration") or {})
+    if snap.column_mapping_mode != "none":
+        next_id = int(conf.get("delta.columnMapping.maxColumnId", "0")) + 1
+        fj["metadata"] = {
+            **(fj.get("metadata") or {}),
+            "delta.columnMapping.id": next_id,
+            "delta.columnMapping.physicalName": f"col-{uuid.uuid4().hex[:8]}",
+        }
+        conf["delta.columnMapping.maxColumnId"] = str(next_id)
+    sch["fields"].append(fj)
+    meta["schemaString"] = json.dumps(sch)
+    meta["configuration"] = conf
+    v = snap.version + 1
+    _commit(table_path, v, [{"metaData": meta}])
+    return v
+
+
+def set_properties_delta(table_path: str, properties: dict[str, str]) -> int:
+    """ALTER TABLE SET TBLPROPERTIES: one metaData commit merging
+    ``properties`` into the configuration (None value = unset)."""
+    snap = load_delta(table_path)
+    _check_writer_protocol(snap, "alter")
+    meta = dict(snap.metadata_raw)
+    conf = dict(meta.get("configuration") or {})
+    for k, v in properties.items():
+        if v is None:
+            conf.pop(k, None)
+        else:
+            conf[k] = str(v)
+    meta["configuration"] = conf
+    v = snap.version + 1
+    _commit(table_path, v, [{"metaData": meta}])
+    return v

@@ -776,3 +776,45 @@ def test_writer_enforces_schema_invariants(spark, tmp_path):
     append_delta(spark, loc, df)  # all k < 100: fine
     with pytest.raises(ValueError, match="invariant:k"):
         append_delta(spark, loc, spark.createDataFrame([(500,)], "k long"))
+
+
+def test_add_column_and_set_properties(spark, tmp_path):
+    """ADD COLUMN: old files read back NULL for the new column; writes
+    after the change carry it; works on MAPPED tables (fresh id +
+    physical name). SET TBLPROPERTIES merges/unsets."""
+    from pyspark.sql import functions as F
+
+    from icegopher_spark.delta import load_delta, read_delta
+    from icegopher_spark.delta_write import (
+        add_column_delta,
+        append_delta,
+        create_delta_table,
+        set_properties_delta,
+    )
+
+    loc = str(tmp_path / "t")
+    df = spark.range(0, 5).select(F.col("id").alias("k"))
+    create_delta_table(loc, df.schema, column_mapping=True)
+    append_delta(spark, loc, df)
+    add_column_delta(loc, "tag", "string")
+
+    snap = load_delta(loc)
+    assert [f.name for f in snap.schema.fields] == ["k", "tag"]
+    assert snap.configuration["delta.columnMapping.maxColumnId"] == "2"
+    got = read_delta(spark, loc)
+    assert got.filter(F.col("tag").isNull()).count() == 5  # pre-change files
+
+    df2 = spark.createDataFrame([(100, "x")], "k long, tag string")
+    append_delta(spark, loc, df2)
+    rows = {(r["k"], r["tag"]) for r in read_delta(spark, loc).collect()}
+    assert (100, "x") in rows and (0, None) in rows
+
+    set_properties_delta(loc, {"delta.appendOnly": "true"})
+    assert load_delta(loc).configuration["delta.appendOnly"] == "true"
+    set_properties_delta(loc, {"delta.appendOnly": None})
+    assert "delta.appendOnly" not in load_delta(loc).configuration
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="already exists"):
+        add_column_delta(loc, "k", "long")
