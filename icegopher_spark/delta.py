@@ -255,14 +255,31 @@ def _apply_action(state: dict, action: dict) -> None:
     # commitInfo / cdc / domainMetadata: no effect on the file set
 
 
-def _replay_checkpoint(state: dict, table_path: str, version: int) -> None:
+def _apply_commit_lines(state: dict, commit_path: str) -> None:
+    """Apply ONE commit's actions IN FILE ORDER — the de-facto
+    reconciliation rule (delta-spark's InMemoryLogReplay): for a path
+    appearing in several file actions within one commit, the LAST
+    action wins.  A DV swap therefore serializes remove(old) before
+    add(new), which every known writer does.  (An r10 review pass
+    proposed removes-first-then-adds "order independence"; the log
+    fuzz suite REFUTED it — in-order is what delta-spark implements,
+    so reordering would diverge from real tables.)"""
+    with open(commit_path, encoding="utf-8") as f:
+        for line in f:
+            if line.strip():
+                _apply_action(state, json.loads(line))
+
+
+def _replay_checkpoint(
+    state: dict, table_path: str, version: int, paths: list[str] | None = None
+) -> None:
     """Seed replay state from a parquet checkpoint: one row per action,
     struct columns `add`, `remove`, `metaData`, `protocol` (protocol
     § "Checkpoints"). Tombstones (`remove`) in a checkpoint exist only
     for VACUUM bookkeeping — the live file set is the `add` rows."""
     import pyarrow.parquet as pq
 
-    for part in _checkpoint_paths(table_path, version):
+    for part in (paths or _checkpoint_paths(table_path, version)):
         tbl = pq.read_table(part)
         cols = set(tbl.schema.names)
         rows = tbl.to_pylist()
@@ -393,7 +410,16 @@ def load_delta(
     log_dir = _log_dir(table_path)
     if not os.path.isdir(log_dir):
         raise FileNotFoundError(f"not a Delta table (no _delta_log): {table_path}")
-    commits, checkpoints = _list_log(table_path)
+    # ONE directory listing per load (r10 review #7: _list_log + the
+    # _last_checkpoint cross-check + checkpoint replay each re-listed;
+    # ×N versions in vacuum_candidates that tripled every scan)
+    cp_map = _complete_checkpoints(table_path)
+    commits = sorted(
+        _version_of(fn)
+        for fn in os.listdir(log_dir)
+        if fn.endswith(".json") and fn.split(".")[0].isdigit()
+    )
+    checkpoints = sorted(cp_map)
     if not commits and not checkpoints:
         raise FileNotFoundError(f"empty _delta_log: {table_path}")
     # _last_checkpoint is a hint, but when present it must be
@@ -403,14 +429,14 @@ def load_delta(
     last_cp = _read_last_checkpoint(table_path)
     if last_cp is not None and "version" in last_cp:
         lv = int(last_cp["version"])
-        if lv not in checkpoints:
+        if lv not in cp_map:
             raise FileNotFoundError(
                 f"_last_checkpoint names version {lv} but its parquet "
                 "part(s) are missing or incomplete in _delta_log — "
                 "refusing (partially vacuumed checkpoint?)"
             )
         want_parts = int(last_cp.get("parts") or 1)
-        have_parts = len(_checkpoint_paths(table_path, lv))
+        have_parts = len(cp_map[lv])
         if want_parts != have_parts:
             raise FileNotFoundError(
                 f"_last_checkpoint says checkpoint {lv} has "
@@ -422,21 +448,18 @@ def load_delta(
     start_cp = max((c for c in checkpoints if c <= target), default=None)
     state: dict = {"files": {}, "metaData": None, "protocol": None}
     if start_cp is not None:
-        _replay_checkpoint(state, table_path, start_cp)
+        _replay_checkpoint(state, table_path, start_cp, paths=cp_map[start_cp])
     replay_from = (start_cp + 1) if start_cp is not None else 0
+    commit_set = set(commits)
     for v in range(replay_from, target + 1):
-        p = os.path.join(log_dir, f"{v:020d}.json")
-        if not os.path.exists(p):
-            if v in checkpoints:
+        if v not in commit_set:
+            if v in cp_map:
                 continue  # checkpoint-only version (JSON vacuumed)
             raise FileNotFoundError(
                 f"commit {v} missing from _delta_log (log has a hole; "
                 f"earliest checkpoint covering it: {start_cp})"
             )
-        with open(p, encoding="utf-8") as f:
-            for line in f:
-                if line.strip():
-                    _apply_action(state, json.loads(line))
+        _apply_commit_lines(state, os.path.join(log_dir, f"{v:020d}.json"))
 
     meta = state["metaData"]
     if meta is None:

@@ -45,13 +45,22 @@ def _partition_prune(filters, part_cols: set[str], nmap: dict[str, str]):
         if col not in part_cols:
             continue
         key = nmap.get(col, col)
+
+        def _ser(v):
+            # Delta partition-value serialization, not Python str():
+            # booleans are 'true'/'false' (str(True) == 'True' would
+            # prune every live file — silent empty result)
+            if isinstance(v, bool):
+                return "true" if v else "false"
+            return str(v)
+
         if kind == "EqualTo":
-            want = str(f.value)
+            want = _ser(f.value)
             tests.append(
                 (lambda pv, k=key, w=want: pv.get(k) == w, negated)
             )
         elif kind == "In":
-            wants = {str(v) for v in f.value}
+            wants = {_ser(v) for v in f.value}
             tests.append(
                 (lambda pv, k=key, w=wants: pv.get(k) in w, negated)
             )

@@ -254,12 +254,60 @@ def _footer_stats(pf) -> dict:
                 mins[name] = mn
             if name not in maxs or mx > maxs[name]:
                 maxs[name] = mx
-            nulls[name] = nulls.get(name, 0) + (st.null_count or 0)
+            # an UNKNOWN null_count must not serialize as an exact 0 —
+            # _stats_keep would then skip files that do contain nulls
+            # under an IS NULL filter (silent row loss)
+            if getattr(st, "has_null_count", True) and st.null_count is not None:
+                if nulls.get(name, 0) is not None:
+                    nulls[name] = nulls.get(name, 0) + st.null_count
+            else:
+                nulls[name] = None
     if mins:
         out["minValues"] = mins
         out["maxValues"] = maxs
-        out["nullCount"] = nulls
+        known_nulls = {k: v for k, v in nulls.items() if v is not None}
+        if known_nulls:
+            out["nullCount"] = known_nulls
     return out
+
+
+def _implied_features(proto: dict) -> tuple[set, set]:
+    """(readerFeatures, writerFeatures) implied by LEGACY protocol
+    versions plus any explicit lists (protocol § Table Features:
+    upgrading to the feature vector MUST enumerate every feature the
+    prior legacy versions implied — dropping one, e.g. columnMapping on
+    a reader-2 table, makes other engines misread or refuse)."""
+    mr = int(proto.get("minReaderVersion", 1))
+    mw = int(proto.get("minWriterVersion", 2))
+    rf = set(proto.get("readerFeatures") or [])
+    wf = set(proto.get("writerFeatures") or [])
+    if mr >= 2:
+        rf.add("columnMapping")
+    if mw >= 2:
+        wf |= {"appendOnly", "invariants"}
+    if mw >= 3:
+        wf.add("checkConstraints")
+    if mw >= 4:
+        wf |= {"changeDataFeed", "generatedColumns"}
+    if mw >= 5:
+        wf.add("columnMapping")
+    if mw >= 6:
+        wf.add("identityColumns")
+    return rf, wf
+
+
+def _schema_uses(meta: dict, metadata_key_prefix: str) -> list[str]:
+    """Column names whose field metadata carries a key with the given
+    prefix (generated/identity column detection)."""
+    try:
+        fields = json.loads(meta.get("schemaString") or "{}").get("fields", [])
+    except ValueError:
+        return []
+    return [
+        f.get("name")
+        for f in fields
+        if any(k.startswith(metadata_key_prefix) for k in (f.get("metadata") or {}))
+    ]
 
 
 def _check_writer_protocol(snap, operation: str) -> None:
@@ -271,9 +319,26 @@ def _check_writer_protocol(snap, operation: str) -> None:
     constraints (validated in _validate_constraints)."""
     proto = snap.protocol
     min_writer = int(proto.get("minWriterVersion", 2))
-    if min_writer >= 7:
+    if min_writer == 7:
         feats = set(proto.get("writerFeatures") or [])
         unsupported = feats - _SUPPORTED_WRITER_FEATURES
+        # generated/identity columns are value-producing obligations:
+        # tolerable when the SCHEMA doesn't actually use them (common
+        # for legacy-upgraded tables), a hard refusal when it does —
+        # writing without generating the values corrupts the table
+        for feat, prefix in (
+            ("generatedColumns", "delta.generationExpression"),
+            ("identityColumns", "delta.identity."),
+        ):
+            if feat in unsupported:
+                used = _schema_uses(snap.metadata_raw, prefix)
+                if used:
+                    raise NotImplementedError(
+                        f"Delta writer: table uses {feat} on columns "
+                        f"{used}; this writer cannot produce their "
+                        "values — refusing to write"
+                    )
+                unsupported.discard(feat)
         if unsupported:
             raise NotImplementedError(
                 f"Delta writer: table requires writerFeatures "
@@ -303,6 +368,8 @@ _SUPPORTED_WRITER_FEATURES = {
     "columnMapping",
     "appendOnly",
     "checkConstraints",
+    "invariants",
+    "changeDataFeed",
     "timestampNtz",
 }
 
@@ -710,15 +777,18 @@ def _dv_swap_actions(
     proto = snap.protocol
     feats = set(proto.get("readerFeatures") or [])
     if int(proto.get("minReaderVersion", 1)) < 3 or "deletionVectors" not in feats:
+        # upgrading to the feature vector must ENUMERATE every feature
+        # the legacy versions implied (r10 review: dropping columnMapping
+        # from a reader-2 table made other engines misread physical
+        # names as logical)
+        rf, wf = _implied_features(proto)
         actions.append(
             {
                 "protocol": {
                     "minReaderVersion": 3,
                     "minWriterVersion": 7,
-                    "readerFeatures": sorted(feats | {"deletionVectors"}),
-                    "writerFeatures": sorted(
-                        set(proto.get("writerFeatures") or []) | {"deletionVectors"}
-                    ),
+                    "readerFeatures": sorted(rf | {"deletionVectors"}),
+                    "writerFeatures": sorted(wf | {"deletionVectors"}),
                 }
             }
         )

@@ -864,8 +864,10 @@ def hard_negatives(
         n_probe/n_lists); recall tunable via n_probe.  This is the
         100 TB path (r9 verdict #5 — previously documented, now wired).
       * ``'auto'`` — broadcast below HARD_NEG_AUTO_THRESHOLD corpus
-        rows (parquet footer-count, cheap), ivf above; the switch is
-        the same adaptive pattern semdedup uses for cluster count.
+        rows, ivf above.  The switch costs ONE corpus count() job
+        (footer-only for a plain parquet scan; a full pass when the
+        corpus is a computed plan — pass method explicitly to skip
+        it); same adaptive pattern semdedup uses for cluster count.
     """
     from pyspark.sql import Window
 

@@ -568,3 +568,83 @@ def test_vacuum_tracks_dv_bins(spark, tmp_path):
     cands = set(vacuum_candidates(loc, retention_ms=0, now_ms=int(2e15)))
     assert first_dv in cands
     assert live_dv not in cands
+
+
+def test_same_commit_action_order_is_last_wins(spark, tmp_path):
+    """Within one commit, file actions reconcile IN ORDER (delta-spark
+    InMemoryLogReplay): remove-then-add leaves the path live with the
+    add's state (the DV-swap convention); add-then-remove tombstones
+    it.  An r10 review pass proposed order-independent removes-first
+    semantics; the log fuzz suite refuted it — this pins the real rule."""
+    import json as _json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    def build(loc, v1_actions):
+        os.makedirs(os.path.join(loc, "_delta_log"))
+        pq.write_table(
+            pa.table({"v": pa.array(range(5), pa.int64())}),
+            os.path.join(loc, "d0.parquet"),
+        )
+        schema_string = _json.dumps(
+            {"type": "struct",
+             "fields": [{"name": "v", "type": "long", "nullable": True,
+                         "metadata": {}}]}
+        )
+        v0 = [
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+            {"metaData": {"id": "t", "format": {"provider": "parquet",
+                                                "options": {}},
+                          "schemaString": schema_string,
+                          "partitionColumns": [], "configuration": {},
+                          "createdTime": 1}},
+            {"add": {"path": "d0.parquet", "partitionValues": {}, "size": 1,
+                     "modificationTime": 1, "dataChange": True}},
+        ]
+        for v, actions in ((0, v0), (1, v1_actions)):
+            with open(os.path.join(loc, "_delta_log", f"{v:020d}.json"), "w") as f:
+                f.write("\n".join(_json.dumps(a) for a in actions) + "\n")
+        return loc
+
+    add = {"add": {"path": "d0.parquet", "partitionValues": {}, "size": 1,
+                   "modificationTime": 2, "dataChange": True}}
+    rm = {"remove": {"path": "d0.parquet", "deletionTimestamp": 2,
+                     "dataChange": True}}
+
+    live = build(str(tmp_path / "rm_then_add"), [rm, add])
+    assert len(load_delta(live).files) == 1  # add wins (DV-swap shape)
+
+    gone = build(str(tmp_path / "add_then_rm"), [add, rm])
+    assert load_delta(gone).files == []  # remove wins (last action)
+
+def test_dv_upgrade_preserves_legacy_implied_features(spark, tmp_path):
+    """delete_where_delta on a reader-2 column-mapped table must carry
+    columnMapping (and the writer-version implied set) into the
+    upgraded feature vector — a bare [deletionVectors] protocol makes
+    other engines misread physical names as logical (r10 review #1)."""
+    from pyspark.sql import functions as F
+
+    from icegopher_spark.delta import load_delta, read_delta
+    from icegopher_spark.delta_write import (
+        append_delta,
+        create_delta_table,
+        delete_where_delta,
+    )
+
+    loc = str(tmp_path / "t")
+    df = spark.range(0, 20).select(F.col("id").alias("k"))
+    create_delta_table(loc, df.schema, column_mapping=True)
+    append_delta(spark, loc, df)
+    delete_where_delta(spark, loc, F.col("k") % 4 == 0)
+
+    proto = load_delta(loc).protocol
+    assert proto["minReaderVersion"] == 3
+    assert "columnMapping" in proto["readerFeatures"]
+    assert "deletionVectors" in proto["readerFeatures"]
+    assert {"columnMapping", "deletionVectors", "appendOnly",
+            "invariants", "checkConstraints"} <= set(proto["writerFeatures"])
+    # and the table still reads + writes after the upgrade
+    assert read_delta(spark, loc).count() == 15
+    append_delta(spark, loc, spark.createDataFrame([(100,)], "k long"))
+    assert read_delta(spark, loc).count() == 16

@@ -734,7 +734,10 @@ def test_writer_protocol_compliance(spark, tmp_path):
     # OPTIMIZE moves bytes, not rows — allowed on appendOnly tables
     assert optimize_delta(spark, loc, min_files=99) is None  # no-op, no refusal
 
-    # unknown writerFeatures refuse every write
+    # identityColumns in writerFeatures is TOLERATED while the schema
+    # doesn't use it (legacy-upgrade tables), refused once a column
+    # actually carries identity metadata; genuinely unknown features
+    # refuse outright
     loc2 = str(tmp_path / "t2")
     create_delta_table(loc2, df.schema)
     log = _os.path.join(loc2, "_delta_log", f"{1:020d}.json")
@@ -742,8 +745,34 @@ def test_writer_protocol_compliance(spark, tmp_path):
         f.write(_json.dumps({"protocol": {
             "minReaderVersion": 1, "minWriterVersion": 7,
             "writerFeatures": ["identityColumns"]}}) + "\n")
+    append_delta(spark, loc2, df)  # schema uses no identity column: OK
+
+    loc3 = str(tmp_path / "t3")
+    create_delta_table(loc3, df.schema)
+    log0 = _os.path.join(loc3, "_delta_log", f"{0:020d}.json")
+    lines = [_json.loads(l) for l in open(log0) if l.strip()]
+    for a in lines:
+        if "protocol" in a:
+            a["protocol"] = {"minReaderVersion": 1, "minWriterVersion": 7,
+                             "writerFeatures": ["identityColumns"]}
+        if "metaData" in a:
+            sch = _json.loads(a["metaData"]["schemaString"])
+            sch["fields"][0]["metadata"] = {"delta.identity.start": 1}
+            a["metaData"]["schemaString"] = _json.dumps(sch)
+    with open(log0, "w") as f:
+        f.write("\n".join(_json.dumps(a) for a in lines) + "\n")
     with pytest.raises(NotImplementedError, match="identityColumns"):
-        append_delta(spark, loc2, df)
+        append_delta(spark, loc3, df)
+
+    loc4 = str(tmp_path / "t4")
+    create_delta_table(loc4, df.schema)
+    log = _os.path.join(loc4, "_delta_log", f"{1:020d}.json")
+    with open(log, "w") as f:
+        f.write(_json.dumps({"protocol": {
+            "minReaderVersion": 1, "minWriterVersion": 7,
+            "writerFeatures": ["icebergCompatV2"]}}) + "\n")
+    with pytest.raises(NotImplementedError, match="icebergCompatV2"):
+        append_delta(spark, loc4, df)
 
 
 def test_writer_enforces_schema_invariants(spark, tmp_path):
