@@ -667,7 +667,8 @@ def delete_where_delta(spark: SparkSession, table_path: str, predicate) -> int:
     never deleted twice); bitmaps are grouped per file with one
     ``applyInPandas`` and DV files are written executor-side, one per
     affected data file.  The driver touches one metadata row per
-    affected file.  Column-mapped tables are refused (writer scope).
+    affected file.  Column-mapped tables are supported (top-level
+    renames; the scan reads physical names, staging renames back).
     Returns the committed version.
     """
     snap, live = _live_with_positions(spark, table_path, "delete_where_delta")
