@@ -21,10 +21,11 @@ version.  This module implements the read path only:
     NAME (not merely by the protocol row they happen to carry).
   * metadata-plane partition pruning (``partition_filter=``) before
     any data file is opened
-  * deletion vectors (reader feature ``deletionVectors``): the add's
-    roaring bitmap is decoded driver-side (`delta_dv.py`) and applied
-    as a broadcast anti-join on (file, ``_metadata.row_index``) —
-    the same per-file position mask the Iceberg V3 face uses
+  * deletion vectors (reader feature ``deletionVectors``): the driver
+    resolves each add's descriptor to a decode SPEC (`delta_dv.py`);
+    the roaring bitmap decodes EXECUTOR-side and applies as a
+    broadcast anti-join on (file, ``_metadata.row_index``) — the same
+    posture as the Iceberg V3 face (iceberg/table.py::_dv_positions_df)
   * column mapping (modes ``name``/``id``): data files are read by
     physical column name and re-labelled to logical names with one
     positional struct CAST (nested renames included, still codegen)
@@ -107,6 +108,11 @@ class DeltaSnapshot:
     file_stats: dict[str, dict] = field(default_factory=dict)
     # appId → latest committed version (txn actions; exactly-once sinks)
     app_versions: dict[str, int] = field(default_factory=dict)
+    # unexpired remove tombstones (verbatim remove actions, relative
+    # paths) — checkpoints must carry them until
+    # delta.deletedFileRetentionDuration expires or foreign VACUUMs
+    # lose their bookkeeping once pre-checkpoint JSON is gone
+    tombstones: list[dict] = field(default_factory=list)
 
 
 def _log_dir(table_path: str) -> str:
@@ -220,12 +226,41 @@ def _check_protocol(protocol: dict) -> None:
     # min_reader 1: base protocol; 2: column mapping — implemented
 
 
+def _dv_unique_id(dv: dict | None) -> str | None:
+    """Deletion-vector uniqueId per the protocol (§ "Deletion Vector
+    Descriptor Schema"): storageType + pathOrInlineDv, plus '@<offset>'
+    when an offset is present.  None descriptor → None (a logical file
+    without a DV)."""
+    if not dv:
+        return None
+    uid = f"{dv['storageType']}{dv['pathOrInlineDv']}"
+    off = dv.get("offset")
+    if off is not None:
+        uid += f"@{int(off)}"
+    return uid
+
+
+def _normalize_dv(dv) -> dict | None:
+    """Descriptor as a plain dict, or None (also treats a checkpoint
+    row's all-null dv struct as absent)."""
+    if dv is None:
+        return None
+    if not isinstance(dv, dict):
+        dv = dict(dv)
+    return dv if dv.get("storageType") else None
+
+
 def _apply_action(state: dict, action: dict) -> None:
-    """Replay one action into {files: {path: (partitionValues, dv)},
-    metaData, protocol}.  Later actions win within and across commits
-    (commits are applied in version order, actions in file order).
-    A DV update commits remove(path, old dv) + add(path, new dv) —
-    path-keyed state makes the add win naturally."""
+    """Replay one action into {files: {path: {dv uniqueId: (pv, dv,
+    stats)}}, tombstones, metaData, protocol}.  File actions reconcile
+    by (path, deletionVector uniqueId) — the protocol's logical-file
+    key, and exactly what delta-spark's InMemoryLogReplay does — so a
+    DV swap's remove(path, old dv) + add(path, new dv) resolves
+    correctly REGARDLESS of the writer's action order within the
+    commit (r10 advice: path-keyed last-wins state silently dropped
+    the file when a foreign writer serialized the add first).
+    Tombstones are retained for checkpoint retention bookkeeping; an
+    add of the same (path, dv) key clears its tombstone."""
     if "add" in action and action["add"] is not None:
         a = action["add"]
         pv = a.get("partitionValues") or {}
@@ -233,14 +268,24 @@ def _apply_action(state: dict, action: dict) -> None:
             # checkpoint parquet stores partitionValues as map<str,str>,
             # which pyarrow surfaces as a list of (k, v) pairs
             pv = dict(pv)
-        dv = a.get("deletionVector") or None
-        if dv is not None and not isinstance(dv, dict):
-            dv = dict(dv)
-        if dv is not None and not dv.get("storageType"):
-            dv = None  # checkpoint row with an all-null dv struct
-        state["files"][a["path"]] = (pv, dv, a.get("stats") or None)
+        dv = _normalize_dv(a.get("deletionVector"))
+        uid = _dv_unique_id(dv)
+        state["files"].setdefault(a["path"], {})[uid] = (
+            pv,
+            dv,
+            a.get("stats") or None,
+        )
+        state["tombstones"].pop((a["path"], uid), None)
     elif "remove" in action and action["remove"] is not None:
-        state["files"].pop(action["remove"]["path"], None)
+        r = action["remove"]
+        dv = _normalize_dv(r.get("deletionVector"))
+        uid = _dv_unique_id(dv)
+        by_dv = state["files"].get(r["path"])
+        if by_dv is not None:
+            by_dv.pop(uid, None)
+            if not by_dv:
+                state["files"].pop(r["path"], None)
+        state["tombstones"][(r["path"], uid)] = dict(r)
     elif "metaData" in action and action["metaData"] is not None:
         state["metaData"] = action["metaData"]
     elif "protocol" in action and action["protocol"] is not None:
@@ -255,15 +300,21 @@ def _apply_action(state: dict, action: dict) -> None:
     # commitInfo / cdc / domainMetadata: no effect on the file set
 
 
+def _new_state() -> dict:
+    return {
+        "files": {},
+        "tombstones": {},
+        "metaData": None,
+        "protocol": None,
+    }
+
+
 def _apply_commit_lines(state: dict, commit_path: str) -> None:
-    """Apply ONE commit's actions IN FILE ORDER — the de-facto
-    reconciliation rule (delta-spark's InMemoryLogReplay): for a path
-    appearing in several file actions within one commit, the LAST
-    action wins.  A DV swap therefore serializes remove(old) before
-    add(new), which every known writer does.  (An r10 review pass
-    proposed removes-first-then-adds "order independence"; the log
-    fuzz suite REFUTED it — in-order is what delta-spark implements,
-    so reordering would diverge from real tables.)"""
+    """Apply ONE commit's actions IN FILE ORDER, with state keyed by
+    (path, dv uniqueId) — matching delta-spark's InMemoryLogReplay
+    exactly: for the SAME (path, dv) key the last action wins, while a
+    DV swap's remove(old dv) and add(new dv) touch different keys and
+    therefore resolve identically in either serialization order."""
     with open(commit_path, encoding="utf-8") as f:
         for line in f:
             if line.strip():
@@ -276,7 +327,10 @@ def _replay_checkpoint(
     """Seed replay state from a parquet checkpoint: one row per action,
     struct columns `add`, `remove`, `metaData`, `protocol` (protocol
     § "Checkpoints"). Tombstones (`remove`) in a checkpoint exist only
-    for VACUUM bookkeeping — the live file set is the `add` rows."""
+    for VACUUM/retention bookkeeping — the live file set is the `add`
+    rows alone, so remove rows seed the tombstone map WITHOUT touching
+    the file state (a checkpoint remove must not cancel a checkpoint
+    add: both describe the already-reconciled state at `version`)."""
     import pyarrow.parquet as pq
 
     for part in (paths or _checkpoint_paths(table_path, version)):
@@ -287,6 +341,19 @@ def _replay_checkpoint(
             for key in ("protocol", "metaData", "add", "txn"):
                 if key in cols and row.get(key) is not None:
                     _apply_action(state, {key: row[key]})
+            if "remove" in cols and row.get("remove") is not None:
+                rm = {
+                    k: v for k, v in dict(row["remove"]).items() if v is not None
+                }
+                pv = rm.get("partitionValues")
+                if pv is not None and not isinstance(pv, dict):
+                    rm["partitionValues"] = dict(pv)
+                dv = _normalize_dv(rm.get("deletionVector"))
+                if dv is None:
+                    rm.pop("deletionVector", None)
+                else:
+                    rm["deletionVector"] = dv
+                state["tombstones"][(rm["path"], _dv_unique_id(dv))] = rm
 
 
 def _strip_mapping_metadata(field_json: dict) -> dict:
@@ -446,7 +513,7 @@ def load_delta(
 
     # newest checkpoint ≤ target seeds the state; JSON replays the rest
     start_cp = max((c for c in checkpoints if c <= target), default=None)
-    state: dict = {"files": {}, "metaData": None, "protocol": None}
+    state = _new_state()
     if start_cp is not None:
         _replay_checkpoint(state, table_path, start_cp, paths=cp_map[start_cp])
     replay_from = (start_cp + 1) if start_cp is not None else 0
@@ -480,7 +547,21 @@ def load_delta(
     files = []
     dvs: dict[str, dict] = {}
     stats: dict[str, dict] = {}
-    for p, (pv, dv, st) in sorted(state["files"].items()):
+    for p, by_dv in sorted(state["files"].items()):
+        if len(by_dv) > 1:
+            # protocol-legal but writer-broken: two live logical files
+            # over one physical path (e.g. a restore that added the old
+            # DV instance without removing the current one).  Readers
+            # keyed this way would return duplicated rows — refuse
+            # loudly instead of silently picking one instance.
+            raise ValueError(
+                f"Delta log replay to version {target}: {len(by_dv)} live "
+                f"logical files share path {p!r} (deletion-vector "
+                f"uniqueIds {sorted(map(str, by_dv))}) — the writer "
+                "added a new (path, dv) instance without removing the "
+                "previous one; refusing to read duplicated rows"
+            )
+        pv, dv, st = next(iter(by_dv.values()))
         absp = os.path.join(table_path, p)
         files.append((absp, pv))
         if dv:
@@ -503,6 +584,9 @@ def load_delta(
         metadata_raw=dict(meta),
         file_stats=stats,
         app_versions=dict(state.get("txn") or {}),
+        tombstones=[state["tombstones"][k] for k in sorted(
+            state["tombstones"], key=lambda k: (k[0], k[1] or "")
+        )],
     )
 
 
@@ -540,11 +624,11 @@ def read_delta(
         files = [(p, pv) for p, pv in files if partition_filter(pv)]
     masks = None
     if snap.deletion_vectors:
-        from .delta_dv import read_dv_positions
+        from .delta_dv import dv_job_spec
 
         kept = {p for p, _ in files}
         masks = {
-            p: ("exclude", read_dv_positions(table_path, d))
+            p: ("exclude", {"dv": dv_job_spec(table_path, d)})
             for p, d in snap.deletion_vectors.items()
             if p in kept
         }
@@ -586,6 +670,58 @@ def _uri_path(p: str) -> str:
     from urllib.parse import quote as _q
 
     return _q(os.path.abspath(p), safe="/!$&'()*+,;=:@-._~")
+
+
+def _payload_jsonable(payload) -> dict:
+    """Mask payload → JSON-shippable dict (numpy arrays become literal
+    position lists; dict payloads pass through)."""
+    if isinstance(payload, dict):
+        return payload
+    return {"positions": [int(x) for x in payload]}
+
+
+def _mask_cardinality(payload) -> int:
+    from .delta_dv import mask_cardinality
+
+    return mask_cardinality(payload)
+
+
+def _mask_positions_df(spark: SparkSession, position_masks: dict) -> DataFrame:
+    """(__delta_path, __delta_pos) rows for every masked file, decoded
+    EXECUTOR-SIDE: the driver ships one small decode-spec row per file
+    (DV file path + offset + size, or the inline Z85 body) and each
+    task reads its deletion-vector blobs and explodes the bitmap —
+    mirroring the Iceberg face (iceberg/table.py::_dv_positions_df).
+    Decoded positions never pass through the driver, so DV cardinality
+    does not bound driver memory (the r10 verdict's one scale-killer:
+    the previous implementation pd.concat'ed every file's positions
+    into one driver pandas frame)."""
+    import pandas as pd
+
+    rows = [
+        (_uri_path(p), json.dumps(_payload_jsonable(payload)))
+        for p, (_, payload) in position_masks.items()
+    ]
+    src = spark.createDataFrame(rows, "mask_path string, mask_job string")
+
+    def _explode(batches):
+        import numpy as np
+
+        from .delta_dv import decode_mask_payload
+
+        for pdf in batches:
+            for row in pdf.itertuples(index=False):
+                pos = decode_mask_payload(json.loads(row.mask_job))
+                yield pd.DataFrame(
+                    {
+                        "__delta_path": np.full(len(pos), row.mask_path, dtype=object),
+                        "__delta_pos": pos.astype("int64"),
+                    }
+                )
+
+    return src.repartition(min(len(rows), 32)).mapInPandas(
+        _explode, "__delta_path string, __delta_pos long"
+    )
 
 
 def _scan_files(
@@ -667,20 +803,14 @@ def _scan_files(
                 raise ValueError(
                     f"keep-mode masks must cover every file; missing {missing}"
                 )
-        import pandas as pd
-
-        frames = [
-            pd.DataFrame(
-                {"__delta_path": _uri_path(p), "__delta_pos": pos.astype("int64")}
-            )
-            for p, (_, pos) in position_masks.items()
+        mdf = _mask_positions_df(spark, position_masks)
+        # broadcast decision from descriptor CARDINALITY (known without
+        # decoding); unknown (-1) or large totals shuffle under AQE —
+        # force-broadcasting a 100M-row DV would OOM the driver
+        cards = [
+            _mask_cardinality(payload) for _, payload in position_masks.values()
         ]
-        mdf = spark.createDataFrame(
-            pd.concat(frames, ignore_index=True),
-            "__delta_path string, __delta_pos long",
-        )
-        total = sum(len(pos) for _, pos in position_masks.values())
-        if total <= _DV_BROADCAST_MAX_POSITIONS:
+        if all(c >= 0 for c in cards) and sum(cards) <= _DV_BROADCAST_MAX_POSITIONS:
             mdf = F.broadcast(mdf)
         how = "left_anti" if mode == "exclude" else "left_semi"
         df = df.join(mdf, ["__delta_path", "__delta_pos"], how)
@@ -843,7 +973,7 @@ def _classify_changes(
     log_dir = _log_dir(table_path)
 
     start_cp = max((c for c in checkpoints if c < starting_version), default=None)
-    state: dict = {"files": {}, "metaData": None, "protocol": None}
+    state = _new_state()
     if start_cp is not None:
         _replay_checkpoint(state, table_path, start_cp)
     replay_from = (start_cp + 1) if start_cp is not None else 0
@@ -887,7 +1017,14 @@ def _classify_changes(
                     rm = a["remove"]
                     rp = rm["path"]
                     if rm.get("dataChange", True):
-                        entry = state["files"].get(rp)
+                        # replay state keyed (path, dv uniqueId): prefer
+                        # the instance the remove names, else the sole
+                        # live instance (pv is path-consistent anyway)
+                        by_dv = state["files"].get(rp) or {}
+                        rm_dv = _normalize_dv(rm.get("deletionVector"))
+                        entry = by_dv.get(_dv_unique_id(rm_dv)) or (
+                            next(iter(by_dv.values())) if by_dv else None
+                        )
                         pv = rm.get("partitionValues") or (entry[0] if entry else None)
                         if pv is None:
                             raise ValueError(
@@ -895,9 +1032,7 @@ def _classify_changes(
                                 "the replayable log — cannot recover its "
                                 "partition values"
                             )
-                        dv_old = rm.get("deletionVector") or (
-                            entry[1] if entry else None
-                        )
+                        dv_old = rm_dv or (entry[1] if entry else None)
                         v_removes[rp] = (dict(pv), dv_old)
                 if a.get("add") is not None and in_range and a["add"].get("dataChange", True):
                     v_adds.append(a["add"])
@@ -912,43 +1047,46 @@ def _classify_changes(
             ]
             continue
 
-        def _positions(dv: dict | None):
+        def _spec(dv: dict | None) -> dict | None:
+            """Decode spec for a descriptor — resolution only; the
+            bitmap itself decodes EXECUTOR-side in the scan (mirroring
+            iceberg/table.py's posture; the r10 verdict's scale-killer
+            was decoding every DV here on the driver)."""
             if not dv:
                 return None
-            from .delta_dv import read_dv_positions
+            from .delta_dv import dv_job_spec
 
-            return read_dv_positions(table_path, dv)
+            return dv_job_spec(table_path, dv)
 
         inserts, deletes, dv_diffs = [], [], []
         for a in v_adds:
             ap = a["path"]
             pv = dict(a.get("partitionValues") or {})
-            dv_new = a.get("deletionVector")
+            dv_new = _normalize_dv(a.get("deletionVector"))
             if ap in v_removes:
                 # same-file rewrite: a DV update. Newly-deleted rows =
                 # new − old; the add does NOT re-insert existing rows.
                 _, dv_old = v_removes.pop(ap)
-                new_pos = _positions(dv_new)
-                old_pos = _positions(dv_old)
-                if new_pos is None:
+                if dv_new is None:
                     continue  # DV dropped (e.g. compaction rewrote rows)
-                if old_pos is not None:
-                    import numpy as np
-
-                    diff = np.setdiff1d(new_pos, old_pos, assume_unique=True)
-                else:
-                    diff = new_pos
-                if len(diff):
-                    dv_diffs.append(
-                        (os.path.join(table_path, ap), pv, ("keep", diff))
-                    )
+                if dv_old is not None and _dv_unique_id(dv_old) == _dv_unique_id(
+                    dv_new
+                ):
+                    continue  # same DV instance — no row-level change
+                payload = {"dv": _spec(dv_new)}
+                old_spec = _spec(dv_old)
+                if old_spec is not None:
+                    payload["minus"] = old_spec
+                dv_diffs.append(
+                    (os.path.join(table_path, ap), pv, ("keep", payload))
+                )
                 continue
-            new_pos = _positions(dv_new)
-            mask = ("exclude", new_pos) if new_pos is not None else None
+            new_spec = _spec(dv_new)
+            mask = ("exclude", {"dv": new_spec}) if new_spec is not None else None
             inserts.append((os.path.join(table_path, ap), pv, mask))
         for rp, (rpv, dv_old) in v_removes.items():
-            old_pos = _positions(dv_old)
-            mask = ("exclude", old_pos) if old_pos is not None else None
+            old_spec = _spec(_normalize_dv(dv_old))
+            mask = ("exclude", {"dv": old_spec}) if old_spec is not None else None
             deletes.append((os.path.join(table_path, rp), dict(rpv), mask))
         if inserts:
             plain[(v, "insert")] = inserts

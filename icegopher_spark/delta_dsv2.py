@@ -160,7 +160,7 @@ class _DeltaBatchReader(DataSourceReader):
 
     def partitions(self):
         from .delta import _partition_name_map
-        from .delta_dv import read_dv_positions
+        from .delta_dv import dv_job_spec
 
         snap = self._snapshot()
         phys_map = None
@@ -193,11 +193,13 @@ class _DeltaBatchReader(DataSourceReader):
                 if _stats_keep(self._filters, snap.file_stats.get(p))
             ]
 
+        # DV decode specs only — the bitmap decodes executor-side in
+        # read_file_partition (driver ships coordinates, not positions)
         masks = {}
         if snap.deletion_vectors:
             kept = {p for p, _ in files}
             masks = {
-                p: ("exclude", read_dv_positions(self.location, d))
+                p: ("exclude", {"dv": dv_job_spec(self.location, d)})
                 for p, d in snap.deletion_vectors.items()
                 if p in kept
             }

@@ -41,6 +41,9 @@ __all__ = [
     "z85encode",
     "z85decode",
     "dv_store_path",
+    "dv_job_spec",
+    "decode_dv_spec",
+    "decode_mask_payload",
     "read_dv_positions",
     "write_dv_file",
 ]
@@ -111,23 +114,54 @@ def dv_store_path(table_path: str, descriptor: dict) -> str:
     raise ValueError(f"not an on-disk DV storageType: {st!r}")
 
 
-def read_dv_positions(table_path: str, descriptor: dict) -> np.ndarray:
-    """Deleted row positions (sorted uint64) for one add.deletionVector.
+def dv_job_spec(table_path: str, descriptor: dict) -> dict:
+    """Resolve one add.deletionVector descriptor to a self-contained,
+    JSON-serializable DECODE SPEC — absolute file coordinates or the
+    inline body — WITHOUT decoding the bitmap.  This is the driver's
+    whole share of the work: specs are metadata-scale (one small dict
+    per file) and ship to executors, where :func:`decode_dv_spec`
+    reads and explodes the bitmap.  Positions never pass through the
+    driver, so a table with billions of deleted rows costs the driver
+    the same as one with ten (the Iceberg face's posture,
+    iceberg/table.py::_dv_positions_df)."""
+    st = descriptor["storageType"]
+    size = int(descriptor["sizeInBytes"])
+    card = int(descriptor.get("cardinality", -1))
+    if st == "i":
+        return {
+            "inline": descriptor["pathOrInlineDv"],
+            "size": size,
+            "cardinality": card,
+        }
+    if st in ("u", "p"):
+        return {
+            "file": dv_store_path(table_path, descriptor),
+            "offset": int(descriptor.get("offset") or 0),
+            "size": size,
+            "cardinality": card,
+        }
+    raise NotImplementedError(
+        f"Delta deletion vector storageType {st!r} not supported "
+        "(known: 'u' relative file, 'p' absolute file, 'i' inline)"
+    )
 
-    Verifies every integrity handle the descriptor carries: file format
+
+def decode_dv_spec(spec: dict) -> np.ndarray:
+    """Deleted row positions (sorted uint64) for one decode spec —
+    executor-side.
+
+    Verifies every integrity handle the spec carries: file format
     version, dataSize vs sizeInBytes, magic, CRC, and cardinality —
     a wrong deletion vector silently resurrects or drops rows, so every
     mismatch fails the scan loudly."""
-    st = descriptor["storageType"]
-    size = int(descriptor["sizeInBytes"])
-    if st == "i":
-        body = z85decode(descriptor["pathOrInlineDv"])[:size]
+    size = int(spec["size"])
+    if "inline" in spec:
+        body = z85decode(spec["inline"])[:size]
         if body[:4] != DV_MAGIC:
             raise ValueError("inline deletion vector magic mismatch")
         pos = deserialize_roaring64(body, 4)
-    elif st in ("u", "p"):
-        path = dv_store_path(table_path, descriptor)
-        offset = int(descriptor.get("offset") or 0)
+    else:
+        path = spec["file"]
         with open(path, "rb") as f:
             version = f.read(1)
             if version != bytes([_DV_FILE_VERSION]):
@@ -135,23 +169,59 @@ def read_dv_positions(table_path: str, descriptor: dict) -> np.ndarray:
                     f"deletion vector file {path}: unsupported format "
                     f"version {version!r}"
                 )
-            f.seek(offset)
+            f.seek(int(spec.get("offset") or 0))
             # dataSize (4 BE) + body (size) + CRC (4 BE): exactly the
             # Iceberg deletion-vector-v1 blob framing
             blob = f.read(4 + size + 4)
         pos = decode_dv_blob(blob)
-    else:
-        raise NotImplementedError(
-            f"Delta deletion vector storageType {st!r} not supported "
-            "(known: 'u' relative file, 'p' absolute file, 'i' inline)"
-        )
-    card = int(descriptor.get("cardinality", len(pos)))
-    if len(pos) != card:
+    card = int(spec.get("cardinality", -1))
+    if card >= 0 and len(pos) != card:
         raise ValueError(
             f"deletion vector cardinality mismatch: descriptor says "
             f"{card}, bitmap has {len(pos)}"
         )
     return pos
+
+
+def decode_mask_payload(payload) -> np.ndarray:
+    """Positions for one position-mask payload (executor-side).
+
+    Payload forms (the second element of a ('exclude'|'keep', payload)
+    mask):
+      * {"dv": spec, "minus": spec?} — decode `dv`, subtract `minus`
+        (a CDF DV-diff: newly-deleted positions = new − old);
+      * {"positions": [...]} — literal positions (tests/small cases);
+      * a numpy array / list — literal positions, driver-provided.
+    """
+    if isinstance(payload, dict):
+        if "dv" in payload:
+            pos = decode_dv_spec(payload["dv"])
+            minus = payload.get("minus")
+            if minus is not None:
+                pos = np.setdiff1d(
+                    pos, decode_dv_spec(minus), assume_unique=True
+                )
+            return pos
+        return np.asarray(payload["positions"], dtype=np.uint64)
+    return np.asarray(payload, dtype=np.uint64)
+
+
+def mask_cardinality(payload) -> int:
+    """Upper bound on a payload's position count WITHOUT decoding —
+    drives the broadcast-vs-shuffle decision. -1 = unknown."""
+    if isinstance(payload, dict):
+        if "dv" in payload:
+            return int(payload["dv"].get("cardinality", -1))
+        return len(payload["positions"])
+    return len(payload)
+
+
+def read_dv_positions(table_path: str, descriptor: dict) -> np.ndarray:
+    """Deleted row positions (sorted uint64) for one add.deletionVector
+    — resolve + decode in one call, for callers that genuinely need
+    the positions in-process (the DV-union write path runs this INSIDE
+    its per-file applyInPandas group, never on the driver)."""
+    return decode_dv_spec(dv_job_spec(table_path, descriptor))
 
 
 def write_dv_file(

@@ -31,6 +31,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 import time
 import uuid
@@ -326,10 +327,7 @@ def _check_writer_protocol(snap, operation: str) -> None:
         # tolerable when the SCHEMA doesn't actually use them (common
         # for legacy-upgraded tables), a hard refusal when it does —
         # writing without generating the values corrupts the table
-        for feat, prefix in (
-            ("generatedColumns", "delta.generationExpression"),
-            ("identityColumns", "delta.identity."),
-        ):
+        for feat, prefix in _VALUE_PRODUCING_FEATURES:
             if feat in unsupported:
                 used = _schema_uses(snap.metadata_raw, prefix)
                 if used:
@@ -349,6 +347,23 @@ def _check_writer_protocol(snap, operation: str) -> None:
         raise NotImplementedError(
             f"Delta writer: minWriterVersion={min_writer} unsupported"
         )
+    else:
+        # legacy writer versions carry the same value-producing
+        # obligations WITHOUT naming them as features: delta-spark
+        # writes generated columns at writer v4 and identity columns
+        # at v6 (mirroring _implied_features).  Gating only on the
+        # ==7 feature vector let legacy tables through, silently
+        # corrupting those columns for other engines (r10 advice).
+        for ver, (feat, prefix) in zip((4, 6), _VALUE_PRODUCING_FEATURES):
+            if min_writer >= ver:
+                used = _schema_uses(snap.metadata_raw, prefix)
+                if used:
+                    raise NotImplementedError(
+                        f"Delta writer: legacy minWriterVersion="
+                        f"{min_writer} table uses {feat} on columns "
+                        f"{used}; this writer cannot produce their "
+                        "values — refusing to write"
+                    )
     if (
         operation in _ROW_REMOVING_OPS
         and snap.configuration.get("delta.appendOnly", "").lower() == "true"
@@ -374,6 +389,14 @@ _SUPPORTED_WRITER_FEATURES = {
 }
 
 _ROW_REMOVING_OPS = {"delete", "update", "merge", "overwrite", "restore"}
+
+# writer features whose obligation is producing column VALUES on every
+# write (not merely honoring a constraint); (feature, schema-metadata
+# key prefix that marks a column as using it)
+_VALUE_PRODUCING_FEATURES = (
+    ("generatedColumns", "delta.generationExpression"),
+    ("identityColumns", "delta.identity."),
+)
 
 
 def _validate_constraints(snap, df: DataFrame, operation: str) -> None:
@@ -436,6 +459,38 @@ def _to_physical(snap, df: DataFrame) -> tuple[DataFrame, list[str]]:
     return df, [nm.get(c, c) for c in snap.partition_columns]
 
 
+_INTERVAL_RE = re.compile(
+    r"^\s*interval\s+(\d+)\s+"
+    r"(nanosecond|microsecond|millisecond|second|minute|hour|day|week)s?\s*$",
+    re.IGNORECASE,
+)
+
+_INTERVAL_MS = {
+    "nanosecond": 1e-6,
+    "microsecond": 1e-3,
+    "millisecond": 1.0,
+    "second": 1e3,
+    "minute": 60e3,
+    "hour": 3600e3,
+    "day": 86400e3,
+    "week": 604800e3,
+}
+
+
+def _parse_interval_ms(s: str | None, default_ms: int) -> int:
+    """Parse a Delta 'interval N unit' duration property (the format
+    delta.deletedFileRetentionDuration et al. use) to milliseconds."""
+    if not s:
+        return default_ms
+    m = _INTERVAL_RE.match(s)
+    if not m:
+        raise ValueError(f"unparsable Delta interval property: {s!r}")
+    return int(int(m.group(1)) * _INTERVAL_MS[m.group(2).lower()])
+
+
+_DELETED_FILE_RETENTION_DEFAULT_MS = 7 * 24 * 3600 * 1000  # protocol default
+
+
 def _next_version(table_path: str) -> int:
     commits, checkpoints = _list_log(table_path)
     return max([*commits, *checkpoints]) + 1
@@ -481,16 +536,21 @@ def overwrite_delta(spark: SparkSession, table_path: str, df: DataFrame) -> int:
     df, part_phys = _to_physical(snap, df)
     adds = _stage_and_collect(spark, table_path, df, part_phys)
     now = int(time.time() * 1000)
-    removes = [
-        {
-            "remove": {
-                "path": os.path.relpath(p, table_path).replace(os.sep, "/"),
-                "deletionTimestamp": now,
-                "dataChange": True,
-            }
+    removes = []
+    for p, pv in snap.files:
+        rm = {
+            "path": os.path.relpath(p, table_path).replace(os.sep, "/"),
+            "deletionTimestamp": now,
+            "dataChange": True,
+            "partitionValues": dict(pv),
         }
-        for p, _ in snap.files
-    ]
+        # the protocol reconciles file actions by (path, dv uniqueId):
+        # a remove that omits the live file's DV would not cancel its
+        # add under a spec-compliant replay
+        dv = snap.deletion_vectors.get(p)
+        if dv is not None:
+            rm["deletionVector"] = dv
+        removes.append({"remove": rm})
     v = _next_version(table_path)
     _commit(table_path, v, removes + adds)
     return v
@@ -571,6 +631,10 @@ def write_checkpoint(table_path: str, version: int | None = None) -> int:
     rows_add = []
     for p, pv in snap.files:
         st = snap.file_stats.get(p)
+        if st and p in snap.deletion_vectors:
+            # DV-carrying adds carry wide-bounds stats (protocol:
+            # tightBounds=false) — numRecords is the PHYSICAL count
+            st = {**st, "tightBounds": False}
         row = {
             "path": os.path.relpath(p, table_path).replace(os.sep, "/"),
             "partitionValues": [(k, val) for k, val in pv.items() if val is not None],
@@ -582,6 +646,56 @@ def write_checkpoint(table_path: str, version: int | None = None) -> int:
         if snap.deletion_vectors:
             row["deletionVector"] = _dv_row(p)
         rows_add.append(row)
+
+    # remove tombstones younger than delta.deletedFileRetentionDuration
+    # MUST ride the checkpoint (protocol § Checkpoints): once the
+    # pre-checkpoint JSON is vacuumed they are the only record a
+    # foreign engine's VACUUM has of recently deleted files
+    retention_ms = _parse_interval_ms(
+        snap.configuration.get("delta.deletedFileRetentionDuration"),
+        _DELETED_FILE_RETENTION_DEFAULT_MS,
+    )
+    cutoff_ms = int(time.time() * 1000) - retention_ms
+    tombs = [
+        t
+        for t in snap.tombstones
+        if int(t.get("deletionTimestamp") or 0) >= cutoff_ms
+    ]
+    rm_fields = [
+        ("path", pa.string()),
+        ("deletionTimestamp", pa.int64()),
+        ("dataChange", pa.bool_()),
+        ("partitionValues", pv_t),
+    ]
+    tombs_have_dv = any(t.get("deletionVector") for t in tombs)
+    if tombs_have_dv:
+        rm_fields.append(("deletionVector", dv_t))
+    rm_t = pa.struct(rm_fields)
+    rows_rm = []
+    for t in tombs:
+        tpv = t.get("partitionValues") or {}
+        row = {
+            "path": t["path"],
+            "deletionTimestamp": int(t.get("deletionTimestamp") or 0),
+            "dataChange": bool(t.get("dataChange", True)),
+            "partitionValues": [
+                (k, val) for k, val in dict(tpv).items() if val is not None
+            ],
+        }
+        if tombs_have_dv:
+            d = t.get("deletionVector")
+            row["deletionVector"] = (
+                {
+                    "storageType": d.get("storageType"),
+                    "pathOrInlineDv": d.get("pathOrInlineDv"),
+                    "offset": d.get("offset"),
+                    "sizeInBytes": d.get("sizeInBytes"),
+                    "cardinality": d.get("cardinality"),
+                }
+                if d
+                else None
+            )
+        rows_rm.append(row)
 
     meta = snap.metadata_raw
     fmt = meta.get("format") or {"provider": "parquet"}
@@ -605,12 +719,13 @@ def write_checkpoint(table_path: str, version: int | None = None) -> int:
         for a, vv in sorted(snap.app_versions.items())
     ]
     txn_t = pa.struct([("appId", pa.string()), ("version", pa.int64())])
-    n = 2 + len(txn_rows) + len(rows_add)
+    n = 2 + len(txn_rows) + len(rows_add) + len(rows_rm)
     cols = {
         "protocol": pa.array([proto_row] + [None] * (n - 1), type=proto_t),
         "metaData": pa.array([None] + [meta_row] + [None] * (n - 2), type=meta_t),
         "add": pa.array(
-            [None] * (2 + len(txn_rows)) + rows_add, type=add_t
+            [None] * (2 + len(txn_rows)) + rows_add + [None] * len(rows_rm),
+            type=add_t,
         ),
     }
     if txn_rows:
@@ -618,7 +733,12 @@ def write_checkpoint(table_path: str, version: int | None = None) -> int:
         # dropping them would reset every sink's exactly-once watermark
         # once the JSON is vacuumed
         cols["txn"] = pa.array(
-            [None, None] + txn_rows + [None] * len(rows_add), type=txn_t
+            [None, None] + txn_rows + [None] * (len(rows_add) + len(rows_rm)),
+            type=txn_t,
+        )
+    if rows_rm:
+        cols["remove"] = pa.array(
+            [None] * (2 + len(txn_rows) + len(rows_add)) + rows_rm, type=rm_t
         )
     tbl = pa.table(cols)
     pq.write_table(
@@ -687,13 +807,13 @@ def _live_with_positions(spark: SparkSession, table_path: str, who: str):
     shared front half of the DV-writing DML verbs: existing DVs are
     pre-masked so a row can never be deleted/updated twice."""
     from .delta import _partition_name_map, _scan_files
-    from .delta_dv import read_dv_positions
+    from .delta_dv import dv_job_spec
 
     snap = load_delta(table_path)
     masks = None
     if snap.deletion_vectors:
         masks = {
-            p: ("exclude", read_dv_positions(table_path, d))
+            p: ("exclude", {"dv": dv_job_spec(table_path, d)})
             for p, d in snap.deletion_vectors.items()
         }
     live = _scan_files(
@@ -817,8 +937,16 @@ def _dv_swap_actions(
                     "modificationTime": int(os.path.getmtime(abs_path) * 1000),
                     "dataChange": True,
                     # bounds over a superset of the live rows — sound
-                    # for skipping (may under-skip, never misreads)
-                    **({"stats": json.dumps(st)} if st else {}),
+                    # for skipping (may under-skip, never misreads);
+                    # the protocol requires DV-carrying adds to say so
+                    # explicitly (tightBounds=false), or engines doing
+                    # metadata-only COUNT would read the physical
+                    # numRecords as the logical row count
+                    **(
+                        {"stats": json.dumps({**st, "tightBounds": False})}
+                        if st
+                        else {}
+                    ),
                     "deletionVector": {
                         "storageType": r["storageType"],
                         "pathOrInlineDv": r["pathOrInlineDv"],
@@ -860,7 +988,7 @@ def optimize_delta(
     import math
 
     from .delta import _partition_name_map, _scan_files, load_delta
-    from .delta_dv import read_dv_positions
+    from .delta_dv import dv_job_spec
 
     snap = load_delta(table_path)
     _check_writer_protocol(snap, "optimize")
@@ -878,7 +1006,7 @@ def optimize_delta(
     masks = None
     if snap.deletion_vectors:
         masks = {
-            p: ("exclude", read_dv_positions(table_path, d))
+            p: ("exclude", {"dv": dv_job_spec(table_path, d)})
             for p, d in snap.deletion_vectors.items()
             if p in {p2 for p2, _ in flat}
         } or None
@@ -947,7 +1075,25 @@ def restore_delta(table_path: str, version: int) -> int:
     now_files = {p: (pv, snap_now.deletion_vectors.get(p)) for p, pv in snap_now.files}
     old_files = {p: (pv, snap_old.deletion_vectors.get(p)) for p, pv in snap_old.files}
     now_ms = int(time.time() * 1000)
-    actions: list[dict] = []
+    # removes FIRST: a path whose DV differs between the two versions
+    # needs the full swap — remove(path, CURRENT dv) + add(path, old
+    # dv) — because the protocol reconciles file actions by (path, dv
+    # uniqueId); emitting only the add (the r10 bug) left BOTH logical
+    # files live for spec-compliant readers, duplicating rows.
+    removes: list[dict] = []
+    adds: list[dict] = []
+    for p, (pv, dv) in sorted(now_files.items()):
+        if p in old_files and old_files[p] == (pv, dv):
+            continue  # identical instance survives untouched
+        rm = {
+            "path": os.path.relpath(p, table_path).replace(os.sep, "/"),
+            "deletionTimestamp": now_ms,
+            "dataChange": True,
+            "partitionValues": dict(pv),
+        }
+        if dv is not None:
+            rm["deletionVector"] = dv
+        removes.append({"remove": rm})
     for p, (pv, dv) in sorted(old_files.items()):
         if p in now_files and now_files[p] == (pv, dv):
             continue  # unchanged live file
@@ -966,23 +1112,16 @@ def restore_delta(table_path: str, version: int) -> int:
         }
         st = snap_old.file_stats.get(p)
         if st:
-            add["stats"] = json.dumps(st)
+            # a DV-carrying add must mark its stats wide (protocol:
+            # tightBounds=false) — they bound the physical file, a
+            # superset of the live rows
+            add["stats"] = json.dumps(
+                {**st, "tightBounds": False} if dv is not None else st
+            )
         if dv is not None:
             add["deletionVector"] = dv
-        actions.append({"add": add})
-    for p, (pv, dv) in sorted(now_files.items()):
-        if p in old_files:
-            continue  # stays live (possibly with a different DV — the
-            # add above already swapped the descriptor)
-        rm = {
-            "path": os.path.relpath(p, table_path).replace(os.sep, "/"),
-            "deletionTimestamp": now_ms,
-            "dataChange": True,
-            "partitionValues": dict(pv),
-        }
-        if dv is not None:
-            rm["deletionVector"] = dv
-        actions.append({"remove": rm})
+        adds.append({"add": add})
+    actions = removes + adds
     if not actions:
         return snap_now.version  # already at the target state
     v = snap_now.version + 1

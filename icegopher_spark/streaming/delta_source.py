@@ -55,11 +55,16 @@ class _DeltaFilePartition(InputPartition):
         self.change_type = change_type
         self.commit_version = commit_version
         self.cdc_in_file = cdc_in_file
-        # ('exclude'|'keep', sorted int64 row positions) — deletion-
-        # vector masks, applied against the file-global row index
-        self.mask = (
-            (mask[0], [int(x) for x in mask[1]]) if mask is not None else None
-        )
+        # ('exclude'|'keep', payload) — deletion-vector masks against
+        # the file-global row index.  Payload is either a DV decode-
+        # spec dict ({"dv": ..., "minus": ...} — decoded EXECUTOR-side
+        # in read_file_partition) or literal positions
+        if mask is None:
+            self.mask = None
+        elif isinstance(mask[1], dict):
+            self.mask = (mask[0], mask[1])
+        else:
+            self.mask = (mask[0], [int(x) for x in mask[1]])
         # logical→physical TOP-LEVEL column names (column mapping);
         # set post-construction by partitions() when the table is mapped
         self.phys_map: dict | None = None
@@ -228,10 +233,11 @@ class _DeltaStreamReader(DataSourceStreamReader):
             # snapshot); deletion vectors mask out their dead rows
             masks = {}
             if snap.deletion_vectors:
-                from ..delta_dv import read_dv_positions
+                from ..delta_dv import dv_job_spec
 
+                # decode specs only — positions decode executor-side
                 masks = {
-                    p: ("exclude", read_dv_positions(self.location, d))
+                    p: ("exclude", {"dv": dv_job_spec(self.location, d)})
                     for p, d in snap.deletion_vectors.items()
                 }
             for p, pv in snap.files:
@@ -365,8 +371,12 @@ def read_file_partition(partition: _DeltaFilePartition):
         row_offset = 0
         mode, positions = (None, None)
         if mask is not None:
+            from ..delta_dv import decode_mask_payload
+
             mode = mask[0]
-            positions = np.asarray(mask[1], dtype=np.int64)
+            # DV bitmaps decode HERE, in the executor task — the
+            # driver shipped only the decode spec
+            positions = decode_mask_payload(mask[1]).astype(np.int64)
         for batch in pf.iter_batches(columns=data_names):
             if mode is not None:
                 # deletion-vector mask on the FILE-global row index

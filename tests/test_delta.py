@@ -105,6 +105,15 @@ def test_unknown_dv_storage_type_refused(spark, fixture_loc, tmp_path):
         loc,
         4,
         [
+            # protocol-compliant DV attach: remove the DV-less instance,
+            # add the (path, dv) instance — replay keys by (path, dv uid)
+            {
+                "remove": {
+                    "path": "part-00000-1.parquet",
+                    "deletionTimestamp": _T0,
+                    "dataChange": True,
+                }
+            },
             {
                 "add": {
                     "path": "part-00000-1.parquet",
@@ -120,7 +129,7 @@ def test_unknown_dv_storage_type_refused(spark, fixture_loc, tmp_path):
                         "cardinality": 1,
                     },
                 }
-            }
+            },
         ],
     )
     snap = load_delta(loc)  # replay itself carries the descriptor fine

@@ -648,3 +648,55 @@ def test_dv_upgrade_preserves_legacy_implied_features(spark, tmp_path):
     assert read_delta(spark, loc).count() == 15
     append_delta(spark, loc, spark.createDataFrame([(100,)], "k long"))
     assert read_delta(spark, loc).count() == 16
+
+
+def test_dv_positions_never_decoded_on_driver(spark, dv_loc, monkeypatch):
+    """r10 verdict scale-killer: the batch read ships DV decode SPECS
+    to executors and decodes roaring bitmaps there — positions must
+    never originate in the driver process.  PySpark python workers are
+    separate processes that import `delta_dv` fresh, so poisoning the
+    DRIVER's module breaks the scan only if decode happens driver-side."""
+    import pyarrow.parquet as pq
+
+    import icegopher_spark.delta_dv as dv_mod
+
+    snap = load_delta(dv_loc)
+    raw = sum(pq.ParquetFile(p).metadata.num_rows for p, _ in snap.files)
+    dead = sum(int(d["cardinality"]) for d in snap.deletion_vectors.values())
+
+    def _boom(*a, **k):
+        raise AssertionError("deletion vector decoded on the driver")
+
+    monkeypatch.setattr(dv_mod, "decode_dv_spec", _boom)
+    monkeypatch.setattr(dv_mod, "decode_mask_payload", _boom)
+    monkeypatch.setattr(dv_mod, "read_dv_positions", _boom)
+
+    assert read_delta(spark, dv_loc).count() == raw - dead
+
+    # CDF attribution (incl. the DV-diff delete path) is spec-only on
+    # the driver too
+    from icegopher_spark.delta import read_changes
+
+    changes = read_changes(spark, dv_loc, 1)
+    assert changes.filter(changes._change_type == "delete").count() == dead
+
+
+def test_stream_and_dsv2_partitions_carry_specs_not_positions(dv_loc):
+    """The DataSource faces serialize DV decode specs into their
+    partitions (executor decode), not materialized position lists."""
+    from icegopher_spark.streaming.delta_source import _DeltaStreamReader
+
+    r = _DeltaStreamReader({"location": dv_loc})
+    parts = r.partitions(r.initialOffset(), r.latestOffset())
+    masked = [p for p in parts if p.mask]
+    assert masked
+    for p in masked:
+        assert isinstance(p.mask[1], dict) and "dv" in p.mask[1]
+
+    from icegopher_spark.delta_dsv2 import _DeltaBatchReader
+
+    br = _DeltaBatchReader({"location": dv_loc})
+    bparts = [p for p in br.partitions() if p.mask]
+    assert bparts
+    for p in bparts:
+        assert isinstance(p.mask[1], dict) and "dv" in p.mask[1]

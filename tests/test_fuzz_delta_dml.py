@@ -58,7 +58,9 @@ def test_random_dml_matches_simulator(spark, tmp_path, seed):
     next_key = 30
 
     for _step in range(rng.randint(6, 10)):
-        op = rng.choice(["append", "delete", "update", "merge", "optimize"])
+        op = rng.choice(
+            ["append", "delete", "update", "merge", "optimize", "restore"]
+        )
         if op == "append":
             rows = [(next_key + i, str(rng.randrange(2)), 1.0) for i in range(3)]
             next_key += 3
@@ -91,6 +93,14 @@ def test_random_dml_matches_simulator(spark, tmp_path, seed):
         elif op == "optimize":
             optimize_delta(spark, loc, target_file_bytes=1 << 30)
             # row set unchanged by construction
+        elif op == "restore":
+            # mid-sequence restore — the r10 advice case: a path whose
+            # DV differs between versions must get the full
+            # remove(current dv)+add(old dv) swap, or replay keyed by
+            # (path, dv uniqueId) keeps both instances live
+            target = rng.choice(sorted(history))
+            restore_delta(loc, target)
+            sim = dict(history[target])
         history[load_delta(loc).version] = dict(sim)
         assert _read_state(spark, loc) == sim, f"seed={seed} after {op}"
 

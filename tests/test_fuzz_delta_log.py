@@ -237,7 +237,12 @@ def test_random_log_with_dvs_and_compaction(tmp_path, seed):
                                     "size": 1, "modificationTime": 1,
                                     "dataChange": True}})
             live[path] = (pv, None)
-        # DV attach/update on a live file: remove(old) + add(new dv)
+        # DV attach/update on a live file: remove(old) + add(new dv) —
+        # and sometimes serialized ADD-FIRST: the protocol keys file
+        # actions by (path, dv uniqueId), so a foreign writer emitting
+        # add(new dv) before remove(old dv) in one commit must
+        # reconcile identically (r10 advice: path-keyed last-wins
+        # replay silently dropped the file in that order)
         if live and rng.random() < 0.5:
             path = rng.choice(sorted(live))
             pv, old_dv = live[path]
@@ -245,16 +250,22 @@ def test_random_log_with_dvs_and_compaction(tmp_path, seed):
             if old_dv:
                 rm["deletionVector"] = old_dv
             dv = _rand_dv(rng)
-            actions.append({"remove": rm})
-            actions.append({"add": {"path": path, "partitionValues": pv,
-                                    "size": 1, "modificationTime": 1,
-                                    "dataChange": True, "deletionVector": dv}})
+            add = {"add": {"path": path, "partitionValues": pv,
+                           "size": 1, "modificationTime": 1,
+                           "dataChange": True, "deletionVector": dv}}
+            if rng.random() < 0.5:
+                actions.extend([{"remove": rm}, add])
+            else:
+                actions.extend([add, {"remove": rm}])
             live[path] = (pv, dv)
-        # plain remove
+        # plain remove — carrying the live instance's DV when it has
+        # one, as the (path, dv uniqueId) reconciliation rule requires
         if live and rng.random() < 0.3:
             path = rng.choice(sorted(live))
-            actions.append({"remove": {"path": path, "deletionTimestamp": 1,
-                                       "dataChange": True}})
+            rm = {"path": path, "deletionTimestamp": 1, "dataChange": True}
+            if live[path][1]:
+                rm["deletionVector"] = live[path][1]
+            actions.append({"remove": rm})
             del live[path]
         # dataChange=false compaction: fold 2 files into one
         if len(live) >= 2 and rng.random() < 0.3:
