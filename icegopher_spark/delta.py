@@ -17,8 +17,9 @@ version.  This module implements the read path only:
     a partially vacuumed multi-part checkpoint must refuse, not seed
     an incomplete live set): replay is O(commits since checkpoint),
     not O(table history), and pre-checkpoint JSON may have been
-    vacuumed away entirely.  UUID-named V2 checkpoints are refused by
-    NAME (not merely by the protocol row they happen to carry).
+    vacuumed away entirely.  UUID-named V2 checkpoints (parquet or
+    json, with `_sidecars/` file-action parquet) are supported; any
+    other `<v>.checkpoint.*` naming refuses by NAME.
   * metadata-plane partition pruning (``partition_filter=``) before
     any data file is opened
   * deletion vectors (reader feature ``deletionVectors``): the driver
@@ -72,7 +73,12 @@ __all__ = [
 # parquet TIMESTAMP(isAdjustedToUTC=false) reads natively.
 # `deletionVectors` and `columnMapping` are implemented (delta_dv.py /
 # the physical→logical CAST in _scan_files).
-_SUPPORTED_READER_FEATURES = {"timestampNtz", "deletionVectors", "columnMapping"}
+_SUPPORTED_READER_FEATURES = {
+    "timestampNtz",
+    "deletionVectors",
+    "columnMapping",
+    "v2Checkpoints",
+}
 
 _COLUMN_MAPPING_MODES = ("", "none", "name", "id")
 
@@ -123,10 +129,23 @@ def _version_of(fn: str) -> int:
     return int(fn.split(".", 1)[0])
 
 
-# classic checkpoint names only; anything else matching
-# `<v>.checkpoint.*` (uuid-named V2 checkpoints, compat files) refuses
+# a JSON COMMIT is exactly `<20 digits>.json` — a uuid-named V2
+# checkpoint also ends in .json and must not be mistaken for a commit
+_COMMIT_JSON = re.compile(r"^(\d{20})\.json$")
+
+
+def _is_commit_json(fn: str) -> bool:
+    return bool(_COMMIT_JSON.match(fn))
+
+
+# classic names + uuid-named V2 checkpoints; anything else matching
+# `<v>.checkpoint.*` refuses by name
 _CP_SINGLE = re.compile(r"^(\d{20})\.checkpoint\.parquet$")
 _CP_MULTI = re.compile(r"^(\d{20})\.checkpoint\.(\d{10})\.(\d{10})\.parquet$")
+_CP_V2 = re.compile(
+    r"^(\d{20})\.checkpoint\.([0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}"
+    r"-[0-9a-fA-F]{4}-[0-9a-fA-F]{12})\.(parquet|json)$"
+)
 _CP_ANY = re.compile(r"^(\d{20})\.checkpoint\.")
 
 
@@ -151,12 +170,18 @@ def _complete_checkpoints(table_path: str) -> dict[int, list[str]]:
       when all 1..<of> parts are present (a partially vacuumed/copied
       multi-part checkpoint would otherwise silently seed an
       incomplete live file set — silent row loss);
-    * any other `<v>.checkpoint.*` name (uuid-named V2 checkpoints)
-      → loud refusal BY NAME, not via the protocol row it may carry.
+    * uuid-named V2 checkpoints `<v>.checkpoint.<uuid>.{parquet,json}`
+      → self-contained by construction (sidecar files resolve at
+      replay time); when several uuids exist at one version any is
+      equivalent — the lexicographically first is chosen for
+      determinism;
+    * any other `<v>.checkpoint.*` name → loud refusal BY NAME, not
+      via the protocol row it may carry.
     """
     d = _log_dir(table_path)
     singles: dict[int, str] = {}
     multi: dict[int, dict[int, tuple[int, str]]] = {}
+    v2: dict[int, list[str]] = {}
     for fn in os.listdir(d):
         m = _CP_SINGLE.match(fn)
         if m:
@@ -167,8 +192,12 @@ def _complete_checkpoints(table_path: str) -> dict[int, list[str]]:
             v, part, of = int(m.group(1)), int(m.group(2)), int(m.group(3))
             multi.setdefault(v, {})[part] = (of, os.path.join(d, fn))
             continue
+        m = _CP_V2.match(fn)
+        if m:
+            v2.setdefault(int(m.group(1)), []).append(os.path.join(d, fn))
+            continue
         if _CP_ANY.match(fn):
-            _refuse(f"checkpoint naming '{fn}' (v2/uuid checkpoint?)", "_delta_log")
+            _refuse(f"checkpoint naming '{fn}' (unknown checkpoint kind)", "_delta_log")
     out: dict[int, list[str]] = {v: [p] for v, p in singles.items()}
     for v, parts in multi.items():
         if v in out:
@@ -181,6 +210,9 @@ def _complete_checkpoints(table_path: str) -> dict[int, list[str]]:
         # else: incomplete — excluded; load_delta raises if no other
         # checkpoint or JSON covers the range, and the _last_checkpoint
         # cross-check below raises if the hint names this version
+    for v, cands in v2.items():
+        if v not in out:
+            out[v] = [sorted(cands)[0]]
     return out
 
 
@@ -189,7 +221,7 @@ def _list_log(table_path: str) -> tuple[list[int], list[int]]:
     versions)."""
     commits = set()
     for fn in os.listdir(_log_dir(table_path)):
-        if fn.endswith(".json") and fn.split(".")[0].isdigit():
+        if _is_commit_json(fn):
             commits.add(_version_of(fn))
     return sorted(commits), sorted(_complete_checkpoints(table_path))
 
@@ -324,36 +356,96 @@ def _apply_commit_lines(state: dict, commit_path: str) -> None:
 def _replay_checkpoint(
     state: dict, table_path: str, version: int, paths: list[str] | None = None
 ) -> None:
-    """Seed replay state from a parquet checkpoint: one row per action,
-    struct columns `add`, `remove`, `metaData`, `protocol` (protocol
-    § "Checkpoints"). Tombstones (`remove`) in a checkpoint exist only
-    for VACUUM/retention bookkeeping — the live file set is the `add`
-    rows alone, so remove rows seed the tombstone map WITHOUT touching
-    the file state (a checkpoint remove must not cancel a checkpoint
-    add: both describe the already-reconciled state at `version`)."""
+    """Seed replay state from a checkpoint (protocol § "Checkpoints" +
+    § "V2 Spec"): one row per action.  Classic parquet checkpoints
+    carry `add`/`remove`/`metaData`/`protocol` struct columns; V2
+    (uuid-named, parquet or json) files additionally carry exactly one
+    `checkpointMetadata` action and may push file actions out to
+    `sidecar` parquet files under `_delta_log/_sidecars/`.  Tombstones
+    (`remove`) in any checkpoint exist only for VACUUM/retention
+    bookkeeping — the live file set is the `add` rows alone, so remove
+    rows seed the tombstone map WITHOUT touching the file state (a
+    checkpoint remove must not cancel a checkpoint add: both describe
+    the already-reconciled state at `version`)."""
+    for part in (paths or _checkpoint_paths(table_path, version)):
+        if _CP_V2.match(os.path.basename(part)):
+            _replay_v2_checkpoint(state, table_path, version, part)
+        else:
+            _replay_checkpoint_rows(state, _parquet_action_rows(part))
+
+
+def _parquet_action_rows(path: str) -> list[dict]:
     import pyarrow.parquet as pq
 
-    for part in (paths or _checkpoint_paths(table_path, version)):
-        tbl = pq.read_table(part)
-        cols = set(tbl.schema.names)
-        rows = tbl.to_pylist()
-        for row in rows:
-            for key in ("protocol", "metaData", "add", "txn"):
-                if key in cols and row.get(key) is not None:
-                    _apply_action(state, {key: row[key]})
-            if "remove" in cols and row.get("remove") is not None:
-                rm = {
-                    k: v for k, v in dict(row["remove"]).items() if v is not None
-                }
-                pv = rm.get("partitionValues")
-                if pv is not None and not isinstance(pv, dict):
-                    rm["partitionValues"] = dict(pv)
-                dv = _normalize_dv(rm.get("deletionVector"))
-                if dv is None:
-                    rm.pop("deletionVector", None)
-                else:
-                    rm["deletionVector"] = dv
-                state["tombstones"][(rm["path"], _dv_unique_id(dv))] = rm
+    return pq.read_table(path).to_pylist()
+
+
+def _replay_checkpoint_rows(state: dict, rows: list[dict]) -> None:
+    for row in rows:
+        for key in ("protocol", "metaData", "add", "txn"):
+            if row.get(key) is not None:
+                _apply_action(state, {key: row[key]})
+        if row.get("remove") is not None:
+            rm = {k: v for k, v in dict(row["remove"]).items() if v is not None}
+            pv = rm.get("partitionValues")
+            if pv is not None and not isinstance(pv, dict):
+                rm["partitionValues"] = dict(pv)
+            dv = _normalize_dv(rm.get("deletionVector"))
+            if dv is None:
+                rm.pop("deletionVector", None)
+            else:
+                rm["deletionVector"] = dv
+            state["tombstones"][(rm["path"], _dv_unique_id(dv))] = rm
+
+
+def _replay_v2_checkpoint(
+    state: dict, table_path: str, version: int, part: str
+) -> None:
+    """Replay one uuid-named V2 checkpoint file: validate its
+    `checkpointMetadata` (the version stamp must match the filename —
+    a copied/renamed checkpoint would otherwise seed the wrong state),
+    apply its in-file actions, then read each `sidecar` parquet from
+    `_delta_log/_sidecars/` (file actions only, add + remove-as-
+    tombstone, same semantics as classic checkpoint rows)."""
+    if part.endswith(".json"):
+        with open(part, encoding="utf-8") as f:
+            rows = [json.loads(line) for line in f if line.strip()]
+    else:
+        rows = _parquet_action_rows(part)
+    cms = [
+        row["checkpointMetadata"]
+        for row in rows
+        if row.get("checkpointMetadata") is not None
+    ]
+    if len(cms) != 1:
+        raise ValueError(
+            f"V2 checkpoint {os.path.basename(part)}: expected exactly one "
+            f"checkpointMetadata action, found {len(cms)}"
+        )
+    cm_version = int(dict(cms[0]).get("version", -1))
+    if cm_version != version:
+        raise ValueError(
+            f"V2 checkpoint {os.path.basename(part)}: checkpointMetadata "
+            f"says version {cm_version}, filename says {version} — "
+            "refusing a mislabeled checkpoint"
+        )
+    _replay_checkpoint_rows(state, rows)
+    sidecar_dir = os.path.join(_log_dir(table_path), "_sidecars")
+    for row in rows:
+        sc = row.get("sidecar")
+        if sc is None:
+            continue
+        sc = dict(sc)
+        sp = sc["path"]
+        if not os.path.isabs(sp):
+            sp = os.path.join(sidecar_dir, sp)
+        if not os.path.exists(sp):
+            raise FileNotFoundError(
+                f"V2 checkpoint {os.path.basename(part)} references sidecar "
+                f"{sc['path']}, missing under _delta_log/_sidecars — "
+                "refusing (partially vacuumed checkpoint?)"
+            )
+        _replay_checkpoint_rows(state, _parquet_action_rows(sp))
 
 
 def _strip_mapping_metadata(field_json: dict) -> dict:
@@ -482,9 +574,7 @@ def load_delta(
     # ×N versions in vacuum_candidates that tripled every scan)
     cp_map = _complete_checkpoints(table_path)
     commits = sorted(
-        _version_of(fn)
-        for fn in os.listdir(log_dir)
-        if fn.endswith(".json") and fn.split(".")[0].isdigit()
+        _version_of(fn) for fn in os.listdir(log_dir) if _is_commit_json(fn)
     )
     checkpoints = sorted(cp_map)
     if not commits and not checkpoints:

@@ -264,6 +264,197 @@ def delta_fixture_path(sf_dir: str) -> str:
     return loc
 
 
+_V2CP_MARKER = "v2-checkpoint@1+sidecar+tail@2"
+
+
+def build_delta_v2cp_fixture(sf_dir: str, loc: str) -> None:
+    """Hand-author a table whose only checkpoint is a V2 (uuid-named)
+    parquet checkpoint with a SIDECAR file (protocol § V2 Spec), and
+    whose pre-checkpoint JSON is vacuumed — the read MUST seed from the
+    V2 checkpoint:
+
+      v0  protocol(v2Checkpoints) + metaData + adds keys %3==0   [vacuumed]
+      v1  adds keys %3==1, removes the '5-LOW' file of v0        [vacuumed]
+          + V2 checkpoint `...checkpoint.<uuid>.parquet` at v1:
+            checkpointMetadata/protocol/metaData in the TOP file,
+            file actions (adds + the remove tombstone) in
+            `_sidecars/<uuid>.parquet`
+      v2  adds keys %3==2 (the JSON tail)
+
+    Live set = NOT(key%3==0 AND priority='5-LOW') — identical to the
+    classic fixture, so the oracle is shared."""
+    import uuid as _uuid
+
+    os.makedirs(os.path.join(loc, "_delta_log", "_sidecars"), exist_ok=True)
+    for version, residue in ((0, 0), (1, 1), (2, 2)):
+        for prio, t in _one_commit_files(sf_dir, residue).items():
+            pq.write_table(t, os.path.join(loc, _fname(version, prio)))
+
+    proto = {
+        "minReaderVersion": 3,
+        "minWriterVersion": 7,
+        "readerFeatures": ["v2Checkpoints"],
+        "writerFeatures": ["v2Checkpoints"],
+    }
+    meta = {
+        "id": "icegopher-delta-v2cp-fixture",
+        "format": {"provider": "parquet", "options": {}},
+        "schemaString": _SCHEMA_STRING,
+        "partitionColumns": ["o_orderpriority"],
+        "configuration": {},
+        "createdTime": _T0,
+    }
+    _write_commit(
+        loc,
+        0,
+        [{"protocol": proto}, {"metaData": meta}]
+        + [_add_action(loc, 0, p) for p in _PRIORITIES],
+    )
+    _write_commit(
+        loc,
+        1,
+        [_add_action(loc, 1, p) for p in _PRIORITIES]
+        + [
+            {
+                "remove": {
+                    "path": _fname(0, "5-LOW"),
+                    "deletionTimestamp": _T0 + 1000,
+                    "dataChange": True,
+                }
+            }
+        ],
+    )
+
+    # --- the V2 checkpoint at v1, composed field by field ---
+    live = {
+        _fname(v, p): {"o_orderpriority": p}
+        for v in (0, 1)
+        for p in _PRIORITIES
+        if not (v == 0 and p == "5-LOW")
+    }
+    pv_t = pa.map_(pa.string(), pa.string())
+    add_t = pa.struct(
+        [
+            ("path", pa.string()),
+            ("partitionValues", pv_t),
+            ("size", pa.int64()),
+            ("modificationTime", pa.int64()),
+            ("dataChange", pa.bool_()),
+        ]
+    )
+    rm_t = pa.struct(
+        [
+            ("path", pa.string()),
+            ("deletionTimestamp", pa.int64()),
+            ("dataChange", pa.bool_()),
+        ]
+    )
+    rows_add = [
+        {
+            "path": p,
+            "partitionValues": list(pv.items()),
+            "size": os.path.getsize(os.path.join(loc, p)),
+            "modificationTime": _T0,
+            "dataChange": False,
+        }
+        for p, pv in sorted(live.items())
+    ]
+    rows_rm = [
+        {
+            "path": _fname(0, "5-LOW"),
+            "deletionTimestamp": _T0 + 1000,
+            "dataChange": False,
+        }
+    ]
+    n_sc = len(rows_add) + len(rows_rm)
+    u = str(_uuid.uuid4())
+    sidecar_name = f"{u}.parquet"
+    sidecar_path = os.path.join(loc, "_delta_log", "_sidecars", sidecar_name)
+    pq.write_table(
+        pa.table(
+            {
+                "add": pa.array(rows_add + [None] * len(rows_rm), type=add_t),
+                "remove": pa.array([None] * len(rows_add) + rows_rm, type=rm_t),
+            }
+        ),
+        sidecar_path,
+    )
+
+    cm_t = pa.struct([("version", pa.int64())])
+    sc_t = pa.struct(
+        [
+            ("path", pa.string()),
+            ("sizeInBytes", pa.int64()),
+            ("modificationTime", pa.int64()),
+        ]
+    )
+    proto_t = pa.struct(
+        [
+            ("minReaderVersion", pa.int32()),
+            ("minWriterVersion", pa.int32()),
+            ("readerFeatures", pa.list_(pa.string())),
+            ("writerFeatures", pa.list_(pa.string())),
+        ]
+    )
+    meta_t = pa.struct(
+        [
+            ("id", pa.string()),
+            ("format", pa.struct([("provider", pa.string())])),
+            ("schemaString", pa.string()),
+            ("partitionColumns", pa.list_(pa.string())),
+            ("configuration", pa.map_(pa.string(), pa.string())),
+            ("createdTime", pa.int64()),
+        ]
+    )
+    meta_row = {**meta, "format": {"provider": "parquet"}, "configuration": []}
+    sc_row = {
+        "path": sidecar_name,
+        "sizeInBytes": os.path.getsize(sidecar_path),
+        "modificationTime": _T0 + 1000,
+    }
+    top = pa.table(
+        {
+            "checkpointMetadata": pa.array(
+                [{"version": 1}, None, None, None], type=cm_t
+            ),
+            "protocol": pa.array([None, proto, None, None], type=proto_t),
+            "metaData": pa.array([None, None, meta_row, None], type=meta_t),
+            "sidecar": pa.array([None, None, None, sc_row], type=sc_t),
+        }
+    )
+    pq.write_table(
+        top,
+        os.path.join(loc, "_delta_log", f"{1:020d}.checkpoint.{u}.parquet"),
+    )
+    with open(os.path.join(loc, "_delta_log", "_last_checkpoint"), "w") as f:
+        json.dump({"version": 1, "size": 4 + n_sc}, f)
+
+    # vacuum the pre-checkpoint JSON: the V2 checkpoint is now the only
+    # authority for versions <= 1
+    for v in (0, 1):
+        os.remove(os.path.join(loc, "_delta_log", f"{v:020d}.json"))
+
+    _write_commit(loc, 2, [_add_action(loc, 2, p) for p in _PRIORITIES])
+    with open(os.path.join(loc, "_FIXTURE_OK"), "w") as f:
+        f.write(_V2CP_MARKER + "\n")
+
+
+def delta_v2cp_fixture_path(sf_dir: str) -> str:
+    key = sf_dir.strip("/").replace("/", "_")
+    loc = f"{_CACHE_ROOT}/{key}/orders_delta_v2cp"
+    ok = os.path.join(loc, "_FIXTURE_OK")
+    if os.path.exists(ok):
+        try:
+            with open(ok) as f:
+                if f.read().strip() == _V2CP_MARKER:
+                    return loc
+        except OSError:
+            pass
+    shutil.rmtree(loc, ignore_errors=True)
+    build_delta_v2cp_fixture(sf_dir, loc)
+    return loc
+
+
 def _priority_agg(df: DataFrame) -> DataFrame:
     return df.groupBy("o_orderpriority").agg(
         F.count("*").alias("n_orders"),
@@ -338,6 +529,21 @@ def delta_partition_pruned(spark: SparkSession, sf: str) -> DataFrame:
         spark, loc, partition_filter=lambda pv: pv["o_orderpriority"] == "1-URGENT"
     )
     return _priority_agg(df)
+
+
+@register(
+    "delta_v2_checkpoint_read",
+    delta_read_oracle,
+    "Delta V2 (uuid+sidecar) checkpoint seed + JSON tail read",
+)
+def delta_v2_checkpoint_read(spark: SparkSession, sf: str) -> DataFrame:
+    """Latest-version read of a table whose pre-checkpoint JSON is
+    vacuumed: the uuid-named V2 checkpoint (checkpointMetadata +
+    sidecar file actions, protocol § V2 Spec) seeds the state and the
+    v2 JSON commit replays on top.  Same live set as `delta_read`, so
+    the oracle is shared."""
+    loc = delta_v2cp_fixture_path(sf)
+    return _priority_agg(read_delta(spark, loc))
 
 
 @register(

@@ -206,17 +206,27 @@ def test_last_checkpoint_incomplete_multipart_refused(dv_loc, tmp_path):
         load_delta(loc)
 
 
-def test_uuid_v2_checkpoint_refused_by_name(dv_loc, tmp_path):
-    loc = str(tmp_path / "v2cp")
+def test_unknown_checkpoint_naming_refused(dv_loc, tmp_path):
+    """uuid-named V2 checkpoints now READ; any OTHER `<v>.checkpoint.*`
+    naming (future formats, compat shims) still refuses by name."""
+    loc = str(tmp_path / "weirdcp")
     shutil.copytree(dv_loc, loc)
     d = os.path.join(loc, "_delta_log")
-    open(
-        os.path.join(
-            d, f"{3:020d}.checkpoint.80a083e8-7026-4e79-81be-64bd76c43a11.parquet"
-        ),
-        "wb",
-    )
-    with pytest.raises(NotImplementedError, match="v2/uuid"):
+    open(os.path.join(d, f"{3:020d}.checkpoint.compat.v9.parquet"), "wb")
+    with pytest.raises(NotImplementedError, match="checkpoint"):
+        load_delta(loc)
+
+
+def test_mislabeled_v2_checkpoint_refused(dv_loc, tmp_path):
+    """A V2 checkpoint whose checkpointMetadata version disagrees with
+    its filename refuses (copied/renamed checkpoint)."""
+    loc = str(tmp_path / "mislabel")
+    shutil.copytree(dv_loc, loc)
+    d = os.path.join(loc, "_delta_log")
+    fn = f"{3:020d}.checkpoint.80a083e8-7026-4e79-81be-64bd76c43a11.json"
+    with open(os.path.join(d, fn), "w") as f:
+        f.write(json.dumps({"checkpointMetadata": {"version": 2}}) + "\n")
+    with pytest.raises(ValueError, match="mislabeled"):
         load_delta(loc)
 
 
@@ -700,3 +710,72 @@ def test_stream_and_dsv2_partitions_carry_specs_not_positions(dv_loc):
     assert bparts
     for p in bparts:
         assert isinstance(p.mask[1], dict) and "dv" in p.mask[1]
+
+
+# -- V2 (uuid-named, sidecar) checkpoints -------------------------------------
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def v2cp_loc():
+    from icegopher_spark.delta_queries import delta_v2cp_fixture_path
+
+    return delta_v2cp_fixture_path(SF_DIR)
+
+
+def test_v2_checkpoint_seeds_replay_without_json(spark, v2cp_loc):
+    """Pre-checkpoint JSON is vacuumed in the fixture: versions <= 1
+    reconstruct purely from the V2 checkpoint + sidecar."""
+    snap = load_delta(v2cp_loc)
+    assert snap.version == 2
+    # v1 is checkpoint-only (its JSON is gone)
+    snap1 = load_delta(v2cp_loc, version=1)
+    names = {os.path.basename(p) for p, _ in snap1.files}
+    assert "part-00000-5.parquet" not in names  # the removed 5-LOW file
+    assert len(names) == 9  # 2 commits x 5 priorities - 1 remove
+    # the remove rode the sidecar as a tombstone
+    assert any(t["path"] == "part-00000-5.parquet" for t in snap1.tombstones)
+
+
+def test_v2_checkpoint_json_file_not_a_commit(v2cp_loc, tmp_path):
+    """A uuid-named V2 checkpoint written as JSON must not be listed as
+    a JSON commit (both end in .json)."""
+    loc = str(tmp_path / "v2json")
+    shutil.copytree(v2cp_loc, loc)
+    d = os.path.join(loc, "_delta_log")
+    # drop a json-flavored v2 checkpoint at an absurd future version;
+    # if the lister mistook it for a commit, latest would jump to 99
+    fn = f"{99:020d}.checkpoint.80a083e8-7026-4e79-81be-64bd76c43a11.json"
+    with open(os.path.join(d, fn), "w") as f:
+        f.write(json.dumps({"checkpointMetadata": {"version": 99}}) + "\n")
+    from icegopher_spark.delta import _list_log
+
+    commits, checkpoints = _list_log(loc)
+    assert 99 not in commits
+    assert 99 in checkpoints
+
+
+def test_v2_checkpoint_missing_sidecar_refused(v2cp_loc, tmp_path):
+    loc = str(tmp_path / "nosidecar")
+    shutil.copytree(v2cp_loc, loc)
+    sc_dir = os.path.join(loc, "_delta_log", "_sidecars")
+    for fn in os.listdir(sc_dir):
+        os.remove(os.path.join(sc_dir, fn))
+    with pytest.raises(FileNotFoundError, match="sidecar"):
+        load_delta(loc)
+
+
+def test_v2_checkpoint_read_values(spark, v2cp_loc):
+    got = read_delta(spark, v2cp_loc)
+    import duckdb
+
+    con = duckdb.connect()
+    expect = con.execute(
+        f"""
+        SELECT COUNT(*) FROM '{SF_DIR}/orders.parquet'
+        WHERE NOT (o_orderkey % 3 = 0 AND o_orderpriority = '5-LOW')
+        """
+    ).fetchone()[0]
+    con.close()
+    assert got.count() == expect
