@@ -205,6 +205,10 @@ def main() -> None:
         "delta_link_export",
         "sim_hard_negatives",
         "sim_ivf_index_topk",
+        # round-11 additions
+        "delta_v2_checkpoint_read",
+        "delta_ict_timestamp_travel",
+        "delta_cm_nested_write",
     ]
 
     # Noise calibration (r8 verdict #6): a fixed query timed once per
@@ -217,7 +221,8 @@ def main() -> None:
     times: dict[str, float] = {}
     extended: dict[str, float] = {}
     run_totals: list[float] = []
-    for _run in range(repeat):
+
+    def one_pass() -> None:
         t0 = time.time()
         QUERIES[CALIBRATION_QUERY].fn(spark, sf_dir).count()
         calibration_runs.append(round(time.time() - t0, 3))
@@ -235,6 +240,23 @@ def main() -> None:
             dt = round(time.time() - t0, 3)
             extended[name] = min(extended.get(name, dt), dt)
 
+    for _run in range(repeat):
+        one_pass()
+
+    # Noise protocol (r10 verdict #3): calibration spread > 2x means the
+    # VM was too unstable for round-over-round comparison. Re-measure
+    # (extra full passes — the min estimator only improves) and, if the
+    # spread still exceeds 2x, stamp the artifact noisy=true so the
+    # judge stops burning time explaining weather-shaped "regressions".
+    def _spread(runs: list[float]) -> float:
+        return round(max(runs) / max(min(runs), 1e-9), 3)
+
+    extra_passes = 0
+    while _spread(calibration_runs) > 2.0 and extra_passes < 2:
+        extra_passes += 1
+        one_pass()
+    noisy = _spread(calibration_runs) > 2.0
+
     total = round(sum(times.values()), 3)
     payload = {
         "metric": "headline_suite_total",
@@ -248,8 +270,12 @@ def main() -> None:
         "calibration": {
             "query": CALIBRATION_QUERY,
             "runs": calibration_runs,
-            "spread": round(max(calibration_runs) / max(min(calibration_runs), 1e-9), 3),
+            "spread": _spread(calibration_runs),
+            "extra_passes": extra_passes,
         },
+        # True = calibration spread stayed > 2x even after re-measuring:
+        # treat round-over-round timing deltas as VM weather
+        "noisy": noisy,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         # duplicated at the tail so a truncated capture of either end of
         # the (long) line still contains the one number the gate needs

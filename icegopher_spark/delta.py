@@ -119,6 +119,10 @@ class DeltaSnapshot:
     # delta.deletedFileRetentionDuration expires or foreign VACUUMs
     # lose their bookkeeping once pre-checkpoint JSON is gone
     tombstones: list[dict] = field(default_factory=list)
+    # domain → live domainMetadata action VERBATIM (protocol § Domain
+    # Metadata: latest per domain wins, removed=true tombstones it);
+    # checkpoints must carry these or another engine's state is erased
+    domain_metadata: dict[str, dict] = field(default_factory=dict)
 
 
 def _log_dir(table_path: str) -> str:
@@ -329,7 +333,20 @@ def _apply_action(state: dict, action: dict) -> None:
             # latest version per application id (protocol § Transaction
             # Identifiers) — the exactly-once handle streaming sinks use
             state.setdefault("txn", {})[t["appId"]] = int(t.get("version") or 0)
-    # commitInfo / cdc / domainMetadata: no effect on the file set
+    elif "domainMetadata" in action and action["domainMetadata"] is not None:
+        d = action["domainMetadata"]
+        if d.get("domain") is not None:
+            # latest action per domain wins (protocol § Domain Metadata);
+            # removed=true tombstones the domain. No effect on the file
+            # set, but checkpoints MUST carry live domains verbatim —
+            # dropping them silently erases another engine's state
+            # (same loss class as dropping txn rows)
+            dm = state.setdefault("domainMetadata", {})
+            if d.get("removed"):
+                dm.pop(d["domain"], None)
+            else:
+                dm[d["domain"]] = dict(d)
+    # commitInfo / cdc: no effect on replay state
 
 
 def _new_state() -> dict:
@@ -338,6 +355,7 @@ def _new_state() -> dict:
         "tombstones": {},
         "metaData": None,
         "protocol": None,
+        "domainMetadata": {},
     }
 
 
@@ -382,7 +400,7 @@ def _parquet_action_rows(path: str) -> list[dict]:
 
 def _replay_checkpoint_rows(state: dict, rows: list[dict]) -> None:
     for row in rows:
-        for key in ("protocol", "metaData", "add", "txn"):
+        for key in ("protocol", "metaData", "add", "txn", "domainMetadata"):
             if row.get(key) is not None:
                 _apply_action(state, {key: row[key]})
         if row.get("remove") is not None:
@@ -509,9 +527,12 @@ def _physical_partition_name(meta: dict, logical: str) -> str:
 
 
 def _commit_timestamp(table_path: str, version: int) -> int:
-    """Commit time in ms: `commitInfo.timestamp` when present (the
-    in-log value survives file copies), else file mtime (the protocol's
-    stated fallback)."""
+    """Commit time in ms, in the protocol's precedence order:
+    `commitInfo.inCommitTimestamp` when the writer recorded one
+    (§ In-Commit Timestamps: the authoritative, monotonic clock —
+    file mtimes and wall-clock `timestamp` are explicitly unreliable
+    on ICT tables), else `commitInfo.timestamp` (survives file
+    copies), else file mtime (the protocol's stated fallback)."""
     p = os.path.join(_log_dir(table_path), f"{version:020d}.json")
     with open(p, encoding="utf-8") as f:
         for line in f:
@@ -519,6 +540,8 @@ def _commit_timestamp(table_path: str, version: int) -> int:
                 continue
             action = json.loads(line)
             ci = action.get("commitInfo")
+            if ci and "inCommitTimestamp" in ci:
+                return int(ci["inCommitTimestamp"])
             if ci and "timestamp" in ci:
                 return int(ci["timestamp"])
     return int(os.path.getmtime(p) * 1000)
@@ -677,6 +700,7 @@ def load_delta(
         tombstones=[state["tombstones"][k] for k in sorted(
             state["tombstones"], key=lambda k: (k[0], k[1] or "")
         )],
+        domain_metadata=dict(state.get("domainMetadata") or {}),
     )
 
 
@@ -1325,7 +1349,7 @@ def delta_history(table_path: str) -> list[dict]:
                 ci = a.get("commitInfo")
                 if ci:
                     op = ci.get("operation", op)
-                    ts = ci.get("timestamp", ts)
+                    ts = ci.get("inCommitTimestamp", ci.get("timestamp", ts))
                 if a.get("add") is not None:
                     n_add += 1
                 if a.get("remove") is not None:

@@ -66,15 +66,40 @@ def _schema_string(schema) -> str:
     return schema.json()
 
 
-def _commit(table_path: str, version: int, actions: list[dict]) -> None:
+def _commit(
+    table_path: str,
+    version: int,
+    actions: list[dict],
+    configuration: dict | None = None,
+) -> None:
     """Atomic commit: O_EXCL create of the next version file. A loser
     in a version race gets FileExistsError and must re-plan (the
-    protocol's put-if-absent log-store contract)."""
+    protocol's put-if-absent log-store contract).
+
+    When the table enables In-Commit Timestamps
+    (delta.enableInCommitTimestamps=true, § ICT), commitInfo leads the
+    commit and carries a MONOTONIC `inCommitTimestamp` — max(wall
+    clock, previous commit's timestamp + 1), so timestamp travel stays
+    total even under clock skew.  (Mid-life enablement provenance
+    properties — inCommitTimestampEnablementVersion/-Timestamp — are
+    the enabling USER's job via set_properties; this writer stamps
+    whatever the configuration says.)"""
+    now = int(time.time() * 1000)
+    ci: dict = {"timestamp": now, "operation": "icegopher-delta-write"}
+    if (configuration or {}).get(
+        "delta.enableInCommitTimestamps", ""
+    ).lower() == "true":
+        prev = 0
+        if version > 0:
+            from .delta import _commit_timestamp
+
+            try:
+                prev = _commit_timestamp(table_path, version - 1)
+            except OSError:
+                prev = 0  # pre-checkpoint commit vacuumed — clock rules
+        ci["inCommitTimestamp"] = max(now, prev + 1)
     path = os.path.join(_log_dir(table_path), f"{version:020d}.json")
-    lines = [
-        json.dumps({"commitInfo": {"timestamp": int(time.time() * 1000),
-                                   "operation": "icegopher-delta-write"}})
-    ] + [json.dumps(a) for a in actions]
+    lines = [json.dumps({"commitInfo": ci})] + [json.dumps(a) for a in actions]
     with open(path, "x", encoding="utf-8") as f:
         f.write("\n".join(lines) + "\n")
 
@@ -90,13 +115,13 @@ def create_delta_table(
     covering data AND partition columns.
 
     ``column_mapping=True`` creates the table in mapping mode 'name'
-    (protocol § Column Mapping): every TOP-LEVEL field gets a
-    ``delta.columnMapping.id`` and an opaque ``physicalName``
-    (col-<uuid8>), the protocol becomes reader 2 / writer 5, and every
-    write path (append/update/merge staging) renames to physical names
-    before parquet lands.  Nested struct schemas refuse — the writer's
-    rename is a top-level select (the READER handles nested renames,
-    so foreign-written nested-mapped tables still read)."""
+    (protocol § Column Mapping): every struct field AT EVERY NESTING
+    LEVEL gets a ``delta.columnMapping.id`` and an opaque
+    ``physicalName`` (col-<uuid8>) — what delta-spark assigns on
+    upgrade — the protocol becomes reader 2 / writer 5, and every
+    write path (append/update/merge staging) relabels to physical
+    names before parquet lands (nested renames via one positional
+    struct CAST per column, the reader's inverse)."""
     partition_columns = list(partition_columns or [])
     by_name = {f.name: f for f in schema.fields}
     for pc in partition_columns:
@@ -116,28 +141,44 @@ def create_delta_table(
     proto = {"minReaderVersion": 1, "minWriterVersion": 2}
     schema_string = _schema_string(schema)
     if column_mapping:
-        from pyspark.sql.types import StructType as _ST
+        # assign a mapping id + opaque physicalName to EVERY struct
+        # field at every nesting level (protocol § Column Mapping —
+        # what delta-spark does on upgrade); the write path relabels
+        # nested fields with one positional CAST per column
+        counter = {"id": 0}
 
-        if any(
-            "struct" in f.dataType.simpleString() for f in schema.fields
-        ):
-            raise NotImplementedError(
-                "create_delta_table(column_mapping=True): nested struct "
-                "columns are not supported by the mapped WRITER (top-"
-                "level select rename); flatten or create unmapped"
-            )
-        fields = []
-        for i, f in enumerate(schema.fields):
-            fj = json.loads(_ST([f]).json())["fields"][0]
-            fj["metadata"] = {
-                **(fj.get("metadata") or {}),
-                "delta.columnMapping.id": i + 1,
-                "delta.columnMapping.physicalName": f"col-{uuid.uuid4().hex[:8]}",
-            }
-            fields.append(fj)
-        schema_string = json.dumps({"type": "struct", "fields": fields})
+        def _assign(node):
+            if isinstance(node, dict) and node.get("type") == "struct":
+                fields = []
+                for fj in node["fields"]:
+                    counter["id"] += 1
+                    fields.append(
+                        {
+                            **fj,
+                            "metadata": {
+                                **(fj.get("metadata") or {}),
+                                "delta.columnMapping.id": counter["id"],
+                                "delta.columnMapping.physicalName": (
+                                    f"col-{uuid.uuid4().hex[:8]}"
+                                ),
+                            },
+                            "type": _assign(fj["type"]),
+                        }
+                    )
+                return {"type": "struct", "fields": fields}
+            if isinstance(node, dict) and node.get("type") == "array":
+                return {**node, "elementType": _assign(node["elementType"])}
+            if isinstance(node, dict) and node.get("type") == "map":
+                return {
+                    **node,
+                    "keyType": _assign(node["keyType"]),
+                    "valueType": _assign(node["valueType"]),
+                }
+            return node
+
+        schema_string = json.dumps(_assign(json.loads(schema_string)))
         conf.setdefault("delta.columnMapping.mode", "name")
-        conf.setdefault("delta.columnMapping.maxColumnId", str(len(fields)))
+        conf.setdefault("delta.columnMapping.maxColumnId", str(counter["id"]))
         proto = {"minReaderVersion": 2, "minWriterVersion": 5}
     _commit(
         table_path,
@@ -155,6 +196,7 @@ def create_delta_table(
                 }
             },
         ],
+        conf,
     )
 
 
@@ -386,6 +428,15 @@ _SUPPORTED_WRITER_FEATURES = {
     "invariants",
     "changeDataFeed",
     "timestampNtz",
+    # _commit stamps monotonic commitInfo.inCommitTimestamp whenever
+    # delta.enableInCommitTimestamps=true (§ ICT)
+    "inCommitTimestamp",
+    # read + written (classic AND v2 checkpoints carry state verbatim)
+    "v2Checkpoints",
+    # replay tracks domains (latest-per-domain, removed tombstones) and
+    # checkpoints carry them verbatim; this writer's DML never touches
+    # another engine's domains
+    "domainMetadata",
 }
 
 _ROW_REMOVING_OPS = {"delete", "update", "merge", "overwrite", "restore"}
@@ -439,23 +490,24 @@ def _validate_constraints(snap, df: DataFrame, operation: str) -> None:
 
 
 def _to_physical(snap, df: DataFrame) -> tuple[DataFrame, list[str]]:
-    """(df renamed to PHYSICAL top-level names, physical partition
-    columns) — identity for unmapped tables.  Writers stage parquet
-    under physical names so mapped readers (ours and delta-spark's)
-    resolve columns; nested renames refuse (writer scope — the reader
-    handles them)."""
+    """(df renamed to PHYSICAL names at EVERY nesting level, physical
+    partition columns) — identity for unmapped tables.  Writers stage
+    parquet under physical names so mapped readers (ours and
+    delta-spark's) resolve columns.  Nested renames are one positional
+    struct CAST to the physical type per column — the exact inverse of
+    the reader's physical→logical relabel (delta.py::_scan_files),
+    whole-stage codegen, no UDF."""
     if snap.physical_schema is None:
         return df, list(snap.partition_columns)
     nm = {}
+    exprs = []
     for lf, pf in zip(snap.schema.fields, snap.physical_schema.fields):
+        c = F.col(lf.name)
         if lf.dataType.json() != pf.dataType.json():
-            raise NotImplementedError(
-                "Delta writer: column mapping renames NESTED fields "
-                f"(column {lf.name!r}) — the mapped writer renames top-"
-                "level only; read works, writes refuse"
-            )
+            c = c.cast(pf.dataType)  # positional cast renames nested fields
+        exprs.append(c.alias(pf.name))
         nm[lf.name] = pf.name
-    df = df.select(*[F.col(f.name).alias(nm[f.name]) for f in snap.schema.fields])
+    df = df.select(*exprs)
     return df, [nm.get(c, c) for c in snap.partition_columns]
 
 
@@ -522,7 +574,7 @@ def append_delta(
                      "lastUpdated": int(time.time() * 1000)}},
         )
     v = _next_version(table_path)
-    _commit(table_path, v, actions)
+    _commit(table_path, v, actions, snap.configuration)
     return v
 
 
@@ -552,14 +604,23 @@ def overwrite_delta(spark: SparkSession, table_path: str, df: DataFrame) -> int:
             rm["deletionVector"] = dv
         removes.append({"remove": rm})
     v = _next_version(table_path)
-    _commit(table_path, v, removes + adds)
+    _commit(table_path, v, removes + adds, snap.configuration)
     return v
 
 
-def write_checkpoint(table_path: str, version: int | None = None) -> int:
-    """Classic single-part parquet checkpoint of ``version`` (default
-    latest) + ``_last_checkpoint`` pointer. After this, JSON commits
-    ≤ version are readable-but-optional (vacuumable).
+def write_checkpoint(
+    table_path: str, version: int | None = None, style: str = "auto"
+) -> int:
+    """Parquet checkpoint of ``version`` (default latest) +
+    ``_last_checkpoint`` pointer. After this, JSON commits ≤ version
+    are readable-but-optional (vacuumable).
+
+    ``style``: 'classic' = single-part `<v>.checkpoint.parquet`;
+    'v2' = uuid-named V2 checkpoint (checkpointMetadata stamp in the
+    top file, file actions in a `_sidecars/` parquet — protocol § V2
+    Spec; requires the v2Checkpoints reader feature); 'auto' (default)
+    = v2 when the table sets delta.checkpointPolicy=v2, else classic —
+    the same policy switch delta-spark honors.
 
     The replayed ``protocol`` and ``metaData`` actions are carried
     VERBATIM (r9 advice): synthesizing `{1, 2}` would downgrade a
@@ -719,32 +780,112 @@ def write_checkpoint(table_path: str, version: int | None = None) -> int:
         for a, vv in sorted(snap.app_versions.items())
     ]
     txn_t = pa.struct([("appId", pa.string()), ("version", pa.int64())])
-    n = 2 + len(txn_rows) + len(rows_add) + len(rows_rm)
-    cols = {
-        "protocol": pa.array([proto_row] + [None] * (n - 1), type=proto_t),
-        "metaData": pa.array([None] + [meta_row] + [None] * (n - 2), type=meta_t),
-        "add": pa.array(
-            [None] * (2 + len(txn_rows)) + rows_add + [None] * len(rows_rm),
-            type=add_t,
-        ),
-    }
-    if txn_rows:
-        # protocol: checkpoints MUST include the latest txn per appId —
-        # dropping them would reset every sink's exactly-once watermark
-        # once the JSON is vacuumed
-        cols["txn"] = pa.array(
-            [None, None] + txn_rows + [None] * (len(rows_add) + len(rows_rm)),
-            type=txn_t,
-        )
-    if rows_rm:
-        cols["remove"] = pa.array(
-            [None] * (2 + len(txn_rows) + len(rows_add)) + rows_rm, type=rm_t
-        )
-    tbl = pa.table(cols)
-    pq.write_table(
-        tbl, os.path.join(_log_dir(table_path), f"{v:020d}.checkpoint.parquet")
+    # live domainMetadata actions ride VERBATIM (protocol § Domain
+    # Metadata: checkpoints carry the latest per domain — dropping them
+    # erases another engine's state, same loss class as dropping txn)
+    dm_rows = [
+        {
+            "domain": d.get("domain"),
+            "configuration": d.get("configuration"),
+            "removed": bool(d.get("removed", False)),
+        }
+        for _, d in sorted(snap.domain_metadata.items())
+    ]
+    dm_t = pa.struct(
+        [
+            ("domain", pa.string()),
+            ("configuration", pa.string()),
+            ("removed", pa.bool_()),
+        ]
     )
-    with open(os.path.join(_log_dir(table_path), "_last_checkpoint"), "w") as f:
+    def _diagonal(groups: list[tuple[str, object, list]]):
+        """One parquet row per action: each named group occupies a
+        contiguous row range, null elsewhere (the checkpoint layout
+        every engine writes).  Empty groups emit no column."""
+        total = sum(len(rows) for _, _, rows in groups)
+        cols = {}
+        offset = 0
+        for name, typ, rows in groups:
+            if rows:
+                cols[name] = pa.array(
+                    [None] * offset + rows + [None] * (total - offset - len(rows)),
+                    type=typ,
+                )
+            offset += len(rows)
+        return pa.table(cols), total
+
+    # txn rows MUST ride (protocol: dropping them resets every sink's
+    # exactly-once watermark); domainMetadata rides verbatim (same loss
+    # class); removes are the retention tombstones filtered above
+    if style not in ("auto", "classic", "v2"):
+        raise ValueError(f"write_checkpoint: unknown style {style!r}")
+    want_v2 = (
+        style == "v2"
+        or (
+            style == "auto"
+            and snap.configuration.get("delta.checkpointPolicy", "") == "v2"
+        )
+    )
+    log_dir = _log_dir(table_path)
+    if want_v2:
+        feats = set(snap.protocol.get("readerFeatures") or [])
+        if "v2Checkpoints" not in feats:
+            raise ValueError(
+                "write_checkpoint(style='v2'): table protocol does not "
+                "enable the v2Checkpoints reader feature — readers that "
+                "predate it would not find the checkpoint"
+            )
+        u = str(uuid.uuid4())
+        # file actions go to ONE sidecar; everything else tops the
+        # uuid-named checkpoint with a checkpointMetadata stamp
+        sc_dir = os.path.join(log_dir, "_sidecars")
+        os.makedirs(sc_dir, exist_ok=True)
+        sc_name = f"{u}.parquet"
+        sc_path = os.path.join(sc_dir, sc_name)
+        sc_tbl, n_sc = _diagonal(
+            [("add", add_t, rows_add), ("remove", rm_t, rows_rm)]
+        )
+        pq.write_table(sc_tbl, sc_path)
+        cm_t = pa.struct([("version", pa.int64())])
+        sc_t = pa.struct(
+            [
+                ("path", pa.string()),
+                ("sizeInBytes", pa.int64()),
+                ("modificationTime", pa.int64()),
+            ]
+        )
+        sc_row = {
+            "path": sc_name,
+            "sizeInBytes": os.path.getsize(sc_path),
+            "modificationTime": int(os.path.getmtime(sc_path) * 1000),
+        }
+        top_tbl, n_top = _diagonal(
+            [
+                ("checkpointMetadata", cm_t, [{"version": v}]),
+                ("protocol", proto_t, [proto_row]),
+                ("metaData", meta_t, [meta_row]),
+                ("txn", txn_t, txn_rows),
+                ("domainMetadata", dm_t, dm_rows),
+                ("sidecar", sc_t, [sc_row]),
+            ]
+        )
+        pq.write_table(
+            top_tbl, os.path.join(log_dir, f"{v:020d}.checkpoint.{u}.parquet")
+        )
+        n = n_top + n_sc
+    else:
+        tbl, n = _diagonal(
+            [
+                ("protocol", proto_t, [proto_row]),
+                ("metaData", meta_t, [meta_row]),
+                ("txn", txn_t, txn_rows),
+                ("domainMetadata", dm_t, dm_rows),
+                ("add", add_t, rows_add),
+                ("remove", rm_t, rows_rm),
+            ]
+        )
+        pq.write_table(tbl, os.path.join(log_dir, f"{v:020d}.checkpoint.parquet"))
+    with open(os.path.join(log_dir, "_last_checkpoint"), "w") as f:
         json.dump({"version": v, "size": n}, f)  # parts omitted: single-part
     return v
 
@@ -798,7 +939,7 @@ def delete_where_delta(spark: SparkSession, table_path: str, predicate) -> int:
     if not actions:
         return snap.version  # nothing matched — no commit
     v = snap.version + 1
-    _commit(table_path, v, actions)
+    _commit(table_path, v, actions, snap.configuration)
     return v
 
 
@@ -1045,7 +1186,7 @@ def optimize_delta(
             rm["deletionVector"] = dv
         actions.append({"remove": rm})
     v = snap.version + 1
-    _commit(table_path, v, actions)
+    _commit(table_path, v, actions, snap.configuration)
     return v
 
 
@@ -1125,7 +1266,7 @@ def restore_delta(table_path: str, version: int) -> int:
     if not actions:
         return snap_now.version  # already at the target state
     v = snap_now.version + 1
-    _commit(table_path, v, actions)
+    _commit(table_path, v, actions, snap_now.configuration)
     return v
 
 
@@ -1174,7 +1315,7 @@ def update_where_delta(
         post, part_phys = _to_physical(snap, post)
         adds = _stage_and_collect(spark, table_path, post, part_phys)
         v = snap.version + 1
-        _commit(table_path, v, actions + adds)
+        _commit(table_path, v, actions + adds, snap.configuration)
         return v
     finally:
         matched.unpersist()
@@ -1223,7 +1364,7 @@ def merge_upsert_delta(
     post, part_phys = _to_physical(snap, post)
     adds = _stage_and_collect(spark, table_path, post, part_phys)
     v = snap.version + 1
-    _commit(table_path, v, actions + adds)
+    _commit(table_path, v, actions + adds, snap.configuration)
     return v
 
 
@@ -1432,7 +1573,7 @@ def add_column_delta(table_path: str, name: str, spark_type: str) -> int:
     meta["schemaString"] = json.dumps(sch)
     meta["configuration"] = conf
     v = snap.version + 1
-    _commit(table_path, v, [{"metaData": meta}])
+    _commit(table_path, v, [{"metaData": meta}], conf)
     return v
 
 
@@ -1450,5 +1591,5 @@ def set_properties_delta(table_path: str, properties: dict[str, str]) -> int:
             conf[k] = str(v)
     meta["configuration"] = conf
     v = snap.version + 1
-    _commit(table_path, v, [{"metaData": meta}])
+    _commit(table_path, v, [{"metaData": meta}], conf)
     return v

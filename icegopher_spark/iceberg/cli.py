@@ -153,6 +153,14 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument(
         "--retention-hours", type=float, default=168.0, help="retention window"
     )
+    sp = sub.add_parser("delta-checkpoint")
+    sp.add_argument("delta_path", help="Delta table directory")
+    sp.add_argument(
+        "--style",
+        choices=["auto", "classic", "v2"],
+        default="auto",
+        help="auto = v2 when delta.checkpointPolicy=v2, else classic",
+    )
 
     args = p.parse_args(argv)
     if args.verb == "delta-history":
@@ -191,6 +199,12 @@ def main(argv: list[str] | None = None) -> int:
 
         v = restore_delta(args.delta_path, args.version)
         print(f"restored to version {args.version} -> version {v}")
+        return 0
+    if args.verb == "delta-checkpoint":
+        from ..delta_write import write_checkpoint
+
+        v = write_checkpoint(args.delta_path, style=args.style)
+        print(f"checkpoint written at version {v} (style={args.style})")
         return 0
     if args.verb == "delta-vacuum":
         from ..delta import vacuum_candidates

@@ -253,3 +253,121 @@ def test_tombstones_survive_checkpoint_roundtrip(spark, tmp_path):
     ).to_pylist()
     assert any(r.get("remove") for r in cp_rows)
     assert v and cp2 > cp1
+
+
+def test_domain_metadata_replay_and_checkpoint_carry(spark, tmp_path):
+    """protocol § Domain Metadata: latest action per domain wins,
+    removed=true tombstones it, and checkpoints carry live domains
+    VERBATIM — dropping them erases another engine's state (the same
+    loss class as dropping txn rows, fixed in r9)."""
+    loc = str(tmp_path / "t")
+    _mk_table(spark, loc)
+    v = load_delta(loc).version + 1
+    lines = [
+        {"domainMetadata": {"domain": "delta.clustering",
+                            "configuration": json.dumps({"cols": ["k"]}),
+                            "removed": False}},
+        {"domainMetadata": {"domain": "ephemeral.domain",
+                            "configuration": "{}", "removed": False}},
+        {"domainMetadata": {"domain": "ephemeral.domain",
+                            "configuration": "{}", "removed": True}},
+    ]
+    with open(os.path.join(loc, "_delta_log", f"{v:020d}.json"), "w") as f:
+        f.write("\n".join(json.dumps(a) for a in lines) + "\n")
+
+    snap = load_delta(loc)
+    assert set(snap.domain_metadata) == {"delta.clustering"}
+    assert json.loads(snap.domain_metadata["delta.clustering"]["configuration"]) == {
+        "cols": ["k"]
+    }
+
+    # checkpoint → vacuum the JSON → the domain survives the roundtrip
+    cp = write_checkpoint(loc)
+    for old_v in range(cp + 1):
+        p = os.path.join(loc, "_delta_log", f"{old_v:020d}.json")
+        if os.path.exists(p):
+            os.remove(p)
+    snap2 = load_delta(loc)
+    assert snap2.domain_metadata == snap.domain_metadata
+    assert read_delta(spark, loc).count() == 20
+
+
+def test_write_v2_checkpoint_roundtrip(spark, tmp_path):
+    """write_checkpoint(style='v2') emits a uuid-named top file
+    (checkpointMetadata + protocol/metaData/txn verbatim) + a sidecar
+    with the file actions; after vacuuming every JSON commit the
+    independent replay reconstructs files, DVs and tombstones.
+    delta.checkpointPolicy=v2 selects it under style='auto'."""
+    loc = str(tmp_path / "t")
+    _mk_table(spark, loc)
+    delete_where_delta(spark, loc, F.col("k") % 3 == 0)
+    # enable the v2Checkpoints feature (the DV delete upgraded to
+    # reader 3 / writer 7 already)
+    snap = load_delta(loc)
+    proto = dict(snap.protocol)
+    proto["readerFeatures"] = sorted(set(proto["readerFeatures"]) | {"v2Checkpoints"})
+    proto["writerFeatures"] = sorted(set(proto["writerFeatures"]) | {"v2Checkpoints"})
+    v = snap.version + 1
+    with open(os.path.join(loc, "_delta_log", f"{v:020d}.json"), "w") as f:
+        f.write(json.dumps({"protocol": proto}) + "\n")
+
+    from icegopher_spark.delta_write import set_properties_delta
+
+    set_properties_delta(loc, {"delta.checkpointPolicy": "v2"})
+    before = load_delta(loc)
+    cp = write_checkpoint(loc)  # style='auto' → v2 via the policy
+    d = os.path.join(loc, "_delta_log")
+    v2_names = [
+        fn for fn in os.listdir(d)
+        if fn.startswith(f"{cp:020d}.checkpoint.") and fn != f"{cp:020d}.checkpoint.parquet"
+    ]
+    assert v2_names, "auto style must have produced a uuid-named v2 checkpoint"
+    assert os.listdir(os.path.join(d, "_sidecars"))
+
+    for old_v in range(cp + 1):
+        p = os.path.join(d, f"{old_v:020d}.json")
+        if os.path.exists(p):
+            os.remove(p)
+    after = load_delta(loc)
+    assert after.protocol == before.protocol
+    assert after.files == before.files
+    assert after.deletion_vectors == before.deletion_vectors
+    assert {t["path"] for t in after.tombstones} == {
+        t["path"] for t in before.tombstones
+    }
+    got = sorted(r["k"] for r in read_delta(spark, loc).collect())
+    assert got == [k for k in range(20) if k % 3 != 0]
+
+    # explicit v2 on a table WITHOUT the feature refuses
+    loc2 = str(tmp_path / "nofeat")
+    _mk_table(spark, loc2)
+    with pytest.raises(ValueError, match="v2Checkpoints"):
+        write_checkpoint(loc2, style="v2")
+
+
+def test_ict_writes_are_monotonic(spark, tmp_path, monkeypatch):
+    """With delta.enableInCommitTimestamps=true, every commit carries a
+    strictly-increasing commitInfo.inCommitTimestamp even when the wall
+    clock stalls or runs backwards (§ ICT: max(now, prev+1))."""
+    import icegopher_spark.delta_write as dw
+
+    loc = str(tmp_path / "t")
+    df = spark.createDataFrame([(1, "a")], SCHEMA_DDL)
+    create_delta_table(
+        loc, df.schema, None,
+        configuration={"delta.enableInCommitTimestamps": "true"},
+    )
+    # freeze the clock: monotonicity must come from prev+1, not time
+    frozen = dw.time.time()
+    monkeypatch.setattr(dw.time, "time", lambda: frozen)
+    for _ in range(3):
+        append_delta(spark, loc, df)
+
+    icts = []
+    for v in range(4):
+        acts = _commit_actions(loc, v)
+        ci = next(a["commitInfo"] for a in acts if a.get("commitInfo"))
+        icts.append(ci["inCommitTimestamp"])
+    assert icts == sorted(set(icts)), f"not strictly increasing: {icts}"
+    # timestamp travel resolves by ICT
+    assert load_delta(loc, timestamp_ms=icts[2]).version == 2

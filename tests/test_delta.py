@@ -491,3 +491,22 @@ def test_delta_history(fixture_loc, tmp_path):
     h2 = delta_history(loc)
     assert [r["version"] for r in h2] == [3, 2]
     assert h2[1]["operation"] == "UNKNOWN (checkpoint-only)"
+
+
+def test_ict_timestamp_travel_prefers_in_commit_timestamp(spark):
+    """In-Commit Timestamps (protocol § ICT): the resolver must use
+    commitInfo.inCommitTimestamp — the fixture's wall-clock `timestamp`
+    fields are all equal, so a resolver using them would land on the
+    LATEST version for any instant >= _T0."""
+    from icegopher_spark.delta import _commit_timestamp
+    from icegopher_spark.delta_queries import _T0, delta_ict_fixture_path
+
+    loc = delta_ict_fixture_path(SF)
+    assert _commit_timestamp(loc, 3) == _T0 + 3000
+    assert load_delta(loc, timestamp_ms=_T0 + 1000).version == 1
+    assert load_delta(loc, timestamp_ms=_T0 + 2500).version == 2
+    # history surfaces ICT too
+    from icegopher_spark.delta import delta_history
+
+    hist = {h["version"]: h["timestamp"] for h in delta_history(loc)}
+    assert hist[2] == _T0 + 2000

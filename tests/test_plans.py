@@ -509,8 +509,10 @@ def test_interval_join_is_hash_join(spark, queries):
 
 def test_delta_dv_read_plan_shape(spark, queries):
     """DV mask = BroadcastHashJoin LeftAnti on (path, row_index); the
-    scan still pushes predicates and prunes columns; no cartesian, no
-    python UDF in the plan (round-10)."""
+    scan still pushes predicates and prunes columns; no cartesian.
+    Since r11 the mask SIDE is a MapInPandas decode of per-file specs
+    (executor-side bitmap decode — the r10 scale fix): Python touches
+    only the O(deleted-positions) mask frame, never the data scan."""
     from icegopher_spark.delta import read_delta
     from icegopher_spark.delta_queries import delta_dv_fixture_path
 
@@ -519,6 +521,7 @@ def test_delta_dv_read_plan_shape(spark, queries):
     plan = plan_of(df)
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
     assert "LeftAnti" in plan
+    assert "MapInPandas" in plan  # the executor-side DV decode node
     pushed = [l for l in plan.splitlines() if "PushedFilters" in l][0]
     assert "GreaterThan(o_orderkey,1000)" in pushed
     read = [l for l in plan.splitlines() if "ReadSchema" in l][0]

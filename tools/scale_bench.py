@@ -139,6 +139,11 @@ EXTRA_SCALE_QUERIES = [
     "delta_dv_delete_write",
     "delta_optimize_roundtrip",
     "sim_ivf_index_topk",
+    # round-11 additions: v2-checkpoint seed, ICT travel, nested-mapped
+    # write (fixture builds scan the scaled base tables — timed cost)
+    "delta_v2_checkpoint_read",
+    "delta_ict_timestamp_travel",
+    "delta_cm_nested_write",
 ]
 SCALE_QUERIES = BENCH_QUERIES + EXTRA_SCALE_QUERIES
 from icegopher_spark.queries import QUERIES, load  # noqa: E402
@@ -305,6 +310,11 @@ def main() -> None:
         "dedup_": 0.75,
         "text_": 0.5,    # pure codegen column ops, no joins
         "vocab_": 0.5,   # one word-count shuffle + bounded collect
+        # r10 verdict #5: the Delta plane's worst real grower is ~5x at
+        # k=10 (delta_dv_delete_write 4.87x) — the generic 20x budget
+        # would hide a 3x constant blowup; 10x still clears 3x VM noise
+        "delta_": 0.5,
+        "stream_delta_": 0.5,
     }
     rows = {}
     flags = []
