@@ -209,6 +209,7 @@ def main() -> None:
         "delta_v2_checkpoint_read",
         "delta_ict_timestamp_travel",
         "delta_cm_nested_write",
+        "delta_link_import",
     ]
 
     # Noise calibration (r8 verdict #6): a fixed query timed once per

@@ -1324,6 +1324,50 @@ def delta_dv_delete_write(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Zero-copy Delta → Iceberg link (r11): the reverse of
+# link_iceberg_to_delta — in-place file adoption + DV→Puffin
+# translation; closes the two-way zero-copy migration loop.
+
+
+@register(
+    "delta_link_import",
+    delta_dv_delete_write_oracle,
+    "zero-copy Delta→Iceberg link: in-place adoption of the Delta "
+    "files + DV→Puffin translation, answered from the ICEBERG scan",
+)
+def delta_link_import(spark: SparkSession, sf: str) -> DataFrame:
+    """Links the writer-built DV fixture (two unioned DV deletes) into
+    a fresh Iceberg table WITHOUT copying data — the Iceberg scan's
+    files alias the Delta files and the delete state rides as V3
+    deletion vectors.  Same oracle as the Delta-side read: both faces
+    must see the identical row set."""
+    from .iceberg_queries import _cached_table
+
+    delta_loc = delta_dvw_fixture_path(spark, sf)
+
+    def build(loc2: str):
+        from .delta_write import link_delta_to_iceberg
+
+        return link_delta_to_iceberg(spark, delta_loc, loc2)
+
+    t = _cached_table(
+        sf,
+        "orders_from_delta_link",
+        # full build = adoption append + one DV-delete snapshot
+        lambda t: len(t.metadata.snapshots) == 2,
+        build,
+    )
+    df = t.scan().to_df(spark)
+    return df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("o_orderkey") % 1000).cast("bigint").alias("okey_chk"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(12,2)")), 2)
+        .cast("double")
+        .alias("total_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # OPTIMIZE (r10): dataChange=false compaction with DV folding.
 
 _OPT_MARKER = "opt-fixture@v1"

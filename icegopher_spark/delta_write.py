@@ -55,6 +55,7 @@ __all__ = [
     "set_properties_delta",
     "export_iceberg_to_delta",
     "link_iceberg_to_delta",
+    "link_delta_to_iceberg",
 ]
 
 # partition value serializations we can round-trip EXACTLY (write the
@@ -1366,6 +1367,97 @@ def merge_upsert_delta(
     v = snap.version + 1
     _commit(table_path, v, actions + adds, snap.configuration)
     return v
+
+
+def link_delta_to_iceberg(spark: SparkSession, delta_path: str, iceberg_location: str):
+    """ZERO-COPY Delta → Iceberg migration: adopt the Delta table's
+    live parquet files as Iceberg data files IN PLACE (the add_files
+    import path — footer stats land in manifests, so metrics pruning
+    works immediately) and translate Delta deletion vectors into
+    Iceberg V3 Puffin DVs.  The reverse of :func:`link_iceberg_to_delta`
+    — together they close the two-way zero-copy loop; at 100 TB this
+    is a metadata commit, not a full-table rewrite.
+
+    DV translation is EXECUTOR-side end to end: the driver ships one
+    decode spec per masked file (delta_dv.dv_job_spec), tasks decode
+    the roaring bitmaps and `write_dv_files` re-serializes them into
+    Puffin (one applyInPandas shard per ~32 files).  The two formats
+    share the roaring blob framing but differ in container (Delta
+    version-byte file vs Puffin header/footer), so bytes are
+    re-wrapped, never aliased.
+
+    Refused (use `delta_to_iceberg_migrate`'s copying path instead):
+      * partitioned Delta tables — partition values live ONLY in the
+        Delta log (files lack the columns); Iceberg identity-fill from
+        manifest metadata is not implemented in this scan;
+      * column-mapped tables — files carry opaque physical names that
+        by-name adoption would null out.
+    Like the reverse link, the result ALIASES the Delta files: VACUUM
+    on the Delta side after linking goes stale — a migration stepping
+    stone, not dual-write."""
+    from .delta_dv import dv_job_spec
+    from .iceberg import write as W
+    from .iceberg.manifests import read_manifest_list
+    from .iceberg.schema import Schema
+    from .iceberg.transforms import PartitionSpec
+    from .iceberg.types import from_spark_type
+
+    snap = load_delta(delta_path)
+    if snap.partition_columns:
+        raise NotImplementedError(
+            "link_delta_to_iceberg: partitioned Delta table — partition "
+            "values exist only in the Delta log, not in the data files; "
+            "use delta_to_iceberg_migrate (copying) instead"
+        )
+    if snap.physical_schema is not None:
+        raise NotImplementedError(
+            "link_delta_to_iceberg: column-mapped Delta table — data "
+            "files carry opaque physical names; use "
+            "delta_to_iceberg_migrate (copying) instead"
+        )
+
+    ids = iter(range(1, 1 << 20))
+    st = from_spark_type(snap.schema, lambda: next(ids))
+    schema = Schema(tuple(st.fields), schema_id=0)
+    t = W.create_table(iceberg_location, schema, PartitionSpec([]))
+    t = W.add_files(t, [os.path.abspath(p) for p, _ in snap.files])
+
+    if snap.deletion_vectors:
+        import pandas as pd
+
+        rows = [
+            (os.path.abspath(p), json.dumps({"dv": dv_job_spec(delta_path, d)}))
+            for p, d in sorted(snap.deletion_vectors.items())
+        ]
+        src = spark.createDataFrame(rows, "fp string, job string")
+
+        def _explode(batches):
+            import numpy as np
+
+            from .delta_dv import decode_mask_payload
+
+            for pdf in batches:
+                for row in pdf.itertuples(index=False):
+                    pos = decode_mask_payload(json.loads(row.job))
+                    yield pd.DataFrame(
+                        {
+                            "file_path": np.full(len(pos), row.fp, dtype=object),
+                            "pos": pos.astype("int64"),
+                        }
+                    )
+
+        union_df = src.repartition(min(len(rows), 32)).mapInPandas(
+            _explode, "file_path string, pos long"
+        )
+        dv_files = W.write_dv_files(t, union_df)
+        if dv_files:
+            keep = read_manifest_list(
+                t.io.read(t.current_snapshot().manifest_list)
+            )
+            t = W._commit_snapshot(
+                t, [], W.OP_DELETE, keep_manifests=keep, delete_files=dv_files
+            )
+    return t
 
 
 def link_iceberg_to_delta(

@@ -892,3 +892,59 @@ def test_add_column_and_set_properties(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="already exists"):
         add_column_delta(loc, "k", "long")
+
+
+def test_link_delta_to_iceberg_zero_copy(spark, tmp_path):
+    """Zero-copy Delta -> Iceberg: files adopted IN PLACE (no data
+    copy), Delta DVs translated to Puffin DVs, Iceberg scan row-equal
+    to the Delta read; partitioned and column-mapped tables refuse."""
+    import pytest as _pytest
+
+    from icegopher_spark.delta_write import (
+        create_delta_table,
+        delete_where_delta,
+        link_delta_to_iceberg,
+    )
+
+    loc = str(tmp_path / "src")
+    df = spark.createDataFrame(
+        [(i, str(i % 3), float(i)) for i in range(60)],
+        "k long, side string, v double",
+    ).repartition(3)
+    create_delta_table(loc, df.schema)
+    append_delta(spark, loc, df)
+    delete_where_delta(spark, loc, F.col("k") % 7 == 0)
+    delete_where_delta(spark, loc, F.col("k") % 11 == 0)  # DV union
+
+    ice_loc = str(tmp_path / "ice")
+    t = link_delta_to_iceberg(spark, loc, ice_loc)
+
+    got = {r["k"] for r in t.scan().to_df(spark).collect()}
+    expect = {k for k in range(60) if k % 7 != 0 and k % 11 != 0}
+    assert got == expect
+    # zero-copy: every Iceberg data file IS a Delta data file (no
+    # parquet under the Iceberg location)
+    ice_files = [
+        t2.file.file_path for t2 in t.scan().plan_files()
+    ]
+    assert ice_files and all(p.startswith(loc) for p in ice_files)
+    # the delete state rides as V3 deletion vectors
+    assert any(
+        d.is_deletion_vector for t2 in t.scan().plan_files() for d in t2.delete_files
+    )
+    # predicate pushdown works off adopted footer stats
+    assert t.scan().to_df(spark).filter(F.col("k") < 5).count() == len(
+        [k for k in range(5) if k % 7 and k % 11]  # k=0 fails %7
+    )
+
+    # refusals
+    ploc = str(tmp_path / "part")
+    create_delta_table(ploc, df.schema, ["side"])
+    append_delta(spark, ploc, df)
+    with _pytest.raises(NotImplementedError, match="partitioned"):
+        link_delta_to_iceberg(spark, ploc, str(tmp_path / "ice2"))
+    cloc = str(tmp_path / "cm")
+    create_delta_table(cloc, df.schema, column_mapping=True)
+    append_delta(spark, cloc, df)
+    with _pytest.raises(NotImplementedError, match="column-mapped"):
+        link_delta_to_iceberg(spark, cloc, str(tmp_path / "ice3"))

@@ -312,3 +312,95 @@ def test_random_log_with_dvs_and_compaction(tmp_path, seed):
             os.remove(os.path.join(loc, "_delta_log", f"{v:020d}.json"))
         for v in range(cp, n_versions):
             assert _observed(v) == states[v], f"seed={seed} post-vacuum v={v}"
+
+
+@pytest.mark.parametrize("style", ["classic", "v2"])
+@pytest.mark.parametrize("seed", [13, 43])
+def test_checkpoint_roundtrip_equals_replay(tmp_path, seed, style):
+    """Differential: for a random DV-bearing log, the snapshot seeded
+    from OUR OWN checkpoint (classic or uuid+sidecar v2) with every
+    JSON commit vacuumed must equal the pure-JSON replay — files, DVs,
+    tombstone keys, txn watermarks, protocol and table identity."""
+    from icegopher_spark.delta_write import write_checkpoint
+
+    rng = random.Random(seed)
+    loc = str(tmp_path / f"t{seed}{style}")
+    os.makedirs(os.path.join(loc, "_delta_log"))
+
+    live: dict[str, tuple] = {}
+    next_file = 0
+    n_versions = rng.randint(4, 9)
+    for v in range(n_versions):
+        actions = []
+        if v == 0:
+            actions.append({"protocol": {
+                "minReaderVersion": 3, "minWriterVersion": 7,
+                "readerFeatures": ["deletionVectors", "v2Checkpoints"],
+                "writerFeatures": ["deletionVectors", "v2Checkpoints"]}})
+            actions.append({"metaData": {
+                "id": "f-roundtrip", "format": {"provider": "parquet", "options": {}},
+                "schemaString": _SCHEMA_STRING, "partitionColumns": ["p"],
+                "configuration": {}, "createdTime": 1}})
+            actions.append({"txn": {"appId": "sink-a", "version": 1}})
+        for _ in range(rng.randint(1 if v == 0 else 0, 3)):
+            path = f"f{next_file}.parquet"
+            next_file += 1
+            pv = {"p": rng.choice(["a", "b"])}
+            actions.append({"add": {"path": path, "partitionValues": pv,
+                                    "size": 1, "modificationTime": 1,
+                                    "dataChange": True}})
+            live[path] = (pv, None)
+        if live and rng.random() < 0.5:  # DV swap
+            path = rng.choice(sorted(live))
+            pv, old_dv = live[path]
+            # deletionTimestamp far-future: inside the retention window,
+            # so the checkpoint must RETAIN the tombstone (expiry is
+            # covered by test_checkpoint_carries_unexpired_tombstones)
+            rm = {"path": path, "deletionTimestamp": 1_900_000_000_000,
+                  "dataChange": True}
+            if old_dv:
+                rm["deletionVector"] = old_dv
+            dv = _rand_dv(rng)
+            actions.append({"remove": rm})
+            actions.append({"add": {"path": path, "partitionValues": pv,
+                                    "size": 1, "modificationTime": 1,
+                                    "dataChange": True, "deletionVector": dv}})
+            live[path] = (pv, dv)
+        if live and rng.random() < 0.3:  # plain remove (recent tombstone)
+            path = rng.choice(sorted(live))
+            rm = {"path": path, "deletionTimestamp": 1_900_000_000_000,
+                  "dataChange": True}
+            if live[path][1]:
+                rm["deletionVector"] = live[path][1]
+            actions.append({"remove": rm})
+            del live[path]
+        if rng.random() < 0.3:
+            actions.append({"txn": {"appId": "sink-a", "version": v + 1}})
+        _write_commit(loc, v, actions, ts=1000 + v)
+    # data files must exist: write_checkpoint stats getsize() per live file
+    for path in {p for p in live}:
+        with open(os.path.join(loc, path), "wb") as f:
+            f.write(b"x")
+
+    snap_json = load_delta(loc)
+    write_checkpoint(loc, style=style)
+    for v in range(n_versions):
+        os.remove(os.path.join(loc, "_delta_log", f"{v:020d}.json"))
+    snap_cp = load_delta(loc)
+
+    def _key(snap):
+        return {
+            "files": sorted((os.path.relpath(p, loc), pv) for p, pv in snap.files),
+            "dvs": {
+                os.path.relpath(p, loc): {
+                    k: v for k, v in d.items() if v is not None
+                }
+                for p, d in snap.deletion_vectors.items()
+            },
+            "tombs": sorted(t["path"] for t in snap.tombstones),
+            "txn": snap.app_versions,
+            "protocol": snap.protocol,
+            "id": snap.metadata_raw.get("id"),
+        }
+
+    assert _key(snap_cp) == _key(snap_json), f"{seed}/{style}"

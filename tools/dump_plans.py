@@ -168,15 +168,19 @@ ENTRIES = [
     (
         "delta_dv_read",
         "formatted",
-        "Delta deletion-vector read (round-10): ONE parquet scan "
-        "(filters still push down; ReadSchema carries only the "
-        "projected columns + the hidden row_index), the DV mask is a "
-        "BroadcastHashJoin LeftAnti on (file_path, row_index) against "
-        "a metadata-sized LocalTableScan of decoded positions — no "
-        "cartesian, no UDF, codegen end to end. Above "
-        "_DV_BROADCAST_MAX_POSITIONS the broadcast hint is dropped and "
-        "AQE picks the join strategy (a 100M-position broadcast would "
-        "OOM the driver).",
+        "Delta deletion-vector read (round-10, executor-side decode "
+        "since round-11): ONE parquet scan (filters still push down; "
+        "ReadSchema carries only the projected columns + the hidden "
+        "row_index), the DV mask is a BroadcastHashJoin LeftAnti on "
+        "(file_path, row_index) against a MapInPandas node that "
+        "decodes roaring bitmaps IN THE EXECUTORS from per-file specs "
+        "(path+offset+size / inline Z85) — the driver ships one "
+        "metadata-sized spec row per masked file and never touches a "
+        "position. Broadcast decision comes from descriptor "
+        "cardinality (in the log, no decode needed); above "
+        "_DV_BROADCAST_MAX_POSITIONS the hint drops and AQE picks the "
+        "join strategy (a 100M-position broadcast would OOM the "
+        "driver).",
     ),
     (
         "delta_column_mapping_read",

@@ -140,10 +140,12 @@ EXTRA_SCALE_QUERIES = [
     "delta_optimize_roundtrip",
     "sim_ivf_index_topk",
     # round-11 additions: v2-checkpoint seed, ICT travel, nested-mapped
-    # write (fixture builds scan the scaled base tables — timed cost)
+    # write, zero-copy Delta→Iceberg link (fixture builds scan the
+    # scaled base tables — timed cost)
     "delta_v2_checkpoint_read",
     "delta_ict_timestamp_travel",
     "delta_cm_nested_write",
+    "delta_link_import",
 ]
 SCALE_QUERIES = BENCH_QUERIES + EXTRA_SCALE_QUERIES
 from icegopher_spark.queries import QUERIES, load  # noqa: E402
