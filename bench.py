@@ -210,6 +210,7 @@ def main() -> None:
         "delta_ict_timestamp_travel",
         "delta_cm_nested_write",
         "delta_link_import",
+        "delta_update_cdf",
     ]
 
     # Noise calibration (r8 verdict #6): a fixed query timed once per

@@ -1324,6 +1324,89 @@ def delta_dv_delete_write(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Writer-emitted CDC files (r11): UPDATE on a CDF-enabled table writes
+# _change_data/ files carrying update_preimage/update_postimage pairs.
+
+_CDCW_MARKER = "cdcw-fixture@v1"
+
+
+def delta_cdcw_fixture_path(spark: SparkSession, sf_dir: str) -> tuple[str, int]:
+    """(table location, update-commit version) for a CDF-enabled orders
+    table written by this repo's writer: create(+CDF) → append →
+    update_where (price bump on o_orderkey%9==0).  The update commit
+    carries cdc actions, making it row-accurate CDF authority."""
+    key = sf_dir.strip("/").replace("/", "_")
+    loc = f"{_CACHE_ROOT}/{key}/orders_delta_cdcw"
+    ok = os.path.join(loc, "_FIXTURE_OK")
+    if os.path.exists(ok):
+        try:
+            with open(ok) as f:
+                if f.read().strip() == _CDCW_MARKER:
+                    return loc, 2
+        except OSError:
+            pass
+    shutil.rmtree(loc, ignore_errors=True)
+
+    from .delta_write import append_delta, create_delta_table, update_where_delta
+    from .queries import load as _load
+
+    orders = _load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    create_delta_table(
+        loc, orders.schema,
+        configuration={"delta.enableChangeDataFeed": "true"},
+    )
+    append_delta(spark, loc, orders)
+    v = update_where_delta(
+        spark, loc, F.col("o_orderkey") % 9 == 0,
+        {"o_totalprice": F.col("o_totalprice") + F.lit(10.0)},
+    )
+    assert v == 2
+    with open(ok, "w") as f:
+        f.write(_CDCW_MARKER + "\n")
+    return loc, v
+
+
+delta_update_cdf_oracle = """
+SELECT _change_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(ROUND(SUM(CAST(price AS DECIMAL(14,2))), 2) AS DOUBLE) AS price_sum
+FROM (
+  SELECT 'update_preimage' AS _change_type, o_totalprice AS price
+  FROM orders WHERE o_orderkey % 9 = 0
+  UNION ALL
+  SELECT 'update_postimage' AS _change_type, o_totalprice + 10.0 AS price
+  FROM orders WHERE o_orderkey % 9 = 0
+)
+GROUP BY _change_type
+"""
+
+
+@register(
+    "delta_update_cdf",
+    delta_update_cdf_oracle,
+    "writer-emitted cdc files: UPDATE surfaces row-accurate "
+    "update_preimage/update_postimage pairs through CDF",
+)
+def delta_update_cdf(spark: SparkSession, sf: str) -> DataFrame:
+    """The UPDATE commit wrote _change_data/ files (protocol § Add CDC
+    File), so read_changes attributes it as pre/post image pairs — a
+    reader synthesizing delete+insert from the file actions (the
+    non-CDF fallback) produces the wrong _change_type values and fails
+    this oracle."""
+    from .delta import read_changes
+
+    loc, v = delta_cdcw_fixture_path(spark, sf)
+    ch = read_changes(spark, loc, v, v)
+    return ch.groupBy("_change_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(14,2)")), 2)
+        .cast("double")
+        .alias("price_sum"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Zero-copy Delta → Iceberg link (r11): the reverse of
 # link_iceberg_to_delta — in-place file adoption + DV→Puffin
 # translation; closes the two-way zero-copy migration loop.

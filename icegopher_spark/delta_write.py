@@ -255,6 +255,65 @@ def _stage_and_collect(
     return adds
 
 
+def _cdf_enabled(snap) -> bool:
+    return (
+        snap.configuration.get("delta.enableChangeDataFeed", "").lower() == "true"
+    )
+
+
+def _stage_cdc(spark: SparkSession, table_path: str, snap, cdc_df: DataFrame) -> list[dict]:
+    """Stage CDF change rows (table columns + ``_change_type``) as
+    change-data files under ``_change_data/`` and return their ``cdc``
+    actions (protocol § "Add CDC File"): per-commit row-level change
+    authority, so readers surface update_preimage/update_postimage
+    pairs instead of synthesizing delete+insert from the file actions.
+    cdc files never contribute to the live row set (dataChange=false
+    by definition); partition values ride in the action like adds.
+    The write is Spark-distributed (same hive staging as data files);
+    the driver touches one metadata row per cdc file."""
+    import urllib.parse
+
+    data, part_phys = _to_physical(snap, cdc_df, extra_cols=("_change_type",))
+    stage = os.path.join("_change_data", f"cdc-{uuid.uuid4().hex[:12]}")
+    out_dir = os.path.join(table_path, stage)
+    writer = data.write.mode("error")
+    if part_phys:
+        writer = writer.partitionBy(*part_phys)
+    writer.parquet(out_dir)
+
+    actions: list[dict] = []
+    for dirpath, _dirs, files in os.walk(out_dir):
+        rel_dir = os.path.relpath(dirpath, out_dir)
+        pv: dict[str, str | None] = {}
+        if rel_dir != ".":
+            for seg in rel_dir.split(os.sep):
+                k, _, v = seg.partition("=")
+                pv[k] = (
+                    None
+                    if v == "__HIVE_DEFAULT_PARTITION__"
+                    else urllib.parse.unquote(v)
+                )
+        for fn in files:
+            if not fn.endswith(".parquet"):
+                continue
+            full = os.path.join(dirpath, fn)
+            actions.append(
+                {
+                    "cdc": {
+                        "path": os.path.relpath(full, table_path).replace(
+                            os.sep, "/"
+                        ),
+                        "partitionValues": {c: pv.get(c) for c in part_phys},
+                        "size": os.path.getsize(full),
+                        "dataChange": False,
+                    }
+                }
+            )
+    if not actions:
+        shutil.rmtree(out_dir, ignore_errors=True)
+    return actions
+
+
 def _footer_stats(pf) -> dict:
     """add.stats JSON from the parquet footer: numRecords plus
     minValues/maxValues/nullCount for TOP-LEVEL numeric/bool/date
@@ -490,16 +549,22 @@ def _validate_constraints(snap, df: DataFrame, operation: str) -> None:
             )
 
 
-def _to_physical(snap, df: DataFrame) -> tuple[DataFrame, list[str]]:
+def _to_physical(
+    snap, df: DataFrame, extra_cols: tuple[str, ...] = ()
+) -> tuple[DataFrame, list[str]]:
     """(df renamed to PHYSICAL names at EVERY nesting level, physical
     partition columns) — identity for unmapped tables.  Writers stage
     parquet under physical names so mapped readers (ours and
     delta-spark's) resolve columns.  Nested renames are one positional
     struct CAST to the physical type per column — the exact inverse of
     the reader's physical→logical relabel (delta.py::_scan_files),
-    whole-stage codegen, no UDF."""
+    whole-stage codegen, no UDF.  ``extra_cols`` pass through verbatim
+    (the cdc `_change_type` column is outside the table schema and
+    therefore never mapped)."""
     if snap.physical_schema is None:
-        return df, list(snap.partition_columns)
+        return df.select(
+            *[f.name for f in snap.schema.fields], *extra_cols
+        ) if extra_cols else df, list(snap.partition_columns)
     nm = {}
     exprs = []
     for lf, pf in zip(snap.schema.fields, snap.physical_schema.fields):
@@ -508,7 +573,7 @@ def _to_physical(snap, df: DataFrame) -> tuple[DataFrame, list[str]]:
             c = c.cast(pf.dataType)  # positional cast renames nested fields
         exprs.append(c.alias(pf.name))
         nm[lf.name] = pf.name
-    df = df.select(*exprs)
+    df = df.select(*exprs, *[F.col(c) for c in extra_cols])
     return df, [nm.get(c, c) for c in snap.partition_columns]
 
 
@@ -1282,10 +1347,12 @@ def update_where_delta(
 
     This is how DV-enabled writers implement UPDATE without rewriting
     whole files: touched files keep their untouched rows behind a
-    bitmap, only the changed rows' bytes are written.  CDF note: with
-    no cdc files, readers (ours and delta-spark's) attribute this
-    commit as delete(pre-image) + insert(post-image), not
-    update_pre/postimage pairs.
+    bitmap, only the changed rows' bytes are written.  CDF: when the
+    table sets delta.enableChangeDataFeed=true, the commit ALSO writes
+    change-data files under _change_data/ carrying the
+    update_preimage/update_postimage row pairs (protocol § "Add CDC
+    File") — readers surface row-accurate updates instead of
+    synthesized delete+insert.
 
     Scale shape: one scan evaluates the predicate (positions from
     ``_metadata.row_index``); matched rows flow straight into the
@@ -1306,6 +1373,7 @@ def update_where_delta(
         )
         if not actions:
             return snap.version  # nothing matched — no commit
+        pre = matched.select(*[f.name for f in snap.schema.fields])
         post = matched.select(
             *[
                 (assignments[f.name].alias(f.name) if f.name in assignments else f.name)
@@ -1313,10 +1381,20 @@ def update_where_delta(
             ]
         )
         _validate_constraints(snap, post, "update")
+        cdc_actions: list[dict] = []
+        if _cdf_enabled(snap):
+            cdc_actions = _stage_cdc(
+                spark,
+                table_path,
+                snap,
+                pre.withColumn("_change_type", F.lit("update_preimage")).unionByName(
+                    post.withColumn("_change_type", F.lit("update_postimage"))
+                ),
+            )
         post, part_phys = _to_physical(snap, post)
         adds = _stage_and_collect(spark, table_path, post, part_phys)
         v = snap.version + 1
-        _commit(table_path, v, actions + adds, snap.configuration)
+        _commit(table_path, v, cdc_actions + actions + adds, snap.configuration)
         return v
     finally:
         matched.unpersist()
@@ -1357,15 +1435,38 @@ def merge_upsert_delta(
     # forced broadcast of a 100M-key source would OOM the driver
     keys = source.select(*key_columns)
     matched = live.join(keys, key_columns, "left_semi")
+    cdf = _cdf_enabled(snap)
+    if cdf:
+        matched = matched.persist()  # feeds the DV build AND the cdc write
     actions = _dv_swap_actions(
         spark, table_path, snap, matched.select("_file_path", "_row_pos")
     )
     post = source.select(*[f.name for f in snap.schema.fields])
     _validate_constraints(snap, post, "merge")
+    cdc_actions: list[dict] = []
+    if cdf:
+        # CDF authority for the whole commit: updated keys emit
+        # pre/post image pairs, new keys emit inserts (cdc files are
+        # the SOLE change source for a commit that carries them)
+        cols = [f.name for f in snap.schema.fields]
+        matched_keys = matched.select(*key_columns).distinct()
+        pre = matched.select(*cols).withColumn(
+            "_change_type", F.lit("update_preimage")
+        )
+        src_matched = post.join(matched_keys, key_columns, "left_semi").withColumn(
+            "_change_type", F.lit("update_postimage")
+        )
+        src_new = post.join(matched_keys, key_columns, "left_anti").withColumn(
+            "_change_type", F.lit("insert")
+        )
+        cdc_actions = _stage_cdc(
+            spark, table_path, snap, pre.unionByName(src_matched).unionByName(src_new)
+        )
+        matched.unpersist()
     post, part_phys = _to_physical(snap, post)
     adds = _stage_and_collect(spark, table_path, post, part_phys)
     v = snap.version + 1
-    _commit(table_path, v, actions + adds, snap.configuration)
+    _commit(table_path, v, cdc_actions + actions + adds, snap.configuration)
     return v
 
 

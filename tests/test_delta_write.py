@@ -305,7 +305,10 @@ def test_restore_delta_preserves_time_travel_and_dvs(spark, tmp_path):
 
 def test_update_where_delta_partition_move_and_cdf(spark, tmp_path):
     """UPDATE that changes a PARTITION column moves rows across
-    partitions in one commit; CDF attributes delete(pre)+insert(post)."""
+    partitions in one commit; on a CDF-enabled table the commit writes
+    cdc files, so CDF attributes row-accurate update_preimage/
+    update_postimage pairs (r11 — previously the delete+insert
+    fallback)."""
     from pyspark.sql import functions as F
 
     from icegopher_spark.delta import read_changes, read_delta
@@ -335,11 +338,15 @@ def test_update_where_delta_partition_move_and_cdf(spark, tmp_path):
     }
 
     ch = read_changes(spark, loc, v, v)
-    by_kind = {k: set() for k in ("delete", "insert")}
+    by_kind = {k: set() for k in ("update_preimage", "update_postimage")}
     for r in ch.collect():
         by_kind[r["_change_type"]].add((r["k"], r["bucket"]))
-    assert by_kind["delete"] == {(k, "old") for k in range(30) if k % 3 == 0}
-    assert by_kind["insert"] == {(k, "new") for k in range(30) if k % 3 == 0}
+    assert by_kind["update_preimage"] == {
+        (k, "old") for k in range(30) if k % 3 == 0
+    }
+    assert by_kind["update_postimage"] == {
+        (k, "new") for k in range(30) if k % 3 == 0
+    }
 
     # repeated update composes with the existing DVs
     update_where_delta(spark, loc, F.col("k") % 5 == 0, {"bucket": F.lit("five")})
@@ -948,3 +955,66 @@ def test_link_delta_to_iceberg_zero_copy(spark, tmp_path):
     append_delta(spark, cloc, df)
     with _pytest.raises(NotImplementedError, match="column-mapped"):
         link_delta_to_iceberg(spark, cloc, str(tmp_path / "ice3"))
+
+
+def test_cdf_enabled_update_and_merge_emit_cdc_files(spark, tmp_path):
+    """On a delta.enableChangeDataFeed=true table, UPDATE and MERGE
+    write _change_data/ cdc files (protocol § Add CDC File) and
+    read_changes surfaces row-accurate update_preimage/update_postimage
+    (+insert for merged new keys); DELETE stays cdc-free (the DV-diff
+    reconstruction is already row-exact)."""
+    from icegopher_spark.delta import read_changes
+    from icegopher_spark.delta_write import (
+        delete_where_delta,
+        merge_upsert_delta,
+        update_where_delta,
+    )
+
+    loc = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, str(i % 2), 1.0) for i in range(20)], "k long, side string, v double"
+    )
+    create_delta_table(
+        loc, df.schema, configuration={"delta.enableChangeDataFeed": "true"}
+    )
+    append_delta(spark, loc, df)
+
+    v_upd = update_where_delta(
+        spark, loc, F.col("k") % 5 == 0, {"v": F.col("v") + 100.0}
+    )
+    acts = []
+    with open(os.path.join(loc, "_delta_log", f"{v_upd:020d}.json")) as f:
+        acts = [json.loads(ln) for ln in f if ln.strip()]
+    cdc = [a["cdc"] for a in acts if a.get("cdc")]
+    assert cdc and all(a["path"].startswith("_change_data/") for a in cdc)
+
+    ch = read_changes(spark, loc, v_upd, v_upd)
+    got = {
+        (r["k"], r["_change_type"]): r["v"]
+        for r in ch.collect()
+    }
+    for k in (0, 5, 10, 15):
+        assert got[(k, "update_preimage")] == 1.0
+        assert got[(k, "update_postimage")] == 101.0
+    assert len(got) == 8  # exactly the 4 pre + 4 post rows
+
+    src = spark.createDataFrame(
+        [(3, "1", 7.0), (100, "0", 7.0)], "k long, side string, v double"
+    )
+    v_mrg = merge_upsert_delta(spark, loc, src, ["k"])
+    ch2 = read_changes(spark, loc, v_mrg, v_mrg)
+    kinds = {(r["k"], r["_change_type"]) for r in ch2.collect()}
+    assert (3, "update_preimage") in kinds and (3, "update_postimage") in kinds
+    assert (100, "insert") in kinds
+    assert len(kinds) == 3
+
+    # DELETE: no cdc files; DV-diff attribution stays row-exact
+    v_del = delete_where_delta(spark, loc, F.col("k") == 7)
+    with open(os.path.join(loc, "_delta_log", f"{v_del:020d}.json")) as f:
+        assert not any('"cdc"' in ln for ln in f)
+    ch3 = read_changes(spark, loc, v_del, v_del)
+    assert [(r["k"], r["_change_type"]) for r in ch3.collect()] == [(7, "delete")]
+
+    # the live read is unaffected by cdc files (they are not data)
+    rows = {r["k"]: r["v"] for r in read_delta(spark, loc).collect()}
+    assert rows[0] == 101.0 and rows[3] == 7.0 and rows[100] == 7.0 and 7 not in rows

@@ -146,6 +146,7 @@ EXTRA_SCALE_QUERIES = [
     "delta_ict_timestamp_travel",
     "delta_cm_nested_write",
     "delta_link_import",
+    "delta_update_cdf",
 ]
 SCALE_QUERIES = BENCH_QUERIES + EXTRA_SCALE_QUERIES
 from icegopher_spark.queries import QUERIES, load  # noqa: E402
