@@ -211,6 +211,7 @@ def main() -> None:
         "delta_cm_nested_write",
         "delta_link_import",
         "delta_update_cdf",
+        "delta_row_ids",
     ]
 
     # Noise calibration (r8 verdict #6): a fixed query timed once per

@@ -123,6 +123,10 @@ class DeltaSnapshot:
     # Metadata: latest per domain wins, removed=true tombstones it);
     # checkpoints must carry these or another engine's state is erased
     domain_metadata: dict[str, dict] = field(default_factory=dict)
+    # abs data path → {baseRowId, defaultRowCommitVersion} for files on
+    # row-tracked tables (protocol § Row Tracking) — stable row id of
+    # row i in a file = baseRowId + i; carried verbatim in checkpoints
+    row_tracking: dict[str, dict] = field(default_factory=dict)
 
 
 def _log_dir(table_path: str) -> str:
@@ -306,10 +310,19 @@ def _apply_action(state: dict, action: dict) -> None:
             pv = dict(pv)
         dv = _normalize_dv(a.get("deletionVector"))
         uid = _dv_unique_id(dv)
+        # row-tracking fields ride verbatim (protocol § Row Tracking):
+        # baseRowId anchors each file's stable row ids, and checkpoints
+        # must carry both or foreign readers lose id stability
+        extra = {
+            k: int(a[k])
+            for k in ("baseRowId", "defaultRowCommitVersion")
+            if a.get(k) is not None
+        } or None
         state["files"].setdefault(a["path"], {})[uid] = (
             pv,
             dv,
             a.get("stats") or None,
+            extra,
         )
         state["tombstones"].pop((a["path"], uid), None)
     elif "remove" in action and action["remove"] is not None:
@@ -660,6 +673,7 @@ def load_delta(
     files = []
     dvs: dict[str, dict] = {}
     stats: dict[str, dict] = {}
+    row_tracking: dict[str, dict] = {}
     for p, by_dv in sorted(state["files"].items()):
         if len(by_dv) > 1:
             # protocol-legal but writer-broken: two live logical files
@@ -674,11 +688,13 @@ def load_delta(
                 "added a new (path, dv) instance without removing the "
                 "previous one; refusing to read duplicated rows"
             )
-        pv, dv, st = next(iter(by_dv.values()))
+        pv, dv, st, extra = next(iter(by_dv.values()))
         absp = os.path.join(table_path, p)
         files.append((absp, pv))
         if dv:
             dvs[absp] = dict(dv)
+        if extra:
+            row_tracking[absp] = dict(extra)
         if st:
             try:
                 stats[absp] = json.loads(st) if isinstance(st, str) else dict(st)
@@ -701,6 +717,7 @@ def load_delta(
             state["tombstones"], key=lambda k: (k[0], k[1] or "")
         )],
         domain_metadata=dict(state.get("domainMetadata") or {}),
+        row_tracking=row_tracking,
     )
 
 
@@ -710,6 +727,7 @@ def read_delta(
     version: int | None = None,
     timestamp_ms: int | None = None,
     partition_filter=None,
+    with_row_ids: bool = False,
 ) -> DataFrame:
     """Read a Delta table as a Spark DataFrame.
 
@@ -731,11 +749,39 @@ def read_delta(
 
     Note: under column mapping, ``partition_filter`` receives
     partitionValues as written in the log — keyed by PHYSICAL name.
+
+    ``with_row_ids=True`` appends a ``_row_id`` column of STABLE row
+    ids on row-tracked tables (protocol § Row Tracking): id of row i
+    in a file = the file's ``baseRowId`` + i, computed from the scan's
+    row index and a broadcast (path → baseRowId) map — metadata-scale,
+    no extra shuffle.  Deletion vectors keep survivors' ids unchanged
+    (positions are file-ordinals).  Refuses tables that materialize
+    row ids into a data column (moved rows would need the materialized
+    values, which this reader does not resolve) and tables whose live
+    files lack baseRowId.
     """
     snap = load_delta(table_path, version=version, timestamp_ms=timestamp_ms)
     files = snap.files
     if partition_filter is not None:
         files = [(p, pv) for p, pv in files if partition_filter(pv)]
+    if with_row_ids:
+        mat = snap.configuration.get("delta.rowTracking.materializedRowIdColumnName")
+        if mat:
+            _refuse(
+                f"materialized row-id column {mat!r} (moved rows carry "
+                "materialized ids this reader does not resolve)",
+                "metaData.configuration",
+            )
+        missing = [
+            p for p, _ in files
+            if snap.row_tracking.get(p, {}).get("baseRowId") is None
+        ]
+        if missing:
+            raise ValueError(
+                f"read_delta(with_row_ids=True): {len(missing)} live "
+                "file(s) lack add.baseRowId — the table is not "
+                "row-tracked (or a non-preserving writer broke it)"
+            )
     masks = None
     if snap.deletion_vectors:
         from .delta_dv import dv_job_spec
@@ -746,7 +792,7 @@ def read_delta(
             for p, d in snap.deletion_vectors.items()
             if p in kept
         }
-    return _scan_files(
+    df = _scan_files(
         spark,
         snap.schema,
         snap.partition_columns,
@@ -754,6 +800,19 @@ def read_delta(
         physical_schema=snap.physical_schema,
         position_masks=masks,
         partition_name_map=_partition_name_map(snap),
+        with_position=with_row_ids,
+    )
+    if not with_row_ids:
+        return df
+    rows = [
+        (_uri_path(p), int(snap.row_tracking[p]["baseRowId"])) for p, _ in files
+    ]
+    base_map = spark.createDataFrame(rows, "_file_path string, __base_row_id long")
+    out_cols = [f.name for f in snap.schema.fields]
+    return (
+        df.join(F.broadcast(base_map), "_file_path", "inner")
+        .withColumn("_row_id", F.col("__base_row_id") + F.col("_row_pos"))
+        .select(*out_cols, "_row_id")
     )
 
 

@@ -1324,6 +1324,130 @@ def delta_dv_delete_write(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Row tracking (r11): stable row ids from add.baseRowId — the Delta
+# twin of the Iceberg row-lineage plane.
+
+_RT_MARKER = "rowtracking-fixture@v1"
+
+
+def build_delta_rowtracking_fixture(sf_dir: str, loc: str) -> None:
+    """Hand-author a row-tracked table (protocol § Row Tracking):
+
+      v0  protocol(writer 7: rowTracking+domainMetadata) + metaData +
+          adds for residues 0 and 1, each with a baseRowId (0 and
+          |file r0|) + the delta.rowTracking high-water-mark domain
+      v1  DV delete of file r0's keys %5==0 — the swap's re-add
+          carries the SAME baseRowId (id preservation: survivors keep
+          base + original position)
+    """
+    import numpy as np
+
+    from .delta_dv import write_dv_file
+
+    os.makedirs(os.path.join(loc, "_delta_log"), exist_ok=True)
+    tables = {r: _residue_table(sf_dir, r) for r in (0, 1)}
+    for r, t in tables.items():
+        pq.write_table(t, os.path.join(loc, f"file_r{r}.parquet"))
+    n0 = tables[0].num_rows
+    bases = {0: 0, 1: n0}
+    hwm = n0 + tables[1].num_rows - 1
+
+    actions = [
+        {
+            "protocol": {
+                "minReaderVersion": 1,
+                "minWriterVersion": 7,
+                "writerFeatures": ["rowTracking", "domainMetadata"],
+            }
+        },
+        _dv_fixture_meta(),
+        {
+            "domainMetadata": {
+                "domain": "delta.rowTracking",
+                "configuration": json.dumps({"rowIdHighWaterMark": hwm}),
+                "removed": False,
+            }
+        },
+    ]
+    for r in (0, 1):
+        a = _dv_add(loc, f"file_r{r}.parquet", None)
+        a["add"]["baseRowId"] = bases[r]
+        a["add"]["defaultRowCommitVersion"] = 0
+        actions.append(a)
+    _write_commit(loc, 0, actions)
+
+    keys0 = np.asarray(tables[0]["o_orderkey"])
+    pos = np.nonzero(keys0 % 5 == 0)[0].astype("uint64")
+    dv = write_dv_file(loc, pos)
+    rm = {
+        "path": "file_r0.parquet",
+        "deletionTimestamp": _T0 + 1000,
+        "dataChange": True,
+    }
+    add = _dv_add(loc, "file_r0.parquet", dv)
+    add["add"]["baseRowId"] = bases[0]  # id preservation across the swap
+    add["add"]["defaultRowCommitVersion"] = 0
+    _write_commit(loc, 1, [{"remove": rm}, add])
+    with open(os.path.join(loc, "_FIXTURE_OK"), "w") as f:
+        f.write(_RT_MARKER + "\n")
+
+
+def delta_rowtracking_fixture_path(sf_dir: str) -> str:
+    key = sf_dir.strip("/").replace("/", "_")
+    loc = f"{_CACHE_ROOT}/{key}/orders_delta_rowtracking"
+    ok = os.path.join(loc, "_FIXTURE_OK")
+    if os.path.exists(ok):
+        try:
+            with open(ok) as f:
+                if f.read().strip() == _RT_MARKER:
+                    return loc
+        except OSError:
+            pass
+    shutil.rmtree(loc, ignore_errors=True)
+    build_delta_rowtracking_fixture(sf_dir, loc)
+    return loc
+
+
+delta_row_ids_oracle = """
+WITH b AS (
+  SELECT o_orderkey, o_orderkey % 3 AS r,
+         ROW_NUMBER() OVER (PARTITION BY o_orderkey % 3 ORDER BY o_orderkey)
+           - 1 AS pos
+  FROM orders WHERE o_orderkey % 3 IN (0, 1)
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(pos + CASE WHEN r = 0 THEN 0
+            ELSE (SELECT COUNT(*) FROM orders WHERE o_orderkey % 3 = 0)
+            END) AS BIGINT) AS rowid_sum,
+       CAST(SUM(o_orderkey % 1000) AS BIGINT) AS okey_chk
+FROM b
+WHERE NOT (r = 0 AND o_orderkey % 5 = 0)
+"""
+
+
+@register(
+    "delta_row_ids",
+    delta_row_ids_oracle,
+    "row tracking: stable _row_id = add.baseRowId + file position, "
+    "unchanged by a deletion-vector delete",
+)
+def delta_row_ids(spark: SparkSession, sf: str) -> DataFrame:
+    """Reads a row-tracked table with ``with_row_ids=True``: each row's
+    stable id is its file's baseRowId + its file ordinal, attached via
+    a broadcast (path → base) map on the scan's row index — and a DV
+    delete between the commits must leave SURVIVORS' ids untouched
+    (positions are file ordinals, not live ordinals).  The oracle
+    recomputes ids from first principles with a window function."""
+    loc = delta_rowtracking_fixture_path(sf)
+    df = read_delta(spark, loc, with_row_ids=True)
+    return df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("_row_id").cast("bigint").alias("rowid_sum"),
+        F.sum(F.col("o_orderkey") % 1000).cast("bigint").alias("okey_chk"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Writer-emitted CDC files (r11): UPDATE on a CDF-enabled table writes
 # _change_data/ files carrying update_preimage/update_postimage pairs.
 

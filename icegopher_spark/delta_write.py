@@ -720,6 +720,13 @@ def write_checkpoint(
     ]
     if snap.deletion_vectors:
         add_fields.append(("deletionVector", dv_t))
+    if snap.row_tracking:
+        # row-tracked tables: baseRowId/defaultRowCommitVersion ride
+        # VERBATIM (protocol § Row Tracking) — dropping them from the
+        # checkpoint destroys every row's stable id once the JSON is
+        # vacuumed
+        add_fields.append(("baseRowId", pa.int64()))
+        add_fields.append(("defaultRowCommitVersion", pa.int64()))
     add_t = pa.struct(add_fields)
     meta_t = pa.struct(
         [
@@ -772,6 +779,10 @@ def write_checkpoint(
         }
         if snap.deletion_vectors:
             row["deletionVector"] = _dv_row(p)
+        if snap.row_tracking:
+            rt = snap.row_tracking.get(p) or {}
+            row["baseRowId"] = rt.get("baseRowId")
+            row["defaultRowCommitVersion"] = rt.get("defaultRowCommitVersion")
         rows_add.append(row)
 
     # remove tombstones younger than delta.deletedFileRetentionDuration

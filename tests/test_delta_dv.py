@@ -779,3 +779,62 @@ def test_v2_checkpoint_read_values(spark, v2cp_loc):
     ).fetchone()[0]
     con.close()
     assert got.count() == expect
+
+
+def test_row_tracking_checkpoint_carry_and_refusals(spark, tmp_path):
+    """Row-tracking fields survive OUR checkpoint (verbatim carry —
+    dropping baseRowId destroys every stable id once the JSON is
+    vacuumed); with_row_ids refuses materialized-id tables and
+    non-tracked tables."""
+    from icegopher_spark.delta_queries import delta_rowtracking_fixture_path
+    from icegopher_spark.delta_write import write_checkpoint
+
+    loc = str(tmp_path / "rt")
+    shutil.copytree(delta_rowtracking_fixture_path(SF), loc)
+    before = read_delta(spark, loc, with_row_ids=True)
+    ids_before = {r["o_orderkey"]: r["_row_id"] for r in before.collect()}
+
+    cp = write_checkpoint(loc)
+    for v in range(cp + 1):
+        p = os.path.join(loc, "_delta_log", f"{v:020d}.json")
+        if os.path.exists(p):
+            os.remove(p)
+    snap = load_delta(loc)
+    assert all(
+        rt.get("baseRowId") is not None for rt in snap.row_tracking.values()
+    ) and snap.row_tracking
+    ids_after = {
+        r["o_orderkey"]: r["_row_id"]
+        for r in read_delta(spark, loc, with_row_ids=True).collect()
+    }
+    assert ids_after == ids_before
+    # the row-tracking high-water-mark domain survived too
+    assert "delta.rowTracking" in snap.domain_metadata
+
+    # refusal: materialized row-id column configured (hand-written
+    # metaData commit — OUR writer refuses rowTracking tables outright,
+    # it cannot assign fresh baseRowIds)
+    import json as _json
+
+    meta = dict(snap.metadata_raw)
+    meta["configuration"] = {
+        **dict(meta.get("configuration") or {}),
+        "delta.rowTracking.materializedRowIdColumnName": "_hidden_id",
+    }
+    with open(
+        os.path.join(loc, "_delta_log", f"{cp + 1:020d}.json"), "w"
+    ) as f:
+        f.write(_json.dumps({"metaData": meta}) + "\n")
+    with pytest.raises(NotImplementedError, match="materialized row-id"):
+        read_delta(spark, loc, with_row_ids=True)
+
+    # refusal: a table without baseRowIds
+    plain = str(tmp_path / "plain")
+    from icegopher_spark.delta_write import append_delta, create_delta_table
+
+    df = spark.createDataFrame([(1, "a")], "k long, v string")
+    create_delta_table(plain, df.schema)
+    append_delta(spark, plain, df)
+    with pytest.raises(ValueError, match="baseRowId"):
+        read_delta(spark, plain, with_row_ids=True)
+

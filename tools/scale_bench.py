@@ -147,6 +147,7 @@ EXTRA_SCALE_QUERIES = [
     "delta_cm_nested_write",
     "delta_link_import",
     "delta_update_cdf",
+    "delta_row_ids",
 ]
 SCALE_QUERIES = BENCH_QUERIES + EXTRA_SCALE_QUERIES
 from icegopher_spark.queries import QUERIES, load  # noqa: E402
