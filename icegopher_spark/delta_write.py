@@ -1449,31 +1449,37 @@ def merge_upsert_delta(
     cdf = _cdf_enabled(snap)
     if cdf:
         matched = matched.persist()  # feeds the DV build AND the cdc write
-    actions = _dv_swap_actions(
-        spark, table_path, snap, matched.select("_file_path", "_row_pos")
-    )
-    post = source.select(*[f.name for f in snap.schema.fields])
-    _validate_constraints(snap, post, "merge")
-    cdc_actions: list[dict] = []
-    if cdf:
-        # CDF authority for the whole commit: updated keys emit
-        # pre/post image pairs, new keys emit inserts (cdc files are
-        # the SOLE change source for a commit that carries them)
-        cols = [f.name for f in snap.schema.fields]
-        matched_keys = matched.select(*key_columns).distinct()
-        pre = matched.select(*cols).withColumn(
-            "_change_type", F.lit("update_preimage")
+    try:
+        actions = _dv_swap_actions(
+            spark, table_path, snap, matched.select("_file_path", "_row_pos")
         )
-        src_matched = post.join(matched_keys, key_columns, "left_semi").withColumn(
-            "_change_type", F.lit("update_postimage")
-        )
-        src_new = post.join(matched_keys, key_columns, "left_anti").withColumn(
-            "_change_type", F.lit("insert")
-        )
-        cdc_actions = _stage_cdc(
-            spark, table_path, snap, pre.unionByName(src_matched).unionByName(src_new)
-        )
-        matched.unpersist()
+        post = source.select(*[f.name for f in snap.schema.fields])
+        _validate_constraints(snap, post, "merge")
+        cdc_actions: list[dict] = []
+        if cdf:
+            # CDF authority for the whole commit: updated keys emit
+            # pre/post image pairs, new keys emit inserts (cdc files are
+            # the SOLE change source for a commit that carries them)
+            cols = [f.name for f in snap.schema.fields]
+            matched_keys = matched.select(*key_columns).distinct()
+            pre = matched.select(*cols).withColumn(
+                "_change_type", F.lit("update_preimage")
+            )
+            src_matched = post.join(
+                matched_keys, key_columns, "left_semi"
+            ).withColumn("_change_type", F.lit("update_postimage"))
+            src_new = post.join(matched_keys, key_columns, "left_anti").withColumn(
+                "_change_type", F.lit("insert")
+            )
+            cdc_actions = _stage_cdc(
+                spark,
+                table_path,
+                snap,
+                pre.unionByName(src_matched).unionByName(src_new),
+            )
+    finally:
+        if cdf:
+            matched.unpersist()
     post, part_phys = _to_physical(snap, post)
     adds = _stage_and_collect(spark, table_path, post, part_phys)
     v = snap.version + 1

@@ -1018,3 +1018,44 @@ def test_cdf_enabled_update_and_merge_emit_cdc_files(spark, tmp_path):
     # the live read is unaffected by cdc files (they are not data)
     rows = {r["k"]: r["v"] for r in read_delta(spark, loc).collect()}
     assert rows[0] == 101.0 and rows[3] == 7.0 and rows[100] == 7.0 and 7 not in rows
+
+
+def test_cdf_update_on_column_mapped_table(spark, tmp_path):
+    """CDC files on a column-mapped table: staged under PHYSICAL names
+    with _change_type riding unmapped; read back logically through the
+    cdc scan's relabel."""
+    from icegopher_spark.delta import read_changes
+    from icegopher_spark.delta_write import update_where_delta
+
+    loc = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(10)], "k long, v double"
+    )
+    create_delta_table(
+        loc, df.schema, column_mapping=True,
+        configuration={"delta.enableChangeDataFeed": "true"},
+    )
+    append_delta(spark, loc, df)
+    v = update_where_delta(spark, loc, F.col("k") % 3 == 0, {"v": F.lit(-1.0)})
+
+    # the staged cdc parquet carries physical names + _change_type
+    import pyarrow.parquet as pq
+
+    cdc_dir = os.path.join(loc, "_change_data")
+    cdc_files = [
+        os.path.join(dp, fn)
+        for dp, _, fns in os.walk(cdc_dir)
+        for fn in fns
+        if fn.endswith(".parquet")
+    ]
+    assert cdc_files
+    names = pq.ParquetFile(cdc_files[0]).schema_arrow.names
+    assert "_change_type" in names
+    assert all(n.startswith("col-") for n in names if n != "_change_type")
+
+    ch = read_changes(spark, loc, v, v)
+    got = {(r["k"], r["_change_type"]): r["v"] for r in ch.collect()}
+    for k in (0, 3, 6, 9):
+        assert got[(k, "update_preimage")] == float(k)
+        assert got[(k, "update_postimage")] == -1.0
+    assert len(got) == 8
