@@ -78,6 +78,12 @@ _SUPPORTED_READER_FEATURES = {
     "deletionVectors",
     "columnMapping",
     "v2Checkpoints",
+    # vacuumProtocolCheck changes NO read behavior — it obliges VACUUM
+    # implementations to protocol-check before deleting (delta-spark
+    # 3.x enables it by default; refusing bounced real tables).  This
+    # repo's vacuum surface is a dry-run candidate list that performs
+    # a full load_delta (hence a protocol check) before listing.
+    "vacuumProtocolCheck",
 }
 
 _COLUMN_MAPPING_MODES = ("", "none", "name", "id")

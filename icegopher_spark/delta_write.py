@@ -497,6 +497,10 @@ _SUPPORTED_WRITER_FEATURES = {
     # checkpoints carry them verbatim; this writer's DML never touches
     # another engine's domains
     "domainMetadata",
+    # the vacuum surface (vacuum_candidates) is a dry-run that
+    # protocol-checks via load_delta before listing — the feature's
+    # whole obligation
+    "vacuumProtocolCheck",
 }
 
 _ROW_REMOVING_OPS = {"delete", "update", "merge", "overwrite", "restore"}

@@ -510,3 +510,30 @@ def test_ict_timestamp_travel_prefers_in_commit_timestamp(spark):
 
     hist = {h["version"]: h["timestamp"] for h in delta_history(loc)}
     assert hist[2] == _T0 + 2000
+
+
+def test_vacuum_protocol_check_feature_reads_and_writes(spark, fixture_loc, tmp_path):
+    """vacuumProtocolCheck (delta-spark 3.x default) changes no read
+    behavior — tables carrying it must read and write, not bounce."""
+    loc = _copy_table(fixture_loc, tmp_path, "vpc")
+    _append_commit(
+        loc,
+        4,
+        [
+            {
+                "protocol": {
+                    "minReaderVersion": 3,
+                    "minWriterVersion": 7,
+                    "readerFeatures": ["vacuumProtocolCheck"],
+                    "writerFeatures": ["vacuumProtocolCheck"],
+                }
+            }
+        ],
+    )
+    assert load_delta(loc).version == 4
+    assert read_delta(spark, loc).count() > 0
+    from icegopher_spark.delta_write import append_delta
+
+    df = read_delta(spark, loc).limit(1)
+    append_delta(spark, loc, df)
+    assert load_delta(loc).version == 5
