@@ -212,6 +212,7 @@ def main() -> None:
         "delta_link_import",
         "delta_update_cdf",
         "delta_row_ids",
+        "delta_type_widening",
     ]
 
     # Noise calibration (r8 verdict #6): a fixed query timed once per

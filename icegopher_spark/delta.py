@@ -84,6 +84,15 @@ _SUPPORTED_READER_FEATURES = {
     # repo's vacuum surface is a dry-run candidate list that performs
     # a full load_delta (hence a protocol check) before listing.
     "vacuumProtocolCheck",
+    # typeWidening: older files carry NARROWER physical types than the
+    # current schema (§ Type Widening: byte/short/int→long, int→double,
+    # float→double, decimal precision/scale growth, date→timestampNtz).
+    # Both read paths already project files into the CURRENT schema —
+    # Spark's parquet reader and the Arrow kernel's per-column cast
+    # upcast every spec-listed widening natively (verified empirically
+    # on Spark 4.1 / pyarrow) — so no extra machinery is needed.
+    "typeWidening",
+    "typeWidening-preview",
 }
 
 _COLUMN_MAPPING_MODES = ("", "none", "name", "id")

@@ -1324,6 +1324,132 @@ def delta_dv_delete_write(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Type widening (r11): files written under NARROWER types than the
+# current schema (protocol § Type Widening).
+
+_TW_MARKER = "typewidening-fixture@v1"
+
+
+def build_delta_typewidening_fixture(sf_dir: str, loc: str) -> None:
+    """v0: file_r0 written with INT32 keys under an int schema;
+    v1: metaData widens both key columns to long (delta.typeChanges in
+    field metadata, typeWidening feature) + file_r1 written with INT64
+    keys.  A reader that trusts the file footers over the table schema
+    produces mixed types; one that refuses the feature bounces the
+    table — both fail the oracle."""
+    os.makedirs(os.path.join(loc, "_delta_log"), exist_ok=True)
+    for r in (0, 1):
+        t = _residue_table(sf_dir, r)
+        if r == 0:
+            t = t.set_column(0, "o_orderkey", t["o_orderkey"].cast(pa.int32()))
+            t = t.set_column(1, "o_custkey", t["o_custkey"].cast(pa.int32()))
+        pq.write_table(t, os.path.join(loc, f"file_r{r}.parquet"))
+
+    def _schema(key_type: str, with_changes: bool) -> str:
+        changes_md = (
+            {
+                "delta.typeChanges": [
+                    {"fromType": "integer", "toType": "long", "tableVersion": 1}
+                ]
+            }
+            if with_changes
+            else {}
+        )
+        return json.dumps(
+            {
+                "type": "struct",
+                "fields": [
+                    {"name": "o_orderkey", "type": key_type, "nullable": True,
+                     "metadata": dict(changes_md)},
+                    {"name": "o_custkey", "type": key_type, "nullable": True,
+                     "metadata": dict(changes_md)},
+                    {"name": "o_totalprice", "type": "double", "nullable": True,
+                     "metadata": {}},
+                ],
+            }
+        )
+
+    meta = {
+        "id": "icegopher-delta-tw-fixture",
+        "format": {"provider": "parquet", "options": {}},
+        "partitionColumns": [],
+        "configuration": {},
+        "createdTime": _T0,
+    }
+    _write_commit(
+        loc,
+        0,
+        [
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+            {"metaData": {**meta, "schemaString": _schema("integer", False)}},
+            _dv_add(loc, "file_r0.parquet", None),
+        ],
+    )
+    _write_commit(
+        loc,
+        1,
+        [
+            {
+                "protocol": {
+                    "minReaderVersion": 3,
+                    "minWriterVersion": 7,
+                    "readerFeatures": ["typeWidening"],
+                    "writerFeatures": ["typeWidening"],
+                }
+            },
+            {"metaData": {**meta, "schemaString": _schema("long", True)}},
+            _dv_add(loc, "file_r1.parquet", None),
+        ],
+    )
+    with open(os.path.join(loc, "_FIXTURE_OK"), "w") as f:
+        f.write(_TW_MARKER + "\n")
+
+
+def delta_typewidening_fixture_path(sf_dir: str) -> str:
+    key = sf_dir.strip("/").replace("/", "_")
+    loc = f"{_CACHE_ROOT}/{key}/orders_delta_typewidening"
+    ok = os.path.join(loc, "_FIXTURE_OK")
+    if os.path.exists(ok):
+        try:
+            with open(ok) as f:
+                if f.read().strip() == _TW_MARKER:
+                    return loc
+        except OSError:
+            pass
+    shutil.rmtree(loc, ignore_errors=True)
+    build_delta_typewidening_fixture(sf_dir, loc)
+    return loc
+
+
+delta_type_widening_oracle = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(o_orderkey) AS BIGINT) AS okey_sum,
+       CAST(SUM(o_custkey % 1000) AS BIGINT) AS cust_chk
+FROM orders
+WHERE o_orderkey % 3 IN (0, 1)
+"""
+
+
+@register(
+    "delta_type_widening",
+    delta_type_widening_oracle,
+    "type widening: int32-written files read under the widened long "
+    "schema in one scan",
+)
+def delta_type_widening(spark: SparkSession, sf: str) -> DataFrame:
+    """One scan over a mixed-width file set projected into the CURRENT
+    (widened) schema — int32 footers upcast to long in the reader, no
+    UDF, no per-file branching."""
+    loc = delta_typewidening_fixture_path(sf)
+    df = read_delta(spark, loc)
+    return df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("o_orderkey").cast("bigint").alias("okey_sum"),
+        F.sum(F.col("o_custkey") % 1000).cast("bigint").alias("cust_chk"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Row tracking (r11): stable row ids from add.baseRowId — the Delta
 # twin of the Iceberg row-lineage plane.
 

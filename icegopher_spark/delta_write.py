@@ -501,6 +501,12 @@ _SUPPORTED_WRITER_FEATURES = {
     # protocol-checks via load_delta before listing — the feature's
     # whole obligation
     "vacuumProtocolCheck",
+    # typeWidening's writer obligation is recording delta.typeChanges
+    # WHEN ALTERING a type; this writer never alters existing field
+    # types (add_column adds fresh ones), and appends stage under the
+    # current (widest) schema — vacuously compliant
+    "typeWidening",
+    "typeWidening-preview",
 }
 
 _ROW_REMOVING_OPS = {"delete", "update", "merge", "overwrite", "restore"}

@@ -537,3 +537,33 @@ def test_vacuum_protocol_check_feature_reads_and_writes(spark, fixture_loc, tmp_
     df = read_delta(spark, loc).limit(1)
     append_delta(spark, loc, df)
     assert load_delta(loc).version == 5
+
+
+def test_type_widening_all_faces(spark, tmp_path):
+    """int32-written files under a widened long schema: batch
+    (spark.read upcast), DataSource face (Arrow kernel cast), and the
+    stream source's bootstrap all agree."""
+    from icegopher_spark.delta_queries import delta_typewidening_fixture_path
+
+    loc = delta_typewidening_fixture_path(SF)
+    batch = read_delta(spark, loc)
+    assert dict(batch.dtypes)["o_orderkey"] == "bigint"
+    expect = sorted(r["o_orderkey"] for r in batch.collect())
+
+    from icegopher_spark.delta_dsv2 import _DeltaBatchReader
+
+    br = _DeltaBatchReader({"location": loc})
+    got = []
+    for p in br.partitions():
+        for b in br.read(p):
+            got.extend(b.column("o_orderkey").to_pylist())
+    assert sorted(got) == expect
+
+    from icegopher_spark.streaming.delta_source import _DeltaStreamReader
+
+    r = _DeltaStreamReader({"location": loc})
+    got2 = []
+    for p in r.partitions(r.initialOffset(), r.latestOffset()):
+        for b in r.read(p):
+            got2.extend(b.column("o_orderkey").to_pylist())
+    assert sorted(got2) == expect

@@ -148,6 +148,7 @@ EXTRA_SCALE_QUERIES = [
     "delta_link_import",
     "delta_update_cdf",
     "delta_row_ids",
+    "delta_type_widening",
 ]
 SCALE_QUERIES = BENCH_QUERIES + EXTRA_SCALE_QUERIES
 from icegopher_spark.queries import QUERIES, load  # noqa: E402
