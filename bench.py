@@ -213,6 +213,7 @@ def main() -> None:
         "delta_update_cdf",
         "delta_row_ids",
         "delta_type_widening",
+        "delta_variant_read",
     ]
 
     # Noise calibration (r8 verdict #6): a fixed query timed once per

@@ -93,6 +93,13 @@ _SUPPORTED_READER_FEATURES = {
     # on Spark 4.1 / pyarrow) — so no extra machinery is needed.
     "typeWidening",
     "typeWidening-preview",
+    # variantType: schemaString's "variant" parses natively
+    # (StructType.fromJson) and the BATCH scan reads parquet variant
+    # columns under an explicit schema (verified on Spark 4.1); the
+    # Arrow-kernel faces (DataSource batch/stream) refuse variant
+    # tables loudly — Arrow has no variant logical type yet
+    "variantType",
+    "variantType-preview",
 }
 
 _COLUMN_MAPPING_MODES = ("", "none", "name", "id")

@@ -161,8 +161,10 @@ class _DeltaBatchReader(DataSourceReader):
     def partitions(self):
         from .delta import _partition_name_map
         from .delta_dv import dv_job_spec
+        from .streaming.delta_source import _refuse_variant_schema
 
         snap = self._snapshot()
+        _refuse_variant_schema(snap.schema, "icegopher_delta DataSource")
         phys_map = None
         if snap.physical_schema is not None:
             for lf, pf in zip(snap.schema.fields, snap.physical_schema.fields):

@@ -1324,6 +1324,89 @@ def delta_dv_delete_write(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Variant (r11): Delta variantType columns, written and read by this
+# repo's own writer/reader through Spark's native parquet variant.
+
+_VAR_MARKER = "variant-fixture@v1"
+
+
+def delta_variant_fixture_path(spark: SparkSession, sf_dir: str) -> str:
+    """Create-or-reuse a Delta table with a VARIANT payload column
+    built from orders (ok/tp fields), written by this repo's writer —
+    create auto-declares the variantType feature vector."""
+    key = sf_dir.strip("/").replace("/", "_")
+    loc = f"{_CACHE_ROOT}/{key}/orders_delta_variant"
+    ok = os.path.join(loc, "_FIXTURE_OK")
+    if os.path.exists(ok):
+        try:
+            with open(ok) as f:
+                if f.read().strip() == _VAR_MARKER:
+                    return loc
+        except OSError:
+            pass
+    shutil.rmtree(loc, ignore_errors=True)
+
+    from .delta_write import append_delta, create_delta_table
+    from .queries import load as _load
+
+    orders = _load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.parse_json(
+            F.concat(
+                F.lit('{"ok": '),
+                F.col("o_orderkey").cast("string"),
+                F.lit(', "tp": '),
+                F.col("o_totalprice").cast("string"),
+                F.lit("}"),
+            )
+        ).alias("payload"),
+    )
+    create_delta_table(loc, orders.schema)
+    append_delta(spark, loc, orders)
+    with open(ok, "w") as f:
+        f.write(_VAR_MARKER + "\n")
+    return loc
+
+
+delta_variant_read_oracle = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(o_orderkey) AS BIGINT) AS okey_sum,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE)
+         AS total_price
+FROM orders
+"""
+
+
+@register(
+    "delta_variant_read",
+    delta_variant_read_oracle,
+    "Delta variantType: write + read a VARIANT column, extract typed "
+    "fields with variant_get",
+)
+def delta_variant_read(spark: SparkSession, sf: str) -> DataFrame:
+    """The payload column is semi-structured VARIANT (protocol §
+    Variant Data Type; feature auto-declared on create); the read is
+    the plain batch scan and extraction is codegen variant_get — a
+    reader that drops or misreads the variant column fails both sums."""
+    loc = delta_variant_fixture_path(spark, sf)
+    df = read_delta(spark, loc)
+    return df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.try_variant_get("payload", "$.ok", "long"))
+        .cast("bigint")
+        .alias("okey_sum"),
+        F.round(
+            F.sum(
+                F.try_variant_get("payload", "$.tp", "double").cast("decimal(12,2)")
+            ),
+            2,
+        )
+        .cast("double")
+        .alias("total_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Type widening (r11): files written under NARROWER types than the
 # current schema (protocol § Type Widening).
 

@@ -181,6 +181,18 @@ def create_delta_table(
         conf.setdefault("delta.columnMapping.mode", "name")
         conf.setdefault("delta.columnMapping.maxColumnId", str(counter["id"]))
         proto = {"minReaderVersion": 2, "minWriterVersion": 5}
+    if "variant" in schema.simpleString():
+        # variant demands the feature-vector protocol form (§ Variant
+        # Data Type); enumerate columnMapping too when both apply
+        feats = sorted(
+            {"variantType"} | ({"columnMapping"} if column_mapping else set())
+        )
+        proto = {
+            "minReaderVersion": 3,
+            "minWriterVersion": 7,
+            "readerFeatures": feats,
+            "writerFeatures": feats,
+        }
     _commit(
         table_path,
         0,
@@ -238,18 +250,23 @@ def _stage_and_collect(
                 continue
             full = os.path.join(dirpath, fn)
             rel = os.path.relpath(full, table_path)
-            adds.append(
-                {
-                    "add": {
-                        "path": rel.replace(os.sep, "/"),
-                        "partitionValues": {c: pv.get(c) for c in part_cols},
-                        "size": os.path.getsize(full),
-                        "modificationTime": int(os.path.getmtime(full) * 1000),
-                        "dataChange": True,
-                        "stats": json.dumps(_footer_stats(pq.ParquetFile(full))),
-                    }
-                }
-            )
+            try:
+                stats = json.dumps(_footer_stats(pq.ParquetFile(full)))
+            except Exception:  # noqa: BLE001
+                # stats are advisory; pyarrow cannot parse some logical
+                # types Spark writes (VARIANT) — skip rather than fail
+                # the whole commit
+                stats = None
+            add = {
+                "path": rel.replace(os.sep, "/"),
+                "partitionValues": {c: pv.get(c) for c in part_cols},
+                "size": os.path.getsize(full),
+                "modificationTime": int(os.path.getmtime(full) * 1000),
+                "dataChange": True,
+            }
+            if stats is not None:
+                add["stats"] = stats
+            adds.append({"add": add})
     if not adds:
         shutil.rmtree(out_dir, ignore_errors=True)
     return adds
@@ -507,6 +524,11 @@ _SUPPORTED_WRITER_FEATURES = {
     # current (widest) schema — vacuously compliant
     "typeWidening",
     "typeWidening-preview",
+    # variant columns stage through Spark's native parquet variant
+    # writer; footer stats skip them (non-numeric), partitioning on
+    # them is refused by _PARTITIONABLE
+    "variantType",
+    "variantType-preview",
 }
 
 _ROW_REMOVING_OPS = {"delete", "update", "merge", "overwrite", "restore"}

@@ -70,6 +70,18 @@ class _DeltaFilePartition(InputPartition):
         self.phys_map: dict | None = None
 
 
+def _refuse_variant_schema(schema, who: str) -> None:
+    """Arrow has no variant logical type — the Arrow-kernel faces
+    refuse variant tables loudly; the batch `read_delta` path reads
+    them natively (Spark's parquet variant reader)."""
+    if "variant" in schema.simpleString():
+        raise NotImplementedError(
+            f"{who}: table schema contains a VARIANT column — the "
+            "Arrow-kernel DataSource faces cannot represent it; read "
+            "via read_delta() instead"
+        )
+
+
 def _pv_value(raw: str | None, spark_type: str):
     """Decode one partitionValues string per the protocol's Partition
     Value Serialization rules ('' == NULL for non-strings)."""
@@ -172,6 +184,7 @@ class _DeltaStreamReader(DataSourceStreamReader):
     def _partitions_impl(self, start: dict, end: dict):
         self._track_served(end["version"])
         snap = self._snapshot(end["version"])
+        _refuse_variant_schema(snap.schema, "Delta stream")
         phys_map = None
         if snap.physical_schema is not None:
             # top-level physical→logical is a per-column rename the

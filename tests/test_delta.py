@@ -567,3 +567,33 @@ def test_type_widening_all_faces(spark, tmp_path):
         for b in r.read(p):
             got2.extend(b.column("o_orderkey").to_pylist())
     assert sorted(got2) == expect
+
+
+def test_variant_arrow_faces_refuse(spark, tmp_path):
+    """VARIANT tables read via the batch path; the Arrow-kernel
+    DataSource faces refuse loudly (Arrow has no variant type)."""
+    from pyspark.sql import functions as F
+
+    from icegopher_spark.delta_write import append_delta, create_delta_table
+
+    loc = str(tmp_path / "var")
+    df = spark.range(3).select(
+        F.col("id").alias("k"),
+        F.parse_json(F.lit('{"a": 1}')).alias("payload"),
+    )
+    create_delta_table(loc, df.schema)
+    append_delta(spark, loc, df)
+    proto = load_delta(loc).protocol
+    assert "variantType" in proto["readerFeatures"]
+    assert read_delta(spark, loc).count() == 3
+
+    from icegopher_spark.delta_dsv2 import _DeltaBatchReader
+
+    with pytest.raises(NotImplementedError, match="VARIANT"):
+        _DeltaBatchReader({"location": loc}).partitions()
+
+    from icegopher_spark.streaming.delta_source import _DeltaStreamReader
+
+    r = _DeltaStreamReader({"location": loc})
+    with pytest.raises(NotImplementedError, match="VARIANT"):
+        r.partitions(r.initialOffset(), r.latestOffset())

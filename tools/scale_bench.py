@@ -149,6 +149,7 @@ EXTRA_SCALE_QUERIES = [
     "delta_update_cdf",
     "delta_row_ids",
     "delta_type_widening",
+    "delta_variant_read",
 ]
 SCALE_QUERIES = BENCH_QUERIES + EXTRA_SCALE_QUERIES
 from icegopher_spark.queries import QUERIES, load  # noqa: E402
