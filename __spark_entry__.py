@@ -73,56 +73,6 @@ def _adjudication_weight() -> dict[str, tuple[int, float]]:
     }
 
 
-# Queries whose implementation changed AFTER their last green
-# adjudication: (names, edit round). Their accumulated weight is
-# discounted so the rotation re-verifies them against current code
-# ahead of multiply-green queries — but only until a LATER round
-# adjudicates them again, at which point the discount expires.
-# r3 edit: the TPC-H join block's broadcast hints (queries.py, commit
-# 482260b) changed after the block's r1/r2 greens.
-_STALE_GREEN: list[tuple[tuple[str, ...], int]] = [
-    (
-        (
-            "q2_min_cost_supplier",
-            "q5_local_supplier_volume",
-            "q7_volume_shipping",
-            "q8_national_market_share",
-            "q9_profit_by_nation_year",
-            "q10_returned_items",
-            "q13_customer_distribution",
-            "q15_top_supplier",
-            "q18_large_volume_customer",
-            "topk_suppliers_per_nation",
-        ),
-        3,
-    ),
-    # r4 edits: simhash block tables + sig split, LSH vectorized keys +
-    # recall oracles, dedup case-pin refactor (word_ngrams), q15 window
-    # removal, multimodal codec autodetect, avro task-commit protocol,
-    # events footer probe. All re-verified locally vs oracles this
-    # round; listed so the DRIVER's adjudication also lands on current
-    # code.
-    (
-        (
-            "dedup_simhash",
-            "dedup_minhash_lsh",
-            "dedup_ngram_jaccard",
-            "dedup_exact",
-            "sim_lsh_topk",
-            "sim_neardup_embeddings",
-            "sim_ivf_topk",
-            "sim_ivf_index_topk",
-            "mm_thumbnails",
-            "mm_image_features",
-            "iceberg_avro_roundtrip",
-            "events_hourly_rollup",
-            "events_sessionization",
-        ),
-        4,
-    ),
-]
-
-
 def _latest_adjudicated_round() -> dict[str, int]:
     """query name -> highest round number whose CORRECTNESS file holds
     a row for it."""
@@ -139,34 +89,62 @@ def _latest_adjudicated_round() -> dict[str, int]:
     return latest
 
 
-def _stale_discount() -> dict[str, float]:
-    latest = _latest_adjudicated_round()
-    out: dict[str, float] = {}
-    for names, edit_round in _STALE_GREEN:
-        for n in names:
-            if latest.get(n, 0) <= edit_round:
-                out[n] = 2.0
-    return out
+def _stale_set() -> set[str]:
+    """Gates whose source hash differs from the hash at their last
+    driver adjudication (r11 verdict task #1: mechanical staleness
+    replaces the old hand-maintained _STALE_GREEN list). On any failure
+    the gate is treated as stale — re-verify sooner, never trust a
+    green the code may have outgrown."""
+    try:
+        from icegopher_spark import gate_hash
+
+        locations = {
+            n: (q.fn.__module__, q.fn.__name__) for n, q in QUERIES.items()
+        }
+        return gate_hash.stale_gates(locations, _latest_adjudicated_round())
+    except Exception:
+        return set(QUERIES)
 
 
-def _ordered_names() -> list[str]:
-    """Rotation order: last-round reds first, then by how LONG AGO the
-    query was last adjudicated (never-seen = round 0, so new queries
-    lead), then by accumulated scrutiny weight. Recency outranks weight
-    (round-5 change): a query green twice in r1+r2 needs re-checking
-    more than one green once in r4 — the old weight-first sort left 19
-    r1/r2-latest queries behind the 50-query window indefinitely."""
-    names = list(QUERIES)
-    weight = _adjudication_weight()
-    discount = _stale_discount()
-    latest = _latest_adjudicated_round()
+def _rotation_order(
+    names: list[str],
+    weight: dict[str, tuple[int, float]],
+    latest: dict[str, int],
+    stale: set[str],
+) -> list[str]:
+    """Pure rotation sort (factored out for the pytest pin).
+
+    Order: last-round reds first; then the stale group — gates whose
+    code changed since their last adjudication, plus never-adjudicated
+    gates — so every green the driver reports was earned by the code as
+    it stands now; within each group, least-recently-adjudicated first
+    (never-seen = round 0 leads), then least accumulated scrutiny, then
+    registry order for determinism."""
     index = {n: i for i, n in enumerate(names)}
 
     def key(n: str):
         red, w = weight.get(n, (0, 0.0))
-        return (red, latest.get(n, 0), max(w - discount.get(n, 0.0), 0.0), index[n])
+        in_stale_group = 0 if (n in stale or latest.get(n, 0) == 0) else 1
+        return (red, in_stale_group, latest.get(n, 0), w, index[n])
 
     return sorted(names, key=key)
+
+
+_ORDER_CACHE: list[str] | None = None
+
+
+def _ordered_names() -> list[str]:
+    # cached per process: the stale-set hash pass costs ~5s and the
+    # driver calls queries() and oracle_sql() back-to-back
+    global _ORDER_CACHE
+    if _ORDER_CACHE is None or set(_ORDER_CACHE) != set(QUERIES):
+        _ORDER_CACHE = _rotation_order(
+            list(QUERIES),
+            _adjudication_weight(),
+            _latest_adjudicated_round(),
+            _stale_set(),
+        )
+    return list(_ORDER_CACHE)
 
 
 def entry(spark: SparkSession) -> DataFrame:
