@@ -1579,7 +1579,12 @@ def link_delta_to_iceberg(spark: SparkSession, delta_path: str, iceberg_location
             (os.path.abspath(p), json.dumps({"dv": dv_job_spec(delta_path, d)}))
             for p, d in sorted(snap.deletion_vectors.items())
         ]
-        src = spark.createDataFrame(rows, "fp string, job string")
+        # exact slice count (vs 32-partition default + repartition
+        # shuffle): saves ~0.4s of empty-task scheduling per call
+        src = spark.createDataFrame(
+            spark.sparkContext.parallelize(rows, min(len(rows), 32)),
+            "fp string, job string",
+        )
 
         def _explode(batches):
             import numpy as np
@@ -1596,9 +1601,7 @@ def link_delta_to_iceberg(spark: SparkSession, delta_path: str, iceberg_location
                         }
                     )
 
-        union_df = src.repartition(min(len(rows), 32)).mapInPandas(
-            _explode, "file_path string, pos long"
-        )
+        union_df = src.mapInPandas(_explode, "file_path string, pos long")
         dv_files = W.write_dv_files(t, union_df)
         if dv_files:
             keep = read_manifest_list(

@@ -1047,8 +1047,11 @@ def _dv_positions_df(
         )
         for d in dv_entries
     ]
+    # exact slice count: the default 32-partition local frame + a
+    # repartition shuffle cost ~0.4s of empty-task scheduling per scan
     src = spark.createDataFrame(
-        meta, "puffin_path string, off bigint, len bigint, ref string"
+        spark.sparkContext.parallelize(meta, min(len(meta), 32)),
+        "puffin_path string, off bigint, len bigint, ref string",
     )
 
     def _decode(batches):
@@ -1065,9 +1068,7 @@ def _dv_positions_df(
                     }
                 )
 
-    return src.repartition(min(len(meta), 32)).mapInPandas(
-        _decode, "_del_path string, _del_pos bigint"
-    )
+    return src.mapInPandas(_decode, "_del_path string, _del_pos bigint")
 
 
 def strip_file_scheme(path: str) -> str:
