@@ -541,6 +541,61 @@ def group_centroids(
 _SEMDEDUP_ASSIGN_CACHE: list = []
 
 
+def _metadata_row_count(df: DataFrame) -> int | None:
+    """Exact row count from parquet footers — no data scan — when the
+    frame is a pure column-prune/repartition over parquet files (the
+    r11 verdict task #3: semdedup's corpus-pricing count() re-scanned
+    the whole embeddings table; for a table-backed frame the row count
+    already sits in file metadata). Returns None for anything with a
+    filter/join/limit in the plan — those change the row count, so the
+    caller falls back to count().
+
+    Scale posture: footers are metadata-sized. Up to 256 files the
+    driver reads them directly (~ms each); beyond that the reads fan
+    out as one executor job over the file list — still metadata-only,
+    never a data scan."""
+    allowed = {
+        "Project",
+        "Repartition",
+        "RepartitionByExpression",
+        "Rebalance",
+        "SubqueryAlias",
+        "View",
+        "Relation",
+        "LogicalRelation",
+    }
+    try:
+        tree = df._jdf.queryExecution().analyzed().toString()
+        for line in tree.splitlines():
+            name = line.lstrip(" +-:'").split(" ", 1)[0]
+            if name and name not in allowed:
+                return None
+        if "parquet" not in tree:
+            return None
+        files = df.inputFiles()
+    except Exception:
+        return None
+    if not files:
+        return None
+    from urllib.parse import unquote, urlparse
+
+    paths = [unquote(urlparse(f).path) for f in files]
+
+    def _footer_rows(path: str) -> int:
+        import pyarrow.parquet as pq
+
+        return pq.ParquetFile(path).metadata.num_rows
+
+    try:
+        if len(paths) <= 256:
+            return sum(_footer_rows(p) for p in paths)
+        sc = df.sparkSession.sparkContext
+        n_slices = min(len(paths), sc.defaultParallelism)
+        return sc.parallelize(paths, n_slices).map(_footer_rows).sum()
+    except Exception:
+        return None
+
+
 def semdedup(
     df: DataFrame,
     threshold: float = 0.95,
@@ -577,9 +632,12 @@ def semdedup(
         # stays ~target_cluster_size (SemDeDup uses 50k clusters for
         # LAION for exactly this reason). A fixed n_clusters turns the
         # within-cluster join quadratic: the 10x scale artifact
-        # measured 11.7x before this default. One count of the id
-        # column prices the corpus.
-        n = df.count()
+        # measured 11.7x before this default. Table-backed frames are
+        # priced from parquet footer metadata (no scan); ad-hoc frames
+        # fall back to one count of the id column.
+        n = _metadata_row_count(df)
+        if n is None:
+            n = df.count()
         n_clusters = max(16, n // target_cluster_size)
     cents = _kmeans_centroids(df, vec_col, n_clusters, seed)
     assigned = df.select(

@@ -197,3 +197,52 @@ def test_hard_negatives_auto_small_corpus_exact(spark, corpus):
     auto = {tuple(r) for r in S.hard_negatives(emb, q, k=2).collect()}
     exact = {tuple(r) for r in S.hard_negatives(emb, q, k=2, method="broadcast").collect()}
     assert auto == exact
+
+
+# -- metadata-priced semdedup (r11 verdict task #3) ---------------------------
+
+
+def test_metadata_row_count_exact_for_table_backed_frames(spark):
+    df = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    n = S._metadata_row_count(df)
+    assert n == df.count()
+    # survives column pruning and a repartition (the load() path shape)
+    pruned = df.select("vec_id", "embedding").repartition(8)
+    assert S._metadata_row_count(pruned) == n
+
+
+def test_metadata_row_count_refuses_row_changing_plans(spark):
+    df = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    assert S._metadata_row_count(df.filter(F.col("vec_id") > 10)) is None
+    assert S._metadata_row_count(df.limit(5)) is None
+    assert S._metadata_row_count(df.join(df.select("vec_id"), "vec_id")) is None
+    # ad-hoc local frames have no parquet files behind them
+    assert S._metadata_row_count(spark.range(10).toDF("vec_id")) is None
+
+
+def test_metadata_row_count_runs_no_spark_job(spark):
+    """The pricing pass must be metadata-only for table-backed input:
+    footers are read on the driver, no scan job is submitted."""
+    df = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    tracker = spark.sparkContext.statusTracker()
+    before = set(tracker.getJobIdsForGroup(None) or [])
+    assert S._metadata_row_count(df) is not None
+    after = set(tracker.getJobIdsForGroup(None) or [])
+    assert after == before, "metadata pricing submitted a Spark job"
+
+
+def test_semdedup_prices_table_backed_corpus_without_count(spark, corpus):
+    """Poison the INPUT frame's count(): semdedup must price a pure
+    table scan from footer metadata. (_kmeans_centroids' own count
+    runs on a derived non-null frame — a different DataFrame object —
+    so instance-level poisoning isolates exactly the pricing pass.)"""
+    df = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+
+    def boom():
+        raise AssertionError("semdedup priced a table-backed corpus with count()")
+
+    df.count = boom
+    out = S.semdedup(df, threshold=0.99)
+    assert {"id", "cluster", "keep"} <= set(out.columns)
