@@ -2078,7 +2078,7 @@ def delta_merge_upsert(spark: SparkSession, sf: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Zero-copy link export (r10): Iceberg files registered in a Delta log.
 
-_LNK_MARKER = "lnk-fixture@v1"
+_LNK_MARKER = "lnk-fixture@v2"
 
 
 def delta_lnk_fixture_path(spark: SparkSession, sf_dir: str) -> str:
@@ -2100,7 +2100,6 @@ def delta_lnk_fixture_path(spark: SparkSession, sf_dir: str) -> str:
     os.makedirs(loc_root, exist_ok=True)
 
     import icegopher_spark.iceberg.write as W
-    from icegopher_spark.iceberg import expressions as E
     from icegopher_spark.iceberg.schema import Schema as ISchema
     from icegopher_spark.iceberg.types import DoubleType, LongType, NestedField
 
@@ -2121,14 +2120,15 @@ def delta_lnk_fixture_path(spark: SparkSession, sf_dir: str) -> str:
     )
     t = W.append(t, orders)
     # MOR positional deletes for o_orderkey % 9 == 0: mod isn't a bound
-    # predicate, so the matching keys become an IN-list predicate and
-    # delete_where_mor writes V2 positional-delete files (the state the
-    # link path translates; equality deletes are refused by design)
+    # predicate, so the delete goes through delete_where_mor's Spark
+    # Column overload — the predicate evaluates row-level in the scan
+    # and positions are written distributed, with no driver-side
+    # key materialization (r11 verdict task #4 removed the old
+    # collect()-an-IN-list construction, which pulled ~N/9 keys to the
+    # driver at bench scale)
     from pyspark.sql import functions as SF
 
-    keys = [int(r[0]) for r in orders.filter(SF.col("o_orderkey") % 9 == 0)
-            .select("o_orderkey").collect()]
-    t = W.delete_where_mor(t, spark, E.is_in("o_orderkey", *keys))
+    t = W.delete_where_mor(t, spark, SF.col("o_orderkey") % 9 == 0)
     link_iceberg_to_delta(spark, t, loc)
     with open(ok, "w") as f:
         f.write(_LNK_MARKER + "\n")

@@ -816,3 +816,27 @@ def test_auto_manifest_merge_on_commit(spark, tmp_path):
         t2 = W.append(t2, spark.range(i, i + 1).selectExpr("id AS k").coalesce(1))
     m2 = read_manifest_list(t2.io.read(t2.current_snapshot().manifest_list))
     assert len(m2) == 5
+
+
+def test_mor_delete_spark_column_predicate(spark, warehouse, lineitem):
+    """r11 verdict task #4: delete_where_mor accepts a plain Spark
+    Column for predicates not expressible as bound expressions (mod
+    arithmetic etc.) — rows filter distributed, no driver IN-list."""
+    cat = StaticCatalog("test", warehouse)
+    t = cat.create_table(("db", "li_mor_col"), SCHEMA, SPEC)
+    t = W.append(t, lineitem)
+    n_files = len(t.scan().plan_files())
+    t = W.delete_where_mor(t, spark, F.col("l_orderkey") % 9 == 0)
+    tasks = t.scan().plan_files()
+    assert len(tasks) == n_files  # MOR: no rewrite
+    got = t.scan().to_df(spark)
+    exp = lineitem.filter(F.col("l_orderkey") % 9 != 0)
+    assert got.count() == exp.count()
+    # idempotent on top of prior pos-deletes: a second, wider Column
+    # delete must not double-delete already-removed positions
+    t = W.delete_where_mor(t, spark, F.col("l_orderkey") % 3 == 0)
+    got2 = t.scan().to_df(spark)
+    exp2 = lineitem.filter(
+        (F.col("l_orderkey") % 9 != 0) & (F.col("l_orderkey") % 3 != 0)
+    )
+    assert got2.count() == exp2.count()
