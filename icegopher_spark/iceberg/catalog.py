@@ -77,6 +77,10 @@ def load_catalog(name: str, uri: str = "", properties: dict[str, str] | None = N
         return SqlCatalog(name, uri or props.get("uri", ""), props)
     if ctype == CATALOG_STATIC:
         return StaticCatalog(name, uri or props.get("warehouse", ""), props)
+    if ctype == CATALOG_HIVE:
+        from .hivecatalog import HiveCatalog
+
+        return HiveCatalog(name, uri or props.get("uri", ""), props)
     raise CatalogError(f"{ctype} catalog is not implemented")
 
 
