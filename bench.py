@@ -262,6 +262,54 @@ def main() -> None:
         one_pass()
     noisy = _spread(calibration_runs) > 2.0
 
+    # Per-family budgets (r11 verdict #6): extended_total alone gated
+    # nothing — a 3x regression in one non-headline family (streaming
+    # CDC, dedup) hid inside the sum. BENCH_FAMILIES.json is the ledger
+    # of per-query best quiet-run times; each family is compared on the
+    # queries common to ledger + this run (so composition growth never
+    # fakes a regression), flagged at >1.5x the ledger total with a 1s
+    # absolute floor (sub-second families don't flag on scheduler
+    # jitter). Quiet runs fold their minima back into the ledger.
+    import re as _re
+
+    def _family(name: str) -> str:
+        return "tpch" if _re.match(r"q\d+_", name) else name.split("_", 1)[0]
+
+    fam_path = _REPO / "BENCH_FAMILIES.json"
+    try:
+        ledger: dict[str, dict] = json.loads(fam_path.read_text())
+    except (OSError, ValueError):
+        ledger = {}
+    all_times = {**times, **extended}
+    fam_now: dict[str, dict[str, float]] = {}
+    for name, dt in all_times.items():
+        fam_now.setdefault(_family(name), {})[name] = dt
+    family_budgets: dict[str, dict] = {}
+    flagged_families: list[str] = []
+    for fam, qs in sorted(fam_now.items()):
+        ref = ledger.get(fam, {})
+        common = sorted(set(qs) & set(ref))
+        cur_total = round(sum(qs[n] for n in common), 3)
+        ref_total = round(sum(ref[n] for n in common), 3)
+        over = (
+            bool(common)
+            and cur_total > 1.5 * ref_total
+            and cur_total - ref_total > 1.0
+        )
+        family_budgets[fam] = {
+            "sec": round(sum(qs.values()), 3),
+            "vs_best_common": round(cur_total / ref_total, 3) if ref_total else None,
+            "n": len(qs),
+        }
+        if over:
+            flagged_families.append(fam)
+    if not noisy:
+        for fam, qs in fam_now.items():
+            ref = ledger.setdefault(fam, {})
+            for name, dt in qs.items():
+                ref[name] = min(ref.get(name, dt), dt)
+        fam_path.write_text(json.dumps(ledger, indent=1, sort_keys=True) + "\n")
+
     total = round(sum(times.values()), 3)
     payload = {
         "metric": "headline_suite_total",
@@ -281,6 +329,10 @@ def main() -> None:
         # True = calibration spread stayed > 2x even after re-measuring:
         # treat round-over-round timing deltas as VM weather
         "noisy": noisy,
+        # per-family totals vs the best-quiet-run ledger
+        # (BENCH_FAMILIES.json); flagged = >1.5x on common queries
+        "family_budgets": family_budgets,
+        "flagged_families": flagged_families,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         # duplicated at the tail so a truncated capture of either end of
         # the (long) line still contains the one number the gate needs

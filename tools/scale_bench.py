@@ -277,10 +277,10 @@ def _warm(spark, sf_dir: str) -> None:
     _merge_table_for(spark, sf_dir)
 
 
-def run_suite(spark, sf_dir: str) -> dict[str, float]:
+def run_suite(spark, sf_dir: str, names: list[str] | None = None) -> dict[str, float]:
     _warm(spark, sf_dir)
     times: dict[str, float] = {}
-    for name in SCALE_QUERIES:
+    for name in names if names is not None else SCALE_QUERIES:
         t0 = time.time()
         QUERIES[name].fn(spark, sf_dir).count()
         times[name] = round(time.time() - t0, 3)
@@ -291,12 +291,23 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--out", default=str(_REPO / "BENCH_SCALE.json"))
+    # r11 verdict #7: spot-check the worst 10x growers at a deeper K
+    # (e.g. --k 30 --only sim_semdedup salted_join_revenue ...) to
+    # confirm the curves stay subquadratic before trusting the 100-TB
+    # story. --only restricts the suite; the artifact carries the
+    # subset and is written to --out (pick a non-default name so the
+    # full-suite BENCH_SCALE.json isn't clobbered by a subset run).
+    ap.add_argument("--only", nargs="+", default=None, metavar="QUERY")
     args = ap.parse_args()
+    selected = args.only or SCALE_QUERIES
+    unknown = [n for n in selected if n not in QUERIES]
+    if unknown:
+        sys.exit(f"unknown queries: {unknown}")
     spark = get_spark("scale-bench")
 
     scaled_dir = build_scaled(spark, args.k)
-    base_times = run_suite(spark, BASE)
-    scaled_times = run_suite(spark, scaled_dir)
+    base_times = run_suite(spark, BASE, selected)
+    scaled_times = run_suite(spark, scaled_dir, selected)
 
     # linear×log budget: K × (1 + log10 K) plus a floor for fixed
     # overhead — a query under 0.5 s at base is overhead-dominated and
@@ -324,7 +335,7 @@ def main() -> None:
     }
     rows = {}
     flags = []
-    for name in SCALE_QUERIES:
+    for name in selected:
         b, s = base_times[name], scaled_times[name]
         ratio = round(s / max(b, 1e-3), 2)
         factor = next(
@@ -356,10 +367,12 @@ def main() -> None:
     # queries appended to SCALE_QUERIES after the last run — must fail
     # loudly here AND be detectable from the artifact alone, so the
     # query list is embedded and asserted on write.
-    artifact["query_set"] = sorted(SCALE_QUERIES)
+    artifact["query_set"] = sorted(selected)
+    if args.only:
+        artifact["subset_of_full_suite"] = True
     Path(args.out).write_text(json.dumps(artifact, indent=1))
-    assert set(artifact["queries"]) == set(SCALE_QUERIES), (
-        "scale artifact drifted from SCALE_QUERIES"
+    assert set(artifact["queries"]) == set(selected), (
+        "scale artifact drifted from the selected query set"
     )
     print(json.dumps({k: v for k, v in artifact.items() if k not in ("queries", "query_set")}))
 
