@@ -81,6 +81,14 @@ def load_catalog(name: str, uri: str = "", properties: dict[str, str] | None = N
         from .hivecatalog import HiveCatalog
 
         return HiveCatalog(name, uri or props.get("uri", ""), props)
+    if ctype == CATALOG_GLUE:
+        from .gluecatalog import GlueCatalog
+
+        return GlueCatalog(name, uri or props.get("uri", ""), props)
+    if ctype == CATALOG_DYNAMODB:
+        from .dynamocatalog import DynamoDbCatalog
+
+        return DynamoDbCatalog(name, uri or props.get("uri", ""), props)
     raise CatalogError(f"{ctype} catalog is not implemented")
 
 

@@ -1,0 +1,260 @@
+"""Glue and DynamoDB catalogs over stateful protocol mocks
+(glue_fixture / dynamo_fixture): create/load/commit round-trips, CAS
+conflicts (Glue VersionId optimistic locking; DynamoDB conditional
+PutItem), namespace CRUD, registration. With hive + sql + rest +
+static, this closes EVERY member of the reference's CatalogType enum
+(table/catalog/catalog.go:40-47) — the reference implemented only REST.
+
+boto3 serializes/signs and the mocks enforce preconditions atomically
+under a server lock, so the full SDK → HTTP → dispatch → error-marshal
+path is exercised; nothing is stubbed above the wire.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+boto3 = pytest.importorskip("boto3")
+
+from icegopher_spark.iceberg import write as W  # noqa: E402
+from icegopher_spark.iceberg.catalog import (  # noqa: E402
+    CatalogError,
+    NamespaceAlreadyExistsError,
+    NoSuchNamespaceError,
+    NoSuchTableError,
+    load_catalog,
+)
+from icegopher_spark.iceberg.schema import Schema  # noqa: E402
+from icegopher_spark.iceberg.types import (  # noqa: E402
+    DoubleType,
+    LongType,
+    NestedField,
+    StringType,
+)
+
+from dynamo_fixture import MockDynamoServer  # noqa: E402
+from glue_fixture import MockGlueServer  # noqa: E402
+
+SF_DIR = "/root/testdata/sf0.001"
+
+SCHEMA = Schema(
+    (
+        NestedField(1, "l_orderkey", LongType(), True),
+        NestedField(2, "l_quantity", DoubleType(), False),
+        NestedField(3, "l_returnflag", StringType(), False),
+    ),
+    schema_id=0,
+    identifier_field_ids=(),
+)
+
+
+@pytest.fixture(scope="module")
+def lineitem(spark):
+    return spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity", "l_returnflag"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Glue
+
+
+@pytest.fixture()
+def glue(tmp_path):
+    srv = MockGlueServer()
+    cat = load_catalog(
+        "gluetest",
+        properties={
+            "type": "glue",
+            "glue.endpoint": srv.endpoint,
+            "glue.region": "us-east-1",
+            "glue.access-key-id": "test",
+            "glue.secret-access-key": "test",
+            "warehouse": str(tmp_path / "wh"),
+        },
+    )
+    cat.create_namespace("db")
+    yield srv, cat
+    srv.stop()
+
+
+def test_glue_namespace_crud(glue):
+    srv, cat = glue
+    assert cat.list_namespaces() == [("db",)]
+    with pytest.raises(NamespaceAlreadyExistsError):
+        cat.create_namespace("db")
+    cat.create_namespace("other", {"owner": "alice"})
+    assert cat.load_namespace_properties("other") == {"owner": "alice"}
+    cat.drop_namespace("other")
+    with pytest.raises(NoSuchNamespaceError):
+        cat.load_namespace_properties("other")
+
+
+def test_glue_table_crud_commit_and_scan(glue, spark, lineitem):
+    srv, cat = glue
+    with pytest.raises(NoSuchNamespaceError):
+        cat.create_table("nope.t", SCHEMA)
+    t = cat.create_table("db.li", SCHEMA)
+    with pytest.raises(CatalogError):
+        cat.create_table("db.li", SCHEMA)
+    v0 = t.metadata_location
+    t = W.append(t, lineitem.limit(40))
+    # pointer advanced in the Glue row, previous tracked, version bumped
+    row = srv.state.tables[("db", "li")]
+    assert row["table"]["Parameters"]["metadata_location"] == t.metadata_location
+    assert row["table"]["Parameters"]["previous_metadata_location"] == v0
+    assert row["version"] == 2
+    assert cat.load_table("db.li").scan().to_df(spark).count() == 40
+    assert cat.list_tables("db") == [("db", "li")]
+    cat.drop_table("db.li")
+    with pytest.raises(NoSuchTableError):
+        cat.load_table("db.li")
+
+
+def test_glue_concurrent_commit_conflict(glue, spark, lineitem):
+    """Stale writer loses: requirements check against the fresh pointer
+    catches a same-branch conflict; and an interloper inside the
+    get_table->update window trips Glue's VersionId lock."""
+    srv, cat = glue
+    t1 = cat.create_table("db.conflict", SCHEMA)
+    t2 = cat.load_table("db.conflict")
+    W.append(t1, lineitem.limit(10))
+    with pytest.raises(W.CommitFailedError):
+        W.append(t2, lineitem.limit(10))
+    t2.refresh()
+    W.append(t2, lineitem.limit(10))
+    assert cat.load_table("db.conflict").scan().to_df(spark).count() == 20
+
+
+def test_glue_version_id_race_is_server_enforced(glue, lineitem, monkeypatch):
+    srv, cat = glue
+    t = cat.create_table("db.race", SCHEMA)
+    real_get = cat._glue.get_table
+    raced = {"done": False}
+
+    def racing_get(**kwargs):
+        out = real_get(**kwargs)
+        if not raced["done"]:
+            raced["done"] = True
+            # interloper bumps the version after our read
+            srv.state.tables[(kwargs["DatabaseName"], kwargs["Name"])]["version"] += 1
+        return out
+
+    monkeypatch.setattr(cat._glue, "get_table", racing_get)
+    with pytest.raises(W.CommitFailedError, match="concurrent update"):
+        cat.commit_table(
+            t,
+            [{"type": "assert-table-uuid", "uuid": t.metadata.table_uuid}],
+            [{"action": "set-properties", "updates": {"k": "v"}}],
+        )
+
+
+def test_glue_register_existing(glue, tmp_path, spark, lineitem):
+    srv, cat = glue
+    loose = W.create_table(str(tmp_path / "loose"), SCHEMA)
+    loose = W.append(loose, lineitem.limit(30))
+    t = cat.register_table("db.adopted", loose.metadata_location)
+    assert t.scan().to_df(spark).count() == 30
+    t = W.append(t, lineitem.limit(5))
+    assert cat.load_table("db.adopted").scan().to_df(spark).count() == 35
+
+
+# ---------------------------------------------------------------------------
+# DynamoDB
+
+
+@pytest.fixture()
+def ddb(tmp_path):
+    srv = MockDynamoServer()
+    cat = load_catalog(
+        "ddbtest",
+        properties={
+            "type": "dynamodb",
+            "dynamodb.endpoint": srv.endpoint,
+            "dynamodb.region": "us-east-1",
+            "dynamodb.access-key-id": "test",
+            "dynamodb.secret-access-key": "test",
+            "warehouse": str(tmp_path / "wh"),
+        },
+    )
+    cat.create_namespace("db")
+    yield srv, cat
+    srv.stop()
+
+
+def test_ddb_namespace_crud(ddb):
+    srv, cat = ddb
+    assert cat.list_namespaces() == [("db",)]
+    with pytest.raises(NamespaceAlreadyExistsError):
+        cat.create_namespace("db")
+    cat.create_namespace("other", {"owner": "alice"})
+    assert cat.load_namespace_properties("other") == {"owner": "alice"}
+    cat.drop_namespace("other")
+    with pytest.raises(NoSuchNamespaceError):
+        cat.load_namespace_properties("other")
+
+
+def test_ddb_table_crud_commit_and_scan(ddb, spark, lineitem):
+    srv, cat = ddb
+    with pytest.raises(NoSuchNamespaceError):
+        cat.create_table("nope.t", SCHEMA)
+    t = cat.create_table("db.li", SCHEMA)
+    with pytest.raises(CatalogError):
+        cat.create_table("db.li", SCHEMA)
+    v0 = t.metadata_location
+    old_v = srv.state.items[("db.li", "db")]["v"]
+    t = W.append(t, lineitem.limit(40))
+    item = srv.state.items[("db.li", "db")]
+    assert item["p.metadata_location"]["S"] == t.metadata_location
+    assert item["p.previous_metadata_location"]["S"] == v0
+    assert item["v"] != old_v  # version attr rewritten by the commit
+    assert cat.load_table("db.li").scan().to_df(spark).count() == 40
+    assert cat.list_tables("db") == [("db", "li")]
+    cat.drop_table("db.li")
+    with pytest.raises(NoSuchTableError):
+        cat.load_table("db.li")
+
+
+def test_ddb_concurrent_commit_conflict(ddb, spark, lineitem):
+    srv, cat = ddb
+    t1 = cat.create_table("db.conflict", SCHEMA)
+    t2 = cat.load_table("db.conflict")
+    W.append(t1, lineitem.limit(10))
+    with pytest.raises(W.CommitFailedError):
+        W.append(t2, lineitem.limit(10))
+    t2.refresh()
+    W.append(t2, lineitem.limit(10))
+    assert cat.load_table("db.conflict").scan().to_df(spark).count() == 20
+
+
+def test_ddb_conditional_put_race_is_server_enforced(ddb, lineitem, monkeypatch):
+    """Interloper rewrites `v` between our read and our conditional put:
+    DynamoDB's atomic condition evaluation must fail our commit."""
+    srv, cat = ddb
+    t = cat.create_table("db.race", SCHEMA)
+    real_get = cat._ddb.get_item
+    raced = {"done": False}
+
+    def racing_get(**kwargs):
+        out = real_get(**kwargs)
+        if not raced["done"] and kwargs["Key"]["identifier"]["S"] == "db.race":
+            raced["done"] = True
+            srv.state.items[("db.race", "db")]["v"] = {"S": "interloper"}
+        return out
+
+    monkeypatch.setattr(cat._ddb, "get_item", racing_get)
+    with pytest.raises(W.CommitFailedError, match="version moved"):
+        cat.commit_table(
+            t,
+            [{"type": "assert-table-uuid", "uuid": t.metadata.table_uuid}],
+            [{"action": "set-properties", "updates": {"k": "v"}}],
+        )
+
+
+def test_ddb_register_existing(ddb, tmp_path, spark, lineitem):
+    srv, cat = ddb
+    loose = W.create_table(str(tmp_path / "loose2"), SCHEMA)
+    loose = W.append(loose, lineitem.limit(30))
+    t = cat.register_table("db.adopted", loose.metadata_location)
+    assert t.scan().to_df(spark).count() == 30
+    t = W.append(t, lineitem.limit(5))
+    assert cat.load_table("db.adopted").scan().to_df(spark).count() == 35
