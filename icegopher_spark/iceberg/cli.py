@@ -51,8 +51,21 @@ def _files_tree(table, history: bool) -> None:
 
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="icegopher")
-    p.add_argument("--catalog", default="", help="catalog URI (http(s)://… REST, path → static)")
+    p.add_argument(
+        "--catalog",
+        default="",
+        help="catalog URI (http(s):// REST, thrift:// Hive, sqlite: SQL,"
+        " path → static)",
+    )
     p.add_argument("--warehouse", default="", help="warehouse path/name")
+    p.add_argument(
+        "--property",
+        action="append",
+        default=[],
+        metavar="K=V",
+        help="catalog property (repeatable), e.g. --property type=glue"
+        " --property glue.endpoint=http://…",
+    )
     p.add_argument("--json", action="store_true", dest="as_json")
     sub = p.add_subparsers(dest="verb", required=True)
 
@@ -219,6 +232,12 @@ def main(argv: list[str] | None = None) -> int:
     props = {}
     if args.warehouse:
         props["warehouse"] = args.warehouse
+    for kv in args.property:
+        if "=" not in kv:
+            print(f"error: --property needs K=V, got {kv!r}", file=sys.stderr)
+            return 1
+        k, v = kv.split("=", 1)
+        props[k] = v
     try:
         cat = load_catalog("cli", args.catalog or args.warehouse, props)
     except CatalogError as e:

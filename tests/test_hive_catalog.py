@@ -265,3 +265,27 @@ def test_thrift_struct_roundtrip_with_unknown_fields():
     r = T.BinaryReader(io.BytesIO(w.getvalue()))
     out = T.read_struct(r, FIELD_SCHEMA)
     assert out == {"name": "col_a", "type": "bigint"}
+
+
+def test_cli_over_hive_catalog(cat, server, spark, lineitem, capsys):
+    """The CLI's --catalog thrift://… infers the hive catalog and the
+    verbs round-trip against the mock HMS; --property passes arbitrary
+    catalog properties through."""
+    from icegopher_spark.iceberg.cli import main as cli_main
+
+    t = cat.create_table("db.cli_t", SCHEMA)
+    W.append(t, lineitem.limit(10))
+    base = [
+        "--catalog",
+        f"thrift://127.0.0.1:{server.port}",
+        "--warehouse",
+        cat.warehouse,
+    ]
+    assert cli_main([*base, "list", "db"]) == 0
+    out = capsys.readouterr().out
+    assert "cli_t" in out
+    assert cli_main([*base, "location", "db.cli_t"]) == 0
+    out = capsys.readouterr().out
+    assert "cli_t" in out
+    # --property K=V reaches load_catalog (bad value fails loudly)
+    assert cli_main(["--property", "notkv", "list", "db"]) == 1
