@@ -214,6 +214,8 @@ def main() -> None:
         "delta_row_ids",
         "delta_type_widening",
         "delta_variant_read",
+        # round-12 additions
+        "delta_zorder_optimize",
     ]
 
     # Noise calibration (r8 verdict #6): a fixed query timed once per

@@ -1299,6 +1299,97 @@ def optimize_delta(
     return v
 
 
+def zorder_delta(
+    spark: SparkSession,
+    table_path: str,
+    *cols: str,
+    n_files: int = 8,
+) -> int:
+    """OPTIMIZE ... ZORDER BY (delta-spark parity): rewrite the live
+    file set clustered on the Morton z-value of ``cols`` so every
+    file's (min, max) is tight on ALL cluster columns — the
+    data-skipping layout that makes multi-dimensional point/range
+    predicates prune files from the log's per-file stats at 100 TB.
+
+    Same commit shape as OPTIMIZE (delta-spark emits ZORDER rewrites
+    as dataChange=false adds+removes — the visible row set is
+    unchanged, so streams pass the commit through silently). Deletion
+    vectors FOLD: the rewrite reads through DV masks, rewritten files
+    carry only live rows and no DV. Partitioned tables cluster WITHIN
+    partitions: rows are jointly range-partitioned on
+    (partition cols…, z) and sorted the same way inside each task, so
+    every output file owns a contiguous z-range inside its partition
+    dir. The z-value is pure codegen (operators/zorder.zvalue_n — the
+    iceberg rewrite_clustered kernel), no UDF; the rewrite is ONE
+    distributed range-shuffle + write.
+
+    Returns the committed version. Raises on column-mapped tables
+    (writer scope, same refusal as OPTIMIZE) and on empty tables.
+    """
+    from .delta import _partition_name_map, _scan_files, load_delta
+    from .delta_dv import dv_job_spec
+    from .operators.zorder import zvalue_n
+
+    snap = load_delta(table_path)
+    _check_writer_protocol(snap, "optimize")
+    if not snap.files:
+        raise ValueError("zorder_delta: table has no live files")
+    bad = [c for c in cols if c in snap.partition_columns]
+    if bad:
+        raise ValueError(
+            f"zorder columns {bad} are partition columns — they are "
+            "constant within a file already; cluster on data columns"
+        )
+
+    masks = None
+    if snap.deletion_vectors:
+        masks = {
+            p: ("exclude", {"dv": dv_job_spec(table_path, d)})
+            for p, d in snap.deletion_vectors.items()
+        }
+    df = _scan_files(
+        spark,
+        snap.schema,
+        snap.partition_columns,
+        snap.files,
+        physical_schema=snap.physical_schema,
+        position_masks=masks,
+        partition_name_map=_partition_name_map(snap),
+    )
+    lo = df.agg(
+        *[F.min(F.col(c).cast("bigint")).alias(f"m{i}") for i, c in enumerate(cols)]
+    ).first()
+    z = zvalue_n(
+        [F.col(c) for c in cols], [int(lo[f"m{i}"] or 0) for i in range(len(cols))]
+    )
+    staged = df.withColumn("_zcluster", z)
+    rb = [*[F.col(c) for c in snap.partition_columns], F.col("_zcluster")]
+    staged = staged.repartitionByRange(n_files, *rb).sortWithinPartitions(*rb)
+    # _to_physical's schema projection drops _zcluster while preserving
+    # the range distribution + in-task order the write needs
+    staged, part_phys = _to_physical(snap, staged)
+    adds = _stage_and_collect(spark, table_path, staged, part_phys)
+    now = int(time.time() * 1000)
+    actions: list[dict] = []
+    for a in adds:
+        a["add"]["dataChange"] = False
+        actions.append(a)
+    for p, pv in snap.files:
+        rm = {
+            "path": os.path.relpath(p, table_path).replace(os.sep, "/"),
+            "deletionTimestamp": now,
+            "dataChange": False,
+            "partitionValues": dict(pv),
+        }
+        dv = snap.deletion_vectors.get(p)
+        if dv is not None:
+            rm["deletionVector"] = dv
+        actions.append({"remove": rm})
+    v = snap.version + 1
+    _commit(table_path, v, actions, snap.configuration)
+    return v
+
+
 def restore_delta(table_path: str, version: int) -> int:
     """RESTORE TABLE ... TO VERSION AS OF: one commit that makes the
     live file set equal version ``version``'s again — adds back files

@@ -158,6 +158,10 @@ def main(argv: list[str] | None = None) -> int:
     sp = sub.add_parser("delta-optimize")
     sp.add_argument("delta_path", help="Delta table directory")
     sp.add_argument("--target-mb", type=int, default=128, help="target file size")
+    sp = sub.add_parser("delta-zorder")
+    sp.add_argument("delta_path", help="Delta table directory")
+    sp.add_argument("columns", nargs="+", help="cluster columns (2-6)")
+    sp.add_argument("--n-files", type=int, default=8, help="output file count")
     sp = sub.add_parser("delta-restore")
     sp.add_argument("delta_path", help="Delta table directory")
     sp.add_argument("version", type=int, help="version to restore to")
@@ -206,6 +210,14 @@ def main(argv: list[str] | None = None) -> int:
             f"optimized -> version {v}" if v is not None
             else "nothing to compact (no group of small files)"
         )
+        return 0
+    if args.verb == "delta-zorder":
+        from ..delta_write import zorder_delta
+        from ..session import get_spark
+
+        spark = get_spark("icegopher-cli")
+        v = zorder_delta(spark, args.delta_path, *args.columns, n_files=args.n_files)
+        print(f"zordered on ({', '.join(args.columns)}) -> version {v}")
         return 0
     if args.verb == "delta-restore":
         from ..delta_write import restore_delta

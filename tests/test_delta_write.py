@@ -1059,3 +1059,36 @@ def test_cdf_update_on_column_mapped_table(spark, tmp_path):
         assert got[(k, "update_preimage")] == float(k)
         assert got[(k, "update_postimage")] == -1.0
     assert len(got) == 8
+
+
+def test_zorder_delta_refusals_and_cli(spark, tmp_path, capsys):
+    """OPTIMIZE ZORDER guards: partition columns refused (constant
+    within a file already), empty tables refused; the CLI verb drives
+    the same path."""
+    from icegopher_spark.delta_write import (
+        append_delta,
+        create_delta_table,
+        zorder_delta,
+    )
+    from icegopher_spark.iceberg.cli import main as cli_main
+
+    loc = str(tmp_path / "zt")
+    df = spark.range(0, 200).selectExpr(
+        "id AS a", "id % 10 AS b", "CAST(id % 3 AS STRING) AS part"
+    )
+    create_delta_table(loc, df.schema, partition_columns=["part"])
+    with pytest.raises(ValueError, match="no live files"):
+        zorder_delta(spark, loc, "a", "b")
+    append_delta(spark, loc, df)
+    with pytest.raises(ValueError, match="partition columns"):
+        zorder_delta(spark, loc, "part", "a")
+    assert cli_main(["delta-zorder", loc, "a", "b", "--n-files", "4"]) == 0
+    out = capsys.readouterr().out
+    assert "zordered on (a, b)" in out
+    from icegopher_spark.delta import load_delta, read_delta
+
+    snap = load_delta(loc)
+    # partitioned zorder: outputs live under their partition dirs and
+    # the row set is unchanged
+    assert read_delta(spark, loc).count() == 200
+    assert all(pv.get("part") is not None for _, pv in snap.files)

@@ -150,6 +150,8 @@ EXTRA_SCALE_QUERIES = [
     "delta_row_ids",
     "delta_type_widening",
     "delta_variant_read",
+    # round-12 operators
+    "delta_zorder_optimize",
 ]
 SCALE_QUERIES = BENCH_QUERIES + EXTRA_SCALE_QUERIES
 from icegopher_spark.queries import QUERIES, load  # noqa: E402
