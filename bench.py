@@ -216,6 +216,7 @@ def main() -> None:
         "delta_variant_read",
         # round-12 additions
         "delta_zorder_optimize",
+        "delta_merge_matrix",
     ]
 
     # Noise calibration (r8 verdict #6): a fixed query timed once per

@@ -2191,6 +2191,130 @@ def delta_merge_upsert(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Full MERGE WHEN-clause matrix (r12).
+
+_MRGX_MARKER = "mrgx-fixture@v1"
+
+
+def delta_mrgx_fixture_path(spark: SparkSession, sf_dir: str) -> str:
+    """orders merged with all four WHEN clauses in ONE commit:
+    matched keys (≡3 mod 10) either delete (when the source marks
+    o_custkey negative: keys ≡3 mod 40) or update o_totalprice to the
+    doubled source price; 5 new keys insert only when odd; and target
+    keys ≡0 mod 97 with no source row are swept by the
+    not-matched-by-source delete."""
+    key = sf_dir.strip("/").replace("/", "_")
+    loc = f"{_CACHE_ROOT}/{key}/orders_delta_mrgx"
+    ok = os.path.join(loc, "_FIXTURE_OK")
+    if os.path.exists(ok):
+        try:
+            with open(ok) as f:
+                if f.read().strip() == _MRGX_MARKER:
+                    return loc
+        except OSError:
+            pass
+    shutil.rmtree(loc, ignore_errors=True)
+
+    from .delta_write import append_delta, create_delta_table, merge_delta
+    from .queries import load as _load
+
+    orders = _load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    create_delta_table(loc, orders.schema)
+    append_delta(spark, loc, orders)
+    src = orders.filter(F.col("o_orderkey") % 10 == 3).select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 40 == 3, F.lit(-1).cast("long"))
+        .otherwise(F.col("o_custkey"))
+        .alias("o_custkey"),
+        (F.col("o_totalprice") * 2).alias("o_totalprice"),
+    ).unionByName(
+        spark.createDataFrame(
+            [(10_000_000 + i, -1, 777.0) for i in range(5)],
+            "o_orderkey long, o_custkey long, o_totalprice double",
+        )
+    )
+    merge_delta(
+        spark,
+        loc,
+        src,
+        ["o_orderkey"],
+        when_matched_update={"o_totalprice": "s.o_totalprice"},
+        matched_condition="s.o_custkey >= 0",
+        when_matched_delete="s.o_custkey < 0",
+        when_not_matched_insert=True,
+        not_matched_condition="s.o_orderkey % 2 = 1",
+        when_not_matched_by_source_delete="t.o_orderkey % 97 = 0",
+    )
+    with open(ok, "w") as f:
+        f.write(_MRGX_MARKER + "\n")
+    return loc
+
+
+delta_merge_matrix_oracle = """
+WITH src AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 40 = 3 THEN CAST(-1 AS BIGINT)
+              ELSE o_custkey END AS o_custkey,
+         o_totalprice * 2 AS o_totalprice
+  FROM orders WHERE o_orderkey % 10 = 3
+  UNION ALL
+  SELECT 10000000 + i, CAST(-1 AS BIGINT), CAST(777.0 AS DOUBLE)
+  FROM range(5) t(i)
+),
+merged AS (
+  -- matched + update clause (source custkey >= 0): new totalprice only
+  SELECT t.o_orderkey, t.o_custkey, s.o_totalprice
+  FROM orders t JOIN src s USING (o_orderkey)
+  WHERE s.o_custkey >= 0
+  -- matched + delete clause rows (s.o_custkey < 0) are simply absent
+  UNION ALL
+  -- unmatched target rows survive unless the by-source sweep hits
+  SELECT t.o_orderkey, t.o_custkey, t.o_totalprice
+  FROM orders t
+  WHERE t.o_orderkey NOT IN (SELECT o_orderkey FROM src)
+    AND t.o_orderkey % 97 <> 0
+  UNION ALL
+  -- conditional inserts: new keys, odd only
+  SELECT s.o_orderkey, s.o_custkey, s.o_totalprice
+  FROM src s
+  WHERE s.o_orderkey NOT IN (SELECT o_orderkey FROM orders)
+    AND s.o_orderkey % 2 = 1
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(o_orderkey % 1000) AS BIGINT) AS okey_chk,
+       CAST(SUM(o_custkey % 1000) AS BIGINT) AS ckey_chk,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(13,2))), 2) AS DOUBLE)
+         AS total_price
+FROM merged
+"""
+
+
+@register(
+    "delta_merge_matrix",
+    delta_merge_matrix_oracle,
+    "Full MERGE WHEN-clause matrix: conditional matched update/delete, "
+    "conditional insert, not-matched-by-source delete — one commit",
+)
+def delta_merge_matrix(spark: SparkSession, sf: str) -> DataFrame:
+    """The oracle recomputes all four clause outcomes relationally, so
+    a row routed to the wrong clause (updated instead of deleted,
+    swept instead of kept, inserted against its condition) shifts
+    n_rows or a checksum and hash-mismatches."""
+    loc = delta_mrgx_fixture_path(spark, sf)
+    df = read_delta(spark, loc)
+    return df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("o_orderkey") % 1000).cast("bigint").alias("okey_chk"),
+        F.sum(F.col("o_custkey") % 1000).cast("bigint").alias("ckey_chk"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(13,2)")), 2)
+        .cast("double")
+        .alias("total_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Zero-copy link export (r10): Iceberg files registered in a Delta log.
 
 _LNK_MARKER = "lnk-fixture@v2"

@@ -1610,6 +1610,185 @@ def merge_upsert_delta(
     return v
 
 
+def merge_delta(
+    spark: SparkSession,
+    table_path: str,
+    source: DataFrame,
+    key_columns: list[str],
+    *,
+    when_matched_update: dict[str, str] | str | None = "all",
+    matched_condition: str | None = None,
+    when_matched_delete: str | bool | None = None,
+    when_not_matched_insert: bool = True,
+    not_matched_condition: str | None = None,
+    when_not_matched_by_source_delete: str | bool | None = None,
+) -> int:
+    """Full MERGE WHEN-clause matrix in ONE atomic commit — the
+    delta-spark `MERGE INTO` surface (`whenMatchedUpdate/Delete`,
+    `whenNotMatchedInsert`, `whenNotMatchedBySourceDelete`), built on
+    the same DV-swap + new-files mechanics as :func:`merge_upsert_delta`
+    (which remains the fast whole-row-upsert special case).
+
+    Conditions and update expressions are SQL strings over the aliases
+    ``t`` (target row) and ``s`` (source row), e.g.
+    ``matched_condition="s.o_totalprice > t.o_totalprice"`` or
+    ``when_matched_update={"o_totalprice": "s.o_totalprice + 1"}``.
+    ``when_matched_update="all"`` replaces matched rows with the source
+    row. Clause precedence on a matched row is delete-then-update
+    (pass ``when_matched_delete=True`` for an unconditional delete,
+    or a SQL condition); a matched row satisfying neither clause's
+    condition is left untouched. ``when_not_matched_by_source_delete``
+    removes target rows whose key has NO source row (condition over
+    ``t`` only; ``True`` = all of them) — the anti-join side delta-spark
+    added in 2.4.
+
+    Mechanics: one positions-scan of the target; matched rows join the
+    source on keys (source keys must be unique — same ambiguity refusal
+    as delta-spark); rows falling to a delete/update clause become DV
+    swaps; update post-images and conditional inserts stage as new
+    files; CDF commits carry update_pre/postimage + delete + insert
+    rows. O(|source| + affected rows), never a rewrite of untouched
+    files.
+    """
+    dup = (
+        source.groupBy(*key_columns).count().filter(F.col("count") > 1).limit(1).count()
+    )
+    if dup:
+        raise ValueError(
+            "merge_delta: source has duplicate key tuples — ambiguous "
+            "MERGE (multiple source rows match one target row)"
+        )
+    snap, live = _live_with_positions(spark, table_path, "merge_delta")
+    _check_writer_protocol(snap, "merge")
+    cols = [f.name for f in snap.schema.fields]
+
+    def cond(expr, default: bool):
+        """None -> lit(default); True -> always; str -> SQL over t/s."""
+        if expr is None:
+            return F.lit(default)
+        if expr is True:
+            return F.lit(True)
+        return F.expr(expr)
+
+    t = live.alias("t")
+    s = source.alias("s")
+    joined = t.join(s, [F.col(f"t.{k}") == F.col(f"s.{k}") for k in key_columns])
+
+    del_c = cond(when_matched_delete, False) if when_matched_delete is not None else F.lit(False)
+    upd_c = cond(matched_condition, True) if when_matched_update is not None else F.lit(False)
+    verdict = (
+        F.when(del_c, F.lit("delete"))
+        .when(upd_c, F.lit("update"))
+        .otherwise(F.lit("keep"))
+    )
+    affected = joined.withColumn("_verdict", verdict).filter(
+        F.col("_verdict") != "keep"
+    )
+    # everything downstream reads `affected` 2-4 times (DV build, post
+    # images, CDF pre-images) — persist the narrow affected set once
+    affected = affected.persist()
+    nmbs_df = None
+    try:
+        masks_src = affected.select(
+            F.col("t._file_path").alias("_file_path"),
+            F.col("t._row_pos").alias("_row_pos"),
+        )
+        # not-matched-by-source deletes mask additional target rows
+        if when_not_matched_by_source_delete is not None:
+            nmbs = live.alias("t").join(
+                source.select(*key_columns).alias("s"),
+                [F.col(f"t.{k}") == F.col(f"s.{k}") for k in key_columns],
+                "left_anti",
+            )
+            nmbs_df = nmbs.filter(
+                cond(when_not_matched_by_source_delete, True)
+            ).persist()
+            masks_src = masks_src.unionByName(
+                nmbs_df.select("_file_path", "_row_pos")
+            )
+        actions = _dv_swap_actions(spark, table_path, snap, masks_src)
+
+        # post-images for updated rows
+        if when_matched_update == "all":
+            upd_exprs = {c: f"s.{c}" for c in cols}
+        else:
+            upd_exprs = dict(when_matched_update or {})
+            unknown = set(upd_exprs) - set(cols)
+            if unknown:
+                raise ValueError(f"merge_delta: unknown update columns {sorted(unknown)}")
+        updates_df = (
+            affected.filter(F.col("_verdict") == "update").select(
+                *[
+                    F.expr(upd_exprs[c]).alias(c)
+                    if c in upd_exprs
+                    else F.col(f"t.{c}").alias(c)
+                    for c in cols
+                ]
+            )
+            if when_matched_update is not None
+            else None
+        )
+        # conditional inserts for source rows with no target match
+        inserts_df = None
+        if when_not_matched_insert:
+            unmatched = source.alias("s").join(
+                live.select(*key_columns).alias("t"),
+                [F.col(f"s.{k}") == F.col(f"t.{k}") for k in key_columns],
+                "left_anti",
+            )
+            inserts_df = unmatched.filter(cond(not_matched_condition, True)).select(
+                *[F.col(c).alias(c) for c in cols]
+            )
+
+        post_parts = [d for d in (updates_df, inserts_df) if d is not None]
+        post = post_parts[0] if post_parts else None
+        for extra in post_parts[1:]:
+            post = post.unionByName(extra)
+
+        cdc_actions: list[dict] = []
+        if _cdf_enabled(snap):
+            pieces = []
+            upd_rows = affected.filter(F.col("_verdict") == "update")
+            pieces.append(
+                upd_rows.select(*[F.col(f"t.{c}").alias(c) for c in cols]).withColumn(
+                    "_change_type", F.lit("update_preimage")
+                )
+            )
+            if updates_df is not None:
+                pieces.append(
+                    updates_df.withColumn("_change_type", F.lit("update_postimage"))
+                )
+            del_rows = affected.filter(F.col("_verdict") == "delete").select(
+                *[F.col(f"t.{c}").alias(c) for c in cols]
+            )
+            if nmbs_df is not None:
+                del_rows = del_rows.unionByName(nmbs_df.select(*cols))
+            pieces.append(del_rows.withColumn("_change_type", F.lit("delete")))
+            if inserts_df is not None:
+                pieces.append(
+                    inserts_df.withColumn("_change_type", F.lit("insert"))
+                )
+            cdc = pieces[0]
+            for p in pieces[1:]:
+                cdc = cdc.unionByName(p)
+            cdc_actions = _stage_cdc(spark, table_path, snap, cdc)
+
+        adds: list[dict] = []
+        if post is not None:
+            _validate_constraints(snap, post, "merge")
+            post, part_phys = _to_physical(snap, post)
+            adds = _stage_and_collect(spark, table_path, post, part_phys)
+    finally:
+        affected.unpersist()
+        if nmbs_df is not None:
+            nmbs_df.unpersist()
+    if not actions and not adds:
+        return snap.version  # no clause fired — no commit
+    v = snap.version + 1
+    _commit(table_path, v, cdc_actions + actions + adds, snap.configuration)
+    return v
+
+
 def link_delta_to_iceberg(spark: SparkSession, delta_path: str, iceberg_location: str):
     """ZERO-COPY Delta → Iceberg migration: adopt the Delta table's
     live parquet files as Iceberg data files IN PLACE (the add_files

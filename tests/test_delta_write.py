@@ -1092,3 +1092,105 @@ def test_zorder_delta_refusals_and_cli(spark, tmp_path, capsys):
     # the row set is unchanged
     assert read_delta(spark, loc).count() == 200
     assert all(pv.get("part") is not None for _, pv in snap.files)
+
+
+def test_merge_delta_full_clause_matrix(spark, tmp_path):
+    """All four WHEN clauses in one commit: conditional matched-update,
+    conditional matched-delete, conditional not-matched-insert, and
+    not-matched-by-source delete — final row set checked against a
+    frame-computed expectation, and the whole thing is ONE version."""
+    from icegopher_spark.delta import load_delta, read_delta
+    from icegopher_spark.delta_write import (
+        append_delta,
+        create_delta_table,
+        merge_delta,
+    )
+
+    loc = str(tmp_path / "m")
+    tgt = spark.range(0, 100).selectExpr(
+        "id AS k", "CAST(id % 7 AS LONG) AS grp", "CAST(id AS DOUBLE) AS val"
+    )
+    create_delta_table(loc, tgt.schema)
+    append_delta(spark, loc, tgt)
+    # source: keys 0..29 (matched) + 200..209 (new); negative grp on
+    # multiples of 10 marks matched-deletes
+    src = spark.range(0, 30).selectExpr(
+        "id AS k",
+        "CAST(CASE WHEN id % 10 = 0 THEN -1 ELSE id % 7 END AS LONG) AS grp",
+        "CAST(id * 100 AS DOUBLE) AS val",
+    ).unionByName(
+        spark.range(200, 210).selectExpr(
+            "id AS k", "CAST(-1 AS LONG) AS grp", "CAST(999 AS DOUBLE) AS val"
+        )
+    )
+    v0 = load_delta(loc).version
+    v = merge_delta(
+        spark,
+        loc,
+        src,
+        ["k"],
+        when_matched_update={"val": "s.val"},
+        matched_condition="s.grp >= 0 AND s.val > t.val",
+        when_matched_delete="s.grp < 0",
+        when_not_matched_insert=True,
+        not_matched_condition="s.k % 2 = 0",
+        when_not_matched_by_source_delete="t.k >= 90",
+    )
+    assert v == v0 + 1  # one atomic commit
+    got = {r["k"]: (r["grp"], r["val"]) for r in read_delta(spark, loc).collect()}
+    # expectations: k in 0,10,20 deleted (matched, grp<0); k 1..29
+    # (non-multiples of 10) updated to val=k*100 EXCEPT k=0 case and
+    # s.val>t.val always true for k>=1; k=0 is a delete anyway;
+    # unmatched targets 30..89 untouched; 90..99 deleted (nmbs);
+    # inserts: 200..208 even only.
+    assert all(k not in got for k in (0, 10, 20))
+    for k in range(1, 30):
+        if k % 10 != 0:
+            assert got[k] == (k % 7, float(k * 100)), k
+    for k in range(30, 90):
+        assert got[k] == (k % 7, float(k))
+    assert all(k not in got for k in range(90, 100))
+    for k in range(200, 210):
+        assert (k in got) == (k % 2 == 0)
+        if k in got:
+            assert got[k] == (-1, 999.0)
+    # duplicate source keys refused
+    with pytest.raises(ValueError, match="duplicate key"):
+        merge_delta(spark, loc, src.unionByName(src.limit(1)), ["k"])
+
+
+def test_merge_delta_cdf_rows(spark, tmp_path):
+    """CDF-enabled MERGE emits update_pre/postimage for updates,
+    delete for both matched and by-source deletes, insert for inserts."""
+    from icegopher_spark.delta import read_changes
+    from icegopher_spark.delta_write import (
+        append_delta,
+        create_delta_table,
+        merge_delta,
+    )
+
+    loc = str(tmp_path / "mcdf")
+    tgt = spark.range(0, 20).selectExpr("id AS k", "CAST(id AS DOUBLE) AS val")
+    create_delta_table(
+        loc, tgt.schema, configuration={"delta.enableChangeDataFeed": "true"}
+    )
+    append_delta(spark, loc, tgt)
+    src = spark.range(0, 5).selectExpr("id AS k", "CAST(1000 AS DOUBLE) AS val")
+    v = merge_delta(
+        spark,
+        loc,
+        src,
+        ["k"],
+        when_matched_update="all",
+        when_matched_delete="s.k = 0",
+        when_not_matched_by_source_delete="t.k >= 18",
+    )
+    ch = read_changes(spark, loc, v, v)
+    counts = {
+        r["_change_type"]: r["n"]
+        for r in ch.groupBy("_change_type").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert counts.get("update_preimage") == 4  # k=1..4
+    assert counts.get("update_postimage") == 4
+    assert counts.get("delete") == 3  # k=0 matched + k=18,19 by-source
+    assert "insert" not in counts

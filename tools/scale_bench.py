@@ -152,6 +152,7 @@ EXTRA_SCALE_QUERIES = [
     "delta_variant_read",
     # round-12 operators
     "delta_zorder_optimize",
+    "delta_merge_matrix",
 ]
 SCALE_QUERIES = BENCH_QUERIES + EXTRA_SCALE_QUERIES
 from icegopher_spark.queries import QUERIES, load  # noqa: E402
