@@ -217,6 +217,7 @@ def main() -> None:
         # round-12 additions
         "delta_zorder_optimize",
         "delta_merge_matrix",
+        "iceberg_merge_matrix",
     ]
 
     # Noise calibration (r8 verdict #6): a fixed query timed once per

@@ -1602,42 +1602,23 @@ def overwrite(table: Table, df: DataFrame) -> Table:
     return _commit_snapshot(table, files, OP_OVERWRITE, keep_manifests=[])
 
 
-def delete_where_mor(table: Table, spark: SparkSession, row_filter) -> Table:
-    """Merge-on-read delete: instead of rewriting data files, write
-    positional delete files (file_path, pos) for matching rows and
-    commit them in a DELETES manifest. Reads apply them as a left-anti
-    join (table.py). At scale this turns deletes from O(affected bytes)
-    rewrites into O(matching rows) appends — the trade the Iceberg V2
-    spec exists for.
-
-    ``row_filter`` is either a bound Iceberg expression (prunes files
-    via manifest stats before the scan) or a plain Spark Column (r11
-    verdict task #4: predicates like ``col % 9 == 0`` aren't
-    expressible as bound predicates and previously forced callers to
-    collect() matching keys into an IN-list — a driver-memory path at
-    scale). A Column scans all files and filters row-level; use a
-    bound expression whenever the predicate allows pruning."""
-    from pyspark.sql import Column
-
-    from .expressions import to_spark_column
-    from .manifests import read_manifest_list
+def _mor_live_rows(
+    table: Table,
+    spark: SparkSession,
+    scan,
+    pre_filter=None,
+) -> DataFrame | None:
+    """Live target rows WITH positions — the shared front half of the
+    MOR writers (delete_where_mor, merge_matrix_mor): reads the scan's
+    data files grouped by (format, applicable eq-delete set), attaches
+    spec-exact (file_path, pos), applies equality deletes and anti-joins
+    prior pos-deletes/DVs so an already-deleted row can never be
+    re-deleted (double-counting corrupted incremental MVs, r6 review).
+    ``pre_filter`` (a Column) is applied per group BEFORE the delete
+    joins — callers with a row predicate shrink the join input early.
+    Returns None when the scan planned no files."""
     from .table import strip_file_scheme
 
-    snap = table.current_snapshot()
-    if snap is None:
-        return table
-
-    if isinstance(row_filter, Column):
-        spark_pred = row_filter
-        scan = table.scan()  # no stats pruning possible for a Column
-    else:
-        spark_pred = to_spark_column(row_filter)
-        scan = table.scan(row_filter=row_filter)
-    # group by (format, applicable eq-delete set) and track prior pos
-    # deletes: matching against RAW file contents re-deleted rows that
-    # earlier pos/eq deletes already removed — reads stayed correct
-    # (anti-join is idempotent) but the changelog reported those rows
-    # deleted AGAIN, double-decrementing incremental MVs (r6 review)
     groups: dict[tuple, dict] = {}
     for t in scan.plan_files():
         key = (t.file.file_format, frozenset(d.file_path for d in t.eq_delete_files))
@@ -1653,7 +1634,7 @@ def delete_where_mor(table: Table, spark: SparkSession, row_filter) -> Table:
             else:
                 g["pd"].add(strip_file_scheme(d.file_path))
     if not groups:
-        return table
+        return None
 
     from .table import apply_eq_delete_anti_joins
 
@@ -1683,7 +1664,7 @@ def delete_where_mor(table: Table, spark: SparkSession, row_filter) -> Table:
                 F.col("_pos").alias("pos"),
                 *[c for c in src.columns if c not in ("_file", "_pos")],
             )
-        part = src.filter(spark_pred)
+        part = src.filter(pre_filter) if pre_filter is not None else src
         part = apply_eq_delete_anti_joins(part, g["eq"], table.schema, spark)
         priors = []
         if g["pd"]:
@@ -1711,11 +1692,22 @@ def delete_where_mor(table: Table, spark: SparkSession, row_filter) -> Table:
             for p in priors[1:]:
                 prior = prior.unionByName(p)
             part = part.join(prior, ["file_path", "pos"], "left_anti")
-        parts.append(part.select("file_path", "pos"))
-    matches = parts[0]
+        parts.append(part)
+    out = parts[0]
     for p in parts[1:]:
-        matches = matches.unionByName(p)
-    matches = matches.orderBy("file_path", "pos")
+        out = out.unionByName(p)
+    return out
+
+
+def _write_pos_delete_files(table: Table, matches: DataFrame) -> list[DataFile]:
+    """Write a (file_path, pos) frame as V2 positional-delete parquet
+    under the table and return its DataFile entries (path bounds from
+    the just-written FOOTER stats — materializing every deleted row's
+    path on the driver was O(deleted rows) driver memory, r5 review).
+    Empty frame -> []."""
+    import pyarrow.parquet as pq
+
+    matches = matches.select("file_path", "pos").orderBy("file_path", "pos")
     out_dir = f"{table.location}/data/deletes-{_uuid.uuid4().hex[:12]}"
     matches.coalesce(1).write.mode("overwrite").parquet(out_dir)
 
@@ -1724,15 +1716,10 @@ def delete_where_mor(table: Table, spark: SparkSession, row_filter) -> Table:
         if not fn.endswith(".parquet"):
             continue
         path = f"{out_dir}/{fn}"
-        import pyarrow.parquet as pq
-
         meta = pq.ParquetFile(path).metadata
         if meta.num_rows == 0:
             continue
-        # path bounds come from the just-written parquet FOOTER stats —
-        # materializing every deleted row's path string on the driver
-        # (to_pylist + min/max) was O(deleted rows) driver memory (r5
-        # review). file_path is column 0 of the delete file layout.
+        # file_path is column 0 of the delete file layout
         lo_path = hi_path = None
         for rg in range(meta.num_row_groups):
             st = meta.row_group(rg).column(0).statistics
@@ -1761,6 +1748,44 @@ def delete_where_mor(table: Table, spark: SparkSession, row_filter) -> Table:
                 **bounds,
             )
         )
+    return delete_files
+
+
+def delete_where_mor(table: Table, spark: SparkSession, row_filter) -> Table:
+    """Merge-on-read delete: instead of rewriting data files, write
+    positional delete files (file_path, pos) for matching rows and
+    commit them in a DELETES manifest. Reads apply them as a left-anti
+    join (table.py). At scale this turns deletes from O(affected bytes)
+    rewrites into O(matching rows) appends — the trade the Iceberg V2
+    spec exists for.
+
+    ``row_filter`` is either a bound Iceberg expression (prunes files
+    via manifest stats before the scan) or a plain Spark Column (r11
+    verdict task #4: predicates like ``col % 9 == 0`` aren't
+    expressible as bound predicates and previously forced callers to
+    collect() matching keys into an IN-list — a driver-memory path at
+    scale). A Column scans all files and filters row-level; use a
+    bound expression whenever the predicate allows pruning."""
+    from pyspark.sql import Column
+
+    from .expressions import to_spark_column
+    from .manifests import read_manifest_list
+
+    snap = table.current_snapshot()
+    if snap is None:
+        return table
+
+    if isinstance(row_filter, Column):
+        spark_pred = row_filter
+        scan = table.scan()  # no stats pruning possible for a Column
+    else:
+        spark_pred = to_spark_column(row_filter)
+        scan = table.scan(row_filter=row_filter)
+
+    live = _mor_live_rows(table, spark, scan, pre_filter=spark_pred)
+    if live is None:
+        return table
+    delete_files = _write_pos_delete_files(table, live)
     if not delete_files:
         return table
 
@@ -1772,7 +1797,6 @@ def delete_where_mor(table: Table, spark: SparkSession, row_filter) -> Table:
         keep_manifests=keep,
         delete_files=delete_files,
     )
-
 
 def write_dv_files(
     table: Table,
@@ -2472,4 +2496,162 @@ def merge_upsert(
         keep_manifests=keep,
         delete_files=delete_files,
         extra_summary=extra_summary,
+    )
+
+
+def merge_matrix_mor(
+    table: Table,
+    spark: SparkSession,
+    source: DataFrame,
+    key_columns: list[str],
+    *,
+    when_matched_update: dict[str, str] | str | None = "all",
+    matched_condition: str | None = None,
+    when_matched_delete: str | bool | None = None,
+    when_not_matched_insert: bool = True,
+    not_matched_condition: str | None = None,
+    when_not_matched_by_source_delete: str | bool | None = None,
+) -> Table:
+    """Full MERGE WHEN-clause matrix on the merge-on-read path: matched
+    rows falling to a delete/update clause (and by-source sweeps) become
+    V2 positional deletes; update post-images and conditional inserts
+    land as new data files — ALL in one atomic snapshot (deletes and
+    data at the same sequence number; positional deletes name explicit
+    (file, pos) pairs, so the new files are untouched by construction).
+
+    Same clause surface and t/s SQL-string contract as the Delta face
+    (delta_write.merge_delta); delete-then-update precedence on matched
+    rows; duplicate source keys refused. O(|source| + affected rows) —
+    untouched files are never rewritten, unlike the CoW update_where.
+
+    V3 row-lineage tables are REFUSED: the spec wants updated rows to
+    carry their _row_id forward, which the positional-delete + append
+    mechanics here would silently break — use update_where (CoW,
+    lineage-carrying) or merge_upsert on those tables.
+    """
+    from .manifests import read_manifest_list
+
+    if table.metadata.format_version >= 3:
+        raise ValueError(
+            "merge_matrix_mor on a v3 row-lineage table would reassign "
+            "updated rows' _row_id — use update_where (CoW) or "
+            "merge_upsert instead"
+        )
+    dup = (
+        source.groupBy(*key_columns).count().filter(F.col("count") > 1).limit(1).count()
+    )
+    if dup:
+        raise ValueError(
+            "merge_matrix_mor: source has duplicate key tuples — "
+            "ambiguous MERGE (multiple source rows match one target row)"
+        )
+
+    def cond(expr, default: bool):
+        if expr is None:
+            return F.lit(default)
+        if expr is True:
+            return F.lit(True)
+        return F.expr(expr)
+
+    snap = table.current_snapshot()
+    live = (
+        _mor_live_rows(table, spark, table.scan()) if snap is not None else None
+    )
+    if live is None:
+        # empty table: only the insert clause can apply
+        if not when_not_matched_insert:
+            return table
+        ins = source.alias("s").filter(cond(not_matched_condition, True))
+        return append(table, ins.select(*[f.name for f in table.schema.fields]))
+
+    cols = [f.name for f in table.schema.fields]
+    t = live.alias("t")
+    s = source.alias("s")
+    joined = t.join(s, [F.col(f"t.{k}") == F.col(f"s.{k}") for k in key_columns])
+    del_c = (
+        cond(when_matched_delete, False)
+        if when_matched_delete is not None
+        else F.lit(False)
+    )
+    upd_c = (
+        cond(matched_condition, True)
+        if when_matched_update is not None
+        else F.lit(False)
+    )
+    verdict = (
+        F.when(del_c, F.lit("delete"))
+        .when(upd_c, F.lit("update"))
+        .otherwise(F.lit("keep"))
+    )
+    affected = (
+        joined.withColumn("_verdict", verdict)
+        .filter(F.col("_verdict") != "keep")
+        .persist()
+    )
+    try:
+        masks = affected.select(
+            F.col("t.file_path").alias("file_path"), F.col("t.pos").alias("pos")
+        )
+        if when_not_matched_by_source_delete is not None:
+            nmbs = live.alias("t").join(
+                source.select(*key_columns).alias("s"),
+                [F.col(f"t.{k}") == F.col(f"s.{k}") for k in key_columns],
+                "left_anti",
+            )
+            nmbs_df = nmbs.filter(cond(when_not_matched_by_source_delete, True))
+            masks = masks.unionByName(nmbs_df.select("file_path", "pos"))
+        delete_files = _write_pos_delete_files(table, masks)
+
+        if when_matched_update == "all":
+            upd_exprs = {c: f"s.{c}" for c in cols}
+        else:
+            upd_exprs = dict(when_matched_update or {})
+            unknown = set(upd_exprs) - set(cols)
+            if unknown:
+                raise ValueError(
+                    f"merge_matrix_mor: unknown update columns {sorted(unknown)}"
+                )
+        post_parts = []
+        if when_matched_update is not None:
+            post_parts.append(
+                affected.filter(F.col("_verdict") == "update").select(
+                    *[
+                        F.expr(upd_exprs[c]).alias(c)
+                        if c in upd_exprs
+                        else F.col(f"t.{c}").alias(c)
+                        for c in cols
+                    ]
+                )
+            )
+        if when_not_matched_insert:
+            unmatched = source.alias("s").join(
+                live.select(*key_columns).alias("t"),
+                [F.col(f"s.{k}") == F.col(f"t.{k}") for k in key_columns],
+                "left_anti",
+            )
+            post_parts.append(
+                unmatched.filter(cond(not_matched_condition, True)).select(
+                    *[F.col(c).alias(c) for c in cols]
+                )
+            )
+        new_files = []
+        if post_parts:
+            post = post_parts[0]
+            for extra in post_parts[1:]:
+                post = post.unionByName(extra)
+            pairs = _write_data_files(table, post, f"{table.location}/data")
+            new_files = [
+                collect_data_file(p, table.schema, part) for p, part in pairs
+            ]
+    finally:
+        affected.unpersist()
+    if not delete_files and not new_files:
+        return table
+    keep = read_manifest_list(table.io.read(snap.manifest_list))
+    return _commit_snapshot(
+        table,
+        new_files,
+        OP_OVERWRITE,
+        keep_manifests=keep,
+        delete_files=delete_files,
     )

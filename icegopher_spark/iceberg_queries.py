@@ -1064,6 +1064,95 @@ def _merge_table_for(spark: SparkSession, sf_dir: str) -> Table:
     )
 
 
+_ORDERS_SCHEMA = Schema(
+    (
+        NestedField(1, "o_orderkey", LongType(), True),
+        NestedField(2, "o_custkey", LongType(), False),
+        NestedField(3, "o_totalprice", DoubleType(), False),
+    ),
+    schema_id=0,
+    identifier_field_ids=(),
+)
+
+
+def _merge_matrix_table_for(spark: SparkSession, sf_dir: str) -> Table:
+    """orders merged with the full WHEN-clause matrix — the Iceberg twin
+    of the Delta gate's fixture (same clause semantics, same oracle):
+    matched keys (≡3 mod 10) delete when the source marks o_custkey
+    negative (keys ≡3 mod 40) else update o_totalprice to the doubled
+    source price; 5 new keys insert only when odd; target keys ≡0
+    mod 97 with no source row are swept by the by-source delete."""
+
+    def build(loc: str) -> Table:
+        from .queries import load as _load
+
+        orders = _load(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        )
+        t = W.create_table(loc, _ORDERS_SCHEMA)
+        t = W.append(t, orders)
+        src = orders.filter(F.col("o_orderkey") % 10 == 3).select(
+            "o_orderkey",
+            F.when(F.col("o_orderkey") % 40 == 3, F.lit(-1).cast("long"))
+            .otherwise(F.col("o_custkey"))
+            .alias("o_custkey"),
+            (F.col("o_totalprice") * 2).alias("o_totalprice"),
+        ).unionByName(
+            spark.createDataFrame(
+                [(10_000_000 + i, -1, 777.0) for i in range(5)],
+                "o_orderkey long, o_custkey long, o_totalprice double",
+            )
+        )
+        return W.merge_matrix_mor(
+            t,
+            spark,
+            src,
+            ["o_orderkey"],
+            when_matched_update={"o_totalprice": "s.o_totalprice"},
+            matched_condition="s.o_custkey >= 0",
+            when_matched_delete="s.o_custkey < 0",
+            when_not_matched_insert=True,
+            not_matched_condition="s.o_orderkey % 2 = 1",
+            when_not_matched_by_source_delete="t.o_orderkey % 97 = 0",
+        )
+
+    return _cached_table(
+        sf_dir,
+        "orders_merge_matrix",
+        lambda t: len(t.metadata.snapshots) == 2,
+        build,
+    )
+
+
+def _merge_matrix_oracle() -> str:
+    from .delta_queries import delta_merge_matrix_oracle
+
+    return delta_merge_matrix_oracle
+
+
+@register(
+    "iceberg_merge_matrix",
+    _merge_matrix_oracle,
+    "Full MERGE WHEN-clause matrix on the MOR path: pos-deletes for "
+    "matched/by-source deletes + updates, new files for post-images "
+    "and conditional inserts, one snapshot (same oracle as the Delta "
+    "twin)",
+)
+def iceberg_merge_matrix(spark: SparkSession, sf: str) -> DataFrame:
+    """Shares the Delta twin's oracle verbatim — the two faces must
+    agree bit-for-bit on every clause outcome."""
+    t = _merge_matrix_table_for(spark, sf)
+    df = t.scan().to_df(spark)
+    return df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("o_orderkey") % 1000).cast("bigint").alias("okey_chk"),
+        F.sum(F.col("o_custkey") % 1000).cast("bigint").alias("ckey_chk"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(13,2)")), 2)
+        .cast("double")
+        .alias("total_price"),
+    )
+
+
 avro_rt_oracle = """
 SELECT l_returnflag, COUNT(*) AS n_rows,
        CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_qty,

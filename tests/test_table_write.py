@@ -840,3 +840,79 @@ def test_mor_delete_spark_column_predicate(spark, warehouse, lineitem):
         (F.col("l_orderkey") % 9 != 0) & (F.col("l_orderkey") % 3 != 0)
     )
     assert got2.count() == exp2.count()
+
+
+def test_merge_matrix_mor_full_clause_matrix(spark, warehouse, lineitem):
+    """All four WHEN clauses in ONE snapshot on the MOR path: verdicts
+    checked row-by-row, no data-file rewrite (original files still
+    live, deletes ride a DELETES manifest)."""
+    cat = StaticCatalog("test", warehouse)
+    t = cat.create_table(("db", "mrgx"), SCHEMA)
+    tgt = lineitem.limit(0)  # build a controlled frame instead
+    tgt = (
+        lineitem.sparkSession.range(0, 100)
+        .selectExpr(
+            "id AS l_orderkey",
+            "CAST(id % 50 AS DOUBLE) AS l_quantity",
+            "CASE WHEN id % 2 = 0 THEN 'A' ELSE 'R' END AS l_returnflag",
+            "TIMESTAMP '1996-01-01 00:00:00' AS l_shipdate",
+        )
+        .withColumn("l_shipdate", F.col("l_shipdate").cast("timestamp_ntz"))
+    )
+    t = W.append(t, tgt)
+    n_files_before = len({x.file.file_path for x in t.scan().plan_files()})
+    src = (
+        tgt.sparkSession.range(0, 30)
+        .selectExpr(
+            "id AS l_orderkey",
+            "CAST(CASE WHEN id % 10 = 0 THEN -1 ELSE id END AS DOUBLE) AS l_quantity",
+            "'U' AS l_returnflag",
+            "TIMESTAMP '1997-01-01 00:00:00' AS l_shipdate",
+        )
+        .withColumn("l_shipdate", F.col("l_shipdate").cast("timestamp_ntz"))
+        .unionByName(
+            tgt.sparkSession.range(200, 210).selectExpr(
+                "id AS l_orderkey",
+                "CAST(999 AS DOUBLE) AS l_quantity",
+                "'N' AS l_returnflag",
+                "CAST(TIMESTAMP '1998-01-01 00:00:00' AS TIMESTAMP_NTZ) AS l_shipdate",
+            )
+        )
+    )
+    t = W.merge_matrix_mor(
+        t,
+        spark,
+        src,
+        ["l_orderkey"],
+        when_matched_update={"l_quantity": "s.l_quantity * 10"},
+        matched_condition="s.l_quantity >= 0",
+        when_matched_delete="s.l_quantity < 0",
+        when_not_matched_insert=True,
+        not_matched_condition="s.l_orderkey % 2 = 0",
+        when_not_matched_by_source_delete="t.l_orderkey >= 95",
+    )
+    got = {
+        r["l_orderkey"]: (r["l_quantity"], r["l_returnflag"])
+        for r in t.scan().to_df(spark).collect()
+    }
+    # matched deletes: 0,10,20 gone; matched updates 1..29 (others)
+    assert all(k not in got for k in (0, 10, 20))
+    for k in range(1, 30):
+        if k % 10 != 0:
+            assert got[k] == (float(k * 10), "A" if k % 2 == 0 else "R"), k
+    for k in range(30, 95):
+        assert got[k][0] == float(k % 50)
+    assert all(k not in got for k in range(95, 100))  # by-source sweep
+    for k in range(200, 210):
+        assert (k in got) == (k % 2 == 0)
+    # MOR: originals not rewritten — still among the live data files
+    live_paths = {x.file.file_path for x in t.scan().plan_files()}
+    assert len(live_paths) >= n_files_before
+    with pytest.raises(ValueError, match="duplicate key"):
+        W.merge_matrix_mor(t, spark, src.unionByName(src.limit(1)), ["l_orderkey"])
+
+
+def test_merge_matrix_mor_refuses_v3_lineage(spark, tmp_path, lineitem):
+    t = W.create_table(str(tmp_path / "mrgx_v3"), SCHEMA, format_version=3)
+    with pytest.raises(ValueError, match="row-lineage"):
+        W.merge_matrix_mor(t, spark, lineitem.limit(1), ["l_orderkey"])

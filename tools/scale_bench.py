@@ -153,6 +153,7 @@ EXTRA_SCALE_QUERIES = [
     # round-12 operators
     "delta_zorder_optimize",
     "delta_merge_matrix",
+    "iceberg_merge_matrix",
 ]
 SCALE_QUERIES = BENCH_QUERIES + EXTRA_SCALE_QUERIES
 from icegopher_spark.queries import QUERIES, load  # noqa: E402
