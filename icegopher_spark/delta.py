@@ -1203,6 +1203,62 @@ def vacuum_candidates(
     return sorted(out)
 
 
+def vacuum_delta(
+    table_path: str,
+    retention_ms: int = 7 * 24 * 3600 * 1000,
+    *,
+    enforce_retention_check: bool = True,
+    now_ms: int | None = None,
+) -> list[str]:
+    """Execute VACUUM: delete the dry-run candidates and return the
+    deleted paths.
+
+    Safety rails (delta-spark parity):
+
+    * a retention window shorter than 7 days is refused unless
+      ``enforce_retention_check=False`` — the
+      ``spark.databricks.delta.retentionDurationCheck.enabled``
+      override, spelled as an explicit argument, because a short window
+      deletes files that concurrent READERS of recent versions may
+      still be streaming;
+    * the writer-protocol gate runs first: a table demanding
+      ``vacuumProtocolCheck`` (or any unsupported writer feature) is
+      refused rather than vacuumed blind — VACUUM is a WRITER operation
+      under that feature even though it commits nothing;
+    * the candidate set is recomputed here (not passed in), so the
+      delete acts on the same-now snapshot of the log it reasoned
+      about; empty dirs are pruned afterwards, the log never touched.
+    """
+    if enforce_retention_check and retention_ms < 7 * 24 * 3600 * 1000:
+        raise ValueError(
+            f"vacuum retention {retention_ms}ms is under 7 days — "
+            "readers of recent versions could lose files mid-query; "
+            "pass enforce_retention_check=False to override"
+        )
+    from .delta_write import _check_writer_protocol
+
+    _check_writer_protocol(load_delta(table_path), "vacuum")
+    victims = vacuum_candidates(table_path, retention_ms, now_ms=now_ms)
+    deleted: list[str] = []
+    for p in victims:
+        try:
+            os.remove(p)
+            deleted.append(p)
+        except OSError:
+            continue  # raced with another vacuum — already gone
+    # prune now-empty data directories (never the log)
+    log_root = os.path.abspath(_log_dir(table_path))
+    for dirpath, dirs, files in os.walk(os.path.abspath(table_path), topdown=False):
+        if dirpath.startswith(log_root) or dirpath == os.path.abspath(table_path):
+            continue
+        if not dirs and not files:
+            try:
+                os.rmdir(dirpath)
+            except OSError:
+                pass
+    return deleted
+
+
 def _classify_changes(
     table_path: str,
     snap: DeltaSnapshot,

