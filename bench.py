@@ -218,6 +218,7 @@ def main() -> None:
         "delta_zorder_optimize",
         "delta_merge_matrix",
         "iceberg_merge_matrix",
+        "delta_vacuum_execute",
     ]
 
     # Noise calibration (r8 verdict #6): a fixed query timed once per

@@ -693,6 +693,59 @@ def delta_vacuum_preview(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_VACX_MARKER = "vacx-fixture@v1"
+
+
+def delta_vacx_fixture_path(spark: SparkSession, sf_dir: str) -> str:
+    """The shared orders fixture COPIED then actually VACUUMed
+    (retention 0, rail overridden, now pinned ahead of the mtimes):
+    the one log-removed file must be gone from disk while every live
+    file survives."""
+    key = sf_dir.strip("/").replace("/", "_")
+    loc = f"{_CACHE_ROOT}/{key}/orders_delta_vacx"
+    ok = os.path.join(loc, "_FIXTURE_OK")
+    if os.path.exists(ok):
+        try:
+            with open(ok) as f:
+                if f.read().strip() == _VACX_MARKER:
+                    return loc
+        except OSError:
+            pass
+    shutil.rmtree(loc, ignore_errors=True)
+
+    from .delta import vacuum_delta
+
+    src = delta_fixture_path(sf_dir)
+    shutil.copytree(src, loc)
+    os.remove(ok) if os.path.exists(ok) else None
+    deleted = vacuum_delta(
+        loc, retention_ms=0, enforce_retention_check=False, now_ms=_T0 + 10**12
+    )
+    if not deleted:
+        raise AssertionError("vacuum deleted nothing — fixture broken")
+    with open(ok, "w") as f:
+        f.write(_VACX_MARKER + "\n")
+    return loc
+
+
+@register(
+    "delta_vacuum_execute",
+    # vacuum must not change the visible row set: same oracle as the
+    # plain delta read gate's current-version semantics
+    lambda: delta_read_oracle,
+    "Executed VACUUM: unreferenced file deleted from disk, every live "
+    "file survives, the table reads identically",
+)
+def delta_vacuum_execute(spark: SparkSession, sf: str) -> DataFrame:
+    """If vacuum deleted a LIVE file the scan would lose rows (or fail
+    outright); if it somehow resurrected the removed file the counts
+    would inflate — either way the hash mismatches the current-version
+    oracle."""
+    loc = delta_vacx_fixture_path(spark, sf)
+    df = read_delta(spark, loc)
+    return _priority_agg(df)
+
+
 delta_export_oracle = """
 SELECT l_returnflag,
        COUNT(*) AS n_rows,

@@ -154,6 +154,7 @@ EXTRA_SCALE_QUERIES = [
     "delta_zorder_optimize",
     "delta_merge_matrix",
     "iceberg_merge_matrix",
+    "delta_vacuum_execute",
 ]
 SCALE_QUERIES = BENCH_QUERIES + EXTRA_SCALE_QUERIES
 from icegopher_spark.queries import QUERIES, load  # noqa: E402
