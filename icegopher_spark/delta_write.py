@@ -1340,6 +1340,13 @@ def zorder_delta(
             f"zorder columns {bad} are partition columns — they are "
             "constant within a file already; cluster on data columns"
         )
+    from .operators.zorder import check_zorder_type
+
+    field_types = {f.name: f.dataType.simpleString() for f in snap.schema.fields}
+    for c in cols:
+        if c not in field_types:
+            raise ValueError(f"zorder column {c!r} not in the table schema")
+        check_zorder_type(c, field_types[c])
 
     masks = None
     if snap.deletion_vectors:
@@ -1661,6 +1668,18 @@ def merge_delta(
     snap, live = _live_with_positions(spark, table_path, "merge_delta")
     _check_writer_protocol(snap, "merge")
     cols = [f.name for f in snap.schema.fields]
+    # validate clause arguments BEFORE any side effect: _dv_swap_actions
+    # writes DV files under the table — an invalid update map must fail
+    # while the table directory is still untouched
+    if when_matched_update == "all":
+        upd_exprs = {c: f"s.{c}" for c in cols}
+    else:
+        upd_exprs = dict(when_matched_update or {})
+        unknown = set(upd_exprs) - set(cols)
+        if unknown:
+            raise ValueError(
+                f"merge_delta: unknown update columns {sorted(unknown)}"
+            )
 
     def cond(expr, default: bool):
         """None -> lit(default); True -> always; str -> SQL over t/s."""
@@ -1670,6 +1689,10 @@ def merge_delta(
             return F.lit(True)
         return F.expr(expr)
 
+    # the full-table positions scan feeds up to three action subtrees
+    # (matched join, by-source anti-join, insert anti-join) — persist it
+    # once or each action re-reads every data file through its DV masks
+    live = live.persist()
     t = live.alias("t")
     s = source.alias("s")
     joined = t.join(s, [F.col(f"t.{k}") == F.col(f"s.{k}") for k in key_columns])
@@ -1708,14 +1731,7 @@ def merge_delta(
             )
         actions = _dv_swap_actions(spark, table_path, snap, masks_src)
 
-        # post-images for updated rows
-        if when_matched_update == "all":
-            upd_exprs = {c: f"s.{c}" for c in cols}
-        else:
-            upd_exprs = dict(when_matched_update or {})
-            unknown = set(upd_exprs) - set(cols)
-            if unknown:
-                raise ValueError(f"merge_delta: unknown update columns {sorted(unknown)}")
+        # (update-column names validated above, before any file writes)
         updates_df = (
             affected.filter(F.col("_verdict") == "update").select(
                 *[
@@ -1780,6 +1796,7 @@ def merge_delta(
             adds = _stage_and_collect(spark, table_path, post, part_phys)
     finally:
         affected.unpersist()
+        live.unpersist()
         if nmbs_df is not None:
             nmbs_df.unpersist()
     if not actions and not adds:

@@ -114,6 +114,22 @@ def _parse(source_key: tuple) -> ast.Module | None:
         return None
 
 
+def _fs_generation() -> int:
+    """Max mtime_ns across the package's .py files — one cheap stat
+    sweep (~60 files). Baked into every fs-layer cache key so an edit
+    in a long-lived process re-keys ALL the lru_caches below; without
+    it, current_gate_hash/_symbol_info would keep returning pre-edit
+    hashes forever and staleness detection would false-green exactly
+    the gates it exists to flag."""
+    latest = 0
+    for f in _PKG_DIR.rglob("*.py"):
+        try:
+            latest = max(latest, f.stat().st_mtime_ns)
+        except OSError:
+            continue
+    return latest
+
+
 def _fs_key(relpath: str) -> tuple:
     try:
         mtime = (_REPO / relpath).stat().st_mtime_ns
@@ -231,7 +247,7 @@ def _module_relpath(modname: str) -> str | None:
 
 
 @lru_cache(maxsize=None)
-def _module_import_closure(relpath: str) -> tuple[str, ...]:
+def _module_import_closure(relpath: str, generation: int = 0) -> tuple[str, ...]:
     """Transitive icegopher_spark file closure of one module, computed
     from the CURRENT tree (the closure defines *what* to hash; the blob
     layer defines *which version* of it)."""
@@ -278,7 +294,7 @@ def _is_module(modname: str) -> bool:
 
 
 def _source_key(layer: tuple, relpath: str) -> tuple:
-    """layer is ('fs',) or ('git', commit)."""
+    """layer is ('fs', generation) or ('git', commit)."""
     if layer[0] == "fs":
         return _fs_key(relpath)
     return ("git", layer[1], relpath)
@@ -407,11 +423,12 @@ def _gate_hash_from_tree(
     if root is None or fn_name not in root.defs:
         return None
     sig, mod_deps = _closure_signature(layer, modname, fn_name)
+    generation = layer[1] if layer[0] == "fs" else 0
     dep_files: set[str] = set()
     for dep_mod in mod_deps:
         rel = _module_relpath(dep_mod)
         if rel:
-            dep_files.update(_module_import_closure(rel))
+            dep_files.update(_module_import_closure(rel, generation))
     dep_hashes = []
     for rel in sorted(dep_files):
         text = raw_text_of(rel)
@@ -433,9 +450,15 @@ def _current_raw(relpath: str) -> str | None:
         return None
 
 
-@lru_cache(maxsize=None)
 def current_gate_hash(module: str, fn_name: str) -> str | None:
-    return _gate_hash_from_tree(module, fn_name, ("fs",), _current_raw)
+    # cached via _current_hash_keyed so an edited tree (new generation)
+    # recomputes instead of serving the pre-edit hash
+    return _current_hash_keyed(module, fn_name, _fs_generation())
+
+
+@lru_cache(maxsize=None)
+def _current_hash_keyed(module: str, fn_name: str, generation: int) -> str | None:
+    return _gate_hash_from_tree(module, fn_name, ("fs", generation), _current_raw)
 
 
 @lru_cache(maxsize=None)

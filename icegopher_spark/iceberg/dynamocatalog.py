@@ -149,7 +149,8 @@ class DynamoDbCatalog:
             raise NoSuchNamespaceError(ns)
         if self.table_exists(identifier):
             raise CatalogError(f"table {identifier!r} already exists")
-        location = (properties or {}).pop("location", None) if properties else None
+        properties = dict(properties) if properties else None
+        location = properties.pop("location", None) if properties else None
         location = location or (
             f"{self.warehouse}/{ns}/{tbl}" if self.warehouse else None
         )
@@ -203,10 +204,25 @@ class DynamoDbCatalog:
             TableName=self.table_name, Key=self._key(f"{ns}.{tbl}", ns)
         )
 
+    def _scan_all(self, **kwargs) -> list[dict]:
+        """Exhaust Scan pagination: DynamoDB reads at most 1 MB per page
+        and applies FilterExpression AFTER the read, so a page can hold
+        zero matches plus a LastEvaluatedKey — stopping at the first
+        page silently truncates listings (and a truncated list_tables
+        would let drop_namespace delete the marker of a NON-empty
+        namespace, orphaning its table items)."""
+        items: list[dict] = []
+        while True:
+            out = self._ddb.scan(TableName=self.table_name, **kwargs)
+            items += out.get("Items", [])
+            lek = out.get("LastEvaluatedKey")
+            if not lek:
+                return items
+            kwargs = {**kwargs, "ExclusiveStartKey": lek}
+
     def list_tables(self, namespace) -> list[tuple[str, ...]]:
         ns = ".".join(to_identifier(namespace))
-        out = self._ddb.scan(
-            TableName=self.table_name,
+        items = self._scan_all(
             FilterExpression="#n = :ns AND identifier <> :marker",
             ExpressionAttributeNames={"#n": "namespace"},
             ExpressionAttributeValues={
@@ -214,10 +230,7 @@ class DynamoDbCatalog:
                 ":marker": {"S": _NS_MARKER},
             },
         )
-        names = sorted(
-            item["identifier"]["S"].rsplit(".", 1)[-1]
-            for item in out.get("Items", [])
-        )
+        names = sorted(item["identifier"]["S"].rsplit(".", 1)[-1] for item in items)
         return [(ns, n) for n in names]
 
     # -- commits -------------------------------------------------------------
@@ -260,16 +273,13 @@ class DynamoDbCatalog:
 
     # -- namespaces ------------------------------------------------------------
     def list_namespaces(self) -> list[tuple[str, ...]]:
-        out = self._ddb.scan(
-            TableName=self.table_name,
+        items = self._scan_all(
             FilterExpression="identifier = :marker",
             ExpressionAttributeValues={":marker": {"S": _NS_MARKER}},
         )
         return [
             tuple(item["namespace"]["S"].split("."))
-            for item in sorted(
-                out.get("Items", []), key=lambda i: i["namespace"]["S"]
-            )
+            for item in sorted(items, key=lambda i: i["namespace"]["S"])
         ]
 
     def create_namespace(self, namespace, properties=None) -> None:

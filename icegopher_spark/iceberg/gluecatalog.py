@@ -138,7 +138,8 @@ class GlueCatalog:
             raise NoSuchNamespaceError(db) from e
         if self.table_exists(identifier):
             raise CatalogError(f"table {identifier!r} already exists")
-        location = (properties or {}).pop("location", None) if properties else None
+        properties = dict(properties) if properties else None
+        location = properties.pop("location", None) if properties else None
         location = location or (
             f"{self.warehouse}/{db}/{tbl}" if self.warehouse else None
         )
@@ -216,12 +217,29 @@ class GlueCatalog:
         params = dict(cur.get("Parameters") or {})
         params[_PARAM_PREV_METADATA] = expected
         params[_PARAM_METADATA] = new_path
-        table_input = {
-            "Name": tbl,
-            "TableType": cur.get("TableType", "EXTERNAL_TABLE"),
-            "Parameters": params,
-            "StorageDescriptor": cur.get("StorageDescriptor") or {},
-        }
+        # carry EVERY TableInput-legal field of the existing row — a
+        # table created by another engine may have Description/Owner/
+        # PartitionKeys etc., and an UpdateTable that omits them erases
+        # them permanently (Get* returns extra server-managed fields
+        # like DatabaseName/CreateTime/VersionId that TableInput
+        # rejects, hence the allowlist rather than dict(cur))
+        _TABLE_INPUT_FIELDS = (
+            "Name",
+            "Description",
+            "Owner",
+            "LastAccessTime",
+            "LastAnalyzedTime",
+            "Retention",
+            "StorageDescriptor",
+            "PartitionKeys",
+            "ViewOriginalText",
+            "ViewExpandedText",
+            "TableType",
+            "TargetTable",
+        )
+        table_input = {k: cur[k] for k in _TABLE_INPUT_FIELDS if k in cur}
+        table_input["Name"] = tbl
+        table_input["Parameters"] = params
         kwargs: dict = {
             "DatabaseName": db,
             "TableInput": table_input,

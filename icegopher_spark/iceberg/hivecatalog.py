@@ -172,7 +172,8 @@ class HiveCatalog:
             raise NoSuchNamespaceError(db) from e
         if self.table_exists(identifier):
             raise CatalogError(f"table {identifier!r} already exists")
-        location = (properties or {}).pop("location", None) if properties else None
+        properties = dict(properties) if properties else None
+        location = properties.pop("location", None) if properties else None
         location = location or (
             f"{self.warehouse}/{db}/{tbl}" if self.warehouse else None
         )

@@ -248,20 +248,25 @@ class HMSClient:
                 self._sock.sendall(w.getvalue())
                 r = T.BinaryReader(self._rfile)
                 name, mtype, seqid = r.read_message_begin()
+                if mtype == T.EXCEPTION:
+                    exc = T.read_struct(r, T.APPLICATION_EXCEPTION_SPEC)
+                    raise T.TApplicationError(
+                        exc.get("message", "unknown"), exc.get("type", 0)
+                    )
+                if mtype != T.REPLY or name != method or seqid != self._seq:
+                    raise T.ThriftProtocolError(
+                        f"out-of-order reply: {name}/{mtype}/{seqid}"
+                    )
+                result = T.read_struct(r, result_spec)
+            except T.TApplicationError:
+                raise  # full exception struct consumed — stream is aligned
             except (OSError, T.ThriftProtocolError):
-                self.close()  # stream state unknown: force reconnect
-                raise
-            if mtype == T.EXCEPTION:
-                exc = T.read_struct(r, T.APPLICATION_EXCEPTION_SPEC)
-                raise T.TApplicationError(
-                    exc.get("message", "unknown"), exc.get("type", 0)
-                )
-            if mtype != T.REPLY or name != method or seqid != self._seq:
+                # covers failures ANYWHERE in the read, including a
+                # timeout mid-result-struct: the stream position is
+                # unknown, so the next call must not parse leftover
+                # reply bytes as a message header
                 self.close()
-                raise T.ThriftProtocolError(
-                    f"out-of-order reply: {name}/{mtype}/{seqid}"
-                )
-            result = T.read_struct(r, result_spec)
+                raise
         for fid, (exc_name, _, _) in result_spec.items():
             if fid == 0:
                 continue

@@ -706,12 +706,18 @@ def rewrite_clustered(
     partition dir and all rewritten files land under the current spec
     (older-spec eras are absorbed — the rewrite covers every live row).
     """
-    from ..operators.zorder import zvalue_n
+    from ..operators.zorder import check_zorder_type, zvalue_n
     from .write import _write_data_files
 
     snap = table.current_snapshot()
     if snap is None:
         return table
+
+    for c in cols:
+        f = next((f for f in table.schema.fields if f.name == c), None)
+        if f is None:
+            raise ValueError(f"zorder column {c!r} not in the table schema")
+        check_zorder_type(c, to_spark_type(f.field_type).simpleString())
 
     # V3 row lineage: a z-order rewrite moves every row between files —
     # materialize the reserved columns like compaction does; non-parquet

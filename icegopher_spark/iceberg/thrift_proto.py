@@ -182,7 +182,13 @@ class BinaryReader:
         elif ftype in (I64, DOUBLE):
             self._read(8)
         elif ftype == STRING:
-            self._read(self.read_i32())
+            n = self.read_i32()
+            if n < 0:
+                # same guard as read_string: a negative length silently
+                # skipping 0 bytes would leave the stream misaligned and
+                # later fields decoding as garbage instead of failing
+                raise ThriftProtocolError(f"negative string length {n}")
+            self._read(n)
         elif ftype == STRUCT:
             while True:
                 ft, _ = self.read_field_begin()

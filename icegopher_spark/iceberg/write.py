@@ -2565,6 +2565,20 @@ def merge_matrix_mor(
         return append(table, ins.select(*[f.name for f in table.schema.fields]))
 
     cols = [f.name for f in table.schema.fields]
+    # validate clause arguments BEFORE any side effect (pos-delete files
+    # land under the table directory)
+    if when_matched_update == "all":
+        upd_exprs = {c: f"s.{c}" for c in cols}
+    else:
+        upd_exprs = dict(when_matched_update or {})
+        unknown = set(upd_exprs) - set(cols)
+        if unknown:
+            raise ValueError(
+                f"merge_matrix_mor: unknown update columns {sorted(unknown)}"
+            )
+    # same persist rationale as merge_delta: three action subtrees read
+    # the full positions scan
+    live = live.persist()
     t = live.alias("t")
     s = source.alias("s")
     joined = t.join(s, [F.col(f"t.{k}") == F.col(f"s.{k}") for k in key_columns])
@@ -2602,15 +2616,7 @@ def merge_matrix_mor(
             masks = masks.unionByName(nmbs_df.select("file_path", "pos"))
         delete_files = _write_pos_delete_files(table, masks)
 
-        if when_matched_update == "all":
-            upd_exprs = {c: f"s.{c}" for c in cols}
-        else:
-            upd_exprs = dict(when_matched_update or {})
-            unknown = set(upd_exprs) - set(cols)
-            if unknown:
-                raise ValueError(
-                    f"merge_matrix_mor: unknown update columns {sorted(unknown)}"
-                )
+        # (update-column names validated above, before any file writes)
         post_parts = []
         if when_matched_update is not None:
             post_parts.append(
@@ -2645,6 +2651,7 @@ def merge_matrix_mor(
             ]
     finally:
         affected.unpersist()
+        live.unpersist()
     if not delete_files and not new_files:
         return table
     keep = read_manifest_list(table.io.read(snap.manifest_list))

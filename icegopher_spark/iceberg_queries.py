@@ -1064,7 +1064,7 @@ def _merge_table_for(spark: SparkSession, sf_dir: str) -> Table:
     )
 
 
-_ORDERS_SCHEMA = Schema(
+_MRGX_SCHEMA = Schema(
     (
         NestedField(1, "o_orderkey", LongType(), True),
         NestedField(2, "o_custkey", LongType(), False),
@@ -1089,7 +1089,7 @@ def _merge_matrix_table_for(spark: SparkSession, sf_dir: str) -> Table:
         orders = _load(spark, sf_dir, "orders").select(
             "o_orderkey", "o_custkey", "o_totalprice"
         )
-        t = W.create_table(loc, _ORDERS_SCHEMA)
+        t = W.create_table(loc, _MRGX_SCHEMA)
         t = W.append(t, orders)
         src = orders.filter(F.col("o_orderkey") % 10 == 3).select(
             "o_orderkey",

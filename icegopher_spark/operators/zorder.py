@@ -35,6 +35,36 @@ _SPREAD_STEPS = (
 _UMAX = (1 << 31) - 1
 
 
+def check_zorder_type(col_name: str, spark_type_name: str) -> None:
+    """Refuse cluster columns whose bigint cast is NULL or meaningless:
+    a string column casts to NULL, the null-guard then contributes
+    constant zero bits, and the 'clustered' rewrite silently clusters
+    on fewer dimensions than asked. Orderable numerics and date/time
+    types cast monotonically; everything else must be transformed by
+    the caller first (e.g. xxhash64 for strings — but then say so)."""
+    base = spark_type_name.split("(")[0].lower()
+    if base not in {
+        "tinyint",
+        "smallint",
+        "int",
+        "integer",
+        "bigint",
+        "long",
+        "float",
+        "double",
+        "decimal",
+        "date",
+        "timestamp",
+        "timestamp_ntz",
+    }:
+        raise ValueError(
+            f"z-order cluster column {col_name!r} has type "
+            f"{spark_type_name!r}, whose BIGINT cast is NULL or "
+            "unordered — cluster on numeric/date/timestamp columns "
+            "(hash string keys explicitly if you mean that)"
+        )
+
+
 def _spread_bits(c: Column) -> Column:
     """Spread the low 31 bits of ``c`` into the even bit positions of a
     64-bit value (b30..b0 -> positions 60, 58, ..., 0)."""

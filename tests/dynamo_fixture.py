@@ -28,6 +28,10 @@ class DynamoState:
         self.items: dict[tuple[str, str], dict] = {}
         self.lock = threading.Lock()
         self.calls: list[str] = []
+        # Scan page size (items READ per page, before filtering — the
+        # real 1MB-page behavior where a page can return zero matches
+        # plus LastEvaluatedKey). None = unpaginated.
+        self.page_size: int | None = None
 
 
 class _DynamoError(Exception):
@@ -87,8 +91,23 @@ class _Ops:
         def resolve(token: str) -> str:
             return names.get(token, token)
 
+        ordered = sorted(self.s.items.items())
+        start = 0
+        esk = body.get("ExclusiveStartKey")
+        if esk is not None:
+            k = (esk["identifier"]["S"], esk["namespace"]["S"])
+            start = next(
+                (i + 1 for i, (key, _) in enumerate(ordered) if key == k), 0
+            )
+        page = ordered[start:]
+        last_key = None
+        if self.s.page_size is not None and len(page) > self.s.page_size:
+            page = page[: self.s.page_size]
+            lk = page[-1][0]
+            last_key = {"identifier": {"S": lk[0]}, "namespace": {"S": lk[1]}}
+
         out = []
-        for (ident, ns), item in self.s.items.items():
+        for (ident, ns), item in page:
             if not filt:
                 out.append(item)
             elif filt == "identifier = :marker":
@@ -104,7 +123,10 @@ class _Ops:
                 raise _DynamoError(
                     "ValidationException", f"unsupported filter {filt!r}"
                 )
-        return {"Items": out, "Count": len(out)}
+        reply = {"Items": out, "Count": len(out)}
+        if last_key is not None:
+            reply["LastEvaluatedKey"] = last_key
+        return reply
 
 
 class _Handler(BaseHTTPRequestHandler):

@@ -258,3 +258,39 @@ def test_ddb_register_existing(ddb, tmp_path, spark, lineitem):
     assert t.scan().to_df(spark).count() == 30
     t = W.append(t, lineitem.limit(5))
     assert cat.load_table("db.adopted").scan().to_df(spark).count() == 35
+
+
+def test_ddb_scan_pagination_is_exhausted(ddb):
+    """A 1-item Scan page can hold zero matches plus LastEvaluatedKey —
+    listings must chase pagination or drop_namespace could sweep the
+    marker of a non-empty namespace."""
+    srv, cat = ddb
+    for i in range(5):
+        srv.state.items[(f"db.t{i}", "db")] = {
+            "identifier": {"S": f"db.t{i}"},
+            "namespace": {"S": "db"},
+            "v": {"S": f"v{i}"},
+            "p.metadata_location": {"S": f"/x/{i}"},
+        }
+    srv.state.page_size = 1  # worst case: every page holds one raw item
+    assert cat.list_tables("db") == [("db", f"t{i}") for i in range(5)]
+    assert cat.list_namespaces() == [("db",)]
+    with pytest.raises(CatalogError, match="not empty"):
+        cat.drop_namespace("db")
+
+
+def test_glue_commit_preserves_foreign_table_fields(glue, spark, lineitem):
+    """A Glue table created by another engine may carry Description /
+    Owner / PartitionKeys; the pointer-swap commit must not erase them
+    (UpdateTable replaces the whole TableInput)."""
+    srv, cat = glue
+    t = cat.create_table("db.keep", SCHEMA)
+    row = srv.state.tables[("db", "keep")]["table"]
+    row["Description"] = "made elsewhere"
+    row["Owner"] = "someone"
+    row["PartitionKeys"] = [{"Name": "ds", "Type": "string"}]
+    t = W.append(t, lineitem.limit(5))
+    after = srv.state.tables[("db", "keep")]["table"]
+    assert after["Description"] == "made elsewhere"
+    assert after["Owner"] == "someone"
+    assert after["PartitionKeys"] == [{"Name": "ds", "Type": "string"}]
