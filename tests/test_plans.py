@@ -539,3 +539,67 @@ def test_delta_column_mapping_reads_physical_names(spark, queries):
     plan = plan_of(df)
     read = [l for l in plan.splitlines() if "ReadSchema" in l][0]
     assert "col-1a2b" in read and "o_orderkey" not in read
+
+
+def test_delta_no_dv_split_keeps_clean_files_join_free(spark):
+    """r12: exclude-mode scans split DV-free files onto a plain scan —
+    the union has exactly ONE anti-join branch (the masked subset);
+    a plan-shape change that routes clean files through the join
+    reintroduces per-row join cost on the bulk of a mostly-clean
+    table."""
+    from icegopher_spark.delta import load_delta, read_delta
+    from icegopher_spark.delta_queries import delta_upd_fixture_path
+
+    loc = delta_upd_fixture_path(spark, "/root/testdata/sf0.001")
+    snap = load_delta(loc)
+    assert 0 < len(snap.deletion_vectors) < len(snap.files), (
+        "fixture must be a mixed DV/no-DV table for this pin"
+    )
+    plan = plan_of(read_delta(spark, loc), "simple")
+    assert "Union" in plan
+    assert plan.count("LeftAnti") == 1
+
+
+def test_merge_delta_plan_no_cartesian(spark, tmp_path):
+    """The MERGE matched join is an equi-join on the keys; conditions
+    ride as post-join filters, never as a join-condition-free cross."""
+    from icegopher_spark import delta_write as DW
+    from icegopher_spark.delta_write import append_delta, create_delta_table
+
+    loc = str(tmp_path / "mplan")
+    tgt = spark.range(0, 50).selectExpr("id AS k", "CAST(id AS DOUBLE) AS v")
+    create_delta_table(loc, tgt.schema)
+    append_delta(spark, loc, tgt)
+    src = spark.range(0, 10).selectExpr("id AS k", "CAST(99 AS DOUBLE) AS v")
+    snap, live = DW._live_with_positions(spark, loc, "plan-test")
+    from pyspark.sql import functions as F
+
+    joined = live.alias("t").join(
+        src.alias("s"), [F.col("t.k") == F.col("s.k")]
+    ).filter(F.expr("s.v > t.v"))
+    plan = plan_of(joined)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_zorder_delta_plan_is_range_partitioned(spark, tmp_path):
+    """The clustering rewrite's staged frame carries a range exchange
+    on (z) — the property that gives every output file a contiguous
+    z-range. Pinned via the physical plan of the staged write input."""
+    from icegopher_spark import delta as D
+    from icegopher_spark.delta_write import append_delta, create_delta_table
+    from icegopher_spark.operators.zorder import zvalue_n
+    from pyspark.sql import functions as F
+
+    loc = str(tmp_path / "zplan")
+    df0 = spark.range(0, 100).selectExpr(
+        "id AS a", "CAST(id % 10 AS LONG) AS b", "CAST(id AS DOUBLE) AS v"
+    )
+    create_delta_table(loc, df0.schema)
+    append_delta(spark, loc, df0)
+    snap = D.load_delta(loc)
+    scan = D._scan_files(spark, snap.schema, snap.partition_columns, snap.files)
+    z = zvalue_n([F.col("a"), F.col("b")], [0, 0])
+    staged = scan.withColumn("_z", z).repartitionByRange(4, F.col("_z"))
+    plan = plan_of(staged, "simple")
+    assert "rangepartitioning" in plan.lower()
