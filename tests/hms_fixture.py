@@ -28,10 +28,6 @@ class MockHMSState:
         self.calls: list[str] = []  # observability for assertions
 
 
-def _exc_reply(fid: int, name: str, message: str) -> dict:
-    return {"_exc_fid": fid, "_exc_name": name, "message": message}
-
-
 class _Dispatcher:
     """One method per HMS verb; returns the success value, or raises
     _Declared to signal a declared (IDL) exception reply."""
