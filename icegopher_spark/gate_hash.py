@@ -42,6 +42,7 @@ code may have outgrown".
 from __future__ import annotations
 
 import ast
+import datetime
 import hashlib
 import json
 import subprocess
@@ -73,16 +74,38 @@ def _git(*args: str) -> str | None:
 @lru_cache(maxsize=None)
 def _round_commit(round_no: int) -> str | None:
     """Commit that first added CORRECTNESS_r{N}.json — the tree the
-    driver adjudicated round N against."""
+    driver adjudicated round N against.
+
+    Untracked-artifact fallback (r12 verdict task #1): the driver drops
+    the newest round's JSON into the working tree WITHOUT committing it,
+    so ``git log --diff-filter=A`` finds nothing and every gate the
+    round just adjudicated would read stale — drowning the real
+    staleness signal and failing the pin test. The driver commits all
+    build work *before* adjudicating, so the adjudicated tree is the
+    last commit whose committer date predates the artifact's mtime. That
+    pin keeps post-drop working-tree edits correctly stale (a pure
+    working-tree fallback would never flag anything) and keeps post-drop
+    *commits* from false-greening under a bare-HEAD fallback.
+    """
     rel = f"CORRECTNESS_r{round_no:02d}.json"
-    if not (_REPO / rel).exists():
+    path = _REPO / rel
+    if not path.exists():
         return None
     out = _git("log", "--diff-filter=A", "--format=%H", "--", rel)
-    if not out:
+    lines = [ln for ln in (out or "").splitlines() if ln.strip()]
+    if lines:
+        # oldest add wins if the file was ever re-added
+        return lines[-1]
+    try:
+        mtime = path.stat().st_mtime
+    except OSError:
         return None
-    # oldest add wins if the file was ever re-added
-    lines = [ln for ln in out.splitlines() if ln.strip()]
-    return lines[-1] if lines else None
+    stamp = datetime.datetime.fromtimestamp(
+        mtime, tz=datetime.timezone.utc
+    ).strftime("%Y-%m-%dT%H:%M:%S +0000")
+    out = _git("log", "-1", "--format=%H", f"--until={stamp}")
+    lines = [ln for ln in (out or "").splitlines() if ln.strip()]
+    return lines[0] if lines else None
 
 
 @lru_cache(maxsize=None)

@@ -200,3 +200,31 @@ def test_round_commit_resolves_for_recorded_rounds():
         pytest.skip("no adjudication history yet")
     last = int(rounds[-1].stem.rsplit("r", 1)[-1])
     assert gh._round_commit(last) is not None
+
+
+def test_round_commit_untracked_artifact_falls_back_to_predrop_commit():
+    """r12 verdict task #1: the driver drops the newest round's
+    CORRECTNESS json WITHOUT committing it; _round_commit must still
+    resolve (to the last commit predating the drop) instead of marking
+    the whole fresh window stale."""
+    import subprocess
+
+    rel = "CORRECTNESS_r97.json"
+    path = REPO / rel
+    if path.exists():
+        pytest.skip("round 97 artifact unexpectedly exists")
+    gh._round_commit.cache_clear()
+    try:
+        path.write_text("{}")
+        got = gh._round_commit(97)
+        assert got is not None
+        # the artifact was just written, so the pre-drop commit is HEAD
+        head = subprocess.run(
+            ["git", "-C", str(REPO), "rev-parse", "HEAD"],
+            capture_output=True,
+            text=True,
+        ).stdout.strip()
+        assert got == head
+    finally:
+        path.unlink(missing_ok=True)
+        gh._round_commit.cache_clear()
