@@ -62,6 +62,28 @@ BENCH_QUERIES = [
 ]
 
 
+# Median family vs_best_common above this = machine-wide weather: the
+# r12 driver run sat at 1.259 (every family uniformly inflated,
+# including untouched ones) yet passed the 2.0 calibration-spread gate.
+WEATHER_THRESHOLD = 1.2
+
+
+def weather_factor(family_budgets: dict[str, dict]) -> float | None:
+    """Median family ``vs_best_common`` — how uniformly this run sits
+    above the quiet-run ledger. ~1.0 = quiet machine; a uniform band
+    well above 1 across touched AND untouched families = VM weather."""
+    vals = sorted(
+        v["vs_best_common"]
+        for v in family_budgets.values()
+        if v.get("vs_best_common")
+    )
+    if not vals:
+        return None
+    mid = len(vals) // 2
+    med = vals[mid] if len(vals) % 2 else (vals[mid - 1] + vals[mid]) / 2
+    return round(med, 3)
+
+
 def main() -> None:
     # parse flags BEFORE the Spark session / warm-ups so a bad
     # invocation fails in milliseconds, not minutes
@@ -219,6 +241,9 @@ def main() -> None:
         "delta_merge_matrix",
         "iceberg_merge_matrix",
         "delta_vacuum_execute",
+        # round-13 additions
+        "iceberg_merge_matrix_v3",
+        "iceberg_orc_roundtrip",
     ]
 
     # Noise calibration (r8 verdict #6): a fixed query timed once per
@@ -285,31 +310,61 @@ def main() -> None:
         ledger: dict[str, dict] = json.loads(fam_path.read_text())
     except (OSError, ValueError):
         ledger = {}
-    all_times = {**times, **extended}
-    fam_now: dict[str, dict[str, float]] = {}
-    for name, dt in all_times.items():
-        fam_now.setdefault(_family(name), {})[name] = dt
-    family_budgets: dict[str, dict] = {}
-    flagged_families: list[str] = []
-    for fam, qs in sorted(fam_now.items()):
-        ref = ledger.get(fam, {})
-        common = sorted(set(qs) & set(ref))
-        cur_total = round(sum(qs[n] for n in common), 3)
-        ref_total = round(sum(ref[n] for n in common), 3)
-        over = (
-            bool(common)
-            and cur_total > 1.5 * ref_total
-            and cur_total - ref_total > 1.0
-        )
-        family_budgets[fam] = {
-            "sec": round(sum(qs.values()), 3),
-            "vs_best_common": round(cur_total / ref_total, 3) if ref_total else None,
-            "n": len(qs),
-        }
-        if over:
-            flagged_families.append(fam)
+    fam_latest: dict[str, dict[str, float]] = {}
+
+    def _family_budgets() -> tuple[dict[str, dict], list[str]]:
+        all_times = {**times, **extended}
+        fam_now: dict[str, dict[str, float]] = {}
+        for name, dt in all_times.items():
+            fam_now.setdefault(_family(name), {})[name] = dt
+        budgets: dict[str, dict] = {}
+        flagged: list[str] = []
+        fam_latest.clear()
+        fam_latest.update(fam_now)
+        for fam, qs in sorted(fam_now.items()):
+            ref = ledger.get(fam, {})
+            common = sorted(set(qs) & set(ref))
+            cur_total = round(sum(qs[n] for n in common), 3)
+            ref_total = round(sum(ref[n] for n in common), 3)
+            over = (
+                bool(common)
+                and cur_total > 1.5 * ref_total
+                and cur_total - ref_total > 1.0
+            )
+            budgets[fam] = {
+                "sec": round(sum(qs.values()), 3),
+                "vs_best_common": (
+                    round(cur_total / ref_total, 3) if ref_total else None
+                ),
+                "n": len(qs),
+            }
+            if over:
+                flagged.append(fam)
+        return budgets, flagged
+
+    family_budgets, flagged_families = _family_budgets()
+
+    # Weather factor (r12 verdict "what's wrong" #1): the r12 driver run
+    # passed the 2.0 calibration-spread gate yet every family sat a
+    # uniform 1.18-1.37x over its quiet-ledger minimum — including
+    # families that round never touched. Uniform inflation is VM
+    # weather, and the median family vs_best_common measures it
+    # directly. If it exceeds 1.2, re-measure once (min estimator only
+    # improves); if it persists, stamp the artifact so headlines stay
+    # interpretable: a replayed r12 run (median 1.259) would have been
+    # flagged.
+    wf = weather_factor(family_budgets)
+    weather_passes = 0
+    while wf is not None and wf > WEATHER_THRESHOLD and weather_passes < 1:
+        weather_passes += 1
+        one_pass()
+        family_budgets, flagged_families = _family_budgets()
+        wf = weather_factor(family_budgets)
+    weather = wf is not None and wf > WEATHER_THRESHOLD
+    noisy = noisy or weather
+
     if not noisy:
-        for fam, qs in fam_now.items():
+        for fam, qs in fam_latest.items():
             ref = ledger.setdefault(fam, {})
             for name, dt in qs.items():
                 ref[name] = min(ref.get(name, dt), dt)
@@ -331,9 +386,14 @@ def main() -> None:
             "spread": _spread(calibration_runs),
             "extra_passes": extra_passes,
         },
-        # True = calibration spread stayed > 2x even after re-measuring:
-        # treat round-over-round timing deltas as VM weather
+        # True = calibration spread stayed > 2x even after re-measuring,
+        # OR the weather factor stayed > 1.2: treat round-over-round
+        # timing deltas as VM weather
         "noisy": noisy,
+        # median family vs_best_common — uniform inflation over the
+        # quiet ledger = machine weather, not code (r12 finding #1)
+        "weather_factor": wf,
+        "weather_passes": weather_passes,
         # per-family totals vs the best-quiet-run ledger
         # (BENCH_FAMILIES.json); flagged = >1.5x on common queries
         "family_budgets": family_budgets,
