@@ -485,38 +485,160 @@ def _bound_value(v: Any, t: IcebergType, upper: bool) -> bytes | None:
     return literal_to_bytes(lit)
 
 
+def _counts_and_bounds(
+    schema: Schema, st: dict[int, tuple]
+) -> tuple[dict, dict, dict | None, dict, dict]:
+    value_counts: dict[int, int] = {}
+    null_counts: dict[int, int] = {}
+    nan_counts: dict[int, int] = {}
+    lower: dict[int, bytes] = {}
+    upper: dict[int, bytes] = {}
+    for fid, (vc, nulls, mn, mx, nan) in st.items():
+        value_counts[fid] = vc
+        null_counts[fid] = nulls
+        if nan is not None:
+            nan_counts[fid] = nan
+        ft = name_to_field_by_id(schema, fid).field_type
+        if mn is not None:
+            b = _bound_value(mn, ft, False)
+            if b is not None:
+                lower[fid] = b
+        if mx is not None:
+            b = _bound_value(mx, ft, True)
+            if b is not None:
+                upper[fid] = b
+    return value_counts, null_counts, nan_counts or None, lower, upper
+
+
+def _orc_avro_file_stats(
+    spark: SparkSession, schema: Schema, paths: list[str], fmt: str
+) -> dict[str, dict[int, tuple]]:
+    """Per-file column stats for just-written ORC/Avro data files,
+    computed as ONE distributed Spark aggregation (r12 verdict task #5:
+    pyarrow exposes no ORC column-statistics API, and the pure-Python
+    Avro OCF codec would need a second driver-side payload decode):
+    group rows by source file; per primitive field take count/min/max
+    with NaN kept out of bounds and counted separately — producing the
+    SAME manifest stats surface the parquet footer path does, so
+    ORC/Avro tables prune identically. One extra executor-side pass
+    over data that was just written (page-cache-warm); the driver sees
+    one row per file.
+
+    Returns {normalized file path: {field_id:
+    (value_count, null_count, min, max, nan_count|None)}}.
+    """
+    from .types import DoubleType as _DT, FloatType as _FT, VariantType as _VarT
+
+    if fmt == "ORC":
+        src = spark.read.schema(schema.to_spark()).format("orc").load(paths)
+        file_col = F.col("_metadata.file_path")
+    else:
+        from .pyreaders import read_avro_files
+
+        src = read_avro_files(spark, paths, schema.to_spark(), with_pos=True)
+        file_col = F.col("_file")
+    src = src.withColumn("__sf", F.regexp_replace(file_col, "^file:/*", "/"))
+    fields = [
+        f
+        for f in schema.fields
+        if f.field_type.is_primitive and not isinstance(f.field_type, _VarT)
+    ]
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for f in fields:
+        c = F.col(f.name)
+        is_float = isinstance(f.field_type, (_FT, _DT))
+        cv = F.when(~F.isnan(c), c) if is_float else c
+        aggs.append(F.count(c).alias(f"vc_{f.field_id}"))
+        aggs.append(F.min(cv).alias(f"mn_{f.field_id}"))
+        aggs.append(F.max(cv).alias(f"mx_{f.field_id}"))
+        if is_float:
+            aggs.append(F.sum(F.isnan(c).cast("long")).alias(f"nan_{f.field_id}"))
+    out: dict[str, dict[int, tuple]] = {}
+    for row in src.groupBy("__sf").agg(*aggs).collect():
+        d = row.asDict()
+        n = d["__n"]
+        per: dict[int, tuple] = {}
+        for f in fields:
+            fid = f.field_id
+            nonnull = d[f"vc_{fid}"]
+            per[fid] = (n, n - nonnull, d[f"mn_{fid}"], d[f"mx_{fid}"], d.get(f"nan_{fid}"))
+        out[row["__sf"]] = per
+    return out
+
+
+def collect_data_files(
+    table: Table, spark: SparkSession, pairs: list[tuple[str, dict[str, Any]]]
+) -> list[DataFile]:
+    """collect_data_file over a written batch, with the distributed
+    stats pass for ORC/Avro files wired in (parquet reads its own
+    footers driver-side — already per-column)."""
+    schema = table.schema
+    by_fmt: dict[str, list[str]] = {}
+    for p, _part in pairs:
+        if p.endswith(".orc"):
+            by_fmt.setdefault("ORC", []).append(strip_scheme(p))
+        elif p.endswith(".avro"):
+            by_fmt.setdefault("AVRO", []).append(strip_scheme(p))
+    stats: dict[str, dict[int, tuple]] = {}
+    for fmt, paths in by_fmt.items():
+        stats.update(_orc_avro_file_stats(spark, schema, paths, fmt))
+    return [
+        collect_data_file(p, schema, part, file_stats=stats.get(strip_scheme(p)))
+        for p, part in pairs
+    ]
+
+
 def collect_data_file(
     path: str,
     schema: Schema,
     partition: dict[str, Any],
     nan_value_counts: dict[int, int] | None = None,
+    file_stats: dict[int, tuple] | None = None,
 ) -> DataFile:
     """Build a DataFile (with per-column stats) from a parquet footer —
     the write-side producer of the stats the metrics evaluator consumes
-    (SURVEY.md §2.5). ORC files get row counts only (stats are optional
-    in the spec; missing bounds just mean less pruning)."""
+    (SURVEY.md §2.5). ORC/Avro files carry stats when the caller ran
+    the distributed stats pass (``file_stats`` from
+    ``_orc_avro_file_stats``; stats are optional in the spec — absent
+    bounds just mean less pruning)."""
     if path.endswith(".orc"):
         import pyarrow.orc as po
 
         of = po.ORCFile(strip_scheme(path))
+        vc = nc = nanc = lo = up = None
+        if file_stats:
+            vc, nc, nanc, lo, up = _counts_and_bounds(schema, file_stats)
         return DataFile(
             file_path=path,
             file_format="ORC",
             record_count=of.nrows,
             file_size_in_bytes=os.path.getsize(strip_scheme(path)),
             partition=partition,
+            value_counts=vc,
+            null_value_counts=nc,
+            nan_value_counts=nanc,
+            lower_bounds=lo,
+            upper_bounds=up,
         )
     if path.endswith(".avro"):
         from .avro_io import count_ocf_rows
 
         # row count from block headers only — no payload decode on the
-        # driver (stats/bounds are optional in the spec, like ORC here)
+        # driver; column stats ride in from the distributed pass
+        vc = nc = nanc = lo = up = None
+        if file_stats:
+            vc, nc, nanc, lo, up = _counts_and_bounds(schema, file_stats)
         return DataFile(
             file_path=path,
             file_format="AVRO",
             record_count=count_ocf_rows(strip_scheme(path)),
             file_size_in_bytes=os.path.getsize(strip_scheme(path)),
             partition=partition,
+            value_counts=vc,
+            null_value_counts=nc,
+            nan_value_counts=nanc,
+            lower_bounds=lo,
+            upper_bounds=up,
         )
     import pyarrow.parquet as pq
 
@@ -1584,7 +1706,7 @@ def append(
 
         keep = read_manifest_list(table.io.read(snap.manifest_list))
     pairs = _write_data_files(table, df, f"{table.location}/data")
-    files = [collect_data_file(p, table.schema, part) for p, part in pairs]
+    files = collect_data_files(table, df.sparkSession, pairs)
     return _commit_snapshot(
         table,
         files,
@@ -1598,7 +1720,7 @@ def append(
 def overwrite(table: Table, df: DataFrame) -> Table:
     """Replace the whole table contents in one atomic snapshot."""
     pairs = _write_data_files(table, df, f"{table.location}/data")
-    files = [collect_data_file(p, table.schema, part) for p, part in pairs]
+    files = collect_data_files(table, df.sparkSession, pairs)
     return _commit_snapshot(table, files, OP_OVERWRITE, keep_manifests=[])
 
 
@@ -1607,6 +1729,8 @@ def _mor_live_rows(
     spark: SparkSession,
     scan,
     pre_filter=None,
+    with_lineage: bool = False,
+    state: dict | None = None,
 ) -> DataFrame | None:
     """Live target rows WITH positions — the shared front half of the
     MOR writers (delete_where_mor, merge_matrix_mor): reads the scan's
@@ -1616,16 +1740,42 @@ def _mor_live_rows(
     re-deleted (double-counting corrupted incremental MVs, r6 review).
     ``pre_filter`` (a Column) is applied per group BEFORE the delete
     joins — callers with a row predicate shrink the join input early.
-    Returns None when the scan planned no files."""
+    Returns None when the scan planned no files.
+
+    ``with_lineage`` (v3 tables) appends the reserved ``_row_id`` /
+    ``_last_updated_sequence_number`` columns resolved exactly as the
+    scan resolves them: physically materialized values when the file
+    carries them, else inherited ``first_row_id + pos`` / the file's
+    data sequence (broadcast per-file lookup — metadata-scale).
+
+    ``state``, when a dict, is filled with the scan-derived side data a
+    DV-writing caller needs: ``fp_parts`` (file path -> (spec_id,
+    partition)) and ``priors`` (list of prior-delete (file_path, pos)
+    DataFrames — already anti-joined out of the returned rows)."""
+    from .manifests import LAST_UPDATED_SEQ_COL, ROW_ID_COL
     from .table import strip_file_scheme
 
     groups: dict[tuple, dict] = {}
+    lin_rows: list[tuple] = []
     for t in scan.plan_files():
         key = (t.file.file_format, frozenset(d.file_path for d in t.eq_delete_files))
         g = groups.setdefault(
             key, {"paths": set(), "eq": t.eq_delete_files, "pd": set(), "dv": {}}
         )
         g["paths"].add(strip_file_scheme(t.file.file_path))
+        if state is not None:
+            state.setdefault("fp_parts", {})[strip_file_scheme(t.file.file_path)] = (
+                t.spec_id,
+                dict(t.file.partition or {}),
+            )
+        if with_lineage:
+            lin_rows.append(
+                (
+                    strip_file_scheme(t.file.file_path),
+                    t.file.first_row_id,
+                    t.sequence_number,
+                )
+            )
         for d in t.delete_files:
             # V3 deletion vectors are Puffin files — they decode through
             # the bitmap reader, never spark.read.parquet
@@ -1636,13 +1786,22 @@ def _mor_live_rows(
     if not groups:
         return None
 
+    from pyspark.sql.types import LongType, StructField
+
     from .table import apply_eq_delete_anti_joins
 
     parts = []
     for (fmt, _eqk), g in groups.items():
         paths = sorted(g["paths"])
         if fmt == "PARQUET":
-            src = spark.read.schema(table.schema.to_spark()).parquet(*paths)
+            read_schema = table.schema.to_spark()
+            if with_lineage:
+                # absent columns read back as nulls — only
+                # lineage-preserving rewrites materialize these
+                read_schema = read_schema.add(
+                    StructField(ROW_ID_COL, LongType())
+                ).add(StructField(LAST_UPDATED_SEQ_COL, LongType()))
+            src = spark.read.schema(read_schema).parquet(*paths)
             src = src.select(
                 F.regexp_replace(F.col("_metadata.file_path"), "^file:/*", "/").alias(
                     "file_path"
@@ -1664,6 +1823,12 @@ def _mor_live_rows(
                 F.col("_pos").alias("pos"),
                 *[c for c in src.columns if c not in ("_file", "_pos")],
             )
+            if with_lineage:
+                # ORC/Avro data files never materialize lineage (writes
+                # of rewrites are parquet-only): always inherited
+                src = src.withColumn(ROW_ID_COL, F.lit(None).cast("bigint")).withColumn(
+                    LAST_UPDATED_SEQ_COL, F.lit(None).cast("bigint")
+                )
         part = src.filter(pre_filter) if pre_filter is not None else src
         part = apply_eq_delete_anti_joins(part, g["eq"], table.schema, spark)
         priors = []
@@ -1691,11 +1856,35 @@ def _mor_live_rows(
             prior = priors[0]
             for p in priors[1:]:
                 prior = prior.unionByName(p)
+            if state is not None:
+                state.setdefault("priors", []).append(prior)
             part = part.join(prior, ["file_path", "pos"], "left_anti")
         parts.append(part)
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
+    if with_lineage:
+        # same per-row resolution as the scan (table.py): materialized
+        # value if present, else first_row_id + position / file sequence
+        lookup = spark.createDataFrame(
+            lin_rows, "__lin_path string, __lin_first bigint, __lin_fseq bigint"
+        )
+        out = (
+            out.join(
+                F.broadcast(lookup), out["file_path"] == F.col("__lin_path"), "left"
+            )
+            .withColumn(
+                ROW_ID_COL,
+                F.coalesce(
+                    F.col(ROW_ID_COL), F.col("__lin_first") + F.col("pos")
+                ),
+            )
+            .withColumn(
+                LAST_UPDATED_SEQ_COL,
+                F.coalesce(F.col(LAST_UPDATED_SEQ_COL), F.col("__lin_fseq")),
+            )
+            .drop("__lin_path", "__lin_first", "__lin_fseq")
+        )
     return out
 
 
@@ -2049,10 +2238,28 @@ def delete_where_dv(
     if not dv_files:
         return table
 
-    covered = {strip_file_scheme(f.referenced_data_file) for f in dv_files}
+    kept = _carry_manifests_superseding_dvs(table, snap, dv_files)
 
-    # 4) carry manifests forward, dropping DV entries superseded by the
-    # replacement DVs (at most one live DV per data file — V3 invariant)
+    return _commit_snapshot(
+        table,
+        [],
+        OP_DELETE,
+        keep_manifests=kept,
+        delete_files=dv_files,
+    )
+
+
+def _carry_manifests_superseding_dvs(
+    table: Table, snap, dv_files: list[DataFile]
+) -> list["ManifestFile"]:
+    """Carry the snapshot's manifests forward, dropping DV entries
+    superseded by the replacement DVs (at most one live DV per data
+    file — V3 invariant). Shared by delete_where_dv and the v3
+    merge_matrix_mor path."""
+    from .manifests import fetch_entries, read_manifest_list
+    from .table import strip_file_scheme
+
+    covered = {strip_file_scheme(f.referenced_data_file) for f in dv_files}
     kept: list[ManifestFile] = []
     for m in read_manifest_list(table.io.read(snap.manifest_list)):
         if m.content != ManifestContent.DELETES:
@@ -2077,14 +2284,7 @@ def delete_where_dv(
                 )
             )
         # else: every entry superseded — drop the manifest
-
-    return _commit_snapshot(
-        table,
-        [],
-        OP_DELETE,
-        keep_manifests=kept,
-        delete_files=dv_files,
-    )
+    return kept
 
 
 def _write_eq_delete_files(
@@ -2524,18 +2724,25 @@ def merge_matrix_mor(
     rows; duplicate source keys refused. O(|source| + affected rows) —
     untouched files are never rewritten, unlike the CoW update_where.
 
-    V3 row-lineage tables are REFUSED: the spec wants updated rows to
-    carry their _row_id forward, which the positional-delete + append
-    mechanics here would silently break — use update_where (CoW,
-    lineage-carrying) or merge_upsert on those tables.
+    V3 row-lineage tables (r12 verdict task #4 — previously a
+    documented refusal): matched-update post-images carry the target
+    row's ``_row_id`` physically with a NULL
+    ``_last_updated_sequence_number`` (read-side coalesce yields the
+    committing sequence — spec v3 update semantics), inserts land in
+    SEPARATE files with no lineage columns so they draw fresh ids from
+    the table's next-row-id at commit, and all delete state goes
+    through deletion vectors (v3 forbids new v2 positional-delete
+    files), superseding any prior DV per affected file as a superset.
     """
-    from .manifests import read_manifest_list
+    from .manifests import LAST_UPDATED_SEQ_COL, ROW_ID_COL, read_manifest_list
 
-    if table.metadata.format_version >= 3:
+    is_v3 = table.metadata.format_version >= 3
+    out_fmt = table.properties.get("write.format.default", "parquet").lower()
+    if is_v3 and out_fmt != "parquet":
         raise ValueError(
-            "merge_matrix_mor on a v3 row-lineage table would reassign "
-            "updated rows' _row_id — use update_where (CoW) or "
-            "merge_upsert instead"
+            "lineage-preserving MERGE requires parquet output; "
+            f"write.format.default={out_fmt!r} on a v3 table would "
+            "reassign updated rows' _row_id"
         )
     dup = (
         source.groupBy(*key_columns).count().filter(F.col("count") > 1).limit(1).count()
@@ -2554,8 +2761,13 @@ def merge_matrix_mor(
         return F.expr(expr)
 
     snap = table.current_snapshot()
+    scan_state: dict = {}
     live = (
-        _mor_live_rows(table, spark, table.scan()) if snap is not None else None
+        _mor_live_rows(
+            table, spark, table.scan(), with_lineage=is_v3, state=scan_state
+        )
+        if snap is not None
+        else None
     )
     if live is None:
         # empty table: only the insert clause can apply
@@ -2614,9 +2826,47 @@ def merge_matrix_mor(
             )
             nmbs_df = nmbs.filter(cond(when_not_matched_by_source_delete, True))
             masks = masks.unionByName(nmbs_df.select("file_path", "pos"))
-        delete_files = _write_pos_delete_files(table, masks)
+        if is_v3:
+            # v3 forbids new v2 positional-delete files: delete state
+            # becomes one replacement DV per affected file — the union
+            # of its new masks and ALL its prior deletes (superset
+            # invariant), exactly delete_where_dv's steps 2-3. masks
+            # came from `live`, which already excludes prior-deleted
+            # rows, so the union never double-counts.
+            masks = masks.persist()
+            try:
+                if masks.limit(1).count() == 0:
+                    delete_files = []
+                else:
+                    affected_files = masks.select("file_path").distinct()
+                    union_df = masks
+                    for prior in scan_state.get("priors", []):
+                        union_df = union_df.unionByName(
+                            prior.join(
+                                F.broadcast(affected_files),
+                                "file_path",
+                                "left_semi",
+                            )
+                        )
+                    delete_files = write_dv_files(
+                        table,
+                        union_df,
+                        partitions=scan_state.get("fp_parts"),
+                    )
+            finally:
+                masks.unpersist()
+        else:
+            delete_files = _write_pos_delete_files(table, masks)
 
         # (update-column names validated above, before any file writes)
+        lineage_cols = (
+            [
+                F.col(f"t.{ROW_ID_COL}").alias(ROW_ID_COL),
+                F.lit(None).cast("bigint").alias(LAST_UPDATED_SEQ_COL),
+            ]
+            if is_v3
+            else []
+        )
         post_parts = []
         if when_matched_update is not None:
             post_parts.append(
@@ -2626,27 +2876,42 @@ def merge_matrix_mor(
                         if c in upd_exprs
                         else F.col(f"t.{c}").alias(c)
                         for c in cols
-                    ]
+                    ],
+                    *lineage_cols,
                 )
             )
+        insert_part = None
         if when_not_matched_insert:
             unmatched = source.alias("s").join(
                 live.select(*key_columns).alias("t"),
                 [F.col(f"s.{k}") == F.col(f"t.{k}") for k in key_columns],
                 "left_anti",
             )
-            post_parts.append(
-                unmatched.filter(cond(not_matched_condition, True)).select(
-                    *[F.col(c).alias(c) for c in cols]
-                )
+            insert_part = unmatched.filter(cond(not_matched_condition, True)).select(
+                *[F.col(c).alias(c) for c in cols]
             )
+            if not is_v3:
+                # v2: one combined write. v3 keeps inserts in separate
+                # files — a file is lineage-materialized only when EVERY
+                # row carries _row_id (manifests.has_materialized_row_
+                # ids), so mixing carried updates with fresh inserts
+                # would force the whole file to consume fresh ids.
+                post_parts.append(insert_part)
+                insert_part = None
         new_files = []
         if post_parts:
             post = post_parts[0]
             for extra in post_parts[1:]:
                 post = post.unionByName(extra)
-            pairs = _write_data_files(table, post, f"{table.location}/data")
+            pairs = _write_data_files(
+                table, post, f"{table.location}/data", carry_lineage=is_v3
+            )
             new_files = [
+                collect_data_file(p, table.schema, part) for p, part in pairs
+            ]
+        if insert_part is not None:
+            pairs = _write_data_files(table, insert_part, f"{table.location}/data")
+            new_files += [
                 collect_data_file(p, table.schema, part) for p, part in pairs
             ]
     finally:
@@ -2654,7 +2919,10 @@ def merge_matrix_mor(
         live.unpersist()
     if not delete_files and not new_files:
         return table
-    keep = read_manifest_list(table.io.read(snap.manifest_list))
+    if is_v3 and delete_files:
+        keep = _carry_manifests_superseding_dvs(table, snap, delete_files)
+    else:
+        keep = read_manifest_list(table.io.read(snap.manifest_list))
     return _commit_snapshot(
         table,
         new_files,

@@ -1153,6 +1153,137 @@ def iceberg_merge_matrix(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _merge_matrix_v3_table_for(spark: SparkSession, sf_dir: str) -> Table:
+    """The merge-matrix fixture on a FORMAT-V3 ROW-LINEAGE table (r12
+    verdict task #4 — previously a documented refusal): one sorted
+    single-file append (so _row_id = rank by o_orderkey, oracle-
+    derivable), then the exact same MERGE clause matrix. Updated rows
+    must carry their original _row_id with the committing sequence (2);
+    untouched rows keep id and sequence 1; the inserted rows draw the
+    next fresh ids (N, N+1); deletes land as deletion vectors."""
+
+    def build(loc: str) -> Table:
+        from .queries import load as _load
+
+        orders = _load(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        )
+        t = W.create_table(loc, _MRGX_SCHEMA, format_version=3)
+        t = W.append(
+            t, orders.repartition(1).sortWithinPartitions("o_orderkey")
+        )
+        src = orders.filter(F.col("o_orderkey") % 10 == 3).select(
+            "o_orderkey",
+            F.when(F.col("o_orderkey") % 40 == 3, F.lit(-1).cast("long"))
+            .otherwise(F.col("o_custkey"))
+            .alias("o_custkey"),
+            (F.col("o_totalprice") * 2).alias("o_totalprice"),
+        ).unionByName(
+            spark.createDataFrame(
+                [(10_000_000 + i, -1, 777.0) for i in range(5)],
+                "o_orderkey long, o_custkey long, o_totalprice double",
+            )
+        )
+        return W.merge_matrix_mor(
+            t,
+            spark,
+            src,
+            ["o_orderkey"],
+            when_matched_update={"o_totalprice": "s.o_totalprice"},
+            matched_condition="s.o_custkey >= 0",
+            when_matched_delete="s.o_custkey < 0",
+            when_not_matched_insert=True,
+            not_matched_condition="s.o_orderkey % 2 = 1",
+            when_not_matched_by_source_delete="t.o_orderkey % 97 = 0",
+        )
+
+    return _cached_table(
+        sf_dir,
+        "orders_merge_matrix_v3",
+        lambda t: t.metadata.format_version == 3
+        and len(t.metadata.snapshots) == 2,
+        build,
+    )
+
+
+# Oracle reconstructs every survivor's _row_id in pure SQL: the single
+# sorted initial file makes rid = rank(o_orderkey) - 1; updates carry
+# rid with lseq 2; untouched rows keep (rid, lseq 1); the two inserted
+# odd keys draw the fresh ids {N, N+1} (assignment order between them
+# is not pinned, so ins rows contribute 0 to rid_chk and are checked
+# via sum/min/max instead).
+ice_mrgx_v3_oracle = """
+WITH base AS (
+  SELECT o_orderkey AS okey, o_custkey AS ckey, o_totalprice AS price,
+         ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS rid
+  FROM orders
+), n AS (SELECT COUNT(*) AS cnt FROM orders),
+survivors AS (
+  SELECT CASE WHEN okey % 10 = 3 THEN 'upd' ELSE 'keep' END AS cls,
+         okey, ckey,
+         CASE WHEN okey % 10 = 3 THEN price * 2 ELSE price END AS price,
+         rid,
+         CASE WHEN okey % 10 = 3 THEN 2 ELSE 1 END AS lseq
+  FROM base
+  WHERE NOT (okey % 10 = 3 AND okey % 40 = 3)
+    AND NOT (okey % 97 = 0 AND okey % 10 <> 3)
+  UNION ALL
+  SELECT 'ins', 10000001 + 2 * v.i, -1, 777.0,
+         (SELECT cnt FROM n) + v.i, 2
+  FROM (VALUES (CAST(0 AS BIGINT)), (CAST(1 AS BIGINT))) AS v(i)
+)
+SELECT cls, COUNT(*) AS n_rows,
+       CAST(SUM(rid) AS BIGINT) AS sum_rid,
+       CAST(MIN(rid) AS BIGINT) AS min_rid,
+       CAST(MAX(rid) AS BIGINT) AS max_rid,
+       CAST(SUM(CASE WHEN cls = 'ins' THEN 0
+                     ELSE rid * (okey % 1000) END) AS BIGINT) AS rid_chk,
+       CAST(SUM(lseq) AS BIGINT) AS lseq_chk,
+       CAST(ROUND(SUM(CAST(price AS DECIMAL(13,2))), 2) AS DOUBLE) AS price_chk
+FROM survivors GROUP BY cls
+"""
+
+
+@register(
+    "iceberg_merge_matrix_v3",
+    ice_mrgx_v3_oracle,
+    "MERGE WHEN-clause matrix on a v3 row-lineage table: updates carry "
+    "_row_id with the committing sequence, inserts draw fresh ids, "
+    "deletes land as deletion vectors (refusal lifted, r12 task #4)",
+)
+def iceberg_merge_matrix_v3(spark: SparkSession, sf: str) -> DataFrame:
+    t = _merge_matrix_v3_table_for(spark, sf)
+    df = t.scan(with_lineage=True).to_df(spark)
+    cls = (
+        F.when(F.col("o_orderkey") >= 10_000_000, F.lit("ins"))
+        .when(F.col("o_orderkey") % 10 == 3, F.lit("upd"))
+        .otherwise(F.lit("keep"))
+    )
+    return (
+        df.withColumn("cls", cls)
+        .groupBy("cls")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("_row_id").cast("bigint").alias("sum_rid"),
+            F.min("_row_id").cast("bigint").alias("min_rid"),
+            F.max("_row_id").cast("bigint").alias("max_rid"),
+            F.sum(
+                F.when(F.col("cls") == "ins", F.lit(0)).otherwise(
+                    F.col("_row_id") * (F.col("o_orderkey") % 1000)
+                )
+            )
+            .cast("bigint")
+            .alias("rid_chk"),
+            F.sum("_last_updated_sequence_number")
+            .cast("bigint")
+            .alias("lseq_chk"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(13,2)")), 2)
+            .cast("double")
+            .alias("price_chk"),
+        )
+    )
+
+
 avro_rt_oracle = """
 SELECT l_returnflag, COUNT(*) AS n_rows,
        CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_qty,
@@ -1187,6 +1318,74 @@ def iceberg_avro_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     )
     return (
         t.scan()
+        .to_df(spark)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum(F.col("l_quantity").cast("decimal(12,2)")), 2)
+            .cast("double")
+            .alias("sum_qty"),
+            F.sum("l_orderkey").alias("sum_okey"),
+        )
+    )
+
+
+orc_rt_oracle = """
+SELECT l_returnflag, COUNT(*) AS n_rows,
+       CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_qty,
+       CAST(SUM(l_orderkey) AS BIGINT) AS sum_okey
+FROM lineitem
+WHERE l_orderkey > (SELECT CAST(FLOOR(MAX(l_orderkey) / 2) AS BIGINT) FROM lineitem)
+GROUP BY l_returnflag
+"""
+
+
+@register(
+    "iceberg_orc_roundtrip",
+    orc_rt_oracle,
+    "ORC data-file writes (r12 task #5): native Spark ORC write -> "
+    "distributed per-file stats pass -> manifest bounds -> filtered "
+    "scan (bounds must not over-prune)",
+)
+def iceberg_orc_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """Write-side ORC: W.append writes via Spark's native ORC source
+    under write.format.default=orc; column stats come from ONE
+    distributed aggregation over the written files (write.py
+    ``_orc_avro_file_stats`` — pyarrow has no ORC column-stats API),
+    landing in the same manifest stats surface parquet uses. The scan
+    filter is served by those bounds: wrong bounds either over-prune
+    (rows vanish -> hash mismatch) or merely under-prune (correct but
+    slower), so the gate pins the sound direction. Range distribution
+    on l_orderkey gives files disjoint key spans — the layout the
+    filter actually prunes against."""
+
+    def build(loc: str) -> Table:
+        from .iceberg.metadata import SortField, SortOrder
+
+        t = W.create_table(
+            loc,
+            _SCHEMA,
+            properties={
+                "write.format.default": "orc",
+                "write.distribution-mode": "range",
+            },
+            sort_order=SortOrder(
+                fields=(SortField(source_id=1, transform="identity"),),
+                order_id=1,
+            ),
+        )
+        return W.append(t, _li4(spark, sf))
+
+    t = _cached_table(
+        sf, "lineitem_orc", lambda t: t.current_snapshot() is not None, build
+    )
+    mid = (
+        _li4(spark, sf)
+        .agg((F.max("l_orderkey") / 2).cast("long"))
+        .collect()[0][0]
+    )
+    return (
+        t.scan(row_filter=E.greater_than("l_orderkey", int(mid)))
         .to_df(spark)
         .groupBy("l_returnflag")
         .agg(

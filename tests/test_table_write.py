@@ -912,7 +912,152 @@ def test_merge_matrix_mor_full_clause_matrix(spark, warehouse, lineitem):
         W.merge_matrix_mor(t, spark, src.unionByName(src.limit(1)), ["l_orderkey"])
 
 
-def test_merge_matrix_mor_refuses_v3_lineage(spark, tmp_path, lineitem):
+def test_merge_matrix_mor_v3_carries_lineage(spark, tmp_path):
+    """r12 verdict task #4 (refusal lifted): on a v3 table the MERGE
+    matrix must carry updated rows' _row_id with the committing
+    sequence, hand inserts fresh ids, leave untouched rows' lineage
+    alone, and write its delete state as deletion vectors."""
     t = W.create_table(str(tmp_path / "mrgx_v3"), SCHEMA, format_version=3)
-    with pytest.raises(ValueError, match="row-lineage"):
+    tgt = (
+        spark.range(0, 100)
+        .selectExpr(
+            "id AS l_orderkey",
+            "CAST(id % 50 AS DOUBLE) AS l_quantity",
+            "CASE WHEN id % 2 = 0 THEN 'A' ELSE 'R' END AS l_returnflag",
+            "TIMESTAMP '1996-01-01 00:00:00' AS l_shipdate",
+        )
+        .withColumn("l_shipdate", F.col("l_shipdate").cast("timestamp_ntz"))
+        .repartition(1)
+        .sortWithinPartitions("l_orderkey")
+    )
+    t = W.append(t, tgt)  # one sorted file: _row_id == l_orderkey
+    src = (
+        spark.range(0, 30)
+        .selectExpr(
+            "id AS l_orderkey",
+            "CAST(CASE WHEN id % 10 = 0 THEN -1 ELSE id END AS DOUBLE) AS l_quantity",
+            "'U' AS l_returnflag",
+            "CAST(TIMESTAMP '1997-01-01 00:00:00' AS TIMESTAMP_NTZ) AS l_shipdate",
+        )
+        .unionByName(
+            spark.range(200, 204).selectExpr(
+                "id AS l_orderkey",
+                "CAST(999 AS DOUBLE) AS l_quantity",
+                "'N' AS l_returnflag",
+                "CAST(TIMESTAMP '1998-01-01 00:00:00' AS TIMESTAMP_NTZ) AS l_shipdate",
+            )
+        )
+    )
+    t = W.merge_matrix_mor(
+        t,
+        spark,
+        src,
+        ["l_orderkey"],
+        when_matched_update={"l_quantity": "s.l_quantity * 10"},
+        matched_condition="s.l_quantity >= 0",
+        when_matched_delete="s.l_quantity < 0",
+        when_not_matched_insert=True,
+        not_matched_condition="s.l_orderkey % 2 = 0",
+        when_not_matched_by_source_delete="t.l_orderkey >= 95",
+    )
+    rows = {
+        r["l_orderkey"]: (r["_row_id"], r["_last_updated_sequence_number"])
+        for r in t.scan(with_lineage=True).to_df(spark).collect()
+    }
+    # matched deletes (0,10,20) and by-source sweep (95..99) are gone
+    assert all(k not in rows for k in (0, 10, 20, 95, 96, 97, 98, 99))
+    for k in range(1, 30):
+        if k % 10 != 0:  # updated: id carried, sequence bumped to 2
+            assert rows[k] == (k, 2), (k, rows[k])
+    for k in range(30, 95):  # untouched: id and sequence unchanged
+        assert rows[k] == (k, 1), (k, rows[k])
+    ins_ids = sorted(rows[k][0] for k in (200, 202))
+    assert ins_ids == [100, 101], ins_ids  # fresh ids after the 100 rows
+    assert rows[200][1] == 2 and rows[202][1] == 2
+    # delete state rode deletion vectors, never v2 positional files
+    dels = [
+        d
+        for task in t.scan().plan_files()
+        for d in task.delete_files
+    ]
+    assert dels and all(d.is_deletion_vector for d in dels)
+    # second merge on the merged table: carried ids survive another hop
+    src2 = spark.createDataFrame(
+        [(31, 1.0, "Z", None)],
+        "l_orderkey long, l_quantity double, l_returnflag string, l_shipdate timestamp_ntz",
+    ).withColumn(
+        "l_shipdate",
+        F.lit("1999-01-01 00:00:00").cast("timestamp_ntz"),
+    )
+    t = W.merge_matrix_mor(t, spark, src2, ["l_orderkey"])
+    rows2 = {
+        r["l_orderkey"]: (r["_row_id"], r["_last_updated_sequence_number"])
+        for r in t.scan(with_lineage=True).to_df(spark).collect()
+    }
+    assert rows2[31] == (31, 3), rows2[31]  # re-updated: id stable, seq 3
+    assert rows2[32] == (32, 1)  # untouched keeps surviving
+    assert rows2[1] == (1, 2)  # first merge's update file untouched
+
+
+def test_merge_matrix_mor_v3_refuses_non_parquet_output(spark, tmp_path, lineitem):
+    t = W.create_table(
+        str(tmp_path / "mrgx_v3_orc"),
+        SCHEMA,
+        format_version=3,
+        properties={"write.format.default": "orc"},
+    )
+    with pytest.raises(ValueError, match="parquet"):
         W.merge_matrix_mor(t, spark, lineitem.limit(1), ["l_orderkey"])
+
+
+def test_orc_and_avro_writes_produce_manifest_stats(spark, tmp_path):
+    """r12 verdict task #5: ORC/Avro appends must feed the same
+    manifest stats surface parquet footers do — per-file value/null/NaN
+    counts and single-value-serde bounds (produced by ONE distributed
+    aggregation over the written files) — and those bounds must drive
+    manifest pruning."""
+    from icegopher_spark.iceberg import expressions as E
+    from icegopher_spark.iceberg.schema import Schema as _S
+    from icegopher_spark.iceberg.types import DoubleType as _D, LongType as _L
+
+    schema = _S(
+        (
+            NestedField(1, "k", _L(), True),
+            NestedField(2, "v", _D(), False),
+        ),
+        schema_id=0,
+    )
+    df = spark.range(0, 1000).selectExpr(
+        "id AS k",
+        # one NaN at k=7, one NULL at k=13 — both must be counted
+        "CASE WHEN id = 7 THEN CAST('NaN' AS DOUBLE) "
+        "WHEN id = 13 THEN CAST(NULL AS DOUBLE) "
+        "ELSE CAST(id AS DOUBLE) / 7 END AS v",
+    )
+    for fmt in ("orc", "avro"):
+        t = W.create_table(
+            str(tmp_path / f"stats_{fmt}"),
+            schema,
+            properties={"write.format.default": fmt},
+        )
+        t = W.append(t, df.repartitionByRange(4, "k"))
+        files = sorted(
+            (x.file for x in t.scan().plan_files()),
+            key=lambda f: f.lower_bounds[1],
+        )
+        assert len(files) == 4 and files[0].file_format == fmt.upper()
+        total_vc = sum(f.value_counts[2] for f in files)
+        total_null = sum(f.null_value_counts[2] for f in files)
+        total_nan = sum(f.nan_value_counts[2] for f in files)
+        assert (total_vc, total_null, total_nan) == (1000, 1, 1), fmt
+        # first file owns keys [0, 250): its k bounds say so
+        from icegopher_spark.iceberg.literals import literal_from_bytes
+
+        lo = literal_from_bytes(files[0].lower_bounds[1], _L()).value
+        hi = literal_from_bytes(files[0].upper_bounds[1], _L()).value
+        assert lo == 0 and hi < 1000, (fmt, lo, hi)
+        # point lookup prunes to exactly one file on the bounds
+        assert len(t.scan(row_filter=E.equal_to("k", 5)).plan_files()) == 1, fmt
+        # and never over-prunes: the NaN row still comes back for v > 0
+        got = t.scan(row_filter=E.greater_than("k", 5)).to_df(spark)
+        assert got.count() == 994, fmt
