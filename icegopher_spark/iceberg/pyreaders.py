@@ -143,6 +143,21 @@ def read_avro_files(
         return spark.createDataFrame([], out_schema)
     tz = spark.conf.get("spark.sql.session.timeZone") or "UTC"
 
+    # NaN/null fidelity (r13): the pandas bridge maps BOTH float NaN and
+    # null to NaN on the way in, and Spark's Arrow conversion of a
+    # pandas-UDF result maps NaN back to NULL — so a NaN in an Avro
+    # double column would silently read as null. Ship an explicit
+    # was-null boolean per float column out of the Python decoder and
+    # resurrect NaN JVM-side: value null with mask false can only have
+    # been NaN.
+    float_fields = [
+        f.name for f in spark_schema.fields if isinstance(f.dataType, (T.FloatType, T.DoubleType))
+    ]
+    masked_schema = T.StructType(
+        list(out_schema.fields)
+        + [T.StructField(f"__null_{n}", T.BooleanType()) for n in float_fields]
+    )
+
     def gen(iterator: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from .avro_io import read_ocf
 
@@ -150,15 +165,34 @@ def read_avro_files(
             for path in pdf["path"]:
                 with open(strip_scheme(path), "rb") as fh:
                     _schema, _meta, rows = read_ocf(fh.read())
+                masks = {
+                    n: [r.get(n) is None for r in rows] for n in float_fields
+                }
                 b = pd.DataFrame(rows)
                 b = _coerce_batch(b, spark_schema, tz)
+                for n in float_fields:
+                    b[f"__null_{n}"] = pd.Series(masks[n], dtype=bool)
                 if with_pos:
                     b.insert(0, "_pos", range(len(b)))
                     b.insert(0, "_file", path)
                 yield b
 
     files = spark.createDataFrame([(p,) for p in paths], ["path"]).repartition(len(paths))
-    return files.mapInPandas(gen, out_schema)
+    out = files.mapInPandas(gen, masked_schema)
+    from pyspark.sql import functions as F
+
+    for f in spark_schema.fields:
+        if f.name in float_fields:
+            out = out.withColumn(
+                f.name,
+                F.when(F.col(f"__null_{f.name}"), F.lit(None).cast(f.dataType))
+                .otherwise(
+                    F.coalesce(
+                        F.col(f.name), F.lit(float("nan")).cast(f.dataType)
+                    )
+                ),
+            ).drop(f"__null_{f.name}")
+    return out.select(*[sf.name for sf in out_schema.fields])
 
 
 def iceberg_schema_to_avro(schema: Schema, name: str = "record") -> dict:
@@ -276,7 +310,18 @@ def _pdf_to_records(
         elif isinstance(t, (IT.IntegerType, IT.LongType)):
             vals = [None if pd.isna(v) else int(v) for v in series]
         elif isinstance(t, (IT.FloatType, IT.DoubleType)):
-            vals = [None if pd.isna(v) else float(v) for v in series]
+            # NaN arrives indistinguishable from null in the float64
+            # pandas column; the JVM-computed __null_ mask (added by
+            # write_avro_files) restores the difference so a NaN row
+            # is WRITTEN as NaN, not silently nulled
+            mask = pdf.get(f"__null_{f.name}")
+            if mask is not None:
+                vals = [
+                    None if m else float(v)
+                    for v, m in zip(series, mask)
+                ]
+            else:
+                vals = [None if pd.isna(v) else float(v) for v in series]
         elif isinstance(t, IT.BooleanType):
             vals = [None if pd.isna(v) else bool(v) for v in series]
         elif isinstance(t, IT.BinaryType):
@@ -321,6 +366,16 @@ def write_avro_files(
     avro_schema = iceberg_schema_to_avro(schema)
     meta = {"iceberg.schema": json.dumps(schema.to_json_dict())}
     pcols = list(partition_cols or [])
+    # NaN/null fidelity: pandas float64 collapses null into NaN on the
+    # way into mapInPandas — compute the true null mask JVM-side so
+    # _pdf_to_records writes NaN as NaN and null as null
+    from pyspark.sql import functions as _F
+
+    from . import types as _IT
+
+    for f in schema.fields:
+        if isinstance(f.field_type, (_IT.FloatType, _IT.DoubleType)):
+            df = df.withColumn(f"__null_{f.name}", _F.isnull(f.name))
     base = strip_scheme(out_dir)
     staging_root = os.path.join(base, f"_staging-{_uuid.uuid4().hex[:8]}")
     session_tz = df.sparkSession.conf.get("spark.sql.session.timeZone") or "UTC"

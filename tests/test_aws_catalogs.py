@@ -294,3 +294,44 @@ def test_glue_commit_preserves_foreign_table_fields(glue, spark, lineitem):
     assert after["Description"] == "made elsewhere"
     assert after["Owner"] == "someone"
     assert after["PartitionKeys"] == [{"Name": "ds", "Type": "string"}]
+
+
+# ---------------------------------------------------------------------------
+# Interleaved two-committer retry (r12 verdict task #7): the CAS paths
+# were covered for the happy path and a single raised conflict; these
+# drive commit_with_retry's refresh-and-retry loop END TO END — the
+# loser refreshes to the winner's head, re-applies, and both commits
+# land on one linear snapshot chain.
+
+
+def _assert_two_committers_union(cat, spark, lineitem, name):
+    t1 = cat.create_table(name, SCHEMA)
+    t2 = cat.load_table(name)
+    W.commit_with_retry(t1, lambda t: W.append(t, lineitem.limit(10)))
+    # t2 is stale now: its first append attempt MUST conflict; the
+    # retry loop refreshes and re-applies
+    W.commit_with_retry(t2, lambda t: W.append(t, lineitem.offset(10).limit(20)))
+    fresh = cat.load_table(name)
+    assert fresh.scan().to_df(spark).count() == 30
+    snaps = fresh.metadata.snapshots
+    assert len(snaps) == 2
+    by_id = {s.snapshot_id: s for s in snaps}
+    head = fresh.current_snapshot()
+    # linear log: head's parent is the winner's snapshot, which is a root
+    assert head.parent_snapshot_id in by_id
+    assert by_id[head.parent_snapshot_id].parent_snapshot_id is None
+
+
+def test_glue_two_interleaved_committers_retry_to_union(glue, spark, lineitem):
+    srv, cat = glue
+    calls_before = srv.state.calls.count("UpdateTable")
+    _assert_two_committers_union(cat, spark, lineitem, "db.interleave")
+    # the losing attempt dies in the client-side requirements check
+    # (its ref moved) BEFORE any UpdateTable reaches the wire, so only
+    # the two winning commits alter the server
+    assert srv.state.calls.count("UpdateTable") - calls_before == 2
+
+
+def test_ddb_two_interleaved_committers_retry_to_union(ddb, spark, lineitem):
+    srv, cat = ddb
+    _assert_two_committers_union(cat, spark, lineitem, "db.interleave")

@@ -289,3 +289,27 @@ def test_cli_over_hive_catalog(cat, server, spark, lineitem, capsys):
     assert "cli_t" in out
     # --property K=V reaches load_catalog (bad value fails loudly)
     assert cli_main(["--property", "notkv", "list", "db"]) == 1
+
+
+def test_two_interleaved_committers_retry_to_union(cat, server, spark, lineitem):
+    """r12 verdict task #7: drive the refresh-and-retry loop end to end
+    — the loser (stale handle) conflicts, refreshes to the winner's
+    head, re-applies; both commits land on one linear snapshot chain,
+    and the losing attempt never alters the HMS row."""
+    t1 = cat.create_table("db.interleave", SCHEMA)
+    t2 = cat.load_table("db.interleave")
+    W.commit_with_retry(t1, lambda t: W.append(t, lineitem.limit(10)))
+    n_alters = server.state.calls.count("alter_table_with_environment_context")
+    W.commit_with_retry(t2, lambda t: W.append(t, lineitem.offset(10).limit(20)))
+    assert (
+        server.state.calls.count("alter_table_with_environment_context")
+        == n_alters + 1
+    ), "only the retried (winning) attempt may alter the HMS row"
+    fresh = cat.load_table("db.interleave")
+    assert fresh.scan().to_df(spark).count() == 30
+    snaps = fresh.metadata.snapshots
+    assert len(snaps) == 2
+    by_id = {s.snapshot_id: s for s in snaps}
+    head = fresh.current_snapshot()
+    assert head.parent_snapshot_id in by_id
+    assert by_id[head.parent_snapshot_id].parent_snapshot_id is None

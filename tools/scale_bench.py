@@ -155,6 +155,9 @@ EXTRA_SCALE_QUERIES = [
     "delta_merge_matrix",
     "iceberg_merge_matrix",
     "delta_vacuum_execute",
+    # round-13 operators
+    "iceberg_merge_matrix_v3",
+    "iceberg_orc_roundtrip",
 ]
 SCALE_QUERIES = BENCH_QUERIES + EXTRA_SCALE_QUERIES
 from icegopher_spark.queries import QUERIES, load  # noqa: E402
