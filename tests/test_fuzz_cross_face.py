@@ -120,3 +120,71 @@ def test_same_dml_program_same_rows(spark, tmp_path, seed):
             f"iceberg-only={sorted(set(is_) - set(ds))[:5]} "
             f"value-diffs={[k for k in set(ds) & set(is_) if ds[k] != is_[k]][:5]}"
         )
+
+
+@pytest.mark.parametrize("seed", [11, 47])
+def test_same_dml_program_v2_vs_v3_lineage_face(spark, tmp_path, seed):
+    """Differential fuzz WITHIN the Iceberg plane (r13): the same
+    random program runs on a format-v2 table (pos-delete MOR merge)
+    and a format-v3 row-lineage table (DV deletes, lineage-carrying
+    merge). Row sets must stay identical at every step, and the v3
+    face's _row_id column must remain unique and fully assigned — the
+    allocator invariant MERGE's mixed materialized/fresh files lean
+    on."""
+    rng = random.Random(seed)
+    t2 = W.create_table(str(tmp_path / "v2"), ICE_SCHEMA)
+    t3 = W.create_table(str(tmp_path / "v3"), ICE_SCHEMA, format_version=3)
+    base = [(k, k % 5, float(k)) for k in range(60)]
+    df0 = _frame(spark, base)
+    t2 = W.append(t2, df0)
+    t3 = W.append(t3, df0)
+
+    next_key = 1000
+    for step in range(6):
+        op = rng.choice(["append", "delete", "merge"])
+        if op == "append":
+            rows = [
+                (next_key + i, rng.randrange(5), float(rng.randrange(100)))
+                for i in range(rng.randrange(1, 8))
+            ]
+            next_key += 50
+            f = _frame(spark, rows)
+            t2 = W.append(t2, f)
+            t3 = W.append(t3, f)
+        elif op == "delete":
+            mod = rng.choice([7, 9, 11])
+            pred = (F.col("k") % mod == 0) & (F.col("grp") == rng.randrange(5))
+            t2 = W.delete_where_mor(t2, spark, pred)
+            t3 = W.delete_where_mor(t3, spark, pred)
+        else:
+            cur = sorted(_ice_state(spark, t2))
+            picked = rng.sample(cur, min(len(cur), rng.randrange(3, 10)))
+            src_rows = [
+                (k, rng.choice([-1, rng.randrange(5)]), float(rng.randrange(500)))
+                for k in picked
+            ] + [(next_key + i, -1, 777.0) for i in range(rng.randrange(0, 4))]
+            next_key += 50
+            src = _frame(spark, src_rows)
+            clauses = dict(
+                when_matched_update={"v": "s.v + 0.5"},
+                matched_condition="s.grp >= 0 AND s.v > t.v",
+                when_matched_delete="s.grp < 0",
+                when_not_matched_insert=rng.random() < 0.8,
+                not_matched_condition=rng.choice([None, "s.k % 2 = 1"]),
+                when_not_matched_by_source_delete=rng.choice([None, "t.k % 13 = 0"]),
+            )
+            t2 = W.merge_matrix_mor(t2, spark, src, ["k"], **clauses)
+            t3 = W.merge_matrix_mor(t3, spark, src, ["k"], **clauses)
+        s2, s3 = _ice_state(spark, t2), _ice_state(spark, t3)
+        assert s2 == s3, (
+            f"v2/v3 diverged at step {step} ({op}, seed {seed}): "
+            f"v2-only={sorted(set(s2) - set(s3))[:5]} "
+            f"v3-only={sorted(set(s3) - set(s2))[:5]} "
+            f"value-diffs={[k for k in set(s2) & set(s3) if s2[k] != s3[k]][:5]}"
+        )
+        rids = [
+            r["_row_id"]
+            for r in t3.scan(with_lineage=True).to_df(spark).collect()
+        ]
+        assert None not in rids, f"unassigned _row_id at step {step}"
+        assert len(rids) == len(set(rids)), f"duplicate _row_id at step {step}"
