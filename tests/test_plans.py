@@ -603,3 +603,60 @@ def test_zorder_delta_plan_is_range_partitioned(spark, tmp_path):
     staged = scan.withColumn("_z", z).repartitionByRange(4, F.col("_z"))
     plan = plan_of(staged, "simple")
     assert "rangepartitioning" in plan.lower()
+
+
+def test_mor_live_rows_lineage_lookup_is_broadcast(spark, tmp_path):
+    """r13 v3 MERGE: resolving _row_id for live rows joins a
+    metadata-scale per-file (first_row_id, sequence) lookup — that join
+    must be a broadcast hash join (never a shuffle of the data side),
+    and the matched-key join stays an equi-join."""
+    from icegopher_spark.iceberg import write as W
+    from icegopher_spark.iceberg.schema import Schema
+    from icegopher_spark.iceberg.types import DoubleType, LongType, NestedField
+
+    sch = Schema(
+        (NestedField(1, "k", LongType(), True), NestedField(2, "v", DoubleType(), False)),
+        schema_id=0,
+    )
+    t = W.create_table(str(tmp_path / "linplan"), sch, format_version=3)
+    t = W.append(
+        t, spark.range(0, 100).selectExpr("id AS k", "CAST(id AS DOUBLE) AS v")
+    )
+    live = W._mor_live_rows(t, spark, t.scan(), with_lineage=True)
+    plan = plan_of(live)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_orc_stats_pass_is_single_jvm_aggregation(spark, tmp_path):
+    """r13 ORC/Avro stats: the per-file stats frame is one hash
+    aggregation over the native JVM ORC scan — one exchange, no Python
+    evaluation anywhere in the plan."""
+    from icegopher_spark.iceberg import write as W
+    from icegopher_spark.iceberg.schema import Schema
+    from icegopher_spark.iceberg.types import DoubleType, LongType, NestedField
+
+    sch = Schema(
+        (NestedField(1, "k", LongType(), True), NestedField(2, "v", DoubleType(), False)),
+        schema_id=0,
+    )
+    df = spark.range(0, 100).selectExpr("id AS k", "CAST(id AS DOUBLE) AS v")
+    out = str(tmp_path / "orcstats")
+    df.write.format("orc").save(out)
+    import os
+
+    paths = [f"{out}/{f}" for f in os.listdir(out) if f.endswith(".orc")]
+    from pyspark.sql import functions as F
+
+    src = spark.read.schema(sch.to_spark()).format("orc").load(paths)
+    src = src.withColumn(
+        "__sf", F.regexp_replace(F.col("_metadata.file_path"), "^file:/*", "/")
+    )
+    agg = src.groupBy("__sf").agg(
+        F.count(F.lit(1)).alias("n"), F.min("k"), F.max("k")
+    )
+    plan = plan_of(agg)
+    assert plan.lower().count("exchange") <= 2  # partial+final agg pair
+    assert "Python" not in plan
+    assert "BatchEvalPython" not in plan
