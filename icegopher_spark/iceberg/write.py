@@ -2493,7 +2493,7 @@ def delete_where(table: Table, spark: SparkSession, row_filter) -> Table:
                 f"{table.location}/data",
                 carry_lineage=preserve_lineage,
             )
-            new_files = [collect_data_file(p, table.schema, part) for p, part in pairs]
+            new_files = collect_data_files(table, spark, pairs)
 
     return _commit_snapshot(
         table,
@@ -2601,7 +2601,7 @@ def update_where(
     pairs = _write_data_files(
         table, new_rows, f"{table.location}/data", carry_lineage=preserve_lineage
     )
-    new_files = [collect_data_file(p, schema, part) for p, part in pairs]
+    new_files = collect_data_files(table, spark, pairs)
     return _commit_snapshot(
         table,
         new_files,
@@ -2687,7 +2687,7 @@ def merge_upsert(
     delete_files = _write_eq_delete_files(table, source, key_columns)
     schema = table.schema
     pairs = _write_data_files(table, source, f"{table.location}/data")
-    files = [collect_data_file(p, schema, part) for p, part in pairs]
+    files = collect_data_files(table, spark, pairs)
     keep = read_manifest_list(table.io.read(snap.manifest_list))
     return _commit_snapshot(
         table,
@@ -2906,14 +2906,10 @@ def merge_matrix_mor(
             pairs = _write_data_files(
                 table, post, f"{table.location}/data", carry_lineage=is_v3
             )
-            new_files = [
-                collect_data_file(p, table.schema, part) for p, part in pairs
-            ]
+            new_files = collect_data_files(table, spark, pairs)
         if insert_part is not None:
             pairs = _write_data_files(table, insert_part, f"{table.location}/data")
-            new_files += [
-                collect_data_file(p, table.schema, part) for p, part in pairs
-            ]
+            new_files += collect_data_files(table, spark, pairs)
     finally:
         affected.unpersist()
         live.unpersist()
