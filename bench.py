@@ -361,7 +361,10 @@ def main() -> None:
         family_budgets, flagged_families = _family_budgets()
         wf = weather_factor(family_budgets)
     weather = wf is not None and wf > WEATHER_THRESHOLD
-    noisy = noisy or weather
+    # the weather pass appended a calibration run — re-evaluate the
+    # spread component too, so the payload's noisy flag always agrees
+    # with its own calibration.spread field
+    noisy = _spread(calibration_runs) > 2.0 or weather
 
     if not noisy:
         for fam, qs in fam_latest.items():

@@ -96,6 +96,14 @@ def _round_commit(round_no: int) -> str | None:
     if lines:
         # oldest add wins if the file was ever re-added
         return lines[-1]
+    # No visible add-commit. The fallback below assumes the file is a
+    # freshly-dropped UNTRACKED artifact whose mtime bounds the drop
+    # time; a TRACKED file with no reachable add-commit (shallow clone
+    # — checkout already reset its mtime to 'now') would false-green
+    # every gate of that round, so it must stay unknown → stale.
+    tracked = _git("ls-files", "--", rel)
+    if tracked and tracked.strip():
+        return None
     try:
         mtime = path.stat().st_mtime
     except OSError:

@@ -56,6 +56,7 @@ from .write import (
     _loaded_version,
     _version_path,
     collect_data_file,
+    collect_data_files,
 )
 
 DEFAULT_TARGET_FILE_SIZE = 128 * 1024 * 1024  # Iceberg's write.target-file-size-bytes default
@@ -231,9 +232,14 @@ def compact_data_files(
         out = f"{table.location}/data/compact-{_uuid.uuid4().hex[:16]}"
         part.coalesce(n_out).write.mode("overwrite").format(fmt_out).save(out)
         partition = dict(pkey)
-        for fn in sorted(os.listdir(out)):
-            if fn.endswith(ext):
-                new_files.append(collect_data_file(f"{out}/{fn}", schema, partition))
+        group_pairs = [
+            (f"{out}/{fn}", partition)
+            for fn in sorted(os.listdir(out))
+            if fn.endswith(ext)
+        ]
+        # batch wrapper: ORC/Avro rewrites keep their column stats
+        # (parquet batches are a no-op pass-through)
+        new_files.extend(collect_data_files(table, spark, group_pairs))
         rewritten.update(e.data_file.file_path for e in group)
 
     if not new_files:
@@ -747,7 +753,7 @@ def rewrite_clustered(
         n_ranges=n_files,
         carry_lineage=preserve_lineage,
     )
-    new_files = [collect_data_file(p, schema, part) for p, part in pairs]
+    new_files = collect_data_files(table, spark, pairs)
     if not new_files:
         return table
     return _commit_snapshot(

@@ -527,7 +527,12 @@ def _orc_avro_file_stats(
     Returns {normalized file path: {field_id:
     (value_count, null_count, min, max, nan_count|None)}}.
     """
-    from .types import DoubleType as _DT, FloatType as _FT, VariantType as _VarT
+    from .types import (
+        DoubleType as _DT,
+        FloatType as _FT,
+        TimestampTzType as _TzT,
+        VariantType as _VarT,
+    )
 
     if fmt == "ORC":
         src = spark.read.schema(schema.to_spark()).format("orc").load(paths)
@@ -548,6 +553,14 @@ def _orc_avro_file_stats(
         c = F.col(f.name)
         is_float = isinstance(f.field_type, (_FT, _DT))
         cv = F.when(~F.isnan(c), c) if is_float else c
+        if isinstance(f.field_type, _TzT):
+            # collect() would hand back timestamptz as a NAIVE
+            # LOCAL-time datetime (PySpark fromInternal uses the OS
+            # timezone) and _bound_value treats naive as UTC — wrong
+            # bounds on any non-UTC host. Take epoch micros JVM-side;
+            # _bound_value encodes ints directly. (ntz timestamps are
+            # wall-clock: the naive datetime IS the value.)
+            cv = F.unix_micros(c)
         aggs.append(F.count(c).alias(f"vc_{f.field_id}"))
         aggs.append(F.min(cv).alias(f"mn_{f.field_id}"))
         aggs.append(F.max(cv).alias(f"mx_{f.field_id}"))
@@ -2127,15 +2140,25 @@ def delete_where_dv(
     metadata row per affected data file. The reference predates V3 and
     has no DV support — this is beyond-reference surface from the
     public spec."""
+    from pyspark.sql import Column
+
     from .expressions import to_spark_column
-    from .manifests import fetch_entries, read_manifest_list
     from .table import _dv_positions_df, apply_eq_delete_anti_joins, strip_file_scheme
 
     snap = table.current_snapshot()
     if snap is None:
         return table
 
-    scan = table.scan(row_filter=row_filter)
+    # Column overload (same contract delete_where_mor gained in r11):
+    # predicates like `col % 9 == 0` aren't expressible as bound
+    # expressions — a Column scans all files and filters row-level,
+    # trading manifest pruning for expressiveness
+    if isinstance(row_filter, Column):
+        spark_pred = row_filter
+        scan = table.scan()
+    else:
+        spark_pred = to_spark_column(row_filter)
+        scan = table.scan(row_filter=row_filter)
     groups: dict[tuple, dict] = {}
     # (spec_id, partition) pairs — write_dv_files stamps only
     # current-default-spec values centrally (r8 advice #2; the original
@@ -2198,7 +2221,7 @@ def delete_where_dv(
         # silently matches nothing (r7 review, same lesson as r6's
         # scan-path fix)
         src = read_tasks_with_pos(table, spark, g["tasks"])
-        part = src.filter(to_spark_column(row_filter))
+        part = src.filter(spark_pred)
         part = apply_eq_delete_anti_joins(part, g["eq"], table.schema, spark)
         priors = _prior_deletes(g)
         if priors:

@@ -155,7 +155,10 @@ def test_same_dml_program_v2_vs_v3_lineage_face(spark, tmp_path, seed):
             mod = rng.choice([7, 9, 11])
             pred = (F.col("k") % mod == 0) & (F.col("grp") == rng.randrange(5))
             t2 = W.delete_where_mor(t2, spark, pred)
-            t3 = W.delete_where_mor(t3, spark, pred)
+            # v3 face deletes through deletion vectors (the spec forbids
+            # new v2 positional-delete files on v3) — also exercises the
+            # DV supersede interplay with the merge step's DVs
+            t3 = W.delete_where_dv(t3, spark, pred)
         else:
             cur = sorted(_ice_state(spark, t2))
             picked = rng.sample(cur, min(len(cur), rng.randrange(3, 10)))

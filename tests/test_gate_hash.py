@@ -228,3 +228,29 @@ def test_round_commit_untracked_artifact_falls_back_to_predrop_commit():
     finally:
         path.unlink(missing_ok=True)
         gh._round_commit.cache_clear()
+
+
+def test_round_commit_tracked_without_add_commit_stays_unknown(monkeypatch):
+    """Shallow-clone shape: the artifact is TRACKED but its add-commit
+    is beyond history. The mtime fallback must NOT fire (checkout reset
+    the mtime to 'now' → it would pin HEAD and false-green the whole
+    round); unknown → stale is the safe direction."""
+    rel_calls = []
+
+    def fake_git(*args):
+        rel_calls.append(args)
+        if args[0] == "log":
+            return ""  # no add-commit visible
+        if args[0] == "ls-files":
+            return "CORRECTNESS_r96.json\n"  # tracked
+        return ""
+
+    monkeypatch.setattr(gh, "_git", fake_git)
+    gh._round_commit.cache_clear()
+    path = REPO / "CORRECTNESS_r96.json"
+    try:
+        path.write_text("{}")
+        assert gh._round_commit(96) is None
+    finally:
+        path.unlink(missing_ok=True)
+        gh._round_commit.cache_clear()

@@ -1061,3 +1061,47 @@ def test_orc_and_avro_writes_produce_manifest_stats(spark, tmp_path):
         # and never over-prunes: the NaN row still comes back for v > 0
         got = t.scan(row_filter=E.greater_than("k", 5)).to_df(spark)
         assert got.count() == 994, fmt
+
+
+def test_orc_tz_bounds_are_utc_on_non_utc_host(tmp_path):
+    """r13 review finding: the ORC/Avro stats pass must not round
+    timestamptz bounds through PySpark's collect() datetimes (naive
+    OS-LOCAL wall times — _bound_value would re-interpret them as
+    UTC). Run the scenario in a subprocess pinned to a non-UTC OS
+    timezone and check the manifest bound is the true UTC micros."""
+    import os
+    import subprocess
+    import sys
+
+    script = f"""
+import sys, datetime
+sys.path.insert(0, "/root/repo")
+from icegopher_spark.session import get_spark
+from icegopher_spark.iceberg import write as W
+from icegopher_spark.iceberg.schema import Schema
+from icegopher_spark.iceberg.types import NestedField, LongType, TimestampTzType
+from icegopher_spark.iceberg.literals import literal_from_bytes
+spark = get_spark("tzcheck")
+spark.conf.set("spark.sql.session.timeZone", "UTC")
+sch = Schema((NestedField(1, "k", LongType(), True),
+              NestedField(2, "ts", TimestampTzType(), False)), schema_id=0)
+df = spark.sql("SELECT CAST(1 AS LONG) AS k, TIMESTAMP '2026-01-01 12:00:00' AS ts")
+t = W.create_table({str(tmp_path / 'tz_orc')!r}, sch,
+                   properties={{"write.format.default": "orc"}})
+t = W.append(t, df)
+f = [x.file for x in t.scan().plan_files()][0]
+lo = literal_from_bytes(f.lower_bounds[2], TimestampTzType()).value
+exp = int(datetime.datetime(2026, 1, 1, 12,
+          tzinfo=datetime.timezone.utc).timestamp() * 1_000_000)
+assert lo == exp, ("bound drifted by OS timezone", lo, exp)
+print("TZBOUND-OK")
+"""
+    env = {**os.environ, "TZ": "America/New_York"}
+    out = subprocess.run(
+        [sys.executable, "-c", script],
+        capture_output=True,
+        text=True,
+        env=env,
+        timeout=300,
+    )
+    assert out.returncode == 0 and "TZBOUND-OK" in out.stdout, out.stderr[-2000:]

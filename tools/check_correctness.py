@@ -62,7 +62,12 @@ def update_stale_ledger(results: dict[str, str], sf_dir: str) -> None:
         ledger = {}
     ledger = {k: v for k, v in ledger.items() if k in QUERIES}
     latest = latest_driver_rounds()
-    locs = {n: (q.fn.__module__, q.fn.__name__) for n, q in QUERIES.items()}
+    # restrict the staleness sweep to the gates this run actually
+    # checked — a single-gate --only re-verify must not pay a
+    # full-registry AST + git-blob closure hash
+    locs = {
+        n: (QUERIES[n].fn.__module__, QUERIES[n].fn.__name__) for n in results
+    }
     stale = gh.stale_gates(locs, latest)
     try:
         head = subprocess.run(
