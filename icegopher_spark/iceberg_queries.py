@@ -1314,7 +1314,13 @@ def iceberg_avro_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
         return W.append(t, _li4(spark, sf))
 
     t = _cached_table(
-        sf, "lineitem_avro", lambda t: t.current_snapshot() is not None, build
+        sf,
+        "lineitem_avro",
+        # bounds requirement self-heals pre-r13 caches built before the
+        # distributed stats pass existed (record-count-only entries)
+        lambda t: t.current_snapshot() is not None
+        and all(x.file.lower_bounds for x in t.scan().plan_files()),
+        build,
     )
     return (
         t.scan()
@@ -1377,7 +1383,11 @@ def iceberg_orc_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
         return W.append(t, _li4(spark, sf))
 
     t = _cached_table(
-        sf, "lineitem_orc", lambda t: t.current_snapshot() is not None, build
+        sf,
+        "lineitem_orc",
+        lambda t: t.current_snapshot() is not None
+        and all(x.file.lower_bounds for x in t.scan().plan_files()),
+        build,
     )
     mid = (
         _li4(spark, sf)
