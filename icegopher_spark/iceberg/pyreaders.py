@@ -95,16 +95,53 @@ def _coerce_batch(
     return pdf[[f.name for f in spark_schema.fields]]
 
 
+def _float_field_names(spark_schema: T.StructType) -> list[str]:
+    return [
+        f.name
+        for f in spark_schema.fields
+        if isinstance(f.dataType, (T.FloatType, T.DoubleType))
+    ]
+
+
+def _masked_schema(out_schema: T.StructType, float_fields: list[str]) -> T.StructType:
+    return T.StructType(
+        list(out_schema.fields)
+        + [T.StructField(f"__null_{n}", T.BooleanType()) for n in float_fields]
+    )
+
+
+def _resurrect_nan(df: DataFrame, spark_schema, out_schema, float_fields):
+    """JVM-side inverse of the pandas bridge's NaN/null collapse: the
+    Python reader shipped a was-null boolean per float column (Spark's
+    Arrow conversion of a pandas-UDF result maps NaN to NULL), so a
+    value that arrived null with mask false can only have been NaN."""
+    from pyspark.sql import functions as F
+
+    for f in spark_schema.fields:
+        if f.name in float_fields:
+            df = df.withColumn(
+                f.name,
+                F.when(F.col(f"__null_{f.name}"), F.lit(None).cast(f.dataType))
+                .otherwise(
+                    F.coalesce(F.col(f.name), F.lit(float("nan")).cast(f.dataType))
+                ),
+            ).drop(f"__null_{f.name}")
+    return df.select(*[sf.name for sf in out_schema.fields])
+
+
 def read_orc_with_pos(
     spark: SparkSession, paths: list[str], spark_schema: T.StructType
 ) -> DataFrame:
     """Distributed ORC read returning (_file, _pos, *columns) with
-    spec-exact per-file row ordinals."""
+    spec-exact per-file row ordinals. Float NaN/null fidelity rides the
+    same was-null masks as the Avro reader — the Arrow stripe batch
+    still distinguishes them; pandas doesn't."""
     out_schema = _with_pos_schema(spark_schema)
     names = [f.name for f in spark_schema.fields]
     if not paths:
         return spark.createDataFrame([], out_schema)
     tz = spark.conf.get("spark.sql.session.timeZone") or "UTC"
+    float_fields = _float_field_names(spark_schema)
 
     def gen(iterator: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import pyarrow.orc as orc
@@ -115,15 +152,25 @@ def read_orc_with_pos(
                 pos = 0
                 for i in range(f.nstripes):
                     batch = f.read_stripe(i, columns=[n for n in names])
+                    masks = {
+                        n: batch.column(n).is_null().to_pylist()
+                        for n in float_fields
+                        if n in batch.schema.names
+                    }
                     b = batch.to_pandas()
                     b = _coerce_batch(b, spark_schema, tz)
+                    for n in float_fields:
+                        b[f"__null_{n}"] = pd.Series(
+                            masks.get(n, [True] * len(b)), dtype=bool
+                        )
                     b.insert(0, "_pos", range(pos, pos + len(b)))
                     b.insert(0, "_file", path)
                     pos += len(b)
                     yield b
 
     files = spark.createDataFrame([(p,) for p in paths], ["path"]).repartition(len(paths))
-    return files.mapInPandas(gen, out_schema)
+    out = files.mapInPandas(gen, _masked_schema(out_schema, float_fields))
+    return _resurrect_nan(out, spark_schema, out_schema, float_fields)
 
 
 def read_avro_files(
@@ -148,15 +195,9 @@ def read_avro_files(
     # pandas-UDF result maps NaN back to NULL — so a NaN in an Avro
     # double column would silently read as null. Ship an explicit
     # was-null boolean per float column out of the Python decoder and
-    # resurrect NaN JVM-side: value null with mask false can only have
-    # been NaN.
-    float_fields = [
-        f.name for f in spark_schema.fields if isinstance(f.dataType, (T.FloatType, T.DoubleType))
-    ]
-    masked_schema = T.StructType(
-        list(out_schema.fields)
-        + [T.StructField(f"__null_{n}", T.BooleanType()) for n in float_fields]
-    )
+    # resurrect NaN JVM-side (shared helpers with read_orc_with_pos).
+    float_fields = _float_field_names(spark_schema)
+    masked_schema = _masked_schema(out_schema, float_fields)
 
     def gen(iterator: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from .avro_io import read_ocf
@@ -179,20 +220,7 @@ def read_avro_files(
 
     files = spark.createDataFrame([(p,) for p in paths], ["path"]).repartition(len(paths))
     out = files.mapInPandas(gen, masked_schema)
-    from pyspark.sql import functions as F
-
-    for f in spark_schema.fields:
-        if f.name in float_fields:
-            out = out.withColumn(
-                f.name,
-                F.when(F.col(f"__null_{f.name}"), F.lit(None).cast(f.dataType))
-                .otherwise(
-                    F.coalesce(
-                        F.col(f.name), F.lit(float("nan")).cast(f.dataType)
-                    )
-                ),
-            ).drop(f"__null_{f.name}")
-    return out.select(*[sf.name for sf in out_schema.fields])
+    return _resurrect_nan(out, spark_schema, out_schema, float_fields)
 
 
 def iceberg_schema_to_avro(schema: Schema, name: str = "record") -> dict:
