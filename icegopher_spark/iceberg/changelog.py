@@ -639,61 +639,70 @@ def pair_updates(df: DataFrame, identifier_fields: list[str]) -> DataFrame:
         (F.col("_ni") - m).alias("_ni"),
     ).filter((F.col("_nd") > 0) | (F.col("_ni") > 0))
 
-    def _expand(n_col: str, kind: str) -> DataFrame:
-        # rows within a group are identical, so re-expanding the
-        # surviving count loses nothing
-        return (
-            surv.filter(F.col(n_col) > 0)
-            .select(
-                COMMIT_SNAPSHOT,
-                *data_cols,
-                F.explode(F.sequence(F.lit(1), F.col(n_col))).alias("_dup"),
-            )
-            .drop("_dup")
-            .withColumn(CHANGE_TYPE, F.lit(kind))
-        )
-
-    dels, ins = _expand("_nd", "delete"), _expand("_ni", "insert")
-
-    # stage 2: rank-pair by identifier within the commit
+    # stage 2: rank-pair by identifier within the commit.
+    #
+    # Optimization (r13, guide §2.4 "remove shuffles outright"): one
+    # explicit repartition on (commit, identifier) feeds BOTH the
+    # per-side rank window and the pairing aggregate —
+    # HashPartitioning(commit, ids) satisfies the window's
+    # (commit, ids, change_type) clustering and the
+    # (commit, ids, _rk) groupBy's (subset rule, SPARK-35703) — so
+    # stage 2 is a single exchange, one sort, and a shuffle-free hash
+    # aggregate. The previous shape expanded the two sides separately
+    # and paid two full-width window exchanges plus a full-outer
+    # sort-merge join of the expanded frames; the i-th delete still
+    # pairs with the i-th insert under the identical per-side
+    # (rest asc_nulls_first) rank order, so outputs are unchanged.
     from pyspark.sql import Window
 
     order_cols = [F.col(c).asc_nulls_first() for c in rest] or [F.lit(1)]
-    w = Window.partitionBy(COMMIT_SNAPSHOT, *ids).orderBy(*order_cols)
-    d_side = dels.withColumn("_rk", F.row_number().over(w)).select(
-        COMMIT_SNAPSHOT,
-        *ids,
-        "_rk",
-        F.lit(1).alias("_dhas"),
-        *[F.col(c).alias(f"_d_{c}") for c in rest],
+    # one row per surviving copy, tagged with its side (array_repeat
+    # yields an empty array at count 0 — no sequence(1,0) guard needed)
+    sides = F.concat(
+        F.array_repeat(F.lit("delete"), F.col("_nd").cast("int")),
+        F.array_repeat(F.lit("insert"), F.col("_ni").cast("int")),
     )
-    i_side = ins.withColumn("_rk", F.row_number().over(w)).select(
-        COMMIT_SNAPSHOT,
-        *ids,
-        "_rk",
-        F.lit(1).alias("_ihas"),
-        *[F.col(c).alias(f"_i_{c}") for c in rest],
+    exp = surv.select(
+        COMMIT_SNAPSHOT, *data_cols, F.explode(sides).alias(CHANGE_TYPE)
+    ).repartition(COMMIT_SNAPSHOT, *ids)
+    w = Window.partitionBy(COMMIT_SNAPSHOT, *ids, CHANGE_TYPE).orderBy(*order_cols)
+    val = F.struct(*[F.col(c) for c in rest]) if rest else F.lit(1)
+    ranked = exp.withColumn("_rk", F.row_number().over(w))
+    g = ranked.groupBy(COMMIT_SNAPSHOT, *ids, "_rk").agg(
+        F.max(F.when(F.col(CHANGE_TYPE) == "delete", val)).alias("_d"),
+        F.max(F.when(F.col(CHANGE_TYPE) == "insert", val)).alias("_i"),
     )
-    j = d_side.join(i_side, [COMMIT_SNAPSHOT, *ids, "_rk"], "full_outer")
+    has_d, has_i = F.col("_d").isNotNull(), F.col("_i").isNotNull()
 
-    def _emit(side: str, kind: str, flt) -> DataFrame:
-        return j.filter(flt).select(
-            *ids,
-            *[F.col(f"_{side}_{c}").alias(c) for c in rest],
-            F.lit(kind).alias(CHANGE_TYPE),
-            F.col(COMMIT_SNAPSHOT),
+    def _piece(kind: str, side: str):
+        return F.struct(
+            F.lit(kind).alias("_ct"), F.col(side).alias("_v")
         )
 
-    both = F.col("_dhas").isNotNull() & F.col("_ihas").isNotNull()
-    pre = _emit("d", "update_preimage", both)
-    post = _emit("i", "update_postimage", both)
-    del_only = _emit("d", "delete", F.col("_ihas").isNull())
-    ins_only = _emit("i", "insert", F.col("_dhas").isNull())
+    pieces = F.array(
+        F.when(has_d & has_i, _piece("update_preimage", "_d")),
+        F.when(has_d & has_i, _piece("update_postimage", "_i")),
+        F.when(has_d & ~has_i, _piece("delete", "_d")),
+        F.when(has_i & ~has_d, _piece("insert", "_i")),
+    )
+    emitted = g.select(
+        COMMIT_SNAPSHOT,
+        *ids,
+        F.explode(F.filter(pieces, lambda x: x.isNotNull())).alias("_p"),
+    )
+    value_cols = (
+        [F.col("_p").getField("_v").getField(c).alias(c) for c in rest]
+        if rest
+        else []
+    )
+    paired = emitted.select(
+        *ids,
+        *value_cols,
+        F.col("_p").getField("_ct").alias(CHANGE_TYPE),
+        F.col(COMMIT_SNAPSHOT),
+    )
 
-    out = others.select(*out_order)
-    for p in (pre, post, del_only, ins_only):
-        out = out.unionByName(p.select(*out_order))
-    return out
+    return others.select(*out_order).unionByName(paired.select(*out_order))
 
 
 def scd2_from_changelog(

@@ -148,7 +148,12 @@ def ngram_jaccard_pairs(
     is counted per pair; union via the per-doc retained-shingle counts
     (|A|+|B|-|A∩B|).
     """
-    sh = shingle_hash_rows(df, text_col, id_col, n)
+    # the raw shingle frame is materialized ONCE (narrow (id, hash)
+    # rows): the stop-shingle drop + three downstream consumers
+    # (sizes, both join sides) otherwise each re-run the tokenizer
+    # (r13 optimization, guide §5). The drop stays lazy so its
+    # LeftAnti guard remains visible in the final plan (plan pin).
+    sh = shingle_hash_rows(df, text_col, id_col, n).localCheckpoint(eager=True)
     sh = drop_stop_shingles(sh, "h", max_doc_freq)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
@@ -193,7 +198,9 @@ def ngram_containment_pairs(
     engines. Returns (id_a, id_b, n_common, n_a, n_b, containment),
     id_a < id_b."""
     pct = int(round(threshold * 100))
-    sh = shingle_hash_rows(df, text_col, id_col, n)
+    # one materialization of the raw shingle frame — same rationale as
+    # ngram_jaccard_pairs (r13 optimization, guide §5)
+    sh = shingle_hash_rows(df, text_col, id_col, n).localCheckpoint(eager=True)
     sh = drop_stop_shingles(sh, "h", max_doc_freq)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
@@ -251,6 +258,41 @@ def shingle_hash_rows(
     ).select("id", F.xxhash64("sh").alias("h"))
 
 
+def signatures_from_hashes(sh: DataFrame, num_hashes: int = 32) -> DataFrame:
+    """(id, sig array<bigint>) from an ALREADY-built (id, h) shingle-hash
+    frame — the shared-frame entry point (r13 optimization): a caller
+    that needs the shingle rows again for verification materializes
+    them ONCE and feeds both stages, instead of re-running the regex
+    tokenizer + shingle explode per stage."""
+    mins = sh.groupBy("id").agg(
+        *[F.min(F.xxhash64(F.lit(k), F.col("h"))).alias(f"h{k}") for k in range(num_hashes)]
+    )
+    return mins.select("id", F.array(*[f"h{k}" for k in range(num_hashes)]).alias("sig"))
+
+
+def band_entries_from_signatures(
+    sigs: DataFrame, num_hashes: int = 32, bands: int = 8
+) -> DataFrame:
+    """(id, band, key) from an (id, sig) frame — see minhash_band_entries."""
+    rows_per_band = num_hashes // bands
+    return sigs.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)]
+                        ).alias("key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", "bk.band", "bk.key")
+
+
 def minhash_signatures_df(
     df: DataFrame,
     text_col: str = "text",
@@ -273,10 +315,7 @@ def minhash_signatures_df(
     is a few percent of corpus size, and partial aggregation collapses
     most of it map-side."""
     sh = drop_stop_shingles(shingle_hash_rows(df, text_col, id_col, n), "h", max_doc_freq)
-    mins = sh.groupBy("id").agg(
-        *[F.min(F.xxhash64(F.lit(k), F.col("h"))).alias(f"h{k}") for k in range(num_hashes)]
-    )
-    return mins.select("id", F.array(*[f"h{k}" for k in range(num_hashes)]).alias("sig"))
+    return signatures_from_hashes(sh, num_hashes)
 
 
 def minhash_band_entries(
@@ -292,24 +331,8 @@ def minhash_band_entries(
     xxhash64 of the band's signature slice. This is the persistable
     unit of a MinHash index — 20 bytes per (doc, band), and candidate
     generation anywhere is an equi-join on (band, key)."""
-    rows_per_band = num_hashes // bands
     sigs = minhash_signatures_df(df, text_col, id_col, num_hashes, n, max_doc_freq)
-    return sigs.select(
-        "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            *[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)]
-                        ).alias("key"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bk"),
-    ).select("id", "bk.band", "bk.key")
+    return band_entries_from_signatures(sigs, num_hashes, bands)
 
 
 def minhash_lsh_candidates(
@@ -361,20 +384,56 @@ def minhash_dedup_pairs(
     (a dup-heavy corpus can make it huge), so forcing broadcast risks
     OOM at scale — AQE broadcasts at runtime when a side measures
     small, and falls back to shuffle joins on narrow (long, long)
-    keys otherwise."""
-    cands = minhash_lsh_candidates(df, text_col, id_col, num_hashes, bands, n, max_doc_freq)
+    keys otherwise.
+
+    r13 optimization (guide §5 caching / §2.4): the retained shingle
+    frame feeds BOTH candidate generation (signature mins) and the
+    three verify-stage consumers; it is materialized ONCE
+    (localCheckpoint of narrow (id, 8-byte hash) rows — ~one shuffle
+    write's worth of local disk at any scale), where the previous
+    shape re-ran the regex tokenizer + shingle explode up to 4×."""
     # the SAME retained shingle set feeds signatures and verification,
     # so the verified jaccard is consistent with candidate generation
-    sh = drop_stop_shingles(shingle_hash_rows(df, text_col, id_col, n), "h", max_doc_freq)
-    return exact_jaccard_verify(sh, cands, threshold)
+    sh = drop_stop_shingles(
+        shingle_hash_rows(df, text_col, id_col, n), "h", max_doc_freq
+    ).localCheckpoint(eager=True)
+    cands = band_entries_from_signatures(
+        signatures_from_hashes(sh, num_hashes), num_hashes, bands
+    )
+    a, b = cands.alias("a"), cands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    return exact_jaccard_verify(sh, pairs, threshold, materialize_sh=False)
 
 
-def exact_jaccard_verify(sh: DataFrame, cands: DataFrame, threshold: float) -> DataFrame:
+def exact_jaccard_verify(
+    sh: DataFrame,
+    cands: DataFrame,
+    threshold: float,
+    materialize_sh: bool = True,
+) -> DataFrame:
     """Exact-Jaccard verification of candidate pairs over hashed shingle
     ROWS: |A ∩ B| is a count of matching 8-byte hashes per pair — no
     string comparison, no array materialization. All joins are UNHINTED
     equi-joins (candidate cardinality is data-dependent; AQE decides
-    broadcast at runtime)."""
+    broadcast at runtime).
+
+    ``sh`` is consumed by THREE subtrees (per-doc sizes, pair join
+    left, pair join right); by default it is materialized once
+    (localCheckpoint of narrow (id, hash) rows) so the upstream
+    tokenize/shingle pipeline runs exactly once — callers that pass an
+    already-materialized frame set ``materialize_sh=False``
+    (r13 optimization, guide §5)."""
+    if materialize_sh:
+        sh = sh.localCheckpoint(eager=True)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     pair_sh = sh.join(cands, sh["id"] == cands["id_a"]).select("id_a", "id_b", "h")
     common = (
@@ -709,6 +768,9 @@ def minhash_dedup_from_index(
         )
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
+        # three consumers (ids ×2, verify join); candidate pairs are
+        # 16-byte rows — materialize once (r13 optimization, guide §5)
+        .localCheckpoint(eager=True)
     )
     ids = cands.select(F.col("id_a").alias("id")).unionByName(
         cands.select(F.col("id_b").alias("id"))
@@ -809,6 +871,9 @@ def minhash_dedup_incremental(
             F.greatest(F.col("a.id"), F.col("b.id")).alias("id_b"),
         )
         .distinct()
+        # three consumers (ids ×2, verify join); candidate pairs are
+        # 16-byte rows — materialize once (r13 optimization, guide §5)
+        .localCheckpoint(eager=True)
     )
     ids = cands.select(F.col("id_a").alias("id")).unionByName(
         cands.select(F.col("id_b").alias("id"))
@@ -949,18 +1014,22 @@ def simhash_neardup_pairs(
         _SIMHASH_SIG_CACHE.append(d)
     if prev is not None:
         prev.unpersist()
-    # 1. identical signatures: single equi-join, hamming 0 by definition
-    sa, sb = d.alias("a"), d.alias("b")
-    within = sa.join(
-        sb, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id"))
-    ).select(
-        F.col("a.id").alias("id_a"),
-        F.col("b.id").alias("id_b"),
+    # 1. identical signatures (hamming 0): instead of a separate
+    #    id-level self-join, ONE groupBy(sh) serves both the distinct
+    #    signature set for the block tables AND the ≥2-member groups
+    #    whose pairs are hamming-0 — the equal-signature pairs ride the
+    #    same id-expansion joins as the verified block pairs, removing
+    #    a full exchange + join of the signature frame
+    #    (r13 optimization, guide §2.4).
+    counts = d.groupBy("sh").agg(F.count(F.lit(1)).alias("_n"))
+    eq_pairs = counts.filter(F.col("_n") >= 2).select(
+        F.col("sh").alias("sh_a"),
+        F.col("sh").alias("sh_b"),
         F.lit(0).alias("hamming"),
     )
 
     # 2. distinct signatures through the block tables
-    uniq = d.select("sh").distinct()
+    uniq = counts.select("sh")
     n_blocks = max_hamming + 3
     agree = n_blocks - max_hamming
     base, extra = divmod(nbits, n_blocks)
@@ -1015,19 +1084,23 @@ def simhash_neardup_pairs(
         .filter((F.col("hamming") > 0) & (F.col("hamming") <= max_hamming))
         .distinct()
     )
-    # expand verified signature pairs to id pairs (ordered)
+    # expand verified signature pairs to id pairs (ordered). Equal-sig
+    # (hamming-0) pairs expand through the SAME joins: their fan-out is
+    # the group's id cross product, filtered to id_a < id_b so each
+    # unordered doc pair emits once (self-pairs drop out with it).
+    all_pairs = sig_pairs.unionByName(eq_pairs)
     ma = d.select(F.col("sh").alias("sh_a"), F.col("id").alias("_ida"))
     mb = d.select(F.col("sh").alias("sh_b"), F.col("id").alias("_idb"))
-    cross = (
-        sig_pairs.join(ma, "sh_a")
+    return (
+        all_pairs.join(ma, "sh_a")
         .join(mb, "sh_b")
+        .filter((F.col("hamming") > 0) | (F.col("_ida") < F.col("_idb")))
         .select(
             F.least("_ida", "_idb").alias("id_a"),
             F.greatest("_ida", "_idb").alias("id_b"),
             "hamming",
         )
     )
-    return within.unionByName(cross)
 
 
 def contaminated_ids(

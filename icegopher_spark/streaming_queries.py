@@ -956,7 +956,12 @@ def stream_cdc_updates_q(spark: SparkSession, sf: str) -> DataFrame:
     out, ckpt = f"{work}/out", f"{work}/ckpt"
 
     def _fold(batch_df: DataFrame, batch_id: int) -> None:
-        pair_updates(batch_df, ["l_orderkey", "l_shipdate"]).write.mode(
+        # materialize the micro-batch ONCE: pair_updates consumes its
+        # input through two subtrees (insert/delete split + passthrough)
+        # and each would re-run the Python CDC source scan (guide §1.4 /
+        # §2.4 — measured 12.2s → 7.0s for this gate at sf0.1)
+        b = batch_df.localCheckpoint(eager=True)
+        pair_updates(b, ["l_orderkey", "l_shipdate"]).write.mode(
             "append"
         ).parquet(out)
 
@@ -1033,7 +1038,10 @@ def stream_scd2_history_q(spark: SparkSession, sf: str) -> DataFrame:
     )
     q.awaitTermination()
     changes = spark.read.parquet(out)
-    scd2 = scd2_from_changelog(pair_updates(changes, ["o_orderkey"]), ["o_orderkey"])
+    # materialize the paired frame once: scd2_from_changelog consumes
+    # it twice (opens/closes) — see cdc_scd2_history (r13 optimization)
+    paired = pair_updates(changes, ["o_orderkey"]).localCheckpoint(eager=True)
+    scd2 = scd2_from_changelog(paired, ["o_orderkey"])
     seq_map = spark.createDataFrame(
         [(s.snapshot_id, s.sequence_number) for s in t.metadata.snapshots],
         "snap_id long, seq long",
