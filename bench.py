@@ -61,6 +61,99 @@ BENCH_QUERIES = [
     "mm_media_stats",
 ]
 
+# round-4 additions timed OUTSIDE the headline metric so the
+# baseline curve (r1..r3 totals over the same 33 queries) stays
+# comparable; the scale guard (tools/scale_bench.py) also covers
+# these at 10x.
+EXTENDED = [
+    "q21_waiting_supplier",
+    "q12_late_shipment_priority",
+    "events_gapfill_locf",
+    "events_funnel",
+    "events_retention",
+    "corpus_stratified_sample",
+    "sim_quantize_int8",
+    "dedup_substring_spans",
+    "dedup_substring_intervals",
+    "events_anomalies",
+    # round-5 additions
+    "corpus_temperature_mix",
+    "corpus_length_trim",
+    "dedup_minhash_incremental",
+    "iceberg_eqdelete_datasource",
+    "iceberg_zorder_partitioned",
+    "vocab_bpe_merges",
+    "mm_audio_features",
+    "events_windowed_topk",
+    # round-7 additions
+    "iceberg_dv_migrate",
+    "text_gopher_filter",
+    "text_repetition_filter",
+    "text_top_ngram",
+    "vocab_bpe_encode",
+    "dedup_source_overlap",
+    "iceberg_eqdelete_migrate",
+    "iceberg_sortorder_pruned",
+    "corpus_chunk_documents",
+    "vocab_oov_stats",
+    "dedup_neardup_select",
+    "stream_cdc_changelog",
+    "stream_cdc_mv",
+    "iceberg_changes_datasource",
+    # round-8 additions
+    "text_repetition_strict",
+    "stream_cdc_after_eq_migrate",
+    "iceberg_variant_read",
+    "iceberg_manifest_merge",
+    "iceberg_files_metadata",
+    "dedup_containment",
+    "text_char_diversity",
+    "corpus_shuffle_shard",
+    "iceberg_orphan_cleanup",
+    "iceberg_table_stats",
+    # round-9 additions
+    "iceberg_variant_shredded",
+    "stream_cdc_updates",
+    "text_c4_filter",
+    "text_bigram_stats",
+    "iceberg_snapshots_metadata",
+    "cdc_scd2_history",
+    "text_winnow_fingerprints",
+    "sim_semdedup",
+    "text_lm_filter",
+    "stream_scd2_history",
+    "text_paragraph_dedup",
+    # round-10 additions
+    "delta_dv_read",
+    "delta_dv_cdf",
+    "delta_column_mapping_read",
+    "delta_dv_delete_write",
+    "delta_optimize_roundtrip",
+    "delta_restore_read",
+    "delta_update_write",
+    "delta_merge_upsert",
+    "delta_link_export",
+    "sim_hard_negatives",
+    "sim_ivf_index_topk",
+    # round-11 additions
+    "delta_v2_checkpoint_read",
+    "delta_ict_timestamp_travel",
+    "delta_cm_nested_write",
+    "delta_link_import",
+    "delta_update_cdf",
+    "delta_row_ids",
+    "delta_type_widening",
+    "delta_variant_read",
+    # round-12 additions
+    "delta_zorder_optimize",
+    "delta_merge_matrix",
+    "iceberg_merge_matrix",
+    "delta_vacuum_execute",
+    # round-13 additions
+    "iceberg_merge_matrix_v3",
+    "iceberg_orc_roundtrip",
+]
+
 
 # Median family vs_best_common above this = machine-wide weather: the
 # r12 driver run sat at 1.259 (every family uniformly inflated,
@@ -153,98 +246,6 @@ def main() -> None:
     # MINIMUM (the standard steady-state estimator under one-sided
     # noise); per-run totals ride along for transparency.
 
-    # round-4 additions timed OUTSIDE the headline metric so the
-    # baseline curve (r1..r3 totals over the same 33 queries) stays
-    # comparable; the scale guard (tools/scale_bench.py) also covers
-    # these at 10x.
-    EXTENDED = [
-        "q21_waiting_supplier",
-        "q12_late_shipment_priority",
-        "events_gapfill_locf",
-        "events_funnel",
-        "events_retention",
-        "corpus_stratified_sample",
-        "sim_quantize_int8",
-        "dedup_substring_spans",
-        "dedup_substring_intervals",
-        "events_anomalies",
-        # round-5 additions
-        "corpus_temperature_mix",
-        "corpus_length_trim",
-        "dedup_minhash_incremental",
-        "iceberg_eqdelete_datasource",
-        "iceberg_zorder_partitioned",
-        "vocab_bpe_merges",
-        "mm_audio_features",
-        "events_windowed_topk",
-        # round-7 additions
-        "iceberg_dv_migrate",
-        "text_gopher_filter",
-        "text_repetition_filter",
-        "text_top_ngram",
-        "vocab_bpe_encode",
-        "dedup_source_overlap",
-        "iceberg_eqdelete_migrate",
-        "iceberg_sortorder_pruned",
-        "corpus_chunk_documents",
-        "vocab_oov_stats",
-        "dedup_neardup_select",
-        "stream_cdc_changelog",
-        "stream_cdc_mv",
-        "iceberg_changes_datasource",
-        # round-8 additions
-        "text_repetition_strict",
-        "stream_cdc_after_eq_migrate",
-        "iceberg_variant_read",
-        "iceberg_manifest_merge",
-        "iceberg_files_metadata",
-        "dedup_containment",
-        "text_char_diversity",
-        "corpus_shuffle_shard",
-        "iceberg_orphan_cleanup",
-        "iceberg_table_stats",
-        # round-9 additions
-        "iceberg_variant_shredded",
-        "stream_cdc_updates",
-        "text_c4_filter",
-        "text_bigram_stats",
-        "iceberg_snapshots_metadata",
-        "cdc_scd2_history",
-        "text_winnow_fingerprints",
-        "sim_semdedup",
-        "text_lm_filter",
-        "stream_scd2_history",
-        "text_paragraph_dedup",
-        # round-10 additions
-        "delta_dv_read",
-        "delta_dv_cdf",
-        "delta_column_mapping_read",
-        "delta_dv_delete_write",
-        "delta_optimize_roundtrip",
-        "delta_restore_read",
-        "delta_update_write",
-        "delta_merge_upsert",
-        "delta_link_export",
-        "sim_hard_negatives",
-        "sim_ivf_index_topk",
-        # round-11 additions
-        "delta_v2_checkpoint_read",
-        "delta_ict_timestamp_travel",
-        "delta_cm_nested_write",
-        "delta_link_import",
-        "delta_update_cdf",
-        "delta_row_ids",
-        "delta_type_widening",
-        "delta_variant_read",
-        # round-12 additions
-        "delta_zorder_optimize",
-        "delta_merge_matrix",
-        "iceberg_merge_matrix",
-        "delta_vacuum_execute",
-        # round-13 additions
-        "iceberg_merge_matrix_v3",
-        "iceberg_orc_roundtrip",
-    ]
 
     # Noise calibration (r8 verdict #6): a fixed query timed once per
     # repeat, ALL runs reported (not the min) — its spread is the

@@ -391,15 +391,35 @@ def minhash_dedup_pairs(
     three verify-stage consumers; it is materialized ONCE
     (localCheckpoint of narrow (id, 8-byte hash) rows — ~one shuffle
     write's worth of local disk at any scale), where the previous
-    shape re-ran the regex tokenizer + shingle explode up to 4×."""
+    shape re-ran the regex tokenizer + shingle explode up to 4×.
+    Materialization order matters: the RAW frame is checkpointed
+    BEFORE the stop-shingle anti-join (whose build side aggregates the
+    same frame — checkpointing after it ran the tokenizer twice), and
+    the per-doc signature aggregate carries the shingle count in the
+    same exchange, so verification's size lookup costs no extra pass
+    over the shingles."""
     # the SAME retained shingle set feeds signatures and verification,
     # so the verified jaccard is consistent with candidate generation
-    sh = drop_stop_shingles(
-        shingle_hash_rows(df, text_col, id_col, n), "h", max_doc_freq
+    sh = shingle_hash_rows(df, text_col, id_col, n).localCheckpoint(eager=True)
+    if max_doc_freq is not None:
+        # the anti-join reads the materialized raw frame twice (stop
+        # aggregate + probe); checkpointing its small result keeps the
+        # four downstream consumers from re-running it
+        sh = drop_stop_shingles(sh, "h", max_doc_freq).localCheckpoint(eager=True)
+    # ONE groupBy(id) exchange yields the 32 seed minima AND the
+    # retained-shingle count (previously a separate groupBy pass)
+    agg = sh.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_sh"),
+        *[
+            F.min(F.xxhash64(F.lit(k), F.col("h"))).alias(f"h{k}")
+            for k in range(num_hashes)
+        ],
     ).localCheckpoint(eager=True)
-    cands = band_entries_from_signatures(
-        signatures_from_hashes(sh, num_hashes), num_hashes, bands
+    sizes = agg.select("id", "n_sh")
+    sigs = agg.select(
+        "id", F.array(*[f"h{k}" for k in range(num_hashes)]).alias("sig")
     )
+    cands = band_entries_from_signatures(sigs, num_hashes, bands)
     a, b = cands.alias("a"), cands.alias("b")
     pairs = (
         a.join(
@@ -411,7 +431,9 @@ def minhash_dedup_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
-    return exact_jaccard_verify(sh, pairs, threshold, materialize_sh=False)
+    return exact_jaccard_verify(
+        sh, pairs, threshold, materialize_sh=False, sizes=sizes
+    )
 
 
 def exact_jaccard_verify(
@@ -419,6 +441,7 @@ def exact_jaccard_verify(
     cands: DataFrame,
     threshold: float,
     materialize_sh: bool = True,
+    sizes: DataFrame | None = None,
 ) -> DataFrame:
     """Exact-Jaccard verification of candidate pairs over hashed shingle
     ROWS: |A ∩ B| is a count of matching 8-byte hashes per pair — no
@@ -431,10 +454,14 @@ def exact_jaccard_verify(
     (localCheckpoint of narrow (id, hash) rows) so the upstream
     tokenize/shingle pipeline runs exactly once — callers that pass an
     already-materialized frame set ``materialize_sh=False``
-    (r13 optimization, guide §5)."""
+    (r13 optimization, guide §5). ``sizes`` optionally injects a
+    precomputed (id, n_sh) frame — callers that already aggregate per
+    doc (the MinHash signature fold) piggyback the count on that
+    exchange instead of paying a dedicated pass here."""
     if materialize_sh:
         sh = sh.localCheckpoint(eager=True)
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    if sizes is None:
+        sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     pair_sh = sh.join(cands, sh["id"] == cands["id_a"]).select("id_a", "id_b", "h")
     common = (
         pair_sh.join(
@@ -1166,22 +1193,29 @@ def neardup_groups(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
         sym.select(F.col("id_a").alias("id")).distinct().withColumn("rep", F.col("id"))
     )
     for _ in range(max_iter):
-        neighbor = (
+        # r13 (guide §2.4): one round = neighbor-min aggregate + a
+        # least() merge that records whether the label moved, so the
+        # convergence test is a filter-count over the round's OWN
+        # materialized frame — the previous shape paid a second
+        # shuffle join (new ⋈ old labels) per round just to count
+        # changes. Every id has >=1 edge (labels is built from sym),
+        # so the merge join is inner and nmin is never null.
+        nmin = (
             sym.join(labels, sym["id_b"] == labels["id"])
-            .select(F.col("id_a").alias("id"), "rep")
+            .groupBy(F.col("id_a").alias("id"))
+            .agg(F.min("rep").alias("_nmin"))
         )
         new = (
-            labels.unionByName(neighbor)
-            .groupBy("id")
-            .agg(F.min("rep").alias("rep"))
+            labels.join(nmin, "id")
+            .select(
+                "id",
+                F.least(F.col("rep"), F.col("_nmin")).alias("rep"),
+                (F.col("_nmin") < F.col("rep")).alias("_moved"),
+            )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new.join(labels.withColumnRenamed("rep", "_old"), "id")
-            .filter(F.col("rep") < F.col("_old"))
-            .count()
-        )
-        labels = new
+        changed = new.filter(F.col("_moved")).count()
+        labels = new.select("id", "rep")
         if changed == 0:
             break
     else:
@@ -1204,7 +1238,8 @@ def repeated_ngram_spans(
     text_col: str = "text",
     id_col: str = "doc_id",
     min_docs: int = 2,
-) -> DataFrame:
+    with_totals: bool = False,
+):
     """Exact-substring contamination at n-gram granularity (the
     Spark-first shape of Lee et al.'s suffix-array substring dedup):
     flag every token position whose n-gram also occurs in at least
@@ -1217,20 +1252,43 @@ def repeated_ngram_spans(
     and the distinct-doc count is a partial-aggregated groupBy, so the
     plan is two narrow shuffles regardless of corpus size.
 
+    r13 (guide §1.2 "don't compute things twice"): the exploded gram
+    frame feeds TWO subtrees (the hot-hash aggregate and the probe side
+    of the semi-join), so it is materialized once via localCheckpoint —
+    narrow (id, pos, hash) longs, ~the same bytes a shuffle of it would
+    write — where the previous shape re-ran the regex tokenizer and the
+    n-gram explode per consumer.
+
     Returns (id, pos, gram_hash) for every flagged position; callers
-    aggregate (span-merging is a per-doc window over pos).
+    aggregate (span-merging is a per-doc window over pos). With
+    ``with_totals=True`` also returns a per-doc total-gram-count frame
+    (id, n_grams) derived from the SAME materialized explode — callers
+    that need totals (dedup_substring_spans) previously paid a third
+    full tokenization for them.
     """
-    grams = df.select(
-        F.col(id_col),
-        F.posexplode(word_ngrams(F.col(text_col), n)).alias("pos", "gram"),
-    ).select(id_col, "pos", F.xxhash64("gram").alias("gram_hash"))
+    grams = (
+        df.select(
+            F.col(id_col),
+            F.posexplode(word_ngrams(F.col(text_col), n)).alias("pos", "gram"),
+        )
+        .select(id_col, "pos", F.xxhash64("gram").alias("gram_hash"))
+        .localCheckpoint(eager=True)
+    )
     hot = (
         grams.groupBy("gram_hash")
         .agg(F.count_distinct(F.col(id_col)).alias("nd"))
         .filter(F.col("nd") >= min_docs)
         .select("gram_hash")
     )
-    return grams.join(hot, "gram_hash", "left_semi").select(id_col, "pos", "gram_hash")
+    flagged = grams.join(hot, "gram_hash", "left_semi").select(
+        id_col, "pos", "gram_hash"
+    )
+    if with_totals:
+        totals = grams.groupBy(id_col).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_grams")
+        )
+        return flagged, totals
+    return flagged
 
 
 def source_overlap(

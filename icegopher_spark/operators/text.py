@@ -1025,47 +1025,45 @@ def top_ngram_stats(
     MassiveText thresholds — integer-exact (100 × top_chars <= pct ×
     non-ws chars).
 
-    Shape: one explode per n → (doc, gram) count → per-doc top-1 via
-    max_by over a (cnt, inverted-gram) ordering... implemented as a
-    row_number window partitioned BY DOCUMENT, so parallelism is
-    per-doc (millions of partitions at corpus scale — no global sort,
-    no skew beyond the longest single document)."""
-    from pyspark.sql import Window
-
+    Shape (r13, guide §2.3/§2.4): ONE scan — the three gram arrays
+    (each its own bind1-protected tokenizer run; sharing the token
+    array through a projected column re-inlines the tokenizer per
+    element, measured 15× slower at r7) are tagged with their n and
+    exploded together — then one (doc, n, gram) count exchange and one
+    (doc, n) min_by top-1 exchange. The previous shape ran 3 scans,
+    3 count exchanges, 3 row_number window sorts and a union; min_by
+    additionally partial-aggregates map-side (each map task collapses
+    to one candidate row per (doc, n) before the exchange), where a
+    window must shuffle every distinct gram row and sort it."""
     from .dedup import word_ngrams
 
     t = F.col(text_col)
-    # Three word_ngrams calls = three tokenizer runs, each bind1-
-    # protected. DO NOT "share" the token array through a projected
-    # column instead: CollapseProject inlines the projection into every
-    # element_at reference inside the gram lambdas (HOFs have no CSE),
-    # re-running the tokenizer per element — measured 15× slower than
-    # the three protected runs (r7 bench: 1.7 s -> 25.8 s at sf0.1).
-    base = df.select(
+    def _tag(n: int):
+        # single-parameter lambda: a second parameter would make
+        # F.transform pass the ELEMENT INDEX as its value
+        return lambda g: F.struct(F.lit(n).cast("int").alias("n"), g.alias("gram"))
+
+    tagged = F.concat(
+        *[F.transform(word_ngrams(t, n), _tag(n)) for n in TOP_NGRAM_MAX_PCT]
+    )
+    g = df.select(
         F.col(id_col),
         F.length(F.regexp_replace(t, r"\s", "")).cast("bigint").alias("n_word_chars"),
-        *[word_ngrams(t, n).alias(f"_g{n}") for n in TOP_NGRAM_MAX_PCT],
+        F.explode(tagged).alias("p"),
+    ).select(id_col, "n_word_chars", F.col("p.n").alias("n"), F.col("p.gram").alias("gram"))
+    counted = g.groupBy(id_col, "n_word_chars", "n", "gram").agg(
+        F.count(F.lit(1)).alias("cnt")
     )
-    parts = []
-    for n in TOP_NGRAM_MAX_PCT:
-        g = base.select(
-            id_col,
-            "n_word_chars",
-            F.lit(n).cast("int").alias("n"),
-            F.explode(f"_g{n}").alias("gram"),
-        )
-        counted = g.groupBy(id_col, "n_word_chars", "n", "gram").agg(
-            F.count(F.lit(1)).alias("cnt")
-        )
-        w = Window.partitionBy(id_col, "n").orderBy(F.desc("cnt"), F.asc("gram"))
-        parts.append(
-            counted.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .drop("_rn")
-        )
-    top = parts[0]
-    for p in parts[1:]:
-        top = top.unionByName(p)
+    # top-1 by (cnt desc, gram asc) == min_by over the (-cnt, gram)
+    # ordering struct; gram is unique per group so the pick is
+    # deterministic, and the chosen gram's cnt IS max(cnt)
+    top = counted.groupBy(id_col, "n_word_chars", "n").agg(
+        F.min_by(
+            F.col("gram"),
+            F.struct((-F.col("cnt")).alias("_a"), F.col("gram").alias("_b")),
+        ).alias("gram"),
+        F.max("cnt").alias("cnt"),
+    )
     top = top.withColumn(
         "top_chars", (F.col("cnt") * F.length("gram")).cast("bigint")
     )

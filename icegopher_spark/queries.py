@@ -2139,16 +2139,14 @@ def dedup_substring_spans_q(spark: SparkSession, sf: str) -> DataFrame:
     only (hash, doc, pos) longs shuffle; text never leaves its scan
     (operators/dedup.py:repeated_ngram_spans)."""
     docs = load(spark, sf, "documents")
-    spans = dedup.repeated_ngram_spans(docs, n=5)
+    # r13: totals come from the SAME materialized gram explode as the
+    # flagged positions (a doc with >=1 flagged gram has n_grams =
+    # count of its explode rows) — the previous shape re-tokenized the
+    # whole corpus a third time just to size each doc
+    spans, totals = dedup.repeated_ngram_spans(docs, n=5, with_totals=True)
     per_doc = spans.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_flagged"),
         F.min("pos").cast("bigint").alias("first_pos"),
-    )
-    totals = docs.select(
-        "doc_id",
-        F.greatest(
-            F.size(dedup.word_ngrams(F.col("text"), 5)), F.lit(0)
-        ).cast("bigint").alias("n_grams"),
     )
     return per_doc.join(totals, "doc_id").select(
         "doc_id", "n_flagged", "first_pos", "n_grams"

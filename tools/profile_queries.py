@@ -68,10 +68,13 @@ def profile(spark, names: list[str], sf_dir: str, repeat: int = 1) -> dict:
 def main() -> None:
     import os
 
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
     repeat = 1
-    if "--repeat" in sys.argv:
-        repeat = int(sys.argv[sys.argv.index("--repeat") + 1])
+    argv = sys.argv[1:]
+    if "--repeat" in argv:
+        i = argv.index("--repeat")
+        repeat = int(argv[i + 1])
+        argv = argv[:i] + argv[i + 2 :]
+    args = [a for a in argv if not a.startswith("--")]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("profile")
     if args:
