@@ -46,6 +46,21 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
 
 
+def cosine_hoisted(a: Column, b: Column, na: Column, nb: Column) -> Column:
+    """``cosine`` with both norms precomputed in upstream projections.
+
+    The higher-order-function folds (``aggregate``/``zip_with``/
+    ``transform``) are CodegenFallback — interpreted per row — so a
+    pair join that calls ``cosine`` pays THREE interpreted folds per
+    candidate pair. Hoisting ``l2_norm`` to the per-vector side of the
+    join (guide §2.3 "project before the exchange" / §1.2 per-task
+    work) evaluates each norm once per VECTOR instead of once per
+    PAIR, leaving one dot fold per pair. Bit-identical: ``l2_norm`` is
+    a pure function of the vector, and the divide/multiply tree is
+    unchanged (``dot / (na * nb)`` with the same operand order)."""
+    return dot(a, b) / (na * nb)
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -62,15 +77,26 @@ def brute_force_topk(
     """
     from pyspark.sql import Window
 
-    q = queries.select(F.col(query_id_col), F.col(vec_col).alias("_qvec"))
+    q = queries.select(
+        F.col(query_id_col),
+        F.col(vec_col).alias("_qvec"),
+        l2_norm(F.col(vec_col)).alias("_qn"),
+    )
     scored = (
-        corpus.select(F.col(id_col), F.col(vec_col))
+        # norms hoisted below the join: |corpus| + |queries| interpreted
+        # folds instead of 2·|corpus|·|queries| (cosine_hoisted)
+        corpus.select(F.col(id_col), F.col(vec_col), l2_norm(F.col(vec_col)).alias("_cn"))
         .crossJoin(F.broadcast(q))
         .filter(F.col(id_col) != F.col(query_id_col))
         .select(
             query_id_col,
             id_col,
-            F.round(cosine(F.col(vec_col), F.col("_qvec")), 6).alias("cosine_sim"),
+            F.round(
+                cosine_hoisted(
+                    F.col(vec_col), F.col("_qvec"), F.col("_cn"), F.col("_qn")
+                ),
+                6,
+            ).alias("cosine_sim"),
         )
     )
     w = Window.partitionBy(query_id_col).orderBy(
@@ -91,11 +117,25 @@ def neardup_pairs_exact(
 ) -> DataFrame:
     """All pairs (id_a < id_b) with cosine ≥ threshold — exact O(n²)
     baseline; use lsh_topk for the scale path."""
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    a = df.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("va"),
+        l2_norm(F.col(vec_col)).alias("_na"),
+    )
+    b = df.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vb"),
+        l2_norm(F.col(vec_col)).alias("_nb"),
+    )
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cosine_sim"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                cosine_hoisted(F.col("va"), F.col("vb"), F.col("_na"), F.col("_nb")), 6
+            ).alias("cosine_sim"),
+        )
         .filter(F.col("cosine_sim") >= threshold)
     )
 
@@ -135,13 +175,25 @@ def lsh_neardup_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
-    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    va = df.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("va"),
+        l2_norm(F.col(vec_col)).alias("_na"),
+    )
+    vb = df.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vb"),
+        l2_norm(F.col(vec_col)).alias("_nb"),
+    )
     return (
         cands.join(va, "id_a")
         .join(vb, "id_b")
         .select(
-            "id_a", "id_b", F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cosine_sim")
+            "id_a",
+            "id_b",
+            F.round(
+                cosine_hoisted(F.col("va"), F.col("vb"), F.col("_na"), F.col("_nb")), 6
+            ).alias("cosine_sim"),
         )
         .filter(F.col("cosine_sim") >= threshold)
     )
@@ -292,11 +344,13 @@ def ivf_topk(
     c = corpus.select(
         F.col(id_col),
         F.col(vec_col),
+        l2_norm(F.col(vec_col)).alias("_cn"),
         F.element_at(nearest_cells_arrow(F.col(vec_col), centroids, 1), 1).alias("cell"),
     )
     q = queries.select(
         F.col(query_id_col),
         F.col(vec_col).alias("_qvec"),
+        l2_norm(F.col(vec_col)).alias("_qn"),
         F.explode(nearest_cells_arrow(F.col(vec_col), centroids, n_probe)).alias("cell"),
     )
     scored = (
@@ -305,7 +359,12 @@ def ivf_topk(
         .select(
             query_id_col,
             id_col,
-            F.round(cosine(F.col(vec_col), F.col("_qvec")), 6).alias("cosine_sim"),
+            F.round(
+                cosine_hoisted(
+                    F.col(vec_col), F.col("_qvec"), F.col("_cn"), F.col("_qn")
+                ),
+                6,
+            ).alias("cosine_sim"),
         )
     )
     w = Window.partitionBy(query_id_col).orderBy(F.col("cosine_sim").desc(), F.col(id_col).asc())
@@ -456,6 +515,7 @@ def lsh_topk(
     c = corpus.select(
         F.col(id_col),
         F.col(vec_col),
+        l2_norm(F.col(vec_col)).alias("_cn"),
         F.posexplode(band_key_arrays(vec_col, planes, bits_per_table)).alias(
             "band", "key"
         ),
@@ -463,6 +523,7 @@ def lsh_topk(
     q = queries.select(
         F.col(query_id_col),
         F.col(vec_col).alias("_qvec"),
+        l2_norm(F.col(vec_col)).alias("_qn"),
         F.posexplode(band_key_arrays(vec_col, planes, bits_per_table)).alias(
             "band", "key"
         ),
@@ -473,7 +534,12 @@ def lsh_topk(
         .select(
             query_id_col,
             id_col,
-            F.round(cosine(F.col(vec_col), F.col("_qvec")), 6).alias("cosine_sim"),
+            F.round(
+                cosine_hoisted(
+                    F.col(vec_col), F.col("_qvec"), F.col("_cn"), F.col("_qn")
+                ),
+                6,
+            ).alias("cosine_sim"),
         )
         .distinct()  # a pair may collide in several tables
     )
@@ -643,6 +709,10 @@ def semdedup(
     assigned = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
+        # norm computed once per VECTOR (and persisted with the
+        # assignment) instead of twice per within-cluster PAIR in the
+        # quadratic join below (cosine_hoisted)
+        l2_norm(F.col(vec_col)).alias("nv"),
         F.element_at(nearest_cells_arrow(F.col(vec_col), cents, 1), 1).alias("cluster"),
     )
     # the assigned frame feeds FOUR consumers (pair join both sides,
@@ -656,12 +726,27 @@ def semdedup(
     if prev is not None:
         prev.unpersist()
     _SEMDEDUP_ASSIGN_CACHE.append(assigned)
-    a = assigned.select(F.col("cluster"), F.col("id").alias("id_a"), F.col("v").alias("va"))
-    b = assigned.select(F.col("cluster"), F.col("id").alias("id_b"), F.col("v").alias("vb"))
+    a = assigned.select(
+        F.col("cluster"),
+        F.col("id").alias("id_a"),
+        F.col("v").alias("va"),
+        F.col("nv").alias("_na"),
+    )
+    b = assigned.select(
+        F.col("cluster"),
+        F.col("id").alias("id_b"),
+        F.col("v").alias("vb"),
+        F.col("nv").alias("_nb"),
+    )
     dup_pairs = (
         a.join(b, ["cluster"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .filter(F.round(cosine(F.col("va"), F.col("vb")), 6) >= threshold)
+        .filter(
+            F.round(
+                cosine_hoisted(F.col("va"), F.col("vb"), F.col("_na"), F.col("_nb")), 6
+            )
+            >= threshold
+        )
         .select("cluster", "id_b")
         .distinct()
     )
@@ -821,6 +906,7 @@ def ivf_index_search(
     q = queries.select(
         F.col(query_id_col),
         F.col(vec_col).alias("_qvec"),
+        l2_norm(F.col(vec_col)).alias("_qn"),
         F.explode(nearest_cells_arrow(F.col(vec_col), centroids, n_probe)).alias("cell"),
     )
     # one evaluation of the query-side Arrow UDF plan: the collect
@@ -835,12 +921,20 @@ def ivf_index_search(
     scan = table.scan(row_filter=E.is_in("cell", *probe_cells))
     corpus = scan.to_df(spark)
     scored = (
-        corpus.join(F.broadcast(q), "cell")
+        # corpus norm hoisted below the broadcast join: once per stored
+        # vector, not once per (vector, matching query) pair
+        corpus.withColumn("_cn", l2_norm(F.col(vec_col)))
+        .join(F.broadcast(q), "cell")
         .filter(F.col(id_col) != F.col(query_id_col))
         .select(
             query_id_col,
             id_col,
-            F.round(cosine(F.col(vec_col), F.col("_qvec")), 6).alias("cosine_sim"),
+            F.round(
+                cosine_hoisted(
+                    F.col(vec_col), F.col("_qvec"), F.col("_cn"), F.col("_qn")
+                ),
+                6,
+            ).alias("cosine_sim"),
         )
     )
     w = Window.partitionBy(query_id_col).orderBy(F.col("cosine_sim").desc(), F.col(id_col).asc())
@@ -937,8 +1031,14 @@ def hard_negatives(
         F.col(query_id_col),
         F.col(label_col).alias("_qlabel"),
         F.col(vec_col).alias("_qvec"),
+        l2_norm(F.col(vec_col)).alias("_qn"),
     )
-    c = corpus.select(F.col(id_col), F.col(label_col), F.col(vec_col))
+    c = corpus.select(
+        F.col(id_col),
+        F.col(label_col),
+        F.col(vec_col),
+        l2_norm(F.col(vec_col)).alias("_cn"),
+    )
     if method == "broadcast":
         cand = c.crossJoin(F.broadcast(q))
     elif method == "ivf":
@@ -964,7 +1064,10 @@ def hard_negatives(
         query_id_col,
         id_col,
         F.col(label_col).alias("negative_label"),
-        F.round(cosine(F.col(vec_col), F.col("_qvec")), 6).alias("cosine_sim"),
+        F.round(
+            cosine_hoisted(F.col(vec_col), F.col("_qvec"), F.col("_cn"), F.col("_qn")),
+            6,
+        ).alias("cosine_sim"),
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("cosine_sim").desc(), F.col(id_col).asc()

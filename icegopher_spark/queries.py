@@ -475,12 +475,22 @@ def q18(spark: SparkSession, sf: str) -> DataFrame:
     c = load(spark, sf, "customer")
     o = load(spark, sf, "orders")
     li = load(spark, sf, "lineitem")
-    return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(c, o.o_custkey == c.c_custkey)
-        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+    # Aggregate BEFORE the joins (guide §2.3): the per-order quantity
+    # sum needs only (l_orderkey, l_quantity) — grouping the joined
+    # 16-column rows by five keys (two of them strings) shuffled the
+    # whole fact + dimension payload, where o_orderkey alone determines
+    # every other group key (unique in orders; customer attrs are
+    # functionally dependent through o_custkey). The >150 filter then
+    # prunes to a handful of orders before any dimension join runs.
+    # Decimal sums are order-independent, so the regrouping is exact.
+    sq = (
+        li.groupBy(F.col("l_orderkey").alias("o_orderkey"))
         .agg(F.sum(dec("l_quantity")).alias("_sq"))
         .filter(F.col("_sq") > 150)
+    )
+    return (
+        sq.join(o, "o_orderkey")
+        .join(c, o.o_custkey == c.c_custkey)
         .select(
             "c_name",
             "c_custkey",

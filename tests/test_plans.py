@@ -660,3 +660,27 @@ def test_orc_stats_pass_is_single_jvm_aggregation(spark, tmp_path):
     assert plan.lower().count("exchange") <= 2  # partial+final agg pair
     assert "Python" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_cosine_norms_hoisted_below_pair_joins(spark, queries):
+    """r13 optimization: the per-pair cosine expression must contain
+    ONLY the dot fold — both l2 norms are hoisted into per-vector
+    projections below the join (once per vector, not per pair). The
+    norm fold is recognizable as aggregate(transform(...)); it must
+    never appear in the same Project as the pair dot fold
+    aggregate(zip_with(...))."""
+    for name in ("sim_topk_bruteforce", "sim_semdedup", "sim_lsh_topk"):
+        plan = plan_of(queries[name].fn(spark, SF))
+        for line in plan.splitlines():
+            if "aggregate(zip_with" in line:
+                assert "aggregate(transform" not in line, (name, line[:200])
+
+
+def test_salted_join_is_shuffled_hash(spark, queries):
+    """The salted join must hash-partition both sides on (key, salt) —
+    a broadcast of the exploded right side rebuilds a num_salts-times
+    larger hash relation single-threaded and never spreads the hot
+    key (the entire point of salting)."""
+    plan = plan_of(queries["salted_join_revenue"].fn(spark, SF))
+    assert "ShuffledHashJoin" in plan
+    assert "BroadcastHashJoin" not in plan
