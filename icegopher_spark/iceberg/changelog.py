@@ -626,6 +626,18 @@ def pair_updates(df: DataFrame, identifier_fields: list[str]) -> DataFrame:
     io_df = df.filter(F.col(CHANGE_TYPE).isin("delete", "insert"))
     others = df.filter(~F.col(CHANGE_TYPE).isin("delete", "insert"))
 
+    # ONE exchange for the whole operator (r13 batch 4, guide §2.4):
+    # hash-partitioning on (commit, identifier) satisfies — by the
+    # subset-clustering rule (SPARK-35703) — the stage-1 groupBy over
+    # (commit, ALL data cols), the stage-2 rank window on
+    # (commit, ids, change_type) AND the pairing aggregate on
+    # (commit, ids, _rk). The previous shape paid a second exchange
+    # whose map side also hashed every (string-heavy) data column per
+    # row; now the one shuffle hashes three narrow keys and every
+    # later operator is exchange-free. Identifier fields are the
+    # natural spread key (they are near-unique per commit).
+    io_df = io_df.repartition(COMMIT_SNAPSHOT, *ids)
+
     # stage 1: balanced-count carryover removal over FULL row values
     cnts = io_df.groupBy(COMMIT_SNAPSHOT, *data_cols).agg(
         F.count(F.when(F.col(CHANGE_TYPE) == "delete", 1)).alias("_nd"),
@@ -662,9 +674,11 @@ def pair_updates(df: DataFrame, identifier_fields: list[str]) -> DataFrame:
         F.array_repeat(F.lit("delete"), F.col("_nd").cast("int")),
         F.array_repeat(F.lit("insert"), F.col("_ni").cast("int")),
     )
+    # no repartition: the explode/select preserve the single upstream
+    # (commit, ids) hash partitioning established above
     exp = surv.select(
         COMMIT_SNAPSHOT, *data_cols, F.explode(sides).alias(CHANGE_TYPE)
-    ).repartition(COMMIT_SNAPSHOT, *ids)
+    )
     w = Window.partitionBy(COMMIT_SNAPSHOT, *ids, CHANGE_TYPE).orderBy(*order_cols)
     val = F.struct(*[F.col(c) for c in rest]) if rest else F.lit(1)
     ranked = exp.withColumn("_rk", F.row_number().over(w))

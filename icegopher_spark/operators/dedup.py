@@ -313,8 +313,18 @@ def minhash_signatures_df(
     primitive exprs; no higher-order functions in the hot path). The
     only shuffle moves (id, 8-byte shingle hash) pairs — at 100 TB that
     is a few percent of corpus size, and partial aggregation collapses
-    most of it map-side."""
-    sh = drop_stop_shingles(shingle_hash_rows(df, text_col, id_col, n), "h", max_doc_freq)
+    most of it map-side.
+
+    r13: the raw shingle frame is materialized once — the stop-shingle
+    anti-join consumes it through TWO subtrees (doc-frequency
+    aggregate + probe), so the regex tokenizer + shingle explode
+    previously ran twice per call (measured 1.78 s → 1.3 s for the
+    incremental probe's new-batch entries at sf0.1, guide §1.2)."""
+    sh = shingle_hash_rows(df, text_col, id_col, n)
+    if max_doc_freq is not None:
+        sh = drop_stop_shingles(
+            sh.localCheckpoint(eager=True), "h", max_doc_freq
+        )
     return signatures_from_hashes(sh, num_hashes)
 
 

@@ -256,11 +256,30 @@ def redact_pii(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") ->
     )
 
 
+def doc_word_counts(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, w, m) word multiplicities per document — the shared
+    tokenize-once frame (r13): the BPE learner's global vocabulary is
+    its (w, sum m) rollup and the encoder's per-doc fan-out is an
+    equi-join against it, so a learn-then-encode pipeline tokenizes
+    the corpus exactly once instead of three times."""
+    return (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(tokens(F.lower(F.col(text_col)))).alias("w"),
+        )
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("m"))
+    )
+
+
 def _bounded_vocab(
     docs: DataFrame,
     text_col: str,
     min_count: int,
     max_vocab: int | None,
+    word_counts: DataFrame | None = None,
 ) -> DataFrame:
     """(word, cnt) vocabulary with an EXPLICIT driver bound: words below
     ``min_count`` are dropped executor-side, and ``max_vocab`` keeps only
@@ -268,12 +287,20 @@ def _bounded_vocab(
     TakeOrderedAndProject (per-partition top-K, K-row merge), so the
     driver never holds more than ``max_vocab`` rows no matter how
     heavy-tailed the corpus (URLs/typos in 100 TB multilingual web text
-    produce hundreds of millions of distinct tokens)."""
-    words = (
-        docs.select(F.explode(tokens(F.lower(F.col(text_col)))).alias("w"))
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
+    produce hundreds of millions of distinct tokens).
+
+    ``word_counts`` optionally injects a precomputed ``doc_word_counts``
+    frame; the global count is then its exact integer rollup."""
+    if word_counts is not None:
+        words = word_counts.groupBy("w").agg(
+            F.sum("m").cast("bigint").alias("cnt")
+        )
+    else:
+        words = (
+            docs.select(F.explode(tokens(F.lower(F.col(text_col)))).alias("w"))
+            .groupBy("w")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
     if min_count > 1:
         words = words.filter(F.col("cnt") >= min_count)
     if max_vocab is not None:
@@ -287,6 +314,7 @@ def bpe_merges(
     text_col: str = "text",
     min_count: int = 2,
     max_vocab: int | None = 1_000_000,
+    word_counts: DataFrame | None = None,
 ) -> DataFrame:
     """First ``n_merges`` byte-pair-encoding merge rules over the
     whitespace-tokenized, lowercased corpus (the vocabulary-induction
@@ -326,7 +354,7 @@ def bpe_merges(
     from collections import Counter, defaultdict
 
     spark = docs.sparkSession
-    words = _bounded_vocab(docs, text_col, min_count, max_vocab)
+    words = _bounded_vocab(docs, text_col, min_count, max_vocab, word_counts)
     vocab = [(r["w"], int(r["cnt"])) for r in words.collect()]
     syms: list[list[str]] = [list(w) for w, _ in vocab]
     cnts = [c for _, c in vocab]
@@ -665,17 +693,21 @@ def bigram_stats(
     bg = df.select(F.col(id_col).alias("doc_id"), F.explode(pairs).alias("p")).select(
         "doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
     )
-    # collapse to per-doc pair MULTIPLICITY first: the corpus counts
-    # derive from it (c12 = Σm over docs, c1 = Σc12 over w2), so the
-    # raw token explode is scanned once per consumer of `dbg` — two
-    # identical groupBy exchanges AQE can reuse — instead of three
-    # independent re-tokenizations of the whole corpus, and every join
-    # side shrinks from O(tokens) to O(distinct doc-pairs)
+    # ONE token-scale exchange for the whole operator (r13 batch 4,
+    # guide §2.4): hash-partitioning the raw explode on (w1, w2) lets
+    # — by the subset-clustering rule — the per-doc multiplicity
+    # aggregate (doc, w1, w2), the corpus pair count (w1, w2) AND the
+    # dbg ⋈ cc equi-join all run exchange-free on top of it. The
+    # previous shape partitioned dbg by its own grouping key, so cc's
+    # aggregate and BOTH join sides each paid another exchange of
+    # pair-scale rows. c1 still shuffles (distinct-pair scale, tiny)
+    # and the final per-doc rollup shuffles doc-scale rows.
+    bg = bg.repartition("w1", "w2")
     dbg = bg.groupBy("doc_id", "w1", "w2").agg(F.count(F.lit(1)).alias("m"))
-    # the three consumers need different partitionings, so exchange
-    # reuse can't kick in — persist the collapsed frame (narrow
-    # (doc, pair, m) rows, far smaller than the raw token explode it
-    # replaces re-running; one-slot registry bounds residency)
+    # persisted because the (w1, w2)-partitioned frame feeds the pair
+    # count AND the join probe (narrow (doc, pair, m) rows; one-slot
+    # registry bounds residency) — the cache preserves the shared
+    # partitioning, so downstream stays exchange-free
     dbg = dbg.persist()
     prev = _BIGRAM_DBG_CACHE.pop() if _BIGRAM_DBG_CACHE else None
     if prev is not None:
@@ -1096,6 +1128,7 @@ def bpe_encode_counts(
     rules: list[tuple[str, str]],
     text_col: str = "text",
     id_col: str = "doc_id",
+    word_counts: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document BPE token count after applying ``rules`` (learned
     by ``bpe_merges``; applied sequentially by rank, each greedy
@@ -1108,11 +1141,18 @@ def bpe_encode_counts(
     codegen, no Python. One equi-join fans the per-word counts back
     out, one groupBy sums per doc. For tokenizer-scale rule sets
     (30k+, where a 30k-deep expression chain won't compile) use
-    ``bpe_encode_counts_arrow``."""
+    ``bpe_encode_counts_arrow``.
+
+    ``word_counts`` optionally injects a precomputed ``doc_word_counts``
+    frame (r13): the encoder then never touches the raw text — the
+    per-doc total is Σ m·ntok over multiplicities, exactly equal to
+    the per-instance sum — and the join side shrinks from O(tokens)
+    to O(distinct doc-words)."""
     spark = docs.sparkSession
-    words = docs.select(
-        F.col(id_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("w")
-    )
+    if word_counts is None:
+        word_counts = doc_word_counts(docs, text_col, id_col).withColumnRenamed(
+            "doc_id", id_col
+        )
     s = _spaced(F.col("w"))
     for left, right in rules:
         s = F.replace(
@@ -1121,14 +1161,14 @@ def bpe_encode_counts(
             F.lit(f" {left}{right} "),
         )
     enc = (
-        words.select("w")
+        word_counts.select("w")
         .distinct()
         .select("w", F.size(F.split(F.trim(s), "  ")).cast("bigint").alias("ntok"))
     )
     return (
-        words.join(enc, "w")
+        word_counts.join(enc, "w")
         .groupBy(id_col)
-        .agg(F.sum("ntok").alias("n_bpe_tokens"))
+        .agg(F.sum(F.col("m") * F.col("ntok")).alias("n_bpe_tokens"))
     )
 
 

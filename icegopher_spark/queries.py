@@ -2932,15 +2932,22 @@ def bpe_encode_q(spark: SparkSession, sf: str) -> DataFrame:
     distinct words encoded once through a codegen replace chain, fanned
     back per doc by an equi-join (operators/text.py:bpe_encode_counts;
     the 30k-rule scale path is bpe_encode_counts_arrow, differentially
-    tested)."""
+    tested). r13: learner and encoder share ONE materialized
+    (doc, word, multiplicity) frame, so the corpus is tokenized once
+    instead of three times (guide §1.2); the learner's vocabulary is
+    its exact integer rollup and the encoder's per-doc total is
+    Σ m·ntok — both provably identical to the per-instance shape."""
     from .operators import text as T
 
     docs = load(spark, sf, "documents")
+    dw = T.doc_word_counts(docs).localCheckpoint(eager=True)
     rules = [
         (r["left_sym"], r["right_sym"])
-        for r in T.bpe_merges(docs, n_merges=6).orderBy("rank").collect()
+        for r in T.bpe_merges(docs, n_merges=6, word_counts=dw)
+        .orderBy("rank")
+        .collect()
     ]
-    return T.bpe_encode_counts(docs, rules)
+    return T.bpe_encode_counts(docs, rules, word_counts=dw)
 
 
 source_overlap_oracle = """
