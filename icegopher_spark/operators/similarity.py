@@ -255,10 +255,19 @@ def _kmeans_centroids(
     train_df = corpus.select(F.col(vec_col).cast("array<double>").alias("v")).where(
         F.col("v").isNotNull()
     )
-    n = train_df.count()
-    if n == 0:
+    # Under-cap probe (r13, guide §5 "the driver should do almost no
+    # data work" — but also no REDUNDANT jobs): a corpus at or under
+    # the cap needs no count and no hash filter — limit(cap+1) detects
+    # overflow while collecting the (complete) sample in one early-
+    # terminating job. The sample is sorted below, so the collected
+    # order is irrelevant and the centroids are bit-identical to the
+    # count-first path. Over-cap corpora fall back to the exact
+    # count + content-hash keep filter unchanged.
+    probe = train_df.limit(sample_cap + 1).collect()
+    if len(probe) == 0:
         raise ValueError("cannot train IVF centroids: corpus has no non-null vectors")
-    if n > sample_cap:
+    if len(probe) > sample_cap:
+        n = train_df.count()
         # wide modulus: at mod=1e6 the keep fraction floored at 1/mod,
         # so corpora past mod*cap rows collected n/1e6 rows (driver OOM
         # at the documented 100 TB posture — r8 review wave 5)
@@ -267,7 +276,8 @@ def _kmeans_centroids(
         train_df = train_df.where(
             F.pmod(F.xxhash64(F.col("v"), F.lit(seed)), F.lit(mod)) < F.lit(keep)
         )
-    sample = sorted(tuple(r["v"]) for r in train_df.collect())
+        probe = train_df.collect()
+    sample = sorted(tuple(r["v"]) for r in probe)
     if len(sample) > 2 * sample_cap:
         # deterministic stride slice as the final backstop: the hash
         # filter's keep floor (1/mod) can still overshoot on extreme

@@ -246,3 +246,17 @@ def test_semdedup_prices_table_backed_corpus_without_count(spark, corpus):
     df.count = boom
     out = S.semdedup(df, threshold=0.99)
     assert {"id", "cluster", "keep"} <= set(out.columns)
+
+
+def test_centroids_undercap_probe_matches_overcap_semantics(spark, corpus):
+    """r13: the under-cap path collects via limit(cap+1) with no count
+    job; because the probe only truncates when the corpus exceeds the
+    cap, the under-cap sample is the complete set and centroids stay
+    invariant to partitioning and to the cap as long as n <= cap."""
+    a = S._kmeans_centroids(
+        corpus.repartition(1), "embedding", 4, seed=42, sample_cap=1_000_000
+    )
+    b = S._kmeans_centroids(
+        corpus.repartition(13), "embedding", 4, seed=42, sample_cap=2_000_000
+    )
+    assert a == b
