@@ -587,7 +587,9 @@ def _changelog_df_impl(
     return out if out is not None else empty
 
 
-def pair_updates(df: DataFrame, identifier_fields: list[str]) -> DataFrame:
+def pair_updates(
+    df: DataFrame, identifier_fields: list[str], io_only: bool = False
+) -> DataFrame:
     """Pair same-commit delete+insert rows into UPDATE pre/post images
     keyed on ``identifier_fields`` (upstream Iceberg's
     ``changelog.identifier-fields`` view; r8 verdict #7).
@@ -611,6 +613,18 @@ def pair_updates(df: DataFrame, identifier_fields: list[str]) -> DataFrame:
     micro-batches). The batch changelog's output pairs identically.
     Change types other than insert/delete pass through untouched.
 
+    ``io_only=True`` (r13 optimization, guide §1.2/§5): the caller
+    asserts ``df`` holds ONLY insert/delete rows — true by construction
+    for both CDC faces (the stream kernel and ``changelog_df`` tag
+    nothing else) — so the passthrough subtree and its final union are
+    skipped and the operator consumes its input through EXACTLY ONE
+    chain. That single-consumer shape is what lets those callers drop
+    the ``localCheckpoint`` they otherwise need to stop the
+    (expensive: Python CDC source scan / full changelog lineage) input
+    from executing once per subtree. Rows of any other change type
+    would be silently dropped under this flag — never set it for
+    changelogs that may carry pre-paired update_* rows.
+
     Limitation: carryover removal groups by FULL row values, so map
     columns (not groupable in Spark) are unsupported — drop or
     serialize them first.
@@ -623,8 +637,11 @@ def pair_updates(df: DataFrame, identifier_fields: list[str]) -> DataFrame:
         raise ValueError(f"identifier fields not in the changelog: {unknown}")
     rest = [c for c in data_cols if c not in ids]
 
-    io_df = df.filter(F.col(CHANGE_TYPE).isin("delete", "insert"))
-    others = df.filter(~F.col(CHANGE_TYPE).isin("delete", "insert"))
+    if io_only:
+        io_df, others = df, None
+    else:
+        io_df = df.filter(F.col(CHANGE_TYPE).isin("delete", "insert"))
+        others = df.filter(~F.col(CHANGE_TYPE).isin("delete", "insert"))
 
     # ONE exchange for the whole operator (r13 batch 4, guide §2.4):
     # hash-partitioning on (commit, identifier) satisfies — by the
@@ -716,6 +733,8 @@ def pair_updates(df: DataFrame, identifier_fields: list[str]) -> DataFrame:
         F.col(COMMIT_SNAPSHOT),
     )
 
+    if others is None:
+        return paired.select(*out_order)
     return others.select(*out_order).unionByName(paired.select(*out_order))
 
 
@@ -735,6 +754,15 @@ def scd2_from_changelog(
 
     Scale: one window over (key, commit) — a single shuffle on the key,
     O(changed rows); nothing rescans the table.
+
+    r13 optimization (guide §1.2/§5): opens and closes used to be two
+    filter subtrees united back together, so the operator consumed its
+    input TWICE and callers had to ``localCheckpoint`` the (expensive)
+    paired changelog to stop it re-executing per subtree. The union is
+    now a single conditional projection — an open keeps its data
+    columns, a close nulls the non-key ones, exactly the rows the
+    union produced — so the whole pair_updates → scd2 pipeline is one
+    linear consumer chain and needs no materialization at all.
     """
     from pyspark.sql import Window
 
@@ -745,20 +773,23 @@ def scd2_from_changelog(
     if missing:
         raise ValueError(f"key fields not in the changelog: {missing}")
 
-    opens = changes.filter(
-        F.col(CHANGE_TYPE).isin("insert", "update_postimage")
-    ).select(*data_cols, F.col(COMMIT_SNAPSHOT).alias("_commit"), F.lit(1).alias("_open"))
-    closes = changes.filter(
-        F.col(CHANGE_TYPE).isin("delete", "update_preimage")
+    is_open = F.col(CHANGE_TYPE).isin("insert", "update_postimage")
+    events = changes.filter(
+        F.col(CHANGE_TYPE).isin(
+            "insert", "update_postimage", "delete", "update_preimage"
+        )
     ).select(
         *[
-            F.col(c) if c in key_fields else F.lit(None).cast(changes.schema[c].dataType).alias(c)
+            F.col(c)
+            if c in key_fields
+            else F.when(is_open, F.col(c))
+            .otherwise(F.lit(None).cast(changes.schema[c].dataType))
+            .alias(c)
             for c in data_cols
         ],
         F.col(COMMIT_SNAPSHOT).alias("_commit"),
-        F.lit(0).alias("_open"),
+        is_open.cast("int").alias("_open"),
     )
-    events = opens.unionByName(closes)
     # within one commit a close sorts BEFORE an open (update pre/post
     # share the commit: the close terminates the PREVIOUS version, the
     # open starts the new one), so lead() from an open always lands on

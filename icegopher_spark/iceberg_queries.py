@@ -2520,13 +2520,15 @@ def cdc_scd2_history(spark: SparkSession, sf: str) -> DataFrame:
             F.lit(first.snapshot_id).cast("long").alias(COMMIT_SNAPSHOT),
         )
     )
-    # materialize once (r13 optimization, guide §2.4): pair_updates
-    # consumes `changes` through two subtrees (insert/delete split +
-    # passthrough) and scd2_from_changelog consumes `paired` twice
-    # (opens/closes) — without truncation each consumer re-runs the
-    # whole changelog lineage (Puffin DV decodes, per-snapshot unions)
-    changes = base.unionByName(raw).localCheckpoint(eager=True)
-    paired = pair_updates(changes, ["o_orderkey"]).localCheckpoint(eager=True)
+    # one linear chain end to end (r13, guide §1.2): changelog_df tags
+    # only insert/delete, so pair_updates(io_only=True) skips its
+    # passthrough subtree, and scd2_from_changelog is now a single
+    # conditional projection instead of opens∪closes — the whole
+    # changelog lineage (Puffin DV decodes, per-snapshot unions)
+    # executes exactly once per action with NO localCheckpoint
+    # write+read cycles (previously two)
+    changes = base.unionByName(raw)
+    paired = pair_updates(changes, ["o_orderkey"], io_only=True)
     scd2 = scd2_from_changelog(paired, ["o_orderkey"])
     seq_map = spark.createDataFrame(
         [(s.snapshot_id, s.sequence_number) for s in t.metadata.snapshots],

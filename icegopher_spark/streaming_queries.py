@@ -956,14 +956,16 @@ def stream_cdc_updates_q(spark: SparkSession, sf: str) -> DataFrame:
     out, ckpt = f"{work}/out", f"{work}/ckpt"
 
     def _fold(batch_df: DataFrame, batch_id: int) -> None:
-        # materialize the micro-batch ONCE: pair_updates consumes its
-        # input through two subtrees (insert/delete split + passthrough)
-        # and each would re-run the Python CDC source scan (guide §1.4 /
-        # §2.4 — measured 12.2s → 7.0s for this gate at sf0.1)
-        b = batch_df.localCheckpoint(eager=True)
-        pair_updates(b, ["l_orderkey", "l_shipdate"]).write.mode(
-            "append"
-        ).parquet(out)
+        # io_only (r13, guide §1.2): the CDC source emits ONLY
+        # insert/delete rows (iceberg_cdc_source._read_cdc_partition),
+        # so pair_updates skips its passthrough subtree and consumes
+        # the batch through ONE chain — the Python CDC source scan runs
+        # exactly once per batch and the localCheckpoint that existed
+        # to stop the two-subtree double scan (an extra full
+        # write+read of the batch) is gone.
+        pair_updates(
+            batch_df, ["l_orderkey", "l_shipdate"], io_only=True
+        ).write.mode("append").parquet(out)
 
     q = (
         spark.readStream.format("icegopher_cdc")
@@ -1038,9 +1040,11 @@ def stream_scd2_history_q(spark: SparkSession, sf: str) -> DataFrame:
     )
     q.awaitTermination()
     changes = spark.read.parquet(out)
-    # materialize the paired frame once: scd2_from_changelog consumes
-    # it twice (opens/closes) — see cdc_scd2_history (r13 optimization)
-    paired = pair_updates(changes, ["o_orderkey"]).localCheckpoint(eager=True)
+    # one linear chain, no materialization (r13): the raw CDC parquet
+    # holds only insert/delete rows (io_only skips the passthrough
+    # subtree) and scd2_from_changelog now consumes the paired frame
+    # once (single conditional projection instead of opens∪closes)
+    paired = pair_updates(changes, ["o_orderkey"], io_only=True)
     scd2 = scd2_from_changelog(paired, ["o_orderkey"])
     seq_map = spark.createDataFrame(
         [(s.snapshot_id, s.sequence_number) for s in t.metadata.snapshots],

@@ -650,3 +650,46 @@ def test_pair_updates_scd2_fuzz_vs_simulator(spark):
             if f <= c and (t is None or t > c)
         }
         assert recon == expect, f"commit {c}"
+
+
+def test_pair_updates_io_only_contract(spark):
+    """r13 optimization: ``io_only=True`` skips the passthrough subtree
+    (single-consumer input chain — what lets the CDC callers drop their
+    localCheckpoint). On an insert/delete-only frame the output is
+    identical to the default path; rows of any other change type are
+    dropped under the flag (the documented contract) where the default
+    path passes them through."""
+    from icegopher_spark.iceberg.changelog import (
+        CHANGE_TYPE,
+        COMMIT_SNAPSHOT,
+        pair_updates,
+    )
+
+    io_rows = [
+        (1, "old", "delete", 10),
+        (1, "new", "insert", 10),
+        (2, "same", "delete", 10),
+        (2, "same", "insert", 10),
+        (3, "gone", "delete", 10),
+        (4, "born", "insert", 11),
+    ]
+    schema = f"k long, v string, {CHANGE_TYPE} string, {COMMIT_SNAPSHOT} long"
+    io_df = spark.createDataFrame(io_rows, schema)
+
+    def rows(d):
+        return {
+            (r["k"], r["v"], r[CHANGE_TYPE], r[COMMIT_SNAPSHOT])
+            for r in d.collect()
+        }
+
+    assert rows(pair_updates(io_df, ["k"], io_only=True)) == rows(
+        pair_updates(io_df, ["k"])
+    )
+
+    mixed = spark.createDataFrame(
+        io_rows + [(5, "pre", "update_preimage", 12)], schema
+    )
+    got_default = rows(pair_updates(mixed, ["k"]))
+    got_io = rows(pair_updates(mixed, ["k"], io_only=True))
+    assert (5, "pre", "update_preimage", 12) in got_default
+    assert got_io == got_default - {(5, "pre", "update_preimage", 12)}
