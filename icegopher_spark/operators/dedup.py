@@ -113,11 +113,20 @@ STOP_SHINGLE_MAX_DF = 10_000
 
 
 def drop_stop_shingles(
-    sh: DataFrame, hash_col: str, max_doc_freq: int | None
+    sh: DataFrame, hash_col: str, max_doc_freq: int | None, materialize_stop: bool = False
 ) -> DataFrame:
     """Remove shingle hashes whose doc-frequency exceeds the cap via a
     left-anti join against the (small) over-cap hash set. Rows must be
-    distinct per (doc, hash), which shingle exploders guarantee."""
+    distinct per (doc, hash), which shingle exploders guarantee.
+
+    ``materialize_stop`` checkpoints the over-cap hash SET (bounded by
+    |shingles|/max_doc_freq rows — tiny by construction, empty on
+    non-boilerplate corpora): when the filtered frame feeds several
+    consumers, each otherwise re-runs the full doc-frequency aggregate
+    — a whole extra shuffle of the shingle frame per consumer — just to
+    rebuild the same stop set (r13 batch 7, guide §2.4). The anti-join
+    itself stays lazy, so the LeftAnti guard remains visible in every
+    consumer's plan."""
     if max_doc_freq is None:
         return sh
     stop = (
@@ -126,6 +135,8 @@ def drop_stop_shingles(
         .filter(F.col("df") > max_doc_freq)
         .select(hash_col)
     )
+    if materialize_stop:
+        stop = stop.localCheckpoint(eager=True)
     return sh.join(stop, hash_col, "left_anti")
 
 
@@ -151,10 +162,13 @@ def ngram_jaccard_pairs(
     # the raw shingle frame is materialized ONCE (narrow (id, hash)
     # rows): the stop-shingle drop + three downstream consumers
     # (sizes, both join sides) otherwise each re-run the tokenizer
-    # (r13 optimization, guide §5). The drop stays lazy so its
+    # (r13 optimization, guide §5). The drop's STOP SET is also
+    # materialized (r13 batch 7): the three consumers otherwise each
+    # re-run the doc-frequency aggregate — a full extra shuffle of the
+    # shingle frame per consumer. The anti-join stays lazy so its
     # LeftAnti guard remains visible in the final plan (plan pin).
     sh = shingle_hash_rows(df, text_col, id_col, n).localCheckpoint(eager=True)
-    sh = drop_stop_shingles(sh, "h", max_doc_freq)
+    sh = drop_stop_shingles(sh, "h", max_doc_freq, materialize_stop=True)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     pairs = (
@@ -198,10 +212,10 @@ def ngram_containment_pairs(
     engines. Returns (id_a, id_b, n_common, n_a, n_b, containment),
     id_a < id_b."""
     pct = int(round(threshold * 100))
-    # one materialization of the raw shingle frame — same rationale as
-    # ngram_jaccard_pairs (r13 optimization, guide §5)
+    # one materialization of the raw shingle frame + the (tiny) stop
+    # set — same rationale as ngram_jaccard_pairs (r13, guide §5/§2.4)
     sh = shingle_hash_rows(df, text_col, id_col, n).localCheckpoint(eager=True)
-    sh = drop_stop_shingles(sh, "h", max_doc_freq)
+    sh = drop_stop_shingles(sh, "h", max_doc_freq, materialize_stop=True)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     return (

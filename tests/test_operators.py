@@ -1433,3 +1433,22 @@ def test_centroid_drift_identical_and_shifted(spark):
         [(1, 7, [1.0, 0.0])], "vec_id long, label int, embedding array<double>"
     )
     assert centroid_drift(base, other).count() == 0
+
+
+def test_drop_stop_shingles_materialized_stop_equivalence(spark):
+    """materialize_stop checkpoints the over-cap hash set so multi-
+    consumer callers stop re-running the doc-frequency aggregate —
+    results must be identical to the lazy path (including when the cap
+    actually fires), and the consumer plan's anti-join build side must
+    be a materialized scan, not a live Aggregate."""
+    rows = [(d, h) for d in range(6) for h in (100, 200)] + [(0, 300), (1, 300)]
+    sh = spark.createDataFrame(rows, "id long, h long")
+    lazy = dedup.drop_stop_shingles(sh, "h", 4)
+    mat = dedup.drop_stop_shingles(sh, "h", 4, materialize_stop=True)
+    got_lazy = sorted((r["id"], r["h"]) for r in lazy.collect())
+    got_mat = sorted((r["id"], r["h"]) for r in mat.collect())
+    # hashes 100/200 appear in 6 docs (> cap 4) and must drop; 300 stays
+    assert got_mat == got_lazy == [(0, 300), (1, 300)]
+    plan = mat._jdf.queryExecution().optimizedPlan().toString()
+    assert "LeftAnti" in plan  # the guard is still visible to plan pins
+    assert "Aggregate" not in plan  # ...but its build side is materialized
