@@ -218,13 +218,17 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     return planes
 
 
+KMEANS_SAMPLE_CAP = 100_000
+
+
 def _kmeans_centroids(
     corpus: DataFrame,
     vec_col: str,
     n_lists: int,
     seed: int,
-    sample_cap: int = 100_000,
+    sample_cap: int = KMEANS_SAMPLE_CAP,
     iters: int = 10,
+    probe_rows: list | None = None,
 ) -> list[list[float]]:
     """Coarse-quantizer centroids from a seeded SAMPLE of the corpus,
     fit driver-side with a deterministic numpy Lloyd's loop.
@@ -263,7 +267,22 @@ def _kmeans_centroids(
     # order is irrelevant and the centroids are bit-identical to the
     # count-first path. Over-cap corpora fall back to the exact
     # count + content-hash keep filter unchanged.
-    probe = train_df.limit(sample_cap + 1).collect()
+    # ``probe_rows`` (r13 batch 8): a caller that already collected the
+    # ENTIRE corpus projection ``cast(vec_col as array<double>) AS v``
+    # (nulls included, ≤ sample_cap rows — semdedup's fused count+probe)
+    # hands it in so the trainer pays NO Spark job at all. The non-null
+    # subset of a complete corpus is exactly what the under-cap probe
+    # below collects, and the sample is sorted before use — centroids
+    # are bit-identical to the collect-here path.
+    if probe_rows is not None:
+        probe = [r for r in probe_rows if r["v"] is not None]
+        if len(probe) > sample_cap:
+            raise ValueError(
+                "probe_rows must be a complete under-cap corpus "
+                f"projection (≤ {sample_cap} non-null rows)"
+            )
+    else:
+        probe = train_df.limit(sample_cap + 1).collect()
     if len(probe) == 0:
         raise ValueError("cannot train IVF centroids: corpus has no non-null vectors")
     if len(probe) > sample_cap:
@@ -702,6 +721,7 @@ def semdedup(
 
     Returns (id, cluster, keep).
     """
+    probe_rows = None
     if n_clusters is None:
         # the scale posture: cluster COUNT grows with the corpus so
         # cluster SIZE — and the per-cluster quadratic pair term —
@@ -710,12 +730,29 @@ def semdedup(
         # within-cluster join quadratic: the 10x scale artifact
         # measured 11.7x before this default. Table-backed frames are
         # priced from parquet footer metadata (no scan); ad-hoc frames
-        # fall back to one count of the id column.
+        # fuse the count into the k-means trainer's own probe (r13
+        # batch 8, guide §5): one early-terminating limit(cap+1)
+        # collect both counts the corpus (when it fits under the
+        # trainer's sample cap, the probe IS the corpus) and hands the
+        # trainer its complete sample — the previous shape paid a full
+        # count() scan AND the trainer's probe. Over-cap ad-hoc frames
+        # fall back to the exact count + trainer-side sampling
+        # unchanged (the throwaway probe is early-terminating, never a
+        # full pass).
         n = _metadata_row_count(df)
         if n is None:
-            n = df.count()
+            probe_rows = (
+                df.select(F.col(vec_col).cast("array<double>").alias("v"))
+                .limit(KMEANS_SAMPLE_CAP + 1)
+                .collect()
+            )
+            if len(probe_rows) <= KMEANS_SAMPLE_CAP:
+                n = len(probe_rows)  # the probe saw the whole corpus
+            else:
+                n = df.count()
+                probe_rows = None
         n_clusters = max(16, n // target_cluster_size)
-    cents = _kmeans_centroids(df, vec_col, n_clusters, seed)
+    cents = _kmeans_centroids(df, vec_col, n_clusters, seed, probe_rows=probe_rows)
     assigned = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
@@ -759,6 +796,12 @@ def semdedup(
         )
         .select("cluster", "id_b")
         .distinct()
+        # TWO consumers (the keep-side anti-join and the drop-side
+        # union branch) and NO exchange reuse between them — without a
+        # materialization the within-cluster quadratic pair join (the
+        # operator's dominant term at scale) executed TWICE per action
+        # (r13 batch 8, guide §5). O(duplicates) narrow rows.
+        .localCheckpoint(eager=True)
     )
     return (
         assigned.join(
