@@ -1890,21 +1890,28 @@ from . import delta_queries  # noqa: E402,F401  (registration side effect)
 def _topk_recall(exact: DataFrame, approx: DataFrame, k: int) -> DataFrame:
     """Per-query recall@k of an ANN result against the exact top-k
     (both computed in Spark; the exact side is itself oracle-checked
-    via sim_topk_bruteforce)."""
-    hit = (
-        exact.select("query_id", "vec_id")
-        .intersect(approx.select("query_id", "vec_id"))
-        .groupBy("query_id")
-        .agg(F.count(F.lit(1)).alias("hits"))
-    )
+    via sim_topk_bruteforce).
+
+    r13 batch 8 (guide §5/§2.4): the previous intersect-then-rejoin
+    shape consumed the exact side through TWO subtrees (the intersect
+    and the per-query key list) with no exchange reuse, so the
+    brute-force O(corpus × queries) scoring pass executed twice per
+    action. One left join + count-of-matches consumes each side ONCE
+    and replaces the intersect's exchange pair with a single groupBy:
+    both top-k frames are unique per (query_id, vec_id) by
+    construction (row_number ranks), so count(matched) ==
+    |exact ∩ approx| exactly, and every query appears in exact (k rows
+    each), so the per-query coverage join is subsumed."""
+    marked = approx.select("query_id", "vec_id").withColumn("_hit", F.lit(1))
     return (
-        exact.select("query_id")
-        .distinct()
-        .join(hit, "query_id", "left")
+        exact.select("query_id", "vec_id")
+        .join(marked, ["query_id", "vec_id"], "left")
+        .groupBy("query_id")
+        .agg(F.count("_hit").alias("hits"))
         .select(
             "query_id",
-            F.coalesce("hits", F.lit(0)).cast("bigint").alias("n_caught"),
-            F.round(F.coalesce("hits", F.lit(0)) / F.lit(k), 4).alias("recall"),
+            F.col("hits").cast("bigint").alias("n_caught"),
+            F.round(F.col("hits") / F.lit(k), 4).alias("recall"),
         )
     )
 
