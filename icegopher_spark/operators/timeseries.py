@@ -51,16 +51,23 @@ def gapfill_locf(
             f"{sorted(_INTERVAL_BUCKETS)} (INTERVAL has no such unit)"
         )
     b = F.date_trunc(bucket, F.col(ts_col))
-    hourly = events.groupBy(F.col(key_col), b.alias("bucket")).agg(
-        F.sum(F.col(value_col).cast("decimal(14,4)")).alias("total")
+    # ONE events pass (r13 batch 9, guide §5/§2.3): bounds and the key
+    # list are pure functions of the rollup — min/max over per-(key,
+    # bucket) rows equal min/max over raw events after date_trunc, and
+    # groupBy emits every key (NULL included) — so both derive from the
+    # materialized rollup instead of re-scanning events (the previous
+    # shape scanned + re-aggregated events three times per action).
+    # The rollup is |keys × buckets| narrow rows.
+    hourly = (
+        events.groupBy(F.col(key_col), b.alias("bucket"))
+        .agg(F.sum(F.col(value_col).cast("decimal(14,4)")).alias("total"))
+        .localCheckpoint(eager=True)
     )
-    bounds = events.agg(
-        F.min(b).alias("lo"), F.max(b).alias("hi")
-    )
+    bounds = hourly.agg(F.min("bucket").alias("lo"), F.max("bucket").alias("hi"))
     hours = bounds.select(
         F.explode(F.sequence("lo", "hi", F.expr(f"INTERVAL 1 {bucket}"))).alias("bucket")
     )
-    keys = events.select(key_col).distinct()
+    keys = hourly.select(key_col).distinct()
     grid = keys.crossJoin(hours)
     w = (
         Window.partitionBy(key_col)
@@ -105,26 +112,38 @@ def funnel_counts(
     """
     if not stages:
         raise ValueError("funnel_counts needs at least one stage")
-    cur: DataFrame | None = None
+    # Single-consumption chain (r13 batch 9, guide §5): the previous
+    # shape joined each stage's frame into BOTH the next stage and a
+    # separate per_user outcome join, so stage k's subtree (scan +
+    # aggregate) re-executed (len(stages) - k) times per action — 6
+    # events scans for 3 stages. Each stage now LEFT-joins its events
+    # onto the running (u, t0..t_{k-1}) frame and extends it with
+    # t_k = min(t | t > t_{k-1}) in one grouped aggregate, so every
+    # stage subtree is consumed exactly once and the outcome frame IS
+    # the chain's tail. Semantics unchanged: a user missing stage k
+    # gets a NULL t_k (no rows survive the when()), exactly like the
+    # old inner-join-then-left-join shape, and NULL t_{k-1} propagates
+    # (t > NULL is never true).
     per_user: DataFrame | None = None
     for i, stage in enumerate(stages):
         ev = events.filter(F.col(type_col) == stage).select(
-            F.col(user_col).alias("u"), F.col(ts_col).alias("t")
+            F.col(user_col).alias("_eu"), F.col(ts_col).alias("t")
         )
-        if cur is None:
-            cur = ev.groupBy("u").agg(F.min("t").alias(f"t{i}"))
-        else:
-            cur = (
-                ev.join(cur.select("u", f"t{i - 1}"), "u")
-                .filter(F.col("t") > F.col(f"t{i - 1}"))
-                .groupBy("u")
-                .agg(F.min("t").alias(f"t{i}"))
+        if per_user is None:
+            per_user = (
+                ev.groupBy(F.col("_eu").alias("u")).agg(F.min("t").alias("t0"))
             )
-        per_user = cur if per_user is None else per_user.join(
-            cur.select("u", f"t{i}"), "u", "left"
-        )
-    # one aggregate over the per-user outcome frame: n_<stage> = users
-    # whose stage-k time exists (single lazy plan, no driver loop)
+        else:
+            prev = [f"t{j}" for j in range(i)]
+            per_user = (
+                per_user.join(ev, per_user["u"] == ev["_eu"], "left")
+                .groupBy("u", *prev)
+                .agg(
+                    F.min(
+                        F.when(F.col("t") > F.col(f"t{i - 1}"), F.col("t"))
+                    ).alias(f"t{i}")
+                )
+            )
     return per_user.agg(
         *[F.count(F.col(f"t{i}")).alias(f"n_{s}") for i, s in enumerate(stages)]
     )
@@ -144,27 +163,39 @@ def retention_cohorts(
     (user, cohort_day + d).
     """
     day = F.to_date(F.col(ts_col))
-    active = events.select(F.col(user_col).alias("u"), day.alias("d")).distinct()
-    first = active.groupBy("u").agg(F.min("d").alias("d0"))
-    # `first` derives from `active`, so join on RENAMED columns — a
-    # first.u == active.u predicate is a self-join Spark only rescues
-    # via plan-id disambiguation (fragile under failAmbiguousSelfJoin)
-    act = active.select(F.col("u").alias("au"), F.col("d").alias("ad"))
-    out = first.groupBy("d0").agg(F.count(F.lit(1)).alias("n_users"))
-    for off in offsets:
-        ret = (
-            first.join(
-                act,
-                (F.col("u") == F.col("au")) & (F.col("ad") == F.date_add(F.col("d0"), off)),
-                "left_semi",
-            )
-            .groupBy("d0")
-            .agg(F.count(F.lit(1)).alias(f"n_day{off}"))
+    # Two shuffles total (r13 batch 9, guide §2.3/§5): the previous
+    # semi-join shape consumed the distinct (user, day) frame through
+    # 1 + 2·|offsets| subtrees — five full events scans + distincts for
+    # two offsets. Per user, one grouped aggregate now yields the
+    # cohort day AND the (bounded: ≤ days-since-launch) set of active
+    # days; each offset is then an array_contains indicator summed in
+    # the per-cohort rollup. Exact-equality semantics unchanged: a user
+    # retains at offset d iff (d0 + d) is among their active days.
+    per_user = (
+        events.select(F.col(user_col).alias("u"), day.alias("d"))
+        .groupBy("u")
+        .agg(F.min("d").alias("d0"), F.collect_set("d").alias("days"))
+    )
+    # the isNotNull guard replicates the semi-join shape exactly: a
+    # NULL user id was counted in its cohort's n_users but could never
+    # equi-match itself back, so it never retained
+    aggs = [F.count(F.lit(1)).alias("n_users")] + [
+        F.coalesce(
+            F.sum(
+                (
+                    F.col("u").isNotNull()
+                    & F.array_contains(F.col("days"), F.date_add(F.col("d0"), off))
+                ).cast("int")
+            ),
+            F.lit(0),
         )
-        out = out.join(ret, "d0", "left")
+        .cast("bigint")
+        .alias(f"n_day{off}")
+        for off in offsets
+    ]
+    out = per_user.groupBy("d0").agg(*aggs)
     cols = [F.col("d0").cast("timestamp").alias("cohort_day"), F.col("n_users")] + [
-        F.coalesce(F.col(f"n_day{o}"), F.lit(0)).cast("bigint").alias(f"n_day{o}")
-        for o in offsets
+        F.col(f"n_day{o}") for o in offsets
     ]
     return out.select(*cols)
 
