@@ -572,7 +572,40 @@ def _changelog_df_impl(
                 deletes = hit if deletes is None else deletes.unionByName(hit)
 
         if net and inserts is not None and deletes is not None:
-            inserts, deletes = inserts.exceptAll(deletes), deletes.exceptAll(inserts)
+            # Single-pass netting (r13 batch 10, guide §5/§2.4): the
+            # exceptAll pair (inserts∖deletes, deletes∖inserts) put the
+            # inserts AND deletes subtrees — data-file reads, CoW
+            # parent scans, DV decodes — under TWO sibling aggregates,
+            # so each executed twice per snapshot. One signed-count
+            # aggregate produces the identical multiset: per distinct
+            # row value exceptAll keeps max(n_ins − n_del, 0) insert
+            # copies and max(n_del − n_ins, 0) delete copies, which is
+            # exactly the sign and magnitude of the net count (Spark's
+            # own exceptAll lowers to this same sum-of-±1 aggregate —
+            # twice). Grouping normalizes floats/nulls the same way
+            # exceptAll does.
+            cols = inserts.columns
+            sgn = inserts.select(*cols, F.lit(1).alias("_sgn")).unionByName(
+                deletes.select(*cols, F.lit(-1).alias("_sgn"))
+            )
+            netted = (
+                sgn.groupBy(*cols)
+                .agg(F.sum("_sgn").alias("_net"))
+                .filter(F.col("_net") != 0)
+                .select(
+                    *cols,
+                    F.when(F.col("_net") > 0, F.lit("insert"))
+                    .otherwise(F.lit("delete"))
+                    .alias(CHANGE_TYPE),
+                    F.lit(snap.snapshot_id).cast("long").alias(COMMIT_SNAPSHOT),
+                    F.explode(
+                        F.array_repeat(F.lit(1), F.abs(F.col("_net")).cast("int"))
+                    ).alias("_dup"),
+                )
+                .drop("_dup")
+            )
+            out = netted if out is None else out.unionByName(netted)
+            continue
 
         for df, kind in ((inserts, "insert"), (deletes, "delete")):
             if df is None:
