@@ -585,24 +585,40 @@ def _changelog_df_impl(
             # twice). Grouping normalizes floats/nulls the same way
             # exceptAll does.
             cols = inserts.columns
-            sgn = inserts.select(*cols, F.lit(1).alias("_sgn")).unionByName(
-                deletes.select(*cols, F.lit(-1).alias("_sgn"))
+            # collision-free helper names (r13 ADVICE): a table whose
+            # schema already contains _sgn/_net would make the
+            # groupBy/agg ambiguous — suffix until unique
+            sgn_c, net_c = "_sgn", "_net"
+            taken = set(cols)
+            while sgn_c in taken:
+                sgn_c += "_x"
+            while net_c in taken or net_c == sgn_c:
+                net_c += "_x"
+            sgn = inserts.select(*cols, F.lit(1).alias(sgn_c)).unionByName(
+                deletes.select(*cols, F.lit(-1).alias(sgn_c))
             )
             netted = (
                 sgn.groupBy(*cols)
-                .agg(F.sum("_sgn").alias("_net"))
-                .filter(F.col("_net") != 0)
+                .agg(F.sum(sgn_c).alias(net_c))
+                .filter(F.col(net_c) != 0)
                 .select(
                     *cols,
-                    F.when(F.col("_net") > 0, F.lit("insert"))
+                    F.when(F.col(net_c) > 0, F.lit("insert"))
                     .otherwise(F.lit("delete"))
                     .alias(CHANGE_TYPE),
                     F.lit(snap.snapshot_id).cast("long").alias(COMMIT_SNAPSHOT),
+                    # replicate |_net| copies via a long-typed sequence
+                    # (r13 ADVICE): the old abs(_net).cast('int') wrapped
+                    # silently past 2^31 (non-ANSI); sequence on longs
+                    # raises loudly instead of corrupting counts
                     F.explode(
-                        F.array_repeat(F.lit(1), F.abs(F.col("_net")).cast("int"))
-                    ).alias("_dup"),
+                        F.sequence(
+                            F.lit(1).cast("long"),
+                            F.abs(F.col(net_c)).cast("long"),
+                        )
+                    ).alias(net_c + "_dup"),
                 )
-                .drop("_dup")
+                .drop(net_c + "_dup")
             )
             out = netted if out is None else out.unionByName(netted)
             continue

@@ -37,6 +37,13 @@ def gapfill_locf(
 
     Returns (key, bucket, value_filled, was_gap). Buckets before a
     key's first observation fill with 0.
+
+    EAGER-EXECUTION NOTE (r13 ADVICE): building this frame runs a Spark
+    job immediately — the per-(key, bucket) rollup is localCheckpoint'd
+    at plan-construction time (it feeds three consumers: bounds, key
+    list, and the grid join). localCheckpoint output is not
+    fault-tolerant (a lost executor cannot recompute its lineage);
+    callers doing plan-only inspection should expect the eager job.
     """
     # date_trunc accepts more units than INTERVAL arithmetic does
     # (e.g. 'quarter'); validate up front so an unsupported bucket

@@ -1901,7 +1901,14 @@ def _topk_recall(exact: DataFrame, approx: DataFrame, k: int) -> DataFrame:
     both top-k frames are unique per (query_id, vec_id) by
     construction (row_number ranks), so count(matched) ==
     |exact ∩ approx| exactly, and every query appears in exact (k rows
-    each), so the per-query coverage join is subsumed."""
+    each), so the per-query coverage join is subsumed.
+
+    HARD CONTRACT (r13 ADVICE): both inputs MUST be unique per
+    (query_id, vec_id). The old intersect deduplicated; this left-join
+    count does not — a caller passing duplicate candidate rows (e.g.
+    an ANN variant that skips its distinct()) would silently inflate
+    recall. Current callers all satisfy it: IVF assigns one cell per
+    vector, LSH applies distinct(), brute-force ranks are unique."""
     marked = approx.select("query_id", "vec_id").withColumn("_hit", F.lit(1))
     return (
         exact.select("query_id", "vec_id")
