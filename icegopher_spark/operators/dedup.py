@@ -278,10 +278,13 @@ def signatures_from_hashes(sh: DataFrame, num_hashes: int = 32) -> DataFrame:
     that needs the shingle rows again for verification materializes
     them ONCE and feeds both stages, instead of re-running the regex
     tokenizer + shingle explode per stage."""
+    # parsed SQL per seed aggregate (r14, guide §1.2): one py4j call per
+    # seed instead of five; expressions identical (min(xxhash64(k, h)))
     mins = sh.groupBy("id").agg(
-        *[F.min(F.xxhash64(F.lit(k), F.col("h"))).alias(f"h{k}") for k in range(num_hashes)]
+        *[F.expr(f"min(xxhash64({k}, h)) AS h{k}") for k in range(num_hashes)]
     )
-    return mins.select("id", F.array(*[f"h{k}" for k in range(num_hashes)]).alias("sig"))
+    arr = ", ".join(f"h{k}" for k in range(num_hashes))
+    return mins.select("id", F.expr(f"array({arr}) AS sig"))
 
 
 def band_entries_from_signatures(
@@ -289,21 +292,20 @@ def band_entries_from_signatures(
 ) -> DataFrame:
     """(id, band, key) from an (id, sig) frame — see minhash_band_entries."""
     rows_per_band = num_hashes // bands
+    # parsed SQL struct array (r14, guide §1.2): identical expressions
+    # (band literal + xxhash64 over the band's signature slice), built
+    # in one py4j call instead of ~10 per band
+    structs = ", ".join(
+        "named_struct('band', {b}, 'key', xxhash64({slice}))".format(
+            b=b,
+            slice=", ".join(
+                f"sig[{b * rows_per_band + r}]" for r in range(rows_per_band)
+            ),
+        )
+        for b in range(bands)
+    )
     return sigs.select(
-        "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            *[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)]
-                        ).alias("key"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bk"),
+        "id", F.expr(f"explode(array({structs})) AS bk")
     ).select("id", "bk.band", "bk.key")
 
 
@@ -976,6 +978,15 @@ def md5_hash32(c: Column) -> Column:
     return F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("bigint")
 
 
+def _long_sql(m: int) -> str:
+    """A bigint literal as Spark SQL text. LONG_MIN cannot be written
+    directly (the parser sees unary minus applied to an out-of-range
+    positive literal) — emit it as an exact constant-folded expression."""
+    if m == -(1 << 63):
+        return "(-9223372036854775807L - 1L)"
+    return f"{m}L"
+
+
 def simhash_df(
     df: DataFrame,
     text_col: str = "text",
@@ -992,7 +1003,16 @@ def simhash_df(
     ``hash_col`` maps a shingle Column to its bigint hash (default
     xxhash64 — fastest JVM path); the correctness gate passes
     ``md5_hash32`` with ``nbits=32`` so DuckDB can recompute the whole
-    pipeline independently."""
+    pipeline independently.
+
+    r14 (guide §1.2 — driver-side cost): the ``nbits`` per-bit
+    aggregates and the sign assembly are built as parsed SQL strings
+    (one py4j call each) instead of composed Column objects — the old
+    form issued ~11k py4j round-trips (~1.5 s of socket wait per plan
+    construction, measured with cProfile at sf0.1). The parsed
+    expressions are token-identical (sum(CASE WHEN (h & m) != 0 THEN 1
+    ELSE -1 END); integer arithmetic), so the analyzed plan and every
+    output value are unchanged."""
     hash_col = hash_col or F.xxhash64
     masks = [1 << b if b < 63 else -(1 << 63) for b in range(nbits)]
     rows = df.select(
@@ -1000,17 +1020,18 @@ def simhash_df(
     ).select("id", hash_col(F.col("s")).alias("h"))
     sums = rows.groupBy("id").agg(
         *[
-            F.sum(
-                F.when(F.col("h").bitwiseAND(F.lit(m).cast("bigint")) != 0, 1).otherwise(-1)
-            ).alias(f"b{b}")
+            F.expr(
+                f"sum(CASE WHEN (h & {_long_sql(m)}) != 0 "
+                f"THEN 1 ELSE -1 END) AS b{b}"
+            )
             for b, m in enumerate(masks)
         ]
     )
-    sh = None
-    for b, m in enumerate(masks):
-        term = F.when(F.col(f"b{b}") > 0, F.lit(m).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
-        sh = term if sh is None else sh + term
-    return sums.select("id", sh.alias("sh"))
+    sh_sql = " + ".join(
+        f"(CASE WHEN b{b} > 0 THEN {_long_sql(m)} ELSE 0L END)"
+        for b, m in enumerate(masks)
+    )
+    return sums.select("id", F.expr(f"({sh_sql}) AS sh"))
 
 
 # One-slot rotating registry of the previous simhash call's persisted
@@ -1087,33 +1108,30 @@ def simhash_neardup_pairs(
     widths = [base + (1 if i < extra else 0) for i in range(n_blocks)]
     offsets = [sum(widths[:i]) for i in range(n_blocks)]
 
-    def block(i: int) -> Column:
-        return F.shiftrightunsigned("sh", offsets[i]).bitwiseAND(
-            F.lit((1 << widths[i]) - 1)
+    # block/table-key expressions as parsed SQL (r14, guide §1.2): the
+    # 20-combo struct array cost hundreds of py4j round trips per plan
+    # construction when composed as Column objects; the parsed text is
+    # expression-identical (shiftrightunsigned & mask, shifted-add key)
+    def block_sql(i: int) -> str:
+        return (
+            f"(shiftrightunsigned(sh, {offsets[i]}) & {(1 << widths[i]) - 1})"
         )
 
-    def table_key(combo: tuple[int, ...]) -> Column:
-        key = F.lit(0).cast("bigint")
+    def table_key_sql(combo: tuple[int, ...]) -> str:
+        key = "CAST(0 AS BIGINT)"
         shift = 0
         for i in combo:
-            key = key + (block(i).cast("bigint") * F.lit(1 << shift))
+            key = f"({key} + (CAST({block_sql(i)} AS BIGINT) * {1 << shift}))"
             shift += widths[i]
         return key
 
     combos = list(combinations(range(n_blocks), agree))
+    structs = ", ".join(
+        f"named_struct('sh', sh, 'tbl', {t}, 'key', {table_key_sql(combo)})"
+        for t, combo in enumerate(combos)
+    )
     tables = uniq.select(
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.col("sh").alias("sh"),
-                        F.lit(t).alias("tbl"),
-                        table_key(combo).alias("key"),
-                    )
-                    for t, combo in enumerate(combos)
-                ]
-            )
-        ).alias("bk"),
+        F.expr(f"explode(array({structs})) AS bk")
     ).select("bk.sh", "bk.tbl", "bk.key")
     ta, tb = tables.alias("a"), tables.alias("b")
     hamming = F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh")))
