@@ -1038,7 +1038,12 @@ def _scan_files(
             return a.unionByName(b)
 
     paths = [p for p, _ in files]
-    df = spark.read.schema(data_schema).parquet(*paths)
+    # session-scoped reader memo (r14, guide §5): same contract as the
+    # iceberg side — caches the unresolved reader plan per exact file
+    # list (delta data files are write-once), never rows
+    from .iceberg.table import _memo_reader
+
+    df = _memo_reader(spark, data_schema, "PARQUET", paths)
 
     need_pos = bool(position_masks) or with_position
     need_path = bool(partition_columns) or need_pos
