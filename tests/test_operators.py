@@ -1452,3 +1452,78 @@ def test_drop_stop_shingles_materialized_stop_equivalence(spark):
     plan = mat._jdf.queryExecution().optimizedPlan().toString()
     assert "LeftAnti" in plan  # the guard is still visible to plan pins
     assert "Aggregate" not in plan  # ...but its build side is materialized
+
+
+def test_simhash_df_matches_python_fold_reference(spark, docs):
+    """r14 pin: simhash_df's per-bit SUM aggregates and sign assembly
+    are emitted as parsed SQL strings (plan-construction optimization);
+    this pins the VALUES against an independent Python fold over the
+    same per-shingle hashes — covering every mask including bit 63,
+    whose LONG_MIN weight is emitted as (-9223372036854775807L - 1L)
+    because the parser rejects the bare literal."""
+    from pyspark.sql import functions as F
+
+    # per-shingle hash values from Spark (the hash function itself is
+    # not under test); the FOLD is recomputed in Python
+    rows = (
+        docs.select(
+            F.col("doc_id").alias("id"),
+            F.explode(dedup.word_shingles(F.col("text"), 1)).alias("s"),
+        )
+        .select("id", F.xxhash64("s").alias("h"))
+        .collect()
+    )
+    by_doc: dict[int, list[int]] = {}
+    for r in rows:
+        by_doc.setdefault(r["id"], []).append(r["h"])
+
+    def py_simhash(hashes: list[int], nbits: int) -> int:
+        sh = 0
+        for b in range(nbits):
+            mask = (1 << b) if b < 63 else -(1 << 63)
+            c = sum(1 if (h & mask) != 0 else -1 for h in hashes)
+            if c > 0:
+                sh += mask
+        return sh
+
+    for nbits in (32, 64):
+        got = {
+            r["id"]: r["sh"]
+            for r in dedup.simhash_df(docs, nbits=nbits).collect()
+        }
+        want = {i: py_simhash(hs, nbits) for i, hs in by_doc.items()}
+        assert got == want
+    # exercise the sign bit deterministically: a one-word doc whose
+    # token hash has bit 63 set (xxhash64 < 0 signed) must produce a
+    # NEGATIVE signature — proof the LONG_MIN weight branch was added
+    cand = spark.createDataFrame(
+        [(i, w) for i, w in enumerate("alpha beta gamma delta epsilon zeta".split())],
+        "doc_id int, text string",
+    )
+    neg = cand.select("doc_id").where(F.xxhash64(F.lower("text")) < 0).collect()
+    assert neg, "candidate word list must contain a bit-63 hash"
+    one = cand.where(F.col("doc_id") == neg[0]["doc_id"])
+    sig = dedup.simhash_df(one, nbits=64).collect()[0]["sh"]
+    assert sig < 0
+
+
+def test_signatures_from_hashes_matches_python_min_reference(spark, docs):
+    """r14 pin: the 32-seed min aggregates are parsed SQL
+    (min(xxhash64(k, h))); values pinned against a Python min over the
+    seed hashes Spark computes for the same (id, h) rows."""
+    from pyspark.sql import functions as F
+
+    sh = dedup.shingle_hash_rows(docs)
+    seeded = sh.select(
+        "id", *[F.xxhash64(F.lit(k), F.col("h")).alias(f"s{k}") for k in range(8)]
+    ).collect()
+    want: dict[int, list[int]] = {}
+    for r in seeded:
+        acc = want.setdefault(r["id"], [2**63 - 1] * 8)
+        for k in range(8):
+            acc[k] = min(acc[k], r[f"s{k}"])
+    got = {
+        r["id"]: list(r["sig"])
+        for r in dedup.signatures_from_hashes(sh, num_hashes=8).collect()
+    }
+    assert got == want
